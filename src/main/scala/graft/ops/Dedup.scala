@@ -1,0 +1,164 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines: exact, MinHash+LSH,
+  * SimHash, and n-gram Jaccard verification. Extension surface (beyond
+  * reference scope — SURVEY.md §7 "north star").
+  *
+  * Scale design: every method is a constant number of shuffles independent of
+  * corpus size — exact dedup is one hash aggregate on the content key;
+  * MinHash/SimHash candidate generation is explode-by-band + hash-partition
+  * on (band, bucket), so only same-bucket documents ever meet (never an
+  * O(n^2) cross join); Jaccard verification runs only on the candidate pairs.
+  */
+object Dedup {
+
+  /** Exact dedup: one surviving row (min id) per distinct content value +
+    * duplicate multiplicity. Single hash aggregate on the content column;
+    * for very long texts group on a collision-free-enough digest
+    * (sha2/xxhash64) instead to shrink shuffle width. */
+  def exact(df: DataFrame, contentCol: String, idCol: String): DataFrame =
+    df.groupBy(col(contentCol))
+      .agg(min(col(idCol)).as(idCol), count(lit(1)).as("dup_count"))
+      .drop(contentCol)
+
+  /** w-token shingles of a token array: ["a","b","c"], w=2 -> ["a b","b c"].
+    * Fewer than w tokens -> single shingle of the whole text. */
+  def shingles(tokens: Column, w: Int): Column =
+    when(size(tokens) <= w, array(concat_ws(" ", tokens)))
+      .otherwise(transform(
+        sequence(lit(0), size(tokens) - w),
+        i => concat_ws(" ", slice(tokens, i + 1, lit(w)))))
+
+  /** MinHash signature as a single-pass fold over the shingle array:
+    * min(xxhash64(j, shingle)) for j in [0, k). Returns array<long> of
+    * length k (Broder '97). The fold shape matters: the shingle array is
+    * evaluated ONCE per row — a naive `transform(seq(k), j -> array_min(
+    * transform(sh, ...)))` re-inlines (and re-evaluates) the tokenize+shingle
+    * expression k times after projection collapse, which is catastrophic in
+    * Spark's interpreted higher-order-function path. Prefer
+    * [[minhashSignatures]] (explode + hash-aggregate, fully codegen'd) for
+    * corpus-scale jobs; this column form is for ad-hoc use. */
+  def minhashSignature(shingleArr: Column, k: Int): Column =
+    aggregate(shingleArr,
+      array_repeat(lit(Long.MaxValue), k),
+      (acc, s) => zip_with(acc, sequence(lit(0), lit(k - 1)),
+        (m, j) => least(m, xxhash64(j, s))))
+
+  /** (id, sig) MinHash signatures for a whole corpus via explode + grouped
+    * min-aggregates: tokenization runs exactly once per document and the k
+    * min()s run inside whole-stage-codegen'd HashAggregate — the shape that
+    * scales (one shuffle on the doc id, partial aggregation map-side). */
+  def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
+      shingleW: Int, k: Int): DataFrame = {
+    // One string hash per shingle, then k fixed-width long re-hashes
+    // (xxhash64 over 8 bytes) — far cheaper than k string hashes, and no
+    // 64-bit multiply that ANSI mode would reject on overflow.
+    val exploded = df
+      .select(col(idCol).as("id"),
+        explode(array_distinct(shingles(TextAnalysis.tokens(col(textCol)), shingleW))).as("s"))
+      .withColumn("h", xxhash64(col("s")))
+    val minCols = (0 until k).map(j => min(xxhash64(lit(j), col("h"))).as(s"m$j"))
+    exploded.groupBy(col("id"))
+      .agg(minCols.head, minCols.tail: _*)
+      .select(col("id"), array((0 until k).map(j => col(s"m$j")): _*).as("sig"))
+  }
+
+  /** LSH banding: split the k-length signature into `bands` bands of
+    * k/bands rows each, hash each band -> array of (band index, bucket). */
+  def lshBandHashes(sig: Column, k: Int, bands: Int): Column = {
+    val r = k / bands
+    transform(sequence(lit(0), lit(bands - 1)),
+      b => struct(b.as("band"), xxhash64(b, slice(sig, b * r + 1, lit(r))).as("bucket")))
+  }
+
+  /** MinHash+LSH near-duplicate pairs over (idCol, textCol):
+    * shingle -> k minhashes -> band buckets -> same-bucket candidate pairs
+    * -> exact shingle-Jaccard filter at `threshold`.
+    * Returns (id_a, id_b, jaccard) with id_a < id_b, deduplicated.
+    */
+  def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
+      shingleW: Int = 5, k: Int = 32, bands: Int = 8,
+      threshold: Double = 0.5): DataFrame = {
+    // Candidate generation: signatures -> band buckets -> same-bucket pairs.
+    // Only (band, bucket, id) travels through the self-join; shingle sets are
+    // joined back per-id AFTER pair dedup so the wide arrays never ride the
+    // candidate shuffle.
+    val buckets = minhashSignatures(df, idCol, textCol, shingleW, k)
+      .select(col("id"), explode(lshBandHashes(col("sig"), k, bands)).as("bb"))
+      .select(col("id"), col("bb.band"), col("bb.bucket"))
+    val a = buckets.select(col("band"), col("bucket"), col("id").as("id_a"))
+    val b = buckets.select(col("band"), col("bucket"), col("id").as("id_b"))
+    val cand = a.join(b, Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+    val sh = df.select(col(idCol).as("jid"),
+      array_distinct(shingles(TextAnalysis.tokens(col(textCol)), shingleW)).as("jsh"))
+    cand
+      .join(sh.select(col("jid").as("id_a"), col("jsh").as("sh_a")), Seq("id_a"))
+      .join(sh.select(col("jid").as("id_b"), col("jsh").as("sh_b")), Seq("id_b"))
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /** 64-bit SimHash (Charikar '02) per document: each token votes its hash
+    * bits +-1; the sign vector packs into one long. Explode + one grouped
+    * aggregate (64 conditional sums), then bit-packing — linear, one
+    * shuffle on the doc id. */
+  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = df.select(col(idCol).as("id"),
+      explode(TextAnalysis.tokens(col(textCol))).as("tok"))
+      .withColumn("h", xxhash64(col("tok")))
+    val bitSums = (0 until 64).map { b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$b")
+    }
+    val packed = (0 until 64).map { b =>
+      when(col(s"b$b") > 0, shiftleft(lit(1L), b)).otherwise(lit(0L))
+    }.reduce((x, y) => x.bitwiseOR(y))
+    tok.groupBy(col("id")).agg(bitSums.head, bitSums.tail: _*)
+      .withColumn("simhash", packed)
+      .select(col("id"), col("simhash"))
+  }
+
+  /** SimHash near-duplicate pairs: band the 64-bit hash into four 16-bit
+    * chunks (pigeonhole: hamming<=3 pairs share at least one exact chunk),
+    * bucket-join, then exact hamming filter via bit_count(xor). */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    val sh = simhash(df, idCol, textCol)
+    val banded = sh.withColumn("bb", explode(array((0 until 4).map(b =>
+        struct(lit(b).as("band"),
+          shiftright(col("simhash"), b * 16).bitwiseAND(0xFFFFL).as("chunk"))): _*)))
+      .select(col("id"), col("simhash"), col("bb.band"), col("bb.chunk"))
+    val a = banded.select(col("band"), col("chunk"),
+      col("id").as("id_a"), col("simhash").as("sh_a"))
+    val b = banded.select(col("band"), col("chunk"),
+      col("id").as("id_b"), col("simhash").as("sh_b"))
+    a.join(b, Seq("band", "chunk"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("sh_a"), col("sh_b")).distinct()
+      .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+
+  /** Exact n-gram Jaccard similarity for explicit candidate pairs
+    * (verification primitive used after any LSH stage). */
+  def ngramJaccard(pairs: DataFrame, docs: DataFrame, idCol: String,
+      textCol: String, n: Int = 3): DataFrame = {
+    val sh = docs.select(col(idCol).as("jid"),
+      array_distinct(shingles(TextAnalysis.tokens(col(textCol)), n)).as("jsh"))
+    pairs
+      .join(sh.select(col("jid").as("id_a"), col("jsh").as("sh_a")), Seq("id_a"))
+      .join(sh.select(col("jid").as("id_b"), col("jsh").as("sh_b")), Seq("id_b"))
+      .withColumn("jaccard",
+        round(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))), 6))
+      .drop("sh_a", "sh_b")
+  }
+}

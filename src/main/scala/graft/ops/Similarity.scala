@@ -1,0 +1,77 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor / similarity search over an embedding column
+  * (`array<float>`). Extension surface (north star; not in reference scope).
+  *
+  * Two paths:
+  *  - [[bruteForceKnn]]: exact cosine top-k — the correctness baseline. The
+  *    query vector is a broadcast one-row frame, so the "join" is a
+  *    broadcast nested loop over a single row: one scan, no shuffle, then a
+  *    `TakeOrderedAndProject` top-k (never a global sort).
+  *  - [[lshKnn]]: random-hyperplane LSH (Charikar sign-random-projection).
+  *    Hyperplane components are pseudo-random +-1 derived from xxhash64 of
+  *    (plane, dimension) — data-independent and reproducible cluster-wide
+  *    with zero driver state. Candidates = same-signature bucket, re-ranked
+  *    exactly. At scale the bucket join hash-partitions on the signature, so
+  *    each task only scores its bucket — the scale path when the corpus no
+  *    longer scan-fits.
+  */
+object Similarity {
+
+  /** Dot product of two array<numeric> columns in double precision. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  def l2Norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity in double precision (0 when either norm is 0). */
+  def cosine(a: Column, b: Column): Column = {
+    val d = dot(a, b)
+    val n = l2Norm(a) * l2Norm(b)
+    when(n > 0, d / n).otherwise(lit(0.0))
+  }
+
+  /** Exact cosine top-k against one query vector (given as a 1-row frame
+    * with column `qvec`). Returns (idCol, cosine_sim) the k best, ties
+    * broken by id for determinism. */
+  def bruteForceKnn(df: DataFrame, queryVec: DataFrame, idCol: String,
+      vecCol: String, k: Int): DataFrame =
+    df.crossJoin(broadcast(queryVec))
+      .withColumn("cosine_sim", round(cosine(col(vecCol), col("qvec")), 6))
+      .orderBy(col("cosine_sim").desc, col(idCol))
+      .select(col(idCol), col("cosine_sim"))
+      .limit(k)
+
+  /** Sign-random-projection signature: bit j = sign of <v, plane_j> where
+    * plane_j[d] = +-1 from xxhash64(j, d). Packs `planes` bits into a long. */
+  def srpSignature(vec: Column, planes: Int): Column =
+    aggregate(
+      sequence(lit(0), lit(planes - 1)),
+      lit(0L),
+      (acc, j) => {
+        val proj = aggregate(
+          zip_with(vec, sequence(lit(0), size(vec) - 1),
+            (x, d) => x.cast("double") *
+              (shiftright(xxhash64(j, d), 17).bitwiseAND(1) * 2 - 1).cast("double")),
+          lit(0.0), (a2, x) => a2 + x)
+        acc + when(proj > 0, pow(lit(2.0), j).cast("long")).otherwise(lit(0L))
+      })
+
+  /** LSH-bucketed ANN: restrict scoring to vectors sharing the query's
+    * `planes`-bit SRP bucket, then exact cosine re-rank. Falls back to fewer
+    * candidates than k when the bucket is small (recall/latency trade). */
+  def lshKnn(df: DataFrame, queryVec: DataFrame, idCol: String,
+      vecCol: String, k: Int, planes: Int = 8): DataFrame = {
+    val bucketed = df.withColumn("bucket", srpSignature(col(vecCol), planes))
+    val q = queryVec.withColumn("qbucket", srpSignature(col("qvec"), planes))
+    bucketed.join(broadcast(q), col("bucket") === col("qbucket"))
+      .withColumn("cosine_sim", round(cosine(col(vecCol), col("qvec")), 6))
+      .orderBy(col("cosine_sim").desc, col(idCol))
+      .select(col(idCol), col("cosine_sim"))
+      .limit(k)
+  }
+}

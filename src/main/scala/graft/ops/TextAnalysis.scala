@@ -1,0 +1,110 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines: token
+  * counting, quality scoring, language ID, document fingerprinting.
+  *
+  * Beyond reference scope (the reference has no string functions at all,
+  * SURVEY.md §2.11) — these are the LLM-data-pipeline extensions. Everything
+  * is built-in `Column` functions (split / transform / filter / aggregate /
+  * xxhash64): per-row, shuffle-free, whole-stage-codegen'd — embarrassingly
+  * parallel at 100 TB.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokenizer; empty string -> empty array (split of "" yields
+    * one empty token, which we filter). */
+  def tokens(text: Column): Column =
+    filter(split(trim(text), "\\s+"), t => length(t) > 0)
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish subword-count estimate: words plus intra-word transitions
+    * (letter/digit boundaries, punctuation runs) — a cheap regex proxy for
+    * tokenizer load, no vocab needed. */
+  def subwordCount(text: Column): Column =
+    size(filter(split(trim(text),
+      "(?<=[a-zA-Z])(?=[0-9])|(?<=[0-9])(?=[a-zA-Z])|\\s+|(?=[^a-zA-Z0-9\\s])"),
+      t => length(t) > 0))
+
+  private val stopwords = Seq("the", "a", "an", "of", "to", "and", "in", "is")
+
+  /** Per-document quality metrics (length / punctuation / stopword / alpha
+    * ratios) + a composite score in [0,1]. Heuristics follow the C4/Gopher
+    * quality-filter style (ratio thresholds), computed relationally. */
+  def qualityMetrics(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    val toks = tokens(t)
+    df.withColumn("char_len", length(t))
+      .withColumn("token_cnt", size(toks))
+      .withColumn("avg_token_len",
+        when(size(toks) > 0, length(regexp_replace(t, "\\s+", "")).cast("double") / size(toks))
+          .otherwise(lit(0.0)))
+      .withColumn("stopword_cnt",
+        size(filter(toks, w => lower(w).isin(stopwords: _*))))
+      .withColumn("stopword_ratio",
+        when(size(toks) > 0, col("stopword_cnt").cast("double") / size(toks))
+          .otherwise(lit(0.0)))
+      .withColumn("punct_cnt",
+        length(t) - length(regexp_replace(t, "[\\p{Punct}]", "")))
+      .withColumn("punct_ratio",
+        when(length(t) > 0, col("punct_cnt").cast("double") / length(t))
+          .otherwise(lit(0.0)))
+      .withColumn("alpha_ratio",
+        when(length(t) > 0,
+          length(regexp_replace(t, "[^a-zA-Z]", "")).cast("double") / length(t))
+          .otherwise(lit(0.0)))
+      .withColumn("quality_score",
+        round(greatest(lit(0.0), least(lit(1.0),
+          lit(0.4) * least(col("token_cnt").cast("double") / 50.0, lit(1.0))
+            + lit(0.3) * col("alpha_ratio")
+            + lit(0.2) * least(col("stopword_ratio") * 5.0, lit(1.0))
+            + lit(0.1) * (lit(1.0) - least(col("punct_ratio") * 5.0, lit(1.0))))), 6))
+  }
+
+  private val profiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "that"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein", "nicht", "mit"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "un", "une", "pas"),
+    "es" -> Seq("el", "la", "los", "y", "es", "un", "una", "no"))
+
+  /** N-gram/stopword-profile language ID: score = count of profile words
+    * present, argmax wins ("und" beats "the" counts etc.); ties resolve in
+    * profile order; no profile hit -> "unknown". Pure per-row heuristic. */
+  def languageId(df: DataFrame, textCol: String = "text",
+      outCol: String = "predicted_lang"): DataFrame = {
+    val toks = tokens(lower(col(textCol)))
+    val scored = profiles.foldLeft(df) { case (d, (lang, words)) =>
+      d.withColumn(s"score_$lang", size(filter(toks, w => w.isin(words: _*))))
+    }
+    val best = profiles.map(_._1).foldRight(lit("unknown")) { (lang, els) =>
+      when(col(s"score_$lang") > 0 &&
+        profiles.map(_._1).filter(_ != lang)
+          .map(o => col(s"score_$lang") >= col(s"score_$o"))
+          .reduce(_ && _), lit(lang)).otherwise(els)
+    }
+    scored.withColumn(outCol, best)
+      .drop(profiles.map(p => s"score_${p._1}"): _*)
+  }
+
+  /** Rolling-hash document fingerprint: xxhash64 over each w-token shingle,
+    * fingerprint = (min, max, xor) of the shingle hashes — a compact,
+    * order-sensitive content signature (winnowing-style min selection).
+    * Explode + grouped min/max/bit_xor: tokenization runs once per doc and
+    * the aggregation is whole-stage-codegen'd (vs. interpreted array
+    * lambdas, which re-evaluate the shingle expression per output column). */
+  def fingerprint(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", w: Int = 8): DataFrame = {
+    val fps = df
+      .select(col(idCol).as("fp_id"),
+        explode(Dedup.shingles(tokens(col(textCol)), w)).as("s"))
+      .withColumn("h", xxhash64(col("s")))
+      .groupBy(col("fp_id"))
+      .agg(min(col("h")).as("fp_min"), max(col("h")).as("fp_max"),
+        expr("bit_xor(h)").as("fp_xor"))
+    df.join(fps, col(idCol) === col("fp_id"), "left").drop("fp_id")
+  }
+}

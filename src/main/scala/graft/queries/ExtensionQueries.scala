@@ -1,0 +1,203 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Dedup, Similarity, TextAnalysis}
+
+/** Oracle-checked / rows-checked query surface for the training-data-pipeline
+  * extension operators (dedup, similarity search, text analysis) over the
+  * `documents` and `embeddings` tables.
+  *
+  * Queries whose implementation depends on xxhash64 (MinHash, SimHash,
+  * fingerprints, SRP-LSH) have no DuckDB equivalent and are intentionally
+  * absent from `oracle` — the driver records a rows-only check for them.
+  * The near-dup queries synthesize their duplicates deterministically (a
+  * mutated copy of part of the corpus) so the detectors provably find
+  * planted pairs at every scale factor.
+  */
+object ExtensionQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** documents plus a mutated copy of docs 0..49 (id+10000, last ~20% of
+    * words dropped) — the planted near-duplicate corpus. */
+  private def nearDupCorpus(docs: DataFrame): DataFrame = {
+    val toks = TextAnalysis.tokens(col("text"))
+    val mutated = docs.filter(col("doc_id") < 50)
+      .withColumn("doc_id", col("doc_id") + 10000)
+      .withColumn("text",
+        concat_ws(" ", slice(toks, lit(1), (size(toks) * 0.8).cast("int"))))
+    docs.unionByName(mutated)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Exact dedup: survivor (min id) + multiplicity per distinct text
+    "x01_dedup_exact" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val corpus = docs.unionByName(
+        docs.filter(col("doc_id") < 50).withColumn("doc_id", col("doc_id") + 10000))
+      Dedup.exact(corpus, "text", "doc_id")
+    }),
+
+    // Token counting (whitespace + BPE-ish regex estimate)
+    "x02_token_stats" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"),
+        length(col("text")).cast("long").as("char_len"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("token_cnt"))),
+
+    // Quality scoring (length/punct/stopword/alpha ratios + composite)
+    "x03_text_quality" -> ((s, dir) =>
+      TextAnalysis.qualityMetrics(t(s, dir, "documents"))
+        .select(col("doc_id"), col("char_len").cast("long").as("char_len"),
+          col("token_cnt").cast("long").as("token_cnt"),
+          round(col("avg_token_len"), 6).as("avg_token_len"),
+          col("stopword_cnt").cast("long").as("stopword_cnt"),
+          round(col("stopword_ratio"), 6).as("stopword_ratio"),
+          round(col("alpha_ratio"), 6).as("alpha_ratio"),
+          col("quality_score"))),
+
+    // Language ID (stopword-profile argmax heuristic)
+    "x04_langid" -> ((s, dir) =>
+      TextAnalysis.languageId(t(s, dir, "documents"))
+        .select(col("doc_id"), col("lang"), col("predicted_lang"),
+          (col("predicted_lang") === col("lang")).as("lang_match"))),
+
+    // Rolling-hash fingerprint (xxhash64 — rows-only check)
+    "x05_fingerprint" -> ((s, dir) =>
+      TextAnalysis.fingerprint(t(s, dir, "documents"), "doc_id", "text")
+        .select(col("doc_id"), col("fp_min"), col("fp_max"), col("fp_xor"))),
+
+    // MinHash+LSH near-dup pairs over planted corpus (rows-only check)
+    "x06_minhash_pairs" -> ((s, dir) =>
+      Dedup.minhashLshPairs(nearDupCorpus(t(s, dir, "documents")),
+        "doc_id", "text", shingleW = 3, k = 32, bands = 8, threshold = 0.4)
+        .orderBy(col("id_a"), col("id_b"))),
+
+    // SimHash near-dup pairs over planted corpus (rows-only check)
+    "x07_simhash_pairs" -> ((s, dir) =>
+      Dedup.simhashPairs(nearDupCorpus(t(s, dir, "documents")),
+        "doc_id", "text", maxHamming = 6)
+        .orderBy(col("id_a"), col("id_b"))),
+
+    // Exact n-gram Jaccard on explicit candidate pairs (planted ids)
+    "x08_ngram_jaccard" -> ((s, dir) => {
+      val corpus = nearDupCorpus(t(s, dir, "documents"))
+      val pairs = corpus.filter(col("doc_id") >= 10000)
+        .select((col("doc_id") - 10000).as("id_a"), col("doc_id").as("id_b"))
+      Dedup.ngramJaccard(pairs, corpus, "doc_id", "text", n = 3)
+        .select(col("id_a"), col("id_b"), col("jaccard"))
+    }),
+
+    // Brute-force cosine top-k (exact ANN baseline)
+    "x09_knn_bruteforce" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qvec"))
+      Similarity.bruteForceKnn(emb, q, "vec_id", "embedding", 20)
+    }),
+
+    // SRP-LSH bucketed ANN (scale path; xxhash64 planes — rows-only check)
+    "x10_knn_lsh" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qvec"))
+      Similarity.lshKnn(emb, q, "vec_id", "embedding", 20, planes = 6)
+    }))
+
+  val oracle: Map[String, String] = Map(
+
+    "x01_dedup_exact" ->
+      """WITH corpus AS (
+        |  SELECT * FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 10000, text, lang, source, n_chars FROM documents WHERE doc_id < 50)
+        |SELECT min(doc_id) AS doc_id, count(*) AS dup_count
+        |FROM corpus GROUP BY text""".stripMargin,
+
+    "x02_token_stats" ->
+      """SELECT doc_id, CAST(length(text) AS BIGINT) AS char_len,
+        |  len(list_filter(string_split_regex(trim(text), '\s+'), x -> len(x) > 0)) AS token_cnt
+        |FROM documents""".stripMargin,
+
+    "x03_text_quality" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    CAST(length(text) AS BIGINT) AS char_len,
+        |    len(list_filter(string_split_regex(trim(text), '\s+'), x -> len(x) > 0)) AS token_cnt,
+        |    CAST(length(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE) AS nonspace_len,
+        |    len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+        |        x -> x IN ('the','a','an','of','to','and','in','is'))) AS stopword_cnt,
+        |    CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS BIGINT) AS punct_cnt,
+        |    CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE) AS alpha_len,
+        |    CAST(length(text) AS DOUBLE) AS dlen
+        |  FROM documents)
+        |SELECT doc_id, char_len, token_cnt,
+        |  ROUND(CASE WHEN token_cnt > 0 THEN nonspace_len / token_cnt ELSE 0.0 END, 6) AS avg_token_len,
+        |  stopword_cnt,
+        |  ROUND(CASE WHEN token_cnt > 0 THEN CAST(stopword_cnt AS DOUBLE) / token_cnt ELSE 0.0 END, 6) AS stopword_ratio,
+        |  ROUND(CASE WHEN char_len > 0 THEN alpha_len / dlen ELSE 0.0 END, 6) AS alpha_ratio,
+        |  ROUND(greatest(0.0, least(1.0,
+        |    0.4 * least(CAST(token_cnt AS DOUBLE) / 50.0, 1.0)
+        |    + 0.3 * (CASE WHEN char_len > 0 THEN alpha_len / dlen ELSE 0.0 END)
+        |    + 0.2 * least((CASE WHEN token_cnt > 0 THEN CAST(stopword_cnt AS DOUBLE) / token_cnt ELSE 0.0 END) * 5.0, 1.0)
+        |    + 0.1 * (1.0 - least((CASE WHEN char_len > 0 THEN CAST(punct_cnt AS DOUBLE) / dlen ELSE 0.0 END) * 5.0, 1.0)))), 6) AS quality_score
+        |FROM base""".stripMargin,
+
+    "x04_langid" ->
+      """WITH scored AS (
+        |  SELECT doc_id, lang,
+        |    len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+        |        x -> x IN ('the','a','of','and','to','in','is','that'))) AS score_en,
+        |    len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+        |        x -> x IN ('der','die','das','und','ist','ein','nicht','mit'))) AS score_de,
+        |    len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+        |        x -> x IN ('le','la','les','et','est','un','une','pas'))) AS score_fr,
+        |    len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+        |        x -> x IN ('el','la','los','y','es','un','una','no'))) AS score_es
+        |  FROM documents)
+        |SELECT doc_id, lang,
+        |  CASE WHEN score_en > 0 AND score_en >= score_de AND score_en >= score_fr AND score_en >= score_es THEN 'en'
+        |       WHEN score_de > 0 AND score_de >= score_en AND score_de >= score_fr AND score_de >= score_es THEN 'de'
+        |       WHEN score_fr > 0 AND score_fr >= score_en AND score_fr >= score_de AND score_fr >= score_es THEN 'fr'
+        |       WHEN score_es > 0 AND score_es >= score_en AND score_es >= score_de AND score_es >= score_fr THEN 'es'
+        |       ELSE 'unknown' END AS predicted_lang,
+        |  (CASE WHEN score_en > 0 AND score_en >= score_de AND score_en >= score_fr AND score_en >= score_es THEN 'en'
+        |        WHEN score_de > 0 AND score_de >= score_en AND score_de >= score_fr AND score_de >= score_es THEN 'de'
+        |        WHEN score_fr > 0 AND score_fr >= score_en AND score_fr >= score_de AND score_fr >= score_es THEN 'fr'
+        |        WHEN score_es > 0 AND score_es >= score_en AND score_es >= score_de AND score_es >= score_fr THEN 'es'
+        |        ELSE 'unknown' END = lang) AS lang_match
+        |FROM scored""".stripMargin,
+
+    "x08_ngram_jaccard" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 10000,
+        |    array_to_string(list_slice(toks, 1, CAST(floor(len(toks) * 0.8) AS INT)), ' ')
+        |  FROM (SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), x -> len(x) > 0) AS toks
+        |        FROM documents WHERE doc_id < 50)),
+        |sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(CASE WHEN len(toks) <= 3 THEN [array_to_string(toks, ' ')]
+        |      ELSE list_transform(range(0, len(toks) - 2),
+        |        i -> array_to_string(list_slice(toks, i + 1, i + 3), ' ')) END) AS shset
+        |  FROM (SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), x -> len(x) > 0) AS toks
+        |        FROM corpus)),
+        |pairs AS (SELECT doc_id - 10000 AS id_a, doc_id AS id_b FROM corpus WHERE doc_id >= 10000)
+        |SELECT p.id_a, p.id_b,
+        |  ROUND(CAST(len(list_intersect(a.shset, b.shset)) AS DOUBLE) /
+        |        len(list_distinct(list_concat(a.shset, b.shset))), 6) AS jaccard
+        |FROM pairs p
+        |JOIN sh a ON a.doc_id = p.id_a
+        |JOIN sh b ON b.doc_id = p.id_b""".stripMargin,
+
+    "x09_knn_bruteforce" ->
+      """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qvec FROM embeddings WHERE vec_id = 0),
+        |scored AS (
+        |  SELECT e.vec_id,
+        |    ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qvec), 6) AS cosine_sim
+        |  FROM embeddings e CROSS JOIN q)
+        |SELECT vec_id, cosine_sim FROM scored
+        |ORDER BY cosine_sim DESC, vec_id LIMIT 20""".stripMargin)
+}

@@ -1,0 +1,529 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.quality.DataQuality
+import graft.sinks.Sinks
+import graft.transform.TransactionTransform
+
+/** Oracle-checked query surface for the reference-parity operators
+  * (SURVEY.md §2). Each entry exists in BOTH `queries` (Spark plan) and
+  * `oracle` (DuckDB SQL over the same parquet tables); column names/types are
+  * aligned pairwise because the driver hash-compares after sorting columns
+  * by name.
+  *
+  * Numeric-determinism policy (types drift between double-based test data and
+  * the reference's decimals — SURVEY.md §2.15, FIXTURES.md):
+  *  - Per-row scalar arithmetic on doubles is bitwise-identical across
+  *    engines (same IEEE ops) — emitted unrounded.
+  *  - SUMs are computed over `DECIMAL(18,2)`-cast inputs and emitted as
+  *    `DECIMAL(38,2)` — exact, order-independent, engine-independent.
+  *  - AVG/STDDEV keep double (order-dependent last-ulp noise) and are
+  *    ROUNDed in the output.
+  */
+object ParityQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** events.parquet stores `ts` as TIMESTAMP(NANOS), which vanilla Spark
+    * rejects; read it as nanos-long (legacy conf) and truncate to
+    * microseconds — exactly what DuckDB's ns->us conversion does, so oracle
+    * comparisons agree. Runtime-settable SQL conf, so this works under the
+    * driver's own session too. */
+  def events(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    s.read.parquet(s"$dir/events.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** events -> transaction-shaped frame: the harness `events` table plays the
+    * reference `transaction` entity (FIXTURES.md §B). Deterministic, pure
+    * column mapping, mirrored 1:1 in [[txSql]]. */
+  def eventsAsTransactions(ev: DataFrame): DataFrame = {
+    val locs = Seq("USA", "Canada", "Mexico", "United Kingdom", "France",
+      "Germany", "Japan", "Brazil", "India", "Australia")
+    val locCol = locs.zipWithIndex.tail
+      .foldLeft(when(col("user_id") % 10 === 0, locs.head)) {
+        case (acc, (l, i)) => acc.when(col("user_id") % 10 === i, l)
+      }
+    ev.select(
+      col("event_id").cast("string").as("transaction_id"),
+      col("user_id").cast("string").as("account_id"),
+      col("ts").as("transaction_date"),
+      when(col("event_type") === "purchase", "payment")
+        .when(col("event_type") === "signup", "Deposit")
+        .when(col("event_type") === "click", "WITHDRAWAL")
+        .when(col("event_type") === "view", "transfer")
+        .otherwise(col("event_type")).as("transaction_type"),
+      col("value").as("amount"),
+      when(col("user_id") % 3 === 0, "USD")
+        .when(col("user_id") % 3 === 1, "EUR")
+        .otherwise("GBP").as("currency"),
+      col("props").as("description"),
+      when(col("value") < 1, lit(null).cast("string"))
+        .otherwise(col("event_type")).as("merchant_name"),
+      when(col("event_type") === "purchase", "grocery")
+        .when(col("event_type") === "view", "restaurant")
+        .when(col("event_type") === "click", "gas")
+        .when(col("event_type") === "signup", "utility")
+        .otherwise("entertainment").as("merchant_category"),
+      lit("completed").as("transaction_status"),
+      lit("online").as("channel"),
+      locCol.as("location"))
+      .withColumn("is_international", col("location") =!= "USA")
+  }
+
+  /** DuckDB mirror of [[eventsAsTransactions]] as a WITH-clause prefix. */
+  private val txSql: String =
+    """WITH tx0 AS (
+      |  SELECT CAST(event_id AS VARCHAR) AS transaction_id,
+      |         CAST(user_id AS VARCHAR) AS account_id,
+      |         ts AS transaction_date,
+      |         CASE event_type WHEN 'purchase' THEN 'payment' WHEN 'signup' THEN 'Deposit'
+      |              WHEN 'click' THEN 'WITHDRAWAL' WHEN 'view' THEN 'transfer'
+      |              ELSE event_type END AS transaction_type,
+      |         value AS amount,
+      |         CASE CAST(user_id % 3 AS INT) WHEN 0 THEN 'USD' WHEN 1 THEN 'EUR' ELSE 'GBP' END AS currency,
+      |         props AS description,
+      |         CASE WHEN value < 1 THEN NULL ELSE event_type END AS merchant_name,
+      |         CASE event_type WHEN 'purchase' THEN 'grocery' WHEN 'view' THEN 'restaurant'
+      |              WHEN 'click' THEN 'gas' WHEN 'signup' THEN 'utility'
+      |              ELSE 'entertainment' END AS merchant_category,
+      |         'completed' AS transaction_status,
+      |         'online' AS channel,
+      |         CASE CAST(user_id % 10 AS INT) WHEN 0 THEN 'USA' WHEN 1 THEN 'Canada' WHEN 2 THEN 'Mexico'
+      |              WHEN 3 THEN 'United Kingdom' WHEN 4 THEN 'France' WHEN 5 THEN 'Germany'
+      |              WHEN 6 THEN 'Japan' WHEN 7 THEN 'Brazil' WHEN 8 THEN 'India'
+      |              ELSE 'Australia' END AS location
+      |  FROM events),
+      |tx AS (SELECT *, location <> 'USA' AS is_international FROM tx0)""".stripMargin
+
+  // ---------------------------------------------------------------- queries
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // A1 grouped agg + P5 pushdown filter (TPC-H Q1 flavor)
+    "q01_pricing_summary" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("decimal(38,2)").as("sum_qty"),
+          sum(col("l_extendedprice").cast("decimal(18,2)")).cast("decimal(38,2)").as("sum_base_price"),
+          sum(col("l_extendedprice").cast("decimal(18,2)") *
+            (lit(1) - col("l_discount").cast("decimal(18,2)")))
+            .cast("decimal(38,4)").as("sum_disc_price"),
+          round(avg("l_quantity"), 2).as("avg_qty"),
+          round(avg("l_extendedprice"), 2).as("avg_price"),
+          round(avg("l_discount"), 4).as("avg_disc"),
+          count(lit(1)).as("count_order"))),
+
+    // P1/P3/C3: compound predicate + projection + scalar arithmetic
+    "q02_filter_project" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(!(col("l_returnflag") === "A" && col("l_discount") < 0.02) &&
+          col("l_quantity").between(5, 45) && col("l_linestatus") === "O" &&
+          col("l_shipdate") >= lit("1996-01-01 00:00:00").cast("timestamp"))
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"),
+          col("l_returnflag"))),
+
+    // C1/P6: CASE WHEN chains (type canonicalization, conversion, category)
+    "q03_case_when" -> ((s, dir) => {
+      val tx = eventsAsTransactions(events(s, dir))
+      TransactionTransform.clean(tx)
+        .select(col("transaction_id"), col("transaction_type"), col("currency"),
+          col("merchant_name"), col("merchant_category"))
+    }),
+
+    // D1/D2: string->timestamp parse + calendar extraction
+    "q04_datetime" -> ((s, dir) =>
+      events(s, dir)
+        .withColumn("ts_str", date_format(col("ts"), "yyyy-MM-dd HH:mm:ss"))
+        .select(col("event_id"),
+          to_timestamp(col("ts_str"), "yyyy-MM-dd HH:mm:ss").as("ts_parsed"),
+          year(col("ts")).as("y"), month(col("ts")).as("m"),
+          dayofmonth(col("ts")).as("d"), hour(col("ts")).as("h"),
+          dayofweek(col("ts")).as("dow"),
+          when(dayofweek(col("ts")).isin(1, 7), true).otherwise(false).as("is_weekend"),
+          unix_timestamp(col("ts")).as("epoch_s"))),
+
+    // W1: running balance (cumulative sum per key, default RANGE frame)
+    "q05_running_balance" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("ts")
+      events(s, dir)
+        .withColumn("amount_signed",
+          when(col("event_type").isin("purchase", "signup"), col("value"))
+            .otherwise(-col("value")).cast("decimal(18,2)"))
+        .withColumn("running_balance", sum("amount_signed").over(w).cast("decimal(38,2)"))
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("amount_signed"), col("running_balance"))
+    }),
+
+    // W2/D3: lag + gap-to-previous (days and seconds)
+    "q06_lag_gap" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      events(s, dir)
+        .withColumn("es", unix_timestamp(col("ts")))
+        .withColumn("prev_ts", lag("ts", 1).over(w))
+        .withColumn("gap_days",
+          when(col("prev_ts").isNull, 0)
+            .otherwise(datediff(col("ts"), col("prev_ts"))))
+        .withColumn("gap_seconds",
+          coalesce(col("es") - lag("es", 1).over(w), lit(0L)))
+        .select(col("event_id"), col("user_id"), col("prev_ts"),
+          col("gap_days"), col("gap_seconds"))
+    }),
+
+    // W3: 30-day sliding RANGE frame over epoch seconds
+    "q07_window_30d" -> ((s, dir) => {
+      val w30 = Window.partitionBy("user_id")
+        .orderBy(unix_timestamp(col("ts")))
+        .rangeBetween(-30L * 86400L, 0L)
+      events(s, dir)
+        .withColumn("cnt_30d", count("event_id").over(w30))
+        .withColumn("spend_30d",
+          sum(when(col("event_type").isin("click", "purchase"),
+            col("value").cast("decimal(18,2)"))
+            .otherwise(lit(0).cast("decimal(18,2)"))).over(w30).cast("decimal(38,2)"))
+        .select(col("event_id"), col("user_id"), col("cnt_30d"), col("spend_30d"))
+    }),
+
+    // A1+J1+C2: grouped stats, broadcast left-join back, boolean flag algebra
+    "q08_anomaly_join" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val stats = ev.groupBy("user_id").agg(
+        stddev("value").as("value_stddev"),
+        avg("value").as("value_avg"),
+        max("value").as("value_max"),
+        count(lit(1)).as("n_events"))
+      ev.join(broadcast(stats), Seq("user_id"), "left")
+        .withColumn("is_large",
+          (col("value") > col("value_avg") + lit(3) * col("value_stddev")) &&
+            (col("value") > 100))
+        .select(col("event_id"), col("user_id"), col("value"),
+          round(col("value_avg"), 2).as("value_avg"),
+          round(col("value_stddev"), 2).as("value_stddev"),
+          col("value_max"), col("n_events"), col("is_large"))
+    }),
+
+    // J2: referential integrity via distinct + left-anti join
+    "q09_ref_integrity" -> ((s, dir) => {
+      def orphanCount(fk: DataFrame, pk: DataFrame, rel: String): DataFrame = {
+        val fd = fk.distinct()
+        val pd = pk.distinct()
+        fd.join(pd, fd("fk") === pd("pk"), "left_anti")
+          .agg(count(lit(1)).as("orphan_count"))
+          .select(lit(rel).as("rel"), col("orphan_count"))
+      }
+      val a = orphanCount(
+        events(s, dir).select(col("user_id").as("fk")),
+        t(s, dir, "customer").select(col("c_custkey").as("pk")),
+        "events.user_id->customer.c_custkey")
+      val b = orphanCount(
+        t(s, dir, "lineitem").select(col("l_suppkey").as("fk")),
+        t(s, dir, "supplier").select(col("s_suppkey").as("pk")),
+        "lineitem.l_suppkey->supplier.s_suppkey")
+      a.unionByName(b)
+    }),
+
+    // O1: top-k (TakeOrderedAndProject, not a global sort)
+    "q10_topk" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          col("o_orderdate"))
+        .limit(10)),
+
+    // A4: duplicate check, total - distinct formula (reference semantics)
+    "q11_dup_check" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val total = li.agg(count(lit(1)).as("total_rows"))
+      val dist = li.select(col("l_orderkey"), col("l_linenumber")).distinct()
+        .agg(count(lit(1)).as("distinct_rows"))
+      total.crossJoin(dist)
+        .withColumn("duplicate_count", col("total_rows") - col("distinct_rows"))
+    }),
+
+    // X3/P4: per-column null counts (single-pass)
+    "q12_null_check" -> ((s, dir) =>
+      DataQuality.nullCheckDF(t(s, dir, "orders"),
+        Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate"))),
+
+    // X4/P5: per-column out-of-range counts (single-pass)
+    "q13_range_check" -> ((s, dir) =>
+      DataQuality.rangeCheckDF(t(s, dir, "lineitem"),
+        Seq(("l_quantity", 1.0, 50.0), ("l_discount", 0.0, 0.05),
+          ("l_extendedprice", 0.0, 50000.0)))),
+
+    // X2: full quality-suite summary row (fused single-pass + dup check)
+    "q14_quality_suite" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val agg1 = o.agg(
+        count(lit(1)).as("record_count"),
+        count(when(col("o_orderkey").isNull, 1)).as("null_o_orderkey"),
+        count(when(col("o_custkey").isNull, 1)).as("null_o_custkey"),
+        count(when(col("o_totalprice") < 0 || col("o_totalprice") > 500000, 1))
+          .as("oor_o_totalprice"))
+      val dup = o.groupBy("o_orderkey").agg(count(lit(1)).as("cnt"))
+        .agg(coalesce(sum("cnt"), lit(0L)).as("tot"), count(lit(1)).as("dst"))
+        .select((col("tot") - col("dst")).as("duplicate_count"))
+      agg1.crossJoin(dup)
+        .withColumn("overall_passed",
+          col("null_o_orderkey") === 0 && col("null_o_custkey") === 0 &&
+            col("oor_o_totalprice") === 0 && col("duplicate_count") === 0)
+        .select(lit("orders").as("table_name"), col("record_count"),
+          col("null_o_orderkey"), col("null_o_custkey"), col("oor_o_totalprice"),
+          col("duplicate_count"), col("overall_passed"))
+    }),
+
+    // K2: keyed upsert = staging wins on match, inserts otherwise
+    "q15_upsert" -> ((s, dir) => {
+      val cust = t(s, dir, "customer")
+      val updates = cust.filter(col("c_mktsegment") === "BUILDING")
+        .withColumn("c_acctbal", col("c_acctbal") + 100)
+      val inserts = cust.filter(col("c_custkey") <= 5)
+        .select((col("c_custkey") + 1000000).as("c_custkey"),
+          concat(lit("NEW#"), col("c_custkey").cast("string")).as("c_name"),
+          col("c_nationkey"), col("c_acctbal"), col("c_mktsegment"))
+      Sinks.upsert(cust, updates.unionByName(inserts), Seq("c_custkey"))
+    }),
+
+    // P6/P7/P8/P9: set membership + contains + null-fill on documents
+    "q16_doc_filter" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .filter(col("text").contains("data") && col("lang").isin("en", "de", "zh"))
+        .select(col("doc_id"), col("lang"),
+          coalesce(col("source"), lit("unknown")).as("source"),
+          col("n_chars"),
+          size(graft.ops.TextAnalysis.tokens(col("text"))).cast("long").as("token_cnt"))),
+
+    // Flagship: the full reference transaction pipeline over adapted events
+    "q17_transaction_pipeline" -> ((s, dir) =>
+      TransactionTransform.all(eventsAsTransactions(events(s, dir)))
+        .select(col("transaction_id"), col("account_id"), col("transaction_date"),
+          col("transaction_type"), col("currency"),
+          col("transaction_year"), col("transaction_month"), col("transaction_day"),
+          col("transaction_hour"), col("transaction_dayofweek"), col("is_weekend"),
+          col("amount_usd"), col("transaction_category"), col("amount_signed"),
+          round(col("running_balance"), 4).as("running_balance"),
+          col("days_since_last_transaction"), col("transaction_count_30d"),
+          round(col("total_spend_30d"), 4).as("total_spend_30d"),
+          col("is_large_transaction"), col("is_unusual_location"),
+          col("is_high_frequency"), col("potential_fraud"))))
+
+  // ----------------------------------------------------------------- oracle
+
+  val oracle: Map[String, String] = Map(
+
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_base_price,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4)) AS sum_disc_price,
+        |  ROUND(avg(l_quantity), 2) AS avg_qty,
+        |  ROUND(avg(l_extendedprice), 2) AS avg_price,
+        |  ROUND(avg(l_discount), 4) AS avg_disc,
+        |  count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q02_filter_project" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity,
+        |  l_extendedprice * (1 - l_discount) AS revenue, l_returnflag
+        |FROM lineitem
+        |WHERE NOT (l_returnflag = 'A' AND l_discount < 0.02)
+        |  AND l_quantity BETWEEN 5 AND 45 AND l_linestatus = 'O'
+        |  AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'""".stripMargin,
+
+    "q03_case_when" -> (txSql +
+      """
+        |, cleaned AS (
+        |  SELECT * REPLACE (
+        |    coalesce(merchant_name, 'Unknown') AS merchant_name,
+        |    CASE WHEN transaction_type IN ('deposit','DEPOSIT','Deposit') THEN 'deposit'
+        |         WHEN transaction_type IN ('withdrawal','WITHDRAWAL','Withdrawal') THEN 'withdrawal'
+        |         WHEN transaction_type IN ('transfer','TRANSFER','Transfer') THEN 'transfer'
+        |         WHEN transaction_type IN ('payment','PAYMENT','Payment') THEN 'payment'
+        |         ELSE transaction_type END AS transaction_type)
+        |  FROM tx WHERE NOT (transaction_type = 'deposit' AND amount < 0))
+        |SELECT transaction_id, transaction_type, currency, merchant_name, merchant_category
+        |FROM cleaned""".stripMargin),
+
+    "q04_datetime" ->
+      """SELECT event_id,
+        |  date_trunc('second', ts) AS ts_parsed,
+        |  CAST(year(ts) AS INT) AS y, CAST(month(ts) AS INT) AS m,
+        |  CAST(day(ts) AS INT) AS d, CAST(hour(ts) AS INT) AS h,
+        |  CAST(dayofweek(ts) + 1 AS INT) AS dow,
+        |  CASE WHEN dayofweek(ts) + 1 IN (1,7) THEN TRUE ELSE FALSE END AS is_weekend,
+        |  CAST(floor(epoch(ts)) AS BIGINT) AS epoch_s
+        |FROM events""".stripMargin,
+
+    "q05_running_balance" ->
+      """SELECT event_id, user_id, ts,
+        |  CAST(CASE WHEN event_type IN ('purchase','signup') THEN value ELSE -value END AS DECIMAL(18,2)) AS amount_signed,
+        |  CAST(sum(CAST(CASE WHEN event_type IN ('purchase','signup') THEN value ELSE -value END AS DECIMAL(18,2)))
+        |       OVER (PARTITION BY user_id ORDER BY ts) AS DECIMAL(38,2)) AS running_balance
+        |FROM events""".stripMargin,
+
+    "q06_lag_gap" ->
+      """SELECT event_id, user_id,
+        |  lag(ts, 1) OVER w AS prev_ts,
+        |  CAST(CASE WHEN lag(ts, 1) OVER w IS NULL THEN 0
+        |       ELSE CAST(ts AS DATE) - CAST(lag(ts, 1) OVER w AS DATE) END AS INT) AS gap_days,
+        |  coalesce(CAST(floor(epoch(ts)) AS BIGINT) - lag(CAST(floor(epoch(ts)) AS BIGINT), 1) OVER w, 0) AS gap_seconds
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin,
+
+    "q07_window_30d" ->
+      """SELECT event_id, user_id,
+        |  count(event_id) OVER w30 AS cnt_30d,
+        |  CAST(sum(CASE WHEN event_type IN ('click','purchase') THEN CAST(value AS DECIMAL(18,2))
+        |           ELSE CAST(0 AS DECIMAL(18,2)) END) OVER w30 AS DECIMAL(38,2)) AS spend_30d
+        |FROM (SELECT *, CAST(floor(epoch(ts)) AS BIGINT) AS es FROM events)
+        |WINDOW w30 AS (PARTITION BY user_id ORDER BY es RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW)""".stripMargin,
+
+    "q08_anomaly_join" ->
+      """WITH stats AS (
+        |  SELECT user_id, stddev(value) AS value_stddev, avg(value) AS value_avg,
+        |         max(value) AS value_max, count(*) AS n_events
+        |  FROM events GROUP BY user_id)
+        |SELECT e.event_id, e.user_id, e.value,
+        |  ROUND(s.value_avg, 2) AS value_avg,
+        |  ROUND(s.value_stddev, 2) AS value_stddev,
+        |  s.value_max, s.n_events,
+        |  ((e.value > s.value_avg + 3 * s.value_stddev) AND (e.value > 100)) AS is_large
+        |FROM events e LEFT JOIN stats s USING (user_id)""".stripMargin,
+
+    "q09_ref_integrity" ->
+      """SELECT 'events.user_id->customer.c_custkey' AS rel,
+        |  (SELECT count(*) FROM (SELECT DISTINCT user_id FROM events) f
+        |   WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = f.user_id)) AS orphan_count
+        |UNION ALL
+        |SELECT 'lineitem.l_suppkey->supplier.s_suppkey' AS rel,
+        |  (SELECT count(*) FROM (SELECT DISTINCT l_suppkey FROM lineitem) f
+        |   WHERE NOT EXISTS (SELECT 1 FROM supplier s WHERE s.s_suppkey = f.l_suppkey)) AS orphan_count""".stripMargin,
+
+    "q10_topk" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
+        |FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+
+    "q11_dup_check" ->
+      """SELECT count(*) AS total_rows,
+        |  (SELECT count(*) FROM (SELECT DISTINCT l_orderkey, l_linenumber FROM lineitem)) AS distinct_rows,
+        |  count(*) - (SELECT count(*) FROM (SELECT DISTINCT l_orderkey, l_linenumber FROM lineitem)) AS duplicate_count
+        |FROM lineitem""".stripMargin,
+
+    "q12_null_check" ->
+      """SELECT 'o_orderkey' AS column_name, count(*) FILTER (WHERE o_orderkey IS NULL) AS null_count FROM orders
+        |UNION ALL SELECT 'o_custkey', count(*) FILTER (WHERE o_custkey IS NULL) FROM orders
+        |UNION ALL SELECT 'o_orderstatus', count(*) FILTER (WHERE o_orderstatus IS NULL) FROM orders
+        |UNION ALL SELECT 'o_totalprice', count(*) FILTER (WHERE o_totalprice IS NULL) FROM orders
+        |UNION ALL SELECT 'o_orderdate', count(*) FILTER (WHERE o_orderdate IS NULL) FROM orders""".stripMargin,
+
+    "q13_range_check" ->
+      """SELECT 'l_quantity' AS column_name, count(*) FILTER (WHERE l_quantity < 1.0 OR l_quantity > 50.0) AS out_of_range_count FROM lineitem
+        |UNION ALL SELECT 'l_discount', count(*) FILTER (WHERE l_discount < 0.0 OR l_discount > 0.05) FROM lineitem
+        |UNION ALL SELECT 'l_extendedprice', count(*) FILTER (WHERE l_extendedprice < 0.0 OR l_extendedprice > 50000.0) FROM lineitem""".stripMargin,
+
+    "q14_quality_suite" ->
+      """SELECT 'orders' AS table_name,
+        |  count(*) AS record_count,
+        |  count(*) FILTER (WHERE o_orderkey IS NULL) AS null_o_orderkey,
+        |  count(*) FILTER (WHERE o_custkey IS NULL) AS null_o_custkey,
+        |  count(*) FILTER (WHERE o_totalprice < 0 OR o_totalprice > 500000) AS oor_o_totalprice,
+        |  count(*) - (SELECT count(*) FROM (SELECT DISTINCT o_orderkey FROM orders)) AS duplicate_count,
+        |  (count(*) FILTER (WHERE o_orderkey IS NULL) = 0
+        |   AND count(*) FILTER (WHERE o_custkey IS NULL) = 0
+        |   AND count(*) FILTER (WHERE o_totalprice < 0 OR o_totalprice > 500000) = 0
+        |   AND count(*) - (SELECT count(*) FROM (SELECT DISTINCT o_orderkey FROM orders)) = 0) AS overall_passed
+        |FROM orders""".stripMargin,
+
+    "q15_upsert" ->
+      """WITH staging AS (
+        |  SELECT c_custkey, c_name, c_nationkey, c_acctbal + 100 AS c_acctbal, c_mktsegment
+        |  FROM customer WHERE c_mktsegment = 'BUILDING'
+        |  UNION ALL
+        |  SELECT c_custkey + 1000000, 'NEW#' || CAST(c_custkey AS VARCHAR), c_nationkey, c_acctbal, c_mktsegment
+        |  FROM customer WHERE c_custkey <= 5)
+        |SELECT * FROM staging
+        |UNION ALL
+        |SELECT t.* FROM customer t
+        |WHERE NOT EXISTS (SELECT 1 FROM staging s WHERE s.c_custkey = t.c_custkey)""".stripMargin,
+
+    "q16_doc_filter" ->
+      """SELECT doc_id, lang, coalesce(source, 'unknown') AS source, n_chars,
+        |  len(list_filter(string_split_regex(trim(text), '\s+'), x -> len(x) > 0)) AS token_cnt
+        |FROM documents
+        |WHERE contains(text, 'data') AND lang IN ('en','de','zh')""".stripMargin,
+
+    "q17_transaction_pipeline" -> (txSql +
+      """
+        |, cleaned AS (
+        |  SELECT * REPLACE (
+        |    coalesce(merchant_name, 'Unknown') AS merchant_name,
+        |    CASE WHEN transaction_type IN ('deposit','DEPOSIT','Deposit') THEN 'deposit'
+        |         WHEN transaction_type IN ('withdrawal','WITHDRAWAL','Withdrawal') THEN 'withdrawal'
+        |         WHEN transaction_type IN ('transfer','TRANSFER','Transfer') THEN 'transfer'
+        |         WHEN transaction_type IN ('payment','PAYMENT','Payment') THEN 'payment'
+        |         ELSE transaction_type END AS transaction_type)
+        |  FROM tx WHERE NOT (transaction_type = 'deposit' AND amount < 0))
+        |, enriched AS (
+        |  SELECT *,
+        |    CAST(year(transaction_date) AS INT) AS transaction_year,
+        |    CAST(month(transaction_date) AS INT) AS transaction_month,
+        |    CAST(day(transaction_date) AS INT) AS transaction_day,
+        |    CAST(hour(transaction_date) AS INT) AS transaction_hour,
+        |    CAST(dayofweek(transaction_date) + 1 AS INT) AS transaction_dayofweek,
+        |    CASE WHEN dayofweek(transaction_date) + 1 IN (1,7) THEN TRUE ELSE FALSE END AS is_weekend,
+        |    CASE WHEN currency = 'USD' THEN amount WHEN currency = 'EUR' THEN amount * 1.1
+        |         WHEN currency = 'GBP' THEN amount * 1.3 ELSE amount END AS amount_usd,
+        |    CASE WHEN merchant_category IN ('grocery','supermarket') THEN 'Groceries'
+        |         WHEN merchant_category IN ('restaurant','fast food') THEN 'Dining'
+        |         WHEN merchant_category IN ('gas','fuel') THEN 'Transportation'
+        |         WHEN merchant_category IN ('utility','electricity','water') THEN 'Utilities'
+        |         ELSE 'Other' END AS transaction_category
+        |  FROM cleaned)
+        |, m1 AS (
+        |  SELECT *,
+        |    CASE WHEN transaction_type IN ('deposit','transfer_in') THEN amount_usd ELSE -amount_usd END AS amount_signed,
+        |    CAST(floor(epoch(transaction_date)) AS BIGINT) AS es
+        |  FROM enriched)
+        |, m2 AS (
+        |  SELECT *,
+        |    sum(amount_signed) OVER (PARTITION BY account_id ORDER BY transaction_date) AS running_balance,
+        |    lag(transaction_date, 1) OVER (PARTITION BY account_id ORDER BY transaction_date) AS prev_transaction_date,
+        |    count(transaction_id) OVER w30 AS transaction_count_30d,
+        |    sum(CASE WHEN transaction_type IN ('withdrawal','payment') THEN amount_usd ELSE 0 END) OVER w30 AS total_spend_30d
+        |  FROM m1
+        |  WINDOW w30 AS (PARTITION BY account_id ORDER BY es RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW))
+        |, m3 AS (
+        |  SELECT *,
+        |    CASE WHEN prev_transaction_date IS NULL THEN 0
+        |         ELSE CAST(CAST(transaction_date AS DATE) - CAST(prev_transaction_date AS DATE) AS INT) END AS days_since_last_transaction
+        |  FROM m2)
+        |, stats AS (
+        |  SELECT account_id, stddev(amount_usd) AS amount_stddev, avg(amount_usd) AS amount_avg,
+        |         max(amount_usd) AS amount_max
+        |  FROM m3 GROUP BY account_id)
+        |, flagged AS (
+        |  SELECT m3.*, s.amount_stddev, s.amount_avg, s.amount_max,
+        |    ((m3.amount_usd > (s.amount_avg + 3 * s.amount_stddev)) AND (m3.amount_usd > 1000)) AS is_large_transaction,
+        |    (m3.is_international AND m3.location NOT IN ('Canada','Mexico','United Kingdom','France','Germany')) AS is_unusual_location,
+        |    (m3.transaction_count_30d > 100) AS is_high_frequency
+        |  FROM m3 LEFT JOIN stats s USING (account_id))
+        |SELECT transaction_id, account_id, transaction_date, transaction_type, currency,
+        |  transaction_year, transaction_month, transaction_day, transaction_hour,
+        |  transaction_dayofweek, is_weekend, amount_usd, transaction_category, amount_signed,
+        |  ROUND(running_balance, 4) AS running_balance,
+        |  days_since_last_transaction, transaction_count_30d,
+        |  ROUND(total_spend_30d, 4) AS total_spend_30d,
+        |  is_large_transaction, is_unusual_location, is_high_frequency,
+        |  (is_large_transaction OR is_unusual_location OR (days_since_last_transaction < 0.01)) AS potential_fraud
+        |FROM flagged""".stripMargin))
+}

@@ -1,0 +1,76 @@
+package graft.sinks
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.functions._
+
+/** Sink operators K1-K5 (SURVEY.md §2.2).
+  *
+  * Reference: `/root/reference/src/loading/readshift_loader.py` (JDBC write,
+  * staged merge/upsert), `s3_loader.write_delta` contract
+  * (`/root/reference/src/orchestration/main.py:138-143,201-206,262-267`,
+  * partition cols `config/config.json:70`), CSV write
+  * (`/root/reference/src/seed/data_seed.py:241-243`).
+  */
+object Sinks {
+
+  /** K1 — JDBC write (readshift_loader.py:27-66): modes append/overwrite/
+    * error, optional pre/post SQL shipped as JDBC session options. */
+  def jdbc(df: DataFrame, url: String, table: String, user: String,
+      password: String, driver: String, mode: String = "append",
+      preactions: Option[String] = None,
+      postactions: Option[String] = None): Unit = {
+    var w = df.write.format("jdbc")
+      .option("url", url).option("dbtable", table)
+      .option("user", user).option("password", password)
+      .option("driver", driver).mode(mode)
+    preactions.foreach(sql => w = w.option("preactions", sql))
+    postactions.foreach(sql => w = w.option("postactions", sql))
+    w.save()
+  }
+
+  /** K2 — keyed upsert, the local-native equivalent of the reference's
+    * staging-table merge (readshift_loader.py:68-149: write staging, then
+    * `UPDATE ... FROM staging` + `INSERT ... LEFT JOIN ... WHERE key IS
+    * NULL`). Without a warehouse or Delta jars, the same semantics as a pure
+    * DataFrame expression: matched target rows take the staging version
+    * (UPDATE leg), unmatched staging rows are inserted (INSERT leg), i.e.
+    *   result = staging UNION (target ANTI-JOIN staging on keys).
+    * Shuffle profile: one hash exchange per side on the key — identical to
+    * what Delta MERGE plans for the same inputs.
+    */
+  def upsert(target: DataFrame, staging: DataFrame, keyColumns: Seq[String]): DataFrame = {
+    val cols = target.columns.toSeq
+    staging.select(cols.map(col): _*)
+      .unionByName(target.join(staging.select(keyColumns.map(col): _*),
+        keyColumns, "left_anti"))
+  }
+
+  /** K2 fallback leg — truncate-and-load (readshift_loader.py:130-144):
+    * target is replaced wholesale by the staging frame. */
+  def truncateAndLoad(staging: DataFrame): DataFrame = staging
+
+  /** K4 — partitioned write (s3_loader.write_delta contract; partition cols
+    * `transaction_year, transaction_month` from config.json:70). Delta
+    * format when available, else parquet — layout and write-side partition
+    * pruning are identical. */
+  def writePartitioned(df: DataFrame, path: String, mode: String = "append",
+      partitionCols: Seq[String] = Nil, format: String = "parquet"): Unit = {
+    var w = df.write.format(format).mode(mode)
+    if (partitionCols.nonEmpty) w = w.partitionBy(partitionCols: _*)
+    try w.save(path)
+    catch {
+      case _: Exception if format == "delta" =>
+        writePartitioned(df, path, mode, partitionCols, "parquet")
+    }
+  }
+
+  /** K5 — CSV write with header (data_seed.py:241-243). */
+  def csv(df: DataFrame, path: String, mode: String = "overwrite"): Unit =
+    df.write.mode(mode).option("header", "true").csv(path)
+
+  /** Extension (SURVEY.md §2.15.8): persist quality-check results so the
+    * monitoring queries (`monitor.py:10-26`) have a real table to read. */
+  def writeQualityResults(df: DataFrame, path: String): Unit =
+    df.withColumn("execution_date", current_timestamp())
+      .write.mode(SaveMode.Append).parquet(path)
+}

@@ -1,0 +1,142 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Dedup, Similarity, TextAnalysis}
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog again and again today"),
+    (2L, "the quick brown fox jumps over the lazy dog again and again today"), // exact dup of 1
+    (3L, "the quick brown fox jumps over the lazy dog again and again"),       // near dup of 1
+    (4L, "completely different content about spark query engines at scale now")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup keeps min id and counts multiplicity") {
+    val out = Dedup.exact(docs, "text", "doc_id")
+      .as[(Long, Long)].collect().toMap
+    assert(out(1L) == 2L && out(3L) == 1L && out(4L) == 1L)
+    assert(!out.contains(2L))
+  }
+
+  test("shingles produces w-grams and whole-text fallback") {
+    val sh = Seq("a b c d").toDF("text")
+      .select(Dedup.shingles(TextAnalysis.tokens(col("text")), 2).as("sh"))
+      .as[Seq[String]].head()
+    assert(sh == Seq("a b", "b c", "c d"))
+    val short = Seq("a b").toDF("text")
+      .select(Dedup.shingles(TextAnalysis.tokens(col("text")), 5).as("sh"))
+      .as[Seq[String]].head()
+    assert(short == Seq("a b"))
+  }
+
+  test("minhash LSH finds exact and near duplicates, not unrelated docs") {
+    val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text",
+      shingleW = 2, k = 32, bands = 16, threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("identical docs share identical minhash signatures -> jaccard 1.0") {
+    val j = Dedup.minhashLshPairs(docs, "doc_id", "text",
+      shingleW = 2, k = 16, bands = 8, threshold = 0.99)
+      .filter($"id_a" === 1 && $"id_b" === 2)
+      .select("jaccard").as[Double].head()
+    assert(j == 1.0)
+  }
+
+  test("simhash: identical docs hamming 0; near dups low; pairs detected") {
+    val sh = Dedup.simhash(docs, "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
+    assert(sh(1L) == sh(2L))
+    val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3)
+      .select("id_a", "id_b", "hamming").as[(Long, Long, Int)].collect()
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 2L && p._3 == 0))
+  }
+
+  test("ngramJaccard computes exact overlap for explicit pairs") {
+    val pairs = Seq((1L, 2L)).toDF("id_a", "id_b")
+    val j = Dedup.ngramJaccard(pairs, docs, "doc_id", "text", n = 3)
+      .select("jaccard").as[Double].head()
+    assert(j == 1.0)
+  }
+}
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val vecs = Seq(
+    (0L, Seq(1.0f, 0.0f, 0.0f)),
+    (1L, Seq(2.0f, 0.0f, 0.0f)),   // same direction as 0
+    (2L, Seq(0.0f, 1.0f, 0.0f)),   // orthogonal
+    (3L, Seq(-1.0f, 0.0f, 0.0f)),  // opposite
+    (4L, Seq(1.0f, 1.0f, 0.0f))
+  ).toDF("vec_id", "embedding")
+
+  test("cosine: identical direction 1, orthogonal 0, opposite -1") {
+    val out = vecs.crossJoin(
+        vecs.filter($"vec_id" === 0).select($"embedding".as("qvec")))
+      .select($"vec_id", Similarity.cosine($"embedding", $"qvec").as("c"))
+      .as[(Long, Double)].collect().toMap
+    assert(math.abs(out(1L) - 1.0) < 1e-12)
+    assert(out(2L) == 0.0)
+    assert(math.abs(out(3L) + 1.0) < 1e-12)
+  }
+
+  test("bruteForceKnn returns k best, ties broken by id") {
+    val q = vecs.filter($"vec_id" === 0).select($"embedding".as("qvec"))
+    val top = Similarity.bruteForceKnn(vecs, q, "vec_id", "embedding", 3)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(top == Seq(0L, 1L, 4L)) // cos: 1.0, 1.0 (tie->ids), then 0.707
+  }
+
+  test("identical-direction vectors share SRP bucket; query finds them via lshKnn") {
+    val q = vecs.filter($"vec_id" === 0).select($"embedding".as("qvec"))
+    val found = Similarity.lshKnn(vecs, q, "vec_id", "embedding", 5, planes = 4)
+      .select("vec_id").as[Long].collect().toSet
+    assert(found.contains(0L) && found.contains(1L)) // same signature as query
+  }
+}
+
+class TextAnalysisSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("tokens handles empty and multi-space strings") {
+    val out = Seq("", "  ", " a  b ").toDF("text")
+      .select(size(TextAnalysis.tokens(col("text"))).as("n"))
+      .as[Int].collect().toSeq
+    assert(out == Seq(0, 0, 2))
+  }
+
+  test("quality metrics compute ratios on crafted input") {
+    val df = Seq((1L, "the cat sat on a mat !!")).toDF("doc_id", "text")
+    val m = TextAnalysis.qualityMetrics(df)
+      .select("token_cnt", "stopword_cnt", "punct_cnt").head()
+    assert(m.getInt(0) == 7)
+    assert(m.getInt(1) == 2) // the, a
+    assert(m.getInt(2) == 2) // !!
+  }
+
+  test("languageId picks dominant stopword profile, unknown when no hits") {
+    val df = Seq(
+      (1L, "the cat and the dog of the house"),
+      (2L, "der hund und die katze ist ein tier"),
+      (3L, "xyzzy qwerty zorp")).toDF("doc_id", "text")
+    val out = TextAnalysis.languageId(df)
+      .select("doc_id", "predicted_lang").as[(Long, String)].collect().toMap
+    assert(out == Map(1L -> "en", 2L -> "de", 3L -> "unknown"))
+  }
+
+  test("fingerprint is deterministic and identical for identical text") {
+    val df = Seq((1L, "a b c d e f g h i j"), (2L, "a b c d e f g h i j"),
+      (3L, "totally different words here man pad to eight tokens ok")).toDF("doc_id", "text")
+    val fp = TextAnalysis.fingerprint(df, "doc_id", "text")
+      .select("doc_id", "fp_min", "fp_max", "fp_xor")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(fp(1L) == fp(2L))
+    assert(fp(1L) != fp(3L))
+  }
+}

@@ -1,0 +1,84 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Date
+
+import graft.sinks.Sinks
+import graft.transform.{AccountTransform, CustomerTransform}
+
+class SinksSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("upsert: staging wins on matched keys, unmatched staging inserted, rest kept") {
+    val target = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+      .toDF("id", "name", "bal")
+    val staging = Seq((2L, "b2", 25.0), (9L, "new", 99.0))
+      .toDF("id", "name", "bal")
+    val out = Sinks.upsert(target, staging, Seq("id"))
+      .as[(Long, String, Double)].collect().toSet
+    assert(out == Set((1L, "a", 10.0), (2L, "b2", 25.0), (3L, "c", 30.0),
+      (9L, "new", 99.0)))
+  }
+
+  test("writePartitioned produces partition directories; csv roundtrips") {
+    val dir = Files.createTempDirectory("graft_sink").toString
+    val df = Seq((2024, 1, "x"), (2024, 2, "y")).toDF("yr", "mo", "v")
+    Sinks.writePartitioned(df, s"$dir/part", mode = "overwrite",
+      partitionCols = Seq("yr", "mo"))
+    val dirs = new java.io.File(s"$dir/part").listFiles().map(_.getName).filter(_.startsWith("yr="))
+    assert(dirs.sameElements(Array("yr=2024")))
+    assert(spark.read.parquet(s"$dir/part").count() == 2)
+
+    Sinks.csv(df, s"$dir/csv")
+    val back = spark.read.option("header", "true").csv(s"$dir/csv")
+    assert(back.count() == 2 && back.columns.sameElements(Array("yr", "mo", "v")))
+  }
+}
+
+class ContractTransformsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("CustomerTransform: dedup on key, email normalization, credit band") {
+    val df = Seq(
+      ("c1", "Ann", "Lee", Date.valueOf("1990-01-01"), " Ann.Lee@X.COM ",
+        Date.valueOf("2020-01-01"), 780, "Low"),
+      ("c1", "Ann", "Lee", Date.valueOf("1990-01-01"), "ann.lee@x.com",
+        Date.valueOf("2020-01-01"), 780, "Low"),
+      ("c2", "Bo", "Kim", Date.valueOf("1985-06-15"), "bo@x.com",
+        Date.valueOf("2021-05-05"), 560, "High"))
+      .toDF("customer_id", "first_name", "last_name", "date_of_birth", "email",
+        "customer_since", "credit_score", "risk_segment")
+      .withColumn("city", org.apache.spark.sql.functions.lit(null).cast("string"))
+      .withColumn("state", org.apache.spark.sql.functions.lit("CA"))
+      .withColumn("country", org.apache.spark.sql.functions.lit("USA"))
+    val out = CustomerTransform.all(df)
+    assert(out.count() == 2)
+    val c1 = out.filter($"customer_id" === "c1").head()
+    assert(c1.getAs[String]("email") == "ann.lee@x.com")
+    assert(c1.getAs[String]("city") == "Unknown")
+    assert(c1.getAs[String]("credit_band") == "excellent")
+    val c2 = out.filter($"customer_id" === "c2").head()
+    assert(c2.getAs[String]("credit_band") == "poor") // 560 < 580
+    assert(c2.getAs[Int]("age") >= 40)
+  }
+
+  test("AccountTransform: status normalization, activity flags") {
+    val df = Seq(
+      ("a1", "c1", "Checking", " ACTIVE ", Date.valueOf("2020-01-01"),
+        null.asInstanceOf[Date], "USD", "BR1", 1.5f, BigDecimal(100.0),
+        Date.valueOf("2024-01-01")),
+      ("a2", "c2", "savings", "closed", Date.valueOf("2019-01-01"),
+        Date.valueOf("2022-01-01"), "EUR", "BR2", 2.0f, BigDecimal(50.0),
+        Date.valueOf("2022-01-01")))
+      .toDF("account_id", "customer_id", "account_type", "account_status",
+        "open_date", "close_date", "currency", "branch_id", "interest_rate",
+        "balance", "last_activity_date")
+    val out = AccountTransform.all(df)
+    val a1 = out.filter($"account_id" === "a1").head()
+    assert(a1.getAs[String]("account_status") == "active")
+    assert(a1.getAs[String]("account_type") == "checking")
+    assert(a1.getAs[Boolean]("is_active"))
+    val a2 = out.filter($"account_id" === "a2").head()
+    assert(!a2.getAs[Boolean]("is_active"))
+  }
+}
