@@ -1,0 +1,123 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.storage.StorageLevel
+
+import graft.quality.DataQuality
+import graft.schema.Schemas
+import graft.sinks.Sinks
+import graft.sources.Sources
+import graft.transform.{AccountTransform, CustomerTransform, TransactionTransform}
+
+/** Pipeline orchestrator (X1) mirroring the reference's
+  * `BankingETLPipeline.run_pipeline`
+  * (`/root/reference/src/orchestration/main.py:23-302`): per pipeline,
+  * extract -> transform -> quality gate -> load, with the
+  * `fail_on_quality_check` gate (`main.py:122-126,185-189,246-250`).
+  *
+  * Differences from the reference, on purpose:
+  *  - The transform output is persisted before the quality phase — the
+  *    reference recomputes the whole chain for every quality `count()`
+  *    (SURVEY.md §2.15.7); at scale that is several full recomputes.
+  *  - Quality results are also WRITTEN to a table, making the monitoring
+  *    queries (`monitor.py:10-26`) actually satisfiable (SURVEY.md §2.15.8).
+  *  - Warehouse targets (redshift) map to local parquet under `outRoot`
+  *    (keyed upsert via [[Sinks.upsert]] when key columns are configured) —
+  *    the JDBC path exists in [[Sinks.jdbc]] but isn't exercised locally.
+  */
+final case class PipelineQualityException(name: String)
+  extends RuntimeException(s"Data quality checks failed for $name data")
+
+final case class PipelineResult(name: String, recordCount: Long,
+    qualityPassed: Boolean, loadedTo: String)
+
+class Orchestrator(spark: SparkSession, cfg: AppConfig,
+    dataRoot: String, outRoot: String) {
+
+  def runAll(): Seq[PipelineResult] = cfg.pipelinesToRun.map(runPipeline)
+
+  def runPipeline(name: String): PipelineResult = {
+    val spec = cfg.pipelines.getOrElse(name,
+      throw new IllegalArgumentException(s"No pipeline config for $name"))
+
+    val raw = extract(name, spec)
+    val transformed = transformFor(name)(raw)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val qr = DataQuality.runAllChecks(transformed, spec.dataQuality)
+      writeQualityResults(name, qr)
+      if (!qr.overallPassed && spec.failOnQualityCheck)
+        throw PipelineQualityException(name)
+      val target = load(name, spec, transformed)
+      PipelineResult(name, qr.recordCount, qr.overallPassed, target)
+    } finally transformed.unpersist()
+  }
+
+  private def extract(name: String, spec: PipelineSpec): DataFrame =
+    spec.sourceType match {
+      case "s3" | "local" =>
+        val path = s"$dataRoot/${spec.sourcePath.getOrElse(name)}"
+        Sources.csv(spark, path, Some(rawSchemaFor(name)))
+      case "parquet" =>
+        Sources.parquet(spark, s"$dataRoot/${spec.sourcePath.getOrElse(name)}")
+      case "rds" =>
+        // JDBC source: locally backed by a parquet/csv drop of the table
+        Sources.csv(spark, s"$dataRoot/${spec.sourceTable.getOrElse(name)}",
+          Some(rawSchemaFor(name)))
+      case other =>
+        throw new IllegalArgumentException(s"Unsupported source type: $other")
+    }
+
+  private def rawSchemaFor(name: String) = name match {
+    case "customer" => Schemas.customer
+    case "account" => Schemas.account
+    case "transaction" => Schemas.transactionRaw
+    case other => throw new IllegalArgumentException(s"Unknown entity: $other")
+  }
+
+  /** main.py:113-114 (customer), :237-238 (account), :174-177 (transaction). */
+  private def transformFor(name: String): DataFrame => DataFrame = name match {
+    case "customer" => CustomerTransform.all
+    case "account" => AccountTransform.all
+    case "transaction" => TransactionTransform.all
+    case other => throw new IllegalArgumentException(s"Unknown pipeline: $other")
+  }
+
+  private def load(name: String, spec: PipelineSpec, df: DataFrame): String =
+    spec.targetType match {
+      case "s3" | "local" =>
+        val path = s"$outRoot/${spec.targetPath.getOrElse(name)}"
+        Sinks.writePartitioned(df, path, spec.writeMode, spec.partitionCols)
+        path
+      case "redshift" =>
+        // local stand-in for the staged warehouse upsert (K2): keyed merge
+        // into a parquet table named after target_table
+        val path = s"$outRoot/${spec.targetTable.getOrElse(name)}"
+        val merged =
+          if (spec.keyColumns.nonEmpty &&
+            new java.io.File(path).exists()) {
+            val target = spark.read.parquet(path)
+            Sinks.upsert(target, df, spec.keyColumns)
+          } else df
+        // upsert reads the target it overwrites: materialize via checkpoint-
+        // free local write to a temp dir then move is overkill locally; the
+        // merged frame is small enough to write through a cache
+        merged.persist(StorageLevel.MEMORY_AND_DISK).count()
+        Sinks.writePartitioned(merged, path, "overwrite", spec.partitionCols)
+        merged.unpersist()
+        path
+      case other =>
+        throw new IllegalArgumentException(s"Unsupported target type: $other")
+    }
+
+  private def writeQualityResults(name: String,
+      qr: DataQuality.QualityResults): Unit = {
+    import spark.implicits._
+    val df = Seq((qr.tableName, qr.recordCount,
+      qr.nullCheck.forall(_.passed), qr.duplicateCheck.forall(_.passed),
+      qr.rangeCheck.forall(_.passed), qr.overallPassed))
+      .toDF("table_name", "record_count", "null_passed", "duplicate_passed",
+        "range_passed", "overall_passed")
+    Sinks.writeQualityResults(df, s"$outRoot/quality_results")
+  }
+}

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Dedup, Similarity, TextAnalysis}
+import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
 
 /** Oracle-checked / rows-checked query surface for the training-data-pipeline
   * extension operators (dedup, similarity search, text analysis) over the
@@ -103,6 +103,19 @@ object ExtensionQueries {
       val emb = t(s, dir, "embeddings")
       val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qvec"))
       Similarity.lshKnn(emb, q, "vec_id", "embedding", 20, planes = 6)
+    }),
+
+    // Multimodal plumbing: binary payload + metadata -> partition-batched
+    // feature extraction (decode stubbed; rows-only check)
+    "x11_multimodal" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      import s.implicits._
+      val media = Multimodal.fromDocuments(t(s, dir, "documents"))
+        .as[Multimodal.MediaRow]
+      Multimodal.extractFeatures(media, dim = 16).toDF()
+        .select(col("media_id"), col("n_bytes"),
+          round(element_at(col("feature"), 1).cast("double"), 6).as("f0"),
+          round(element_at(col("feature"), 2).cast("double"), 6).as("f1"))
     }))
 
   val oracle: Map[String, String] = Map(

@@ -301,6 +301,35 @@ object ParityQueries {
           col("n_chars"),
           size(graft.ops.TextAnalysis.tokens(col("text"))).cast("long").as("token_cnt"))),
 
+    // W1/W2 composition: gap-based sessionization (rows frame running sum)
+    "q18_sessionize" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val wRows = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      events(s, dir)
+        .withColumn("es", unix_timestamp(col("ts")))
+        .withColumn("new_session",
+          when(lag("es", 1).over(w).isNull ||
+            col("es") - lag("es", 1).over(w) > 1800, 1).otherwise(0))
+        .withColumn("session_seq", sum("new_session").over(wRows))
+        .select(col("event_id"), col("user_id"), col("session_seq"))
+    }),
+
+    // A1 over session keys: per-session stats (count, duration, spend)
+    "q19_session_stats" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val wRows = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      events(s, dir)
+        .withColumn("es", unix_timestamp(col("ts")))
+        .withColumn("new_session",
+          when(lag("es", 1).over(w).isNull ||
+            col("es") - lag("es", 1).over(w) > 1800, 1).otherwise(0))
+        .withColumn("session_seq", sum("new_session").over(wRows))
+        .groupBy(col("user_id"), col("session_seq"))
+        .agg(count(lit(1)).as("n_events"),
+          (max(col("es")) - min(col("es"))).as("duration_s"),
+          sum(col("value").cast("decimal(18,2)")).cast("decimal(38,2)").as("session_value"))
+    }),
+
     // Flagship: the full reference transaction pipeline over adapted events
     "q17_transaction_pipeline" -> ((s, dir) =>
       TransactionTransform.all(eventsAsTransactions(events(s, dir)))
@@ -461,6 +490,28 @@ object ParityQueries {
         |  len(list_filter(string_split_regex(trim(text), '\s+'), x -> len(x) > 0)) AS token_cnt
         |FROM documents
         |WHERE contains(text, 'data') AND lang IN ('en','de','zh')""".stripMargin,
+
+    "q18_sessionize" ->
+      """WITH e AS (SELECT *, CAST(floor(epoch(ts)) AS BIGINT) AS es FROM events),
+        |s AS (SELECT *, CASE WHEN lag(es) OVER w IS NULL OR es - lag(es) OVER w > 1800
+        |                     THEN 1 ELSE 0 END AS new_session
+        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT event_id, user_id,
+        |  CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+        |FROM s""".stripMargin,
+
+    "q19_session_stats" ->
+      """WITH e AS (SELECT *, CAST(floor(epoch(ts)) AS BIGINT) AS es FROM events),
+        |s AS (SELECT *, CASE WHEN lag(es) OVER w IS NULL OR es - lag(es) OVER w > 1800
+        |                     THEN 1 ELSE 0 END AS new_session
+        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |t AS (SELECT *, CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq FROM s)
+        |SELECT user_id, session_seq, count(*) AS n_events,
+        |  max(es) - min(es) AS duration_s,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS session_value
+        |FROM t GROUP BY user_id, session_seq""".stripMargin,
 
     "q17_transaction_pipeline" -> (txSql +
       """

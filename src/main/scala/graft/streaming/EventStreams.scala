@@ -1,0 +1,99 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming surface. The reference is batch-only (SURVEY.md
+  * §2.12), so this is an extension: the same event analytics the batch
+  * queries compute (windowed counts, sessionization), expressed as
+  * incremental streaming plans so the engine also covers continuous
+  * ingestion at scale.
+  *
+  * Design: event-time processing with watermarks (bounded state), windowed
+  * aggregation via the built-in `window()` (state pruned by watermark), and
+  * gap-based sessionization via `flatMapGroupsWithState` with event-time
+  * timeouts (per-key state = one open session, O(users) state size).
+  */
+object EventStreams {
+
+  final case class Event(event_id: Long, ts: Timestamp, user_id: Long,
+      event_type: String, value: Double)
+
+  final case class SessionState(sessionStart: Long, lastEventMs: Long,
+      nEvents: Long, totalValue: Double)
+
+  final case class SessionOut(user_id: Long, session_start: Timestamp,
+      session_end: Timestamp, n_events: Long, total_value: Double)
+
+  /** Tumbling-window event counts + value sums per event_type, with a
+    * watermark bounding aggregation state. Append-mode compatible: windows
+    * finalize once the watermark passes their end. */
+  def windowedCounts(events: DataFrame, watermark: String = "10 minutes",
+      windowDur: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowDur), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value")).as("total_value"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        col("event_type"), col("n_events"), col("total_value"))
+
+  /** Gap-based sessionization with explicit per-user state: a session closes
+    * when no event arrives within `gapMs` (enforced by event-time timeout,
+    * so sessions also close on silence, not only on the next event). */
+  def sessionize(events: Dataset[Event], gapMs: Long = 30 * 60 * 1000L)(
+      implicit spark: SparkSession): Dataset[SessionOut] = {
+    import spark.implicits._
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
+          if (rows.isEmpty && state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(SessionOut(userId, new Timestamp(s.sessionStart),
+              new Timestamp(s.lastEventMs), s.nEvents, s.totalValue))
+          } else {
+            val sorted = rows.toSeq.sortBy(_.ts.getTime)
+            var closed = List.empty[SessionOut]
+            var cur = state.getOption
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.lastEventMs <= gapMs =>
+                  cur = Some(s.copy(lastEventMs = t, nEvents = s.nEvents + 1,
+                    totalValue = s.totalValue + e.value))
+                case Some(s) =>
+                  closed ::= SessionOut(userId, new Timestamp(s.sessionStart),
+                    new Timestamp(s.lastEventMs), s.nEvents, s.totalValue)
+                  cur = Some(SessionState(t, t, 1, e.value))
+                case None =>
+                  cur = Some(SessionState(t, t, 1, e.value))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.lastEventMs + gapMs)
+            }
+            closed.reverseIterator
+          }
+      }
+  }
+
+  /** Streaming sink helper: append to a parquet path with a checkpoint —
+    * the streaming analogue of Sinks.writePartitioned. */
+  def startParquetSink(df: DataFrame, path: String, checkpoint: String,
+      partitionCols: Seq[String] = Nil): org.apache.spark.sql.streaming.StreamingQuery = {
+    var w = df.writeStream.format("parquet")
+      .option("path", path).option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append())
+    if (partitionCols.nonEmpty) w = w.partitionBy(partitionCols: _*)
+    w.start()
+  }
+}

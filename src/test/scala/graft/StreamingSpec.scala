@@ -1,0 +1,60 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.streaming.EventStreams
+import graft.streaming.EventStreams.Event
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  test("windowedCounts aggregates tumbling event-time windows incrementally") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = EventStreams.windowedCounts(input.toDF(), "10 minutes", "1 hour")
+      .writeStream.format("memory").queryName("wc").outputMode(OutputMode.Update()).start()
+    try {
+      input.addData(
+        Event(1, ts("2024-01-01 10:05:00"), 1, "click", 2.0),
+        Event(2, ts("2024-01-01 10:45:00"), 2, "click", 3.0),
+        Event(3, ts("2024-01-01 11:05:00"), 1, "view", 5.0))
+      q.processAllAvailable()
+      val rows = spark.table("wc")
+        .select("window_start", "event_type", "n_events", "total_value")
+        .as[(Timestamp, String, Long, Double)].collect().toSet
+      assert(rows.contains((ts("2024-01-01 10:00:00"), "click", 2L, 5.0)))
+      assert(rows.contains((ts("2024-01-01 11:00:00"), "view", 1L, 5.0)))
+    } finally q.stop()
+  }
+
+  test("sessionize closes a session on gap and keeps one open session per user") {
+    implicit val s = spark
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = EventStreams.sessionize(input.toDS(), gapMs = 30 * 60 * 1000L)
+      .writeStream.format("memory").queryName("sess").outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(
+        Event(1, ts("2024-01-01 10:00:00"), 1, "click", 1.0),
+        Event(2, ts("2024-01-01 10:10:00"), 1, "click", 2.0),
+        // > 30 min gap -> closes first session on arrival
+        Event(3, ts("2024-01-01 11:00:00"), 1, "view", 3.0))
+      q.processAllAvailable()
+      // advance watermark far enough to time out the open session
+      input.addData(Event(9, ts("2024-01-01 13:00:00"), 2, "click", 0.5))
+      q.processAllAvailable()
+      input.addData(Event(10, ts("2024-01-01 15:00:00"), 2, "click", 0.5))
+      q.processAllAvailable()
+      val sessions = spark.table("sess")
+        .select("user_id", "n_events", "total_value")
+        .as[(Long, Long, Double)].collect().toSet
+      assert(sessions.contains((1L, 2L, 3.0))) // first session: events 1+2
+      assert(sessions.contains((1L, 1L, 3.0))) // second session closed by timeout
+    } finally q.stop()
+  }
+}
