@@ -88,18 +88,21 @@ object TransactionTransform {
     val w30 = Window.partitionBy("account_id")
       .orderBy(unix_timestamp(col("transaction_date")))
       .rangeBetween(-30L * 86400L, 0L)
+    // all four window columns in ONE projection so Catalyst groups them into
+    // exactly two Window operators (one per spec) over the shared exchange —
+    // interleaving them with plain projections yields extra Window/Sort pairs
     df.withColumn("amount_signed",
         when(col("transaction_type").isin("deposit", "transfer_in"), col("amount_usd"))
           .otherwise(-col("amount_usd")))
-      .withColumn("running_balance", sum("amount_signed").over(w))
-      .withColumn("prev_transaction_date", lag("transaction_date", 1).over(w))
+      .select(col("*"),
+        sum("amount_signed").over(w).as("running_balance"),
+        lag("transaction_date", 1).over(w).as("prev_transaction_date"),
+        count("transaction_id").over(w30).as("transaction_count_30d"),
+        sum(when(col("transaction_type").isin("withdrawal", "payment"), col("amount_usd"))
+          .otherwise(0)).over(w30).as("total_spend_30d"))
       .withColumn("days_since_last_transaction",
         when(col("prev_transaction_date").isNull, 0)
           .otherwise(datediff(col("transaction_date"), col("prev_transaction_date"))))
-      .withColumn("transaction_count_30d", count("transaction_id").over(w30))
-      .withColumn("total_spend_30d",
-        sum(when(col("transaction_type").isin("withdrawal", "payment"), col("amount_usd"))
-          .otherwise(0)).over(w30))
   }
 
   /** transaction_transform.py:137-179 — per-account stats + rule flags.
