@@ -21,17 +21,28 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Dot product of two array<numeric> columns in double precision. */
+  /** Dot product of two array<numeric> columns in double precision — native
+    * codegen'd expression ([[graft.functions.DotProduct]]). */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, x) => acc + x)
+    graft.functions.VectorFunctions.dot_product(a, b)
 
   def l2Norm(a: Column): Column = sqrt(dot(a, a))
 
-  /** Cosine similarity in double precision (0 when either norm is 0). */
-  def cosine(a: Column, b: Column): Column = {
-    val d = dot(a, b)
-    val n = l2Norm(a) * l2Norm(b)
+  /** Cosine similarity in double precision (0 when either norm is 0) —
+    * native codegen'd expression ([[graft.functions.CosineSimilarity]]);
+    * bit-identical to [[cosineBuiltins]], ~an order of magnitude faster
+    * (tight primitive loop vs interpreted per-element lambdas). */
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.VectorFunctions.cosine_sim(a, b)
+
+  /** Built-ins-only formulation (higher-order fold), kept as the reference
+    * implementation the native expression is verified against. */
+  def cosineBuiltins(a: Column, b: Column): Column = {
+    def foldDot(x: Column, y: Column): Column =
+      aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
+        lit(0.0), (acc, v) => acc + v)
+    val d = foldDot(a, b)
+    val n = sqrt(foldDot(a, a)) * sqrt(foldDot(b, b))
     when(n > 0, d / n).otherwise(lit(0.0))
   }
 

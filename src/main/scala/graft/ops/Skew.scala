@@ -1,0 +1,49 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Skew-mitigation utilities for joins whose key distribution is heavy-
+  * tailed (one hot account/user dominating a partition).
+  *
+  * First line of defense is AQE's skew-join splitting
+  * (`spark.sql.adaptive.skewJoin.enabled`, on by default) — use these
+  * helpers when the skew is known ahead of time or AQE can't apply (e.g.
+  * the build side is already bucketed, or the join feeds a window that
+  * re-partitions on the same key anyway).
+  */
+object Skew {
+
+  /** Salted equi-join of a skewed fact side against a (replicable) dim side:
+    * fact rows scatter across `salts` sub-keys via a deterministic hash of
+    * the whole row; the dim side replicates once per salt. Result set is
+    * identical to `fact.join(dim, Seq(key))` — only the partitioning of the
+    * shuffle changes (hot key's rows spread over `salts` reducers).
+    * Cost: dim side inflates x salts — use for genuinely small dim sides
+    * (where broadcast is unavailable, e.g. full-outer or dim just over the
+    * broadcast threshold). */
+  def saltedJoin(fact: DataFrame, dim: DataFrame, key: String,
+      salts: Int = 8, joinType: String = "inner"): DataFrame = {
+    require(salts > 0)
+    val saltedFact = fact.withColumn("__salt",
+      pmod(xxhash64(struct(fact.columns.map(col): _*)), lit(salts)).cast("int"))
+    val expandedDim = dim
+      .withColumn("__salt", explode(sequence(lit(0), lit(salts - 1))))
+      .withColumn("__salt", col("__salt").cast("int"))
+    saltedFact.join(expandedDim, Seq(key, "__salt"), joinType).drop("__salt")
+  }
+
+  /** Two-phase (salted) distinct-count for a heavily skewed group key:
+    * partial distinct per (key, salt) then merge — bounds the width of any
+    * single reducer's hash set. For algebraic aggregates (sum/count/avg)
+    * Spark's partial aggregation already handles skew; this matters for
+    * holistic ones like countDistinct. */
+  def skewedCountDistinct(df: DataFrame, groupKey: String, distinctCol: String,
+      salts: Int = 8): DataFrame =
+    df.withColumn("__salt",
+        pmod(xxhash64(col(distinctCol)), lit(salts)).cast("int"))
+      .groupBy(col(groupKey), col("__salt"))
+      .agg(countDistinct(col(distinctCol)).as("__partial"))
+      .groupBy(col(groupKey))
+      .agg(sum("__partial").as(s"${distinctCol}_distinct"))
+}

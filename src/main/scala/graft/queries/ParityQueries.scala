@@ -301,6 +301,26 @@ object ParityQueries {
           col("n_chars"),
           size(graft.ops.TextAnalysis.tokens(col("text"))).cast("long").as("token_cnt"))),
 
+    // S1/K5: CSV write + declared-schema read roundtrip (identity vs oracle)
+    "q20_csv_roundtrip" -> ((s, dir) => {
+      val cust = t(s, dir, "customer")
+      val tmp = System.getProperty("java.io.tmpdir") +
+        "/graft_csv_" + dir.replaceAll("[^a-zA-Z0-9]", "_")
+      graft.sinks.Sinks.csv(cust, tmp)
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("c_custkey",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("c_name",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("c_nationkey",
+          org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField("c_acctbal",
+          org.apache.spark.sql.types.DoubleType),
+        org.apache.spark.sql.types.StructField("c_mktsegment",
+          org.apache.spark.sql.types.StringType)))
+      graft.sources.Sources.csv(s, tmp, Some(schema))
+    }),
+
     // W1/W2 composition: gap-based sessionization (rows frame running sum)
     "q18_sessionize" -> ((s, dir) => {
       val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
@@ -490,6 +510,9 @@ object ParityQueries {
         |  len(list_filter(string_split_regex(trim(text), '\s+'), x -> len(x) > 0)) AS token_cnt
         |FROM documents
         |WHERE contains(text, 'data') AND lang IN ('en','de','zh')""".stripMargin,
+
+    "q20_csv_roundtrip" ->
+      "SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment FROM customer",
 
     "q18_sessionize" ->
       """WITH e AS (SELECT *, CAST(floor(epoch(ts)) AS BIGINT) AS es FROM events),

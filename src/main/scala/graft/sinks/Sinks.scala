@@ -64,6 +64,19 @@ object Sinks {
     }
   }
 
+  /** Bucketed + sorted table write: pre-shuffles once at write time so
+    * later equi-joins/aggregations on the bucket key plan with NO exchange
+    * (co-located partitions). The at-scale answer to "this join shuffles
+    * 100 TB every night": pay the shuffle once, reuse it every query.
+    * Requires a table (catalog) rather than a bare path. */
+  def writeBucketed(df: DataFrame, table: String, bucketCols: Seq[String],
+      numBuckets: Int, mode: String = "overwrite"): Unit =
+    df.write.mode(mode)
+      .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(bucketCols.head, bucketCols.tail: _*)
+      .format("parquet")
+      .saveAsTable(table)
+
   /** K5 — CSV write with header (data_seed.py:241-243). */
   def csv(df: DataFrame, path: String, mode: String = "overwrite"): Unit =
     df.write.mode(mode).option("header", "true").csv(path)

@@ -1,0 +1,21 @@
+package org.apache.spark.sql.graftbridge
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Minimal accessor for Spark-private Column <-> Expression conversions and
+  * function registration, placed under `org.apache.spark.sql` because the
+  * classic-backend bridge (`ExpressionUtils`) is `private[sql]`. This is the
+  * conventional extension-point shim for libraries that define native
+  * Catalyst expressions; nothing else in graft reaches into Spark internals.
+  */
+object Bridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  def registerFunction(spark: SparkSession, name: String,
+      builder: Seq[Expression] => Expression): Unit =
+    spark.sessionState.functionRegistry
+      .createOrReplaceTempFunction(name, builder, "built-in")
+}
