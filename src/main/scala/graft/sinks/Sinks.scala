@@ -64,6 +64,22 @@ object Sinks {
     }
   }
 
+  /** K3 — remote SQL execution (readshift_loader.py:151-182): the reference
+    * ships arbitrary SQL to the warehouse as the `postactions` of a one-row
+    * dummy JDBC write (JDBC writers have no plain "execute" API). Engine-
+    * external by design; kept API-complete for warehouse deployments, not
+    * exercised by the local harness. */
+  def executeRemoteSql(spark: org.apache.spark.sql.SparkSession, url: String,
+      user: String, password: String, driver: String, sql: String,
+      dummyTable: String = "graft_dummy_exec"): Unit = {
+    import spark.implicits._
+    Seq(1).toDF("dummy").write.format("jdbc")
+      .option("url", url).option("dbtable", dummyTable)
+      .option("user", user).option("password", password)
+      .option("driver", driver).option("postactions", sql)
+      .mode("overwrite").save()
+  }
+
   /** Bucketed + sorted table write: pre-shuffles once at write time so
     * later equi-joins/aggregations on the bucket key plan with NO exchange
     * (co-located partitions). The at-scale answer to "this join shuffles
