@@ -53,13 +53,13 @@ object Dedup {
     * scales (one shuffle on the doc id, partial aggregation map-side). */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
       shingleW: Int, k: Int): DataFrame = {
-    // One string hash per shingle, then k fixed-width long re-hashes
-    // (xxhash64 over 8 bytes) — far cheaper than k string hashes, and no
-    // 64-bit multiply that ANSI mode would reject on overflow.
+    // Native ShingleHashes (one hash per token, windows combined as longs),
+    // then k fixed-width long re-hashes per shingle — no w-gram strings are
+    // ever materialized, and no 64-bit multiply that ANSI mode would reject.
     val exploded = df
       .select(col(idCol).as("id"),
-        explode(array_distinct(shingles(TextAnalysis.tokens(col(textCol)), shingleW))).as("s"))
-      .withColumn("h", xxhash64(col("s")))
+        explode(array_distinct(graft.functions.ShingleFunctions
+          .shingle_hashes(TextAnalysis.tokens(col(textCol)), shingleW))).as("h"))
     val minCols = (0 until k).map(j => min(xxhash64(lit(j), col("h"))).as(s"m$j"))
     exploded.groupBy(col("id"))
       .agg(minCols.head, minCols.tail: _*)
@@ -95,7 +95,8 @@ object Dedup {
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b")).distinct()
     val sh = df.select(col(idCol).as("jid"),
-      array_distinct(shingles(TextAnalysis.tokens(col(textCol)), shingleW)).as("jsh"))
+      array_distinct(graft.functions.ShingleFunctions
+        .shingle_hashes(TextAnalysis.tokens(col(textCol)), shingleW)).as("jsh"))
     cand
       .join(sh.select(col("jid").as("id_a"), col("jsh").as("sh_a")), Seq("id_a"))
       .join(sh.select(col("jid").as("id_b"), col("jsh").as("sh_b")), Seq("id_b"))

@@ -34,19 +34,35 @@ object TextAnalysis {
 
   /** Per-document quality metrics (length / punctuation / stopword / alpha
     * ratios) + a composite score in [0,1]. Heuristics follow the C4/Gopher
-    * quality-filter style (ratio thresholds), computed relationally. */
-  def qualityMetrics(df: DataFrame, textCol: String = "text"): DataFrame = {
+    * quality-filter style (ratio thresholds).
+    *
+    * Shape: ONE explode + codegen'd grouped aggregate for all token-level
+    * counts, joined back to per-row (regex) character counts. A
+    * `withColumn` tower of `size(filter(tokens(...)))` expressions would
+    * re-inline — and re-evaluate, interpreted — the tokenizer once per
+    * derived column after projection collapse; this way tokenization runs
+    * exactly once per document. `sum(length(token))` equals the non-space
+    * character count because tokens are exactly the maximal non-space runs.
+    */
+  def qualityMetrics(df: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
     val t = col(textCol)
-    val toks = tokens(t)
-    df.withColumn("char_len", length(t))
-      .withColumn("token_cnt", size(toks))
+    val tokStats = df
+      .select(col(idCol).as("__qid"), explode_outer(tokens(t)).as("tok"))
+      .groupBy(col("__qid"))
+      .agg(count(col("tok")).cast("int").as("token_cnt"),
+        coalesce(sum(length(col("tok"))), lit(0L)).as("nonspace_len"),
+        coalesce(sum(when(lower(col("tok")).isin(stopwords: _*), 1)
+          .otherwise(0)), lit(0L)).cast("int").as("stopword_cnt"))
+    df.join(tokStats, col(idCol) === col("__qid"), "left").drop("__qid")
+      .withColumn("char_len", length(t))
       .withColumn("avg_token_len",
-        when(size(toks) > 0, length(regexp_replace(t, "\\s+", "")).cast("double") / size(toks))
+        when(col("token_cnt") > 0,
+          col("nonspace_len").cast("double") / col("token_cnt"))
           .otherwise(lit(0.0)))
-      .withColumn("stopword_cnt",
-        size(filter(toks, w => lower(w).isin(stopwords: _*))))
       .withColumn("stopword_ratio",
-        when(size(toks) > 0, col("stopword_cnt").cast("double") / size(toks))
+        when(col("token_cnt") > 0,
+          col("stopword_cnt").cast("double") / col("token_cnt"))
           .otherwise(lit(0.0)))
       .withColumn("punct_cnt",
         length(t) - length(regexp_replace(t, "[\\p{Punct}]", "")))
@@ -63,6 +79,7 @@ object TextAnalysis {
             + lit(0.3) * col("alpha_ratio")
             + lit(0.2) * least(col("stopword_ratio") * 5.0, lit(1.0))
             + lit(0.1) * (lit(1.0) - least(col("punct_ratio") * 5.0, lit(1.0))))), 6))
+      .drop("nonspace_len")
   }
 
   private val profiles: Seq[(String, Seq[String])] = Seq(
@@ -73,20 +90,27 @@ object TextAnalysis {
 
   /** N-gram/stopword-profile language ID: score = count of profile words
     * present, argmax wins ("und" beats "the" counts etc.); ties resolve in
-    * profile order; no profile hit -> "unknown". Pure per-row heuristic. */
+    * profile order; no profile hit -> "unknown". Single explode + one
+    * grouped aggregate for all profiles (same rationale as
+    * [[qualityMetrics]]: tokenize once, count codegen'd). */
   def languageId(df: DataFrame, textCol: String = "text",
-      outCol: String = "predicted_lang"): DataFrame = {
-    val toks = tokens(lower(col(textCol)))
-    val scored = profiles.foldLeft(df) { case (d, (lang, words)) =>
-      d.withColumn(s"score_$lang", size(filter(toks, w => w.isin(words: _*))))
+      outCol: String = "predicted_lang", idCol: String = "doc_id"): DataFrame = {
+    val scoreCols = profiles.map { case (lang, words) =>
+      coalesce(sum(when(col("tok").isin(words: _*), 1).otherwise(0)), lit(0L))
+        .cast("int").as(s"score_$lang")
     }
+    val scored = df
+      .select(col(idCol).as("__lid"), explode_outer(tokens(lower(col(textCol)))).as("tok"))
+      .groupBy(col("__lid"))
+      .agg(scoreCols.head, scoreCols.tail: _*)
     val best = profiles.map(_._1).foldRight(lit("unknown")) { (lang, els) =>
       when(col(s"score_$lang") > 0 &&
         profiles.map(_._1).filter(_ != lang)
           .map(o => col(s"score_$lang") >= col(s"score_$o"))
           .reduce(_ && _), lit(lang)).otherwise(els)
     }
-    scored.withColumn(outCol, best)
+    df.join(scored, col(idCol) === col("__lid"), "left").drop("__lid")
+      .withColumn(outCol, best)
       .drop(profiles.map(p => s"score_${p._1}"): _*)
   }
 
@@ -100,8 +124,8 @@ object TextAnalysis {
       textCol: String = "text", w: Int = 8): DataFrame = {
     val fps = df
       .select(col(idCol).as("fp_id"),
-        explode(Dedup.shingles(tokens(col(textCol)), w)).as("s"))
-      .withColumn("h", xxhash64(col("s")))
+        explode(graft.functions.ShingleFunctions
+          .shingle_hashes(tokens(col(textCol)), w)).as("h"))
       .groupBy(col("fp_id"))
       .agg(min(col("h")).as("fp_min"), max(col("h")).as("fp_max"),
         expr("bit_xor(h)").as("fp_xor"))
