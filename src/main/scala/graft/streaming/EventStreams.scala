@@ -86,6 +86,28 @@ object EventStreams {
       }
   }
 
+  /** Streaming quality gate: the reference's batch quality phase
+    * (extract -> checks -> gate) applied per micro-batch via foreachBatch.
+    * Passing batches append to `goodPath`; failing batches quarantine to
+    * `badPath` instead of poisoning the good table (streams can't "abort
+    * the run" the way the batch gate does). Check execution inherits the
+    * single-pass fused aggregates of [[graft.quality.DataQuality]]. */
+  def qualityGatedParquetSink(df: DataFrame,
+      cfg: graft.quality.DataQuality.QualityConfig,
+      goodPath: String, badPath: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    df.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (batch.isEmpty) ()
+        else {
+          val qr = graft.quality.DataQuality.runAllChecks(batch, cfg)
+          val target = if (qr.overallPassed) goodPath else badPath
+          batch.write.mode("append").parquet(target)
+        }
+      }
+      .start()
+
   /** Streaming sink helper: append to a parquet path with a checkpoint —
     * the streaming analogue of Sinks.writePartitioned. */
   def startParquetSink(df: DataFrame, path: String, checkpoint: String,

@@ -32,6 +32,26 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("qualityGatedParquetSink routes passing batches to good, failing to quarantine") {
+    import java.nio.file.Files
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("graft_qgate").toString
+    val cfg = graft.quality.DataQuality.QualityConfig(
+      tableName = "events", requiredColumns = Seq("event_type"),
+      keyColumns = Seq("event_id"), rangeChecks = Map("value" -> ((0.0, 100.0))))
+    val input = MemoryStream[Event]
+    val q = EventStreams.qualityGatedParquetSink(input.toDF(), cfg,
+      s"$dir/good", s"$dir/bad", s"$dir/ckpt")
+    try {
+      input.addData(Event(1, ts("2024-01-01 10:00:00"), 1, "click", 5.0))
+      q.processAllAvailable()
+      input.addData(Event(2, ts("2024-01-01 10:01:00"), 1, "click", 500.0)) // out of range
+      q.processAllAvailable()
+      assert(spark.read.parquet(s"$dir/good").count() == 1)
+      assert(spark.read.parquet(s"$dir/bad").count() == 1)
+    } finally q.stop()
+  }
+
   test("sessionize closes a session on gap and keeps one open session per user") {
     implicit val s = spark
     implicit val sqlCtx = spark.sqlContext
