@@ -148,6 +148,56 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("hamming"))
   }
 
+  /** Resolve near-duplicate PAIRS into duplicate CLUSTERS (connected
+    * components) by iterative min-label propagation: every node repeatedly
+    * takes the minimum cluster id among itself and its neighbors.
+    * Label sums are monotonically non-increasing, so convergence is
+    * detected with one cheap aggregate per iteration; duplicate clusters
+    * are near-always tiny, so this converges in a handful of rounds
+    * (maxIter bounds pathological chains). Each iteration is one join +
+    * one grouped min — shuffle-bounded, no driver-side graph. */
+  def resolveClusters(pairs: DataFrame, idA: String = "id_a",
+      idB: String = "id_b", maxIter: Int = 10): DataFrame = {
+    val spark = pairs.sparkSession
+    val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
+      .unionByName(pairs.select(col(idB).as("src"), col(idA).as("dst")))
+      .distinct()
+      .persist()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("cluster_id", col("id"))
+      .persist()
+    var prevSum = labels.agg(sum("cluster_id")).head().getLong(0)
+    var i = 0
+    var converged = false
+    while (i < maxIter && !converged) {
+      val nbrMin = edges
+        .join(labels.select(col("id").as("dst"), col("cluster_id").as("nbr")), Seq("dst"))
+        .groupBy(col("src").as("id")).agg(min("nbr").as("nbr_min"))
+      val updated = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id")))
+            .as("cluster_id"))
+        .persist()
+      val newSum = updated.agg(sum("cluster_id")).head().getLong(0)
+      labels.unpersist()
+      labels = updated
+      converged = newSum == prevSum
+      prevSum = newSum
+      i += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
+  /** Surviving corpus after cluster dedup: for every duplicate cluster keep
+    * only the min-id member; rows never seen in a pair survive untouched. */
+  def dedupByClusters(df: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
+    val losers = resolveClusters(pairs)
+      .filter(col("id") =!= col("cluster_id"))
+      .select(col("id").as("__loser"))
+    df.join(losers, col(idCol) === col("__loser"), "left_anti")
+  }
+
   /** Exact n-gram Jaccard similarity for explicit candidate pairs
     * (verification primitive used after any LSH stage). */
   def ngramJaccard(pairs: DataFrame, docs: DataFrame, idCol: String,

@@ -73,13 +73,26 @@ object Similarity {
       })
 
   /** LSH-bucketed ANN: restrict scoring to vectors sharing the query's
-    * `planes`-bit SRP bucket, then exact cosine re-rank. Falls back to fewer
-    * candidates than k when the bucket is small (recall/latency trade). */
+    * `planes`-bit SRP bucket, then exact cosine re-rank. with `multiProbe`
+    * the query additionally searches every bucket one hyperplane-flip away
+    * (multi-probe LSH, hamming radius 1): near-neighbors that landed just
+    * across one hyperplane are recovered at the cost of a (planes+1)x
+    * larger candidate set — the standard recall/latency dial. The probe
+    * set explodes on the (broadcast) query side, so the corpus still
+    * equi-joins on its single bucket id. */
   def lshKnn(df: DataFrame, queryVec: DataFrame, idCol: String,
-      vecCol: String, k: Int, planes: Int = 8): DataFrame = {
+      vecCol: String, k: Int, planes: Int = 8,
+      multiProbe: Boolean = true): DataFrame = {
     val bucketed = df.withColumn("bucket", srpSignature(col(vecCol), planes))
-    val q = queryVec.withColumn("qbucket", srpSignature(col("qvec"), planes))
-    bucketed.join(broadcast(q), col("bucket") === col("qbucket"))
+    val flips: Seq[Long] = 0L +: (0 until planes).map(b => 1L << b)
+    val probeBuckets: Column => Column = qb =>
+      if (!multiProbe) array(qb)
+      else array_distinct(array(flips.map(f => qb.bitwiseXOR(lit(f))): _*))
+    val q = queryVec
+      .withColumn("qbucket", srpSignature(col("qvec"), planes))
+      .withColumn("bucket", explode(probeBuckets(col("qbucket"))))
+      .drop("qbucket")
+    bucketed.join(broadcast(q), Seq("bucket"))
       .withColumn("cosine_sim", round(cosine(col(vecCol), col("qvec")), 6))
       .orderBy(col("cosine_sim").desc, col(idCol))
       .select(col(idCol), col("cosine_sim"))

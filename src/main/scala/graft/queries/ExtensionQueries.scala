@@ -105,6 +105,32 @@ object ExtensionQueries {
       Similarity.lshKnn(emb, q, "vec_id", "embedding", 20, planes = 6)
     }),
 
+    // BPE-ish subword-count estimate (Java-regex lookarounds, not
+    // RE2-expressible -> rows-only check)
+    "x14_subword_count" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("token_cnt"),
+        TextAnalysis.subwordCount(col("text")).cast("long").as("subword_cnt"))),
+
+    // Duplicate-cluster resolution over LSH pairs (connected components;
+    // rows-only check)
+    "x12_dedup_clusters" -> ((s, dir) => {
+      val corpus = nearDupCorpus(t(s, dir, "documents"))
+      val pairs = Dedup.minhashLshPairs(corpus, "doc_id", "text",
+        shingleW = 3, k = 32, bands = 8, threshold = 0.4)
+      Dedup.resolveClusters(pairs).orderBy(col("id"))
+    }),
+
+    // Per-vector stats via the native vector expressions (oracle-checked)
+    "x13_embedding_stats" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      emb.select(col("vec_id"), size(col("embedding")).as("dim"),
+        round(sqrt(Similarity.dot(col("embedding"), col("embedding"))), 6).as("l2_norm"),
+        round(Similarity.dot(col("embedding"),
+          array_repeat(lit(1.0), 64)) / size(col("embedding")), 6).as("vec_mean"),
+        col("label"))
+    }),
+
     // Multimodal plumbing: binary payload + metadata -> partition-batched
     // feature extraction (decode stubbed; rows-only check)
     "x11_multimodal" -> ((s, dir) => {
@@ -204,6 +230,13 @@ object ExtensionQueries {
         |FROM pairs p
         |JOIN sh a ON a.doc_id = p.id_a
         |JOIN sh b ON b.doc_id = p.id_b""".stripMargin,
+
+    "x13_embedding_stats" ->
+      """SELECT vec_id, CAST(len(embedding) AS INT) AS dim,
+        |  ROUND(sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x))), 6) AS l2_norm,
+        |  ROUND(list_sum(CAST(embedding AS DOUBLE[])) / len(embedding), 6) AS vec_mean,
+        |  label
+        |FROM embeddings""".stripMargin,
 
     "x09_knn_bruteforce" ->
       """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qvec FROM embeddings WHERE vec_id = 0),

@@ -57,6 +57,17 @@ class DedupSpec extends SparkSpec {
     assert(pairs.exists(p => p._1 == 1L && p._2 == 2L && p._3 == 0))
   }
 
+  test("resolveClusters merges transitive chains; dedupByClusters keeps min-id survivors") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")
+    val clusters = Dedup.resolveClusters(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(clusters == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 6L -> 5L))
+    val corpus = Seq(1L, 2L, 3L, 4L, 5L, 6L).toDF("doc_id")
+    val survivors = Dedup.dedupByClusters(corpus, "doc_id", pairs)
+      .as[Long].collect().toSet
+    assert(survivors == Set(1L, 4L, 5L)) // cluster mins + untouched 4
+  }
+
   test("ngramJaccard computes exact overlap for explicit pairs") {
     val pairs = Seq((1L, 2L)).toDF("id_a", "id_b")
     val j = Dedup.ngramJaccard(pairs, docs, "doc_id", "text", n = 3)
@@ -95,9 +106,19 @@ class SimilaritySpec extends SparkSpec {
 
   test("identical-direction vectors share SRP bucket; query finds them via lshKnn") {
     val q = vecs.filter($"vec_id" === 0).select($"embedding".as("qvec"))
-    val found = Similarity.lshKnn(vecs, q, "vec_id", "embedding", 5, planes = 4)
+    val found = Similarity.lshKnn(vecs, q, "vec_id", "embedding", 5,
+      planes = 4, multiProbe = false)
       .select("vec_id").as[Long].collect().toSet
     assert(found.contains(0L) && found.contains(1L)) // same signature as query
+  }
+
+  test("multi-probe widens the candidate set (recall >= exact-bucket recall)") {
+    val q = vecs.filter($"vec_id" === 0).select($"embedding".as("qvec"))
+    val exact = Similarity.lshKnn(vecs, q, "vec_id", "embedding", 5,
+      planes = 4, multiProbe = false).select("vec_id").as[Long].collect().toSet
+    val probed = Similarity.lshKnn(vecs, q, "vec_id", "embedding", 5,
+      planes = 4, multiProbe = true).select("vec_id").as[Long].collect().toSet
+    assert(exact.subsetOf(probed))
   }
 }
 
