@@ -1,0 +1,34 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+
+import graft.functions.{CosineSimilarity, DotProduct, ShingleHashes}
+
+/** Session-extensions entry point: registers graft's native expressions as
+  * SQL functions at session build time, so a deployment can enable them
+  * cluster-wide with
+  * `--conf spark.sql.extensions=graft.GraftExtensions`
+  * (or `SparkSession.builder().withExtensions(new GraftExtensions)`).
+  * Library users on the Column API can ignore this and use
+  * [[graft.functions.VectorFunctions]] / [[graft.functions.ShingleFunctions]]
+  * directly.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction((
+      FunctionIdentifier("cosine_sim"),
+      new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
+      exprs => CosineSimilarity(exprs.head, exprs(1))))
+    e.injectFunction((
+      FunctionIdentifier("dot_product"),
+      new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
+      exprs => DotProduct(exprs.head, exprs(1))))
+    e.injectFunction((
+      FunctionIdentifier("shingle_hashes"),
+      new ExpressionInfo(classOf[ShingleHashes].getName, "shingle_hashes"),
+      exprs => ShingleHashes(exprs.head,
+        exprs(1).eval(null).asInstanceOf[Int])))
+  }
+}
