@@ -350,6 +350,29 @@ object ParityQueries {
           sum(col("value").cast("decimal(18,2)")).cast("decimal(38,2)").as("session_value"))
     }),
 
+    // Holistic aggregate: exact interpolated percentiles per group (the
+    // sort-based aggregate class; at 100 TB swap for approx_percentile —
+    // same plan shape, bounded state)
+    "q21_percentiles" -> ((s, dir) =>
+      events(s, dir)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          expr("percentile(value, array(0.5, 0.9, 0.99))").as("pct"))
+        .select(col("event_type"), col("n"),
+          round(element_at(col("pct"), 1), 6).as("p50"),
+          round(element_at(col("pct"), 2), 6).as("p90"),
+          round(element_at(col("pct"), 3), 6).as("p99"))),
+
+    // Grouping sets: ROLLUP with GROUPING() disambiguation (beyond the
+    // reference's flat groupBy — completes the aggregation surface)
+    "q22_rollup" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("l_quantity").cast("decimal(18,2)")).cast("decimal(38,2)").as("sum_qty"),
+          count(lit(1)).as("n"),
+          grouping(col("l_returnflag")).cast("int").as("g_rf"),
+          grouping(col("l_linestatus")).cast("int").as("g_ls"))),
+
     // Flagship: the full reference transaction pipeline over adapted events
     "q17_transaction_pipeline" -> ((s, dir) =>
       TransactionTransform.all(eventsAsTransactions(events(s, dir)))
@@ -535,6 +558,21 @@ object ParityQueries {
         |  max(es) - min(es) AS duration_s,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS session_value
         |FROM t GROUP BY user_id, session_seq""".stripMargin,
+
+    "q21_percentiles" ->
+      """SELECT event_type, count(*) AS n,
+        |  ROUND(quantile_cont(value, 0.5), 6) AS p50,
+        |  ROUND(quantile_cont(value, 0.9), 6) AS p90,
+        |  ROUND(quantile_cont(value, 0.99), 6) AS p99
+        |FROM events GROUP BY event_type""".stripMargin,
+
+    "q22_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
+        |  count(*) AS n,
+        |  CAST(CASE WHEN GROUPING(l_returnflag) > 0 THEN 1 ELSE 0 END AS INT) AS g_rf,
+        |  CAST(CASE WHEN GROUPING(l_linestatus) > 0 THEN 1 ELSE 0 END AS INT) AS g_ls
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin,
 
     "q17_transaction_pipeline" -> (txSql +
       """
