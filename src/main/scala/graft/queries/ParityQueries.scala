@@ -350,6 +350,31 @@ object ParityQueries {
           sum(col("value").cast("decimal(18,2)")).cast("decimal(38,2)").as("session_value"))
     }),
 
+    // As-of join (window-composed; oracle = DuckDB's native ASOF JOIN):
+    // each purchase gets the most recent error at-or-before it per user
+    "q23_asof_join" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val left = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val right = ev.filter(col("event_type") === "error")
+        .select(col("user_id"), col("ts"), col("event_id").as("right_event_id"))
+      graft.ops.AsOf.join(left, right, "user_id", "ts")
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("asof_ts"), col("asof_right_event_id"),
+          (unix_timestamp(col("ts")) - unix_timestamp(col("asof_ts"))).as("gap_s"))
+    }),
+
+    // Set operations: UNION / INTERSECT / EXCEPT (distinct semantics)
+    "q24_setops" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val a = o.filter(col("o_totalprice") > 300000).select(col("o_custkey"))
+      val b = o.filter(col("o_orderpriority") === "1-URGENT").select(col("o_custkey"))
+      a.intersect(b).select(lit("intersect").as("op"), col("o_custkey"))
+        .unionByName(a.except(b).select(lit("except").as("op"), col("o_custkey")))
+        .unionByName(a.union(b).distinct()
+          .select(lit("union").as("op"), col("o_custkey")))
+    }),
+
     // Holistic aggregate: exact interpolated percentiles per group (the
     // sort-based aggregate class; at 100 TB swap for approx_percentile —
     // same plan shape, bounded state)
@@ -558,6 +583,34 @@ object ParityQueries {
         |  max(es) - min(es) AS duration_s,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS session_value
         |FROM t GROUP BY user_id, session_seq""".stripMargin,
+
+    "q23_asof_join" ->
+      """WITH purchases AS (
+        |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+        |errors AS (
+        |  SELECT user_id, ts AS r_ts, event_id AS right_event_id
+        |  FROM events WHERE event_type = 'error')
+        |SELECT p.event_id, p.user_id, p.ts,
+        |  e.r_ts AS asof_ts, e.right_event_id AS asof_right_event_id,
+        |  CAST(floor(epoch(p.ts)) AS BIGINT) - CAST(floor(epoch(e.r_ts)) AS BIGINT) AS gap_s
+        |FROM purchases p
+        |ASOF LEFT JOIN errors e ON p.user_id = e.user_id AND p.ts >= e.r_ts""".stripMargin,
+
+    "q24_setops" ->
+      """SELECT 'intersect' AS op, o_custkey FROM (
+        |  SELECT o_custkey FROM orders WHERE o_totalprice > 300000
+        |  INTERSECT
+        |  SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+        |UNION ALL
+        |SELECT 'except', o_custkey FROM (
+        |  SELECT o_custkey FROM orders WHERE o_totalprice > 300000
+        |  EXCEPT
+        |  SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+        |UNION ALL
+        |SELECT 'union', o_custkey FROM (
+        |  SELECT o_custkey FROM orders WHERE o_totalprice > 300000
+        |  UNION
+        |  SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')""".stripMargin,
 
     "q21_percentiles" ->
       """SELECT event_type, count(*) AS n,
