@@ -375,6 +375,25 @@ object ParityQueries {
           .select(lit("union").as("op"), col("o_custkey")))
     }),
 
+    // Range join: lineitem prices into non-uniform price bands via the
+    // binned equi-join shape (never a nested loop)
+    "q25_range_join" -> ((s, dir) => {
+      import s.implicits._
+      val bands = Seq(
+        ("bargain", 0.0, 5000.0), ("low", 5000.0, 20000.0),
+        ("mid", 20000.0, 60000.0), ("high", 60000.0, 95000.0),
+        ("lux", 95000.0, 200000.0))
+        .toDF("band", "lo", "hi")
+      graft.ops.RangeJoin.pointInInterval(
+        t(s, dir, "lineitem").select(col("l_orderkey"), col("l_linenumber"),
+          col("l_extendedprice")),
+        "l_extendedprice", bands, "lo", "hi", binWidth = 20000.0)
+        .groupBy(col("band"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("decimal(38,2)").as("band_total"))
+    }),
+
     // Holistic aggregate: exact interpolated percentiles per group (the
     // sort-based aggregate class; at 100 TB swap for approx_percentile —
     // same plan shape, bounded state)
@@ -583,6 +602,17 @@ object ParityQueries {
         |  max(es) - min(es) AS duration_s,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS session_value
         |FROM t GROUP BY user_id, session_seq""".stripMargin,
+
+    "q25_range_join" ->
+      """WITH bands(band, lo, hi) AS (VALUES
+        |  ('bargain', 0.0, 5000.0), ('low', 5000.0, 20000.0),
+        |  ('mid', 20000.0, 60000.0), ('high', 60000.0, 95000.0),
+        |  ('lux', 95000.0, 200000.0))
+        |SELECT b.band, count(*) AS n,
+        |  CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS band_total
+        |FROM lineitem l JOIN bands b
+        |  ON l.l_extendedprice >= b.lo AND l.l_extendedprice < b.hi
+        |GROUP BY b.band""".stripMargin,
 
     "q23_asof_join" ->
       """WITH purchases AS (

@@ -37,3 +37,22 @@ class AsOfSpec extends SparkSpec {
     assert(AsOf.join(trades, quotes, "sym", "ts").count() == trades.count())
   }
 }
+
+class RangeJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("binned range join equals the naive non-equi join, half-open bounds") {
+    val points = Seq((1L, 4.0), (2L, 10.0), (3L, 20.0), (4L, 99.0), (5L, -3.0))
+      .toDF("id", "x")
+    val intervals = Seq(("a", 0.0, 10.0), ("b", 10.0, 30.0), ("c", 15.0, 25.0))
+      .toDF("name", "lo", "hi")
+    val binned = graft.ops.RangeJoin
+      .pointInInterval(points, "x", intervals, "lo", "hi", binWidth = 7.0)
+      .select("id", "name").as[(Long, String)].collect().toSet
+    val naive = points.join(intervals, $"x" >= $"lo" && $"x" < $"hi")
+      .select("id", "name").as[(Long, String)].collect().toSet
+    assert(binned == naive)
+    assert(binned == Set((1L, "a"), (2L, "b"), (3L, "b"), (3L, "c")))
+    // boundary: x=10 excluded from [0,10) but included in [10,30); x=-3 nowhere
+  }
+}
