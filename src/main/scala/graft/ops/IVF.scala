@@ -1,0 +1,97 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** IVF (inverted-file) approximate nearest neighbor: k-means-partition the
+  * corpus into `nc` lists, search only the `nprobe` lists nearest the
+  * query. The centroid set is tiny driver state (nc x dim doubles — the
+  * same shape every production IVF keeps), so:
+  *  - training iterations broadcast centroids as literals and compute
+  *    assignments with the native [[graft.functions.CosineSimilarity]]
+  *    expression — one codegen'd pass per iteration, no joins;
+  *  - the corpus is assigned once (a narrow column), and a search prunes to
+  *    `nprobe` lists before exact re-ranking — the at-scale path when the
+  *    corpus stops being scannable per query. Partitioning/bucketing the
+  *    stored corpus by `centroid_id` turns that pruning into file skipping.
+  *
+  * Deterministic: initial centroids are the `nc` lowest-id vectors and
+  * Lloyd's iterations are fixed-count (`iters`), so results are stable
+  * across runs and engines.
+  */
+object IVF {
+
+  final case class Model(centroids: Array[Array[Double]]) {
+    def nc: Int = centroids.length
+  }
+
+  private def toDouble(vec: Column): Column =
+    transform(vec, x => x.cast("double"))
+
+  private def cosineToLit(vec: Column, c: Array[Double]): Column =
+    graft.functions.VectorFunctions.cosine_sim(vec,
+      array(c.map(lit): _*))
+
+  /** Nearest-centroid id for a vector column given literal centroids. */
+  private def assignExpr(vec: Column, centroids: Array[Array[Double]]): Column = {
+    val scored = centroids.zipWithIndex.map { case (c, i) =>
+      struct(cosineToLit(vec, c).as("cos"), lit(i).as("cid"))
+    }
+    // array_max on struct orders lexicographically: best cosine, then
+    // highest cid — deterministic tie-break
+    array_max(array(scored: _*)).getField("cid")
+  }
+
+  /** Train `nc` centroids with `iters` Lloyd's iterations (cosine metric,
+    * mean recombination). Collects only (nc x dim) doubles per iteration. */
+  def train(emb: DataFrame, idCol: String, vecCol: String,
+      nc: Int = 16, iters: Int = 5): Model = {
+    val dvec = toDouble(col(vecCol))
+    var centroids: Array[Array[Double]] = emb
+      .orderBy(col(idCol)).limit(nc)
+      .select(dvec.as("v")).collect()
+      .map(_.getSeq[Double](0).toArray)
+    var it = 0
+    while (it < iters) {
+      val assigned = emb.select(dvec.as("v"),
+        assignExpr(dvec, centroids).as("cid"))
+      val means = assigned
+        .select(col("cid"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy(col("cid"), col("pos")).agg(avg(col("x")).as("m"))
+        .groupBy(col("cid"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+          s => s.getField("m")).as("centroid"))
+        .collect()
+        .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).toMap
+      centroids = centroids.indices
+        .map(i => means.getOrElse(i, centroids(i))).toArray
+      it += 1
+    }
+    Model(centroids)
+  }
+
+  /** Corpus assignment: adds `centroid_id` (partition/bucket by it when
+    * persisting the index). */
+  def assign(emb: DataFrame, vecCol: String, model: Model): DataFrame =
+    emb.withColumn("centroid_id", assignExpr(toDouble(col(vecCol)), model.centroids))
+
+  /** ANN search: probe the `nprobe` centroid lists nearest to the query,
+    * exact cosine re-rank inside them. `assigned` is the [[assign]] output
+    * (precomputed once per corpus, reused across queries). */
+  def search(assigned: DataFrame, queryVec: DataFrame, idCol: String,
+      vecCol: String, model: Model, k: Int, nprobe: Int = 4): DataFrame = {
+    val q = queryVec.head().getSeq[Any](0).map(_.toString.toDouble).toArray
+    val probeIds = model.centroids.zipWithIndex.map { case (c, i) =>
+      val dot = c.zip(q).map { case (a, b) => a * b }.sum
+      val denom = math.sqrt(c.map(x => x * x).sum) * math.sqrt(q.map(x => x * x).sum)
+      (if (denom > 0) dot / denom else 0.0, i)
+    }.sortBy(-_._1).take(nprobe).map(_._2).toSeq
+    assigned.filter(col("centroid_id").isin(probeIds: _*))
+      .crossJoin(broadcast(queryVec))
+      .withColumn("cosine_sim",
+        round(Similarity.cosine(col(vecCol), col("qvec")), 6))
+      .orderBy(col("cosine_sim").desc, col(idCol))
+      .select(col(idCol), col("cosine_sim"))
+      .limit(k)
+  }
+}

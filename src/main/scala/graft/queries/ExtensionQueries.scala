@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.ops.{Dedup, IVF, Multimodal, Similarity, TextAnalysis}
 
 /** Oracle-checked / rows-checked query surface for the training-data-pipeline
   * extension operators (dedup, similarity search, text analysis) over the
@@ -129,6 +129,15 @@ object ExtensionQueries {
         round(Similarity.dot(col("embedding"),
           array_repeat(lit(1.0), 64)) / size(col("embedding")), 6).as("vec_mean"),
         col("label"))
+    }),
+
+    // IVF ANN: k-means lists + nprobe search (rows-only check)
+    "x15_knn_ivf" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val model = IVF.train(emb, "vec_id", "embedding", nc = 16, iters = 3)
+      val assigned = IVF.assign(emb, "embedding", model)
+      val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qvec"))
+      IVF.search(assigned, q, "vec_id", "embedding", model, k = 20, nprobe = 4)
     }),
 
     // Multimodal plumbing: binary payload + metadata -> partition-batched

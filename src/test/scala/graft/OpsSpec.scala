@@ -112,6 +112,25 @@ class SimilaritySpec extends SparkSpec {
     assert(found.contains(0L) && found.contains(1L)) // same signature as query
   }
 
+  test("IVF: nprobe=nc reproduces brute force exactly; small nprobe keeps high recall") {
+    val spark2 = spark
+    val emb = spark2.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val model = graft.ops.IVF.train(emb, "vec_id", "embedding", nc = 8, iters = 3)
+    assert(model.centroids.length == 8 && model.centroids.head.length == 64)
+    val assigned = graft.ops.IVF.assign(emb, "embedding", model)
+    assert(assigned.select("centroid_id").distinct().count() > 1)
+    val q = emb.filter($"vec_id" === 0).select($"embedding".as("qvec"))
+    val brute = Similarity.bruteForceKnn(emb, q, "vec_id", "embedding", 10)
+      .select("vec_id").as[Long].collect().toSeq
+    val full = graft.ops.IVF.search(assigned, q, "vec_id", "embedding", model, 10, nprobe = 8)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(full == brute) // probing every list IS brute force
+    val probed = graft.ops.IVF.search(assigned, q, "vec_id", "embedding", model, 10, nprobe = 3)
+      .select("vec_id").as[Long].collect().toSet
+    val recall = brute.count(probed.contains).toDouble / brute.size
+    assert(recall >= 0.5, s"recall=$recall")
+  }
+
   test("multi-probe widens the candidate set (recall >= exact-bucket recall)") {
     val q = vecs.filter($"vec_id" === 0).select($"embedding".as("qvec"))
     val exact = Similarity.lshKnn(vecs, q, "vec_id", "embedding", 5,
