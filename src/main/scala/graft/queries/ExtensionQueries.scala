@@ -131,6 +131,17 @@ object ExtensionQueries {
         col("label"))
     }),
 
+    // Deterministic stratified sampling (mixture weighting; mod path is
+    // oracle-checked, hash path covered by spec)
+    "x16_stratified_sample" -> ((s, dir) => {
+      val rate = when(col("lang") === "en", 0.5)
+        .when(col("lang") === "de", 0.25)
+        .otherwise(0.1)
+      graft.ops.Sampling.stratifiedSampleByMod(
+        t(s, dir, "documents"), "doc_id", rate, den = 100)
+        .select(col("doc_id"), col("lang"))
+    }),
+
     // IVF ANN: k-means lists + nprobe search (rows-only check)
     "x15_knn_ivf" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
@@ -239,6 +250,12 @@ object ExtensionQueries {
         |FROM pairs p
         |JOIN sh a ON a.doc_id = p.id_a
         |JOIN sh b ON b.doc_id = p.id_b""".stripMargin,
+
+    "x16_stratified_sample" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE doc_id % 100 < (CASE WHEN lang = 'en' THEN 0.5
+        |                           WHEN lang = 'de' THEN 0.25
+        |                           ELSE 0.1 END) * 100""".stripMargin,
 
     "x13_embedding_stats" ->
       """SELECT vec_id, CAST(len(embedding) AS INT) AS dim,

@@ -141,6 +141,32 @@ class SimilaritySpec extends SparkSpec {
   }
 }
 
+class SamplingSpec extends SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+
+  test("hash sampling is deterministic and rate-accurate; mod sampling is exact") {
+    val df = (0L until 10000L).toDF("id")
+    val half = graft.ops.Sampling
+      .stratifiedSampleByHash(df, "id", lit(0.5))
+    val n1 = half.count(); val n2 = half.count()
+    assert(n1 == n2) // rerun-stable
+    assert(math.abs(n1 - 5000L) < 300, s"n=$n1") // ~Binomial(10000, .5)
+    val mod = graft.ops.Sampling
+      .stratifiedSampleByMod(df, "id", lit(0.25), den = 100)
+    assert(mod.count() == 2500) // exact for full residue cycles
+  }
+
+  test("per-stratum rates apply independently") {
+    val df = (0L until 1000L).map(i => (i, if (i % 2 == 0) "a" else "b"))
+      .toDF("id", "k")
+    val rate = when($"k" === "a", 1.0).otherwise(0.0)
+    val out = graft.ops.Sampling.stratifiedSampleByMod(df, "id", rate)
+      .select("k").distinct().as[String].collect().toSeq
+    assert(out == Seq("a")) // rate-0 stratum fully excluded, rate-1 fully kept
+  }
+}
+
 class TextAnalysisSpec extends SparkSpec {
   import spark.implicits._
 
