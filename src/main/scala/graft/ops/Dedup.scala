@@ -158,15 +158,18 @@ object Dedup {
     * one grouped min — shuffle-bounded, no driver-side graph. */
   def resolveClusters(pairs: DataFrame, idA: String = "id_a",
       idB: String = "id_b", maxIter: Int = 10): DataFrame = {
-    val spark = pairs.sparkSession
-    val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
-      .unionByName(pairs.select(col(idB).as("src"), col(idA).as("dst")))
+    // cache the (possibly expensive) pair-generation subtree: the
+    // undirected-edge union would otherwise evaluate it twice
+    val p = pairs.persist()
+    val edges = p.select(col(idA).as("src"), col(idB).as("dst"))
+      .unionByName(p.select(col(idB).as("src"), col(idA).as("dst")))
       .distinct()
       .persist()
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("cluster_id", col("id"))
       .persist()
     var prevSum = labels.agg(sum("cluster_id")).head().getLong(0)
+    p.unpersist()
     var i = 0
     var converged = false
     while (i < maxIter && !converged) {
