@@ -91,7 +91,11 @@ class Orchestrator(spark: SparkSession, cfg: AppConfig,
         path
       case "redshift" =>
         // local stand-in for the staged warehouse upsert (K2): keyed merge
-        // into a parquet table named after target_table
+        // into a parquet table named after target_table. The merged frame
+        // READS the path it replaces, so it is written to a staging
+        // directory first and swapped in atomically — the same
+        // staging-then-swap discipline the reference uses warehouse-side
+        // (readshift_loader.py:68-92); never overwrite an input in place.
         val path = s"$outRoot/${spec.targetTable.getOrElse(name)}"
         val merged =
           if (spec.keyColumns.nonEmpty &&
@@ -99,12 +103,17 @@ class Orchestrator(spark: SparkSession, cfg: AppConfig,
             val target = spark.read.parquet(path)
             Sinks.upsert(target, df, spec.keyColumns)
           } else df
-        // upsert reads the target it overwrites: materialize via checkpoint-
-        // free local write to a temp dir then move is overkill locally; the
-        // merged frame is small enough to write through a cache
-        merged.persist(StorageLevel.MEMORY_AND_DISK).count()
-        Sinks.writePartitioned(merged, path, "overwrite", spec.partitionCols)
-        merged.unpersist()
+        val staging = s"${path}__staging"
+        Sinks.writePartitioned(merged, staging, "overwrite", spec.partitionCols)
+        val old = java.nio.file.Paths.get(s"${path}__old")
+        val p = java.nio.file.Paths.get(path)
+        if (java.nio.file.Files.exists(p)) {
+          java.nio.file.Files.move(p, old)
+          java.nio.file.Files.move(java.nio.file.Paths.get(staging), p)
+          org.apache.commons.io.FileUtils.deleteDirectory(old.toFile)
+        } else {
+          java.nio.file.Files.move(java.nio.file.Paths.get(staging), p)
+        }
         path
       case other =>
         throw new IllegalArgumentException(s"Unsupported target type: $other")
