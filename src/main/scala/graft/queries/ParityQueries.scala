@@ -375,6 +375,14 @@ object ParityQueries {
           .select(lit("union").as("op"), col("o_custkey")))
     }),
 
+    // Custom physical operator: top-k per group via bounded heaps
+    // (LogicalPlan + Strategy + SparkPlan ladder) — oracle is the window
+    // row_number formulation in DuckDB
+    "q26_topk_per_group" -> ((s, dir) =>
+      graft.plans.TopK.perGroup(
+        events(s, dir).select(col("event_id"), col("user_id"), col("value")),
+        Seq("user_id"), Seq(("value", false), ("event_id", true)), 3)),
+
     // Range join: lineitem prices into non-uniform price bands via the
     // binned equi-join shape (never a nested loop)
     "q25_range_join" -> ((s, dir) => {
@@ -602,6 +610,12 @@ object ParityQueries {
         |  max(es) - min(es) AS duration_s,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS session_value
         |FROM t GROUP BY user_id, session_seq""".stripMargin,
+
+    "q26_topk_per_group" ->
+      """SELECT event_id, user_id, value FROM (
+        |  SELECT event_id, user_id, value,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS rn
+        |  FROM events) WHERE rn <= 3""".stripMargin,
 
     "q25_range_join" ->
       """WITH bands(band, lo, hi) AS (VALUES

@@ -1,0 +1,39 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.plans.TopK
+
+class TopKPerGroupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val df = spark.range(0, 1000)
+    .select(col("id"), pmod(col("id"), lit(10)).as("g"),
+      pmod(xxhash64(col("id")), lit(97)).cast("double").as("v"))
+
+  test("custom operator matches the window row_number formulation exactly") {
+    val custom = TopK.perGroup(df, Seq("g"),
+      Seq(("v", false), ("id", true)), 5)
+      .select("g", "id").as[(Long, Long)].collect().toSet
+    val w = Window.partitionBy("g").orderBy(col("v").desc, col("id").asc)
+    val windowed = df.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .select("g", "id").as[(Long, Long)].collect().toSet
+    assert(custom == windowed && custom.size == 50)
+  }
+
+  test("k larger than the group returns the whole group") {
+    val out = TopK.perGroup(df.filter(col("g") === 3), Seq("g"),
+      Seq(("v", false), ("id", true)), 1000)
+    assert(out.count() == 100)
+  }
+
+  test("plans TopKPerGroupExec behind exactly one hash exchange") {
+    val plan = TopK.perGroup(df, Seq("g"), Seq(("v", false), ("id", true)), 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPerGroup")) // exec node renders without the Exec suffix
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1, plan)
+    assert(!plan.contains("Window"), "must not fall back to a window sort")
+  }
+}
