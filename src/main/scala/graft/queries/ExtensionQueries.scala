@@ -131,6 +131,15 @@ object ExtensionQueries {
         col("label"))
     }),
 
+    // Approximate-distinct sketches (HLL++; deterministic but algorithm-
+    // specific values -> rows-only, accuracy asserted in spec)
+    "x17_approx_distinct" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(approx_count_distinct(col("l_orderkey")).as("approx_orders"),
+          approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
+          countDistinct(col("l_orderkey")).as("exact_orders"))),
+
     // Deterministic stratified sampling (mixture weighting; mod path is
     // oracle-checked, hash path covered by spec)
     "x16_stratified_sample" -> ((s, dir) => {

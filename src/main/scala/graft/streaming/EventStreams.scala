@@ -86,6 +86,29 @@ object EventStreams {
       }
   }
 
+  /** Stream-stream interval join: each purchase joins the errors of the
+    * SAME user that occurred in the `windowSec` seconds before it. Both
+    * sides carry watermarks and the join condition bounds event-time
+    * distance, so Spark can expire join state — the unbounded-state trap
+    * of naive stream-stream joins is structurally avoided. */
+  def purchaseErrorJoin(events: DataFrame, watermark: String = "10 minutes",
+      windowSec: Long = 3600L): DataFrame = {
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", watermark)
+    val errors = events.filter(col("event_type") === "error")
+      .select(col("event_id").as("error_id"), col("user_id").as("err_user_id"),
+        col("ts").as("error_ts"))
+      .withWatermark("error_ts", watermark)
+    purchases.join(errors,
+      col("user_id") === col("err_user_id") &&
+        col("error_ts") >= col("purchase_ts") - expr(s"INTERVAL $windowSec SECONDS") &&
+        col("error_ts") <= col("purchase_ts"))
+      .select(col("purchase_id"), col("user_id"), col("purchase_ts"),
+        col("error_id"), col("error_ts"))
+  }
+
   /** Streaming quality gate: the reference's batch quality phase
     * (extract -> checks -> gate) applied per micro-batch via foreachBatch.
     * Passing batches append to `goodPath`; failing batches quarantine to

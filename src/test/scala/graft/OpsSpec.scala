@@ -141,6 +141,20 @@ class SimilaritySpec extends SparkSpec {
   }
 }
 
+class SketchSpec extends SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+
+  test("approx_count_distinct stays within its error bound vs exact") {
+    val df = (0L until 20000L).map(i => i % 7919).toDF("v")
+    val (approx, exact) = df
+      .agg(approx_count_distinct($"v", 0.02).as("a"), countDistinct($"v").as("e"))
+      .as[(Long, Long)].head()
+    assert(exact == 7919L)
+    assert(math.abs(approx - exact).toDouble / exact < 0.05, s"approx=$approx")
+  }
+}
+
 class SamplingSpec extends SparkSpec {
   import spark.implicits._
   import org.apache.spark.sql.functions._

@@ -32,6 +32,26 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join pairs purchases with same-user errors in the window") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val joined = EventStreams.purchaseErrorJoin(input.toDF(), "10 minutes", 3600L)
+    val q = joined.writeStream.format("memory").queryName("ssj")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(
+        Event(1, ts("2024-01-01 10:00:00"), 1, "error", 0.0),
+        Event(2, ts("2024-01-01 10:30:00"), 1, "purchase", 9.0), // error 30min before -> match
+        Event(3, ts("2024-01-01 08:00:00"), 2, "error", 0.0),
+        Event(4, ts("2024-01-01 10:30:00"), 2, "purchase", 9.0), // error 2.5h before -> no match
+        Event(5, ts("2024-01-01 10:29:00"), 3, "purchase", 9.0)) // other user's error -> no match
+      q.processAllAvailable()
+      val rows = spark.table("ssj")
+        .select("purchase_id", "error_id").as[(Long, Long)].collect().toSet
+      assert(rows == Set((2L, 1L)))
+    } finally q.stop()
+  }
+
   test("qualityGatedParquetSink routes passing batches to good, failing to quarantine") {
     import java.nio.file.Files
     implicit val sqlCtx = spark.sqlContext
