@@ -10,6 +10,20 @@ import graft.queries.{ExtensionQueries, ParityQueries}
   * SURVEY.md §2 via [[ParityQueries]], training-data-pipeline extensions via
   * [[ExtensionQueries]]); `oracleSql` holds the DuckDB equivalent for every
   * SQL-expressible query (xxhash64-based ops are rows-only by design).
+  * Full operator -> query -> check map: /root/repo/COVERAGE.md.
+  *
+  * Inventory (34 oracle-checked, 9 rows-only):
+  *  - q01-q16: scans, filters, CASE chains, datetime, windows (running/
+  *    lag/30-day range), grouped stats + broadcast join, anti-join
+  *    referential integrity, top-k, dup/null/range/quality checks, upsert,
+  *    string ops, CSV roundtrip
+  *  - q17: flagship — the reference's full transaction pipeline
+  *  - q18-q26: sessionization, session stats, percentiles, rollup, as-of
+  *    join (oracle = native DuckDB ASOF), set ops, binned range join,
+  *    custom TopKPerGroup physical operator (oracle = row_number)
+  *  - x01-x17: exact/MinHash/SimHash dedup + Jaccard + cluster resolution,
+  *    kNN (brute/SRP-LSH/IVF), token/quality/langid/fingerprint text ops,
+  *    multimodal features, embedding stats, stratified sampling, sketches
   */
 object SparkEntry {
 
