@@ -168,7 +168,9 @@ object Dedup {
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("cluster_id", col("id"))
       .persist()
-    var prevSum = labels.agg(sum("cluster_id")).head().getLong(0)
+    // coalesce: an empty pair set must yield an empty (not crashing) result
+    var prevSum = labels.agg(coalesce(sum("cluster_id"), lit(0L)))
+      .head().getLong(0)
     p.unpersist()
     var i = 0
     var converged = false
@@ -181,7 +183,8 @@ object Dedup {
           least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id")))
             .as("cluster_id"))
         .persist()
-      val newSum = updated.agg(sum("cluster_id")).head().getLong(0)
+      val newSum = updated.agg(coalesce(sum("cluster_id"), lit(0L)))
+        .head().getLong(0)
       labels.unpersist()
       labels = updated
       converged = newSum == prevSum

@@ -68,6 +68,13 @@ class DedupSpec extends SparkSpec {
     assert(survivors == Set(1L, 4L, 5L)) // cluster mins + untouched 4
   }
 
+  test("resolveClusters and dedupByClusters handle an empty pair set") {
+    val noPairs = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    assert(Dedup.resolveClusters(noPairs).count() == 0)
+    val out = Dedup.dedupByClusters(docs, "doc_id", noPairs)
+    assert(out.count() == docs.count()) // nothing to dedup -> untouched
+  }
+
   test("ngramJaccard computes exact overlap for explicit pairs") {
     val pairs = Seq((1L, 2L)).toDF("id_a", "id_b")
     val j = Dedup.ngramJaccard(pairs, docs, "doc_id", "text", n = 3)
