@@ -58,19 +58,11 @@ object Similarity {
       .limit(k)
 
   /** Sign-random-projection signature: bit j = sign of <v, plane_j> where
-    * plane_j[d] = +-1 from xxhash64(j, d). Packs `planes` bits into a long. */
+    * plane components are hash-derived +-1. Native expression
+    * ([[graft.functions.SrpSignature]]) — one primitive loop per row; the
+    * built-in composition needed planes x dim interpreted lambda calls. */
   def srpSignature(vec: Column, planes: Int): Column =
-    aggregate(
-      sequence(lit(0), lit(planes - 1)),
-      lit(0L),
-      (acc, j) => {
-        val proj = aggregate(
-          zip_with(vec, sequence(lit(0), size(vec) - 1),
-            (x, d) => x.cast("double") *
-              (shiftright(xxhash64(j, d), 17).bitwiseAND(1) * 2 - 1).cast("double")),
-          lit(0.0), (a2, x) => a2 + x)
-        acc + when(proj > 0, pow(lit(2.0), j).cast("long")).otherwise(lit(0L))
-      })
+    graft.functions.SrpFunctions.srp_signature(vec, planes)
 
   /** LSH-bucketed ANN: restrict scoring to vectors sharing the query's
     * `planes`-bit SRP bucket, then exact cosine re-rank. with `multiProbe`
