@@ -17,19 +17,27 @@ object Bench {
       SparkEntry.queries("q01_pricing_summary")(spark, sfDir).count()
     } catch { case _: Throwable => }
     import org.apache.spark.sql.functions.{col, struct, sum, xxhash64}
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      // force EVERY column (hash-agg over the full row), so Catalyst can't
-      // prune expensive operators the way a bare count() would — honest
-      // timings for window/join-heavy queries
-      val n = try {
+    // force EVERY column (hash-agg over the full row), so Catalyst can't
+    // prune expensive operators the way a bare count() would — honest
+    // timings for window/join-heavy queries
+    def runOnce(fn: (org.apache.spark.sql.SparkSession, String) =>
+        org.apache.spark.sql.DataFrame): Boolean =
+      try {
         val df = fn(spark, sfDir)
         df.select(xxhash64(struct(df.columns.map(col): _*)).as("h"))
           .agg(sum("h")).head()
-        1L
-      } catch { case _: Throwable => -1L }
-      val sec = (System.nanoTime() - t0) / 1e9
-      System.err.println(f"[bench] $name%-28s $sec%8.2fs  ok=${n >= 0}")
+        true
+      } catch { case _: Throwable => false }
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      // best of two runs: steady-state time, robust to host scheduling noise
+      val times = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        val ok = runOnce(fn)
+        (if (ok) 1 else -1, (System.nanoTime() - t0) / 1e9)
+      }
+      val sec = times.map(_._2).min
+      System.err.println(f"[bench] $name%-28s $sec%8.2fs  " +
+        f"(runs=${times.map(t => f"${t._2}%.2f").mkString("/")}  ok=${times.forall(_._1 > 0)})")
       name -> sec
     }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

@@ -133,12 +133,18 @@ object ExtensionQueries {
 
     // Approximate-distinct sketches (HLL++; deterministic but algorithm-
     // specific values -> rows-only, accuracy asserted in spec)
-    "x17_approx_distinct" -> ((s, dir) =>
-      t(s, dir, "lineitem")
-        .groupBy(col("l_returnflag"))
+    "x17_approx_distinct" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      // approx and exact distinct in SEPARATE aggregations joined on the
+      // tiny group key: mixing them in one agg forces an Expand (row
+      // multiplication by the number of distinct-aggregate groups)
+      val approx = li.groupBy(col("l_returnflag"))
         .agg(approx_count_distinct(col("l_orderkey")).as("approx_orders"),
-          approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
-          countDistinct(col("l_orderkey")).as("exact_orders"))),
+          approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"))
+      val exact = li.groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_orderkey")).as("exact_orders"))
+      approx.join(exact, Seq("l_returnflag"))
+    }),
 
     // Deterministic stratified sampling (mixture weighting; mod path is
     // oracle-checked, hash path covered by spec)
