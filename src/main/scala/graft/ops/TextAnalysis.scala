@@ -55,6 +55,10 @@ object TextAnalysis {
         coalesce(sum(when(lower(col("tok")).isin(stopwords: _*), 1)
           .otherwise(0)), lit(0L)).cast("int").as("stopword_cnt"))
     df.join(tokStats, col(idCol) === col("__qid"), "left").drop("__qid")
+      // zero-token docs produce no aggregate row: counts are 0, not null
+      .withColumn("token_cnt", coalesce(col("token_cnt"), lit(0)))
+      .withColumn("stopword_cnt", coalesce(col("stopword_cnt"), lit(0)))
+      .withColumn("nonspace_len", coalesce(col("nonspace_len"), lit(0L)))
       .withColumn("char_len", length(t))
       .withColumn("avg_token_len",
         when(col("token_cnt") > 0,

@@ -207,6 +207,14 @@ class TextAnalysisSpec extends SparkSpec {
     assert(m.getInt(2) == 2) // !!
   }
 
+  test("quality metrics: zero-token doc yields zero counts and score, not nulls") {
+    val df = Seq((1L, "   ")).toDF("doc_id", "text")
+    val m = TextAnalysis.qualityMetrics(df)
+      .select("token_cnt", "stopword_cnt", "quality_score").head()
+    assert(m.getInt(0) == 0 && m.getInt(1) == 0)
+    assert(!m.isNullAt(2))
+  }
+
   test("languageId picks dominant stopword profile, unknown when no hits") {
     val df = Seq(
       (1L, "the cat and the dog of the house"),
