@@ -77,6 +77,28 @@ class PipelineSpec extends SparkSpec {
     assert(qr.count() == 2 && qr.columns.contains("overall_passed"))
   }
 
+  test("fail_on_quality_check=false proceeds with load despite failed checks (reference transaction behavior)") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_soft").toString
+    // duplicate transaction_id -> duplicate check fails; gate is soft
+    val ts = "2024-01-03 10:00:00"
+    val bad = Seq(
+      ("T1", "a1", ts, "deposit", "100.0", "USD", "d", "m", "grocery",
+        "completed", "online", "USA", "false"),
+      ("T1", "a1", ts, "payment", "50.0", "EUR", "d", "m", "grocery",
+        "completed", "online", "USA", "false"))
+      .toDF("transaction_id", "account_id", "transaction_date",
+        "transaction_type", "amount", "currency", "description",
+        "merchant_name", "merchant_category", "transaction_status", "channel",
+        "location", "is_international")
+    graft.sinks.Sinks.csv(bad, s"$root/raw/transactions")
+    val cfg = Config.fromJson(configJson)
+    val orch = new Orchestrator(spark, cfg, s"$root/raw", s"$root/out")
+    val r = orch.runPipeline("transaction") // must NOT throw
+    assert(!r.qualityPassed && r.recordCount == 2)
+    assert(spark.read.parquet(s"$root/out/processed/transactions").count() == 2)
+  }
+
   test("fail_on_quality_check gate raises on bad data") {
     import spark.implicits._
     val root = Files.createTempDirectory("graft_gate").toString
