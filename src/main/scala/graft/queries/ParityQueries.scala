@@ -375,6 +375,44 @@ object ParityQueries {
           .select(lit("union").as("op"), col("o_custkey")))
     }),
 
+    // Ranking window functions (absent from the reference — completes §2.8)
+    "q27_ranking" -> ((s, dir) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          row_number().over(w).as("rn"),
+          rank().over(w).as("rnk"),
+          dense_rank().over(w).as("drnk"),
+          ntile(4).over(w).as("quartile"))
+        .filter(col("rn") <= 5)
+    }),
+
+    // String function breadth (upper/lower/substring/replace/lpad/concat/length)
+    "q28_string_funcs" -> ((s, dir) =>
+      t(s, dir, "customer")
+        .select(col("c_custkey"),
+          upper(col("c_mktsegment")).as("seg_upper"),
+          lower(col("c_name")).as("name_lower"),
+          substring(col("c_name"), 1, 8).as("name_prefix"),
+          regexp_replace(col("c_name"), "Customer", "Cust").as("name_short"),
+          lpad(col("c_custkey").cast("string"), 10, "0").as("key_padded"),
+          concat(col("c_mktsegment"), lit("#"), col("c_custkey").cast("string"))
+            .as("seg_key"),
+          length(col("c_name")).cast("long").as("name_len"))),
+
+    // Math function breadth; transcendentals rounded (libm last-ulp drift)
+    "q29_math_funcs" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          abs(col("l_extendedprice") - 50000.0).as("abs_diff"),
+          ceil(col("l_quantity") / 7.0).as("ceil_q"),
+          floor(col("l_discount") * 100).as("floor_disc"),
+          sqrt(col("l_extendedprice")).as("sqrt_price"),
+          round(ln(col("l_extendedprice")), 8).as("ln_price"),
+          round(pow(col("l_quantity"), 2.0), 6).as("qty_sq"),
+          signum(col("l_discount") - 0.05).as("disc_sign"))),
+
     // Custom physical operator: top-k per group via bounded heaps
     // (LogicalPlan + Strategy + SparkPlan ladder) — oracle is the window
     // row_number formulation in DuckDB
@@ -610,6 +648,40 @@ object ParityQueries {
         |  max(es) - min(es) AS duration_s,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS session_value
         |FROM t GROUP BY user_id, session_seq""".stripMargin,
+
+    "q27_ranking" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice,
+        |  CAST(rn AS INT) AS rn, CAST(rnk AS INT) AS rnk,
+        |  CAST(drnk AS INT) AS drnk, CAST(quartile AS INT) AS quartile
+        |FROM (
+        |  SELECT o_orderkey, o_custkey, o_totalprice,
+        |    row_number() OVER w AS rn, rank() OVER w AS rnk,
+        |    dense_rank() OVER w AS drnk, ntile(4) OVER w AS quartile
+        |  FROM orders
+        |  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey))
+        |WHERE rn <= 5""".stripMargin,
+
+    "q28_string_funcs" ->
+      """SELECT c_custkey,
+        |  upper(c_mktsegment) AS seg_upper,
+        |  lower(c_name) AS name_lower,
+        |  substring(c_name, 1, 8) AS name_prefix,
+        |  regexp_replace(c_name, 'Customer', 'Cust', 'g') AS name_short,
+        |  lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS key_padded,
+        |  c_mktsegment || '#' || CAST(c_custkey AS VARCHAR) AS seg_key,
+        |  CAST(length(c_name) AS BIGINT) AS name_len
+        |FROM customer""".stripMargin,
+
+    "q29_math_funcs" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  abs(l_extendedprice - 50000.0) AS abs_diff,
+        |  CAST(ceil(l_quantity / 7.0) AS BIGINT) AS ceil_q,
+        |  CAST(floor(l_discount * 100) AS BIGINT) AS floor_disc,
+        |  sqrt(l_extendedprice) AS sqrt_price,
+        |  ROUND(ln(l_extendedprice), 8) AS ln_price,
+        |  ROUND(pow(l_quantity, 2.0), 6) AS qty_sq,
+        |  CAST(sign(l_discount - 0.05) AS DOUBLE) AS disc_sign
+        |FROM lineitem""".stripMargin,
 
     "q26_topk_per_group" ->
       """SELECT event_id, user_id, value FROM (
