@@ -375,6 +375,37 @@ object ParityQueries {
           .select(lit("union").as("op"), col("o_custkey")))
     }),
 
+    // JSON extraction (props column; get_json_object + typed from_json)
+    "q30_json_extract" -> ((s, dir) =>
+      events(s, dir)
+        .select(col("event_id"),
+          get_json_object(col("props"), "$.k").cast("int").as("k_path"),
+          from_json(col("props"),
+            org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField("k",
+                org.apache.spark.sql.types.IntegerType))))
+            .getField("k").as("k_struct"))),
+
+    // Pivot (groupBy.pivot over a known value domain)
+    "q31_pivot" -> ((s, dir) =>
+      events(s, dir)
+        .groupBy(col("user_id"))
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(count(lit(1)))
+        .na.fill(0, Seq("click", "error", "purchase", "signup", "view"))),
+
+    // Date arithmetic breadth (trunc/last_day/date_add/add_months)
+    "q32_date_funcs" -> ((s, dir) =>
+      events(s, dir)
+        .select(col("event_id"),
+          // emitted as timestamps: parquet DATE arrives as datetime.date in
+          // pandas while DuckDB DATEs convert to datetime64 — same values,
+          // different dtype; timestamps compare unambiguously
+          trunc(col("ts").cast("date"), "month").cast("timestamp").as("month_start"),
+          last_day(col("ts").cast("date")).cast("timestamp").as("month_end"),
+          date_add(col("ts").cast("date"), 30).cast("timestamp").as("plus_30d"),
+          add_months(col("ts").cast("date"), 2).cast("timestamp").as("plus_2m"))),
+
     // Ranking window functions (absent from the reference — completes §2.8)
     "q27_ranking" -> ((s, dir) => {
       val w = Window.partitionBy("o_custkey")
@@ -648,6 +679,29 @@ object ParityQueries {
         |  max(es) - min(es) AS duration_s,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS session_value
         |FROM t GROUP BY user_id, session_seq""".stripMargin,
+
+    "q30_json_extract" ->
+      """SELECT event_id,
+        |  CAST(json_extract_string(props, '$.k') AS INT) AS k_path,
+        |  CAST(json_extract_string(props, '$.k') AS INT) AS k_struct
+        |FROM events""".stripMargin,
+
+    "q31_pivot" ->
+      """SELECT user_id,
+        |  count(*) FILTER (WHERE event_type = 'click') AS click,
+        |  count(*) FILTER (WHERE event_type = 'error') AS error,
+        |  count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+        |  count(*) FILTER (WHERE event_type = 'signup') AS signup,
+        |  count(*) FILTER (WHERE event_type = 'view') AS view
+        |FROM events GROUP BY user_id""".stripMargin,
+
+    "q32_date_funcs" ->
+      """SELECT event_id,
+        |  CAST(date_trunc('month', CAST(ts AS DATE)) AS TIMESTAMP) AS month_start,
+        |  CAST(last_day(CAST(ts AS DATE)) AS TIMESTAMP) AS month_end,
+        |  CAST(CAST(ts AS DATE) + 30 AS TIMESTAMP) AS plus_30d,
+        |  CAST(CAST(CAST(ts AS DATE) + INTERVAL 2 MONTH AS DATE) AS TIMESTAMP) AS plus_2m
+        |FROM events""".stripMargin,
 
     "q27_ranking" ->
       """SELECT o_orderkey, o_custkey, o_totalprice,
