@@ -406,6 +406,16 @@ object ParityQueries {
           date_add(col("ts").cast("date"), 30).cast("timestamp").as("plus_30d"),
           add_months(col("ts").cast("date"), 2).cast("timestamp").as("plus_2m"))),
 
+    // Array aggregation (collect_set + sort + join; string-normalized
+    // because Spark arrays and DuckDB lists reach the comparator as
+    // different container types)
+    "q33_array_agg" -> ((s, dir) =>
+      events(s, dir)
+        .groupBy(col("user_id"))
+        .agg(concat_ws(",", sort_array(collect_set(col("event_type"))))
+            .as("types_seen"),
+          size(collect_set(col("event_type"))).cast("long").as("n_types"))),
+
     // Ranking window functions (absent from the reference — completes §2.8)
     "q27_ranking" -> ((s, dir) => {
       val w = Window.partitionBy("o_custkey")
@@ -679,6 +689,12 @@ object ParityQueries {
         |  max(es) - min(es) AS duration_s,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS session_value
         |FROM t GROUP BY user_id, session_seq""".stripMargin,
+
+    "q33_array_agg" ->
+      """SELECT user_id,
+        |  array_to_string(list_sort(list_distinct(list(event_type))), ',') AS types_seen,
+        |  CAST(len(list_distinct(list(event_type))) AS BIGINT) AS n_types
+        |FROM events GROUP BY user_id""".stripMargin,
 
     "q30_json_extract" ->
       """SELECT event_id,
