@@ -16,34 +16,45 @@ object Bench {
       spark.read.parquet(s"$sfDir/lineitem.parquet").count()
       SparkEntry.queries("q01_pricing_summary")(spark, sfDir).count()
     } catch { case _: Throwable => }
-    import org.apache.spark.sql.functions.{col, struct, sum, xxhash64}
+    import org.apache.spark.sql.functions.{col, expr, struct, xxhash64}
     // force EVERY column (hash-agg over the full row), so Catalyst can't
     // prune expensive operators the way a bare count() would — honest
-    // timings for window/join-heavy queries
+    // timings for window/join-heavy queries. bit_xor (not sum): summing
+    // 64-bit hashes is a random walk that overflows Long, and Spark 4's
+    // default ANSI mode turns that into ARITHMETIC_OVERFLOW, failing
+    // healthy queries mid-bench.
     def runOnce(fn: (org.apache.spark.sql.SparkSession, String) =>
         org.apache.spark.sql.DataFrame): Boolean =
       try {
         val df = fn(spark, sfDir)
         df.select(xxhash64(struct(df.columns.map(col): _*)).as("h"))
-          .agg(sum("h")).head()
+          .agg(expr("bit_xor(h)")).head()
         true
-      } catch { case _: Throwable => false }
+      } catch {
+        case t: Throwable =>
+          System.err.println(s"[bench] FAILED: ${t.getClass.getSimpleName}: ${t.getMessage}")
+          false
+      }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       // best of two runs: steady-state time, robust to host scheduling noise
       val times = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
         val ok = runOnce(fn)
-        (if (ok) 1 else -1, (System.nanoTime() - t0) / 1e9)
+        (ok, (System.nanoTime() - t0) / 1e9)
       }
       val sec = times.map(_._2).min
+      val allOk = times.forall(_._1)
       System.err.println(f"[bench] $name%-28s $sec%8.2fs  " +
-        f"(runs=${times.map(t => f"${t._2}%.2f").mkString("/")}  ok=${times.forall(_._1 > 0)})")
-      name -> sec
-    }.toMap
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+        f"(runs=${times.map(t => f"${t._2}%.2f").mkString("/")}  ok=$allOk)")
+      name -> ((sec, allOk))
+    }
+    val qs = results.map { case (k, (v, _)) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val oks = results.map { case (k, (_, ok)) => s"\"" + k + "\":" + ok }
+      .mkString("{", ",", "}")
+    val total = results.map(_._2._1).sum
+    val allOk = results.forall(_._2._2)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"ok":$oks,"all_ok":$allOk,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

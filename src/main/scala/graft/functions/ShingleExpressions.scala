@@ -47,7 +47,11 @@ case class ShingleHashes(child: Expression, w: Int)
     val tokenHashes = new Array[Long](n)
     var i = 0
     while (i < n) {
-      tokenHashes(i) = XXH64.hashUTF8String(arr.getUTF8String(i), seed)
+      // null elements hash as the seed itself (tokenizers shouldn't emit
+      // nulls, but ArrayType(containsNull=true) inputs are accepted and a
+      // raw getUTF8String on a null slot would NPE)
+      val s = if (arr.isNullAt(i)) null else arr.getUTF8String(i)
+      tokenHashes(i) = if (s == null) seed else XXH64.hashUTF8String(s, seed)
       i += 1
     }
     val m = if (n > w) n - w + 1 else 1

@@ -74,6 +74,32 @@ object Dedup {
       b => struct(b.as("band"), xxhash64(b, slice(sig, b * r + 1, lit(r))).as("bucket")))
   }
 
+  /** Same-bucket candidate pairs with a hot-bucket skew guard. Buckets up to
+    * `maxBucketSize` produce all intra-bucket pairs (the classic LSH shape);
+    * LARGER buckets are star-linked instead — every member pairs with the
+    * bucket's min id — which is linear in bucket size where all-pairs is
+    * quadratic. At 100 TB one degenerate bucket (boilerplate docs, empty
+    * strings) would otherwise dominate the whole job. Star edges preserve
+    * cluster connectivity for [[resolveClusters]] (a bucket of true
+    * duplicates stays one connected component through its hub) and the
+    * downstream exact-similarity verify still rejects false positives.
+    * Input: (id, band, bucket). Output: (id_a, id_b) with id_a < id_b. */
+  private def bucketCandidates(buckets: DataFrame, maxBucketSize: Int): DataFrame = {
+    val sized = buckets.join(
+      buckets.groupBy(col("band"), col("bucket"))
+        .agg(count(lit(1)).as("bsz"), min(col("id")).as("bmin")),
+      Seq("band", "bucket"))
+    val small = sized.filter(col("bsz") <= maxBucketSize)
+    val a = small.select(col("band"), col("bucket"), col("id").as("id_a"))
+    val b = small.select(col("band"), col("bucket"), col("id").as("id_b"))
+    val allPairs = a.join(b, Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+    val starPairs = sized.filter(col("bsz") > maxBucketSize && col("id") =!= col("bmin"))
+      .select(col("bmin").as("id_a"), col("id").as("id_b"))
+    allPairs.unionByName(starPairs).distinct()
+  }
+
   /** MinHash+LSH near-duplicate pairs over (idCol, textCol):
     * shingle -> k minhashes -> band buckets -> same-bucket candidate pairs
     * -> exact shingle-Jaccard filter at `threshold`.
@@ -81,7 +107,7 @@ object Dedup {
     */
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
       shingleW: Int = 5, k: Int = 32, bands: Int = 8,
-      threshold: Double = 0.5): DataFrame = {
+      threshold: Double = 0.5, maxBucketSize: Int = 256): DataFrame = {
     // Candidate generation: signatures -> band buckets -> same-bucket pairs.
     // Only (band, bucket, id) travels through the self-join; shingle sets are
     // joined back per-id AFTER pair dedup so the wide arrays never ride the
@@ -89,11 +115,7 @@ object Dedup {
     val buckets = minhashSignatures(df, idCol, textCol, shingleW, k)
       .select(col("id"), explode(lshBandHashes(col("sig"), k, bands)).as("bb"))
       .select(col("id"), col("bb.band"), col("bb.bucket"))
-    val a = buckets.select(col("band"), col("bucket"), col("id").as("id_a"))
-    val b = buckets.select(col("band"), col("bucket"), col("id").as("id_b"))
-    val cand = a.join(b, Seq("band", "bucket"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b")).distinct()
+    val cand = bucketCandidates(buckets, maxBucketSize)
     val sh = df.select(col(idCol).as("jid"),
       array_distinct(graft.functions.ShingleFunctions
         .shingle_hashes(TextAnalysis.tokens(col(textCol)), shingleW)).as("jsh"))
@@ -130,19 +152,33 @@ object Dedup {
     * chunks (pigeonhole: hamming<=3 pairs share at least one exact chunk),
     * bucket-join, then exact hamming filter via bit_count(xor). */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3): DataFrame = {
+      maxHamming: Int = 3, maxBucketSize: Int = 256): DataFrame = {
     val sh = simhash(df, idCol, textCol)
     val banded = sh.withColumn("bb", explode(array((0 until 4).map(b =>
         struct(lit(b).as("band"),
           shiftright(col("simhash"), b * 16).bitwiseAND(0xFFFFL).as("chunk"))): _*)))
       .select(col("id"), col("simhash"), col("bb.band"), col("bb.chunk"))
-    val a = banded.select(col("band"), col("chunk"),
+    // hot-bucket guard (see [[bucketCandidates]] for rationale): oversized
+    // buckets star-link to the min-id hub instead of producing all pairs.
+    // The one-long simhash payload rides the shuffle (cheap), and min_by
+    // carries the hub's simhash so star edges need no join-back.
+    val sized = banded.join(
+      banded.groupBy(col("band"), col("chunk"))
+        .agg(count(lit(1)).as("bsz"), min(col("id")).as("bmin"),
+          expr("min_by(simhash, id)").as("bmin_sh")),
+      Seq("band", "chunk"))
+    val small = sized.filter(col("bsz") <= maxBucketSize)
+    val a = small.select(col("band"), col("chunk"),
       col("id").as("id_a"), col("simhash").as("sh_a"))
-    val b = banded.select(col("band"), col("chunk"),
+    val b = small.select(col("band"), col("chunk"),
       col("id").as("id_b"), col("simhash").as("sh_b"))
-    a.join(b, Seq("band", "chunk"))
+    val allPairs = a.join(b, Seq("band", "chunk"))
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("sh_a"), col("sh_b")).distinct()
+      .select(col("id_a"), col("id_b"), col("sh_a"), col("sh_b"))
+    val starPairs = sized.filter(col("bsz") > maxBucketSize && col("id") =!= col("bmin"))
+      .select(col("bmin").as("id_a"), col("id").as("id_b"),
+        col("bmin_sh").as("sh_a"), col("simhash").as("sh_b"))
+    allPairs.unionByName(starPairs).distinct()
       .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
       .filter(col("hamming") <= maxHamming)
       .select(col("id_a"), col("id_b"), col("hamming"))
@@ -161,37 +197,43 @@ object Dedup {
     // cache the (possibly expensive) pair-generation subtree: the
     // undirected-edge union would otherwise evaluate it twice
     val p = pairs.persist()
+    // Eager localCheckpoint (NOT persist): it truncates the logical plan, so
+    // the loop below never re-optimizes the whole pair-generation subtree —
+    // without truncation each iteration's plan contains every previous
+    // iteration and analysis time grows superlinearly (this alone was ~60%
+    // of the round-1 bench). The label frames are tiny (ids that appear in
+    // a duplicate pair), so re-materializing them per round is cheap.
     val edges = p.select(col(idA).as("src"), col(idB).as("dst"))
       .unionByName(p.select(col(idB).as("src"), col(idA).as("dst")))
       .distinct()
-      .persist()
+      .localCheckpoint()
+    p.unpersist()
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("cluster_id", col("id"))
-      .persist()
+      .localCheckpoint()
     // coalesce: an empty pair set must yield an empty (not crashing) result
     var prevSum = labels.agg(coalesce(sum("cluster_id"), lit(0L)))
       .head().getLong(0)
-    p.unpersist()
     var i = 0
     var converged = false
     while (i < maxIter && !converged) {
       val nbrMin = edges
         .join(labels.select(col("id").as("dst"), col("cluster_id").as("nbr")), Seq("dst"))
         .groupBy(col("src").as("id")).agg(min("nbr").as("nbr_min"))
+      // one real job per iteration (the eager checkpoint); the convergence
+      // aggregate below re-reads the checkpointed blocks, it does not recompute
       val updated = labels.join(nbrMin, Seq("id"), "left")
         .select(col("id"),
           least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id")))
             .as("cluster_id"))
-        .persist()
+        .localCheckpoint()
       val newSum = updated.agg(coalesce(sum("cluster_id"), lit(0L)))
         .head().getLong(0)
-      labels.unpersist()
       labels = updated
       converged = newSum == prevSum
       prevSum = newSum
       i += 1
     }
-    edges.unpersist()
     labels
   }
 

@@ -20,11 +20,19 @@ object Skew {
     * identical to `fact.join(dim, Seq(key))` — only the partitioning of the
     * shuffle changes (hot key's rows spread over `salts` reducers).
     * Cost: dim side inflates x salts — use for genuinely small dim sides
-    * (where broadcast is unavailable, e.g. full-outer or dim just over the
-    * broadcast threshold). */
+    * (where broadcast is unavailable, e.g. dim just over the broadcast
+    * threshold).
+    *
+    * Only inner/left(-outer) join types are allowed: with right/full outer
+    * the replicated dim side would emit one unmatched copy PER SALT, i.e.
+    * `salts` duplicates of every dim row that has no fact match. */
   def saltedJoin(fact: DataFrame, dim: DataFrame, key: String,
       salts: Int = 8, joinType: String = "inner"): DataFrame = {
     require(salts > 0)
+    val jt = joinType.toLowerCase.replace("_", "").replace("outer", "")
+    require(jt == "inner" || jt == "left" || jt == "leftsemi" || jt == "leftanti",
+      s"saltedJoin supports inner/left/left_semi/left_anti only, got '$joinType': " +
+        "right/full outer would replicate unmatched dim rows once per salt")
     val saltedFact = fact.withColumn("__salt",
       pmod(xxhash64(struct(fact.columns.map(col): _*)), lit(salts)).cast("int"))
     val expandedDim = dim

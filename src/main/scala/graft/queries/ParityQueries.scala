@@ -18,8 +18,12 @@ import graft.transform.TransactionTransform
   * the reference's decimals — SURVEY.md §2.15, FIXTURES.md):
   *  - Per-row scalar arithmetic on doubles is bitwise-identical across
   *    engines (same IEEE ops) — emitted unrounded.
-  *  - SUMs are computed over `DECIMAL(18,2)`-cast inputs and emitted as
-  *    `DECIMAL(38,2)` — exact, order-independent, engine-independent.
+  *  - SUMs are computed over `DECIMAL(18,2)`-cast inputs (exact,
+  *    order-independent) and the FINAL column is cast to `double`: Spark
+  *    emits parquet DECIMAL(38,x) while DuckDB degrades width-38 decimals to
+  *    float64 in pandas, so equal values hash differently unless both sides
+  *    emit double. The decimal→double cast is exact at these magnitudes
+  *    (≲15 significant digits).
   *  - AVG/STDDEV keep double (order-dependent last-ulp noise) and are
   *    ROUNDed in the output.
   */
@@ -111,11 +115,15 @@ object ParityQueries {
         .filter(col("l_shipdate") <= lit("1998-09-02 00:00:00").cast("timestamp"))
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
-          sum(col("l_quantity").cast("decimal(18,2)")).cast("decimal(38,2)").as("sum_qty"),
-          sum(col("l_extendedprice").cast("decimal(18,2)")).cast("decimal(38,2)").as("sum_base_price"),
+          // exact decimal SUM internally; final cast to double because Spark
+          // parquet DECIMAL(38,x) and DuckDB→pandas float64 render trailing
+          // zeros differently (values equal, hash differs). Sums here are
+          // ≲15 significant digits, so decimal→double is exact on both sides.
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
+          sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("sum_base_price"),
           sum(col("l_extendedprice").cast("decimal(18,2)") *
             (lit(1) - col("l_discount").cast("decimal(18,2)")))
-            .cast("decimal(38,4)").as("sum_disc_price"),
+            .cast("double").as("sum_disc_price"),
           round(avg("l_quantity"), 2).as("avg_qty"),
           round(avg("l_extendedprice"), 2).as("avg_price"),
           round(avg("l_discount"), 4).as("avg_disc"),
@@ -158,9 +166,10 @@ object ParityQueries {
         .withColumn("amount_signed",
           when(col("event_type").isin("purchase", "signup"), col("value"))
             .otherwise(-col("value")).cast("decimal(18,2)"))
-        .withColumn("running_balance", sum("amount_signed").over(w).cast("decimal(38,2)"))
+        .withColumn("running_balance", sum("amount_signed").over(w).cast("double"))
         .select(col("event_id"), col("user_id"), col("ts"),
-          col("amount_signed"), col("running_balance"))
+          col("amount_signed").cast("double").as("amount_signed"),
+          col("running_balance"))
     }),
 
     // W2/D3: lag + gap-to-previous (days and seconds)
@@ -188,7 +197,7 @@ object ParityQueries {
         .withColumn("spend_30d",
           sum(when(col("event_type").isin("click", "purchase"),
             col("value").cast("decimal(18,2)"))
-            .otherwise(lit(0).cast("decimal(18,2)"))).over(w30).cast("decimal(38,2)"))
+            .otherwise(lit(0).cast("decimal(18,2)"))).over(w30).cast("double"))
         .select(col("event_id"), col("user_id"), col("cnt_30d"), col("spend_30d"))
     }),
 
@@ -347,7 +356,7 @@ object ParityQueries {
         .groupBy(col("user_id"), col("session_seq"))
         .agg(count(lit(1)).as("n_events"),
           (max(col("es")) - min(col("es"))).as("duration_s"),
-          sum(col("value").cast("decimal(18,2)")).cast("decimal(38,2)").as("session_value"))
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("session_value"))
     }),
 
     // As-of join (window-composed; oracle = DuckDB's native ASOF JOIN):
@@ -478,7 +487,7 @@ object ParityQueries {
         .groupBy(col("band"))
         .agg(count(lit(1)).as("n"),
           sum(col("l_extendedprice").cast("decimal(18,2)"))
-            .cast("decimal(38,2)").as("band_total"))
+            .cast("double").as("band_total"))
     }),
 
     // Holistic aggregate: exact interpolated percentiles per group (the
@@ -499,7 +508,7 @@ object ParityQueries {
     "q22_rollup" -> ((s, dir) =>
       t(s, dir, "lineitem")
         .rollup(col("l_returnflag"), col("l_linestatus"))
-        .agg(sum(col("l_quantity").cast("decimal(18,2)")).cast("decimal(38,2)").as("sum_qty"),
+        .agg(sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
           count(lit(1)).as("n"),
           grouping(col("l_returnflag")).cast("int").as("g_rf"),
           grouping(col("l_linestatus")).cast("int").as("g_ls"))),
@@ -524,9 +533,9 @@ object ParityQueries {
 
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
-        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
-        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_base_price,
-        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4)) AS sum_disc_price,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
         |  ROUND(avg(l_quantity), 2) AS avg_qty,
         |  ROUND(avg(l_extendedprice), 2) AS avg_price,
         |  ROUND(avg(l_discount), 4) AS avg_disc,
@@ -569,9 +578,9 @@ object ParityQueries {
 
     "q05_running_balance" ->
       """SELECT event_id, user_id, ts,
-        |  CAST(CASE WHEN event_type IN ('purchase','signup') THEN value ELSE -value END AS DECIMAL(18,2)) AS amount_signed,
+        |  CAST(CAST(CASE WHEN event_type IN ('purchase','signup') THEN value ELSE -value END AS DECIMAL(18,2)) AS DOUBLE) AS amount_signed,
         |  CAST(sum(CAST(CASE WHEN event_type IN ('purchase','signup') THEN value ELSE -value END AS DECIMAL(18,2)))
-        |       OVER (PARTITION BY user_id ORDER BY ts) AS DECIMAL(38,2)) AS running_balance
+        |       OVER (PARTITION BY user_id ORDER BY ts) AS DOUBLE) AS running_balance
         |FROM events""".stripMargin,
 
     "q06_lag_gap" ->
@@ -587,7 +596,7 @@ object ParityQueries {
       """SELECT event_id, user_id,
         |  count(event_id) OVER w30 AS cnt_30d,
         |  CAST(sum(CASE WHEN event_type IN ('click','purchase') THEN CAST(value AS DECIMAL(18,2))
-        |           ELSE CAST(0 AS DECIMAL(18,2)) END) OVER w30 AS DECIMAL(38,2)) AS spend_30d
+        |           ELSE CAST(0 AS DECIMAL(18,2)) END) OVER w30 AS DOUBLE) AS spend_30d
         |FROM (SELECT *, CAST(floor(epoch(ts)) AS BIGINT) AS es FROM events)
         |WINDOW w30 AS (PARTITION BY user_id ORDER BY es RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW)""".stripMargin,
 
@@ -687,7 +696,7 @@ object ParityQueries {
         |                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq FROM s)
         |SELECT user_id, session_seq, count(*) AS n_events,
         |  max(es) - min(es) AS duration_s,
-        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS session_value
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
         |FROM t GROUP BY user_id, session_seq""".stripMargin,
 
     "q33_array_agg" ->
@@ -765,7 +774,7 @@ object ParityQueries {
         |  ('mid', 20000.0, 60000.0), ('high', 60000.0, 95000.0),
         |  ('lux', 95000.0, 200000.0))
         |SELECT b.band, count(*) AS n,
-        |  CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS band_total
+        |  CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS band_total
         |FROM lineitem l JOIN bands b
         |  ON l.l_extendedprice >= b.lo AND l.l_extendedprice < b.hi
         |GROUP BY b.band""".stripMargin,
@@ -807,7 +816,7 @@ object ParityQueries {
 
     "q22_rollup" ->
       """SELECT l_returnflag, l_linestatus,
-        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
         |  count(*) AS n,
         |  CAST(CASE WHEN GROUPING(l_returnflag) > 0 THEN 1 ELSE 0 END AS INT) AS g_rf,
         |  CAST(CASE WHEN GROUPING(l_linestatus) > 0 THEN 1 ELSE 0 END AS INT) AS g_ls

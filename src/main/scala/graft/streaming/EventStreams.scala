@@ -79,7 +79,13 @@ object EventStreams {
             }
             cur.foreach { s =>
               state.update(s)
-              state.setTimeoutTimestamp(s.lastEventMs + gapMs)
+              // late-but-not-dropped events can put lastEventMs+gapMs at or
+              // behind the current watermark, which Spark rejects with an
+              // IllegalArgumentException — clamp to just past the watermark
+              // (the session then times out on the next trigger, which is
+              // the correct semantics for an already-stale session)
+              val wm = state.getCurrentWatermarkMs()
+              state.setTimeoutTimestamp(math.max(s.lastEventMs + gapMs, wm + 1))
             }
             closed.reverseIterator
           }

@@ -18,10 +18,14 @@ oracle = json.load(open(f'{outdir}/oracle_sql.json'))
 fails = 0
 
 def norm(df):
+    # Strict, driver-equivalent stringification: Decimals keep their exact
+    # textual representation (str(), NO float round-trip — a float() here
+    # would hide the DECIMAL(38,x)-vs-float64 trailing-zero mismatch the
+    # driver's hash catches); floats use repr() for full precision.
     df = df[sorted(df.columns)].copy()
     for c in df.columns:
-        df[c] = df[c].map(lambda x: repr(float(x)) if isinstance(x, float) or
-                          str(type(x).__name__) == 'Decimal' else str(x))
+        df[c] = df[c].map(
+            lambda x: repr(x) if isinstance(x, float) else str(x))
     return df.sort_values(by=list(df.columns)).reset_index(drop=True)
 
 for name in sorted(os.listdir(outdir)):
