@@ -35,7 +35,12 @@ object Bench {
           System.err.println(s"[bench] FAILED: ${t.getClass.getSimpleName}: ${t.getMessage}")
           false
       }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // SPARK_GRAFT_ONLY=x08,x14 runs just the named (prefix-matched) queries —
+    // for bisecting individual regressions without a full 50-query sweep
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSeq)
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.exists(n.startsWith)) }
+    val results = selected.map { case (name, fn) =>
       // best of two runs: steady-state time, robust to host scheduling noise
       val times = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
@@ -54,7 +59,14 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2._1).sum
     val allOk = results.forall(_._2._2)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"ok":$oks,"all_ok":$allOk,"sf":"$sfDir"}""")
+    // headline fields LAST in the one JSON line: the driver tail-captures
+    // output, so a truncated head must not eat total/all_ok (BENCH_r02 lost
+    // its total that way); also persist the full line to bench_out.json so
+    // the artifact survives any console truncation
+    val json = s"""{"metric":"total","unit":"sec","sf":"$sfDir","queries":$qs,"ok":$oks,"all_ok":$allOk,"value":$total}"""
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_out.json"), json + "\n")
+    catch { case _: Throwable => }
+    println(json)
     spark.stop()
   }
 }

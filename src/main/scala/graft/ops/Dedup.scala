@@ -115,10 +115,24 @@ object Dedup {
     val buckets = minhashSignatures(df, idCol, textCol, shingleW, k)
       .select(col("id"), explode(lshBandHashes(col("sig"), k, bands)).as("bb"))
       .select(col("id"), col("bb.band"), col("bb.bucket"))
-    val cand = bucketCandidates(buckets, maxBucketSize)
-    val sh = df.select(col(idCol).as("jid"),
-      array_distinct(graft.functions.ShingleFunctions
-        .shingle_hashes(TextAnalysis.tokens(col(textCol)), shingleW)).as("jsh"))
+    // The narrow (id_a, id_b) candidate frame is used twice below (id prune +
+    // verify join): persist + eager count so the signature/bucket pipeline
+    // runs exactly ONCE — without it the two consumers race to recompute the
+    // whole subtree (measured 2.6x slower at sf0.1). The frame is tiny
+    // (pairs only), so memory cost is negligible at any scale.
+    val cand = bucketCandidates(buckets, maxBucketSize).persist()
+    cand.count()
+    // verify-side shingles are recomputed only for ids that survived into a
+    // candidate pair (semi-join prune on the narrow id column) — the wide
+    // shingle arrays are built once per CANDIDATE doc, not once per corpus
+    // doc: at corpus scale the candidate set is orders of magnitude smaller
+    // than the corpus, so the full-corpus tokenize+shingle pass is the waste
+    val candIds = cand.select(col("id_a").as("jid"))
+      .unionByName(cand.select(col("id_b").as("jid"))).distinct()
+    val sh = df.join(candIds, col(idCol) === col("jid"), "left_semi")
+      .select(col(idCol).as("jid"),
+        array_distinct(graft.functions.ShingleFunctions
+          .shingle_hashes(TextAnalysis.tokens(col(textCol)), shingleW)).as("jsh"))
     cand
       .join(sh.select(col("jid").as("id_a"), col("jsh").as("sh_a")), Seq("id_a"))
       .join(sh.select(col("jid").as("id_b"), col("jsh").as("sh_b")), Seq("id_b"))
@@ -197,20 +211,25 @@ object Dedup {
     // cache the (possibly expensive) pair-generation subtree: the
     // undirected-edge union would otherwise evaluate it twice
     val p = pairs.persist()
-    // Eager localCheckpoint (NOT persist): it truncates the logical plan, so
+    // Eager checkpoint (NOT persist): it truncates the logical plan, so
     // the loop below never re-optimizes the whole pair-generation subtree —
     // without truncation each iteration's plan contains every previous
     // iteration and analysis time grows superlinearly (this alone was ~60%
     // of the round-1 bench). The label frames are tiny (ids that appear in
     // a duplicate pair), so re-materializing them per round is cheap.
-    val edges = p.select(col(idA).as("src"), col(idB).as("dst"))
+    // RELIABLE checkpoint (HDFS/DFS) when the session has a checkpoint dir
+    // configured — localCheckpoint blocks live only on executors, so a lost
+    // executor would kill a long cluster job; local mode (no checkpoint
+    // dir) keeps the cheap executor-local path.
+    val useReliable = pairs.sparkSession.sparkContext.getCheckpointDir.isDefined
+    def ckpt(df: DataFrame): DataFrame =
+      if (useReliable) df.checkpoint() else df.localCheckpoint()
+    val edges = ckpt(p.select(col(idA).as("src"), col(idB).as("dst"))
       .unionByName(p.select(col(idB).as("src"), col(idA).as("dst")))
-      .distinct()
-      .localCheckpoint()
+      .distinct())
     p.unpersist()
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("cluster_id", col("id"))
-      .localCheckpoint()
+    var labels = ckpt(edges.select(col("src").as("id")).distinct()
+      .withColumn("cluster_id", col("id")))
     // coalesce: an empty pair set must yield an empty (not crashing) result
     var prevSum = labels.agg(coalesce(sum("cluster_id"), lit(0L)))
       .head().getLong(0)
@@ -222,11 +241,10 @@ object Dedup {
         .groupBy(col("src").as("id")).agg(min("nbr").as("nbr_min"))
       // one real job per iteration (the eager checkpoint); the convergence
       // aggregate below re-reads the checkpointed blocks, it does not recompute
-      val updated = labels.join(nbrMin, Seq("id"), "left")
+      val updated = ckpt(labels.join(nbrMin, Seq("id"), "left")
         .select(col("id"),
           least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id")))
-            .as("cluster_id"))
-        .localCheckpoint()
+            .as("cluster_id")))
       val newSum = updated.agg(coalesce(sum("cluster_id"), lit(0L)))
         .head().getLong(0)
       labels = updated
@@ -247,11 +265,18 @@ object Dedup {
   }
 
   /** Exact n-gram Jaccard similarity for explicit candidate pairs
-    * (verification primitive used after any LSH stage). */
+    * (verification primitive used after any LSH stage). The docs side is
+    * semi-join-pruned to ids that actually appear in a pair BEFORE
+    * tokenize+shingle: at corpus scale a small candidate set must not pay a
+    * full-corpus shingling pass (that pass alone dominated the sf0.1 bench
+    * at ~100x more docs than pairs). */
   def ngramJaccard(pairs: DataFrame, docs: DataFrame, idCol: String,
       textCol: String, n: Int = 3): DataFrame = {
-    val sh = docs.select(col(idCol).as("jid"),
-      array_distinct(shingles(TextAnalysis.tokens(col(textCol)), n)).as("jsh"))
+    val pairIds = pairs.select(col("id_a").as("jid"))
+      .unionByName(pairs.select(col("id_b").as("jid"))).distinct()
+    val sh = docs.join(pairIds, col(idCol) === col("jid"), "left_semi")
+      .select(col(idCol).as("jid"),
+        array_distinct(shingles(TextAnalysis.tokens(col(textCol)), n)).as("jsh"))
     pairs
       .join(sh.select(col("jid").as("id_a"), col("jsh").as("sh_a")), Seq("id_a"))
       .join(sh.select(col("jid").as("id_b"), col("jsh").as("sh_b")), Seq("id_b"))

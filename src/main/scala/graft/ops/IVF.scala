@@ -46,15 +46,20 @@ object IVF {
     * mean recombination). Collects only (nc x dim) doubles per iteration. */
   def train(emb: DataFrame, idCol: String, vecCol: String,
       nc: Int = 16, iters: Int = 5): Model = {
-    val dvec = toDouble(col(vecCol))
-    var centroids: Array[Array[Double]] = emb
-      .orderBy(col(idCol)).limit(nc)
-      .select(dvec.as("v")).collect()
+    // one projected+persisted copy of the training vectors: every Lloyd's
+    // iteration re-scans this narrow frame instead of re-reading (and
+    // re-casting) the source — at corpus scale the input scan would
+    // otherwise run iters+1 times
+    val base = emb.select(col(idCol).as("__ivf_id"), toDouble(col(vecCol)).as("v"))
+      .persist()
+    var centroids: Array[Array[Double]] = base
+      .orderBy(col("__ivf_id")).limit(nc)
+      .select(col("v")).collect()
       .map(_.getSeq[Double](0).toArray)
     var it = 0
     while (it < iters) {
-      val assigned = emb.select(dvec.as("v"),
-        assignExpr(dvec, centroids).as("cid"))
+      val assigned = base.select(col("v"),
+        assignExpr(col("v"), centroids).as("cid"))
       val means = assigned
         .select(col("cid"), posexplode(col("v")).as(Seq("pos", "x")))
         .groupBy(col("cid"), col("pos")).agg(avg(col("x")).as("m"))
@@ -67,6 +72,7 @@ object IVF {
         .map(i => means.getOrElse(i, centroids(i))).toArray
       it += 1
     }
+    base.unpersist()
     Model(centroids)
   }
 
