@@ -29,7 +29,13 @@ object Skew {
   def saltedJoin(fact: DataFrame, dim: DataFrame, key: String,
       salts: Int = 8, joinType: String = "inner"): DataFrame = {
     require(salts > 0)
-    val jt = joinType.toLowerCase.replace("_", "").replace("outer", "")
+    // Spark accepts bare "semi"/"anti" as aliases of left_semi/left_anti —
+    // normalize them too so valid aliases aren't rejected
+    val jt = joinType.toLowerCase.replace("_", "").replace("outer", "") match {
+      case "semi" => "leftsemi"
+      case "anti" => "leftanti"
+      case other => other
+    }
     require(jt == "inner" || jt == "left" || jt == "leftsemi" || jt == "leftanti",
       s"saltedJoin supports inner/left/left_semi/left_anti only, got '$joinType': " +
         "right/full outer would replicate unmatched dim rows once per salt")

@@ -93,8 +93,40 @@ object TopK {
     * references resolve against the analyzed child (the analyzer does not
     * resolve expressions inside third-party logical nodes). Registers
     * [[TopKStrategy]] on the session if absent. Supply a total ordering
-    * (add a unique tiebreaker) for deterministic results. */
+    * (add a unique tiebreaker) for deterministic results.
+    *
+    * MEMORY GUARD: [[TopKPerGroupExec]] holds one k-heap per group in an
+    * in-memory hash map — O(groups x k) rows across the cluster with no
+    * spill path. That is the right trade for the operator's target shape
+    * (bounded group cardinality: accounts, users, categories), but a
+    * high-cardinality group column would OOM where a window sort spills.
+    * So the entry point first estimates group cardinality with one cheap
+    * `approx_count_distinct` pass and falls back to the equivalent
+    * `row_number().over(window) <= k` formulation (sort-based, spillable)
+    * above `maxGroups`. Pass `maxGroups = Long.MaxValue` to skip the
+    * estimate job when the cardinality is known small. */
   def perGroup(df: DataFrame, groupCols: Seq[String],
+      orderBy: Seq[(String, Boolean)], k: Int,
+      maxGroups: Long = 4L << 20): DataFrame = {
+    import org.apache.spark.sql.functions.{approx_count_distinct, col, row_number, struct}
+    if (maxGroups < Long.MaxValue) {
+      val est = df.select(approx_count_distinct(
+          struct(groupCols.map(col): _*), 0.1).as("g"))
+        .head().getLong(0)
+      if (est > maxGroups) {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(groupCols.map(col): _*)
+          .orderBy(orderBy.map { case (n, asc) =>
+            if (asc) col(n).asc else col(n).desc }: _*)
+        return df.withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") <= k).drop("__rn")
+      }
+    }
+    heapPerGroup(df, groupCols, orderBy, k)
+  }
+
+  /** The custom-operator path, unconditionally (no cardinality estimate). */
+  private[plans] def heapPerGroup(df: DataFrame, groupCols: Seq[String],
       orderBy: Seq[(String, Boolean)], k: Int): DataFrame = {
     val spark = df.sparkSession
     if (!spark.experimental.extraStrategies.contains(TopKStrategy))

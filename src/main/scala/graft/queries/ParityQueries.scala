@@ -513,6 +513,86 @@ object ParityQueries {
           grouping(col("l_returnflag")).cast("int").as("g_rf"),
           grouping(col("l_linestatus")).cast("int").as("g_ls"))),
 
+    // S5 text scan + monitoring: write a deterministic log file derived from
+    // events, read it back line-wise (Sources.text, monitor.py:30), parse and
+    // count per (level, event_type) — the ERROR row is monitor.py:28-40's
+    // error-log count
+    "q34_text_log_scan" -> ((s, dir) => {
+      val tmp = System.getProperty("java.io.tmpdir") +
+        "/graft_log_" + dir.replaceAll("[^a-zA-Z0-9]", "_")
+      events(s, dir).select(concat_ws(" ",
+          when(col("event_type") === "error", "ERROR").otherwise("INFO"),
+          concat(lit("evt="), col("event_type")),
+          concat(lit("user="), col("user_id"))).as("value"))
+        .write.mode("overwrite").text(tmp)
+      graft.sources.Sources.text(s, tmp)
+        .select(split(col("value"), " ").as("p"))
+        .select(element_at(col("p"), 1).as("level"),
+          regexp_replace(element_at(col("p"), 2), "^evt=", "").as("evt"))
+        .groupBy(col("level"), col("evt"))
+        .agg(count(lit(1)).as("n"))
+    }),
+
+    // S6 local-rows source: explicit-schema createDataFrame
+    // (data_seed.py:106,155,232) — fixed literal rows incl. a null
+    "q35_local_rows" -> ((s, dir) => {
+      import org.apache.spark.sql.types._
+      val schema = StructType(Seq(
+        StructField("id", LongType, nullable = false),
+        StructField("name", StringType),
+        StructField("score", DoubleType)))
+      val rows = Seq(
+        org.apache.spark.sql.Row(1L, "alpha", 1.5),
+        org.apache.spark.sql.Row(2L, "beta", 2.5),
+        org.apache.spark.sql.Row(3L, "gamma", null),
+        org.apache.spark.sql.Row(4L, "delta", 4.25))
+      graft.sources.Sources.localRows(s, rows, schema)
+    }),
+
+    // K4 partitioned write (write_delta contract, partition cols from
+    // config.json:70): write events partitioned by year/month, read the
+    // partitioned layout back, aggregate per partition — proves both the
+    // directory layout and partition-column type recovery
+    "q36_partitioned_write" -> ((s, dir) => {
+      val tmp = System.getProperty("java.io.tmpdir") +
+        "/graft_part_" + dir.replaceAll("[^a-zA-Z0-9]", "_")
+      val enriched = events(s, dir).select(col("event_id"), col("value"),
+        year(col("ts")).as("event_year"), month(col("ts")).as("event_month"))
+      Sinks.writePartitioned(enriched, tmp, "overwrite",
+        Seq("event_year", "event_month"))
+      s.read.parquet(tmp)
+        .groupBy(col("event_year"), col("event_month"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
+    }),
+
+    // Monitoring end-to-end (monitor.py:10-26 over a table the pipeline
+    // actually writes): run the quality suite, persist results via the
+    // orchestrator's sink, read back through Monitor.qualityResults
+    "q37_quality_monitor" -> ((s, dir) => {
+      import s.implicits._
+      val o = t(s, dir, "orders")
+      val cfg = DataQuality.QualityConfig(
+        tableName = "orders",
+        requiredColumns = Seq("o_orderkey", "o_custkey"),
+        keyColumns = Seq("o_orderkey"),
+        rangeChecks = Map("o_totalprice" -> (0.0, 500000.0)))
+      val qr = DataQuality.runAllChecks(o, cfg)
+      val res = Seq((qr.tableName, qr.recordCount,
+        qr.nullCheck.forall(_.passed), qr.duplicateCheck.forall(_.passed),
+        qr.rangeCheck.forall(_.passed), qr.overallPassed))
+        .toDF("table_name", "record_count", "null_passed", "duplicate_passed",
+          "range_passed", "overall_passed")
+      val tmp = System.getProperty("java.io.tmpdir") +
+        "/graft_qres_" + dir.replaceAll("[^a-zA-Z0-9]", "_")
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+      Sinks.writeQualityResults(res, tmp)
+      val (latest, failedCount) = graft.monitor.Monitor.qualityResults(s, tmp)
+      latest.select(col("table_name"), col("record_count"), col("null_passed"),
+        col("duplicate_passed"), col("range_passed"), col("overall_passed"))
+        .withColumn("failed_runs", lit(failedCount))
+    }),
+
     // Flagship: the full reference transaction pipeline over adapted events
     "q17_transaction_pipeline" -> ((s, dir) =>
       TransactionTransform.all(eventsAsTransactions(events(s, dir)))
@@ -530,6 +610,41 @@ object ParityQueries {
   // ----------------------------------------------------------------- oracle
 
   val oracle: Map[String, String] = Map(
+
+    "q34_text_log_scan" ->
+      """SELECT CASE WHEN event_type = 'error' THEN 'ERROR' ELSE 'INFO' END AS level,
+        |  event_type AS evt, count(*) AS n
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "q35_local_rows" ->
+      """SELECT CAST(1 AS BIGINT) AS id, 'alpha' AS name, CAST(1.5 AS DOUBLE) AS score
+        |UNION ALL SELECT 2, 'beta', 2.5
+        |UNION ALL SELECT 3, 'gamma', NULL
+        |UNION ALL SELECT 4, 'delta', 4.25""".stripMargin,
+
+    "q36_partitioned_write" ->
+      """SELECT CAST(year(ts) AS INT) AS event_year, CAST(month(ts) AS INT) AS event_month,
+        |  count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "q37_quality_monitor" ->
+      """SELECT 'orders' AS table_name,
+        |  count(*) AS record_count,
+        |  (count(*) FILTER (WHERE o_orderkey IS NULL) = 0
+        |   AND count(*) FILTER (WHERE o_custkey IS NULL) = 0) AS null_passed,
+        |  (count(*) - (SELECT count(DISTINCT o_orderkey) FROM orders) = 0) AS duplicate_passed,
+        |  (count(*) FILTER (WHERE o_totalprice < 0 OR o_totalprice > 500000) = 0) AS range_passed,
+        |  ((count(*) FILTER (WHERE o_orderkey IS NULL) = 0
+        |    AND count(*) FILTER (WHERE o_custkey IS NULL) = 0)
+        |   AND (count(*) - (SELECT count(DISTINCT o_orderkey) FROM orders) = 0)
+        |   AND (count(*) FILTER (WHERE o_totalprice < 0 OR o_totalprice > 500000) = 0)) AS overall_passed,
+        |  CAST(CASE WHEN ((count(*) FILTER (WHERE o_orderkey IS NULL) = 0
+        |    AND count(*) FILTER (WHERE o_custkey IS NULL) = 0)
+        |   AND (count(*) - (SELECT count(DISTINCT o_orderkey) FROM orders) = 0)
+        |   AND (count(*) FILTER (WHERE o_totalprice < 0 OR o_totalprice > 500000) = 0))
+        |   THEN 0 ELSE 1 END AS BIGINT) AS failed_runs
+        |FROM orders""".stripMargin,
 
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,

@@ -75,6 +75,44 @@ class DedupSpec extends SparkSpec {
     assert(out.count() == docs.count()) // nothing to dedup -> untouched
   }
 
+  test("degenerate corpus: hot-bucket cap keeps pairs linear, clusters connected") {
+    // 1000 identical docs + a second 200-doc dup group: every band bucket is
+    // oversized, so candidates must be star edges (linear), never all-pairs
+    // (quadratic) -- and each group must still resolve to ONE cluster
+    // through its hub. This is the skew shape (boilerplate/empty docs) that
+    // would dominate a 100 TB dedup job without the cap.
+    val groupA = spark.range(0, 1000).select(col("id").as("doc_id"),
+      lit("the same boilerplate text repeated across the whole corpus verbatim").as("text"))
+    val groupB = spark.range(2000, 2200).select(col("id").as("doc_id"),
+      lit("an entirely different disclaimer footer appended to every message body").as("text"))
+    val pairs = Dedup.minhashLshPairs(groupA.unionByName(groupB), "doc_id", "text",
+      shingleW = 2, k = 16, bands = 4, threshold = 0.9, maxBucketSize = 64)
+    val cnt = pairs.count()
+    // star edges: (1000-1) + (200-1) = 1198 minimum, one per member per group
+    assert(cnt >= 1198 && cnt <= 4 * 1198, s"expected linear star edges, got $cnt")
+    val clusters = Dedup.resolveClusters(pairs)
+    val bySize = clusters.groupBy("cluster_id").count()
+      .select("count").as[Long].collect().sorted
+    assert(bySize.toSeq == Seq(200L, 1000L))
+  }
+
+  test("degenerate corpus: simhash hot buckets stay linear and connected") {
+    val degen = spark.range(0, 800).select(col("id").as("doc_id"),
+      lit("identical short doc body for every row in this corpus").as("text"))
+    val pairs = Dedup.simhashPairs(degen, "doc_id", "text",
+      maxHamming = 3, maxBucketSize = 64)
+    val cnt = pairs.count()
+    assert(cnt >= 799 && cnt <= 4 * 799, s"expected linear star edges, got $cnt")
+    assert(Dedup.resolveClusters(pairs).select("cluster_id").distinct().count() == 1)
+  }
+
+  test("shingle_hashes tolerates null tokens (null slot hashes as seed, no NPE)") {
+    val h = spark.range(1).select(graft.functions.ShingleFunctions
+        .shingle_hashes(array(lit("a"), lit(null).cast("string"), lit("b")), 2).as("h"))
+      .select(size(col("h"))).as[Int].head()
+    assert(h == 2) // 3 tokens, w=2 -> 2 shingles
+  }
+
   test("ngramJaccard computes exact overlap for explicit pairs") {
     val pairs = Seq((1L, 2L)).toDF("id_a", "id_b")
     val j = Dedup.ngramJaccard(pairs, docs, "doc_id", "text", n = 3)

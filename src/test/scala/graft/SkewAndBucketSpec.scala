@@ -32,6 +32,19 @@ class SkewSpec extends SparkSpec {
     assert(salts > 1) // hot rows no longer land on a single reducer key
   }
 
+  test("saltedJoin rejects right/full outer, accepts semi/anti aliases") {
+    // right/full outer would emit one unmatched dim copy PER SALT
+    intercept[IllegalArgumentException] {
+      Skew.saltedJoin(fact, dim, "key", joinType = "full_outer")
+    }
+    intercept[IllegalArgumentException] {
+      Skew.saltedJoin(fact, dim, "key", joinType = "right")
+    }
+    // Spark treats bare "semi"/"anti" as left_semi/left_anti -- so do we
+    assert(Skew.saltedJoin(fact, dim, "key", joinType = "semi").count() == 902)
+    assert(Skew.saltedJoin(fact, dim, "key", joinType = "anti").count() == 1)
+  }
+
   test("skewedCountDistinct matches plain countDistinct") {
     val df = (Seq.fill(500)(("hot", "x")) ++
       Seq(("hot", "y"), ("hot", "z"), ("cold", "x"))).toDF("key", "v")

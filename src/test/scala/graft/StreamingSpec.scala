@@ -72,6 +72,42 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sessionize survives late events: dropped at the watermark, no crash") {
+    // Events behind the watermark are filtered before the state function
+    // (EventTimeTimeout path), so a stale session closes by timeout with its
+    // pre-late contents; the timeout clamp in sessionize guards the
+    // equality boundary (timeout == watermark) so the query never dies with
+    // Spark's "timeout cannot be earlier than watermark" error.
+    implicit val s = spark
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = EventStreams.sessionize(input.toDS(), gapMs = 30 * 60 * 1000L)
+      .writeStream.format("memory").queryName("sess_late")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // batch 1: user 7 opens a session at 10:00; user 8 at 20:00 drives the
+      // watermark to 19:50 for the NEXT batch
+      input.addData(
+        Event(1, ts("2024-01-01 10:00:00"), 7, "click", 1.0),
+        Event(2, ts("2024-01-01 20:00:00"), 8, "click", 1.0))
+      q.processAllAvailable()
+      // batch 2: late event for user 7, far behind the 19:50 watermark --
+      // must be dropped (not merged, not crashing the query)
+      input.addData(Event(3, ts("2024-01-01 10:20:00"), 7, "click", 2.0))
+      q.processAllAvailable()
+      // batch 3: advance the watermark so the clamped session times out
+      input.addData(Event(4, ts("2024-01-01 23:00:00"), 9, "click", 1.0))
+      q.processAllAvailable()
+      val sessions = spark.table("sess_late")
+        .select("user_id", "n_events", "total_value")
+        .as[(Long, Long, Double)].collect().toSet
+      // user 7's session holds only the on-time event; the late one was
+      // dropped at the watermark and the query stayed alive
+      assert(sessions.contains((7L, 1L, 1.0)), sessions.toString)
+      assert(!sessions.exists(s => s._1 == 7L && s._2 == 2L), sessions.toString)
+    } finally q.stop()
+  }
+
   test("sessionize closes a session on gap and keeps one open session per user") {
     implicit val s = spark
     implicit val sqlCtx = spark.sqlContext

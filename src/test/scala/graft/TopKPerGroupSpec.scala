@@ -36,4 +36,22 @@ class TopKPerGroupSpec extends SparkSpec {
     assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1, plan)
     assert(!plan.contains("Window"), "must not fall back to a window sort")
   }
+
+  test("high-cardinality groups fall back to the spillable window formulation") {
+    // ~500 groups with maxGroups=100: the cardinality estimate must route to
+    // row_number over a window (sort-based, spills) instead of the in-memory
+    // heap operator -- and produce identical rows
+    val hi = spark.range(0, 5000)
+      .select(col("id"), pmod(col("id"), lit(500)).as("g"),
+        pmod(xxhash64(col("id")), lit(977)).cast("double").as("v"))
+    val guarded = TopK.perGroup(hi, Seq("g"), Seq(("v", false), ("id", true)),
+      2, maxGroups = 100)
+    val plan = guarded.queryExecution.executedPlan.toString
+    assert(plan.contains("Window"), plan.take(500))
+    assert(!plan.contains("TopKPerGroup"), plan.take(500))
+    val heap = TopK.perGroup(hi, Seq("g"), Seq(("v", false), ("id", true)),
+      2, maxGroups = Long.MaxValue)
+    assert(guarded.select("g", "id").as[(Long, Long)].collect().toSet ==
+      heap.select("g", "id").as[(Long, Long)].collect().toSet)
+  }
 }
