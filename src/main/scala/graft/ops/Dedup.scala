@@ -80,9 +80,21 @@ object Dedup {
     * bucket's min id — which is linear in bucket size where all-pairs is
     * quadratic. At 100 TB one degenerate bucket (boilerplate docs, empty
     * strings) would otherwise dominate the whole job. Star edges preserve
-    * cluster connectivity for [[resolveClusters]] (a bucket of true
-    * duplicates stays one connected component through its hub) and the
-    * downstream exact-similarity verify still rejects false positives.
+    * cluster connectivity for [[resolveClusters]] when the bucket holds ONE
+    * duplicate group (it stays a single connected component through its
+    * hub) and the downstream exact-similarity verify still rejects false
+    * positives.
+    *
+    * RECALL BOUND (documented trade-off): if an oversized bucket contains
+    * TWO OR MORE distinct duplicate groups, only the hub's own group
+    * survives the downstream verify in THAT band — star edges from the hub
+    * to other groups' members fail the Jaccard/hamming filter, so those
+    * groups' intra-pairs are lost in that band and must be recovered by
+    * another band (near-certain for real near-dups, whose signatures agree
+    * on most bands, but NOT guaranteed for pathological corpora where
+    * unrelated groups collide in every band). Callers needing the classic
+    * no-cap guarantee can pass `maxBucketSize = Int.MaxValue` and accept
+    * the quadratic hot-bucket cost.
     * Input: (id, band, bucket). Output: (id_a, id_b) with id_a < id_b. */
   private def bucketCandidates(buckets: DataFrame, maxBucketSize: Int): DataFrame = {
     val sized = buckets.join(
@@ -172,7 +184,9 @@ object Dedup {
         struct(lit(b).as("band"),
           shiftright(col("simhash"), b * 16).bitwiseAND(0xFFFFL).as("chunk"))): _*)))
       .select(col("id"), col("simhash"), col("bb.band"), col("bb.chunk"))
-    // hot-bucket guard (see [[bucketCandidates]] for rationale): oversized
+    // hot-bucket guard (see [[bucketCandidates]] for rationale AND the
+    // documented recall bound -- the same multi-group-bucket caveat applies
+    // here, with the hamming filter in place of Jaccard): oversized
     // buckets star-link to the min-id hub instead of producing all pairs.
     // The one-long simhash payload rides the shuffle (cheap), and min_by
     // carries the hub's simhash so star edges need no join-back.

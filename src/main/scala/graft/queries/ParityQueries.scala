@@ -605,11 +605,60 @@ object ParityQueries {
           col("days_since_last_transaction"), col("transaction_count_30d"),
           round(col("total_spend_30d"), 4).as("total_spend_30d"),
           col("is_large_transaction"), col("is_unusual_location"),
-          col("is_high_frequency"), col("potential_fraud"))))
+          col("is_high_frequency"), col("potential_fraud"))),
+
+    // X1 orchestrator end-to-end, oracle-checked: seed a raw transaction CSV
+    // from events (timestamps serialized at second precision, the raw-schema
+    // parse format), run the FULL pipeline -- extract (declared-schema CSV)
+    // -> transform -> quality gate -> partitioned load -- then read the
+    // loaded year/month-partitioned parquet back and project the flagship
+    // columns. Oracle = the q17 oracle over second-truncated timestamps.
+    "q38_pipeline_e2e" -> ((s, dir) => {
+      val root = System.getProperty("java.io.tmpdir") +
+        "/graft_pipe_" + dir.replaceAll("[^a-zA-Z0-9]", "_")
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+      val dataRoot = s"$root/in"; val outRoot = s"$root/out"
+      eventsAsTransactions(events(s, dir))
+        .withColumn("transaction_date",
+          date_format(col("transaction_date"), "yyyy-MM-dd HH:mm:ss"))
+        .write.option("header", "true").mode("overwrite")
+        .csv(s"$dataRoot/transaction")
+      val spec = graft.pipeline.PipelineSpec(
+        sourceType = "local", sourcePath = Some("transaction"),
+        sourceTable = None,
+        targetType = "local", targetTable = None,
+        targetPath = Some("transaction_out"),
+        writeMode = "overwrite",
+        partitionCols = Seq("transaction_year", "transaction_month"),
+        keyColumns = Nil,
+        failOnQualityCheck = true,
+        dataQuality = DataQuality.QualityConfig(
+          tableName = "transaction",
+          requiredColumns = Seq("transaction_id", "account_id"),
+          keyColumns = Seq("transaction_id"),
+          rangeChecks = Map("amount_usd" -> (-1000000.0, 1000000.0))))
+      val cfg = graft.pipeline.AppConfig(
+        appName = "graft-e2e", environment = "test",
+        pipelines = Map("transaction" -> spec),
+        pipelinesToRun = Seq("transaction"))
+      new graft.pipeline.Orchestrator(s, cfg, dataRoot, outRoot)
+        .runPipeline("transaction")
+      s.read.parquet(s"$outRoot/transaction_out")
+        .select(col("transaction_id"), col("account_id"), col("transaction_date"),
+          col("transaction_type"), col("currency"),
+          col("transaction_year"), col("transaction_month"), col("transaction_day"),
+          col("transaction_hour"), col("transaction_dayofweek"), col("is_weekend"),
+          col("amount_usd"), col("transaction_category"), col("amount_signed"),
+          round(col("running_balance"), 4).as("running_balance"),
+          col("days_since_last_transaction"), col("transaction_count_30d"),
+          round(col("total_spend_30d"), 4).as("total_spend_30d"),
+          col("is_large_transaction"), col("is_unusual_location"),
+          col("is_high_frequency"), col("potential_fraud"))
+    }))
 
   // ----------------------------------------------------------------- oracle
 
-  val oracle: Map[String, String] = Map(
+  private val oracleBase: Map[String, String] = Map(
 
     "q34_text_log_scan" ->
       """SELECT CASE WHEN event_type = 'error' THEN 'ERROR' ELSE 'INFO' END AS level,
@@ -1001,4 +1050,12 @@ object ParityQueries {
         |  is_large_transaction, is_unusual_location, is_high_frequency,
         |  (is_large_transaction OR is_unusual_location OR (days_since_last_transaction < 0.01)) AS potential_fraud
         |FROM flagged""".stripMargin))
+
+  /** q38 = the flagship oracle with timestamps truncated to seconds — the
+    * serialization precision of the e2e pipeline's raw CSV input (the raw
+    * schema's `yyyy-MM-dd HH:mm:ss` parse format). */
+  val oracle: Map[String, String] = oracleBase +
+    ("q38_pipeline_e2e" -> oracleBase("q17_transaction_pipeline")
+      .replace("ts AS transaction_date",
+        "date_trunc('second', ts) AS transaction_date"))
 }
