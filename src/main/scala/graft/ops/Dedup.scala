@@ -278,6 +278,51 @@ object Dedup {
     df.join(losers, col(idCol) === col("__loser"), "left_anti")
   }
 
+  /** Embedding-cosine near-duplicate pairs, exact all-pairs — the
+    * correctness baseline and the verify primitive behind
+    * [[cosinePairsLsh]]. O(n^2) compares: use on small corpora (or inside
+    * LSH buckets); the scale path is [[cosinePairsLsh]]. */
+  def cosinePairsExact(emb: DataFrame, idCol: String, vecCol: String,
+      threshold: Double): DataFrame = {
+    val a = emb.select(col(idCol).as("id_a"), col(vecCol).as("__va"))
+    val b = emb.select(col(idCol).as("id_b"), col(vecCol).as("__vb"))
+    a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .withColumn("cosine_sim", round(Similarity.cosine(col("__va"), col("__vb")), 6))
+      .filter(col("cosine_sim") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cosine_sim"))
+  }
+
+  /** Embedding-cosine near-duplicate pairs at scale: one (planes x bands)-bit
+    * sign-random-projection signature per vector ([[Similarity.srpSignature]],
+    * data-independent hyperplanes, zero driver state), banded into `bands`
+    * buckets of `planes` bits — a pair at angle theta collides in a given
+    * band with probability (1 - theta/pi)^planes — then hot-bucket-capped
+    * same-bucket candidates and an exact cosine verify at `threshold`.
+    * Same shuffle shape as [[minhashLshPairs]]: explode-by-band,
+    * hash-partition on (band, bucket), never an all-pairs join. The recall
+    * bound documented on [[bucketCandidates]] applies. */
+  def cosinePairsLsh(emb: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, planes: Int = 8, bands: Int = 4,
+      maxBucketSize: Int = 256): DataFrame = {
+    require(planes * bands <= 63, "SRP signature packs into a single long")
+    val mask = (1L << planes) - 1
+    val buckets = emb
+      .select(col(idCol).as("id"),
+        Similarity.srpSignature(col(vecCol), planes * bands).as("sig"))
+      .withColumn("bb", explode(array((0 until bands).map(b =>
+        struct(lit(b).as("band"),
+          shiftright(col("sig"), b * planes).bitwiseAND(mask).as("bucket"))): _*)))
+      .select(col("id"), col("bb.band"), col("bb.bucket"))
+    val cand = bucketCandidates(buckets, maxBucketSize)
+    val v = emb.select(col(idCol).as("jid"), col(vecCol).as("jv"))
+    cand
+      .join(v.select(col("jid").as("id_a"), col("jv").as("__va")), Seq("id_a"))
+      .join(v.select(col("jid").as("id_b"), col("jv").as("__vb")), Seq("id_b"))
+      .withColumn("cosine_sim", round(Similarity.cosine(col("__va"), col("__vb")), 6))
+      .filter(col("cosine_sim") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cosine_sim"))
+  }
+
   /** Exact n-gram Jaccard similarity for explicit candidate pairs
     * (verification primitive used after any LSH stage). The docs side is
     * semi-join-pruned to ids that actually appear in a pair BEFORE

@@ -32,6 +32,20 @@ object ExtensionQueries {
     docs.unionByName(mutated)
   }
 
+  /** embeddings (cast to double) plus deterministically perturbed copies of
+    * vecs 0..24 (vec_id+10000, element i scaled by 1 + 0.05*((i%3)-1)) —
+    * the planted near-duplicate corpus for the cosine-dedup queries.
+    * Mirrored exactly in the x18 oracle SQL. */
+  private def embDupCorpus(emb: DataFrame): DataFrame = {
+    val asDouble = emb.select(col("vec_id"),
+      transform(col("embedding"), x => x.cast("double")).as("v"))
+    val perturbed = asDouble.filter(col("vec_id") < 25)
+      .select((col("vec_id") + 10000).as("vec_id"),
+        transform(col("v"), (x, i) =>
+          x * (lit(1.0) + lit(0.05) * ((i % 3) - lit(1)))).as("v"))
+    asDouble.unionByName(perturbed)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Exact dedup: survivor (min id) + multiplicity per distinct text
@@ -166,6 +180,29 @@ object ExtensionQueries {
       IVF.search(assigned, q, "vec_id", "embedding", model, k = 20, nprobe = 4)
     }),
 
+    // Embedding-cosine near-dup pairs, exact baseline (oracle-checked):
+    // corpus = embeddings (as double) + deterministically perturbed copies
+    // of vecs 0..24 (per-position factors 0.95/1.0/1.05) -> all-pairs
+    // cosine at 0.9 finds exactly the planted near-dups (background pairs
+    // max out near 0.51 on this table)
+    "x18_embedding_dedup" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val corpus = embDupCorpus(emb)
+      graft.ops.Dedup.cosinePairsExact(corpus, "vec_id", "v", 0.9)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // Embedding-cosine near-dup pairs via banded SRP-LSH (the scale path;
+    // xxhash64-derived hyperplanes -> rows-only check; recall asserted in
+    // spec against the exact baseline)
+    "x19_embedding_dedup_lsh" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val corpus = embDupCorpus(emb)
+      graft.ops.Dedup.cosinePairsLsh(corpus, "vec_id", "v", 0.9,
+        planes = 8, bands = 4)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // Multimodal plumbing: binary payload + metadata -> partition-batched
     // feature extraction (decode stubbed; rows-only check)
     "x11_multimodal" -> ((s, dir) => {
@@ -278,6 +315,19 @@ object ExtensionQueries {
         |  ROUND(list_sum(CAST(embedding AS DOUBLE[])) / len(embedding), 6) AS vec_mean,
         |  label
         |FROM embeddings""".stripMargin,
+
+    "x18_embedding_dedup" ->
+      """WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |corpus AS (
+        |  SELECT vec_id, v FROM base
+        |  UNION ALL
+        |  SELECT vec_id + 10000,
+        |    list_transform(range(0, len(v)), i -> v[i + 1] * (1.0 + 0.05 * ((i % 3) - 1)))
+        |  FROM base WHERE vec_id < 25)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  ROUND(list_cosine_similarity(a.v, b.v), 6) AS cosine_sim
+        |FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+        |WHERE ROUND(list_cosine_similarity(a.v, b.v), 6) >= 0.9""".stripMargin,
 
     "x09_knn_bruteforce" ->
       """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qvec FROM embeddings WHERE vec_id = 0),

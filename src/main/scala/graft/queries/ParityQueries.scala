@@ -654,11 +654,56 @@ object ParityQueries {
           round(col("total_spend_30d"), 4).as("total_spend_30d"),
           col("is_large_transaction"), col("is_unusual_location"),
           col("is_high_frequency"), col("potential_fraud"))
+    }),
+
+    // X7 seed generator, oracle-checked on its contract invariants: exact
+    // row counts, key uniqueness, schema-documented domains (credit_score
+    // in [300,850], closed accounts carry close dates, transactions only
+    // reference ACTIVE accounts, is_international == location != USA). The
+    // generated VALUES are seeded-random (not SQL-transcribable); the
+    // invariants are what the reference's seed contract actually promises
+    // (data_seed.py:63-243), so they form the oracle.
+    "q39_seed_invariants" -> ((s, dir) => {
+      val ds = new graft.seed.DataSeed(s)
+      val cust = ds.customers(200)
+      val custIds = (0 until 200).map(i => f"CUST$i%06d")
+      val acc = ds.accounts(custIds, 300)
+      val activeIds = acc.filter(col("account_status") === "active")
+        .select(col("account_id")).collect().map(_.getString(0)).toSeq
+      val txn = ds.transactions(activeIds, 1000)
+      val custAgg = cust.agg(
+        count(lit(1)).as("n_customers"),
+        (countDistinct(col("customer_id")) === 200).as("customer_ids_unique"),
+        (min(col("credit_score")) >= 300 && max(col("credit_score")) <= 850)
+          .as("scores_in_range"))
+      val accAgg = acc.agg(
+        count(lit(1)).as("n_accounts"),
+        (count(when(col("account_status") === "closed" &&
+          col("close_date").isNull, 1)) === 0).as("closed_have_close_date"))
+      val txnAgg = txn.agg(
+        count(lit(1)).as("n_transactions"),
+        (count(when(col("is_international") =!= (col("location") =!= "USA"), 1)) === 0)
+          .as("intl_flag_consistent"))
+      val fkOk = txn.select(col("account_id"))
+        .join(acc.filter(col("account_status") === "active")
+          .select(col("account_id")), Seq("account_id"), "left_anti")
+        .agg((count(lit(1)) === 0).as("txn_fk_active_only"))
+      custAgg.crossJoin(accAgg).crossJoin(txnAgg).crossJoin(fkOk)
     }))
 
   // ----------------------------------------------------------------- oracle
 
   private val oracleBase: Map[String, String] = Map(
+
+    "q39_seed_invariants" ->
+      """SELECT CAST(200 AS BIGINT) AS n_customers,
+        |  true AS customer_ids_unique,
+        |  true AS scores_in_range,
+        |  CAST(300 AS BIGINT) AS n_accounts,
+        |  true AS closed_have_close_date,
+        |  CAST(1000 AS BIGINT) AS n_transactions,
+        |  true AS intl_flag_consistent,
+        |  true AS txn_fk_active_only""".stripMargin,
 
     "q34_text_log_scan" ->
       """SELECT CASE WHEN event_type = 'error' THEN 'ERROR' ELSE 'INFO' END AS level,

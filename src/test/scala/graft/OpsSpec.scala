@@ -113,6 +113,32 @@ class DedupSpec extends SparkSpec {
     assert(h == 2) // 3 tokens, w=2 -> 2 shingles
   }
 
+  test("cosinePairsExact finds planted perturbed vectors; LSH path recovers them") {
+    // 40 near-orthogonal base vectors (unit axes in 40-dim via hash signs)
+    // + perturbed copies of the first 10: exact must find exactly the 10
+    // planted pairs at 0.9; the banded SRP path must recover most of them
+    // (same verify, candidates only from shared buckets) and nothing else.
+    val dim = 16
+    val base = spark.range(0, 40).select(col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(dim - 1)),
+        i => when(pmod(xxhash64(col("id"), i), lit(1000)) < 500, -1.0).otherwise(1.0)
+          + col("id") * i * 0.001).as("v"))
+    val planted = base.filter(col("vec_id") < 10)
+      .select((col("vec_id") + 100).as("vec_id"),
+        transform(col("v"), x => x * 1.02 + 0.01).as("v"))
+    val corpus = base.unionByName(planted)
+    val exact = Dedup.cosinePairsExact(corpus, "vec_id", "v", 0.95)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(exact.size >= 10 && (0 until 10).forall(i => exact.contains((i.toLong, i + 100L))),
+      s"exact missed planted pairs: $exact")
+    val lsh = Dedup.cosinePairsLsh(corpus, "vec_id", "v", 0.95,
+      planes = 6, bands = 8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(lsh.subsetOf(exact), s"LSH emitted non-verified pairs: ${lsh -- exact}")
+    val planted10 = (0 until 10).map(i => (i.toLong, i + 100L)).toSet
+    assert((lsh & planted10).size >= 8, s"LSH recall too low: ${(lsh & planted10).size}/10")
+  }
+
   test("ngramJaccard computes exact overlap for explicit pairs") {
     val pairs = Seq((1L, 2L)).toDF("id_a", "id_b")
     val j = Dedup.ngramJaccard(pairs, docs, "doc_id", "text", n = 3)
