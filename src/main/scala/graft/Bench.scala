@@ -22,7 +22,11 @@ object Bench {
     // timings for window/join-heavy queries. bit_xor (not sum): summing
     // 64-bit hashes is a random walk that overflows Long, and Spark 4's
     // default ANSI mode turns that into ARITHMETIC_OVERFLOW, failing
-    // healthy queries mid-bench.
+    // healthy queries mid-bench (this bug invalidated round 1's multi-row
+    // timings — see BASELINE.md). NOTE: the xor aggregate exists ONLY to
+    // force full evaluation; it cancels even-multiplicity rows, so do not
+    // use it as a cross-run result-integrity hash — correctness lives in
+    // Verify + the DuckDB oracle, not here.
     def runOnce(fn: (org.apache.spark.sql.SparkSession, String) =>
         org.apache.spark.sql.DataFrame): Boolean =
       try {

@@ -12,18 +12,24 @@ import graft.queries.{ExtensionQueries, ParityQueries}
   * SQL-expressible query (xxhash64-based ops are rows-only by design).
   * Full operator -> query -> check map: /root/repo/COVERAGE.md.
   *
-  * Inventory (34 oracle-checked, 9 rows-only):
+  * Inventory (48 oracle-checked, 10 rows-only):
   *  - q01-q16: scans, filters, CASE chains, datetime, windows (running/
   *    lag/30-day range), grouped stats + broadcast join, anti-join
   *    referential integrity, top-k, dup/null/range/quality checks, upsert,
   *    string ops, CSV roundtrip
   *  - q17: flagship — the reference's full transaction pipeline
-  *  - q18-q26: sessionization, session stats, percentiles, rollup, as-of
+  *  - q18-q33: sessionization, session stats, percentiles, rollup, as-of
   *    join (oracle = native DuckDB ASOF), set ops, binned range join,
-  *    custom TopKPerGroup physical operator (oracle = row_number)
-  *  - x01-x17: exact/MinHash/SimHash dedup + Jaccard + cluster resolution,
-  *    kNN (brute/SRP-LSH/IVF), token/quality/langid/fingerprint text ops,
-  *    multimodal features, embedding stats, stratified sampling, sketches
+  *    custom TopKPerGroup physical operator (oracle = row_number), ranking,
+  *    string/math/JSON/pivot/date/array-agg functions
+  *  - q34-q39: text-scan roundtrip + error-log monitoring, local-rows
+  *    source, partitioned write-then-read-back, quality-results monitoring,
+  *    orchestrator end-to-end (CSV extract -> transform -> gate ->
+  *    partitioned load vs the flagship oracle), seed-generator invariants
+  *  - x01-x19: exact/MinHash/SimHash/embedding-cosine dedup + Jaccard +
+  *    cluster resolution, kNN (brute/SRP-LSH/IVF), token/quality/langid/
+  *    fingerprint text ops, multimodal features, embedding stats,
+  *    stratified sampling, sketches
   */
 object SparkEntry {
 

@@ -97,6 +97,11 @@ object Dedup {
     * the quadratic hot-bucket cost.
     * Input: (id, band, bucket). Output: (id_a, id_b) with id_a < id_b. */
   private def bucketCandidates(buckets: DataFrame, maxBucketSize: Int): DataFrame = {
+    // NOTE on materialization: the buckets frame is referenced by several
+    // downstream branches, but persisting it here measured SLOWER at both
+    // sf0.1 and the 200k-doc smoke (cache write + extra job cost more than
+    // recomputing the narrow codegen'd subtree); the one materialization
+    // that measured faster is the candidate-pair persist in the callers.
     val sized = buckets.join(
       buckets.groupBy(col("band"), col("bucket"))
         .agg(count(lit(1)).as("bsz"), min(col("id")).as("bmin")),
@@ -184,14 +189,18 @@ object Dedup {
         struct(lit(b).as("band"),
           shiftright(col("simhash"), b * 16).bitwiseAND(0xFFFFL).as("chunk"))): _*)))
       .select(col("id"), col("simhash"), col("bb.band"), col("bb.chunk"))
+    // same dual-consumer materialization as [[bucketCandidates]]: the
+    // 64-sum simhash aggregate must not run once per consumer
+    val bandedP = banded.persist()
+    bandedP.count()
     // hot-bucket guard (see [[bucketCandidates]] for rationale AND the
     // documented recall bound -- the same multi-group-bucket caveat applies
     // here, with the hamming filter in place of Jaccard): oversized
     // buckets star-link to the min-id hub instead of producing all pairs.
     // The one-long simhash payload rides the shuffle (cheap), and min_by
     // carries the hub's simhash so star edges need no join-back.
-    val sized = banded.join(
-      banded.groupBy(col("band"), col("chunk"))
+    val sized = bandedP.join(
+      bandedP.groupBy(col("band"), col("chunk"))
         .agg(count(lit(1)).as("bsz"), min(col("id")).as("bmin"),
           expr("min_by(simhash, id)").as("bmin_sh")),
       Seq("band", "chunk"))
