@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.{CosineSimilarity, DotProduct, ShingleHashes}
+import graft.functions.{CosineSimilarity, DotProduct, ShingleHashes, SrpSignature}
 
 /** Session-extensions entry point: registers graft's native expressions as
   * SQL functions at session build time, so a deployment can enable them
@@ -29,6 +29,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("shingle_hashes"),
       new ExpressionInfo(classOf[ShingleHashes].getName, "shingle_hashes"),
       exprs => ShingleHashes(exprs.head,
+        exprs(1).eval(null).asInstanceOf[Int])))
+    e.injectFunction((
+      FunctionIdentifier("srp_signature"),
+      new ExpressionInfo(classOf[SrpSignature].getName, "srp_signature"),
+      exprs => SrpSignature(exprs.head,
         exprs(1).eval(null).asInstanceOf[Int])))
   }
 }
