@@ -42,6 +42,23 @@ object EventStreams {
         col("window.end").as("window_end"),
         col("event_type"), col("n_events"), col("total_value"))
 
+  /** Streaming exact dedup on the event id, state bounded by the watermark:
+    * `dropDuplicatesWithinWatermark` keys its state by id and evicts entries
+    * once the watermark passes their event time, so state is O(events per
+    * watermark horizon) instead of O(all history). The trade (standard for
+    * streaming dedup): a duplicate arriving later than the watermark delay
+    * after the original is NOT caught — at-least-once sources with bounded
+    * redelivery windows fit exactly this contract. This is the ingestion-
+    * side guard in front of the batch dedup operators ([[graft.ops.Dedup]]):
+    * cheap exact id-dedup on the stream, content-level near-dup offline. */
+  def dedupStream(events: Dataset[Event], watermark: String = "10 minutes")(
+      implicit spark: SparkSession): Dataset[Event] = {
+    import spark.implicits._
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+  }
+
   /** Gap-based sessionization with explicit per-user state: a session closes
     * when no event arrives within `gapMs` (enforced by event-time timeout,
     * so sessions also close on silence, not only on the next event). */

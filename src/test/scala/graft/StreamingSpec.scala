@@ -72,6 +72,29 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dedupStream drops duplicate event ids within the watermark horizon") {
+    implicit val s = spark
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = EventStreams.dedupStream(input.toDS(), watermark = "10 minutes")
+      .writeStream.format("memory").queryName("dedup_stream")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(
+        Event(1, ts("2024-01-01 10:00:00"), 1, "click", 1.0),
+        Event(1, ts("2024-01-01 10:00:00"), 1, "click", 1.0), // same-batch dup
+        Event(2, ts("2024-01-01 10:01:00"), 1, "view", 2.0))
+      q.processAllAvailable()
+      // cross-batch duplicate of id 1, still inside the watermark horizon
+      input.addData(Event(1, ts("2024-01-01 10:02:00"), 1, "click", 1.0),
+        Event(3, ts("2024-01-01 10:03:00"), 2, "click", 3.0))
+      q.processAllAvailable()
+      val ids = spark.table("dedup_stream")
+        .select("event_id").as[Long].collect().toSeq.sorted
+      assert(ids == Seq(1L, 2L, 3L), ids.toString)
+    } finally q.stop()
+  }
+
   test("sessionize survives late events: dropped at the watermark, no crash") {
     // Events behind the watermark are filtered before the state function
     // (EventTimeTimeout path), so a stale session closes by timeout with its
