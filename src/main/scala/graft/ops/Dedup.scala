@@ -222,13 +222,18 @@ object Dedup {
   }
 
   /** Resolve near-duplicate PAIRS into duplicate CLUSTERS (connected
-    * components) by iterative min-label propagation: every node repeatedly
-    * takes the minimum cluster id among itself and its neighbors.
-    * Label sums are monotonically non-increasing, so convergence is
-    * detected with one cheap aggregate per iteration; duplicate clusters
-    * are near-always tiny, so this converges in a handful of rounds
-    * (maxIter bounds pathological chains). Each iteration is one join +
-    * one grouped min — shuffle-bounded, no driver-side graph. */
+    * components) by iterative min-label propagation WITH pointer jumping:
+    * each round every node takes the minimum label among itself and its
+    * neighbors (one hop), then shortcuts to its label's label
+    * (`cluster_id := label(cluster_id)`, doubling propagation distance).
+    * The jump turns O(diameter) convergence into O(log diameter) — a
+    * 1000-node near-dup chain resolves well inside the default `maxIter`
+    * of 10 (distance at least doubles per round) where plain propagation
+    * would silently emit a PARTIAL clustering after running out of
+    * iterations. Label sums are monotonically
+    * non-increasing, so convergence is detected with one cheap aggregate
+    * per round. Each round is two joins + a grouped min on the (tiny)
+    * label frame — shuffle-bounded, no driver-side graph. */
   def resolveClusters(pairs: DataFrame, idA: String = "id_a",
       idB: String = "id_b", maxIter: Int = 10): DataFrame = {
     // cache the (possibly expensive) pair-generation subtree: the
@@ -264,10 +269,17 @@ object Dedup {
         .groupBy(col("src").as("id")).agg(min("nbr").as("nbr_min"))
       // one real job per iteration (the eager checkpoint); the convergence
       // aggregate below re-reads the checkpointed blocks, it does not recompute
-      val updated = ckpt(labels.join(nbrMin, Seq("id"), "left")
+      val hopped = labels.join(nbrMin, Seq("id"), "left")
         .select(col("id"),
           least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id")))
-            .as("cluster_id")))
+            .as("cluster_id"))
+      // pointer jump: cluster_id := label(cluster_id). Labels are always
+      // node ids of the same component, so the self-join resolves; the
+      // coalesce keeps roots (whose label is themselves) unchanged.
+      val updated = ckpt(hopped.join(
+          hopped.select(col("id").as("cluster_id"), col("cluster_id").as("__jump")),
+          Seq("cluster_id"), "left")
+        .select(col("id"), coalesce(col("__jump"), col("cluster_id")).as("cluster_id")))
       val newSum = updated.agg(coalesce(sum("cluster_id"), lit(0L)))
         .head().getLong(0)
       labels = updated

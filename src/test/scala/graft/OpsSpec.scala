@@ -68,6 +68,19 @@ class DedupSpec extends SparkSpec {
     assert(survivors == Set(1L, 4L, 5L)) // cluster mins + untouched 4
   }
 
+  test("resolveClusters converges on a 400-node chain within default maxIter (pointer jumping)") {
+    // path graph 0-1-2-...-399: plain one-hop min-propagation needs ~400
+    // iterations; pointer jumping at least doubles propagation distance per
+    // round, so the default maxIter=10 must fully resolve it to ONE cluster
+    // (a partial clustering here is the silent-wrong-answer failure mode)
+    val chain = spark.range(0, 399)
+      .select(col("id").as("id_a"), (col("id") + 1).as("id_b"))
+    val clusters = Dedup.resolveClusters(chain)
+    assert(clusters.count() == 400)
+    assert(clusters.select("cluster_id").distinct().count() == 1)
+    assert(clusters.agg(max("cluster_id")).head().getLong(0) == 0L)
+  }
+
   test("resolveClusters and dedupByClusters handle an empty pair set") {
     val noPairs = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
     assert(Dedup.resolveClusters(noPairs).count() == 0)
@@ -200,6 +213,27 @@ class SimilaritySpec extends SparkSpec {
       .select("vec_id").as[Long].collect().toSet
     val recall = brute.count(probed.contains).toDouble / brute.size
     assert(recall >= 0.5, s"recall=$recall")
+  }
+
+  test("IVF index partitioned by centroid_id prunes the scan to the probed lists") {
+    // the at-scale claim on IVF.assign: persisting the assigned corpus
+    // partitioned by centroid_id turns nprobe pruning into file skipping --
+    // the readback scan must show a partition filter and touch only the
+    // probed lists' rows
+    val dim = 8
+    val emb = spark.range(0, 200).select(col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(dim - 1)),
+        i => (pmod(xxhash64(col("id"), i), lit(97)).cast("double") - 48.0) / 48.0)
+        .as("embedding"))
+    val model = graft.ops.IVF.train(emb, "vec_id", "embedding", nc = 4, iters = 2)
+    val assigned = graft.ops.IVF.assign(emb, "embedding", model)
+    val dir = java.nio.file.Files.createTempDirectory("ivf_idx").toString
+    assigned.write.mode("overwrite").partitionBy("centroid_id").parquet(dir)
+    val probed = spark.read.parquet(dir).filter(col("centroid_id").isin(0, 1))
+    val plan = probed.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("centroid_id"), plan.take(800))
+    val expected = assigned.filter(col("centroid_id").isin(0, 1)).count()
+    assert(probed.count() == expected && expected > 0)
   }
 
   test("multi-probe widens the candidate set (recall >= exact-bucket recall)") {
