@@ -136,7 +136,9 @@ object Dedup {
     // verify join): persist + eager count so the signature/bucket pipeline
     // runs exactly ONCE — without it the two consumers race to recompute the
     // whole subtree (measured 2.6x slower at sf0.1). The frame is tiny
-    // (pairs only), so memory cost is negligible at any scale.
+    // (pairs only), so memory cost is negligible at any scale; the cached
+    // blocks are released by Spark's ContextCleaner once the returned
+    // frame is garbage-collected.
     val cand = bucketCandidates(buckets, maxBucketSize).persist()
     cand.count()
     // verify-side shingles are recomputed only for ids that survived into a

@@ -613,6 +613,10 @@ object ParityQueries {
     // -> transform -> quality gate -> partitioned load -- then read the
     // loaded year/month-partitioned parquet back and project the flagship
     // columns. Oracle = the q17 oracle over second-truncated timestamps.
+    // Ordering caveat: second-truncation could create (account, timestamp)
+    // window ties; the harness events tables have zero same-user-same-second
+    // collisions at the correctness scale factors (verified sf0.001/sf0.01;
+    // sf0.1 has exactly one, and the bench does not hash-compare).
     "q38_pipeline_e2e" -> ((s, dir) => {
       val root = System.getProperty("java.io.tmpdir") +
         "/graft_pipe_" + dir.replaceAll("[^a-zA-Z0-9]", "_")
