@@ -86,6 +86,37 @@ object TextAnalysis {
       .drop("nonspace_len")
   }
 
+  // PII patterns kept RE2-compatible (no lookarounds) so the same regexes
+  // run in Spark (Java regex) and any RE2-based engine verifying results
+  private val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val phoneRe = "\\b\\d{3}[-.]\\d{3,4}[-.]\\d{4}\\b"
+  private val ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  /** Per-document PII counts (emails / phone numbers / bare IPv4s) — the
+    * detection half of a scrub stage. Pure per-row regex work: shuffle-free,
+    * embarrassingly parallel at corpus scale. */
+  def piiStats(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    // Column-API regexp_extract_all (not expr()): SQL string literals eat
+    // backslashes, silently turning \. into . — the column form passes the
+    // pattern through verbatim
+    df.withColumn("n_emails", size(regexp_extract_all(t, lit(emailRe), lit(0))))
+      .withColumn("n_phones", size(regexp_extract_all(t, lit(phoneRe), lit(0))))
+      .withColumn("n_ipv4s", size(regexp_extract_all(t, lit(ipv4Re), lit(0))))
+  }
+
+  /** Redact PII in place: emails -> [EMAIL], phones -> [PHONE], IPv4 ->
+    * [IP]. Order matters: phone before IPv4 (an IPv4 can't match the phone
+    * pattern, but dotted phone variants could half-match IPv4 first). */
+  def scrubPii(df: DataFrame, textCol: String = "text",
+      outCol: String = "scrubbed"): DataFrame =
+    df.withColumn(outCol,
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(col(textCol), emailRe, "[EMAIL]"),
+          phoneRe, "[PHONE]"),
+        ipv4Re, "[IP]"))
+
   private val profiles: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "that"),
     "de" -> Seq("der", "die", "das", "und", "ist", "ein", "nicht", "mit"),

@@ -203,6 +203,46 @@ object ExtensionQueries {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // PII scrub: plant deterministic emails/phones/IPs in part of the
+    // corpus, count and redact them (oracle-checked; the documents table
+    // itself is PII-free, so planted rows carry known counts)
+    "x20_pii_scrub" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val withPii = docs.withColumn("text",
+        when(col("doc_id") % 7 === 0,
+          concat(col("text"), lit(" contact jane.doe@example.com or 555-123-4567 at 10.0.0.1")))
+          .otherwise(col("text")))
+      TextAnalysis.scrubPii(TextAnalysis.piiStats(withPii))
+        .select(col("doc_id"),
+          col("n_emails").cast("long").as("n_emails"),
+          col("n_phones").cast("long").as("n_phones"),
+          col("n_ipv4s").cast("long").as("n_ipv4s"),
+          length(col("scrubbed")).cast("long").as("scrubbed_len"))
+    }),
+
+    // Corpus-prep capstone: quality filter -> language filter -> exact-dedup
+    // survivors -> per-language doc/token totals. The composition a
+    // training-data prep job runs end-to-end, oracle-checked by composing
+    // the x03/x04 oracle SQL as CTEs
+    "x21_corpus_prep" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val quality = TextAnalysis.qualityMetrics(docs)
+        .select(col("doc_id").as("q_id"), col("quality_score"),
+          col("token_cnt"))
+      val lang = TextAnalysis.languageId(docs)
+        .select(col("doc_id").as("l_id"), col("predicted_lang"),
+          col("lang").as("true_lang"))
+      val survivors = Dedup.exact(docs, "text", "doc_id")
+        .select(col("doc_id").as("s_id"))
+      docs.join(quality, col("doc_id") === col("q_id"))
+        .join(lang, col("doc_id") === col("l_id"))
+        .join(survivors, col("doc_id") === col("s_id"), "left_semi")
+        .filter(col("quality_score") >= 0.3 && col("predicted_lang") =!= "unknown")
+        .groupBy(col("predicted_lang").as("pred_lang"), col("true_lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("token_cnt")).cast("long").as("total_tokens"))
+    }),
+
     // Multimodal plumbing: binary payload + metadata -> partition-batched
     // feature extraction (decode stubbed; rows-only check)
     "x11_multimodal" -> ((s, dir) => {
@@ -216,7 +256,7 @@ object ExtensionQueries {
           round(element_at(col("feature"), 2).cast("double"), 6).as("f1"))
     }))
 
-  val oracle: Map[String, String] = Map(
+  private val oracleBase: Map[String, String] = Map(
 
     "x01_dedup_exact" ->
       """WITH corpus AS (
@@ -316,6 +356,23 @@ object ExtensionQueries {
         |  label
         |FROM embeddings""".stripMargin,
 
+    "x20_pii_scrub" ->
+      """WITH withpii AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 7 = 0
+        |      THEN text || ' contact jane.doe@example.com or 555-123-4567 at 10.0.0.1'
+        |      ELSE text END AS text
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(text, '\b\d{3}[-.]\d{3,4}[-.]\d{4}\b')) AS BIGINT) AS n_phones,
+        |  CAST(len(regexp_extract_all(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ipv4s,
+        |  CAST(length(regexp_replace(regexp_replace(regexp_replace(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+        |    '\b\d{3}[-.]\d{3,4}[-.]\d{4}\b', '[PHONE]', 'g'),
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IP]', 'g')) AS BIGINT) AS scrubbed_len
+        |FROM withpii""".stripMargin,
+
     "x18_embedding_dedup" ->
       """WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |corpus AS (
@@ -337,4 +394,18 @@ object ExtensionQueries {
         |  FROM embeddings e CROSS JOIN q)
         |SELECT vec_id, cosine_sim FROM scored
         |ORDER BY cosine_sim DESC, vec_id LIMIT 20""".stripMargin)
+
+  /** x21 composes the x03 (quality) and x04 (langid) oracles as CTEs plus an
+    * exact-dedup survivor set — the oracle mirrors the Spark composition
+    * stage for stage without duplicating the metric SQL. */
+  val oracle: Map[String, String] = oracleBase +
+    ("x21_corpus_prep" ->
+      s"""WITH q AS (${oracleBase("x03_text_quality")}),
+         |l AS (${oracleBase("x04_langid")}),
+         |d AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY text)
+         |SELECT l.predicted_lang AS pred_lang, l.lang AS true_lang, count(*) AS n_docs,
+         |  CAST(sum(q.token_cnt) AS BIGINT) AS total_tokens
+         |FROM q JOIN l USING (doc_id) JOIN d USING (doc_id)
+         |WHERE q.quality_score >= 0.3 AND l.predicted_lang <> 'unknown'
+         |GROUP BY 1, 2""".stripMargin)
 }

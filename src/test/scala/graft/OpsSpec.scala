@@ -289,6 +289,20 @@ class SamplingSpec extends SparkSpec {
 class TextAnalysisSpec extends SparkSpec {
   import spark.implicits._
 
+  test("piiStats counts and scrubPii redacts planted emails/phones/IPs") {
+    val df = Seq(
+      (1L, "reach me at a.b@example.org or 555-123-4567 from 10.0.0.1"),
+      (2L, "no pii here at all")).toDF("doc_id", "text")
+    val stats = TextAnalysis.piiStats(df)
+      .select("doc_id", "n_emails", "n_phones", "n_ipv4s")
+      .as[(Long, Int, Int, Int)].collect()
+      .map { case (id, e, p, i) => id -> ((e, p, i)) }.toMap
+    assert(stats(1L) == ((1, 1, 1)) && stats(2L) == ((0, 0, 0)))
+    val scrubbed = TextAnalysis.scrubPii(df).filter($"doc_id" === 1)
+      .select("scrubbed").as[String].head()
+    assert(scrubbed == "reach me at [EMAIL] or [PHONE] from [IP]", scrubbed)
+  }
+
   test("tokens handles empty and multi-space strings") {
     val out = Seq("", "  ", " a  b ").toDF("text")
       .select(size(TextAnalysis.tokens(col("text"))).as("n"))
