@@ -117,6 +117,55 @@ object TextAnalysis {
           phoneRe, "[PHONE]"),
         ipv4Re, "[IP]"))
 
+  /** Benchmark-contamination screen (decontamination primitive): per
+    * document, the fraction of its distinct n-gram shingles that appear
+    * anywhere in the benchmark corpus. Shape: explode doc shingles once,
+    * LEFT-join the distinct benchmark shingle set (Catalyst broadcasts it
+    * when small; hash-shuffles on the shingle otherwise — either way no
+    * doc-x-benchmark cross join), one grouped aggregate. At 100 TB the
+    * benchmark side is tiny (eval sets), so this is broadcast + one pass. */
+  def contamination(docs: DataFrame, benchmark: DataFrame, idCol: String,
+      textCol: String, n: Int = 3, hashed: Boolean = true): DataFrame = {
+    // hashed=true (default): native ShingleHashes longs -- the corpus-scale
+    // path (no w-gram strings materialized; the interpreted string-shingle
+    // HOF measured ~7x slower at sf0.1). hashed=false keeps exact string
+    // shingles for cross-engine verification; a 64-bit hash collision is
+    // the only behavioral difference.
+    def shingleExpr: Column =
+      if (hashed) graft.functions.ShingleFunctions
+        .shingle_hashes(tokens(col(textCol)), n)
+      else Dedup.shingles(tokens(col(textCol)), n)
+    def sh(df: DataFrame, cols: Column*): DataFrame =
+      df.select(cols :+ explode(array_distinct(shingleExpr)).as("__sh"): _*)
+    val docSh = sh(docs, col(idCol))
+    val benchSh = sh(benchmark).select(col("__sh")).distinct()
+      .withColumn("__hit", lit(1))
+    docSh.join(benchSh, Seq("__sh"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_shingles"),
+        coalesce(sum(col("__hit")), lit(0L)).as("n_hits"))
+      .withColumn("contamination",
+        round(col("n_hits").cast("double") / col("n_shingles"), 6))
+  }
+
+  /** Gopher-style repetition metrics: per-document n-gram totals, distinct
+    * counts, and repetition fraction (1 - distinct/total). Pure per-row
+    * array expressions — shuffle-free, embarrassingly parallel. */
+  def repetitionStats(df: DataFrame, textCol: String = "text",
+      n: Int = 2, hashed: Boolean = true): DataFrame = {
+    // see [[contamination]] for the hashed-vs-string trade
+    val sh =
+      if (hashed) graft.functions.ShingleFunctions
+        .shingle_hashes(tokens(col(textCol)), n)
+      else Dedup.shingles(tokens(col(textCol)), n)
+    df.withColumn("n_ngrams", size(sh))
+      .withColumn("n_distinct_ngrams", size(array_distinct(sh)))
+      .withColumn("repetition",
+        when(col("n_ngrams") > 0,
+          round(lit(1.0) - col("n_distinct_ngrams").cast("double") /
+            col("n_ngrams"), 6)).otherwise(lit(0.0)))
+  }
+
   private val profiles: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "that"),
     "de" -> Seq("der", "die", "das", "und", "ist", "ein", "nicht", "mit"),

@@ -243,6 +243,26 @@ object ExtensionQueries {
           sum(col("token_cnt")).cast("long").as("total_tokens"))
     }),
 
+    // Benchmark-contamination screen: docs 0..19 play the eval set; every
+    // doc reports the fraction of its 3-gram shingles found in it.
+    // Runs the hashed (production) path: the oracle compares COUNTS, which
+    // hashed shingles reproduce exactly barring a ~2^-64 collision -- so
+    // the scale path itself is what gets oracle-checked
+    "x22_contamination" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      TextAnalysis.contamination(docs, docs.filter(col("doc_id") < 20),
+        "doc_id", "text", n = 3)
+        .select(col("doc_id"), col("n_shingles").cast("long").as("n_shingles"),
+          col("n_hits").cast("long").as("n_hits"), col("contamination"))
+    }),
+
+    // Gopher-style repetition metrics (2-gram totals/distincts/fraction)
+    "x23_repetition" -> ((s, dir) =>
+      TextAnalysis.repetitionStats(t(s, dir, "documents"))
+        .select(col("doc_id"), col("n_ngrams").cast("long").as("n_ngrams"),
+          col("n_distinct_ngrams").cast("long").as("n_distinct_ngrams"),
+          col("repetition"))),
+
     // Multimodal plumbing: binary payload + metadata -> partition-batched
     // feature extraction (decode stubbed; rows-only check)
     "x11_multimodal" -> ((s, dir) => {
@@ -355,6 +375,42 @@ object ExtensionQueries {
         |  ROUND(list_sum(CAST(embedding AS DOUBLE[])) / len(embedding), 6) AS vec_mean,
         |  label
         |FROM embeddings""".stripMargin,
+
+    "x22_contamination" ->
+      """WITH tok AS (
+        |  SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), x -> len(x) > 0) AS toks
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, unnest(list_distinct(
+        |    CASE WHEN len(toks) <= 3 THEN [array_to_string(toks, ' ')]
+        |      ELSE list_transform(range(0, len(toks) - 2),
+        |        i -> array_to_string(list_slice(toks, i + 1, i + 3), ' ')) END)) AS sh
+        |  FROM tok),
+        |bench AS (SELECT DISTINCT sh FROM sh WHERE doc_id < 20)
+        |SELECT s.doc_id,
+        |  CAST(count(*) AS BIGINT) AS n_shingles,
+        |  CAST(count(b.sh) AS BIGINT) AS n_hits,
+        |  ROUND(count(b.sh) * 1.0 / count(*), 6) AS contamination
+        |FROM sh s LEFT JOIN bench b ON s.sh = b.sh
+        |GROUP BY 1""".stripMargin,
+
+    "x23_repetition" ->
+      """WITH tok AS (
+        |  SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), x -> len(x) > 0) AS toks
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(toks) <= 2 THEN [array_to_string(toks, ' ')]
+        |      ELSE list_transform(range(0, len(toks) - 1),
+        |        i -> array_to_string(list_slice(toks, i + 1, i + 2), ' ')) END AS grams
+        |  FROM tok)
+        |SELECT doc_id,
+        |  CAST(len(grams) AS BIGINT) AS n_ngrams,
+        |  CAST(len(list_distinct(grams)) AS BIGINT) AS n_distinct_ngrams,
+        |  CASE WHEN len(grams) > 0
+        |    THEN ROUND(1.0 - len(list_distinct(grams)) * 1.0 / len(grams), 6)
+        |    ELSE 0.0 END AS repetition
+        |FROM sh""".stripMargin,
 
     "x20_pii_scrub" ->
       """WITH withpii AS (

@@ -303,6 +303,49 @@ class TextAnalysisSpec extends SparkSpec {
     assert(scrubbed == "reach me at [EMAIL] or [PHONE] from [IP]", scrubbed)
   }
 
+  test("contamination: benchmark members read 1.0, disjoint docs 0.0") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "totally different words entirely here now"),
+      (3L, "alpha beta gamma delta unrelated tail words")).toDF("doc_id", "text")
+    val bench = docs.filter($"doc_id" === 1)
+    val out = TextAnalysis.contamination(docs, bench, "doc_id", "text", n = 3)
+      .select("doc_id", "contamination").as[(Long, Double)].collect().toMap
+    assert(out(1L) == 1.0)
+    assert(out(2L) == 0.0)
+    assert(out(3L) > 0.0 && out(3L) < 1.0) // shares the leading shingles only
+  }
+
+  test("repetitionStats: fully repeated text scores high, unique text zero") {
+    val docs = Seq(
+      (1L, "spam spam spam spam spam spam"),
+      (2L, "every word here is completely unique")).toDF("doc_id", "text")
+    val out = TextAnalysis.repetitionStats(docs)
+      .select("doc_id", "n_ngrams", "n_distinct_ngrams", "repetition")
+      .as[(Long, Int, Int, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out(1L) == ((5, 1, 0.8))) // 5 bigrams, all "spam spam"
+    assert(out(2L)._3 == 0.0)
+  }
+
+  test("hashed and string shingle paths agree on contamination and repetition") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma something else entirely different"),
+      (3L, "spam spam spam spam spam")).toDF("doc_id", "text")
+    val bench = docs.filter($"doc_id" === 1)
+    def cRows(hashed: Boolean) =
+      TextAnalysis.contamination(docs, bench, "doc_id", "text", 3, hashed)
+        .select("doc_id", "n_shingles", "n_hits").as[(Long, Long, Long)]
+        .collect().toSet
+    assert(cRows(hashed = true) == cRows(hashed = false))
+    def rRows(hashed: Boolean) =
+      TextAnalysis.repetitionStats(docs, "text", 2, hashed)
+        .select("doc_id", "n_ngrams", "n_distinct_ngrams")
+        .as[(Long, Int, Int)].collect().toSet
+    assert(rRows(hashed = true) == rRows(hashed = false))
+  }
+
   test("tokens handles empty and multi-space strings") {
     val out = Seq("", "  ", " a  b ").toDF("text")
       .select(size(TextAnalysis.tokens(col("text"))).as("n"))
