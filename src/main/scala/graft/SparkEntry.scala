@@ -12,7 +12,7 @@ import graft.queries.{ExtensionQueries, ParityQueries}
   * SQL-expressible query (xxhash64-based ops are rows-only by design).
   * Full operator -> query -> check map: /root/repo/COVERAGE.md.
   *
-  * Inventory (48 oracle-checked, 10 rows-only):
+  * Inventory (52 oracle-checked, 10 rows-only):
   *  - q01-q16: scans, filters, CASE chains, datetime, windows (running/
   *    lag/30-day range), grouped stats + broadcast join, anti-join
   *    referential integrity, top-k, dup/null/range/quality checks, upsert,
@@ -26,10 +26,11 @@ import graft.queries.{ExtensionQueries, ParityQueries}
   *    source, partitioned write-then-read-back, quality-results monitoring,
   *    orchestrator end-to-end (CSV extract -> transform -> gate ->
   *    partitioned load vs the flagship oracle), seed-generator invariants
-  *  - x01-x19: exact/MinHash/SimHash/embedding-cosine dedup + Jaccard +
+  *  - x01-x23: exact/MinHash/SimHash/embedding-cosine dedup + Jaccard +
   *    cluster resolution, kNN (brute/SRP-LSH/IVF), token/quality/langid/
-  *    fingerprint text ops, multimodal features, embedding stats,
-  *    stratified sampling, sketches
+  *    fingerprint text ops, PII scrubbing, corpus-prep composition,
+  *    benchmark decontamination, repetition metrics, multimodal features,
+  *    embedding stats, stratified sampling, sketches
   */
 object SparkEntry {
 
