@@ -16,13 +16,32 @@ import org.apache.spark.sql.functions._
 object Dedup {
 
   /** Exact dedup: one surviving row (min id) per distinct content value +
-    * duplicate multiplicity. Single hash aggregate on the content column;
-    * for very long texts group on a collision-free-enough digest
-    * (sha2/xxhash64) instead to shrink shuffle width. */
+    * duplicate multiplicity. Single hash aggregate keyed on the FULL content
+    * column — the verification baseline. For corpus-scale jobs use
+    * [[exactByDigest]]: shuffling whole document texts as the aggregate key
+    * moves the entire corpus through one exchange. */
   def exact(df: DataFrame, contentCol: String, idCol: String): DataFrame =
     df.groupBy(col(contentCol))
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("dup_count"))
       .drop(contentCol)
+
+  /** Exact dedup keyed on a content digest — the corpus-scale default. The
+    * shuffle key narrows from the document text (KBs) to one value of
+    * 8 bytes (`xxhash64`) or 32 bytes (`sha2-256`), so the dedup exchange
+    * carries ids+digests instead of the corpus. Results equal [[exact]]
+    * barring a digest collision (~2^-64 for xxhash64 / cryptographically
+    * negligible for sha2) — the same argument the hashed-shingle paths
+    * (contamination, MinHash) already rely on; agreement is pinned by spec.
+    * Set `crypto = true` to pay the wider key for collision paranoia. */
+  def exactByDigest(df: DataFrame, contentCol: String, idCol: String,
+      crypto: Boolean = false): DataFrame = {
+    val digest =
+      if (crypto) sha2(col(contentCol).cast("binary"), 256)
+      else xxhash64(col(contentCol))
+    df.groupBy(digest.as("__digest"))
+      .agg(min(col(idCol)).as(idCol), count(lit(1)).as("dup_count"))
+      .drop("__digest")
+  }
 
   /** w-token shingles of a token array: ["a","b","c"], w=2 -> ["a b","b c"].
     * Fewer than w tokens -> single shingle of the whole text. */

