@@ -32,6 +32,17 @@ object ParityQueries {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** Per-JVM-unique tmp root for the write-roundtrip queries (q20/q34/
+    * q36-q38): two concurrent harness runs on one host (e.g. `sbt test`
+    * alongside a bench sweep) must not clobber each other's staging dirs, so
+    * the path carries the process id on top of the per-sfdir suffix.
+    * Within one JVM the path is stable, so repeated runs (bench best-of-N)
+    * overwrite deterministically instead of accumulating garbage. */
+  private[graft] def tmpPath(prefix: String, dir: String): String =
+    System.getProperty("java.io.tmpdir") + "/" + prefix +
+      "_p" + ProcessHandle.current().pid() +
+      "_" + dir.replaceAll("[^a-zA-Z0-9]", "_")
+
   /** events.parquet stores `ts` as TIMESTAMP(NANOS), which vanilla Spark
     * rejects; read it as nanos-long (legacy conf) and truncate to
     * microseconds — exactly what DuckDB's ns->us conversion does, so oracle
@@ -313,8 +324,7 @@ object ParityQueries {
     // S1/K5: CSV write + declared-schema read roundtrip (identity vs oracle)
     "q20_csv_roundtrip" -> ((s, dir) => {
       val cust = t(s, dir, "customer")
-      val tmp = System.getProperty("java.io.tmpdir") +
-        "/graft_csv_" + dir.replaceAll("[^a-zA-Z0-9]", "_")
+      val tmp = tmpPath("graft_csv", dir)
       graft.sinks.Sinks.csv(cust, tmp)
       val schema = org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("c_custkey",
@@ -518,8 +528,7 @@ object ParityQueries {
     // count per (level, event_type) — the ERROR row is monitor.py:28-40's
     // error-log count
     "q34_text_log_scan" -> ((s, dir) => {
-      val tmp = System.getProperty("java.io.tmpdir") +
-        "/graft_log_" + dir.replaceAll("[^a-zA-Z0-9]", "_")
+      val tmp = tmpPath("graft_log", dir)
       events(s, dir).select(concat_ws(" ",
           when(col("event_type") === "error", "ERROR").otherwise("INFO"),
           concat(lit("evt="), col("event_type")),
@@ -554,8 +563,7 @@ object ParityQueries {
     // partitioned layout back, aggregate per partition — proves both the
     // directory layout and partition-column type recovery
     "q36_partitioned_write" -> ((s, dir) => {
-      val tmp = System.getProperty("java.io.tmpdir") +
-        "/graft_part_" + dir.replaceAll("[^a-zA-Z0-9]", "_")
+      val tmp = tmpPath("graft_part", dir)
       val enriched = events(s, dir).select(col("event_id"), col("value"),
         year(col("ts")).as("event_year"), month(col("ts")).as("event_month"))
       Sinks.writePartitioned(enriched, tmp, "overwrite",
@@ -583,8 +591,7 @@ object ParityQueries {
         qr.rangeCheck.forall(_.passed), qr.overallPassed))
         .toDF("table_name", "record_count", "null_passed", "duplicate_passed",
           "range_passed", "overall_passed")
-      val tmp = System.getProperty("java.io.tmpdir") +
-        "/graft_qres_" + dir.replaceAll("[^a-zA-Z0-9]", "_")
+      val tmp = tmpPath("graft_qres", dir)
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
       Sinks.writeQualityResults(res, tmp)
       val (latest, failedCount) = graft.monitor.Monitor.qualityResults(s, tmp)
@@ -618,15 +625,19 @@ object ParityQueries {
     // collisions at the correctness scale factors (verified sf0.001/sf0.01;
     // sf0.1 has exactly one, and the bench does not hash-compare).
     "q38_pipeline_e2e" -> ((s, dir) => {
-      val root = System.getProperty("java.io.tmpdir") +
-        "/graft_pipe_" + dir.replaceAll("[^a-zA-Z0-9]", "_")
+      val root = tmpPath("graft_pipe", dir)
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
       val dataRoot = s"$root/in"; val outRoot = s"$root/out"
-      eventsAsTransactions(events(s, dir))
-        .withColumn("transaction_date",
-          date_format(col("transaction_date"), "yyyy-MM-dd HH:mm:ss"))
-        .write.option("header", "true").mode("overwrite")
-        .csv(s"$dataRoot/transaction")
+      // stage-timed (graft.bench.StageTimers) so the bench can attribute
+      // q38's cost: seed-CSV write vs pipeline run vs readback (readback =
+      // query total minus these two — it happens when the result is consumed)
+      graft.bench.StageTimers.time("q38.seed_csv") {
+        eventsAsTransactions(events(s, dir))
+          .withColumn("transaction_date",
+            date_format(col("transaction_date"), "yyyy-MM-dd HH:mm:ss"))
+          .write.option("header", "true").mode("overwrite")
+          .csv(s"$dataRoot/transaction")
+      }
       val spec = graft.pipeline.PipelineSpec(
         sourceType = "local", sourcePath = Some("transaction"),
         sourceTable = None,
@@ -645,8 +656,10 @@ object ParityQueries {
         appName = "graft-e2e", environment = "test",
         pipelines = Map("transaction" -> spec),
         pipelinesToRun = Seq("transaction"))
-      new graft.pipeline.Orchestrator(s, cfg, dataRoot, outRoot)
-        .runPipeline("transaction")
+      graft.bench.StageTimers.time("q38.pipeline") {
+        new graft.pipeline.Orchestrator(s, cfg, dataRoot, outRoot)
+          .runPipeline("transaction")
+      }
       s.read.parquet(s"$outRoot/transaction_out")
         .select(col("transaction_id"), col("account_id"), col("transaction_date"),
           col("transaction_type"), col("currency"),
