@@ -268,6 +268,33 @@ object ExtensionQueries {
           col("n_distinct_ngrams").cast("long").as("n_distinct_ngrams"),
           col("repetition"))),
 
+    // Cluster resolution, ORACLE-CHECKED (the hash-free half of the dedup
+    // pipeline): a planted 3-chain corpus (doc i <-> i+10000 <-> i+20000,
+    // 80%/60% token prefixes, NO direct i <-> i+20000 edge) runs through
+    // exact n-gram Jaccard (DuckDB-expressible, unlike the xxhash LSH
+    // stage) and then resolveClusters — connectivity i ~ i+20000 exists
+    // only transitively, so the oracle (recursive-CTE reachability +
+    // min-label) genuinely checks multi-hop component resolution
+    "x26_cluster_resolution" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val toks = TextAnalysis.tokens(col("text"))
+      def prefixed(off: Int, frac: Double): DataFrame =
+        docs.filter(col("doc_id") < 50)
+          .withColumn("doc_id", col("doc_id") + off)
+          .withColumn("text",
+            concat_ws(" ", slice(toks, lit(1), (size(toks) * frac).cast("int"))))
+      val corpus = docs.unionByName(prefixed(10000, 0.8))
+        .unionByName(prefixed(20000, 0.6))
+      val base = docs.filter(col("doc_id") < 50).select(col("doc_id").as("i"))
+      val cand = base.select(col("i").as("id_a"), (col("i") + 10000).as("id_b"))
+        .unionByName(base.select((col("i") + 10000).as("id_a"),
+          (col("i") + 20000).as("id_b")))
+      val pairs = Dedup.ngramJaccard(cand, corpus, "doc_id", "text", n = 3)
+        .filter(col("jaccard") >= 0.5)
+        .select(col("id_a"), col("id_b"))
+      Dedup.resolveClusters(pairs).orderBy(col("id"))
+    }),
+
     // Multimodal plumbing: binary payload + metadata -> partition-batched
     // feature extraction (decode stubbed; rows-only check)
     "x11_multimodal" -> ((s, dir) => {
@@ -367,6 +394,42 @@ object ExtensionQueries {
         |FROM pairs p
         |JOIN sh a ON a.doc_id = p.id_a
         |JOIN sh b ON b.doc_id = p.id_b""".stripMargin,
+
+    "x26_cluster_resolution" ->
+      """WITH RECURSIVE tok AS (
+        |  SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), x -> len(x) > 0) AS toks
+        |  FROM documents),
+        |corpus AS (
+        |  SELECT doc_id, toks FROM tok
+        |  UNION ALL
+        |  SELECT doc_id + 10000, list_slice(toks, 1, CAST(floor(len(toks) * 0.8) AS INT))
+        |  FROM tok WHERE doc_id < 50
+        |  UNION ALL
+        |  SELECT doc_id + 20000, list_slice(toks, 1, CAST(floor(len(toks) * 0.6) AS INT))
+        |  FROM tok WHERE doc_id < 50),
+        |sh AS (
+        |  SELECT doc_id, list_distinct(
+        |    CASE WHEN len(toks) <= 3 THEN [array_to_string(toks, ' ')]
+        |      ELSE list_transform(range(0, len(toks) - 2),
+        |        i -> array_to_string(list_slice(toks, i + 1, i + 3), ' ')) END) AS shset
+        |  FROM corpus),
+        |cand AS (
+        |  SELECT doc_id AS id_a, doc_id + 10000 AS id_b FROM documents WHERE doc_id < 50
+        |  UNION ALL
+        |  SELECT doc_id + 10000, doc_id + 20000 FROM documents WHERE doc_id < 50),
+        |pairs AS (
+        |  SELECT c.id_a, c.id_b
+        |  FROM cand c JOIN sh a ON a.doc_id = c.id_a JOIN sh b ON b.doc_id = c.id_b
+        |  WHERE ROUND(CAST(len(list_intersect(a.shset, b.shset)) AS DOUBLE) /
+        |          len(list_distinct(list_concat(a.shset, b.shset))), 6) >= 0.5),
+        |edges AS (
+        |  SELECT id_a AS src, id_b AS dst FROM pairs
+        |  UNION SELECT id_b, id_a FROM pairs),
+        |reach(id, r) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id)
+        |SELECT id, min(r) AS cluster_id FROM reach GROUP BY id""".stripMargin,
 
     "x16_stratified_sample" ->
       """SELECT doc_id, lang FROM documents
