@@ -100,4 +100,34 @@ object IVF {
       .select(col(idCol), col("cosine_sim"))
       .limit(k)
   }
+
+  /** Batched ANN search: a query FRAME (qidCol, qvec) probes its `nprobe`
+    * nearest lists wholly inside the plan — per-query probe ids come from a
+    * literal-centroid expression (sorted (cosine, cid) struct array, top
+    * `nprobe` exploded), NOT a driver `head()` per query like [[search]].
+    * The probe join equi-joins on `centroid_id`, so each query scores only
+    * its probed lists (with the corpus bucketed/partitioned by
+    * `centroid_id` that pruning is file skipping); per-query k-selection
+    * runs on the bounded-heap [[graft.plans.TopK]] operator. Equals N
+    * [[search]] calls (pinned by spec). */
+  def searchBatch(assigned: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, qidCol: String, model: Model, k: Int,
+      nprobe: Int = 4): DataFrame = {
+    // (cos, -cid) sort key ascending, reversed -> cosine desc with cid-asc
+    // tie-break: the same order sortBy(-cos) yields in [[search]]
+    val scoredCentroids = array(model.centroids.zipWithIndex.map { case (c, i) =>
+      struct(cosineToLit(toDouble(col("qvec")), c).as("cos"),
+        lit(-i).as("negcid"))
+    }: _*)
+    val probes = slice(reverse(array_sort(scoredCentroids)), 1, nprobe)
+    val q = queries
+      .withColumn("__probe", explode(probes)) // generators must be top-level
+      .withColumn("centroid_id", -col("__probe").getField("negcid"))
+      .select(col(qidCol), col("qvec"), col("centroid_id"))
+    val scored = assigned.join(q, Seq("centroid_id"))
+      .withColumn("cosine_sim",
+        round(Similarity.cosine(col(vecCol), col("qvec")), 6))
+      .select(col(qidCol), col(idCol), col("cosine_sim"))
+    Similarity.topKPerQuery(scored, qidCol, idCol, k, queries)
+  }
 }

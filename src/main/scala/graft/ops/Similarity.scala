@@ -57,6 +57,39 @@ object Similarity {
       .select(col(idCol), col("cosine_sim"))
       .limit(k)
 
+  /** Batched exact cosine top-k: one QUERY FRAME (qidCol, qvec) against the
+    * corpus — the shape a training-data pipeline actually runs (millions of
+    * retrievals per day, not one). Scoring is a broadcast nested loop over
+    * the (small) query frame — every corpus partition scores its rows
+    * against all queries locally, no corpus shuffle — and the k-selection
+    * is [[graft.plans.TopK.perGroup]] per query id: a bounded k-heap per
+    * query behind ONE hash exchange of the narrow (qid, id, score) triples.
+    * The exchange carries |corpus| x |queries| triples, which is the honest
+    * cost of EXACT batch search; when that product stops fitting, the scale
+    * paths are [[lshKnnBatch]] / [[IVF.searchBatch]], whose bucket joins
+    * only score same-bucket candidates. Results equal N [[bruteForceKnn]]
+    * calls (pinned by spec); ties break by id for determinism. */
+  def bruteForceKnnBatch(df: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, qidCol: String, k: Int): DataFrame = {
+    val scored = df.crossJoin(broadcast(queries))
+      .withColumn("cosine_sim", round(cosine(col(vecCol), col("qvec")), 6))
+      .select(col(qidCol), col(idCol), col("cosine_sim"))
+    topKPerQuery(scored, qidCol, idCol, k, queries)
+  }
+
+  /** Per-query k-selection shared by the batch searchers: heap operator
+    * when the batch is small (group cardinality == |queries|, counted on
+    * the SMALL query frame — never an estimate pass over the huge scored
+    * frame), spillable window formulation for unbounded batches. */
+  private[ops] def topKPerQuery(scored: DataFrame, qidCol: String,
+      idCol: String, k: Int, queries: DataFrame): DataFrame = {
+    val order = Seq(("cosine_sim", false), (idCol, true))
+    if (queries.count() <= graft.plans.TopK.defaultMaxGroups)
+      graft.plans.TopK.perGroup(scored, Seq(qidCol), order, k,
+        maxGroups = Long.MaxValue)
+    else graft.plans.TopK.windowPerGroup(scored, Seq(qidCol), order, k)
+  }
+
   /** Sign-random-projection signature: bit j = sign of <v, plane_j> where
     * plane components are hash-derived +-1. Native expression
     * ([[graft.functions.SrpSignature]]) — one primitive loop per row; the
@@ -89,5 +122,30 @@ object Similarity {
       .orderBy(col("cosine_sim").desc, col(idCol))
       .select(col(idCol), col("cosine_sim"))
       .limit(k)
+  }
+
+  /** Batched LSH ANN: a query FRAME (qidCol, qvec) joins the SRP-bucketed
+    * corpus on the bucket id — the multi-probe set explodes on the query
+    * side only, so the corpus still equi-joins on its single bucket (and
+    * only same-bucket candidates are ever scored, unlike the exact batch
+    * path's full cross product). k-selection per query id runs on the
+    * bounded-heap [[graft.plans.TopK]] operator. Equals N [[lshKnn]] calls
+    * (pinned by spec). */
+  def lshKnnBatch(df: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, qidCol: String, k: Int, planes: Int = 8,
+      multiProbe: Boolean = true): DataFrame = {
+    val bucketed = df.withColumn("bucket", srpSignature(col(vecCol), planes))
+    val flips: Seq[Long] = 0L +: (0 until planes).map(b => 1L << b)
+    val probeBuckets: Column => Column = qb =>
+      if (!multiProbe) array(qb)
+      else array_distinct(array(flips.map(f => qb.bitwiseXOR(lit(f))): _*))
+    val q = queries
+      .withColumn("qbucket", srpSignature(col("qvec"), planes))
+      .withColumn("bucket", explode(probeBuckets(col("qbucket"))))
+      .select(col(qidCol), col("qvec"), col("bucket"))
+    val scored = bucketed.join(q, Seq("bucket"))
+      .withColumn("cosine_sim", round(cosine(col(vecCol), col("qvec")), 6))
+      .select(col(qidCol), col(idCol), col("cosine_sim"))
+    topKPerQuery(scored, qidCol, idCol, k, queries)
   }
 }

@@ -88,6 +88,10 @@ object TopKStrategy extends SparkStrategy {
 }
 
 object TopK {
+  /** Default group-cardinality ceiling for the heap path: 4M groups x k
+    * rows is comfortably in-memory on any sane executor. */
+  val defaultMaxGroups: Long = 4L << 20
+
   /** Top `k` rows per group, ordered by `orderBy` columns
     * ((name, ascending) — first rows under that ordering win). Column
     * references resolve against the analyzed child (the analyzer does not
@@ -95,34 +99,46 @@ object TopK {
     * [[TopKStrategy]] on the session if absent. Supply a total ordering
     * (add a unique tiebreaker) for deterministic results.
     *
-    * MEMORY GUARD: [[TopKPerGroupExec]] holds one k-heap per group in an
-    * in-memory hash map — O(groups x k) rows across the cluster with no
-    * spill path. That is the right trade for the operator's target shape
-    * (bounded group cardinality: accounts, users, categories), but a
-    * high-cardinality group column would OOM where a window sort spills.
-    * So the entry point first estimates group cardinality with one cheap
-    * `approx_count_distinct` pass and falls back to the equivalent
-    * `row_number().over(window) <= k` formulation (sort-based, spillable)
-    * above `maxGroups`. Pass `maxGroups = Long.MaxValue` to skip the
-    * estimate job when the cardinality is known small. */
+    * MEMORY GUARD — this two-plan design IS the final answer, not a stopgap:
+    * [[TopKPerGroupExec]] holds one k-heap per group in an in-memory hash
+    * map — O(groups x k) rows across the cluster with no spill path. That
+    * is the right trade for the operator's target shape (bounded group
+    * cardinality: accounts, users, categories, query batches), and making
+    * the heap itself spill would forfeit exactly the O(n log k) / no-sort
+    * advantage the operator exists for. So the entry point first estimates
+    * group cardinality with one cheap `approx_count_distinct` pass and
+    * routes high-cardinality inputs to [[windowPerGroup]] (sort-based,
+    * spillable — Spark's window exec spills via its ExternalAppendOnlyMap),
+    * which computes identical results for a total ordering. Pass
+    * `maxGroups = Long.MaxValue` to skip the estimate job when the
+    * cardinality is known small. */
   def perGroup(df: DataFrame, groupCols: Seq[String],
       orderBy: Seq[(String, Boolean)], k: Int,
-      maxGroups: Long = 4L << 20): DataFrame = {
-    import org.apache.spark.sql.functions.{approx_count_distinct, col, row_number, struct}
+      maxGroups: Long = defaultMaxGroups): DataFrame = {
+    import org.apache.spark.sql.functions.{approx_count_distinct, col, struct}
     if (maxGroups < Long.MaxValue) {
       val est = df.select(approx_count_distinct(
           struct(groupCols.map(col): _*), 0.1).as("g"))
         .head().getLong(0)
-      if (est > maxGroups) {
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy(groupCols.map(col): _*)
-          .orderBy(orderBy.map { case (n, asc) =>
-            if (asc) col(n).asc else col(n).desc }: _*)
-        return df.withColumn("__rn", row_number().over(w))
-          .filter(col("__rn") <= k).drop("__rn")
-      }
+      if (est > maxGroups) return windowPerGroup(df, groupCols, orderBy, k)
     }
     heapPerGroup(df, groupCols, orderBy, k)
+  }
+
+  /** The spillable formulation (`row_number().over(window) <= k`): same
+    * results as the heap operator for a total ordering, O(n log n) CPU but
+    * disk-backed — the designated path when group cardinality is unbounded.
+    * Public so callers that KNOW their cardinality is huge can skip
+    * [[perGroup]]'s estimate pass. */
+  def windowPerGroup(df: DataFrame, groupCols: Seq[String],
+      orderBy: Seq[(String, Boolean)], k: Int): DataFrame = {
+    import org.apache.spark.sql.functions.{col, row_number}
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCols.map(col): _*)
+      .orderBy(orderBy.map { case (n, asc) =>
+        if (asc) col(n).asc else col(n).desc }: _*)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k).drop("__rn")
   }
 
   /** The custom-operator path, unconditionally (no cardinality estimate). */

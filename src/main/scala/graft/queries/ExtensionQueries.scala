@@ -268,6 +268,33 @@ object ExtensionQueries {
           col("n_distinct_ngrams").cast("long").as("n_distinct_ngrams"),
           col("repetition"))),
 
+    // Batched exact kNN, ORACLE-CHECKED: a 5-query frame against the whole
+    // corpus through the custom TopKPerGroup operator (bounded k-heaps per
+    // query id) — the retrieval shape a training pipeline runs at volume.
+    // Oracle = per-query window rank over the exact cosine cross product
+    "x24_knn_batch" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+      Similarity.bruteForceKnnBatch(emb, q, "vec_id", "embedding", "query_id", 10)
+        .orderBy(col("query_id"), col("cosine_sim").desc, col("vec_id"))
+    }),
+
+    // Batched IVF ANN (probe selection fully in-plan; xxhash-free but the
+    // k-means lists depend on float iteration order only through the
+    // deterministic trainer, and results are list-pruned approximations ->
+    // rows-only; equality with N single-query searches pinned by spec)
+    "x27_knn_ivf_batch" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val model = IVF.train(emb, "vec_id", "embedding", nc = 16, iters = 3)
+      val assigned = IVF.assign(emb, "embedding", model)
+      val q = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+      IVF.searchBatch(assigned, q, "vec_id", "embedding", "query_id", model,
+        k = 10, nprobe = 4)
+        .orderBy(col("query_id"), col("cosine_sim").desc, col("vec_id"))
+    }),
+
     // Cluster resolution, ORACLE-CHECKED (the hash-free half of the dedup
     // pipeline): a planted 3-chain corpus (doc i <-> i+10000 <-> i+20000,
     // 80%/60% token prefixes, NO direct i <-> i+20000 edge) runs through
@@ -509,6 +536,20 @@ object ExtensionQueries {
         |  ROUND(list_cosine_similarity(a.v, b.v), 6) AS cosine_sim
         |FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
         |WHERE ROUND(list_cosine_similarity(a.v, b.v), 6) >= 0.9""".stripMargin,
+
+    "x24_knn_batch" ->
+      """WITH q AS (
+        |  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qvec
+        |  FROM embeddings WHERE vec_id < 5),
+        |scored AS (
+        |  SELECT q.query_id, e.vec_id,
+        |    ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qvec), 6) AS cosine_sim
+        |  FROM embeddings e CROSS JOIN q),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY query_id ORDER BY cosine_sim DESC, vec_id) AS rn
+        |  FROM scored)
+        |SELECT query_id, vec_id, cosine_sim FROM ranked WHERE rn <= 10""".stripMargin,
 
     "x09_knn_bruteforce" ->
       """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qvec FROM embeddings WHERE vec_id = 0),

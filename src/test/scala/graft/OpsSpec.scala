@@ -249,6 +249,41 @@ class SimilaritySpec extends SparkSpec {
     assert(probed.count() == expected && expected > 0)
   }
 
+  test("batched kNN equals N single-query calls (brute force, LSH, IVF)") {
+    // the batch searchers are the production retrieval surface; this pins
+    // each one to the corresponding single-query baseline over real vectors
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val qids = Seq(0L, 7L, 13L)
+    val queries = emb.filter(col("vec_id").isin(qids: _*))
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    def single(fn: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame)
+        : Map[Long, Seq[(Long, Double)]] =
+      qids.map { qid =>
+        qid -> fn(emb.filter(col("vec_id") === qid).select(col("embedding").as("qvec")))
+          .select("vec_id", "cosine_sim").as[(Long, Double)].collect().toSeq
+      }.toMap
+    def batched(df: org.apache.spark.sql.DataFrame): Map[Long, Seq[(Long, Double)]] =
+      df.select("query_id", "vec_id", "cosine_sim").as[(Long, Long, Double)]
+        .collect().toSeq.groupBy(_._1)
+        .map { case (q, rows) => q -> rows.map(r => (r._2, r._3))
+          .sortBy(r => (-r._2, r._1)) }
+    val bruteSingle = single(q => Similarity.bruteForceKnn(emb, q, "vec_id", "embedding", 8))
+    val bruteBatch = batched(
+      Similarity.bruteForceKnnBatch(emb, queries, "vec_id", "embedding", "query_id", 8))
+    assert(bruteBatch == bruteSingle)
+    val lshSingle = single(q => Similarity.lshKnn(emb, q, "vec_id", "embedding", 8, planes = 4))
+    val lshBatch = batched(
+      Similarity.lshKnnBatch(emb, queries, "vec_id", "embedding", "query_id", 8, planes = 4))
+    assert(lshBatch == lshSingle)
+    val model = graft.ops.IVF.train(emb, "vec_id", "embedding", nc = 8, iters = 2)
+    val assigned = graft.ops.IVF.assign(emb, "embedding", model)
+    val ivfSingle = single(q =>
+      graft.ops.IVF.search(assigned, q, "vec_id", "embedding", model, 8, nprobe = 3))
+    val ivfBatch = batched(graft.ops.IVF.searchBatch(assigned, queries,
+      "vec_id", "embedding", "query_id", model, 8, nprobe = 3))
+    assert(ivfBatch == ivfSingle)
+  }
+
   test("multi-probe widens the candidate set (recall >= exact-bucket recall)") {
     val q = vecs.filter($"vec_id" === 0).select($"embedding".as("qvec"))
     val exact = Similarity.lshKnn(vecs, q, "vec_id", "embedding", 5,

@@ -54,4 +54,15 @@ class TopKPerGroupSpec extends SparkSpec {
     assert(guarded.select("g", "id").as[(Long, Long)].collect().toSet ==
       heap.select("g", "id").as[(Long, Long)].collect().toSet)
   }
+
+  test("public windowPerGroup completes at per-row group cardinality") {
+    // the designated unbounded-cardinality path (every row its own group —
+    // the shape that would OOM a per-group heap map): sort-based, spillable,
+    // callable directly when the caller KNOWS cardinality is huge
+    val hi = spark.range(0, 200000)
+      .select(col("id"), col("id").as("g"),
+        pmod(xxhash64(col("id")), lit(977)).cast("double").as("v"))
+    val out = TopK.windowPerGroup(hi, Seq("g"), Seq(("v", false), ("id", true)), 1)
+    assert(out.count() == 200000)
+  }
 }
