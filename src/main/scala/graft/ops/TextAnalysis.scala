@@ -117,6 +117,50 @@ object TextAnalysis {
           phoneRe, "[PHONE]"),
         ipv4Re, "[IP]"))
 
+  // Extended PII patterns — still RE2-compatible (no lookarounds). The
+  // grouping shapes are mutually exclusive (SSN 3-2-4, card 4x4, intl
+  // phone +CC with 2-4 digit groups, US phone 3-3/4-4), so scrub order
+  // between them does not matter; card runs before the US-phone/IPv4
+  // passes anyway so digit runs are consumed whole.
+  private val ssnRe = "\\b\\d{3}-\\d{2}-\\d{4}\\b"
+  private val cardRe = "\\b\\d{4}[- ]?\\d{4}[- ]?\\d{4}[- ]?\\d{4}\\b"
+  private val intlPhoneRe = "\\+\\d{1,3}[- ]\\d{2,4}[- ]\\d{3,4}[- ]\\d{3,4}\\b"
+
+  /** Extended detection: SSNs, 16-digit card candidates (with the subset
+    * passing the Luhn checksum — Spark's codegen'd `luhn_check` over the
+    * separator-stripped digits), and international `+CC ...` phone
+    * numbers. Same scale shape as [[piiStats]]: per-row regex + one
+    * array filter, shuffle-free. */
+  def piiStatsExtended(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    val cards = regexp_extract_all(t, lit(cardRe), lit(0))
+    df.withColumn("n_ssns", size(regexp_extract_all(t, lit(ssnRe), lit(0))))
+      .withColumn("n_cards", size(cards))
+      .withColumn("n_valid_cards", size(filter(cards,
+        c => call_function("luhn_check", regexp_replace(c, "[- ]", "")))))
+      .withColumn("n_intl_phones",
+        size(regexp_extract_all(t, lit(intlPhoneRe), lit(0))))
+  }
+
+  /** Full-surface redaction: [[scrubPii]]'s three patterns plus SSN ->
+    * [SSN], card -> [CARD], international phone -> [INTL_PHONE]. Cards are
+    * scrubbed without a Luhn gate — redaction favors recall; validity
+    * counting is [[piiStatsExtended]]'s job. */
+  def scrubPiiExtended(df: DataFrame, textCol: String = "text",
+      outCol: String = "scrubbed"): DataFrame =
+    df.withColumn(outCol,
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(
+              regexp_replace(
+                regexp_replace(col(textCol), emailRe, "[EMAIL]"),
+                cardRe, "[CARD]"),
+              ssnRe, "[SSN]"),
+            intlPhoneRe, "[INTL_PHONE]"),
+          phoneRe, "[PHONE]"),
+        ipv4Re, "[IP]"))
+
   /** Benchmark-contamination screen (decontamination primitive): per
     * document, the fraction of its distinct n-gram shingles that appear
     * anywhere in the benchmark corpus. Shape: explode doc shingles once,

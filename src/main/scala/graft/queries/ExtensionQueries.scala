@@ -224,6 +224,28 @@ object ExtensionQueries {
           length(col("scrubbed")).cast("long").as("scrubbed_len"))
     }),
 
+    // Extended PII detect+scrub: planted SSNs / credit cards (two
+    // Luhn-valid, one invalid) / international phones on top of the x20
+    // surface; counts + Luhn-valid subset + redacted length, all
+    // oracle-checked (the Luhn checksum is plain arithmetic DuckDB can
+    // replicate over the extracted digit strings)
+    "x25_pii_extended" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val withPii = docs.withColumn("text",
+        when(col("doc_id") % 11 === 0,
+          concat(col("text"), lit(" ssn 123-45-6789 card 4532-0151-1283-0366" +
+            " backup 4111111111111111 invalid 1234-5678-9012-3456" +
+            " intl +44 20 7946 0958")))
+          .otherwise(col("text")))
+      TextAnalysis.scrubPiiExtended(TextAnalysis.piiStatsExtended(withPii))
+        .select(col("doc_id"),
+          col("n_ssns").cast("long").as("n_ssns"),
+          col("n_cards").cast("long").as("n_cards"),
+          col("n_valid_cards").cast("long").as("n_valid_cards"),
+          col("n_intl_phones").cast("long").as("n_intl_phones"),
+          length(col("scrubbed")).cast("long").as("scrubbed_len"))
+    }),
+
     // Corpus-prep capstone: quality filter -> language filter -> exact-dedup
     // survivors -> per-language doc/token totals. The composition a
     // training-data prep job runs end-to-end, oracle-checked by composing
@@ -523,6 +545,38 @@ object ExtensionQueries {
         |    '\b\d{3}[-.]\d{3,4}[-.]\d{4}\b', '[PHONE]', 'g'),
         |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IP]', 'g')) AS BIGINT) AS scrubbed_len
         |FROM withpii""".stripMargin,
+
+    "x25_pii_extended" ->
+      """WITH withpii AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 11 = 0
+        |      THEN text || ' ssn 123-45-6789 card 4532-0151-1283-0366 backup 4111111111111111 invalid 1234-5678-9012-3456 intl +44 20 7946 0958'
+        |      ELSE text END AS text
+        |  FROM documents),
+        |ext AS (
+        |  SELECT doc_id, text,
+        |    regexp_extract_all(text, '\b\d{3}-\d{2}-\d{4}\b') AS ssns,
+        |    regexp_extract_all(text, '\b\d{4}[- ]?\d{4}[- ]?\d{4}[- ]?\d{4}\b') AS cards,
+        |    regexp_extract_all(text, '\+\d{1,3}[- ]\d{2,4}[- ]\d{3,4}[- ]\d{3,4}\b') AS intls
+        |  FROM withpii)
+        |SELECT doc_id,
+        |  CAST(len(ssns) AS BIGINT) AS n_ssns,
+        |  CAST(len(cards) AS BIGINT) AS n_cards,
+        |  CAST(len(list_filter(list_transform(cards, c -> regexp_replace(c, '[- ]', '', 'g')),
+        |    d -> list_sum(list_transform(range(0, len(d)), i ->
+        |      CASE WHEN i % 2 = 0 THEN CAST(d[len(d) - i] AS INT)
+        |           WHEN 2 * CAST(d[len(d) - i] AS INT) > 9 THEN 2 * CAST(d[len(d) - i] AS INT) - 9
+        |           ELSE 2 * CAST(d[len(d) - i] AS INT) END)) % 10 = 0)) AS BIGINT) AS n_valid_cards,
+        |  CAST(len(intls) AS BIGINT) AS n_intl_phones,
+        |  CAST(length(
+        |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+        |      '\b\d{4}[- ]?\d{4}[- ]?\d{4}[- ]?\d{4}\b', '[CARD]', 'g'),
+        |      '\b\d{3}-\d{2}-\d{4}\b', '[SSN]', 'g'),
+        |      '\+\d{1,3}[- ]\d{2,4}[- ]\d{3,4}[- ]\d{3,4}\b', '[INTL_PHONE]', 'g'),
+        |      '\b\d{3}[-.]\d{3,4}[-.]\d{4}\b', '[PHONE]', 'g'),
+        |      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IP]', 'g')) AS BIGINT) AS scrubbed_len
+        |FROM ext""".stripMargin,
 
     "x18_embedding_dedup" ->
       """WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

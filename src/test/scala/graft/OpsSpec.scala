@@ -351,6 +351,32 @@ class TextAnalysisSpec extends SparkSpec {
     assert(scrubbed == "reach me at [EMAIL] or [PHONE] from [IP]", scrubbed)
   }
 
+  test("extended PII: multi-format detection, Luhn separation, full scrub") {
+    // precision/recall over a planted multi-format corpus: every planted
+    // instance must be found (recall) and the no-PII rows must stay at
+    // zero across all counters (precision)
+    val df = Seq(
+      (1L, "ssn 123-45-6789 card 4111111111111111 call +1 650 555 0199"),
+      (2L, "cards: bad 1234-5678-9012-3456 good 4532-0151-1283-0366"),
+      (3L, "no pii, plain numbers 12345 2024 and words"),
+      (4L, "dotted 555.123.4567 at 10.0.0.1 mail a@b.co")
+    ).toDF("doc_id", "text")
+    val stats = TextAnalysis.piiStatsExtended(df)
+      .select("doc_id", "n_ssns", "n_cards", "n_valid_cards", "n_intl_phones")
+      .as[(Long, Int, Int, Int, Int)].collect()
+      .map { case (id, s, c, v, p) => id -> ((s, c, v, p)) }.toMap
+    assert(stats(1L) == ((1, 1, 1, 1)), stats(1L))
+    assert(stats(2L) == ((0, 2, 1, 0)), stats(2L)) // Luhn separates good/bad
+    assert(stats(3L) == ((0, 0, 0, 0)), stats(3L))
+    assert(stats(4L) == ((0, 0, 0, 0)), stats(4L))
+    val scrubbed = TextAnalysis.scrubPiiExtended(df)
+      .select("doc_id", "scrubbed").as[(Long, String)].collect().toMap
+    assert(scrubbed(1L) == "ssn [SSN] card [CARD] call [INTL_PHONE]", scrubbed(1L))
+    assert(scrubbed(2L) == "cards: bad [CARD] good [CARD]", scrubbed(2L))
+    assert(scrubbed(3L) == "no pii, plain numbers 12345 2024 and words")
+    assert(scrubbed(4L) == "dotted [PHONE] at [IP] mail [EMAIL]", scrubbed(4L))
+  }
+
   test("contamination: benchmark members read 1.0, disjoint docs 0.0") {
     val docs = Seq(
       (1L, "alpha beta gamma delta epsilon zeta"),
