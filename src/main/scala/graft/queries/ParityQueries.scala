@@ -706,6 +706,36 @@ object ParityQueries {
           .select(col("account_id")), Seq("account_id"), "left_anti")
         .agg((count(lit(1)) === 0).as("txn_fk_active_only"))
       custAgg.crossJoin(accAgg).crossJoin(txnAgg).crossJoin(fkOk)
+    }),
+
+    // Bucketed-layout join (Sinks.writeBucketed exercised BY THE HARNESS,
+    // not just ScalaTest): events + a per-user dim are written as
+    // bucket-by-user_id tables, re-read from the catalog, sort-merge
+    // joined and aggregated per user — and the plan property the bucketed
+    // layout exists for (NO shuffle exchange anywhere: the join AND the
+    // aggregation reuse the write-time partitioning) is emitted as the
+    // `zero_exchange` column, so the DuckDB oracle checks the 100 TB
+    // pay-the-shuffle-once claim itself, alongside the values.
+    "q40_bucketed_join" -> ((s, dir) => {
+      val ev = events(s, dir).select(col("event_id"), col("user_id"), col("value"))
+      val suffix = dir.replaceAll("[^a-zA-Z0-9]", "_") +
+        "_p" + ProcessHandle.current().pid() // same collision story as tmpPath
+      val tEvents = s"graft_ev_$suffix"; val tUsers = s"graft_usr_$suffix"
+      Sinks.writeBucketed(ev, tEvents, Seq("user_id"), numBuckets = 8)
+      Sinks.writeBucketed(
+        ev.groupBy(col("user_id")).agg(max(col("value")).as("max_value")),
+        tUsers, Seq("user_id"), numBuckets = 8)
+      // merge hint: broadcast would also be shuffle-free here, but the
+      // point is proving the co-located SMJ path the layout buys at scale
+      val joined = s.table(tEvents).hint("merge")
+        .join(s.table(tUsers), Seq("user_id"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"),
+          max(col("max_value")).as("max_value"))
+      val shuffles = "Exchange hashpartitioning".r
+        .findAllIn(joined.queryExecution.executedPlan.toString).size
+      joined.withColumn("zero_exchange", lit(shuffles == 0))
     }))
 
   // ----------------------------------------------------------------- oracle
@@ -721,6 +751,13 @@ object ParityQueries {
         |  CAST(1000 AS BIGINT) AS n_transactions,
         |  true AS intl_flag_consistent,
         |  true AS txn_fk_active_only""".stripMargin,
+
+    "q40_bucketed_join" ->
+      """SELECT user_id, count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+        |  max(value) AS max_value,
+        |  true AS zero_exchange
+        |FROM events GROUP BY user_id""".stripMargin,
 
     "q34_text_log_scan" ->
       """SELECT CASE WHEN event_type = 'error' THEN 'ERROR' ELSE 'INFO' END AS level,
