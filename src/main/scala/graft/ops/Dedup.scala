@@ -95,25 +95,28 @@ object Dedup {
 
   /** Same-bucket candidate pairs with a hot-bucket skew guard. Buckets up to
     * `maxBucketSize` produce all intra-bucket pairs (the classic LSH shape);
-    * LARGER buckets are star-linked instead — every member pairs with the
-    * bucket's min id — which is linear in bucket size where all-pairs is
-    * quadratic. At 100 TB one degenerate bucket (boilerplate docs, empty
-    * strings) would otherwise dominate the whole job. Star edges preserve
-    * cluster connectivity for [[resolveClusters]] when the bucket holds ONE
-    * duplicate group (it stays a single connected component through its
-    * hub) and the downstream exact-similarity verify still rejects false
-    * positives.
+    * LARGER buckets are star-linked instead — every member pairs with TWO
+    * anchors, the bucket's min id and max id — which is linear in bucket
+    * size where all-pairs is quadratic. At 100 TB one degenerate bucket
+    * (boilerplate docs, empty strings) would otherwise dominate the whole
+    * job. Star edges preserve cluster connectivity for [[resolveClusters]]
+    * when an anchor shares a duplicate group with the member (the group
+    * stays one connected component through that anchor) and the downstream
+    * exact-similarity verify still rejects false positives.
     *
-    * RECALL BOUND (documented trade-off): if an oversized bucket contains
-    * TWO OR MORE distinct duplicate groups, only the hub's own group
-    * survives the downstream verify in THAT band — star edges from the hub
-    * to other groups' members fail the Jaccard/hamming filter, so those
-    * groups' intra-pairs are lost in that band and must be recovered by
-    * another band (near-certain for real near-dups, whose signatures agree
-    * on most bands, but NOT guaranteed for pathological corpora where
-    * unrelated groups collide in every band). Callers needing the classic
-    * no-cap guarantee can pass `maxBucketSize = Int.MaxValue` and accept
-    * the quadratic hot-bucket cost.
+    * RECALL BOUND (documented trade-off): a duplicate group inside an
+    * oversized bucket keeps its connectivity in THAT band only if it
+    * contains one of the two anchors — with TWO OR MORE distinct groups in
+    * one bucket, a group holding neither the min- nor the max-id member
+    * loses its intra-pairs in that band (star edges into it from a
+    * foreign-group anchor fail the Jaccard/hamming verify) and must be
+    * recovered by another band. Two anchors cover the two largest-id-spread
+    * groups per bucket — strictly better than the single-hub variant, and
+    * near-certain recovery remains for real near-dups (signatures agree on
+    * most bands); the guarantee-less case is pathological corpora where
+    * THREE+ unrelated groups collide in EVERY band. Callers needing the
+    * classic no-cap guarantee can pass `maxBucketSize = Int.MaxValue` and
+    * accept the quadratic hot-bucket cost.
     * Input: (id, band, bucket). Output: (id_a, id_b) with id_a < id_b. */
   private def bucketCandidates(buckets: DataFrame, maxBucketSize: Int): DataFrame = {
     // NOTE on materialization: the buckets frame is referenced by several
@@ -123,7 +126,8 @@ object Dedup {
     // that measured faster is the candidate-pair persist in the callers.
     val sized = buckets.join(
       buckets.groupBy(col("band"), col("bucket"))
-        .agg(count(lit(1)).as("bsz"), min(col("id")).as("bmin")),
+        .agg(count(lit(1)).as("bsz"), min(col("id")).as("bmin"),
+          max(col("id")).as("bmax")),
       Seq("band", "bucket"))
     val small = sized.filter(col("bsz") <= maxBucketSize)
     val a = small.select(col("band"), col("bucket"), col("id").as("id_a"))
@@ -131,8 +135,11 @@ object Dedup {
     val allPairs = a.join(b, Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"))
-    val starPairs = sized.filter(col("bsz") > maxBucketSize && col("id") =!= col("bmin"))
+    val hot = sized.filter(col("bsz") > maxBucketSize)
+    val starPairs = hot.filter(col("id") =!= col("bmin"))
       .select(col("bmin").as("id_a"), col("id").as("id_b"))
+      .unionByName(hot.filter(col("id") =!= col("bmax"))
+        .select(col("id").as("id_a"), col("bmax").as("id_b")))
     allPairs.unionByName(starPairs).distinct()
   }
 
@@ -216,14 +223,17 @@ object Dedup {
     bandedP.count()
     // hot-bucket guard (see [[bucketCandidates]] for rationale AND the
     // documented recall bound -- the same multi-group-bucket caveat applies
-    // here, with the hamming filter in place of Jaccard): oversized
-    // buckets star-link to the min-id hub instead of producing all pairs.
-    // The one-long simhash payload rides the shuffle (cheap), and min_by
-    // carries the hub's simhash so star edges need no join-back.
+    // here, with the hamming filter in place of Jaccard): oversized buckets
+    // star-link every member to BOTH the min-id and max-id anchors instead
+    // of producing all pairs. The one-long simhash payload rides the
+    // shuffle (cheap), and min_by/max_by carry the anchors' simhashes so
+    // star edges need no join-back.
     val sized = bandedP.join(
       bandedP.groupBy(col("band"), col("chunk"))
         .agg(count(lit(1)).as("bsz"), min(col("id")).as("bmin"),
-          expr("min_by(simhash, id)").as("bmin_sh")),
+          expr("min_by(simhash, id)").as("bmin_sh"),
+          max(col("id")).as("bmax"),
+          expr("max_by(simhash, id)").as("bmax_sh")),
       Seq("band", "chunk"))
     val small = sized.filter(col("bsz") <= maxBucketSize)
     val a = small.select(col("band"), col("chunk"),
@@ -233,9 +243,13 @@ object Dedup {
     val allPairs = a.join(b, Seq("band", "chunk"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"), col("sh_a"), col("sh_b"))
-    val starPairs = sized.filter(col("bsz") > maxBucketSize && col("id") =!= col("bmin"))
+    val hot = sized.filter(col("bsz") > maxBucketSize)
+    val starPairs = hot.filter(col("id") =!= col("bmin"))
       .select(col("bmin").as("id_a"), col("id").as("id_b"),
         col("bmin_sh").as("sh_a"), col("simhash").as("sh_b"))
+      .unionByName(hot.filter(col("id") =!= col("bmax"))
+        .select(col("id").as("id_a"), col("bmax").as("id_b"),
+          col("simhash").as("sh_a"), col("bmax_sh").as("sh_b")))
     allPairs.unionByName(starPairs).distinct()
       .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
       .filter(col("hamming") <= maxHamming)

@@ -116,6 +116,10 @@ class DedupSpec extends SparkSpec {
     val cnt = pairs.count()
     // star edges: (1000-1) + (200-1) = 1198 minimum, one per member per group
     assert(cnt >= 1198 && cnt <= 4 * 1198, s"expected linear star edges, got $cnt")
+    // dual-anchor shape: members link to the MAX-id anchor too (a single-
+    // hub star would only ever emit (0, id) edges inside group A)
+    assert(pairs.filter(col("id_a") === 1 && col("id_b") === 999).count() == 1,
+      "missing max-anchor star edge (1, 999)")
     val clusters = Dedup.resolveClusters(pairs)
     val bySize = clusters.groupBy("cluster_id").count()
       .select("count").as[Long].collect().sorted
@@ -129,6 +133,9 @@ class DedupSpec extends SparkSpec {
       maxHamming = 3, maxBucketSize = 64)
     val cnt = pairs.count()
     assert(cnt >= 799 && cnt <= 4 * 799, s"expected linear star edges, got $cnt")
+    // dual-anchor shape (see minhash degenerate spec)
+    assert(pairs.filter(col("id_a") === 1 && col("id_b") === 799).count() == 1,
+      "missing max-anchor star edge (1, 799)")
     assert(Dedup.resolveClusters(pairs).select("cluster_id").distinct().count() == 1)
   }
 
