@@ -123,8 +123,8 @@ object ExtensionQueries {
       Similarity.lshKnn(emb, q, "vec_id", "embedding", 20, planes = 6)
     }),
 
-    // BPE-ish subword-count estimate (Java-regex lookarounds, not
-    // RE2-expressible -> rows-only check)
+    // BPE-ish subword-count estimate (match-based RE2 regex since round 4,
+    // so the oracle checks it — previously lookaround-split and rows-only)
     "x14_subword_count" -> ((s, dir) =>
       t(s, dir, "documents").select(col("doc_id"),
         TextAnalysis.tokenCount(col("text")).cast("long").as("token_cnt"),
@@ -370,6 +370,13 @@ object ExtensionQueries {
     "x02_token_stats" ->
       """SELECT doc_id, CAST(length(text) AS BIGINT) AS char_len,
         |  len(list_filter(string_split_regex(trim(text), '\s+'), x -> len(x) > 0)) AS token_cnt
+        |FROM documents""".stripMargin,
+
+    "x14_subword_count" ->
+      """SELECT doc_id,
+        |  len(list_filter(string_split_regex(trim(text), '\s+'), x -> len(x) > 0)) AS token_cnt,
+        |  CAST(len(regexp_extract_all(text,
+        |    '[^a-zA-Z0-9\s](?:[a-zA-Z]+|[0-9]+)?|[a-zA-Z]+|[0-9]+')) AS BIGINT) AS subword_cnt
         |FROM documents""".stripMargin,
 
     "x03_text_quality" ->

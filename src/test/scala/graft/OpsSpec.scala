@@ -358,6 +358,26 @@ class TextAnalysisSpec extends SparkSpec {
     assert(scrubbed == "reach me at [EMAIL] or [PHONE] from [IP]", scrubbed)
   }
 
+  test("subwordCount (RE2 match form) equals the lookaround-split formulation") {
+    // the match-based regex is what lets DuckDB oracle-check x14; this pins
+    // it segment-for-segment to the original Java-lookaround split across
+    // the boundary cases (letter/digit transitions, punct runs, whitespace)
+    val texts = Seq("abc123!x y", "a1!2b", "..", "a.1", "hello world",
+      "x-3.14e5", "", "   ", "snake_case CamelCase 2024!", "!!!", "a,b;c",
+      "!abc", "!123", "tail!", "a  b\t c")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val out = df.select(col("doc_id"),
+      TextAnalysis.subwordCount(col("text")).as("m"),
+      size(filter(split(trim(col("text")),
+        "(?<=[a-zA-Z])(?=[0-9])|(?<=[0-9])(?=[a-zA-Z])|\\s+|(?=[^a-zA-Z0-9\\s])"),
+        t => length(t) > 0)).as("l"))
+      .as[(Long, Int, Int)].collect()
+    out.foreach { case (id, m, l) =>
+      assert(m == l, s"doc $id '${texts(id.toInt)}': match=$m lookaround=$l")
+    }
+  }
+
   test("extended PII: multi-format detection, Luhn separation, full scrub") {
     // precision/recall over a planted multi-format corpus: every planted
     // instance must be found (recall) and the no-PII rows must stay at
