@@ -165,6 +165,28 @@ object TextAnalysis {
           phoneRe, "[PHONE]"),
         ipv4Re, "[IP]"))
 
+  /** C4-style boilerplate/heuristic filters (Raffel et al. '20 §2.2 rules,
+    * adapted): word-count bounds, terminal-punctuation check, curly-brace
+    * (code) / "lorem ipsum" / javascript-boilerplate detection, composed
+    * into a `keep` flag. Pure per-row RE2-compatible regex + token count —
+    * shuffle-free, embarrassingly parallel, and fully replicable by a SQL
+    * oracle. The C4 paper applies the line-level variants before document
+    * assembly; over a one-line-per-doc corpus the document-level form is
+    * the same rule set. */
+  def boilerplateFilters(df: DataFrame, textCol: String = "text",
+      minWords: Int = 5, maxWords: Int = 100000): DataFrame = {
+    val t = col(textCol)
+    df.withColumn("word_cnt", tokenCount(t))
+      .withColumn("ends_terminal", t.rlike("[.!?\"']\\s*$"))
+      .withColumn("has_curly", t.contains("{"))
+      .withColumn("has_lorem", lower(t).contains("lorem ipsum"))
+      .withColumn("has_js_boilerplate",
+        lower(t).rlike("enable javascript|javascript is required|cookies enabled"))
+      .withColumn("keep",
+        col("word_cnt") >= minWords && col("word_cnt") <= maxWords &&
+          !col("has_curly") && !col("has_lorem") && !col("has_js_boilerplate"))
+  }
+
   /** Benchmark-contamination screen (decontamination primitive): per
     * document, the fraction of its distinct n-gram shingles that appear
     * anywhere in the benchmark corpus. Shape: explode doc shingles once,

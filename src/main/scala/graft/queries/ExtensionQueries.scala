@@ -283,6 +283,25 @@ object ExtensionQueries {
           col("n_hits").cast("long").as("n_hits"), col("contamination"))
     }),
 
+    // C4-style boilerplate filters over a corpus with planted boilerplate
+    // (lorem-ipsum tails on %13 docs, code+javascript headers on %17 docs)
+    // — the keep flag and every heuristic column are oracle-checked
+    "x28_boilerplate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val planted = docs.withColumn("text",
+        when(col("doc_id") % 13 === 0,
+          concat(col("text"), lit(" lorem ipsum dolor sit amet")))
+          .otherwise(col("text")))
+        .withColumn("text",
+          when(col("doc_id") % 17 === 0,
+            concat(lit("function() { please enable javascript "), col("text")))
+            .otherwise(col("text")))
+      TextAnalysis.boilerplateFilters(planted)
+        .select(col("doc_id"), col("word_cnt").cast("long").as("word_cnt"),
+          col("ends_terminal"), col("has_curly"), col("has_lorem"),
+          col("has_js_boilerplate"), col("keep"))
+    }),
+
     // Gopher-style repetition metrics (2-gram totals/distincts/fraction)
     "x23_repetition" -> ((s, dir) =>
       TextAnalysis.repetitionStats(t(s, dir, "documents"))
@@ -517,6 +536,29 @@ object ExtensionQueries {
         |  ROUND(count(b.sh) * 1.0 / count(*), 6) AS contamination
         |FROM sh s LEFT JOIN bench b ON s.sh = b.sh
         |GROUP BY 1""".stripMargin,
+
+    "x28_boilerplate" ->
+      """WITH planted AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 17 = 0
+        |      THEN 'function() { please enable javascript ' ||
+        |        CASE WHEN doc_id % 13 = 0 THEN text || ' lorem ipsum dolor sit amet' ELSE text END
+        |      WHEN doc_id % 13 = 0 THEN text || ' lorem ipsum dolor sit amet'
+        |      ELSE text END AS text
+        |  FROM documents),
+        |flags AS (
+        |  SELECT doc_id,
+        |    len(list_filter(string_split_regex(trim(text), '\s+'), x -> len(x) > 0)) AS word_cnt,
+        |    regexp_matches(text, '[.!?"'']\s*$') AS ends_terminal,
+        |    contains(text, '{') AS has_curly,
+        |    contains(lower(text), 'lorem ipsum') AS has_lorem,
+        |    regexp_matches(lower(text), 'enable javascript|javascript is required|cookies enabled') AS has_js_boilerplate
+        |  FROM planted)
+        |SELECT doc_id, CAST(word_cnt AS BIGINT) AS word_cnt, ends_terminal,
+        |  has_curly, has_lorem, has_js_boilerplate,
+        |  (word_cnt >= 5 AND word_cnt <= 100000 AND NOT has_curly
+        |    AND NOT has_lorem AND NOT has_js_boilerplate) AS keep
+        |FROM flags""".stripMargin,
 
     "x23_repetition" ->
       """WITH tok AS (

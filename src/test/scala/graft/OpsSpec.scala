@@ -404,6 +404,25 @@ class TextAnalysisSpec extends SparkSpec {
     assert(scrubbed(4L) == "dotted [PHONE] at [IP] mail [EMAIL]", scrubbed(4L))
   }
 
+  test("boilerplateFilters flags code, lorem ipsum, js walls, short docs") {
+    val df = Seq(
+      (1L, "a perfectly ordinary sentence with enough words to pass."),
+      (2L, "function() { return 42; } and some more filler words here"),
+      (3L, "Lorem Ipsum dolor sit amet consectetur adipiscing elit sed"),
+      (4L, "please enable JavaScript to view this site properly thanks"),
+      (5L, "too short")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.boilerplateFilters(df)
+      .select("doc_id", "keep", "ends_terminal")
+      .as[(Long, Boolean, Boolean)].collect()
+      .map { case (id, k, e) => id -> ((k, e)) }.toMap
+    assert(out(1L) == ((true, true)))   // clean, terminal period
+    assert(out(2L)._1 == false)         // curly brace -> code
+    assert(out(3L)._1 == false)         // lorem ipsum
+    assert(out(4L)._1 == false)         // javascript wall
+    assert(out(5L)._1 == false)         // under minWords
+  }
+
   test("contamination: benchmark members read 1.0, disjoint docs 0.0") {
     val docs = Seq(
       (1L, "alpha beta gamma delta epsilon zeta"),
