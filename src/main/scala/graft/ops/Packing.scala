@@ -1,0 +1,43 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sequence packing for LLM training-data prep: assign documents to fixed
+  * token-budget packs (context-window bins) — the concat-and-chunk step
+  * every pretraining pipeline runs between filtering and tokenized-shard
+  * writing. Extension surface (north star; the reference has no text ops).
+  *
+  * Scale design: packing is SHARD-LOCAL by construction. A global document
+  * order would funnel 100 TB through one window partition; real pipelines
+  * pack within a shard (file, language, source bucket) and parallelize
+  * across shards, which is exactly one `Window.partitionBy(shard)` — a
+  * single hash exchange on the shard key, each shard packed independently.
+  * Deterministic: documents pack in `idCol` order, a doc lands in the bin
+  * its cumulative START offset falls in, so results are reproducible and
+  * SQL-oracle-checkable (docs larger than the budget still get a bin —
+  * real packers split them downstream; the bin assignment stays exact).
+  */
+object Packing {
+
+  /** Adds `cum_tokens` (shard-local running total in `idCol` order,
+    * inclusive) and `pack_id` = floor(start_offset / budget) where
+    * start_offset = cum_tokens - this doc's tokens. */
+  def packByBudget(df: DataFrame, shardCol: String, idCol: String,
+      tokenCol: String, budget: Int): DataFrame = {
+    require(budget > 0)
+    val w = Window.partitionBy(col(shardCol)).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("cum_tokens", sum(col(tokenCol)).over(w))
+      .withColumn("pack_id",
+        floor((col("cum_tokens") - col(tokenCol)) / budget).cast("long"))
+  }
+
+  /** Per-pack rollup: document count and token total per (shard, pack). */
+  def packStats(packed: DataFrame, shardCol: String,
+      tokenCol: String): DataFrame =
+    packed.groupBy(col(shardCol), col("pack_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col(tokenCol)).as("pack_tokens"))
+}

@@ -236,6 +236,25 @@ object TextAnalysis {
             col("n_ngrams"), 6)).otherwise(lit(0.0)))
   }
 
+  /** Per-shard vocabulary top-k: lowercase token frequencies per
+    * (shard, token), then the k most frequent tokens per shard through the
+    * bounded-heap [[graft.plans.TopK]] operator — the corpus-statistics
+    * query a tokenizer/vocab-build stage runs. Shape: one explode + one
+    * partial-aggregated count shuffle on (shard, token), then the top-k
+    * exchange on the shard alone; the heap keeps O(shards x k) rows where
+    * a window formulation would sort every shard's full vocabulary.
+    * Ties break (freq desc, token asc) — a total order, so results are
+    * deterministic and SQL-oracle-checkable. */
+  def vocabTopK(df: DataFrame, shardCol: String, textCol: String,
+      k: Int): DataFrame = {
+    val counts = df
+      .select(col(shardCol), explode(tokens(lower(col(textCol)))).as("token"))
+      .groupBy(col(shardCol), col("token"))
+      .agg(count(lit(1)).as("token_freq"))
+    graft.plans.TopK.perGroup(counts, Seq(shardCol),
+      Seq(("token_freq", false), ("token", true)), k)
+  }
+
   private val profiles: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "that"),
     "de" -> Seq("der", "die", "das", "und", "ist", "ein", "nicht", "mit"),

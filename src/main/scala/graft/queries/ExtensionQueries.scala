@@ -283,6 +283,25 @@ object ExtensionQueries {
           col("n_hits").cast("long").as("n_hits"), col("contamination"))
     }),
 
+    // Sequence packing (concat-and-chunk prep step): shard-local (per-lang)
+    // greedy token-budget binning, fully deterministic; window-sum oracle
+    "x30_sequence_packing" -> ((s, dir) => {
+      val withTokens = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          TextAnalysis.tokenCount(col("text")).as("token_cnt"))
+      graft.ops.Packing.packByBudget(withTokens, "lang", "doc_id",
+          "token_cnt", budget = 2048)
+        .select(col("doc_id"), col("lang"),
+          col("token_cnt").cast("long").as("token_cnt"),
+          col("cum_tokens").cast("long").as("cum_tokens"), col("pack_id"))
+    }),
+
+    // Vocabulary top-10 per language (vocab-build corpus statistics) via
+    // the custom TopKPerGroup operator; window-rank oracle
+    "x29_vocab_topk" -> ((s, dir) =>
+      TextAnalysis.vocabTopK(t(s, dir, "documents"), "lang", "text", 10)
+        .orderBy(col("lang"), col("token_freq").desc, col("token"))),
+
     // C4-style boilerplate filters over a corpus with planted boilerplate
     // (lorem-ipsum tails on %13 docs, code+javascript headers on %17 docs)
     // — the keep flag and every heuristic column are oracle-checked
@@ -536,6 +555,32 @@ object ExtensionQueries {
         |  ROUND(count(b.sh) * 1.0 / count(*), 6) AS contamination
         |FROM sh s LEFT JOIN bench b ON s.sh = b.sh
         |GROUP BY 1""".stripMargin,
+
+    "x30_sequence_packing" ->
+      """WITH tc AS (
+        |  SELECT doc_id, lang,
+        |    len(list_filter(string_split_regex(trim(text), '\s+'), x -> len(x) > 0)) AS token_cnt
+        |  FROM documents),
+        |c AS (
+        |  SELECT *, sum(token_cnt) OVER (
+        |    PARTITION BY lang ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum_tokens
+        |  FROM tc)
+        |SELECT doc_id, lang, CAST(token_cnt AS BIGINT) AS token_cnt,
+        |  CAST(cum_tokens AS BIGINT) AS cum_tokens,
+        |  CAST(floor((cum_tokens - token_cnt) / 2048.0) AS BIGINT) AS pack_id
+        |FROM c""".stripMargin,
+
+    "x29_vocab_topk" ->
+      """WITH tok AS (
+        |  SELECT lang, unnest(list_filter(
+        |    string_split_regex(trim(lower(text)), '\s+'), x -> len(x) > 0)) AS token
+        |  FROM documents),
+        |counts AS (SELECT lang, token, count(*) AS token_freq FROM tok GROUP BY 1, 2),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY lang ORDER BY token_freq DESC, token) AS rn
+        |  FROM counts)
+        |SELECT lang, token, token_freq FROM ranked WHERE rn <= 10""".stripMargin,
 
     "x28_boilerplate" ->
       """WITH planted AS (

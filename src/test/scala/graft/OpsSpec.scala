@@ -404,6 +404,23 @@ class TextAnalysisSpec extends SparkSpec {
     assert(scrubbed(4L) == "dotted [PHONE] at [IP] mail [EMAIL]", scrubbed(4L))
   }
 
+  test("packByBudget bins by start offset per shard; oversized docs get a bin") {
+    // shard a: tokens 1100,1100,1100 -> starts 0,1100,2200 -> packs 0,0,1
+    // shard b: tokens 5000 (over budget), 10 -> packs 0, 2 (start 5000)
+    val df = Seq(
+      (1L, "a", 1100), (2L, "a", 1100), (3L, "a", 1100),
+      (10L, "b", 5000), (11L, "b", 10)
+    ).toDF("doc_id", "shard", "token_cnt")
+    val out = graft.ops.Packing.packByBudget(df, "shard", "doc_id", "token_cnt", 2048)
+      .select("doc_id", "pack_id").as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 0L, 2L -> 0L, 3L -> 1L, 10L -> 0L, 11L -> 2L), out)
+    val stats = graft.ops.Packing.packStats(
+      graft.ops.Packing.packByBudget(df, "shard", "doc_id", "token_cnt", 2048),
+      "shard", "token_cnt")
+      .select("shard", "pack_id", "n_docs").as[(String, Long, Long)].collect().toSet
+    assert(stats == Set(("a", 0L, 2L), ("a", 1L, 1L), ("b", 0L, 1L), ("b", 2L, 1L)))
+  }
+
   test("boilerplateFilters flags code, lorem ipsum, js walls, short docs") {
     val df = Seq(
       (1L, "a perfectly ordinary sentence with enough words to pass."),
