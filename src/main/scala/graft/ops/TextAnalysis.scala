@@ -255,6 +255,33 @@ object TextAnalysis {
       Seq(("token_freq", false), ("token", true)), k)
   }
 
+  /** TF-IDF top-`k` terms per document: term frequency per (doc, token),
+    * document frequency per token, idf = ln(N/df), ranked per doc through
+    * the bounded-heap [[graft.plans.TopK]] operator. Shape: ONE tokenize +
+    * explode feeds both aggregates; the df side reduces to the (small)
+    * distinct-token frame, which re-joins the tf frame on the token — at
+    * corpus scale that join hash-partitions on the token (both sides
+    * already reduced), never touching raw text again. Scores are
+    * `round(tf * ln(N/df), 6)`; (tf, df) are integers so equal pairs tie
+    * exactly and the token breaks them — a deterministic total order. */
+  def tfidfTopTerms(df: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame = {
+    val exploded = df
+      .select(col(idCol).as("doc_id"),
+        explode(tokens(lower(col(textCol)))).as("token"))
+    val nDocs = df.count()
+    val tf = exploded.groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = exploded.select(col("doc_id"), col("token")).distinct()
+      .groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val scored = tf.join(dfreq, Seq("token"))
+      .withColumn("tfidf",
+        round(col("tf") * log(lit(nDocs.toDouble) / col("df")), 6))
+      .select(col("doc_id"), col("token"), col("tf"), col("df"), col("tfidf"))
+    graft.plans.TopK.perGroup(scored, Seq("doc_id"),
+      Seq(("tfidf", false), ("token", true)), k)
+  }
+
   private val profiles: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "that"),
     "de" -> Seq("der", "die", "das", "und", "ist", "ein", "nicht", "mit"),

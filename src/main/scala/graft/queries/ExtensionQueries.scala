@@ -283,6 +283,13 @@ object ExtensionQueries {
           col("n_hits").cast("long").as("n_hits"), col("contamination"))
     }),
 
+    // TF-IDF top-3 terms per document (corpus statistics through the
+    // custom TopKPerGroup operator); integer (tf, df) pairs make ties
+    // exact, token breaks them -> deterministic, window-rank oracle
+    "x31_tfidf" -> ((s, dir) =>
+      TextAnalysis.tfidfTopTerms(t(s, dir, "documents"), "doc_id", "text", 3)
+        .orderBy(col("doc_id"), col("tfidf").desc, col("token"))),
+
     // Sequence packing (concat-and-chunk prep step): shard-local (per-lang)
     // greedy token-budget binning, fully deterministic; window-sum oracle
     "x30_sequence_packing" -> ((s, dir) => {
@@ -555,6 +562,24 @@ object ExtensionQueries {
         |  ROUND(count(b.sh) * 1.0 / count(*), 6) AS contamination
         |FROM sh s LEFT JOIN bench b ON s.sh = b.sh
         |GROUP BY 1""".stripMargin,
+
+    "x31_tfidf" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(list_filter(
+        |    string_split_regex(trim(lower(text)), '\s+'), x -> len(x) > 0)) AS token
+        |  FROM documents),
+        |tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
+        |dfreq AS (SELECT token, count(*) AS df FROM (SELECT DISTINCT doc_id, token FROM tok) GROUP BY 1),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.token, tf.tf, dfreq.df,
+        |    ROUND(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / dfreq.df), 6) AS tfidf
+        |  FROM tf JOIN dfreq USING (token) CROSS JOIN n),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY doc_id ORDER BY tfidf DESC, token) AS rn
+        |  FROM scored)
+        |SELECT doc_id, token, tf, df, tfidf FROM ranked WHERE rn <= 3""".stripMargin,
 
     "x30_sequence_packing" ->
       """WITH tc AS (
