@@ -261,7 +261,13 @@ object TextAnalysis {
     * explode feeds both aggregates; the df side reduces to the (small)
     * distinct-token frame, which re-joins the tf frame on the token — at
     * corpus scale that join hash-partitions on the token (both sides
-    * already reduced), never touching raw text again. Scores are
+    * already reduced), never touching raw text again. The exploded token
+    * frame is deliberately NOT persisted across its two consumers: it is
+    * strictly larger than the corpus, so two cheap codegen'd scan+tokenize
+    * passes beat caching a corpus-sized intermediate (the opposite call
+    * from the LSH candidate persist, where the cached frame is tiny).
+    * Catalyst broadcasts the reduced df frame into the tf join at harness
+    * scale (verified in the plan). Scores are
     * `round(tf * ln(N/df), 6)`; (tf, df) are integers so equal pairs tie
     * exactly and the token breaks them — a deterministic total order. */
   def tfidfTopTerms(df: DataFrame, idCol: String, textCol: String,
