@@ -1,0 +1,55 @@
+package graft.tools
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{IVF, Similarity}
+
+/** Batch-ANN-at-scale probe: 500k hash-derived vectors (dim 32) and a
+  * 200-query frame through the three batch search paths. Evidence that the
+  * bucket/probe join shapes hold far beyond the harness embeddings table
+  * (~800x sf0.1): LSH scores only same-bucket candidates, IVF only probed
+  * lists — the exact path is included at a reduced query count as the
+  * honest O(corpus x queries) baseline. */
+object AnnScaleSmoke {
+  def main(args: Array[String]): Unit = {
+    val n = args.headOption.map(_.toLong).getOrElse(500000L)
+    val dim = 32
+    val nq = 200
+    val spark = graft.GraftSession.local(cores = 8)
+
+    val corpus = spark.range(0, n, 1, 32)
+      .select(col("id").as("vec_id"),
+        transform(sequence(lit(0), lit(dim - 1)),
+          i => (pmod(xxhash64(col("id"), i), lit(997)).cast("double") - 498.0) / 498.0)
+          .as("embedding"))
+      .persist()
+    val queries = corpus.filter(col("vec_id") < nq)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+
+    def time[T](label: String)(f: => T): T = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"[ann-scale] $label%-32s ${(System.nanoTime() - t0) / 1e9}%8.2fs"); r
+    }
+
+    time(s"corpus materialize ($n x $dim)")(corpus.count())
+    val nBrute = time(s"brute batch (20 queries)")(
+      Similarity.bruteForceKnnBatch(corpus,
+        queries.filter(col("query_id") < 20), "vec_id", "embedding",
+        "query_id", 10).count())
+    println(s"[ann-scale] brute rows=$nBrute")
+    val nLsh = time(s"LSH batch ($nq queries, 8 planes)")(
+      Similarity.lshKnnBatch(corpus, queries, "vec_id", "embedding",
+        "query_id", 10, planes = 8).count())
+    println(s"[ann-scale] lsh rows=$nLsh")
+    val model = time("IVF train (nc=32, iters=2)")(
+      IVF.train(corpus.filter(col("vec_id") % 25 === 0), "vec_id", "embedding",
+        nc = 32, iters = 2))
+    val assigned = IVF.assign(corpus, "embedding", model).persist()
+    time("IVF assign (full corpus)")(assigned.count())
+    val nIvf = time(s"IVF batch ($nq queries, nprobe=4)")(
+      IVF.searchBatch(assigned, queries, "vec_id", "embedding", "query_id",
+        model, k = 10, nprobe = 4).count())
+    println(s"[ann-scale] ivf rows=$nIvf")
+    spark.stop()
+  }
+}

@@ -32,6 +32,31 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("per-row corpus ops (PII scrub, boilerplate filters) run unchanged on a stream") {
+    // the text-prep surface is shuffle-free per-row work, so the SAME
+    // operators compose into Structured Streaming with no code changes —
+    // the batch/stream unification a streaming ingest pipeline relies on
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val docs = input.toDF().toDF("doc_id", "text")
+    val out = graft.ops.TextAnalysis.scrubPii(
+      graft.ops.TextAnalysis.boilerplateFilters(docs))
+      .select("doc_id", "keep", "scrubbed")
+    val q = out.writeStream.format("memory").queryName("textops")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(
+        (1L, "write to me at jane@example.com about the quarterly report."),
+        (2L, "function() { short code }"))
+      q.processAllAvailable()
+      val rows = spark.table("textops")
+        .as[(Long, Boolean, String)].collect()
+        .map { case (id, k, s) => id -> ((k, s)) }.toMap
+      assert(rows(1L)._1 && rows(1L)._2.contains("[EMAIL]"))
+      assert(!rows(2L)._1) // curly-brace boilerplate flagged mid-stream
+    } finally q.stop()
+  }
+
   test("stream-stream interval join pairs purchases with same-user errors in the window") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Event]
