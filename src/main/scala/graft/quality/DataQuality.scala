@@ -147,4 +147,28 @@ object DataQuality {
     val stackArgs = ranges.map { case (c, _, _) => s"'$c', `oor__$c`" }.mkString(", ")
     aggRow.selectExpr(s"stack(${ranges.size}, $stackArgs) as (column_name, out_of_range_count)")
   }
+
+  /** One-row table profile in a SINGLE scan: row count plus per-column
+    * non-null counts, exact distinct counts, and numeric min/max/avg
+    * (avg rounded for cross-engine determinism). Multiple exact
+    * countDistincts in one aggregate plan through Spark's Expand (each
+    * input row fans out once per distinct aggregate) — a deliberate trade:
+    * at profile cardinalities the map-side Expand+partial-agg beats N
+    * separate full scans, and unlike approx_count_distinct the result is
+    * oracle-reproducible. Monitoring companion to [[runAllChecks]]
+    * (same one-scan discipline the reference's per-column count() loops
+    * lack). */
+  def profile(df: DataFrame, distinctCols: Seq[String],
+      numericCols: Seq[String]): DataFrame = {
+    val aggs =
+      Seq(count(lit(1)).as("n_rows")) ++
+        distinctCols.flatMap(c => Seq(
+          count(col(c)).as(s"${c}_nonnull"),
+          countDistinct(col(c)).as(s"${c}_distinct"))) ++
+        numericCols.flatMap(c => Seq(
+          min(col(c)).as(s"${c}_min"),
+          max(col(c)).as(s"${c}_max"),
+          round(avg(col(c)), 6).as(s"${c}_avg")))
+    df.agg(aggs.head, aggs.tail: _*)
+  }
 }

@@ -736,6 +736,42 @@ object ParityQueries {
       val shuffles = "Exchange hashpartitioning".r
         .findAllIn(joined.queryExecution.executedPlan.toString).size
       joined.withColumn("zero_exchange", lit(shuffles == 0))
+    }),
+
+    // Monitoring extension: one-SCAN table profile (row count + per-column
+    // non-null/exact-distinct + numeric min/max/avg). Exact multi-column
+    // distincts plan through one Expand — deliberately traded against N
+    // separate scans and documented in DataQuality.profile
+    "q41_column_profile" -> ((s, dir) =>
+      DataQuality.profile(t(s, dir, "orders"),
+        distinctCols = Seq("o_custkey", "o_orderstatus"),
+        numericCols = Seq("o_totalprice"))),
+
+    // Warehouse extension: SCD2 (type-2) dimension merge with history
+    // close-out — target = customer dim effective 2024-01-01; staging =
+    // %7 keys with shifted balances (changes) + 10 synthetic new keys
+    // (inserts), effective 2024-06-01. Oracle composes the same five legs
+    "q42_scd2_merge" -> ((s, dir) => {
+      val cust = t(s, dir, "customer")
+      // validity columns emitted as TIMESTAMPs (q32 date-dtype convention:
+      // parquet DATE arrives as datetime.date while DuckDB DATEs become
+      // datetime64; timestamps compare unambiguously)
+      val target = cust.select(col("c_custkey"),
+        col("c_mktsegment").as("segment"), col("c_acctbal").as("acctbal"),
+        to_date(lit("2024-01-01")).cast("timestamp").as("valid_from"),
+        lit(null).cast("timestamp").as("valid_to"))
+      val changes = cust.filter(col("c_custkey") % 7 === 0)
+        .select(col("c_custkey"), col("c_mktsegment").as("segment"),
+          (col("c_acctbal") + 100).as("acctbal"),
+          to_date(lit("2024-06-01")).cast("timestamp").as("valid_from"),
+          lit(null).cast("timestamp").as("valid_to"))
+      val inserts = cust.filter(col("c_custkey") < 10)
+        .select((col("c_custkey") + 1000000).as("c_custkey"),
+          col("c_mktsegment").as("segment"), col("c_acctbal").as("acctbal"),
+          to_date(lit("2024-06-01")).cast("timestamp").as("valid_from"),
+          lit(null).cast("timestamp").as("valid_to"))
+      Sinks.scd2Merge(target, changes.unionByName(inserts),
+        keyCols = Seq("c_custkey"), compareCols = Seq("segment", "acctbal"))
     }))
 
   // ----------------------------------------------------------------- oracle
@@ -751,6 +787,48 @@ object ParityQueries {
         |  CAST(1000 AS BIGINT) AS n_transactions,
         |  true AS intl_flag_consistent,
         |  true AS txn_fk_active_only""".stripMargin,
+
+    "q41_column_profile" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(count(o_custkey) AS BIGINT) AS o_custkey_nonnull,
+        |  CAST(count(DISTINCT o_custkey) AS BIGINT) AS o_custkey_distinct,
+        |  CAST(count(o_orderstatus) AS BIGINT) AS o_orderstatus_nonnull,
+        |  CAST(count(DISTINCT o_orderstatus) AS BIGINT) AS o_orderstatus_distinct,
+        |  min(o_totalprice) AS o_totalprice_min,
+        |  max(o_totalprice) AS o_totalprice_max,
+        |  ROUND(avg(o_totalprice), 6) AS o_totalprice_avg
+        |FROM orders""".stripMargin,
+
+    "q42_scd2_merge" ->
+      """WITH target AS (
+        |  SELECT c_custkey, c_mktsegment AS segment, c_acctbal AS acctbal,
+        |    TIMESTAMP '2024-01-01' AS valid_from, CAST(NULL AS TIMESTAMP) AS valid_to
+        |  FROM customer),
+        |staging AS (
+        |  SELECT c_custkey, c_mktsegment AS segment, c_acctbal + 100 AS acctbal,
+        |    TIMESTAMP '2024-06-01' AS valid_from, CAST(NULL AS TIMESTAMP) AS valid_to
+        |  FROM customer WHERE c_custkey % 7 = 0
+        |  UNION ALL
+        |  SELECT c_custkey + 1000000, c_mktsegment, c_acctbal,
+        |    TIMESTAMP '2024-06-01', CAST(NULL AS TIMESTAMP)
+        |  FROM customer WHERE c_custkey < 10),
+        |closed AS (
+        |  SELECT t.c_custkey, t.segment, t.acctbal, t.valid_from,
+        |    s.valid_from AS valid_to
+        |  FROM target t JOIN staging s USING (c_custkey)
+        |  WHERE s.segment <> t.segment OR s.acctbal <> t.acctbal),
+        |carried AS (
+        |  SELECT t.* FROM target t LEFT JOIN staging s USING (c_custkey)
+        |  WHERE s.valid_from IS NULL
+        |     OR (s.segment = t.segment AND s.acctbal = t.acctbal)),
+        |newv AS (
+        |  SELECT s.* FROM staging s JOIN target t USING (c_custkey)
+        |  WHERE s.segment <> t.segment OR s.acctbal <> t.acctbal),
+        |ins AS (
+        |  SELECT s.* FROM staging s LEFT JOIN target t USING (c_custkey)
+        |  WHERE t.valid_from IS NULL)
+        |SELECT * FROM closed UNION ALL SELECT * FROM carried
+        |UNION ALL SELECT * FROM newv UNION ALL SELECT * FROM ins""".stripMargin,
 
     "q40_bucketed_join" ->
       """SELECT user_id, count(*) AS n_events,

@@ -49,6 +49,48 @@ object Sinks {
     * target is replaced wholesale by the staging frame. */
   def truncateAndLoad(staging: DataFrame): DataFrame = staging
 
+  /** SCD2 (type-2 slowly-changing-dimension) merge — the history-keeping
+    * sibling of [[upsert]] every warehouse dim load eventually needs
+    * (the reference's staged-merge pattern, readshift_loader.py:68-149,
+    * overwrites in place and loses history). `target` carries
+    * (`effectiveCol`, `endCol`) validity columns with `endCol IS NULL`
+    * marking current rows; `staging` carries the same schema with
+    * `effectiveCol` = the change's effective date. Five legs, all from ONE
+    * current-vs-staging key join (null-safe attribute compare) plus one
+    * anti-join:
+    *   - history rows (endCol set) carry through untouched;
+    *   - current rows whose staged attributes differ close out
+    *     (`endCol := staging effective date`);
+    *   - the staged versions of those keys insert as new current rows;
+    *   - current rows unmatched-or-unchanged carry through;
+    *   - staged keys absent from the target insert as current.
+    * Shuffle profile: one hash exchange per side on the key, shared by the
+    * join legs — the same cost as a Delta MERGE of the equivalent
+    * WHEN MATCHED / NOT MATCHED clauses. */
+  def scd2Merge(target: DataFrame, staging: DataFrame, keyCols: Seq[String],
+      compareCols: Seq[String], effectiveCol: String = "valid_from",
+      endCol: String = "valid_to"): DataFrame = {
+    val cols = target.columns.toSeq
+    val current = target.filter(col(endCol).isNull)
+    val history = target.filter(col(endCol).isNotNull)
+    val stg = staging.select(cols.map(col): _*)
+    val sPref = stg.select(stg.columns.map(c => col(c).as(s"__s_$c")): _*)
+    val joinCond = keyCols.map(k => col(k) === col(s"__s_$k")).reduce(_ && _)
+    val j = current.join(sPref, joinCond, "left")
+    val matched = col(s"__s_${keyCols.head}").isNotNull
+    val changed = compareCols.map(c => !(col(c) <=> col(s"__s_$c"))).reduce(_ || _)
+    val closed = j.filter(matched && changed).select(cols.map {
+      case c if c == endCol => col(s"__s_$effectiveCol").as(endCol)
+      case c => col(c)
+    }: _*)
+    val carried = j.filter(!matched || !changed).select(cols.map(col): _*)
+    val newVersions = j.filter(matched && changed)
+      .select(cols.map(c => col(s"__s_$c").as(c)): _*)
+    val inserts = stg.join(current.select(keyCols.map(col): _*), keyCols, "left_anti")
+    history.unionByName(closed).unionByName(carried)
+      .unionByName(newVersions).unionByName(inserts)
+  }
+
   /** K4 — partitioned write (s3_loader.write_delta contract; partition cols
     * `transaction_year, transaction_month` from config.json:70). Delta
     * format when available, else parquet — layout and write-side partition

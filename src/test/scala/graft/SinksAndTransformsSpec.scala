@@ -20,6 +20,31 @@ class SinksSpec extends SparkSpec {
       (9L, "new", 99.0)))
   }
 
+  test("scd2Merge: closes changed versions, inserts new ones, keeps history") {
+    val d1 = Date.valueOf("2024-01-01"); val d6 = Date.valueOf("2024-06-01")
+    val target = Seq(
+      (1L, "gold", d1, null.asInstanceOf[Date]),        // changes in staging
+      (2L, "silver", d1, null.asInstanceOf[Date]),      // staged but unchanged
+      (3L, "bronze", d1, null.asInstanceOf[Date]),      // not staged
+      (1L, "old", Date.valueOf("2023-01-01"), d1)       // prior history row
+    ).toDF("id", "tier", "valid_from", "valid_to")
+    val staging = Seq(
+      (1L, "platinum", d6, null.asInstanceOf[Date]),
+      (2L, "silver", d6, null.asInstanceOf[Date]),
+      (9L, "new", d6, null.asInstanceOf[Date])
+    ).toDF("id", "tier", "valid_from", "valid_to")
+    val out = Sinks.scd2Merge(target, staging, Seq("id"), Seq("tier"))
+      .as[(Long, String, Date, Option[Date])].collect().toSet
+    assert(out == Set(
+      (1L, "old", Date.valueOf("2023-01-01"), Some(d1)), // history untouched
+      (1L, "gold", d1, Some(d6)),                        // closed at change
+      (1L, "platinum", d6, None),                        // new current version
+      (2L, "silver", d1, None),                          // unchanged: no churn
+      (3L, "bronze", d1, None),                          // unstaged carried
+      (9L, "new", d6, None)                              // fresh insert
+    ), out)
+  }
+
   test("writePartitioned produces partition directories; csv roundtrips") {
     val dir = Files.createTempDirectory("graft_sink").toString
     val df = Seq((2024, 1, "x"), (2024, 2, "y")).toDF("yr", "mo", "v")
