@@ -255,6 +255,32 @@ object TextAnalysis {
       Seq(("token_freq", false), ("token", true)), k)
   }
 
+  /** Overlapping token-window chunking — the context-window prep step for
+    * RAG indexing / long-document training: each document yields chunks of
+    * `chunkTokens` tokens starting every `chunkTokens - overlap` tokens
+    * (the final chunk may run short; a chunk is emitted only if it adds at
+    * least one new token, and empty documents yield no chunks). Pure
+    * per-row array expressions (sequence + posexplode + slice):
+    * shuffle-free, embarrassingly parallel, deterministic — chunk_idx =
+    * start/stride, so the assignment is reproducible and SQL-checkable. */
+  def chunkByTokens(df: DataFrame, idCol: String, textCol: String,
+      chunkTokens: Int, overlap: Int): DataFrame = {
+    require(overlap >= 0 && chunkTokens > overlap,
+      "chunk size must exceed overlap")
+    val stride = chunkTokens - overlap
+    val toks = tokens(col(textCol))
+    val starts = when(size(toks) === 0, array().cast("array<int>"))
+      .when(size(toks) <= overlap, array(lit(0)))
+      .otherwise(sequence(lit(0), size(toks) - overlap - 1, lit(stride)))
+    df.select(col(idCol), posexplode(starts).as(Seq("chunk_idx", "__start")),
+        toks.as("__toks"))
+      .select(col(idCol), col("chunk_idx"),
+        size(slice(col("__toks"), col("__start") + 1, lit(chunkTokens)))
+          .as("n_chunk_tokens"),
+        concat_ws(" ", slice(col("__toks"), col("__start") + 1, lit(chunkTokens)))
+          .as("chunk_text"))
+  }
+
   /** TF-IDF top-`k` terms per document: term frequency per (doc, token),
     * document frequency per token, idf = ln(N/df), ranked per doc through
     * the bounded-heap [[graft.plans.TopK]] operator. Shape: ONE tokenize +

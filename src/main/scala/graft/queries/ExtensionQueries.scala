@@ -283,6 +283,38 @@ object ExtensionQueries {
           col("n_hits").cast("long").as("n_hits"), col("contamination"))
     }),
 
+    // Overlapping token-window chunking (RAG/context prep): 32-token
+    // chunks, 8-token overlap; chunk ids are start/stride so both engines
+    // derive them identically
+    "x32_chunking" -> ((s, dir) =>
+      TextAnalysis.chunkByTokens(t(s, dir, "documents"), "doc_id", "text",
+          chunkTokens = 32, overlap = 8)
+        .select(col("doc_id"), col("chunk_idx"),
+          col("n_chunk_tokens").cast("long").as("n_chunk_tokens"),
+          col("chunk_text"))),
+
+    // Per-language corpus report: the dashboard a data-prep run ends with,
+    // composing token stats, quality, boilerplate-keep and repetition into
+    // one frame; oracle composes the x03/x28/x23 oracle SQL as CTEs
+    "x33_corpus_report" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val quality = TextAnalysis.qualityMetrics(docs)
+        .select(col("doc_id").as("q_id"), col("token_cnt"), col("quality_score"))
+      val keep = TextAnalysis.boilerplateFilters(docs)
+        .select(col("doc_id").as("b_id"), col("keep"))
+      val rep = TextAnalysis.repetitionStats(docs)
+        .select(col("doc_id").as("r_id"), col("repetition"))
+      docs.join(quality, col("doc_id") === col("q_id"))
+        .join(keep, col("doc_id") === col("b_id"))
+        .join(rep, col("doc_id") === col("r_id"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("token_cnt")).cast("long").as("total_tokens"),
+          round(avg(col("quality_score")), 6).as("mean_quality"),
+          round(avg(when(col("keep"), 1.0).otherwise(0.0)), 6).as("keep_frac"),
+          round(avg(col("repetition")), 6).as("mean_repetition"))
+    }),
+
     // TF-IDF top-3 terms per document (corpus statistics through the
     // custom TopKPerGroup operator); integer (tf, df) pairs make ties
     // exact, token breaks them -> deterministic, window-rank oracle
@@ -563,6 +595,21 @@ object ExtensionQueries {
         |FROM sh s LEFT JOIN bench b ON s.sh = b.sh
         |GROUP BY 1""".stripMargin,
 
+    "x32_chunking" ->
+      """WITH tok AS (
+        |  SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), x -> len(x) > 0) AS toks
+        |  FROM documents),
+        |st AS (
+        |  SELECT doc_id, toks, unnest(
+        |    CASE WHEN len(toks) = 0 THEN CAST([] AS BIGINT[])
+        |         WHEN len(toks) <= 8 THEN [CAST(0 AS BIGINT)]
+        |         ELSE range(0, len(toks) - 8, 24) END) AS start
+        |  FROM tok)
+        |SELECT doc_id, CAST(start // 24 AS INT) AS chunk_idx,
+        |  CAST(len(list_slice(toks, start + 1, start + 32)) AS BIGINT) AS n_chunk_tokens,
+        |  array_to_string(list_slice(toks, start + 1, start + 32), ' ') AS chunk_text
+        |FROM st""".stripMargin,
+
     "x31_tfidf" ->
       """WITH tok AS (
         |  SELECT doc_id, unnest(list_filter(
@@ -733,8 +780,8 @@ object ExtensionQueries {
         |SELECT vec_id, cosine_sim FROM scored
         |ORDER BY cosine_sim DESC, vec_id LIMIT 20""".stripMargin)
 
-  /** x21 composes the x03 (quality) and x04 (langid) oracles as CTEs plus an
-    * exact-dedup survivor set — the oracle mirrors the Spark composition
+  /** x21/x33 compose the single-metric oracles (x03 quality, x04 langid,
+    * x23 repetition) as CTEs — the oracle mirrors the Spark composition
     * stage for stage without duplicating the metric SQL. */
   val oracle: Map[String, String] = oracleBase +
     ("x21_corpus_prep" ->
@@ -745,5 +792,25 @@ object ExtensionQueries {
          |  CAST(sum(q.token_cnt) AS BIGINT) AS total_tokens
          |FROM q JOIN l USING (doc_id) JOIN d USING (doc_id)
          |WHERE q.quality_score >= 0.3 AND l.predicted_lang <> 'unknown'
-         |GROUP BY 1, 2""".stripMargin)
+         |GROUP BY 1, 2""".stripMargin) +
+    ("x33_corpus_report" ->
+      s"""WITH q AS (${oracleBase("x03_text_quality")}),
+         |r AS (${oracleBase("x23_repetition")}),
+         |k AS (
+         |  SELECT doc_id,
+         |    (len(list_filter(string_split_regex(trim(text), '\\s+'), x -> len(x) > 0))
+         |       BETWEEN 5 AND 100000
+         |     AND NOT contains(text, '{')
+         |     AND NOT contains(lower(text), 'lorem ipsum')
+         |     AND NOT regexp_matches(lower(text),
+         |       'enable javascript|javascript is required|cookies enabled')) AS keep
+         |  FROM documents)
+         |SELECT d.lang, count(*) AS n_docs,
+         |  CAST(sum(q.token_cnt) AS BIGINT) AS total_tokens,
+         |  ROUND(avg(q.quality_score), 6) AS mean_quality,
+         |  ROUND(avg(CASE WHEN k.keep THEN 1.0 ELSE 0.0 END), 6) AS keep_frac,
+         |  ROUND(avg(r.repetition), 6) AS mean_repetition
+         |FROM documents d JOIN q USING (doc_id) JOIN k USING (doc_id)
+         |  JOIN r USING (doc_id)
+         |GROUP BY 1""".stripMargin)
 }

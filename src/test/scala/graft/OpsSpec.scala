@@ -404,6 +404,23 @@ class TextAnalysisSpec extends SparkSpec {
     assert(scrubbed(4L) == "dotted [PHONE] at [IP] mail [EMAIL]", scrubbed(4L))
   }
 
+  test("chunkByTokens windows with overlap; short docs one chunk, empty none") {
+    val df = Seq(
+      (1L, (1 to 80).map(i => s"t$i").mkString(" ")), // starts 0,24,48
+      (2L, "a b c"),                                  // under overlap: one chunk
+      (3L, "")                                        // no chunks
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.chunkByTokens(df, "doc_id", "text", 32, 8)
+      .select("doc_id", "chunk_idx", "n_chunk_tokens", "chunk_text")
+      .as[(Long, Int, Int, String)].collect()
+    val byDoc = out.groupBy(_._1)
+    assert(byDoc(1L).map(c => (c._2, c._3)).sorted.toSeq ==
+      Seq((0, 32), (1, 32), (2, 32)))
+    assert(byDoc(1L).find(_._2 == 1).get._4.startsWith("t25 ")) // stride 24
+    assert(byDoc(2L).map(c => (c._2, c._3, c._4)).toSeq == Seq((0, 3, "a b c")))
+    assert(!byDoc.contains(3L))
+  }
+
   test("packByBudget bins by start offset per shard; oversized docs get a bin") {
     // shard a: tokens 1100,1100,1100 -> starts 0,1100,2200 -> packs 0,0,1
     // shard b: tokens 5000 (over budget), 10 -> packs 0, 2 (start 5000)
