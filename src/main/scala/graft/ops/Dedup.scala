@@ -196,8 +196,11 @@ object Dedup {
     val tok = df.select(col(idCol).as("id"),
       explode(TextAnalysis.tokens(col(textCol))).as("tok"))
       .withColumn("h", xxhash64(col("tok")))
+    // branch-free bit votes: (bit*2 - 1) maps {0,1} -> {-1,+1} without a
+    // conditional, keeping the 64 aggregate expressions pure arithmetic
+    // inside codegen
     val bitSums = (0 until 64).map { b =>
-      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$b")
+      sum(shiftright(col("h"), b).bitwiseAND(1) * 2 - 1).as(s"b$b")
     }
     val packed = (0 until 64).map { b =>
       when(col(s"b$b") > 0, shiftleft(lit(1L), b)).otherwise(lit(0L))
