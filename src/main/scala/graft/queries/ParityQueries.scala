@@ -738,6 +738,27 @@ object ParityQueries {
       joined.withColumn("zero_exchange", lit(shuffles == 0))
     }),
 
+    // Interchange-format completeness: JSON-lines write + declared-schema
+    // read roundtrip (the q20 CSV contract for the other interchange format
+    // every pipeline meets); identity oracle over customer
+    "q43_json_roundtrip" -> ((s, dir) => {
+      val cust = t(s, dir, "customer")
+      val tmp = tmpPath("graft_json", dir)
+      cust.write.mode("overwrite").json(tmp)
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("c_custkey",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("c_name",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("c_nationkey",
+          org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField("c_acctbal",
+          org.apache.spark.sql.types.DoubleType),
+        org.apache.spark.sql.types.StructField("c_mktsegment",
+          org.apache.spark.sql.types.StringType)))
+      s.read.schema(schema).json(tmp)
+    }),
+
     // Monitoring extension: one-SCAN table profile (row count + per-column
     // non-null/exact-distinct + numeric min/max/avg). Exact multi-column
     // distincts plan through one Expand — deliberately traded against N
@@ -787,6 +808,10 @@ object ParityQueries {
         |  CAST(1000 AS BIGINT) AS n_transactions,
         |  true AS intl_flag_consistent,
         |  true AS txn_fk_active_only""".stripMargin,
+
+    "q43_json_roundtrip" ->
+      """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+        |FROM customer""".stripMargin,
 
     "q41_column_profile" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_rows,
