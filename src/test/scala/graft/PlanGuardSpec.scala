@@ -41,4 +41,33 @@ class PlanGuardSpec extends SparkSpec {
     val plan = planOf("q08_anomaly_join")
     assert(plan.contains("BroadcastHashJoin"))
   }
+
+  test("x24: batch kNN broadcasts the query frame and plans the heap operator") {
+    val plan = graft.queries.ExtensionQueries
+      .queries("x24_knn_batch")(spark, dir).queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPerGroup"), "k-selection must use the custom operator")
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+      "query frame must broadcast — the corpus never shuffles for scoring")
+  }
+
+  test("x30: shard-local packing plans exactly one hash exchange") {
+    val plan = graft.queries.ExtensionQueries
+      .queries("x30_sequence_packing")(spark, dir).queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges == 1, s"expected 1 shard exchange, got $exchanges:\n${plan.take(600)}")
+  }
+
+  test("x31: TF-IDF broadcasts the reduced df frame into the tf join") {
+    val plan = graft.queries.ExtensionQueries
+      .queries("x31_tfidf")(spark, dir).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      "df side must broadcast — raw text never rides the token join")
+    assert(plan.contains("TopKPerGroup"))
+  }
+
+  test("q40: bucketed join asserts its own zero-exchange property (oracle column)") {
+    val df = ParityQueries.queries("q40_bucketed_join")(spark, dir)
+    val flags = df.select("zero_exchange").distinct().collect().map(_.getBoolean(0)).toSeq
+    assert(flags == Seq(true), s"bucketed join planned a shuffle: $flags")
+  }
 }
