@@ -293,6 +293,35 @@ object ExtensionQueries {
           col("n_chunk_tokens").cast("long").as("n_chunk_tokens"),
           col("chunk_text"))),
 
+    // LLM data-prep capstone: the end-to-end corpus pipeline a pretraining
+    // run executes — boilerplate gate -> quality gate -> digest dedup ->
+    // PII scrub -> token-window chunking -> per-language shard stats.
+    // Composes six round-4 operators in their production order; the oracle
+    // rebuilds each stage as a CTE, so the full composition (not just the
+    // pieces) is hash-checked
+    "x34_llm_prep_e2e" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val gated = TextAnalysis.boilerplateFilters(docs)
+        .filter(col("keep"))
+        .select(col("doc_id"), col("lang"), col("text"))
+      val quality = TextAnalysis.qualityMetrics(gated)
+        .filter(col("quality_score") >= 0.3)
+        .select(col("doc_id"), col("lang"), col("text"))
+      val survivors = Dedup.exactByDigest(quality, "text", "doc_id")
+        .select(col("doc_id").as("s_id"))
+      val deduped = quality.join(survivors,
+        col("doc_id") === col("s_id"), "left_semi")
+      val scrubbed = TextAnalysis.scrubPii(deduped)
+        .select(col("doc_id"), col("lang"), col("scrubbed").as("text"))
+      TextAnalysis.chunkByTokens(scrubbed, "doc_id", "text",
+          chunkTokens = 32, overlap = 8)
+        .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+        .groupBy(col("lang"))
+        .agg(countDistinct(col("doc_id")).as("n_docs"),
+          count(lit(1)).as("n_chunks"),
+          sum(col("n_chunk_tokens")).cast("long").as("total_chunk_tokens"))
+    }),
+
     // Per-language corpus report: the dashboard a data-prep run ends with,
     // composing token stats, quality, boilerplate-keep and repetition into
     // one frame; oracle composes the x03/x28/x23 oracle SQL as CTEs
@@ -793,6 +822,44 @@ object ExtensionQueries {
          |FROM q JOIN l USING (doc_id) JOIN d USING (doc_id)
          |WHERE q.quality_score >= 0.3 AND l.predicted_lang <> 'unknown'
          |GROUP BY 1, 2""".stripMargin) +
+    ("x34_llm_prep_e2e" ->
+      s"""WITH q AS (${oracleBase("x03_text_quality")}),
+         |k AS (
+         |  SELECT doc_id,
+         |    (len(list_filter(string_split_regex(trim(text), '\\s+'), x -> len(x) > 0))
+         |       BETWEEN 5 AND 100000
+         |     AND NOT contains(text, '{')
+         |     AND NOT contains(lower(text), 'lorem ipsum')
+         |     AND NOT regexp_matches(lower(text),
+         |       'enable javascript|javascript is required|cookies enabled')) AS keep
+         |  FROM documents),
+         |kept AS (
+         |  SELECT d.doc_id, d.lang, d.text
+         |  FROM documents d JOIN k USING (doc_id) JOIN q USING (doc_id)
+         |  WHERE k.keep AND q.quality_score >= 0.3),
+         |surv AS (SELECT min(doc_id) AS doc_id FROM kept GROUP BY text),
+         |ded AS (SELECT kept.* FROM kept JOIN surv USING (doc_id)),
+         |scr AS (
+         |  SELECT doc_id, lang,
+         |    regexp_replace(regexp_replace(regexp_replace(text,
+         |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+         |      '\\b\\d{3}[-.]\\d{3,4}[-.]\\d{4}\\b', '[PHONE]', 'g'),
+         |      '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '[IP]', 'g') AS text
+         |  FROM ded),
+         |tok AS (
+         |  SELECT doc_id, lang,
+         |    list_filter(string_split_regex(trim(text), '\\s+'), x -> len(x) > 0) AS toks
+         |  FROM scr),
+         |st AS (
+         |  SELECT doc_id, lang, toks, unnest(
+         |    CASE WHEN len(toks) = 0 THEN CAST([] AS BIGINT[])
+         |         WHEN len(toks) <= 8 THEN [CAST(0 AS BIGINT)]
+         |         ELSE range(0, len(toks) - 8, 24) END) AS start
+         |  FROM tok)
+         |SELECT lang, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+         |  count(*) AS n_chunks,
+         |  CAST(sum(len(list_slice(toks, start + 1, start + 32))) AS BIGINT) AS total_chunk_tokens
+         |FROM st GROUP BY 1""".stripMargin) +
     ("x33_corpus_report" ->
       s"""WITH q AS (${oracleBase("x03_text_quality")}),
          |r AS (${oracleBase("x23_repetition")}),
