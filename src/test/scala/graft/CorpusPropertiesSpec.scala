@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Dedup, Packing, TextAnalysis}
+
+/** Property-style tests for the corpus-prep operators (same explicit-grid
+  * style as QualityPropertiesSpec — the scalatest/scalacheck bridge isn't
+  * on the offline classpath): structural invariants that must hold for
+  * every input size, not just the crafted examples. */
+class CorpusPropertiesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val chunkSize = 32
+  private val overlap = 8
+  private val stride = chunkSize - overlap
+
+  test("property: chunking covers every token exactly once after overlap removal") {
+    // grid straddles the boundaries: empty, under-overlap, exact chunk,
+    // one-past, multiple strides, non-aligned tails
+    val ns = Seq(0, 1, 5, 8, 9, 24, 25, 32, 33, 56, 57, 80, 100, 257)
+    val docs = ns.map(n => (n.toLong, (1 to n).map(i => s"t$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val chunks = TextAnalysis.chunkByTokens(docs, "doc_id", "text", chunkSize, overlap)
+      .select("doc_id", "chunk_idx", "n_chunk_tokens", "chunk_text")
+      .as[(Long, Int, Int, String)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+    ns.foreach { n =>
+      if (n == 0) assert(!chunks.contains(0L), "empty doc must yield no chunks")
+      else {
+        val cs = chunks(n.toLong)
+        assert(cs.head._2 == 0, s"n=$n: chunk ids must start at 0")
+        assert(cs.map(_._2).toSeq == cs.indices.toSeq, s"n=$n: chunk ids contiguous")
+        // every non-final chunk is full
+        cs.init.foreach(c => assert(c._3 == chunkSize, s"n=$n chunk ${c._2} short"))
+        // dropping the overlap from every chunk after the first reconstructs
+        // the document exactly — no token lost, none duplicated
+        val rebuilt = cs.head._4.split(" ").toSeq ++
+          cs.tail.toSeq.flatMap(_._4.split(" ").drop(overlap).toSeq)
+        assert(rebuilt == (1 to n).map(i => s"t$i"), s"n=$n reconstruction")
+      }
+    }
+  }
+
+  test("property: packing bins equal a driver-side cumulative-sum recompute") {
+    val grids = Seq(
+      Seq(1, 1, 1),
+      Seq(100, 2000, 5, 49, 1900, 2048, 1),
+      Seq(5000, 10, 10),
+      (1 to 40).map(i => i * 37))
+    grids.zipWithIndex.foreach { case (tokens, g) =>
+      val df = tokens.zipWithIndex
+        .map { case (t, i) => (i.toLong, s"shard$g", t) }
+        .toDF("doc_id", "shard", "token_cnt")
+      val got = Packing.packByBudget(df, "shard", "doc_id", "token_cnt", 2048)
+        .select("doc_id", "pack_id").as[(Long, Long)].collect().toMap
+      var cum = 0L
+      val want = tokens.zipWithIndex.map { case (t, i) =>
+        val start = cum; cum += t; i.toLong -> start / 2048
+      }.toMap
+      assert(got == want, s"grid $g")
+    }
+  }
+
+  test("property: digest dedup equals full-text dedup for every group-size mix") {
+    val sizes = Seq(Seq(1, 1, 1), Seq(2, 3, 1), Seq(7, 1, 4, 4), Seq(20))
+    sizes.zipWithIndex.foreach { case (mix, g) =>
+      val rows = mix.zipWithIndex.flatMap { case (sz, grp) =>
+        (0 until sz).map(i => ((grp * 1000 + i).toLong, s"group $g-$grp body text"))
+      }
+      val df = rows.toDF("doc_id", "text")
+      val full = Dedup.exact(df, "text", "doc_id")
+        .as[(Long, Long)].collect().toMap
+      val digest = Dedup.exactByDigest(df, "text", "doc_id")
+        .as[(Long, Long)].collect().toMap
+      assert(digest == full, s"mix $mix")
+      assert(full.values.toSeq.sorted == mix.map(_.toLong).sorted, s"mix $mix counts")
+    }
+  }
+}
