@@ -759,6 +759,51 @@ object ParityQueries {
       s.read.schema(schema).json(tmp)
     }),
 
+    // Source robustness: PERMISSIVE JSON parse of a corpus with planted
+    // malformed lines — good rows parse, bad rows land in _corrupt_record,
+    // nothing is silently dropped. The planted mix is deterministic, so
+    // the oracle is the literal expected tally (q39 style)
+    "q44_corrupt_records" -> ((s, dir) => {
+      val tmp = tmpPath("graft_corrupt", dir)
+      // three SYNTACTICALLY malformed lines (unparseable JSON): PERMISSIVE
+      // marks those corrupt; a mere type mismatch ({"id":"99x"}) instead
+      // null-fills the field without flagging the record — verified, and
+      // deliberately not planted so the expected tally stays crisp
+      val lines = (0 until 97).map(i => s"""{"id": $i, "v": ${i * 2}}""") ++
+        Seq("""{"id": 97, "v": }""", "not json at all", """{"id": 99""")
+      s.createDataset(lines)(org.apache.spark.sql.Encoders.STRING)
+        .write.mode("overwrite").text(tmp)
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("v",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("_corrupt_record",
+          org.apache.spark.sql.types.StringType)))
+      val parsed = s.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(tmp)
+      parsed.agg(
+        count(lit(1)).as("n_lines"),
+        count(col("_corrupt_record")).as("n_corrupt"),
+        count(when(col("_corrupt_record").isNull, 1)).as("n_good"),
+        sum(col("v")).as("v_sum"))
+    }),
+
+    // Source robustness: parquet schema evolution — two batches with
+    // differing columns merge under mergeSchema with nulls backfilled
+    "q45_schema_merge" -> ((s, dir) => {
+      import s.implicits._
+      val tmp = tmpPath("graft_evolve", dir)
+      Seq((1L, "a"), (2L, "b")).toDF("id", "name")
+        .write.mode("overwrite").parquet(s"$tmp/batch=1")
+      Seq((3L, "c", 30.0), (4L, "d", 40.0)).toDF("id", "name", "score")
+        .write.mode("overwrite").parquet(s"$tmp/batch=2")
+      s.read.option("mergeSchema", "true").parquet(tmp)
+        .select(col("id"), col("name"), col("score"), col("batch").cast("int").as("batch"))
+    }),
+
     // Monitoring extension: one-SCAN table profile (row count + per-column
     // non-null/exact-distinct + numeric min/max/avg). Exact multi-column
     // distincts plan through one Expand — deliberately traded against N
@@ -812,6 +857,16 @@ object ParityQueries {
     "q43_json_roundtrip" ->
       """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
         |FROM customer""".stripMargin,
+
+    "q44_corrupt_records" ->
+      """SELECT CAST(100 AS BIGINT) AS n_lines, CAST(3 AS BIGINT) AS n_corrupt,
+        |  CAST(97 AS BIGINT) AS n_good, CAST(9312 AS BIGINT) AS v_sum""".stripMargin,
+
+    "q45_schema_merge" ->
+      """SELECT CAST(id AS BIGINT) AS id, name, CAST(score AS DOUBLE) AS score,
+        |  CAST(batch AS INT) AS batch
+        |FROM (VALUES (1, 'a', NULL, 1), (2, 'b', NULL, 1),
+        |             (3, 'c', 30.0, 2), (4, 'd', 40.0, 2)) t(id, name, score, batch)""".stripMargin,
 
     "q41_column_profile" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_rows,
