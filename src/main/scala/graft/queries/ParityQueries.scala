@@ -804,6 +804,27 @@ object ParityQueries {
         .select(col("id"), col("name"), col("score"), col("batch").cast("int").as("batch"))
     }),
 
+    // Skew tooling exercised BY THE HARNESS (not just ScalaTest): salted
+    // fact-dim join — result-identical to the plain join (that identity IS
+    // the oracle), only the shuffle layout changes (hot keys spread over
+    // `salts` reducers)
+    "q46_salted_join" -> ((s, dir) => {
+      val ev = events(s, dir).select(col("event_id"), col("user_id"), col("value"))
+      val dim = ev.groupBy(col("user_id"))
+        .agg(avg(col("value")).as("user_avg"))
+      graft.ops.Skew.saltedJoin(ev, dim, "user_id", salts = 8)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          round(max(col("user_avg")), 6).as("user_avg"))
+    }),
+
+    // Two-phase salted distinct-count for a skewed group key — identical
+    // counts to the holistic countDistinct, bounded per-reducer state
+    "q47_skewed_distinct" -> ((s, dir) =>
+      graft.ops.Skew.skewedCountDistinct(
+        events(s, dir).select(col("event_type"), col("user_id")),
+        "event_type", "user_id", salts = 8)),
+
     // Monitoring extension: one-SCAN table profile (row count + per-column
     // non-null/exact-distinct + numeric min/max/avg). Exact multi-column
     // distincts plan through one Expand — deliberately traded against N
@@ -857,6 +878,16 @@ object ParityQueries {
     "q43_json_roundtrip" ->
       """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
         |FROM customer""".stripMargin,
+
+    "q46_salted_join" ->
+      """WITH dim AS (SELECT user_id, avg(value) AS user_avg FROM events GROUP BY user_id)
+        |SELECT e.user_id, count(*) AS n_events, ROUND(max(d.user_avg), 6) AS user_avg
+        |FROM events e JOIN dim d ON e.user_id = d.user_id
+        |GROUP BY e.user_id""".stripMargin,
+
+    "q47_skewed_distinct" ->
+      """SELECT event_type, count(DISTINCT user_id) AS user_id_distinct
+        |FROM events GROUP BY event_type""".stripMargin,
 
     "q44_corrupt_records" ->
       """SELECT CAST(100 AS BIGINT) AS n_lines, CAST(3 AS BIGINT) AS n_corrupt,
