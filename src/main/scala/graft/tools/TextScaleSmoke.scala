@@ -1,0 +1,55 @@
+package graft.tools
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Packing, TextAnalysis}
+
+/** Text-pipeline-at-scale probe: 1M synthetic word-soup documents (~40
+  * tokens each, distributed generation) through the per-row corpus ops and
+  * the windowed/aggregated ones. Evidence that the tokenize-once explode
+  * shapes and shard-local windows hold far beyond the 500-doc harness
+  * table (2000x sf0.1): everything here is a constant number of
+  * shuffles independent of corpus size. */
+object TextScaleSmoke {
+  def main(args: Array[String]): Unit = {
+    val n = args.headOption.map(_.toLong).getOrElse(1000000L)
+    val spark = graft.GraftSession.local(cores = 8)
+
+    val corpus = spark.range(0, n, 1, 32)
+      .select(col("id").as("doc_id"),
+        concat_ws(" ", (0 until 40).map { p =>
+          concat(lit("w"), pmod(xxhash64(lit(7), col("id"), lit(p)), lit(5000))
+            .cast("string"))
+        }: _*).as("text"),
+        concat(lit("lang"), pmod(col("id"), lit(8)).cast("string")).as("lang"))
+
+    def time[T](label: String)(f: => T): T = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"[text-scale] $label%-34s ${(System.nanoTime() - t0) / 1e9}%8.2fs"); r
+    }
+
+    time(s"corpus materialize ($n docs)")(corpus.count())
+    time("quality metrics (explode+agg+join)")(
+      TextAnalysis.qualityMetrics(corpus).agg(sum("token_cnt")).head())
+    time("boilerplate + PII scrub (per-row)")(
+      TextAnalysis.scrubPii(TextAnalysis.boilerplateFilters(corpus))
+        .agg(sum(when(col("keep"), 1).otherwise(0)), sum(length(col("scrubbed"))))
+        .head())
+    time("chunking (per-row windows)")(
+      TextAnalysis.chunkByTokens(corpus, "doc_id", "text", 32, 8)
+        .agg(count(lit(1)), sum("n_chunk_tokens")).head())
+    time("sequence packing (8 shard windows)")(
+      Packing.packByBudget(
+          corpus.select(col("doc_id"), col("lang"),
+            TextAnalysis.tokenCount(col("text")).as("token_cnt")),
+          "lang", "doc_id", "token_cnt", 2048)
+        .agg(max("pack_id")).head())
+    time("vocab top-20 per shard (TopKPerGroup)")(
+      TextAnalysis.vocabTopK(corpus, "lang", "text", 20).count())
+    time("repetition + langid (per-row + agg)")(
+      TextAnalysis.languageId(TextAnalysis.repetitionStats(corpus))
+        .agg(avg("repetition"), count(when(col("predicted_lang") =!= "unknown", 1)))
+        .head())
+    spark.stop()
+  }
+}
