@@ -298,7 +298,11 @@ object ExtensionQueries {
     // PII scrub -> token-window chunking -> per-language shard stats.
     // Composes six round-4 operators in their production order; the oracle
     // rebuilds each stage as a CTE, so the full composition (not just the
-    // pieces) is hash-checked
+    // pieces) is hash-checked. Stages run FUSED here (Catalyst collapses
+    // the per-row legs; the quality subtree is recomputed by its two
+    // consumers) — at 100 TB a production run materializes stage outputs
+    // to parquet between gates instead, the orchestrator pattern q38
+    // exercises; the oracle checks stage semantics either way
     "x34_llm_prep_e2e" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val gated = TextAnalysis.boilerplateFilters(docs)
