@@ -66,15 +66,25 @@ object Dedup {
       (acc, s) => zip_with(acc, sequence(lit(0), lit(k - 1)),
         (m, j) => least(m, xxhash64(j, s))))
 
-  /** (id, sig) MinHash signatures for a whole corpus via explode + grouped
-    * min-aggregates: tokenization runs exactly once per document and the k
-    * min()s run inside whole-stage-codegen'd HashAggregate — the shape that
-    * scales (one shuffle on the doc id, partial aggregation map-side). */
+  /** (id, sig) MinHash signatures for a whole corpus as ONE map-only pass:
+    * native [[graft.functions.ShingleHashes]] (one hash per token, windows
+    * combined as longs — no w-gram strings) feeds the native
+    * [[graft.functions.MinHashSigs]] expression (k mins in a per-row
+    * primitive loop). No explode, NO SHUFFLE — the former explode +
+    * k-min-aggregate shape multiplied the corpus by ~tokens-per-doc rows
+    * and paid a doc-id exchange just to regroup per-document state; it is
+    * kept as [[minhashSignaturesAgg]] and pinned bit-identical by spec. */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
-      shingleW: Int, k: Int): DataFrame = {
-    // Native ShingleHashes (one hash per token, windows combined as longs),
-    // then k fixed-width long re-hashes per shingle — no w-gram strings are
-    // ever materialized, and no 64-bit multiply that ANSI mode would reject.
+      shingleW: Int, k: Int): DataFrame =
+    df.select(col(idCol).as("id"),
+      graft.functions.MinHashFunctions.minhash_sigs(
+        graft.functions.ShingleFunctions.shingle_hashes(
+          TextAnalysis.tokens(col(textCol)), shingleW), k).as("sig"))
+
+  /** The explode + grouped-min formulation — the cross-check reference for
+    * [[minhashSignatures]] (same values, one extra exchange). */
+  private[graft] def minhashSignaturesAgg(df: DataFrame, idCol: String,
+      textCol: String, shingleW: Int, k: Int): DataFrame = {
     val exploded = df
       .select(col(idCol).as("id"),
         explode(array_distinct(graft.functions.ShingleFunctions

@@ -45,6 +45,18 @@ class DedupSpec extends SparkSpec {
     assert(short == Seq("a b"))
   }
 
+  test("native MinHashSigs is bit-identical to the explode+aggregate formulation") {
+    // the shuffle-free expression must reproduce min(xxhash64(j, h)) per j
+    // exactly — same planted corpus the LSH specs use, several (w, k)
+    for ((w, k) <- Seq((2, 16), (3, 32), (5, 8))) {
+      val fast = Dedup.minhashSignatures(docs, "doc_id", "text", w, k)
+        .as[(Long, Seq[Long])].collect().toMap
+      val agg = Dedup.minhashSignaturesAgg(docs, "doc_id", "text", w, k)
+        .as[(Long, Seq[Long])].collect().toMap
+      assert(fast == agg, s"w=$w k=$k")
+    }
+  }
+
   test("minhash LSH finds exact and near duplicates, not unrelated docs") {
     val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text",
       shingleW = 2, k = 32, bands = 16, threshold = 0.5)
