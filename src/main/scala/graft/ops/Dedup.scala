@@ -198,11 +198,22 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
-  /** 64-bit SimHash (Charikar '02) per document: each token votes its hash
-    * bits +-1; the sign vector packs into one long. Explode + one grouped
-    * aggregate (64 conditional sums), then bit-packing — linear, one
-    * shuffle on the doc id. */
-  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+  /** 64-bit SimHash (Charikar '02) per document as ONE map-only pass: the
+    * native [[graft.functions.SimHash64]] expression runs every token's
+    * bit votes and the sign packing in a per-row primitive loop — no
+    * explode, NO SHUFFLE (the former explode + 64-sum aggregate is kept as
+    * [[simhashAgg]] and pinned bit-identical by spec). Token-less docs
+    * yield no row, matching the aggregate formulation. */
+  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("id"),
+      graft.functions.SimHashFunctions
+        .simhash64(TextAnalysis.tokens(col(textCol))).as("simhash"))
+      .filter(col("simhash").isNotNull)
+
+  /** The explode + grouped-64-sum formulation — the cross-check reference
+    * for [[simhash]] (same values, one extra exchange). */
+  private[graft] def simhashAgg(df: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
     val tok = df.select(col(idCol).as("id"),
       explode(TextAnalysis.tokens(col(textCol))).as("tok"))
       .withColumn("h", xxhash64(col("tok")))

@@ -73,6 +73,19 @@ class DedupSpec extends SparkSpec {
     assert(j == 1.0)
   }
 
+  test("native SimHash64 is bit-identical to the explode+aggregate formulation") {
+    val fast = Dedup.simhash(docs, "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
+    val agg = Dedup.simhashAgg(docs, "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
+    assert(fast == agg)
+    // token-less doc: absent from both formulations
+    val withEmpty = docs.unionByName(
+      Seq((99L, "   ")).toDF("doc_id", "text"))
+    assert(!Dedup.simhash(withEmpty, "doc_id", "text")
+      .as[(Long, Long)].collect().toMap.contains(99L))
+  }
+
   test("simhash: identical docs hamming 0; near dups low; pairs detected") {
     val sh = Dedup.simhash(docs, "doc_id", "text")
       .as[(Long, Long)].collect().toMap
