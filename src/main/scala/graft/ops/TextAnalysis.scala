@@ -40,30 +40,32 @@ object TextAnalysis {
     * ratios) + a composite score in [0,1]. Heuristics follow the C4/Gopher
     * quality-filter style (ratio thresholds).
     *
-    * Shape: ONE explode + codegen'd grouped aggregate for all token-level
-    * counts, joined back to per-row (regex) character counts. A
+    * Shape: ONE native [[graft.functions.TokenProfile]] pass per row
+    * computes all token-level counts — no explode, no doc-id exchange, no
+    * join-back (the former explode+aggregate+join formulation is kept as
+    * [[qualityMetricsAgg]] and pinned value-identical by spec). A
     * `withColumn` tower of `size(filter(tokens(...)))` expressions would
-    * re-inline — and re-evaluate, interpreted — the tokenizer once per
-    * derived column after projection collapse; this way tokenization runs
-    * exactly once per document. `sum(length(token))` equals the non-space
-    * character count because tokens are exactly the maximal non-space runs.
-    */
+    * re-evaluate the interpreted tokenizer per derived column; the profile
+    * expression is a per-row primitive loop, cheap even if projection
+    * collapse duplicates the struct access. `nonspace_len` (summed token
+    * lengths) equals the non-space character count because tokens are
+    * exactly the maximal non-space runs. */
   def qualityMetrics(df: DataFrame, textCol: String = "text",
       idCol: String = "doc_id"): DataFrame = {
     val t = col(textCol)
-    val tokStats = df
-      .select(col(idCol).as("__qid"), explode_outer(tokens(t)).as("tok"))
-      .groupBy(col("__qid"))
-      .agg(count(col("tok")).cast("int").as("token_cnt"),
-        coalesce(sum(length(col("tok"))), lit(0L)).as("nonspace_len"),
-        coalesce(sum(when(lower(col("tok")).isin(stopwords: _*), 1)
-          .otherwise(0)), lit(0L)).cast("int").as("stopword_cnt"))
-    df.join(tokStats, col(idCol) === col("__qid"), "left").drop("__qid")
-      // zero-token docs produce no aggregate row: counts are 0, not null
-      .withColumn("token_cnt", coalesce(col("token_cnt"), lit(0)))
-      .withColumn("stopword_cnt", coalesce(col("stopword_cnt"), lit(0)))
-      .withColumn("nonspace_len", coalesce(col("nonspace_len"), lit(0L)))
-      .withColumn("char_len", length(t))
+    val prof = graft.functions.TokenProfileFunctions
+      .token_profile(tokens(t), Seq(stopwords))
+    finishQualityColumns(
+      df.withColumn("__qp", prof)
+        .withColumn("token_cnt", col("__qp.token_cnt"))
+        .withColumn("nonspace_len", col("__qp.nonspace_len"))
+        .withColumn("stopword_cnt", element_at(col("__qp.hits"), 1))
+        .drop("__qp"), t)
+  }
+
+  /** Derived ratio/score columns shared by both quality formulations. */
+  private def finishQualityColumns(df: DataFrame, t: Column): DataFrame =
+    df.withColumn("char_len", length(t))
       .withColumn("avg_token_len",
         when(col("token_cnt") > 0,
           col("nonspace_len").cast("double") / col("token_cnt"))
@@ -88,6 +90,25 @@ object TextAnalysis {
             + lit(0.2) * least(col("stopword_ratio") * 5.0, lit(1.0))
             + lit(0.1) * (lit(1.0) - least(col("punct_ratio") * 5.0, lit(1.0))))), 6))
       .drop("nonspace_len")
+
+  /** The explode + aggregate + join-back formulation — the cross-check
+    * reference for [[qualityMetrics]] (same values, two extra operators
+    * and a shuffle). */
+  private[graft] def qualityMetricsAgg(df: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val t = col(textCol)
+    val tokStats = df
+      .select(col(idCol).as("__qid"), explode_outer(tokens(t)).as("tok"))
+      .groupBy(col("__qid"))
+      .agg(count(col("tok")).cast("int").as("token_cnt"),
+        coalesce(sum(length(col("tok"))), lit(0L)).as("nonspace_len"),
+        coalesce(sum(when(lower(col("tok")).isin(stopwords: _*), 1)
+          .otherwise(0)), lit(0L)).cast("int").as("stopword_cnt"))
+    val joined = df.join(tokStats, col(idCol) === col("__qid"), "left").drop("__qid")
+      .withColumn("token_cnt", coalesce(col("token_cnt"), lit(0)))
+      .withColumn("stopword_cnt", coalesce(col("stopword_cnt"), lit(0)))
+      .withColumn("nonspace_len", coalesce(col("nonspace_len"), lit(0L)))
+    finishQualityColumns(joined, t)
   }
 
   // PII patterns kept RE2-compatible (no lookarounds) so the same regexes
@@ -335,10 +356,29 @@ object TextAnalysis {
 
   /** N-gram/stopword-profile language ID: score = count of profile words
     * present, argmax wins ("und" beats "the" counts etc.); ties resolve in
-    * profile order; no profile hit -> "unknown". Single explode + one
-    * grouped aggregate for all profiles (same rationale as
-    * [[qualityMetrics]]: tokenize once, count codegen'd). */
+    * profile order; no profile hit -> "unknown". ONE native
+    * [[graft.functions.TokenProfile]] pass scores all profiles per row —
+    * no explode, no doc-id exchange, no join-back (the former formulation
+    * is kept as [[languageIdAgg]] and pinned value-identical by spec). */
   def languageId(df: DataFrame, textCol: String = "text",
+      outCol: String = "predicted_lang", idCol: String = "doc_id"): DataFrame = {
+    val prof = graft.functions.TokenProfileFunctions
+      .token_profile(tokens(col(textCol)), profiles.map(_._2))
+    val withScores = df.withColumn("__lp", prof)
+    val scoreOf: Int => org.apache.spark.sql.Column =
+      i => element_at(col("__lp.hits"), i + 1)
+    val best = profiles.indices.foldRight(lit("unknown")) { (i, els) =>
+      when(scoreOf(i) > 0 &&
+        profiles.indices.filter(_ != i)
+          .map(o => scoreOf(i) >= scoreOf(o))
+          .reduce(_ && _), lit(profiles(i)._1)).otherwise(els)
+    }
+    withScores.withColumn(outCol, best).drop("__lp")
+  }
+
+  /** The explode + aggregate + join-back formulation — the cross-check
+    * reference for [[languageId]] (same values, one extra exchange). */
+  private[graft] def languageIdAgg(df: DataFrame, textCol: String = "text",
       outCol: String = "predicted_lang", idCol: String = "doc_id"): DataFrame = {
     val scoreCols = profiles.map { case (lang, words) =>
       coalesce(sum(when(col("tok").isin(words: _*), 1).otherwise(0)), lit(0L))

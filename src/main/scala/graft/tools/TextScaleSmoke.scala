@@ -29,7 +29,7 @@ object TextScaleSmoke {
     }
 
     time(s"corpus materialize ($n docs)")(corpus.count())
-    time("quality metrics (explode+agg+join)")(
+    time("quality metrics (map-only)")(
       TextAnalysis.qualityMetrics(corpus).agg(sum("token_cnt")).head())
     time("boilerplate + PII scrub (per-row)")(
       TextAnalysis.scrubPii(TextAnalysis.boilerplateFilters(corpus))
@@ -46,7 +46,7 @@ object TextScaleSmoke {
         .agg(max("pack_id")).head())
     time("vocab top-20 per shard (TopKPerGroup)")(
       TextAnalysis.vocabTopK(corpus, "lang", "text", 20).count())
-    time("repetition + langid (per-row + agg)")(
+    time("repetition + langid (map-only)")(
       TextAnalysis.languageId(TextAnalysis.repetitionStats(corpus))
         .agg(avg("repetition"), count(when(col("predicted_lang") =!= "unknown", 1)))
         .head())

@@ -525,6 +525,27 @@ class TextAnalysisSpec extends SparkSpec {
     assert(rRows(hashed = true) == rRows(hashed = false))
   }
 
+  test("native TokenProfile quality/langid match the explode+aggregate forms") {
+    // the map-only expressions must reproduce the aggregate formulations
+    // value-for-value over the real multi-language corpus (incl. the sf
+    // table's accents/punctuation), plus a zero-token row
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+      .unionByName(Seq((99999L, "   ")).toDF("doc_id", "text"))
+    val qCols = Seq("doc_id", "char_len", "token_cnt", "avg_token_len",
+      "stopword_cnt", "stopword_ratio", "alpha_ratio", "quality_score")
+    val qFast = TextAnalysis.qualityMetrics(docs)
+      .select(qCols.map(col): _*).collect().toSet
+    val qAgg = TextAnalysis.qualityMetricsAgg(docs)
+      .select(qCols.map(col): _*).collect().toSet
+    assert(qFast == qAgg)
+    val lFast = TextAnalysis.languageId(docs)
+      .select("doc_id", "predicted_lang").as[(Long, String)].collect().toSet
+    val lAgg = TextAnalysis.languageIdAgg(docs)
+      .select("doc_id", "predicted_lang").as[(Long, String)].collect().toSet
+    assert(lFast == lAgg)
+  }
+
   test("tokens handles empty and multi-space strings") {
     val out = Seq("", "  ", " a  b ").toDF("text")
       .select(size(TextAnalysis.tokens(col("text"))).as("n"))
