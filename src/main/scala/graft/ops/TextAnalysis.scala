@@ -402,10 +402,24 @@ object TextAnalysis {
   /** Rolling-hash document fingerprint: xxhash64 over each w-token shingle,
     * fingerprint = (min, max, xor) of the shingle hashes — a compact,
     * order-sensitive content signature (winnowing-style min selection).
-    * Explode + grouped min/max/bit_xor: tokenization runs once per doc and
-    * the aggregation is whole-stage-codegen'd (vs. interpreted array
-    * lambdas, which re-evaluate the shingle expression per output column). */
+    * ONE native [[graft.functions.MinMaxXor]] fold per row over the native
+    * shingle hashes — no explode, no doc-id exchange, no join-back (the
+    * aggregate formulation is kept as [[fingerprintAgg]] and pinned
+    * bit-identical by spec). */
   def fingerprint(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", w: Int = 8): DataFrame = {
+    val fp = graft.functions.MinMaxXorFunctions.min_max_xor(
+      graft.functions.ShingleFunctions.shingle_hashes(tokens(col(textCol)), w))
+    df.withColumn("__fp", fp)
+      .withColumn("fp_min", col("__fp.min"))
+      .withColumn("fp_max", col("__fp.max"))
+      .withColumn("fp_xor", col("__fp.xor"))
+      .drop("__fp")
+  }
+
+  /** The explode + grouped min/max/bit_xor formulation — the cross-check
+    * reference for [[fingerprint]] (same values, one extra exchange). */
+  private[graft] def fingerprintAgg(df: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", w: Int = 8): DataFrame = {
     val fps = df
       .select(col(idCol).as("fp_id"),

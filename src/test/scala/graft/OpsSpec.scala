@@ -580,6 +580,18 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out == Map(1L -> "en", 2L -> "de", 3L -> "unknown"))
   }
 
+  test("native MinMaxXor fingerprint matches the explode+aggregate form") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+      .unionByName(Seq((99999L, "")).toDF("doc_id", "text")) // empty text
+    val cols = Seq("doc_id", "fp_min", "fp_max", "fp_xor")
+    val fast = TextAnalysis.fingerprint(docs)
+      .select(cols.map(col): _*).as[(Long, Long, Long, Long)].collect().toSet
+    val agg = TextAnalysis.fingerprintAgg(docs)
+      .select(cols.map(col): _*).as[(Long, Long, Long, Long)].collect().toSet
+    assert(fast == agg)
+  }
+
   test("fingerprint is deterministic and identical for identical text") {
     val df = Seq((1L, "a b c d e f g h i j"), (2L, "a b c d e f g h i j"),
       (3L, "totally different words here man pad to eight tokens ok")).toDF("doc_id", "text")
