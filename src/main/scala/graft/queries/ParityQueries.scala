@@ -721,6 +721,19 @@ object ParityQueries {
       val suffix = dir.replaceAll("[^a-zA-Z0-9]", "_") +
         "_p" + ProcessHandle.current().pid() // same collision story as tmpPath
       val tEvents = s"graft_ev_$suffix"; val tUsers = s"graft_usr_$suffix"
+      // sweep orphan table dirs left by PREVIOUS JVMs (their in-memory
+      // catalogs died with them, so the dirs are unreachable garbage and
+      // would otherwise accumulate per run); the current pid's dirs are
+      // managed by saveAsTable's own overwrite
+      val warehouse = new java.io.File(
+        s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"))
+      Option(warehouse.listFiles()).getOrElse(Array.empty)
+        .filter(f => (f.getName.startsWith("graft_ev_") ||
+          f.getName.startsWith("graft_usr_")) && !f.getName.endsWith(
+          "_p" + ProcessHandle.current().pid()))
+        .foreach(f =>
+          try org.apache.commons.io.FileUtils.deleteDirectory(f)
+          catch { case _: Exception => () })
       Sinks.writeBucketed(ev, tEvents, Seq("user_id"), numBuckets = 8)
       Sinks.writeBucketed(
         ev.groupBy(col("user_id")).agg(max(col("value")).as("max_value")),
