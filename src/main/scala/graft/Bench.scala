@@ -77,8 +77,15 @@ object Bench {
       .mkString("{", ",", "}")
     val failed = results.filterNot(_.ok).map("\"" + _.name + "\"")
       .mkString("[", ",", "]")
+    // stage keys are globally namespaced by query name (a bare stage name
+    // from a second StageTimers user would otherwise produce duplicate
+    // JSON keys in this flattened object)
     val stageJson = results.filter(_.stages.nonEmpty).flatMap(r =>
-        r.stages.toSeq.sortBy(_._1).map { case (st, v) => "\"" + st + "\":" + v })
+        r.stages.toSeq.sortBy(_._1).map { case (st, v) =>
+          val key = if (st.startsWith(r.name.takeWhile(_ != '_'))) st
+            else r.name + "." + st
+          "\"" + key + "\":" + v
+        })
       .mkString("{", ",", "}")
     val medTotal = r2(results.map(_.med).sum)
     val bestTotal = r2(results.map(_.best).sum)

@@ -80,7 +80,9 @@ object Similarity {
   /** Per-query k-selection shared by the batch searchers: heap operator
     * when the batch is small (group cardinality == |queries|, counted on
     * the SMALL query frame — never an estimate pass over the huge scored
-    * frame), spillable window formulation for unbounded batches. */
+    * frame), spillable window formulation for unbounded batches. The
+    * count is one cheap job; callers' scored plans reference the same
+    * frame, so the count does not recompute the search itself. */
   private[ops] def topKPerQuery(scored: DataFrame, qidCol: String,
       idCol: String, k: Int, queries: DataFrame): DataFrame = {
     val order = Seq(("cosine_sim", false), (idCol, true))

@@ -187,13 +187,16 @@ object TextAnalysis {
         ipv4Re, "[IP]"))
 
   /** C4-style boilerplate/heuristic filters (Raffel et al. '20 §2.2 rules,
-    * adapted): word-count bounds, terminal-punctuation check, curly-brace
-    * (code) / "lorem ipsum" / javascript-boilerplate detection, composed
-    * into a `keep` flag. Pure per-row RE2-compatible regex + token count —
-    * shuffle-free, embarrassingly parallel, and fully replicable by a SQL
-    * oracle. The C4 paper applies the line-level variants before document
-    * assembly; over a one-line-per-doc corpus the document-level form is
-    * the same rule set. */
+    * adapted): word-count bounds plus curly-brace (code) / "lorem ipsum" /
+    * javascript-boilerplate detection composed into a `keep` flag.
+    * `ends_terminal` is emitted as an ADVISORY signal, deliberately NOT
+    * part of `keep`: C4 applies the terminal-punctuation rule per LINE
+    * before document assembly — at document level it would reject whole
+    * legitimate documents for one unpunctuated ending, so callers wanting
+    * C4's exact behavior apply it to lines and get the column here for
+    * scoring/debugging. Pure per-row RE2-compatible regex + token count —
+    * shuffle-free, embarrassingly parallel, fully replicable by a SQL
+    * oracle. */
   def boilerplateFilters(df: DataFrame, textCol: String = "text",
       minWords: Int = 5, maxWords: Int = 100000): DataFrame = {
     val t = col(textCol)

@@ -721,16 +721,23 @@ object ParityQueries {
       val suffix = dir.replaceAll("[^a-zA-Z0-9]", "_") +
         "_p" + ProcessHandle.current().pid() // same collision story as tmpPath
       val tEvents = s"graft_ev_$suffix"; val tUsers = s"graft_usr_$suffix"
-      // sweep orphan table dirs left by PREVIOUS JVMs (their in-memory
-      // catalogs died with them, so the dirs are unreachable garbage and
-      // would otherwise accumulate per run); the current pid's dirs are
-      // managed by saveAsTable's own overwrite
+      // sweep orphan table dirs left by DEAD JVMs (their in-memory catalogs
+      // died with them, so the dirs are unreachable garbage and would
+      // otherwise accumulate per run). A liveness check guards the dirs of
+      // CONCURRENTLY running harnesses — deleting on pid inequality alone
+      // would wipe a live sibling's tables mid-query, exactly the
+      // collision tmpPath exists to prevent
       val warehouse = new java.io.File(
         s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"))
+      val pidOf = "_p(\\d+)$".r
+      def ownerAlive(name: String): Boolean =
+        pidOf.findFirstMatchIn(name).exists { m =>
+          ProcessHandle.of(m.group(1).toLong)
+            .map[Boolean](_.isAlive).orElse(false)
+        }
       Option(warehouse.listFiles()).getOrElse(Array.empty)
         .filter(f => (f.getName.startsWith("graft_ev_") ||
-          f.getName.startsWith("graft_usr_")) && !f.getName.endsWith(
-          "_p" + ProcessHandle.current().pid()))
+          f.getName.startsWith("graft_usr_")) && !ownerAlive(f.getName))
         .foreach(f =>
           try org.apache.commons.io.FileUtils.deleteDirectory(f)
           catch { case _: Exception => () })

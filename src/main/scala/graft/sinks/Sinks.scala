@@ -66,10 +66,26 @@ object Sinks {
     *   - staged keys absent from the target insert as current.
     * Shuffle profile: one hash exchange per side on the key, shared by the
     * join legs — the same cost as a Delta MERGE of the equivalent
-    * WHEN MATCHED / NOT MATCHED clauses. */
+    * WHEN MATCHED / NOT MATCHED clauses.
+    *
+    * PRECONDITION: at most ONE staging row per key (a Delta MERGE throws
+    * on multiple source matches for the same reason — fanning a current
+    * row out to several staged versions would emit conflicting open rows
+    * and break the one-current-row-per-key invariant). Enforced with one
+    * cheap aggregate job on the (small) staging frame; pass
+    * `checkUniqueStaging = false` only when uniqueness is guaranteed
+    * upstream. */
   def scd2Merge(target: DataFrame, staging: DataFrame, keyCols: Seq[String],
       compareCols: Seq[String], effectiveCol: String = "valid_from",
-      endCol: String = "valid_to"): DataFrame = {
+      endCol: String = "valid_to",
+      checkUniqueStaging: Boolean = true): DataFrame = {
+    if (checkUniqueStaging) {
+      val dups = staging.groupBy(keyCols.map(col): _*)
+        .count().filter(col("count") > 1).count()
+      require(dups == 0,
+        s"scd2Merge staging has $dups keys with multiple rows — collapse " +
+          "to one change per key per batch (same contract as Delta MERGE)")
+    }
     val cols = target.columns.toSeq
     val current = target.filter(col(endCol).isNull)
     val history = target.filter(col(endCol).isNotNull)

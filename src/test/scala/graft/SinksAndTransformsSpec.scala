@@ -45,6 +45,20 @@ class SinksSpec extends SparkSpec {
     ), out)
   }
 
+  test("scd2Merge rejects multi-row-per-key staging (Delta MERGE contract)") {
+    val d1 = Date.valueOf("2024-01-01"); val d6 = Date.valueOf("2024-06-01")
+    val target = Seq((1L, "gold", d1, null.asInstanceOf[Date]))
+      .toDF("id", "tier", "valid_from", "valid_to")
+    val staging = Seq(
+      (1L, "silver", d6, null.asInstanceOf[Date]),
+      (1L, "platinum", d6, null.asInstanceOf[Date])
+    ).toDF("id", "tier", "valid_from", "valid_to")
+    val e = intercept[IllegalArgumentException] {
+      Sinks.scd2Merge(target, staging, Seq("id"), Seq("tier"))
+    }
+    assert(e.getMessage.contains("multiple rows"))
+  }
+
   test("writePartitioned produces partition directories; csv roundtrips") {
     val dir = Files.createTempDirectory("graft_sink").toString
     val df = Seq((2024, 1, "x"), (2024, 2, "y")).toDF("yr", "mo", "v")
