@@ -43,6 +43,33 @@ object Dedup {
       .drop("__digest")
   }
 
+  /** Paragraph-level exact dedup (the RefinedWeb/Dolma-style pass that runs
+    * BELOW document granularity): split every document on `sep`, keep each
+    * distinct paragraph only at its FIRST corpus occurrence — min
+    * (id, pos) lexicographically — and flag every later copy. Returns the
+    * exploded frame (id, pos, para, kept) so callers can reassemble the
+    * surviving paragraphs per document or aggregate removal stats.
+    *
+    * Scale shape: the first-occurrence aggregate is keyed on the 8-byte
+    * xxhash64 digest of the paragraph (the [[exactByDigest]] argument —
+    * equal results barring a ~2^-64 collision), so the dedup exchange
+    * carries (digest, id, pos) triples; paragraph TEXT stays in the
+    * map-side explode and the final digest-keyed join, never as a wide
+    * shuffle key. Two shuffles total, both on the digest. */
+  def paragraphDedup(df: DataFrame, idCol: String, textCol: String,
+      sep: String = "\n\n"): DataFrame = {
+    val paras = df.select(col(idCol).as("id"),
+        posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep)))
+          .as(Seq("pos", "para")))
+      .withColumn("__digest", xxhash64(col("para")))
+    val firsts = paras.groupBy(col("__digest"))
+      .agg(min(struct(col("id"), col("pos"))).as("__first"))
+    paras.join(firsts, Seq("__digest"))
+      .withColumn("kept",
+        col("id") === col("__first.id") && col("pos") === col("__first.pos"))
+      .select(col("id"), col("pos"), col("para"), col("kept"))
+  }
+
   /** w-token shingles of a token array: ["a","b","c"], w=2 -> ["a b","b c"].
     * Fewer than w tokens -> single shingle of the whole text. */
   def shingles(tokens: Column, w: Int): Column =

@@ -29,4 +29,26 @@ object Sampling {
   def stratifiedSampleByMod(df: DataFrame, idCol: String,
       rateFor: Column, den: Int = 100): DataFrame =
     df.filter(pmod(col(idCol), lit(den)) < rateFor * den)
+
+  /** Deterministic train/val/test assignment keyed on a CONTENT hash (md5
+    * of the content column), not the row id: the same document re-ingested
+    * under a different id lands in the same split, which is what
+    * train/eval leakage control actually requires. Buckets are the last
+    * hex nibble of the md5 (0-15); `trainBuckets` of them go to `train`,
+    * the next `valBuckets` to `val`, the rest to `test`. md5 is
+    * engine-portable bit-for-bit, so the split is reproducible off-Spark
+    * (and oracle-checkable, unlike the xxhash64 paths). Map-only: adds a
+    * `split` column, no shuffle. */
+  def contentHashSplit(df: DataFrame, contentCol: String,
+      trainBuckets: Int = 14, valBuckets: Int = 1): DataFrame = {
+    require(trainBuckets >= 1 && valBuckets >= 1 &&
+      trainBuckets + valBuckets <= 15,
+      "need at least one bucket per split out of 16")
+    val b = conv(substring(md5(col(contentCol).cast("binary")), 32, 1), 16, 10)
+      .cast("int")
+    df.withColumn("split",
+      when(b < trainBuckets, "train")
+        .when(b < trainBuckets + valBuckets, "val")
+        .otherwise("test"))
+  }
 }

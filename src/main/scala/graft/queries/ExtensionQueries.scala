@@ -32,6 +32,27 @@ object ExtensionQueries {
     docs.unionByName(mutated)
   }
 
+  /** Planted 3-chain corpus for the cluster queries (x26/x36): doc i <->
+    * i+10000 <-> i+20000 via 80%/60% token prefixes, NO direct i <-> i+20000
+    * candidate — connectivity between i and i+20000 exists only
+    * transitively, so downstream cluster queries genuinely exercise
+    * multi-hop resolution. Returns (corpus, candidate id pairs). */
+  private def chainCorpusAndCands(docs: DataFrame): (DataFrame, DataFrame) = {
+    val toks = TextAnalysis.tokens(col("text"))
+    def prefixed(off: Int, frac: Double): DataFrame =
+      docs.filter(col("doc_id") < 50)
+        .withColumn("doc_id", col("doc_id") + off)
+        .withColumn("text",
+          concat_ws(" ", slice(toks, lit(1), (size(toks) * frac).cast("int"))))
+    val corpus = docs.unionByName(prefixed(10000, 0.8))
+      .unionByName(prefixed(20000, 0.6))
+    val base = docs.filter(col("doc_id") < 50).select(col("doc_id").as("i"))
+    val cand = base.select(col("i").as("id_a"), (col("i") + 10000).as("id_b"))
+      .unionByName(base.select((col("i") + 10000).as("id_a"),
+        (col("i") + 20000).as("id_b")))
+    (corpus, cand)
+  }
+
   /** embeddings (cast to double) plus deterministically perturbed copies of
     * vecs 0..24 (vec_id+10000, element i scaled by 1 + 0.05*((i%3)-1)) —
     * the planted near-duplicate corpus for the cosine-dedup queries.
@@ -435,24 +456,68 @@ object ExtensionQueries {
     // only transitively, so the oracle (recursive-CTE reachability +
     // min-label) genuinely checks multi-hop component resolution
     "x26_cluster_resolution" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      val toks = TextAnalysis.tokens(col("text"))
-      def prefixed(off: Int, frac: Double): DataFrame =
-        docs.filter(col("doc_id") < 50)
-          .withColumn("doc_id", col("doc_id") + off)
-          .withColumn("text",
-            concat_ws(" ", slice(toks, lit(1), (size(toks) * frac).cast("int"))))
-      val corpus = docs.unionByName(prefixed(10000, 0.8))
-        .unionByName(prefixed(20000, 0.6))
-      val base = docs.filter(col("doc_id") < 50).select(col("doc_id").as("i"))
-      val cand = base.select(col("i").as("id_a"), (col("i") + 10000).as("id_b"))
-        .unionByName(base.select((col("i") + 10000).as("id_a"),
-          (col("i") + 20000).as("id_b")))
+      val (corpus, cand) = chainCorpusAndCands(t(s, dir, "documents"))
       val pairs = Dedup.ngramJaccard(cand, corpus, "doc_id", "text", n = 3)
         .filter(col("jaccard") >= 0.5)
         .select(col("id_a"), col("id_b"))
       Dedup.resolveClusters(pairs).orderBy(col("id"))
     }),
+
+    // The APPLY half of near-dup dedup, ORACLE-CHECKED end to end: the x26
+    // chain corpus runs exact-Jaccard pairs -> resolveClusters, then the
+    // corpus is filtered to survivors — ids untouched by any pair plus each
+    // cluster's min-id representative (`clustered` marks the latter). The
+    // planted +10000/+20000 chain members must ALL be dropped; every
+    // original document survives
+    "x36_dedup_apply" -> ((s, dir) => {
+      val (corpus, cand) = chainCorpusAndCands(t(s, dir, "documents"))
+      val pairs = Dedup.ngramJaccard(cand, corpus, "doc_id", "text", n = 3)
+        .filter(col("jaccard") >= 0.5)
+        .select(col("id_a"), col("id_b"))
+      val labels = Dedup.resolveClusters(pairs)
+      // survivor filter: the labels frame holds ONLY ids seen in a pair, so
+      // the left join is corpus-size x tiny — broadcastable at any scale
+      corpus.select(col("doc_id"))
+        .join(labels, col("doc_id") === col("id"), "left")
+        .filter(col("id").isNull || col("cluster_id") === col("doc_id"))
+        .select(col("doc_id"), col("id").isNotNull.as("clustered"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Paragraph-level exact dedup (the sub-document pass of corpus prep):
+    // synthesized two-paragraph corpus — doc i = own text + successor's
+    // text (wrapping) joined by \n\n, so every paragraph appears in exactly
+    // two documents — then first-occurrence-wins dedup on the digest-keyed
+    // production path. Expected tally: doc 0 keeps both paragraphs, the
+    // last doc keeps none, every other doc keeps exactly its second. The
+    // global-window corpus SYNTHESIS is fixture-building, not the operator
+    "x35_paragraph_dedup" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window.orderBy(col("doc_id"))
+      val wAll = org.apache.spark.sql.expressions.Window.orderBy(col("doc_id"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.unboundedFollowing)
+      val corpus = t(s, dir, "documents").select(col("doc_id"),
+        concat_ws("\n\n", col("text"),
+          coalesce(lead(col("text"), 1).over(w),
+            first(col("text")).over(wAll))).as("text"))
+      Dedup.paragraphDedup(corpus, "doc_id", "text")
+        .groupBy(col("id"))
+        .agg(count(lit(1)).as("n_paras"),
+          count(when(col("kept"), 1)).as("n_kept"),
+          coalesce(sum(when(col("kept"), length(col("para")))), lit(0))
+            .cast("long").as("kept_chars"))
+        .select(col("id").as("doc_id"), col("n_paras"), col("n_kept"),
+          col("kept_chars"))
+    }),
+
+    // Deterministic content-hash train/val/test split (md5 nibble buckets,
+    // 14/1/1): engine-portable, so unlike the xxhash64 paths this split is
+    // fully oracle-checkable — DuckDB reproduces the exact assignment
+    "x37_hash_split" -> ((s, dir) =>
+      graft.ops.Sampling.contentHashSplit(t(s, dir, "documents"), "text")
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(length(col("text"))).cast("long").as("total_chars"))),
 
     // Multimodal plumbing: binary payload + metadata -> partition-batched
     // feature extraction (decode stubbed; rows-only check)
@@ -596,6 +661,74 @@ object ExtensionQueries {
         |  UNION
         |  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id)
         |SELECT id, min(r) AS cluster_id FROM reach GROUP BY id""".stripMargin,
+
+    "x36_dedup_apply" ->
+      """WITH RECURSIVE tok AS (
+        |  SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), x -> len(x) > 0) AS toks
+        |  FROM documents),
+        |corpus AS (
+        |  SELECT doc_id, toks FROM tok
+        |  UNION ALL
+        |  SELECT doc_id + 10000, list_slice(toks, 1, CAST(floor(len(toks) * 0.8) AS INT))
+        |  FROM tok WHERE doc_id < 50
+        |  UNION ALL
+        |  SELECT doc_id + 20000, list_slice(toks, 1, CAST(floor(len(toks) * 0.6) AS INT))
+        |  FROM tok WHERE doc_id < 50),
+        |sh AS (
+        |  SELECT doc_id, list_distinct(
+        |    CASE WHEN len(toks) <= 3 THEN [array_to_string(toks, ' ')]
+        |      ELSE list_transform(range(0, len(toks) - 2),
+        |        i -> array_to_string(list_slice(toks, i + 1, i + 3), ' ')) END) AS shset
+        |  FROM corpus),
+        |cand AS (
+        |  SELECT doc_id AS id_a, doc_id + 10000 AS id_b FROM documents WHERE doc_id < 50
+        |  UNION ALL
+        |  SELECT doc_id + 10000, doc_id + 20000 FROM documents WHERE doc_id < 50),
+        |pairs AS (
+        |  SELECT c.id_a, c.id_b
+        |  FROM cand c JOIN sh a ON a.doc_id = c.id_a JOIN sh b ON b.doc_id = c.id_b
+        |  WHERE ROUND(CAST(len(list_intersect(a.shset, b.shset)) AS DOUBLE) /
+        |          len(list_distinct(list_concat(a.shset, b.shset))), 6) >= 0.5),
+        |edges AS (
+        |  SELECT id_a AS src, id_b AS dst FROM pairs
+        |  UNION SELECT id_b, id_a FROM pairs),
+        |reach(id, r) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id),
+        |labels AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id)
+        |SELECT c.doc_id, l.id IS NOT NULL AS clustered
+        |FROM corpus c LEFT JOIN labels l ON c.doc_id = l.id
+        |WHERE l.id IS NULL OR l.cluster_id = c.doc_id""".stripMargin,
+
+    "x35_paragraph_dedup" ->
+      """WITH c AS (
+        |  SELECT doc_id, text,
+        |    coalesce(lead(text) OVER (ORDER BY doc_id),
+        |      first_value(text) OVER (ORDER BY doc_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)) AS nxt
+        |  FROM documents),
+        |paras AS (
+        |  SELECT doc_id, 0 AS pos, text AS para FROM c
+        |  UNION ALL SELECT doc_id, 1, nxt FROM c),
+        |ranked AS (
+        |  SELECT doc_id, pos, para,
+        |    row_number() OVER (PARTITION BY para ORDER BY doc_id, pos) AS rn
+        |  FROM paras)
+        |SELECT doc_id,
+        |  CAST(count(*) AS BIGINT) AS n_paras,
+        |  CAST(count(CASE WHEN rn = 1 THEN 1 END) AS BIGINT) AS n_kept,
+        |  CAST(coalesce(sum(CASE WHEN rn = 1 THEN len(para) END), 0) AS BIGINT) AS kept_chars
+        |FROM ranked GROUP BY doc_id""".stripMargin,
+
+    "x37_hash_split" ->
+      """SELECT CASE WHEN b <= 14 THEN 'train' WHEN b = 15 THEN 'val'
+        |            ELSE 'test' END AS split,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(len(text)) AS BIGINT) AS total_chars
+        |FROM (SELECT text, instr('0123456789abcdef', substr(md5(text), 32, 1)) AS b
+        |      FROM documents)
+        |GROUP BY 1""".stripMargin,
 
     "x16_stratified_sample" ->
       """SELECT doc_id, lang FROM documents

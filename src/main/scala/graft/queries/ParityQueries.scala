@@ -779,6 +779,22 @@ object ParityQueries {
       s.read.schema(schema).json(tmp)
     }),
 
+    // Interchange-format completeness: ORC write + scan roundtrip with a
+    // read-side predicate — exercises Spark's native vectorized ORC
+    // reader/writer (the columnar format parity check next to q20 CSV and
+    // q43 JSON); identity-under-filter oracle over supplier
+    "q48_orc_roundtrip" -> ((s, dir) => {
+      val supp = t(s, dir, "supplier")
+      val tmp = tmpPath("graft_orc", dir)
+      graft.sinks.Sinks.orc(supp, tmp)
+      // the filter lands in the ORC scan as a pushed predicate (stripe
+      // min/max skipping at scale) — the plan shape is guarded by spec
+      graft.sources.Sources.orc(s, tmp)
+        .filter(col("s_acctbal") > 0)
+        .select(col("s_suppkey"), col("s_name"), col("s_nationkey"),
+          col("s_acctbal"))
+    }),
+
     // Source robustness: PERMISSIVE JSON parse of a corpus with planted
     // malformed lines — good rows parse, bad rows land in _corrupt_record,
     // nothing is silently dropped. The planted mix is deterministic, so
@@ -898,6 +914,10 @@ object ParityQueries {
     "q43_json_roundtrip" ->
       """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
         |FROM customer""".stripMargin,
+
+    "q48_orc_roundtrip" ->
+      """SELECT s_suppkey, s_name, s_nationkey, s_acctbal
+        |FROM supplier WHERE s_acctbal > 0""".stripMargin,
 
     "q46_salted_join" ->
       """WITH dim AS (SELECT user_id, avg(value) AS user_avg FROM events GROUP BY user_id)

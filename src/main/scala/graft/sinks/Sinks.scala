@@ -151,6 +151,13 @@ object Sinks {
       .format("parquet")
       .saveAsTable(table)
 
+  /** ORC write (pairs with [[graft.sources.Sources.orc]]; format
+    * completeness for ORC-resident warehouse estates). Columnar with
+    * min/max stripe statistics, so the read side keeps predicate
+    * pushdown and column pruning exactly like parquet. */
+  def orc(df: DataFrame, path: String, mode: String = "overwrite"): Unit =
+    df.write.mode(mode).orc(path)
+
   /** K5 — CSV write with header (data_seed.py:241-243). */
   def csv(df: DataFrame, path: String, mode: String = "overwrite"): Unit =
     df.write.mode(mode).option("header", "true").csv(path)

@@ -61,6 +61,13 @@ object Sources {
     r.load()
   }
 
+  /** ORC scan (format completeness beyond the reference's CSV/parquet/
+    * Delta surface — the other columnar interchange format warehouse
+    * estates actually hold). Spark's native vectorized ORC reader gives
+    * the same pushdown/pruning contract as parquet. */
+  def orc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
   /** S5 — text scan: one `value` column per line (monitor.py:30). */
   def text(spark: SparkSession, path: String): DataFrame =
     spark.read.text(path)

@@ -34,6 +34,30 @@ class DedupSpec extends SparkSpec {
     assert(crypto == full)
   }
 
+  test("paragraphDedup keeps only the first corpus occurrence of each paragraph") {
+    val corpus = Seq(
+      (1L, "alpha beta\n\ngamma delta"),
+      (2L, "gamma delta\n\nepsilon zeta"), // para 0 copies doc 1 pos 1
+      (3L, "alpha beta\n\nalpha beta")     // both paras copy doc 1 pos 0
+    ).toDF("doc_id", "text")
+    val out = Dedup.paragraphDedup(corpus, "doc_id", "text")
+      .as[(Long, Int, String, Boolean)].collect()
+    assert(out.length == 6) // exploded frame keeps every (doc, pos) row
+    val kept = out.filter(_._4).map(r => (r._1, r._2, r._3)).toSet
+    assert(kept == Set((1L, 0, "alpha beta"), (1L, 1, "gamma delta"),
+      (2L, 1, "epsilon zeta")))
+    // exactly one survivor per distinct paragraph, anywhere in the corpus
+    assert(out.groupBy(_._3).forall { case (_, rs) => rs.count(_._4) == 1 })
+  }
+
+  test("paragraphDedup quotes regex separators; within-doc first occurrence wins") {
+    val out = Dedup.paragraphDedup(
+      Seq((7L, "x|y|x")).toDF("doc_id", "text"), "doc_id", "text", sep = "|")
+      .as[(Long, Int, String, Boolean)].collect()
+    assert(out.length == 3)
+    assert(out.filter(_._4).map(_._2).sorted.toSeq == Seq(0, 1)) // pos 2 is the dup
+  }
+
   test("shingles produces w-grams and whole-text fallback") {
     val sh = Seq("a b c d").toDF("text")
       .select(Dedup.shingles(TextAnalysis.tokens(col("text")), 2).as("sh"))
@@ -354,6 +378,25 @@ class SamplingSpec extends SparkSpec {
     val mod = graft.ops.Sampling
       .stratifiedSampleByMod(df, "id", lit(0.25), den = 100)
     assert(mod.count() == 2500) // exact for full residue cycles
+  }
+
+  test("contentHashSplit is content-keyed, deterministic, and covers all splits") {
+    val docs = (0 until 2000).map(i => (i.toLong, s"document body number $i"))
+      .toDF("id", "text")
+    val s1 = graft.ops.Sampling.contentHashSplit(docs, "text")
+    val counts = s1.groupBy("split").count()
+      .as[(String, Long)].collect().toMap
+    assert(counts.keySet == Set("train", "val", "test"))
+    assert(math.abs(counts("train") - 1750L) < 150) // ~14/16 of 2000
+    // the leakage-control contract: identical content under DIFFERENT ids
+    // must land in the same split (the split keys on content, not id)
+    val s2 = graft.ops.Sampling
+      .contentHashSplit(docs.withColumn("id", $"id" + 100000), "text")
+    assert(s1.select("text", "split").except(s2.select("text", "split")).count() == 0)
+    intercept[IllegalArgumentException] {
+      graft.ops.Sampling.contentHashSplit(docs, "text",
+        trainBuckets = 15, valBuckets = 1) // no bucket left for test
+    }
   }
 
   test("per-stratum rates apply independently") {

@@ -31,6 +31,21 @@ class SourcesSpec extends SparkSpec {
     assert(logs.filter($"value".contains("ERROR")).count() == 2)
   }
 
+  test("orc write/scan roundtrip preserves types and rows; predicate is pushed") {
+    val dir = Files.createTempDirectory("graft_orc").toString
+    val df = Seq((1L, "a", 10.5), (2L, "b", -3.0)).toDF("k", "s", "v")
+    graft.sinks.Sinks.orc(df, s"$dir/o")
+    val back = Sources.orc(spark, s"$dir/o")
+    assert(back.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
+      df.schema.fields.map(f => (f.name, f.dataType)).toSeq)
+    assert(back.count() == 2)
+    // the ORC reader must receive the filter (stripe min/max skipping at
+    // scale), same contract the parquet scans are held to
+    val plan = back.filter($"v" > 0).queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("GreaterThan(v,0.0)"),
+      plan.take(800))
+  }
+
   test("delta source falls back to parquet when delta jars are absent") {
     val dir = Files.createTempDirectory("graft_delta").toString
     Seq((1, "x")).toDF("a", "b").write.parquet(s"$dir/t")
