@@ -30,6 +30,32 @@ object Sampling {
       rateFor: Column, den: Int = 100): DataFrame =
     df.filter(pmod(col(idCol), lit(den)) < rateFor * den)
 
+  /** Dataset-mixture sampling: derive a per-stratum keep rate that caps
+    * each stratum's token contribution at `budget` tokens — rate =
+    * min(1, budget / stratum_tokens) — then sample deterministically at
+    * that rate. The classic mixture-weighting move when one source (e.g.
+    * web crawl) dwarfs the others and the training recipe wants bounded
+    * proportions. Scale shape: ONE aggregate produces the tiny per-stratum
+    * totals frame (a handful of rows however large the corpus), broadcast
+    * back for the rate; the sample itself is a map-side filter. `byHash =
+    * true` (production) decides by xxhash64; `false` keeps the id-mod
+    * arithmetic any SQL engine replays exactly (the oracle path — residue
+    * granularity documented on [[stratifiedSampleByMod]]). Output keeps a
+    * `mix_rate` column recording each row's applied rate. */
+  def mixtureByTokenBudget(df: DataFrame, stratumCol: String, idCol: String,
+      tokenCol: String, budget: Long, byHash: Boolean = true,
+      den: Int = 100): DataFrame = {
+    require(budget > 0, "token budget must be positive")
+    val totals = df.groupBy(col(stratumCol))
+      .agg(sum(col(tokenCol)).as("__stratum_tokens"))
+    val rated = df.join(broadcast(totals), Seq(stratumCol))
+      .withColumn("mix_rate",
+        least(lit(1.0), lit(budget.toDouble) / col("__stratum_tokens")))
+      .drop("__stratum_tokens")
+    if (byHash) stratifiedSampleByHash(rated, idCol, col("mix_rate"))
+    else stratifiedSampleByMod(rated, idCol, col("mix_rate"), den)
+  }
+
   /** Deterministic train/val/test assignment keyed on a CONTENT hash (md5
     * of the content column), not the row id: the same document re-ingested
     * under a different id lands in the same split, which is what

@@ -510,6 +510,21 @@ object ExtensionQueries {
           col("kept_chars"))
     }),
 
+    // Dataset-mixture sampling: per-source keep rates derived from a token
+    // budget (rate = min(1, budget/source_tokens)), deterministic sample,
+    // per-source tally. Runs the oracle-replayable id-mod path; the
+    // hash-path agreement-in-expectation is spec'd in SamplingSpec
+    "x38_mixture_sample" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("source"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("token_cnt"))
+      graft.ops.Sampling.mixtureByTokenBudget(docs, "source", "doc_id",
+          "token_cnt", budget = 600, byHash = false)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_sampled"),
+          sum(col("token_cnt")).as("tokens_sampled"),
+          round(max(col("mix_rate")), 6).as("mix_rate"))
+    }),
+
     // Deterministic content-hash train/val/test split (md5 nibble buckets,
     // 14/1/1): engine-portable, so unlike the xxhash64 paths this split is
     // fully oracle-checkable — DuckDB reproduces the exact assignment
@@ -720,6 +735,22 @@ object ExtensionQueries {
         |  CAST(count(CASE WHEN rn = 1 THEN 1 END) AS BIGINT) AS n_kept,
         |  CAST(coalesce(sum(CASE WHEN rn = 1 THEN len(para) END), 0) AS BIGINT) AS kept_chars
         |FROM ranked GROUP BY doc_id""".stripMargin,
+
+    "x38_mixture_sample" ->
+      """WITH tok AS (
+        |  SELECT doc_id, source,
+        |    len(list_filter(string_split_regex(trim(text), '\s+'), x -> len(x) > 0)) AS token_cnt
+        |  FROM documents),
+        |tot AS (SELECT source, sum(token_cnt) AS stratum_tokens FROM tok GROUP BY source),
+        |rated AS (
+        |  SELECT t.doc_id, t.source, t.token_cnt,
+        |    least(1.0, 600.0 / tot.stratum_tokens) AS mix_rate
+        |  FROM tok t JOIN tot USING (source)),
+        |sampled AS (SELECT * FROM rated WHERE doc_id % 100 < mix_rate * 100)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_sampled,
+        |  CAST(sum(token_cnt) AS BIGINT) AS tokens_sampled,
+        |  ROUND(max(mix_rate), 6) AS mix_rate
+        |FROM sampled GROUP BY source""".stripMargin,
 
     "x37_hash_split" ->
       """SELECT CASE WHEN b <= 14 THEN 'train' WHEN b = 15 THEN 'val'

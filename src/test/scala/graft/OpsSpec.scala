@@ -399,6 +399,27 @@ class SamplingSpec extends SparkSpec {
     }
   }
 
+  test("mixtureByTokenBudget caps each stratum near its token budget") {
+    // stratum "big" has 10x the tokens of "small": big must be sampled
+    // down toward the budget, small kept whole (rate clamps at 1.0)
+    val docs = ((0 until 1000).map(i => (i.toLong, "big", 100L)) ++
+      (1000 until 1100).map(i => (i.toLong, "small", 100L)))
+      .toDF("id", "src", "tok")
+    val out = graft.ops.Sampling
+      .mixtureByTokenBudget(docs, "src", "id", "tok", budget = 10000L)
+    val kept = out.groupBy("src").agg(sum("tok").as("t"), max("mix_rate").as("r"))
+      .as[(String, Long, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(kept("small") == ((10000L, 1.0))) // under budget -> keep all
+    assert(kept("big")._2 == 0.1)
+    assert(math.abs(kept("big")._1 - 10000L) <= 3000) // ~budget via hash rate
+    // the mod path is exact for full residue cycles (ids 0..999 cycle 0..99)
+    val exact = graft.ops.Sampling
+      .mixtureByTokenBudget(docs, "src", "id", "tok", budget = 10000L,
+        byHash = false)
+      .filter($"src" === "big").count()
+    assert(exact == 100) // rate .1 -> residues 0..9 of each 100-cycle
+  }
+
   test("per-stratum rates apply independently") {
     val df = (0L until 1000L).map(i => (i, if (i % 2 == 0) "a" else "b"))
       .toDF("id", "k")
