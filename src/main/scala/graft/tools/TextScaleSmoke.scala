@@ -46,6 +46,22 @@ object TextScaleSmoke {
         .agg(max("pack_id")).head())
     time("vocab top-20 per shard (TopKPerGroup)")(
       TextAnalysis.vocabTopK(corpus, "lang", "text", 20).count())
+    // paragraph corpus: two paragraphs per doc (own text + a shifted copy),
+    // so ~half of all paragraphs are duplicates — the realistic shape
+    time("paragraph dedup (digest-keyed)")(
+      graft.ops.Dedup.paragraphDedup(
+          corpus.select(col("doc_id"),
+            concat_ws("\n\n", col("text"),
+              concat(lit("p"), pmod(col("doc_id"), lit(n / 2)).cast("string")))
+              .as("text")),
+          "doc_id", "text")
+        .agg(sum(when(col("kept"), 1).otherwise(0))).head())
+    time("content-hash split + mixture (map-only + tiny agg)")(
+      graft.ops.Sampling.mixtureByTokenBudget(
+          graft.ops.Sampling.contentHashSplit(corpus, "text")
+            .withColumn("token_cnt", TextAnalysis.tokenCount(col("text"))),
+          "lang", "doc_id", "token_cnt", budget = 1000000L)
+        .groupBy(col("split"), col("lang")).count().count())
     time("repetition + langid (map-only)")(
       TextAnalysis.languageId(TextAnalysis.repetitionStats(corpus))
         .agg(avg("repetition"), count(when(col("predicted_lang") =!= "unknown", 1)))
