@@ -12,7 +12,7 @@ import graft.queries.{ExtensionQueries, ParityQueries}
   * SQL-expressible query (xxhash64-based ops are rows-only by design).
   * Full operator -> query -> check map: /root/repo/COVERAGE.md.
   *
-  * Inventory (76 oracle-checked, 10 rows-only):
+  * Inventory (77 oracle-checked, 10 rows-only):
   *  - q01-q16: scans, filters, CASE chains, datetime, windows (running/
   *    lag/30-day range), grouped stats + broadcast join, anti-join
   *    referential integrity, top-k, dup/null/range/quality checks, upsert,
@@ -30,13 +30,13 @@ import graft.queries.{ExtensionQueries, ParityQueries}
   *    oracle-checked column), one-scan column profiling, SCD2 history
   *    merge, JSON roundtrip, corrupt-record routing, schema evolution,
   *    salted join + salted distinct count (skew tooling), ORC roundtrip
-  *  - x01-x38: exact (digest-keyed) / MinHash / SimHash / embedding-cosine
+  *  - x01-x39: exact (digest-keyed) / MinHash / SimHash / embedding-cosine
   *    dedup + Jaccard + cluster resolution (oracle = recursive-CTE
   *    connected components), kNN single + batched (brute/SRP-LSH/IVF),
   *    token/quality/langid/fingerprint text ops, PII scrubbing incl. Luhn
   *    card validation, C4 boilerplate filters, corpus-prep composition,
   *    benchmark decontamination, repetition metrics, TF-IDF, vocabulary
-  *    top-k, token-window chunking, sequence packing, per-language corpus
+  *    top-k, bigram next-token top-k, token-window chunking, sequence packing, per-language corpus
   *    report, the x34 end-to-end prep capstone (every stage an oracle
   *    CTE), paragraph-level dedup, cluster-survivor application,
   *    content-hash train/val/test split, token-budget mixture sampling,

@@ -287,6 +287,34 @@ object TextAnalysis {
     else graft.plans.TopK.windowPerGroup(counts, Seq(shardCol), order, k)
   }
 
+  /** Next-token statistics: the k most frequent successors per prefix
+    * token with counts — the bigram conditional-frequency table a
+    * tokenizer / LM-data diagnostics stage builds. Bigrams come from
+    * zipping the token array with its own tail (`arrays_zip` of two
+    * slices): the token expression is re-inlined a constant number of
+    * times PER ROW — deliberately NOT `transform(sequence, i =>
+    * element_at(toks, ...))`, whose lambda would re-inline (and
+    * re-evaluate) the tokenize under Spark's interpreted higher-order
+    * path once per ELEMENT, turning a linear pass quadratic (the exact
+    * failure mode documented on [[graft.ops.Dedup.minhashSignature]]).
+    * The per-prefix top-k runs the spillable window formulation because
+    * prefix cardinality is vocabulary-sized — unbounded at corpus scale,
+    * exactly the case [[graft.plans.TopK.windowPerGroup]] is the designed
+    * answer for. Ties break (freq desc, next asc): total order, so the
+    * result is deterministic and SQL-oracle-checkable. */
+  def nextTokenTopK(df: DataFrame, textCol: String, k: Int): DataFrame = {
+    val t = tokens(lower(col(textCol)))
+    val len = greatest(size(t) - 1, lit(0))
+    val pairs = df
+      .select(explode(arrays_zip(
+        slice(t, lit(1), len), slice(t, lit(2), len))).as("bg"))
+      .select(col("bg")("0").as("prefix"), col("bg")("1").as("next_token"))
+    val counts = pairs.groupBy(col("prefix"), col("next_token"))
+      .agg(count(lit(1)).as("pair_freq"))
+    graft.plans.TopK.windowPerGroup(counts, Seq("prefix"),
+      Seq(("pair_freq", false), ("next_token", true)), k)
+  }
+
   /** Overlapping token-window chunking — the context-window prep step for
     * RAG indexing / long-document training: each document yields chunks of
     * `chunkTokens` tokens starting every `chunkTokens - overlap` tokens

@@ -475,8 +475,10 @@ object ExtensionQueries {
         .filter(col("jaccard") >= 0.5)
         .select(col("id_a"), col("id_b"))
       val labels = Dedup.resolveClusters(pairs)
-      // survivor filter: the labels frame holds ONLY ids seen in a pair, so
-      // the left join is corpus-size x tiny — broadcastable at any scale
+      // survivor filter: the labels frame holds only ids seen in a pair —
+      // far smaller than the corpus, though NOT always broadcastable (a
+      // high-dup corpus labels a large fraction of ids), so this stays a
+      // plain id-keyed equi-join and lets AQE broadcast when it fits
       corpus.select(col("doc_id"))
         .join(labels, col("doc_id") === col("id"), "left")
         .filter(col("id").isNull || col("cluster_id") === col("doc_id"))
@@ -509,6 +511,13 @@ object ExtensionQueries {
         .select(col("id").as("doc_id"), col("n_paras"), col("n_kept"),
           col("kept_chars"))
     }),
+
+    // Bigram next-token top-3 per prefix (LM-data diagnostics / tokenizer
+    // prep): zip-sliced bigrams, counted once, ranked through the
+    // spillable window path (prefix cardinality = vocabulary = unbounded)
+    "x39_bigram_topk" -> ((s, dir) =>
+      TextAnalysis.nextTokenTopK(t(s, dir, "documents"), "text", 3)
+        .orderBy(col("prefix"), col("pair_freq").desc, col("next_token"))),
 
     // Dataset-mixture sampling: per-source keep rates derived from a token
     // budget (rate = min(1, budget/source_tokens)), deterministic sample,
@@ -735,6 +744,23 @@ object ExtensionQueries {
         |  CAST(count(CASE WHEN rn = 1 THEN 1 END) AS BIGINT) AS n_kept,
         |  CAST(coalesce(sum(CASE WHEN rn = 1 THEN len(para) END), 0) AS BIGINT) AS kept_chars
         |FROM ranked GROUP BY doc_id""".stripMargin,
+
+    "x39_bigram_topk" ->
+      """WITH tok AS (
+        |  SELECT list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> len(x) > 0) AS toks
+        |  FROM documents),
+        |bg AS (
+        |  SELECT unnest(list_transform(range(1, len(toks)),
+        |    i -> {'p': toks[i], 'n': toks[i+1]})) AS z
+        |  FROM tok WHERE len(toks) >= 2),
+        |counts AS (
+        |  SELECT z.p AS prefix, z.n AS next_token, count(*) AS pair_freq
+        |  FROM bg GROUP BY 1, 2),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY prefix ORDER BY pair_freq DESC, next_token) AS rn
+        |  FROM counts)
+        |SELECT prefix, next_token, pair_freq FROM ranked WHERE rn <= 3""".stripMargin,
 
     "x38_mixture_sample" ->
       """WITH tok AS (

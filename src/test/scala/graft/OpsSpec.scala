@@ -433,6 +433,21 @@ class SamplingSpec extends SparkSpec {
 class TextAnalysisSpec extends SparkSpec {
   import spark.implicits._
 
+  test("nextTokenTopK ranks successors per prefix with deterministic ties") {
+    val df = Seq(
+      (1L, "a b a b a c"), // bigrams: a->b x2, b->a x2, a->c x1
+      (2L, "a b"),         // a->b once more -> a->b x3
+      (3L, "solo")         // <2 tokens: contributes nothing
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.nextTokenTopK(df, "text", 2)
+      .as[(String, String, Long)].collect().toSet
+    assert(out == Set(("a", "b", 3L), ("a", "c", 1L), ("b", "a", 2L)))
+    // k=1 keeps only the most frequent successor (ties: next_token asc)
+    val top1 = TextAnalysis.nextTokenTopK(df, "text", 1)
+      .as[(String, String, Long)].collect().toSet
+    assert(top1 == Set(("a", "b", 3L), ("b", "a", 2L)))
+  }
+
   test("piiStats counts and scrubPii redacts planted emails/phones/IPs") {
     val df = Seq(
       (1L, "reach me at a.b@example.org or 555-123-4567 from 10.0.0.1"),
