@@ -65,6 +65,28 @@ class PlanGuardSpec extends SparkSpec {
     assert(plan.contains("TopKPerGroup"))
   }
 
+  test("x35: paragraph text is never a shuffle key (digest-keyed exchanges only)") {
+    val plan = graft.queries.ExtensionQueries
+      .queries("x35_paragraph_dedup")(spark, dir).queryExecution.executedPlan.toString
+    assert(!plan.contains("hashpartitioning(para"),
+      "paragraph text must not ride an exchange as a key")
+    assert(plan.contains("xxhash64"), "dedup must key on the digest")
+  }
+
+  test("x38: per-stratum totals broadcast into the rate join") {
+    val plan = graft.queries.ExtensionQueries
+      .queries("x38_mixture_sample")(spark, dir).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      "the tiny totals frame must broadcast — the corpus never shuffles for the rate")
+  }
+
+  test("x39: bigram table plans exactly two hash exchanges (count + rank)") {
+    val plan = graft.queries.ExtensionQueries
+      .queries("x39_bigram_topk")(spark, dir).queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges == 2, s"expected 2 hash exchanges, got $exchanges:\n${plan.take(600)}")
+  }
+
   test("q40: bucketed join asserts its own zero-exchange property (oracle column)") {
     val df = ParityQueries.queries("q40_bucketed_join")(spark, dir)
     val flags = df.select("zero_exchange").distinct().collect().map(_.getBoolean(0)).toSeq
