@@ -861,6 +861,22 @@ object ParityQueries {
         events(s, dir).select(col("event_type"), col("user_id")),
         "event_type", "user_id", salts = 8)),
 
+    // CDC / changelog compaction: latest state per key as ONE aggregate
+    // (max_by over a (ts, event_id) ordering struct) — no sort, no window,
+    // no per-key shuffle beyond the single groupBy exchange. The shape a
+    // nightly "compact the change log to current state" job needs at
+    // scale; ties broken by event_id so the result is total-ordered
+    "q49_latest_per_key" -> ((s, dir) =>
+      events(s, dir).groupBy(col("user_id"))
+        .agg(max_by(
+          struct(col("ts"), col("event_id"), col("event_type"), col("value")),
+          struct(col("ts"), col("event_id"))).as("last"))
+        .select(col("user_id"),
+          unix_timestamp(col("last.ts")).as("epoch_s"),
+          col("last.event_id").as("event_id"),
+          col("last.event_type").as("event_type"),
+          col("last.value").as("value"))),
+
     // Monitoring extension: one-SCAN table profile (row count + per-column
     // non-null/exact-distinct + numeric min/max/avg). Exact multi-column
     // distincts plan through one Expand — deliberately traded against N
@@ -938,6 +954,16 @@ object ParityQueries {
         |  CAST(batch AS INT) AS batch
         |FROM (VALUES (1, 'a', NULL, 1), (2, 'b', NULL, 1),
         |             (3, 'c', 30.0, 2), (4, 'd', 40.0, 2)) t(id, name, score, batch)""".stripMargin,
+
+    "q49_latest_per_key" ->
+      """WITH ranked AS (
+        |  SELECT user_id, ts, event_id, event_type, value,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events)
+        |SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS epoch_s,
+        |  event_id, event_type, value
+        |FROM ranked WHERE rn = 1""".stripMargin,
 
     "q41_column_profile" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_rows,
