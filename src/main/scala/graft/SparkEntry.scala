@@ -12,7 +12,7 @@ import graft.queries.{ExtensionQueries, ParityQueries}
   * SQL-expressible query (xxhash64-based ops are rows-only by design).
   * Full operator -> query -> check map: /root/repo/COVERAGE.md.
   *
-  * Inventory (78 oracle-checked, 10 rows-only):
+  * Inventory (79 oracle-checked, 10 rows-only):
   *  - q01-q16: scans, filters, CASE chains, datetime, windows (running/
   *    lag/30-day range), grouped stats + broadcast join, anti-join
   *    referential integrity, top-k, dup/null/range/quality checks, upsert,
@@ -22,7 +22,7 @@ import graft.queries.{ExtensionQueries, ParityQueries}
   *    join (oracle = native DuckDB ASOF), set ops, binned range join,
   *    custom TopKPerGroup physical operator (oracle = row_number), ranking,
   *    string/math/JSON/pivot/date/array-agg functions
-  *  - q34-q49: text-scan roundtrip + error-log monitoring, local-rows
+  *  - q34-q50: text-scan roundtrip + error-log monitoring, local-rows
   *    source, partitioned write-then-read-back, quality-results monitoring,
   *    orchestrator end-to-end (CSV extract -> transform -> gate ->
   *    partitioned load vs the flagship oracle), seed-generator invariants,
@@ -31,7 +31,8 @@ import graft.queries.{ExtensionQueries, ParityQueries}
   *    merge, JSON roundtrip, corrupt-record routing, schema evolution,
   *    salted join + salted distinct count (skew tooling), ORC roundtrip,
   *    CDC changelog compaction (latest state per key as one max_by
-  *    aggregate — no window, no sort)
+  *    aggregate — no window, no sort), star-schema rollup (all dims
+  *    broadcast, fact shuffles once)
   *  - x01-x39: exact (digest-keyed) / MinHash / SimHash / embedding-cosine
   *    dedup + Jaccard + cluster resolution (oracle = recursive-CTE
   *    connected components), kNN single + batched (brute/SRP-LSH/IVF),

@@ -861,6 +861,26 @@ object ParityQueries {
         events(s, dir).select(col("event_type"), col("user_id")),
         "event_type", "user_id", salts = 8)),
 
+    // Star-schema rollup: fact -> customer -> nation -> region, revenue by
+    // region x status. The small dims (nation, region) broadcast
+    // EXPLICITLY; customer is left to the planner (broadcast at these SFs,
+    // a shuffle join once it outgrows the threshold at warehouse scale) —
+    // the fact table shuffles exactly once, for the final aggregate
+    "q50_star_join" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer").select(col("c_custkey"), col("c_nationkey"))
+      val n = broadcast(t(s, dir, "nation")
+        .select(col("n_nationkey"), col("n_regionkey")))
+      val r = broadcast(t(s, dir, "region"))
+      o.join(c, col("o_custkey") === col("c_custkey"))
+        .join(n, col("c_nationkey") === col("n_nationkey"))
+        .join(r, col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"), col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+            .as("revenue"))
+    }),
+
     // CDC / changelog compaction: latest state per key as ONE aggregate
     // (max_by over a (ts, event_id) ordering struct) — no sort, no window,
     // no per-key shuffle beyond the single groupBy exchange. The shape a
@@ -954,6 +974,15 @@ object ParityQueries {
         |  CAST(batch AS INT) AS batch
         |FROM (VALUES (1, 'a', NULL, 1), (2, 'b', NULL, 1),
         |             (3, 'c', 30.0, 2), (4, 'd', 40.0, 2)) t(id, name, score, batch)""".stripMargin,
+
+    "q50_star_join" ->
+      """SELECT r_name, o_orderstatus, CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY 1, 2""".stripMargin,
 
     "q49_latest_per_key" ->
       """WITH ranked AS (

@@ -65,6 +65,14 @@ class PlanGuardSpec extends SparkSpec {
     assert(plan.contains("TopKPerGroup"))
   }
 
+  test("q50: star join broadcasts every dim; the fact shuffles once (final agg)") {
+    val plan = planOf("q50_star_join")
+    val bhj = "BroadcastHashJoin".r.findAllIn(plan).size
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(bhj == 3, s"all three dim joins must broadcast at this SF, got $bhj")
+    assert(exchanges == 1, s"fact must shuffle only for the aggregate, got $exchanges")
+  }
+
   test("x35: paragraph text is never a shuffle key (digest-keyed exchanges only)") {
     val plan = graft.queries.ExtensionQueries
       .queries("x35_paragraph_dedup")(spark, dir).queryExecution.executedPlan.toString
