@@ -62,6 +62,45 @@ class CorpusPropertiesSpec extends SparkSpec {
     }
   }
 
+  test("property: paragraph dedup keeps exactly the min-(id,pos) occurrence of every distinct paragraph") {
+    // paragraph pools of varying size -> dense cross-document duplication
+    // with colliding positions; the rule must hold for every mix
+    Seq(3, 7, 20).foreach { pool =>
+      val docs = (0 until 25).map { i =>
+        (i.toLong, (0 until 4).map(j => s"para${(i * 4 + j * 7) % pool}")
+          .mkString("\n\n"))
+      }.toDF("doc_id", "text")
+      val rows = Dedup.paragraphDedup(docs, "doc_id", "text")
+        .as[(Long, Int, String, Boolean)].collect()
+      val first = rows.groupBy(_._3).view
+        .mapValues(rs => rs.map(r => (r._1, r._2)).min).toMap
+      rows.foreach { case (id, pos, para, kept) =>
+        assert(kept == (first(para) == ((id, pos))), s"pool=$pool ($id,$pos)")
+      }
+      assert(rows.count(_._4) == rows.map(_._3).distinct.length, s"pool=$pool")
+    }
+  }
+
+  test("property: mixture rates and mod-path sample match a driver recompute") {
+    val grids = Seq(Seq(("a", 50), ("b", 10)), Seq(("a", 200), ("b", 3), ("c", 40)))
+    grids.foreach { strata =>
+      val data = strata.flatMap { case (nm, n) => Seq.fill(n)(nm) }
+        .zipWithIndex.map { case (nm, i) => (i.toLong, nm, 10L + i % 7) }
+      val budget = 300L
+      val out = graft.ops.Sampling
+        .mixtureByTokenBudget(data.toDF("id", "src", "tok"), "src", "id",
+          "tok", budget, byHash = false)
+        .as[(String, Long, Long, Double)].collect().toSet
+      val totals = data.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
+      val rate = totals.map { case (k, v) =>
+        k -> math.min(1.0, budget.toDouble / v) }
+      val expected = data
+        .filter { case (id, nm, _) => (id % 100) < rate(nm) * 100 }
+        .map(r => (r._2, r._1, r._3, rate(r._2))).toSet
+      assert(out == expected, s"strata $strata")
+    }
+  }
+
   test("property: digest dedup equals full-text dedup for every group-size mix") {
     val sizes = Seq(Seq(1, 1, 1), Seq(2, 3, 1), Seq(7, 1, 4, 4), Seq(20))
     sizes.zipWithIndex.foreach { case (mix, g) =>
