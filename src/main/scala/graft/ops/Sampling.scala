@@ -41,7 +41,13 @@ object Sampling {
     * true` (production) decides by xxhash64; `false` keeps the id-mod
     * arithmetic any SQL engine replays exactly (the oracle path — residue
     * granularity documented on [[stratifiedSampleByMod]]). Output keeps a
-    * `mix_rate` column recording each row's applied rate. */
+    * `mix_rate` column recording each row's applied rate.
+    *
+    * The input is deliberately scanned twice (once for the narrow totals
+    * aggregate, once for the rated sample): persisting a corpus-sized
+    * frame to save the second scan would cost more than the scan — the
+    * opposite trade from the candidate-pair persists in [[Dedup]], where
+    * the recomputed subtree is expensive and the cached frame tiny. */
   def mixtureByTokenBudget(df: DataFrame, stratumCol: String, idCol: String,
       tokenCol: String, budget: Long, byHash: Boolean = true,
       den: Int = 100): DataFrame = {
@@ -64,7 +70,9 @@ object Sampling {
     * the next `valBuckets` to `val`, the rest to `test`. md5 is
     * engine-portable bit-for-bit, so the split is reproducible off-Spark
     * (and oracle-checkable, unlike the xxhash64 paths). Map-only: adds a
-    * `split` column, no shuffle. */
+    * `split` column, no shuffle. NULL content hashes to NULL and falls
+    * through to `test` — route or drop null documents upstream if that
+    * placement matters. */
   def contentHashSplit(df: DataFrame, contentCol: String,
       trainBuckets: Int = 14, valBuckets: Int = 1): DataFrame = {
     require(trainBuckets >= 1 && valBuckets >= 1 &&
