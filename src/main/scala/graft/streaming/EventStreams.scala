@@ -154,6 +154,50 @@ object EventStreams {
       }
       .start()
 
+  /** Streaming CDC upsert: merge each micro-batch into a keyed parquet
+    * target via [[graft.sinks.Sinks.upsert]] — the streaming persistence
+    * half of the changelog story (q49 compacts a LOG to latest state;
+    * this keeps a TABLE at latest state as changes arrive). Each batch is
+    * first compacted to one row per key (max_by over `orderCol`, so two
+    * updates to one key inside a single micro-batch resolve
+    * deterministically — highest `orderCol` wins), then merged against
+    * the current target and the result swapped in via stage-write +
+    * directory rename. Parquet has no transactional MERGE: the
+    * stage-and-rename below is the single-writer pattern (readers racing
+    * the rename can observe a missing dir); a lakehouse table format
+    * would take the same merged frame through its MERGE instead. */
+  def upsertParquetSink(df: DataFrame, keyCols: Seq[String], orderCol: String,
+      targetPath: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    df.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val spark = batch.sparkSession
+          val cols = batch.columns.toSeq
+          val compacted = batch
+            .groupBy(keyCols.map(col): _*)
+            .agg(max_by(struct(cols.map(col): _*), col(orderCol)).as("__last"))
+            .select(cols.map(c => col(s"__last.$c").as(c)): _*)
+          val fs = org.apache.hadoop.fs.FileSystem
+            .get(spark.sparkContext.hadoopConfiguration)
+          val target = new org.apache.hadoop.fs.Path(targetPath)
+          val merged =
+            if (fs.exists(target))
+              graft.sinks.Sinks.upsert(
+                spark.read.parquet(targetPath), compacted, keyCols)
+            else compacted
+          // stage first: the merged plan READS targetPath, so overwriting
+          // it in place would clobber the job's own input mid-write
+          val stage = new org.apache.hadoop.fs.Path(targetPath + "__stage")
+          merged.write.mode("overwrite").parquet(stage.toString)
+          fs.delete(target, true)
+          require(fs.rename(stage, target),
+            s"staged-state rename failed: $stage -> $target")
+        }
+      }
+      .start()
+
   /** Streaming sink helper: append to a parquet path with a checkpoint —
     * the streaming analogue of Sinks.writePartitioned. */
   def startParquetSink(df: DataFrame, path: String, checkpoint: String,

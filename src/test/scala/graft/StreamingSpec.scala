@@ -97,6 +97,32 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("upsertParquetSink keeps the target at latest state per key across batches") {
+    import java.nio.file.Files
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("graft_upsink").toString
+    val input = MemoryStream[(Long, String, Long)]
+    val q = EventStreams.upsertParquetSink(
+      input.toDF().toDF("key", "payload", "ver"),
+      keyCols = Seq("key"), orderCol = "ver",
+      targetPath = s"$dir/state", checkpoint = s"$dir/ckpt")
+    try {
+      // batch 1 carries TWO versions of key 1 — in-batch compaction must
+      // resolve to ver 2 before the merge
+      input.addData((1L, "a", 1L), (2L, "b", 1L), (1L, "c", 2L))
+      q.processAllAvailable()
+      val after1 = spark.read.parquet(s"$dir/state")
+        .as[(Long, String, Long)].collect().toSet
+      assert(after1 == Set((1L, "c", 2L), (2L, "b", 1L)))
+      // batch 2 updates key 2 and inserts key 3; key 1 must carry through
+      input.addData((2L, "d", 3L), (3L, "e", 1L))
+      q.processAllAvailable()
+      val after2 = spark.read.parquet(s"$dir/state")
+        .as[(Long, String, Long)].collect().toSet
+      assert(after2 == Set((1L, "c", 2L), (2L, "d", 3L), (3L, "e", 1L)))
+    } finally q.stop()
+  }
+
   test("dedupStream drops duplicate event ids within the watermark horizon") {
     implicit val s = spark
     implicit val sqlCtx = spark.sqlContext
