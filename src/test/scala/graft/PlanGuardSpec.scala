@@ -65,6 +65,27 @@ class PlanGuardSpec extends SparkSpec {
     assert(plan.contains("TopKPerGroup"))
   }
 
+  test("q36 layout: a partition-column filter on the readback prunes at the scan") {
+    // the write-side year/month layout must turn partition-column filters
+    // into PartitionFilters (directory skipping), not data filters
+    val dir001 = "/root/testdata/sf0.001"
+    val tmp = graft.queries.ParityQueries.tmpPath("graft_part", dir001)
+    graft.sinks.Sinks.writePartitioned(
+      graft.queries.ParityQueries.events(spark, dir001)
+        .select(org.apache.spark.sql.functions.col("event_id"),
+          org.apache.spark.sql.functions.year(
+            org.apache.spark.sql.functions.col("ts")).as("event_year")),
+      tmp, "overwrite", Seq("event_year"))
+    val plan = spark.read.parquet(tmp)
+      .filter(org.apache.spark.sql.functions.col("event_year") === 2024)
+      .queryExecution.executedPlan.toString
+    val pf = "PartitionFilters: \\[[^\\]]*event_year".r
+    assert(pf.findFirstIn(plan).isDefined,
+      s"partition filter must prune directories:\n${plan.take(800)}")
+    assert(!plan.contains("PushedFilters: [IsNotNull(event_year"),
+      "partition column must not degrade to a data filter")
+  }
+
   test("q50: star join broadcasts every dim; the fact shuffles once (final agg)") {
     val plan = planOf("q50_star_join")
     val bhj = "BroadcastHashJoin".r.findAllIn(plan).size
