@@ -70,6 +70,21 @@ object Dedup {
       .select(col("id"), col("pos"), col("para"), col("kept"))
   }
 
+  /** Reassemble the cleaned corpus from [[paragraphDedup]]'s output: per
+    * document, surviving paragraphs rejoin on `sep` in original position
+    * order. Documents whose every paragraph was dropped vanish (their
+    * text would be empty — downstream length filters would cut them
+    * anyway). One grouped aggregate; the order is restored by sorting the
+    * (pos, para) structs inside the row, not by a global sort. */
+  def reassembleKept(deduped: DataFrame, sep: String = "\n\n"): DataFrame =
+    deduped.filter(col("kept"))
+      .groupBy(col("id"))
+      .agg(array_join(
+        transform(
+          array_sort(collect_list(struct(col("pos"), col("para")))),
+          s => s.getField("para")),
+        sep).as("text"))
+
   /** w-token shingles of a token array: ["a","b","c"], w=2 -> ["a b","b c"].
     * Fewer than w tokens -> single shingle of the whole text. */
   def shingles(tokens: Column, w: Int): Column =

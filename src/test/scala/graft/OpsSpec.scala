@@ -50,6 +50,20 @@ class DedupSpec extends SparkSpec {
     assert(out.groupBy(_._3).forall { case (_, rs) => rs.count(_._4) == 1 })
   }
 
+  test("reassembleKept rebuilds surviving paragraphs in position order") {
+    val corpus = Seq(
+      (1L, "alpha beta\n\ngamma delta"),
+      (2L, "gamma delta\n\nepsilon zeta"),
+      (3L, "alpha beta\n\nalpha beta") // fully duplicated -> drops out
+    ).toDF("doc_id", "text")
+    val rebuilt = Dedup.reassembleKept(
+      Dedup.paragraphDedup(corpus, "doc_id", "text"))
+      .as[(Long, String)].collect().toMap
+    assert(rebuilt == Map(
+      1L -> "alpha beta\n\ngamma delta", // both paras first occurrences
+      2L -> "epsilon zeta"))             // para 0 deduped away, order kept
+  }
+
   test("paragraphDedup quotes regex separators; within-doc first occurrence wins") {
     val out = Dedup.paragraphDedup(
       Seq((7L, "x|y|x")).toDF("doc_id", "text"), "doc_id", "text", sep = "|")
