@@ -512,6 +512,23 @@ object ExtensionQueries {
           col("kept_chars"))
     }),
 
+    // Paragraph dedup's production OUTPUT, hash-checked end to end: the
+    // x35 corpus deduped and then REASSEMBLED — surviving paragraphs
+    // rejoined per document in position order (full text compared by the
+    // oracle hash; the fully-duplicated last doc must vanish)
+    "x40_paragraph_reassembly" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window.orderBy(col("doc_id"))
+      val wAll = org.apache.spark.sql.expressions.Window.orderBy(col("doc_id"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.unboundedFollowing)
+      val corpus = t(s, dir, "documents").select(col("doc_id"),
+        concat_ws("\n\n", col("text"),
+          coalesce(lead(col("text"), 1).over(w),
+            first(col("text")).over(wAll))).as("text"))
+      Dedup.reassembleKept(Dedup.paragraphDedup(corpus, "doc_id", "text"))
+        .select(col("id").as("doc_id"), col("text"))
+    }),
+
     // Bigram next-token top-3 per prefix (LM-data diagnostics / tokenizer
     // prep): zip-sliced bigrams, counted once, ranked through the
     // spillable window path (prefix cardinality = vocabulary = unbounded)
@@ -744,6 +761,23 @@ object ExtensionQueries {
         |  CAST(count(CASE WHEN rn = 1 THEN 1 END) AS BIGINT) AS n_kept,
         |  CAST(coalesce(sum(CASE WHEN rn = 1 THEN len(para) END), 0) AS BIGINT) AS kept_chars
         |FROM ranked GROUP BY doc_id""".stripMargin,
+
+    "x40_paragraph_reassembly" ->
+      """WITH c AS (
+        |  SELECT doc_id, text,
+        |    coalesce(lead(text) OVER (ORDER BY doc_id),
+        |      first_value(text) OVER (ORDER BY doc_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)) AS nxt
+        |  FROM documents),
+        |paras AS (
+        |  SELECT doc_id, 0 AS pos, text AS para FROM c
+        |  UNION ALL SELECT doc_id, 1, nxt FROM c),
+        |ranked AS (
+        |  SELECT doc_id, pos, para,
+        |    row_number() OVER (PARTITION BY para ORDER BY doc_id, pos) AS rn
+        |  FROM paras)
+        |SELECT doc_id, string_agg(para, chr(10) || chr(10) ORDER BY pos) AS text
+        |FROM ranked WHERE rn = 1 GROUP BY doc_id""".stripMargin,
 
     "x39_bigram_topk" ->
       """WITH tok AS (
