@@ -162,10 +162,14 @@ object EventStreams {
     * updates to one key inside a single micro-batch resolve
     * deterministically — highest `orderCol` wins), then merged against
     * the current target and the result swapped in via stage-write +
-    * directory rename. Parquet has no transactional MERGE: the
-    * stage-and-rename below is the single-writer pattern (readers racing
-    * the rename can observe a missing dir); a lakehouse table format
-    * would take the same merged frame through its MERGE instead. */
+    * retire-and-rename. Parquet has no transactional MERGE: the swap is
+    * the single-writer pattern (readers racing it can observe a missing
+    * dir); a lakehouse table format would take the same merged frame
+    * through its MERGE instead. CRASH SAFETY: the current state is
+    * retired to `<target>__old` before the stage renames in, and
+    * [[recoverUpsertTarget]] runs at every batch — a death at any point
+    * of the swap loses at most the in-flight batch (which the checkpoint
+    * replays), never the accumulated table. */
   def upsertParquetSink(df: DataFrame, keyCols: Seq[String], orderCol: String,
       targetPath: String, checkpoint: String)
       : org.apache.spark.sql.streaming.StreamingQuery =
@@ -182,6 +186,9 @@ object EventStreams {
           val fs = org.apache.hadoop.fs.FileSystem
             .get(spark.sparkContext.hadoopConfiguration)
           val target = new org.apache.hadoop.fs.Path(targetPath)
+          val stage = new org.apache.hadoop.fs.Path(targetPath + "__stage")
+          val old = new org.apache.hadoop.fs.Path(targetPath + "__old")
+          recoverUpsertTarget(fs, targetPath)
           val merged =
             if (fs.exists(target))
               graft.sinks.Sinks.upsert(
@@ -189,14 +196,36 @@ object EventStreams {
             else compacted
           // stage first: the merged plan READS targetPath, so overwriting
           // it in place would clobber the job's own input mid-write
-          val stage = new org.apache.hadoop.fs.Path(targetPath + "__stage")
           merged.write.mode("overwrite").parquet(stage.toString)
-          fs.delete(target, true)
+          // swap: retire current state, promote the stage, drop the retiree
+          // — never a window where neither generation exists on disk
+          if (fs.exists(target))
+            require(fs.rename(target, old), s"retire failed: $target")
           require(fs.rename(stage, target),
             s"staged-state rename failed: $stage -> $target")
+          fs.delete(old, true)
+          ()
         }
       }
       .start()
+
+  /** Crash recovery for [[upsertParquetSink]]'s swap: if a previous run
+    * died mid-swap, either the retired generation (`__old`) still holds
+    * the state (target missing -> restore it) or it is a fully-superseded
+    * leftover (target present -> drop it). A leftover stage dir is always
+    * a partial write (its content replays from the checkpoint) -> drop. */
+  private[graft] def recoverUpsertTarget(
+      fs: org.apache.hadoop.fs.FileSystem, targetPath: String): Unit = {
+    val target = new org.apache.hadoop.fs.Path(targetPath)
+    val stage = new org.apache.hadoop.fs.Path(targetPath + "__stage")
+    val old = new org.apache.hadoop.fs.Path(targetPath + "__old")
+    if (fs.exists(old)) {
+      if (!fs.exists(target))
+        require(fs.rename(old, target), s"state restore failed: $old")
+      else fs.delete(old, true)
+    }
+    fs.delete(stage, true)
+  }
 
   /** Streaming sink helper: append to a parquet path with a checkpoint —
     * the streaming analogue of Sinks.writePartitioned. */

@@ -123,6 +123,27 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("upsert-sink crash recovery restores the retired generation, drops leftovers") {
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("graft_uprec").toString
+    val fs = org.apache.hadoop.fs.FileSystem
+      .get(spark.sparkContext.hadoopConfiguration)
+    def p(s: String) = new org.apache.hadoop.fs.Path(s)
+    val state = Seq((1L, "a")).toDF("key", "payload")
+    // crash between retire and promote: only __old holds the state
+    state.write.parquet(s"$dir/t__old")
+    state.limit(0).write.parquet(s"$dir/t__stage") // partial stage leftover
+    EventStreams.recoverUpsertTarget(fs, s"$dir/t")
+    assert(spark.read.parquet(s"$dir/t").count() == 1, "state must be restored")
+    assert(!fs.exists(p(s"$dir/t__old")) && !fs.exists(p(s"$dir/t__stage")))
+    // crash after promote, before dropping the retiree: __old is superseded
+    state.write.parquet(s"$dir/u__old")
+    state.union(state).write.parquet(s"$dir/u")
+    EventStreams.recoverUpsertTarget(fs, s"$dir/u")
+    assert(spark.read.parquet(s"$dir/u").count() == 2, "newer generation wins")
+    assert(!fs.exists(p(s"$dir/u__old")))
+  }
+
   test("dedupStream drops duplicate event ids within the watermark horizon") {
     implicit val s = spark
     implicit val sqlCtx = spark.sqlContext
