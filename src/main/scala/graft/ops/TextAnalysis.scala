@@ -287,6 +287,30 @@ object TextAnalysis {
     else graft.plans.TopK.windowPerGroup(counts, Seq(shardCol), order, k)
   }
 
+  /** Boilerplate DISCOVERY: the k most frequent paragraphs across the
+    * corpus with occurrence and document counts — the mining pass that
+    * produces the block-list feeding boilerplate REMOVAL (C4/Dolma-style
+    * common-paragraph pruning builds exactly this table first). Counting
+    * groups on the 8-byte paragraph digest (the
+    * [[graft.ops.Dedup.exactByDigest]] argument — text never rides the
+    * shuffle as a key); the text itself survives as min(para), which IS
+    * the group's one distinct value barring digest collision. The global
+    * top-k is small, so it plans TakeOrderedAndProject, never a full
+    * sort; ties break by text for a total order. */
+  def commonParagraphs(df: DataFrame, idCol: String, textCol: String,
+      sep: String = "\n\n", k: Int = 20): DataFrame = {
+    val paras = df.select(col(idCol).as("id"),
+      explode(split(col(textCol), java.util.regex.Pattern.quote(sep)))
+        .as("para"))
+    paras.groupBy(xxhash64(col("para")).as("__d"))
+      .agg(min(col("para")).as("para"),
+        count(lit(1)).as("n_occurrences"),
+        countDistinct(col("id")).as("n_docs"))
+      .drop("__d")
+      .orderBy(col("n_occurrences").desc, col("para"))
+      .limit(k)
+  }
+
   /** Next-token statistics: the k most frequent successors per prefix
     * token with counts — the bigram conditional-frequency table a
     * tokenizer / LM-data diagnostics stage builds. Bigrams come from

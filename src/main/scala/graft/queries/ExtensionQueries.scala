@@ -529,6 +529,19 @@ object ExtensionQueries {
         .select(col("id").as("doc_id"), col("text"))
     }),
 
+    // Boilerplate DISCOVERY (the mining pass that builds the block-list
+    // boilerplate REMOVAL consumes): most frequent paragraphs over a
+    // corpus with planted shared footers — digest-keyed counting, text
+    // recovered as the group min, top-5 via TakeOrderedAndProject
+    "x41_common_paragraphs" -> ((s, dir) => {
+      val corpus = t(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 5 === 0, "\n\nshared footer alpha")
+            .when(col("doc_id") % 7 === 0, "\n\nshared footer beta")
+            .otherwise("")).as("text"))
+      TextAnalysis.commonParagraphs(corpus, "doc_id", "text", k = 5)
+    }),
+
     // Bigram next-token top-3 per prefix (LM-data diagnostics / tokenizer
     // prep): zip-sliced bigrams, counted once, ranked through the
     // spillable window path (prefix cardinality = vocabulary = unbounded)
@@ -761,6 +774,21 @@ object ExtensionQueries {
         |  CAST(count(CASE WHEN rn = 1 THEN 1 END) AS BIGINT) AS n_kept,
         |  CAST(coalesce(sum(CASE WHEN rn = 1 THEN len(para) END), 0) AS BIGINT) AS kept_chars
         |FROM ranked GROUP BY doc_id""".stripMargin,
+
+    "x41_common_paragraphs" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text ||
+        |    CASE WHEN doc_id % 5 = 0 THEN chr(10) || chr(10) || 'shared footer alpha'
+        |         WHEN doc_id % 7 = 0 THEN chr(10) || chr(10) || 'shared footer beta'
+        |         ELSE '' END AS text
+        |  FROM documents),
+        |paras AS (
+        |  SELECT doc_id, unnest(string_split(text, chr(10) || chr(10))) AS para
+        |  FROM corpus)
+        |SELECT para, CAST(count(*) AS BIGINT) AS n_occurrences,
+        |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+        |FROM paras GROUP BY para
+        |ORDER BY n_occurrences DESC, para LIMIT 5""".stripMargin,
 
     "x40_paragraph_reassembly" ->
       """WITH c AS (

@@ -447,6 +447,21 @@ class SamplingSpec extends SparkSpec {
 class TextAnalysisSpec extends SparkSpec {
   import spark.implicits._
 
+  test("commonParagraphs ranks by frequency and separates occurrences from docs") {
+    val corpus = Seq(
+      (1L, "footer\n\nunique one"),
+      (2L, "footer\n\nfooter"), // footer twice in ONE doc: 3 occ, 2 docs
+      (3L, "unique two\n\nfooter")
+    ).toDF("doc_id", "text")
+    val top = TextAnalysis.commonParagraphs(corpus, "doc_id", "text", k = 2)
+      .as[(String, Long, Long)].collect().toSeq
+    assert(top == Seq(("footer", 4L, 3L), ("unique one", 1L, 1L)))
+    // the global top-k must plan TakeOrderedAndProject, not a full sort
+    val plan = TextAnalysis.commonParagraphs(corpus, "doc_id", "text", k = 2)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(400))
+  }
+
   test("nextTokenTopK ranks successors per prefix with deterministic ties") {
     val df = Seq(
       (1L, "a b a b a c"), // bigrams: a->b x2, b->a x2, a->c x1
