@@ -353,10 +353,16 @@ object Dedup {
     val useReliable = pairs.sparkSession.sparkContext.getCheckpointDir.isDefined
     def ckpt(df: DataFrame): DataFrame =
       if (useReliable) df.checkpoint() else df.localCheckpoint()
-    val edges = ckpt(p.select(col(idA).as("src"), col(idB).as("dst"))
-      .unionByName(p.select(col(idB).as("src"), col(idA).as("dst")))
-      .distinct())
+    // stage-timed so the bench splits cluster queries (x12/x26/x36) into
+    // pair-generation (materialized by this first checkpoint) vs the
+    // propagation loop — the same attribution q38 gets
+    val edges = graft.bench.StageTimers.time("resolveClusters.pairs_edges") {
+      ckpt(p.select(col(idA).as("src"), col(idB).as("dst"))
+        .unionByName(p.select(col(idB).as("src"), col(idA).as("dst")))
+        .distinct())
+    }
     p.unpersist()
+    def propagate(): DataFrame = {
     var labels = ckpt(edges.select(col("src").as("id")).distinct()
       .withColumn("cluster_id", col("id")))
     // coalesce: an empty pair set must yield an empty (not crashing) result
@@ -389,6 +395,8 @@ object Dedup {
       i += 1
     }
     labels
+    }
+    graft.bench.StageTimers.time("resolveClusters.loop")(propagate())
   }
 
   /** Surviving corpus after cluster dedup: for every duplicate cluster keep
