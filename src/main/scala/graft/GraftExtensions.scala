@@ -4,7 +4,8 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.{CosineSimilarity, DotProduct, ShingleHashes, SrpSignature}
+import graft.functions.{CosineSimilarity, DotProduct, MinHashSigs, MinMaxXor,
+  ShingleHashes, SimHash64, SrpSignature}
 
 /** Session-extensions entry point: registers graft's native expressions as
   * SQL functions at session build time, so a deployment can enable them
@@ -35,5 +36,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[SrpSignature].getName, "srp_signature"),
       exprs => SrpSignature(exprs.head,
         exprs(1).eval(null).asInstanceOf[Int])))
+    e.injectFunction((
+      FunctionIdentifier("minhash_sigs"),
+      new ExpressionInfo(classOf[MinHashSigs].getName, "minhash_sigs"),
+      exprs => MinHashSigs(exprs.head,
+        exprs(1).eval(null).asInstanceOf[Int])))
+    e.injectFunction((
+      FunctionIdentifier("simhash64"),
+      new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
+      exprs => SimHash64(exprs.head)))
+    e.injectFunction((
+      FunctionIdentifier("min_max_xor"),
+      new ExpressionInfo(classOf[MinMaxXor].getName, "min_max_xor"),
+      exprs => MinMaxXor(exprs.head)))
+    // TokenProfile is deliberately NOT SQL-registered: its stopword-list
+    // parameter is builder-side configuration (Seq[Seq[String]]), not a
+    // SQL literal — Column-API users get it via TokenProfileFunctions.
   }
 }

@@ -35,6 +35,27 @@ class ExtensionsSpec extends SparkSpec {
       val again = ext.sql(
         "SELECT srp_signature(array(1.0D, -1.0D, 0.5D), 8)").head().getLong(0)
       assert(row.getLong(3) == again)
+      // round-4 per-row fold expressions, from pure SQL, each pinned to its
+      // Column-API value on the same input
+      val sqlRow = ext.sql(
+        """SELECT
+          |  minhash_sigs(shingle_hashes(array('a', 'b', 'c'), 2), 4) AS mh,
+          |  simhash64(array('a', 'b', 'c')) AS sh,
+          |  min_max_xor(shingle_hashes(array('a', 'b', 'c'), 2)) AS mmx
+          |""".stripMargin).head()
+      import org.apache.spark.sql.functions.{array, lit}
+      val apiRow = ext.range(1).select(
+        graft.functions.MinHashFunctions.minhash_sigs(
+          graft.functions.ShingleFunctions.shingle_hashes(
+            array(lit("a"), lit("b"), lit("c")), 2), 4).as("mh"),
+        graft.functions.SimHashFunctions.simhash64(
+          array(lit("a"), lit("b"), lit("c"))).as("sh"),
+        graft.functions.MinMaxXorFunctions.min_max_xor(
+          graft.functions.ShingleFunctions.shingle_hashes(
+            array(lit("a"), lit("b"), lit("c")), 2)).as("mmx")).head()
+      assert(sqlRow.getSeq[Long](0) == apiRow.getSeq[Long](0))
+      assert(sqlRow.getLong(1) == apiRow.getLong(1))
+      assert(sqlRow.get(2) == apiRow.get(2))
     } finally {
       SparkSession.setActiveSession(base)
       SparkSession.setDefaultSession(base)
