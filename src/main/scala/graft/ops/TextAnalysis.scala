@@ -287,6 +287,30 @@ object TextAnalysis {
     else graft.plans.TopK.windowPerGroup(counts, Seq(shardCol), order, k)
   }
 
+  /** CCNet-style statistical quality score: per-document unigram negative
+    * log-likelihood under the corpus's OWN unigram distribution — the
+    * in-engine proxy for the KenLM perplexity filters production
+    * pipelines run (CCNet, Gopher): off-distribution/gibberish documents
+    * score high, repetitive common-token text scores low, and the score
+    * needs no external model. Shape: one token-count aggregate, a scalar
+    * total broadcast back, one token-keyed join, one per-doc aggregate —
+    * only (token, count) pairs ride the shuffles, never document text.
+    * The corpus is tokenized twice (count pass + score pass) by the same
+    * deliberate trade documented on
+    * [[graft.ops.Sampling.mixtureByTokenBudget]]. */
+  def unigramNll(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = df.select(col(idCol).as("id"),
+      explode(tokens(lower(col(textCol)))).as("token"))
+    val tf = tok.groupBy(col("token")).agg(count(lit(1)).as("__tf"))
+    val total = tf.agg(sum(col("__tf")).as("__total"))
+    tok.join(tf, Seq("token"))
+      .crossJoin(broadcast(total))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        round(-avg(log(col("__tf").cast("double") / col("__total"))), 6)
+          .as("unigram_nll"))
+  }
+
   /** Boilerplate DISCOVERY: the k most frequent paragraphs across the
     * corpus with occurrence and document counts — the mining pass that
     * produces the block-list feeding boilerplate REMOVAL (C4/Dolma-style

@@ -529,6 +529,12 @@ object ExtensionQueries {
         .select(col("id").as("doc_id"), col("text"))
     }),
 
+    // Statistical quality scoring (CCNet-style perplexity proxy): per-doc
+    // unigram NLL under the corpus's own distribution — no external model
+    "x42_unigram_nll" -> ((s, dir) =>
+      TextAnalysis.unigramNll(t(s, dir, "documents"), "doc_id", "text")
+        .select(col("id").as("doc_id"), col("n_tokens"), col("unigram_nll"))),
+
     // Boilerplate DISCOVERY (the mining pass that builds the block-list
     // boilerplate REMOVAL consumes): most frequent paragraphs over a
     // corpus with planted shared footers — digest-keyed counting, text
@@ -774,6 +780,19 @@ object ExtensionQueries {
         |  CAST(count(CASE WHEN rn = 1 THEN 1 END) AS BIGINT) AS n_kept,
         |  CAST(coalesce(sum(CASE WHEN rn = 1 THEN len(para) END), 0) AS BIGINT) AS kept_chars
         |FROM ranked GROUP BY doc_id""".stripMargin,
+
+    "x42_unigram_nll" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(list_filter(
+        |    string_split_regex(trim(lower(text)), '\s+'), x -> len(x) > 0)) AS token
+        |  FROM documents),
+        |tf AS (SELECT token, count(*) AS tf FROM tok GROUP BY token),
+        |tot AS (SELECT count(*) AS total FROM tok)
+        |SELECT t.doc_id,
+        |  CAST(count(*) AS BIGINT) AS n_tokens,
+        |  ROUND(-avg(ln(tf.tf * 1.0 / tot.total)), 6) AS unigram_nll
+        |FROM tok t JOIN tf ON t.token = tf.token CROSS JOIN tot
+        |GROUP BY t.doc_id""".stripMargin,
 
     "x41_common_paragraphs" ->
       """WITH corpus AS (

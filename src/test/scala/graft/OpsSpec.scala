@@ -447,6 +447,17 @@ class SamplingSpec extends SparkSpec {
 class TextAnalysisSpec extends SparkSpec {
   import spark.implicits._
 
+  test("unigramNll matches a hand-computed corpus distribution") {
+    // corpus: tokens a a a b -> p(a)=3/4, p(b)=1/4
+    val docs = Seq((1L, "a a a"), (2L, "b")).toDF("doc_id", "text")
+    val out = TextAnalysis.unigramNll(docs, "doc_id", "text")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    val r6 = (x: Double) => math.rint(x * 1e6) / 1e6
+    assert(out(1L) == ((3L, r6(-math.log(0.75))))) // common tokens -> low NLL
+    assert(out(2L) == ((1L, r6(-math.log(0.25))))) // rare token -> high NLL
+    assert(out(2L)._2 > out(1L)._2)
+  }
+
   test("commonParagraphs ranks by frequency and separates occurrences from docs") {
     val corpus = Seq(
       (1L, "footer\n\nunique one"),
