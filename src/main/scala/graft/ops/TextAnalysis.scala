@@ -311,6 +311,36 @@ object TextAnalysis {
           .as("unigram_nll"))
   }
 
+  /** Dataset-mixture diagnostics: KL divergence of each stratum's unigram
+    * distribution from the whole corpus's — the QA check run AFTER
+    * mixture weighting ([[graft.ops.Sampling.mixtureByTokenBudget]]) to
+    * see which sources drift from the blend (a source with KL ~0 looks
+    * like the corpus; a high-KL source is off-distribution). One corpus
+    * tokenize pass: the global distribution derives from the per-stratum
+    * counts by re-aggregation, and that compact (stratum, token) count
+    * frame is persisted because THREE consumers branch from it — the
+    * dual-consumer recompute trap documented on
+    * [[graft.ops.Dedup.minhashLshPairs]]. */
+  def sourceTokenKl(df: DataFrame, stratumCol: String,
+      textCol: String): DataFrame = {
+    val stf = df.select(col(stratumCol).as("src"),
+        explode(tokens(lower(col(textCol)))).as("token"))
+      .groupBy(col("src"), col("token"))
+      .agg(count(lit(1)).as("stf"))
+      .persist()
+    stf.count()
+    val stot = stf.groupBy(col("src")).agg(sum(col("stf")).as("stot"))
+    val gtf = stf.groupBy(col("token")).agg(sum(col("stf")).as("gtf"))
+    val gtot = gtf.agg(sum(col("gtf")).as("gtot"))
+    val p = col("stf").cast("double") / col("stot")
+    val q = col("gtf").cast("double") / col("gtot")
+    stf.join(stot, "src").join(gtf, "token")
+      .crossJoin(broadcast(gtot))
+      .groupBy(col("src"))
+      .agg(max(col("stot")).cast("long").as("n_tokens"),
+        round(sum(p * log(p / q)), 6).as("kl"))
+  }
+
   /** Boilerplate DISCOVERY: the k most frequent paragraphs across the
     * corpus with occurrence and document counts — the mining pass that
     * produces the block-list feeding boilerplate REMOVAL (C4/Dolma-style

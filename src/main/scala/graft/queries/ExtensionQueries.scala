@@ -535,6 +535,12 @@ object ExtensionQueries {
       TextAnalysis.unigramNll(t(s, dir, "documents"), "doc_id", "text")
         .select(col("id").as("doc_id"), col("n_tokens"), col("unigram_nll"))),
 
+    // Mixture diagnostics: per-source KL divergence from the corpus token
+    // distribution (the post-sampling QA check pairing with x38)
+    "x43_source_kl" -> ((s, dir) =>
+      TextAnalysis.sourceTokenKl(t(s, dir, "documents"), "source", "text")
+        .select(col("src").as("source"), col("n_tokens"), col("kl"))),
+
     // Boilerplate DISCOVERY (the mining pass that builds the block-list
     // boilerplate REMOVAL consumes): most frequent paragraphs over a
     // corpus with planted shared footers — digest-keyed counting, text
@@ -780,6 +786,21 @@ object ExtensionQueries {
         |  CAST(count(CASE WHEN rn = 1 THEN 1 END) AS BIGINT) AS n_kept,
         |  CAST(coalesce(sum(CASE WHEN rn = 1 THEN len(para) END), 0) AS BIGINT) AS kept_chars
         |FROM ranked GROUP BY doc_id""".stripMargin,
+
+    "x43_source_kl" ->
+      """WITH tok AS (
+        |  SELECT source, unnest(list_filter(
+        |    string_split_regex(trim(lower(text)), '\s+'), x -> len(x) > 0)) AS token
+        |  FROM documents),
+        |stf AS (SELECT source, token, count(*) AS stf FROM tok GROUP BY 1, 2),
+        |stot AS (SELECT source, sum(stf) AS stot FROM stf GROUP BY 1),
+        |gtf AS (SELECT token, sum(stf) AS gtf FROM stf GROUP BY 1),
+        |gtot AS (SELECT sum(gtf) AS gtot FROM gtf)
+        |SELECT s.source, CAST(max(t.stot) AS BIGINT) AS n_tokens,
+        |  ROUND(sum((s.stf * 1.0 / t.stot) *
+        |    ln((s.stf * 1.0 / t.stot) / (g.gtf * 1.0 / gtot.gtot))), 6) AS kl
+        |FROM stf s JOIN stot t USING (source) JOIN gtf g USING (token) CROSS JOIN gtot
+        |GROUP BY s.source""".stripMargin,
 
     "x42_unigram_nll" ->
       """WITH tok AS (

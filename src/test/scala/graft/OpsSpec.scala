@@ -447,6 +447,23 @@ class SamplingSpec extends SparkSpec {
 class TextAnalysisSpec extends SparkSpec {
   import spark.implicits._
 
+  test("sourceTokenKl is zero for identical distributions, positive for drift") {
+    // two sources with IDENTICAL token mixes -> each equals the corpus
+    val same = Seq((1L, "a", "x x y"), (2L, "b", "x x y"))
+      .toDF("doc_id", "src", "text")
+    val klSame = TextAnalysis.sourceTokenKl(same, "src", "text")
+      .as[(String, Long, Double)].collect().map(r => r._1 -> r._3).toMap
+    assert(klSame("a") == 0.0 && klSame("b") == 0.0)
+    // disjoint vocabularies -> both sources diverge from the blend
+    val drift = Seq((1L, "a", "x x x"), (2L, "b", "y y y"))
+      .toDF("doc_id", "src", "text")
+    val klDrift = TextAnalysis.sourceTokenKl(drift, "src", "text")
+      .as[(String, Long, Double)].collect().map(r => r._1 -> r._3).toMap
+    // p=1 on its own token, q=1/2 in the blend -> KL = ln 2
+    val r6 = (x: Double) => math.rint(x * 1e6) / 1e6
+    assert(klDrift("a") == r6(math.log(2)) && klDrift("b") == r6(math.log(2)))
+  }
+
   test("unigramNll matches a hand-computed corpus distribution") {
     // corpus: tokens a a a b -> p(a)=3/4, p(b)=1/4
     val docs = Seq((1L, "a a a"), (2L, "b")).toDF("doc_id", "text")
