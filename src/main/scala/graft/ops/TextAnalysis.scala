@@ -311,6 +311,14 @@ object TextAnalysis {
           .as("unigram_nll"))
   }
 
+  /** First URL host in a text column ('' when none) — the extraction
+    * primitive behind RefinedWeb-style domain filtering (block-list by
+    * host, per-domain corpus stats). Pure per-row regexp (no lookarounds,
+    * so the pattern is portable to RE2 engines and oracle-checkable);
+    * map-only. */
+  def urlDomain(text: Column): Column =
+    regexp_extract(text, "https?://([^/\\s]+)", 1)
+
   /** Dataset-mixture diagnostics: KL divergence of each stratum's unigram
     * distribution from the whole corpus's — the QA check run AFTER
     * mixture weighting ([[graft.ops.Sampling.mixtureByTokenBudget]]) to

@@ -535,6 +535,23 @@ object ExtensionQueries {
       TextAnalysis.unigramNll(t(s, dir, "documents"), "doc_id", "text")
         .select(col("id").as("doc_id"), col("n_tokens"), col("unigram_nll"))),
 
+    // Domain filtering prep (RefinedWeb-style): extract URL hosts over a
+    // corpus with planted links, per-domain doc/url counts + block flag
+    "x44_domain_stats" -> ((s, dir) => {
+      val corpus = t(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 4 === 0,
+            concat(lit(" see https://site"),
+              (col("doc_id") % 6).cast("string"), lit(".example.com/page")))
+            .otherwise("")).as("text"))
+      corpus.select(col("doc_id"), TextAnalysis.urlDomain(col("text")).as("domain"))
+        .filter(col("domain") =!= "")
+        .groupBy(col("domain"))
+        .agg(countDistinct(col("doc_id")).as("n_docs"),
+          count(lit(1)).as("n_urls"))
+        .withColumn("blocked", col("domain") === "site0.example.com")
+    }),
+
     // Mixture diagnostics: per-source KL divergence from the corpus token
     // distribution (the post-sampling QA check pairing with x38)
     "x43_source_kl" -> ((s, dir) =>
@@ -786,6 +803,23 @@ object ExtensionQueries {
         |  CAST(count(CASE WHEN rn = 1 THEN 1 END) AS BIGINT) AS n_kept,
         |  CAST(coalesce(sum(CASE WHEN rn = 1 THEN len(para) END), 0) AS BIGINT) AS kept_chars
         |FROM ranked GROUP BY doc_id""".stripMargin,
+
+    "x44_domain_stats" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text ||
+        |    CASE WHEN doc_id % 4 = 0
+        |      THEN ' see https://site' || CAST(doc_id % 6 AS VARCHAR) || '.example.com/page'
+        |      ELSE '' END AS text
+        |  FROM documents),
+        |dom AS (
+        |  SELECT doc_id, regexp_extract(text, 'https?://([^/\s]+)', 1) AS domain
+        |  FROM corpus),
+        |hits AS (SELECT * FROM dom WHERE domain <> '')
+        |SELECT domain,
+        |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        |  CAST(count(*) AS BIGINT) AS n_urls,
+        |  domain = 'site0.example.com' AS blocked
+        |FROM hits GROUP BY domain""".stripMargin,
 
     "x43_source_kl" ->
       """WITH tok AS (

@@ -447,6 +447,14 @@ class SamplingSpec extends SparkSpec {
 class TextAnalysisSpec extends SparkSpec {
   import spark.implicits._
 
+  test("urlDomain extracts the first host; empty when no URL") {
+    val out = Seq(
+      "go to https://a.example.com/x and http://b.example.com/y",
+      "no links here").toDF("text")
+      .select(TextAnalysis.urlDomain(col("text"))).as[String].collect().toSeq
+    assert(out == Seq("a.example.com", ""))
+  }
+
   test("sourceTokenKl is zero for identical distributions, positive for drift") {
     // two sources with IDENTICAL token mixes -> each equals the corpus
     val same = Seq((1L, "a", "x x y"), (2L, "b", "x x y"))
