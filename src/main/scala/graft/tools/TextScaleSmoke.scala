@@ -66,6 +66,19 @@ object TextScaleSmoke {
       TextAnalysis.languageId(TextAnalysis.repetitionStats(corpus))
         .agg(avg("repetition"), count(when(col("predicted_lang") =!= "unknown", 1)))
         .head())
+    // ~40M-row token join against a 5k-distinct-token frequency table
+    time("unigram NLL (token-keyed join)")(
+      TextAnalysis.unigramNll(corpus, "doc_id", "text")
+        .agg(avg("unigram_nll")).head())
+    time("per-shard KL vs corpus distribution")(
+      TextAnalysis.sourceTokenKl(corpus, "lang", "text").count())
+    time("common-paragraph mining (top-20)")(
+      TextAnalysis.commonParagraphs(
+        corpus.select(col("doc_id"),
+          concat_ws("\n\n", col("text"),
+            concat(lit("p"), pmod(col("doc_id"), lit(1000)).cast("string")))
+            .as("text")),
+        "doc_id", "text", k = 20).count())
     spark.stop()
   }
 }

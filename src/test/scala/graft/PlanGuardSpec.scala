@@ -116,6 +116,18 @@ class PlanGuardSpec extends SparkSpec {
     assert(exchanges == 2, s"expected 2 hash exchanges, got $exchanges:\n${plan.take(600)}")
   }
 
+  test("x42/x43: statistical scores shuffle on token keys, never on text") {
+    for (q <- Seq("x42_unigram_nll", "x43_source_kl")) {
+      val plan = graft.queries.ExtensionQueries
+        .queries(q)(spark, dir).queryExecution.executedPlan.toString
+      assert(!plan.contains("hashpartitioning(text"),
+        s"$q: document text must never be a shuffle key")
+      assert(plan.contains("BroadcastExchange") ||
+        plan.contains("BroadcastNestedLoopJoin"),
+        s"$q: the scalar total must broadcast")
+    }
+  }
+
   test("q40: bucketed join asserts its own zero-exchange property (oracle column)") {
     val df = ParityQueries.queries("q40_bucketed_join")(spark, dir)
     val flags = df.select("zero_exchange").distinct().collect().map(_.getBoolean(0)).toSeq
