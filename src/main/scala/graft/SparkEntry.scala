@@ -12,7 +12,7 @@ import graft.queries.{ExtensionQueries, ParityQueries}
   * SQL-expressible query (xxhash64-based ops are rows-only by design).
   * Full operator -> query -> check map: /root/repo/COVERAGE.md.
   *
-  * Inventory (84 oracle-checked, 10 rows-only):
+  * Inventory (85 oracle-checked, 10 rows-only):
   *  - q01-q16: scans, filters, CASE chains, datetime, windows (running/
   *    lag/30-day range), grouped stats + broadcast join, anti-join
   *    referential integrity, top-k, dup/null/range/quality checks, upsert,
@@ -33,7 +33,7 @@ import graft.queries.{ExtensionQueries, ParityQueries}
   *    CDC changelog compaction (latest state per key as one max_by
   *    aggregate — no window, no sort), star-schema rollup (all dims
   *    broadcast, fact shuffles once)
-  *  - x01-x44: exact (digest-keyed) / MinHash / SimHash / embedding-cosine
+  *  - x01-x45: exact (digest-keyed) / MinHash / SimHash / embedding-cosine
   *    dedup + Jaccard + cluster resolution (oracle = recursive-CTE
   *    connected components), kNN single + batched (brute/SRP-LSH/IVF),
   *    token/quality/langid/fingerprint text ops, unigram-NLL perplexity
@@ -46,7 +46,8 @@ import graft.queries.{ExtensionQueries, ParityQueries}
   *    report, the x34 end-to-end prep capstone (every stage an oracle
   *    CTE), paragraph-level dedup + position-ordered reassembly,
   *    cluster-survivor application,
-  *    content-hash train/val/test split, token-budget mixture sampling + per-source KL drift diagnostics,
+  *    content-hash train/val/test split, token-budget mixture sampling +
+  *    per-source KL drift diagnostics, dataset-version diffing,
   *    multimodal features, embedding
   *    stats, stratified sampling, sketches
   */

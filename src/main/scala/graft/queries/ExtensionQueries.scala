@@ -535,6 +535,22 @@ object ExtensionQueries {
       TextAnalysis.unigramNll(t(s, dir, "documents"), "doc_id", "text")
         .select(col("id").as("doc_id"), col("n_tokens"), col("unigram_nll"))),
 
+    // Dataset-version diff (lineage QA before promoting a corpus refresh):
+    // v2 drops %7 ids, revises %10 texts, adds 20 new ids — the per-status
+    // churn tally is what a versioning workflow reviews
+    "x45_dataset_diff" -> ((s, dir) => {
+      val v1 = t(s, dir, "documents")
+      val v2 = v1.filter(col("doc_id") % 7 =!= 0)
+        .select(col("doc_id"),
+          when(col("doc_id") % 10 === 0, concat(col("text"), lit(" revised")))
+            .otherwise(col("text")).as("text"))
+        .unionByName(v1.filter(col("doc_id") < 20)
+          .select((col("doc_id") + 90000).as("doc_id"),
+            concat(lit("new doc "), col("doc_id").cast("string")).as("text")))
+      graft.ops.Versioning.datasetDiff(v1, v2, "doc_id", "text")
+        .groupBy(col("status")).agg(count(lit(1)).as("n"))
+    }),
+
     // Domain filtering prep (RefinedWeb-style): extract URL hosts over a
     // corpus with planted links, per-domain doc/url counts + block flag
     "x44_domain_stats" -> ((s, dir) => {
@@ -803,6 +819,23 @@ object ExtensionQueries {
         |  CAST(count(CASE WHEN rn = 1 THEN 1 END) AS BIGINT) AS n_kept,
         |  CAST(coalesce(sum(CASE WHEN rn = 1 THEN len(para) END), 0) AS BIGINT) AS kept_chars
         |FROM ranked GROUP BY doc_id""".stripMargin,
+
+    "x45_dataset_diff" ->
+      """WITH v2 AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 10 = 0 THEN text || ' revised' ELSE text END AS text
+        |  FROM documents WHERE doc_id % 7 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 90000, 'new doc ' || CAST(doc_id AS VARCHAR)
+        |  FROM documents WHERE doc_id < 20),
+        |diff AS (
+        |  SELECT coalesce(a.doc_id, b.doc_id) AS id,
+        |    CASE WHEN a.doc_id IS NULL THEN 'added'
+        |         WHEN b.doc_id IS NULL THEN 'removed'
+        |         WHEN a.text = b.text THEN 'unchanged'
+        |         ELSE 'changed' END AS status
+        |  FROM documents a FULL OUTER JOIN v2 b ON a.doc_id = b.doc_id)
+        |SELECT status, CAST(count(*) AS BIGINT) AS n FROM diff GROUP BY status""".stripMargin,
 
     "x44_domain_stats" ->
       """WITH corpus AS (

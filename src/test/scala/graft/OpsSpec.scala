@@ -447,6 +447,17 @@ class SamplingSpec extends SparkSpec {
 class TextAnalysisSpec extends SparkSpec {
   import spark.implicits._
 
+  test("datasetDiff classifies added/removed/changed/unchanged by content") {
+    val v1 = Seq((1L, "same"), (2L, "will change"), (3L, "goes away"))
+      .toDF("id", "text")
+    val v2 = Seq((1L, "same"), (2L, "changed!"), (4L, "brand new"))
+      .toDF("id", "text")
+    val out = graft.ops.Versioning.datasetDiff(v1, v2, "id", "text")
+      .as[(Long, String)].collect().toMap
+    assert(out == Map(1L -> "unchanged", 2L -> "changed",
+      3L -> "removed", 4L -> "added"))
+  }
+
   test("urlDomain extracts the first host; empty when no URL") {
     val out = Seq(
       "go to https://a.example.com/x and http://b.example.com/y",
