@@ -447,6 +447,25 @@ class SamplingSpec extends SparkSpec {
 class TextAnalysisSpec extends SparkSpec {
   import spark.implicits._
 
+  test("round-4 ops accept an empty corpus without crashing") {
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val emptySrc = Seq.empty[(Long, String, String)].toDF("doc_id", "src", "text")
+    assert(Dedup.paragraphDedup(empty, "doc_id", "text").count() == 0)
+    assert(Dedup.reassembleKept(
+      Dedup.paragraphDedup(empty, "doc_id", "text")).count() == 0)
+    assert(TextAnalysis.unigramNll(empty, "doc_id", "text").count() == 0)
+    assert(TextAnalysis.sourceTokenKl(emptySrc, "src", "text").count() == 0)
+    assert(TextAnalysis.commonParagraphs(empty, "doc_id", "text").count() == 0)
+    assert(TextAnalysis.nextTokenTopK(empty, "text", 3).count() == 0)
+    assert(graft.ops.Sampling.contentHashSplit(empty, "text").count() == 0)
+    assert(graft.ops.Sampling.mixtureByTokenBudget(
+      emptySrc.withColumnRenamed("text", "tok_str")
+        .withColumn("tok", lit(1L)).drop("tok_str"),
+      "src", "doc_id", "tok", 100L).count() == 0)
+    assert(graft.ops.Versioning.datasetDiff(empty, empty, "doc_id", "text")
+      .count() == 0)
+  }
+
   test("datasetDiff classifies added/removed/changed/unchanged by content") {
     val v1 = Seq((1L, "same"), (2L, "will change"), (3L, "goes away"))
       .toDF("id", "text")
