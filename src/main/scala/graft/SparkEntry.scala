@@ -12,7 +12,7 @@ import graft.queries.{ExtensionQueries, ParityQueries}
   * SQL-expressible query (xxhash64-based ops are rows-only by design).
   * Full operator -> query -> check map: /root/repo/COVERAGE.md.
   *
-  * Inventory (85 oracle-checked, 10 rows-only):
+  * Inventory (86 oracle-checked, 10 rows-only):
   *  - q01-q16: scans, filters, CASE chains, datetime, windows (running/
   *    lag/30-day range), grouped stats + broadcast join, anti-join
   *    referential integrity, top-k, dup/null/range/quality checks, upsert,
@@ -33,7 +33,7 @@ import graft.queries.{ExtensionQueries, ParityQueries}
   *    CDC changelog compaction (latest state per key as one max_by
   *    aggregate — no window, no sort), star-schema rollup (all dims
   *    broadcast, fact shuffles once)
-  *  - x01-x45: exact (digest-keyed) / MinHash / SimHash / embedding-cosine
+  *  - x01-x46: exact (digest-keyed) / MinHash / SimHash / embedding-cosine
   *    dedup + Jaccard + cluster resolution (oracle = recursive-CTE
   *    connected components), kNN single + batched (brute/SRP-LSH/IVF),
   *    token/quality/langid/fingerprint text ops, unigram-NLL perplexity
@@ -41,7 +41,8 @@ import graft.queries.{ExtensionQueries, ParityQueries}
   *    card validation, C4 boilerplate filters + common-paragraph discovery,
   *    URL-domain stats/block-listing,
   *    corpus-prep composition,
-  *    benchmark decontamination, repetition metrics, TF-IDF, vocabulary
+  *    benchmark decontamination (aggregate + pairwise-max fuzzy), repetition
+  *    metrics, TF-IDF, vocabulary
   *    top-k, bigram next-token top-k, token-window chunking, sequence packing, per-language corpus
   *    report, the x34 end-to-end prep capstone (every stage an oracle
   *    CTE), paragraph-level dedup + position-ordered reassembly,

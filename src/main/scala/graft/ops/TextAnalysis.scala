@@ -311,6 +311,37 @@ object TextAnalysis {
           .as("unigram_nll"))
   }
 
+  /** Fuzzy decontamination scoring: per document, the MAX n-gram Jaccard
+    * against any benchmark document, plus how many benchmark docs share
+    * at least one shingle — the doc-level eval-overlap metric (the
+    * aggregate-shingle variant is [[contamination]]; this pairwise-max
+    * form is what near-duplicate eval leakage checks need, since a doc
+    * 90%-identical to ONE eval item can hide behind a low aggregate hit
+    * rate). Never a doc x bench cross join: shingle-keyed equi-join, so
+    * only co-occurring (doc, bench) pairs materialize; the bench side is
+    * tiny at any scale (a benchmark) and broadcasts. Shingles are hashed
+    * (8-byte keys; counts equal the string-shingle formulation barring
+    * ~2^-64 collision — the [[contamination]] argument). */
+  def benchMaxJaccard(docs: DataFrame, idCol: String, textCol: String,
+      bench: DataFrame, n: Int = 3): DataFrame = {
+    def shingleRows(df: DataFrame): DataFrame = df.select(col(idCol),
+        array_distinct(graft.functions.ShingleFunctions
+          .shingle_hashes(tokens(col(textCol)), n)).as("__shset"))
+      .select(col(idCol), explode(col("__shset")).as("__s"),
+        size(col("__shset")).as("__sz"))
+    val d = shingleRows(docs)
+    val b = shingleRows(bench).select(col(idCol).as("__bid"),
+      col("__s"), col("__sz").as("__bsz"))
+    d.join(b, Seq("__s"))
+      .groupBy(col(idCol), col("__bid"))
+      .agg(count(lit(1)).as("__inter"), max(col("__sz")).as("__sz"),
+        max(col("__bsz")).as("__bsz"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bench_matched"),
+        round(max(col("__inter").cast("double") /
+          (col("__sz") + col("__bsz") - col("__inter"))), 6).as("max_jaccard"))
+  }
+
   /** First URL host in a text column ('' when none) — the extraction
     * primitive behind RefinedWeb-style domain filtering (block-list by
     * host, per-domain corpus stats). Pure per-row regexp (no lookarounds,

@@ -535,6 +535,15 @@ object ExtensionQueries {
       TextAnalysis.unigramNll(t(s, dir, "documents"), "doc_id", "text")
         .select(col("id").as("doc_id"), col("n_tokens"), col("unigram_nll"))),
 
+    // Fuzzy decontamination: per-doc MAX Jaccard vs any benchmark doc
+    // (bench = docs < 20, as x22) — pairwise attribution where x22 gives
+    // the aggregate hit rate; hashed production path, string-shingle oracle
+    "x46_bench_jaccard" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      TextAnalysis.benchMaxJaccard(docs, "doc_id", "text",
+        docs.filter(col("doc_id") < 20))
+    }),
+
     // Dataset-version diff (lineage QA before promoting a corpus refresh):
     // v2 drops %7 ids, revises %10 texts, adds 20 new ids — the per-status
     // churn tally is what a versioning workflow reviews
@@ -819,6 +828,27 @@ object ExtensionQueries {
         |  CAST(count(CASE WHEN rn = 1 THEN 1 END) AS BIGINT) AS n_kept,
         |  CAST(coalesce(sum(CASE WHEN rn = 1 THEN len(para) END), 0) AS BIGINT) AS kept_chars
         |FROM ranked GROUP BY doc_id""".stripMargin,
+
+    "x46_bench_jaccard" ->
+      """WITH tok AS (
+        |  SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), x -> len(x) > 0) AS toks
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, list_distinct(
+        |    CASE WHEN len(toks) <= 3 THEN [array_to_string(toks, ' ')]
+        |      ELSE list_transform(range(0, len(toks) - 2),
+        |        i -> array_to_string(list_slice(toks, i + 1, i + 3), ' ')) END) AS shset
+        |  FROM tok),
+        |docsh AS (SELECT doc_id, unnest(shset) AS s, len(shset) AS sz FROM sh),
+        |benchsh AS (SELECT doc_id AS bid, s, sz AS bsz FROM docsh WHERE doc_id < 20),
+        |pairs AS (
+        |  SELECT d.doc_id, b.bid, count(*) AS inter, max(d.sz) AS sz, max(b.bsz) AS bsz
+        |  FROM docsh d JOIN benchsh b ON d.s = b.s
+        |  GROUP BY d.doc_id, b.bid)
+        |SELECT doc_id,
+        |  CAST(count(*) AS BIGINT) AS n_bench_matched,
+        |  ROUND(max(inter * 1.0 / (sz + bsz - inter)), 6) AS max_jaccard
+        |FROM pairs GROUP BY doc_id""".stripMargin,
 
     "x45_dataset_diff" ->
       """WITH v2 AS (

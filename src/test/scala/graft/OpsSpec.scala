@@ -477,6 +477,21 @@ class TextAnalysisSpec extends SparkSpec {
       3L -> "removed", 4L -> "added"))
   }
 
+  test("benchMaxJaccard attributes per-doc eval overlap to the closest bench doc") {
+    val bench = Seq((100L, "a b c d e")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "a b c d e"),          // exact copy -> jaccard 1
+      (2L, "a b c d x"),          // shares shingles {a b c, b c d} of 3 each
+      (3L, "q r s t u")           // disjoint -> no row
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.benchMaxJaccard(corpus, "doc_id", "text", bench)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out(1L) == ((1L, 1.0)))
+    // |inter|=2, |a|=|b|=3 -> 2/(3+3-2) = 0.5
+    assert(out(2L) == ((1L, 0.5)))
+    assert(!out.contains(3L))
+  }
+
   test("urlDomain extracts the first host; empty when no URL") {
     val out = Seq(
       "go to https://a.example.com/x and http://b.example.com/y",
