@@ -45,6 +45,28 @@ object Bench {
       if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
     }
     def r2(x: Double): Double = math.rint(x * 100) / 100
+    // ---- environment sentinel -------------------------------------------
+    // The r4 sweep was recorded on a polluted host and nothing in the
+    // artifact said so (judge re-runs came back 3-5x faster). Record the
+    // machine's 1-min loadavg before/after, JVM GC time spent during the
+    // sweep, and rep-over-rep drift, and flag the sweep `env_suspect` when
+    // (a) load exceeds the machine's CPU count (foreign processes are
+    // competing for cores — our own threads can at most fill them), or
+    // (b) the LAST rep runs systematically slower than the FIRST across
+    // queries (the r4 signature: q38 10.2 -> 20.0 monotonically; on a
+    // quiet host later reps are warmer, i.e. the ratio sits at/below 1).
+    def loadavg(): Double =
+      try java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/loadavg"))
+        .split("\\s+")(0).toDouble
+      catch { case _: Throwable => -1.0 }
+    def gcMillis(): Long = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans.asScala
+        .map(b => math.max(0L, b.getCollectionTime)).sum
+    }
+    val machineCpus = Runtime.getRuntime.availableProcessors()
+    val loadStart = loadavg()
+    val gcStart = gcMillis()
     // SPARK_GRAFT_ONLY=x08,x14 runs just the named (prefix-matched) queries —
     // for bisecting individual regressions without a full sweep
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSeq)
@@ -73,6 +95,19 @@ object Bench {
         (if (stages.nonEmpty) s" stages=$stages" else "") + ")")
       res
     }
+    val loadEnd = loadavg()
+    val gcMs = gcMillis() - gcStart
+    // drift = last-rep / first-rep, medianed across queries long enough for
+    // the ratio to mean something (sub-0.2s runs are scheduler noise)
+    val drifts = results
+      .filter(r => r.runs.size >= 2 && r.runs.head >= 0.2)
+      .map(r => r.runs.last / r.runs.head)
+    val repDrift = if (drifts.isEmpty) 1.0 else r2(median(drifts))
+    val loadHigh = math.max(loadStart, loadEnd)
+    val envSuspect = (loadHigh >= 0 && loadHigh > machineCpus) || repDrift > 1.25
+    System.err.println(f"[bench] env: loadavg $loadStart%.2f -> $loadEnd%.2f " +
+      f"(cpus=$machineCpus) gc=${gcMs}ms rep_drift=$repDrift%.2f suspect=$envSuspect")
+    val envJson = s""""env":{"loadavg_start":$loadStart,"loadavg_end":$loadEnd,"machine_cpus":$machineCpus,"gc_ms":$gcMs,"rep_drift":$repDrift},"env_suspect":$envSuspect"""
     val qs = results.map(r => "\"" + r.name + "\":" + r2(r.med))
       .mkString("{", ",", "}")
     val failed = results.filterNot(_.ok).map("\"" + _.name + "\"")
@@ -90,13 +125,13 @@ object Bench {
     val medTotal = r2(results.map(_.med).sum)
     val bestTotal = r2(results.map(_.best).sum)
     val allOk = results.forall(_.ok)
-    // stdout line = the driver's parseable artifact. Kept COMPACT (2dp
-    // medians, failed-list instead of a per-query ok map) because the
-    // driver tail-captures a bounded window: BENCH_r02/r03 both ended up
-    // "parsed": null when the line outgrew it. Headline fields stay LAST so
-    // even a truncated head preserves total/all_ok. Full detail (per-run
-    // times, best, stages) goes to bench_out.json, which the judge reads.
-    val json = s"""{"metric":"total","unit":"sec","sf":"$sfDir","reps":$reps,"queries":$qs,"stages":$stageJson,"failed":$failed,"best_total":$bestTotal,"all_ok":$allOk,"value":$medTotal}"""
+    // stdout line = the driver's parseable artifact. TOTALS ONLY (~200 B):
+    // the per-query map at 96 queries overflowed the driver's bounded
+    // capture window every round (BENCH_r02/r03/r04 all "parsed": null),
+    // so per-query medians/stages now live ONLY in bench_out.json
+    // (detail_path), which the judge reads. Headline fields stay LAST so
+    // even a truncated head preserves total/all_ok.
+    val json = s"""{"metric":"total","unit":"sec","sf":"$sfDir","reps":$reps,"n_queries":${results.size},"failed":$failed,$envJson,"detail_path":"bench_out.json","best_total":$bestTotal,"all_ok":$allOk,"value":$medTotal}"""
     val detail = results.map { r =>
       "\"" + r.name + "\":{\"med\":" + r2(r.med) + ",\"best\":" + r2(r.best) +
         ",\"runs\":[" + r.runs.map(r2).mkString(",") + "]" +
@@ -105,7 +140,7 @@ object Bench {
             .map { case (s, v) => "\"" + s + "\":" + v }.mkString(",") + "}"
         else "") + "}"
     }.mkString("{", ",", "}")
-    val fullJson = s"""{"metric":"total","unit":"sec","sf":"$sfDir","reps":$reps,"detail":$detail,"failed":$failed,"best_total":$bestTotal,"all_ok":$allOk,"value":$medTotal}"""
+    val fullJson = s"""{"metric":"total","unit":"sec","sf":"$sfDir","reps":$reps,"queries":$qs,"stages":$stageJson,"detail":$detail,"failed":$failed,$envJson,"best_total":$bestTotal,"all_ok":$allOk,"value":$medTotal}"""
     try java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_out.json"), fullJson + "\n")
     catch { case _: Throwable => }
     println(json)

@@ -12,7 +12,19 @@ object StageTimers {
   def time[T](stage: String)(body: => T): T = {
     val t0 = System.nanoTime()
     try body
-    finally timers.put(stage, (System.nanoTime() - t0) / 1e9)
+    finally {
+      // ACCUMULATE per key within a run (not overwrite): a query that
+      // invokes the same timed stage twice would otherwise report only the
+      // last invocation's wall time and under-attribute the stage's cost
+      val dt = (System.nanoTime() - t0) / 1e9
+      var done = false
+      while (!done) {
+        timers.get(stage) match {
+          case Some(prev) => done = timers.replace(stage, prev, prev + dt)
+          case None       => done = timers.putIfAbsent(stage, dt).isEmpty
+        }
+      }
+    }
   }
 
   /** Snapshot and clear — one call per bench run. */

@@ -24,10 +24,14 @@ import org.apache.spark.sql.graftbridge.Bridge
   * generation's signature stage into a map-only pass. Duplicate shingles
   * don't change a min, so no distinct pass is needed either.
   *
-  * An empty input array yields all-Long.MaxValue sentinels (the shingle
-  * producer [[ShingleHashes]] never emits an empty array; documented for
-  * direct callers). CodegenFallback is fine: interpreted overhead is per
-  * ROW, and the row's work is already a tight loop.
+  * An empty input array yields NULL (mirroring SimHash64): the aggregate
+  * formulation emits no row for an empty shingle set, and a non-null
+  * sentinel here would band every empty-input doc into the same LSH
+  * bucket, pairing them all as candidates. Callers filter nulls
+  * ([[graft.ops.Dedup.minhashSignatures]] does), keeping the map-only
+  * path row-for-row equal to the aggregate for ALL inputs.
+  * CodegenFallback is fine: interpreted overhead is per ROW, and the
+  * row's work is already a tight loop.
   */
 case class MinHashSigs(child: Expression, k: Int)
     extends UnaryExpression with CodegenFallback {
@@ -46,9 +50,12 @@ case class MinHashSigs(child: Expression, k: Int)
   // the element, exactly as Spark's variadic XxHash64 does
   private lazy val seeds: Array[Long] = Array.tabulate(k)(j => XXH64.hashInt(j, 42L))
 
+  override def nullable: Boolean = true
+
   override def nullSafeEval(t: Any): Any = {
     val arr = t.asInstanceOf[ArrayData]
     val n = arr.numElements()
+    if (n == 0) return null
     val out = Array.fill(k)(Long.MaxValue)
     var i = 0
     while (i < n) {

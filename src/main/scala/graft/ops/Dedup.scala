@@ -115,13 +115,17 @@ object Dedup {
     * primitive loop). No explode, NO SHUFFLE — the former explode +
     * k-min-aggregate shape multiplied the corpus by ~tokens-per-doc rows
     * and paid a doc-id exchange just to regroup per-document state; it is
-    * kept as [[minhashSignaturesAgg]] and pinned bit-identical by spec. */
+    * kept as [[minhashSignaturesAgg]] and pinned bit-identical by spec.
+    * Docs whose shingle set is empty (fewer tokens than the window) yield
+    * a NULL signature and are dropped — exactly the rows the aggregate
+    * formulation never produces. */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
       shingleW: Int, k: Int): DataFrame =
     df.select(col(idCol).as("id"),
       graft.functions.MinHashFunctions.minhash_sigs(
         graft.functions.ShingleFunctions.shingle_hashes(
           TextAnalysis.tokens(col(textCol)), shingleW), k).as("sig"))
+      .filter(col("sig").isNotNull)
 
   /** The explode + grouped-min formulation — the cross-check reference for
     * [[minhashSignatures]] (same values, one extra exchange). */

@@ -321,7 +321,12 @@ object TextAnalysis {
     * only co-occurring (doc, bench) pairs materialize; the bench side is
     * tiny at any scale (a benchmark) and broadcasts. Shingles are hashed
     * (8-byte keys; counts equal the string-shingle formulation barring
-    * ~2^-64 collision — the [[contamination]] argument). */
+    * ~2^-64 collision — the [[contamination]] argument). Returns ONE ROW
+    * PER INPUT DOC: docs with zero benchmark overlap come back with
+    * n_bench_matched=0 / max_jaccard=0.0 (left-joined against the doc-id
+    * frame — a cheap column-pruned second scan — rather than silently
+    * omitted, so decontamination callers can treat the frame as a full
+    * per-doc score table and filter on it directly). */
   def benchMaxJaccard(docs: DataFrame, idCol: String, textCol: String,
       bench: DataFrame, n: Int = 3): DataFrame = {
     def shingleRows(df: DataFrame): DataFrame = df.select(col(idCol),
@@ -332,7 +337,7 @@ object TextAnalysis {
     val d = shingleRows(docs)
     val b = shingleRows(bench).select(col(idCol).as("__bid"),
       col("__s"), col("__sz").as("__bsz"))
-    d.join(b, Seq("__s"))
+    val scored = d.join(b, Seq("__s"))
       .groupBy(col(idCol), col("__bid"))
       .agg(count(lit(1)).as("__inter"), max(col("__sz")).as("__sz"),
         max(col("__bsz")).as("__bsz"))
@@ -340,6 +345,10 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_bench_matched"),
         round(max(col("__inter").cast("double") /
           (col("__sz") + col("__bsz") - col("__inter"))), 6).as("max_jaccard"))
+    docs.select(col(idCol)).join(scored, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_bench_matched"), lit(0L)).as("n_bench_matched"),
+        coalesce(col("max_jaccard"), lit(0.0)).as("max_jaccard"))
   }
 
   /** First URL host in a text column ('' when none) — the extraction

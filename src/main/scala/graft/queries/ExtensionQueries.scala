@@ -492,16 +492,21 @@ object ExtensionQueries {
     // two documents — then first-occurrence-wins dedup on the digest-keyed
     // production path. Expected tally: doc 0 keeps both paragraphs, the
     // last doc keeps none, every other doc keeps exactly its second. The
-    // global-window corpus SYNTHESIS is fixture-building, not the operator
+    // global-window corpus SYNTHESIS is fixture-building, not the operator.
+    // Seed text is newline-stripped first: the fixture (and its oracle)
+    // models exactly two paragraphs per doc, which a \n\n inside future
+    // seed text would silently break — strip on BOTH sides so the
+    // assumption is enforced rather than assumed
     "x35_paragraph_dedup" -> ((s, dir) => {
       val w = org.apache.spark.sql.expressions.Window.orderBy(col("doc_id"))
       val wAll = org.apache.spark.sql.expressions.Window.orderBy(col("doc_id"))
         .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
           org.apache.spark.sql.expressions.Window.unboundedFollowing)
+      val seedText = regexp_replace(col("text"), "\\n+", " ")
       val corpus = t(s, dir, "documents").select(col("doc_id"),
-        concat_ws("\n\n", col("text"),
-          coalesce(lead(col("text"), 1).over(w),
-            first(col("text")).over(wAll))).as("text"))
+        concat_ws("\n\n", seedText,
+          coalesce(lead(seedText, 1).over(w),
+            first(seedText).over(wAll))).as("text"))
       Dedup.paragraphDedup(corpus, "doc_id", "text")
         .groupBy(col("id"))
         .agg(count(lit(1)).as("n_paras"),
@@ -521,10 +526,13 @@ object ExtensionQueries {
       val wAll = org.apache.spark.sql.expressions.Window.orderBy(col("doc_id"))
         .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
           org.apache.spark.sql.expressions.Window.unboundedFollowing)
+      // newline-stripped seed text: same two-paragraphs-per-doc fixture
+      // contract as x35 (see its comment)
+      val seedText = regexp_replace(col("text"), "\\n+", " ")
       val corpus = t(s, dir, "documents").select(col("doc_id"),
-        concat_ws("\n\n", col("text"),
-          coalesce(lead(col("text"), 1).over(w),
-            first(col("text")).over(wAll))).as("text"))
+        concat_ws("\n\n", seedText,
+          coalesce(lead(seedText, 1).over(w),
+            first(seedText).over(wAll))).as("text"))
       Dedup.reassembleKept(Dedup.paragraphDedup(corpus, "doc_id", "text"))
         .select(col("id").as("doc_id"), col("text"))
     }),
@@ -537,7 +545,8 @@ object ExtensionQueries {
 
     // Fuzzy decontamination: per-doc MAX Jaccard vs any benchmark doc
     // (bench = docs < 20, as x22) — pairwise attribution where x22 gives
-    // the aggregate hit rate; hashed production path, string-shingle oracle
+    // the aggregate hit rate; hashed production path, string-shingle
+    // oracle. One row per doc: zero-overlap docs score 0.0 (not omitted)
     "x46_bench_jaccard" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       TextAnalysis.benchMaxJaccard(docs, "doc_id", "text",
@@ -810,12 +819,14 @@ object ExtensionQueries {
         |WHERE l.id IS NULL OR l.cluster_id = c.doc_id""".stripMargin,
 
     "x35_paragraph_dedup" ->
-      """WITH c AS (
+      """WITH seed AS (
+        |  SELECT doc_id, regexp_replace(text, '\n+', ' ', 'g') AS text FROM documents),
+        |c AS (
         |  SELECT doc_id, text,
         |    coalesce(lead(text) OVER (ORDER BY doc_id),
         |      first_value(text) OVER (ORDER BY doc_id
         |        ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)) AS nxt
-        |  FROM documents),
+        |  FROM seed),
         |paras AS (
         |  SELECT doc_id, 0 AS pos, text AS para FROM c
         |  UNION ALL SELECT doc_id, 1, nxt FROM c),
@@ -844,11 +855,16 @@ object ExtensionQueries {
         |pairs AS (
         |  SELECT d.doc_id, b.bid, count(*) AS inter, max(d.sz) AS sz, max(b.bsz) AS bsz
         |  FROM docsh d JOIN benchsh b ON d.s = b.s
-        |  GROUP BY d.doc_id, b.bid)
-        |SELECT doc_id,
-        |  CAST(count(*) AS BIGINT) AS n_bench_matched,
-        |  ROUND(max(inter * 1.0 / (sz + bsz - inter)), 6) AS max_jaccard
-        |FROM pairs GROUP BY doc_id""".stripMargin,
+        |  GROUP BY d.doc_id, b.bid),
+        |scored AS (
+        |  SELECT doc_id,
+        |    CAST(count(*) AS BIGINT) AS n_bench_matched,
+        |    ROUND(max(inter * 1.0 / (sz + bsz - inter)), 6) AS max_jaccard
+        |  FROM pairs GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  COALESCE(s.n_bench_matched, 0) AS n_bench_matched,
+        |  COALESCE(s.max_jaccard, 0.0) AS max_jaccard
+        |FROM documents d LEFT JOIN scored s USING (doc_id)""".stripMargin,
 
     "x45_dataset_diff" ->
       """WITH v2 AS (
@@ -928,12 +944,14 @@ object ExtensionQueries {
         |ORDER BY n_occurrences DESC, para LIMIT 5""".stripMargin,
 
     "x40_paragraph_reassembly" ->
-      """WITH c AS (
+      """WITH seed AS (
+        |  SELECT doc_id, regexp_replace(text, '\n+', ' ', 'g') AS text FROM documents),
+        |c AS (
         |  SELECT doc_id, text,
         |    coalesce(lead(text) OVER (ORDER BY doc_id),
         |      first_value(text) OVER (ORDER BY doc_id
         |        ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)) AS nxt
-        |  FROM documents),
+        |  FROM seed),
         |paras AS (
         |  SELECT doc_id, 0 AS pos, text AS para FROM c
         |  UNION ALL SELECT doc_id, 1, nxt FROM c),

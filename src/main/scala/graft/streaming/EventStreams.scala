@@ -183,8 +183,12 @@ object EventStreams {
             .groupBy(keyCols.map(col): _*)
             .agg(max_by(struct(cols.map(col): _*), col(orderCol)).as("__last"))
             .select(cols.map(c => col(s"__last.$c").as(c)): _*)
-          val fs = org.apache.hadoop.fs.FileSystem
-            .get(spark.sparkContext.hadoopConfiguration)
+          // resolve the filesystem FROM the target path (not the default
+          // FS): with e.g. an HDFS default config and a file: target, the
+          // default-FS handle would run exists/rename/delete against the
+          // wrong filesystem and corrupt the swap
+          val fs = new org.apache.hadoop.fs.Path(targetPath)
+            .getFileSystem(spark.sparkContext.hadoopConfiguration)
           val target = new org.apache.hadoop.fs.Path(targetPath)
           val stage = new org.apache.hadoop.fs.Path(targetPath + "__stage")
           val old = new org.apache.hadoop.fs.Path(targetPath + "__old")

@@ -95,6 +95,16 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("MinHashSigs yields NULL for an empty shingle array (no sentinel bucket)") {
+    // a non-null sentinel would band all empty-input docs into one LSH
+    // bucket and pair them all; null mirrors the aggregate formulation,
+    // which emits no row for an empty group
+    val row = spark.range(1).select(
+      graft.functions.MinHashFunctions.minhash_sigs(
+        expr("array()").cast("array<long>"), 4).as("sig")).head()
+    assert(row.isNullAt(0))
+  }
+
   test("minhash LSH finds exact and near duplicates, not unrelated docs") {
     val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text",
       shingleW = 2, k = 32, bands = 16, threshold = 0.5)
@@ -482,14 +492,15 @@ class TextAnalysisSpec extends SparkSpec {
     val corpus = Seq(
       (1L, "a b c d e"),          // exact copy -> jaccard 1
       (2L, "a b c d x"),          // shares shingles {a b c, b c d} of 3 each
-      (3L, "q r s t u")           // disjoint -> no row
+      (3L, "q r s t u")           // disjoint -> scores 0.0 (still a row)
     ).toDF("doc_id", "text")
     val out = TextAnalysis.benchMaxJaccard(corpus, "doc_id", "text", bench)
       .as[(Long, Long, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
     assert(out(1L) == ((1L, 1.0)))
     // |inter|=2, |a|=|b|=3 -> 2/(3+3-2) = 0.5
     assert(out(2L) == ((1L, 0.5)))
-    assert(!out.contains(3L))
+    // full per-doc score table: zero-overlap docs come back explicitly
+    assert(out(3L) == ((0L, 0.0)))
   }
 
   test("urlDomain extracts the first host; empty when no URL") {
