@@ -170,19 +170,37 @@ object ExtensionQueries {
         col("label"))
     }),
 
-    // Approximate-distinct sketches (HLL++; deterministic but algorithm-
-    // specific values -> rows-only, accuracy asserted in spec)
+    // Approximate-distinct sketches (HLL++). The raw sketch values are
+    // engine-specific, so the QUERY OUTPUT is exact counts + error-bound
+    // BOOLEANS (|approx-exact|/exact <= 5%), which DuckDB replays as
+    // exact counts + literal TRUE — turning the former rows-only check
+    // into a full oracle row while still exercising the sketches
     "x17_approx_distinct" -> ((s, dir) => {
       val li = t(s, dir, "lineitem")
       // approx and exact distinct in SEPARATE aggregations joined on the
       // tiny group key: mixing them in one agg forces an Expand (row
-      // multiplication by the number of distinct-aggregate groups)
+      // multiplication by the number of distinct-aggregate groups), and
+      // TWO exact countDistincts in one agg do the same — so three
+      // single-purpose aggregates, joined on the 3-value flag
+      // rsd = 0.02 on BOTH sketches: the default 0.05 is one STANDARD
+      // DEVIATION, so a 5%-bound boolean over it flips red ~1/3 of the
+      // time (it did, on sf0.01's N flag); 0.02 makes 5% a 2.5-sigma bound
       val approx = li.groupBy(col("l_returnflag"))
-        .agg(approx_count_distinct(col("l_orderkey")).as("approx_orders"),
+        .agg(approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"),
           approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"))
-      val exact = li.groupBy(col("l_returnflag"))
+      val exactOrders = li.groupBy(col("l_returnflag"))
         .agg(countDistinct(col("l_orderkey")).as("exact_orders"))
-      approx.join(exact, Seq("l_returnflag"))
+      val exactParts = li.groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_partkey")).as("exact_parts"))
+      approx.join(exactOrders, Seq("l_returnflag"))
+        .join(exactParts, Seq("l_returnflag"))
+        .select(col("l_returnflag"), col("exact_orders"), col("exact_parts"),
+          (abs(col("approx_orders") - col("exact_orders"))
+            .cast("double") / col("exact_orders") <= 0.05)
+            .as("orders_within_5pct"),
+          (abs(col("approx_parts") - col("exact_parts"))
+            .cast("double") / col("exact_parts") <= 0.05)
+            .as("parts_within_5pct"))
     }),
 
     // Deterministic stratified sampling (mixture weighting; mod path is
@@ -209,9 +227,14 @@ object ExtensionQueries {
     // corpus = embeddings (as double) + deterministically perturbed copies
     // of vecs 0..24 (per-position factors 0.95/1.0/1.05) -> all-pairs
     // cosine at 0.9 finds exactly the planted near-dups (background pairs
-    // max out near 0.51 on this table)
+    // max out near 0.51 on this table). BOUNDED to vec_id < 500 (which
+    // contains all 25 planted dups): this is the declared O(n^2)
+    // correctness baseline, and its cost grows QUADRATICALLY with SF — a
+    // full-corpus run pins nothing more about the operator but was the #2
+    // cost in the r4 sweep and would be ~100x the compares at sf1. x19 is
+    // the full-corpus scale path.
     "x18_embedding_dedup" -> ((s, dir) => {
-      val emb = t(s, dir, "embeddings")
+      val emb = t(s, dir, "embeddings").filter(col("vec_id") < 500)
       val corpus = embDupCorpus(emb)
       graft.ops.Dedup.cosinePairsExact(corpus, "vec_id", "v", 0.9)
         .orderBy(col("id_a"), col("id_b"))
@@ -1010,6 +1033,17 @@ object ExtensionQueries {
         |                           WHEN lang = 'de' THEN 0.25
         |                           ELSE 0.1 END) * 100""".stripMargin,
 
+    // the HLL++ values themselves are engine-specific; the oracle checks
+    // the exact counts and that the 5% error bound HELD (literal TRUE —
+    // a Spark-side sketch drifting past its advertised bound goes red)
+    "x17_approx_distinct" ->
+      """SELECT l_returnflag,
+        |  CAST(count(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
+        |  CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+        |  TRUE AS orders_within_5pct,
+        |  TRUE AS parts_within_5pct
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
     "x13_embedding_stats" ->
       """SELECT vec_id, CAST(len(embedding) AS INT) AS dim,
         |  ROUND(sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x))), 6) AS l2_norm,
@@ -1185,7 +1219,8 @@ object ExtensionQueries {
         |FROM ext""".stripMargin,
 
     "x18_embedding_dedup" ->
-      """WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      """WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        |  WHERE vec_id < 500),
         |corpus AS (
         |  SELECT vec_id, v FROM base
         |  UNION ALL
