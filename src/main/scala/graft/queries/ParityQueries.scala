@@ -881,6 +881,40 @@ object ParityQueries {
             .as("revenue"))
     }),
 
+    // Warehouse hygiene: small-file compaction (the nightly pass that
+    // keeps appending pipelines scannable). Seed a deliberately
+    // fragmented dataset (repartition(8) before the partitioned write ->
+    // ~8 task files per partition dir), compact via the crash-safe
+    // staged rewrite, then emit the per-partition content tally (the
+    // oracle replays it from the SOURCE — content must survive the
+    // rewrite exactly) plus the file-layout facts as oracle-checked
+    // BOOLEAN columns (q40's zero-exchange-as-column pattern): the file
+    // count must drop, and must land at exactly one file per partition
+    // (range partitioning clusters each partition value into one task)
+    "q51_compaction" -> ((s, dir) => {
+      val tmp = tmpPath("graft_compact", dir)
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+      // day granularity: the events table spans ~30 days, so the fixture
+      // exercises a real multi-partition layout (~8 files x 30 dirs)
+      val enriched = events(s, dir).select(col("event_id"), col("value"),
+        year(col("ts")).as("event_year"), month(col("ts")).as("event_month"),
+        dayofmonth(col("ts")).as("event_day"))
+      Sinks.writePartitioned(enriched.repartition(8), tmp, "overwrite",
+        Seq("event_year", "event_month", "event_day"))
+      val (nBefore, nAfter) = Sinks.compactPartitioned(s, tmp,
+        Seq("event_year", "event_month", "event_day"))
+      val nParts = enriched
+        .select(col("event_year"), col("event_month"), col("event_day"))
+        .distinct().count()
+      s.read.parquet(tmp)
+        .groupBy(col("event_year"), col("event_month"), col("event_day"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast("decimal(18,2)")).cast("double")
+            .as("total_value"))
+        .withColumn("files_reduced", lit(nBefore > nAfter))
+        .withColumn("one_file_per_partition", lit(nAfter == nParts))
+    }),
+
     // CDC / changelog compaction: latest state per key as ONE aggregate
     // (max_by over a (ts, event_id) ordering struct) — no sort, no window,
     // no per-key shuffle beyond the single groupBy exchange. The shape a
@@ -983,6 +1017,15 @@ object ParityQueries {
         |JOIN nation ON c_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY 1, 2""".stripMargin,
+
+    "q51_compaction" ->
+      """SELECT CAST(year(ts) AS INT) AS event_year, CAST(month(ts) AS INT) AS event_month,
+        |  CAST(day(ts) AS INT) AS event_day,
+        |  count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+        |  TRUE AS files_reduced,
+        |  TRUE AS one_file_per_partition
+        |FROM events GROUP BY 1, 2, 3""".stripMargin,
 
     "q49_latest_per_key" ->
       """WITH ranked AS (

@@ -167,4 +167,80 @@ object Sinks {
   def writeQualityResults(df: DataFrame, path: String): Unit =
     df.withColumn("execution_date", current_timestamp())
       .write.mode(SaveMode.Append).parquet(path)
+
+  /** All parquet data files under `dir`, recursively (partition dirs
+    * included; excludes _SUCCESS / checksums). */
+  private def parquetFiles(fs: org.apache.hadoop.fs.FileSystem,
+      dir: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.LocatedFileStatus] = {
+    val buf = scala.collection.mutable.ArrayBuffer
+      .empty[org.apache.hadoop.fs.LocatedFileStatus]
+    val it = fs.listFiles(dir, true)
+    while (it.hasNext) {
+      val f = it.next()
+      if (f.getPath.getName.endsWith(".parquet")) buf += f
+    }
+    buf.toSeq
+  }
+
+  /** Parquet data-file count under a path — the observable the compaction
+    * queries check (and a cheap ops metric: file count vs partition count
+    * is the small-file-problem dashboard number). */
+  def parquetFileCount(spark: org.apache.spark.sql.SparkSession,
+      path: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    parquetFiles(p.getFileSystem(spark.sparkContext.hadoopConfiguration), p).size
+  }
+
+  /** Small-file compaction — the warehouse-hygiene pass a 100 TB pipeline
+    * runs nightly. Every appending producer (streaming sinks, incremental
+    * loads, [[writePartitioned]] under high `shuffle.partitions`) leaves
+    * partitions holding many task-sized files; at scale the NameNode/
+    * listing cost and per-file open overhead of a million small files
+    * dominates scan time long before data volume does.
+    *
+    * Rewrites the dataset so each output file carries ~`targetFileBytes`:
+    * reads the dataset, derives a `maxRecordsPerFile` cap from the
+    * OBSERVED on-disk bytes-per-row (compressed, so the cap speaks the
+    * same units as the files it limits), range-partitions by the
+    * partition columns (clusters each partition value into one task ->
+    * one file per partition dir, split only past the cap), and swaps the
+    * rewrite in via the same crash-safe stage/retire/rename used by
+    * [[graft.streaming.EventStreams.upsertParquetSink]] — a death at any
+    * point leaves either the old or the new generation on disk, never
+    * neither ([[graft.streaming.EventStreams.recoverUpsertTarget]] runs
+    * first to heal a previous crash). Single-writer like every bare-
+    * parquet swap: a reader racing the swap can observe a missing dir;
+    * a lakehouse table format would commit the same rewrite atomically.
+    *
+    * Returns (files before, files after). Content is byte-identical by
+    * construction — same rows, same schema, new file layout (q51 pins
+    * this against the DuckDB oracle). */
+  def compactPartitioned(spark: org.apache.spark.sql.SparkSession,
+      path: String, partitionCols: Seq[String],
+      targetFileBytes: Long = 128L << 20): (Long, Long) = {
+    require(partitionCols.nonEmpty,
+      "compactPartitioned needs the dataset's partition columns")
+    require(targetFileBytes > 0, "targetFileBytes must be positive")
+    val target = new org.apache.hadoop.fs.Path(path)
+    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    graft.streaming.EventStreams.recoverUpsertTarget(fs, path)
+    val before = parquetFiles(fs, target)
+    val totalBytes = before.map(_.getLen).sum
+    val df = spark.read.parquet(path)
+    val rows = df.count()
+    val bytesPerRow = math.max(1L, totalBytes / math.max(rows, 1L))
+    val maxRecords = math.max(1L, targetFileBytes / bytesPerRow)
+    val stage = new org.apache.hadoop.fs.Path(path + "__stage")
+    val old = new org.apache.hadoop.fs.Path(path + "__old")
+    df.repartitionByRange(partitionCols.map(col): _*)
+      .write.mode(SaveMode.Overwrite)
+      .option("maxRecordsPerFile", maxRecords)
+      .partitionBy(partitionCols: _*)
+      .parquet(stage.toString)
+    require(fs.rename(target, old), s"retire failed: $target")
+    require(fs.rename(stage, target),
+      s"staged-compaction rename failed: $stage -> $target")
+    fs.delete(old, true)
+    (before.size.toLong, parquetFiles(fs, target).size.toLong)
+  }
 }

@@ -72,6 +72,31 @@ class SinksSpec extends SparkSpec {
     val back = spark.read.option("header", "true").csv(s"$dir/csv")
     assert(back.count() == 2 && back.columns.sameElements(Array("yr", "mo", "v")))
   }
+
+  test("compactPartitioned: fewer files, identical content, crash leftovers healed") {
+    import org.apache.spark.sql.functions.col
+    val dir = Files.createTempDirectory("graft_compact").toString + "/t"
+    // 200 rows over 2 partitions, fragmented into ~8 files per partition
+    val df = (0 until 200).map(i => (i % 2, i.toLong, s"row$i")).toDF("p", "id", "v")
+    Sinks.writePartitioned(df.repartition(8), dir, "overwrite", Seq("p"))
+    val before = Sinks.parquetFileCount(spark, dir)
+    assert(before >= 8, s"fixture not fragmented: $before files")
+    // plant crash leftovers from a hypothetical earlier failed swap: a
+    // stale stage dir must be healed away, not break the compaction
+    val stale = new java.io.File(dir + "__stage"); stale.mkdirs()
+    val (nb, na) = Sinks.compactPartitioned(spark, dir, Seq("p"))
+    assert(nb == before && na == 2L, s"before=$nb after=$na") // 1 file per partition
+    assert(!stale.exists())
+    val back = spark.read.parquet(dir)
+      .select(col("p"), col("id"), col("v"))
+      .as[(Int, Long, String)].collect().toSet
+    assert(back == df.as[(Int, Long, String)].collect().toSet)
+    // a tiny byte target forces the per-file record cap to split files
+    val (_, split) = Sinks.compactPartitioned(spark, dir, Seq("p"),
+      targetFileBytes = 1L)
+    assert(split > 2L, s"expected record-cap splits, got $split files")
+    assert(spark.read.parquet(dir).count() == 200)
+  }
 }
 
 class ContractTransformsSpec extends SparkSpec {
