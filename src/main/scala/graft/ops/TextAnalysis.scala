@@ -389,6 +389,50 @@ object TextAnalysis {
         round(sum(p * log(p / q)), 6).as("kl"))
   }
 
+  /** Distribution profile for corpus QA: per-stratum quantiles of document
+    * length (chars) and token count — the histogram-shaped view a data-prep
+    * report needs next to x33's means (a mean hides the short-doc spike and
+    * the long tail that drive filter thresholds). Computes BOTH the exact
+    * `percentile` (interpolating — what the DuckDB oracle replays as
+    * quantile_cont) and the mergeable `percentile_approx` sketch, and emits
+    * per-metric booleans asserting the sketch landed within `relTol` of
+    * exact at every probe. At report granularity (one row per stratum) the
+    * exact path is affordable; the SKETCH is the 100 TB answer — GK-style,
+    * bounded memory, partial-aggregable, no per-group sort — and the
+    * booleans keep the query oracle-checkable (the x17 pattern) while
+    * pinning that the scale path agrees with the exact one. `accuracy`
+    * 10000 bounds rank error at n/10000 ranks. */
+  def distributionProfile(df: DataFrame, stratumCol: String,
+      textCol: String, relTol: Double = 0.05,
+      accuracy: Int = 10000): DataFrame = {
+    val probs = "array(0.25D, 0.5D, 0.75D, 0.95D)"
+    // sketch-vs-exact agreement at every probe; (0,0) counts as agreeing
+    def withinTol(approxCol: String, exactCol: String): Column =
+      forall(zip_with(col(approxCol), col(exactCol),
+        (a, e) => (a === 0.0 && e === 0.0) ||
+          abs(a - e) / abs(e) <= lit(relTol)), x => x)
+    df.select(col(stratumCol),
+        length(col(textCol)).cast("double").as("__len"),
+        tokenCount(col(textCol)).cast("double").as("__tok"))
+      .groupBy(col(stratumCol))
+      .agg(count(lit(1)).as("n_docs"),
+        expr(s"percentile(__len, $probs)").as("__lp"),
+        expr(s"percentile_approx(__len, $probs, $accuracy)").as("__lpa"),
+        expr(s"percentile(__tok, $probs)").as("__tp"),
+        expr(s"percentile_approx(__tok, $probs, $accuracy)").as("__tpa"))
+      .select(col(stratumCol), col("n_docs"),
+        round(element_at(col("__lp"), 1), 6).as("len_p25"),
+        round(element_at(col("__lp"), 2), 6).as("len_p50"),
+        round(element_at(col("__lp"), 3), 6).as("len_p75"),
+        round(element_at(col("__lp"), 4), 6).as("len_p95"),
+        round(element_at(col("__tp"), 1), 6).as("tok_p25"),
+        round(element_at(col("__tp"), 2), 6).as("tok_p50"),
+        round(element_at(col("__tp"), 3), 6).as("tok_p75"),
+        round(element_at(col("__tp"), 4), 6).as("tok_p95"),
+        withinTol("__lpa", "__lp").as("len_sketch_ok"),
+        withinTol("__tpa", "__tp").as("tok_sketch_ok"))
+  }
+
   /** Boilerplate DISCOVERY: the k most frequent paragraphs across the
     * corpus with occurrence and document counts — the mining pass that
     * produces the block-list feeding boilerplate REMOVAL (C4/Dolma-style

@@ -615,6 +615,14 @@ object ExtensionQueries {
       TextAnalysis.sourceTokenKl(t(s, dir, "documents"), "source", "text")
         .select(col("src").as("source"), col("n_tokens"), col("kl"))),
 
+    // Distribution profiling (corpus QA histograms): per-source length /
+    // token-count quantiles — exact values oracle-checked, the mergeable
+    // percentile_approx scale path pinned to them via x17-style
+    // sketch-agreement booleans
+    "x47_length_quantiles" -> ((s, dir) =>
+      TextAnalysis.distributionProfile(
+        t(s, dir, "documents"), "source", "text")),
+
     // Boilerplate DISCOVERY (the mining pass that builds the block-list
     // boilerplate REMOVAL consumes): most frequent paragraphs over a
     // corpus with planted shared footers — digest-keyed counting, text
@@ -922,6 +930,25 @@ object ExtensionQueries {
         |  CAST(count(*) AS BIGINT) AS n_urls,
         |  domain = 'site0.example.com' AS blocked
         |FROM hits GROUP BY domain""".stripMargin,
+
+    "x47_length_quantiles" ->
+      """WITH m AS (
+        |  SELECT source, CAST(len(text) AS DOUBLE) AS l,
+        |    CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+        |      x -> len(x) > 0)) AS DOUBLE) AS tk
+        |  FROM documents)
+        |SELECT source, count(*) AS n_docs,
+        |  ROUND(quantile_cont(l, 0.25), 6) AS len_p25,
+        |  ROUND(quantile_cont(l, 0.5), 6) AS len_p50,
+        |  ROUND(quantile_cont(l, 0.75), 6) AS len_p75,
+        |  ROUND(quantile_cont(l, 0.95), 6) AS len_p95,
+        |  ROUND(quantile_cont(tk, 0.25), 6) AS tok_p25,
+        |  ROUND(quantile_cont(tk, 0.5), 6) AS tok_p50,
+        |  ROUND(quantile_cont(tk, 0.75), 6) AS tok_p75,
+        |  ROUND(quantile_cont(tk, 0.95), 6) AS tok_p95,
+        |  TRUE AS len_sketch_ok,
+        |  TRUE AS tok_sketch_ok
+        |FROM m GROUP BY source""".stripMargin,
 
     "x43_source_kl" ->
       """WITH tok AS (

@@ -503,6 +503,24 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(3L) == ((0L, 0.0)))
   }
 
+  test("distributionProfile: interpolated exact quantiles; sketch agrees within tolerance") {
+    // lengths 1..5 -> quantile_cont semantics: p25 = 2, p50 = 3, p75 = 4,
+    // p95 = 4.8 (interpolated); token count is 1 everywhere
+    val docs = Seq(("s", "a"), ("s", "bb"), ("s", "ccc"), ("s", "dddd"),
+      ("s", "eeeee")).toDF("source", "text")
+    val r = TextAnalysis.distributionProfile(docs, "source", "text").head()
+    assert(r.getAs[Long]("n_docs") == 5L)
+    assert(r.getAs[Double]("len_p25") == 2.0)
+    assert(r.getAs[Double]("len_p50") == 3.0)
+    assert(r.getAs[Double]("len_p75") == 4.0)
+    assert(r.getAs[Double]("len_p95") == 4.8)
+    assert(r.getAs[Double]("tok_p50") == 1.0)
+    // the sketch returns dataset elements (no interpolation); the 5%
+    // relative bound must still hold at every probe
+    assert(r.getAs[Boolean]("len_sketch_ok"))
+    assert(r.getAs[Boolean]("tok_sketch_ok"))
+  }
+
   test("urlDomain extracts the first host; empty when no URL") {
     val out = Seq(
       "go to https://a.example.com/x and http://b.example.com/y",
