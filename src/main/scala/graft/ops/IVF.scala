@@ -113,6 +113,20 @@ object IVF {
   def searchBatch(assigned: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, qidCol: String, model: Model, k: Int,
       nprobe: Int = 4): DataFrame = {
+    val q = probeFrame(queries, qidCol, model, nprobe)
+    val scored = assigned.join(q, Seq("centroid_id"))
+      .withColumn("cosine_sim",
+        round(Similarity.cosine(col(vecCol), col("qvec")), 6))
+      .select(col(qidCol), col(idCol), col("cosine_sim"))
+    Similarity.topKPerQuery(scored, qidCol, idCol, k, queries)
+  }
+
+  /** (qid, qvec, centroid_id) probe rows: each query exploded to its
+    * `nprobe` nearest lists, all inside the plan — per-query probe ids
+    * come from a literal-centroid expression, NOT a driver `head()` per
+    * query like [[search]]. */
+  private def probeFrame(queries: DataFrame, qidCol: String, model: Model,
+      nprobe: Int): DataFrame = {
     // (cos, -cid) sort key ascending, reversed -> cosine desc with cid-asc
     // tie-break: the same order sortBy(-cos) yields in [[search]]
     val scoredCentroids = array(model.centroids.zipWithIndex.map { case (c, i) =>
@@ -120,11 +134,85 @@ object IVF {
         lit(-i).as("negcid"))
     }: _*)
     val probes = slice(reverse(array_sort(scoredCentroids)), 1, nprobe)
-    val q = queries
+    queries
       .withColumn("__probe", explode(probes)) // generators must be top-level
       .withColumn("centroid_id", -col("__probe").getField("negcid"))
       .select(col(qidCol), col("qvec"), col("centroid_id"))
-    val scored = assigned.join(q, Seq("centroid_id"))
+  }
+
+  /** Persist an assigned corpus as a BUCKETED IVF index table: bucketed
+    * (and sorted) by `centroid_id` — probing a list means opening only
+    * its bucket files (SelectedBucketsCount pruning, metadata-only). Pay
+    * the clustering shuffle once at index-build time; every subsequent
+    * batch search prunes at the scan instead of filtering after a full
+    * read. CAVEAT measured on the 500k smoke: a bucket is ONE file, and
+    * exact re-ranking pipelines inside the scan tasks, so a batch probing
+    * p lists scores on only p cores — for scoring-heavy batches prefer
+    * [[writeIndexPartitioned]], whose per-list directories hold many
+    * splittable files and keep the cluster busy. */
+  def writeIndex(assigned: DataFrame, table: String,
+      numBuckets: Int): Unit =
+    graft.sinks.Sinks.writeBucketed(assigned, table, Seq("centroid_id"),
+      numBuckets)
+
+  /** Persist an assigned corpus as a PARTITIONED-directory IVF index:
+    * one directory per list. Probe pruning is directory skipping
+    * (PartitionFilters at the scan — same metadata-only skip as the
+    * bucketed layout) but each list keeps its producer's file
+    * multiplicity and parquet's normal splittability, so the exact
+    * re-rank after pruning parallelizes across the whole cluster instead
+    * of one task per probed list. The preferred layout for batch
+    * retrieval; the trade is many small files when nc is large and the
+    * corpus per list is small (run q51-style compaction on the index). */
+  def writeIndexPartitioned(assigned: DataFrame, path: String): Unit =
+    assigned.write.mode("overwrite").partitionBy("centroid_id").parquet(path)
+
+  /** Batched ANN over the bucketed index table ([[writeIndex]] output):
+    * same in-plan probe semantics as [[searchBatch]] (equal results,
+    * pinned by spec), but the corpus side reads ONLY the probed lists'
+    * bucket files. The batch's distinct probed ids are collected first —
+    * one job on the SMALL query frame (|queries| x nprobe rows, never the
+    * corpus) — because bucket pruning needs literal ids at planning time;
+    * the `isin` then prunes the scan (SelectedBucketsCount < total,
+    * plan-guarded) and the probe equi-join broadcasts the query side, so
+    * the index never shuffles and unprobed lists are never even opened.
+    * At 100 TB this is the difference between a batch search costing
+    * O(probed lists) and O(corpus). */
+  /** The distinct list ids a query batch will probe — the exact
+    * file-skipping set [[searchBatchBucketed]] prunes the scan to. Useful
+    * on its own for batch planning: a batch whose union covers every list
+    * gains nothing from pruning (route it to [[searchBatch]]), while a
+    * related batch (queries from one topic/session) probes a few lists
+    * and skips the rest of the corpus on disk. Computed ON THE DRIVER
+    * from collected query vectors (the query frame is small by the same
+    * contract that lets the probe join broadcast it): running it as a
+    * Spark job would analyze/codegen the nc-literal-centroid expression a
+    * second time per batch, which measurably dominated the bucketed
+    * path's win on a 500k-vector smoke. Probe ranking replicates
+    * [[probeFrame]] exactly (cosine desc, cid asc on ties). */
+  def probedLists(queries: DataFrame, qidCol: String, model: Model,
+      nprobe: Int = 4): Array[Int] = {
+    val qvecs = queries.select(col("qvec")).collect()
+      .map(_.getSeq[Any](0).map(_.toString.toDouble).toArray)
+    qvecs.flatMap { q =>
+      val qn = math.sqrt(q.map(x => x * x).sum)
+      model.centroids.zipWithIndex.map { case (c, i) =>
+        val denom = math.sqrt(c.map(x => x * x).sum) * qn
+        val cos = if (denom > 0) c.zip(q).map { case (a, b) => a * b }.sum / denom
+          else 0.0
+        (cos, i)
+      }.sortBy { case (cos, i) => (-cos, i) }.take(nprobe).map(_._2)
+    }.distinct.sorted
+  }
+
+  def searchBatchBucketed(spark: org.apache.spark.sql.SparkSession,
+      indexTable: String, queries: DataFrame, idCol: String, vecCol: String,
+      qidCol: String, model: Model, k: Int, nprobe: Int = 4): DataFrame = {
+    val q = probeFrame(queries, qidCol, model, nprobe)
+    val probedIds = probedLists(queries, qidCol, model, nprobe)
+    val pruned = spark.table(indexTable)
+      .filter(col("centroid_id").isin(probedIds.map(Int.box): _*))
+    val scored = pruned.join(broadcast(q), Seq("centroid_id"))
       .withColumn("cosine_sim",
         round(Similarity.cosine(col(vecCol), col("qvec")), 6))
       .select(col(qidCol), col(idCol), col("cosine_sim"))

@@ -50,6 +50,41 @@ object AnnScaleSmoke {
       IVF.searchBatch(assigned, queries, "vec_id", "embedding", "query_id",
         model, k = 10, nprobe = 4).count())
     println(s"[ann-scale] ivf rows=$nIvf")
+
+    // bucketed index table: probe pruning becomes FILE SKIPPING. The
+    // related-query batch (small perturbations of one corpus vector — a
+    // topic-coherent retrieval batch) is the workload where it pays: the
+    // probe union covers a few lists, and the bucketed path opens only
+    // those bucket files while the in-memory path scans the whole corpus
+    // into the probe join regardless. (This uniform hash-derived corpus
+    // is IVF's worst case — a DIVERSE batch's probe union covers every
+    // list, which is what probedLists is for: route such batches to
+    // searchBatch instead.)
+    time("IVF writeIndex (bucketed by centroid_id, 32 buckets)")(
+      IVF.writeIndex(assigned, "graft_ann_idx", numBuckets = 32))
+    val base = corpus.filter(col("vec_id") === 0).select(col("embedding").as("v"))
+    val clustered = spark.range(nq).crossJoin(base)
+      .select(col("id").as("query_id"),
+        transform(col("v"), (x, i) =>
+          x * (lit(1.0) +
+            (pmod(xxhash64(col("id"), i), lit(3)).cast("double") - 1.0) * 0.02))
+          .as("qvec"))
+      .persist()
+    clustered.count()
+    println(s"[ann-scale] probe union: diverse=" +
+      s"${IVF.probedLists(queries, "query_id", model, 4).length}/32 " +
+      s"clustered=${IVF.probedLists(clustered, "query_id", model, 4).length}/32")
+    var nIvfC = 0L; var nIvfB = 0L
+    for (rep <- 1 to 2) {
+      nIvfC = time(s"IVF batch in-memory (clustered $nq) rep$rep")(
+        IVF.searchBatch(assigned, clustered, "vec_id", "embedding",
+          "query_id", model, k = 10, nprobe = 4).count())
+      nIvfB = time(s"IVF batch bucketed (clustered $nq) rep$rep")(
+        IVF.searchBatchBucketed(spark, "graft_ann_idx", clustered, "vec_id",
+          "embedding", "query_id", model, k = 10, nprobe = 4).count())
+    }
+    println(s"[ann-scale] ivf clustered rows: inmem=$nIvfC bucketed=$nIvfB")
+    spark.sql("DROP TABLE IF EXISTS graft_ann_idx")
     spark.stop()
   }
 }

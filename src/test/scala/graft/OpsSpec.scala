@@ -329,6 +329,38 @@ class SimilaritySpec extends SparkSpec {
     assert(probed.count() == expected && expected > 0)
   }
 
+  test("bucketed IVF index: batch search equals the unbucketed path and prunes buckets") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val model = graft.ops.IVF.train(emb, "vec_id", "embedding", nc = 8, iters = 2)
+    val assigned = graft.ops.IVF.assign(emb, "embedding", model)
+    val queries = emb.filter($"vec_id".isin(0L, 7L))
+      .select($"vec_id".as("query_id"), $"embedding".as("qvec"))
+    val table = s"graft_ivf_idx_${ProcessHandle.current().pid()}"
+    graft.ops.IVF.writeIndex(assigned, table, numBuckets = 8)
+    try {
+      val bucketed = graft.ops.IVF.searchBatchBucketed(spark, table, queries,
+        "vec_id", "embedding", "query_id", model, k = 8, nprobe = 3)
+      val plain = graft.ops.IVF.searchBatch(assigned, queries,
+        "vec_id", "embedding", "query_id", model, k = 8, nprobe = 3)
+      assert(bucketed.as[(Long, Long, Double)].collect().toSet ==
+        plain.as[(Long, Long, Double)].collect().toSet)
+      // the scale claims, on the executed plan: probed lists only (bucket
+      // pruning at the scan) and a shuffle-free index side (the probe
+      // join broadcasts the query frame)
+      val plan = bucketed.queryExecution.executedPlan.toString
+      val sel = "SelectedBucketsCount: (\\d+) out of (\\d+)".r
+        .findFirstMatchIn(plan)
+      assert(sel.isDefined, plan.take(800))
+      assert(sel.get.group(1).toInt < sel.get.group(2).toInt,
+        s"no bucket pruning: ${sel.get.matched}")
+      assert(plan.contains("BroadcastHashJoin"), plan.take(800))
+      // the index side never shuffles: the ONLY hash exchange is the tiny
+      // per-query top-k regroup above the probe join
+      assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1,
+        plan.take(800))
+    } finally spark.sql(s"DROP TABLE IF EXISTS $table")
+  }
+
   test("batched kNN equals N single-query calls (brute force, LSH, IVF)") {
     // the batch searchers are the production retrieval surface; this pins
     // each one to the corresponding single-query baseline over real vectors
