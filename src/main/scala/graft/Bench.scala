@@ -73,12 +73,18 @@ object Bench {
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.exists(n.startsWith)) }
     case class Res(name: String, best: Double, med: Double, runs: Seq[Double],
-        ok: Boolean, stages: Map[String, Double])
+        ok: Boolean, stages: Map[String, Double], load: Double)
     val results = selected.map { case (name, fn) =>
       // median-of-N (default 3) is the headline number — robust to host
       // scheduling noise that best-of-2 hid (r3's q38 swung 3s->14s across
       // hosts with no code change); best is kept alongside for steady-state
       graft.bench.StageTimers.drain() // discard any stale stage timers
+      // per-query loadavg sample: the r5 sweep had a 3-6x regression
+      // cluster (q43/q44/q45) that the start/end-of-sweep loadavg could
+      // not see — a mid-sweep foreign-process burst hits all reps of a
+      // few consecutive queries and averages out by sweep end. Sampling
+      // 1-min load at each query start puts the burst in the artifact.
+      val qLoad = loadavg()
       val runs = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
         val ok = runOnce(fn)
@@ -89,9 +95,9 @@ object Bench {
       val stages = runs.flatMap(_._3.keys).distinct.map { st =>
         st -> r2(median(runs.flatMap(_._3.get(st))))
       }.toMap
-      val res = Res(name, times.min, median(times), times, runs.forall(_._1), stages)
+      val res = Res(name, times.min, median(times), times, runs.forall(_._1), stages, qLoad)
       System.err.println(f"[bench] $name%-28s med=${res.med}%7.2fs best=${res.best}%7.2fs " +
-        f"(runs=${times.map(t => f"$t%.2f").mkString("/")} ok=${res.ok}" +
+        f"(runs=${times.map(t => f"$t%.2f").mkString("/")} ok=${res.ok} load=$qLoad%.2f" +
         (if (stages.nonEmpty) s" stages=$stages" else "") + ")")
       res
     }
@@ -103,11 +109,14 @@ object Bench {
       .filter(r => r.runs.size >= 2 && r.runs.head >= 0.2)
       .map(r => r.runs.last / r.runs.head)
     val repDrift = if (drifts.isEmpty) 1.0 else r2(median(drifts))
-    val loadHigh = math.max(loadStart, loadEnd)
-    val envSuspect = (loadHigh >= 0 && loadHigh > machineCpus) || repDrift > 1.25
+    // per-query load max catches mid-sweep foreign bursts that the
+    // start/end samples average away (the r5 q43/q44/q45 blind spot)
+    val loadMax = (results.map(_.load) ++ Seq(loadStart, loadEnd)).max
+    val envSuspect = (loadMax >= 0 && loadMax > machineCpus) || repDrift > 1.25
     System.err.println(f"[bench] env: loadavg $loadStart%.2f -> $loadEnd%.2f " +
-      f"(cpus=$machineCpus) gc=${gcMs}ms rep_drift=$repDrift%.2f suspect=$envSuspect")
-    val envJson = s""""env":{"loadavg_start":$loadStart,"loadavg_end":$loadEnd,"machine_cpus":$machineCpus,"gc_ms":$gcMs,"rep_drift":$repDrift},"env_suspect":$envSuspect"""
+      f"max=$loadMax%.2f (cpus=$machineCpus) gc=${gcMs}ms " +
+      f"rep_drift=$repDrift%.2f suspect=$envSuspect")
+    val envJson = s""""env":{"loadavg_start":$loadStart,"loadavg_end":$loadEnd,"loadavg_max":${r2(loadMax)},"machine_cpus":$machineCpus,"gc_ms":$gcMs,"rep_drift":$repDrift},"env_suspect":$envSuspect"""
     val qs = results.map(r => "\"" + r.name + "\":" + r2(r.med))
       .mkString("{", ",", "}")
     val failed = results.filterNot(_.ok).map("\"" + _.name + "\"")
@@ -125,16 +134,18 @@ object Bench {
     val medTotal = r2(results.map(_.med).sum)
     val bestTotal = r2(results.map(_.best).sum)
     val allOk = results.forall(_.ok)
-    // stdout line = the driver's parseable artifact. TOTALS ONLY (~200 B):
-    // the per-query map at 96 queries overflowed the driver's bounded
-    // capture window every round (BENCH_r02/r03/r04 all "parsed": null),
-    // so per-query medians/stages now live ONLY in bench_out.json
-    // (detail_path), which the judge reads. Headline fields stay LAST so
-    // even a truncated head preserves total/all_ok.
-    val json = s"""{"metric":"total","unit":"sec","sf":"$sfDir","reps":$reps,"n_queries":${results.size},"failed":$failed,$envJson,"detail_path":"bench_out.json","best_total":$bestTotal,"all_ok":$allOk,"value":$medTotal}"""
+    // stdout line = the driver's parseable artifact. MINIMAL FLAT JSON
+    // (~150 B, no nested objects): every round so far the driver recorded
+    // "parsed": null — r2/r3/r4 from the per-query map overflowing its
+    // capture window, r5 from a ~340 B line with nested env objects.
+    // Per-query medians/stages/env all live ONLY in bench_out.json
+    // (detail_path), which the judge reads. The same line is also written
+    // to bench_last.json so a driver that can't strip sbt's "[info] "
+    // stdout prefix still has a clean file to parse.
+    val json = s"""{"metric":"total","unit":"sec","value":$medTotal,"best_total":$bestTotal,"all_ok":$allOk,"n_queries":${results.size},"failed":$failed,"detail_path":"bench_out.json"}"""
     val detail = results.map { r =>
       "\"" + r.name + "\":{\"med\":" + r2(r.med) + ",\"best\":" + r2(r.best) +
-        ",\"runs\":[" + r.runs.map(r2).mkString(",") + "]" +
+        ",\"runs\":[" + r.runs.map(r2).mkString(",") + "],\"load\":" + r2(r.load) +
         (if (r.stages.nonEmpty)
           ",\"stages\":{" + r.stages.toSeq.sortBy(_._1)
             .map { case (s, v) => "\"" + s + "\":" + v }.mkString(",") + "}"
@@ -142,6 +153,8 @@ object Bench {
     }.mkString("{", ",", "}")
     val fullJson = s"""{"metric":"total","unit":"sec","sf":"$sfDir","reps":$reps,"queries":$qs,"stages":$stageJson,"detail":$detail,"failed":$failed,$envJson,"best_total":$bestTotal,"all_ok":$allOk,"value":$medTotal}"""
     try java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_out.json"), fullJson + "\n")
+    catch { case _: Throwable => }
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_last.json"), json + "\n")
     catch { case _: Throwable => }
     println(json)
     spark.stop()
