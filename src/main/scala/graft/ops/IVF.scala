@@ -183,33 +183,37 @@ object IVF {
     * on its own for batch planning: a batch whose union covers every list
     * gains nothing from pruning (route it to [[searchBatch]]), while a
     * related batch (queries from one topic/session) probes a few lists
-    * and skips the rest of the corpus on disk. Computed ON THE DRIVER
-    * from collected query vectors (the query frame is small by the same
-    * contract that lets the probe join broadcast it): running it as a
-    * Spark job would analyze/codegen the nc-literal-centroid expression a
-    * second time per batch, which measurably dominated the bucketed
-    * path's win on a 500k-vector smoke. Probe ranking replicates
-    * [[probeFrame]] exactly (cosine desc, cid asc on ties). */
+    * and skips the rest of the corpus on disk. Derived from
+    * [[probeFrame]] ITSELF (one small job on the |queries| x nprobe
+    * probe rows, never the corpus), so the set is guaranteed identical
+    * to the ids the probe join will carry. An earlier driver-side
+    * reimplementation ranked from toString-parsed query vectors, which
+    * widens array<float> differently than the in-plan getFloat->double
+    * cast (0.1f -> 0.1 vs 0.10000000149…) — a near-tie at the nprobe
+    * boundary could then prune a list the probe join expects, silently
+    * dropping its rows (ADVICE r5). */
   def probedLists(queries: DataFrame, qidCol: String, model: Model,
-      nprobe: Int = 4): Array[Int] = {
-    val qvecs = queries.select(col("qvec")).collect()
-      .map(_.getSeq[Any](0).map(_.toString.toDouble).toArray)
-    qvecs.flatMap { q =>
-      val qn = math.sqrt(q.map(x => x * x).sum)
-      model.centroids.zipWithIndex.map { case (c, i) =>
-        val denom = math.sqrt(c.map(x => x * x).sum) * qn
-        val cos = if (denom > 0) c.zip(q).map { case (a, b) => a * b }.sum / denom
-          else 0.0
-        (cos, i)
-      }.sortBy { case (cos, i) => (-cos, i) }.take(nprobe).map(_._2)
-    }.distinct.sorted
-  }
+      nprobe: Int = 4): Array[Int] =
+    probeFrame(queries, qidCol, model, nprobe)
+      .select(col("centroid_id")).distinct().collect()
+      .map(_.getInt(0)).sorted
 
   def searchBatchBucketed(spark: org.apache.spark.sql.SparkSession,
       indexTable: String, queries: DataFrame, idCol: String, vecCol: String,
       qidCol: String, model: Model, k: Int, nprobe: Int = 4): DataFrame = {
-    val q = probeFrame(queries, qidCol, model, nprobe)
-    val probedIds = probedLists(queries, qidCol, model, nprobe)
+    // Materialize the probe frame ONCE on the driver (small by the same
+    // contract that lets the join broadcast it): the collected rows give
+    // (a) the literal prune ids the bucketed scan needs at planning time
+    // and (b) a local relation for the join side — so the prune set and
+    // the join keys come from the SAME evaluation, and the nc-literal
+    // centroid expression is analyzed/codegen'd once per batch, not twice
+    // (re-running it per leg measurably dominated the bucketed path's
+    // win on a 500k-vector smoke).
+    val probed = probeFrame(queries, qidCol, model, nprobe)
+    val probeRows = probed.collect()
+    val q = spark.createDataFrame(
+      java.util.Arrays.asList(probeRows: _*), probed.schema)
+    val probedIds = probeRows.map(_.getAs[Int]("centroid_id")).distinct.sorted
     val pruned = spark.table(indexTable)
       .filter(col("centroid_id").isin(probedIds.map(Int.box): _*))
     val scored = pruned.join(broadcast(q), Seq("centroid_id"))

@@ -406,11 +406,15 @@ object TextAnalysis {
       textCol: String, relTol: Double = 0.05,
       accuracy: Int = 10000): DataFrame = {
     val probs = "array(0.25D, 0.5D, 0.75D, 0.95D)"
-    // sketch-vs-exact agreement at every probe; (0,0) counts as agreeing
+    // sketch-vs-exact agreement at every probe. Branch on e === 0 FIRST:
+    // abs(a-e)/abs(e) is NULL when e is 0 (Spark division by zero), and
+    // `(a===0 && e===0) || NULL` is NULL, which forall would propagate
+    // into the ok-boolean — an all-empty-text stratum must yield a
+    // definite true/false, never NULL (ADVICE r5)
     def withinTol(approxCol: String, exactCol: String): Column =
       forall(zip_with(col(approxCol), col(exactCol),
-        (a, e) => (a === 0.0 && e === 0.0) ||
-          abs(a - e) / abs(e) <= lit(relTol)), x => x)
+        (a, e) => when(e === 0.0, a === 0.0)
+          .otherwise(abs(a - e) / abs(e) <= lit(relTol))), x => x)
     df.select(col(stratumCol),
         length(col(textCol)).cast("double").as("__len"),
         tokenCount(col(textCol)).cast("double").as("__tok"))

@@ -40,15 +40,28 @@ class Orchestrator(spark: SparkSession, cfg: AppConfig,
     val spec = cfg.pipelines.getOrElse(name,
       throw new IllegalArgumentException(s"No pipeline config for $name"))
 
+    // Stage-timed (graft.bench.StageTimers) so bench sweeps can attribute
+    // pipeline cost to its phases instead of one opaque number: the CSV
+    // extract+transform materialization, the quality gate, and the load
+    // are separate host-I/O/compute profiles that drift independently
+    // (r5's q38 rep spread was >50% unattributed for exactly this lack).
     val raw = extract(name, spec)
     val transformed = transformFor(name)(raw)
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
-      val qr = DataQuality.runAllChecks(transformed, spec.dataQuality)
-      writeQualityResults(name, qr)
+      // materialize the persisted transform in its own stage: the first
+      // action pays the extract+transform; later phases read the cache
+      graft.bench.StageTimers.time("pipeline.transform")(transformed.count())
+      val qr = graft.bench.StageTimers.time("pipeline.quality") {
+        val r = DataQuality.runAllChecks(transformed, spec.dataQuality)
+        writeQualityResults(name, r)
+        r
+      }
       if (!qr.overallPassed && spec.failOnQualityCheck)
         throw PipelineQualityException(name)
-      val target = load(name, spec, transformed)
+      val target = graft.bench.StageTimers.time("pipeline.load") {
+        load(name, spec, transformed)
+      }
       PipelineResult(name, qr.recordCount, qr.overallPassed, target)
     } finally transformed.unpersist()
   }

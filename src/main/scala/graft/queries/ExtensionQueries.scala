@@ -21,6 +21,32 @@ object ExtensionQueries {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** The x35/x40 paragraph-dedup fixture: doc i = own (newline-stripped)
+    * text + successor's text joined by \n\n, wrapping the last doc around
+    * to the first — every paragraph appears in exactly two documents.
+    * Successor lookup is a broadcast-bounds self-join (each doc's text is
+    * keyed to its predecessor; the min id's text to the max id), NOT a
+    * global `lead` window: the earlier Window.orderBy(doc_id) synthesis
+    * spammed `WindowExec: No Partition Defined` warnings into every
+    * sweep tail, drowning the signal that warning exists to give
+    * (VERDICT r5 item 10). doc_ids are driver-contract contiguous
+    * 0..N-1, so predecessor arithmetic is exact; the SQL oracle replays
+    * the same corpus with lead() — identical by contiguity. Seed text is
+    * newline-stripped on BOTH sides so a \n\n inside future seed text
+    * breaks loudly rather than silently shifting the two-paragraph
+    * model. */
+  private def wrappedTwoParagraphCorpus(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("doc_id"),
+      regexp_replace(col("text"), "\\n+", " ").as("__own"))
+    val bounds = docs.agg(min(col("doc_id")).as("__min"),
+      max(col("doc_id")).as("__max"))
+    val succ = docs.crossJoin(broadcast(bounds))
+      .select(when(col("doc_id") === col("__min"), col("__max"))
+        .otherwise(col("doc_id") - 1).as("doc_id"), col("__own").as("__next"))
+    docs.join(succ, Seq("doc_id"))
+      .select(col("doc_id"), concat_ws("\n\n", col("__own"), col("__next")).as("text"))
+  }
+
   /** documents plus a mutated copy of docs 0..49 (id+10000, last ~20% of
     * words dropped) — the planted near-duplicate corpus. */
   private def nearDupCorpus(docs: DataFrame): DataFrame = {
@@ -177,23 +203,28 @@ object ExtensionQueries {
     // into a full oracle row while still exercising the sketches
     "x17_approx_distinct" -> ((s, dir) => {
       val li = t(s, dir, "lineitem")
-      // approx and exact distinct in SEPARATE aggregations joined on the
-      // tiny group key: mixing them in one agg forces an Expand (row
-      // multiplication by the number of distinct-aggregate groups), and
-      // TWO exact countDistincts in one agg do the same — so three
-      // single-purpose aggregates, joined on the 3-value flag
+      // TWO aggregates joined on the 3-value flag, a shape chosen by
+      // MEASUREMENT (tools/DebugX17, sf0.1): the sketches must stay in
+      // their own coarse agg (3 groups — map-side HLL merge, the 100 TB
+      // production path), because any plan that mixes a distinct agg
+      // with them re-keys the FIRST aggregate by (flag, distinct-col,
+      // gid) and materializes an rsd-0.02 sketch buffer per ~167k fine
+      // groups — measured 9-19s. The two exact countDistincts combine
+      // into ONE leg and eat the 2x Expand (0.8s) rather than scanning
+      // twice (r5's three-scan shape: 5.1s in-sweep, the #3 cost);
+      // the Expand carries no sketches, so it stays cheap.
       // rsd = 0.02 on BOTH sketches: the default 0.05 is one STANDARD
       // DEVIATION, so a 5%-bound boolean over it flips red ~1/3 of the
       // time (it did, on sf0.01's N flag); 0.02 makes 5% a 2.5-sigma bound
-      val approx = li.groupBy(col("l_returnflag"))
+      val proj = li.select(col("l_returnflag"), col("l_orderkey"),
+        col("l_partkey"))
+      val approx = proj.groupBy(col("l_returnflag"))
         .agg(approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"),
           approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"))
-      val exactOrders = li.groupBy(col("l_returnflag"))
-        .agg(countDistinct(col("l_orderkey")).as("exact_orders"))
-      val exactParts = li.groupBy(col("l_returnflag"))
-        .agg(countDistinct(col("l_partkey")).as("exact_parts"))
-      approx.join(exactOrders, Seq("l_returnflag"))
-        .join(exactParts, Seq("l_returnflag"))
+      val exact = proj.groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_orderkey")).as("exact_orders"),
+          countDistinct(col("l_partkey")).as("exact_parts"))
+      approx.join(exact, Seq("l_returnflag"))
         .select(col("l_returnflag"), col("exact_orders"), col("exact_parts"),
           (abs(col("approx_orders") - col("exact_orders"))
             .cast("double") / col("exact_orders") <= 0.05)
@@ -521,16 +552,7 @@ object ExtensionQueries {
     // seed text would silently break — strip on BOTH sides so the
     // assumption is enforced rather than assumed
     "x35_paragraph_dedup" -> ((s, dir) => {
-      val w = org.apache.spark.sql.expressions.Window.orderBy(col("doc_id"))
-      val wAll = org.apache.spark.sql.expressions.Window.orderBy(col("doc_id"))
-        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
-          org.apache.spark.sql.expressions.Window.unboundedFollowing)
-      val seedText = regexp_replace(col("text"), "\\n+", " ")
-      val corpus = t(s, dir, "documents").select(col("doc_id"),
-        concat_ws("\n\n", seedText,
-          coalesce(lead(seedText, 1).over(w),
-            first(seedText).over(wAll))).as("text"))
-      Dedup.paragraphDedup(corpus, "doc_id", "text")
+      Dedup.paragraphDedup(wrappedTwoParagraphCorpus(s, dir), "doc_id", "text")
         .groupBy(col("id"))
         .agg(count(lit(1)).as("n_paras"),
           count(when(col("kept"), 1)).as("n_kept"),
@@ -545,18 +567,8 @@ object ExtensionQueries {
     // rejoined per document in position order (full text compared by the
     // oracle hash; the fully-duplicated last doc must vanish)
     "x40_paragraph_reassembly" -> ((s, dir) => {
-      val w = org.apache.spark.sql.expressions.Window.orderBy(col("doc_id"))
-      val wAll = org.apache.spark.sql.expressions.Window.orderBy(col("doc_id"))
-        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
-          org.apache.spark.sql.expressions.Window.unboundedFollowing)
-      // newline-stripped seed text: same two-paragraphs-per-doc fixture
-      // contract as x35 (see its comment)
-      val seedText = regexp_replace(col("text"), "\\n+", " ")
-      val corpus = t(s, dir, "documents").select(col("doc_id"),
-        concat_ws("\n\n", seedText,
-          coalesce(lead(seedText, 1).over(w),
-            first(seedText).over(wAll))).as("text"))
-      Dedup.reassembleKept(Dedup.paragraphDedup(corpus, "doc_id", "text"))
+      Dedup.reassembleKept(Dedup.paragraphDedup(
+          wrappedTwoParagraphCorpus(s, dir), "doc_id", "text"))
         .select(col("id").as("doc_id"), col("text"))
     }),
 

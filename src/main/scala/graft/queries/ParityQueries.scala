@@ -660,17 +660,26 @@ object ParityQueries {
         new graft.pipeline.Orchestrator(s, cfg, dataRoot, outRoot)
           .runPipeline("transaction")
       }
-      s.read.parquet(s"$outRoot/transaction_out")
-        .select(col("transaction_id"), col("account_id"), col("transaction_date"),
-          col("transaction_type"), col("currency"),
-          col("transaction_year"), col("transaction_month"), col("transaction_day"),
-          col("transaction_hour"), col("transaction_dayofweek"), col("is_weekend"),
-          col("amount_usd"), col("transaction_category"), col("amount_signed"),
-          round(col("running_balance"), 4).as("running_balance"),
-          col("days_since_last_transaction"), col("transaction_count_30d"),
-          round(col("total_spend_30d"), 4).as("total_spend_30d"),
-          col("is_large_transaction"), col("is_unusual_location"),
-          col("is_high_frequency"), col("potential_fraud"))
+      // readback in its own stage, EAGER via localCheckpoint: without it
+      // the partitioned-parquet scan runs when the caller consumes the
+      // result — outside every timer, which left >50% of q38's r5 rep
+      // spread unattributed. localCheckpoint (not persist) so repeated
+      // bench reps don't cross-hit the cache manager's plan-matched
+      // entries; the caller's consumption then reads materialized blocks.
+      graft.bench.StageTimers.time("q38.readback") {
+        s.read.parquet(s"$outRoot/transaction_out")
+          .select(col("transaction_id"), col("account_id"), col("transaction_date"),
+            col("transaction_type"), col("currency"),
+            col("transaction_year"), col("transaction_month"), col("transaction_day"),
+            col("transaction_hour"), col("transaction_dayofweek"), col("is_weekend"),
+            col("amount_usd"), col("transaction_category"), col("amount_signed"),
+            round(col("running_balance"), 4).as("running_balance"),
+            col("days_since_last_transaction"), col("transaction_count_30d"),
+            round(col("total_spend_30d"), 4).as("total_spend_30d"),
+            col("is_large_transaction"), col("is_unusual_location"),
+            col("is_high_frequency"), col("potential_fraud"))
+          .localCheckpoint()
+      }
     }),
 
     // X7 seed generator, oracle-checked on its contract invariants: exact

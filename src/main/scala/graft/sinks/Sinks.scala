@@ -201,10 +201,20 @@ object Sinks {
     * Rewrites the dataset so each output file carries ~`targetFileBytes`:
     * reads the dataset, derives a `maxRecordsPerFile` cap from the
     * OBSERVED on-disk bytes-per-row (compressed, so the cap speaks the
-    * same units as the files it limits), range-partitions by the
-    * partition columns (clusters each partition value into one task ->
-    * one file per partition dir, split only past the cap), and swaps the
-    * rewrite in via the same crash-safe stage/retire/rename used by
+    * same units as the files it limits — NOTE this is a whole-dataset
+    * average, so per-partition file sizes track the target only as far
+    * as compressibility is uniform across partition values), and
+    * range-partitions by the partition columns PLUS a per-row salt sized
+    * from each partition value's observed share of the bytes: a
+    * partition expected to need f files salts `pmod(xxhash64(row), f)`,
+    * so a hot partition fans out to ~f parallel tasks/files while every
+    * partition small enough for one file keeps salt 0 — and with it the
+    * one-file-per-partition layout (q51's pinned invariant). Without the
+    * salt, range partitioning maps each partition VALUE to one task, and
+    * a skewed value (one hot day) writes through a single core with
+    * `maxRecordsPerFile` splitting its output serially — the 100 TB
+    * nightly-compaction bottleneck. The rewrite swaps in via the same
+    * crash-safe stage/retire/rename used by
     * [[graft.streaming.EventStreams.upsertParquetSink]] — a death at any
     * point leaves either the old or the new generation on disk, never
     * neither ([[graft.streaming.EventStreams.recoverUpsertTarget]] runs
@@ -232,7 +242,31 @@ object Sinks {
     val maxRecords = math.max(1L, targetFileBytes / bytesPerRow)
     val stage = new org.apache.hadoop.fs.Path(path + "__stage")
     val old = new org.apache.hadoop.fs.Path(path + "__old")
-    df.repartitionByRange(partitionCols.map(col): _*)
+    // Per-partition-value target file counts from the value's row share
+    // of the observed bytes. The counts frame is one row per partition
+    // value (bounded — it IS the directory count being compacted), so
+    // the join broadcasts; identical range keys land in one shuffle
+    // partition, so a salt-0-only (small) partition still emits exactly
+    // one file.
+    val counts = df.groupBy(partitionCols.map(col): _*)
+      .agg(count(lit(1)).as("__cnt"))
+    val dataCols = df.columns
+    val salted = df.join(broadcast(counts), partitionCols)
+      .withColumn("__salt", pmod(xxhash64(struct(dataCols.map(col): _*)),
+        greatest(lit(1L), ceil(col("__cnt") * lit(bytesPerRow) /
+          lit(targetFileBytes)).cast("long"))))
+    // Enough range buckets that a hot partition's salt values actually
+    // spread across tasks instead of collapsing back into one range
+    // chunk. Bounded by the target file count (no point in more tasks
+    // than files — maxRecordsPerFile handles within-task splitting) and
+    // by 4x the configured shuffle width (the cluster's useful
+    // parallelism knob; a 1000-executor deployment raises it).
+    val shuffleWidth = spark.conf.get("spark.sql.shuffle.partitions", "200").toInt
+    val numTasks = math.max(shuffleWidth, math.min(4L * shuffleWidth,
+      1L + totalBytes / targetFileBytes).toInt)
+    salted.repartitionByRange(numTasks,
+        (partitionCols.map(col) :+ col("__salt")): _*)
+      .select(dataCols.map(col): _*)
       .write.mode(SaveMode.Overwrite)
       .option("maxRecordsPerFile", maxRecords)
       .partitionBy(partitionCols: _*)
