@@ -200,21 +200,41 @@ object IVF {
 
   def searchBatchBucketed(spark: org.apache.spark.sql.SparkSession,
       indexTable: String, queries: DataFrame, idCol: String, vecCol: String,
-      qidCol: String, model: Model, k: Int, nprobe: Int = 4): DataFrame = {
-    // Materialize the probe frame ONCE on the driver (small by the same
-    // contract that lets the join broadcast it): the collected rows give
-    // (a) the literal prune ids the bucketed scan needs at planning time
-    // and (b) a local relation for the join side — so the prune set and
-    // the join keys come from the SAME evaluation, and the nc-literal
-    // centroid expression is analyzed/codegen'd once per batch, not twice
-    // (re-running it per leg measurably dominated the bucketed path's
-    // win on a 500k-vector smoke).
+      qidCol: String, model: Model, k: Int, nprobe: Int = 4): DataFrame =
+    searchBatchPruned(spark, spark.table(indexTable), queries, idCol,
+      vecCol, qidCol, model, k, nprobe)
+
+  /** Batched ANN over the partitioned-directory index
+    * ([[writeIndexPartitioned]] output): identical probe semantics, with
+    * the prune landing as PartitionFilters (directory skipping) instead
+    * of bucket selection — the layout whose exact re-rank parallelizes
+    * across the cluster (see the layout trade-off on
+    * [[writeIndexPartitioned]]). */
+  def searchBatchPartitioned(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String, queries: DataFrame, idCol: String, vecCol: String,
+      qidCol: String, model: Model, k: Int, nprobe: Int = 4): DataFrame =
+    searchBatchPruned(spark, spark.read.parquet(indexPath), queries, idCol,
+      vecCol, qidCol, model, k, nprobe)
+
+  /** Shared pruned-batch body for the persisted-index layouts.
+    * Materializes the probe frame ONCE on the driver (small by the same
+    * contract that lets the join broadcast it): the collected rows give
+    * (a) the literal prune ids the scan needs at planning time (bucket
+    * selection or partition-directory skipping, depending on the index
+    * layout behind `index`) and (b) a local relation for the join side —
+    * so the prune set and the join keys come from the SAME evaluation,
+    * and the nc-literal centroid expression is analyzed/codegen'd once
+    * per batch, not twice (re-running it per leg measurably dominated
+    * the bucketed path's win on a 500k-vector smoke). */
+  private def searchBatchPruned(spark: org.apache.spark.sql.SparkSession,
+      index: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+      qidCol: String, model: Model, k: Int, nprobe: Int): DataFrame = {
     val probed = probeFrame(queries, qidCol, model, nprobe)
     val probeRows = probed.collect()
     val q = spark.createDataFrame(
       java.util.Arrays.asList(probeRows: _*), probed.schema)
     val probedIds = probeRows.map(_.getAs[Int]("centroid_id")).distinct.sorted
-    val pruned = spark.table(indexTable)
+    val pruned = index
       .filter(col("centroid_id").isin(probedIds.map(Int.box): _*))
     val scored = pruned.join(broadcast(q), Seq("centroid_id"))
       .withColumn("cosine_sim",

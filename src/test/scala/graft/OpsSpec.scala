@@ -361,6 +361,31 @@ class SimilaritySpec extends SparkSpec {
     } finally spark.sql(s"DROP TABLE IF EXISTS $table")
   }
 
+  test("partitioned-dir IVF index: batch search equals the in-memory path and prunes partitions") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val model = graft.ops.IVF.train(emb, "vec_id", "embedding", nc = 8, iters = 2)
+    val assigned = graft.ops.IVF.assign(emb, "embedding", model)
+    val queries = emb.filter($"vec_id".isin(0L, 7L))
+      .select($"vec_id".as("query_id"), $"embedding".as("qvec"))
+    val dir = java.nio.file.Files.createTempDirectory("ivf_part_idx").toString + "/idx"
+    graft.ops.IVF.writeIndexPartitioned(assigned, dir)
+    val part = graft.ops.IVF.searchBatchPartitioned(spark, dir, queries,
+      "vec_id", "embedding", "query_id", model, k = 8, nprobe = 3)
+    val plain = graft.ops.IVF.searchBatch(assigned, queries,
+      "vec_id", "embedding", "query_id", model, k = 8, nprobe = 3)
+    assert(part.as[(Long, Long, Double)].collect().toSet ==
+      plain.as[(Long, Long, Double)].collect().toSet)
+    // scale claims on the executed plan: the probe prune must land as
+    // PartitionFilters (directory skipping at the scan), the probe join
+    // must broadcast the query side, and the index side never shuffles
+    val plan = part.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*centroid_id".r.findFirstIn(plan).isDefined,
+      plan.take(800))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(800))
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1,
+      plan.take(800))
+  }
+
   test("batched kNN equals N single-query calls (brute force, LSH, IVF)") {
     // the batch searchers are the production retrieval surface; this pins
     // each one to the corresponding single-query baseline over real vectors
