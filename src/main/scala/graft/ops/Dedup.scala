@@ -174,7 +174,7 @@ object Dedup {
     * classic no-cap guarantee can pass `maxBucketSize = Int.MaxValue` and
     * accept the quadratic hot-bucket cost.
     * Input: (id, band, bucket). Output: (id_a, id_b) with id_a < id_b. */
-  private def bucketCandidates(buckets: DataFrame, maxBucketSize: Int): DataFrame = {
+  private[ops] def bucketCandidates(buckets: DataFrame, maxBucketSize: Int): DataFrame = {
     // NOTE on materialization: the buckets frame is referenced by several
     // downstream branches, but persisting it here measured SLOWER at both
     // sf0.1 and the 200k-doc smoke (cache write + extra job cost more than
@@ -231,18 +231,28 @@ object Dedup {
     val candIds = cand.select(col("id_a").as("jid"))
       .unionByName(cand.select(col("id_b").as("jid"))).distinct()
     val sh = df.join(candIds, col(idCol) === col("jid"), "left_semi")
-      .select(col(idCol).as("jid"),
+      .select(col(idCol).as("id"),
         array_distinct(graft.functions.ShingleFunctions
-          .shingle_hashes(TextAnalysis.tokens(col(textCol)), shingleW)).as("jsh"))
-    cand
-      .join(sh.select(col("jid").as("id_a"), col("jsh").as("sh_a")), Seq("id_a"))
-      .join(sh.select(col("jid").as("id_b"), col("jsh").as("sh_b")), Seq("id_b"))
-      .withColumn("jaccard",
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))))
+          .shingle_hashes(TextAnalysis.tokens(col(textCol)), shingleW)).as("sh"))
+    jaccardOnPairs(cand, sh)
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }
+
+  /** Exact shingle-set Jaccard for explicit candidate pairs given a per-id
+    * shingle frame `(id, sh)`. Returns (id_a, id_b, jaccard) with jaccard
+    * UNROUNDED so callers filter at full precision before display rounding.
+    * Shared by [[minhashLshPairs]] and [[IncrementalDedup]] so the two
+    * paths verify with the IDENTICAL expression — the incremental ≡ full
+    * equality pinned by spec rests on it. */
+  private[ops] def jaccardOnPairs(cand: DataFrame, sh: DataFrame): DataFrame =
+    cand
+      .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))))
+      .select(col("id_a"), col("id_b"), col("jaccard"))
 
   /** 64-bit SimHash (Charikar '02) per document as ONE map-only pass: the
     * native [[graft.functions.SimHash64]] expression runs every token's

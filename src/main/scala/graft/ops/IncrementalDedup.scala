@@ -1,0 +1,247 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Incremental near-duplicate dedup against a PERSISTED MinHash index — the
+  * operation a production 100 TB corpus pipeline actually runs: shards
+  * arrive continuously and each must be deduped against everything already
+  * ingested WITHOUT re-reading (or re-hashing) the accumulated corpus text.
+  * Extension surface (SURVEY.md §7 "north star"); the batch building
+  * blocks are [[Dedup]]'s.
+  *
+  * Index layout under one root path:
+  *   - `buckets/`  — (id, band, bucket) LSH band buckets for EVERY ingested
+  *     doc, partitioned by `ingest_shard`. The probe side: a new shard's
+  *     buckets equi-join here to find cross-shard candidates. Narrow rows
+  *     (~20 B/doc/band) — the whole point is that shard ingest scans THIS,
+  *     never the corpus text (at 10^10 docs x 8 bands this is ~2 TB where
+  *     the text is 100 TB).
+  *   - `shingles/` — (id, sh: array<long>) distinct shingle hashes per doc,
+  *     partitioned by `ingest_shard`. The verify side: exact Jaccard for
+  *     candidate pairs reads ONLY rows semi-join-pruned to candidate ids.
+  *   - `labels/`   — (id, cluster_id) for every doc that ever entered a
+  *     verified duplicate pair (the [[Dedup.resolveClusters]] output over
+  *     all ingested shards). Swapped crash-safely via the same
+  *     stage/retire/promote rename protocol as the CDC upsert sink
+  *     ([[graft.streaming.EventStreams.recoverUpsertTarget]]).
+  *   - `meta/`     — one row pinning (shingle_w, k, bands, threshold,
+  *     max_bucket): probes MUST hash exactly like the build did, so
+  *     [[addShard]] reads its parameters from the index instead of trusting
+  *     the caller to repeat them.
+  *
+  * Why the index keeps ALL docs (not just survivors): a new doc similar
+  * only to an already-DROPPED doc must still land in the dropped doc's
+  * cluster (transitively reaching the survivor) — exactly the case where a
+  * survivors-only index silently diverges from full-corpus dedup. With the
+  * full index, [[addShard]]'s pair set (cross-probe ∪ shard-internal) plus
+  * the persisted label edges reconstructs the union's connectivity, so
+  * batch-by-batch ingest state ≡ one full-union dedup (pinned by spec;
+  * requires globally unique ids across shards and union band buckets under
+  * `maxBucket`, since the hot-bucket star-link cap sees per-batch buckets).
+  *
+  * Idempotency / crash safety: buckets and shingles append via DYNAMIC
+  * partition overwrite on `ingest_shard` — re-running a failed shard
+  * replaces exactly its own partition and [[addShard]] excludes the
+  * in-flight shard id from the probe, so a half-written previous attempt
+  * is invisible. Labels swap atomically (rename), recovering from any
+  * crash point at the next call.
+  *
+  * APPEND-ONLY CAVEAT (documented, inherent to incremental publishing): a
+  * later shard can MERGE two existing clusters (a bridge doc similar to
+  * both). The index labels update — future probes see the merged cluster —
+  * but survivors already published from earlier shards are never
+  * retracted. Full-union equality of the INDEX STATE still holds; the
+  * per-shard published reports are each correct as of their ingest time.
+  */
+object IncrementalDedup {
+
+  /** Index-build parameters, persisted in `meta/` and read back by probes. */
+  final case class Params(shingleW: Int = 3, k: Int = 32, bands: Int = 8,
+      threshold: Double = 0.5, maxBucket: Int = 256)
+
+  private def bucketsPath(root: String) = s"$root/buckets"
+  private def shinglesPath(root: String) = s"$root/shingles"
+  private def labelsPath(root: String) = s"$root/labels"
+  private def metaPath(root: String) = s"$root/meta"
+
+  /** (id, sh) distinct shingle-hash sets — sig-less (zero-token) docs are
+    * excluded, mirroring [[Dedup.minhashSignatures]]'s NULL-sig drop: they
+    * can never pair, so they are not index state. */
+  private def shingleSets(df: DataFrame, idCol: String, textCol: String,
+      w: Int): DataFrame =
+    df.select(col(idCol).as("id"),
+        array_distinct(graft.functions.ShingleFunctions
+          .shingle_hashes(TextAnalysis.tokens(col(textCol)), w)).as("sh"))
+      .filter(size(col("sh")) > 0)
+
+  /** (id, band, bucket) from a shingle-set frame. MinHash over the DISTINCT
+    * set equals MinHash over the raw multiset (min is multiplicity-blind),
+    * so signatures here are bit-identical to [[Dedup.minhashSignatures]]
+    * while reusing the already-computed shingle sets — one tokenize+hash
+    * pass feeds both index tables. */
+  private def bandBuckets(sh: DataFrame, p: Params): DataFrame =
+    sh.select(col("id"),
+        explode(Dedup.lshBandHashes(
+          graft.functions.MinHashFunctions.minhash_sigs(col("sh"), p.k),
+          p.k, p.bands)).as("bb"))
+      .select(col("id"), col("bb.band"), col("bb.bucket"))
+
+  /** Idempotent shard append: dynamic partition overwrite replaces exactly
+    * this shard's directory, leaving every other shard's files untouched. */
+  private def writeShardPartition(df: DataFrame, path: String,
+      shardId: String): Unit =
+    df.withColumn("ingest_shard", lit(shardId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("ingest_shard")
+      .parquet(path)
+
+  /** Crash-safe full-replacement write: stage, retire, promote — the
+    * labels table is re-derived each shard (it reads its own previous
+    * generation), so in-place overwrite would clobber the job's input. */
+  private def swapWrite(df: DataFrame, targetPath: String): Unit = {
+    val spark = df.sparkSession
+    val fs = new org.apache.hadoop.fs.Path(targetPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val target = new org.apache.hadoop.fs.Path(targetPath)
+    val stage = new org.apache.hadoop.fs.Path(targetPath + "__stage")
+    val old = new org.apache.hadoop.fs.Path(targetPath + "__old")
+    graft.streaming.EventStreams.recoverUpsertTarget(fs, targetPath)
+    df.write.mode("overwrite").parquet(stage.toString)
+    if (fs.exists(target))
+      require(fs.rename(target, old), s"label retire failed: $target")
+    require(fs.rename(stage, target),
+      s"label promote failed: $stage -> $target")
+    fs.delete(old, true)
+    ()
+  }
+
+  private def writeMeta(spark: SparkSession, root: String, p: Params): Unit =
+    spark.range(1).select(
+      lit(p.shingleW).as("shingle_w"), lit(p.k).as("k"),
+      lit(p.bands).as("bands"), lit(p.threshold).as("threshold"),
+      lit(p.maxBucket).as("max_bucket"))
+      .write.mode("overwrite").parquet(metaPath(root))
+
+  /** The parameters this index was built with (probes must match them). */
+  def readMeta(spark: SparkSession, root: String): Params = {
+    val r = spark.read.parquet(metaPath(root)).head()
+    Params(r.getAs[Int]("shingle_w"), r.getAs[Int]("k"),
+      r.getAs[Int]("bands"), r.getAs[Double]("threshold"),
+      r.getAs[Int]("max_bucket"))
+  }
+
+  private def readLabels(spark: SparkSession, root: String): DataFrame = {
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // a crashed previous swap may have left labels retired — recover first
+    graft.streaming.EventStreams.recoverUpsertTarget(fs, labelsPath(root))
+    if (fs.exists(new org.apache.hadoop.fs.Path(labelsPath(root))))
+      spark.read.parquet(labelsPath(root))
+    else
+      spark.range(0).select(col("id"), col("id").as("cluster_id"))
+  }
+
+  /** Per-doc report: every doc of `docs` with its resolved cluster and
+    * survivor flag (survivor = not in any pair, or its cluster's min id). */
+  private def report(docs: DataFrame, idCol: String,
+      labels: DataFrame): DataFrame =
+    docs.select(col(idCol).as("id"))
+      .join(labels.select(col("id"), col("cluster_id").as("__c")), Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("__c"), col("id")).as("cluster_id"),
+        (col("__c").isNull || col("__c") === col("id")).as("survived"))
+
+  /** Build the index from an initial corpus: full within-corpus LSH dedup
+    * (same pair semantics as [[Dedup.minhashLshPairs]] at `p.threshold`),
+    * then persist buckets + shingles + labels + meta. Returns the per-doc
+    * (id, cluster_id, survived) report for the initial corpus. */
+  def buildIndex(docs: DataFrame, idCol: String, textCol: String,
+      root: String, p: Params = Params(),
+      shardId: String = "shard0"): DataFrame = {
+    val spark = docs.sparkSession
+    val sh = shingleSets(docs, idCol, textCol, p.shingleW).persist()
+    val buckets = bandBuckets(sh, p)
+    // candidate frame is consumed twice (id prune inside the verify + the
+    // verify join itself) — same persist rationale as minhashLshPairs
+    val cand = Dedup.bucketCandidates(buckets, p.maxBucket).persist()
+    cand.count()
+    val pairs = Dedup.jaccardOnPairs(cand, sh)
+      .filter(col("jaccard") >= p.threshold)
+      .select(col("id_a"), col("id_b"))
+    val labels = Dedup.resolveClusters(pairs)
+    writeShardPartition(buckets, bucketsPath(root), shardId)
+    writeShardPartition(sh, shinglesPath(root), shardId)
+    swapWrite(labels, labelsPath(root))
+    writeMeta(spark, root, p)
+    val out = report(docs, idCol, spark.read.parquet(labelsPath(root)))
+    cand.unpersist(); sh.unpersist()
+    out
+  }
+
+  /** Ingest one shard against the index WITHOUT re-scanning the corpus:
+    *   1. shingle+sign the shard (map-only, shard-sized);
+    *   2. cross candidates = shard buckets ⋈ index buckets on
+    *      (band, bucket) — the index side is a narrow scan of `buckets/`,
+    *      never the corpus text, and AQE broadcasts the (small) shard side
+    *      so the index never shuffles;
+    *   3. shard-internal candidates via the usual hot-bucket-capped
+    *      same-bucket self-join;
+    *   4. exact-Jaccard verify — OLD docs' shingle sets come from
+    *      `shingles/` pruned by a semi-join to candidate ids (the only
+    *      non-shard-sized read, and it is candidate-sized);
+    *   5. union the verified pairs with the persisted label edges,
+    *      re-resolve clusters, swap the labels, append the shard's buckets
+    *      and shingles.
+    * Returns the shard's per-doc (id, cluster_id, survived) report.
+    * Requires ids globally unique across all ingested shards. */
+  def addShard(spark: SparkSession, root: String, shard: DataFrame,
+      idCol: String, textCol: String, shardId: String): DataFrame = {
+    val p = readMeta(spark, root)
+    val sh2 = shingleSets(shard, idCol, textCol, p.shingleW).persist()
+    val buckets2 = bandBuckets(sh2, p).persist()
+    // exclude this shard id from the probe: a half-written previous attempt
+    // of the SAME shard must be invisible (partition pruning skips its dir)
+    val oldBuckets = spark.read.parquet(bucketsPath(root))
+      .filter(col("ingest_shard") =!= lit(shardId))
+      .select(col("id").as("__old_id"), col("band"), col("bucket"))
+    val cross = buckets2.join(oldBuckets, Seq("band", "bucket"))
+      .select(least(col("id"), col("__old_id")).as("id_a"),
+        greatest(col("id"), col("__old_id")).as("id_b"))
+    val inner = Dedup.bucketCandidates(buckets2, p.maxBucket)
+    val cand = cross.unionByName(inner).distinct().persist()
+    cand.count()
+    val candIds = cand.select(col("id_a").as("id"))
+      .unionByName(cand.select(col("id_b").as("id"))).distinct()
+    val oldSh = spark.read.parquet(shinglesPath(root))
+      .filter(col("ingest_shard") =!= lit(shardId))
+      .join(candIds, Seq("id"), "left_semi")
+      .select(col("id"), col("sh"))
+    val shAll = sh2.unionByName(oldSh)
+    val pairs = Dedup.jaccardOnPairs(cand, shAll)
+      .filter(col("jaccard") >= p.threshold)
+      .select(col("id_a"), col("id_b"))
+    val oldLabels = readLabels(spark, root)
+    // label edges compress all prior connectivity: (cluster, member) edges
+    // reach exactly the same components as the original pair set did
+    val labelEdges = oldLabels.filter(col("id") =!= col("cluster_id"))
+      .select(col("cluster_id").as("id_a"), col("id").as("id_b"))
+    val labels2 = Dedup.resolveClusters(pairs.unionByName(labelEdges))
+    writeShardPartition(buckets2, bucketsPath(root), shardId)
+    writeShardPartition(sh2, shinglesPath(root), shardId)
+    swapWrite(labels2, labelsPath(root))
+    val out = report(shard, idCol, spark.read.parquet(labelsPath(root)))
+    cand.unpersist(); buckets2.unpersist(); sh2.unpersist()
+    out
+  }
+
+  /** The index's current dropped set: every ingested doc whose cluster has
+    * a smaller-id member. With [[buildIndex]]/[[addShard]] run shard by
+    * shard, this equals the dropped set of ONE full-union dedup over all
+    * ingested docs (pinned by spec) — the state-equality claim that makes
+    * incremental ingest trustworthy. */
+  def droppedIds(spark: SparkSession, root: String): DataFrame =
+    readLabels(spark, root).filter(col("id") =!= col("cluster_id"))
+      .select(col("id"))
+}

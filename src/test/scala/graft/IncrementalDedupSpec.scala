@@ -1,0 +1,163 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Dedup, IncrementalDedup}
+
+/** Incremental dedup against the persisted MinHash index: the state after
+  * shard-by-shard ingest must equal one full-union dedup — including
+  * transitive chains that SPAN shards and duplicates of docs that were
+  * themselves already dropped (the case a survivors-only index gets
+  * wrong).
+  *
+  * Fixture geometry: doc i's tokens are `d{i}w0..d{i}w24` — fully disjoint
+  * across docs, so the ONLY similarity is what a test plants via prefix
+  * copies, and exact shingle counts make every Jaccard predictable:
+  * 25 tokens -> 23 3-shingles; a keepFrac prefix of m tokens shares its
+  * m-2 shingles with the source. k=64/bands=32 (r=2) keeps LSH recall at
+  * J>=0.45 above 0.999 per pair, so planted pairs are found
+  * deterministically at these sizes. */
+class IncrementalDedupSpec extends SparkSpec {
+
+  private def tmpRoot(tag: String): String = {
+    val d = System.getProperty("java.io.tmpdir") +
+      s"/graft_incdedup_spec_${tag}_p" + ProcessHandle.current().pid()
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(d))
+    d
+  }
+
+  /** 40 docs, 25 tokens each, token streams disjoint across docs. */
+  private def baseDocs: DataFrame = {
+    import spark.implicits._
+    (0 until 40).map { i =>
+      (i.toLong, (0 until 25).map(t => s"d${i}w$t").mkString(" "))
+    }.toDF("doc_id", "text")
+  }
+
+  /** Keep the first `keepFrac` of tokens — a prefix near-dup whose Jaccard
+    * vs the source is exactly (floor(25*keepFrac) - 2) / 23. */
+  private def prefixCopy(docs: DataFrame, ids: Seq[Long], offset: Long,
+      keepFrac: Double): DataFrame = {
+    val toks = graft.ops.TextAnalysis.tokens(col("text"))
+    docs.filter(col("doc_id").isin(ids: _*))
+      .withColumn("doc_id", col("doc_id") + offset)
+      .withColumn("text",
+        concat_ws(" ", slice(toks, lit(1), (size(toks) * keepFrac).cast("int"))))
+  }
+
+  private val p = IncrementalDedup.Params(shingleW = 3, k = 64, bands = 32,
+    threshold = 0.45, maxBucket = 256)
+
+  private def fullDroppedSet(union: DataFrame,
+      pp: IncrementalDedup.Params = p): Set[Long] = {
+    val pairs = Dedup.minhashLshPairs(union, "doc_id", "text",
+      shingleW = pp.shingleW, k = pp.k, bands = pp.bands,
+      threshold = pp.threshold, maxBucketSize = pp.maxBucket)
+      .select(col("id_a"), col("id_b"))
+    Dedup.resolveClusters(pairs)
+      .filter(col("id") =!= col("cluster_id"))
+      .collect().map(_.getLong(0)).toSet
+  }
+
+  private def labelSet(df: DataFrame): Set[(Long, Long)] =
+    df.select(col("id"), col("cluster_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("shard-by-shard ingest state equals full-union dedup, chains spanning shards") {
+    val root = tmpRoot("chain")
+    val docs = baseDocs
+    // batch1: originals + 90% copies of 0..9 (22 tokens -> 20 shingles,
+    // J = 20/23 = 0.87 vs source: dropped within batch1)
+    val b1 = docs.unionByName(prefixCopy(docs, 0L until 10L, 1000, 0.9))
+    // batch2: 50% copies at +2000 (12 tokens -> 10 shingles). Jaccard vs
+    // the ORIGINAL is 10/23 = 0.43 < 0.45 (no direct edge); vs the DROPPED
+    // +1000 copy it is 10/20 = 0.50 >= 0.45 — the original is reachable
+    // ONLY through a doc that was already dropped, the exact case a
+    // survivors-only index would miss. Plus fresh internal duplicates
+    // (disjoint new token streams) at +3000, exact-copied at +3100.
+    import spark.implicits._
+    val b2uniqDf = (0 until 5).map { j =>
+      (3000L + j, (0 until 12).map(t => s"s${j}x$t").mkString(" "))
+    }.toDF("doc_id", "text")
+    val b2 = prefixCopy(docs, 0L until 10L, 2000, 0.5)
+      .unionByName(b2uniqDf)
+      .unionByName(b2uniqDf.withColumn("doc_id", col("doc_id") + 100))
+    val rep1 = IncrementalDedup.buildIndex(b1, "doc_id", "text", root, p, "b1")
+    val r1 = rep1.collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    (0L until 10L).foreach { i =>
+      assert(r1(i), s"original $i must survive batch1")
+      assert(!r1(i + 1000), s"copy ${i + 1000} must be dropped in batch1")
+    }
+    val rep2 = IncrementalDedup.addShard(spark, root, b2, "doc_id", "text", "b2")
+    val r2 = rep2.collect().map(r =>
+      r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    (0L until 10L).foreach { i =>
+      val (cl, surv) = r2(i + 2000)
+      assert(!surv, s"prefix-of-prefix ${i + 2000} must be dropped")
+      assert(cl === i,
+        s"${i + 2000} must resolve to ORIGINAL $i through the dropped copy")
+    }
+    (0 until 5).foreach { j =>
+      assert(r2(3000L + j)._2, s"fresh doc ${3000 + j} must survive")
+      assert(!r2(3100L + j)._2, s"internal dup ${3100 + j} must be dropped")
+      assert(r2(3100L + j)._1 === 3000L + j)
+    }
+    // the headline claim: index state ≡ one full-union dedup
+    val incrDropped = IncrementalDedup.droppedIds(spark, root)
+      .collect().map(_.getLong(0)).toSet
+    assert(incrDropped === fullDroppedSet(b1.unionByName(b2)))
+  }
+
+  test("re-running a shard (crash replay) is idempotent") {
+    val root = tmpRoot("idem")
+    val docs = baseDocs
+    val b2 = prefixCopy(docs, 0L until 8L, 1000, 0.9)
+    IncrementalDedup.buildIndex(docs, "doc_id", "text", root, p, "b1")
+    val first = IncrementalDedup.addShard(spark, root, b2, "doc_id", "text", "b2")
+    val firstRows = first.orderBy("id").collect().toSeq
+    val again = IncrementalDedup.addShard(spark, root, b2, "doc_id", "text", "b2")
+    assert(again.orderBy("id").collect().toSeq === firstRows)
+    // no duplicate index rows from the replay
+    val bucketRows = spark.read.parquet(s"$root/buckets")
+    assert(bucketRows.count() ===
+      bucketRows.dropDuplicates("id", "band", "bucket").count())
+    assert(labelSet(spark.read.parquet(s"$root/labels")) ===
+      labelSet(Dedup.resolveClusters(
+        Dedup.minhashLshPairs(docs.unionByName(b2), "doc_id", "text",
+          shingleW = p.shingleW, k = p.k, bands = p.bands,
+          threshold = p.threshold, maxBucketSize = p.maxBucket)
+          .select(col("id_a"), col("id_b")))))
+  }
+
+  test("a later bridge doc merges existing clusters in the index state") {
+    val root = tmpRoot("bridge")
+    import spark.implicits._
+    val aToks = (0 until 20).map(t => s"aw$t")
+    val bToks = (0 until 20).map(t => s"bw$t")
+    val b1 = Seq((0L, aToks.mkString(" ")), (1L, bToks.mkString(" ")))
+      .toDF("doc_id", "text")
+    // bridge = first 14 tokens of each: shares 12 shingles with each side
+    // (J = 12/(18 + 26 - 12) = 0.375 >= 0.3), similar to NEITHER alone at
+    // batch1's 0-pair state — ingesting it must merge both clusters
+    val bt = (aToks.take(14) ++ bToks.take(14)).mkString(" ")
+    val b2 = Seq((100L, bt)).toDF("doc_id", "text")
+    val loose = p.copy(threshold = 0.3)
+    IncrementalDedup.buildIndex(b1, "doc_id", "text", root, loose, "b1")
+    IncrementalDedup.addShard(spark, root, b2, "doc_id", "text", "b2")
+    val labels = labelSet(spark.read.parquet(s"$root/labels"))
+    assert(labels === Set((0L, 0L), (1L, 0L), (100L, 0L)),
+      s"bridge must merge both clusters under root 0, got $labels")
+    assert(IncrementalDedup.droppedIds(spark, root)
+      .collect().map(_.getLong(0)).toSet ===
+      fullDroppedSet(b1.unionByName(b2), loose))
+  }
+
+  test("meta pins build parameters; probes reuse them") {
+    val root = tmpRoot("meta")
+    val custom = IncrementalDedup.Params(shingleW = 4, k = 16, bands = 4,
+      threshold = 0.7, maxBucket = 64)
+    IncrementalDedup.buildIndex(baseDocs, "doc_id", "text", root, custom, "b1")
+    assert(IncrementalDedup.readMeta(spark, root) === custom)
+  }
+}
