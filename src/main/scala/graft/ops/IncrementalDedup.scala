@@ -166,16 +166,21 @@ object IncrementalDedup {
     // candidate frame is consumed twice (id prune inside the verify + the
     // verify join itself) — same persist rationale as minhashLshPairs
     val cand = Dedup.bucketCandidates(buckets, p.maxBucket).persist()
-    cand.count()
+    graft.bench.StageTimers.time("incdedup.build_cand") { cand.count() }
     val pairs = Dedup.jaccardOnPairs(cand, sh)
       .filter(col("jaccard") >= p.threshold)
       .select(col("id_a"), col("id_b"))
     val labels = Dedup.resolveClusters(pairs)
-    writeShardPartition(buckets, bucketsPath(root), shardId)
-    writeShardPartition(sh, shinglesPath(root), shardId)
-    swapWrite(labels, labelsPath(root))
-    writeMeta(spark, root, p)
-    val out = report(docs, idCol, spark.read.parquet(labelsPath(root)))
+    graft.bench.StageTimers.time("incdedup.build_writes") {
+      writeShardPartition(buckets, bucketsPath(root), shardId)
+      writeShardPartition(sh, shinglesPath(root), shardId)
+      swapWrite(labels, labelsPath(root))
+      writeMeta(spark, root, p)
+    }
+    // report from the in-memory (checkpointed) labels, NOT a re-read of
+    // labels/: a later addShard swap deletes those files, which would turn
+    // a still-unevaluated report plan into a FileNotFound at use time
+    val out = report(docs, idCol, labels)
     cand.unpersist(); sh.unpersist()
     out
   }
@@ -211,7 +216,7 @@ object IncrementalDedup {
         greatest(col("id"), col("__old_id")).as("id_b"))
     val inner = Dedup.bucketCandidates(buckets2, p.maxBucket)
     val cand = cross.unionByName(inner).distinct().persist()
-    cand.count()
+    graft.bench.StageTimers.time("incdedup.shard_cand") { cand.count() }
     val candIds = cand.select(col("id_a").as("id"))
       .unionByName(cand.select(col("id_b").as("id"))).distinct()
     val oldSh = spark.read.parquet(shinglesPath(root))
@@ -228,10 +233,13 @@ object IncrementalDedup {
     val labelEdges = oldLabels.filter(col("id") =!= col("cluster_id"))
       .select(col("cluster_id").as("id_a"), col("id").as("id_b"))
     val labels2 = Dedup.resolveClusters(pairs.unionByName(labelEdges))
-    writeShardPartition(buckets2, bucketsPath(root), shardId)
-    writeShardPartition(sh2, shinglesPath(root), shardId)
-    swapWrite(labels2, labelsPath(root))
-    val out = report(shard, idCol, spark.read.parquet(labelsPath(root)))
+    graft.bench.StageTimers.time("incdedup.shard_writes") {
+      writeShardPartition(buckets2, bucketsPath(root), shardId)
+      writeShardPartition(sh2, shinglesPath(root), shardId)
+      swapWrite(labels2, labelsPath(root))
+    }
+    // in-memory labels for the same swap-safety reason as in buildIndex
+    val out = report(shard, idCol, labels2)
     cand.unpersist(); buckets2.unpersist(); sh2.unpersist()
     out
   }

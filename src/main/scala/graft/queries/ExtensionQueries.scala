@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Dedup, IVF, Multimodal, Similarity, TextAnalysis}
+import graft.ops.{Dedup, IncrementalDedup, IVF, Multimodal, Similarity, TextAnalysis}
 
 /** Oracle-checked / rows-checked query surface for the training-data-pipeline
   * extension operators (dedup, similarity search, text analysis) over the
@@ -647,6 +647,100 @@ object ExtensionQueries {
       TextAnalysis.distributionProfile(
         t(s, dir, "documents"), "source", "text")),
 
+    // Incremental dedup against the PERSISTED MinHash index, ORACLE-CHECKED
+    // per doc: batch1 (corpus + exact copies of docs<30 at +10000) builds
+    // the index; batch2 (exact copies of docs<40 at +20000, plus a fresh
+    // 10-doc group exact-copied inside the shard) probes it WITHOUT
+    // re-reading batch1 text. Exact copies make every planted pair's
+    // detection deterministic (identical shingle sets -> identical
+    // signatures -> every band collides, Jaccard exactly 1.0), so at
+    // threshold 0.999 the survivor set is text-group-min — which DuckDB
+    // replays with a window over the normalized text. The +20000 copies of
+    // docs 30..39 match batch1 SINGLETONS (docs never seen in a batch1
+    // pair), pinning that the index holds ALL ingested docs, not just
+    // pair participants; the +20000 copies of docs <30 resolve through
+    // batch1's own duplicate group. Text is token-normalized on both
+    // sides so whitespace variants can't split a text group the shingle
+    // path would merge; zero-token docs (sig-less, never indexable) are
+    // excluded on both sides.
+    "x48_incremental_dedup" -> ((s, dir) => {
+      val root = ParityQueries.tmpPath("graft_incdedup", dir)
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+      // bounded to docs<500 (the whole corpus at sf0.01, a slice above it):
+      // the per-doc oracle needs a fixed fixture, and the benched cost must
+      // not scale as 2x(LSH + resolveClusters) on the full corpus — the
+      // at-scale incremental path is measured by DedupScaleSmoke instead
+      // (same x18-style bounded-oracle-baseline / smoke-scale-path split)
+      val docs = t(s, dir, "documents").filter(col("doc_id") < 500)
+        .select(col("doc_id"),
+          concat_ws(" ", TextAnalysis.tokens(col("text"))).as("text"))
+        .filter(length(col("text")) > 0)
+      val b1 = docs.unionByName(docs.filter(col("doc_id") < 30)
+        .withColumn("doc_id", col("doc_id") + 10000))
+      val fresh = docs.filter(col("doc_id") < 10)
+        .select((col("doc_id") + 40000).as("doc_id"),
+          concat(lit("fresh shard document number "),
+            col("doc_id").cast("string"),
+            lit(" with filler tokens for stable shingles")).as("text"))
+      val b2 = docs.filter(col("doc_id") < 40)
+        .withColumn("doc_id", col("doc_id") + 20000)
+        .unionByName(fresh)
+        .unionByName(fresh.withColumn("doc_id", col("doc_id") + 10000))
+      val p = IncrementalDedup.Params(shingleW = 3, k = 32, bands = 8,
+        threshold = 0.999, maxBucket = 256)
+      val rep1 = IncrementalDedup.buildIndex(b1, "doc_id", "text", root, p, "b1")
+      val rep2 = IncrementalDedup.addShard(s, root, b2, "doc_id", "text", "b2")
+      rep1.withColumn("batch", lit(1))
+        .unionByName(rep2.withColumn("batch", lit(2)))
+        .select(col("id").as("doc_id"), col("batch"), col("cluster_id"),
+          col("survived"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Incremental-vs-full EQUALITY on a NEAR-dup corpus (the hash-bearing
+    // path x48's exact fixture can't oracle per doc): shard-by-shard index
+    // state must equal one full-union dedup — label sets compared
+    // frame-exact in Spark, surfaced as x17-style oracle booleans. Bounded
+    // to docs<300 because the check intentionally runs THREE full LSH
+    // passes (build + probe + full-union reference) — the bound keeps the
+    // benched cost flat across scale factors; the equality claim itself is
+    // structural (shared candidate/verify primitives), not size-dependent.
+    "x49_incremental_vs_full" -> ((s, dir) => {
+      val root = ParityQueries.tmpPath("graft_incfull", dir)
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+      val docs = t(s, dir, "documents").filter(col("doc_id") < 300)
+        .select(col("doc_id"), col("text"))
+      val toks = TextAnalysis.tokens(col("text"))
+      val b2 = docs.filter(col("doc_id") < 25)
+        .withColumn("doc_id", col("doc_id") + 10000)
+        .withColumn("text",
+          concat_ws(" ", slice(toks, lit(1), (size(toks) * 0.8).cast("int"))))
+        .unionByName(docs.filter(col("doc_id") >= 25 && col("doc_id") < 50)
+          .withColumn("doc_id", col("doc_id") + 20000))
+      val p = IncrementalDedup.Params(shingleW = 3, k = 32, bands = 8,
+        threshold = 0.5, maxBucket = 256)
+      IncrementalDedup.buildIndex(docs, "doc_id", "text", root, p, "b1")
+      IncrementalDedup.addShard(s, root, b2, "doc_id", "text", "b2")
+      val incLabels = s.read.parquet(s"$root/labels")
+        .select(col("id"), col("cluster_id"))
+      val fullLabels = Dedup.resolveClusters(
+        Dedup.minhashLshPairs(docs.unionByName(b2), "doc_id", "text",
+          shingleW = 3, k = 32, bands = 8, threshold = 0.5,
+          maxBucketSize = 256).select(col("id_a"), col("id_b")))
+      val diff = incLabels.except(fullLabels)
+        .unionByName(fullLabels.except(incLabels))
+      val stateMatches = diff.isEmpty
+      // the 25 exact copies (ids 20025..20049) pair deterministically
+      val nExactDropped = IncrementalDedup.droppedIds(s, root)
+        .filter(col("id") >= 20000 && col("id") < 20050).count()
+      docs.unionByName(b2).agg(
+          count(lit(1)).as("n_union"),
+          sum(when(col("doc_id") >= 10000, 1).otherwise(0)).cast("long")
+            .as("n_batch2"))
+        .withColumn("state_matches_full", lit(stateMatches))
+        .withColumn("exact_copies_all_dropped", lit(nExactDropped == 25L))
+    }),
+
     // Boilerplate DISCOVERY (the mining pass that builds the block-list
     // boilerplate REMOVAL consumes): most frequent paragraphs over a
     // corpus with planted shared footers — digest-keyed counting, text
@@ -973,6 +1067,52 @@ object ExtensionQueries {
         |  TRUE AS len_sketch_ok,
         |  TRUE AS tok_sketch_ok
         |FROM m GROUP BY source""".stripMargin,
+
+    // Exact-duplicate incremental-dedup fixture: at threshold 0.999 the
+    // survivor set is text-group-min over the union (identical normalized
+    // text <=> identical shingle sets <=> Jaccard exactly 1.0; nothing
+    // else reaches 0.999), replayed here with window functions over the
+    // same normalized-text corpus construction as the Spark side.
+    "x48_incremental_dedup" ->
+      """WITH norm AS (
+        |  SELECT doc_id, array_to_string(
+        |    list_filter(string_split_regex(trim(text), '\s+'), x -> len(x) > 0),
+        |    ' ') AS text
+        |  FROM documents
+        |  WHERE doc_id < 500
+        |    AND len(list_filter(string_split_regex(trim(text), '\s+'),
+        |      x -> len(x) > 0)) > 0),
+        |fresh AS (
+        |  SELECT doc_id + 40000 AS doc_id,
+        |    'fresh shard document number ' || CAST(doc_id AS VARCHAR) ||
+        |      ' with filler tokens for stable shingles' AS text
+        |  FROM norm WHERE doc_id < 10),
+        |u AS (
+        |  SELECT doc_id, text, 1 AS batch FROM norm
+        |  UNION ALL
+        |  SELECT doc_id + 10000, text, 1 FROM norm WHERE doc_id < 30
+        |  UNION ALL
+        |  SELECT doc_id + 20000, text, 2 FROM norm WHERE doc_id < 40
+        |  UNION ALL SELECT doc_id, text, 2 FROM fresh
+        |  UNION ALL SELECT doc_id + 10000, text, 2 FROM fresh)
+        |SELECT doc_id, batch,
+        |  CASE WHEN count(*) OVER (PARTITION BY text) > 1
+        |    THEN min(doc_id) OVER (PARTITION BY text)
+        |    ELSE doc_id END AS cluster_id,
+        |  doc_id = min(doc_id) OVER (PARTITION BY text) AS survived
+        |FROM u""".stripMargin,
+
+    // x49's booleans are Spark-side frame-equality facts (incremental
+    // index state vs full-union labels — both xxhash-deterministic); the
+    // oracle pins the deterministic corpus arithmetic plus the required
+    // TRUE outcomes, the x17/x47 agreement-boolean pattern.
+    "x49_incremental_vs_full" ->
+      """SELECT
+        |  CAST((SELECT count(*) FROM documents WHERE doc_id < 300) + 50 AS BIGINT)
+        |    AS n_union,
+        |  CAST(50 AS BIGINT) AS n_batch2,
+        |  TRUE AS state_matches_full,
+        |  TRUE AS exact_copies_all_dropped""".stripMargin,
 
     "x43_source_kl" ->
       """WITH tok AS (

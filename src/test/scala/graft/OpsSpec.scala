@@ -161,10 +161,28 @@ class DedupSpec extends SparkSpec {
     // (a partial clustering here is the silent-wrong-answer failure mode)
     val chain = spark.range(0, 399)
       .select(col("id").as("id_a"), (col("id") + 1).as("id_b"))
-    val clusters = Dedup.resolveClusters(chain)
+    // localEdgeLimit = 0 forces the DISTRIBUTED loop — the property under
+    // test is the pointer-jumping convergence, not the small-input path
+    val clusters = Dedup.resolveClusters(chain, localEdgeLimit = 0L)
     assert(clusters.count() == 400)
     assert(clusters.select("cluster_id").distinct().count() == 1)
     assert(clusters.agg(max("cluster_id")).head().getLong(0) == 0L)
+  }
+
+  test("resolveClusters local union-find path equals the distributed loop") {
+    // mixed shapes: a chain, a star, singleton pairs, duplicate+reversed
+    // edges — the two paths must produce identical label sets
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (10L, 12L),
+      (10L, 13L), (20L, 21L), (21L, 20L), (1L, 2L), (30L, 31L))
+      .toDF("id_a", "id_b")
+    val local = Dedup.resolveClusters(edges)
+      .as[(Long, Long)].collect().toSet
+    val dist = Dedup.resolveClusters(edges, localEdgeLimit = 0L)
+      .as[(Long, Long)].collect().toSet
+    assert(local == dist)
+    assert(local == Set(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 10L,
+      20L -> 20L, 21L -> 20L, 30L -> 30L, 31L -> 30L))
   }
 
   test("resolveClusters and dedupByClusters handle an empty pair set") {
