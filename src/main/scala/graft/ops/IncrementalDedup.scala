@@ -65,15 +65,25 @@ object IncrementalDedup {
   private def labelsPath(root: String) = s"$root/labels"
   private def metaPath(root: String) = s"$root/meta"
 
-  /** (id, sh) distinct shingle-hash sets — sig-less (zero-token) docs are
-    * excluded, mirroring [[Dedup.minhashSignatures]]'s NULL-sig drop: they
-    * can never pair, so they are not index state. */
+  /** (id, sh) RAW shingle-hash arrays (one per token window, duplicates
+    * kept; zero-token docs carry an empty array and are excluded from
+    * index state at the write/bucket stages). Dedup to a SET happens only
+    * at verify time on candidate-pruned rows ([[distinctSh]]):
+    * `array_distinct` is an interpreted per-row loop, so paying it
+    * corpus-wide at index build measured ~2x slower than this raw write,
+    * while candidates are orders of magnitude fewer than docs. MinHash
+    * over the raw multiset equals MinHash over the set (min is
+    * multiplicity-blind), so band buckets are unaffected. */
   private def shingleSets(df: DataFrame, idCol: String, textCol: String,
       w: Int): DataFrame =
     df.select(col(idCol).as("id"),
-        array_distinct(graft.functions.ShingleFunctions
-          .shingle_hashes(TextAnalysis.tokens(col(textCol)), w)).as("sh"))
-      .filter(size(col("sh")) > 0)
+        graft.functions.ShingleFunctions
+          .shingle_hashes(TextAnalysis.tokens(col(textCol)), w).as("sh"))
+
+  /** Candidate-pruned shingle SETS for the exact-Jaccard verify. */
+  private def distinctSh(sh: DataFrame, candIds: DataFrame): DataFrame =
+    sh.join(candIds, Seq("id"), "left_semi")
+      .select(col("id"), array_distinct(col("sh")).as("sh"))
 
   /** (id, band, bucket) from a shingle-set frame. MinHash over the DISTINCT
     * set equals MinHash over the raw multiset (min is multiplicity-blind),
@@ -82,9 +92,20 @@ object IncrementalDedup {
     * pass feeds both index tables. */
   private def bandBuckets(sh: DataFrame, p: Params): DataFrame =
     sh.select(col("id"),
-        explode(Dedup.lshBandHashes(
-          graft.functions.MinHashFunctions.minhash_sigs(col("sh"), p.k),
-          p.k, p.bands)).as("bb"))
+        graft.functions.MinHashFunctions.minhash_sigs(col("sh"), p.k).as("sig"))
+      // the intermediate select matters: Spark's cost-aware CollapseProject
+      // keeps `sig` an attribute here, so the banding lambda reads the
+      // materialized signature instead of re-computing it per band (the
+      // trap documented on Dedup.minhashSignature — inlining it measured
+      // 29s vs 3s at 205k docs). No Filter node anywhere: a filter's
+      // predicate gets PUSHED below the projects with the whole
+      // minhash-over-shingles chain inlined, costing one extra full
+      // evaluation per row. Sig-less (zero-shingle) docs carry a NULL sig,
+      // the when() maps them to a NULL band array, and explode drops them —
+      // same exclusion, zero extra passes.
+      .select(col("id"),
+        explode(when(col("sig").isNotNull,
+          Dedup.lshBandHashes(col("sig"), p.k, p.bands))).as("bb"))
       .select(col("id"), col("bb.band"), col("bb.bucket"))
 
   /** Idempotent shard append: dynamic partition overwrite replaces exactly
@@ -161,19 +182,29 @@ object IncrementalDedup {
       root: String, p: Params = Params(),
       shardId: String = "shard0"): DataFrame = {
     val spark = docs.sparkSession
-    val sh = shingleSets(docs, idCol, textCol, p.shingleW).persist()
+    // NOT persisted: caching 10^5+ array<long> rows pays a columnar
+    // cache build/read that measured SLOWER than recomputing the narrow
+    // codegen'd tokenize+hash subtree (the same measurement documented on
+    // Dedup.bucketCandidates' caller); only the tiny candidate-pair frame
+    // is materialized
+    val sh = shingleSets(docs, idCol, textCol, p.shingleW)
     val buckets = bandBuckets(sh, p)
-    // candidate frame is consumed twice (id prune inside the verify + the
-    // verify join itself) — same persist rationale as minhashLshPairs
     val cand = Dedup.bucketCandidates(buckets, p.maxBucket).persist()
     graft.bench.StageTimers.time("incdedup.build_cand") { cand.count() }
-    val pairs = Dedup.jaccardOnPairs(cand, sh)
+    // verify-side shingles recomputed only for docs in a candidate pair
+    // (semi-join prune) — at corpus scale candidates are orders of
+    // magnitude fewer than docs, exactly minhashLshPairs' shape
+    val candIds = cand.select(col("id_a").as("id"))
+      .unionByName(cand.select(col("id_b").as("id"))).distinct()
+    val pairs = Dedup.jaccardOnPairs(cand, distinctSh(sh, candIds))
       .filter(col("jaccard") >= p.threshold)
       .select(col("id_a"), col("id_b"))
     val labels = Dedup.resolveClusters(pairs)
     graft.bench.StageTimers.time("incdedup.build_writes") {
       writeShardPartition(buckets, bucketsPath(root), shardId)
-      writeShardPartition(sh, shinglesPath(root), shardId)
+      // sig-less docs are not index state (they can never pair)
+      writeShardPartition(sh.filter(size(col("sh")) > 0),
+        shinglesPath(root), shardId)
       swapWrite(labels, labelsPath(root))
       writeMeta(spark, root, p)
     }
@@ -181,7 +212,7 @@ object IncrementalDedup {
     // labels/: a later addShard swap deletes those files, which would turn
     // a still-unevaluated report plan into a FileNotFound at use time
     val out = report(docs, idCol, labels)
-    cand.unpersist(); sh.unpersist()
+    cand.unpersist()
     out
   }
 
@@ -204,8 +235,10 @@ object IncrementalDedup {
   def addShard(spark: SparkSession, root: String, shard: DataFrame,
       idCol: String, textCol: String, shardId: String): DataFrame = {
     val p = readMeta(spark, root)
-    val sh2 = shingleSets(shard, idCol, textCol, p.shingleW).persist()
-    val buckets2 = bandBuckets(sh2, p).persist()
+    // same no-persist rationale as buildIndex: the shard subtrees are
+    // map-only and codegen'd; only the candidate-pair frame materializes
+    val sh2 = shingleSets(shard, idCol, textCol, p.shingleW)
+    val buckets2 = bandBuckets(sh2, p)
     // exclude this shard id from the probe: a half-written previous attempt
     // of the SAME shard must be invisible (partition pruning skips its dir)
     val oldBuckets = spark.read.parquet(bucketsPath(root))
@@ -219,11 +252,12 @@ object IncrementalDedup {
     graft.bench.StageTimers.time("incdedup.shard_cand") { cand.count() }
     val candIds = cand.select(col("id_a").as("id"))
       .unionByName(cand.select(col("id_b").as("id"))).distinct()
-    val oldSh = spark.read.parquet(shinglesPath(root))
-      .filter(col("ingest_shard") =!= lit(shardId))
-      .join(candIds, Seq("id"), "left_semi")
-      .select(col("id"), col("sh"))
-    val shAll = sh2.unionByName(oldSh)
+    val oldSh = distinctSh(
+      spark.read.parquet(shinglesPath(root))
+        .filter(col("ingest_shard") =!= lit(shardId))
+        .select(col("id"), col("sh")),
+      candIds)
+    val shAll = distinctSh(sh2, candIds).unionByName(oldSh)
     val pairs = Dedup.jaccardOnPairs(cand, shAll)
       .filter(col("jaccard") >= p.threshold)
       .select(col("id_a"), col("id_b"))
@@ -235,12 +269,13 @@ object IncrementalDedup {
     val labels2 = Dedup.resolveClusters(pairs.unionByName(labelEdges))
     graft.bench.StageTimers.time("incdedup.shard_writes") {
       writeShardPartition(buckets2, bucketsPath(root), shardId)
-      writeShardPartition(sh2, shinglesPath(root), shardId)
+      writeShardPartition(sh2.filter(size(col("sh")) > 0),
+        shinglesPath(root), shardId)
       swapWrite(labels2, labelsPath(root))
     }
     // in-memory labels for the same swap-safety reason as in buildIndex
     val out = report(shard, idCol, labels2)
-    cand.unpersist(); buckets2.unpersist(); sh2.unpersist()
+    cand.unpersist()
     out
   }
 
