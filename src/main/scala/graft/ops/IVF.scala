@@ -204,6 +204,68 @@ object IVF {
     searchBatchPruned(spark, spark.table(indexTable), queries, idCol,
       vecCol, qidCol, model, k, nprobe)
 
+  /** SELF-CONTAINED APPENDABLE INDEX — the retrieval sibling of
+    * [[graft.ops.IncrementalDedup]]: a production vector store ingests new
+    * embedding shards continuously and must NOT re-assign (or even
+    * re-read) the existing corpus to do it. Layout under one root:
+    * `vectors/` partitioned by (centroid_id, ingest_shard) — probe pruning
+    * on the leading `centroid_id` directory level is unchanged, and a
+    * shard append via dynamic partition overwrite replaces exactly its own
+    * (list, shard) leaves, so crash-replaying an ingest is idempotent —
+    * and `centroids/` persisting the trained model, because appends MUST
+    * assign with the exact centroids the index was built with (standard
+    * IVF semantics: centroids are frozen at build; re-training is a
+    * rebuild). */
+  def writeIndexAppendable(assigned: DataFrame, root: String, model: Model,
+      shardId: String = "init"): Unit = {
+    writeVectorShard(assigned, root, shardId)
+    val spark = assigned.sparkSession
+    val rows = model.centroids.zipWithIndex.map { case (c, i) =>
+      org.apache.spark.sql.Row(i, c.toSeq)
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("cid",
+        org.apache.spark.sql.types.IntegerType, false),
+      org.apache.spark.sql.types.StructField("centroid",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.DoubleType, false), false)))
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+      .coalesce(1).write.mode("overwrite").parquet(s"$root/centroids")
+  }
+
+  private def writeVectorShard(assigned: DataFrame, root: String,
+      shardId: String): Unit =
+    assigned.withColumn("ingest_shard", lit(shardId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("centroid_id", "ingest_shard")
+      .parquet(s"$root/vectors")
+
+  /** The frozen centroids an appendable index was built with. */
+  def readModel(spark: org.apache.spark.sql.SparkSession,
+      root: String): Model =
+    Model(spark.read.parquet(s"$root/centroids")
+      .orderBy(col("cid")).collect()
+      .map(_.getSeq[Double](1).toArray))
+
+  /** Ingest a new embedding shard: assign against the PERSISTED centroids
+    * (one map-only pass over the shard — the existing index is not read at
+    * all) and append under the shard's own partition leaves. */
+  def appendVectors(spark: org.apache.spark.sql.SparkSession, root: String,
+      emb: DataFrame, vecCol: String, shardId: String): Unit =
+    writeVectorShard(assign(emb, vecCol, readModel(spark, root)),
+      root, shardId)
+
+  /** Batched ANN over the appendable index ([[writeIndexAppendable]] +
+    * [[appendVectors]] output): probe semantics identical to
+    * [[searchBatch]] (pinned by spec/oracle), prune lands as
+    * PartitionFilters on the leading centroid_id directory level. */
+  def searchBatchAppendable(spark: org.apache.spark.sql.SparkSession,
+      root: String, queries: DataFrame, idCol: String, vecCol: String,
+      qidCol: String, k: Int, nprobe: Int = 4): DataFrame =
+    searchBatchPruned(spark, spark.read.parquet(s"$root/vectors"), queries,
+      idCol, vecCol, qidCol, readModel(spark, root), k, nprobe)
+
   /** Batched ANN over the partitioned-directory index
     * ([[writeIndexPartitioned]] output): identical probe semantics, with
     * the prune landing as PartitionFilters (directory skipping) instead

@@ -741,6 +741,43 @@ object ExtensionQueries {
         .withColumn("exact_copies_all_dropped", lit(nExactDropped == 25L))
     }),
 
+    // APPENDABLE IVF index lifecycle (the retrieval sibling of x48/x49):
+    // build the persisted index + frozen centroids from 80% of the
+    // vectors, APPEND the remaining 20% as a shard — assignment runs
+    // against the PERSISTED centroids, one map-only pass over the shard,
+    // the existing index never re-read — then batch-search through the
+    // appended index. Oracle booleans (x17 pattern): results equal an
+    // in-memory searchBatch over the full corpus assigned with the same
+    // model (frame-exact), and the executed plan still prunes partitions
+    // on centroid_id after the append (the x27 embedded plan guard).
+    "x50_ivf_append" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val base = emb.filter(col("vec_id") % 5 =!= 0)
+      val shard = emb.filter(col("vec_id") % 5 === 0)
+      val model = IVF.train(base, "vec_id", "embedding", nc = 16, iters = 3)
+      val idx = ParityQueries.tmpPath("graft_ivf_app", dir)
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(idx))
+      IVF.writeIndexAppendable(IVF.assign(base, "embedding", model), idx,
+        model, "base")
+      IVF.appendVectors(s, idx, shard, "embedding", "s1")
+      val q = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+      val viaIndex = IVF.searchBatchAppendable(s, idx, q, "vec_id",
+        "embedding", "query_id", k = 10, nprobe = 4)
+      val prunedOk = "PartitionFilters: \\[[^\\]]*centroid_id".r
+        .findFirstIn(viaIndex.queryExecution.executedPlan.toString).isDefined
+      val ref = IVF.searchBatch(IVF.assign(emb, "embedding", model), q,
+        "vec_id", "embedding", "query_id", model, k = 10, nprobe = 4)
+      val matches = viaIndex.exceptAll(ref)
+        .unionByName(ref.exceptAll(viaIndex)).isEmpty
+      emb.agg(count(lit(1)).as("n_vectors"),
+          sum(when(col("vec_id") % 5 === 0, 1).otherwise(0)).cast("long")
+            .as("n_appended"))
+        .withColumn("n_queries", lit(5L))
+        .withColumn("append_matches_full", lit(matches))
+        .withColumn("partition_pruned", lit(prunedOk))
+    }),
+
     // Boilerplate DISCOVERY (the mining pass that builds the block-list
     // boilerplate REMOVAL consumes): most frequent paragraphs over a
     // corpus with planted shared footers — digest-keyed counting, text
@@ -1113,6 +1150,19 @@ object ExtensionQueries {
         |  CAST(50 AS BIGINT) AS n_batch2,
         |  TRUE AS state_matches_full,
         |  TRUE AS exact_copies_all_dropped""".stripMargin,
+
+    // x50's booleans are Spark-side frame-equality / plan-shape facts
+    // (k-means lists are trainer-dependent, so per-row results stay
+    // rows-only in x27); the oracle pins the corpus arithmetic plus the
+    // required TRUE outcomes.
+    "x50_ivf_append" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_vectors,
+        |  CAST(sum(CASE WHEN vec_id % 5 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_appended,
+        |  CAST(5 AS BIGINT) AS n_queries,
+        |  TRUE AS append_matches_full,
+        |  TRUE AS partition_pruned
+        |FROM embeddings""".stripMargin,
 
     "x43_source_kl" ->
       """WITH tok AS (

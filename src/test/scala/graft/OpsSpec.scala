@@ -404,6 +404,35 @@ class SimilaritySpec extends SparkSpec {
       plan.take(800))
   }
 
+  test("appendable IVF index: shard append equals full in-memory search; replay idempotent") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val base = emb.filter($"vec_id" % 5 =!= 0)
+    val shard = emb.filter($"vec_id" % 5 === 0)
+    val model = graft.ops.IVF.train(base, "vec_id", "embedding", nc = 8, iters = 2)
+    val root = java.nio.file.Files.createTempDirectory("ivf_app_idx").toString + "/idx"
+    graft.ops.IVF.writeIndexAppendable(
+      graft.ops.IVF.assign(base, "embedding", model), root, model, "base")
+    // persisted centroids round-trip exactly (appends must assign with them)
+    assert(graft.ops.IVF.readModel(spark, root).centroids.map(_.toSeq).toSeq ==
+      model.centroids.map(_.toSeq).toSeq)
+    graft.ops.IVF.appendVectors(spark, root, shard, "embedding", "s1")
+    val queries = emb.filter($"vec_id".isin(0L, 7L))
+      .select($"vec_id".as("query_id"), $"embedding".as("qvec"))
+    def viaIndex = graft.ops.IVF.searchBatchAppendable(spark, root, queries,
+      "vec_id", "embedding", "query_id", k = 8, nprobe = 3)
+    val ref = graft.ops.IVF.searchBatch(
+      graft.ops.IVF.assign(emb, "embedding", model), queries,
+      "vec_id", "embedding", "query_id", model, k = 8, nprobe = 3)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(viaIndex.as[(Long, Long, Double)].collect().toSet == ref)
+    // crash-replay of the same shard id: dynamic partition overwrite
+    // replaces the shard's own leaves — no duplicate vectors, same results
+    graft.ops.IVF.appendVectors(spark, root, shard, "embedding", "s1")
+    val vecs = spark.read.parquet(s"$root/vectors")
+    assert(vecs.count() == vecs.dropDuplicates("vec_id").count())
+    assert(viaIndex.as[(Long, Long, Double)].collect().toSet == ref)
+  }
+
   test("batched kNN equals N single-query calls (brute force, LSH, IVF)") {
     // the batch searchers are the production retrieval surface; this pins
     // each one to the corresponding single-query baseline over real vectors
