@@ -85,6 +85,31 @@ object AnnScaleSmoke {
     }
     println(s"[ann-scale] ivf clustered rows: inmem=$nIvfC bucketed=$nIvfB")
     spark.sql("DROP TABLE IF EXISTS graft_ann_idx")
+
+    // APPENDABLE index: ingest a 2% shard against the persisted centroids —
+    // one map-only assign over the shard, the existing index never read —
+    // vs the rebuild alternative (re-assign + rewrite the whole corpus)
+    val approot = System.getProperty("java.io.tmpdir") +
+      s"/graft_ann_app_p${ProcessHandle.current().pid()}"
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(approot))
+    time("appendable writeIndex (partitioned)")(
+      IVF.writeIndexAppendable(assigned, approot, model, "init"))
+    val shardN = n / 50
+    val shard = spark.range(n, n + shardN, 1, 4)
+      .select(col("id").as("vec_id"),
+        transform(sequence(lit(0), lit(dim - 1)),
+          i => (pmod(xxhash64(col("id"), i, lit(3)), lit(2000)) / 1000.0 - 1.0)
+            .cast("float")).as("embedding"))
+    time(s"appendVectors ($shardN shard)")(
+      IVF.appendVectors(spark, approot, shard, "embedding", "s1"))
+    time("vs full rebuild (the alternative)")(
+      IVF.writeIndexAppendable(
+        IVF.assign(corpus.unionByName(shard), "embedding", model),
+        approot + "_rebuild", model, "init"))
+    val nApp = time("searchBatch over appended index")(
+      IVF.searchBatchAppendable(spark, approot, queries, "vec_id",
+        "embedding", "query_id", k = 10, nprobe = 4).count())
+    println(s"[ann-scale] appended-index batch rows=$nApp")
     spark.stop()
   }
 }
