@@ -65,6 +65,20 @@ object IncrementalDedup {
   private def labelsPath(root: String) = s"$root/labels"
   private def metaPath(root: String) = s"$root/meta"
 
+  import org.apache.spark.sql.types._
+  // explicit read schemas: an index built from an EMPTY corpus (the valid
+  // starting state for streaming ingestion) has partition dirs with no data
+  // files, where schema inference would fail
+  private val bucketsSchema = StructType(Seq(
+    StructField("id", LongType), StructField("band", IntegerType),
+    StructField("bucket", LongType), StructField("ingest_shard", StringType)))
+  private val shinglesSchema = StructType(Seq(
+    StructField("id", LongType),
+    StructField("sh", ArrayType(LongType)),
+    StructField("ingest_shard", StringType)))
+  private val labelsSchema = StructType(Seq(
+    StructField("id", LongType), StructField("cluster_id", LongType)))
+
   /** (id, sh) RAW shingle-hash arrays (one per token window, duplicates
     * kept; zero-token docs carry an empty array and are excluded from
     * index state at the write/bucket stages). Dedup to a SET happens only
@@ -159,7 +173,7 @@ object IncrementalDedup {
     // a crashed previous swap may have left labels retired — recover first
     graft.streaming.EventStreams.recoverUpsertTarget(fs, labelsPath(root))
     if (fs.exists(new org.apache.hadoop.fs.Path(labelsPath(root))))
-      spark.read.parquet(labelsPath(root))
+      spark.read.schema(labelsSchema).parquet(labelsPath(root))
     else
       spark.range(0).select(col("id"), col("id").as("cluster_id"))
   }
@@ -239,21 +253,14 @@ object IncrementalDedup {
     // map-only and codegen'd; only the candidate-pair frame materializes
     val sh2 = shingleSets(shard, idCol, textCol, p.shingleW)
     val buckets2 = bandBuckets(sh2, p)
-    // exclude this shard id from the probe: a half-written previous attempt
-    // of the SAME shard must be invisible (partition pruning skips its dir)
-    val oldBuckets = spark.read.parquet(bucketsPath(root))
-      .filter(col("ingest_shard") =!= lit(shardId))
-      .select(col("id").as("__old_id"), col("band"), col("bucket"))
-    val cross = buckets2.join(oldBuckets, Seq("band", "bucket"))
-      .select(least(col("id"), col("__old_id")).as("id_a"),
-        greatest(col("id"), col("__old_id")).as("id_b"))
+    val cross = crossProbe(spark, root, buckets2, shardId)
     val inner = Dedup.bucketCandidates(buckets2, p.maxBucket)
     val cand = cross.unionByName(inner).distinct().persist()
     graft.bench.StageTimers.time("incdedup.shard_cand") { cand.count() }
     val candIds = cand.select(col("id_a").as("id"))
       .unionByName(cand.select(col("id_b").as("id"))).distinct()
     val oldSh = distinctSh(
-      spark.read.parquet(shinglesPath(root))
+      spark.read.schema(shinglesSchema).parquet(shinglesPath(root))
         .filter(col("ingest_shard") =!= lit(shardId))
         .select(col("id"), col("sh")),
       candIds)
@@ -278,6 +285,29 @@ object IncrementalDedup {
     cand.unpersist()
     out
   }
+
+  /** The cross-shard candidate probe — the scale-critical join: the index
+    * side is a NARROW scan of `buckets/` (never corpus text) with the
+    * in-flight shard excluded via PARTITION PRUNING (a half-written
+    * previous attempt of the same shard is invisible at the file listing),
+    * and the shard side is small enough for AQE to broadcast, so the index
+    * never shuffles. Both properties are plan-guarded by spec.
+    * `private[graft]` for exactly that guard. */
+  private[graft] def crossProbe(spark: SparkSession, root: String,
+      buckets2: DataFrame, shardId: String): DataFrame = {
+    val oldBuckets = spark.read.schema(bucketsSchema).parquet(bucketsPath(root))
+      .filter(col("ingest_shard") =!= lit(shardId))
+      .select(col("id").as("__old_id"), col("band"), col("bucket"))
+    buckets2.join(oldBuckets, Seq("band", "bucket"))
+      .select(least(col("id"), col("__old_id")).as("id_a"),
+        greatest(col("id"), col("__old_id")).as("id_b"))
+  }
+
+  /** A shard's (id, band, bucket) probe rows — [[crossProbe]]'s shard-side
+    * input, exposed for the plan-guard spec. */
+  private[graft] def shardBuckets(shard: DataFrame, idCol: String,
+      textCol: String, p: Params): DataFrame =
+    bandBuckets(shingleSets(shard, idCol, textCol, p.shingleW), p)
 
   /** The index's current dropped set: every ingested doc whose cluster has
     * a smaller-id member. With [[buildIndex]]/[[addShard]] run shard by

@@ -231,6 +231,37 @@ object EventStreams {
     fs.delete(stage, true)
   }
 
+  /** Streaming CORPUS ingestion with incremental near-dup dedup: every
+    * micro-batch of documents dedups against the persisted MinHash index
+    * ([[graft.ops.IncrementalDedup.addShard]]) and appends itself to it.
+    * The micro-batch id IS the shard id, which makes crash replay
+    * exactly-once on index state for free: foreachBatch redelivers a
+    * failed batch under the SAME batchId, addShard's dynamic partition
+    * overwrite replaces exactly that shard's partition, and the probe
+    * excludes the in-flight shard id so a half-written previous attempt
+    * is invisible. Per-batch survivor reports land under `reportPath`
+    * partitioned by batch_id with the same replay-idempotent overwrite.
+    * The index must exist — [[graft.ops.IncrementalDedup.buildIndex]] on
+    * the historical corpus, or on an empty frame to start cold. */
+  def incrementalDedupSink(docs: DataFrame, idCol: String, textCol: String,
+      indexRoot: String, reportPath: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          graft.ops.IncrementalDedup.addShard(batch.sparkSession, indexRoot,
+              batch, idCol, textCol, s"stream_$batchId")
+            .withColumn("batch_id", lit(batchId))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(reportPath)
+        }
+        ()
+      }
+      .start()
+
   /** Streaming sink helper: append to a parquet path with a checkpoint —
     * the streaming analogue of Sinks.writePartitioned. */
   def startParquetSink(df: DataFrame, path: String, checkpoint: String,

@@ -133,4 +133,28 @@ class PlanGuardSpec extends SparkSpec {
     val flags = df.select("zero_exchange").distinct().collect().map(_.getBoolean(0)).toSeq
     assert(flags == Seq(true), s"bucketed join planned a shuffle: $flags")
   }
+
+  test("incremental-dedup probe: shard exclusion is partition pruning; index never shuffles") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_probe_guard").toString + "/idx"
+    val docs = (0 until 60).map { i =>
+      (i.toLong, (0 until 20).map(t => s"g${i}t$t").mkString(" "))
+    }.toDF("doc_id", "text")
+    val p = graft.ops.IncrementalDedup.Params()
+    graft.ops.IncrementalDedup.buildIndex(docs, "doc_id", "text", root, p, "b1")
+    val shard = (100 until 110).map { i =>
+      (i.toLong, (0 until 20).map(t => s"g${i - 100}t$t").mkString(" "))
+    }.toDF("doc_id", "text")
+    val cross = graft.ops.IncrementalDedup.crossProbe(spark, root,
+      graft.ops.IncrementalDedup.shardBuckets(shard, "doc_id", "text", p), "b2")
+    cross.collect() // force execution so AQE finalizes the join strategy
+    val plan = cross.queryExecution.executedPlan.toString
+    // the in-flight shard is excluded at the FILE LISTING, not post-scan
+    assert("PartitionFilters: \\[[^\\]]*ingest_shard".r.findFirstIn(plan).isDefined,
+      plan.take(1000))
+    // the (small) shard side broadcasts; the index-side scan never shuffles
+    assert(plan.contains("BroadcastHashJoin"), plan.take(1000))
+    assert(!plan.contains("Exchange hashpartitioning"), plan.take(1000))
+  }
 }

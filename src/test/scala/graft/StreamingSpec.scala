@@ -228,4 +228,52 @@ class StreamingSpec extends SparkSpec {
       assert(sessions.contains((1L, 1L, 3.0))) // second session closed by timeout
     } finally q.stop()
   }
+
+  test("incrementalDedupSink: streamed batches build the same index state as one full dedup") {
+    import java.nio.file.Files
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("graft_incsink").toString
+    val p = graft.ops.IncrementalDedup.Params(shingleW = 3, k = 64,
+      bands = 32, threshold = 0.45, maxBucket = 256)
+    // cold start: index built from an EMPTY corpus (valid initial state)
+    graft.ops.IncrementalDedup.buildIndex(
+      Seq.empty[(Long, String)].toDF("doc_id", "text"),
+      "doc_id", "text", s"$dir/idx", p, "init")
+    def doc(i: Long): String = (0 until 25).map(t => s"d${i}w$t").mkString(" ")
+    def prefix(i: Long, keep: Int): String =
+      doc(i).split(" ").take(keep).mkString(" ")
+    val input = MemoryStream[(Long, String)]
+    val q = EventStreams.incrementalDedupSink(
+      input.toDF().toDF("doc_id", "text"), "doc_id", "text",
+      s"$dir/idx", s"$dir/reports", s"$dir/ckpt")
+    try {
+      // batch 1: three originals + a near-dup of doc 0 (22/25 tokens)
+      input.addData((0L, doc(0)), (1L, doc(1)), (2L, doc(2)),
+        (100L, prefix(0, 22)))
+      q.processAllAvailable()
+      // batch 2: a near-dup of doc 1 and a fresh doc
+      input.addData((200L, prefix(1, 22)), (3L, doc(3)))
+      q.processAllAvailable()
+      val dropped = graft.ops.IncrementalDedup.droppedIds(spark, s"$dir/idx")
+        .as[Long].collect().toSet
+      assert(dropped == Set(100L, 200L))
+      // same state as ONE full dedup over everything streamed
+      val union = Seq((0L, doc(0)), (1L, doc(1)), (2L, doc(2)),
+        (100L, prefix(0, 22)), (200L, prefix(1, 22)), (3L, doc(3)))
+        .toDF("doc_id", "text")
+      val fullDropped = graft.ops.Dedup.resolveClusters(
+        graft.ops.Dedup.minhashLshPairs(union, "doc_id", "text",
+          shingleW = p.shingleW, k = p.k, bands = p.bands,
+          threshold = p.threshold, maxBucketSize = p.maxBucket)
+          .select($"id_a", $"id_b"))
+        .filter($"id" =!= $"cluster_id").select($"id")
+        .as[Long].collect().toSet
+      assert(dropped == fullDropped)
+      // per-batch survivor reports landed, partitioned by batch_id
+      val reports = spark.read.parquet(s"$dir/reports")
+      assert(reports.select("batch_id").distinct().count() == 2)
+      assert(reports.filter($"id" === 100L).head().getAs[Boolean]("survived") == false)
+      assert(reports.filter($"id" === 3L).head().getAs[Boolean]("survived") == true)
+    } finally q.stop()
+  }
 }
