@@ -153,6 +153,42 @@ class IncrementalDedupSpec extends SparkSpec {
       fullDroppedSet(b1.unionByName(b2), loose))
   }
 
+  test("property: any shard split of any corpus reproduces full-union state") {
+    // seeded pseudo-random grid (explicit-grid style; scalacheck bridge is
+    // offline): random token-stream corpora with random prefix near-dups,
+    // split round-robin into 2-3 shards — so a duplicate can arrive BEFORE
+    // its source — must always produce the full-union dropped set
+    val rnd = new scala.util.Random(42)
+    (0 until 3).foreach { trial =>
+      val root = tmpRoot(s"prop$trial")
+      val nBase = 20 + rnd.nextInt(20)
+      val base = (0 until nBase).map { i =>
+        (i.toLong,
+          (0 until (10 + rnd.nextInt(20))).map(t => s"p${trial}d${i}w$t").mkString(" "))
+      }
+      val dups = (0 until 10).map { j =>
+        val toks = base(rnd.nextInt(nBase))._2.split(" ")
+        val keep = math.max(4, (toks.length * (0.5 + rnd.nextDouble() * 0.5)).toInt)
+        (1000L + j, toks.take(keep).mkString(" "))
+      }
+      val all = rnd.shuffle(base ++ dups)
+      val nShards = 2 + rnd.nextInt(2)
+      val shards = all.zipWithIndex.groupBy(_._2 % nShards)
+        .toSeq.sortBy(_._1).map(_._2.map(_._1))
+      import spark.implicits._
+      IncrementalDedup.buildIndex(shards.head.toDF("doc_id", "text"),
+        "doc_id", "text", root, p, "s0")
+      shards.tail.zipWithIndex.foreach { case (sh, i) =>
+        IncrementalDedup.addShard(spark, root, sh.toDF("doc_id", "text"),
+          "doc_id", "text", s"s${i + 1}")
+      }
+      val incr = IncrementalDedup.droppedIds(spark, root)
+        .collect().map(_.getLong(0)).toSet
+      val full = fullDroppedSet(all.toDF("doc_id", "text"))
+      assert(incr === full, s"trial $trial (${nShards} shards, $nBase base docs)")
+    }
+  }
+
   test("meta pins build parameters; probes reuse them") {
     val root = tmpRoot("meta")
     val custom = IncrementalDedup.Params(shingleW = 4, k = 16, bands = 4,
