@@ -53,6 +53,11 @@ import org.apache.spark.sql.functions._
   * but survivors already published from earlier shards are never
   * retracted. Full-union equality of the INDEX STATE still holds; the
   * per-shard published reports are each correct as of their ingest time.
+  *
+  * SINGLE-WRITER CONTRACT: one ingest (or [[compactShards]]) at a time —
+  * concurrent writers would race the label swap and interleave partition
+  * overwrites. Serialize upstream (the streaming sink's micro-batch loop
+  * does this naturally).
   */
 object IncrementalDedup {
 
@@ -317,4 +322,59 @@ object IncrementalDedup {
   def droppedIds(spark: SparkSession, root: String): DataFrame =
     readLabels(spark, root).filter(col("id") =!= col("cluster_id"))
       .select(col("id"))
+
+  /** Index maintenance: consolidate all ingested shard partitions into ONE
+    * — after thousands of small-shard ingests the per-shard directories
+    * are exactly the small-files problem q51's compaction solves for data
+    * tables (every probe lists and opens per-shard files). Protocol:
+    * write the consolidated partition FIRST (its own fresh shard id, a
+    * dynamic overwrite touching nothing else), then delete the source
+    * shard directories. CRASH SAFETY BY DUPLICATE TOLERANCE, not
+    * atomicity: a death between the write and the deletes leaves some
+    * rows present twice (old shard dir + consolidated dir), and every
+    * read path is insensitive to that — candidate pairs are
+    * `.distinct()`ed, [[Dedup.resolveClusters]] is multiplicity-blind,
+    * and duplicated shingle rows only duplicate verify pairs the same
+    * distinct/resolve steps absorb. Re-running compactShards after a
+    * crash converges (the consolidated id is derived from the surviving
+    * source dirs, and a leftover consolidated dir from the crashed
+    * attempt is itself a source). Labels are untouched. Returns
+    * (shard dirs before, after) per table, for monitoring. */
+  def compactShards(spark: SparkSession, root: String): ((Int, Int), (Int, Int)) = {
+    def compactOne(path: String, schema: StructType): (Int, Int) = {
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val dir = new org.apache.hadoop.fs.Path(path)
+      if (!fs.exists(dir)) return (0, 0)
+      val shardDirs = fs.listStatus(dir).toSeq
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("ingest_shard="))
+        .map(_.getPath.getName.stripPrefix("ingest_shard="))
+      if (shardDirs.size <= 1) return (shardDirs.size, shardDirs.size)
+      // deterministic fresh id from the source set: re-running after a
+      // crash (old dirs partially deleted, previous consolidated dir now a
+      // source) derives a NEW id, so every leftover is absorbed
+      val newId = "compacted_" + java.lang.Long.toHexString(
+        shardDirs.sorted.map(s => s.hashCode.toLong).sum & Long.MaxValue)
+      // stage as a SIBLING dir (a stray subdir under the partitioned root
+      // would break partition discovery), then rename in as the new
+      // partition directory — Spark refuses to overwrite a path it is
+      // reading, and the rename keeps every crash point duplicate-or-
+      // nothing. Data files carry no ingest_shard column; the partition
+      // value comes from the directory name, exactly as the normal writes
+      val stage = new org.apache.hadoop.fs.Path(path + "__compact_stage")
+      fs.delete(stage, true) // leftover from a crashed attempt
+      spark.read.schema(schema).parquet(path).drop("ingest_shard")
+        .write.mode("overwrite").parquet(stage.toString)
+      require(fs.rename(stage,
+        new org.apache.hadoop.fs.Path(dir, s"ingest_shard=$newId")),
+        s"compact promote failed: $stage")
+      shardDirs.foreach { s =>
+        fs.delete(new org.apache.hadoop.fs.Path(dir,
+          s"ingest_shard=$s"), true)
+      }
+      (shardDirs.size, 1)
+    }
+    (compactOne(bucketsPath(root), bucketsSchema),
+      compactOne(shinglesPath(root), shinglesSchema))
+  }
 }

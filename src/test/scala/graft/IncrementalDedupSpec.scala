@@ -189,6 +189,49 @@ class IncrementalDedupSpec extends SparkSpec {
     }
   }
 
+  test("compactShards consolidates shard dirs; duplicates from a simulated crash are absorbed") {
+    val root = tmpRoot("compact")
+    val docs = baseDocs
+    IncrementalDedup.buildIndex(docs, "doc_id", "text", root, p, "b1")
+    IncrementalDedup.addShard(spark, root,
+      prefixCopy(docs, 0L until 5L, 1000, 0.9), "doc_id", "text", "b2")
+    IncrementalDedup.addShard(spark, root,
+      prefixCopy(docs, 5L until 10L, 2000, 0.9), "doc_id", "text", "b3")
+    val droppedBefore = IncrementalDedup.droppedIds(spark, root)
+      .collect().map(_.getLong(0)).toSet
+    val bucketRowsBefore = spark.read.parquet(s"$root/buckets").count()
+    val ((bBefore, bAfter), (sBefore, sAfter)) =
+      IncrementalDedup.compactShards(spark, root)
+    assert(bBefore === 3 && bAfter === 1 && sBefore === 3 && sAfter === 1)
+    assert(spark.read.parquet(s"$root/buckets").count() === bucketRowsBefore)
+    assert(IncrementalDedup.droppedIds(spark, root)
+      .collect().map(_.getLong(0)).toSet === droppedBefore)
+    // ingest against the compacted index still equals full-union dedup
+    val b4 = prefixCopy(docs, 10L until 15L, 3000, 0.9)
+    IncrementalDedup.addShard(spark, root, b4, "doc_id", "text", "b4")
+    val union = docs.unionByName(prefixCopy(docs, 0L until 5L, 1000, 0.9))
+      .unionByName(prefixCopy(docs, 5L until 10L, 2000, 0.9))
+      .unionByName(b4)
+    assert(IncrementalDedup.droppedIds(spark, root)
+      .collect().map(_.getLong(0)).toSet === fullDroppedSet(union))
+    // simulate a crash between promote and source deletion: a source dir
+    // survives alongside the consolidated copy -> rows duplicated. Reads
+    // must absorb it and the next compaction must converge
+    val fs = org.apache.hadoop.fs.FileSystem
+      .get(spark.sparkContext.hadoopConfiguration)
+    val bucketsDir = new org.apache.hadoop.fs.Path(s"$root/buckets")
+    val consolidated = fs.listStatus(bucketsDir)
+      .filter(_.getPath.getName.startsWith("ingest_shard=compacted_")).head.getPath
+    org.apache.hadoop.fs.FileUtil.copy(fs, consolidated, fs,
+      new org.apache.hadoop.fs.Path(bucketsDir, "ingest_shard=leftover"),
+      false, spark.sparkContext.hadoopConfiguration)
+    val rep = IncrementalDedup.addShard(spark, root,
+      prefixCopy(docs, 15L until 20L, 4000, 0.9), "doc_id", "text", "b5")
+    assert(rep.filter(!col("survived")).count() === 5) // dup rows absorbed
+    val ((b2Before, b2After), _) = IncrementalDedup.compactShards(spark, root)
+    assert(b2Before >= 3 && b2After === 1) // leftover + compacted + b4 + b5
+  }
+
   test("meta pins build parameters; probes reuse them") {
     val root = tmpRoot("meta")
     val custom = IncrementalDedup.Params(shingleW = 4, k = 16, bands = 4,
