@@ -17,7 +17,8 @@ import org.apache.spark.sql.functions._
   *     (~20 B/doc/band) — the whole point is that shard ingest scans THIS,
   *     never the corpus text (at 10^10 docs x 8 bands this is ~2 TB where
   *     the text is 100 TB).
-  *   - `shingles/` — (id, sh: array<long>) distinct shingle hashes per doc,
+  *   - `shingles/` — (id, sh: array<long>) RAW shingle hashes per doc
+  *     (set-dedup deferred to verify time, see [[shingleSets]]),
   *     partitioned by `ingest_shard`. The verify side: exact Jaccard for
   *     candidate pairs reads ONLY rows semi-join-pruned to candidate ids.
   *   - `labels/`   — (id, cluster_id) for every doc that ever entered a
