@@ -345,9 +345,9 @@ object Dedup {
     * 1000-node near-dup chain resolves well inside the default `maxIter`
     * of 10 (distance at least doubles per round) where plain propagation
     * would silently emit a PARTIAL clustering after running out of
-    * iterations. Label sums are monotonically
-    * non-increasing, so convergence is detected with one cheap aggregate
-    * per round. Each round is two joins + a grouped min on the (tiny)
+    * iterations. Convergence is detected with one cheap aggregate per
+    * round (a hash-sum over (id, label) rows, equal across rounds iff no
+    * label moved — type-generic, so string/digest ids work too). Each round is two joins + a grouped min on the (tiny)
     * label frame — shuffle-bounded, no driver-side graph. */
   def resolveClusters(pairs: DataFrame, idA: String = "id_a",
       idB: String = "id_b", maxIter: Int = 10,
@@ -367,7 +367,23 @@ object Dedup {
     val nPairs = graft.bench.StageTimers.time("resolveClusters.pairs_edges") {
       p.count()
     }
-    if (nPairs <= localEdgeLimit) {
+    // the fast path only handles integral ids (it runs on primitive longs);
+    // other id types — e.g. string digests — take the distributed loop,
+    // whose min-label propagation needs only an ordering. The output id
+    // type is pinned to what the distributed path would produce (the
+    // common type of the two columns), so callers see one schema
+    // regardless of which path the input size selected.
+    val idTypes = Seq(idA, idB).map(c => p.schema(c).dataType)
+    val integralIds = idTypes.forall {
+      case _: org.apache.spark.sql.types.ByteType => true
+      case _: org.apache.spark.sql.types.ShortType => true
+      case _: org.apache.spark.sql.types.IntegerType => true
+      case _: org.apache.spark.sql.types.LongType => true
+      case _ => false
+    }
+    if (nPairs <= localEdgeLimit && integralIds) {
+      val outType = p.select(col(idA).as("src"))
+        .unionByName(p.select(col(idB).as("src"))).schema("src").dataType
       val out = graft.bench.StageTimers.time("resolveClusters.local_uf") {
         val spark = pairs.sparkSession
         import spark.implicits._
@@ -394,6 +410,8 @@ object Dedup {
         val ids = parent.keySet().toArray(new Array[java.lang.Long](0))
         ids.map(id => (id.longValue(), find(id.longValue()))).toSeq
           .toDF("id", "cluster_id")
+          .select(col("id").cast(outType).as("id"),
+            col("cluster_id").cast(outType).as("cluster_id"))
       }
       return out
     }
@@ -437,9 +455,20 @@ object Dedup {
     def propagate(): DataFrame = {
     var labels = ckpt(edges.select(col("src").as("id")).distinct()
       .withColumn("cluster_id", col("id")))
+    // Convergence detector: bit_xor of per-row (id, label) HASHES — equal
+    // across two consecutive rounds iff no label changed (rows are unique
+    // per id, so XOR cancellation cannot hide a change; collision odds
+    // ~2^-64 per comparison). bit_xor, NOT sum: ANSI mode overflows a
+    // long sum of hashes (the round-1 bench bug, BASELINE.md). Type-
+    // generic where the previous sum(cluster_id) only worked for numeric
+    // ids (string/digest ids crashed the cast); min-label propagation
+    // itself needs only an ordering.
     // coalesce: an empty pair set must yield an empty (not crashing) result
-    var prevSum = labels.agg(coalesce(sum("cluster_id"), lit(0L)))
-      .head().getLong(0)
+    def stateSum(df: DataFrame): Long =
+      df.agg(coalesce(expr(
+        "bit_xor(xxhash64(cast(id as string), cast(cluster_id as string)))"),
+        lit(0L))).head().getLong(0)
+    var prevSum = stateSum(labels)
     var i = 0
     var converged = false
     while (i < maxIter && !converged) {
@@ -459,8 +488,7 @@ object Dedup {
           hopped.select(col("id").as("cluster_id"), col("cluster_id").as("__jump")),
           Seq("cluster_id"), "left")
         .select(col("id"), coalesce(col("__jump"), col("cluster_id")).as("cluster_id")))
-      val newSum = updated.agg(coalesce(sum("cluster_id"), lit(0L)))
-        .head().getLong(0)
+      val newSum = stateSum(updated)
       labels = updated
       converged = newSum == prevSum
       prevSum = newSum

@@ -218,8 +218,16 @@ object IVF {
     * rebuild). */
   def writeIndexAppendable(assigned: DataFrame, root: String, model: Model,
       shardId: String = "init"): Unit = {
-    writeVectorShard(assigned, root, shardId)
+    // a BUILD replaces the whole index: without this delete, rebuilding
+    // over an existing root (re-train = rebuild, per the contract above)
+    // would dynamically overwrite only (list, init) leaves and leave
+    // earlier appended shards' vectors — assigned with the OLD centroids —
+    // sitting in lists the new model never routes probes to correctly
     val spark = assigned.sparkSession
+    val vecDir = new org.apache.hadoop.fs.Path(s"$root/vectors")
+    vecDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(vecDir, true)
+    writeVectorShard(assigned, root, shardId)
     val rows = model.centroids.zipWithIndex.map { case (c, i) =>
       org.apache.spark.sql.Row(i, c.toSeq)
     }

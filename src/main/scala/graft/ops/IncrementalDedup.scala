@@ -259,7 +259,7 @@ object IncrementalDedup {
     // map-only and codegen'd; only the candidate-pair frame materializes
     val sh2 = shingleSets(shard, idCol, textCol, p.shingleW)
     val buckets2 = bandBuckets(sh2, p)
-    val cross = crossProbe(spark, root, buckets2, shardId)
+    val cross = crossProbe(spark, root, buckets2, shardId, p.maxBucket)
     val inner = Dedup.bucketCandidates(buckets2, p.maxBucket)
     val cand = cross.unionByName(inner).distinct().persist()
     graft.bench.StageTimers.time("incdedup.shard_cand") { cand.count() }
@@ -296,15 +296,50 @@ object IncrementalDedup {
     * side is a NARROW scan of `buckets/` (never corpus text) with the
     * in-flight shard excluded via PARTITION PRUNING (a half-written
     * previous attempt of the same shard is invisible at the file listing),
-    * and the shard side is small enough for AQE to broadcast, so the index
-    * never shuffles. Both properties are plan-guarded by spec.
-    * `private[graft]` for exactly that guard. */
+    * and the shard side broadcasts, so index ROWS never ride an exchange
+    * (the one hash exchange in the plan carries per-bucket partial
+    * AGGREGATES — (band, bucket, count, min, max) — from the hot-bucket
+    * sizing below, map-side combined). Both properties are plan-guarded
+    * by spec; `private[graft]` for exactly that guard.
+    *
+    * HOT-BUCKET CAP (the probe-side analogue of
+    * [[Dedup.bucketCandidates]]'s): an index bucket that accumulated more
+    * than `maxBucket` members across shards — boilerplate corpora do this
+    * — would otherwise emit |shard∩bucket| x |index∩bucket| candidates
+    * and explode the "candidate-sized" verify. Buckets over the cap
+    * star-link instead: each probing shard doc pairs with only the
+    * bucket's min-id and max-id index members (the same dual-anchor
+    * degradation, same documented recall bound — a true near-dup still
+    * collides in its other bands with overwhelming probability). Index
+    * bucket sizes are computed only for buckets the shard actually
+    * probes (semi-join prune on the shard's distinct bucket keys), so
+    * the sizing pass is probe-bounded, not index-bounded. */
   private[graft] def crossProbe(spark: SparkSession, root: String,
-      buckets2: DataFrame, shardId: String): DataFrame = {
+      buckets2: DataFrame, shardId: String,
+      maxBucket: Int = Int.MaxValue): DataFrame = {
     val oldBuckets = spark.read.schema(bucketsSchema).parquet(bucketsPath(root))
       .filter(col("ingest_shard") =!= lit(shardId))
       .select(col("id").as("__old_id"), col("band"), col("bucket"))
-    buckets2.join(oldBuckets, Seq("band", "bucket"))
+    val probedKeys = buckets2.select(col("band"), col("bucket")).distinct()
+    val probed = oldBuckets.join(broadcast(probedKeys),
+      Seq("band", "bucket"), "left_semi")
+    val stats = probed.groupBy(col("band"), col("bucket"))
+      .agg(count(lit(1)).as("__bsz"), min(col("__old_id")).as("__bmin"),
+        max(col("__old_id")).as("__bmax"))
+    val smallKeys = stats.filter(col("__bsz") <= maxBucket)
+      .select(col("band"), col("bucket"))
+    val crossSmall = probed
+      .join(broadcast(smallKeys), Seq("band", "bucket"), "left_semi")
+      .join(broadcast(buckets2), Seq("band", "bucket"))
+    val crossHot = buckets2.join(
+        broadcast(stats.filter(col("__bsz") > maxBucket)
+          .select(col("band"), col("bucket"), col("__bmin"), col("__bmax"))),
+        Seq("band", "bucket"))
+      .select(col("id"),
+        explode(array(col("__bmin"), col("__bmax"))).as("__old_id"))
+    crossSmall.select(col("id"), col("__old_id"))
+      .unionByName(crossHot.select(col("id"), col("__old_id")))
+      .filter(col("id") =!= col("__old_id"))
       .select(least(col("id"), col("__old_id")).as("id_a"),
         greatest(col("id"), col("__old_id")).as("id_b"))
   }

@@ -237,9 +237,6 @@ object Sinks {
     val before = parquetFiles(fs, target)
     val totalBytes = before.map(_.getLen).sum
     val df = spark.read.parquet(path)
-    val rows = df.count()
-    val bytesPerRow = math.max(1L, totalBytes / math.max(rows, 1L))
-    val maxRecords = math.max(1L, targetFileBytes / bytesPerRow)
     val stage = new org.apache.hadoop.fs.Path(path + "__stage")
     val old = new org.apache.hadoop.fs.Path(path + "__old")
     // Per-partition-value target file counts from the value's row share
@@ -247,23 +244,39 @@ object Sinks {
     // value (bounded — it IS the directory count being compacted), so
     // the join broadcasts; identical range keys land in one shuffle
     // partition, so a salt-0-only (small) partition still emits exactly
-    // one file.
+    // one file. Persisted: it is read for the total-row derivation AND
+    // broadcast into the salting join — without the persist the second
+    // consumer would re-scan the dataset (compaction input scans: counts
+    // aggregate + join probe side, two total).
     val counts = df.groupBy(partitionCols.map(col): _*)
       .agg(count(lit(1)).as("__cnt"))
+      .select(partitionCols.map(c => col(c).as(s"__pc_$c")) :+ col("__cnt"): _*)
+      .persist()
+    val rows = counts.agg(coalesce(sum(col("__cnt")), lit(0L)))
+      .head().getLong(0)
+    val bytesPerRow = math.max(1L, totalBytes / math.max(rows, 1L))
+    val maxRecords = math.max(1L, targetFileBytes / bytesPerRow)
     val dataCols = df.columns
-    val salted = df.join(broadcast(counts), partitionCols)
+    // NULL-SAFE join on the partition columns: Spark writes rows with a
+    // null partition value under __HIVE_DEFAULT_PARTITION__ and reads
+    // them back as null — an equi-join would silently DROP those rows
+    // from the rewrite (data loss the byte-identity contract forbids)
+    val joinCond = partitionCols.map(c => col(c) <=> col(s"__pc_$c"))
+      .reduce(_ && _)
+    val salted = df.join(broadcast(counts), joinCond)
+      .drop(partitionCols.map(c => s"__pc_$c"): _*)
       .withColumn("__salt", pmod(xxhash64(struct(dataCols.map(col): _*)),
         greatest(lit(1L), ceil(col("__cnt") * lit(bytesPerRow) /
           lit(targetFileBytes)).cast("long"))))
     // Enough range buckets that a hot partition's salt values actually
     // spread across tasks instead of collapsing back into one range
-    // chunk. Bounded by the target file count (no point in more tasks
+    // chunk: CAPPED by the target file count (no point in more tasks
     // than files — maxRecordsPerFile handles within-task splitting) and
     // by 4x the configured shuffle width (the cluster's useful
     // parallelism knob; a 1000-executor deployment raises it).
     val shuffleWidth = spark.conf.get("spark.sql.shuffle.partitions", "200").toInt
-    val numTasks = math.max(shuffleWidth, math.min(4L * shuffleWidth,
-      1L + totalBytes / targetFileBytes).toInt)
+    val numTasks = math.max(1L, math.min(4L * shuffleWidth,
+      1L + totalBytes / targetFileBytes)).toInt
     salted.repartitionByRange(numTasks,
         (partitionCols.map(col) :+ col("__salt")): _*)
       .select(dataCols.map(col): _*)
@@ -271,6 +284,7 @@ object Sinks {
       .option("maxRecordsPerFile", maxRecords)
       .partitionBy(partitionCols: _*)
       .parquet(stage.toString)
+    counts.unpersist()
     require(fs.rename(target, old), s"retire failed: $target")
     require(fs.rename(stage, target),
       s"staged-compaction rename failed: $stage -> $target")

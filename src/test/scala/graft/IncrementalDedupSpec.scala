@@ -232,6 +232,28 @@ class IncrementalDedupSpec extends SparkSpec {
     assert(b2Before >= 3 && b2After === 1) // leftover + compacted + b4 + b5
   }
 
+  test("hot index bucket star-links the cross probe instead of exploding candidates") {
+    // 300 identical docs: every band's bucket holds all 300 (> maxBucket
+    // 256). A probing shard doc with the same text must pair with only the
+    // bucket's min/max anchors — 2 distinct candidates, not 300 — and
+    // still be dropped through the anchor verify (J=1)
+    val root = tmpRoot("hot")
+    import spark.implicits._
+    val text = (0 until 25).map(t => s"hotw$t").mkString(" ")
+    val b1 = (0 until 300).map(i => (i.toLong, text)).toDF("doc_id", "text")
+    IncrementalDedup.buildIndex(b1, "doc_id", "text", root, p, "b1")
+    val shard = Seq((9000L, text)).toDF("doc_id", "text")
+    val cross = IncrementalDedup.crossProbe(spark, root,
+      IncrementalDedup.shardBuckets(shard, "doc_id", "text", p),
+      "b2", p.maxBucket)
+    val n = cross.distinct().count()
+    assert(n <= 2, s"hot bucket exploded the probe: $n candidate pairs")
+    val rep = IncrementalDedup.addShard(spark, root, shard,
+      "doc_id", "text", "b2").head()
+    assert(!rep.getBoolean(2), "hot-bucket duplicate must still be dropped")
+    assert(rep.getLong(1) === 0L, "must resolve to the bucket's min anchor")
+  }
+
   test("meta pins build parameters; probes reuse them") {
     val root = tmpRoot("meta")
     val custom = IncrementalDedup.Params(shingleW = 4, k = 16, bands = 4,

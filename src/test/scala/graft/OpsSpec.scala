@@ -169,6 +169,27 @@ class DedupSpec extends SparkSpec {
     assert(clusters.agg(max("cluster_id")).head().getLong(0) == 0L)
   }
 
+  test("resolveClusters: non-integral ids take the distributed path; integral id types are preserved") {
+    // string ids (digest-keyed dedup) must not hit the primitive-long fast
+    // path — before the type guard, cast('long') nulled them and collect crashed
+    val sPairs = Seq(("a", "b"), ("b", "c"), ("x", "y")).toDF("id_a", "id_b")
+    val sLabels = Dedup.resolveClusters(sPairs)
+      .as[(String, String)].collect().toMap
+    assert(sLabels == Map("a" -> "a", "b" -> "a", "c" -> "a",
+      "x" -> "x", "y" -> "x"))
+    // int ids through the fast path keep IntegerType (the distributed
+    // path's output type), so schema does not depend on input volume
+    val iPairs = Seq((1, 2), (2, 3), (5, 6)).toDF("id_a", "id_b")
+    val local = Dedup.resolveClusters(iPairs)
+    assert(local.schema("id").dataType ==
+      org.apache.spark.sql.types.IntegerType)
+    assert(local.schema("cluster_id").dataType ==
+      org.apache.spark.sql.types.IntegerType)
+    val dist = Dedup.resolveClusters(iPairs, localEdgeLimit = 0L)
+    assert(local.as[(Int, Int)].collect().toSet ==
+      dist.as[(Int, Int)].collect().toSet)
+  }
+
   test("resolveClusters local union-find path equals the distributed loop") {
     // mixed shapes: a chain, a star, singleton pairs, duplicate+reversed
     // edges — the two paths must produce identical label sets
@@ -431,6 +452,16 @@ class SimilaritySpec extends SparkSpec {
     val vecs = spark.read.parquet(s"$root/vectors")
     assert(vecs.count() == vecs.dropDuplicates("vec_id").count())
     assert(viaIndex.as[(Long, Long, Double)].collect().toSet == ref)
+    // REBUILD over the same root (re-train = rebuild) must fully replace
+    // vectors/: stale appended shards assigned with the old centroids
+    // would otherwise survive the dynamic overwrite and corrupt searches
+    val model2 = graft.ops.IVF.train(emb, "vec_id", "embedding", nc = 8, iters = 1)
+    graft.ops.IVF.writeIndexAppendable(
+      graft.ops.IVF.assign(emb, "embedding", model2), root, model2, "init")
+    val rebuilt = spark.read.parquet(s"$root/vectors")
+    assert(rebuilt.count() == emb.count(),
+      s"rebuild left stale shard vectors: ${rebuilt.count()} vs ${emb.count()}")
+    assert(rebuilt.dropDuplicates("vec_id").count() == emb.count())
   }
 
   test("batched kNN equals N single-query calls (brute force, LSH, IVF)") {

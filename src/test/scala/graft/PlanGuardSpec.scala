@@ -147,14 +147,53 @@ class PlanGuardSpec extends SparkSpec {
       (i.toLong, (0 until 20).map(t => s"g${i - 100}t$t").mkString(" "))
     }.toDF("doc_id", "text")
     val cross = graft.ops.IncrementalDedup.crossProbe(spark, root,
-      graft.ops.IncrementalDedup.shardBuckets(shard, "doc_id", "text", p), "b2")
+      graft.ops.IncrementalDedup.shardBuckets(shard, "doc_id", "text", p),
+      "b2", p.maxBucket)
     cross.collect() // force execution so AQE finalizes the join strategy
     val plan = cross.queryExecution.executedPlan.toString
     // the in-flight shard is excluded at the FILE LISTING, not post-scan
     assert("PartitionFilters: \\[[^\\]]*ingest_shard".r.findFirstIn(plan).isDefined,
       plan.take(1000))
-    // the (small) shard side broadcasts; the index-side scan never shuffles
+    // the (small) shard side broadcasts into the probe join
     assert(plan.contains("BroadcastHashJoin"), plan.take(1000))
-    assert(!plan.contains("Exchange hashpartitioning"), plan.take(1000))
+    // index ROWS never ride a hash exchange: walk the executed tree
+    // (descending through AQE wrappers) and require that every shuffle
+    // whose subtree reads the buckets/ files has a map-side-combining
+    // partial aggregate as its direct input — i.e. only per-bucket
+    // (band, bucket, count, min, max) stats travel, never raw index rows
+    import org.apache.spark.sql.execution.SparkPlan
+    def walk(n: SparkPlan): Seq[SparkPlan] = {
+      val kids = n match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          Seq(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          Seq(q.plan)
+        case other => other.children
+      }
+      n +: kids.flatMap(walk)
+    }
+    val nodes = walk(cross.queryExecution.executedPlan)
+    val shuffles = nodes.collect {
+      case s: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => s
+    }
+    assert(shuffles.nonEmpty, "expected the bucket-stats aggregate exchange")
+    shuffles.foreach { s =>
+      val readsIndex = walk(s.child).exists {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.toString.contains("/buckets")
+        case _ => false
+      }
+      if (readsIndex) {
+        def unwrap(n: SparkPlan): SparkPlan = n match {
+          case w: org.apache.spark.sql.execution.WholeStageCodegenExec =>
+            unwrap(w.child)
+          case i: org.apache.spark.sql.execution.InputAdapter =>
+            unwrap(i.child)
+          case other => other
+        }
+        assert(unwrap(s.child).nodeName.contains("HashAggregate"),
+          s"raw index rows rode a shuffle: ${unwrap(s.child).nodeName}")
+      }
+    }
   }
 }

@@ -142,6 +142,22 @@ class SinksSpec extends SparkSpec {
       .as[(Int, Long, String)].collect().toSet
     assert(back == rows.toSet)
   }
+
+  test("compactPartitioned preserves rows with NULL partition values") {
+    import org.apache.spark.sql.functions.col
+    val dir = Files.createTempDirectory("graft_compact_null").toString + "/t"
+    // null partition values land in __HIVE_DEFAULT_PARTITION__; the salting
+    // join must be null-safe or these rows silently vanish from the rewrite
+    val df = Seq((Option(1), 1L, "a"), (Option.empty[Int], 2L, "b"),
+      (Option.empty[Int], 3L, "c"), (Option(2), 4L, "d")).toDF("p", "id", "v")
+    Sinks.writePartitioned(df.repartition(4), dir, "overwrite", Seq("p"))
+    assert(new java.io.File(dir + "/p=__HIVE_DEFAULT_PARTITION__").exists())
+    Sinks.compactPartitioned(spark, dir, Seq("p"))
+    val back = spark.read.parquet(dir).select(col("p"), col("id"), col("v"))
+      .as[(Option[Int], Long, String)].collect().toSet
+    assert(back == df.as[(Option[Int], Long, String)].collect().toSet,
+      "rows with null partition values were dropped by the compaction")
+  }
 }
 
 class ContractTransformsSpec extends SparkSpec {
