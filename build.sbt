@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench driver parses Bench's summary line as bare JSON from stdout;
+// sbt's default LoggedOutput for forked runs prefixes every stdout line
+// with "[info] ", which defeats that parse (three rounds of
+// BENCH_r*.json `parsed: null`). StdoutOutput passes the forked JVM's
+// stdout/stderr through verbatim, so the JSON line lands bare.
+outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

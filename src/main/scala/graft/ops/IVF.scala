@@ -218,16 +218,27 @@ object IVF {
     * rebuild). */
   def writeIndexAppendable(assigned: DataFrame, root: String, model: Model,
       shardId: String = "init"): Unit = {
-    // a BUILD replaces the whole index: without this delete, rebuilding
-    // over an existing root (re-train = rebuild, per the contract above)
-    // would dynamically overwrite only (list, init) leaves and leave
-    // earlier appended shards' vectors — assigned with the OLD centroids —
-    // sitting in lists the new model never routes probes to correctly
+    // a BUILD replaces the whole index: rebuilding over an existing root
+    // (re-train = rebuild, per the contract above) must not leave earlier
+    // appended shards' vectors — assigned with the OLD centroids — sitting
+    // in lists the new model never routes probes to correctly. And the
+    // replacement must be crash-safe: vectors and centroids are only
+    // consistent TOGETHER (new vectors under old centroids silently
+    // mis-route probes — worse than a missing dir), so the swap unit is
+    // the whole index ROOT, staged as a sibling and swapped with the same
+    // stage/retire/promote protocol as the CDC upsert sink
+    // ([[graft.streaming.EventStreams.recoverUpsertTarget]]). A death at
+    // any point leaves either the old generation or the new one
+    // recoverable — never a torn mix, never neither.
     val spark = assigned.sparkSession
-    val vecDir = new org.apache.hadoop.fs.Path(s"$root/vectors")
-    vecDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      .delete(vecDir, true)
-    writeVectorShard(assigned, root, shardId)
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    graft.streaming.EventStreams.recoverUpsertTarget(fs, root)
+    val stageRoot = root + "__stage"
+    // stage FIRST: `assigned` may legitimately read the live index (a
+    // rebuild re-training over the stored vectors), so the live root stays
+    // untouched until the staged generation is complete
+    writeVectorShard(assigned, stageRoot, shardId)
     val rows = model.centroids.zipWithIndex.map { case (c, i) =>
       org.apache.spark.sql.Row(i, c.toSeq)
     }
@@ -238,7 +249,35 @@ object IVF {
         org.apache.spark.sql.types.ArrayType(
           org.apache.spark.sql.types.DoubleType, false), false)))
     spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
-      .coalesce(1).write.mode("overwrite").parquet(s"$root/centroids")
+      .coalesce(1).write.mode("overwrite").parquet(s"$stageRoot/centroids")
+    val target = new org.apache.hadoop.fs.Path(root)
+    val old = new org.apache.hadoop.fs.Path(root + "__old")
+    if (fs.exists(target))
+      require(fs.rename(target, old), s"index retire failed: $target")
+    require(fs.rename(new org.apache.hadoop.fs.Path(stageRoot), target),
+      s"index promote failed: $stageRoot -> $target")
+    fs.delete(old, true)
+    ()
+  }
+
+  /** Reader-side heal for [[writeIndexAppendable]]'s swap: a build that
+    * died between retire and promote leaves the live generation at
+    * `<root>__old` — restore it. Unlike the writer's
+    * `recoverUpsertTarget`, a leftover `<root>__stage` is left alone: a
+    * reader cannot tell a crashed build's debris from a CONCURRENT
+    * build's in-flight stage, and deleting the latter would destroy a
+    * live rebuild. The writer (which holds the single-writer lock by
+    * contract) cleans stages at its next run. */
+  private def healRoot(fs: org.apache.hadoop.fs.FileSystem,
+      root: String): Unit = {
+    val target = new org.apache.hadoop.fs.Path(root)
+    val old = new org.apache.hadoop.fs.Path(root + "__old")
+    if (fs.exists(old)) {
+      if (!fs.exists(target))
+        require(fs.rename(old, target), s"index restore failed: $old")
+      else fs.delete(old, true)
+    }
+    ()
   }
 
   private def writeVectorShard(assigned: DataFrame, root: String,
@@ -249,12 +288,18 @@ object IVF {
       .partitionBy("centroid_id", "ingest_shard")
       .parquet(s"$root/vectors")
 
-  /** The frozen centroids an appendable index was built with. */
+  /** The frozen centroids an appendable index was built with. Heals a
+    * crashed rebuild swap first, so every read path (and [[appendVectors]],
+    * which must assign with these exact centroids) sees a consistent
+    * generation. */
   def readModel(spark: org.apache.spark.sql.SparkSession,
-      root: String): Model =
+      root: String): Model = {
+    healRoot(new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration), root)
     Model(spark.read.parquet(s"$root/centroids")
       .orderBy(col("cid")).collect()
       .map(_.getSeq[Double](1).toArray))
+  }
 
   /** Ingest a new embedding shard: assign against the PERSISTED centroids
     * (one map-only pass over the shard — the existing index is not read at
@@ -270,9 +315,13 @@ object IVF {
     * PartitionFilters on the leading centroid_id directory level. */
   def searchBatchAppendable(spark: org.apache.spark.sql.SparkSession,
       root: String, queries: DataFrame, idCol: String, vecCol: String,
-      qidCol: String, k: Int, nprobe: Int = 4): DataFrame =
+      qidCol: String, k: Int, nprobe: Int = 4): DataFrame = {
+    // readModel FIRST: it heals a crashed rebuild swap, and the vectors
+    // scan below must resolve against the healed root
+    val model = readModel(spark, root)
     searchBatchPruned(spark, spark.read.parquet(s"$root/vectors"), queries,
-      idCol, vecCol, qidCol, readModel(spark, root), k, nprobe)
+      idCol, vecCol, qidCol, model, k, nprobe)
+  }
 
   /** Batched ANN over the partitioned-directory index
     * ([[writeIndexPartitioned]] output): identical probe semantics, with

@@ -21,11 +21,18 @@ import org.apache.spark.sql.functions._
   *     (set-dedup deferred to verify time, see [[shingleSets]]),
   *     partitioned by `ingest_shard`. The verify side: exact Jaccard for
   *     candidate pairs reads ONLY rows semi-join-pruned to candidate ids.
-  *   - `labels/`   — (id, cluster_id) for every doc that ever entered a
-  *     verified duplicate pair (the [[Dedup.resolveClusters]] output over
-  *     all ingested shards). Swapped crash-safely via the same
-  *     stage/retire/promote rename protocol as the CDC upsert sink
-  *     ([[graft.streaming.EventStreams.recoverUpsertTarget]]).
+  *   - `labels/`   — (id, cluster_id) APPEND-ONLY DELTA LOG, partitioned
+  *     by `ingest_shard` like the other two tables. Each shard appends
+  *     ONLY the rows whose cluster assignment it changed (plus rows for
+  *     its own new duplicates) — never a rewrite. This is sound because
+  *     dedup clusters only ever MERGE (a verified pair can connect two
+  *     components, never split one) and [[Dedup.resolveClusters]] roots
+  *     every component at its MIN member id, so a doc's successive labels
+  *     are non-increasing and its CURRENT label is simply
+  *     `min(cluster_id)` over all of its rows ([[currentLabels]]).
+  *     Superseded rows are still true "same-component" facts (membership
+  *     is monotone), so readers never need generation numbers or
+  *     last-writer-wins — the log is a set of valid connectivity edges.
   *   - `meta/`     — one row pinning (shingle_w, k, bands, threshold,
   *     max_bucket): probes MUST hash exactly like the build did, so
   *     [[addShard]] reads its parameters from the index instead of trusting
@@ -41,19 +48,30 @@ import org.apache.spark.sql.functions._
   * requires globally unique ids across shards and union band buckets under
   * `maxBucket`, since the hot-bucket star-link cap sees per-batch buckets).
   *
-  * Idempotency / crash safety: buckets and shingles append via DYNAMIC
+  * Idempotency / crash safety: ALL THREE tables append via DYNAMIC
   * partition overwrite on `ingest_shard` — re-running a failed shard
-  * replaces exactly its own partition and [[addShard]] excludes the
-  * in-flight shard id from the probe, so a half-written previous attempt
-  * is invisible. Labels swap atomically (rename), recovering from any
-  * crash point at the next call.
+  * replaces exactly its own partitions, and [[addShard]] excludes the
+  * in-flight shard id from every read (buckets probe, shingle verify,
+  * label probe), so a half-written previous attempt is invisible and the
+  * replay recomputes an identical delta from identical pre-shard state.
   *
-  * APPEND-ONLY CAVEAT (documented, inherent to incremental publishing): a
-  * later shard can MERGE two existing clusters (a bridge doc similar to
-  * both). The index labels update — future probes see the merged cluster —
-  * but survivors already published from earlier shards are never
-  * retracted. Full-union equality of the INDEX STATE still holds; the
-  * per-shard published reports are each correct as of their ingest time.
+  * SCALE CONTRACT (the load-bearing design rule): per-shard ingest cost
+  * is bounded by shard size + touched-component size, NOT by the
+  * accumulated duplicate population. The label store is only ever (a)
+  * SCANNED narrowly under broadcast semi-joins — two passes per shard,
+  * pruned to rows adjacent to the shard's verified pairs — and (b)
+  * APPENDED with the changed rows. It is never shuffled and never
+  * rewritten. The closure argument for why two scans suffice lives on
+  * [[addShard]].
+  *
+  * APPEND-ONLY CAVEAT (inherent to incremental publishing): a later shard
+  * can MERGE two existing clusters (a bridge doc similar to both). The
+  * index labels update — future probes see the merged cluster — but
+  * survivors already published from earlier shards are not retracted by
+  * the merge itself. Full-union equality of the INDEX STATE still holds;
+  * the per-shard published reports are each correct as of their ingest
+  * time, and [[republishDelta]] emits the (id, old_cluster, new_cluster)
+  * retraction feed that reconciles downstream consumers after merges.
   *
   * SINGLE-WRITER CONTRACT: one ingest (or [[compactShards]]) at a time —
   * concurrent writers would race the label swap and interleave partition
@@ -83,7 +101,8 @@ object IncrementalDedup {
     StructField("sh", ArrayType(LongType)),
     StructField("ingest_shard", StringType)))
   private val labelsSchema = StructType(Seq(
-    StructField("id", LongType), StructField("cluster_id", LongType)))
+    StructField("id", LongType), StructField("cluster_id", LongType),
+    StructField("ingest_shard", StringType)))
 
   /** (id, sh) RAW shingle-hash arrays (one per token window, duplicates
     * kept; zero-token docs carry an empty array and are excluded from
@@ -138,26 +157,6 @@ object IncrementalDedup {
       .partitionBy("ingest_shard")
       .parquet(path)
 
-  /** Crash-safe full-replacement write: stage, retire, promote — the
-    * labels table is re-derived each shard (it reads its own previous
-    * generation), so in-place overwrite would clobber the job's input. */
-  private def swapWrite(df: DataFrame, targetPath: String): Unit = {
-    val spark = df.sparkSession
-    val fs = new org.apache.hadoop.fs.Path(targetPath)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val target = new org.apache.hadoop.fs.Path(targetPath)
-    val stage = new org.apache.hadoop.fs.Path(targetPath + "__stage")
-    val old = new org.apache.hadoop.fs.Path(targetPath + "__old")
-    graft.streaming.EventStreams.recoverUpsertTarget(fs, targetPath)
-    df.write.mode("overwrite").parquet(stage.toString)
-    if (fs.exists(target))
-      require(fs.rename(target, old), s"label retire failed: $target")
-    require(fs.rename(stage, target),
-      s"label promote failed: $stage -> $target")
-    fs.delete(old, true)
-    ()
-  }
-
   private def writeMeta(spark: SparkSession, root: String, p: Params): Unit =
     spark.range(1).select(
       lit(p.shingleW).as("shingle_w"), lit(p.k).as("k"),
@@ -173,16 +172,29 @@ object IncrementalDedup {
       r.getAs[Int]("max_bucket"))
   }
 
-  private def readLabels(spark: SparkSession, root: String): DataFrame = {
+  /** The raw label delta log: every (id, cluster_id) row ever appended,
+    * with its `ingest_shard`. An in-flight shard is excluded so a
+    * half-written previous attempt of the same shard is invisible. */
+  private def readRawLabels(spark: SparkSession, root: String,
+      excludeShard: Option[String] = None): DataFrame = {
     val fs = new org.apache.hadoop.fs.Path(root)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // a crashed previous swap may have left labels retired — recover first
-    graft.streaming.EventStreams.recoverUpsertTarget(fs, labelsPath(root))
-    if (fs.exists(new org.apache.hadoop.fs.Path(labelsPath(root))))
-      spark.read.schema(labelsSchema).parquet(labelsPath(root))
-    else
-      spark.range(0).select(col("id"), col("id").as("cluster_id"))
+    val base =
+      if (fs.exists(new org.apache.hadoop.fs.Path(labelsPath(root))))
+        spark.read.schema(labelsSchema).parquet(labelsPath(root))
+      else
+        spark.range(0).select(col("id"), col("id").as("cluster_id"),
+          lit("").as("ingest_shard"))
+    excludeShard.fold(base)(s => base.filter(col("ingest_shard") =!= lit(s)))
   }
+
+  /** The CURRENT (id, cluster_id) star labels from the append-only delta
+    * log: roots only ever decrease as clusters merge, so a doc's current
+    * root is the minimum over its row history. One aggregation over the
+    * narrow log — the read-side cost of never rewriting on ingest. */
+  def currentLabels(spark: SparkSession, root: String): DataFrame =
+    readRawLabels(spark, root)
+      .groupBy(col("id")).agg(min(col("cluster_id")).as("cluster_id"))
 
   /** Per-doc report: every doc of `docs` with its resolved cluster and
     * survivor flag (survivor = not in any pair, or its cluster's min id). */
@@ -225,7 +237,7 @@ object IncrementalDedup {
       // sig-less docs are not index state (they can never pair)
       writeShardPartition(sh.filter(size(col("sh")) > 0),
         shinglesPath(root), shardId)
-      swapWrite(labels, labelsPath(root))
+      writeShardPartition(labels, labelsPath(root), shardId)
       writeMeta(spark, root, p)
     }
     // report from the in-memory (checkpointed) labels, NOT a re-read of
@@ -247,11 +259,32 @@ object IncrementalDedup {
     *   4. exact-Jaccard verify — OLD docs' shingle sets come from
     *      `shingles/` pruned by a semi-join to candidate ids (the only
     *      non-shard-sized read, and it is candidate-sized);
-    *   5. union the verified pairs with the persisted label edges,
-    *      re-resolve clusters, swap the labels, append the shard's buckets
-    *      and shingles.
+    *   5. resolve ONLY the label components the verified pairs touch
+    *      (see below), append the changed label rows as this shard's
+    *      delta partition, append the shard's buckets and shingles.
     * Returns the shard's per-doc (id, cluster_id, survived) report.
-    * Requires ids globally unique across all ingested shards. */
+    * Requires ids globally unique across all ingested shards.
+    *
+    * TOUCHED-COMPONENT RESOLUTION (why ingest never reads, shuffles, or
+    * rewrites the full label history): the log maintains the invariant
+    * that after every COMPLETED shard, every doc in a changed component
+    * has a row pointing DIRECTLY at the component's current root —
+    * [[Dedup.resolveClusters]] re-labels every member of every touched
+    * component and the delta keeps all changed rows, while unchanged
+    * members already hold a current-root row from before. Under that
+    * invariant two pruned scans close the transitive neighborhood:
+    *   scan 1 — rows of the pair ids themselves; their `cluster_id`s
+    *     include every current root (and any stale former root) adjacent
+    *     to the shard;
+    *   scan 2 — rows whose `cluster_id` is one of those roots; by the
+    *     invariant that is every member of every adjacent component
+    *     (stale rows it misses connect only ids already pulled, so they
+    *     are redundant connectivity).
+    * Both scans are broadcast semi-joins (pair ids / roots are
+    * shard-bounded — same contract as the bucket probe's broadcast), so
+    * label rows never ride an exchange. Crash replay preserves the
+    * invariant because the in-flight shard's half-written delta is
+    * excluded from scan input, making the re-run byte-identical. */
   def addShard(spark: SparkSession, root: String, shard: DataFrame,
       idCol: String, textCol: String, shardId: String): DataFrame = {
     val p = readMeta(spark, root)
@@ -271,24 +304,61 @@ object IncrementalDedup {
         .select(col("id"), col("sh")),
       candIds)
     val shAll = distinctSh(sh2, candIds).unionByName(oldSh)
+    // persisted: consumed twice (label probe ids + resolve input) and the
+    // verify join behind it is the expensive leg
     val pairs = Dedup.jaccardOnPairs(cand, shAll)
       .filter(col("jaccard") >= p.threshold)
-      .select(col("id_a"), col("id_b"))
-    val oldLabels = readLabels(spark, root)
-    // label edges compress all prior connectivity: (cluster, member) edges
-    // reach exactly the same components as the original pair set did
-    val labelEdges = oldLabels.filter(col("id") =!= col("cluster_id"))
-      .select(col("cluster_id").as("id_a"), col("id").as("id_b"))
-    val labels2 = Dedup.resolveClusters(pairs.unionByName(labelEdges))
+      .select(col("id_a"), col("id_b")).persist()
+    val raw = readRawLabels(spark, root, excludeShard = Some(shardId))
+    val (resolved, delta, pulled) =
+      graft.bench.StageTimers.time("incdedup.label_probe") {
+        val pairIds = pairs.select(col("id_a").as("id"))
+          .unionByName(pairs.select(col("id_b").as("id"))).distinct()
+        val r1 = raw.join(broadcast(pairIds), Seq("id"), "left_semi")
+        val roots = r1.select(col("cluster_id")).distinct()
+        val pulled = raw
+          .join(broadcast(roots), Seq("cluster_id"), "left_semi")
+          .persist()
+        val edges = pulled.filter(col("id") =!= col("cluster_id"))
+          .select(col("cluster_id").as("id_a"), col("id").as("id_b"))
+        val resolved = Dedup.resolveClusters(pairs.unionByName(edges))
+        // append only rows the shard actually changed: anti-join against
+        // the pulled ids' current labels (new ids have no pulled row and
+        // pass through) — unchanged members keep their existing
+        // current-root row, preserving the direct-root invariant
+        val currentPulled = pulled.groupBy(col("id"))
+          .agg(min(col("cluster_id")).as("cluster_id"))
+        // EAGER LINEAGE CUT before any index write: delta's logical plan
+        // transitively scans buckets/shingles/labels (pulled <- pairIds
+        // <- pairs <- cand), and the partition writes below recache every
+        // cached plan that reads those paths — re-executing the lineage
+        // against a directory whose partition LAYOUT just changed (the
+        // first shard after an empty build grows partition dirs the
+        // original relation never saw) crashes the reader with a
+        // partition-schema mismatch. localCheckpoint truncates the plan
+        // to materialized blocks, so no index write can re-trigger it;
+        // the delta is touched-sized by the scale contract, and a lost
+        // block just fails the shard, which replays idempotently
+        val delta = resolved
+          .join(currentPulled, Seq("id", "cluster_id"), "left_anti")
+          .localCheckpoint(true)
+        (resolved, delta, pulled)
+      }
+    // every cached plan reading index files is dropped pre-write for the
+    // same recache reason; `resolved` is safe (local rows or checkpointed)
+    cand.unpersist()
+    pairs.unpersist()
+    pulled.unpersist()
     graft.bench.StageTimers.time("incdedup.shard_writes") {
       writeShardPartition(buckets2, bucketsPath(root), shardId)
       writeShardPartition(sh2.filter(size(col("sh")) > 0),
         shinglesPath(root), shardId)
-      swapWrite(labels2, labelsPath(root))
+      writeShardPartition(delta, labelsPath(root), shardId)
     }
-    // in-memory labels for the same swap-safety reason as in buildIndex
-    val out = report(shard, idCol, labels2)
-    cand.unpersist()
+    // report from the in-memory resolution: it covers every shard doc
+    // that entered a pair; the rest survive via the left-join miss
+    val out = report(shard, idCol, resolved)
+    delta.unpersist()
     out
   }
 
@@ -356,8 +426,34 @@ object IncrementalDedup {
     * ingested docs (pinned by spec) — the state-equality claim that makes
     * incremental ingest trustworthy. */
   def droppedIds(spark: SparkSession, root: String): DataFrame =
-    readLabels(spark, root).filter(col("id") =!= col("cluster_id"))
+    currentLabels(spark, root).filter(col("id") =!= col("cluster_id"))
       .select(col("id"))
+
+  /** The retraction feed a downstream consumer needs after cluster merges
+    * (closing the append-only publication caveat documented above): for
+    * every doc whose label a LATER shard changed, emit
+    * (id, old_cluster, new_cluster), where `old_cluster` is the label as
+    * of the already-published shards (`publishedShards`) and
+    * `new_cluster` the current one. Docs first labeled AFTER the
+    * publication point are excluded — their own shard's report already
+    * published them correctly. Cost: one aggregation over the narrow
+    * label log, same as [[currentLabels]].
+    *
+    * Interplay with [[compactShards]]: label compaction collapses the
+    * per-shard history this diff reads — republish (or record the delta)
+    * BEFORE compacting the shards it refers to. */
+  def republishDelta(spark: SparkSession, root: String,
+      publishedShards: Seq[String]): DataFrame = {
+    val raw = readRawLabels(spark, root)
+    val old = raw
+      .filter(col("ingest_shard").isin(publishedShards.map(s => s: Any): _*))
+      .groupBy(col("id")).agg(min(col("cluster_id")).as("old_cluster"))
+    val cur = raw.groupBy(col("id"))
+      .agg(min(col("cluster_id")).as("new_cluster"))
+    old.join(cur, Seq("id"))
+      .filter(col("old_cluster") =!= col("new_cluster"))
+      .select(col("id"), col("old_cluster"), col("new_cluster"))
+  }
 
   /** Index maintenance: consolidate all ingested shard partitions into ONE
     * — after thousands of small-shard ingests the per-shard directories
@@ -371,13 +467,24 @@ object IncrementalDedup {
     * read path is insensitive to that — candidate pairs are
     * `.distinct()`ed, [[Dedup.resolveClusters]] is multiplicity-blind,
     * and duplicated shingle rows only duplicate verify pairs the same
-    * distinct/resolve steps absorb. Re-running compactShards after a
-    * crash converges (the consolidated id is derived from the surviving
-    * source dirs, and a leftover consolidated dir from the crashed
-    * attempt is itself a source). Labels are untouched. Returns
-    * (shard dirs before, after) per table, for monitoring. */
-  def compactShards(spark: SparkSession, root: String): ((Int, Int), (Int, Int)) = {
-    def compactOne(path: String, schema: StructType): (Int, Int) = {
+    * distinct/resolve steps absorb — and on top of that the consolidated
+    * rewrite DEDUPLICATES rows (exact-key for buckets/shingles, min-root
+    * aggregation for labels), so a re-compaction after a crash restores
+    * EXACT state instead of carrying the doubled rows forever (doubled
+    * bucket rows would inflate [[crossProbe]]'s per-bucket sizes and
+    * could push a genuinely small bucket over `maxBucket` into the
+    * star-link degradation). The label table compacts to its CURRENT
+    * star rows — run [[republishDelta]] for any pending publication
+    * point first, since compaction collapses the per-shard history it
+    * diffs. Re-running compactShards after a crash converges (the
+    * consolidated id is derived from the surviving source dirs, and a
+    * leftover consolidated dir from the crashed attempt is itself a
+    * source). Returns (shard dirs before, after) per table
+    * (buckets, shingles, labels), for monitoring. */
+  def compactShards(spark: SparkSession, root: String)
+      : ((Int, Int), (Int, Int), (Int, Int)) = {
+    def compactOne(path: String, schema: StructType,
+        consolidate: DataFrame => DataFrame): (Int, Int) = {
       val fs = new org.apache.hadoop.fs.Path(path)
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
       val dir = new org.apache.hadoop.fs.Path(path)
@@ -399,7 +506,8 @@ object IncrementalDedup {
       // value comes from the directory name, exactly as the normal writes
       val stage = new org.apache.hadoop.fs.Path(path + "__compact_stage")
       fs.delete(stage, true) // leftover from a crashed attempt
-      spark.read.schema(schema).parquet(path).drop("ingest_shard")
+      consolidate(spark.read.schema(schema).parquet(path)
+          .drop("ingest_shard"))
         .write.mode("overwrite").parquet(stage.toString)
       require(fs.rename(stage,
         new org.apache.hadoop.fs.Path(dir, s"ingest_shard=$newId")),
@@ -410,7 +518,11 @@ object IncrementalDedup {
       }
       (shardDirs.size, 1)
     }
-    (compactOne(bucketsPath(root), bucketsSchema),
-      compactOne(shinglesPath(root), shinglesSchema))
+    (compactOne(bucketsPath(root), bucketsSchema,
+        _.dropDuplicates("id", "band", "bucket")),
+      compactOne(shinglesPath(root), shinglesSchema,
+        _.dropDuplicates("id")),
+      compactOne(labelsPath(root), labelsSchema,
+        _.groupBy(col("id")).agg(min(col("cluster_id")).as("cluster_id"))))
   }
 }

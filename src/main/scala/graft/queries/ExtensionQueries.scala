@@ -721,7 +721,7 @@ object ExtensionQueries {
         threshold = 0.5, maxBucket = 256)
       IncrementalDedup.buildIndex(docs, "doc_id", "text", root, p, "b1")
       IncrementalDedup.addShard(s, root, b2, "doc_id", "text", "b2")
-      val incLabels = s.read.parquet(s"$root/labels")
+      val incLabels = IncrementalDedup.currentLabels(s, root)
         .select(col("id"), col("cluster_id"))
       val fullLabels = Dedup.resolveClusters(
         Dedup.minhashLshPairs(docs.unionByName(b2), "doc_id", "text",
@@ -776,6 +776,47 @@ object ExtensionQueries {
         .withColumn("n_queries", lit(5L))
         .withColumn("append_matches_full", lit(matches))
         .withColumn("partition_pruned", lit(prunedOk))
+    }),
+
+    // Retraction feed after cluster-root changes, ORACLE-CHECKED per doc —
+    // the republication gap incremental publishing leaves open (a later
+    // shard changes labels of docs whose survivor reports already shipped;
+    // republishDelta emits exactly the (id, old, new) rows a downstream
+    // consumer must reconcile). The fixture forces a DETERMINISTIC label
+    // change without hash-dependent near-dup bridging: exact-copy clusters
+    // built at ids +500/+1500 (b1) and appended at +2500 (b2, changes
+    // nothing — pinned by the append_retracted_nothing boolean), then b3
+    // ingests copies at SMALLER ids 5..9, so each touched cluster's
+    // min-id root decreases and every already-published member relabels.
+    // Exact copies pair deterministically (J=1.0 at threshold 0.999), so
+    // DuckDB replays both the published-as-of-b2 and the current label
+    // views with text-group window minima and diffs them — a full
+    // value-level oracle for the feed, same family as x48.
+    "x51_republish_delta" -> ((s, dir) => {
+      val root = ParityQueries.tmpPath("graft_republish", dir)
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+      val base = t(s, dir, "documents").filter(col("doc_id") < 10)
+        .select(col("doc_id"),
+          concat_ws(" ", TextAnalysis.tokens(col("text"))).as("text"))
+        .filter(length(col("text")) > 0)
+      val b1 = base.select((col("doc_id") + 500).as("doc_id"), col("text"))
+        .unionByName(
+          base.select((col("doc_id") + 1500).as("doc_id"), col("text")))
+      val b2 = base.select((col("doc_id") + 2500).as("doc_id"), col("text"))
+      val b3 = base.filter(col("doc_id") < 5)
+        .select((col("doc_id") + 5).as("doc_id"), col("text"))
+      val p = IncrementalDedup.Params(shingleW = 3, k = 32, bands = 8,
+        threshold = 0.999, maxBucket = 256)
+      IncrementalDedup.buildIndex(b1, "doc_id", "text", root, p, "b1")
+      IncrementalDedup.addShard(s, root, b2, "doc_id", "text", "b2")
+      // joining an existing cluster without changing its root retracts
+      // nothing — the feed only fires on actual label changes
+      val nAfterAppend =
+        IncrementalDedup.republishDelta(s, root, Seq("b1")).count()
+      IncrementalDedup.addShard(s, root, b3, "doc_id", "text", "b3")
+      IncrementalDedup.republishDelta(s, root, Seq("b1", "b2"))
+        .withColumn("append_retracted_nothing", lit(nAfterAppend == 0L))
+        .orderBy(col("id"))
     }),
 
     // Boilerplate DISCOVERY (the mining pass that builds the block-list
@@ -1163,6 +1204,37 @@ object ExtensionQueries {
         |  TRUE AS append_matches_full,
         |  TRUE AS partition_pruned
         |FROM embeddings""".stripMargin,
+
+    // x51: the published-as-of-b2 and current label views are both
+    // text-group window minima over deterministic exact-copy fixtures
+    // (same first-principles replay as x48); the feed is their diff.
+    "x51_republish_delta" ->
+      """WITH norm AS (
+        |  SELECT doc_id, array_to_string(
+        |    list_filter(string_split_regex(trim(text), '\s+'), x -> len(x) > 0),
+        |    ' ') AS text
+        |  FROM documents
+        |  WHERE doc_id < 10
+        |    AND len(list_filter(string_split_regex(trim(text), '\s+'),
+        |      x -> len(x) > 0)) > 0),
+        |pub AS (
+        |  SELECT doc_id + 500 AS doc_id, text FROM norm
+        |  UNION ALL SELECT doc_id + 1500, text FROM norm
+        |  UNION ALL SELECT doc_id + 2500, text FROM norm),
+        |full_u AS (
+        |  SELECT doc_id, text FROM pub
+        |  UNION ALL SELECT doc_id + 5, text FROM norm WHERE doc_id < 5),
+        |old_l AS (
+        |  SELECT doc_id, min(doc_id) OVER (PARTITION BY text) AS old_cluster
+        |  FROM pub),
+        |new_l AS (
+        |  SELECT doc_id, min(doc_id) OVER (PARTITION BY text) AS new_cluster
+        |  FROM full_u)
+        |SELECT o.doc_id AS id, o.old_cluster, n.new_cluster,
+        |  TRUE AS append_retracted_nothing
+        |FROM old_l o JOIN new_l n ON o.doc_id = n.doc_id
+        |WHERE o.old_cluster <> n.new_cluster
+        |ORDER BY id""".stripMargin,
 
     "x43_source_kl" ->
       """WITH tok AS (

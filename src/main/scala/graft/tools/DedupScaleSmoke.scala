@@ -101,6 +101,37 @@ object DedupScaleSmoke {
     graft.bench.StageTimers.drain().toSeq.sortBy(-_._2).foreach { case (k, v) =>
       println(f"[dedup-scale]   stage $k%-32s $v%8.2fs")
     }
+
+    // FLAT-INGEST phase — the scale contract of the append-only label
+    // delta log: ingesting the SAME shard against an index whose
+    // PRE-EXISTING duplicate population is 10x larger must cost the same
+    // wall-time (per-shard cost is bounded by shard size + touched
+    // components, never by accumulated duplicate history — the old
+    // full-label re-resolve+rewrite design failed exactly this probe).
+    val nDups10 = math.min(10L * 5000L, n / 2)
+    val dups10 = spark.range(0, nDups10, 1, 8)
+      .select((col("id") + 10000000L).as("doc_id"),
+        text(col("id"), 7, mutateTail = true).as("text"))
+    val corpus10Path = corpusPath + "_x10"
+    base.unionByName(dups10).write.mode("overwrite").parquet(corpus10Path)
+    val corpus10Pq = spark.read.parquet(corpus10Path)
+    val root10 = root + "_x10"
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root10))
+    time(s"index build (${nDups10} dups)")(
+      graft.ops.IncrementalDedup.buildIndex(corpus10Pq, "doc_id", "text",
+        root10, p, "init").count())
+    val hist1 = spark.read.parquet(s"$root/labels").count()
+    val hist10 = spark.read.parquet(s"$root10/labels").count()
+    println(s"[dedup-scale] label history: base=$hist1 x10=$hist10")
+    val rep10 = time(s"shard ingest vs x10 history")(
+      graft.ops.IncrementalDedup.addShard(spark, root10, shard,
+        "doc_id", "text", "s1"))
+    println(s"[dedup-scale] x10 shard dropped=" +
+      rep10.filter(!col("survived")).count() +
+      " (compare 'shard ingest' above: flat = contract holds)")
+    graft.bench.StageTimers.drain().toSeq.sortBy(-_._2).foreach { case (k, v) =>
+      println(f"[dedup-scale]   stage $k%-32s $v%8.2fs")
+    }
     spark.stop()
   }
 }

@@ -122,7 +122,7 @@ class IncrementalDedupSpec extends SparkSpec {
     val bucketRows = spark.read.parquet(s"$root/buckets")
     assert(bucketRows.count() ===
       bucketRows.dropDuplicates("id", "band", "bucket").count())
-    assert(labelSet(spark.read.parquet(s"$root/labels")) ===
+    assert(labelSet(IncrementalDedup.currentLabels(spark, root)) ===
       labelSet(Dedup.resolveClusters(
         Dedup.minhashLshPairs(docs.unionByName(b2), "doc_id", "text",
           shingleW = p.shingleW, k = p.k, bands = p.bands,
@@ -145,12 +145,112 @@ class IncrementalDedupSpec extends SparkSpec {
     val loose = p.copy(threshold = 0.3)
     IncrementalDedup.buildIndex(b1, "doc_id", "text", root, loose, "b1")
     IncrementalDedup.addShard(spark, root, b2, "doc_id", "text", "b2")
-    val labels = labelSet(spark.read.parquet(s"$root/labels"))
+    val labels = labelSet(IncrementalDedup.currentLabels(spark, root))
     assert(labels === Set((0L, 0L), (1L, 0L), (100L, 0L)),
       s"bridge must merge both clusters under root 0, got $labels")
     assert(IncrementalDedup.droppedIds(spark, root)
       .collect().map(_.getLong(0)).toSet ===
       fullDroppedSet(b1.unionByName(b2), loose))
+  }
+
+  test("republishDelta emits exactly the relabeled members after a merge") {
+    val root = tmpRoot("repub")
+    import spark.implicits._
+    val aToks = (0 until 20).map(t => s"aw$t")
+    val bToks = (0 until 20).map(t => s"bw$t")
+    // two exact-copy groups (disjoint token spaces -> J=0 across groups)
+    val b1 = ((0L to 2L).map(i => (i, aToks.mkString(" "))) ++
+      (100L to 102L).map(i => (i, bToks.mkString(" ")))).toDF("doc_id", "text")
+    val loose = p.copy(threshold = 0.3)
+    IncrementalDedup.buildIndex(b1, "doc_id", "text", root, loose, "b1")
+    // a shard that does NOT merge: new exact copy of group A
+    IncrementalDedup.addShard(spark, root,
+      Seq((200L, aToks.mkString(" "))).toDF("doc_id", "text"),
+      "doc_id", "text", "b2")
+    assert(IncrementalDedup.republishDelta(spark, root, Seq("b1"))
+      .isEmpty, "a plain append must not retract anything")
+    // bridge shard merges group B into group A (root 0)
+    val bridge = (aToks.take(14) ++ bToks.take(14)).mkString(" ")
+    IncrementalDedup.addShard(spark, root,
+      Seq((300L, bridge)).toDF("doc_id", "text"), "doc_id", "text", "b3")
+    val delta = IncrementalDedup.republishDelta(spark, root, Seq("b1", "b2"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // exactly group B's already-published members move 100 -> 0; the
+    // bridge doc itself is new (published by its own shard's report)
+    assert(delta === Set((100L, 100L, 0L), (101L, 100L, 0L), (102L, 100L, 0L)))
+  }
+
+  test("label ingest is delta-sized: an append-only shard writes only touched rows") {
+    val root = tmpRoot("deltasize")
+    val docs = baseDocs // 40 docs
+    // pre-existing duplicate population: 90% copies of ALL 40 docs
+    val b1 = docs.unionByName(prefixCopy(docs, 0L until 40L, 1000, 0.9))
+    IncrementalDedup.buildIndex(b1, "doc_id", "text", root, p, "b1")
+    val historyRows = spark.read.parquet(s"$root/labels")
+      .filter(col("ingest_shard") === "b1").count()
+    assert(historyRows === 80L) // 40 pairs -> 80 labeled ids
+    // shard touching ONE cluster: another copy of doc 0
+    IncrementalDedup.addShard(spark, root,
+      prefixCopy(docs, Seq(0L), 5000, 0.9), "doc_id", "text", "b2")
+    val deltaRows = spark.read.parquet(s"$root/labels")
+      .filter(col("ingest_shard") === "b2").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // ONLY the new doc's row lands — the 80-row history is untouched
+    // (doc 0's cluster keeps root 0, so no existing row changes)
+    assert(deltaRows === Set((5000L, 0L)),
+      s"delta must be touched-sized, got ${deltaRows.size} rows")
+    assert(spark.read.parquet(s"$root/labels")
+      .filter(col("ingest_shard") === "b1").count() === historyRows)
+  }
+
+  test("hot-bucket cap: a true pair NOT adjacent to the star-link anchors still surfaces via its other bands") {
+    // Adversarial fixture for the documented recall bound on crossProbe's
+    // hot-bucket degradation: a boilerplate crowd pushes shared band
+    // buckets far over maxBucket, so probes into those buckets pair only
+    // with the bucket's min/max-id anchors. The planted TRUE pair (50,
+    // 10000) sits strictly INSIDE the anchor range of every hot bucket —
+    // star links alone can never produce it — and must be recovered
+    // through the pair's OTHER bands: the two docs are exact copies, so
+    // their signatures agree in every band, and any band where their
+    // minhashes differ from the crowd's lands them in a small private
+    // bucket that pairs them normally.
+    val root = tmpRoot("hotbucket")
+    import spark.implicits._
+    val template = (0 until 30).map(t => s"tpl$t").mkString(" ")
+    // crowd ids bracket 50 on both sides: per-bucket min is always <= 9
+    // and max always >= 9000, so 50 is never an anchor
+    val crowd = ((0 until 10).map(i =>
+        (i.toLong, s"$template crowd${i}a crowd${i}b")) ++
+      (0 until 10).map(i =>
+        (9000L + i, s"$template crowd${9000 + i}a crowd${9000 + i}b")))
+      .toDF("doc_id", "text")
+    // 40-token distinctive tail: J(50, crowd) = 28/70 = 0.4 < 0.45, so
+    // the pair under test is the ONLY cross edge expected for doc 50
+    val special = template + " " + (0 until 40).map(t => s"hbx$t").mkString(" ")
+    val hot = p.copy(maxBucket = 8)
+    IncrementalDedup.buildIndex(
+      crowd.unionByName(Seq((50L, special)).toDF("doc_id", "text")),
+      "doc_id", "text", root, hot, "b1")
+    val rep = IncrementalDedup.addShard(spark, root,
+      Seq((10000L, special)).toDF("doc_id", "text"),
+      "doc_id", "text", "b2")
+    // fixture validity: the crowd really does push buckets over the cap,
+    // and 50 is never a star-link anchor of any over-cap bucket
+    val overCap = spark.read.parquet(s"$root/buckets")
+      .groupBy("band", "bucket")
+      .agg(count(lit(1)).as("n"), min($"id").as("mn"), max($"id").as("mx"))
+      .filter($"n" > hot.maxBucket)
+      .select($"n", $"mn", $"mx").collect()
+    assert(overCap.nonEmpty, "fixture must create over-cap buckets")
+    overCap.foreach { r =>
+      assert(r.getLong(1) < 50L && r.getLong(2) > 50L,
+        s"50 must sit strictly inside every hot bucket's anchor range: $r")
+    }
+    // the recall claim: the pair surfaced anyway — doc 10000 resolves
+    // into doc 50's cluster, which star links alone cannot produce
+    val row = rep.filter($"id" === 10000L).head()
+    assert(row.getLong(1) === 50L && !row.getBoolean(2),
+      s"true pair must be recovered through non-hot bands: $row")
   }
 
   test("property: any shard split of any corpus reproduces full-union state") {
@@ -200,9 +300,12 @@ class IncrementalDedupSpec extends SparkSpec {
     val droppedBefore = IncrementalDedup.droppedIds(spark, root)
       .collect().map(_.getLong(0)).toSet
     val bucketRowsBefore = spark.read.parquet(s"$root/buckets").count()
-    val ((bBefore, bAfter), (sBefore, sAfter)) =
+    val ((bBefore, bAfter), (sBefore, sAfter), (lBefore, lAfter)) =
       IncrementalDedup.compactShards(spark, root)
     assert(bBefore === 3 && bAfter === 1 && sBefore === 3 && sAfter === 1)
+    // label deltas only exist for shards that changed labels: the
+    // duplicate-free build wrote an empty delta (no partition dir)
+    assert(lBefore === 2 && lAfter === 1)
     assert(spark.read.parquet(s"$root/buckets").count() === bucketRowsBefore)
     assert(IncrementalDedup.droppedIds(spark, root)
       .collect().map(_.getLong(0)).toSet === droppedBefore)
@@ -228,7 +331,7 @@ class IncrementalDedupSpec extends SparkSpec {
     val rep = IncrementalDedup.addShard(spark, root,
       prefixCopy(docs, 15L until 20L, 4000, 0.9), "doc_id", "text", "b5")
     assert(rep.filter(!col("survived")).count() === 5) // dup rows absorbed
-    val ((b2Before, b2After), _) = IncrementalDedup.compactShards(spark, root)
+    val ((b2Before, b2After), _, _) = IncrementalDedup.compactShards(spark, root)
     assert(b2Before >= 3 && b2After === 1) // leftover + compacted + b4 + b5
   }
 

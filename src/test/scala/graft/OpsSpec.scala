@@ -464,6 +464,47 @@ class SimilaritySpec extends SparkSpec {
     assert(rebuilt.dropDuplicates("vec_id").count() == emb.count())
   }
 
+  test("appendable IVF rebuild is crash-safe: readers recover from every swap window") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val model = graft.ops.IVF.train(emb, "vec_id", "embedding", nc = 8, iters = 2)
+    val root = java.nio.file.Files.createTempDirectory("ivf_crash").toString + "/idx"
+    graft.ops.IVF.writeIndexAppendable(
+      graft.ops.IVF.assign(emb, "embedding", model), root, model, "init")
+    val queries = emb.filter($"vec_id".isin(0L, 7L))
+      .select($"vec_id".as("query_id"), $"embedding".as("qvec"))
+    def results = graft.ops.IVF.searchBatchAppendable(spark, root, queries,
+      "vec_id", "embedding", "query_id", k = 8, nprobe = 3)
+      .as[(Long, Long, Double)].collect().toSet
+    val ref = results
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def p(s: String) = new org.apache.hadoop.fs.Path(s)
+    // window 1 — death mid-stage: a partial __stage sits beside the live
+    // root. Readers must be untouched by it (and must NOT delete it: it is
+    // indistinguishable from a concurrent build's in-flight stage).
+    fs.mkdirs(p(s"${root}__stage/vectors"))
+    assert(results == ref)
+    assert(fs.exists(p(s"${root}__stage")), "reader must not delete a stage")
+    // window 2 — death between retire and promote: live generation at
+    // __old, target missing, completed-or-partial stage present. Readers
+    // heal by restoring the retired generation.
+    require(fs.rename(p(root), p(s"${root}__old")))
+    assert(results == ref, "reader must restore the retired generation")
+    assert(fs.exists(p(root)) && !fs.exists(p(s"${root}__old")))
+    // window 3 — death between promote and old-cleanup: both target (new
+    // generation) and __old exist. Readers use the target and drop the
+    // fully-superseded retiree.
+    fs.mkdirs(p(s"${root}__old"))
+    assert(results == ref)
+    assert(!fs.exists(p(s"${root}__old")), "superseded retiree must be dropped")
+    // and the next WRITER absorbs all debris: rebuild over the healed root
+    fs.delete(p(s"${root}__stage"), true)
+    graft.ops.IVF.writeIndexAppendable(
+      graft.ops.IVF.assign(emb, "embedding", model), root, model, "init")
+    assert(results == ref)
+    assert(!fs.exists(p(s"${root}__stage")) && !fs.exists(p(s"${root}__old")))
+  }
+
   test("batched kNN equals N single-query calls (brute force, LSH, IVF)") {
     // the batch searchers are the production retrieval surface; this pins
     // each one to the corresponding single-query baseline over real vectors

@@ -276,4 +276,54 @@ class StreamingSpec extends SparkSpec {
       assert(reports.filter($"id" === 3L).head().getAs[Boolean]("survived") == true)
     } finally q.stop()
   }
+
+  test("compactShards between micro-batches: later batches ingest against the compacted index, state stays full-union") {
+    // index maintenance slots into the micro-batch loop's idle gaps (the
+    // loop is the single writer by contract); batches AFTER compaction
+    // must probe the consolidated partitions and keep building the same
+    // state one full-union dedup would — including duplicates of docs
+    // whose label/bucket rows were rewritten by the compaction
+    import java.nio.file.Files
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("graft_incsink_compact").toString
+    val p = graft.ops.IncrementalDedup.Params(shingleW = 3, k = 64,
+      bands = 32, threshold = 0.45, maxBucket = 256)
+    graft.ops.IncrementalDedup.buildIndex(
+      Seq.empty[(Long, String)].toDF("doc_id", "text"),
+      "doc_id", "text", s"$dir/idx", p, "init")
+    def doc(i: Long): String = (0 until 25).map(t => s"d${i}w$t").mkString(" ")
+    def prefix(i: Long, keep: Int): String =
+      doc(i).split(" ").take(keep).mkString(" ")
+    val input = MemoryStream[(Long, String)]
+    val q = EventStreams.incrementalDedupSink(
+      input.toDF().toDF("doc_id", "text"), "doc_id", "text",
+      s"$dir/idx", s"$dir/reports", s"$dir/ckpt")
+    try {
+      input.addData((0L, doc(0)), (1L, doc(1)), (100L, prefix(0, 22)))
+      q.processAllAvailable()
+      input.addData((2L, doc(2)), (200L, prefix(1, 22)))
+      q.processAllAvailable()
+      val (b, _, _) =
+        graft.ops.IncrementalDedup.compactShards(spark, s"$dir/idx")
+      assert(b._1 >= 2 && b._2 === 1, s"buckets must consolidate: $b")
+      // post-compaction batch: dup of the REWRITTEN doc 0's cluster, a
+      // dup of doc 2, and a fresh doc
+      input.addData((101L, prefix(0, 23)), (300L, prefix(2, 22)), (3L, doc(3)))
+      q.processAllAvailable()
+      val dropped = graft.ops.IncrementalDedup.droppedIds(spark, s"$dir/idx")
+        .as[Long].collect().toSet
+      val union = Seq((0L, doc(0)), (1L, doc(1)), (100L, prefix(0, 22)),
+        (2L, doc(2)), (200L, prefix(1, 22)),
+        (101L, prefix(0, 23)), (300L, prefix(2, 22)), (3L, doc(3)))
+        .toDF("doc_id", "text")
+      val fullDropped = graft.ops.Dedup.resolveClusters(
+        graft.ops.Dedup.minhashLshPairs(union, "doc_id", "text",
+          shingleW = p.shingleW, k = p.k, bands = p.bands,
+          threshold = p.threshold, maxBucketSize = p.maxBucket)
+          .select($"id_a", $"id_b"))
+        .filter($"id" =!= $"cluster_id").select($"id")
+        .as[Long].collect().toSet
+      assert(dropped == fullDropped)
+    } finally q.stop()
+  }
 }
