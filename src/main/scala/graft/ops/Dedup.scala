@@ -387,10 +387,16 @@ object Dedup {
       val out = graft.bench.StageTimers.time("resolveClusters.local_uf") {
         val spark = pairs.sparkSession
         import spark.implicits._
+        // null-id rows are guarded out (a null joins nothing in the
+        // distributed path; the typed collect here would throw instead),
+        // and the rows land in primitive long arrays — at the 1M-edge cap
+        // that is ~32 MB, where boxed java.lang.Long entries in a HashMap
+        // measured several hundred MB of driver heap
         val rows = p.select(col(idA).cast("long"), col(idB).cast("long"))
+          .filter(col(idA).isNotNull && col(idB).isNotNull)
           .as[(Long, Long)].collect()
         p.unpersist()
-        val parent = new java.util.HashMap[Long, Long]()
+        val parent = new LongLongMap(rows.length * 2)
         def find(x: Long): Long = {
           var r = x
           while (parent.get(r) != r) r = parent.get(r)
@@ -399,17 +405,18 @@ object Dedup {
           r
         }
         rows.foreach { case (a, b) =>
-          if (!parent.containsKey(a)) parent.put(a, a)
-          if (!parent.containsKey(b)) parent.put(b, b)
+          if (!parent.contains(a)) parent.put(a, a)
+          if (!parent.contains(b)) parent.put(b, b)
           val ra = find(a); val rb = find(b)
           // union by MIN: the surviving root is always the component's
           // smallest id, matching the distributed loop's min-label fixpoint
           if (ra < rb) parent.put(rb, ra)
           else if (rb < ra) parent.put(ra, rb)
         }
-        val ids = parent.keySet().toArray(new Array[java.lang.Long](0))
-        ids.map(id => (id.longValue(), find(id.longValue()))).toSeq
-          .toDF("id", "cluster_id")
+        val outRows = new Array[(Long, Long)](parent.size)
+        var i = 0
+        parent.foreachKey { id => outRows(i) = (id, find(id)); i += 1 }
+        outRows.toSeq.toDF("id", "cluster_id")
           .select(col("id").cast(outType).as("id"),
             col("cluster_id").cast(outType).as("cluster_id"))
       }
@@ -573,5 +580,66 @@ object Dedup {
         round(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
           size(array_union(col("sh_a"), col("sh_b"))), 6))
       .drop("sh_a", "sh_b")
+  }
+
+  /** Minimal open-addressing long->long map for the driver union-find:
+    * primitive arrays (no boxing), splitmix64-dispersed linear probing,
+    * power-of-two capacity grown at 50% load. At the 1M-edge cap this is
+    * tens of MB of driver heap where boxed java.lang.Long HashMap entries
+    * would be several hundred. */
+  private final class LongLongMap(expected: Int) {
+    private var cap: Int = {
+      var c = 64
+      while (c < expected * 2 && c < (1 << 30)) c <<= 1
+      c
+    }
+    private var mask = cap - 1
+    private var keys = new Array[Long](cap)
+    private var vals = new Array[Long](cap)
+    private var occ = new Array[Boolean](cap)
+    private var n = 0
+
+    def size: Int = n
+
+    private def idx(k: Long): Int = {
+      var h = k // splitmix64 finalizer: disperses sequential doc ids
+      h ^= h >>> 33; h *= 0xff51afd7ed558ccdL
+      h ^= h >>> 33; h *= 0xc4ceb9fe1a85ec53L
+      h ^= h >>> 33
+      var i = (h & mask).toInt
+      while (occ(i) && keys(i) != k) i = (i + 1) & mask
+      i
+    }
+
+    def contains(k: Long): Boolean = occ(idx(k))
+
+    /** Key must be present (the union-find always inserts before reads). */
+    def get(k: Long): Long = vals(idx(k))
+
+    def put(k: Long, v: Long): Unit = {
+      val i = idx(k)
+      if (!occ(i)) {
+        occ(i) = true; keys(i) = k; vals(i) = v; n += 1
+        if (n * 2 > cap) grow()
+      } else vals(i) = v
+    }
+
+    private def grow(): Unit = {
+      val ok = keys; val ov = vals; val oo = occ
+      cap <<= 1; mask = cap - 1; n = 0
+      keys = new Array[Long](cap)
+      vals = new Array[Long](cap)
+      occ = new Array[Boolean](cap)
+      var i = 0
+      while (i < ok.length) {
+        if (oo(i)) put(ok(i), ov(i))
+        i += 1
+      }
+    }
+
+    def foreachKey(f: Long => Unit): Unit = {
+      var i = 0
+      while (i < cap) { if (occ(i)) f(keys(i)); i += 1 }
+    }
   }
 }

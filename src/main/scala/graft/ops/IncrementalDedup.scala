@@ -285,8 +285,19 @@ object IncrementalDedup {
     * label rows never ride an exchange. Crash replay preserves the
     * invariant because the in-flight shard's half-written delta is
     * excluded from scan input, making the re-run byte-identical. */
+  /** Gate for [[addShard]]'s small-history fast path: label logs under
+    * this many parquet bytes (~a few hundred thousand rows) are collected
+    * once and diffed on the driver — identical output to the two-scan
+    * broadcast path, at roughly half the Spark-job round-trips, which
+    * dominate wall-time at small scale (measured: the probe/anti-join
+    * chain is ~2-4s of pure scheduling per ingest on a 35-doc fixture).
+    * Same driver-local-under-a-bound pattern as
+    * [[Dedup.resolveClusters]]'s union-find cutover. */
+  val LocalHistoryBytes: Long = 8L << 20
+
   def addShard(spark: SparkSession, root: String, shard: DataFrame,
-      idCol: String, textCol: String, shardId: String): DataFrame = {
+      idCol: String, textCol: String, shardId: String,
+      localHistoryBytes: Long = LocalHistoryBytes): DataFrame = {
     val p = readMeta(spark, root)
     // same no-persist rationale as buildIndex: the shard subtrees are
     // map-only and codegen'd; only the candidate-pair frame materializes
@@ -295,7 +306,8 @@ object IncrementalDedup {
     val cross = crossProbe(spark, root, buckets2, shardId, p.maxBucket)
     val inner = Dedup.bucketCandidates(buckets2, p.maxBucket)
     val cand = cross.unionByName(inner).distinct().persist()
-    graft.bench.StageTimers.time("incdedup.shard_cand") { cand.count() }
+    val nCand =
+      graft.bench.StageTimers.time("incdedup.shard_cand") { cand.count() }
     val candIds = cand.select(col("id_a").as("id"))
       .unionByName(cand.select(col("id_b").as("id"))).distinct()
     val oldSh = distinctSh(
@@ -304,16 +316,56 @@ object IncrementalDedup {
         .select(col("id"), col("sh")),
       candIds)
     val shAll = distinctSh(sh2, candIds).unionByName(oldSh)
-    // persisted: consumed twice (label probe ids + resolve input) and the
-    // verify join behind it is the expensive leg
     val pairs = Dedup.jaccardOnPairs(cand, shAll)
       .filter(col("jaccard") >= p.threshold)
-      .select(col("id_a"), col("id_b")).persist()
+      .select(col("id_a"), col("id_b"))
     val raw = readRawLabels(spark, root, excludeShard = Some(shardId))
-    val (resolved, delta, pulled) =
-      graft.bench.StageTimers.time("incdedup.label_probe") {
-        val pairIds = pairs.select(col("id_a").as("id"))
-          .unionByName(pairs.select(col("id_b").as("id"))).distinct()
+    val labelBytes = {
+      val lp = new org.apache.hadoop.fs.Path(labelsPath(root))
+      val lfs = lp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (lfs.exists(lp)) lfs.getContentSummary(lp).getLength else 0L
+    }
+    val (resolved, delta, cleanup) =
+      if (labelBytes <= localHistoryBytes && nCand <= 500000L)
+        graft.bench.StageTimers.time("incdedup.label_local") {
+          // SMALL-HISTORY FAST PATH: one bounded collect of the label log,
+          // current labels and the changed-row delta computed on the
+          // driver. Output is identical to the broadcast path below —
+          // resolveClusters over pairs plus the CURRENT star edges reaches
+          // exactly the same components, and the delta keeps exactly the
+          // rows whose current label changed (preserving the direct-root
+          // invariant the at-scale path's closure argument needs).
+          val cur = scala.collection.mutable.HashMap.empty[Long, Long]
+          raw.select(col("id"), col("cluster_id")).collect().foreach { r =>
+            val id = r.getLong(0); val c = r.getLong(1)
+            if (c < cur.getOrElse(id, Long.MaxValue)) cur.update(id, c)
+          }
+          val edgeRows: Seq[org.apache.spark.sql.Row] = cur.iterator
+            .filter { case (id, c) => id != c }
+            .map { case (id, c) => org.apache.spark.sql.Row(c, id) }.toSeq
+          val edgesDf = spark.createDataFrame(
+            java.util.Arrays.asList(edgeRows: _*),
+            StructType(Seq(StructField("id_a", LongType),
+              StructField("id_b", LongType))))
+          val resolved = Dedup.resolveClusters(pairs.unionByName(edgesDf))
+          // bounded: resolved covers pair ids + history ids, both gated
+          val deltaRows = resolved.collect().filter(r =>
+            !cur.get(r.getLong(0)).contains(r.getLong(1)))
+          val deltaDf = spark.createDataFrame(
+            java.util.Arrays.asList(deltaRows: _*),
+            StructType(Seq(StructField("id", LongType),
+              StructField("cluster_id", LongType))))
+          // local rows all the way down: nothing here re-reads index files
+          // after the writes below, so no lineage cut is needed
+          (resolved, deltaDf, () => ())
+        }
+      else graft.bench.StageTimers.time("incdedup.label_probe") {
+        // AT-SCALE PATH (touched components only; see the closure argument
+        // above). pairs persisted: consumed twice (probe ids + resolve
+        // input) and the verify join behind it is the expensive leg.
+        val pairsP = pairs.persist()
+        val pairIds = pairsP.select(col("id_a").as("id"))
+          .unionByName(pairsP.select(col("id_b").as("id"))).distinct()
         val r1 = raw.join(broadcast(pairIds), Seq("id"), "left_semi")
         val roots = r1.select(col("cluster_id")).distinct()
         val pulled = raw
@@ -321,7 +373,7 @@ object IncrementalDedup {
           .persist()
         val edges = pulled.filter(col("id") =!= col("cluster_id"))
           .select(col("cluster_id").as("id_a"), col("id").as("id_b"))
-        val resolved = Dedup.resolveClusters(pairs.unionByName(edges))
+        val resolved = Dedup.resolveClusters(pairsP.unionByName(edges))
         // append only rows the shard actually changed: anti-join against
         // the pulled ids' current labels (new ids have no pulled row and
         // pass through) — unchanged members keep their existing
@@ -342,13 +394,12 @@ object IncrementalDedup {
         val delta = resolved
           .join(currentPulled, Seq("id", "cluster_id"), "left_anti")
           .localCheckpoint(true)
-        (resolved, delta, pulled)
+        (resolved, delta, () => { pairsP.unpersist(); pulled.unpersist(); () })
       }
     // every cached plan reading index files is dropped pre-write for the
     // same recache reason; `resolved` is safe (local rows or checkpointed)
     cand.unpersist()
-    pairs.unpersist()
-    pulled.unpersist()
+    cleanup()
     graft.bench.StageTimers.time("incdedup.shard_writes") {
       writeShardPartition(buckets2, bucketsPath(root), shardId)
       writeShardPartition(sh2.filter(size(col("sh")) > 0),

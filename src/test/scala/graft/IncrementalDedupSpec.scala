@@ -203,6 +203,39 @@ class IncrementalDedupSpec extends SparkSpec {
       .filter(col("ingest_shard") === "b1").count() === historyRows)
   }
 
+  test("forced two-scan path writes the identical delta, state, and report as the fast path") {
+    // addShard routes small histories to a driver fast path; the at-scale
+    // two-scan broadcast path must be value-identical on the same input
+    // (localHistoryBytes = 0 forces it). The shard mixes chains reaching
+    // originals only THROUGH already-dropped docs with fresh duplicates of
+    // untouched clusters, so the delta logic is exercised on changed AND
+    // unchanged components in both paths.
+    val docs = baseDocs
+    val b1 = docs.unionByName(prefixCopy(docs, 0L until 10L, 1000, 0.9))
+    val shard = prefixCopy(docs, 0L until 10L, 2000, 0.5) // via-dropped chain
+      .unionByName(prefixCopy(docs, 15L until 20L, 3000, 0.9))
+    def runPath(tag: String, gate: Long): (Set[(Long, Long, String)],
+        Seq[(Long, Long, Boolean)], Set[Long]) = {
+      val root = tmpRoot(tag)
+      IncrementalDedup.buildIndex(b1, "doc_id", "text", root, p, "b1")
+      val rep = IncrementalDedup.addShard(spark, root, shard,
+        "doc_id", "text", "b2", localHistoryBytes = gate)
+        .orderBy("id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSeq
+      val labels = spark.read.parquet(s"$root/labels")
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          r.getString(2))).toSet
+      val dropped = IncrementalDedup.droppedIds(spark, root)
+        .collect().map(_.getLong(0)).toSet
+      (labels, rep, dropped)
+    }
+    val (lFast, rFast, dFast) = runPath("pathfast", Long.MaxValue)
+    val (lScan, rScan, dScan) = runPath("pathscan", 0L)
+    assert(lFast === lScan, "per-shard label deltas must be identical")
+    assert(rFast === rScan)
+    assert(dFast === dScan)
+  }
+
   test("hot-bucket cap: a true pair NOT adjacent to the star-link anchors still surfaces via its other bands") {
     // Adversarial fixture for the documented recall bound on crossProbe's
     // hot-bucket degradation: a boilerplate crowd pushes shared band
