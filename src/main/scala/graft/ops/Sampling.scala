@@ -85,4 +85,36 @@ object Sampling {
         .when(b < trainBuckets + valBuckets, "val")
         .otherwise("test"))
   }
+
+  /** Reproducible global corpus shuffle + training-shard assignment — the
+    * step between corpus prep and sequence packing: training wants
+    * documents in a mixed order that is a pure function of row identity,
+    * so retries, re-runs, and other engines reproduce the SAME
+    * permutation (the lineage requirement again — `orderBy(rand())` is
+    * exactly what this op exists to replace). The shuffle key is
+    * md5(salt || "_" || id), engine-portable bit-for-bit like
+    * [[contentHashSplit]]'s buckets: `shard` is the key's first four hex
+    * nibbles mod `numShards` (map-only; 65536 residues make the mod bias
+    * negligible at sane shard counts), `pos` orders rows WITHIN a shard
+    * by the key (hex strings compare consistently across engines).
+    * Scale shape: one hash exchange on `shard`, then each shard sorts
+    * independently — md5 spreads rows uniformly, so no skew. A
+    * corpus-wide `row_number` is refused on purpose: a global rank needs
+    * a single range exchange whose boundary sampling and tail stitching
+    * serialize at 100 TB, while a training consumer reading shards in
+    * (shard, pos) order gets an equivalent reproducible permutation. */
+  def deterministicShuffle(df: DataFrame, idCol: String, numShards: Int,
+      salt: Long = 42L): DataFrame = {
+    require(numShards >= 1, "need at least one output shard")
+    val key = md5(concat(lit(s"${salt}_"), col(idCol).cast("string"))
+      .cast("binary"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col("__skey"), col(idCol))
+    df.withColumn("__skey", key)
+      .withColumn("shard",
+        pmod(conv(substring(col("__skey"), 1, 4), 16, 10).cast("long"),
+          lit(numShards.toLong)).cast("int"))
+      .withColumn("pos", (row_number().over(w) - 1).cast("long"))
+      .drop("__skey")
+  }
 }

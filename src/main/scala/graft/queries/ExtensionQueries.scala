@@ -863,6 +863,16 @@ object ExtensionQueries {
         .agg(count(lit(1)).as("n_docs"),
           sum(length(col("text"))).cast("long").as("total_chars"))),
 
+    // Reproducible corpus shuffle into training shards (the pre-packing
+    // permutation): md5-keyed, so DuckDB replays the ENTIRE permutation —
+    // every (doc, shard, position) — not just aggregates
+    "x52_corpus_shuffle" -> ((s, dir) =>
+      graft.ops.Sampling.deterministicShuffle(
+          t(s, dir, "documents").select(col("doc_id")), "doc_id",
+          numShards = 8)
+        .select(col("doc_id"), col("shard"), col("pos"))
+        .orderBy(col("shard"), col("pos"))),
+
     // Multimodal plumbing: binary payload + metadata -> partition-batched
     // feature extraction (decode stubbed; rows-only check)
     "x11_multimodal" -> ((s, dir) => {
@@ -1339,6 +1349,26 @@ object ExtensionQueries {
         |FROM (SELECT text, instr('0123456789abcdef', substr(md5(text), 32, 1)) AS b
         |      FROM documents)
         |GROUP BY 1""".stripMargin,
+
+    // x52: DuckDB rebuilds the md5 shuffle key and replays shard (first
+    // four hex nibbles mod 8) and within-shard position exactly
+    "x52_corpus_shuffle" ->
+      """WITH keyed AS (
+        |  SELECT doc_id, md5('42_' || CAST(doc_id AS VARCHAR)) AS k
+        |  FROM documents),
+        |sharded AS (
+        |  SELECT doc_id, k, CAST(
+        |    ((((instr('0123456789abcdef', substr(k, 1, 1)) - 1) * 16
+        |      + (instr('0123456789abcdef', substr(k, 2, 1)) - 1)) * 16
+        |      + (instr('0123456789abcdef', substr(k, 3, 1)) - 1)) * 16
+        |      + (instr('0123456789abcdef', substr(k, 4, 1)) - 1)) % 8
+        |    AS INT) AS shard
+        |  FROM keyed)
+        |SELECT doc_id, shard,
+        |  CAST(row_number() OVER (PARTITION BY shard ORDER BY k, doc_id) - 1
+        |    AS BIGINT) AS pos
+        |FROM sharded
+        |ORDER BY shard, pos""".stripMargin,
 
     "x16_stratified_sample" ->
       """SELECT doc_id, lang FROM documents

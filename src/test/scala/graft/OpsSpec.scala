@@ -628,6 +628,34 @@ class SamplingSpec extends SparkSpec {
       .select("k").distinct().as[String].collect().toSeq
     assert(out == Seq("a")) // rate-0 stratum fully excluded, rate-1 fully kept
   }
+
+  test("deterministicShuffle is a reproducible permutation into balanced shards") {
+    val df = (0L until 4000L).toDF("id")
+    val s1 = graft.ops.Sampling.deterministicShuffle(df, "id", numShards = 8)
+    val rows = s1.select("id", "shard", "pos")
+      .as[(Long, Int, Long)].collect()
+    // bijection: every doc exactly once, positions contiguous per shard
+    assert(rows.length == 4000 && rows.map(_._1).distinct.length == 4000)
+    rows.groupBy(_._2).foreach { case (shard, rs) =>
+      assert(rs.map(_._3).sorted.toSeq == (0L until rs.length).toSeq,
+        s"shard $shard positions must be 0..n-1")
+    }
+    // uniform md5 spread: no shard drifts far from 4000/8
+    assert(rows.groupBy(_._2).values.map(_.size).forall(n =>
+      math.abs(n - 500) < 150))
+    // rerun-stable, and the permutation actually mixes (not id order)
+    val s2 = graft.ops.Sampling.deterministicShuffle(df, "id", numShards = 8)
+      .select("id", "shard", "pos").as[(Long, Int, Long)].collect()
+    assert(rows.sortBy(_._1).toSeq == s2.sortBy(_._1).toSeq)
+    val shard0 = rows.filter(_._2 == 0).sortBy(_._3).map(_._1).toSeq
+    assert(shard0 != shard0.sorted, "within-shard order must not be id order")
+    // a different salt produces a different permutation
+    val salted = graft.ops.Sampling
+      .deterministicShuffle(df, "id", numShards = 8, salt = 7L)
+      .filter($"shard" === 0).orderBy("pos").select("id")
+      .as[Long].collect().toSeq
+    assert(salted != shard0)
+  }
 }
 
 class TextAnalysisSpec extends SparkSpec {
