@@ -506,6 +506,31 @@ object IncrementalDedup {
       .select(col("id"), col("old_cluster"), col("new_cluster"))
   }
 
+  /** The TOUCHED-SIZED per-shard retraction feed — what a streaming
+    * consumer runs after every ingest, where [[republishDelta]] (an
+    * arbitrary-publication-point reconciliation) aggregates the whole
+    * label log per call: for the docs whose labels `shardId` changed,
+    * emit (id, old_cluster, new_cluster). Reads ONLY the shard's own
+    * delta partition (partition-pruned) plus the prior history rows of
+    * exactly those ids (broadcast semi-join — delta-bounded, the same
+    * contract as the ingest probe). Docs first labeled BY this shard have
+    * no prior row and are excluded (their own shard report already
+    * published them). Equals `republishDelta(root, allShardsBefore)` run
+    * immediately after the shard (pinned by spec) — call it BEFORE any
+    * later ingest or [[compactShards]] collapses the history it diffs. */
+  def retractionsForShard(spark: SparkSession, root: String,
+      shardId: String): DataFrame = {
+    val raw = readRawLabels(spark, root)
+    val deltaShard = raw.filter(col("ingest_shard") === lit(shardId))
+      .select(col("id"), col("cluster_id").as("new_cluster"))
+    val prior = raw.filter(col("ingest_shard") =!= lit(shardId))
+      .join(broadcast(deltaShard.select(col("id"))), Seq("id"), "left_semi")
+      .groupBy(col("id")).agg(min(col("cluster_id")).as("old_cluster"))
+    deltaShard.join(prior, Seq("id"))
+      .filter(col("old_cluster") =!= col("new_cluster"))
+      .select(col("id"), col("old_cluster"), col("new_cluster"))
+  }
+
   /** Index maintenance: consolidate all ingested shard partitions into ONE
     * — after thousands of small-shard ingests the per-shard directories
     * are exactly the small-files problem q51's compaction solves for data

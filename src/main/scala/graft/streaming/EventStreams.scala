@@ -240,23 +240,44 @@ object EventStreams {
     * overwrite replaces exactly that shard's partition, and the probe
     * excludes the in-flight shard id so a half-written previous attempt
     * is invisible. Per-batch survivor reports land under `reportPath`
-    * partitioned by batch_id with the same replay-idempotent overwrite.
+    * partitioned by batch_id with the same replay-idempotent overwrite;
+    * when `retractionPath` is set, each batch also publishes its
+    * touched-sized (id, old_cluster, new_cluster) retraction feed
+    * ([[graft.ops.IncrementalDedup.retractionsForShard]]) for docs whose
+    * already-published cluster this batch changed.
     * The index must exist — [[graft.ops.IncrementalDedup.buildIndex]] on
     * the historical corpus, or on an empty frame to start cold. */
   def incrementalDedupSink(docs: DataFrame, idCol: String, textCol: String,
-      indexRoot: String, reportPath: String, checkpoint: String)
+      indexRoot: String, reportPath: String, checkpoint: String,
+      retractionPath: Option[String] = None)
       : org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
-          graft.ops.IncrementalDedup.addShard(batch.sparkSession, indexRoot,
+          val spark = batch.sparkSession
+          graft.ops.IncrementalDedup.addShard(spark, indexRoot,
               batch, idCol, textCol, s"stream_$batchId")
             .withColumn("batch_id", lit(batchId))
             .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("batch_id")
             .parquet(reportPath)
+          // touched-sized retraction feed for docs EARLIER batches already
+          // published whose cluster this batch changed: the operational
+          // close of the append-only caveat. Same replay-idempotent
+          // per-batch overwrite as the reports, so a redelivered batch
+          // regenerates an identical feed (the addShard replay above has
+          // restored identical index state first).
+          retractionPath.foreach { rp =>
+            graft.ops.IncrementalDedup.retractionsForShard(spark, indexRoot,
+                s"stream_$batchId")
+              .withColumn("batch_id", lit(batchId))
+              .write.mode("overwrite")
+              .option("partitionOverwriteMode", "dynamic")
+              .partitionBy("batch_id")
+              .parquet(rp)
+          }
         }
         ()
       }

@@ -178,6 +178,14 @@ class IncrementalDedupSpec extends SparkSpec {
     // exactly group B's already-published members move 100 -> 0; the
     // bridge doc itself is new (published by its own shard's report)
     assert(delta === Set((100L, 100L, 0L), (101L, 100L, 0L), (102L, 100L, 0L)))
+    // the touched-sized per-shard feed (reads one delta partition + the
+    // prior rows of just its ids) equals the full-log reconciliation when
+    // taken immediately after the shard
+    assert(IncrementalDedup.retractionsForShard(spark, root, "b3")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      === delta)
+    assert(IncrementalDedup.retractionsForShard(spark, root, "b2")
+      .isEmpty, "a non-merging shard must retract nothing")
   }
 
   test("label ingest is delta-sized: an append-only shard writes only touched rows") {

@@ -277,6 +277,50 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("incrementalDedupSink publishes per-batch retraction feeds for merged clusters") {
+    // batch 1 publishes cluster {10, 11} rooted at 10; batch 2 brings the
+    // SMALLER id 5 into the same exact-copy cluster, so the root drops and
+    // the already-published rows must be retracted downstream — the sink's
+    // retraction feed carries exactly those rows, touched-sized
+    import java.nio.file.Files
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("graft_incsink_retr").toString
+    val p = graft.ops.IncrementalDedup.Params(shingleW = 3, k = 64,
+      bands = 32, threshold = 0.45, maxBucket = 256)
+    graft.ops.IncrementalDedup.buildIndex(
+      Seq.empty[(Long, String)].toDF("doc_id", "text"),
+      "doc_id", "text", s"$dir/idx", p, "init")
+    val t = (0 until 25).map(i => s"tw$i").mkString(" ")
+    val input = MemoryStream[(Long, String)]
+    val q = EventStreams.incrementalDedupSink(
+      input.toDF().toDF("doc_id", "text"), "doc_id", "text",
+      s"$dir/idx", s"$dir/reports", s"$dir/ckpt",
+      retractionPath = Some(s"$dir/retractions"))
+    try {
+      input.addData((10L, t), (11L, t))
+      q.processAllAvailable()
+      // no previously-published doc changed: no batch partition lands
+      val rdir = new java.io.File(s"$dir/retractions")
+      assert(!rdir.exists() || rdir.listFiles()
+        .forall(f => !f.getName.startsWith("batch_id=")))
+      input.addData((5L, t))
+      q.processAllAvailable()
+      val retr = spark.read.parquet(s"$dir/retractions")
+        .select("id", "old_cluster", "new_cluster", "batch_id")
+        .as[(Long, Long, Long, Long)].collect().toSet
+      assert(retr == Set((10L, 10L, 5L, 1L), (11L, 10L, 5L, 1L)))
+      // applying the feed reconciles the earlier report with index state
+      val reconciled = spark.read.parquet(s"$dir/reports")
+        .select("id", "cluster_id").as[(Long, Long)].collect().toMap ++
+        spark.read.parquet(s"$dir/retractions")
+          .select("id", "new_cluster").as[(Long, Long)].collect().toMap
+      val state = graft.ops.IncrementalDedup
+        .currentLabels(spark, s"$dir/idx")
+        .as[(Long, Long)].collect().toMap
+      assert(reconciled == state)
+    } finally q.stop()
+  }
+
   test("compactShards between micro-batches: later batches ingest against the compacted index, state stays full-union") {
     // index maintenance slots into the micro-batch loop's idle gaps (the
     // loop is the single writer by contract); batches AFTER compaction
