@@ -86,6 +86,46 @@ object Sampling {
         .otherwise("test"))
   }
 
+  /** Quality-curriculum sampling: bucket rows by EXACT score quantiles —
+    * cut points at i/n for n = `rates.length` — and keep each bucket at
+    * its own rate (the data-mixing move when the training recipe wants
+    * e.g. the top quality quintile whole but only 10% of the bottom one).
+    * Adds `bucket` (0 = lowest), `rate`, and the deterministic `kept`
+    * flag; callers filter on `kept` or tally.
+    *
+    * Scale shape: ONE exact-percentile aggregate produces the tiny
+    * (n-1)-value cut array, broadcast back; bucketing is a map-only array
+    * filter; the keep decision is the same pure-function-of-id sample as
+    * the other paths here. Deliberately NO `ntile()`: a corpus-wide rank
+    * window has no partition key, so Spark would pull the whole corpus
+    * into a single partition — the quantile-threshold formulation gets
+    * the same buckets (up to tie placement at the cuts) without any
+    * global sort. The exact percentile is itself a full-sort aggregate;
+    * swap `percentile_approx` in at 100 TB exactly as the distribution
+    * profile (x47) documents — kept exact here so DuckDB can replay
+    * bucket assignment bit-for-bit. */
+  def quantileBucketSample(df: DataFrame, idCol: String, scoreCol: String,
+      rates: Seq[Double], byHash: Boolean = false, den: Int = 100,
+      salt: Long = 42L): DataFrame = {
+    require(rates.nonEmpty, "need one keep-rate per bucket")
+    val n = rates.length
+    val cuts = (1 until n).map(i => lit(i.toDouble / n))
+    val th = df.agg(
+      percentile(col(scoreCol), array(cuts: _*)).as("__th"))
+    val rateArr = array(rates.map(lit): _*)
+    val keyed = df.crossJoin(broadcast(th))
+      .withColumn("bucket",
+        size(filter(col("__th"), x => col(scoreCol) > x)))
+      .withColumn("rate", element_at(rateArr, col("bucket") + 1))
+      .drop("__th")
+    val kept =
+      if (byHash)
+        (shiftrightunsigned(xxhash64(lit(salt), col(idCol)), 11)
+          .cast("double") / lit((1L << 53).toDouble)) < col("rate")
+      else pmod(col(idCol), lit(den)) < col("rate") * den
+    keyed.withColumn("kept", kept)
+  }
+
   /** Reproducible global corpus shuffle + training-shard assignment — the
     * step between corpus prep and sequence packing: training wants
     * documents in a mixed order that is a pure function of row identity,

@@ -873,6 +873,25 @@ object ExtensionQueries {
         .select(col("doc_id"), col("shard"), col("pos"))
         .orderBy(col("shard"), col("pos"))),
 
+    // Quality-curriculum sampling: exact quintile cuts over the x03
+    // quality score, per-bucket keep rates rising with quality, id-mod
+    // keep decision — every stage DuckDB-replayable (score formula from
+    // x03, quantile_cont cuts, list-filter bucketing, mod arithmetic)
+    "x53_curriculum_sample" -> ((s, dir) => {
+      val scored = TextAnalysis.qualityMetrics(t(s, dir, "documents"))
+        .select(col("doc_id"), col("token_cnt").cast("long").as("token_cnt"),
+          col("quality_score"))
+      graft.ops.Sampling.quantileBucketSample(scored, "doc_id",
+          "quality_score", rates = Seq(0.1, 0.2, 0.4, 0.7, 1.0))
+        .groupBy(col("bucket"))
+        .agg(max(col("rate")).as("rate"),
+          count(lit(1)).as("n_docs"),
+          sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+          sum(when(col("kept"), col("token_cnt")).otherwise(0L))
+            .as("tokens_kept"))
+        .orderBy(col("bucket"))
+    }),
+
     // Multimodal plumbing: binary payload + metadata -> partition-batched
     // feature extraction (decode stubbed; rows-only check)
     "x11_multimodal" -> ((s, dir) => {
@@ -1349,6 +1368,51 @@ object ExtensionQueries {
         |FROM (SELECT text, instr('0123456789abcdef', substr(md5(text), 32, 1)) AS b
         |      FROM documents)
         |GROUP BY 1""".stripMargin,
+
+    // x53: DuckDB rebuilds the x03 quality score, cuts quintiles with
+    // quantile_cont (same linear interpolation as Spark's percentile),
+    // buckets via list_filter, and replays the mod-keep arithmetic
+    "x53_curriculum_sample" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+        |      x -> len(x) > 0)) AS BIGINT) AS token_cnt,
+        |    ROUND(greatest(0.0, least(1.0,
+        |      0.4 * least(CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+        |        x -> len(x) > 0)) AS DOUBLE) / 50.0, 1.0)
+        |      + 0.3 * (CASE WHEN length(text) > 0
+        |          THEN CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+        |            / length(text) ELSE 0.0 END)
+        |      + 0.2 * least((CASE WHEN len(list_filter(string_split_regex(trim(text), '\s+'),
+        |            x -> len(x) > 0)) > 0
+        |          THEN CAST(len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+        |            x -> x IN ('the','a','an','of','to','and','in','is'))) AS DOUBLE)
+        |            / len(list_filter(string_split_regex(trim(text), '\s+'), x -> len(x) > 0))
+        |          ELSE 0.0 END) * 5.0, 1.0)
+        |      + 0.1 * (1.0 - least((CASE WHEN length(text) > 0
+        |          THEN CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE)
+        |            / length(text) ELSE 0.0 END) * 5.0, 1.0)))), 6) AS quality_score
+        |  FROM documents),
+        |th AS (
+        |  SELECT quantile_cont(quality_score, [0.2, 0.4, 0.6, 0.8]) AS cuts
+        |  FROM base),
+        |bucketed AS (
+        |  SELECT doc_id, token_cnt,
+        |    len(list_filter((SELECT cuts FROM th), x -> quality_score > x)) AS bucket
+        |  FROM base),
+        |rated AS (
+        |  SELECT doc_id, token_cnt, bucket,
+        |    ([0.1, 0.2, 0.4, 0.7, 1.0])[bucket + 1] AS rate
+        |  FROM bucketed)
+        |SELECT CAST(bucket AS INT) AS bucket, rate,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(CASE WHEN doc_id % 100 < rate * 100 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_kept,
+        |  CAST(sum(CASE WHEN doc_id % 100 < rate * 100 THEN token_cnt ELSE 0 END) AS BIGINT)
+        |    AS tokens_kept
+        |FROM rated
+        |GROUP BY 1, 2
+        |ORDER BY bucket""".stripMargin,
 
     // x52: DuckDB rebuilds the md5 shuffle key and replays shard (first
     // four hex nibbles mod 8) and within-shard position exactly

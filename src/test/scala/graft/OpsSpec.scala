@@ -629,6 +629,32 @@ class SamplingSpec extends SparkSpec {
     assert(out == Seq("a")) // rate-0 stratum fully excluded, rate-1 fully kept
   }
 
+  test("quantileBucketSample cuts near-even buckets and applies per-bucket rates") {
+    // distinct scores 0..999 -> exact quintiles, no tie ambiguity
+    val df = (0L until 1000L).map(i => (i, i.toDouble)).toDF("id", "score")
+    val out = graft.ops.Sampling.quantileBucketSample(df, "id", "score",
+      rates = Seq(0.0, 0.25, 0.5, 0.75, 1.0))
+    val byBucket = out.groupBy("bucket")
+      .agg(count(lit(1)).as("n"), sum(when($"kept", 1L).otherwise(0L)).as("k"),
+        min("score").as("lo"), max("score").as("hi"))
+      .as[(Int, Long, Long, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(byBucket.keySet == Set(0, 1, 2, 3, 4))
+    // quantile cuts partition 1000 distinct scores into ~200-row buckets,
+    // ordered: every bucket-i score is below every bucket-(i+1) score
+    (0 to 4).foreach { b => assert(math.abs(byBucket(b)._2 - 200L) <= 1) }
+    (0 to 3).foreach { b => assert(byBucket(b)._5 < byBucket(b + 1)._4) }
+    // mod rates are exact over full residue cycles: 0%, ~25%, ... 100%
+    assert(byBucket(0)._3 == 0L)
+    assert(byBucket(4)._3 == byBucket(4)._2)
+    assert(math.abs(byBucket(2)._3 * 2 - byBucket(2)._2) <= 4)
+    // rerun-stable (pure function of the input)
+    val again = graft.ops.Sampling.quantileBucketSample(df, "id", "score",
+      rates = Seq(0.0, 0.25, 0.5, 0.75, 1.0))
+      .filter($"kept").select("id").as[Long].collect().toSet
+    assert(again == out.filter($"kept").select("id").as[Long].collect().toSet)
+  }
+
   test("deterministicShuffle is a reproducible permutation into balanced shards") {
     val df = (0L until 4000L).toDF("id")
     val s1 = graft.ops.Sampling.deterministicShuffle(df, "id", numShards = 8)
