@@ -352,9 +352,19 @@ object Dedup {
   def resolveClusters(pairs: DataFrame, idA: String = "id_a",
       idB: String = "id_b", maxIter: Int = 10,
       localEdgeLimit: Long = 1000000L): DataFrame = {
+    // null ids are normalized ONCE so both paths below agree: a pair with
+    // one null side contributes its non-null member as a singleton
+    // self-edge (label = own id); fully-null rows drop. Without this the
+    // local path (typed collect) and the distributed loop (null join keys
+    // match nothing) handled half-null rows differently — outputs would
+    // diverge purely on input size
+    val clean = pairs.select(
+        coalesce(col(idA), col(idB)).as(idA),
+        coalesce(col(idB), col(idA)).as(idB))
+      .filter(col(idA).isNotNull)
     // cache the (possibly expensive) pair-generation subtree: the edge
     // count below materializes it once; every later consumer reads cache
-    val p = pairs.persist()
+    val p = clean.persist()
     // SMALL-INPUT FAST PATH: when the pair set fits on the driver (narrow
     // (long, long) rows; the default 1M cap is ~50 MB collected), resolve
     // components with a local union-find instead of the distributed loop.
@@ -387,13 +397,11 @@ object Dedup {
       val out = graft.bench.StageTimers.time("resolveClusters.local_uf") {
         val spark = pairs.sparkSession
         import spark.implicits._
-        // null-id rows are guarded out (a null joins nothing in the
-        // distributed path; the typed collect here would throw instead),
-        // and the rows land in primitive long arrays — at the 1M-edge cap
-        // that is ~32 MB, where boxed java.lang.Long entries in a HashMap
-        // measured several hundred MB of driver heap
+        // rows land in primitive long arrays — at the 1M-edge cap that is
+        // ~32 MB, where boxed java.lang.Long entries in a HashMap
+        // measured several hundred MB of driver heap. Null ids were
+        // normalized away above, so the typed collect cannot throw.
         val rows = p.select(col(idA).cast("long"), col(idB).cast("long"))
-          .filter(col(idA).isNotNull && col(idB).isNotNull)
           .as[(Long, Long)].collect()
         p.unpersist()
         val parent = new LongLongMap(rows.length * 2)
@@ -587,7 +595,7 @@ object Dedup {
     * power-of-two capacity grown at 50% load. At the 1M-edge cap this is
     * tens of MB of driver heap where boxed java.lang.Long HashMap entries
     * would be several hundred. */
-  private final class LongLongMap(expected: Int) {
+  private[ops] final class LongLongMap(expected: Int) {
     private var cap: Int = {
       var c = 64
       while (c < expected * 2 && c < (1 << 30)) c <<= 1

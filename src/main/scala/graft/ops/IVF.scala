@@ -273,9 +273,13 @@ object IVF {
     val target = new org.apache.hadoop.fs.Path(root)
     val old = new org.apache.hadoop.fs.Path(root + "__old")
     if (fs.exists(old)) {
-      if (!fs.exists(target))
-        require(fs.rename(old, target), s"index restore failed: $old")
-      else fs.delete(old, true)
+      if (!fs.exists(target)) {
+        // concurrent READERS may race this restore (only writers are
+        // single by contract): losing the rename is fine as long as
+        // someone won — require only that the target exists afterwards
+        if (!fs.rename(old, target))
+          require(fs.exists(target), s"index restore failed: $old")
+      } else fs.delete(old, true)
     }
     ()
   }

@@ -172,6 +172,45 @@ object IncrementalDedup {
       r.getAs[Int]("max_bucket"))
   }
 
+  /** Data files sitting DIRECTLY under labels/ (no ingest_shard= dirs)
+    * mean the index predates the delta log (the r6 swap-write layout).
+    * Reading that with the partitioned schema would surface every
+    * ingest_shard as null and the in-flight-shard filter would silently
+    * drop the whole history — so detect and refuse instead. */
+  private def hasLegacyLabelLayout(fs: org.apache.hadoop.fs.FileSystem,
+      lp: org.apache.hadoop.fs.Path): Boolean =
+    fs.listStatus(lp).exists(s =>
+      s.isFile && !s.getPath.getName.startsWith("_"))
+
+  /** One-time upgrade for an index whose labels/ was written before the
+    * delta log (flat files, no partitions): rewrite the flat rows as a
+    * single "legacy" shard partition via stage/retire/promote (readers
+    * heal a crashed swap through the recoverUpsertTarget call in
+    * [[readRawLabels]]). The legacy rows are already CURRENT star labels
+    * (the old layout rewrote them wholesale each shard), so one partition
+    * holding them verbatim preserves every read path. Returns true if a
+    * migration ran, false if the layout was already current. Idempotent. */
+  def migrateLegacyLabels(spark: SparkSession, root: String): Boolean = {
+    val lp = new org.apache.hadoop.fs.Path(labelsPath(root))
+    val fs = lp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    graft.streaming.EventStreams.recoverUpsertTarget(fs, labelsPath(root))
+    if (!fs.exists(lp) || !hasLegacyLabelLayout(fs, lp)) return false
+    val flat = spark.read.schema(StructType(Seq(
+        StructField("id", LongType), StructField("cluster_id", LongType))))
+      .parquet(labelsPath(root))
+      .withColumn("ingest_shard", lit("legacy"))
+    val stage = new org.apache.hadoop.fs.Path(
+      labelsPath(root) + "__migrate_stage")
+    fs.delete(stage, true)
+    flat.write.partitionBy("ingest_shard").mode("overwrite")
+      .parquet(stage.toString)
+    val old = new org.apache.hadoop.fs.Path(labelsPath(root) + "__old")
+    require(fs.rename(lp, old), s"label retire failed: $lp")
+    require(fs.rename(stage, lp), s"label promote failed: $stage")
+    fs.delete(old, true)
+    true
+  }
+
   /** The raw label delta log: every (id, cluster_id) row ever appended,
     * with its `ingest_shard`. An in-flight shard is excluded so a
     * half-written previous attempt of the same shard is invisible. */
@@ -179,10 +218,20 @@ object IncrementalDedup {
       excludeShard: Option[String] = None): DataFrame = {
     val fs = new org.apache.hadoop.fs.Path(root)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // heals a migrateLegacyLabels swap that died between retire and
+    // promote (labels__old holds the state); its stage-dir cleanup is a
+    // no-op here since the migration stages under a different suffix
+    graft.streaming.EventStreams.recoverUpsertTarget(fs, labelsPath(root))
+    val lp = new org.apache.hadoop.fs.Path(labelsPath(root))
     val base =
-      if (fs.exists(new org.apache.hadoop.fs.Path(labelsPath(root))))
+      if (fs.exists(lp)) {
+        require(!hasLegacyLabelLayout(fs, lp),
+          s"labels/ under $root uses the pre-delta-log flat layout; run " +
+            "IncrementalDedup.migrateLegacyLabels(spark, root) once to " +
+            "upgrade (silent option: the old rows would read with null " +
+            "ingest_shard and be dropped by shard filters)")
         spark.read.schema(labelsSchema).parquet(labelsPath(root))
-      else
+      } else
         spark.range(0).select(col("id"), col("id").as("cluster_id"),
           lit("").as("ingest_shard"))
     excludeShard.fold(base)(s => base.filter(col("ingest_shard") =!= lit(s)))
@@ -325,41 +374,58 @@ object IncrementalDedup {
       val lfs = lp.getFileSystem(spark.sparkContext.hadoopConfiguration)
       if (lfs.exists(lp)) lfs.getContentSummary(lp).getLength else 0L
     }
-    val (resolved, delta, cleanup) =
-      if (labelBytes <= localHistoryBytes && nCand <= 500000L)
-        graft.bench.StageTimers.time("incdedup.label_local") {
-          // SMALL-HISTORY FAST PATH: one bounded collect of the label log,
-          // current labels and the changed-row delta computed on the
-          // driver. Output is identical to the broadcast path below —
-          // resolveClusters over pairs plus the CURRENT star edges reaches
-          // exactly the same components, and the delta keeps exactly the
-          // rows whose current label changed (preserving the direct-root
-          // invariant the at-scale path's closure argument needs).
-          val cur = scala.collection.mutable.HashMap.empty[Long, Long]
-          raw.select(col("id"), col("cluster_id")).collect().foreach { r =>
+    // hard row cap for the fast path, enforced on the ACTUAL collected
+    // count (the byte gate sees compressed parquet, and delta/RLE-encoded
+    // sorted longs can decode far past it): limit(cap + 1) costs nothing
+    // extra — it rides the one collect the fast path does anyway — and an
+    // overflow falls through to the at-scale path
+    val maxLocalRows = 2000000
+    def fastPath(): Option[(DataFrame, DataFrame, () => Unit)] =
+      graft.bench.StageTimers.time("incdedup.label_local") {
+        // SMALL-HISTORY FAST PATH: one bounded collect of the label log,
+        // current labels and the changed-row delta computed on the
+        // driver. Output is identical to the broadcast path below —
+        // resolveClusters over pairs plus the CURRENT star edges reaches
+        // exactly the same components, and the delta keeps exactly the
+        // rows whose current label changed (preserving the direct-root
+        // invariant the at-scale path's closure argument needs).
+        val collected = raw.select(col("id"), col("cluster_id"))
+          .limit(maxLocalRows + 1).collect()
+        if (collected.length > maxLocalRows) None
+        else {
+          // primitive map, not boxed HashMap — the same measurement that
+          // motivated Dedup.LongLongMap for the union-find
+          val cur = new Dedup.LongLongMap(collected.length * 2)
+          collected.foreach { r =>
             val id = r.getLong(0); val c = r.getLong(1)
-            if (c < cur.getOrElse(id, Long.MaxValue)) cur.update(id, c)
+            if (!cur.contains(id) || c < cur.get(id)) cur.put(id, c)
           }
-          val edgeRows: Seq[org.apache.spark.sql.Row] = cur.iterator
-            .filter { case (id, c) => id != c }
-            .map { case (id, c) => org.apache.spark.sql.Row(c, id) }.toSeq
+          val edgeRows = Seq.newBuilder[org.apache.spark.sql.Row]
+          cur.foreachKey { id =>
+            val c = cur.get(id)
+            if (id != c) edgeRows += org.apache.spark.sql.Row(c, id)
+          }
           val edgesDf = spark.createDataFrame(
-            java.util.Arrays.asList(edgeRows: _*),
+            java.util.Arrays.asList(edgeRows.result(): _*),
             StructType(Seq(StructField("id_a", LongType),
               StructField("id_b", LongType))))
           val resolved = Dedup.resolveClusters(pairs.unionByName(edgesDf))
           // bounded: resolved covers pair ids + history ids, both gated
-          val deltaRows = resolved.collect().filter(r =>
-            !cur.get(r.getLong(0)).contains(r.getLong(1)))
+          val deltaRows = resolved.collect().filter { r =>
+            val id = r.getLong(0)
+            !(cur.contains(id) && cur.get(id) == r.getLong(1))
+          }
           val deltaDf = spark.createDataFrame(
             java.util.Arrays.asList(deltaRows: _*),
             StructType(Seq(StructField("id", LongType),
               StructField("cluster_id", LongType))))
           // local rows all the way down: nothing here re-reads index files
           // after the writes below, so no lineage cut is needed
-          (resolved, deltaDf, () => ())
+          Some((resolved, deltaDf, () => ()))
         }
-      else graft.bench.StageTimers.time("incdedup.label_probe") {
+      }
+    def scalePath(): (DataFrame, DataFrame, () => Unit) =
+      graft.bench.StageTimers.time("incdedup.label_probe") {
         // AT-SCALE PATH (touched components only; see the closure argument
         // above). pairs persisted: consumed twice (probe ids + resolve
         // input) and the verify join behind it is the expensive leg.
@@ -396,6 +462,10 @@ object IncrementalDedup {
           .localCheckpoint(true)
         (resolved, delta, () => { pairsP.unpersist(); pulled.unpersist(); () })
       }
+    val (resolved, delta, cleanup) =
+      if (labelBytes <= localHistoryBytes && nCand <= 500000L)
+        fastPath().getOrElse(scalePath())
+      else scalePath()
     // every cached plan reading index files is dropped pre-write for the
     // same recache reason; `resolved` is safe (local rows or checkpointed)
     cand.unpersist()
@@ -496,9 +566,21 @@ object IncrementalDedup {
   def republishDelta(spark: SparkSession, root: String,
       publishedShards: Seq[String]): DataFrame = {
     val raw = readRawLabels(spark, root)
-    val old = raw
+    // the published-as-of view covers EVERY doc the published shards
+    // ingested, not just the ones with label rows: a doc that entered no
+    // pair was published as an implicit singleton survivor (label = its
+    // own id), and a later merge must be able to retract exactly that.
+    // Existence comes from the shingle table (one narrow row per doc,
+    // partition-pruned to the published shards); its id column is the
+    // only thing read.
+    val pubIds = spark.read.schema(shinglesSchema).parquet(shinglesPath(root))
       .filter(col("ingest_shard").isin(publishedShards.map(s => s: Any): _*))
-      .groupBy(col("id")).agg(min(col("cluster_id")).as("old_cluster"))
+      .select(col("id")).distinct()
+    val pubLabels = raw
+      .filter(col("ingest_shard").isin(publishedShards.map(s => s: Any): _*))
+      .groupBy(col("id")).agg(min(col("cluster_id")).as("__pl"))
+    val old = pubIds.join(pubLabels, Seq("id"), "left")
+      .select(col("id"), coalesce(col("__pl"), col("id")).as("old_cluster"))
     val cur = raw.groupBy(col("id"))
       .agg(min(col("cluster_id")).as("new_cluster"))
     old.join(cur, Seq("id"))
@@ -523,12 +605,26 @@ object IncrementalDedup {
     val raw = readRawLabels(spark, root)
     val deltaShard = raw.filter(col("ingest_shard") === lit(shardId))
       .select(col("id"), col("cluster_id").as("new_cluster"))
-    val prior = raw.filter(col("ingest_shard") =!= lit(shardId))
-      .join(broadcast(deltaShard.select(col("id"))), Seq("id"), "left_semi")
-      .groupBy(col("id")).agg(min(col("cluster_id")).as("old_cluster"))
-    deltaShard.join(prior, Seq("id"))
+    val deltaIds = deltaShard.select(col("id"))
+    val priorLabels = raw.filter(col("ingest_shard") =!= lit(shardId))
+      .join(broadcast(deltaIds), Seq("id"), "left_semi")
+      .groupBy(col("id")).agg(min(col("cluster_id")).as("__prior"))
+    // prior EXISTENCE is not prior labels: a doc ingested earlier that
+    // never entered a pair was published as an implicit singleton
+    // survivor (label = its own id) and has NO label row — a later merge
+    // pulling it into a cluster must still retract it. The shingle table
+    // (one narrow row per doc) is the existence record; only its id
+    // column is read, semi-joined down to the delta's ids.
+    val priorIds = spark.read.schema(shinglesSchema).parquet(shinglesPath(root))
+      .filter(col("ingest_shard") =!= lit(shardId))
+      .join(broadcast(deltaIds), Seq("id"), "left_semi")
+      .select(col("id")).distinct()
+    deltaShard.join(priorIds, Seq("id"), "left_semi")
+      .join(priorLabels, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("__prior"), col("id")).as("old_cluster"),
+        col("new_cluster"))
       .filter(col("old_cluster") =!= col("new_cluster"))
-      .select(col("id"), col("old_cluster"), col("new_cluster"))
   }
 
   /** Index maintenance: consolidate all ingested shard partitions into ONE

@@ -23,12 +23,17 @@ object Sampling {
     df.filter(u < rateFor)
   }
 
-  /** Oracle-friendly path: keep a row iff id % `den` < rate * den. Exact
-    * same arithmetic is expressible in any SQL engine; sampling is exact
-    * for ids that cycle through residues. */
+  /** Oracle-friendly path: keep a row iff id % `den` lands among the
+    * first round(rate * den) residues. The explicit round matters: a rate
+    * whose product is not exactly representable (0.29 * 100 =
+    * 28.999999999999996) would otherwise keep one residue more or fewer
+    * than the rate says; rounding pins the kept-residue count to the
+    * nearest integer in every IEEE engine. Exact same arithmetic is
+    * expressible in any SQL engine; sampling is exact for ids that cycle
+    * through residues. */
   def stratifiedSampleByMod(df: DataFrame, idCol: String,
       rateFor: Column, den: Int = 100): DataFrame =
-    df.filter(pmod(col(idCol), lit(den)) < rateFor * den)
+    df.filter(pmod(col(idCol), lit(den)) < round(rateFor * den))
 
   /** Dataset-mixture sampling: derive a per-stratum keep rate that caps
     * each stratum's token contribution at `budget` tokens — rate =
@@ -122,7 +127,10 @@ object Sampling {
       if (byHash)
         (shiftrightunsigned(xxhash64(lit(salt), col(idCol)), 11)
           .cast("double") / lit((1L << 53).toDouble)) < col("rate")
-      else pmod(col(idCol), lit(den)) < col("rate") * den
+      // round() for the same representability reason as
+      // [[stratifiedSampleByMod]]: the kept-residue count per bucket is
+      // exactly round(rate * den)
+      else pmod(col(idCol), lit(den)) < round(col("rate") * den)
     keyed.withColumn("kept", kept)
   }
 

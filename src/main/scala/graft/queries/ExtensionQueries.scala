@@ -1354,7 +1354,7 @@ object ExtensionQueries {
         |  SELECT t.doc_id, t.source, t.token_cnt,
         |    least(1.0, 600.0 / tot.stratum_tokens) AS mix_rate
         |  FROM tok t JOIN tot USING (source)),
-        |sampled AS (SELECT * FROM rated WHERE doc_id % 100 < mix_rate * 100)
+        |sampled AS (SELECT * FROM rated WHERE doc_id % 100 < round(mix_rate * 100))
         |SELECT source, CAST(count(*) AS BIGINT) AS n_sampled,
         |  CAST(sum(token_cnt) AS BIGINT) AS tokens_sampled,
         |  ROUND(max(mix_rate), 6) AS mix_rate
@@ -1406,9 +1406,9 @@ object ExtensionQueries {
         |  FROM bucketed)
         |SELECT CAST(bucket AS INT) AS bucket, rate,
         |  CAST(count(*) AS BIGINT) AS n_docs,
-        |  CAST(sum(CASE WHEN doc_id % 100 < rate * 100 THEN 1 ELSE 0 END) AS BIGINT)
+        |  CAST(sum(CASE WHEN doc_id % 100 < round(rate * 100) THEN 1 ELSE 0 END) AS BIGINT)
         |    AS n_kept,
-        |  CAST(sum(CASE WHEN doc_id % 100 < rate * 100 THEN token_cnt ELSE 0 END) AS BIGINT)
+        |  CAST(sum(CASE WHEN doc_id % 100 < round(rate * 100) THEN token_cnt ELSE 0 END) AS BIGINT)
         |    AS tokens_kept
         |FROM rated
         |GROUP BY 1, 2
@@ -1436,9 +1436,9 @@ object ExtensionQueries {
 
     "x16_stratified_sample" ->
       """SELECT doc_id, lang FROM documents
-        |WHERE doc_id % 100 < (CASE WHEN lang = 'en' THEN 0.5
+        |WHERE doc_id % 100 < round((CASE WHEN lang = 'en' THEN 0.5
         |                           WHEN lang = 'de' THEN 0.25
-        |                           ELSE 0.1 END) * 100""".stripMargin,
+        |                           ELSE 0.1 END) * 100)""".stripMargin,
 
     // the HLL++ values themselves are engine-specific; the oracle checks
     // the exact counts and that the 5% error bound HELD (literal TRUE —

@@ -188,6 +188,58 @@ class IncrementalDedupSpec extends SparkSpec {
       .isEmpty, "a non-merging shard must retract nothing")
   }
 
+  test("retraction feeds cover docs published as unlabeled singleton survivors") {
+    // a doc that entered no pair has NO label row — it was published as an
+    // implicit singleton survivor. When a later shard pulls it into a
+    // cluster, both feeds must still retract it (prior existence comes
+    // from the shingle table, not the label log).
+    val root = tmpRoot("singleton")
+    import spark.implicits._
+    val u = (0 until 20).map(t => s"uw$t").mkString(" ")
+    IncrementalDedup.buildIndex(Seq((20L, u)).toDF("doc_id", "text"),
+      "doc_id", "text", root, p.copy(threshold = 0.3), "b1")
+    assert(IncrementalDedup.currentLabels(spark, root).isEmpty,
+      "fixture requires the published doc to be label-less")
+    IncrementalDedup.addShard(spark, root,
+      Seq((5L, u)).toDF("doc_id", "text"), "doc_id", "text", "b2")
+    val expected = Set((20L, 20L, 5L))
+    assert(IncrementalDedup.retractionsForShard(spark, root, "b2")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      === expected)
+    assert(IncrementalDedup.republishDelta(spark, root, Seq("b1"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      === expected)
+  }
+
+  test("pre-delta-log label layout is detected, refused, and migrated") {
+    val root = tmpRoot("legacy")
+    val docs = baseDocs
+    val b1 = docs.unionByName(prefixCopy(docs, 0L until 5L, 1000, 0.9))
+    IncrementalDedup.buildIndex(b1, "doc_id", "text", root, p, "b1")
+    val before = labelSet(IncrementalDedup.currentLabels(spark, root))
+    // rewrite labels/ in the legacy flat layout (what the r6 swap-write
+    // code left on disk): plain files, no ingest_shard= partitions
+    val flatTmp = root + "_flat"
+    IncrementalDedup.currentLabels(spark, root)
+      .write.mode("overwrite").parquet(flatTmp)
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$root/labels"), true)
+    require(fs.rename(new org.apache.hadoop.fs.Path(flatTmp),
+      new org.apache.hadoop.fs.Path(s"$root/labels")))
+    // readers refuse loudly instead of silently dropping the history
+    intercept[IllegalArgumentException] {
+      IncrementalDedup.currentLabels(spark, root)
+    }
+    assert(IncrementalDedup.migrateLegacyLabels(spark, root))
+    assert(!IncrementalDedup.migrateLegacyLabels(spark, root)) // idempotent
+    assert(labelSet(IncrementalDedup.currentLabels(spark, root)) === before)
+    // and ingest proceeds against the migrated index
+    val rep = IncrementalDedup.addShard(spark, root,
+      prefixCopy(docs, 0L until 3L, 5000, 0.9), "doc_id", "text", "b2")
+    assert(rep.filter(!col("survived")).count() === 3)
+  }
+
   test("label ingest is delta-sized: an append-only shard writes only touched rows") {
     val root = tmpRoot("deltasize")
     val docs = baseDocs // 40 docs

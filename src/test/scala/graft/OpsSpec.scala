@@ -143,6 +143,19 @@ class DedupSpec extends SparkSpec {
     assert(pairs.exists(p => p._1 == 1L && p._2 == 2L && p._3 == 0))
   }
 
+  test("null-id pairs resolve identically on both paths: non-null side becomes a singleton") {
+    val pairs = Seq((Option(1L), Option(2L)), (Option(5L), Option.empty[Long]),
+      (Option.empty[Long], Option(7L)),
+      (Option.empty[Long], Option.empty[Long])).toDF("id_a", "id_b")
+    val expected = Map(1L -> 1L, 2L -> 1L, 5L -> 5L, 7L -> 7L)
+    val local = Dedup.resolveClusters(pairs)
+      .as[(Long, Long)].collect().toMap
+    val dist = Dedup.resolveClusters(pairs, localEdgeLimit = 0L)
+      .as[(Long, Long)].collect().toMap
+    assert(local == expected)
+    assert(dist == expected)
+  }
+
   test("resolveClusters merges transitive chains; dedupByClusters keeps min-id survivors") {
     val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")
     val clusters = Dedup.resolveClusters(pairs)
@@ -578,6 +591,12 @@ class SamplingSpec extends SparkSpec {
     val mod = graft.ops.Sampling
       .stratifiedSampleByMod(df, "id", lit(0.25), den = 100)
     assert(mod.count() == 2500) // exact for full residue cycles
+    // non-representable products stay exact via the rounded threshold:
+    // 0.07 * 100 = 7.000000000000001 in IEEE — an unrounded comparison
+    // would keep residue 7 too (8%, not 7%)
+    assert(graft.ops.Sampling
+      .stratifiedSampleByMod(df, "id", lit(0.07), den = 100)
+      .count() == 700)
   }
 
   test("contentHashSplit is content-keyed, deterministic, and covers all splits") {
