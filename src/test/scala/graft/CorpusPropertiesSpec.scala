@@ -95,7 +95,9 @@ class CorpusPropertiesSpec extends SparkSpec {
       val rate = totals.map { case (k, v) =>
         k -> math.min(1.0, budget.toDouble / v) }
       val expected = data
-        .filter { case (id, nm, _) => (id % 100) < rate(nm) * 100 }
+        // kept residues = round(rate * den), matching the rounded
+        // threshold stratifiedSampleByMod applies
+        .filter { case (id, nm, _) => (id % 100) < math.round(rate(nm) * 100) }
         .map(r => (r._2, r._1, r._3, rate(r._2))).toSet
       assert(out == expected, s"strata $strata")
     }
