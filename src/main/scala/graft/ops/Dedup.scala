@@ -43,6 +43,27 @@ object Dedup {
       .drop("__digest")
   }
 
+  /** Exact dedup with SOURCE-PRIORITY survivor election — the
+    * cross-dataset union move: when the same content appears in several
+    * datasets (a curated set, a wiki dump, a web crawl), keep the copy
+    * from the highest-priority source, NOT the min id ([[exact]]'s rule,
+    * which would keep whichever dataset happened to get lower ids).
+    * Survivor = max (priority, then min id as the deterministic
+    * tie-break); emits the survivor's id, its priority, and the group's
+    * multiplicity. Same narrow 8-byte digest shuffle key as
+    * [[exactByDigest]] (equal groups barring a ~2^-64 collision), and the
+    * election is a single max_by aggregate — one exchange total. */
+  def exactByPriority(df: DataFrame, contentCol: String, idCol: String,
+      priorityCol: String): DataFrame =
+    df.groupBy(xxhash64(col(contentCol)).as("__digest"))
+      .agg(
+        max_by(
+          struct(col(idCol).as("id"), col(priorityCol).as("priority")),
+          struct(col(priorityCol), negate(col(idCol)))).as("__w"),
+        count(lit(1)).as("dup_count"))
+      .select(col("__w.id").as(idCol),
+        col("__w.priority").as(priorityCol), col("dup_count"))
+
   /** Paragraph-level exact dedup (the RefinedWeb/Dolma-style pass that runs
     * BELOW document granularity): split every document on `sep`, keep each
     * distinct paragraph only at its FIRST corpus occurrence — min

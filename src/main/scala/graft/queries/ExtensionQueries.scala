@@ -873,6 +873,22 @@ object ExtensionQueries {
         .select(col("doc_id"), col("shard"), col("pos"))
         .orderBy(col("shard"), col("pos"))),
 
+    // Cross-dataset priority dedup: exact copies planted as a
+    // higher-priority "curated mirror" of every third doc — the survivor
+    // must be the mirror (larger id, higher priority), not exact-dedup's
+    // min id. Digest-grouped in Spark, text-grouped in DuckDB (the x01
+    // equivalence), survivor election replayed with a priority-ordered
+    // window.
+    "x54_priority_dedup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val u = docs.withColumn("priority", lit(1))
+        .unionByName(docs.filter(col("doc_id") % 3 === 0)
+          .select((col("doc_id") + 10000).as("doc_id"), col("text"),
+            lit(10).as("priority")))
+      Dedup.exactByPriority(u, "text", "doc_id", "priority")
+        .orderBy(col("doc_id"))
+    }),
+
     // Quality-curriculum sampling: exact quintile cuts over the x03
     // quality score, per-bucket keep rates rising with quality, id-mod
     // keep decision — every stage DuckDB-replayable (score formula from
@@ -1368,6 +1384,22 @@ object ExtensionQueries {
         |FROM (SELECT text, instr('0123456789abcdef', substr(md5(text), 32, 1)) AS b
         |      FROM documents)
         |GROUP BY 1""".stripMargin,
+
+    // x54: DuckDB groups by text (digest-vs-text equivalence as in x01)
+    // and replays the survivor election with a priority-ordered window
+    "x54_priority_dedup" ->
+      """WITH u AS (
+        |  SELECT doc_id, text, 1 AS priority FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 10000, text, 10 FROM documents WHERE doc_id % 3 = 0),
+        |r AS (
+        |  SELECT doc_id, priority,
+        |    CAST(count(*) OVER (PARTITION BY text) AS BIGINT) AS dup_count,
+        |    row_number() OVER (PARTITION BY text
+        |      ORDER BY priority DESC, doc_id) AS rn
+        |  FROM u)
+        |SELECT doc_id, priority, dup_count FROM r WHERE rn = 1
+        |ORDER BY doc_id""".stripMargin,
 
     // x53: DuckDB rebuilds the x03 quality score, cuts quintiles with
     // quantile_cont (same linear interpolation as Spark's percentile),

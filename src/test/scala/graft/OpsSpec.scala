@@ -21,6 +21,17 @@ class DedupSpec extends SparkSpec {
     assert(!out.contains(2L))
   }
 
+  test("exactByPriority elects the highest-priority copy, min id on ties") {
+    val rows = Seq(
+      (1L, "shared text", 1), (2L, "shared text", 5), (3L, "shared text", 5),
+      (10L, "lone", 2)).toDF("doc_id", "text", "priority")
+    val out = Dedup.exactByPriority(rows, "text", "doc_id", "priority")
+      .as[(Long, Int, Long)].collect().toSet
+    // group of 3: priority 5 beats the min id 1; ids 2 vs 3 tie on
+    // priority -> min id 2 survives. Singletons keep themselves.
+    assert(out == Set((2L, 5, 3L), (10L, 2, 1L)))
+  }
+
   test("exactByDigest agrees with full-text exact dedup (both digests)") {
     // the digest path is the corpus-scale default (8/32-byte shuffle key vs
     // whole documents); this pins its results to the full-text baseline
