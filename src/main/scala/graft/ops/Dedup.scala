@@ -383,8 +383,8 @@ object Dedup {
         coalesce(col(idA), col(idB)).as(idA),
         coalesce(col(idB), col(idA)).as(idB))
       .filter(col(idA).isNotNull)
-    // cache the (possibly expensive) pair-generation subtree: the edge
-    // count below materializes it once; every later consumer reads cache
+    // cache the (possibly expensive) pair-generation subtree: the probing
+    // collect below materializes it; every later consumer reads cache
     val p = clean.persist()
     // SMALL-INPUT FAST PATH: when the pair set fits on the driver (narrow
     // (long, long) rows; the default 1M cap is ~50 MB collected), resolve
@@ -392,17 +392,19 @@ object Dedup {
     // The loop's per-iteration cost is pure scheduling at small sizes
     // (~1.5-3s of fixed overhead per call measured at sf0.1 across
     // x12/x26/x36/x48/x49) while the union-find is microseconds; at scale
-    // the count crosses the cap and the checkpoint-truncated pointer
+    // the probe overflows the cap and the checkpoint-truncated pointer
     // jumping below takes over — same labels either way (min id per
     // component, pinned by spec), so oracles cannot tell the paths apart.
-    val nPairs = graft.bench.StageTimers.time("resolveClusters.pairs_edges") {
-      p.count()
-    }
-    // the fast path only handles integral ids (it runs on primitive longs);
-    // other id types — e.g. string digests — take the distributed loop,
-    // whose min-label propagation needs only an ordering. The output id
-    // type is pinned to what the distributed path would produce (the
-    // common type of the two columns), so callers see one schema
+    // The path decision and the fast path's input share ONE action —
+    // limit(cap + 1).collect() — instead of a count job followed by a
+    // collect job: at sweep sizes every extra Spark action is ~0.3-0.5s
+    // of pure scheduling, across every cluster query.
+    //
+    // The fast path only handles integral ids (it runs on primitive
+    // longs); other id types — e.g. string digests — take the distributed
+    // loop, whose min-label propagation needs only an ordering. The
+    // output id type is pinned to what the distributed path would produce
+    // (the common type of the two columns), so callers see one schema
     // regardless of which path the input size selected.
     val idTypes = Seq(idA, idB).map(c => p.schema(c).dataType)
     val integralIds = idTypes.forall {
@@ -412,18 +414,29 @@ object Dedup {
       case _: org.apache.spark.sql.types.LongType => true
       case _ => false
     }
-    if (nPairs <= localEdgeLimit && integralIds) {
-      val outType = p.select(col(idA).as("src"))
-        .unionByName(p.select(col(idB).as("src"))).schema("src").dataType
-      val out = graft.bench.StageTimers.time("resolveClusters.local_uf") {
+    val probed: Option[Array[(Long, Long)]] =
+      if (!integralIds || localEdgeLimit >= Int.MaxValue.toLong) None
+      else {
         val spark = pairs.sparkSession
         import spark.implicits._
         // rows land in primitive long arrays — at the 1M-edge cap that is
         // ~32 MB, where boxed java.lang.Long entries in a HashMap
         // measured several hundred MB of driver heap. Null ids were
         // normalized away above, so the typed collect cannot throw.
-        val rows = p.select(col(idA).cast("long"), col(idB).cast("long"))
-          .as[(Long, Long)].collect()
+        val rows = graft.bench.StageTimers.time("resolveClusters.pairs_edges") {
+          p.select(col(idA).cast("long"), col(idB).cast("long"))
+            .limit(localEdgeLimit.toInt + 1)
+            .as[(Long, Long)].collect()
+        }
+        if (rows.length > localEdgeLimit) None else Some(rows)
+      }
+    if (probed.isDefined) {
+      val rows = probed.get
+      val outType = p.select(col(idA).as("src"))
+        .unionByName(p.select(col(idB).as("src"))).schema("src").dataType
+      val out = graft.bench.StageTimers.time("resolveClusters.local_uf") {
+        val spark = pairs.sparkSession
+        import spark.implicits._
         p.unpersist()
         val parent = new LongLongMap(rows.length * 2)
         def find(x: Long): Long = {
