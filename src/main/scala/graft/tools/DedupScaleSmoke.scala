@@ -139,6 +139,16 @@ object DedupScaleSmoke {
     println(s"[dedup-scale] x10 shard dropped=" +
       rep10.filter(!col("survived")).count() +
       " (flat vs base two-scan = contract holds)")
+    // the retraction feed must also be touched-sized: it reads one
+    // partition-pruned delta dir + semi-joined prior rows, so its cost
+    // against the x10 history should match the base one
+    val retrBase = time("retraction feed (base)")(
+      graft.ops.IncrementalDedup.retractionsForShard(spark, root, "s1")
+        .count())
+    val retr10 = time("retraction feed (x10)")(
+      graft.ops.IncrementalDedup.retractionsForShard(spark, root10, "s1")
+        .count())
+    println(s"[dedup-scale] retraction rows: base=$retrBase x10=$retr10")
     graft.bench.StageTimers.drain().toSeq.sortBy(-_._2).foreach { case (k, v) =>
       println(f"[dedup-scale]   stage $k%-32s $v%8.2fs")
     }
