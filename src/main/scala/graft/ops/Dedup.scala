@@ -55,11 +55,19 @@ object Dedup {
     * election is a single max_by aggregate — one exchange total. */
   def exactByPriority(df: DataFrame, contentCol: String, idCol: String,
       priorityCol: String): DataFrame =
-    df.groupBy(xxhash64(col(contentCol)).as("__digest"))
+    // null-id rows are excluded up front (the same normalization
+    // resolveClusters applies — a null survivor id would silently drop
+    // from downstream joins). The election is min_by over
+    // (-priority, id), NOT max_by over (priority, -id): ids then need
+    // only an ORDERING, so string/digest ids work — negating the id
+    // would restrict the op to numerics and overflow on Long.MinValue.
+    // `priority` is a caller-provided numeric rank by contract.
+    df.filter(col(idCol).isNotNull)
+      .groupBy(xxhash64(col(contentCol)).as("__digest"))
       .agg(
-        max_by(
+        min_by(
           struct(col(idCol).as("id"), col(priorityCol).as("priority")),
-          struct(col(priorityCol), negate(col(idCol)))).as("__w"),
+          struct(negate(col(priorityCol)), col(idCol))).as("__w"),
         count(lit(1)).as("dup_count"))
       .select(col("__w.id").as(idCol),
         col("__w.priority").as(priorityCol), col("dup_count"))
@@ -383,8 +391,12 @@ object Dedup {
         coalesce(col(idA), col(idB)).as(idA),
         coalesce(col(idB), col(idA)).as(idB))
       .filter(col(idA).isNotNull)
-    // cache the (possibly expensive) pair-generation subtree: the probing
-    // collect below materializes it; every later consumer reads cache
+    // cache the (possibly expensive) pair-generation subtree: the probe's
+    // limit+collect escalates through partition batches (1, 4, 16, ...)
+    // as separate jobs until the cap-or-end is reached, and the cache
+    // keeps those escalation passes (and the overflow path's two union
+    // legs) from touching the verify pipeline more than once — removing
+    // this persist measured x49/x51 ~2.5s WORSE under the escalation
     val p = clean.persist()
     // SMALL-INPUT FAST PATH: when the pair set fits on the driver (narrow
     // (long, long) rows; the default 1M cap is ~50 MB collected), resolve
@@ -414,8 +426,14 @@ object Dedup {
       case _: org.apache.spark.sql.types.LongType => true
       case _ => false
     }
+    // caps outside [0, Int.MaxValue-2] clamp instead of misbehaving: a
+    // negative cap means "never local" (probe of 1 row suffices to
+    // overflow), and a Long-sized cap means "local whenever the rows fit
+    // in one driver array" — the old count-based gate's semantics
+    val cap = math.max(0L, math.min(localEdgeLimit,
+      (Int.MaxValue - 2).toLong)).toInt
     val probed: Option[Array[(Long, Long)]] =
-      if (!integralIds || localEdgeLimit >= Int.MaxValue.toLong) None
+      if (!integralIds) None
       else {
         val spark = pairs.sparkSession
         import spark.implicits._
@@ -425,10 +443,10 @@ object Dedup {
         // normalized away above, so the typed collect cannot throw.
         val rows = graft.bench.StageTimers.time("resolveClusters.pairs_edges") {
           p.select(col(idA).cast("long"), col(idB).cast("long"))
-            .limit(localEdgeLimit.toInt + 1)
+            .limit(cap + 1)
             .as[(Long, Long)].collect()
         }
-        if (rows.length > localEdgeLimit) None else Some(rows)
+        if (rows.length > cap) None else Some(rows)
       }
     if (probed.isDefined) {
       val rows = probed.get

@@ -30,6 +30,15 @@ class DedupSpec extends SparkSpec {
     // group of 3: priority 5 beats the min id 1; ids 2 vs 3 tie on
     // priority -> min id 2 survives. Singletons keep themselves.
     assert(out == Set((2L, 5, 3L), (10L, 2, 1L)))
+    // the election needs only an ORDERING on ids: string/digest ids work
+    // (a negate-the-id tie-break would have rejected them), and null-id
+    // rows are excluded rather than electable as null survivors
+    val strRows = Seq(
+      (Option("b"), "shared text", 1), (Option("a"), "shared text", 1),
+      (Option.empty[String], "shared text", 9))
+      .toDF("doc_id", "text", "priority")
+    assert(Dedup.exactByPriority(strRows, "text", "doc_id", "priority")
+      .as[(String, Int, Long)].collect().toSeq == Seq(("a", 1, 2L)))
   }
 
   test("exactByDigest agrees with full-text exact dedup (both digests)") {
