@@ -242,6 +242,54 @@ object TextAnalysis {
         round(col("n_hits").cast("double") / col("n_shingles"), 6))
   }
 
+  /** Paragraph-level decontamination — the REMOVAL counterpart of
+    * [[contamination]]'s detection: drop every paragraph that shares an
+    * n-gram with the benchmark corpus and reassemble the survivors
+    * (span excision at paragraph granularity — dropping the whole doc
+    * throws away everything that ISN'T the quoted eval question).
+    * Returns (id, n_paras, n_removed, text), text rebuilt from surviving
+    * paragraphs in position order (empty when every paragraph was hit —
+    * the row is kept so stats and downstream length filters see it).
+    *
+    * Scale shape: paragraphs and their n-grams are map-side explodes
+    * (paragraph TEXT is not carried through the shingle explode — only
+    * (id, pos) keys ride it); the hit test is a semi-join against the
+    * DISTINCT benchmark shingle set (eval suites are tiny — broadcast,
+    * never a doc×benchmark cross join); reassembly is ONE grouped
+    * aggregate keyed on the doc id with the in-row position sort of
+    * [[Dedup.reassembleKept]], so paragraph text rides that exchange as
+    * values, never as a key. `hashed` as in [[contamination]]: native
+    * 8-byte shingle hashes for the corpus path, string shingles for
+    * cross-engine verification (identical decisions barring a ~2^-64
+    * collision). */
+  def decontaminateParagraphs(docs: DataFrame, benchmark: DataFrame,
+      idCol: String, textCol: String, n: Int = 3, sep: String = "\n\n",
+      hashed: Boolean = true): DataFrame = {
+    def shingleExpr(c: Column): Column =
+      if (hashed) graft.functions.ShingleFunctions.shingle_hashes(tokens(c), n)
+      else Dedup.shingles(tokens(c), n)
+    val paras = docs.select(col(idCol).as("id"),
+      posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep)))
+        .as(Seq("pos", "para")))
+    val paraSh = paras.select(col("id"), col("pos"),
+      explode(array_distinct(shingleExpr(col("para")))).as("__sh"))
+    val benchSh = benchmark
+      .select(explode(array_distinct(shingleExpr(col(textCol)))).as("__sh"))
+      .distinct()
+    val contam = paraSh.join(broadcast(benchSh), Seq("__sh"), "left_semi")
+      .select(col("id"), col("pos")).distinct()
+      .withColumn("__c", lit(1))
+    paras.join(contam, Seq("id", "pos"), "left")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).cast("long").as("n_paras"),
+        sum(when(col("__c").isNotNull, 1L).otherwise(0L)).as("n_removed"),
+        // collect_list skips the nulls when() emits for removed paras
+        array_join(transform(
+          array_sort(collect_list(
+            when(col("__c").isNull, struct(col("pos"), col("para"))))),
+          s => s.getField("para")), sep).as("text"))
+  }
+
   /** Gopher-style repetition metrics: per-document n-gram totals, distinct
     * counts, and repetition fraction (1 - distinct/total). Pure per-row
     * array expressions — shuffle-free, embarrassingly parallel. */

@@ -358,6 +358,29 @@ object ExtensionQueries {
           col("n_hits").cast("long").as("n_hits"), col("contamination"))
     }),
 
+    // Paragraph-level decontamination (the REMOVAL pass x22's detection
+    // feeds): a bench phrase is planted as an extra paragraph on every
+    // 4th doc; the op must excise exactly that paragraph and reassemble
+    // the rest. Paragraphs are built synthetically (normalized text +
+    // planted phrase) so both engines construct identical lists — the
+    // x35 fixture pattern. Runs the hashed (production) shingle path;
+    // the oracle replays decisions with string n-grams (x22 argument).
+    "x55_paragraph_decontam" -> ((s, dir) => {
+      val phrase = "zqbench0 zqbench1 zqbench2 zqbench3 zqbench4"
+      val docs = t(s, dir, "documents").select(col("doc_id"),
+        concat(regexp_replace(col("text"), "\\n+", " "),
+          when(col("doc_id") % 4 === 0,
+            lit(s"\n\n$phrase extra tail here")).otherwise(lit("")))
+          .as("text"))
+      import s.implicits._
+      val bench = Seq(phrase, "unrelated bench entry nothing matches")
+        .toDF("text")
+      TextAnalysis.decontaminateParagraphs(docs, bench, "doc_id", "text")
+        .select(col("id").as("doc_id"), col("n_paras"), col("n_removed"),
+          col("text").as("clean_text"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Overlapping token-window chunking (RAG/context prep): 32-token
     // chunks, 8-token overlap; chunk ids are start/stride so both engines
     // derive them identically
@@ -1507,6 +1530,50 @@ object ExtensionQueries {
         |  ROUND(count(b.sh) * 1.0 / count(*), 6) AS contamination
         |FROM sh s LEFT JOIN bench b ON s.sh = b.sh
         |GROUP BY 1""".stripMargin,
+
+    // x55: paragraphs rebuilt synthetically on both sides; DuckDB replays
+    // the per-paragraph n-gram hit test with string shingles (identical
+    // decisions to the hashed path barring a ~2^-64 collision — the x22
+    // argument) and reassembles survivors with an ordered string_agg
+    "x55_paragraph_decontam" ->
+      """WITH paras AS (
+        |  SELECT doc_id, 0 AS pos, regexp_replace(text, '\n+', ' ', 'g') AS para
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, 1,
+        |    'zqbench0 zqbench1 zqbench2 zqbench3 zqbench4 extra tail here'
+        |  FROM documents WHERE doc_id % 4 = 0),
+        |bsh AS (
+        |  SELECT DISTINCT unnest(
+        |    CASE WHEN len(toks) <= 3 THEN [array_to_string(toks, ' ')]
+        |      ELSE list_transform(range(0, len(toks) - 2),
+        |        i -> array_to_string(list_slice(toks, i + 1, i + 3), ' ')) END) AS sh
+        |  FROM (SELECT list_filter(string_split_regex(trim(b.text), '\s+'),
+        |          x -> len(x) > 0) AS toks
+        |        FROM (SELECT 'zqbench0 zqbench1 zqbench2 zqbench3 zqbench4' AS text
+        |              UNION ALL
+        |              SELECT 'unrelated bench entry nothing matches') b)),
+        |psh AS (
+        |  SELECT doc_id, pos,
+        |    CASE WHEN len(toks) <= 3 THEN [array_to_string(toks, ' ')]
+        |      ELSE list_transform(range(0, len(toks) - 2),
+        |        i -> array_to_string(list_slice(toks, i + 1, i + 3), ' ')) END AS shs
+        |  FROM (SELECT doc_id, pos,
+        |          list_filter(string_split_regex(trim(para), '\s+'),
+        |            x -> len(x) > 0) AS toks
+        |        FROM paras)),
+        |hits AS (
+        |  SELECT DISTINCT doc_id, pos FROM psh, bsh
+        |  WHERE list_contains(psh.shs, bsh.sh))
+        |SELECT p.doc_id,
+        |  CAST(count(*) AS BIGINT) AS n_paras,
+        |  CAST(count(h.pos) AS BIGINT) AS n_removed,
+        |  coalesce(string_agg(CASE WHEN h.pos IS NULL THEN p.para END,
+        |    chr(10)||chr(10) ORDER BY p.pos), '') AS clean_text
+        |FROM paras p
+        |LEFT JOIN hits h ON p.doc_id = h.doc_id AND p.pos = h.pos
+        |GROUP BY p.doc_id
+        |ORDER BY p.doc_id""".stripMargin,
 
     "x32_chunking" ->
       """WITH tok AS (

@@ -982,6 +982,28 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(3L) > 0.0 && out(3L) < 1.0) // shares the leading shingles only
   }
 
+  test("decontaminateParagraphs excises hit paragraphs and reassembles the rest") {
+    val docs = Seq(
+      (1L, "keep one alpha beta\n\nthe secret bench question here\n\nkeep two gamma"),
+      (2L, "only clean content stays"),
+      (3L, "the secret bench question here") // fully contaminated
+    ).toDF("doc_id", "text")
+    val bench = Seq("xx the secret bench question here yy").toDF("text")
+    val out = TextAnalysis
+      .decontaminateParagraphs(docs, bench, "doc_id", "text")
+      .as[(Long, Long, Long, String)].collect().map(r => r._1 -> r).toMap
+    assert(out(1L) == ((1L, 3L, 1L, "keep one alpha beta\n\nkeep two gamma")))
+    assert(out(2L) == ((2L, 1L, 0L, "only clean content stays")))
+    // fully-contaminated doc keeps its row with empty text (stats +
+    // downstream length filters see it)
+    assert(out(3L) == ((3L, 1L, 1L, "")))
+    // a sub-n-token paragraph matches on its whole-text shingle only
+    val short = Seq((9L, "tiny para\n\nxy zz")).toDF("doc_id", "text")
+    val b2 = Seq("xy zz").toDF("text")
+    assert(TextAnalysis.decontaminateParagraphs(short, b2, "doc_id", "text")
+      .as[(Long, Long, Long, String)].head() == ((9L, 2L, 1L, "tiny para")))
+  }
+
   test("repetitionStats: fully repeated text scores high, unique text zero") {
     val docs = Seq(
       (1L, "spam spam spam spam spam spam"),

@@ -50,6 +50,33 @@ class PlanGuardSpec extends SparkSpec {
       "query frame must broadcast — the corpus never shuffles for scoring")
   }
 
+  test("x52: corpus shuffle plans one hash exchange and NO global sort") {
+    // the scale claim: shard assignment is map-only, positions are
+    // per-shard windows — a rangepartitioning exchange (global
+    // row_number / orderBy-everything) would serialize at corpus scale.
+    // The final orderBy in the query surface is presentation-only and
+    // rides the same exchange budget as the window.
+    val plan = graft.queries.ExtensionQueries
+      .queries("x52_corpus_shuffle")(spark, dir)
+      .queryExecution.executedPlan.toString
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(hashEx == 1, s"expected 1 hash exchange, got $hashEx:\n${plan.take(600)}")
+    // exactly the one presentation sort's range exchange — the WINDOW
+    // itself must not need one (its sort is partition-local)
+    val rangeEx = "Exchange rangepartitioning".r.findAllIn(plan).size
+    assert(rangeEx <= 1, s"window must sort per shard, got $rangeEx range exchanges")
+  }
+
+  test("x53: curriculum sampling plans no window at all (quantile cuts, not ntile)") {
+    // a corpus-wide ntile() would be a Window with an EMPTY partition
+    // spec — everything into one partition. The quantile-threshold
+    // formulation needs no window operator anywhere.
+    val plan = graft.queries.ExtensionQueries
+      .queries("x53_curriculum_sample")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window "), s"no window expected:\n${plan.take(600)}")
+  }
+
   test("x30: shard-local packing plans exactly one hash exchange") {
     val plan = graft.queries.ExtensionQueries
       .queries("x30_sequence_packing")(spark, dir).queryExecution.executedPlan.toString
