@@ -552,6 +552,31 @@ object ExtensionQueries {
       Dedup.resolveClusters(pairs).orderBy(col("id"))
     }),
 
+    // Dedup cluster MANIFEST (the provenance report a dedup job ships with
+    // its survivor list): per cluster — member count, id span, total
+    // bytes, and bytes saved by keeping only the survivor. Composes the
+    // x26 oracle-checked resolution with one corpus join (labels are
+    // pair-participant-sized, broadcastable; corpus scan projects only
+    // id + length) and one grouped aggregate on cluster_id. Same
+    // recursive-CTE oracle extended with the length join.
+    "x56_cluster_manifest" -> ((s, dir) => {
+      val (corpus, cand) = chainCorpusAndCands(t(s, dir, "documents"))
+      val pairs = Dedup.ngramJaccard(cand, corpus, "doc_id", "text", n = 3)
+        .filter(col("jaccard") >= 0.5)
+        .select(col("id_a"), col("id_b"))
+      Dedup.resolveClusters(pairs)
+        .join(corpus.select(col("doc_id").as("id"),
+          length(col("text")).cast("long").as("__chars")), Seq("id"))
+        .groupBy(col("cluster_id"))
+        .agg(count(lit(1)).cast("long").as("n_members"),
+          max(col("id")).as("max_id"),
+          sum(col("__chars")).as("chars_total"),
+          (sum(col("__chars")) -
+            sum(when(col("id") === col("cluster_id"), col("__chars"))
+              .otherwise(0L))).as("chars_saved"))
+        .orderBy(col("cluster_id"))
+    }),
+
     // The APPLY half of near-dup dedup, ORACLE-CHECKED end to end: the x26
     // chain corpus runs exact-Jaccard pairs -> resolveClusters, then the
     // corpus is filtered to survivors — ids untouched by any pair plus each
@@ -1073,6 +1098,57 @@ object ExtensionQueries {
         |  UNION
         |  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id)
         |SELECT id, min(r) AS cluster_id FROM reach GROUP BY id""".stripMargin,
+
+    // x56: the x26 oracle extended with the corpus length join + per-
+    // cluster aggregation (original rows use raw text length; the
+    // synthesized prefix members use their token-joined text length,
+    // exactly what the Spark fixture built)
+    "x56_cluster_manifest" ->
+      """WITH RECURSIVE tok AS (
+        |  SELECT doc_id, text, list_filter(string_split_regex(trim(text), '\s+'), x -> len(x) > 0) AS toks
+        |  FROM documents),
+        |corpus AS (
+        |  SELECT doc_id, toks, CAST(len(text) AS BIGINT) AS chars FROM tok
+        |  UNION ALL
+        |  SELECT doc_id + 10000, list_slice(toks, 1, CAST(floor(len(toks) * 0.8) AS INT)),
+        |    CAST(len(array_to_string(list_slice(toks, 1, CAST(floor(len(toks) * 0.8) AS INT)), ' ')) AS BIGINT)
+        |  FROM tok WHERE doc_id < 50
+        |  UNION ALL
+        |  SELECT doc_id + 20000, list_slice(toks, 1, CAST(floor(len(toks) * 0.6) AS INT)),
+        |    CAST(len(array_to_string(list_slice(toks, 1, CAST(floor(len(toks) * 0.6) AS INT)), ' ')) AS BIGINT)
+        |  FROM tok WHERE doc_id < 50),
+        |sh AS (
+        |  SELECT doc_id, list_distinct(
+        |    CASE WHEN len(toks) <= 3 THEN [array_to_string(toks, ' ')]
+        |      ELSE list_transform(range(0, len(toks) - 2),
+        |        i -> array_to_string(list_slice(toks, i + 1, i + 3), ' ')) END) AS shset
+        |  FROM corpus),
+        |cand AS (
+        |  SELECT doc_id AS id_a, doc_id + 10000 AS id_b FROM documents WHERE doc_id < 50
+        |  UNION ALL
+        |  SELECT doc_id + 10000, doc_id + 20000 FROM documents WHERE doc_id < 50),
+        |pairs AS (
+        |  SELECT c.id_a, c.id_b
+        |  FROM cand c JOIN sh a ON a.doc_id = c.id_a JOIN sh b ON b.doc_id = c.id_b
+        |  WHERE ROUND(CAST(len(list_intersect(a.shset, b.shset)) AS DOUBLE) /
+        |          len(list_distinct(list_concat(a.shset, b.shset))), 6) >= 0.5),
+        |edges AS (
+        |  SELECT id_a AS src, id_b AS dst FROM pairs
+        |  UNION SELECT id_b, id_a FROM pairs),
+        |reach(id, r) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id),
+        |labels AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id)
+        |SELECT l.cluster_id,
+        |  CAST(count(*) AS BIGINT) AS n_members,
+        |  max(l.id) AS max_id,
+        |  CAST(sum(c.chars) AS BIGINT) AS chars_total,
+        |  CAST(sum(c.chars) - sum(CASE WHEN l.id = l.cluster_id THEN c.chars ELSE 0 END) AS BIGINT)
+        |    AS chars_saved
+        |FROM labels l JOIN corpus c ON c.doc_id = l.id
+        |GROUP BY l.cluster_id
+        |ORDER BY l.cluster_id""".stripMargin,
 
     "x36_dedup_apply" ->
       """WITH RECURSIVE tok AS (
