@@ -61,13 +61,25 @@ object Dedup {
     // (-priority, id), NOT max_by over (priority, -id): ids then need
     // only an ORDERING, so string/digest ids work — negating the id
     // would restrict the op to numerics and overflow on Long.MinValue.
-    // `priority` is a caller-provided numeric rank by contract.
+    // The PRIORITY negation rides a double cast for the same overflow
+    // reason: negate(Long.MinValue) has no integral representation
+    // (ANSI error / silent wrap making MinValue sort as the LARGEST
+    // priority), while doubles are sign-symmetric — exact for every
+    // |priority| < 2^53, far beyond any real source-rank domain. A NULL
+    // priority coalesces to -Infinity (negated: +Infinity, sorts last),
+    // so it counts in dup_count but never beats a ranked copy — without
+    // the coalesce a null sorts FIRST in the struct ordering and a
+    // null-priority row would win every election it appears in. An
+    // all-null group falls back to the min-id survivor.
     df.filter(col(idCol).isNotNull)
       .groupBy(xxhash64(col(contentCol)).as("__digest"))
       .agg(
         min_by(
           struct(col(idCol).as("id"), col(priorityCol).as("priority")),
-          struct(negate(col(priorityCol)), col(idCol))).as("__w"),
+          struct(
+            negate(coalesce(col(priorityCol).cast("double"),
+              lit(Double.NegativeInfinity))),
+            col(idCol))).as("__w"),
         count(lit(1)).as("dup_count"))
       .select(col("__w.id").as(idCol),
         col("__w.priority").as(priorityCol), col("dup_count"))
@@ -647,10 +659,14 @@ object Dedup {
     * power-of-two capacity grown at 50% load. At the 1M-edge cap this is
     * tens of MB of driver heap where boxed java.lang.Long HashMap entries
     * would be several hundred. */
-  private[ops] final class LongLongMap(expected: Int) {
+  private[ops] final class LongLongMap(expected: Int,
+      maxCap: Int = 1 << 30) {
     private var cap: Int = {
+      // expected*2 as Long: an Int product overflows (goes negative) past
+      // 2^30 entries and would silently pin the initial cap at 64
+      val want = math.min(expected.toLong * 2, maxCap.toLong)
       var c = 64
-      while (c < expected * 2 && c < (1 << 30)) c <<= 1
+      while (c < want) c <<= 1
       c
     }
     private var mask = cap - 1
@@ -685,6 +701,16 @@ object Dedup {
     }
 
     private def grow(): Unit = {
+      // cap <<= 1 at 1<<30 wraps negative (NegativeArraySizeException
+      // deep in the resize) — reachable only if a caller raises
+      // resolveClusters' localEdgeLimit past ~5e8 edges. Refuse with an
+      // actionable message instead.
+      if (cap >= maxCap)
+        throw new IllegalStateException(
+          s"LongLongMap at capacity ($n entries, cap $cap): the driver " +
+          "union-find is bounded at maxCap/2 entries — lower " +
+          "localEdgeLimit so resolveClusters routes this edge set through " +
+          "the distributed pointer-jumping path instead")
       val ok = keys; val ov = vals; val oo = occ
       cap <<= 1; mask = cap - 1; n = 0
       keys = new Array[Long](cap)

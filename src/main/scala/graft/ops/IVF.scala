@@ -250,14 +250,55 @@ object IVF {
           org.apache.spark.sql.types.DoubleType, false), false)))
     spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
       .coalesce(1).write.mode("overwrite").parquet(s"$stageRoot/centroids")
+    promoteStaged(fs, root, stageRoot)
+  }
+
+  /** Swap a fully-staged generation live: retire the target to
+    * `<root>__old`, promote the stage into its place. A CONCURRENT
+    * reader's [[healRoot]] can fire inside the window between the two
+    * renames — it sees `__old` present with the target missing, cannot
+    * tell a live swap from a crashed one, and restores the retired
+    * generation under the writer's promote. Depending on the filesystem
+    * that makes the promote rename either return false (no-overwrite
+    * semantics) or "succeed" by moving the stage INTO the restored
+    * directory as a child (HDFS rename-into-dir; RawLocalFileSystem's
+    * copy fallback) — so the promote trusts NEITHER outcome: it verifies
+    * the promoted root is actually the staged generation, un-nests any
+    * swallowed stage, and retries the retire+promote. Bounded: each
+    * extra round means a reader healed inside a two-rename window; three
+    * consecutive losses indicate something other than readers owns these
+    * paths, which IS an error (and even then the live generation is one
+    * [[healRoot]] away — every intermediate state stays
+    * reader-recoverable). */
+  private[ops] def promoteStaged(fs: org.apache.hadoop.fs.FileSystem,
+      root: String, stageRoot: String): Unit = {
     val target = new org.apache.hadoop.fs.Path(root)
     val old = new org.apache.hadoop.fs.Path(root + "__old")
-    if (fs.exists(target))
-      require(fs.rename(target, old), s"index retire failed: $target")
-    require(fs.rename(new org.apache.hadoop.fs.Path(stageRoot), target),
-      s"index promote failed: $stageRoot -> $target")
-    fs.delete(old, true)
-    ()
+    val stage = new org.apache.hadoop.fs.Path(stageRoot)
+    var attempts = 0
+    while (true) {
+      attempts += 1
+      if (attempts > 3)
+        throw new IllegalStateException(
+          s"index promote lost the reader-heal race 3 times: " +
+          s"$stageRoot -> $target — live generation recoverable at " +
+          s"$old via reader heal")
+      if (fs.exists(target)) {
+        fs.delete(old, true) // debris from a lost round / crashed build
+        require(fs.rename(target, old), s"index retire failed: $target")
+      }
+      val renamed = fs.rename(stage, target)
+      val nested = new org.apache.hadoop.fs.Path(target, stage.getName)
+      if (renamed && !fs.exists(nested)) {
+        fs.delete(old, true)
+        return
+      }
+      // lost the race: a reader restored the retiree at target. If the
+      // "successful" rename actually nested the stage inside it, pull
+      // the staged generation back out before retrying the swap.
+      if (fs.exists(nested))
+        require(fs.rename(nested, stage), s"stage recovery failed: $nested")
+    }
   }
 
   /** Reader-side heal for [[writeIndexAppendable]]'s swap: a build that
@@ -279,6 +320,12 @@ object IVF {
         // someone won — require only that the target exists afterwards
         if (!fs.rename(old, target))
           require(fs.exists(target), s"index restore failed: $old")
+        // on some filesystems a LOSING rename "succeeds" by nesting the
+        // source inside the winner's target (rename-into-dir / local
+        // copy fallback) — drop that debris; the target never
+        // legitimately contains a directory named like the retiree
+        val nested = new org.apache.hadoop.fs.Path(target, old.getName)
+        if (fs.exists(nested)) fs.delete(nested, true)
       } else fs.delete(old, true)
     }
     ()

@@ -550,6 +550,45 @@ object IncrementalDedup {
     currentLabels(spark, root).filter(col("id") =!= col("cluster_id"))
       .select(col("id"))
 
+  /** Shard-partition ids currently present under any of the index's three
+    * tables — the existence record the retraction feeds validate against:
+    * [[compactShards]] collapses per-shard directories into one, and a
+    * feed diffing history "as of shard X" after X's directory is gone
+    * would see no published-label rows, fall back to `old_cluster = id`,
+    * and silently emit a spurious retraction for every non-root published
+    * doc. One driver-side directory listing per table, no data read. */
+  private def liveShardIds(spark: SparkSession, root: String): Set[String] = {
+    def list(path: String): Set[String] = {
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(p)) Set.empty
+      else fs.listStatus(p).iterator
+        .filter(s => s.isDirectory &&
+          s.getPath.getName.startsWith("ingest_shard="))
+        .map(_.getPath.getName.stripPrefix("ingest_shard="))
+        .toSet
+    }
+    list(bucketsPath(root)) ++ list(shinglesPath(root)) ++
+      list(labelsPath(root))
+  }
+
+  /** Fail fast when a retraction feed names shards [[compactShards]] has
+    * already collapsed (the feed's answer is unreconstructable then — the
+    * scaladoc contract says republish BEFORE compacting, and this turns a
+    * silent wrong feed into an immediate error). */
+  private def requireShardsLive(spark: SparkSession, root: String,
+      shards: Seq[String], caller: String): Unit = {
+    val live = liveShardIds(spark, root)
+    val gone = shards.filterNot(live)
+    if (gone.nonEmpty)
+      throw new IllegalStateException(
+        s"$caller refers to shard(s) ${gone.mkString(", ")} that no " +
+        "longer exist as index partitions — compactShards collapsed the " +
+        "per-shard history this feed diffs. Republish (or record the " +
+        "delta) BEFORE compacting; after compaction the feed cannot be " +
+        "reconstructed.")
+  }
+
   /** The retraction feed a downstream consumer needs after cluster merges
     * (closing the append-only publication caveat documented above): for
     * every doc whose label a LATER shard changed, emit
@@ -565,6 +604,7 @@ object IncrementalDedup {
     * BEFORE compacting the shards it refers to. */
   def republishDelta(spark: SparkSession, root: String,
       publishedShards: Seq[String]): DataFrame = {
+    requireShardsLive(spark, root, publishedShards, "republishDelta")
     val raw = readRawLabels(spark, root)
     // the published-as-of view covers EVERY doc the published shards
     // ingested, not just the ones with label rows: a doc that entered no
@@ -602,6 +642,7 @@ object IncrementalDedup {
     * later ingest or [[compactShards]] collapses the history it diffs. */
   def retractionsForShard(spark: SparkSession, root: String,
       shardId: String): DataFrame = {
+    requireShardsLive(spark, root, Seq(shardId), "retractionsForShard")
     val raw = readRawLabels(spark, root)
     val deltaShard = raw.filter(col("ingest_shard") === lit(shardId))
       .select(col("id"), col("cluster_id").as("new_cluster"))
@@ -648,7 +689,9 @@ object IncrementalDedup {
     * star-link degradation). The label table compacts to its CURRENT
     * star rows — run [[republishDelta]] for any pending publication
     * point first, since compaction collapses the per-shard history it
-    * diffs. Re-running compactShards after a crash converges (the
+    * diffs (a feed naming a collapsed shard fails fast via the
+    * shard-existence check instead of emitting a spurious delta).
+    * Re-running compactShards after a crash converges (the
     * consolidated id is derived from the surviving source dirs, and a
     * leftover consolidated dir from the crashed attempt is itself a
     * source). Returns (shard dirs before, after) per table

@@ -108,7 +108,12 @@ object Sampling {
     * global sort. The exact percentile is itself a full-sort aggregate;
     * swap `percentile_approx` in at 100 TB exactly as the distribution
     * profile (x47) documents — kept exact here so DuckDB can replay
-    * bucket assignment bit-for-bit. */
+    * bucket assignment bit-for-bit.
+    *
+    * NULL-score rows take `bucket = NULL, rate = NULL, kept = false`
+    * (they are excluded from the quantile cuts too — `percentile`
+    * ignores nulls); an all-null or empty score column yields all-NULL
+    * buckets rather than an error. */
   def quantileBucketSample(df: DataFrame, idCol: String, scoreCol: String,
       rates: Seq[Double], byHash: Boolean = false, den: Int = 100,
       salt: Long = 42L): DataFrame = {
@@ -118,10 +123,25 @@ object Sampling {
     val th = df.agg(
       percentile(col(scoreCol), array(cuts: _*)).as("__th"))
     val rateArr = array(rates.map(lit): _*)
+    // NULL scores get the explicit sentinel (bucket NULL, rate NULL,
+    // kept false), never a silent bucket-0 placement: the lambda filter
+    // drops elements whose predicate is NULL, so an unguarded
+    // size(filter(...)) would file every null-score row under bucket 0
+    // at bucket 0's keep rate — and an ALL-null score column makes the
+    // percentile aggregate itself NULL, where size(NULL) = -1 sends
+    // element_at an out-of-range index. Score rows are still emitted
+    // (dropped rows would silently change corpus accounting); callers
+    // route or drop them explicitly.
     val keyed = df.crossJoin(broadcast(th))
       .withColumn("bucket",
-        size(filter(col("__th"), x => col(scoreCol) > x)))
-      .withColumn("rate", element_at(rateArr, col("bucket") + 1))
+        when(col(scoreCol).isNotNull,
+          size(filter(col("__th"), x => col(scoreCol) > x))))
+      // the when() guard is not redundant: element_at over a foldable
+      // array of non-null literals declares itself NON-nullable, and the
+      // null bucket index then degrades to a default 0.0 instead of NULL
+      .withColumn("rate",
+        when(col("bucket").isNotNull,
+          element_at(rateArr, col("bucket") + 1)))
       .drop("__th")
     val kept =
       if (byHash)
@@ -131,7 +151,8 @@ object Sampling {
       // [[stratifiedSampleByMod]]: the kept-residue count per bucket is
       // exactly round(rate * den)
       else pmod(col(idCol), lit(den)) < round(col("rate") * den)
-    keyed.withColumn("kept", kept)
+    keyed.withColumn("kept",
+      when(col(scoreCol).isNotNull, kept).otherwise(lit(false)))
   }
 
   /** Reproducible global corpus shuffle + training-shard assignment — the

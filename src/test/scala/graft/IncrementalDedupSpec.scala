@@ -426,6 +426,23 @@ class IncrementalDedupSpec extends SparkSpec {
     assert(rep.filter(!col("survived")).count() === 5) // dup rows absorbed
     val ((b2Before, b2After), _, _) = IncrementalDedup.compactShards(spark, root)
     assert(b2Before >= 3 && b2After === 1) // leftover + compacted + b4 + b5
+    // retraction feeds naming a COLLAPSED shard must fail fast: the
+    // published-shard filter would match no rows, old_cluster would fall
+    // back to id, and the feed would silently retract every non-root
+    // published doc (the r7 advisory finding). Post-compaction shard ids
+    // keep working.
+    val e1 = intercept[IllegalStateException] {
+      IncrementalDedup.republishDelta(spark, root, Seq("b1", "b2")).count()
+    }
+    assert(e1.getMessage.contains("compactShards"), e1.getMessage)
+    val e2 = intercept[IllegalStateException] {
+      IncrementalDedup.retractionsForShard(spark, root, "b4").count()
+    }
+    assert(e2.getMessage.contains("compactShards"), e2.getMessage)
+    val liveShard = fs.listStatus(bucketsDir)
+      .map(_.getPath.getName).filter(_.startsWith("ingest_shard="))
+      .map(_.stripPrefix("ingest_shard=")).head
+    IncrementalDedup.republishDelta(spark, root, Seq(liveShard)).count()
   }
 
   test("hot index bucket star-links the cross probe instead of exploding candidates") {

@@ -41,6 +41,28 @@ class DedupSpec extends SparkSpec {
       .as[(String, Int, Long)].collect().toSeq == Seq(("a", 1, 2L)))
   }
 
+  test("exactByPriority: MinValue priorities rank lowest and NULL priorities never win") {
+    // negate(Long.MinValue) has no integral representation — a bare
+    // negation wraps it to the TOP of the ordering; the double-cast
+    // election key must keep it at the bottom
+    val extremes = Seq(
+      (1L, "t", Long.MinValue), (2L, "t", 0L), (3L, "t", Long.MinValue))
+      .toDF("doc_id", "text", "priority")
+    assert(Dedup.exactByPriority(extremes, "text", "doc_id", "priority")
+      .as[(Long, Long, Long)].collect().toSeq == Seq((2L, 0L, 3L)))
+    // a NULL priority still counts in dup_count but loses every election
+    // against a ranked copy (unguarded, null sorts FIRST in the struct
+    // ordering and would win); an all-null group keeps the min id
+    val withNull = Seq(
+      (5L, "t", Option.empty[Int]), (2L, "t", Option(3)),
+      (9L, "u", Option.empty[Int]), (8L, "u", Option.empty[Int]))
+      .toDF("doc_id", "text", "priority")
+    val out = Dedup.exactByPriority(withNull, "text", "doc_id", "priority")
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getInt(1)), r.getLong(2))).toSet
+    assert(out == Set((2L, Some(3), 2L), (8L, None, 2L)))
+  }
+
   test("exactByDigest agrees with full-text exact dedup (both digests)") {
     // the digest path is the corpus-scale default (8/32-byte shuffle key vs
     // whole documents); this pins its results to the full-text baseline
@@ -692,6 +714,31 @@ class SamplingSpec extends SparkSpec {
       rates = Seq(0.0, 0.25, 0.5, 0.75, 1.0))
       .filter($"kept").select("id").as[Long].collect().toSet
     assert(again == out.filter($"kept").select("id").as[Long].collect().toSet)
+  }
+
+  test("quantileBucketSample: NULL scores take the sentinel, never bucket 0") {
+    // unguarded, the lambda filter drops null-predicate elements and a
+    // null-score row lands in bucket 0 at bucket 0's keep rate
+    val df = ((0L until 100L).map(i => (i, Option(i.toDouble))) ++
+      Seq((100L, Option.empty[Double]), (101L, Option.empty[Double])))
+      .toDF("id", "score")
+    val out = graft.ops.Sampling.quantileBucketSample(df, "id", "score",
+      rates = Seq(1.0, 0.0))
+    val nulls = out.filter($"score".isNull)
+    assert(nulls.count() == 2) // emitted, not silently dropped
+    assert(nulls.filter($"bucket".isNull && $"rate".isNull && !$"kept")
+      .count() == 2)
+    // cuts come from the null-free scores: median 49.5 still splits 50/50
+    assert(out.filter($"score".isNotNull && $"bucket" === 0).count() == 50)
+    assert(out.filter($"bucket" === 0 && $"kept").count() == 50)
+    assert(out.filter($"bucket" === 1 && $"kept").count() == 0)
+    // an ALL-null score column yields all-sentinel rows, not an
+    // element_at(-1) error from the null percentile array
+    val allNull = Seq((1L, Option.empty[Double]), (2L, Option.empty[Double]))
+      .toDF("id", "score")
+    val an = graft.ops.Sampling.quantileBucketSample(allNull, "id", "score",
+      rates = Seq(0.5))
+    assert(an.filter($"bucket".isNull && !$"kept").count() == 2)
   }
 
   test("deterministicShuffle is a reproducible permutation into balanced shards") {
