@@ -12,7 +12,7 @@ import graft.queries.{ExtensionQueries, ParityQueries}
   * SQL-expressible query (xxhash64-based ops are rows-only by design).
   * Full operator -> query -> check map: /root/repo/COVERAGE.md.
   *
-  * Inventory (86 oracle-checked, 10 rows-only):
+  * Inventory (102 oracle-checked, 9 rows-only):
   *  - q01-q16: scans, filters, CASE chains, datetime, windows (running/
   *    lag/30-day range), grouped stats + broadcast join, anti-join
   *    referential integrity, top-k, dup/null/range/quality checks, upsert,
@@ -51,6 +51,14 @@ import graft.queries.{ExtensionQueries, ParityQueries}
   *    per-source KL drift diagnostics, dataset-version diffing,
   *    multimodal features, embedding
   *    stats, stratified sampling, sketches
+  *  - x47-x60: distribution profiling, incremental-dedup index lifecycle
+  *    (ingest, state-equality, retraction feeds), appendable IVF index,
+  *    republish/retraction deltas, reproducible corpus shuffle,
+  *    quality-curriculum sampling, cross-dataset priority dedup,
+  *    paragraph-level decontamination removal, per-cluster dedup
+  *    manifest, repeated-n-gram span removal (Lee-et-al exact-substring
+  *    dedup), asymmetric n-gram containment, BPE pair counts,
+  *    temperature (alpha) mixture weights
   */
 object SparkEntry {
 

@@ -654,6 +654,99 @@ object Dedup {
       .drop("sh_a", "sh_b")
   }
 
+  /** Cross-document repeated-span removal — the exact-substring dedup pass
+    * of Lee et al., "Deduplicating Training Data Makes Language Models
+    * Better" (2022), at token-n-gram granularity: any n-token span whose
+    * corpus-wide occurrence count reaches `minCount` is removed from EVERY
+    * document (overlapping frequent spans union their token positions),
+    * and the surviving tokens are reassembled in order. This is the
+    * frequency-driven sibling of [[graft.ops.TextAnalysis
+    * .decontaminateParagraphs]] (which removes spans matching an EXTERNAL
+    * benchmark set) and of [[paragraphDedup]] (which keeps first
+    * occurrences of exact paragraphs): here the corpus's own repetition —
+    * boilerplate, licenses, templated headers — is the removal signal.
+    *
+    * Returns (id, n_tokens, n_removed, clean_text).
+    *
+    * Scale shape: the span explode is map-only; ONE aggregation keyed on
+    * the n-gram counts occurrences (n-gram strings are ~n·wordlen bytes —
+    * digest-comparable; swap `xxhash64(gram)` in as the count/join key at
+    * 100 TB exactly as [[exactByDigest]] argues, kept as strings here so
+    * DuckDB replays the frequent set bit-for-bit); hit spans come back
+    * through a gram-keyed semi-join of the SPAN frame (narrow id+pos
+    * rows, never document text); covered positions aggregate per doc into
+    * one int array; and the rebuild is a single id-keyed join of that
+    * array against the tokenized corpus followed by a map-only
+    * index-filter — document text rides exactly one exchange and is never
+    * a shuffle key. The plan scans the corpus three times by design
+    * (count pass, hit pass, rebuild pass): persisting the exploded span
+    * frame to merge the first two would materialize ~n× the corpus bytes
+    * (one n-token string per token position), while the explode it saves
+    * is map-only codegen — the same recompute-beats-cache measurement
+    * documented on [[minhashSignatures]]. */
+  def removeRepeatedSpans(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 5, minCount: Int = 2): DataFrame = {
+    val tok = df.select(col(idCol).as("id"),
+      TextAnalysis.tokens(col(textCol)).as("toks"))
+    // (id, pos, gram) for every n-token window; docs under n tokens carry
+    // no spans (deliberately NO whole-text fallback — a short doc's full
+    // text is exact-dedup territory, not a span)
+    val spans = tok.select(col("id"), posexplode(
+        when(size(col("toks")) >= n,
+          transform(sequence(lit(0), size(col("toks")) - n),
+            i => array_join(slice(col("toks"), i + 1, lit(n)), " ")))
+          .otherwise(array().cast("array<string>")))
+        .as(Seq("pos", "gram")))
+    val frequent = spans.groupBy(col("gram"))
+      .agg(count(lit(1)).as("__cnt"))
+      .filter(col("__cnt") >= minCount)
+      .select(col("gram"))
+    val hits = spans.join(frequent, Seq("gram"), "left_semi")
+    val covered = hits
+      .select(col("id"),
+        explode(sequence(col("pos"), col("pos") + (n - 1))).as("rm"))
+      .groupBy(col("id"))
+      .agg(sort_array(collect_set(col("rm"))).as("__rm"))
+    tok.join(covered, Seq("id"), "left")
+      .select(col("id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        coalesce(size(col("__rm")), lit(0)).cast("long").as("n_removed"),
+        array_join(
+          filter(col("toks"), (_, i) =>
+            not(coalesce(array_contains(col("__rm"), i), lit(false)))),
+          " ").as("clean_text"))
+  }
+
+  /** Asymmetric n-gram containment for explicit pairs — the sub-document
+    * inclusion detector symmetric Jaccard misses: a short document A
+    * embedded whole in a long document B has C(A,B) = |sh(A) ∩ sh(B)| /
+    * |sh(A)| ≈ 1 while J(A,B) ≈ |A|/|B| can sit far under any dedup
+    * threshold, so a quote-heavy aggregator page survives MinHash dedup
+    * while wholly containing other corpus documents. Emits both
+    * directions plus the symmetric Jaccard so callers flag
+    * containment-only matches (max containment high, Jaccard low).
+    * Same scale shape as [[ngramJaccard]]: pair ids semi-join-prune the
+    * corpus BEFORE shingling, and shingle sets ride two id-keyed joins —
+    * candidates are orders of magnitude fewer than docs. */
+  def ngramContainment(pairs: DataFrame, docs: DataFrame, idCol: String,
+      textCol: String, n: Int = 3): DataFrame = {
+    val pairIds = pairs.select(col("id_a").as("jid"))
+      .unionByName(pairs.select(col("id_b").as("jid"))).distinct()
+    val sh = docs.join(pairIds, col(idCol) === col("jid"), "left_semi")
+      .select(col(idCol).as("jid"),
+        array_distinct(shingles(TextAnalysis.tokens(col(textCol)), n)).as("jsh"))
+    pairs
+      .join(sh.select(col("jid").as("id_a"), col("jsh").as("sh_a")), Seq("id_a"))
+      .join(sh.select(col("jid").as("id_b"), col("jsh").as("sh_b")), Seq("id_b"))
+      .withColumn("__inter",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
+      .withColumn("containment_a", round(col("__inter") / size(col("sh_a")), 6))
+      .withColumn("containment_b", round(col("__inter") / size(col("sh_b")), 6))
+      .withColumn("jaccard",
+        round(col("__inter") / size(array_union(col("sh_a"), col("sh_b"))), 6))
+      .drop("sh_a", "sh_b", "__inter")
+  }
+
   /** Minimal open-addressing long->long map for the driver union-find:
     * primitive arrays (no boxing), splitmix64-dispersed linear probing,
     * power-of-two capacity grown at 50% load. At the 1M-edge cap this is

@@ -67,6 +67,40 @@ object Sampling {
     else stratifiedSampleByMod(rated, idCol, col("mix_rate"), den)
   }
 
+  /** Temperature-scaled (alpha) source-mixture weights — the multilingual/
+    * multi-source pretraining move (Conneau & Lample 2019 §3.1; mT5 §3.2):
+    * sampling weight p_i ∝ n_i^alpha over per-source token counts, so
+    * alpha = 1 reproduces natural proportions, alpha → 0 flattens toward
+    * uniform, and intermediate values boost the tail without letting the
+    * head dominate. Emits per-source `n_tokens`, the normalized `weight`,
+    * the `target_tokens` share of `budget`, and the per-source keep
+    * `rate` = min(1, target/n) ready to feed [[mixtureByTokenBudget]]'s
+    * samplers (a source cannot yield more tokens than it has; under-full
+    * sources cap at rate 1 exactly as there). Scale shape: ONE grouped
+    * aggregate over the corpus (source-keyed, map-side combined) collapses
+    * everything to |sources| rows; the normalization is a broadcast of a
+    * one-row total. Doubles are rounded to 6 places for engine-portable
+    * comparison, the same policy as the TF-IDF/KL queries. */
+  def temperatureMixture(df: DataFrame, sourceCol: String, textCol: String,
+      alpha: Double, budget: Long): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, "alpha in (0, 1] by contract")
+    require(budget > 0, "token budget must be positive")
+    val counts = df.groupBy(col(sourceCol).as("source"))
+      .agg(sum(size(TextAnalysis.tokens(col(textCol)))).as("n_tokens"))
+      .withColumn("__pw", pow(col("n_tokens").cast("double"), lit(alpha)))
+    val total = counts.agg(sum(col("__pw")).as("__tot"))
+    counts.crossJoin(broadcast(total))
+      .withColumn("weight", round(col("__pw") / col("__tot"), 6))
+      .withColumn("target_tokens",
+        round(col("__pw") / col("__tot") * budget).cast("long"))
+      .withColumn("rate",
+        round(least(lit(1.0),
+          col("__pw") / col("__tot") * budget /
+            col("n_tokens").cast("double")), 6))
+      .select(col("source"), col("n_tokens"), col("weight"),
+        col("target_tokens"), col("rate"))
+  }
+
   /** Deterministic train/val/test assignment keyed on a CONTENT hash (md5
     * of the content column), not the row id: the same document re-ingested
     * under a different id lands in the same split, which is what

@@ -335,6 +335,33 @@ object TextAnalysis {
     else graft.plans.TopK.windowPerGroup(counts, Seq(shardCol), order, k)
   }
 
+  /** Tokenizer-induction prep: corpus-wide adjacent character-pair counts
+    * within words — the statistic BPE's first merge round maximizes
+    * (Sennrich et al. 2016: the merge candidate is the most frequent
+    * symbol pair). Word-frequency pre-aggregation makes the expensive
+    * stage vocabulary-sized, not corpus-sized: one token-keyed count
+    * collapses the corpus to (distinct word, freq) — at 100 TB that is
+    * ~10^7 rows standing in for ~10^13 token occurrences — then the
+    * char-pair explode and the freq-weighted pair count run on the tiny
+    * frame (second shuffle keyed on 2-char pairs, a few-thousand-key
+    * domain with full map-side partial aggregation). Top-k lands as
+    * TakeOrderedAndProject; ties break (count desc, pair asc) for a
+    * total, oracle-checkable order. */
+  def bpePairCounts(df: DataFrame, textCol: String = "text",
+      k: Int = 30): DataFrame = {
+    val wordFreq = df
+      .select(explode(tokens(lower(col(textCol)))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("__wf"))
+    wordFreq
+      .select(col("__wf"), explode(
+          when(length(col("word")) >= 2,
+            transform(sequence(lit(1), length(col("word")) - 1),
+              i => col("word").substr(i, lit(2))))).as("pair"))
+      .groupBy(col("pair")).agg(sum(col("__wf")).as("pair_count"))
+      .orderBy(col("pair_count").desc, col("pair"))
+      .limit(k)
+  }
+
   /** CCNet-style statistical quality score: per-document unigram negative
     * log-likelihood under the corpus's OWN unigram distribution — the
     * in-engine proxy for the KenLM perplexity filters production

@@ -956,6 +956,55 @@ object ExtensionQueries {
         .orderBy(col("bucket"))
     }),
 
+    // Lee-et-al-style exact-substring dedup at 5-gram granularity: spans
+    // repeated >= 3 times corpus-wide are removed from every document and
+    // the survivors reassembled. A planted 6-token boilerplate tail on
+    // every 3rd doc guarantees a nonempty frequent set; any NATURAL
+    // repetition the synthetic corpus carries is removed too — the oracle
+    // replays the whole frequent-set computation, not just the plant
+    "x57_repeated_spans" -> ((s, dir) => {
+      val boiler = "graftspan0 graftspan1 graftspan2 graftspan3 graftspan4 graftspan5"
+      val docs = t(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 3 === 0, lit(" " + boiler))
+            .otherwise(lit(""))).as("text"))
+      Dedup.removeRepeatedSpans(docs, "doc_id", "text", n = 5, minCount = 3)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("doc_id"))
+    }),
+
+    // Asymmetric containment: middle 40% token slices (id+30000) are fully
+    // CONTAINED in their originals — containment_b ~ 1.0 while jaccard
+    // sits near 0.4, the sub-document-inclusion case MinHash-style
+    // symmetric dedup misses
+    "x58_containment" -> ((s, dir) => {
+      val toks = TextAnalysis.tokens(col("text"))
+      val base = t(s, dir, "documents")
+      val slices = base.filter(col("doc_id") < 50)
+        .withColumn("doc_id", col("doc_id") + 30000)
+        .withColumn("text", concat_ws(" ",
+          slice(toks, (size(toks) * 0.3).cast("int") + 1,
+            (size(toks) * 0.4).cast("int"))))
+      val corpus = base.unionByName(slices)
+      val pairs = corpus.filter(col("doc_id") >= 30000)
+        .select((col("doc_id") - 30000).as("id_a"), col("doc_id").as("id_b"))
+      Dedup.ngramContainment(pairs, corpus, "doc_id", "text", n = 3)
+        .select(col("id_a"), col("id_b"), col("containment_a"),
+          col("containment_b"), col("jaccard"))
+    }),
+
+    // BPE merge-round statistic: corpus-wide adjacent char-pair counts
+    // (word-frequency pre-aggregated), top 30 by (count desc, pair asc)
+    "x59_bpe_pairs" -> ((s, dir) =>
+      TextAnalysis.bpePairCounts(t(s, dir, "documents"), "text", k = 30)),
+
+    // Alpha-sampling mixture weights over the 20 sources: p_i ~ n_i^0.5
+    // against a 200k-token budget, rates ready for x38's sampler
+    "x60_temperature_mix" -> ((s, dir) =>
+      graft.ops.Sampling.temperatureMixture(t(s, dir, "documents"),
+          "source", "text", alpha = 0.5, budget = 200000L)
+        .orderBy(col("source"))),
+
     // Multimodal plumbing: binary payload + metadata -> partition-batched
     // feature extraction (decode stubbed; rows-only check)
     "x11_multimodal" -> ((s, dir) => {
@@ -1611,6 +1660,111 @@ object ExtensionQueries {
     // the per-paragraph n-gram hit test with string shingles (identical
     // decisions to the hashed path barring a ~2^-64 collision — the x22
     // argument) and reassembles survivors with an ordered string_agg
+    "x57_repeated_spans" ->
+      """WITH docs AS (
+        |  SELECT doc_id, text || CASE WHEN doc_id % 3 = 0
+        |    THEN ' graftspan0 graftspan1 graftspan2 graftspan3 graftspan4 graftspan5'
+        |    ELSE '' END AS text
+        |  FROM documents),
+        |tok AS (
+        |  SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'),
+        |    x -> len(x) > 0) AS toks
+        |  FROM docs),
+        |spans AS (
+        |  SELECT doc_id, i AS pos,
+        |    array_to_string(list_slice(toks, i + 1, i + 5), ' ') AS gram
+        |  FROM tok, UNNEST(CASE WHEN len(toks) >= 5
+        |    THEN range(0, len(toks) - 4) ELSE [] END) AS u(i)),
+        |freq AS (SELECT gram FROM spans GROUP BY gram HAVING count(*) >= 3),
+        |hits AS (SELECT s.doc_id, s.pos FROM spans s JOIN freq USING (gram)),
+        |cov AS (
+        |  SELECT DISTINCT doc_id, pos + d AS rm
+        |  FROM hits, UNNEST(range(0, 5)) AS u(d)),
+        |tokpos AS (
+        |  SELECT doc_id, i AS pos, toks[CAST(i + 1 AS INT)] AS tok
+        |  FROM tok, UNNEST(CASE WHEN len(toks) > 0
+        |    THEN range(0, len(toks)) ELSE [] END) AS u(i)),
+        |clean AS (
+        |  SELECT tp.doc_id,
+        |    sum(CASE WHEN c.rm IS NOT NULL THEN 1 ELSE 0 END) AS n_removed,
+        |    coalesce(string_agg(CASE WHEN c.rm IS NULL THEN tp.tok END,
+        |      ' ' ORDER BY tp.pos), '') AS clean_text
+        |  FROM tokpos tp
+        |  LEFT JOIN cov c ON tp.doc_id = c.doc_id AND tp.pos = c.rm
+        |  GROUP BY tp.doc_id)
+        |SELECT t.doc_id, CAST(len(t.toks) AS BIGINT) AS n_tokens,
+        |  CAST(coalesce(c.n_removed, 0) AS BIGINT) AS n_removed,
+        |  coalesce(c.clean_text, '') AS clean_text
+        |FROM tok t LEFT JOIN clean c USING (doc_id)
+        |ORDER BY t.doc_id""".stripMargin,
+
+    "x58_containment" ->
+      """WITH base AS (
+        |  SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'),
+        |    x -> len(x) > 0) AS toks
+        |  FROM documents),
+        |corpus AS (
+        |  SELECT doc_id, toks FROM base
+        |  UNION ALL
+        |  SELECT doc_id + 30000,
+        |    list_slice(toks, CAST(floor(len(toks) * 0.3) AS INT) + 1,
+        |      CAST(floor(len(toks) * 0.3) AS INT)
+        |        + CAST(floor(len(toks) * 0.4) AS INT))
+        |  FROM base WHERE doc_id < 50),
+        |sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(CASE WHEN len(toks) <= 3
+        |      THEN [array_to_string(toks, ' ')]
+        |      ELSE list_transform(range(0, len(toks) - 2),
+        |        i -> array_to_string(list_slice(toks, i + 1, i + 3), ' ')) END)
+        |      AS shset
+        |  FROM corpus),
+        |pairs AS (
+        |  SELECT doc_id - 30000 AS id_a, doc_id AS id_b
+        |  FROM corpus WHERE doc_id >= 30000)
+        |SELECT p.id_a, p.id_b,
+        |  ROUND(CAST(len(list_intersect(a.shset, b.shset)) AS DOUBLE)
+        |    / len(a.shset), 6) AS containment_a,
+        |  ROUND(CAST(len(list_intersect(a.shset, b.shset)) AS DOUBLE)
+        |    / len(b.shset), 6) AS containment_b,
+        |  ROUND(CAST(len(list_intersect(a.shset, b.shset)) AS DOUBLE)
+        |    / len(list_distinct(list_concat(a.shset, b.shset))), 6) AS jaccard
+        |FROM pairs p
+        |JOIN sh a ON a.doc_id = p.id_a
+        |JOIN sh b ON b.doc_id = p.id_b""".stripMargin,
+
+    "x59_bpe_pairs" ->
+      """WITH wf AS (
+        |  SELECT word, count(*) AS wf FROM (
+        |    SELECT unnest(list_filter(
+        |      string_split_regex(trim(lower(text)), '\s+'),
+        |      x -> len(x) > 0)) AS word
+        |    FROM documents)
+        |  GROUP BY word),
+        |p AS (
+        |  SELECT substr(word, CAST(i AS INT), 2) AS pair, wf
+        |  FROM wf, UNNEST(CASE WHEN len(word) >= 2
+        |    THEN range(1, len(word)) ELSE [] END) AS u(i)),
+        |c AS (SELECT pair, CAST(sum(wf) AS BIGINT) AS pair_count
+        |      FROM p GROUP BY pair)
+        |SELECT pair, pair_count FROM c
+        |ORDER BY pair_count DESC, pair LIMIT 30""".stripMargin,
+
+    "x60_temperature_mix" ->
+      """WITH c AS (
+        |  SELECT source,
+        |    sum(len(list_filter(string_split_regex(trim(text), '\s+'),
+        |      x -> len(x) > 0))) AS n_tokens
+        |  FROM documents GROUP BY source),
+        |w AS (SELECT source, n_tokens,
+        |        pow(CAST(n_tokens AS DOUBLE), 0.5) AS pw FROM c),
+        |t AS (SELECT sum(pw) AS tot FROM w)
+        |SELECT w.source, CAST(w.n_tokens AS BIGINT) AS n_tokens,
+        |  ROUND(w.pw / t.tot, 6) AS weight,
+        |  CAST(round(w.pw / t.tot * 200000) AS BIGINT) AS target_tokens,
+        |  ROUND(least(1.0, w.pw / t.tot * 200000 / n_tokens), 6) AS rate
+        |FROM w, t ORDER BY w.source""".stripMargin,
+
     "x55_paragraph_decontam" ->
       """WITH paras AS (
         |  SELECT doc_id, 0 AS pos, regexp_replace(text, '\n+', ' ', 'g') AS para

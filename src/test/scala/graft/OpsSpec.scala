@@ -63,6 +63,44 @@ class DedupSpec extends SparkSpec {
     assert(out == Set((2L, Some(3), 2L), (8L, None, 2L)))
   }
 
+  test("removeRepeatedSpans removes corpus-frequent spans, unions overlaps, spares short docs") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta xx yy"),      // frequent span at pos 0
+      (2L, "p q alpha beta gamma delta"),        // frequent span mid-doc
+      (3L, "alpha beta gamma r s t"),
+      (4L, "nothing shared here at all"),        // untouched
+      (5L, "tiny doc"),                          // < n tokens: no spans
+      (6L, "alpha beta gamma alpha beta gamma")  // two occurrences: whole doc covered
+    ).toDF("doc_id", "text")
+    // "alpha beta gamma" occurs 5x (docs 1,2,3 + 2x in doc 6) >= 3;
+    // "beta gamma delta" occurs only 2x (docs 1,2) and stays
+    val out = Dedup.removeRepeatedSpans(corpus, "doc_id", "text",
+        n = 3, minCount = 3)
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    assert(out(1L) == ((6L, 3L, "delta xx yy")))
+    assert(out(2L) == ((6L, 3L, "p q delta")))
+    assert(out(3L) == ((6L, 3L, "r s t")))
+    assert(out(4L) == ((5L, 0L, "nothing shared here at all")))
+    assert(out(5L) == ((2L, 0L, "tiny doc")))
+    // overlapping within-doc occurrences union their positions: the
+    // second occurrence's span [3,5] overlaps nothing but both cover all 6
+    assert(out(6L) == ((6L, 6L, "")))
+  }
+
+  test("ngramContainment flags sub-document inclusion symmetric Jaccard misses") {
+    val docs = Seq(
+      (1L, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"), // 8 distinct 3-grams
+      (2L, "w4 w5 w6 w7")                      // 2 3-grams, both inside doc 1
+    ).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L)).toDF("id_a", "id_b")
+    val r = Dedup.ngramContainment(pairs, docs, "doc_id", "text", n = 3)
+      .select("containment_a", "containment_b", "jaccard")
+      .as[(Double, Double, Double)].collect().head
+    assert(r._2 == 1.0)   // doc 2 fully contained in doc 1
+    assert(r._1 == 0.25 && r._3 == 0.25) // symmetric views sit at 2/8
+  }
+
   test("exactByDigest agrees with full-text exact dedup (both digests)") {
     // the digest path is the corpus-scale default (8/32-byte shuffle key vs
     // whole documents); this pins its results to the full-text baseline
@@ -741,6 +779,30 @@ class SamplingSpec extends SparkSpec {
     assert(an.filter($"bucket".isNull && !$"kept").count() == 2)
   }
 
+  test("temperatureMixture: alpha-scaled weights, budget shares, capped rates") {
+    // sqrt-exact counts: a=900, b=100 -> pw 30/10 -> weights 0.75/0.25
+    val df = Seq(("a", Seq.fill(900)("t").mkString(" ")),
+      ("b", Seq.fill(100)("u").mkString(" "))).toDF("source", "text")
+    val out = graft.ops.Sampling
+      .temperatureMixture(df, "source", "text", alpha = 0.5, budget = 200L)
+      .as[(String, Long, Double, Long, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out("a") == (("a", 900L, 0.75, 150L, 0.166667)))
+    assert(out("b") == (("b", 100L, 0.25, 50L, 0.5)))
+    // a budget beyond a source's own tokens caps its rate at 1.0
+    val capped = graft.ops.Sampling
+      .temperatureMixture(df, "source", "text", alpha = 0.5, budget = 4000L)
+      .as[(String, Long, Double, Long, Double)].collect()
+      .map(r => r._1 -> r._5).toMap
+    assert(capped == Map("a" -> 1.0, "b" -> 1.0))
+    // alpha = 1 reproduces natural proportions
+    val natural = graft.ops.Sampling
+      .temperatureMixture(df, "source", "text", alpha = 1.0, budget = 200L)
+      .as[(String, Long, Double, Long, Double)].collect()
+      .map(r => r._1 -> r._3).toMap
+    assert(natural == Map("a" -> 0.9, "b" -> 0.1))
+  }
+
   test("deterministicShuffle is a reproducible permutation into balanced shards") {
     val df = (0L until 4000L).toDF("id")
     val s1 = graft.ops.Sampling.deterministicShuffle(df, "id", numShards = 8)
@@ -772,6 +834,18 @@ class SamplingSpec extends SparkSpec {
 
 class TextAnalysisSpec extends SparkSpec {
   import spark.implicits._
+
+  test("bpePairCounts: freq-weighted within-word char pairs, case-folded, single chars skipped") {
+    val df = Seq("aab AAB bc", "aab x").toDF("text")
+    // words after lower(): aab x3, bc x1, x x1 (len < 2: no pairs)
+    // aab -> "aa","ab" each weighted 3; bc -> "bc" once
+    val out = graft.ops.TextAnalysis.bpePairCounts(df, "text", k = 10)
+      .as[(String, Long)].collect().toSeq
+    assert(out == Seq(("aa", 3L), ("ab", 3L), ("bc", 1L)))
+    // k truncates AFTER the (count desc, pair asc) total order
+    assert(graft.ops.TextAnalysis.bpePairCounts(df, "text", k = 2)
+      .as[(String, Long)].collect().toSeq == Seq(("aa", 3L), ("ab", 3L)))
+  }
 
   test("round-4 ops accept an empty corpus without crashing") {
     val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
