@@ -12,7 +12,7 @@ import graft.queries.{ExtensionQueries, ParityQueries}
   * SQL-expressible query (xxhash64-based ops are rows-only by design).
   * Full operator -> query -> check map: /root/repo/COVERAGE.md.
   *
-  * Inventory (102 oracle-checked, 9 rows-only):
+  * Inventory (105 oracle-checked, 9 rows-only):
   *  - q01-q16: scans, filters, CASE chains, datetime, windows (running/
   *    lag/30-day range), grouped stats + broadcast join, anti-join
   *    referential integrity, top-k, dup/null/range/quality checks, upsert,
@@ -58,7 +58,9 @@ import graft.queries.{ExtensionQueries, ParityQueries}
   *    paragraph-level decontamination removal, per-cluster dedup
   *    manifest, repeated-n-gram span removal (Lee-et-al exact-substring
   *    dedup), asymmetric n-gram containment, BPE pair counts,
-  *    temperature (alpha) mixture weights
+  *    temperature (alpha) mixture weights, int8-quantized retrieval with
+  *    exact re-rank, URL canonicalization dedup, intra-document line
+  *    dedup
   */
 object SparkEntry {
 

@@ -77,6 +77,69 @@ object Similarity {
     topKPerQuery(scored, qidCol, idCol, k, queries)
   }
 
+  /** Symmetric int8 scalar quantization of a vector column — the classic
+    * vector-store memory/bandwidth recipe (FAISS SQ8): per-vector scale =
+    * max|x| / 127, code_i = round(x_i · 127 / max|x|) ∈ [-127, 127].
+    * Adds `qcode` (int8-valued codes) and `qscale`; a zero vector
+    * quantizes to zeros with scale 0. Stored codes are 4-8× smaller than
+    * the float vectors, so at corpus scale the CODES table is what scans
+    * and shuffles; full-precision vectors are consulted only through the
+    * candidate-pruned join in [[knnQuantizedRerank]]. The quantized dot
+    * product reconstructs as dot(code_a, code_b)·scale_a·scale_b. The
+    * multiply-before-divide order (x·127/ma) is pinned so DuckDB replays
+    * the code values bit-for-bit (a/(ma/127) differs in the last ulp). */
+  def quantizeInt8(df: DataFrame, vecCol: String): DataFrame = {
+    val ma = array_max(transform(col(vecCol), x => abs(x.cast("double"))))
+    df.withColumn("__ma", ma)
+      .withColumn("qscale",
+        when(col("__ma") > 0, col("__ma") / 127.0d).otherwise(lit(0.0d)))
+      .withColumn("qcode",
+        when(col("__ma") > 0,
+          transform(col(vecCol),
+            x => round(x.cast("double") * 127.0d / col("__ma")).cast("long")))
+          .otherwise(transform(col(vecCol), _ => lit(0L))))
+      .drop("__ma")
+  }
+
+  /** Quantized retrieval with exact re-rank — the production two-stage
+    * recipe: rank the WHOLE corpus per query with the cheap int8 dot
+    * product (integer multiply-adds over 4-8× fewer bytes), keep the top
+    * `rerank`·k candidates, re-score ONLY those with exact double cosine,
+    * return the final top-k. Exactness degrades gracefully: the answer
+    * equals brute force whenever the true top-k survive the approximate
+    * cut (pinned by spec at rerank = corpus size), and the int8 scoring
+    * error is bounded by the two vectors' quantization steps. Scale
+    * shape: the crossed stage carries only (id, codes, scale) — never
+    * full vectors — and both k-selections ride the bounded-heap
+    * TopKPerGroup operator; full vectors enter through one
+    * candidate-sized join at the end. */
+  def knnQuantizedRerank(df: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, qidCol: String, k: Int, rerank: Int = 4): DataFrame = {
+    require(rerank >= 1, "rerank factor must be >= 1")
+    val codes = quantizeInt8(df, vecCol)
+      .select(col(idCol), col("qcode"), col("qscale"))
+    val qcodes = quantizeInt8(queries, "qvec")
+      .select(col(qidCol), col("qcode").as("__qc"), col("qscale").as("__qs"))
+    val approx = codes.crossJoin(broadcast(qcodes))
+      .withColumn("approx_score",
+        aggregate(zip_with(col("qcode"), col("__qc"), (a, b) => a * b),
+          lit(0L), (acc, v) => acc + v).cast("double") *
+          col("qscale") * col("__qs"))
+      .select(col(qidCol), col(idCol), col("approx_score"))
+    val order = Seq(("approx_score", false), (idCol, true))
+    val cand =
+      if (queries.count() <= graft.plans.TopK.defaultMaxGroups)
+        graft.plans.TopK.perGroup(approx, Seq(qidCol), order, k * rerank,
+          maxGroups = Long.MaxValue)
+      else graft.plans.TopK.windowPerGroup(approx, Seq(qidCol), order, k * rerank)
+    val exact = cand
+      .join(df.select(col(idCol), col(vecCol)), Seq(idCol))
+      .join(broadcast(queries.select(col(qidCol), col("qvec"))), Seq(qidCol))
+      .withColumn("cosine_sim", round(cosine(col(vecCol), col("qvec")), 6))
+      .select(col(qidCol), col(idCol), col("cosine_sim"))
+    topKPerQuery(exact, qidCol, idCol, k, queries)
+  }
+
   /** Per-query k-selection shared by the batch searchers: heap operator
     * when the batch is small (group cardinality == |queries|, counted on
     * the SMALL query frame — never an estimate pass over the huge scored

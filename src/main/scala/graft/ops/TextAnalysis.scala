@@ -335,6 +335,50 @@ object TextAnalysis {
     else graft.plans.TopK.windowPerGroup(counts, Seq(shardCol), order, k)
   }
 
+  /** URL canonicalization for crawl-scale URL dedup — the normalization
+    * pass that runs before keying a seen-URL table: (1) drop the
+    * fragment; (2) lowercase the scheme://authority (paths stay
+    * case-sensitive); (3) strip default ports (:80 http, :443 https);
+    * (4) drop `utm_*` tracking parameters, repairing dangling `?`/`&`
+    * separators; (5) strip one trailing slash. Pure per-row regex chain —
+    * map-only, RE2-portable (no lookarounds), so DuckDB replays every
+    * step and a seen-URL join keys on the canonical string (or its
+    * xxhash64 at crawl scale, the [[graft.ops.Dedup.exactByDigest]]
+    * argument). */
+  def canonicalizeUrl(u: Column): Column = {
+    val noFrag = regexp_replace(u, "#.*", "")
+    val lowered = concat(
+      lower(regexp_extract(noFrag, "^([a-zA-Z]+://[^/?]*)", 1)),
+      regexp_replace(noFrag, "^[a-zA-Z]+://[^/?]*", ""))
+    val noPort = regexp_replace(
+      regexp_replace(lowered, "^(https://[^/:]*):443(/|$)", "$1$2"),
+      "^(http://[^/:]*):80(/|$)", "$1$2")
+    // two passes: mid-string utm params (global, the trailing & lets
+    // consecutive utm params chain), then a final utm param at the end
+    // together with its dangling separator
+    val noUtm = regexp_replace(
+      regexp_replace(noPort, "utm_[a-zA-Z0-9]+=[^&#]*&", ""),
+      "[?&]utm_[a-zA-Z0-9]+=[^&#]*$", "")
+    regexp_replace(noUtm, "/$", "")
+  }
+
+  /** Intra-document line dedup (the RefinedWeb/Dolma line-level pass):
+    * remove every repeat of an earlier line WITHIN the same document,
+    * preserving first occurrences in order. Map-only per-row array work —
+    * ZERO shuffles, the deliberate contrast to [[graft.ops.Dedup
+    * .paragraphDedup]]'s corpus-wide first-occurrence rule. The
+    * position-of-first-occurrence filter is O(lines²) per document in a
+    * tight codegen'd loop; line counts are bounded in practice. */
+  def dedupLinesWithin(df: DataFrame, idCol: String, textCol: String,
+      sep: String = "\n"): DataFrame = {
+    val lines = split(col(textCol), java.util.regex.Pattern.quote(sep))
+    val kept = filter(lines, (x, i) => array_position(lines, x) === i + 1)
+    df.select(col(idCol),
+      size(lines).cast("long").as("n_lines"),
+      (size(lines) - size(kept)).cast("long").as("n_removed"),
+      array_join(kept, sep).as("clean_text"))
+  }
+
   /** Tokenizer-induction prep: corpus-wide adjacent character-pair counts
     * within words — the statistic BPE's first merge round maximizes
     * (Sennrich et al. 2016: the merge candidate is the most frequent

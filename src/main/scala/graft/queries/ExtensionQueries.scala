@@ -1005,6 +1005,50 @@ object ExtensionQueries {
           "source", "text", alpha = 0.5, budget = 200000L)
         .orderBy(col("source"))),
 
+    // Int8-quantized retrieval with exact re-rank (FAISS-SQ8 recipe):
+    // whole-corpus ranking on 4-8x-smaller codes, exact cosine on the top
+    // rerank*k only. Quantization pinned multiply-before-divide so the
+    // oracle replays code values bit-for-bit
+    "x61_quantized_rerank" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id").isin(0L, 7L, 13L))
+        .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+      Similarity.knnQuantizedRerank(emb, queries, "vec_id", "embedding",
+        "query_id", k = 8, rerank = 4)
+    }),
+
+    // Crawl-style URL canonicalization dedup: planted uppercase hosts,
+    // default ports, utm_* params and fragments; canonical groups merge
+    // across the utm_campaign variants (120 raw keys -> 40 canonical)
+    "x62_url_dedup" -> ((s, dir) => {
+      val urls = t(s, dir, "documents").select(col("doc_id"), concat(
+        lit("HTTPS://WWW.Src"), (col("doc_id") % 40).cast("string"),
+        lit(".COM:443/a/"), (col("doc_id") % 20).cast("string"),
+        lit("?utm_source=feed&utm_campaign=c"), (col("doc_id") % 3).cast("string"),
+        lit("&ref="), (col("doc_id") % 10).cast("string"),
+        lit("#frag")).as("url"))
+      urls.withColumn("canonical_url",
+          TextAnalysis.canonicalizeUrl(col("url")))
+        .groupBy(col("canonical_url"))
+        .agg(min(col("doc_id")).as("doc_id"),
+          count(lit(1)).as("dup_count"))
+        .orderBy(col("canonical_url"))
+    }),
+
+    // Intra-document line dedup: docs rebuilt as 4 lines with line 1
+    // repeated at position 3 — the map-only RefinedWeb-style pass
+    "x63_line_dedup" -> ((s, dir) => {
+      val toks = TextAnalysis.tokens(col("text"))
+      val docs = t(s, dir, "documents").select(col("doc_id"),
+        concat_ws("\n",
+          array_join(slice(toks, 1, 5), " "),
+          array_join(slice(toks, 6, 5), " "),
+          array_join(slice(toks, 1, 5), " "),
+          array_join(slice(toks, 11, 5), " ")).as("text"))
+      TextAnalysis.dedupLinesWithin(docs, "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
     // Multimodal plumbing: binary payload + metadata -> partition-batched
     // feature extraction (decode stubbed; rows-only check)
     "x11_multimodal" -> ((s, dir) => {
@@ -1764,6 +1808,98 @@ object ExtensionQueries {
         |  CAST(round(w.pw / t.tot * 200000) AS BIGINT) AS target_tokens,
         |  ROUND(least(1.0, w.pw / t.tot * 200000 / n_tokens), 6) AS rate
         |FROM w, t ORDER BY w.source""".stripMargin,
+
+    "x61_quantized_rerank" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |m AS (
+        |  SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS ma
+        |  FROM e),
+        |codes AS (
+        |  SELECT vec_id, v,
+        |    CASE WHEN ma > 0 THEN ma / 127 ELSE 0 END AS scale,
+        |    CASE WHEN ma > 0 THEN list_transform(v, x -> round(x * 127 / ma))
+        |         ELSE list_transform(v, x -> 0.0) END AS qc
+        |  FROM m),
+        |qs AS (
+        |  SELECT vec_id AS query_id, v AS qv, qc AS qqc, scale AS qscale
+        |  FROM codes WHERE vec_id IN (0, 7, 13)),
+        |approx AS (
+        |  SELECT qs.query_id, c.vec_id,
+        |    list_inner_product(c.qc, qs.qqc) * c.scale * qs.qscale AS a
+        |  FROM codes c CROSS JOIN qs),
+        |cand AS (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY query_id ORDER BY a DESC, vec_id) AS rn
+        |  FROM approx),
+        |rer AS (
+        |  SELECT c.query_id, c.vec_id,
+        |    ROUND(list_cosine_similarity(e.v, q.qv), 6) AS cosine_sim
+        |  FROM cand c
+        |  JOIN e ON e.vec_id = c.vec_id
+        |  JOIN qs q ON q.query_id = c.query_id
+        |  WHERE c.rn <= 32),
+        |fin AS (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY query_id ORDER BY cosine_sim DESC, vec_id) AS rn
+        |  FROM rer)
+        |SELECT query_id, vec_id, cosine_sim FROM fin WHERE rn <= 8""".stripMargin,
+
+    "x62_url_dedup" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    'HTTPS://WWW.Src' || CAST(doc_id % 40 AS VARCHAR)
+        |    || '.COM:443/a/' || CAST(doc_id % 20 AS VARCHAR)
+        |    || '?utm_source=feed&utm_campaign=c' || CAST(doc_id % 3 AS VARCHAR)
+        |    || '&ref=' || CAST(doc_id % 10 AS VARCHAR) || '#frag' AS url
+        |  FROM documents),
+        |c1 AS (SELECT doc_id, regexp_replace(url, '#.*', '') AS s FROM u),
+        |c2 AS (SELECT doc_id,
+        |         lower(regexp_extract(s, '^([a-zA-Z]+://[^/?]*)', 1))
+        |         || regexp_replace(s, '^[a-zA-Z]+://[^/?]*', '') AS s
+        |       FROM c1),
+        |c3 AS (SELECT doc_id, regexp_replace(regexp_replace(s,
+        |         '^(https://[^/:]*):443(/|$)', '\1\2'),
+        |         '^(http://[^/:]*):80(/|$)', '\1\2') AS s FROM c2),
+        |c4 AS (SELECT doc_id,
+        |         regexp_replace(s, 'utm_[a-zA-Z0-9]+=[^&#]*&', '', 'g') AS s
+        |       FROM c3),
+        |c5 AS (SELECT doc_id,
+        |         regexp_replace(s, '[?&]utm_[a-zA-Z0-9]+=[^&#]*$', '') AS s
+        |       FROM c4),
+        |c6 AS (SELECT doc_id, regexp_replace(s, '/$', '') AS canonical_url
+        |       FROM c5)
+        |SELECT canonical_url, min(doc_id) AS doc_id,
+        |  count(*) AS dup_count
+        |FROM c6 GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "x63_line_dedup" ->
+      """WITH tok AS (
+        |  SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'),
+        |    x -> len(x) > 0) AS toks
+        |  FROM documents),
+    |built AS (
+        |  -- coalesce each piece: DuckDB's array_to_string of an EMPTY
+        |  -- list is NULL (Spark's array_join gives ''), and || propagates
+        |  SELECT doc_id,
+        |    coalesce(array_to_string(list_slice(toks, 1, 5), ' '), '')
+        |    || chr(10) ||
+        |    coalesce(array_to_string(list_slice(toks, 6, 10), ' '), '')
+        |    || chr(10) ||
+        |    coalesce(array_to_string(list_slice(toks, 1, 5), ' '), '')
+        |    || chr(10) ||
+        |    coalesce(array_to_string(list_slice(toks, 11, 15), ' '), '')
+        |      AS text
+        |  FROM tok),
+        |l AS (SELECT doc_id, string_split(text, chr(10)) AS lines FROM built),
+        |k AS (
+        |  SELECT doc_id, lines,
+        |    list_filter(lines, (x, i) -> list_position(lines, x) = i) AS kept
+        |  FROM l)
+        |SELECT doc_id, CAST(len(lines) AS BIGINT) AS n_lines,
+        |  CAST(len(lines) - len(kept) AS BIGINT) AS n_removed,
+        |  array_to_string(kept, chr(10)) AS clean_text
+        |FROM k ORDER BY doc_id""".stripMargin,
 
     "x55_paragraph_decontam" ->
       """WITH paras AS (

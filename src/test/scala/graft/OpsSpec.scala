@@ -388,6 +388,44 @@ class DedupSpec extends SparkSpec {
 class SimilaritySpec extends SparkSpec {
   import spark.implicits._
 
+  test("quantizeInt8: codes bounded, extreme element hits ±127, zero vector safe") {
+    val df = Seq(
+      (1L, Seq(0.5f, -1.0f, 0.25f)),
+      (2L, Seq(0.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val q = Similarity.quantizeInt8(df, "embedding")
+      .select("vec_id", "qcode", "qscale")
+      .as[(Long, Seq[Long], Double)].collect().map(r => r._1 -> r).toMap
+    // scale = 1.0/127; codes = round(x*127): (64, -127, 32)
+    assert(q(1L)._2 == Seq(64L, -127L, 32L))
+    assert(math.abs(q(1L)._3 - 1.0 / 127) < 1e-12)
+    assert(q(2L)._2 == Seq(0L, 0L, 0L) && q(2L)._3 == 0.0)
+  }
+
+  test("quantized rerank equals brute force at full rerank; high recall at rerank=4") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = emb.filter(col("vec_id").isin(0L, 7L))
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val brute = Similarity.bruteForceKnnBatch(emb, queries,
+        "vec_id", "embedding", "query_id", 8)
+      .select("query_id", "vec_id", "cosine_sim")
+      .as[(Long, Long, Double)].collect().toSet
+    // rerank covering the whole corpus makes the approximate cut a no-op:
+    // the two-stage answer must EQUAL brute force, not just approximate it
+    val n = emb.count().toInt
+    val full = Similarity.knnQuantizedRerank(emb, queries,
+        "vec_id", "embedding", "query_id", 8, rerank = n / 8 + 1)
+      .select("query_id", "vec_id", "cosine_sim")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(full == brute)
+    // the production cut (rerank=4) keeps high recall on real vectors
+    val fast = Similarity.knnQuantizedRerank(emb, queries,
+        "vec_id", "embedding", "query_id", 8, rerank = 4)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val bruteIds = brute.map(r => (r._1, r._2))
+    assert(fast.intersect(bruteIds).size >= 14, // >= 14/16
+      s"recall too low: ${fast.intersect(bruteIds).size}/16")
+  }
+
   private val vecs = Seq(
     (0L, Seq(1.0f, 0.0f, 0.0f)),
     (1L, Seq(2.0f, 0.0f, 0.0f)),   // same direction as 0
@@ -834,6 +872,38 @@ class SamplingSpec extends SparkSpec {
 
 class TextAnalysisSpec extends SparkSpec {
   import spark.implicits._
+
+  test("canonicalizeUrl: fragment, case, default ports, utm chains, trailing slash") {
+    val cases = Seq(
+      ("HTTPS://WWW.Ex.COM:443/Path/?utm_source=a&utm_campaign=b&id=3#frag",
+        "https://www.ex.com/Path/?id=3"),             // path case KEPT
+      ("http://Host.com:80/", "http://host.com"),     // port + trailing /
+      ("https://h.com/p?utm_a=1", "https://h.com/p"), // lone utm + dangling ?
+      ("https://h.com/p?id=2&utm_last=x", "https://h.com/p?id=2"),
+      ("https://h.com:8443/p", "https://h.com:8443/p") // non-default port kept
+    ).toDF("url", "expected")
+    val out = cases.withColumn("got",
+        graft.ops.TextAnalysis.canonicalizeUrl(col("url")))
+      .as[(String, String, String)].collect()
+    out.foreach { case (u, exp, got) => assert(got == exp, s"$u -> $got") }
+  }
+
+  test("dedupLinesWithin keeps first occurrences in order, map-only") {
+    val df = Seq(
+      (1L, "a b\nc d\na b\ne f\nc d"),
+      (2L, "x\nx\nx"),
+      (3L, "only line")).toDF("doc_id", "text")
+    val out = graft.ops.TextAnalysis.dedupLinesWithin(df, "doc_id", "text")
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    assert(out(1L) == ((5L, 2L, "a b\nc d\ne f")))
+    assert(out(2L) == ((3L, 2L, "x")))
+    assert(out(3L) == ((1L, 0L, "only line")))
+    // zero shuffles: the whole op is one projection over the scan
+    val plan = graft.ops.TextAnalysis.dedupLinesWithin(df, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan.take(500))
+  }
 
   test("bpePairCounts: freq-weighted within-word char pairs, case-folded, single chars skipped") {
     val df = Seq("aab AAB bc", "aab x").toDF("text")
