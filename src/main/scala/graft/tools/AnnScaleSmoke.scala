@@ -110,6 +110,21 @@ object AnnScaleSmoke {
       IVF.searchBatchAppendable(spark, approot, queries, "vec_id",
         "embedding", "query_id", k = 10, nprobe = 4).count())
     println(s"[ann-scale] appended-index batch rows=$nApp")
+    // r8: the int8 two-stage path at the exact baseline's query count —
+    // the crossed stage carries codes only; recall vs brute measured live
+    val qSmall = corpus.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val bruteSet = Similarity.bruteForceKnnBatch(corpus, qSmall,
+        "vec_id", "embedding", "query_id", 10)
+      .select("query_id", "vec_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val nQr = time("int8 quantized rerank (20 queries, rerank=4)")(
+      Similarity.knnQuantizedRerank(corpus, qSmall, "vec_id", "embedding",
+        "query_id", k = 10, rerank = 4))
+    val qrSet = nQr.select("query_id", "vec_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    println(s"[ann-scale] int8-rerank recall@10 = " +
+      s"${qrSet.intersect(bruteSet).size}/${bruteSet.size}")
     spark.stop()
   }
 }

@@ -79,6 +79,26 @@ object TextScaleSmoke {
             concat(lit("p"), pmod(col("doc_id"), lit(1000)).cast("string")))
             .as("text")),
         "doc_id", "text", k = 20).count())
+    // every 4th doc shares a planted 8-token boilerplate tail -> the
+    // frequent set is tiny but the span/count/rebuild passes see all ~40M
+    // token positions; r8 op
+    time("repeated-span removal (gram-keyed)")(
+      graft.ops.Dedup.removeRepeatedSpans(
+          corpus.select(col("doc_id"),
+            concat(col("text"),
+              when(col("doc_id") % 4 === 0,
+                lit(" b0 b1 b2 b3 b4 b5 b6 b7")).otherwise(lit("")))
+              .as("text")),
+          "doc_id", "text", n = 5, minCount = 100)
+        .agg(sum("n_removed"), sum(length(col("clean_text")))).head())
+    time("intra-doc line dedup (map-only)")(
+      TextAnalysis.dedupLinesWithin(
+          corpus.select(col("doc_id"),
+            regexp_replace(col("text"), " w", "\nw").as("text")),
+          "doc_id", "text")
+        .agg(sum("n_removed")).head())
+    time("BPE pair counts (vocab-sized 2nd stage)")(
+      TextAnalysis.bpePairCounts(corpus, "text", k = 30).count())
     spark.stop()
   }
 }
