@@ -632,6 +632,116 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("cosine_sim"))
   }
 
+  /** SemDeDup (Abbas et al. 2023): semantic deduplication scoped to
+    * embedding-space clusters. Vectors are assigned to their
+    * nearest-by-cosine centroid (broadcast centroid table, map-side
+    * argmax — ties broken by centroid id), pairwise cosine runs only
+    * WITHIN a cluster, and of each above-`threshold` pair the member
+    * CLOSER to its centroid is dropped — the paper's keep-the-outlier
+    * rule, which retains the most diverse representative (tie on
+    * centroid similarity: the larger id drops).
+    *
+    * Scale shape: this is the production path that makes embedding dedup
+    * tractable where [[cosinePairsExact]] (all-pairs) cannot be — the
+    * quadratic compare is confined to one cluster, so cost is
+    * sum(|cluster|^2) not n^2; with k centroids sized so n/k is bounded
+    * (the paper runs k-means with k in the tens of thousands at
+    * LAION scale), per-cluster work stays flat as the corpus grows. One
+    * broadcast of the (small) centroid table, one hash exchange on
+    * cluster_id for the self-join, then flag joins that carry only
+    * 8-byte ids. A skewed giant cluster is the operator's known hazard —
+    * mitigate upstream with more centroids (the [[cosinePairsLsh]]
+    * bucket cap is the same trade).
+    *
+    * Output: one row per input vector — (id, cluster_id, centroid_sim
+    * rounded 6dp, is_dup = participates in any above-threshold pair,
+    * kept = survives the drop rule). */
+  def semanticDedup(emb: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame, cidCol: String, cvecCol: String,
+      threshold: Double): DataFrame = {
+    val sims = emb.crossJoin(broadcast(
+        centroids.select(col(cidCol).as("__cid"), col(cvecCol).as("__cv"))))
+      .withColumn("__csim",
+        round(Similarity.cosine(col(vecCol), col("__cv")), 6))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol))
+      .orderBy(col("__csim").desc, col("__cid"))
+    val assigned = sims
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col(idCol), col(vecCol), col("__cid").as("cluster_id"),
+        col("__csim").as("centroid_sim"))
+    val a = assigned.select(col(idCol).as("id_a"), col("cluster_id"),
+      col(vecCol).as("__va"), col("centroid_sim").as("__ca"))
+    val b = assigned.select(col(idCol).as("id_b"), col("cluster_id"),
+      col(vecCol).as("__vb"), col("centroid_sim").as("__cb"))
+    val pairs = a.join(b, Seq("cluster_id"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("__ps",
+        round(Similarity.cosine(col("__va"), col("__vb")), 6))
+      .filter(col("__ps") >= threshold)
+      .select(col("id_a"), col("id_b"), col("__ca"), col("__cb"))
+    val dupIds = pairs
+      .select(explode(array(col("id_a"), col("id_b"))).as("__did"))
+      .distinct()
+    val removedIds = pairs
+      .select(when(col("__ca") > col("__cb"), col("id_a"))
+        .when(col("__cb") > col("__ca"), col("id_b"))
+        .otherwise(greatest(col("id_a"), col("id_b"))).as("__rid"))
+      .distinct()
+    assigned.drop(vecCol)
+      .join(dupIds, col(idCol) === col("__did"), "left")
+      .join(removedIds, col(idCol) === col("__rid"), "left")
+      .withColumn("is_dup", col("__did").isNotNull)
+      .withColumn("kept", col("__rid").isNull)
+      .drop("__did", "__rid")
+  }
+
+  /** Rare-n-gram document linking — the EXACT candidate generator that
+    * complements [[minhashLshPairs]]'s probabilistic one: two documents
+    * become a candidate pair iff they share at least `minShared` word
+    * n-grams whose global document frequency lies in [2, `maxDf`]. The
+    * suffix-array dedup pipelines (Lee et al. 2022) and parallel-corpus
+    * miners use exactly this "rare feature co-occurrence" signal: a gram
+    * appearing in only a handful of documents is near-certain evidence of
+    * copying, while frequent grams (boilerplate) carry no signal and are
+    * dropped BEFORE the join — which is also what bounds the cost.
+    *
+    * Scale shape: grams are hashed to 60-bit md5-derived keys at the map
+    * side, so document text never rides a shuffle and the oracle can
+    * still replay keys bit-for-bit (md5, not xxhash64 — the
+    * [[graft.ops.Sampling.contentHashSplit]] portability contract). The
+    * df filter caps join fanout at maxDf^2 rows per gram; the pair
+    * aggregate then carries only (id, id) — there is no quadratic blowup
+    * anywhere and no skew hazard, because skewed (frequent) grams are by
+    * definition above `maxDf`. */
+  def rareNgramPairs(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, maxDf: Int = 8, minShared: Int = 2): DataFrame = {
+    require(n >= 1 && maxDf >= 2 && minShared >= 1)
+    val toks = TextAnalysis.tokens(col(textCol))
+    val grams = when(size(toks) >= n,
+        transform(sequence(lit(0), size(toks) - n),
+          i => array_join(slice(toks, i + 1, lit(n)), " ")))
+      .otherwise(array().cast("array<string>"))
+    val keyed = df
+      .select(col(idCol).as("id"), explode(grams).as("__g"))
+      .select(col("id"),
+        conv(substring(md5(col("__g").cast("binary")), 1, 15), 16, 10)
+          .cast("long").as("gk"))
+      .distinct()
+    val rareKeys = keyed.groupBy(col("gk"))
+      .agg(count(lit(1)).as("__df"))
+      .filter(col("__df").between(2, maxDf))
+      .select(col("gk"))
+    val rare = keyed.join(rareKeys, Seq("gk"))
+    rare.select(col("gk"), col("id").as("id_a"))
+      .join(rare.select(col("gk"), col("id").as("id_b")), Seq("gk"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** Exact n-gram Jaccard similarity for explicit candidate pairs
     * (verification primitive used after any LSH stage). The docs side is
     * semi-join-pruned to ids that actually appear in a pair BEFORE

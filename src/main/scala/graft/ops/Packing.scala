@@ -40,4 +40,40 @@ object Packing {
     packed.groupBy(col(shardCol), col("pack_id"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col(tokenCol)).as("pack_tokens"))
+
+  /** Global token-stream offsets — maps every document to its byte-exact
+    * position in the single flat token stream a pretraining loader
+    * memory-maps (Megatron/GPT-NeoX `.bin`+`.idx` layout): `offset` is
+    * the number of tokens strictly before this document when shards are
+    * concatenated in `shardCol` order and documents in `idCol` order
+    * within each shard.
+    *
+    * Scale shape: the classic TWO-LEVEL distributed prefix sum (Blelloch
+    * scan). Level 1 computes each document's shard-local running offset
+    * under `Window.partitionBy(shard)` — one hash exchange, shards scan
+    * independently. Level 2 computes per-shard token totals (a
+    * shard-count-sized aggregate), turns them into shard base offsets
+    * with an unpartitioned window that is safe BECAUSE it runs over one
+    * row per shard (bounded by shard cardinality, not corpus size), and
+    * broadcasts the bases back. A corpus-wide `row_number`/running-sum
+    * window would serialize 100 TB through one partition; this shape
+    * never moves more than (token_count) longs per doc plus a
+    * shard-count-sized side table. */
+  def globalTokenOffsets(df: DataFrame, shardCol: String, idCol: String,
+      tokenCol: String): DataFrame = {
+    val local = Window.partitionBy(col(shardCol)).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val withLocal = df.withColumn("__local",
+      coalesce(sum(col(tokenCol)).over(local), lit(0L)))
+    val bases = df.groupBy(col(shardCol))
+      .agg(sum(col(tokenCol)).as("__shard_tokens"))
+      .withColumn("__base",
+        coalesce(sum(col("__shard_tokens")).over(
+          Window.orderBy(col(shardCol)).rowsBetween(
+            Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col(shardCol), col("__base"))
+    withLocal.join(broadcast(bases), Seq(shardCol))
+      .withColumn("offset", (col("__base") + col("__local")).cast("long"))
+      .drop("__local", "__base")
+  }
 }

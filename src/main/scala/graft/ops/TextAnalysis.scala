@@ -406,6 +406,52 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** fastText-style hashed linear classifier INFERENCE — the
+    * quality-filter scorer production pipelines run over every crawl
+    * document (CCNet's fastText language/quality gates, GPT-3's
+    * WebText-vs-CommonCrawl logistic filter). Features are hashed
+    * unigrams + adjacent-token bigrams (the fastText recipe) bucketed
+    * into `weights.length` slots; the score is
+    * `sigmoid(bias + sum(weights(bucket(f))))`.
+    *
+    * Scale shape: the MODEL is small (a few thousand doubles) and the
+    * CORPUS is huge, so the weights travel as a broadcast array literal
+    * inside a per-row expression — scoring is map-only, shuffle-free,
+    * whole-stage-codegen'd; no explode, no join, no shuffle of any kind.
+    * The feature hash is md5-based (not xxhash64) on purpose: md5 is
+    * engine-portable, so an external system (or the DuckDB oracle) can
+    * reproduce bucket ids bit-for-bit — the same portability contract as
+    * [[graft.ops.Sampling.contentHashSplit]].
+    *
+    * Output: every input row plus `n_features`, `score` (rounded 6dp for
+    * cross-engine float determinism), and `label` (score > 0.5). */
+  def hashedLinearScore(df: DataFrame, idCol: String, textCol: String,
+      weights: Array[Double], bias: Double = 0.0,
+      useBigrams: Boolean = true): DataFrame = {
+    require(weights.nonEmpty, "need at least one weight bucket")
+    val b = weights.length
+    val toks = tokens(lower(col(textCol)))
+    val nBg = greatest(size(toks) - 1, lit(0))
+    val feats =
+      if (useBigrams)
+        concat(toks, zip_with(
+          slice(toks, lit(1), nBg), slice(toks, lit(2), nBg),
+          (x, y) => concat(x, lit("_"), y)))
+      else toks
+    // first 8 md5 hex chars -> 32-bit value -> mod buckets (same
+    // contract DuckDB replays as CAST('0x'||substring(md5(f),1,8) AS
+    // BIGINT) % b)
+    def bucket(f: Column): Column =
+      pmod(conv(substring(md5(f.cast("binary")), 1, 8), 16, 10)
+        .cast("long"), lit(b.toLong))
+    val wLit = array(weights.map(lit(_)): _*)
+    val z = aggregate(feats, lit(bias),
+      (acc, f) => acc + element_at(wLit, bucket(f).cast("int") + 1))
+    df.withColumn("n_features", size(feats))
+      .withColumn("score", round(lit(1.0) / (lit(1.0) + exp(-z)), 6))
+      .withColumn("label", col("score") > 0.5)
+  }
+
   /** CCNet-style statistical quality score: per-document unigram negative
     * log-likelihood under the corpus's OWN unigram distribution — the
     * in-engine proxy for the KenLM perplexity filters production

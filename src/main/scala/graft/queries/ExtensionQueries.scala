@@ -1049,6 +1049,64 @@ object ExtensionQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // fastText-style hashed linear quality gate: 64 formulaic weight
+    // buckets ((b*37+11)%21-10)/10, md5 feature hashing so the oracle
+    // replays bucket ids bit-for-bit; scoring is one map-only expression
+    "x64_hashed_classifier" -> ((s, dir) => {
+      val w = (0 until 64).map(i => ((i * 37 + 11) % 21 - 10) / 10.0).toArray
+      TextAnalysis.hashedLinearScore(
+          t(s, dir, "documents").select(col("doc_id"), col("text")),
+          "doc_id", "text", w, bias = -0.25)
+        .select(col("doc_id"), col("n_features"), col("score"), col("label"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // SemDeDup: cluster-scoped semantic dedup over the planted near-dup
+    // corpus — 8 broadcast centroids, pairwise cosine only WITHIN a
+    // cluster, keep-the-outlier survivor rule (the scale path x18's
+    // bounded all-pairs baseline cannot be)
+    "x65_semantic_dedup" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val corpus = embDupCorpus(emb)
+      val cents = emb
+        .filter(col("vec_id").isin(0L, 1L, 3L, 7L, 11L, 19L, 23L, 29L))
+        .select(col("vec_id").as("cid"),
+          transform(col("embedding"), x => x.cast("double")).as("cv"))
+      graft.ops.Dedup.semanticDedup(corpus, "vec_id", "v",
+          cents, "cid", "cv", 0.9)
+        .orderBy(col("vec_id"))
+    }),
+
+    // Global token-stream offsets (Megatron .bin/.idx layout prep): the
+    // two-level distributed prefix sum; the oracle replays it as one
+    // global running sum over (source, doc_id) — same answer, the
+    // formulation Spark must NOT use at scale
+    "x66_token_offsets" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("source"),
+        TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+      graft.ops.Packing.globalTokenOffsets(docs, "source", "doc_id",
+          "n_tokens")
+        .select(col("doc_id"), col("source"), col("n_tokens"), col("offset"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // (x64-x67 are the round-8 additions: hashed classifier, SemDeDup,
+    // token offsets, rare-n-gram links)
+    // Rare-n-gram document linking (exact candidate generation): a
+    // bounded fixture plants a 4-token group tail on every doc (groups
+    // of ~4 via doc_id % 150), so same-group docs share 2 pure-tail
+    // trigrams; frequent grams drop before the join by the df cap
+    "x67_rare_ngram_pairs" -> ((s, dir) => {
+      val g = pmod(col("doc_id"), lit(150)).cast("string")
+      val docs = t(s, dir, "documents").filter(col("doc_id") < 600)
+        .select(col("doc_id"), concat(col("text"),
+          lit(" ra"), g, lit(" rb"), g, lit(" rc"), g, lit(" rd"), g)
+          .as("text"))
+      graft.ops.Dedup.rareNgramPairs(docs, "doc_id", "text",
+          n = 3, maxDf = 8, minShared = 2)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // Multimodal plumbing: binary payload + metadata -> partition-batched
     // feature extraction (decode stubbed; rows-only check)
     "x11_multimodal" -> ((s, dir) => {
@@ -1900,6 +1958,115 @@ object ExtensionQueries {
         |  CAST(len(lines) - len(kept) AS BIGINT) AS n_removed,
         |  array_to_string(kept, chr(10)) AS clean_text
         |FROM k ORDER BY doc_id""".stripMargin,
+
+    "x64_hashed_classifier" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(trim(lower(text)), '\s+'),
+        |      x -> len(x) > 0) AS t
+        |  FROM documents),
+        |f AS (
+        |  SELECT doc_id, list_concat(t,
+        |    list_transform(range(1, len(t)), i -> t[i] || '_' || t[i+1]))
+        |    AS feats
+        |  FROM tok),
+        |s AS (
+        |  SELECT doc_id, CAST(len(feats) AS INTEGER) AS n_features,
+        |    coalesce(list_sum(list_transform(feats, f ->
+        |      (CAST((CAST(('0x' || substring(md5(f), 1, 8)) AS BIGINT) % 64
+        |             * 37 + 11) % 21 AS DOUBLE) - 10) / 10)), 0) AS z
+        |  FROM f)
+        |SELECT doc_id, n_features,
+        |  ROUND(1 / (1 + exp(-(z - 0.25))), 6) AS score,
+        |  (ROUND(1 / (1 + exp(-(z - 0.25))), 6) > 0.5) AS label
+        |FROM s ORDER BY doc_id""".stripMargin,
+
+    "x65_semantic_dedup" ->
+      """WITH base AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |corpus AS (
+        |  SELECT vec_id, v FROM base
+        |  UNION ALL
+        |  SELECT vec_id + 10000,
+        |    list_transform(range(0, len(v)), i -> v[i + 1] * (1.0 + 0.05 * ((i % 3) - 1)))
+        |  FROM base WHERE vec_id < 25),
+        |cent AS (
+        |  SELECT vec_id AS cid, v AS cv FROM base
+        |  WHERE vec_id IN (0, 1, 3, 7, 11, 19, 23, 29)),
+        |sims AS (
+        |  SELECT c.vec_id, c.v, ct.cid,
+        |    ROUND(list_cosine_similarity(c.v, ct.cv), 6) AS csim
+        |  FROM corpus c CROSS JOIN cent ct),
+        |assign AS (
+        |  SELECT vec_id, v, cid AS cluster_id, csim AS centroid_sim
+        |  FROM (SELECT *, row_number() OVER (
+        |          PARTITION BY vec_id ORDER BY csim DESC, cid) AS rn
+        |        FROM sims)
+        |  WHERE rn = 1),
+        |pairs AS (
+        |  SELECT * FROM (
+        |    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |      a.centroid_sim AS ca, b.centroid_sim AS cb,
+        |      ROUND(list_cosine_similarity(a.v, b.v), 6) AS ps
+        |    FROM assign a JOIN assign b
+        |      ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id)
+        |  WHERE ps >= 0.9),
+        |dup AS (SELECT DISTINCT unnest([id_a, id_b]) AS did FROM pairs),
+        |rem AS (
+        |  SELECT DISTINCT CASE WHEN ca > cb THEN id_a
+        |    WHEN cb > ca THEN id_b
+        |    ELSE greatest(id_a, id_b) END AS rid
+        |  FROM pairs)
+        |SELECT a.vec_id, a.cluster_id, a.centroid_sim,
+        |  (d.did IS NOT NULL) AS is_dup, (r.rid IS NULL) AS kept
+        |FROM assign a
+        |LEFT JOIN dup d ON a.vec_id = d.did
+        |LEFT JOIN rem r ON a.vec_id = r.rid
+        |ORDER BY a.vec_id""".stripMargin,
+
+    "x66_token_offsets" ->
+      """WITH tok AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+        |      x -> len(x) > 0)) AS INTEGER) AS n_tokens
+        |  FROM documents)
+        |SELECT doc_id, source, n_tokens,
+        |  CAST(coalesce(sum(n_tokens) OVER (
+        |    ORDER BY source, doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |    AS offset
+        |FROM tok ORDER BY doc_id""".stripMargin,
+
+    "x67_rare_ngram_pairs" ->
+      """WITH docs AS (
+        |  SELECT doc_id, text
+        |    || ' ra' || CAST(doc_id % 150 AS VARCHAR)
+        |    || ' rb' || CAST(doc_id % 150 AS VARCHAR)
+        |    || ' rc' || CAST(doc_id % 150 AS VARCHAR)
+        |    || ' rd' || CAST(doc_id % 150 AS VARCHAR) AS text
+        |  FROM documents WHERE doc_id < 600),
+        |tok AS (
+        |  SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'),
+        |    x -> len(x) > 0) AS t
+        |  FROM docs),
+        |grams AS (
+        |  SELECT DISTINCT doc_id,
+        |    CAST(('0x' || substring(md5(g), 1, 15)) AS BIGINT) AS gk
+        |  FROM (SELECT doc_id, unnest(
+        |      CASE WHEN len(t) >= 3 THEN
+        |        list_transform(range(0, len(t) - 2),
+        |          i -> array_to_string(list_slice(t, i + 1, i + 3), ' '))
+        |      ELSE CAST([] AS VARCHAR[]) END) AS g
+        |    FROM tok)),
+        |rare AS (
+        |  SELECT gk FROM grams GROUP BY gk
+        |  HAVING count(*) BETWEEN 2 AND 8),
+        |rg AS (SELECT g.* FROM grams g JOIN rare USING (gk))
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(count(*) AS BIGINT) AS n_shared
+        |FROM rg a JOIN rg b ON a.gk = b.gk AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2 HAVING count(*) >= 2
+        |ORDER BY 1, 2""".stripMargin,
 
     "x55_paragraph_decontam" ->
       """WITH paras AS (

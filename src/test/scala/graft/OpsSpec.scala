@@ -383,6 +383,49 @@ class DedupSpec extends SparkSpec {
       .select("jaccard").as[Double].head()
     assert(j == 1.0)
   }
+
+  test("semanticDedup: cluster-scoped pairs, keep-the-outlier rule, cross-cluster blind spot") {
+    // c0=(1,0), c1=(0,1); a/b are near-dups in cluster 0 with a CLOSER to
+    // the centroid than b -> a drops, b (the outlier) survives; c sits
+    // alone in cluster 1; e/f are a near-dup pair SPLIT across clusters —
+    // the documented scoping trade means they are NOT paired
+    val emb = Seq(
+      (1L, Seq(1.0, 0.01)), (2L, Seq(1.0, 0.02)), (3L, Seq(0.02, 1.0)),
+      (4L, Seq(0.7, 0.72)), (5L, Seq(0.72, 0.7))
+    ).toDF("vec_id", "v")
+    val cents = Seq((0L, Seq(1.0, 0.0)), (1L, Seq(0.0, 1.0)))
+      .toDF("cid", "cv")
+    val out = Dedup.semanticDedup(emb, "vec_id", "v", cents, "cid", "cv", 0.99)
+      .select("vec_id", "cluster_id", "is_dup", "kept")
+      .as[(Long, Long, Boolean, Boolean)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    assert(out(1L) == ((0L, true, false)), out)  // closer to centroid: dropped
+    assert(out(2L) == ((0L, true, true)), out)   // outlier kept
+    assert(out(3L) == ((1L, false, true)), out)
+    assert(out(4L) == ((1L, false, true)), out)  // cross-cluster near-dup:
+    assert(out(5L) == ((0L, false, true)), out)  // unseen by design
+  }
+
+  test("rareNgramPairs: df cap drops boilerplate grams, minShared prunes weak links") {
+    // d1/d2 are exact copies (share every trigram); d3 shares exactly ONE
+    // trigram with them (below minShared=2); ten boilerplate docs share a
+    // trigram with df=10 > maxDf=8, which must produce NO pairs
+    val docs = (Seq(
+      (1L, "q w e r t"), (2L, "q w e r t"), (3L, "z x q w e")) ++
+      (10L until 20L).map(i => (i, s"common gram here filler$i"))
+    ).toDF("doc_id", "text")
+    val out = Dedup.rareNgramPairs(docs, "doc_id", "text",
+        n = 3, maxDf = 8, minShared = 2)
+      .select("id_a", "id_b", "n_shared").as[(Long, Long, Long)]
+      .collect().toSet
+    assert(out == Set((1L, 2L, 3L)), out)
+    // minShared=1 admits the single-gram link (and the boilerplate group
+    // still yields nothing: its shared gram is above the df cap)
+    val loose = Dedup.rareNgramPairs(docs, "doc_id", "text",
+        n = 3, maxDf = 8, minShared = 1)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(loose == Set((1L, 2L), (1L, 3L), (2L, 3L)), loose)
+  }
 }
 
 class SimilaritySpec extends SparkSpec {
@@ -1139,6 +1182,61 @@ class TextAnalysisSpec extends SparkSpec {
       "shard", "token_cnt")
       .select("shard", "pack_id", "n_docs").as[(String, Long, Long)].collect().toSet
     assert(stats == Set(("a", 0L, 2L), ("a", 1L, 1L), ("b", 0L, 1L), ("b", 2L, 1L)))
+  }
+
+  test("globalTokenOffsets: two-level scan equals the naive global running sum") {
+    val df = Seq(
+      (1L, "a", 10), (2L, "a", 5), (3L, "a", 7),
+      (1L, "b", 100), (4L, "b", 1),
+      (9L, "c", 3)
+    ).toDF("doc_id", "shard", "n_tokens")
+    val out = graft.ops.Packing.globalTokenOffsets(df, "shard", "doc_id",
+        "n_tokens")
+      .select("shard", "doc_id", "offset").as[(String, Long, Long)]
+      .collect().map(r => (r._1, r._2) -> r._3).toMap
+    // naive oracle: running sum over the (shard, doc_id) global order
+    assert(out == Map(
+      ("a", 1L) -> 0L, ("a", 2L) -> 10L, ("a", 3L) -> 15L,
+      ("b", 1L) -> 22L, ("b", 4L) -> 122L,
+      ("c", 9L) -> 123L), out)
+  }
+
+  test("hashedLinearScore: map-only plan, explode-formulation equality, zero-weight sigmoid") {
+    val df = Seq((1L, "alpha beta gamma"), (2L, "alpha alpha"), (3L, ""))
+      .toDF("doc_id", "text")
+    val w = (0 until 32).map(i => ((i * 13 + 5) % 11 - 5) / 5.0).toArray
+    val out = graft.ops.TextAnalysis.hashedLinearScore(df, "doc_id", "text",
+      w, bias = 0.1)
+    // zero shuffles: model rides as a literal, scoring is one projection
+    assert(!out.queryExecution.executedPlan.toString.contains("Exchange"))
+    // independent formulation: explode features, bucket, sum via groupBy —
+    // different plan, same math (pins hashing, bigrams, and the fold)
+    val toks = filter(split(trim(lower(col("text"))), "\\s+"),
+      t => length(t) > 0)
+    val nBg = greatest(size(toks) - 1, lit(0))
+    val feats = concat(toks, zip_with(
+      slice(toks, lit(1), nBg), slice(toks, lit(2), nBg),
+      (x, y) => concat(x, lit("_"), y)))
+    val wLit = array(w.map(lit(_)): _*)
+    val expected = df
+      .select(col("doc_id"), explode(feats).as("f"))
+      .withColumn("b", pmod(
+        conv(substring(md5(col("f").cast("binary")), 1, 8), 16, 10)
+          .cast("long"), lit(32L)))
+      .groupBy("doc_id")
+      .agg(sum(element_at(wLit, col("b").cast("int") + 1)).as("z"))
+      .select(col("doc_id"),
+        round(lit(1.0) / (lit(1.0) + exp(-(col("z") + 0.1))), 6).as("s"))
+      .as[(Long, Double)].collect().toMap
+    val got = out.select("doc_id", "score").as[(Long, Double)]
+      .collect().toMap
+    assert(got(1L) == expected(1L) && got(2L) == expected(2L), (got, expected))
+    // empty doc: no features -> sigmoid(bias) exactly
+    assert(got(3L) == math.round(1e6 / (1.0 + math.exp(-0.1))) / 1e6)
+    // n_features = unigrams + bigrams
+    val nf = out.select("doc_id", "n_features").as[(Long, Int)]
+      .collect().toMap
+    assert(nf == Map(1L -> 5, 2L -> 3, 3L -> 0), nf)
   }
 
   test("boilerplateFilters flags code, lorem ipsum, js walls, short docs") {
