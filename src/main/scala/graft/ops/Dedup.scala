@@ -723,20 +723,30 @@ object Dedup {
         transform(sequence(lit(0), size(toks) - n),
           i => array_join(slice(toks, i + 1, lit(n)), " ")))
       .otherwise(array().cast("array<string>"))
+    // per-doc dedup happens MAP-SIDE (array_distinct before the explode),
+    // so (id, gk) rows are already unique and the corpus-sized global
+    // distinct shuffle the naive formulation starts with never exists
     val keyed = df
-      .select(col(idCol).as("id"), explode(grams).as("__g"))
-      .select(col("id"),
-        conv(substring(md5(col("__g").cast("binary")), 1, 15), 16, 10)
-          .cast("long").as("gk"))
-      .distinct()
-    val rareKeys = keyed.groupBy(col("gk"))
+      .select(col(idCol).as("id"),
+        explode(array_distinct(transform(grams, g =>
+          conv(substring(md5(g.cast("binary")), 1, 15), 16, 10)
+            .cast("long")))).as("gk"))
+    val counts = keyed.groupBy(col("gk"))
       .agg(count(lit(1)).as("__df"))
       .filter(col("__df").between(2, maxDf))
       .select(col("gk"))
-    val rare = keyed.join(rareKeys, Seq("gk"))
-    rare.select(col("gk"), col("id").as("id_a"))
-      .join(rare.select(col("gk"), col("id").as("id_b")), Seq("gk"))
-      .filter(col("id_a") < col("id_b"))
+    // after the df filter every group holds <= maxDf ids, so the
+    // collect_list is bounded by construction (never a skewed-group
+    // hazard) and the pair expansion is map-side combinatorics over a
+    // tiny sorted array; the gk aggregate reuses the join's partitioning,
+    // so the whole op is three exchanges: df count, semi-join, pair count
+    val rare = keyed.join(counts, Seq("gk"))
+    rare.groupBy(col("gk"))
+      .agg(sort_array(collect_list(col("id"))).as("__ids"))
+      .select(explode(flatten(transform(col("__ids"), (a, i) =>
+        transform(slice(col("__ids"), i + 2, size(col("__ids"))),
+          b => struct(a.as("id_a"), b.as("id_b")))))).as("__p"))
+      .select(col("__p.id_a"), col("__p.id_b"))
       .groupBy(col("id_a"), col("id_b"))
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)

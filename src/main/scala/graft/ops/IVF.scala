@@ -360,17 +360,87 @@ object IVF {
     writeVectorShard(assign(emb, vecCol, readModel(spark, root)),
       root, shardId)
 
+  /** Tombstone a set of vector ids in an appendable index — the DELETE
+    * leg of the index lifecycle (GDPR erasure, recalled documents,
+    * re-embedded replacements). Nothing in the (large) vectors tree is
+    * touched: the ids land as a narrow tombstone shard under
+    * `tombstones/delete_shard=<shardId>/`, the same idempotent
+    * dynamic-partition append contract as [[appendVectors]] — a replayed
+    * delete overwrites its own shard and converges. Search masks
+    * tombstoned ids at read time; [[compactVectors]] applies them
+    * physically and clears them. The tombstone set is expected to stay
+    * small relative to the index between compactions (it rides a
+    * broadcast into the search anti-join — same bounded-side contract as
+    * the probe frame); compact when it grows. */
+  def deleteVectors(spark: org.apache.spark.sql.SparkSession, root: String,
+      ids: DataFrame, idCol: String, shardId: String): Unit = {
+    readModel(spark, root) // heal a crashed rebuild swap before writing
+    ids.select(col(idCol).as("tomb_id")).distinct()
+      .withColumn("delete_shard", lit(shardId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("delete_shard")
+      .parquet(s"$root/tombstones")
+  }
+
+  /** The live tombstone frame, if any deletes have been issued. */
+  private def tombstoneFrame(spark: org.apache.spark.sql.SparkSession,
+      root: String): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(s"$root/tombstones")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) Some(spark.read.parquet(p.toString)) else None
+  }
+
+  /** Apply accumulated tombstones physically and collapse the per-shard
+    * partition dirs (the small-files problem — the same maintenance role
+    * as [[graft.ops.IncrementalDedup.compactShards]]): rewrite the
+    * vectors tree minus tombstoned ids into a single `shardId` ingest
+    * shard, carry the centroids over unchanged, and promote with the
+    * stage/retire/promote swap — the tombstone dir is simply not copied
+    * into the new generation, so a crash at ANY point leaves either the
+    * old generation (tombstones intact, still masked at read) or the new
+    * one (deletes applied, tombstones gone); never a state where deleted
+    * ids resurface. */
+  def compactVectors(spark: org.apache.spark.sql.SparkSession, root: String,
+      idCol: String, shardId: String = "compacted"): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    graft.streaming.EventStreams.recoverUpsertTarget(fs, root)
+    val vectors = spark.read.parquet(s"$root/vectors")
+    val live = tombstoneFrame(spark, root) match {
+      case Some(t) => vectors.join(
+        broadcast(t.select(col("tomb_id"))),
+        vectors(idCol) === col("tomb_id"), "left_anti")
+      case None => vectors
+    }
+    val stageRoot = root + "__stage"
+    // stage FIRST — the rewrite reads the live generation
+    writeVectorShard(live.drop("ingest_shard"), stageRoot, shardId)
+    val cents = spark.read.parquet(s"$root/centroids")
+    cents.coalesce(1).write.mode("overwrite")
+      .parquet(s"$stageRoot/centroids")
+    promoteStaged(fs, root, stageRoot)
+  }
+
   /** Batched ANN over the appendable index ([[writeIndexAppendable]] +
     * [[appendVectors]] output): probe semantics identical to
     * [[searchBatch]] (pinned by spec/oracle), prune lands as
-    * PartitionFilters on the leading centroid_id directory level. */
+    * PartitionFilters on the leading centroid_id directory level.
+    * Tombstoned ids ([[deleteVectors]]) are masked via a broadcast
+    * anti-join that the centroid prune pushes straight through. */
   def searchBatchAppendable(spark: org.apache.spark.sql.SparkSession,
       root: String, queries: DataFrame, idCol: String, vecCol: String,
       qidCol: String, k: Int, nprobe: Int = 4): DataFrame = {
     // readModel FIRST: it heals a crashed rebuild swap, and the vectors
     // scan below must resolve against the healed root
     val model = readModel(spark, root)
-    searchBatchPruned(spark, spark.read.parquet(s"$root/vectors"), queries,
+    val idx = spark.read.parquet(s"$root/vectors")
+    val masked = tombstoneFrame(spark, root) match {
+      case Some(t) => idx.join(broadcast(t.select(col("tomb_id"))),
+        idx(idCol) === col("tomb_id"), "left_anti")
+      case None => idx
+    }
+    searchBatchPruned(spark, masked, queries,
       idCol, vecCol, qidCol, model, k, nprobe)
   }
 

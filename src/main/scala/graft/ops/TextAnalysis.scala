@@ -452,6 +452,77 @@ object TextAnalysis {
       .withColumn("label", col("score") > 0.5)
   }
 
+  /** Iterative BPE merge-rule induction (Sennrich et al. 2016) — the
+    * tokenizer-training step itself, not just [[bpePairCounts]]'s one
+    * round of statistics: starting from characters, repeatedly merge the
+    * most frequent adjacent symbol pair (count desc, then (left, right)
+    * lexicographic — deterministic) and emit the learned rules in order.
+    *
+    * Scale architecture: the ONLY corpus-sized work is one distributed
+    * word-frequency aggregate; the merge loop then runs driver-side over
+    * the vocab-sized (word, freq) state — exactly how production BPE
+    * trainers (HuggingFace tokenizers, SentencePiece) are built, because
+    * merge rounds are inherently sequential and the state after the
+    * aggregate is vocabulary-sized, not corpus-sized. The same
+    * bounded-driver-cutover contract as
+    * [[graft.ops.Dedup.resolveClusters]]: the collect is capped on
+    * ACTUAL row count (`limit(maxVocab+1)`, not a byte estimate) and
+    * refuses loudly rather than silently truncating. Symbols are UTF-16
+    * code units at round zero (ASCII-safe; the synthetic corpora here
+    * are ASCII).
+    *
+    * Output: (merge_idx, left_sym, right_sym, pair_count) — one row per
+    * learned merge, fewer than `numMerges` if pairs run dry. Pair counts
+    * are non-increasing across rounds (a merged pair (x, lr) can only
+    * appear where (x, l) did), which the spec pins. */
+  def bpeLearn(df: DataFrame, textCol: String, numMerges: Int,
+      maxVocab: Int = 1000000): DataFrame = {
+    require(numMerges >= 1 && maxVocab >= 1)
+    val spark = df.sparkSession
+    val rows = df
+      .select(explode(tokens(lower(col(textCol)))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+      .limit(maxVocab + 1).collect()
+    require(rows.length <= maxVocab,
+      s"word vocabulary exceeds maxVocab=$maxVocab; raise the cap (the " +
+        "merge loop is driver-side by design — see scaladoc)")
+    var words: Array[(Array[String], Long)] = rows.map(r =>
+      (r.getString(0).map(_.toString).toArray, r.getLong(1)))
+    val merges =
+      scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var i = 0
+    var dry = false
+    while (i < numMerges && !dry) {
+      val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      for ((syms, f) <- words; j <- 0 until syms.length - 1) {
+        val k = (syms(j), syms(j + 1))
+        counts(k) = counts.getOrElse(k, 0L) + f
+      }
+      if (counts.isEmpty) dry = true
+      else {
+        val ((l, r), c) = counts.minBy { case ((l, r), c) => (-c, l, r) }
+        merges += ((i, l, r, c))
+        words = words.map { case (syms, f) => (mergePair(syms, l, r), f) }
+        i += 1
+      }
+    }
+    import spark.implicits._
+    merges.toSeq.toDF("merge_idx", "left_sym", "right_sym", "pair_count")
+  }
+
+  /** Left-to-right non-overlapping application of one merge rule. */
+  private def mergePair(syms: Array[String], l: String,
+      r: String): Array[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var j = 0
+    while (j < syms.length) {
+      if (j < syms.length - 1 && syms(j) == l && syms(j + 1) == r) {
+        out += (l + r); j += 2
+      } else { out += syms(j); j += 1 }
+    }
+    out.toArray
+  }
+
   /** CCNet-style statistical quality score: per-document unigram negative
     * log-likelihood under the corpus's OWN unigram distribution — the
     * in-engine proxy for the KenLM perplexity filters production

@@ -826,6 +826,54 @@ object ExtensionQueries {
         .withColumn("partition_pruned", lit(prunedOk))
     }),
 
+    // Index DELETE lifecycle (x69): tombstone ids spanning base AND
+    // appended shards, search must equal brute probe semantics over the
+    // surviving corpus with the prune intact; compaction applies
+    // tombstones physically (clearing them) and changes no answer. The
+    // frame-equality-boolean family of x50.
+    "x69_ivf_delete" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val base = emb.filter(col("vec_id") % 5 =!= 0)
+      val shard = emb.filter(col("vec_id") % 5 === 0)
+      val model = IVF.train(base, "vec_id", "embedding", nc = 16, iters = 3)
+      val idx = ParityQueries.tmpPath("graft_ivf_del", dir)
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(idx))
+      IVF.writeIndexAppendable(IVF.assign(base, "embedding", model), idx,
+        model, "base")
+      IVF.appendVectors(s, idx, shard, "embedding", "s1")
+      // deletes hit appended rows (%10==0) and base rows (%10==1)
+      val doomed = emb.filter(col("vec_id") % 10 <= 1)
+      IVF.deleteVectors(s, idx, doomed, "vec_id", "d1")
+      val q = emb.filter(col("vec_id") % 10 === 7).limit(5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+      val afterDelete = IVF.searchBatchAppendable(s, idx, q, "vec_id",
+        "embedding", "query_id", k = 10, nprobe = 4)
+      val prunedOk = "PartitionFilters: \\[[^\\]]*centroid_id".r
+        .findFirstIn(afterDelete.queryExecution.executedPlan.toString)
+        .isDefined
+      val ref = IVF.searchBatch(
+        IVF.assign(emb.filter(col("vec_id") % 10 > 1), "embedding", model),
+        q, "vec_id", "embedding", "query_id", model, k = 10, nprobe = 4)
+      val delMatches = afterDelete.exceptAll(ref)
+        .unionByName(ref.exceptAll(afterDelete)).isEmpty
+      val noDeleted = afterDelete.filter(col("vec_id") % 10 <= 1).isEmpty
+      IVF.compactVectors(s, idx, "vec_id", "c1")
+      val afterCompact = IVF.searchBatchAppendable(s, idx, q, "vec_id",
+        "embedding", "query_id", k = 10, nprobe = 4)
+      val compactMatches = afterCompact.exceptAll(ref)
+        .unionByName(ref.exceptAll(afterCompact)).isEmpty
+      val tombsGone = !new java.io.File(s"$idx/tombstones").exists()
+      val nLive = s.read.parquet(s"$idx/vectors").count()
+      emb.agg(count(lit(1)).as("n_vectors"),
+          sum(when(col("vec_id") % 10 <= 1, 1).otherwise(0)).cast("long")
+            .as("n_deleted"))
+        .withColumn("n_live_after_compact", lit(nLive))
+        .withColumn("delete_masks_search", lit(delMatches && noDeleted))
+        .withColumn("compact_preserves_answers", lit(compactMatches))
+        .withColumn("tombstones_cleared", lit(tombsGone))
+        .withColumn("partition_pruned", lit(prunedOk))
+    }),
+
     // Retraction feed after cluster-root changes, ORACLE-CHECKED per doc —
     // the republication gap incremental publishing leaves open (a later
     // shard changes labels of docs whose survivor reports already shipped;
@@ -1090,8 +1138,19 @@ object ExtensionQueries {
         .orderBy(col("doc_id"))
     }),
 
-    // (x64-x67 are the round-8 additions: hashed classifier, SemDeDup,
-    // token offsets, rare-n-gram links)
+    // (x64-x68 are the round-8 additions: hashed classifier, SemDeDup,
+    // token offsets, rare-n-gram links, BPE learn)
+
+    // Iterative BPE merge learning on the classic fixture corpus; the
+    // merge sequence is hand-derived ((u,g)x5 -> (h,ug)x4 -> (u,n)x2 ->
+    // tie broken lexicographically to (b,un)) and the oracle pins it as
+    // literal rows — q35's local-fixture precedent
+    "x68_bpe_learn" -> ((s, dir) => {
+      import s.implicits._
+      val corpus = Seq("hug hug hug hugs pug pun bun").toDF("text")
+      TextAnalysis.bpeLearn(corpus, "text", numMerges = 4)
+        .orderBy(col("merge_idx"))
+    }),
     // Rare-n-gram document linking (exact candidate generation): a
     // bounded fixture plants a 4-token group tail on every doc (groups
     // of ~4 via doc_id % 150), so same-group docs share 2 pure-tail
@@ -1497,6 +1556,18 @@ object ExtensionQueries {
         |    AS n_appended,
         |  CAST(5 AS BIGINT) AS n_queries,
         |  TRUE AS append_matches_full,
+        |  TRUE AS partition_pruned
+        |FROM embeddings""".stripMargin,
+
+    "x69_ivf_delete" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_vectors,
+        |  CAST(sum(CASE WHEN vec_id % 10 <= 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_deleted,
+        |  CAST(count(*) - sum(CASE WHEN vec_id % 10 <= 1 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_live_after_compact,
+        |  TRUE AS delete_masks_search,
+        |  TRUE AS compact_preserves_answers,
+        |  TRUE AS tombstones_cleared,
         |  TRUE AS partition_pruned
         |FROM embeddings""".stripMargin,
 
@@ -2036,6 +2107,14 @@ object ExtensionQueries {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
         |    AS offset
         |FROM tok ORDER BY doc_id""".stripMargin,
+
+    "x68_bpe_learn" ->
+      """SELECT CAST(0 AS INTEGER) AS merge_idx, 'u' AS left_sym,
+        |  'g' AS right_sym, CAST(5 AS BIGINT) AS pair_count
+        |UNION ALL SELECT 1, 'h', 'ug', 4
+        |UNION ALL SELECT 2, 'u', 'n', 2
+        |UNION ALL SELECT 3, 'b', 'un', 1
+        |ORDER BY merge_idx""".stripMargin,
 
     "x67_rare_ngram_pairs" ->
       """WITH docs AS (

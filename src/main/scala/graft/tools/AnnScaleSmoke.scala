@@ -125,6 +125,18 @@ object AnnScaleSmoke {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     println(s"[ann-scale] int8-rerank recall@10 = " +
       s"${qrSet.intersect(bruteSet).size}/${bruteSet.size}")
+    // r8: SemDeDup at a 100k slice with 256 centroids — the pairwise
+    // stage is sum(|cluster|^2) ~ (n/k)*n cosines, not n^2
+    val sdCorpus = corpus.filter(col("vec_id") < 100000)
+      .select(col("vec_id"), transform(col("embedding"),
+        x => x.cast("double")).as("v"))
+    val sdCents = sdCorpus.filter(col("vec_id") < 256)
+      .select(col("vec_id").as("cid"), col("v").as("cv"))
+    val sdKept = time("SemDeDup (100k vectors, 256 centroids)")(
+      graft.ops.Dedup.semanticDedup(sdCorpus, "vec_id", "v",
+          sdCents, "cid", "cv", 0.95)
+        .agg(sum(when(col("kept"), 0).otherwise(1))).head().getLong(0))
+    println(s"[ann-scale] semdedup removed=$sdKept of 100000")
     spark.stop()
   }
 }

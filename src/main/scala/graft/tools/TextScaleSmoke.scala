@@ -99,6 +99,27 @@ object TextScaleSmoke {
         .agg(sum("n_removed")).head())
     time("BPE pair counts (vocab-sized 2nd stage)")(
       TextAnalysis.bpePairCounts(corpus, "text", k = 30).count())
+    // r8 batch 2: classifier inference is map-only (model rides as a
+    // literal); offsets are the two-level scan; rare-gram links get a
+    // planted 4-doc group tail so the df window has hits at this scale
+    time("hashed linear classifier (map-only)")(
+      TextAnalysis.hashedLinearScore(corpus, "doc_id", "text",
+          (0 until 1024).map(i => ((i * 37 + 11) % 21 - 10) / 10.0).toArray)
+        .agg(sum(when(col("label"), 1).otherwise(0)), avg("score")).head())
+    time("global token offsets (two-level scan)")(
+      graft.ops.Packing.globalTokenOffsets(
+          corpus.withColumn("n_tokens", TextAnalysis.tokenCount(col("text"))),
+          "lang", "doc_id", "n_tokens")
+        .agg(max(col("offset"))).head())
+    time("rare-ngram links (df-capped join)")(
+      graft.ops.Dedup.rareNgramPairs(
+          corpus.select(col("doc_id"), concat(col("text"),
+            lit(" ra"), pmod(col("doc_id"), lit(250000)).cast("string"),
+            lit(" rb"), pmod(col("doc_id"), lit(250000)).cast("string"),
+            lit(" rc"), pmod(col("doc_id"), lit(250000)).cast("string"),
+            lit(" rd"), pmod(col("doc_id"), lit(250000)).cast("string"))
+            .as("text")),
+          "doc_id", "text", n = 3, maxDf = 8, minShared = 2).count())
     spark.stop()
   }
 }

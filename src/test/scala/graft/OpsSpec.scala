@@ -679,6 +679,52 @@ class SimilaritySpec extends SparkSpec {
     assert(!fs.exists(p(s"${root}__stage")) && !fs.exists(p(s"${root}__old")))
   }
 
+  test("IVF deletes: tombstones mask search, replay idempotent, compact applies and clears") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val model = graft.ops.IVF.train(emb, "vec_id", "embedding", nc = 8, iters = 2)
+    val root = java.nio.file.Files.createTempDirectory("ivf_del").toString + "/idx"
+    graft.ops.IVF.writeIndexAppendable(
+      graft.ops.IVF.assign(emb, "embedding", model), root, model, "init")
+    val queries = emb.filter($"vec_id".isin(3L, 7L))
+      .select($"vec_id".as("query_id"), $"embedding".as("qvec"))
+    def viaIndex = graft.ops.IVF.searchBatchAppendable(spark, root, queries,
+      "vec_id", "embedding", "query_id", k = 8, nprobe = 3)
+      .as[(Long, Long, Double)].collect().toSet
+    def refOver(surviving: org.apache.spark.sql.DataFrame) =
+      graft.ops.IVF.searchBatch(
+        graft.ops.IVF.assign(surviving, "embedding", model), queries,
+        "vec_id", "embedding", "query_id", model, k = 8, nprobe = 3)
+        .as[(Long, Long, Double)].collect().toSet
+    val doomed = emb.filter($"vec_id" % 10 === 0)
+    graft.ops.IVF.deleteVectors(spark, root, doomed, "vec_id", "d1")
+    val ref1 = refOver(emb.filter($"vec_id" % 10 =!= 0))
+    assert(viaIndex == ref1, "tombstones must mask search results")
+    // crash-replay of the same delete shard converges (dynamic overwrite)
+    graft.ops.IVF.deleteVectors(spark, root, doomed, "vec_id", "d1")
+    assert(spark.read.parquet(s"$root/tombstones").count() == doomed.count())
+    assert(viaIndex == ref1)
+    // a second delete shard accumulates
+    graft.ops.IVF.deleteVectors(spark, root,
+      emb.filter($"vec_id" % 10 === 1), "vec_id", "d2")
+    val ref2 = refOver(emb.filter($"vec_id" % 10 > 1))
+    assert(viaIndex == ref2)
+    // compact: physically applies tombstones, clears them, collapses the
+    // per-shard dirs, and changes no answer
+    graft.ops.IVF.compactVectors(spark, root, "vec_id", "c1")
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$root/tombstones")))
+    val live = spark.read.parquet(s"$root/vectors")
+    assert(live.count() == emb.filter($"vec_id" % 10 > 1).count())
+    assert(live.select("ingest_shard").distinct()
+      .as[String].collect().toSeq == Seq("c1"))
+    assert(viaIndex == ref2, "compaction must not change answers")
+    // death between retire and promote mid-compact: readers heal
+    require(fs.rename(new org.apache.hadoop.fs.Path(root),
+      new org.apache.hadoop.fs.Path(s"${root}__old")))
+    assert(viaIndex == ref2, "reader must restore the retired generation")
+  }
+
   test("batched kNN equals N single-query calls (brute force, LSH, IVF)") {
     // the batch searchers are the production retrieval surface; this pins
     // each one to the corresponding single-query baseline over real vectors
@@ -1182,6 +1228,33 @@ class TextAnalysisSpec extends SparkSpec {
       "shard", "token_cnt")
       .select("shard", "pack_id", "n_docs").as[(String, Long, Long)].collect().toSet
     assert(stats == Set(("a", 0L, 2L), ("a", 1L, 1L), ("b", 0L, 1L), ("b", 2L, 1L)))
+  }
+
+  test("bpeLearn: classic corpus merges, dry-out, monotone counts, vocab cap") {
+    val df = Seq("hug hug hug hugs pug pun bun").toDF("text")
+    val got = graft.ops.TextAnalysis.bpeLearn(df, "text", numMerges = 4)
+      .as[(Int, String, String, Long)].collect().toSeq
+    assert(got == Seq((0, "u", "g", 5L), (1, "h", "ug", 4L),
+      (2, "u", "n", 2L), (3, "b", "un", 1L)), got)
+    // single-char words have no pairs: the loop runs dry at zero merges
+    assert(graft.ops.TextAnalysis.bpeLearn(
+      Seq("a b a").toDF("text"), "text", numMerges = 5).count() == 0)
+    // real corpus: counts are non-increasing across rounds (a merged
+    // pair (x, lr) only appears where (x, l) did), and the run is
+    // deterministic end-to-end
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val m1 = graft.ops.TextAnalysis.bpeLearn(docs, "text", numMerges = 12)
+      .as[(Int, String, String, Long)].collect().toSeq
+    assert(m1.size == 12)
+    assert(m1.map(_._4).sliding(2).forall(w => w(0) >= w(1)), m1)
+    val m2 = graft.ops.TextAnalysis.bpeLearn(docs, "text", numMerges = 12)
+      .as[(Int, String, String, Long)].collect().toSeq
+    assert(m1 == m2)
+    // the driver collect refuses oversized vocabularies loudly
+    val e = intercept[IllegalArgumentException] {
+      graft.ops.TextAnalysis.bpeLearn(docs, "text", 2, maxVocab = 10)
+    }
+    assert(e.getMessage.contains("maxVocab"))
   }
 
   test("globalTokenOffsets: two-level scan equals the naive global running sum") {

@@ -161,6 +161,34 @@ class PlanGuardSpec extends SparkSpec {
     assert(flags == Seq(true), s"bucketed join planned a shuffle: $flags")
   }
 
+  test("x65/x66: centroids and shard bases broadcast; no corpus-global window") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // semanticDedup: the centroid table rides a BroadcastNestedLoopJoin
+    // (small side broadcast), never a shuffled cartesian of the corpus
+    val emb = (0 until 100).map(i =>
+      (i.toLong, Seq(i * 0.1, 1.0, (i % 7) * 0.3))).toDF("vec_id", "v")
+    val cents = Seq((0L, Seq(1.0, 0.0, 0.0)), (1L, Seq(0.0, 1.0, 0.0)))
+      .toDF("cid", "cv")
+    val sd = graft.ops.Dedup.semanticDedup(emb, "vec_id", "v",
+      cents, "cid", "cv", 0.95)
+    sd.collect()
+    val sdPlan = sd.queryExecution.executedPlan.toString
+    assert(sdPlan.contains("BroadcastNestedLoopJoin"), sdPlan.take(800))
+    assert(!sdPlan.contains("CartesianProduct"), sdPlan.take(800))
+    // globalTokenOffsets: the only unpartitioned window runs over the
+    // shard-count-sized base table; the corpus window is shard-partitioned
+    // and the base join broadcasts
+    val docs = (0 until 100).map(i => (i.toLong, s"s${i % 4}", i % 9))
+      .toDF("doc_id", "shard", "n_tokens")
+    val off = graft.ops.Packing.globalTokenOffsets(docs, "shard",
+      "doc_id", "n_tokens")
+    off.collect()
+    val offPlan = off.queryExecution.executedPlan.toString
+    assert(offPlan.contains("BroadcastExchange"), offPlan.take(800))
+    assert(offPlan.contains("hashpartitioning(shard"), offPlan.take(800))
+  }
+
   test("incremental-dedup probe: shard exclusion is partition pruning; index never shuffles") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
