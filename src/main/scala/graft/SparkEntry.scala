@@ -51,7 +51,7 @@ import graft.queries.{ExtensionQueries, ParityQueries}
   *    per-source KL drift diagnostics, dataset-version diffing,
   *    multimodal features, embedding
   *    stats, stratified sampling, sketches
-  *  - x47-x60: distribution profiling, incremental-dedup index lifecycle
+  *  - x47-x69: distribution profiling, incremental-dedup index lifecycle
   *    (ingest, state-equality, retraction feeds), appendable IVF index,
   *    republish/retraction deltas, reproducible corpus shuffle,
   *    quality-curriculum sampling, cross-dataset priority dedup,
@@ -60,7 +60,10 @@ import graft.queries.{ExtensionQueries, ParityQueries}
   *    dedup), asymmetric n-gram containment, BPE pair counts,
   *    temperature (alpha) mixture weights, int8-quantized retrieval with
   *    exact re-rank, URL canonicalization dedup, intra-document line
-  *    dedup
+  *    dedup, hashed linear quality-classifier inference, SemDeDup
+  *    cluster-scoped semantic dedup, global token-stream offsets,
+  *    rare-n-gram document linking, iterative BPE merge learning, IVF
+  *    tombstone-delete lifecycle (mask/compact)
   */
 object SparkEntry {
 

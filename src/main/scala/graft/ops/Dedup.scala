@@ -634,24 +634,27 @@ object Dedup {
 
   /** SemDeDup (Abbas et al. 2023): semantic deduplication scoped to
     * embedding-space clusters. Vectors are assigned to their
-    * nearest-by-cosine centroid (broadcast centroid table, map-side
-    * argmax — ties broken by centroid id), pairwise cosine runs only
-    * WITHIN a cluster, and of each above-`threshold` pair the member
-    * CLOSER to its centroid is dropped — the paper's keep-the-outlier
-    * rule, which retains the most diverse representative (tie on
-    * centroid similarity: the larger id drops).
+    * nearest-by-cosine centroid (ties broken by smallest centroid id),
+    * pairwise cosine runs only WITHIN a cluster, and of each
+    * above-`threshold` pair the member CLOSER to its centroid is
+    * dropped — the paper's keep-the-outlier rule, which retains the most
+    * diverse representative (tie on centroid similarity: the larger id
+    * drops).
     *
     * Scale shape: this is the production path that makes embedding dedup
     * tractable where [[cosinePairsExact]] (all-pairs) cannot be — the
     * quadratic compare is confined to one cluster, so cost is
     * sum(|cluster|^2) not n^2; with k centroids sized so n/k is bounded
     * (the paper runs k-means with k in the tens of thousands at
-    * LAION scale), per-cluster work stays flat as the corpus grows. One
-    * broadcast of the (small) centroid table, one hash exchange on
-    * cluster_id for the self-join, then flag joins that carry only
-    * 8-byte ids. A skewed giant cluster is the operator's known hazard —
-    * mitigate upstream with more centroids (the [[cosinePairsLsh]]
-    * bucket cap is the same trade).
+    * LAION scale), per-cluster work stays flat as the corpus grows. The
+    * centroid table is driver-small by the same contract as
+    * [[IVF.Model]], so assignment collects it once and burns the argmax
+    * into ONE map-only literal expression ([[IVF]]'s train/assign
+    * shape) — no join, no window, no shuffle of any kind for the assign
+    * stage; then one hash exchange on cluster_id for the self-join and
+    * flag joins that carry only 8-byte ids. A skewed giant cluster is
+    * the operator's known hazard — mitigate upstream with more centroids
+    * (the [[cosinePairsLsh]] bucket cap is the same trade).
     *
     * Output: one row per input vector — (id, cluster_id, centroid_sim
     * rounded 6dp, is_dup = participates in any above-threshold pair,
@@ -659,18 +662,28 @@ object Dedup {
   def semanticDedup(emb: DataFrame, idCol: String, vecCol: String,
       centroids: DataFrame, cidCol: String, cvecCol: String,
       threshold: Double): DataFrame = {
-    val sims = emb.crossJoin(broadcast(
-        centroids.select(col(cidCol).as("__cid"), col(cvecCol).as("__cv"))))
-      .withColumn("__csim",
-        round(Similarity.cosine(col(vecCol), col("__cv")), 6))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(idCol))
-      .orderBy(col("__csim").desc, col("__cid"))
-    val assigned = sims
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .select(col(idCol), col(vecCol), col("__cid").as("cluster_id"),
-        col("__csim").as("centroid_sim"))
+    val cents: Array[(Long, Array[Double])] = centroids
+      .select(col(cidCol).cast("long"), col(cvecCol))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    require(cents.nonEmpty, "need at least one centroid")
+    require(cents.forall(_._1 != Long.MinValue),
+      "centroid id Long.MinValue unsupported (negated for tie-breaking)")
+    // max over (csim, -cid) structs = best cosine, then SMALLEST cid —
+    // the same deterministic tie order the DuckDB oracle replays
+    val scored = cents.map { case (cid, cv) =>
+      struct(
+        round(Similarity.cosine(col(vecCol), array(cv.map(lit(_)): _*)), 6)
+          .as("csim"),
+        lit(-cid).as("ncid"))
+    }
+    val assigned = emb
+      .withColumn("__best", array_max(array(scored: _*)))
+      // separate projection on purpose: CollapseProject keeps the
+      // non-cheap __best alias, so the argmax is computed once per row
+      .select(col(idCol), col(vecCol),
+        (-col("__best.ncid")).cast("long").as("cluster_id"),
+        col("__best.csim").as("centroid_sim"))
     val a = assigned.select(col(idCol).as("id_a"), col("cluster_id"),
       col(vecCol).as("__va"), col("centroid_sim").as("__ca"))
     val b = assigned.select(col(idCol).as("id_b"), col("cluster_id"),

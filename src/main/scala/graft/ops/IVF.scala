@@ -250,6 +250,15 @@ object IVF {
           org.apache.spark.sql.types.DoubleType, false), false)))
     spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
       .coalesce(1).write.mode("overwrite").parquet(s"$stageRoot/centroids")
+    // pending tombstones ride into the staged generation: deleted ids
+    // must STAY deleted across a rebuild (the erasure contract says
+    // nothing about re-training), and the retire/delete of the old root
+    // would otherwise silently resurface them. Read happens here — before
+    // the promote touches the live root. compactVectors remains the only
+    // operation that clears tombstones, by applying them.
+    tombstoneFrame(assigned.sparkSession, root).foreach(_.write
+      .mode("overwrite").partitionBy("delete_shard")
+      .parquet(s"$stageRoot/tombstones"))
     promoteStaged(fs, root, stageRoot)
   }
 
@@ -383,12 +392,19 @@ object IVF {
       .parquet(s"$root/tombstones")
   }
 
-  /** The live tombstone frame, if any deletes have been issued. */
+  /** The live tombstone frame, if any deletes have been issued. A delete
+    * batch that matched zero ids leaves a dir with only _SUCCESS (the
+    * dynamic overwrite writes no partition leaves), and reading THAT
+    * would fail schema inference and brick every search — so existence
+    * means actual `delete_shard=` leaves, not just the directory. */
   private def tombstoneFrame(spark: org.apache.spark.sql.SparkSession,
       root: String): Option[DataFrame] = {
     val p = new org.apache.hadoop.fs.Path(s"$root/tombstones")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(p)) Some(spark.read.parquet(p.toString)) else None
+    if (fs.exists(p) && fs.listStatus(p).exists(
+        _.getPath.getName.startsWith("delete_shard=")))
+      Some(spark.read.parquet(p.toString))
+    else None
   }
 
   /** Apply accumulated tombstones physically and collapse the per-shard

@@ -126,18 +126,16 @@ object Similarity {
           lit(0L), (acc, v) => acc + v).cast("double") *
           col("qscale") * col("__qs"))
       .select(col(qidCol), col(idCol), col("approx_score"))
-    val order = Seq(("approx_score", false), (idCol, true))
-    val cand =
-      if (queries.count() <= graft.plans.TopK.defaultMaxGroups)
-        graft.plans.TopK.perGroup(approx, Seq(qidCol), order, k * rerank,
-          maxGroups = Long.MaxValue)
-      else graft.plans.TopK.windowPerGroup(approx, Seq(qidCol), order, k * rerank)
+    val nQ = queries.count() // one cheap job on the SMALL query frame
+    val cand = selectTopK(approx, qidCol,
+      Seq(("approx_score", false), (idCol, true)), k * rerank, nQ)
     val exact = cand
       .join(df.select(col(idCol), col(vecCol)), Seq(idCol))
       .join(broadcast(queries.select(col(qidCol), col("qvec"))), Seq(qidCol))
       .withColumn("cosine_sim", round(cosine(col(vecCol), col("qvec")), 6))
       .select(col(qidCol), col(idCol), col("cosine_sim"))
-    topKPerQuery(exact, qidCol, idCol, k, queries)
+    selectTopK(exact, qidCol, Seq(("cosine_sim", false), (idCol, true)),
+      k, nQ)
   }
 
   /** Per-query k-selection shared by the batch searchers: heap operator
@@ -147,13 +145,19 @@ object Similarity {
     * count is one cheap job; callers' scored plans reference the same
     * frame, so the count does not recompute the search itself. */
   private[ops] def topKPerQuery(scored: DataFrame, qidCol: String,
-      idCol: String, k: Int, queries: DataFrame): DataFrame = {
-    val order = Seq(("cosine_sim", false), (idCol, true))
-    if (queries.count() <= graft.plans.TopK.defaultMaxGroups)
+      idCol: String, k: Int, queries: DataFrame): DataFrame =
+    selectTopK(scored, qidCol, Seq(("cosine_sim", false), (idCol, true)),
+      k, queries.count())
+
+  /** The heap-vs-window selection branch behind [[topKPerQuery]], for
+    * callers that order by other columns or already hold the query
+    * count. */
+  private[ops] def selectTopK(scored: DataFrame, qidCol: String,
+      order: Seq[(String, Boolean)], k: Int, nQueries: Long): DataFrame =
+    if (nQueries <= graft.plans.TopK.defaultMaxGroups)
       graft.plans.TopK.perGroup(scored, Seq(qidCol), order, k,
         maxGroups = Long.MaxValue)
     else graft.plans.TopK.windowPerGroup(scored, Seq(qidCol), order, k)
-  }
 
   /** Sign-random-projection signature: bit j = sign of <v, plane_j> where
     * plane components are hash-derived +-1. Native expression

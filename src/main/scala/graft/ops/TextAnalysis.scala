@@ -350,14 +350,17 @@ object TextAnalysis {
     val lowered = concat(
       lower(regexp_extract(noFrag, "^([a-zA-Z]+://[^/?]*)", 1)),
       regexp_replace(noFrag, "^[a-zA-Z]+://[^/?]*", ""))
+    // a default port also hides before '?' (path-less query URLs)
     val noPort = regexp_replace(
-      regexp_replace(lowered, "^(https://[^/:]*):443(/|$)", "$1$2"),
-      "^(http://[^/:]*):80(/|$)", "$1$2")
-    // two passes: mid-string utm params (global, the trailing & lets
-    // consecutive utm params chain), then a final utm param at the end
-    // together with its dangling separator
+      regexp_replace(lowered, "^(https://[^/:]*):443([/?]|$)", "$1$2"),
+      "^(http://[^/:]*):80([/?]|$)", "$1$2")
+    // two passes: mid-string utm params — anchored on a real separator so
+    // 'my_utm_tracker' style params whose NAME merely contains 'utm_' are
+    // untouched; the (...)+ lets consecutive utm params collapse into the
+    // one kept separator — then a final utm param at the end together
+    // with its dangling separator
     val noUtm = regexp_replace(
-      regexp_replace(noPort, "utm_[a-zA-Z0-9]+=[^&#]*&", ""),
+      regexp_replace(noPort, "([?&])(utm_[a-zA-Z0-9]+=[^&#]*&)+", "$1"),
       "[?&]utm_[a-zA-Z0-9]+=[^&#]*$", "")
     regexp_replace(noUtm, "/$", "")
   }

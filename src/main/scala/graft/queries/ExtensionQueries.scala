@@ -1988,10 +1988,11 @@ object ExtensionQueries {
         |         || regexp_replace(s, '^[a-zA-Z]+://[^/?]*', '') AS s
         |       FROM c1),
         |c3 AS (SELECT doc_id, regexp_replace(regexp_replace(s,
-        |         '^(https://[^/:]*):443(/|$)', '\1\2'),
-        |         '^(http://[^/:]*):80(/|$)', '\1\2') AS s FROM c2),
+        |         '^(https://[^/:]*):443([/?]|$)', '\1\2'),
+        |         '^(http://[^/:]*):80([/?]|$)', '\1\2') AS s FROM c2),
         |c4 AS (SELECT doc_id,
-        |         regexp_replace(s, 'utm_[a-zA-Z0-9]+=[^&#]*&', '', 'g') AS s
+        |         regexp_replace(s, '([?&])(utm_[a-zA-Z0-9]+=[^&#]*&)+',
+        |           '\1', 'g') AS s
         |       FROM c3),
         |c5 AS (SELECT doc_id,
         |         regexp_replace(s, '[?&]utm_[a-zA-Z0-9]+=[^&#]*$', '') AS s

@@ -695,6 +695,12 @@ class SimilaritySpec extends SparkSpec {
         graft.ops.IVF.assign(surviving, "embedding", model), queries,
         "vec_id", "embedding", "query_id", model, k = 8, nprobe = 3)
         .as[(Long, Long, Double)].collect().toSet
+    // an EMPTY delete batch (matched zero ids) leaves a tombstone dir
+    // with no partition leaves — reads must survive it, not die on
+    // schema inference
+    graft.ops.IVF.deleteVectors(spark, root,
+      emb.filter($"vec_id" < 0), "vec_id", "d0")
+    assert(viaIndex == refOver(emb), "empty delete must be a no-op")
     val doomed = emb.filter($"vec_id" % 10 === 0)
     graft.ops.IVF.deleteVectors(spark, root, doomed, "vec_id", "d1")
     val ref1 = refOver(emb.filter($"vec_id" % 10 =!= 0))
@@ -708,6 +714,11 @@ class SimilaritySpec extends SparkSpec {
       emb.filter($"vec_id" % 10 === 1), "vec_id", "d2")
     val ref2 = refOver(emb.filter($"vec_id" % 10 > 1))
     assert(viaIndex == ref2)
+    // a REBUILD over the root carries pending tombstones into the new
+    // generation: erased ids must stay erased across re-training
+    graft.ops.IVF.writeIndexAppendable(
+      graft.ops.IVF.assign(emb, "embedding", model), root, model, "init")
+    assert(viaIndex == ref2, "rebuild must not resurface deleted ids")
     // compact: physically applies tombstones, clears them, collapses the
     // per-shard dirs, and changes no answer
     graft.ops.IVF.compactVectors(spark, root, "vec_id", "c1")
@@ -969,7 +980,13 @@ class TextAnalysisSpec extends SparkSpec {
       ("http://Host.com:80/", "http://host.com"),     // port + trailing /
       ("https://h.com/p?utm_a=1", "https://h.com/p"), // lone utm + dangling ?
       ("https://h.com/p?id=2&utm_last=x", "https://h.com/p?id=2"),
-      ("https://h.com:8443/p", "https://h.com:8443/p") // non-default port kept
+      ("https://h.com:8443/p", "https://h.com:8443/p"), // non-default port kept
+      ("https://h.com:443?id=1", "https://h.com?id=1"), // port before query
+      // a param whose NAME merely contains 'utm_' must survive intact
+      ("https://h.com/p?my_utm_tracker=1&id=2",
+        "https://h.com/p?my_utm_tracker=1&id=2"),
+      // interleaved utm/non-utm params: only real utm params drop
+      ("https://h.com/p?utm_a=1&x=2&utm_b=3&y=4", "https://h.com/p?x=2&y=4")
     ).toDF("url", "expected")
     val out = cases.withColumn("got",
         graft.ops.TextAnalysis.canonicalizeUrl(col("url")))

@@ -164,8 +164,9 @@ class PlanGuardSpec extends SparkSpec {
   test("x65/x66: centroids and shard bases broadcast; no corpus-global window") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
-    // semanticDedup: the centroid table rides a BroadcastNestedLoopJoin
-    // (small side broadcast), never a shuffled cartesian of the corpus
+    // semanticDedup: assignment is a literal-burned map-only argmax —
+    // NO window, NO cross/nested-loop join, NO per-vector exchange
+    // carrying embeddings times centroids (the IVF train/assign shape)
     val emb = (0 until 100).map(i =>
       (i.toLong, Seq(i * 0.1, 1.0, (i % 7) * 0.3))).toDF("vec_id", "v")
     val cents = Seq((0L, Seq(1.0, 0.0, 0.0)), (1L, Seq(0.0, 1.0, 0.0)))
@@ -174,7 +175,8 @@ class PlanGuardSpec extends SparkSpec {
       cents, "cid", "cv", 0.95)
     sd.collect()
     val sdPlan = sd.queryExecution.executedPlan.toString
-    assert(sdPlan.contains("BroadcastNestedLoopJoin"), sdPlan.take(800))
+    assert(!sdPlan.contains("Window"), sdPlan.take(800))
+    assert(!sdPlan.contains("BroadcastNestedLoopJoin"), sdPlan.take(800))
     assert(!sdPlan.contains("CartesianProduct"), sdPlan.take(800))
     // globalTokenOffsets: the only unpartitioned window runs over the
     // shard-count-sized base table; the corpus window is shard-partitioned
