@@ -159,6 +159,39 @@ object Similarity {
         maxGroups = Long.MaxValue)
     else graft.plans.TopK.windowPerGroup(scored, Seq(qidCol), order, k)
 
+  /** Deterministic random-projection dimensionality reduction
+    * (Johnson–Lindenstrauss with a ±1 Achlioptas matrix): out_j =
+    * sum_i(v_i · R_ij) / sqrt(outDim), R_ij = ±1 by the parity of the
+    * first hex digit of md5("rp_<i>_<j>") — md5 (not a JVM RNG) so an
+    * external system or the DuckDB oracle regenerates the EXACT matrix
+    * from the formula alone. The projection halves-or-more the bytes a
+    * downstream ANN/LSH stage shuffles and scans; pair it with
+    * [[graft.ops.Dedup.cosinePairsLsh]] or [[lshKnnBatch]] over the
+    * `projected` column.
+    *
+    * Scale shape: the matrix is (inDim × outDim) driver doubles — model
+    * state, like [[graft.ops.IVF.Model]] — burned into one map-only
+    * expression of literal-array dots: no join, no shuffle, no per-row
+    * hashing (the md5 calls happen ONCE at plan build). Values rounded
+    * 6dp for cross-engine float determinism. */
+  def projectRandom(df: DataFrame, vecCol: String, inDim: Int,
+      outDim: Int): DataFrame = {
+    require(inDim >= 1 && outDim >= 1)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def sign(i: Int, j: Int): Double = {
+      val hex = md.digest(s"rp_${i}_$j".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      if (Integer.parseInt(hex.substring(0, 1), 16) % 2 == 0) 1.0 else -1.0
+    }
+    val scale = math.sqrt(outDim.toDouble)
+    val v = transform(col(vecCol), x => x.cast("double"))
+    val outs = (0 until outDim).map { j =>
+      round(dot(v, array((0 until inDim).map(i => lit(sign(i, j))): _*))
+        / scale, 6)
+    }
+    df.withColumn("projected", array(outs: _*))
+  }
+
   /** Sign-random-projection signature: bit j = sign of <v, plane_j> where
     * plane components are hash-derived +-1. Native expression
     * ([[graft.functions.SrpSignature]]) — one primitive loop per row; the

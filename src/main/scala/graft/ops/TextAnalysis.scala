@@ -513,6 +513,42 @@ object TextAnalysis {
     merges.toSeq.toDF("merge_idx", "left_sym", "right_sym", "pair_count")
   }
 
+  /** Apply learned BPE merges ([[bpeLearn]] output) to every document —
+    * the ENCODE half of the tokenizer round trip. Each word becomes its
+    * space-joined character sequence and the merge rules replay in
+    * learned order as plain (non-regex) string replaces; `replace`'s
+    * left-to-right non-overlapping semantics are exactly
+    * [[bpeLearn]]'s `mergePair`, so encode(learn(corpus)) segments
+    * precisely as training did (pinned by spec).
+    *
+    * Scale shape: the merge list is model-sized driver state burned into
+    * a per-row expression chain (one nested `replace` per rule inside a
+    * single `transform` lambda — map-only, shuffle-free,
+    * whole-stage-codegen'd). Rule counts in the hundreds are the
+    * documented envelope: each rule adds one expression node, and
+    * codegen splits long chains automatically; a production-sized 30k
+    * vocab wants a real tokenizer runtime, not a SQL expression — this
+    * op covers the in-engine analysis loop (vocab experiments, token
+    * accounting) where merges stay small.
+    *
+    * Output: input row + `bpe_tokens` (array of symbols in document
+    * order) + `n_bpe_tokens`. */
+  def bpeEncode(df: DataFrame, textCol: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    val encodeWord: Column => Column = w => {
+      // split(w, "") keeps a trailing empty element (limit -1 semantics);
+      // drop it or every word gains a phantom symbol
+      val spaced = array_join(array_remove(split(w, ""), ""), " ")
+      merges.foldLeft(spaced) { case (acc, (l, r)) =>
+        replace(acc, lit(s"$l $r"), lit(l + r))
+      }
+    }
+    val toks = tokens(lower(col(textCol)))
+    df.withColumn("bpe_tokens",
+        flatten(transform(toks, w => split(encodeWord(w), " "))))
+      .withColumn("n_bpe_tokens", size(col("bpe_tokens")))
+  }
+
   /** Left-to-right non-overlapping application of one merge rule. */
   private def mergePair(syms: Array[String], l: String,
       r: String): Array[String] = {

@@ -1109,6 +1109,29 @@ object ExtensionQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Version-to-version token drift: v2 drops every doc_id%10==9 doc and
+    // floods every third doc with a planted artifact token pair — the
+    // top-40 mass movers surface exactly that churn
+    "x72_version_drift" -> ((s, dir) => {
+      val v1 = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val v2 = v1.filter(col("doc_id") % 10 =!= 9)
+        .select(col("doc_id"), concat(col("text"),
+          when(col("doc_id") % 3 === 0, lit(" driftxa driftxa driftxb"))
+            .otherwise(lit(""))).as("text"))
+      graft.ops.Versioning.versionTokenDrift(v1, v2, "text", k = 40)
+    }),
+
+    // JL random projection 64 -> 16 (Achlioptas ±1 signs from md5, so
+    // the oracle regenerates the exact matrix); rows exploded per output
+    // dim so the compare is scalar-typed
+    "x71_random_projection" -> ((s, dir) => {
+      Similarity.projectRandom(t(s, dir, "embeddings"), "embedding",
+          inDim = 64, outDim = 16)
+        .select(col("vec_id"),
+          posexplode(col("projected")).as(Seq("dim", "value")))
+        .orderBy(col("vec_id"), col("dim"))
+    }),
+
     // SemDeDup: cluster-scoped semantic dedup over the planted near-dup
     // corpus — 8 broadcast centroids, pairwise cosine only WITHIN a
     // cluster, keep-the-outlier survivor rule (the scale path x18's
@@ -1151,6 +1174,24 @@ object ExtensionQueries {
       TextAnalysis.bpeLearn(corpus, "text", numMerges = 4)
         .orderBy(col("merge_idx"))
     }),
+    // BPE round trip: encode with the merges x68's fixture LEARNS (not a
+    // hard-coded rule list), incl. an out-of-vocab word ('hugger') that
+    // falls back to partial merges — expected segmentations hand-derived
+    "x70_bpe_encode" -> ((s, dir) => {
+      import s.implicits._
+      val corpus = Seq("hug hug hug hugs pug pun bun").toDF("text")
+      val merges = TextAnalysis.bpeLearn(corpus, "text", numMerges = 4)
+        .orderBy(col("merge_idx"))
+        .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+      val docs = Seq((1L, "hug"), (2L, "hugs"), (3L, "pug"), (4L, "bun"),
+        (5L, "hugger")).toDF("doc_id", "text")
+      TextAnalysis.bpeEncode(docs, "text", merges)
+        .select(col("doc_id"), col("text"),
+          array_join(col("bpe_tokens"), " ").as("segmented"),
+          col("n_bpe_tokens"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Rare-n-gram document linking (exact candidate generation): a
     // bounded fixture plants a 4-token group tail on every doc (groups
     // of ~4 via doc_id % 150), so same-group docs share 2 pure-tail
@@ -2053,6 +2094,55 @@ object ExtensionQueries {
         |  (ROUND(1 / (1 + exp(-(z - 0.25))), 6) > 0.5) AS label
         |FROM s ORDER BY doc_id""".stripMargin,
 
+    "x72_version_drift" ->
+      """WITH v1 AS (SELECT doc_id, text FROM documents),
+        |v2 AS (
+        |  SELECT doc_id, text || CASE WHEN doc_id % 3 = 0
+        |    THEN ' driftxa driftxa driftxb' ELSE '' END AS text
+        |  FROM documents WHERE doc_id % 10 <> 9),
+        |c1 AS (
+        |  SELECT t AS token, count(*) AS cnt_old
+        |  FROM (SELECT unnest(list_filter(
+        |      string_split_regex(trim(lower(text)), '\s+'),
+        |      x -> len(x) > 0)) AS t FROM v1)
+        |  GROUP BY 1),
+        |c2 AS (
+        |  SELECT t AS token, count(*) AS cnt_new
+        |  FROM (SELECT unnest(list_filter(
+        |      string_split_regex(trim(lower(text)), '\s+'),
+        |      x -> len(x) > 0)) AS t FROM v2)
+        |  GROUP BY 1),
+        |j AS (
+        |  SELECT coalesce(c1.token, c2.token) AS token,
+        |    coalesce(cnt_old, 0) AS cnt_old,
+        |    coalesce(cnt_new, 0) AS cnt_new
+        |  FROM c1 FULL OUTER JOIN c2 ON c1.token = c2.token),
+        |tot AS (SELECT sum(cnt_old) AS toto, sum(cnt_new) AS totn FROM j),
+        |r AS (
+        |  SELECT token, CAST(cnt_old AS BIGINT) AS cnt_old,
+        |    CAST(cnt_new AS BIGINT) AS cnt_new,
+        |    ROUND(cnt_old / toto, 8) AS p_old,
+        |    ROUND(cnt_new / totn, 8) AS p_new,
+        |    ROUND(ROUND(cnt_new / totn, 8) - ROUND(cnt_old / toto, 8), 8)
+        |      AS delta
+        |  FROM j CROSS JOIN tot)
+        |SELECT * FROM r ORDER BY abs(delta) DESC, token LIMIT 40""".stripMargin,
+
+    "x71_random_projection" ->
+      """WITH base AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |dims AS (SELECT unnest(range(0, 16)) AS dim),
+        |proj AS (
+        |  SELECT b.vec_id, d.dim,
+        |    ROUND(list_sum(list_transform(range(0, 64), i ->
+        |      v[i + 1] * (CASE WHEN CAST(('0x' || substring(
+        |          md5('rp_' || CAST(i AS VARCHAR) || '_'
+        |            || CAST(d.dim AS VARCHAR)), 1, 1)) AS INTEGER) % 2 = 0
+        |        THEN 1.0 ELSE -1.0 END))) / sqrt(16.0), 6) AS value
+        |  FROM base b CROSS JOIN dims d)
+        |SELECT vec_id, CAST(dim AS INTEGER) AS dim, value
+        |FROM proj ORDER BY vec_id, dim""".stripMargin,
+
     "x65_semantic_dedup" ->
       """WITH base AS (
         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
@@ -2116,6 +2206,15 @@ object ExtensionQueries {
         |UNION ALL SELECT 2, 'u', 'n', 2
         |UNION ALL SELECT 3, 'b', 'un', 1
         |ORDER BY merge_idx""".stripMargin,
+
+    "x70_bpe_encode" ->
+      """SELECT CAST(1 AS BIGINT) AS doc_id, 'hug' AS text,
+        |  'hug' AS segmented, CAST(1 AS INTEGER) AS n_bpe_tokens
+        |UNION ALL SELECT 2, 'hugs', 'hug s', 2
+        |UNION ALL SELECT 3, 'pug', 'p ug', 2
+        |UNION ALL SELECT 4, 'bun', 'bun', 1
+        |UNION ALL SELECT 5, 'hugger', 'hug g e r', 4
+        |ORDER BY doc_id""".stripMargin,
 
     "x67_rare_ngram_pairs" ->
       """WITH docs AS (

@@ -469,6 +469,32 @@ class SimilaritySpec extends SparkSpec {
       s"recall too low: ${fast.intersect(bruteIds).size}/16")
   }
 
+  test("projectRandom: deterministic matrix, planted near-dups keep their geometry") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val a = Similarity.projectRandom(emb, "embedding", inDim = 64, outDim = 16)
+      .select("vec_id", "projected").as[(Long, Seq[Double])].collect().toMap
+    val b = Similarity.projectRandom(emb, "embedding", inDim = 64, outDim = 16)
+      .select("vec_id", "projected").as[(Long, Seq[Double])].collect().toMap
+    assert(a == b, "projection must be deterministic across plans")
+    // x18's planted perturbation (cos ~0.997 in 64d) must survive the
+    // 64->16 projection as a high-cosine pair for nearly every pair
+    val pert = emb.filter($"vec_id" < 25)
+      .select($"vec_id", transform($"embedding", (x, i) =>
+        x.cast("double") * (lit(1.0) + lit(0.05) * ((i % 3) - lit(1))))
+        .as("embedding"))
+    val po = Similarity.projectRandom(pert, "embedding", 64, 16)
+      .select($"vec_id", $"projected".as("pp"))
+    val joined = Similarity.projectRandom(emb.filter($"vec_id" < 25),
+        "embedding", 64, 16)
+      .select($"vec_id", $"projected")
+      .join(po, "vec_id")
+      .withColumn("c", Similarity.cosine($"projected", $"pp"))
+      .select("c").as[Double].collect()
+    assert(joined.length == 25)
+    assert(joined.count(_ > 0.9) >= 20, joined.sorted.mkString(","))
+    assert(joined.forall(_ > 0.7), joined.sorted.mkString(","))
+  }
+
   private val vecs = Seq(
     (0L, Seq(1.0f, 0.0f, 0.0f)),
     (1L, Seq(2.0f, 0.0f, 0.0f)),   // same direction as 0
@@ -1272,6 +1298,40 @@ class TextAnalysisSpec extends SparkSpec {
       graft.ops.TextAnalysis.bpeLearn(docs, "text", 2, maxVocab = 10)
     }
     assert(e.getMessage.contains("maxVocab"))
+  }
+
+  test("bpeEncode: learn->encode round trip preserves content, merges only shrink") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    def mergesOf(n: Int) = graft.ops.TextAnalysis
+      .bpeLearn(docs, "text", numMerges = n)
+      .orderBy("merge_idx")
+      .as[(Int, String, String, Long)].collect()
+      .map(r => (r._2, r._3)).toSeq
+    val enc = graft.ops.TextAnalysis.bpeEncode(docs, "text", mergesOf(20))
+      .select(col("doc_id"),
+        array_join(col("bpe_tokens"), "").as("glued"),
+        concat_ws("",
+          graft.ops.TextAnalysis.tokens(lower(col("text")))).as("expected"),
+        col("n_bpe_tokens"))
+    // segmentation never alters content: gluing the symbols back
+    // reproduces the concatenated lowercased tokens exactly, every doc
+    assert(enc.filter(col("glued") =!= col("expected")).isEmpty)
+    // more merges can only shrink (or hold) the symbol count
+    val n20 = enc.agg(sum("n_bpe_tokens")).as[Long].head()
+    val n5 = graft.ops.TextAnalysis.bpeEncode(docs, "text", mergesOf(5))
+      .agg(sum("n_bpe_tokens")).as[Long].head()
+    assert(n20 <= n5, s"$n20 vs $n5")
+  }
+
+  test("versionTokenDrift: planted churn surfaces as the top movers") {
+    val v1 = Seq((1L, "a a b")).toDF("id", "text")
+    val v2 = Seq((1L, "a b b c")).toDF("id", "text")
+    val out = graft.ops.Versioning.versionTokenDrift(v1, v2, "text", k = 2)
+      .select("token", "cnt_old", "cnt_new", "delta")
+      .as[(String, Long, Long, Double)].collect().toSeq
+    // p_old: a 2/3, b 1/3, c 0; p_new: a .25, b .5, c .25 ->
+    // |delta|: a .41666667, c .25, b .16666667
+    assert(out == Seq(("a", 2L, 1L, -0.41666667), ("c", 0L, 1L, 0.25)), out)
   }
 
   test("globalTokenOffsets: two-level scan equals the naive global running sum") {
