@@ -1109,6 +1109,22 @@ object ExtensionQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Damped PageRank, 3 rounds, over a formula link graph whose strides
+    // (7, 13) are coprime to N — every node has outdeg 2 AND exactly 2
+    // in-edges, so per-node sums are 2-operand (order-exact in IEEE) and
+    // the oracle unrolls the rounds as CTEs
+    "x73_pagerank" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"))
+      val n = docs.count()
+      val edges = docs
+        .select(col("doc_id").as("src"),
+          ((col("doc_id") * 7 + 3) % n).as("dst"))
+        .unionByName(docs.select(col("doc_id").as("src"),
+          ((col("doc_id") * 13 + 5) % n).as("dst")))
+      graft.ops.Graph.pageRank(edges, "src", "dst", iters = 3)
+        .orderBy(col("id"))
+    }),
+
     // Version-to-version token drift: v2 drops every doc_id%10==9 doc and
     // floods every third doc with a planted artifact token pair — the
     // top-40 mass movers surface exactly that churn
@@ -2093,6 +2109,40 @@ object ExtensionQueries {
         |  ROUND(1 / (1 + exp(-(z - 0.25))), 6) AS score,
         |  (ROUND(1 / (1 + exp(-(z - 0.25))), 6) > 0.5) AS label
         |FROM s ORDER BY doc_id""".stripMargin,
+
+    "x73_pagerank" ->
+      """WITH nn AS (SELECT count(*) AS n FROM documents),
+        |nodes AS (SELECT doc_id AS id FROM documents),
+        |e AS (
+        |  SELECT doc_id AS src, (doc_id * 7 + 3) % (SELECT n FROM nn) AS dst
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, (doc_id * 13 + 5) % (SELECT n FROM nn)
+        |  FROM documents),
+        |od AS (SELECT src, count(*) AS outdeg FROM e GROUP BY 1),
+        |r0 AS (SELECT id, 1.0 / (SELECT n FROM nn) AS rank FROM nodes),
+        |c1 AS (
+        |  SELECT e.dst AS id, sum(r.rank / od.outdeg) AS c
+        |  FROM e JOIN od USING (src) JOIN r0 r ON r.id = e.src GROUP BY 1),
+        |r1 AS (
+        |  SELECT nodes.id,
+        |    0.15 / (SELECT n FROM nn) + 0.85 * coalesce(c1.c, 0) AS rank
+        |  FROM nodes LEFT JOIN c1 ON nodes.id = c1.id),
+        |c2 AS (
+        |  SELECT e.dst AS id, sum(r.rank / od.outdeg) AS c
+        |  FROM e JOIN od USING (src) JOIN r1 r ON r.id = e.src GROUP BY 1),
+        |r2 AS (
+        |  SELECT nodes.id,
+        |    0.15 / (SELECT n FROM nn) + 0.85 * coalesce(c2.c, 0) AS rank
+        |  FROM nodes LEFT JOIN c2 ON nodes.id = c2.id),
+        |c3 AS (
+        |  SELECT e.dst AS id, sum(r.rank / od.outdeg) AS c
+        |  FROM e JOIN od USING (src) JOIN r2 r ON r.id = e.src GROUP BY 1),
+        |r3 AS (
+        |  SELECT nodes.id,
+        |    0.15 / (SELECT n FROM nn) + 0.85 * coalesce(c3.c, 0) AS rank
+        |  FROM nodes LEFT JOIN c3 ON nodes.id = c3.id)
+        |SELECT id, ROUND(rank, 8) AS rank FROM r3 ORDER BY id""".stripMargin,
 
     "x72_version_drift" ->
       """WITH v1 AS (SELECT doc_id, text FROM documents),

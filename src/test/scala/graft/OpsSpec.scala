@@ -1300,6 +1300,31 @@ class TextAnalysisSpec extends SparkSpec {
     assert(e.getMessage.contains("maxVocab"))
   }
 
+  test("pageRank: cycle fixed point, star hand-calc, mass conservation") {
+    // 2-cycle: uniform 1/2 is the exact fixed point at any damping
+    val cycle = Seq((0L, 1L), (1L, 0L)).toDF("src", "dst")
+    val c = graft.ops.Graph.pageRank(cycle, "src", "dst", iters = 4)
+      .as[(Long, Double)].collect().toMap
+    assert(c == Map(0L -> 0.5, 1L -> 0.5), c)
+    // star 1,2,3 -> 0 with backlink 0 -> 1, one round by hand:
+    // r1(0) = 0.0375 + 0.85*(3*0.25) = 0.675; r1(1) = 0.0375 + 0.85*0.25
+    // = 0.25; r1(2) = r1(3) = 0.0375 (no in-edges)
+    val star = Seq((1L, 0L), (2L, 0L), (3L, 0L), (0L, 1L)).toDF("src", "dst")
+    val s1 = graft.ops.Graph.pageRank(star, "src", "dst", iters = 1)
+      .as[(Long, Double)].collect().toMap
+    assert(s1 == Map(0L -> 0.675, 1L -> 0.25, 2L -> 0.0375, 3L -> 0.0375),
+      s1)
+    // no dangling nodes -> total rank mass stays 1 through iterations
+    val docs = spark.range(0, 200).select($"id".as("doc_id"))
+    val edges = docs.select($"doc_id".as("src"),
+        (($"doc_id" * 7 + 3) % 200).as("dst"))
+      .unionByName(docs.select($"doc_id".as("src"),
+        (($"doc_id" * 13 + 5) % 200).as("dst")))
+    val mass = graft.ops.Graph.pageRank(edges, "src", "dst", iters = 5)
+      .agg(sum("rank")).as[Double].head()
+    assert(math.abs(mass - 1.0) < 1e-6, mass)
+  }
+
   test("bpeEncode: learn->encode round trip preserves content, merges only shrink") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     def mergesOf(n: Int) = graft.ops.TextAnalysis

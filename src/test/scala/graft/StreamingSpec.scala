@@ -57,6 +57,36 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("hashedLinearScore gates a document stream (model as literal, no state)") {
+    // classifier inference is ONE map-only expression (weights ride as a
+    // literal), so the same quality gate runs on a stream with no state
+    // store, no watermark, and per-row results identical to batch
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val docs = input.toDF().toDF("doc_id", "text")
+    val w = (0 until 64).map(i => ((i * 37 + 11) % 21 - 10) / 10.0).toArray
+    val out = graft.ops.TextAnalysis
+      .hashedLinearScore(docs, "doc_id", "text", w, bias = -0.25)
+      .select("doc_id", "score", "label")
+    val q = out.writeStream.format("memory").queryName("clfgate")
+      .outputMode(OutputMode.Append()).start()
+    val fixtures = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "lorem ipsum dolor sit amet"),
+      (3L, ""))
+    try {
+      input.addData(fixtures: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("clfgate")
+        .as[(Long, Double, Boolean)].collect().toSet
+      val batch = graft.ops.TextAnalysis.hashedLinearScore(
+          fixtures.toDF("doc_id", "text"), "doc_id", "text", w, bias = -0.25)
+        .select("doc_id", "score", "label")
+        .as[(Long, Double, Boolean)].collect().toSet
+      assert(streamed == batch, (streamed, batch))
+    } finally q.stop()
+  }
+
   test("stream-stream interval join pairs purchases with same-user errors in the window") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Event]
