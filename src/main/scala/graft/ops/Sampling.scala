@@ -206,6 +206,37 @@ object Sampling {
     * a single range exchange whose boundary sampling and tail stitching
     * serialize at 100 TB, while a training consumer reading shards in
     * (shard, pos) order gets an equivalent reproducible permutation. */
+  /** Deterministic weighted sampling WITHOUT replacement
+    * (Efraimidis–Spirakis A-ES): each row draws key = u^(1/w) with u a
+    * uniform derived from md5(salt, id) — the top-k keys ARE a correct
+    * weighted sample. The standard trick for "sample 10k docs
+    * proportional to quality score" where rates-per-stratum
+    * ([[mixtureByTokenBudget]]) are too coarse. Deterministic and
+    * engine-replayable end-to-end: u comes from the first 13 md5 hex
+    * digits (52 bits — exactly representable in a double), never a JVM
+    * RNG, so the oracle reproduces the same sample.
+    *
+    * Scale shape: key computation is map-only; selection is one
+    * TakeOrdered top-k (no global sort, no window). Null and
+    * non-positive weights are EXCLUDED before keying (a negative
+    * exponent would silently sort such rows first — the quiet-corruption
+    * trap [[quantileBucketSample]]'s null-sentinel note documents);
+    * callers sampling "everything weighted, invalid rows too" must fix
+    * their score column first. */
+  def weightedSample(df: DataFrame, idCol: String, weightCol: String,
+      k: Int, salt: Long = 42L): DataFrame = {
+    require(k >= 1, "need a positive sample size")
+    // (0,1]: 52-bit integer + 1 over 2^52 + 1
+    val u = (conv(substring(md5(concat(lit(s"ws${salt}_"),
+        col(idCol).cast("string")).cast("binary")), 1, 13), 16, 10)
+      .cast("double") + 1.0d) / 4503599627370497.0d
+    df.filter(col(weightCol).isNotNull && col(weightCol) > 0)
+      .withColumn("sample_key",
+        round(pow(u, lit(1.0) / col(weightCol).cast("double")), 8))
+      .orderBy(col("sample_key").desc, col(idCol))
+      .limit(k)
+  }
+
   def deterministicShuffle(df: DataFrame, idCol: String, numShards: Int,
       salt: Long = 42L): DataFrame = {
     require(numShards >= 1, "need at least one output shard")

@@ -455,6 +455,46 @@ object TextAnalysis {
       .withColumn("label", col("score") > 0.5)
   }
 
+  /** PMI collocation mining — pointwise mutual information over adjacent
+    * token pairs, the classic phrase-induction statistic (word2vec's
+    * phrase pass, tokenizer multi-word-unit candidates):
+    * pmi(a,b) = ln( (c_ab/B) / ((c_a/T)(c_b/T)) ) with T total tokens
+    * and B total bigrams. High-PMI pairs co-occur far above chance —
+    * candidate multiword units; `minCount` suppresses noise pairs.
+    *
+    * Scale shape: one bigram aggregate and one unigram aggregate (both
+    * vocabulary-sized after map-side combining), two token-keyed joins
+    * of the SMALL filtered pair table against unigram counts, scalar
+    * totals broadcast back, TakeOrdered top-k. Counts become doubles
+    * before the ratio so the product cannot overflow long at corpus
+    * scale. */
+  def pmiCollocations(df: DataFrame, textCol: String, minCount: Long,
+      k: Int): DataFrame = {
+    require(minCount >= 1 && k >= 1)
+    val toks = tokens(lower(col(textCol)))
+    val len = greatest(size(toks) - 1, lit(0))
+    val bg = df.select(explode(arrays_zip(
+        slice(toks, lit(1), len), slice(toks, lit(2), len))).as("bg"))
+      .select(col("bg")("0").as("w1"), col("bg")("1").as("w2"))
+    val uni = df.select(explode(toks).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("__cnt"))
+    val pairs = bg.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("pair_cnt"))
+      .filter(col("pair_cnt") >= minCount)
+    val totals = uni.agg(sum(col("__cnt")).cast("double").as("__t"))
+      .crossJoin(bg.agg(count(lit(1)).cast("double").as("__b")))
+    pairs
+      .join(uni.select(col("w").as("w1"), col("__cnt").as("__c1")), Seq("w1"))
+      .join(uni.select(col("w").as("w2"), col("__cnt").as("__c2")), Seq("w2"))
+      .crossJoin(broadcast(totals))
+      .withColumn("pmi", round(log(
+        col("pair_cnt").cast("double") * col("__t") * col("__t") /
+          (col("__b") * col("__c1") * col("__c2"))), 6))
+      .select(col("w1"), col("w2"), col("pair_cnt"), col("pmi"))
+      .orderBy(col("pmi").desc, col("w1"), col("w2"))
+      .limit(k)
+  }
+
   /** Iterative BPE merge-rule induction (Sennrich et al. 2016) — the
     * tokenizer-training step itself, not just [[bpePairCounts]]'s one
     * round of statistics: starting from characters, repeatedly merge the

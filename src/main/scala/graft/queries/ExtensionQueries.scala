@@ -1109,6 +1109,23 @@ object ExtensionQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Weighted sampling without replacement (Efraimidis-Spirakis A-ES):
+    // weight = token count, md5-derived uniforms, top-100 keys — the
+    // oracle replays the exact sample
+    "x74_weighted_sample" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+      graft.ops.Sampling.weightedSample(docs, "doc_id", "n_tokens", k = 100)
+        .orderBy(col("sample_key").desc, col("doc_id"))
+    }),
+
+    // PMI collocations over the corpus bigrams (word2vec phrase-pass
+    // statistic); fully replayable counts + log ratio
+    "x75_pmi_collocations" -> ((s, dir) =>
+      TextAnalysis.pmiCollocations(t(s, dir, "documents"), "text",
+        minCount = 5, k = 30)),
+
     // Damped PageRank, 3 rounds, over a formula link graph whose strides
     // (7, 13) are coprime to N — every node has outdeg 2 AND exactly 2
     // in-edges, so per-node sums are 2-operand (order-exact in IEEE) and
@@ -2109,6 +2126,48 @@ object ExtensionQueries {
         |  ROUND(1 / (1 + exp(-(z - 0.25))), 6) AS score,
         |  (ROUND(1 / (1 + exp(-(z - 0.25))), 6) > 0.5) AS label
         |FROM s ORDER BY doc_id""".stripMargin,
+
+    "x74_weighted_sample" ->
+      """WITH w AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+        |      x -> len(x) > 0)) AS INTEGER) AS n_tokens
+        |  FROM documents),
+        |keyed AS (
+        |  SELECT doc_id, source, n_tokens,
+        |    ROUND(pow(
+        |      (CAST(('0x' || substring(md5('ws42_' || CAST(doc_id AS VARCHAR)),
+        |         1, 13)) AS BIGINT) + 1.0) / 4503599627370497.0,
+        |      1.0 / n_tokens), 8) AS sample_key
+        |  FROM w WHERE n_tokens IS NOT NULL AND n_tokens > 0)
+        |SELECT * FROM keyed
+        |ORDER BY sample_key DESC, doc_id LIMIT 100""".stripMargin,
+
+    "x75_pmi_collocations" ->
+      """WITH tok AS (
+        |  SELECT list_filter(string_split_regex(trim(lower(text)), '\s+'),
+        |    x -> len(x) > 0) AS t
+        |  FROM documents),
+        |bg AS (
+        |  SELECT t[i] AS w1, t[i + 1] AS w2
+        |  FROM tok, unnest(range(1, len(t))) AS u(i)),
+        |uni AS (
+        |  SELECT w, count(*) AS cnt
+        |  FROM (SELECT unnest(t) AS w FROM tok) GROUP BY 1),
+        |pairs AS (
+        |  SELECT w1, w2, count(*) AS pair_cnt FROM bg GROUP BY 1, 2
+        |  HAVING count(*) >= 5),
+        |tot AS (
+        |  SELECT (SELECT CAST(sum(cnt) AS DOUBLE) FROM uni) AS t,
+        |    (SELECT CAST(count(*) AS DOUBLE) FROM bg) AS b)
+        |SELECT p.w1, p.w2, p.pair_cnt,
+        |  ROUND(ln(p.pair_cnt * tot.t * tot.t
+        |    / (tot.b * u1.cnt * u2.cnt)), 6) AS pmi
+        |FROM pairs p
+        |JOIN uni u1 ON u1.w = p.w1
+        |JOIN uni u2 ON u2.w = p.w2
+        |CROSS JOIN tot
+        |ORDER BY pmi DESC, w1, w2 LIMIT 30""".stripMargin,
 
     "x73_pagerank" ->
       """WITH nn AS (SELECT count(*) AS n FROM documents),

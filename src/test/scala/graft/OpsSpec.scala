@@ -1300,6 +1300,46 @@ class TextAnalysisSpec extends SparkSpec {
     assert(e.getMessage.contains("maxVocab"))
   }
 
+  test("weightedSample: deterministic, invalid weights excluded, weight bias real") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"),
+        graft.ops.TextAnalysis.tokenCount(col("text")).as("w"))
+    val s1 = graft.ops.Sampling.weightedSample(docs, "doc_id", "w", k = 20)
+      .select("doc_id").as[Long].collect().toSeq
+    val s2 = graft.ops.Sampling.weightedSample(docs, "doc_id", "w", k = 20)
+      .select("doc_id").as[Long].collect().toSeq
+    assert(s1 == s2 && s1.size == 20)
+    // a different salt draws a different sample
+    val s3 = graft.ops.Sampling.weightedSample(docs, "doc_id", "w", k = 20,
+      salt = 7L).select("doc_id").as[Long].collect().toSeq
+    assert(s3 != s1)
+    // null/non-positive weights never enter the sample
+    val mixed = Seq((1L, 5.0), (2L, -1.0), (3L, 0.0))
+      .toDF("doc_id", "w")
+      .unionByName(Seq((4L, Option.empty[Double])).toDF("doc_id", "w"))
+    val kept = graft.ops.Sampling.weightedSample(mixed, "doc_id", "w", 10)
+      .select("doc_id").as[Long].collect().toSeq
+    assert(kept == Seq(1L))
+    // weighting is real: squared-token weights pull the sample's mean
+    // token count above the corpus mean
+    val sq = docs.withColumn("w2", col("w") * col("w"))
+    val sampleMean = graft.ops.Sampling
+      .weightedSample(sq, "doc_id", "w2", k = 50)
+      .agg(avg("w")).as[Double].head()
+    val corpusMean = docs.agg(avg("w")).as[Double].head()
+    assert(sampleMean > corpusMean, s"$sampleMean <= $corpusMean")
+  }
+
+  test("pmiCollocations: hand-computed fixture, minCount suppression") {
+    val df = Seq("a b a b", "a b c").toDF("text")
+    // unigrams a:3 b:3 c:1, T=7; bigrams (a,b):3 (b,a):1 (b,c):1, B=5
+    val out = graft.ops.TextAnalysis.pmiCollocations(df, "text",
+        minCount = 2, k = 10)
+      .as[(String, String, Long, Double)].collect().toSeq
+    val expected = math.rint(math.log(3.0 * 7 * 7 / (5.0 * 3 * 3)) * 1e6) / 1e6
+    assert(out == Seq(("a", "b", 3L, expected)), (out, expected))
+  }
+
   test("pageRank: cycle fixed point, star hand-calc, mass conservation") {
     // 2-cycle: uniform 1/2 is the exact fixed point at any damping
     val cycle = Seq((0L, 1L), (1L, 0L)).toDF("src", "dst")
