@@ -56,6 +56,14 @@ object Graph {
             .as("rank"))
       it += 1
     }
-    ranks.withColumn("rank", round(col("rank"), 8))
+    // materialize the node-sized result, then release the iteration
+    // caches — without this every call leaks the persisted edge frame
+    // for the session's lifetime (the repo-wide persist/unpersist
+    // convention: IVF.train, resolveClusters)
+    val out = ranks.withColumn("rank", round(col("rank"), 8))
+      .localCheckpoint()
+    nodes.unpersist()
+    prepped.unpersist()
+    out
   }
 }

@@ -216,13 +216,20 @@ object Sampling {
     * digits (52 bits — exactly representable in a double), never a JVM
     * RNG, so the oracle reproduces the same sample.
     *
-    * Scale shape: key computation is map-only; selection is one
-    * TakeOrdered top-k (no global sort, no window). Null and
-    * non-positive weights are EXCLUDED before keying (a negative
-    * exponent would silently sort such rows first — the quiet-corruption
-    * trap [[quantileBucketSample]]'s null-sentinel note documents);
-    * callers sampling "everything weighted, invalid rows too" must fix
-    * their score column first. */
+    * Scale shape: key computation is map-only (plus one scalar max
+    * broadcast); selection is one TakeOrdered top-k (no global sort, no
+    * window). Weights are NORMALIZED by their max before
+    * exponentiation — u^(1/w) for large w collapses onto 1.0 within
+    * double precision and selection would degenerate to id order, while
+    * u^(max/w) spans (0,1) at ANY weight magnitude and x -> x^(1/c) is
+    * monotone, so normalization provably never changes which rows are
+    * selected. Selection orders on the RAW key; `sample_key` is rounded
+    * 8dp for display/replay only. Null and non-positive weights are
+    * EXCLUDED before keying (a negative exponent would silently sort
+    * such rows first — the quiet-corruption trap
+    * [[quantileBucketSample]]'s null-sentinel note documents); callers
+    * sampling "everything weighted, invalid rows too" must fix their
+    * score column first. */
   def weightedSample(df: DataFrame, idCol: String, weightCol: String,
       k: Int, salt: Long = 42L): DataFrame = {
     require(k >= 1, "need a positive sample size")
@@ -230,11 +237,15 @@ object Sampling {
     val u = (conv(substring(md5(concat(lit(s"ws${salt}_"),
         col(idCol).cast("string")).cast("binary")), 1, 13), 16, 10)
       .cast("double") + 1.0d) / 4503599627370497.0d
-    df.filter(col(weightCol).isNotNull && col(weightCol) > 0)
-      .withColumn("sample_key",
-        round(pow(u, lit(1.0) / col(weightCol).cast("double")), 8))
-      .orderBy(col("sample_key").desc, col(idCol))
+    val valid = df.filter(col(weightCol).isNotNull && col(weightCol) > 0)
+    val maxW = valid.agg(max(col(weightCol)).cast("double").as("__wmax"))
+    valid.crossJoin(broadcast(maxW))
+      .withColumn("__key",
+        pow(u, col("__wmax") / col(weightCol).cast("double")))
+      .orderBy(col("__key").desc, col(idCol))
       .limit(k)
+      .withColumn("sample_key", round(col("__key"), 8))
+      .drop("__key", "__wmax")
   }
 
   def deterministicShuffle(df: DataFrame, idCol: String, numShards: Int,

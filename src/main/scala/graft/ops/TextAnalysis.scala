@@ -465,9 +465,11 @@ object TextAnalysis {
     * Scale shape: one bigram aggregate and one unigram aggregate (both
     * vocabulary-sized after map-side combining), two token-keyed joins
     * of the SMALL filtered pair table against unigram counts, scalar
-    * totals broadcast back, TakeOrdered top-k. Counts become doubles
-    * before the ratio so the product cannot overflow long at corpus
-    * scale. */
+    * totals broadcast back, TakeOrdered top-k. T and B come from ONE
+    * cheap per-row scan (sum of token counts / sum of len-1) — not from
+    * re-exploding the corpus, which would double the heavy work.
+    * Counts become doubles before the ratio so the product cannot
+    * overflow long at corpus scale. */
   def pmiCollocations(df: DataFrame, textCol: String, minCount: Long,
       k: Int): DataFrame = {
     require(minCount >= 1 && k >= 1)
@@ -481,8 +483,11 @@ object TextAnalysis {
     val pairs = bg.groupBy(col("w1"), col("w2"))
       .agg(count(lit(1)).as("pair_cnt"))
       .filter(col("pair_cnt") >= minCount)
-    val totals = uni.agg(sum(col("__cnt")).cast("double").as("__t"))
-      .crossJoin(bg.agg(count(lit(1)).cast("double").as("__b")))
+    // identities: T = Σ size(tokens), B = Σ max(size-1, 0) — one
+    // narrow scan, no explode, same values the aggregates would give
+    val totals = df.agg(
+      sum(size(toks)).cast("double").as("__t"),
+      sum(len).cast("double").as("__b"))
     pairs
       .join(uni.select(col("w").as("w1"), col("__cnt").as("__c1")), Seq("w1"))
       .join(uni.select(col("w").as("w2"), col("__cnt").as("__c2")), Seq("w2"))
@@ -575,17 +580,28 @@ object TextAnalysis {
     * order) + `n_bpe_tokens`. */
   def bpeEncode(df: DataFrame, textCol: String,
       merges: Seq[(String, String)]): DataFrame = {
+    // every symbol is wrapped U+001F<sym>U+001F, so the replace pattern
+    // "␟l␟ ␟r␟" can only match the EXACT adjacent symbol pair (l, r) —
+    // a bare "l r" pattern would also fire when l is a suffix of the
+    // left symbol or r a prefix of the right one (merges [(t,h),(h,e)]
+    // would fuse "th e" into an out-of-vocab "the"), silently diverging
+    // from the trainer's segmentation. Input contract: text must not
+    // contain U+001F (unit separator — absent from any real corpus).
+    val S = "\u001f"
     val encodeWord: Column => Column = w => {
       // split(w, "") keeps a trailing empty element (limit -1 semantics);
       // drop it or every word gains a phantom symbol
-      val spaced = array_join(array_remove(split(w, ""), ""), " ")
+      val spaced = array_join(
+        transform(array_remove(split(w, ""), ""),
+          c => concat(lit(S), c, lit(S))), " ")
       merges.foldLeft(spaced) { case (acc, (l, r)) =>
-        replace(acc, lit(s"$l $r"), lit(l + r))
+        replace(acc, lit(s"$S$l$S $S$r$S"), lit(S + l + r + S))
       }
     }
     val toks = tokens(lower(col(textCol)))
     df.withColumn("bpe_tokens",
-        flatten(transform(toks, w => split(encodeWord(w), " "))))
+        flatten(transform(toks, w =>
+          transform(split(encodeWord(w), " "), s => translate(s, S, "")))))
       .withColumn("n_bpe_tokens", size(col("bpe_tokens")))
   }
 

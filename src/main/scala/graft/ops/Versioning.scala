@@ -51,8 +51,13 @@ object Versioning {
     val joined = counts(v1, "cnt_old")
       .join(counts(v2, "cnt_new"), Seq("token"), "full_outer")
       .na.fill(0L, Seq("cnt_old", "cnt_new"))
-    val totals = joined.agg(
-      sum(col("cnt_old")).as("__to"), sum(col("cnt_new")).as("__tn"))
+    // totals via one narrow per-row scan each (sum of token counts) —
+    // aggregating over `joined` would execute the full-outer join twice
+    val totals = v1
+      .agg(sum(size(TextAnalysis.tokens(lower(col(textCol)))))
+        .cast("long").as("__to"))
+      .crossJoin(v2.agg(sum(size(TextAnalysis.tokens(lower(col(textCol)))))
+        .cast("long").as("__tn")))
     joined.crossJoin(broadcast(totals))
       .withColumn("p_old", round(col("cnt_old") / col("__to"), 8))
       .withColumn("p_new", round(col("cnt_new") / col("__tn"), 8))

@@ -2133,15 +2133,18 @@ object ExtensionQueries {
         |    CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
         |      x -> len(x) > 0)) AS INTEGER) AS n_tokens
         |  FROM documents),
+        |valid AS (
+        |  SELECT * FROM w WHERE n_tokens IS NOT NULL AND n_tokens > 0),
+        |mx AS (SELECT CAST(max(n_tokens) AS DOUBLE) AS wmax FROM valid),
         |keyed AS (
         |  SELECT doc_id, source, n_tokens,
-        |    ROUND(pow(
+        |    pow(
         |      (CAST(('0x' || substring(md5('ws42_' || CAST(doc_id AS VARCHAR)),
         |         1, 13)) AS BIGINT) + 1.0) / 4503599627370497.0,
-        |      1.0 / n_tokens), 8) AS sample_key
-        |  FROM w WHERE n_tokens IS NOT NULL AND n_tokens > 0)
-        |SELECT * FROM keyed
-        |ORDER BY sample_key DESC, doc_id LIMIT 100""".stripMargin,
+        |      wmax / n_tokens) AS rawkey
+        |  FROM valid CROSS JOIN mx)
+        |SELECT doc_id, source, n_tokens, ROUND(rawkey, 8) AS sample_key
+        |FROM keyed ORDER BY rawkey DESC, doc_id LIMIT 100""".stripMargin,
 
     "x75_pmi_collocations" ->
       """WITH tok AS (

@@ -1328,6 +1328,15 @@ class TextAnalysisSpec extends SparkSpec {
       .agg(avg("w")).as[Double].head()
     val corpusMean = docs.agg(avg("w")).as[Double].head()
     assert(sampleMean > corpusMean, s"$sampleMean <= $corpusMean")
+    // huge constant weights: max-normalization keeps keys spread, so
+    // selection follows the md5 uniforms — NOT lowest-id order (the
+    // pre-normalization round-8 keys all collapsed to 1.0 here)
+    val huge = spark.range(0, 100)
+      .select($"id".as("doc_id"), lit(1.0e8).as("w"))
+    val picked = graft.ops.Sampling
+      .weightedSample(huge, "doc_id", "w", k = 5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(picked != Set(0L, 1L, 2L, 3L, 4L), picked)
   }
 
   test("pmiCollocations: hand-computed fixture, minCount suppression") {
@@ -1386,6 +1395,16 @@ class TextAnalysisSpec extends SparkSpec {
     val n5 = graft.ops.TextAnalysis.bpeEncode(docs, "text", mergesOf(5))
       .agg(sum("n_bpe_tokens")).as[Long].head()
     assert(n20 <= n5, s"$n20 vs $n5")
+    // boundary adversaries: a rule (l, r) must match whole SYMBOLS, not
+    // substrings. [(t,h),(h,e)] on "the": after "th" forms, "h e" exists
+    // as a plain substring of "th e" but the left symbol is 'th' -> must
+    // stay ["th","e"], never fuse an out-of-vocab "the"
+    def seg(merges: (String, String)*) = graft.ops.TextAnalysis
+      .bpeEncode(Seq("the").toDF("text"), "text", merges)
+      .select(array_join(col("bpe_tokens"), " ")).as[String].head()
+    assert(seg(("t", "h"), ("h", "e")) == "th e")
+    // and the mirrored case: 'h' must not match a PREFIX of symbol "he"
+    assert(seg(("h", "e"), ("t", "h")) == "t he")
   }
 
   test("versionTokenDrift: planted churn surfaces as the top movers") {
