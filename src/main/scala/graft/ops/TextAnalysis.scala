@@ -455,6 +455,76 @@ object TextAnalysis {
       .withColumn("label", col("score") > 0.5)
   }
 
+  /** Text normalization — the canonical pre-tokenization cleanup pass
+    * (C4/CCNet-style): strip control characters (tabs/newlines kept for
+    * structure until the whitespace collapse), strip zero-width
+    * characters, unify curly quotes / en- and em-dashes / non-breaking
+    * spaces to their ASCII forms, collapse space/tab runs to one space,
+    * trim. Newlines survive (paragraph and line ops downstream depend
+    * on them). Map-only regex+translate chain: shuffle-free,
+    * whole-stage-codegen'd, RE2-portable patterns (the oracle replays
+    * the chain in RE2 spelling — \x{...} instead of Java's \uXXXX, the
+    * documented dialect-translation convention). Adds `normalized` and
+    * a `changed` flag so a pipeline can count how much of the corpus
+    * was dirty. */
+  def normalizeText(df: DataFrame, textCol: String = "text",
+      outCol: String = "normalized"): DataFrame = {
+    val t = col(textCol)
+    val noCtl = regexp_replace(t, "[\\x00-\\x08\\x0b-\\x1f\\x7f]", "")
+    val noZw = regexp_replace(noCtl, "[\\u200b\\u200c\\u200d\\ufeff]", "")
+    val ascii = translate(noZw,
+      "\u2018\u2019\u201c\u201d\u2013\u2014\u00a0", "''\"\"-- ")
+    df.withColumn(outCol, trim(regexp_replace(ascii, "[ \\t]+", " ")))
+      .withColumn("changed", col(outCol) =!= t)
+  }
+
+  /** Bigram language-model NLL — the step up from [[unigramNll]] toward
+    * the KenLM-style perplexity filters (CCNet) when no external model
+    * is wanted: score every document under the corpus's OWN bigram
+    * model with add-k smoothing, p(w2|w1) = (c(w1,w2) + k) /
+    * (c(w1) + k·V). Fluent/common continuations score low; documents
+    * whose transitions are rare relative to the corpus — gibberish,
+    * shuffled text, boilerplate the unigram model cannot see past —
+    * score high even when their unigram mix looks normal.
+    *
+    * Scale shape: [[unigramNll]]'s contract one level up — one bigram
+    * count aggregate and one unigram count aggregate (vocab-sized after
+    * map-side combining), the per-doc bigram rows join them on
+    * (w1, w2)/(w1) token keys, then one per-doc aggregate; document
+    * text never rides a shuffle, only (doc_id, token-pair) rows do. The
+    * vocabulary size V is a scalar broadcast. Output: doc_id,
+    * n_bigrams, bigram_nll (mean −ln p, rounded 6dp; 0.0 for docs with
+    * fewer than two tokens — emitted, not dropped, per the corpus
+    * accounting convention). */
+  def bigramNll(df: DataFrame, idCol: String, textCol: String,
+      k: Double = 0.5): DataFrame = {
+    require(k > 0, "add-k smoothing needs k > 0")
+    val toks = tokens(lower(col(textCol)))
+    val len = greatest(size(toks) - 1, lit(0))
+    val docBg = df.select(col(idCol), explode(arrays_zip(
+        slice(toks, lit(1), len), slice(toks, lit(2), len))).as("bg"))
+      .select(col(idCol), col("bg")("0").as("w1"), col("bg")("1").as("w2"))
+    val uni = df.select(explode(toks).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("__c1"))
+    val bg = docBg.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("__c12"))
+    val vocab = uni.agg(count(lit(1)).cast("double").as("__v"))
+    val scored = docBg
+      .join(bg, Seq("w1", "w2"))
+      .join(uni.withColumnRenamed("w", "w1"), Seq("w1"))
+      .crossJoin(broadcast(vocab))
+      .withColumn("__nll", -log(
+        (col("__c12").cast("double") + k) /
+          (col("__c1").cast("double") + lit(k) * col("__v"))))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(avg(col("__nll")), 6).as("bigram_nll"))
+    df.select(col(idCol)).distinct()
+      .join(scored, Seq(idCol), "left")
+      .na.fill(0L, Seq("n_bigrams"))
+      .na.fill(0.0, Seq("bigram_nll"))
+  }
+
   /** PMI collocation mining — pointwise mutual information over adjacent
     * token pairs, the classic phrase-induction statistic (word2vec's
     * phrase pass, tokenizer multi-word-unit candidates):

@@ -1109,6 +1109,25 @@ object ExtensionQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Pre-tokenization text normalization: every even doc gets a planted
+    // messy tail (curly quotes, en dash, zero-width, BEL control, tab,
+    // double spaces); odd docs pass through unchanged (changed=false)
+    "x77_normalize_text" -> ((s, dir) => {
+      val messy = t(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"), when(col("doc_id") % 2 === 0,
+          lit(" \u201cq\u201d \u2013 x\u200by\u0007 z\tw  end"))
+          .otherwise(lit(""))).as("text"))
+      TextAnalysis.normalizeText(messy, "text")
+        .select(col("doc_id"), col("normalized"), col("changed"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Bigram-LM perplexity scoring (add-0.5 smoothing, self-scored) —
+    // the transition-aware upgrade over x42's unigram NLL
+    "x76_bigram_nll" -> ((s, dir) =>
+      TextAnalysis.bigramNll(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("doc_id"))),
+
     // Weighted sampling without replacement (Efraimidis-Spirakis A-ES):
     // weight = token count, md5-derived uniforms, top-100 keys — the
     // oracle replays the exact sample
@@ -2126,6 +2145,57 @@ object ExtensionQueries {
         |  ROUND(1 / (1 + exp(-(z - 0.25))), 6) AS score,
         |  (ROUND(1 / (1 + exp(-(z - 0.25))), 6) > 0.5) AS label
         |FROM s ORDER BY doc_id""".stripMargin,
+
+    "x77_normalize_text" ->
+      """WITH messy AS (
+        |  SELECT doc_id, text || CASE WHEN doc_id % 2 = 0
+        |    THEN ' ' || chr(8220) || 'q' || chr(8221) || ' ' || chr(8211)
+        |      || ' x' || chr(8203) || 'y' || chr(7) || ' z' || chr(9)
+        |      || 'w  end'
+        |    ELSE '' END AS text
+        |  FROM documents),
+        |n AS (
+        |  SELECT doc_id, text,
+        |    trim(regexp_replace(translate(
+        |      regexp_replace(regexp_replace(text,
+        |        '[\x00-\x08\x0b-\x1f\x7f]', '', 'g'),
+        |        '[\x{200b}\x{200c}\x{200d}\x{feff}]', '', 'g'),
+        |      chr(8216) || chr(8217) || chr(8220) || chr(8221)
+        |        || chr(8211) || chr(8212) || chr(160),
+        |      '''''""-- '),
+        |      '[ \t]+', ' ', 'g')) AS normalized
+        |  FROM messy)
+        |SELECT doc_id, normalized, (normalized <> text) AS changed
+        |FROM n ORDER BY doc_id""".stripMargin,
+
+    "x76_bigram_nll" ->
+      """WITH tok AS (
+        |  SELECT doc_id, list_filter(
+        |    string_split_regex(trim(lower(text)), '\s+'),
+        |    x -> len(x) > 0) AS t
+        |  FROM documents),
+        |docbg AS (
+        |  SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+        |  FROM tok, unnest(range(1, len(t))) AS u(i)),
+        |uni AS (
+        |  SELECT w, count(*) AS c1
+        |  FROM (SELECT unnest(t) AS w FROM tok) GROUP BY 1),
+        |bg AS (SELECT w1, w2, count(*) AS c12 FROM docbg GROUP BY 1, 2),
+        |vv AS (SELECT CAST(count(*) AS DOUBLE) AS v FROM uni),
+        |s AS (
+        |  SELECT d.doc_id, count(*) AS n_bigrams,
+        |    ROUND(avg(-ln((bg.c12 + 0.5)
+        |      / (uni.c1 + 0.5 * (SELECT v FROM vv)))), 6) AS bigram_nll
+        |  FROM docbg d
+        |  JOIN bg USING (w1, w2)
+        |  JOIN uni ON uni.w = d.w1
+        |  GROUP BY 1)
+        |SELECT t.doc_id, CAST(coalesce(s.n_bigrams, 0) AS BIGINT)
+        |    AS n_bigrams,
+        |  coalesce(s.bigram_nll, 0) AS bigram_nll
+        |FROM (SELECT DISTINCT doc_id FROM documents) t
+        |LEFT JOIN s USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
 
     "x74_weighted_sample" ->
       """WITH w AS (

@@ -283,6 +283,29 @@ object EventStreams {
       }
       .start()
 
+  /** Stream vector embeddings into an appendable IVF index
+    * ([[graft.ops.IVF.writeIndexAppendable]] root) — the retrieval-side
+    * twin of [[incrementalDedupSink]]: each micro-batch becomes one
+    * map-only `appendVectors` shard named by batchId, so foreachBatch's
+    * at-least-once redelivery replays into the SAME partition leaves
+    * (idempotent dynamic overwrite) and searches see exactly-once
+    * state. The micro-batch loop serializes writers — the appendable
+    * index's single-writer contract falls out for free, same as the
+    * dedup sink. The index must exist (build it on the historical
+    * corpus, or on an empty assigned frame to start cold). */
+  def ivfAppendSink(vectors: DataFrame, vecCol: String, indexRoot: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    vectors.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          graft.ops.IVF.appendVectors(batch.sparkSession, indexRoot,
+            batch, vecCol, s"stream_$batchId")
+        }
+        ()
+      }
+      .start()
+
   /** Streaming sink helper: append to a parquet path with a checkpoint —
     * the streaming analogue of Sinks.writePartitioned. */
   def startParquetSink(df: DataFrame, path: String, checkpoint: String,

@@ -5,6 +5,8 @@ import java.sql.Timestamp
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.streaming.OutputMode
 
+import org.apache.spark.sql.functions.col
+
 import graft.streaming.EventStreams
 import graft.streaming.EventStreams.Event
 
@@ -230,6 +232,40 @@ class StreamingSpec extends SparkSpec {
       // dropped at the watermark and the query stayed alive
       assert(sessions.contains((7L, 1L, 1.0)), sessions.toString)
       assert(!sessions.exists(s => s._1 == 7L && s._2 == 2L), sessions.toString)
+    } finally q.stop()
+  }
+
+  test("ivfAppendSink: streamed shards build the same searchable index as the batch path") {
+    implicit val sqlCtx = spark.sqlContext
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val base = emb.filter(col("vec_id") % 4 === 0)
+    val model = graft.ops.IVF.train(base, "vec_id", "embedding",
+      nc = 8, iters = 2)
+    val root = java.nio.file.Files.createTempDirectory("ivf_stream")
+      .toString + "/idx"
+    graft.ops.IVF.writeIndexAppendable(
+      graft.ops.IVF.assign(base, "embedding", model), root, model, "base")
+    val input = MemoryStream[(Long, Seq[Float])]
+    val ckpt = java.nio.file.Files.createTempDirectory("ivf_ckpt").toString
+    val q = EventStreams.ivfAppendSink(
+      input.toDF().toDF("vec_id", "embedding"), "embedding", root, ckpt)
+    try {
+      val rest = emb.filter(col("vec_id") % 4 =!= 0)
+        .select(col("vec_id"), col("embedding"))
+        .as[(Long, Seq[Float])].collect()
+      rest.grouped(math.max(1, rest.length / 3 + 1)).foreach { g =>
+        input.addData(g.toSeq: _*); q.processAllAvailable()
+      }
+      val queries = emb.filter(col("vec_id").isin(1L, 6L))
+        .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+      val via = graft.ops.IVF.searchBatchAppendable(spark, root, queries,
+          "vec_id", "embedding", "query_id", k = 8, nprobe = 3)
+        .as[(Long, Long, Double)].collect().toSet
+      val ref = graft.ops.IVF.searchBatch(
+          graft.ops.IVF.assign(emb, "embedding", model), queries,
+          "vec_id", "embedding", "query_id", model, k = 8, nprobe = 3)
+        .as[(Long, Long, Double)].collect().toSet
+      assert(via == ref, "streamed index must equal the batch-built one")
     } finally q.stop()
   }
 
