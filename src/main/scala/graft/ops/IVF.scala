@@ -443,14 +443,27 @@ object IVF {
     * [[searchBatch]] (pinned by spec/oracle), prune lands as
     * PartitionFilters on the leading centroid_id directory level.
     * Tombstoned ids ([[deleteVectors]]) are masked via a broadcast
-    * anti-join that the centroid prune pushes straight through. */
+    * anti-join that the centroid prune pushes straight through.
+    *
+    * `excludeShards` drops whole ingest shards at scan time (a
+    * partition filter on the trailing ingest_shard directory level —
+    * excluded leaves are never read). Use it to hide an IN-FLIGHT
+    * shard: a writer crash mid-[[appendVectors]] can leave a torn
+    * shard (some centroid leaves written, some not) visible until the
+    * write replays, and a reader that must not observe that window
+    * excludes the shard id being ingested (see
+    * [[graft.streaming.EventStreams.ivfAppendSink]]). */
   def searchBatchAppendable(spark: org.apache.spark.sql.SparkSession,
       root: String, queries: DataFrame, idCol: String, vecCol: String,
-      qidCol: String, k: Int, nprobe: Int = 4): DataFrame = {
+      qidCol: String, k: Int, nprobe: Int = 4,
+      excludeShards: Seq[String] = Nil): DataFrame = {
     // readModel FIRST: it heals a crashed rebuild swap, and the vectors
     // scan below must resolve against the healed root
     val model = readModel(spark, root)
-    val idx = spark.read.parquet(s"$root/vectors")
+    val raw = spark.read.parquet(s"$root/vectors")
+    val idx =
+      if (excludeShards.isEmpty) raw
+      else raw.filter(!col("ingest_shard").isin(excludeShards: _*))
     val masked = tombstoneFrame(spark, root) match {
       case Some(t) => idx.join(broadcast(t.select(col("tomb_id"))),
         idx(idCol) === col("tomb_id"), "left_anti")

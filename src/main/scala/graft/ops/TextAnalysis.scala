@@ -466,7 +466,11 @@ object TextAnalysis {
     * the chain in RE2 spelling — \x{...} instead of Java's \uXXXX, the
     * documented dialect-translation convention). Adds `normalized` and
     * a `changed` flag so a pipeline can count how much of the corpus
-    * was dirty. */
+    * was dirty. Safe to normalize in place (`outCol == textCol`): both
+    * output expressions are bound against the INPUT column in a single
+    * `withColumns`, so `changed` always compares normalized-vs-original
+    * (a sequential `withColumn` pair would compare the overwritten
+    * column to itself and pin `changed` false). */
   def normalizeText(df: DataFrame, textCol: String = "text",
       outCol: String = "normalized"): DataFrame = {
     val t = col(textCol)
@@ -474,28 +478,40 @@ object TextAnalysis {
     val noZw = regexp_replace(noCtl, "[\\u200b\\u200c\\u200d\\ufeff]", "")
     val ascii = translate(noZw,
       "\u2018\u2019\u201c\u201d\u2013\u2014\u00a0", "''\"\"-- ")
-    df.withColumn(outCol, trim(regexp_replace(ascii, "[ \\t]+", " ")))
-      .withColumn("changed", col(outCol) =!= t)
+    val norm = trim(regexp_replace(ascii, "[ \\t]+", " "))
+    df.withColumns(Map(outCol -> norm, "changed" -> (norm =!= t)))
   }
 
   /** Bigram language-model NLL — the step up from [[unigramNll]] toward
     * the KenLM-style perplexity filters (CCNet) when no external model
     * is wanted: score every document under the corpus's OWN bigram
     * model with add-k smoothing, p(w2|w1) = (c(w1,w2) + k) /
-    * (c(w1) + k·V). Fluent/common continuations score low; documents
-    * whose transitions are rare relative to the corpus — gibberish,
-    * shuffled text, boilerplate the unigram model cannot see past —
-    * score high even when their unigram mix looks normal.
+    * (c_start(w1) + k·V), where c_start(w1) = Σ_w2 c(w1,w2) is w1's
+    * bigram-CONTEXT count (not its corpus unigram count — a token's
+    * document-final occurrences start no bigram, and counting them
+    * would deflate every transition out of it; with the context count
+    * the conditionals properly normalize: Σ_w2 p(w2|w1) → 1 as k → 0)
+    * and V = |{token types observed in bigram positions}|. Fluent/
+    * common continuations score low; documents whose transitions are
+    * rare relative to the corpus — gibberish, shuffled text,
+    * boilerplate the unigram model cannot see past — score high even
+    * when their unigram mix looks normal.
     *
-    * Scale shape: [[unigramNll]]'s contract one level up — one bigram
-    * count aggregate and one unigram count aggregate (vocab-sized after
-    * map-side combining), the per-doc bigram rows join them on
-    * (w1, w2)/(w1) token keys, then one per-doc aggregate; document
-    * text never rides a shuffle, only (doc_id, token-pair) rows do. The
-    * vocabulary size V is a scalar broadcast. Output: doc_id,
-    * n_bigrams, bigram_nll (mean −ln p, rounded 6dp; 0.0 for docs with
-    * fewer than two tokens — emitted, not dropped, per the corpus
-    * accounting convention). */
+    * Scale shape: the whole MODEL is the compact pair-count frame
+    * `bg` (bounded by distinct-bigram types, orders of magnitude below
+    * corpus size) — and THREE consumers branch from it (the scored-row
+    * join, the context-count regroup, the V distinct), so it is
+    * persisted once, the [[sourceTokenKl]] /
+    * [[graft.ops.Dedup.minhashLshPairs]] dual-consumer-recompute
+    * convention (measured here: without the persist Spark re-tokenizes
+    * the corpus once PER consumer — AQE's ReuseExchange does not
+    * canonicalize the three aggregate lineages together). Document text
+    * is therefore tokenized exactly twice: once building `bg`, once for
+    * the per-doc scored rows. Only (doc_id, token-pair) rows ride
+    * shuffles; V is a scalar broadcast. Output: doc_id, n_bigrams,
+    * bigram_nll (mean −ln p, rounded 6dp; 0.0 for docs with fewer than
+    * two tokens — emitted, not dropped, per the corpus accounting
+    * convention). */
   def bigramNll(df: DataFrame, idCol: String, textCol: String,
       k: Double = 0.5): DataFrame = {
     require(k > 0, "add-k smoothing needs k > 0")
@@ -504,18 +520,21 @@ object TextAnalysis {
     val docBg = df.select(col(idCol), explode(arrays_zip(
         slice(toks, lit(1), len), slice(toks, lit(2), len))).as("bg"))
       .select(col(idCol), col("bg")("0").as("w1"), col("bg")("1").as("w2"))
-    val uni = df.select(explode(toks).as("w"))
-      .groupBy(col("w")).agg(count(lit(1)).as("__c1"))
     val bg = docBg.groupBy(col("w1"), col("w2"))
       .agg(count(lit(1)).as("__c12"))
-    val vocab = uni.agg(count(lit(1)).cast("double").as("__v"))
+      .persist()
+    bg.count()
+    val ctx = bg.groupBy(col("w1")).agg(sum(col("__c12")).as("__cstart"))
+    val vocab = bg.select(col("w1").as("w"))
+      .union(bg.select(col("w2").as("w")))
+      .distinct().agg(count(lit(1)).cast("double").as("__v"))
     val scored = docBg
       .join(bg, Seq("w1", "w2"))
-      .join(uni.withColumnRenamed("w", "w1"), Seq("w1"))
+      .join(ctx, Seq("w1"))
       .crossJoin(broadcast(vocab))
       .withColumn("__nll", -log(
         (col("__c12").cast("double") + k) /
-          (col("__c1").cast("double") + lit(k) * col("__v"))))
+          (col("__cstart").cast("double") + lit(k) * col("__v"))))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_bigrams"),
         round(avg(col("__nll")), 6).as("bigram_nll"))

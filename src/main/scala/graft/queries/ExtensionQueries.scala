@@ -2177,18 +2177,17 @@ object ExtensionQueries {
         |docbg AS (
         |  SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
         |  FROM tok, unnest(range(1, len(t))) AS u(i)),
-        |uni AS (
-        |  SELECT w, count(*) AS c1
-        |  FROM (SELECT unnest(t) AS w FROM tok) GROUP BY 1),
         |bg AS (SELECT w1, w2, count(*) AS c12 FROM docbg GROUP BY 1, 2),
-        |vv AS (SELECT CAST(count(*) AS DOUBLE) AS v FROM uni),
+        |ctx AS (SELECT w1, sum(c12) AS cstart FROM bg GROUP BY 1),
+        |vv AS (SELECT CAST(count(*) AS DOUBLE) AS v FROM
+        |  (SELECT w1 AS w FROM bg UNION SELECT w2 FROM bg)),
         |s AS (
         |  SELECT d.doc_id, count(*) AS n_bigrams,
         |    ROUND(avg(-ln((bg.c12 + 0.5)
-        |      / (uni.c1 + 0.5 * (SELECT v FROM vv)))), 6) AS bigram_nll
+        |      / (ctx.cstart + 0.5 * (SELECT v FROM vv)))), 6) AS bigram_nll
         |  FROM docbg d
         |  JOIN bg USING (w1, w2)
-        |  JOIN uni ON uni.w = d.w1
+        |  JOIN ctx USING (w1)
         |  GROUP BY 1)
         |SELECT t.doc_id, CAST(coalesce(s.n_bigrams, 0) AS BIGINT)
         |    AS n_bigrams,

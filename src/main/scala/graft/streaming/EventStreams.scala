@@ -288,11 +288,19 @@ object EventStreams {
     * twin of [[incrementalDedupSink]]: each micro-batch becomes one
     * map-only `appendVectors` shard named by batchId, so foreachBatch's
     * at-least-once redelivery replays into the SAME partition leaves
-    * (idempotent dynamic overwrite) and searches see exactly-once
-    * state. The micro-batch loop serializes writers — the appendable
-    * index's single-writer contract falls out for free, same as the
-    * dedup sink. The index must exist (build it on the historical
-    * corpus, or on an empty assigned frame to start cold). */
+    * (idempotent dynamic overwrite): once a batch's write completes,
+    * the index state is exactly-once no matter how many times the batch
+    * was delivered. The micro-batch loop serializes writers — the
+    * appendable index's single-writer contract falls out for free, same
+    * as the dedup sink. One isolation caveat (same as the dedup sink's
+    * in-flight-shard note): a crash MID-append leaves a torn
+    * `stream_N` shard (some centroid leaves written, some not) that a
+    * CONCURRENT search would read until the batch replays on restart.
+    * A reader that must not observe that window passes the in-flight
+    * shard id to `searchBatchAppendable(excludeShards = ...)` — the
+    * exclusion is a partition filter, so the torn leaves are never
+    * scanned. The index must exist (build it on the historical corpus,
+    * or on an empty assigned frame to start cold). */
   def ivfAppendSink(vectors: DataFrame, vecCol: String, indexRoot: String,
       checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
     vectors.writeStream

@@ -664,6 +664,35 @@ class SimilaritySpec extends SparkSpec {
     assert(rebuilt.dropDuplicates("vec_id").count() == emb.count())
   }
 
+  test("searchBatchAppendable excludeShards: in-flight shard invisible, filter is partition-level") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val base = emb.filter($"vec_id" % 5 =!= 0)
+    val shard = emb.filter($"vec_id" % 5 === 0)
+    val model = graft.ops.IVF.train(base, "vec_id", "embedding", nc = 8, iters = 2)
+    val root = java.nio.file.Files.createTempDirectory("ivf_excl").toString + "/idx"
+    graft.ops.IVF.writeIndexAppendable(
+      graft.ops.IVF.assign(base, "embedding", model), root, model, "base")
+    val queries = emb.filter($"vec_id".isin(0L, 7L))
+      .select($"vec_id".as("query_id"), $"embedding".as("qvec"))
+    def search(excl: Seq[String]) = graft.ops.IVF.searchBatchAppendable(
+      spark, root, queries, "vec_id", "embedding", "query_id",
+      k = 8, nprobe = 3, excludeShards = excl)
+    val baseOnly = search(Nil).as[(Long, Long, Double)].collect().toSet
+    // append a shard, then search as a reader that excludes it: results
+    // must be EXACTLY the pre-append answer (torn-shard isolation)
+    graft.ops.IVF.appendVectors(spark, root, shard, "embedding", "s1")
+    val excluded = search(Seq("s1"))
+    assert(excluded.as[(Long, Long, Double)].collect().toSet == baseOnly)
+    // without the exclusion the new shard's vectors are visible
+    assert(search(Nil).as[(Long, Long, Double)].collect().toSet != baseOnly)
+    // the exclusion must land as a partition filter on ingest_shard
+    // (excluded leaves never read), not a post-scan row filter
+    excluded.collect()
+    val plan = excluded.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*ingest_shard".r.findFirstIn(plan)
+      .isDefined, plan.take(1200))
+  }
+
   test("appendable IVF rebuild is crash-safe: readers recover from every swap window") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val model = graft.ops.IVF.train(emb, "vec_id", "embedding", nc = 8, iters = 2)
@@ -1347,6 +1376,40 @@ class TextAnalysisSpec extends SparkSpec {
       .as[(String, String, Long, Double)].collect().toSeq
     val expected = math.rint(math.log(3.0 * 7 * 7 / (5.0 * 3 * 3)) * 1e6) / 1e6
     assert(out == Seq(("a", "b", 3L, expected)), (out, expected))
+  }
+
+  test("normalizeText: in-place output keeps the changed flag honest") {
+    val df = Seq((1L, "“hi” – there"), (2L, "clean text"))
+      .toDF("doc_id", "text")
+    // default out column
+    val sep = graft.ops.TextAnalysis.normalizeText(df)
+      .select($"doc_id", $"normalized", $"changed")
+      .as[(Long, String, Boolean)].collect().toSet
+    assert(sep == Set((1L, "\"hi\" - there", true), (2L, "clean text", false)),
+      sep)
+    // in-place (outCol == textCol): changed must still compare against
+    // the ORIGINAL text, not the overwritten column vs itself
+    val inPlace = graft.ops.TextAnalysis.normalizeText(df, "text", "text")
+      .select($"doc_id", $"text", $"changed")
+      .as[(Long, String, Boolean)].collect().toSet
+    assert(inPlace == Set((1L, "\"hi\" - there", true),
+      (2L, "clean text", false)), inPlace)
+  }
+
+  test("bigramNll: hand-computed fixture, short docs emitted at zero") {
+    val df = Seq((1L, "a b a"), (2L, "b a"), (3L, "x")).toDF("doc_id", "text")
+    // bigrams: doc1 (a,b),(b,a); doc2 (b,a) -> c(a,b)=1, c(b,a)=2
+    // context counts: c_start(a)=1, c_start(b)=2; V = |{a,b}| = 2; k=0.5
+    // p(b|a) = 1.5/(1+1) = 0.75 ; p(a|b) = 2.5/(2+1) = 2.5/3
+    val pba = 1.5 / 2.0
+    val pab = 2.5 / 3.0
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    val got = graft.ops.TextAnalysis.bigramNll(df, "doc_id", "text")
+      .as[(Long, Long, Double)].collect()
+      .map { case (id, n, nll) => id -> ((n, nll)) }.toMap
+    assert(got(1L) == ((2L, r6((-math.log(pba) - math.log(pab)) / 2.0))), got)
+    assert(got(2L) == ((1L, r6(-math.log(pab)))), got)
+    assert(got(3L) == ((0L, 0.0)), got) // 1-token doc emitted, not dropped
   }
 
   test("pageRank: cycle fixed point, star hand-calc, mass conservation") {

@@ -253,4 +253,39 @@ class PlanGuardSpec extends SparkSpec {
       }
     }
   }
+
+  test("x76: bigram model consumers read the cached pair frame, not re-tokenized text") {
+    val df = spark.read.parquet(s"$dir/documents.parquet")
+    val out = graft.ops.TextAnalysis.bigramNll(df, "doc_id", "text")
+    out.collect()
+    val plan = out.queryExecution.executedPlan.toString
+    // ctx regroup + V distinct + the scored join's bg side must all hit
+    // the persisted pair-count frame (AQE does NOT dedupe their
+    // aggregate lineages — without the cache each one re-tokenizes the
+    // corpus; measured before the persist landed: 3 extra text scans)
+    val mem = "InMemoryTableScan".r.findAllIn(plan).size
+    assert(mem >= 3, s"expected >=3 InMemoryTableScans of bg, got $mem:\n" +
+      plan.take(1500))
+    // and exactly ONE live text scan remains (the per-doc scored rows;
+    // the cache-build scan ran once at persist time and is not part of
+    // this plan) — walk the executed tree through the AQE wrappers, so
+    // the cached-relation bodies the toString embeds are not counted
+    import org.apache.spark.sql.execution.SparkPlan
+    def walk(n: SparkPlan): Seq[SparkPlan] = {
+      val kids = n match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          Seq(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          Seq(q.plan)
+        case other => other.children
+      }
+      n +: kids.flatMap(walk)
+    }
+    val liveText = walk(out.queryExecution.executedPlan).count {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.output.exists(_.name == "text")
+      case _ => false
+    }
+    assert(liveText == 1, s"scored side re-tokenizes text: $liveText live scans")
+  }
 }
