@@ -1055,4 +1055,116 @@ object TextAnalysis {
         expr("bit_xor(h)").as("fp_xor"))
     df.join(fps, col(idCol) === col("fp_id"), "left").drop("fp_id")
   }
+
+  /** BM25 top-k lexical retrieval — the classic probabilistic ranking
+    * (Robertson/Sparck-Jones; Lucene's default) over whitespace tokens:
+    * score(q,d) = Σ_t∈q idf(t) · tf/(tf + k1·(1−b + b·dl/avgdl)) with
+    * idf(t) = ln((N − df + 0.5)/(df + 0.5) + 1) (the Lucene spelling,
+    * always positive). The training-pipeline use: retrieve corpus
+    * neighbors of benchmark prompts for decontamination review, or of
+    * seed documents for targeted data curation — the lexical
+    * counterpart of [[graft.ops.IVF]]'s embedding search. Query terms
+    * are DISTINCT per query (standard short-query simplification).
+    *
+    * Scale shape: the query frame is small by contract (it broadcasts —
+    * same bounded-side contract as IVF's probe frame); the corpus is
+    * huge. Document text is scanned exactly twice: one narrow pass for
+    * the corpus scalars (N, avgdl), and one posting-build pass where
+    * the broadcast query-vocab semi-join filters the exploded tokens
+    * BEFORE the (doc, term) aggregate — only rows whose term appears in
+    * some query ever ride a shuffle. The resulting posting-list union
+    * (Σ_t∈queries df(t) rows — exactly what a retrieval engine
+    * materializes for these queries) feeds TWO consumers (the df
+    * regroup and the scoring join — neither re-reads text), so it is
+    * persisted, the [[sourceTokenKl]] convention. Per-term df is NOT computed as a
+    * count-window over term partitions on purpose: a stopword term's
+    * partition is corpus-wide (skew), while the regroup's map-side
+    * partial aggregation never moves more than |query vocab| rows per
+    * task. Top-k lands as a rank over (query, score) — query-count
+    * partitions, each df(q)-bounded. Output: qidCol, idCol, rank,
+    * score (6dp — ranked on the ROUNDED value with the doc id as
+    * tie-break, so the ordering replays on any engine), n_terms
+    * (matched query terms). Queries with no matching term emit no rows;
+    * docs match only via shared terms. */
+  def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
+      queries: DataFrame, qidCol: String, qtextCol: String, k: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(k >= 1, "need k >= 1 results per query")
+    require(k1 >= 0 && b >= 0 && b <= 1, "k1 >= 0, 0 <= b <= 1")
+    val toks = tokens(lower(col(textCol)))
+    // corpus scalars: one narrow per-row scan (token counts only)
+    val stats = docs.agg(count(lit(1)).cast("double").as("__n"),
+      avg(size(toks)).as("__avgdl"))
+    val qterms = queries.select(col(qidCol),
+      explode(array_distinct(tokens(lower(col(qtextCol))))).as("term"))
+    val qvocab = qterms.select(col("term")).distinct()
+    val posting = docs
+      .select(col(idCol), size(toks).as("__dl"), explode(toks).as("term"))
+      .join(broadcast(qvocab), Seq("term"))
+      .groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("__tf"), max(col("__dl")).as("__dl"))
+      .persist()
+    posting.count()
+    val dfreq = posting.groupBy(col("term"))
+      .agg(count(lit(1)).cast("double").as("__df"))
+    val scored = posting
+      .join(broadcast(dfreq), Seq("term"))
+      .join(broadcast(qterms), Seq("term"))
+      .crossJoin(broadcast(stats))
+      .withColumn("__idf",
+        log((col("__n") - col("__df") + 0.5) / (col("__df") + 0.5) + 1.0))
+      .withColumn("__contrib", col("__idf") * col("__tf") /
+        (col("__tf") + lit(k1) * (lit(1.0 - b) +
+          lit(b) * col("__dl") / col("__avgdl"))))
+      .groupBy(col(qidCol), col(idCol))
+      .agg(round(sum(col("__contrib")), 6).as("score"),
+        count(lit(1)).as("n_terms"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(qidCol))
+      .orderBy(col("score").desc, col(idCol).asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(qidCol), col(idCol), col("rank"), col("score"),
+        col("n_terms"))
+  }
+
+  /** Zipf rank-frequency profile — the one-row corpus shape summary a
+    * data-prep QA report leads with: natural text follows freq ∝
+    * rank^s with s ≈ −1, and a corpus whose fitted slope drifts far
+    * from −1 (template floods flatten it, artifact tokens steepen the
+    * head) warrants a look before training. Fits ordinary least
+    * squares of ln(freq) on ln(rank) over the top `topN` ranks
+    * (rank ties broken by token asc, so the rank assignment — and
+    * therefore the fit — replays identically on any engine).
+    *
+    * Scale shape: ONE corpus tokenize pass builds the vocab-sized
+    * count frame, persisted for its two consumers (vocab size + the
+    * top-N head) per the [[sourceTokenKl]] convention; total token
+    * mass derives from the counts themselves (no second corpus scan).
+    * The top-N head lands driver-side via TakeOrdered (topN rows, no
+    * vocab-wide window), and the regression runs on that topN-row
+    * frame. Output (one row): n_tokens, n_vocab, zipf_slope (6dp),
+    * top_coverage (share of token mass in the top-N ranks, 6dp). */
+  def zipfProfile(df: DataFrame, textCol: String = "text",
+      topN: Int = 100): DataFrame = {
+    require(topN >= 2, "need at least 2 ranks to fit a slope")
+    val uni = df.select(explode(tokens(lower(col(textCol)))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("__cnt"))
+      .persist()
+    uni.count()
+    val totals = uni.agg(sum(col("__cnt")).as("__t"),
+      count(lit(1)).as("__nv"))
+    val head = uni.orderBy(col("__cnt").desc, col("w").asc).limit(topN)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("__cnt").desc, col("w").asc)
+    val fit = head
+      .withColumn("__rank", row_number().over(w))
+      .agg(expr("regr_slope(ln(__cnt), ln(__rank))").as("__slope"),
+        sum(col("__cnt")).as("__headmass"))
+    fit.crossJoin(broadcast(totals))
+      .select(col("__t").as("n_tokens"), col("__nv").as("n_vocab"),
+        round(col("__slope"), 6).as("zipf_slope"),
+        round(col("__headmass").cast("double") /
+          col("__t").cast("double"), 6).as("top_coverage"))
+  }
 }

@@ -1128,6 +1128,26 @@ object ExtensionQueries {
       TextAnalysis.bigramNll(t(s, dir, "documents"), "doc_id", "text")
         .orderBy(col("doc_id"))),
 
+    // BM25 top-10 lexical retrieval: three fixed multi-term queries over
+    // the documents table (decontamination-review / curation retrieval);
+    // score ranked on the 6dp-rounded value with doc_id tie-break so the
+    // oracle replays the ordering exactly
+    "x78_bm25_topk" -> ((s, dir) => {
+      import s.implicits._
+      val qs = Seq((1L, "spark window agg"), (2L, "slow query scan"),
+        (3L, "customer table join fast"))
+        .toDF("query_id", "qtext")
+      TextAnalysis.bm25TopK(t(s, dir, "documents"), "doc_id", "text",
+          qs, "query_id", "qtext", k = 10)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // Zipf rank-frequency profile: OLS slope of ln(freq) on ln(rank)
+    // over the top-50 ranks + head coverage — the one-row corpus shape
+    // summary
+    "x79_zipf_profile" -> ((s, dir) =>
+      TextAnalysis.zipfProfile(t(s, dir, "documents"), "text", topN = 50)),
+
     // Weighted sampling without replacement (Efraimidis-Spirakis A-ES):
     // weight = token count, md5-derived uniforms, top-100 keys — the
     // oracle replays the exact sample
@@ -2167,6 +2187,75 @@ object ExtensionQueries {
         |  FROM messy)
         |SELECT doc_id, normalized, (normalized <> text) AS changed
         |FROM n ORDER BY doc_id""".stripMargin,
+
+    "x78_bm25_topk" ->
+      """WITH q(query_id, qtext) AS (VALUES
+        |  (CAST(1 AS BIGINT), 'spark window agg'),
+        |  (CAST(2 AS BIGINT), 'slow query scan'),
+        |  (CAST(3 AS BIGINT), 'customer table join fast')),
+        |tok AS (
+        |  SELECT doc_id, list_filter(
+        |    string_split_regex(trim(lower(text)), '\s+'),
+        |    x -> len(x) > 0) AS t
+        |  FROM documents),
+        |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+        |  avg(len(t)) AS avgdl FROM tok),
+        |qterm AS (
+        |  SELECT query_id, unnest(list_distinct(list_filter(
+        |    string_split_regex(trim(lower(qtext)), '\s+'),
+        |    x -> len(x) > 0))) AS term
+        |  FROM q),
+        |post AS (
+        |  SELECT doc_id, term, count(*) AS tf, max(dl) AS dl FROM (
+        |    SELECT doc_id, len(t) AS dl, unnest(t) AS term FROM tok)
+        |  WHERE term IN (SELECT term FROM qterm)
+        |  GROUP BY 1, 2),
+        |dfreq AS (
+        |  SELECT term, CAST(count(*) AS DOUBLE) AS df
+        |  FROM post GROUP BY 1),
+        |scored AS (
+        |  SELECT qt.query_id, p.doc_id,
+        |    ROUND(sum(ln((s.n - d.df + 0.5) / (d.df + 0.5) + 1.0)
+        |      * p.tf / (p.tf + 1.2 * (1.0 - 0.75 + 0.75 * p.dl / s.avgdl))
+        |    ), 6) AS score,
+        |    count(*) AS n_terms
+        |  FROM post p
+        |  JOIN dfreq d USING (term)
+        |  JOIN qterm qt USING (term)
+        |  CROSS JOIN stats s
+        |  GROUP BY 1, 2),
+        |r AS (
+        |  SELECT query_id, doc_id, row_number() OVER (
+        |      PARTITION BY query_id ORDER BY score DESC, doc_id
+        |    ) AS rank, score, n_terms
+        |  FROM scored)
+        |SELECT query_id, doc_id, rank, score, n_terms
+        |FROM r WHERE rank <= 10
+        |ORDER BY query_id, rank""".stripMargin,
+
+    "x79_zipf_profile" ->
+      """WITH tok AS (
+        |  SELECT list_filter(
+        |    string_split_regex(trim(lower(text)), '\s+'),
+        |    x -> len(x) > 0) AS t
+        |  FROM documents),
+        |uni AS (
+        |  SELECT w, count(*) AS cnt
+        |  FROM (SELECT unnest(t) AS w FROM tok) GROUP BY 1),
+        |totals AS (SELECT sum(cnt) AS tt, count(*) AS nv FROM uni),
+        |head AS (
+        |  SELECT cnt, row_number() OVER (ORDER BY cnt DESC, w) AS rnk
+        |  FROM uni ORDER BY cnt DESC, w LIMIT 50),
+        |fit AS (
+        |  SELECT regr_slope(ln(cnt), ln(rnk)) AS slope,
+        |    sum(cnt) AS headmass
+        |  FROM head)
+        |SELECT CAST(totals.tt AS BIGINT) AS n_tokens,
+        |  CAST(totals.nv AS BIGINT) AS n_vocab,
+        |  ROUND(fit.slope, 6) AS zipf_slope,
+        |  ROUND(CAST(fit.headmass AS DOUBLE) / CAST(totals.tt AS DOUBLE), 6)
+        |    AS top_coverage
+        |FROM fit CROSS JOIN totals""".stripMargin,
 
     "x76_bigram_nll" ->
       """WITH tok AS (

@@ -1412,6 +1412,49 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got(3L) == ((0L, 0.0)), got) // 1-token doc emitted, not dropped
   }
 
+  test("bm25TopK: hand-computed fixture, ranking and tie-break") {
+    val docs = Seq((1L, "a b a"), (2L, "a c"), (3L, "b b b c"))
+      .toDF("doc_id", "text")
+    val qs = Seq((10L, "a b"), (20L, "zzz")).toDF("query_id", "qtext")
+    // N=3, dl=(3,2,4), avgdl=3; df(a)=2, df(b)=2
+    // idf(a)=idf(b)=ln((3-2+0.5)/(2+0.5)+1)=ln(1.6)
+    // denom(tf,dl)=tf+1.2*(0.25+0.75*dl/3)
+    val idf = math.log(1.6)
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    val s1 = r6(idf * (2.0 / 3.2 + 1.0 / 2.2)) // doc1: a tf=2, b tf=1
+    val s2 = r6(idf * (1.0 / 1.9))             // doc2: a tf=1
+    val s3 = r6(idf * (3.0 / 4.5))             // doc3: b tf=3
+    val out = graft.ops.TextAnalysis.bm25TopK(docs, "doc_id", "text",
+        qs, "query_id", "qtext", k = 10)
+      .as[(Long, Long, Int, Double, Long)].collect().toSeq.sorted
+    // ranking: doc1 > doc3 > doc2; query 20 has no matching term -> no rows
+    assert(out == Seq((10L, 1L, 1, s1, 2L), (10L, 2L, 3, s2, 1L),
+      (10L, 3L, 2, s3, 1L)), (out, s1, s2, s3))
+    // k truncates: top-1 keeps only doc1
+    val top1 = graft.ops.TextAnalysis.bm25TopK(docs, "doc_id", "text",
+        qs, "query_id", "qtext", k = 1)
+      .as[(Long, Long, Int, Double, Long)].collect().toSeq
+    assert(top1 == Seq((10L, 1L, 1, s1, 2L)), top1)
+  }
+
+  test("zipfProfile: hand-computed OLS slope, coverage, head truncation") {
+    val df = Seq("a a a a b b c").toDF("text")
+    // counts a:4 b:2 c:1 -> ranks 1,2,3; OLS of ln(freq) on ln(rank)
+    val xs = Seq(1.0, 2.0, 3.0).map(math.log)
+    val ys = Seq(4.0, 2.0, 1.0).map(math.log)
+    val xm = xs.sum / 3; val ym = ys.sum / 3
+    val slope = xs.zip(ys).map { case (x, y) => (x - xm) * (y - ym) }.sum /
+      xs.map(x => (x - xm) * (x - xm)).sum
+    def r6(v: Double) = math.rint(v * 1e6) / 1e6
+    val full = graft.ops.TextAnalysis.zipfProfile(df, "text", topN = 3)
+      .as[(Long, Long, Double, Double)].collect().head
+    assert(full == ((7L, 3L, r6(slope), 1.0)), (full, slope))
+    // topN=2 head: mass 6/7, slope over 2 points = (ln2-ln4)/(ln2-ln1)=-1
+    val head2 = graft.ops.TextAnalysis.zipfProfile(df, "text", topN = 2)
+      .as[(Long, Long, Double, Double)].collect().head
+    assert(head2 == ((7L, 3L, -1.0, r6(6.0 / 7.0))), head2)
+  }
+
   test("pageRank: cycle fixed point, star hand-calc, mass conservation") {
     // 2-cycle: uniform 1/2 is the exact fixed point at any damping
     val cycle = Seq((0L, 1L), (1L, 0L)).toDF("src", "dst")

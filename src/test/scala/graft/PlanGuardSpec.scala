@@ -288,4 +288,41 @@ class PlanGuardSpec extends SparkSpec {
     }
     assert(liveText == 1, s"scored side re-tokenizes text: $liveText live scans")
   }
+
+  test("x78: BM25 sides broadcast; posting cached; one live text scan (corpus scalars)") {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val qs = Seq((1L, "spark window agg"), (2L, "slow query scan"))
+      .toDF("query_id", "qtext")
+    val out = graft.ops.TextAnalysis.bm25TopK(docs, "doc_id", "text",
+      qs, "query_id", "qtext", k = 10)
+    out.collect()
+    val plan = out.queryExecution.executedPlan.toString
+    // df counts + scoring join both hit the persisted posting frame
+    assert("InMemoryTableScan".r.findAllIn(plan).size >= 2, plan.take(1500))
+    // dfreq, qterms, stats all ride broadcasts — corpus rows never
+    // shuffle for them
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 2, plan.take(1500))
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("CartesianProduct"), "stats scalar must cross-join")
+    // the only live corpus scan is the narrow (N, avgdl) pass — the
+    // posting build ran once at persist time
+    import org.apache.spark.sql.execution.SparkPlan
+    def walk(n: SparkPlan): Seq[SparkPlan] = {
+      val kids = n match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          Seq(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          Seq(q.plan)
+        case other => other.children
+      }
+      n +: kids.flatMap(walk)
+    }
+    val liveText = walk(out.queryExecution.executedPlan).count {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.output.exists(_.name == "text")
+      case _ => false
+    }
+    assert(liveText == 1, s"expected 1 live text scan, got $liveText")
+  }
 }
