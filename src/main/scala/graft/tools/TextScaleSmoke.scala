@@ -120,6 +120,31 @@ object TextScaleSmoke {
             lit(" rd"), pmod(col("doc_id"), lit(250000)).cast("string"))
             .as("text")),
           "doc_id", "text", n = 3, maxDf = 8, minShared = 2).count())
+    // r8 batch 3: the bigram model's pair-count frame is ~25M distinct
+    // pairs here (random synthetic text is the worst case — real corpora
+    // collapse far further), so this exercises the persisted-model path
+    // at its least favorable shape
+    time("bigram-LM NLL (pair-keyed joins)")(
+      TextAnalysis.bigramNll(corpus, "doc_id", "text")
+        .agg(avg("bigram_nll")).head())
+    time("PMI collocations (top-30)")(
+      TextAnalysis.pmiCollocations(corpus, "text", minCount = 50, k = 30)
+        .count())
+    // 4 multi-term queries against the 5k-term vocab: each term's
+    // posting list is ~8k docs, the broadcast semi-join keeps ~0.06% of
+    // the exploded corpus
+    time("BM25 top-10 (4 queries, posting semi-join)")(
+      TextAnalysis.bm25TopK(corpus, "doc_id", "text",
+          spark.range(0, 4).select(col("id").as("query_id"),
+            concat_ws(" ",
+              concat(lit("w"), pmod(col("id") * 7 + 1, lit(5000)).cast("string")),
+              concat(lit("w"), pmod(col("id") * 13 + 2, lit(5000)).cast("string")),
+              concat(lit("w"), pmod(col("id") * 31 + 3, lit(5000)).cast("string")))
+              .as("qtext")),
+          "query_id", "qtext", k = 10)
+        .count())
+    time("Zipf profile (vocab agg + top-1000 fit)")(
+      TextAnalysis.zipfProfile(corpus, "text", topN = 1000).head())
     spark.stop()
   }
 }
