@@ -1056,6 +1056,66 @@ object TextAnalysis {
     df.join(fps, col(idCol) === col("fp_id"), "left").drop("fp_id")
   }
 
+  /** HTML/markup text extraction — the crawl-pipeline WET step
+    * (Common-Crawl-style): drop script and style blocks wholesale
+    * (their content is code, not text), drop comments, strip remaining
+    * tags, decode the six ubiquitous entities (amp/lt/gt/quot/#39/nbsp
+    * — `&amp;` LAST so double-escaped text decodes one level, the
+    * standard convention), collapse all whitespace runs to one space,
+    * trim. Map-only regex+replace chain, shuffle-free,
+    * whole-stage-codegen'd; patterns use inline `(?is)` flags and
+    * non-greedy spans only — RE2-portable, so an external engine (or
+    * the DuckDB oracle) replays the chain verbatim. Adds `extracted`
+    * plus `extracted_chars` (post-extraction length — the field a
+    * crawl-QA report thresholds on: markup-only pages land at 0). */
+  def extractHtmlText(df: DataFrame, htmlCol: String = "html",
+      outCol: String = "extracted"): DataFrame = {
+    val noBlock = regexp_replace(col(htmlCol),
+      "(?is)<script[^>]*>.*?</script>|<style[^>]*>.*?</style>", " ")
+    val noComment = regexp_replace(noBlock, "(?s)<!--.*?-->", " ")
+    val noTag = regexp_replace(noComment, "(?s)<[^>]+>", " ")
+    val decoded = Seq("&nbsp;" -> " ", "&lt;" -> "<", "&gt;" -> ">",
+      "&quot;" -> "\"", "&#39;" -> "'", "&amp;" -> "&")
+      .foldLeft(noTag) { case (c, (ent, ch)) => replace(c, lit(ent), lit(ch)) }
+    val clean = trim(regexp_replace(decoded, "[ \\t\\r\\n]+", " "))
+    df.withColumns(Map(outCol -> clean,
+      "extracted_chars" -> length(clean)))
+  }
+
+  /** Tokenizer-vocabulary coverage — per-document OOV accounting
+    * against a fixed vocabulary (the QA gate run before committing a
+    * tokenizer to a corpus, or a corpus to a tokenizer: a doc slice
+    * with high OOV rate is script/encoding drift the vocab won't
+    * serve). Output: every input id with n_tokens, n_oov, oov_rate
+    * (6dp; empty docs emitted at 0/0/0.0, per the corpus accounting
+    * convention).
+    *
+    * Scale shape: the vocabulary is MODEL state (bounded by tokenizer
+    * vocab size) and rides a broadcast into the membership left-join —
+    * the corpus side never shuffles for it; the per-doc regroup's
+    * map-side partial aggregation collapses each partition to ~one row
+    * per document before the only exchange, so just (id, counts) pairs
+    * travel. No driver-side literal-array membership on purpose: a
+    * literal array scans O(|vocab|) per token (and a literal map is a
+    * linear probe too) — the broadcast hash join is the lookup that
+    * scales. */
+  def vocabCoverage(df: DataFrame, idCol: String, textCol: String,
+      vocab: DataFrame, vocabCol: String): DataFrame = {
+    val v = vocab.select(col(vocabCol).as("__vw")).distinct()
+    val perDoc = df
+      .select(col(idCol), explode(tokens(lower(col(textCol)))).as("__w"))
+      .join(broadcast(v), col("__w") === col("__vw"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        count(when(col("__vw").isNull, 1)).as("n_oov"))
+    df.select(col(idCol)).distinct()
+      .join(perDoc, Seq(idCol), "left")
+      .na.fill(0L, Seq("n_tokens", "n_oov"))
+      .withColumn("oov_rate", when(col("n_tokens") === 0, lit(0.0))
+        .otherwise(round(col("n_oov").cast("double") /
+          col("n_tokens").cast("double"), 6)))
+  }
+
   /** BM25 top-k lexical retrieval — the classic probabilistic ranking
     * (Robertson/Sparck-Jones; Lucene's default) over whitespace tokens:
     * score(q,d) = Σ_t∈q idf(t) · tf/(tf + k1·(1−b + b·dl/avgdl)) with

@@ -1148,6 +1148,35 @@ object ExtensionQueries {
     "x79_zipf_profile" -> ((s, dir) =>
       TextAnalysis.zipfProfile(t(s, dir, "documents"), "text", topN = 50)),
 
+    // Crawl WET extraction: every doc wrapped in deterministic markup
+    // (style block, script whose BODY contains a closing tag, comment,
+    // double-escaped entity) and recovered; map-only chain
+    "x80_html_extract" -> ((s, dir) => {
+      val pages = t(s, dir, "documents").select(col("doc_id"),
+        concat(
+          lit("<html><head><style>p {color:red}</style></head>" +
+            "<body><h1>Doc</h1><p>"),
+          col("text"),
+          lit("</p><script>var x=\"</p>\";</script>" +
+            "<!-- tail comment -->&amp;amp; &lt;tag&gt;&nbsp;fin" +
+            "</body></html>")).as("html"))
+      TextAnalysis.extractHtmlText(pages, "html")
+        .select(col("doc_id"), col("extracted"), col("extracted_chars"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Tokenizer-vocab OOV accounting against the corpus top-12 tokens
+    // (the fixture vocab is derived deterministically on both sides)
+    "x81_vocab_coverage" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val vocab = docs
+        .select(explode(TextAnalysis.tokens(lower(col("text")))).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("w").asc).limit(12)
+      TextAnalysis.vocabCoverage(docs, "doc_id", "text", vocab, "w")
+        .orderBy(col("doc_id"))
+    }),
+
     // Weighted sampling without replacement (Efraimidis-Spirakis A-ES):
     // weight = token count, md5-derived uniforms, top-100 keys — the
     // oracle replays the exact sample
@@ -2187,6 +2216,55 @@ object ExtensionQueries {
         |  FROM messy)
         |SELECT doc_id, normalized, (normalized <> text) AS changed
         |FROM n ORDER BY doc_id""".stripMargin,
+
+    "x80_html_extract" ->
+      """WITH pages AS (
+        |  SELECT doc_id,
+        |    '<html><head><style>p {color:red}</style></head>'
+        |    || '<body><h1>Doc</h1><p>' || text
+        |    || '</p><script>var x="</p>";</script>'
+        |    || '<!-- tail comment -->&amp;amp; &lt;tag&gt;&nbsp;fin'
+        |    || '</body></html>' AS html
+        |  FROM documents),
+        |e AS (
+        |  SELECT doc_id, trim(regexp_replace(
+        |    replace(replace(replace(replace(replace(replace(
+        |      regexp_replace(regexp_replace(regexp_replace(html,
+        |        '(?is)<script[^>]*>.*?</script>|<style[^>]*>.*?</style>',
+        |        ' ', 'g'),
+        |        '(?s)<!--.*?-->', ' ', 'g'),
+        |        '(?s)<[^>]+>', ' ', 'g'),
+        |      '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
+        |      '&quot;', '"'), '&#39;', chr(39)), '&amp;', '&'),
+        |    '[ \t\r\n]+', ' ', 'g')) AS extracted
+        |  FROM pages)
+        |SELECT doc_id, extracted,
+        |  CAST(len(extracted) AS INTEGER) AS extracted_chars
+        |FROM e ORDER BY doc_id""".stripMargin,
+
+    "x81_vocab_coverage" ->
+      """WITH tok AS (
+        |  SELECT doc_id, list_filter(
+        |    string_split_regex(trim(lower(text)), '\s+'),
+        |    x -> len(x) > 0) AS t
+        |  FROM documents),
+        |w AS (SELECT doc_id, unnest(t) AS w FROM tok),
+        |v AS (SELECT w FROM (
+        |    SELECT w, count(*) AS c FROM w GROUP BY 1)
+        |  ORDER BY c DESC, w LIMIT 12),
+        |agg AS (
+        |  SELECT doc_id, count(*) AS n_tokens,
+        |    count(*) FILTER (WHERE w NOT IN (SELECT w FROM v)) AS n_oov
+        |  FROM w GROUP BY 1)
+        |SELECT d.doc_id,
+        |  CAST(coalesce(agg.n_tokens, 0) AS BIGINT) AS n_tokens,
+        |  CAST(coalesce(agg.n_oov, 0) AS BIGINT) AS n_oov,
+        |  CASE WHEN coalesce(agg.n_tokens, 0) = 0 THEN 0.0
+        |    ELSE ROUND(CAST(agg.n_oov AS DOUBLE) / agg.n_tokens, 6)
+        |  END AS oov_rate
+        |FROM (SELECT DISTINCT doc_id FROM documents) d
+        |LEFT JOIN agg USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
 
     "x78_bm25_topk" ->
       """WITH q(query_id, qtext) AS (VALUES

@@ -1412,6 +1412,37 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got(3L) == ((0L, 0.0)), got) // 1-token doc emitted, not dropped
   }
 
+  test("extractHtmlText: blocks dropped whole, entities one level, case-insensitive tags") {
+    val pages = Seq(
+      // script body contains a closing tag inside a string; style block;
+      // comment; double-escaped entity decodes exactly one level
+      (1L, "<p>a&amp;amp;b</p><SCRIPT>var x=\"</p>\";</SCRIPT>" +
+        "<style>p{}</style><!-- c -->tail"),
+      // markup-only page extracts to empty
+      (2L, "<html><head><style>a{}</style></head><body></body></html>"),
+      // nbsp + quote entities + whitespace collapse across newlines
+      (3L, "<div>x&nbsp;y\n\n  &quot;z&#39;&lt;w&gt;</div>"))
+      .toDF("doc_id", "html")
+    val out = graft.ops.TextAnalysis.extractHtmlText(pages)
+      .select($"doc_id", $"extracted", $"extracted_chars")
+      .as[(Long, String, Int)].collect().toSet
+    assert(out == Set(
+      (1L, "a&amp;b tail", 12),
+      (2L, "", 0),
+      (3L, "x y \"z'<w>", 10)), out)
+  }
+
+  test("vocabCoverage: oov accounting, empty docs emitted, broadcast membership") {
+    val docs = Seq((1L, "a b a zzz"), (2L, "a a"), (3L, ""))
+      .toDF("doc_id", "text")
+    val vocab = Seq("a", "b", "b").toDF("w") // dup vocab rows must not double-count
+    val out = graft.ops.TextAnalysis.vocabCoverage(docs, "doc_id", "text",
+        vocab, "w")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(out == Set((1L, 4L, 1L, 0.25), (2L, 2L, 0L, 0.0),
+      (3L, 0L, 0L, 0.0)), out)
+  }
+
   test("bm25TopK: hand-computed fixture, ranking and tie-break") {
     val docs = Seq((1L, "a b a"), (2L, "a c"), (3L, "b b b c"))
       .toDF("doc_id", "text")
