@@ -1116,6 +1116,32 @@ object TextAnalysis {
           col("n_tokens").cast("double"), 6)))
   }
 
+  /** Heavy-hitter tokens via the [[graft.functions.MisraGries]] sketch
+    * — top-k frequent items with O(capacity) state per partition, for
+    * when the key domain is open-ended (URLs, hosts, shingles) and a
+    * vocab-sized exact aggregate is the thing to avoid. The shuffle
+    * carries one capacity-sized sketch per partition — nothing
+    * key-domain-sized ever travels. Output: (token, est, max_err) top-k
+    * by estimate (token tie-break); `est ≤ true ≤ est + max_err`
+    * always, and when capacity ≥ distinct keys the result is exact
+    * (max_err = 0) and partitioning-independent — the regime the x82
+    * oracle pins. For bounded vocabularies where exactness matters,
+    * [[vocabTopK]] / plain aggregation remain the right tool. */
+  def frequentTokens(df: DataFrame, textCol: String, capacity: Int,
+      k: Int): DataFrame = {
+    require(k >= 1 && k <= capacity, "need 1 <= k <= capacity")
+    val mg = udaf(new graft.functions.MisraGries(capacity),
+      org.apache.spark.sql.Encoders.STRING)
+    df.select(explode(tokens(lower(col(textCol)))).as("w"))
+      .agg(mg(col("w")).as("sk"))
+      .select(explode(col("sk._1")), col("sk._2").as("max_err"))
+      .withColumnRenamed("key", "token")
+      .withColumnRenamed("value", "est")
+      .orderBy(col("est").desc, col("token").asc)
+      .limit(k)
+      .select(col("token"), col("est"), col("max_err"))
+  }
+
   /** BM25 top-k lexical retrieval — the classic probabilistic ranking
     * (Robertson/Sparck-Jones; Lucene's default) over whitespace tokens:
     * score(q,d) = Σ_t∈q idf(t) · tf/(tf + k1·(1−b + b·dl/avgdl)) with

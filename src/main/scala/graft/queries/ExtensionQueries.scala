@@ -1165,6 +1165,15 @@ object ExtensionQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Misra-Gries heavy hitters (typed Aggregator, O(capacity) state):
+    // capacity 64 over this corpus's 31-token vocab -> the no-compaction
+    // regime where the sketch is provably exact (max_err = 0), so the
+    // oracle replays it as plain exact counts
+    "x82_frequent_tokens" -> ((s, dir) =>
+      TextAnalysis.frequentTokens(t(s, dir, "documents"), "text",
+          capacity = 64, k = 10)
+        .orderBy(col("est").desc, col("token").asc)),
+
     // Tokenizer-vocab OOV accounting against the corpus top-12 tokens
     // (the fixture vocab is derived deterministically on both sides)
     "x81_vocab_coverage" -> ((s, dir) => {
@@ -2241,6 +2250,18 @@ object ExtensionQueries {
         |SELECT doc_id, extracted,
         |  CAST(len(extracted) AS INTEGER) AS extracted_chars
         |FROM e ORDER BY doc_id""".stripMargin,
+
+    "x82_frequent_tokens" ->
+      """WITH tok AS (
+        |  SELECT list_filter(
+        |    string_split_regex(trim(lower(text)), '\s+'),
+        |    x -> len(x) > 0) AS t
+        |  FROM documents),
+        |cnt AS (
+        |  SELECT w AS token, count(*) AS est
+        |  FROM (SELECT unnest(t) AS w FROM tok) GROUP BY 1)
+        |SELECT token, est, CAST(0 AS BIGINT) AS max_err
+        |FROM cnt ORDER BY est DESC, token LIMIT 10""".stripMargin,
 
     "x81_vocab_coverage" ->
       """WITH tok AS (

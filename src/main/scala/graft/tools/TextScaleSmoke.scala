@@ -145,6 +145,11 @@ object TextScaleSmoke {
         .count())
     time("Zipf profile (vocab agg + top-1000 fit)")(
       TextAnalysis.zipfProfile(corpus, "text", topN = 1000).head())
+    // worst case for the sketch: a ~uniform 5k-key domain at capacity 64
+    // keeps every partition's buffer churning through compactions
+    time("Misra-Gries heavy hitters (cap-64 state)")(
+      TextAnalysis.frequentTokens(corpus, "text", capacity = 64, k = 20)
+        .count())
     spark.stop()
   }
 }

@@ -1412,6 +1412,38 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got(3L) == ((0L, 0.0)), got) // 1-token doc emitted, not dropped
   }
 
+  test("frequentTokens: exact under capacity, bounds hold over capacity") {
+    // exact regime: capacity >= distinct keys -> identical to exact
+    // counts, max_err 0, independent of partitioning
+    val docs = Seq("a a a b b c", "b a d", "c c e").toDF("text")
+    val exact = Map("a" -> 4L, "b" -> 3L, "c" -> 3L, "d" -> 1L, "e" -> 1L)
+    for (parts <- Seq(1, 7)) {
+      val out = graft.ops.TextAnalysis
+        .frequentTokens(docs.repartition(parts), "text", capacity = 8, k = 5)
+        .as[(String, Long, Long)].collect().toSeq
+      assert(out == Seq(("a", 4L, 0L), ("b", 3L, 0L), ("c", 3L, 0L),
+        ("d", 1L, 0L), ("e", 1L, 0L)), (parts, out))
+    }
+    // over capacity: a planted heavy key among a wide uniform tail;
+    // which tail keys survive is partition-dependent, but every
+    // estimate must obey est <= true <= est + max_err, and the heavy
+    // key must be found
+    val skewed = spark.range(0, 2000)
+      .select(when($"id" % 2 === 0, "hot")
+        .otherwise(concat(lit("t"), ($"id" % 97).cast("string")))
+        .as("text"))
+    val trueCounts = skewed.groupBy($"text").count()
+      .as[(String, Long)].collect().toMap
+    val hh = graft.ops.TextAnalysis
+      .frequentTokens(skewed, "text", capacity = 4, k = 4)
+      .as[(String, Long, Long)].collect()
+    assert(hh.nonEmpty && hh.head._1 == "hot", hh.toSeq)
+    hh.foreach { case (tok, est, err) =>
+      val t = trueCounts(tok)
+      assert(est <= t && t <= est + err, s"($tok, est=$est, err=$err, true=$t)")
+    }
+  }
+
   test("extractHtmlText: blocks dropped whole, entities one level, case-insensitive tags") {
     val pages = Seq(
       // script body contains a closing tag inside a string; style block;
