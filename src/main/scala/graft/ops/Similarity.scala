@@ -250,4 +250,44 @@ object Similarity {
       .select(col(qidCol), col(idCol), col("cosine_sim"))
     topKPerQuery(scored, qidCol, idCol, k, queries)
   }
+
+  /** Reciprocal Rank Fusion — the standard hybrid-retrieval combiner
+    * (Cormack et al., SIGIR'09; what "hybrid search" ships as): given
+    * several per-query rankings of the same document space (BM25,
+    * embedding kNN, recency, ...), fuse them by
+    * rrf(q,d) = Σ_lists 1/(c + rank_list(q,d)), with a document absent
+    * from a list contributing nothing. Rank-based (not score-based) on
+    * purpose: the input scores live on incomparable scales, ranks
+    * don't — no per-list normalization step to tune.
+    *
+    * Scale shape: the inputs are already top-k-per-query retrieval
+    * outputs, so every frame is (queries × k)-bounded — tiny relative
+    * to any corpus; the union + one (query, doc) aggregate is the
+    * whole plan, and the final rank's window partitions are bounded by
+    * lists × k rows per query. Ties fuse deterministically: the score
+    * is rounded to 6dp and ranked with the doc id as tie-break (the
+    * [[graft.ops.TextAnalysis.bm25TopK]] convention), so the fused
+    * ordering replays on any engine. Output: qidCol, idCol,
+    * fused_rank (≤ k), rrf_score, n_lists (how many inputs ranked the
+    * doc). */
+  def rrfFuse(lists: Seq[DataFrame], qidCol: String, idCol: String,
+      rankCol: String, c: Int = 60, k: Int = 10): DataFrame = {
+    require(lists.nonEmpty, "need at least one ranked list")
+    require(c >= 0 && k >= 1, "need c >= 0 and k >= 1")
+    val tagged = lists
+      .map(_.select(col(qidCol), col(idCol), col(rankCol)))
+      .reduce(_ unionByName _)
+    val fused = tagged
+      .groupBy(col(qidCol), col(idCol))
+      .agg(round(sum(lit(1.0) / (lit(c) + col(rankCol))), 6)
+        .as("rrf_score"),
+        count(lit(1)).as("n_lists"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(qidCol))
+      .orderBy(col("rrf_score").desc, col(idCol).asc)
+    fused.withColumn("fused_rank", row_number().over(w))
+      .filter(col("fused_rank") <= k)
+      .select(col(qidCol), col(idCol), col("fused_rank"),
+        col("rrf_score"), col("n_lists"))
+  }
 }

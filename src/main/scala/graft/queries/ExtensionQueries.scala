@@ -1165,6 +1165,36 @@ object ExtensionQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Hybrid retrieval via Reciprocal Rank Fusion: BM25 top-20 fused
+    // with a distinct-term-overlap top-20 (two incomparable score
+    // scales -> rank-based fusion), fused top-10 per query
+    "x83_rrf_hybrid" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      val qs = Seq((1L, "spark window agg"), (2L, "slow query scan"),
+        (3L, "customer table join fast"))
+        .toDF("query_id", "qtext")
+      val bm25 = TextAnalysis.bm25TopK(docs, "doc_id", "text", qs,
+          "query_id", "qtext", k = 20)
+        .select(col("query_id"), col("doc_id"), col("rank"))
+      val qterms = qs.select(col("query_id"), explode(array_distinct(
+        TextAnalysis.tokens(lower(col("qtext"))))).as("term"))
+      val dterms = docs.select(col("doc_id"), explode(array_distinct(
+        TextAnalysis.tokens(lower(col("text"))))).as("term"))
+      val ov = dterms.join(broadcast(qterms), Seq("term"))
+        .groupBy(col("query_id"), col("doc_id"))
+        .agg(count(lit(1)).as("overlap"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("query_id"))
+        .orderBy(col("overlap").desc, col("doc_id").asc)
+      val ovRank = ov.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 20)
+        .select(col("query_id"), col("doc_id"), col("rank"))
+      graft.ops.Similarity.rrfFuse(Seq(bm25, ovRank),
+          "query_id", "doc_id", "rank", c = 60, k = 10)
+        .orderBy(col("query_id"), col("fused_rank"))
+    }),
+
     // Misra-Gries heavy hitters (typed Aggregator, O(capacity) state):
     // capacity 64 over this corpus's 31-token vocab -> the no-compaction
     // regime where the sketch is provably exact (max_err = 0), so the
@@ -2250,6 +2280,77 @@ object ExtensionQueries {
         |SELECT doc_id, extracted,
         |  CAST(len(extracted) AS INTEGER) AS extracted_chars
         |FROM e ORDER BY doc_id""".stripMargin,
+
+    "x83_rrf_hybrid" ->
+      """WITH q(query_id, qtext) AS (VALUES
+        |  (CAST(1 AS BIGINT), 'spark window agg'),
+        |  (CAST(2 AS BIGINT), 'slow query scan'),
+        |  (CAST(3 AS BIGINT), 'customer table join fast')),
+        |tok AS (
+        |  SELECT doc_id, list_filter(
+        |    string_split_regex(trim(lower(text)), '\s+'),
+        |    x -> len(x) > 0) AS t
+        |  FROM documents),
+        |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+        |  avg(len(t)) AS avgdl FROM tok),
+        |qterm AS (
+        |  SELECT query_id, unnest(list_distinct(list_filter(
+        |    string_split_regex(trim(lower(qtext)), '\s+'),
+        |    x -> len(x) > 0))) AS term
+        |  FROM q),
+        |post AS (
+        |  SELECT doc_id, term, count(*) AS tf, max(dl) AS dl FROM (
+        |    SELECT doc_id, len(t) AS dl, unnest(t) AS term FROM tok)
+        |  WHERE term IN (SELECT term FROM qterm)
+        |  GROUP BY 1, 2),
+        |dfreq AS (
+        |  SELECT term, CAST(count(*) AS DOUBLE) AS df
+        |  FROM post GROUP BY 1),
+        |scored AS (
+        |  SELECT qt.query_id, p.doc_id,
+        |    ROUND(sum(ln((s.n - d.df + 0.5) / (d.df + 0.5) + 1.0)
+        |      * p.tf / (p.tf + 1.2 * (1.0 - 0.75 + 0.75 * p.dl / s.avgdl))
+        |    ), 6) AS score
+        |  FROM post p
+        |  JOIN dfreq d USING (term)
+        |  JOIN qterm qt USING (term)
+        |  CROSS JOIN stats s
+        |  GROUP BY 1, 2),
+        |bm20 AS (
+        |  SELECT query_id, doc_id, rank FROM (
+        |    SELECT query_id, doc_id, row_number() OVER (
+        |        PARTITION BY query_id ORDER BY score DESC, doc_id
+        |      ) AS rank
+        |    FROM scored)
+        |  WHERE rank <= 20),
+        |dterm AS (
+        |  SELECT DISTINCT doc_id, w AS term
+        |  FROM (SELECT doc_id, unnest(t) AS w FROM tok)),
+        |ov AS (
+        |  SELECT qt.query_id, d.doc_id, count(*) AS overlap
+        |  FROM dterm d JOIN qterm qt USING (term)
+        |  GROUP BY 1, 2),
+        |ov20 AS (
+        |  SELECT query_id, doc_id, rank FROM (
+        |    SELECT query_id, doc_id, row_number() OVER (
+        |        PARTITION BY query_id ORDER BY overlap DESC, doc_id
+        |      ) AS rank
+        |    FROM ov)
+        |  WHERE rank <= 20),
+        |u AS (SELECT * FROM bm20 UNION ALL SELECT * FROM ov20),
+        |f AS (
+        |  SELECT query_id, doc_id,
+        |    ROUND(sum(CAST(1.0 AS DOUBLE) / (60 + rank)), 6) AS rrf_score,
+        |    count(*) AS n_lists
+        |  FROM u GROUP BY 1, 2),
+        |r AS (
+        |  SELECT query_id, doc_id, row_number() OVER (
+        |      PARTITION BY query_id ORDER BY rrf_score DESC, doc_id
+        |    ) AS fused_rank, rrf_score, n_lists
+        |  FROM f)
+        |SELECT query_id, doc_id, fused_rank, rrf_score, n_lists
+        |FROM r WHERE fused_rank <= 10
+        |ORDER BY query_id, fused_rank""".stripMargin,
 
     "x82_frequent_tokens" ->
       """WITH tok AS (

@@ -1412,6 +1412,23 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got(3L) == ((0L, 0.0)), got) // 1-token doc emitted, not dropped
   }
 
+  test("rrfFuse: hand-computed fusion, absent docs, ties broken by id") {
+    val a = Seq((1L, 10L, 1), (1L, 20L, 2), (2L, 40L, 1), (2L, 50L, 1))
+      .toDF("query_id", "doc_id", "rank")
+    val b = Seq((1L, 20L, 1), (1L, 30L, 2)).toDF("query_id", "doc_id", "rank")
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    val out = graft.ops.Similarity.rrfFuse(Seq(a, b),
+        "query_id", "doc_id", "rank", c = 1, k = 2)
+      .as[(Long, Long, Int, Double, Long)].collect().toSet
+    // q1: d20 = 1/3 + 1/2, d10 = 1/2, d30 = 1/3 (cut by k=2)
+    // q2: d40 and d50 tie at 1/2 -> doc id breaks the tie
+    assert(out == Set(
+      (1L, 20L, 1, r6(1.0 / 3 + 1.0 / 2), 2L),
+      (1L, 10L, 2, 0.5, 1L),
+      (2L, 40L, 1, 0.5, 1L),
+      (2L, 50L, 2, 0.5, 1L)), out)
+  }
+
   test("frequentTokens: exact under capacity, bounds hold over capacity") {
     // exact regime: capacity >= distinct keys -> identical to exact
     // counts, max_err 0, independent of partitioning
