@@ -251,6 +251,34 @@ object Similarity {
     topKPerQuery(scored, qidCol, idCol, k, queries)
   }
 
+  /** Recall@k — the retrieval-quality yardstick every approximate path
+    * here ([[lshKnn]], [[projectRandom]]-space search, the IVF probes,
+    * int8 rerank) is ultimately judged by: per query, the fraction of
+    * the EXACT top-k a candidate retrieval recovered. This is the QA
+    * op a pipeline runs before committing an ANN configuration —
+    * sweep nprobe / planes / projection dims, read the recall curve,
+    * pick the knee.
+    *
+    * Both inputs are top-k retrieval outputs, so every frame is
+    * (queries × k)-bounded — the semi-join + two tiny aggregates never
+    * touch corpus-sized data. Queries present in `exact` always emit
+    * (n_hit = 0 when the candidate missed entirely); extra rows in
+    * `approx` beyond the exact set only ever lower nothing — recall is
+    * measured against `exact`. Output: qidCol, n_exact, n_hit, recall
+    * (6dp). */
+  def recallAtK(approx: DataFrame, exact: DataFrame, qidCol: String,
+      idCol: String): DataFrame = {
+    val ex = exact.select(col(qidCol), col(idCol))
+    val ap = approx.select(col(qidCol), col(idCol))
+    val exCnt = ex.groupBy(col(qidCol)).agg(count(lit(1)).as("n_exact"))
+    val hitCnt = ex.join(ap, Seq(qidCol, idCol), "left_semi")
+      .groupBy(col(qidCol)).agg(count(lit(1)).as("n_hit"))
+    exCnt.join(hitCnt, Seq(qidCol), "left")
+      .na.fill(0L, Seq("n_hit"))
+      .withColumn("recall", round(col("n_hit").cast("double") /
+        col("n_exact").cast("double"), 6))
+  }
+
   /** Reciprocal Rank Fusion — the standard hybrid-retrieval combiner
     * (Cormack et al., SIGIR'09; what "hybrid search" ships as): given
     * several per-query rankings of the same document space (BM25,

@@ -1165,6 +1165,24 @@ object ExtensionQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Recall@10 of JL-projected-space retrieval (64 -> 16 dims) vs the
+    // exact cosine top-10 — the ANN-configuration QA readout; both
+    // rankings and the projection replay exactly in the oracle
+    "x84_recall_at_k" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+      val exact = Similarity.bruteForceKnnBatch(emb, q,
+        "vec_id", "embedding", "query_id", 10)
+      val projCorpus = Similarity.projectRandom(emb, "embedding", 64, 16)
+      val projQ = Similarity.projectRandom(q, "qvec", 64, 16)
+        .select(col("query_id"), col("projected").as("qvec"))
+      val approx = Similarity.bruteForceKnnBatch(projCorpus, projQ,
+        "vec_id", "projected", "query_id", 10)
+      Similarity.recallAtK(approx, exact, "query_id", "vec_id")
+        .orderBy(col("query_id"))
+    }),
+
     // Hybrid retrieval via Reciprocal Rank Fusion: BM25 top-20 fused
     // with a distinct-term-overlap top-20 (two incomparable score
     // scales -> rank-based fusion), fused top-10 per query
@@ -2280,6 +2298,49 @@ object ExtensionQueries {
         |SELECT doc_id, extracted,
         |  CAST(len(extracted) AS INTEGER) AS extracted_chars
         |FROM e ORDER BY doc_id""".stripMargin,
+
+    "x84_recall_at_k" ->
+      """WITH base AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, v AS qv FROM base
+        |  WHERE vec_id < 5),
+        |exact AS (
+        |  SELECT query_id, vec_id FROM (
+        |    SELECT q.query_id, e.vec_id, row_number() OVER (
+        |        PARTITION BY q.query_id
+        |        ORDER BY ROUND(list_cosine_similarity(e.v, q.qv), 6)
+        |          DESC, e.vec_id) AS rn
+        |    FROM base e CROSS JOIN q)
+        |  WHERE rn <= 10),
+        |proj AS (
+        |  SELECT vec_id, list_transform(range(0, 16), d ->
+        |    ROUND(list_sum(list_transform(range(0, 64), i ->
+        |      v[i + 1] * (CASE WHEN CAST(('0x' || substring(
+        |          md5('rp_' || CAST(i AS VARCHAR) || '_'
+        |            || CAST(d AS VARCHAR)), 1, 1)) AS INTEGER) % 2 = 0
+        |        THEN 1.0 ELSE -1.0 END))) / sqrt(16.0), 6)) AS pv
+        |  FROM base),
+        |pq AS (
+        |  SELECT p.vec_id AS query_id, p.pv AS qpv
+        |  FROM proj p WHERE p.vec_id < 5),
+        |approx AS (
+        |  SELECT query_id, vec_id FROM (
+        |    SELECT pq.query_id, p.vec_id, row_number() OVER (
+        |        PARTITION BY pq.query_id
+        |        ORDER BY ROUND(list_cosine_similarity(p.pv, pq.qpv), 6)
+        |          DESC, p.vec_id) AS rn
+        |    FROM proj p CROSS JOIN pq)
+        |  WHERE rn <= 10),
+        |rec AS (
+        |  SELECT e.query_id, count(*) AS n_exact,
+        |    count(*) FILTER (WHERE a.vec_id IS NOT NULL) AS n_hit
+        |  FROM exact e
+        |  LEFT JOIN approx a USING (query_id, vec_id)
+        |  GROUP BY 1)
+        |SELECT query_id, CAST(n_exact AS BIGINT) AS n_exact,
+        |  CAST(n_hit AS BIGINT) AS n_hit,
+        |  ROUND(CAST(n_hit AS DOUBLE) / n_exact, 6) AS recall
+        |FROM rec ORDER BY query_id""".stripMargin,
 
     "x83_rrf_hybrid" ->
       """WITH q(query_id, qtext) AS (VALUES

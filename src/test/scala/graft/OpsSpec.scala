@@ -1412,6 +1412,20 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got(3L) == ((0L, 0.0)), got) // 1-token doc emitted, not dropped
   }
 
+  test("recallAtK: hit accounting, zero-recall queries emitted, approx-only ignored") {
+    val exact = Seq((1L, 10L), (1L, 20L), (1L, 30L), (1L, 40L),
+      (2L, 10L)).toDF("query_id", "vec_id")
+    val approx = Seq((1L, 20L), (1L, 40L), (1L, 99L),
+      (3L, 10L)).toDF("query_id", "vec_id")
+    val out = graft.ops.Similarity.recallAtK(approx, exact,
+        "query_id", "vec_id")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    // q1: 2 of 4 recovered (the approx-only 99 counts for nothing);
+    // q2: present in exact, missed entirely -> emitted at 0;
+    // q3: approx-only -> not a query being evaluated, no row
+    assert(out == Set((1L, 4L, 2L, 0.5), (2L, 1L, 0L, 0.0)), out)
+  }
+
   test("rrfFuse: hand-computed fusion, absent docs, ties broken by id") {
     val a = Seq((1L, 10L, 1), (1L, 20L, 2), (2L, 40L, 1), (2L, 50L, 1))
       .toDF("query_id", "doc_id", "rank")
