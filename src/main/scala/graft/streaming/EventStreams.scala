@@ -314,6 +314,67 @@ object EventStreams {
       }
       .start()
 
+  final case class TimedDoc(ts: Timestamp, text: String)
+  final case class TrendOut(window_start: Timestamp, token: String,
+      est: Long, max_err: Long, rank: Int)
+
+  /** Windowed trending tokens with SKETCH state — per tumbling
+    * event-time window, the top-k tokens by (bounded-error) frequency,
+    * emitted once when the watermark closes the window. The state per
+    * window is one [[graft.functions.MisraGries]] sketch: O(capacity),
+    * NOT O(vocabulary) — the property that makes per-window token
+    * ranking viable on an open-ended token domain (hashtags, URLs,
+    * query strings), where the built-in windowed `groupBy(token)`
+    * aggregation would hold every distinct token in state until the
+    * watermark. Same est/max_err bounds as the batch sketch
+    * ([[graft.ops.TextAnalysis.frequentTokens]]): exact when capacity
+    * covers the window's distinct tokens.
+    *
+    * Mechanics: `flatMapGroupsWithState` keyed by window start,
+    * event-time timeout at window end — rows fold into the sketch as
+    * batches arrive, nothing is emitted until the watermark passes the
+    * window (append-mode-clean finalized rows, the [[sessionize]]
+    * timeout pattern). Tokenization matches the batch `tokens()`
+    * contract (trim, lowercase, split on whitespace). */
+  def trendingTokens(docs: Dataset[TimedDoc], capacity: Int, k: Int,
+      windowMs: Long = 3600000L, watermark: String = "10 minutes")(
+      implicit spark: SparkSession): Dataset[TrendOut] = {
+    import spark.implicits._
+    require(windowMs > 0 && k >= 1 && k <= capacity)
+    val mg = new graft.functions.MisraGries(capacity)
+    implicit val stateEnc: org.apache.spark.sql.Encoder[
+      graft.functions.MisraGries.State] =
+      org.apache.spark.sql.Encoders.kryo
+    docs
+      .withWatermark("ts", watermark)
+      .groupByKey(d => math.floorDiv(d.ts.getTime, windowMs) * windowMs)
+      .flatMapGroupsWithState[graft.functions.MisraGries.State, TrendOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (winStart: Long, rows: Iterator[TimedDoc],
+         state: GroupState[graft.functions.MisraGries.State]) =>
+          if (rows.isEmpty && state.hasTimedOut) {
+            val (counts, dec) = mg.finish(state.get)
+            state.remove()
+            counts.toSeq.sortBy { case (t, c) => (-c, t) }.take(k)
+              .zipWithIndex.map { case ((t, c), i) =>
+                TrendOut(new Timestamp(winStart), t, c, dec, i + 1)
+              }.iterator
+          } else {
+            var s = state.getOption.getOrElse(mg.zero)
+            rows.foreach { d =>
+              val txt = if (d.text == null) "" else d.text
+              txt.trim.toLowerCase.split("\\s+").iterator
+                .filter(_.nonEmpty).foreach { w => s = mg.reduce(s, w) }
+            }
+            state.update(s)
+            // rows passing the watermark filter have ts >= watermark, so
+            // the window end is strictly ahead of it — no clamp needed
+            state.setTimeoutTimestamp(winStart + windowMs)
+            Iterator.empty
+          }
+      }
+  }
+
   /** Streaming sink helper: append to a parquet path with a checkpoint —
     * the streaming analogue of Sinks.writePartitioned. */
   def startParquetSink(df: DataFrame, path: String, checkpoint: String,
