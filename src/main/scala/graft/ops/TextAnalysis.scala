@@ -1101,7 +1101,9 @@ object TextAnalysis {
     * scales. */
   def vocabCoverage(df: DataFrame, idCol: String, textCol: String,
       vocab: DataFrame, vocabCol: String): DataFrame = {
-    val v = vocab.select(col(vocabCol).as("__vw")).distinct()
+    // the corpus side case-folds (tokens(lower(...))), so the vocab must
+    // fold identically or cased entries ('The', 'I') silently never match
+    val v = vocab.select(lower(col(vocabCol)).as("__vw")).distinct()
     val perDoc = df
       .select(col(idCol), explode(tokens(lower(col(textCol)))).as("__w"))
       .join(broadcast(v), col("__w") === col("__vw"), "left")

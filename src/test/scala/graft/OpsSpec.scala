@@ -1498,7 +1498,9 @@ class TextAnalysisSpec extends SparkSpec {
   test("vocabCoverage: oov accounting, empty docs emitted, broadcast membership") {
     val docs = Seq((1L, "a b a zzz"), (2L, "a a"), (3L, ""))
       .toDF("doc_id", "text")
-    val vocab = Seq("a", "b", "b").toDF("w") // dup vocab rows must not double-count
+    // dup vocab rows must not double-count; the cased entry must match
+    // the case-folded corpus ('B' covers token 'b')
+    val vocab = Seq("a", "B", "b").toDF("w")
     val out = graft.ops.TextAnalysis.vocabCoverage(docs, "doc_id", "text",
         vocab, "w")
       .as[(Long, Long, Long, Double)].collect().toSet
