@@ -51,6 +51,26 @@ object AnnScaleSmoke {
         model, k = 10, nprobe = 4).count())
     println(s"[ann-scale] ivf rows=$nIvf")
 
+    // the recall@10 readout over the exact top-10 (20-query subset —
+    // the brute baseline is the expensive leg): what the approximate
+    // paths actually give up at this scale on a structure-free corpus
+    val q20 = queries.filter(col("query_id") < 20)
+    val exact20 = Similarity.bruteForceKnnBatch(corpus, q20,
+      "vec_id", "embedding", "query_id", 10)
+    val lshRec = time("recall@10 of LSH (8 planes)")(
+      Similarity.recallAtK(
+          Similarity.lshKnnBatch(corpus, q20, "vec_id", "embedding",
+            "query_id", 10, planes = 8),
+          exact20, "query_id", "vec_id")
+        .agg(avg(col("recall"))).head().getDouble(0))
+    val ivfRec = time("recall@10 of IVF (nprobe=4)")(
+      Similarity.recallAtK(
+          IVF.searchBatch(assigned, q20, "vec_id", "embedding",
+            "query_id", model, k = 10, nprobe = 4),
+          exact20, "query_id", "vec_id")
+        .agg(avg(col("recall"))).head().getDouble(0))
+    println(f"[ann-scale] mean recall@10: lsh=$lshRec%.3f ivf=$ivfRec%.3f")
+
     // bucketed index table: probe pruning becomes FILE SKIPPING. The
     // related-query batch (small perturbations of one corpus vector — a
     // topic-coherent retrieval batch) is the workload where it pays: the
