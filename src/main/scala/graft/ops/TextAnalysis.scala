@@ -562,6 +562,16 @@ object TextAnalysis {
   def pmiCollocations(df: DataFrame, textCol: String, minCount: Long,
       k: Int): DataFrame = {
     require(minCount >= 1 && k >= 1)
+    pmiScoredPairs(df, textCol, minCount)
+      .orderBy(col("pmi").desc, col("w1"), col("w2"))
+      .limit(k)
+  }
+
+  /** The shared PMI pair-scoring stage behind [[pmiCollocations]]
+    * (global top-k) and [[pmiTopKPerToken]] (per-token top-k): the
+    * minCount-filtered (w1, w2, pair_cnt, pmi) frame. */
+  private def pmiScoredPairs(df: DataFrame, textCol: String,
+      minCount: Long): DataFrame = {
     val toks = tokens(lower(col(textCol)))
     val len = greatest(size(toks) - 1, lit(0))
     val bg = df.select(explode(arrays_zip(
@@ -585,8 +595,30 @@ object TextAnalysis {
         col("pair_cnt").cast("double") * col("__t") * col("__t") /
           (col("__b") * col("__c1") * col("__c2"))), 6))
       .select(col("w1"), col("w2"), col("pair_cnt"), col("pmi"))
-      .orderBy(col("pmi").desc, col("w1"), col("w2"))
-      .limit(k)
+  }
+
+  /** Per-token collocation neighborhoods — for every left token, its
+    * top-k continuations by PMI (the word2vec-phrases / multiword-unit
+    * table keyed by head word, where [[pmiCollocations]] gives only the
+    * global head). Runs through the custom
+    * [[graft.plans.TopKPerGroup]] physical operator: bounded k-heaps
+    * per w1 group directly on the one hash exchange — no Sort, no
+    * Window buffer — the right shape because the group count is
+    * vocab-bounded (and the minCount filter shrinks it further), while
+    * the per-group candidate lists it beats a Window on can be as fat
+    * as a stopword's continuation set. Unlike [[vocabTopK]] (whose
+    * group count is knowable from one cheap distinct-shard count),
+    * distinct-w1 here is only learnable from the pair aggregate
+    * itself, so the operator's own approx-distinct guard is the right
+    * price: one estimate pass, then heaps — or the spillable window
+    * formulation when the (open-vocabulary) group count exceeds
+    * `TopK.defaultMaxGroups`. Ordering ties break on w2 so the result
+    * replays cross-engine. */
+  def pmiTopKPerToken(df: DataFrame, textCol: String, minCount: Long,
+      kPerToken: Int): DataFrame = {
+    require(minCount >= 1 && kPerToken >= 1)
+    graft.plans.TopK.perGroup(pmiScoredPairs(df, textCol, minCount),
+      Seq("w1"), Seq(("pmi", false), ("w2", true)), kPerToken)
   }
 
   /** Iterative BPE merge-rule induction (Sennrich et al. 2016) — the

@@ -1165,6 +1165,14 @@ object ExtensionQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Per-token collocation neighborhoods: top-3 continuations by PMI
+    // for every head token, through the custom TopKPerGroup heap
+    // operator (window-rank oracle)
+    "x85_pmi_per_token" -> ((s, dir) =>
+      TextAnalysis.pmiTopKPerToken(t(s, dir, "documents"), "text",
+          minCount = 10, kPerToken = 3)
+        .orderBy(col("w1"), col("pmi").desc, col("w2"))),
+
     // Recall@10 of JL-projected-space retrieval (64 -> 16 dims) vs the
     // exact cosine top-10 — the ANN-configuration QA readout; both
     // rankings and the projection replay exactly in the oracle
@@ -2564,6 +2572,38 @@ object ExtensionQueries {
         |  FROM valid CROSS JOIN mx)
         |SELECT doc_id, source, n_tokens, ROUND(rawkey, 8) AS sample_key
         |FROM keyed ORDER BY rawkey DESC, doc_id LIMIT 100""".stripMargin,
+
+    "x85_pmi_per_token" ->
+      """WITH tok AS (
+        |  SELECT list_filter(string_split_regex(trim(lower(text)), '\s+'),
+        |    x -> len(x) > 0) AS t
+        |  FROM documents),
+        |bg AS (
+        |  SELECT t[i] AS w1, t[i + 1] AS w2
+        |  FROM tok, unnest(range(1, len(t))) AS u(i)),
+        |uni AS (
+        |  SELECT w, count(*) AS cnt
+        |  FROM (SELECT unnest(t) AS w FROM tok) GROUP BY 1),
+        |pairs AS (
+        |  SELECT w1, w2, count(*) AS pair_cnt FROM bg GROUP BY 1, 2
+        |  HAVING count(*) >= 10),
+        |tot AS (
+        |  SELECT (SELECT CAST(sum(cnt) AS DOUBLE) FROM uni) AS t,
+        |    (SELECT CAST(count(*) AS DOUBLE) FROM bg) AS b),
+        |scored AS (
+        |  SELECT p.w1, p.w2, p.pair_cnt,
+        |    ROUND(ln(p.pair_cnt * tot.t * tot.t
+        |      / (tot.b * u1.cnt * u2.cnt)), 6) AS pmi
+        |  FROM pairs p
+        |  JOIN uni u1 ON u1.w = p.w1
+        |  JOIN uni u2 ON u2.w = p.w2
+        |  CROSS JOIN tot),
+        |r AS (
+        |  SELECT *, row_number() OVER (
+        |      PARTITION BY w1 ORDER BY pmi DESC, w2) AS rn
+        |  FROM scored)
+        |SELECT w1, w2, pair_cnt, pmi FROM r WHERE rn <= 3
+        |ORDER BY w1, pmi DESC, w2""".stripMargin,
 
     "x75_pmi_collocations" ->
       """WITH tok AS (

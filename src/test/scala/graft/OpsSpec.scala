@@ -1378,6 +1378,25 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out == Seq(("a", "b", 3L, expected)), (out, expected))
   }
 
+  test("pmiTopKPerToken: per-head ranking through the heap operator") {
+    // unigrams a:3 b:3 c:1, T=7; bigrams (a,b):3 (b,a):1 (b,c):1, B=5
+    val df = Seq("a b a b", "a b c").toDF("text")
+    def pmi(cAB: Double, cA: Double, cB: Double) =
+      math.rint(math.log(cAB * 7 * 7 / (5.0 * cA * cB)) * 1e6) / 1e6
+    val out = graft.ops.TextAnalysis.pmiTopKPerToken(df, "text",
+        minCount = 1, kPerToken = 1)
+      .orderBy($"w1")
+      .as[(String, String, Long, Double)].collect().toSeq
+    // head a -> (a,b); head b -> best of (b,a) pmi(1,3,3) vs (b,c)
+    // pmi(1,3,1): (b,c) wins (rarer continuation, higher pmi)
+    assert(out == Seq(("a", "b", 3L, pmi(3, 3, 3)),
+      ("b", "c", 1L, pmi(1, 3, 1))), out)
+    // and the plan runs the custom bounded-heap operator, not a Window
+    val plan = graft.ops.TextAnalysis.pmiTopKPerToken(df, "text", 1, 1)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPerGroup"), plan.take(800))
+  }
+
   test("normalizeText: in-place output keeps the changed flag honest") {
     val df = Seq((1L, "“hi” – there"), (2L, "clean text"))
       .toDF("doc_id", "text")
