@@ -1114,6 +1114,53 @@ object TextAnalysis {
       "extracted_chars" -> length(clean)))
   }
 
+  /** The classic UTF-8-read-as-cp1252 double-encoding artifacts and
+    * their repairs: 3-byte punctuation first group (curly quotes,
+    * dashes, ellipsis — all start â), then 2-byte Latin-1 letters (Ã x)
+    * and symbols (Â x). Inputs all start with â/Ã/Â and outputs never
+    * do, so the fold order cannot cascade; sequences are mutually
+    * non-overlapping. Single-level repair by design — doubly-mangled
+    * text needs a second pass, the standard ftfy convention. */
+  private val mojibakeTable: Seq[(String, String)] = Seq(
+    "\u00e2\u20ac\u2122" -> "\u2019", // right single quote
+    "\u00e2\u20ac\u02dc" -> "\u2018", // left single quote
+    "\u00e2\u20ac\u0153" -> "\u201c", // left double quote
+    "\u00e2\u20ac\u201c" -> "\u2013", // en dash
+    "\u00e2\u20ac\u201d" -> "\u2014", // em dash
+    "\u00e2\u20ac\u00a6" -> "\u2026", // ellipsis
+    "\u00c3\u00a1" -> "\u00e1", // a-acute
+    "\u00c3\u00a9" -> "\u00e9", // e-acute
+    "\u00c3\u00a8" -> "\u00e8", // e-grave
+    "\u00c3\u00ad" -> "\u00ed", // i-acute
+    "\u00c3\u00b3" -> "\u00f3", // o-acute
+    "\u00c3\u00ba" -> "\u00fa", // u-acute
+    "\u00c3\u00b1" -> "\u00f1", // n-tilde
+    "\u00c3\u00a7" -> "\u00e7", // c-cedilla
+    "\u00c3\u00a4" -> "\u00e4", // a-umlaut
+    "\u00c3\u00b6" -> "\u00f6", // o-umlaut
+    "\u00c3\u00bc" -> "\u00fc", // u-umlaut
+    "\u00c2\u00b0" -> "\u00b0", // degree
+    "\u00c2\u00b7" -> "\u00b7", // middle dot
+    "\u00c2\u00a0" -> "\u00a0") // nbsp
+
+  /** Mojibake repair — undo the most common encoding mangle in web
+    * crawls, UTF-8 bytes decoded as cp1252/Latin-1 ("cafÃ©",
+    * "donâ€™t"): a fixed table of artifact→original replacements (the
+    * ftfy-lite every CCNet-grade pipeline runs before
+    * [[normalizeText]], which then unifies the RESTORED curly
+    * punctuation to ASCII). Map-only non-regex replace chain,
+    * shuffle-free, whole-stage-codegen'd, engine-portable (the oracle
+    * replays it via codepoint-built literals). Adds `repaired` plus
+    * the `changed` flag, both bound against the input in one
+    * `withColumns` (the [[normalizeText]] in-place convention). */
+  def repairMojibake(df: DataFrame, textCol: String = "text",
+      outCol: String = "repaired"): DataFrame = {
+    val fixed = mojibakeTable.foldLeft(col(textCol)) {
+      case (c, (bad, good)) => replace(c, lit(bad), lit(good))
+    }
+    df.withColumns(Map(outCol -> fixed, "changed" -> (fixed =!= col(textCol))))
+  }
+
   /** Tokenizer-vocabulary coverage — per-document OOV accounting
     * against a fixed vocabulary (the QA gate run before committing a
     * tokenizer to a corpus, or a corpus to a tokenizer: a doc slice

@@ -1165,6 +1165,20 @@ object ExtensionQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // ftfy-lite mojibake repair: even docs get a planted
+    // UTF-8-read-as-cp1252 tail (cafÃ©, donâ€™t, 25Â°, niÃ±o, â€¦);
+    // odd docs pass through with changed=false
+    "x86_mojibake_repair" -> ((s, dir) => {
+      val messy = t(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"), when(col("doc_id") % 2 === 0,
+          lit(" caf\u00c3\u00a9 don\u00e2\u20ac\u2122t" +
+            " 25\u00c2\u00b0 ni\u00c3\u00b1o \u00e2\u20ac\u00a6"))
+          .otherwise(lit(""))).as("text"))
+      TextAnalysis.repairMojibake(messy, "text")
+        .select(col("doc_id"), col("repaired"), col("changed"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Per-token collocation neighborhoods: top-3 continuations by PMI
     // for every head token, through the custom TopKPerGroup heap
     // operator (window-rank oracle)
@@ -2572,6 +2586,41 @@ object ExtensionQueries {
         |  FROM valid CROSS JOIN mx)
         |SELECT doc_id, source, n_tokens, ROUND(rawkey, 8) AS sample_key
         |FROM keyed ORDER BY rawkey DESC, doc_id LIMIT 100""".stripMargin,
+
+    "x86_mojibake_repair" ->
+      """WITH messy AS (
+        |  SELECT doc_id, text || CASE WHEN doc_id % 2 = 0
+        |    THEN ' caf' || chr(195) || chr(169) || ' don' || chr(226) || chr(8364) || chr(8482)
+        |    || 't 25' || chr(194) || chr(176) || ' ni' || chr(195) || chr(177) || 'o '
+        |    || chr(226) || chr(8364) || chr(166)
+        |    ELSE '' END AS text
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, text,
+        |    replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(text,
+        |    chr(226) || chr(8364) || chr(8482), chr(8217)),
+        |    chr(226) || chr(8364) || chr(732), chr(8216)),
+        |    chr(226) || chr(8364) || chr(339), chr(8220)),
+        |    chr(226) || chr(8364) || chr(8220), chr(8211)),
+        |    chr(226) || chr(8364) || chr(8221), chr(8212)),
+        |    chr(226) || chr(8364) || chr(166), chr(8230)),
+        |    chr(195) || chr(161), chr(225)),
+        |    chr(195) || chr(169), chr(233)),
+        |    chr(195) || chr(168), chr(232)),
+        |    chr(195) || chr(173), chr(237)),
+        |    chr(195) || chr(179), chr(243)),
+        |    chr(195) || chr(186), chr(250)),
+        |    chr(195) || chr(177), chr(241)),
+        |    chr(195) || chr(167), chr(231)),
+        |    chr(195) || chr(164), chr(228)),
+        |    chr(195) || chr(182), chr(246)),
+        |    chr(195) || chr(188), chr(252)),
+        |    chr(194) || chr(176), chr(176)),
+        |    chr(194) || chr(183), chr(183)),
+        |    chr(194) || chr(160), chr(160)) AS repaired
+        |  FROM messy)
+        |SELECT doc_id, repaired, (repaired <> text) AS changed
+        |FROM r ORDER BY doc_id""".stripMargin,
 
     "x85_pmi_per_token" ->
       """WITH tok AS (

@@ -1514,6 +1514,26 @@ class TextAnalysisSpec extends SparkSpec {
       (3L, "x y \"z'<w>", 10)), out)
   }
 
+  test("repairMojibake: artifacts restored, clean text untouched, composes with normalizeText") {
+    val docs = Seq(
+      (1L, "cafÃ© donâ€™t 25Â°" +
+        " niÃ±oÂ end"),
+      (2L, "already clean")).toDF("doc_id", "text")
+    val out = graft.ops.TextAnalysis.repairMojibake(docs, "text", "text")
+      .select($"doc_id", $"text", $"changed")
+      .as[(Long, String, Boolean)].collect().toSet
+    assert(out == Set(
+      (1L, "café don’t 25° niño end", true),
+      (2L, "already clean", false)), out)
+    // layering: repair restores the REAL curly quote, normalizeText then
+    // unifies it to ASCII — the documented pipeline order
+    val composed = graft.ops.TextAnalysis.normalizeText(
+        graft.ops.TextAnalysis.repairMojibake(docs, "text", "text"),
+        "text", "text")
+      .filter($"doc_id" === 1L).select($"text").as[String].head()
+    assert(composed == "café don't 25° niño end", composed)
+  }
+
   test("vocabCoverage: oov accounting, empty docs emitted, broadcast membership") {
     val docs = Seq((1L, "a b a zzz"), (2L, "a a"), (3L, ""))
       .toDF("doc_id", "text")
