@@ -880,6 +880,46 @@ object Dedup {
       .drop("sh_a", "sh_b", "__inter")
   }
 
+  /** Dedup-detector evaluation — precision/recall/F1 of a candidate
+    * pair set against ground-truth pairs, the QA yardstick for tuning
+    * a detector's knobs (shingle size, bands/rows, df caps, thresholds)
+    * before a production run — the dedup-side twin of
+    * [[graft.ops.Similarity.recallAtK]]. Pairs are canonicalized
+    * ((least, greatest), self-pairs dropped, duplicates collapsed) so
+    * orientation and multiplicity conventions of the two inputs don't
+    * skew the counts. Both inputs are candidate-pair frames — orders of
+    * magnitude below corpus scale by construction (that's what
+    * candidate generation is FOR) — so the semi-join and scalar
+    * aggregates are trivially cheap. Output (one row): n_true, n_pred,
+    * n_hit, precision, recall, f1 (6dp; zero-denominator cases pinned
+    * to 0.0). */
+  def pairMetrics(predicted: DataFrame, truth: DataFrame,
+      aCol: String, bCol: String): DataFrame = {
+    def canon(df: DataFrame): DataFrame = df.select(
+        least(col(aCol), col(bCol)).as("__pa"),
+        greatest(col(aCol), col(bCol)).as("__pb"))
+      .filter(col("__pa") =!= col("__pb"))
+      .distinct()
+    val p = canon(predicted)
+    val t = canon(truth)
+    val counts = t.agg(count(lit(1)).as("n_true"))
+      .crossJoin(p.agg(count(lit(1)).as("n_pred")))
+      .crossJoin(p.join(t, Seq("__pa", "__pb"), "left_semi")
+        .agg(count(lit(1)).as("n_hit")))
+    val prec = when(col("n_pred") === 0, lit(0.0))
+      .otherwise(col("n_hit").cast("double") / col("n_pred"))
+    val rec = when(col("n_true") === 0, lit(0.0))
+      .otherwise(col("n_hit").cast("double") / col("n_true"))
+    counts
+      .withColumn("__p", prec).withColumn("__r", rec)
+      .select(col("n_true"), col("n_pred"), col("n_hit"),
+        round(col("__p"), 6).as("precision"),
+        round(col("__r"), 6).as("recall"),
+        round(when(col("__p") + col("__r") === 0, lit(0.0))
+          .otherwise(lit(2.0) * col("__p") * col("__r") /
+            (col("__p") + col("__r"))), 6).as("f1"))
+  }
+
   /** Minimal open-addressing long->long map for the driver union-find:
     * primitive arrays (no boxing), splitmix64-dispersed linear probing,
     * power-of-two capacity grown at 50% load. At the 1M-edge cap this is
