@@ -681,9 +681,16 @@ object Dedup {
       .withColumn("__best", array_max(array(scored: _*)))
       // separate projection on purpose: CollapseProject keeps the
       // non-cheap __best alias, so the argmax is computed once per row
+      // WITHIN a branch; the persist below keeps the |centroids|x dim
+      // literal dot-product chain from re-running for each of the three
+      // consumers (a/b self-join legs + the final projection) — the
+      // bigramNll/bm25TopK multi-consumer persist convention. No
+      // unpersist: the returned frame is lazy (matches repo practice
+      // for lazily-returned multi-consumer frames).
       .select(col(idCol), col(vecCol),
         (-col("__best.ncid")).cast("long").as("cluster_id"),
         col("__best.csim").as("centroid_sim"))
+      .persist()
     val a = assigned.select(col(idCol).as("id_a"), col("cluster_id"),
       col(vecCol).as("__va"), col("centroid_sim").as("__ca"))
     val b = assigned.select(col(idCol).as("id_b"), col("cluster_id"),
@@ -720,9 +727,15 @@ object Dedup {
     * copying, while frequent grams (boilerplate) carry no signal and are
     * dropped BEFORE the join — which is also what bounds the cost.
     *
-    * Scale shape: grams are hashed to 60-bit md5-derived keys at the map
-    * side, so document text never rides a shuffle and the oracle can
-    * still replay keys bit-for-bit (md5, not xxhash64 — the
+    * Scale shape: grams are hashed to a 120-bit md5-derived composite
+    * key (two 60-bit halves — a single 64-bit hex-to-long cast would
+    * overflow under ANSI, and 60 bits alone is NOT collision-safe at
+    * crawl scale: 1e10 distinct grams expect ~n^2/2^61 ≈ 40 birthday
+    * collisions, each able to push a rare gram past maxDf or forge
+    * shared-gram credit; at 120 bits the expectation is ~4e-17, the
+    * same accepted envelope x22 documents) at the map side, so document
+    * text never rides a shuffle and the oracle can still replay keys
+    * bit-for-bit (md5, not xxhash64 — the
     * [[graft.ops.Sampling.contentHashSplit]] portability contract). The
     * df filter caps join fanout at maxDf^2 rows per gram; the pair
     * aggregate then carries only (id, id) — there is no quadratic blowup
@@ -741,9 +754,12 @@ object Dedup {
     // distinct shuffle the naive formulation starts with never exists
     val keyed = df
       .select(col(idCol).as("id"),
-        explode(array_distinct(transform(grams, g =>
-          conv(substring(md5(g.cast("binary")), 1, 15), 16, 10)
-            .cast("long")))).as("gk"))
+        explode(array_distinct(transform(
+          transform(grams, g => md5(g.cast("binary"))),
+          h => struct(
+            conv(substring(h, 1, 15), 16, 10).cast("long").as("h1"),
+            conv(substring(h, 16, 15), 16, 10).cast("long").as("h2")))))
+          .as("gk"))
     val counts = keyed.groupBy(col("gk"))
       .agg(count(lit(1)).as("__df"))
       .filter(col("__df").between(2, maxDf))
@@ -802,10 +818,15 @@ object Dedup {
     * Returns (id, n_tokens, n_removed, clean_text).
     *
     * Scale shape: the span explode is map-only; ONE aggregation keyed on
-    * the n-gram counts occurrences (n-gram strings are ~n·wordlen bytes —
-    * digest-comparable; swap `xxhash64(gram)` in as the count/join key at
-    * 100 TB exactly as [[exactByDigest]] argues, kept as strings here so
-    * DuckDB replays the frequent set bit-for-bit); hit spans come back
+    * the n-gram counts occurrences. `digestKeys = true` swaps
+    * `xxhash64(gram)` in as the count/semi-join key exactly as
+    * [[exactByDigest]] argues: the n-gram strings are ~n·wordlen bytes
+    * and they are this operator's dominant shuffle byte mover at scale,
+    * where the digest is 8 bytes with the accepted 2^-64 collision
+    * envelope (a collision could mark one rare span frequent). The
+    * default stays strings so DuckDB replays the frequent set
+    * bit-for-bit — the two paths are pinned result-identical by spec
+    * (same convention as exactByDigest); hit spans come back
     * through a gram-keyed semi-join of the SPAN frame (narrow id+pos
     * rows, never document text); covered positions aggregate per doc into
     * one int array; and the rebuild is a single id-keyed join of that
@@ -818,7 +839,8 @@ object Dedup {
     * is map-only codegen — the same recompute-beats-cache measurement
     * documented on [[minhashSignatures]]. */
   def removeRepeatedSpans(df: DataFrame, idCol: String, textCol: String,
-      n: Int = 5, minCount: Int = 2): DataFrame = {
+      n: Int = 5, minCount: Int = 2,
+      digestKeys: Boolean = false): DataFrame = {
     val tok = df.select(col(idCol).as("id"),
       TextAnalysis.tokens(col(textCol)).as("toks"))
     // (id, pos, gram) for every n-token window; docs under n tokens carry
@@ -830,11 +852,16 @@ object Dedup {
             i => array_join(slice(col("toks"), i + 1, lit(n)), " ")))
           .otherwise(array().cast("array<string>")))
         .as(Seq("pos", "gram")))
-    val frequent = spans.groupBy(col("gram"))
+      // the key projection lands BEFORE either shuffle consumer, so in
+      // digest mode the gram strings exist only inside map-side codegen
+      .select(col("id"), col("pos"),
+        (if (digestKeys) xxhash64(col("gram")) else col("gram"))
+          .as("__gk"))
+    val frequent = spans.groupBy(col("__gk"))
       .agg(count(lit(1)).as("__cnt"))
       .filter(col("__cnt") >= minCount)
-      .select(col("gram"))
-    val hits = spans.join(frequent, Seq("gram"), "left_semi")
+      .select(col("__gk"))
+    val hits = spans.join(frequent, Seq("__gk"), "left_semi")
     val covered = hits
       .select(col("id"),
         explode(sequence(col("pos"), col("pos") + (n - 1))).as("rm"))

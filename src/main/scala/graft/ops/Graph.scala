@@ -22,16 +22,19 @@ object Graph {
     * frame is built once, persisted, and re-joined each round, so every
     * iteration costs one src-keyed join plus one dst-keyed aggregate of
     * (id, double) pairs; edges never re-shuffle their text/payload
-    * because there is none (8-byte ids only). Fixed `iters` keeps
-    * lineage bounded; for long chains at scale, checkpoint every ~10
-    * rounds (same guidance as [[Dedup.resolveClusters]]'s distributed
-    * path). The node count is ONE driver scalar (an aggregate, not a
+    * because there is none (8-byte ids only). Each `checkpointEvery`
+    * rounds the rank frame is localCheckpoint'd, truncating lineage —
+    * without it a 50-iteration run chains 100 operators and analyzer
+    * cost grows superlinearly with depth (same guidance as
+    * [[Dedup.resolveClusters]]'s distributed path, now enforced in
+    * code). The node count is ONE driver scalar (an aggregate, not a
     * collect). Ranks round 8dp at the END only — intermediate rounding
     * would compound; per-node contribution sums in the fixture are
     * 2-operand and therefore order-exact across engines. */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
-      iters: Int, damping: Double = 0.85): DataFrame = {
-    require(iters >= 1 && damping > 0 && damping < 1)
+      iters: Int, damping: Double = 0.85,
+      checkpointEvery: Int = 10): DataFrame = {
+    require(iters >= 1 && damping > 0 && damping < 1 && checkpointEvery >= 1)
     val e = edges.select(col(srcCol).cast("long").as("src"),
       col(dstCol).cast("long").as("dst"))
     val nodes = e.select(col("src").as("id"))
@@ -55,6 +58,8 @@ object Graph {
             lit(damping) * coalesce(col("__contrib"), lit(0.0)))
             .as("rank"))
       it += 1
+      if (it % checkpointEvery == 0 && it < iters)
+        ranks = ranks.localCheckpoint()
     }
     // materialize the node-sized result, then release the iteration
     // caches — without this every call leaks the persisted edge frame

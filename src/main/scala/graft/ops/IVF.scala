@@ -363,11 +363,32 @@ object IVF {
 
   /** Ingest a new embedding shard: assign against the PERSISTED centroids
     * (one map-only pass over the shard — the existing index is not read at
-    * all) and append under the shard's own partition leaves. */
+    * all) and append under the shard's own partition leaves.
+    *
+    * A tombstoned id ([[deleteVectors]]) cannot be re-ingested before
+    * [[compactVectors]] clears its tombstone: the search-time mask is
+    * keyed on id alone, so a re-appended replacement would be silently
+    * invisible to every [[searchBatchAppendable]] until compaction —
+    * live data missing from results with no error anywhere. This guard
+    * turns that silent loss into a loud one: when tombstones exist, the
+    * incoming shard is semi-joined (broadcast, tombstone-sized side)
+    * against them and a clash refuses the append with the fix named.
+    * Zero cost on the common no-tombstones path. */
   def appendVectors(spark: org.apache.spark.sql.SparkSession, root: String,
-      emb: DataFrame, vecCol: String, shardId: String): Unit =
-    writeVectorShard(assign(emb, vecCol, readModel(spark, root)),
-      root, shardId)
+      emb: DataFrame, idCol: String, vecCol: String,
+      shardId: String): Unit = {
+    val model = readModel(spark, root)
+    tombstoneFrame(spark, root).foreach { t =>
+      val clash = emb.join(broadcast(t.select(col("tomb_id"))),
+        emb(idCol) === col("tomb_id"), "left_semi")
+      require(clash.isEmpty,
+        s"appendVectors($shardId): incoming ids are tombstoned in " +
+        s"$root/tombstones — a re-appended id would stay masked by its " +
+        "stale tombstone until compaction (invisible to every search). " +
+        "Run compactVectors first, then replay this append.")
+    }
+    writeVectorShard(assign(emb, vecCol, model), root, shardId)
+  }
 
   /** Tombstone a set of vector ids in an appendable index — the DELETE
     * leg of the index lifecycle (GDPR erasure, recalled documents,
@@ -380,7 +401,10 @@ object IVF {
     * physically and clears them. The tombstone set is expected to stay
     * small relative to the index between compactions (it rides a
     * broadcast into the search anti-join — same bounded-side contract as
-    * the probe frame); compact when it grows. */
+    * the probe frame); compact when it grows. Because the mask is keyed
+    * on id alone, a deleted id cannot be re-ingested until compaction
+    * clears its tombstone — [[appendVectors]] asserts this rather than
+    * letting the replacement vanish silently behind the stale mask. */
   def deleteVectors(spark: org.apache.spark.sql.SparkSession, root: String,
       ids: DataFrame, idCol: String, shardId: String): Unit = {
     readModel(spark, root) // heal a crashed rebuild swap before writing

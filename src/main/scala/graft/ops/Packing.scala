@@ -68,8 +68,12 @@ object Packing {
     val bases = df.groupBy(col(shardCol))
       .agg(sum(col(tokenCol)).as("__shard_tokens"))
       .withColumn("__base",
+        // literal partition key: this frame holds ONE row per shard, so
+        // single-partition execution is the intended shape — the
+        // partitionBy(lit) silences the WindowExec "No Partition
+        // Defined" warning (r6 precedent)
         coalesce(sum(col("__shard_tokens")).over(
-          Window.orderBy(col(shardCol)).rowsBetween(
+          Window.partitionBy(lit(0)).orderBy(col(shardCol)).rowsBetween(
             Window.unboundedPreceding, -1)), lit(0L)))
       .select(col(shardCol), col("__base"))
     withLocal.join(broadcast(bases), Seq(shardCol))

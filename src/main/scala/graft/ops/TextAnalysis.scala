@@ -1322,8 +1322,13 @@ object TextAnalysis {
     val totals = uni.agg(sum(col("__cnt")).as("__t"),
       count(lit(1)).as("__nv"))
     val head = uni.orderBy(col("__cnt").desc, col("w").asc).limit(topN)
+    // literal partition key: the frame under this window is <= topN rows
+    // by the limit above, so single-partition execution is the intended
+    // shape — the partitionBy(lit) silences the WindowExec "No Partition
+    // Defined" warning that otherwise drowns sweep tails (r6 precedent,
+    // see wrappedTwoParagraphCorpus)
     val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col("__cnt").desc, col("w").asc)
+      .partitionBy(lit(0)).orderBy(col("__cnt").desc, col("w").asc)
     val fit = head
       .withColumn("__rank", row_number().over(w))
       .agg(expr("regr_slope(ln(__cnt), ln(__rank))").as("__slope"),

@@ -807,7 +807,7 @@ object ExtensionQueries {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(idx))
       IVF.writeIndexAppendable(IVF.assign(base, "embedding", model), idx,
         model, "base")
-      IVF.appendVectors(s, idx, shard, "embedding", "s1")
+      IVF.appendVectors(s, idx, shard, "vec_id", "embedding", "s1")
       val q = emb.filter(col("vec_id") < 5)
         .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
       val viaIndex = IVF.searchBatchAppendable(s, idx, q, "vec_id",
@@ -840,7 +840,7 @@ object ExtensionQueries {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(idx))
       IVF.writeIndexAppendable(IVF.assign(base, "embedding", model), idx,
         model, "base")
-      IVF.appendVectors(s, idx, shard, "embedding", "s1")
+      IVF.appendVectors(s, idx, shard, "vec_id", "embedding", "s1")
       // deletes hit appended rows (%10==0) and base rows (%10==1)
       val doomed = emb.filter(col("vec_id") % 10 <= 1)
       IVF.deleteVectors(s, idx, doomed, "vec_id", "d1")
@@ -2850,7 +2850,8 @@ object ExtensionQueries {
         |  FROM docs),
         |grams AS (
         |  SELECT DISTINCT doc_id,
-        |    CAST(('0x' || substring(md5(g), 1, 15)) AS BIGINT) AS gk
+        |    CAST(('0x' || substring(md5(g), 1, 15)) AS BIGINT) AS gk1,
+        |    CAST(('0x' || substring(md5(g), 16, 15)) AS BIGINT) AS gk2
         |  FROM (SELECT doc_id, unnest(
         |      CASE WHEN len(t) >= 3 THEN
         |        list_transform(range(0, len(t) - 2),
@@ -2858,12 +2859,13 @@ object ExtensionQueries {
         |      ELSE CAST([] AS VARCHAR[]) END) AS g
         |    FROM tok)),
         |rare AS (
-        |  SELECT gk FROM grams GROUP BY gk
+        |  SELECT gk1, gk2 FROM grams GROUP BY gk1, gk2
         |  HAVING count(*) BETWEEN 2 AND 8),
-        |rg AS (SELECT g.* FROM grams g JOIN rare USING (gk))
+        |rg AS (SELECT g.* FROM grams g JOIN rare USING (gk1, gk2))
         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
         |  CAST(count(*) AS BIGINT) AS n_shared
-        |FROM rg a JOIN rg b ON a.gk = b.gk AND a.doc_id < b.doc_id
+        |FROM rg a JOIN rg b ON a.gk1 = b.gk1 AND a.gk2 = b.gk2
+        |  AND a.doc_id < b.doc_id
         |GROUP BY 1, 2 HAVING count(*) >= 2
         |ORDER BY 1, 2""".stripMargin,
 

@@ -43,15 +43,22 @@ object ParityQueries {
       "_p" + ProcessHandle.current().pid() +
       "_" + dir.replaceAll("[^a-zA-Z0-9]", "_")
 
-  /** events.parquet stores `ts` as TIMESTAMP(NANOS), which vanilla Spark
-    * rejects; read it as nanos-long (legacy conf) and truncate to
-    * microseconds — exactly what DuckDB's ns->us conversion does, so oracle
-    * comparisons agree. Runtime-settable SQL conf, so this works under the
-    * driver's own session too. */
+  /** events.parquet has shipped `ts` as TIMESTAMP(NANOS) in some testdata
+    * generations (vanilla Spark rejects it — read as nanos-long via the
+    * legacy conf and truncate to microseconds, exactly DuckDB's ns->us
+    * conversion) and as timestamp[us] (read as TIMESTAMP_NTZ) in others.
+    * Adapt on the actual schema so both generations load identically:
+    * under the UTC session timezone the NTZ->LTZ cast is value-preserving
+    * and matches DuckDB's naive-timestamp read. Runtime-settable SQL
+    * conf, so this works under the driver's own session too. */
   def events(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    s.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = s.read.parquet(s"$dir/events.parquet")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ => raw.withColumn("ts", col("ts").cast("timestamp"))
+    }
   }
 
   /** events -> transaction-shaped frame: the harness `events` table plays the

@@ -301,14 +301,15 @@ object EventStreams {
     * exclusion is a partition filter, so the torn leaves are never
     * scanned. The index must exist (build it on the historical corpus,
     * or on an empty assigned frame to start cold). */
-  def ivfAppendSink(vectors: DataFrame, vecCol: String, indexRoot: String,
+  def ivfAppendSink(vectors: DataFrame, idCol: String, vecCol: String,
+      indexRoot: String,
       checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
     vectors.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
           graft.ops.IVF.appendVectors(batch.sparkSession, indexRoot,
-            batch, vecCol, s"stream_$batchId")
+            batch, idCol, vecCol, s"stream_$batchId")
         }
         ()
       }

@@ -121,7 +121,7 @@ object AnnScaleSmoke {
           i => (pmod(xxhash64(col("id"), i, lit(3)), lit(2000)) / 1000.0 - 1.0)
             .cast("float")).as("embedding"))
     time(s"appendVectors ($shardN shard)")(
-      IVF.appendVectors(spark, approot, shard, "embedding", "s1"))
+      IVF.appendVectors(spark, approot, shard, "vec_id", "embedding", "s1"))
     time("vs full rebuild (the alternative)")(
       IVF.writeIndexAppendable(
         IVF.assign(corpus.unionByName(shard), "embedding", model),
@@ -152,11 +152,11 @@ object AnnScaleSmoke {
         x => x.cast("double")).as("v"))
     val sdCents = sdCorpus.filter(col("vec_id") < 256)
       .select(col("vec_id").as("cid"), col("v").as("cv"))
-    val sdKept = time("SemDeDup (100k vectors, 256 centroids)")(
+    val sdRemoved = time("SemDeDup (100k vectors, 256 centroids)")(
       graft.ops.Dedup.semanticDedup(sdCorpus, "vec_id", "v",
           sdCents, "cid", "cv", 0.95)
         .agg(sum(when(col("kept"), 0).otherwise(1))).head().getLong(0))
-    println(s"[ann-scale] semdedup removed=$sdKept of 100000")
+    println(s"[ann-scale] semdedup removed=$sdRemoved of 100000")
     spark.stop()
   }
 }

@@ -20,8 +20,14 @@ object StreamDemo {
       java.nio.file.Paths.get(s"$dir/events.parquet"),
       java.nio.file.Paths.get(s"$out/in/events.parquet"))
     val schema = spark.read.parquet(s"$out/in").schema
-    val stream = spark.readStream.schema(schema).parquet(s"$out/in")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    // ts has shipped as nanos-long and as timestamp[us] across testdata
+    // generations — adapt exactly as ParityQueries.events does
+    val raw = spark.readStream.schema(schema).parquet(s"$out/in")
+    val stream = schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ => raw.withColumn("ts", col("ts").cast("timestamp"))
+    }
 
     val counts = EventStreams.windowedCounts(stream, "1 hour", "1 day")
     val q1 = counts.writeStream.format("memory").queryName("wc")

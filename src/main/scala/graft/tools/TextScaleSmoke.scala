@@ -91,6 +91,18 @@ object TextScaleSmoke {
               .as("text")),
           "doc_id", "text", n = 5, minCount = 100)
         .agg(sum("n_removed"), sum(length(col("clean_text")))).head())
+    // r9: same workload on the 8-byte xxhash64 key path — the gram
+    // strings (the op's dominant shuffle byte mover) never leave the
+    // map side; spec pins the two paths result-identical
+    time("repeated-span removal (digest-keyed)")(
+      graft.ops.Dedup.removeRepeatedSpans(
+          corpus.select(col("doc_id"),
+            concat(col("text"),
+              when(col("doc_id") % 4 === 0,
+                lit(" b0 b1 b2 b3 b4 b5 b6 b7")).otherwise(lit("")))
+              .as("text")),
+          "doc_id", "text", n = 5, minCount = 100, digestKeys = true)
+        .agg(sum("n_removed"), sum(length(col("clean_text")))).head())
     time("intra-doc line dedup (map-only)")(
       TextAnalysis.dedupLinesWithin(
           corpus.select(col("doc_id"),

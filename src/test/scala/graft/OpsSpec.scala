@@ -88,6 +88,21 @@ class DedupSpec extends SparkSpec {
     assert(out(6L) == ((6L, 6L, "")))
   }
 
+  test("removeRepeatedSpans digest-key path agrees with the string-key path") {
+    // digestKeys=true is the 100 TB shape (8-byte xxhash64 shuffle keys
+    // instead of ~n*wordlen gram strings); pin it result-identical to
+    // the oracle-checked string path, same convention as exactByDigest
+    val planted = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"doc_id", concat($"text",
+        when($"doc_id" % 4 === 0, lit(" b0 b1 b2 b3 b4 b5 b6 b7"))
+          .otherwise(lit(""))).as("text"))
+    def run(dig: Boolean) = Dedup.removeRepeatedSpans(planted, "doc_id",
+        "text", n = 5, minCount = 3, digestKeys = dig)
+      .as[(Long, Long, Long, String)].collect().toSet
+    assert(run(dig = true) == run(dig = false))
+  }
+
   test("ngramContainment flags sub-document inclusion symmetric Jaccard misses") {
     val docs = Seq(
       (1L, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"), // 8 distinct 3-grams
@@ -636,7 +651,7 @@ class SimilaritySpec extends SparkSpec {
     // persisted centroids round-trip exactly (appends must assign with them)
     assert(graft.ops.IVF.readModel(spark, root).centroids.map(_.toSeq).toSeq ==
       model.centroids.map(_.toSeq).toSeq)
-    graft.ops.IVF.appendVectors(spark, root, shard, "embedding", "s1")
+    graft.ops.IVF.appendVectors(spark, root, shard, "vec_id", "embedding", "s1")
     val queries = emb.filter($"vec_id".isin(0L, 7L))
       .select($"vec_id".as("query_id"), $"embedding".as("qvec"))
     def viaIndex = graft.ops.IVF.searchBatchAppendable(spark, root, queries,
@@ -648,7 +663,7 @@ class SimilaritySpec extends SparkSpec {
     assert(viaIndex.as[(Long, Long, Double)].collect().toSet == ref)
     // crash-replay of the same shard id: dynamic partition overwrite
     // replaces the shard's own leaves — no duplicate vectors, same results
-    graft.ops.IVF.appendVectors(spark, root, shard, "embedding", "s1")
+    graft.ops.IVF.appendVectors(spark, root, shard, "vec_id", "embedding", "s1")
     val vecs = spark.read.parquet(s"$root/vectors")
     assert(vecs.count() == vecs.dropDuplicates("vec_id").count())
     assert(viaIndex.as[(Long, Long, Double)].collect().toSet == ref)
@@ -680,7 +695,7 @@ class SimilaritySpec extends SparkSpec {
     val baseOnly = search(Nil).as[(Long, Long, Double)].collect().toSet
     // append a shard, then search as a reader that excludes it: results
     // must be EXACTLY the pre-append answer (torn-shard isolation)
-    graft.ops.IVF.appendVectors(spark, root, shard, "embedding", "s1")
+    graft.ops.IVF.appendVectors(spark, root, shard, "vec_id", "embedding", "s1")
     val excluded = search(Seq("s1"))
     assert(excluded.as[(Long, Long, Double)].collect().toSet == baseOnly)
     // without the exclusion the new shard's vectors are visible
@@ -789,6 +804,41 @@ class SimilaritySpec extends SparkSpec {
     require(fs.rename(new org.apache.hadoop.fs.Path(root),
       new org.apache.hadoop.fs.Path(s"${root}__old")))
     assert(viaIndex == ref2, "reader must restore the retired generation")
+  }
+
+  test("appendVectors refuses tombstoned ids; compaction unblocks re-ingest") {
+    // the mask is keyed on id alone, so a re-appended replacement for a
+    // tombstoned id would be silently invisible to every search until
+    // compaction — the guard turns that silent loss into a loud refusal
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val model = graft.ops.IVF.train(emb, "vec_id", "embedding", nc = 8, iters = 2)
+    val root = java.nio.file.Files.createTempDirectory("ivf_tomb_re")
+      .toString + "/idx"
+    graft.ops.IVF.writeIndexAppendable(
+      graft.ops.IVF.assign(emb.filter($"vec_id" % 5 =!= 0), "embedding",
+        model), root, model, "base")
+    graft.ops.IVF.deleteVectors(spark, root,
+      emb.filter($"vec_id" === 10), "vec_id", "d1")
+    val replacement = emb.filter($"vec_id" === 10)
+    val err = intercept[IllegalArgumentException] {
+      graft.ops.IVF.appendVectors(spark, root, replacement, "vec_id",
+        "embedding", "s1")
+    }
+    assert(err.getMessage.contains("compactVectors"))
+    // non-clashing appends stay unaffected while tombstones exist
+    graft.ops.IVF.appendVectors(spark, root,
+      emb.filter($"vec_id" === 15), "vec_id", "embedding", "s2")
+    // after compaction the tombstone is gone: the replacement ingests
+    // and is live in search results
+    graft.ops.IVF.compactVectors(spark, root, "vec_id", "c1")
+    graft.ops.IVF.appendVectors(spark, root, replacement, "vec_id",
+      "embedding", "s3")
+    val q = emb.filter($"vec_id" === 10)
+      .select($"vec_id".as("query_id"), $"embedding".as("qvec"))
+    val hits = graft.ops.IVF.searchBatchAppendable(spark, root, q,
+        "vec_id", "embedding", "query_id", k = 3, nprobe = 8)
+      .filter($"vec_id" === 10).count()
+    assert(hits == 1L, "re-appended id must be live after compaction")
   }
 
   test("batched kNN equals N single-query calls (brute force, LSH, IVF)") {
@@ -1613,6 +1663,31 @@ class TextAnalysisSpec extends SparkSpec {
     val mass = graft.ops.Graph.pageRank(edges, "src", "dst", iters = 5)
       .agg(sum("rank")).as[Double].head()
     assert(math.abs(mass - 1.0) < 1e-6, mass)
+  }
+
+  test("pageRank checkpointEvery truncates lineage without changing ranks") {
+    val docs = spark.range(0, 200).select($"id".as("doc_id"))
+    val edges = docs.select($"doc_id".as("src"),
+        (($"doc_id" * 7 + 3) % 200).as("dst"))
+      .unionByName(docs.select($"doc_id".as("src"),
+        (($"doc_id" * 13 + 5) % 200).as("dst")))
+    // 25 rounds with mid-loop checkpoints every 5: without truncation
+    // this chains ~50 join/agg operators and analyzer cost grows
+    // superlinearly with depth — completing promptly AND conserving
+    // mass is the bounded-lineage assertion
+    val start = System.nanoTime()
+    val ck = graft.ops.Graph.pageRank(edges, "src", "dst", iters = 25,
+      checkpointEvery = 5)
+    val elapsedSec = (System.nanoTime() - start) / 1e9
+    assert(elapsedSec < 120.0, s"25-round pageRank took ${elapsedSec}s")
+    assert(math.abs(ck.agg(sum("rank")).as[Double].head() - 1.0) < 1e-6)
+    // checkpoint cadence must not change values: same 8 rounds with and
+    // without a mid-loop checkpoint land on identical 8dp ranks
+    val a = graft.ops.Graph.pageRank(edges, "src", "dst", iters = 8,
+      checkpointEvery = 3).as[(Long, Double)].collect().toMap
+    val b = graft.ops.Graph.pageRank(edges, "src", "dst", iters = 8,
+      checkpointEvery = 100).as[(Long, Double)].collect().toMap
+    assert(a == b)
   }
 
   test("bpeEncode: learn->encode round trip preserves content, merges only shrink") {

@@ -282,7 +282,8 @@ class StreamingSpec extends SparkSpec {
     val input = MemoryStream[(Long, Seq[Float])]
     val ckpt = java.nio.file.Files.createTempDirectory("ivf_ckpt").toString
     val q = EventStreams.ivfAppendSink(
-      input.toDF().toDF("vec_id", "embedding"), "embedding", root, ckpt)
+      input.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding",
+      root, ckpt)
     try {
       val rest = emb.filter(col("vec_id") % 4 =!= 0)
         .select(col("vec_id"), col("embedding"))
