@@ -919,7 +919,16 @@ object Dedup {
     * candidate generation is FOR) — so the semi-join and scalar
     * aggregates are trivially cheap. Output (one row): n_true, n_pred,
     * n_hit, precision, recall, f1 (6dp; zero-denominator cases pinned
-    * to 0.0). */
+    * to 0.0).
+    *
+    * Measured yardstick ([[graft.tools.DetectorEval]], sf0.01 near-dup
+    * fixture, truth = exact 3-gram Jaccard >= 0.5, 81 true pairs):
+    * minhash-LSH (x06 knobs) P=1.000 R=0.988 F1=0.994; simhash (x07,
+    * maxHamming=6) P=0.306 R=0.593 F1=0.403; rare-ngram (x67 knobs)
+    * P=0.063 R=1.000 F1=0.118 — the expected profile: rare-ngram is a
+    * recall-first CANDIDATE generator whose output feeds exact
+    * verification, simhash trades both for a single 64-bit signature,
+    * minhash with verification is the precision path. */
   def pairMetrics(predicted: DataFrame, truth: DataFrame,
       aCol: String, bCol: String): DataFrame = {
     def canon(df: DataFrame): DataFrame = df.select(

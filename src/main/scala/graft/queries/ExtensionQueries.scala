@@ -1398,6 +1398,29 @@ object ExtensionQueries {
         .select(col("media_id"), col("n_bytes"),
           round(element_at(col("feature"), 1).cast("double"), 6).as("f0"),
           round(element_at(col("feature"), 2).cast("double"), 6).as("f1"))
+    }),
+
+    // Detector-evaluation P/R/F1 (Dedup.pairMetrics): planted predicted
+    // pairs with known errors vs exact-Jaccard ground truth over the
+    // near-dup corpus. Predicted misses ids 40-49 (recall loss), adds 10
+    // consecutive-id false pairs (precision loss), and carries reversed
+    // duplicates plus a self pair the canonicalization must collapse.
+    "x87_pair_metrics" -> ((s, dir) => {
+      val corpus = nearDupCorpus(t(s, dir, "documents"))
+      val cand = corpus.filter(col("doc_id") >= 10000)
+        .select((col("doc_id") - 10000).as("id_a"), col("doc_id").as("id_b"))
+      val truth = Dedup.ngramJaccard(cand, corpus, "doc_id", "text", n = 3)
+        .filter(col("jaccard") >= 0.5).select(col("id_a"), col("id_b"))
+      val docs = t(s, dir, "documents")
+      val pred = docs.filter(col("doc_id") < 40)
+        .select(col("doc_id").as("id_a"), (col("doc_id") + 10000).as("id_b"))
+        .unionByName(docs.filter(col("doc_id") < 10)
+          .select((col("doc_id") + 10000).as("id_a"), col("doc_id").as("id_b")))
+        .unionByName(docs.filter(col("doc_id") < 10)
+          .select(col("doc_id").as("id_a"), (col("doc_id") + 1).as("id_b")))
+        .unionByName(docs.filter(col("doc_id") === 7)
+          .select(col("doc_id").as("id_a"), col("doc_id").as("id_b")))
+      Dedup.pairMetrics(pred, truth, "id_a", "id_b")
     }))
 
   private val oracleBase: Map[String, String] = Map(
@@ -2621,6 +2644,53 @@ object ExtensionQueries {
         |  FROM messy)
         |SELECT doc_id, repaired, (repaired <> text) AS changed
         |FROM r ORDER BY doc_id""".stripMargin,
+
+    // f1 uses the UNROUNDED precision/recall (rounding lands only on the
+    // output columns), mirroring Dedup.pairMetrics exactly
+    "x87_pair_metrics" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 10000,
+        |    array_to_string(list_slice(toks, 1, CAST(floor(len(toks) * 0.8) AS INT)), ' ')
+        |  FROM (SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), x -> len(x) > 0) AS toks
+        |        FROM documents WHERE doc_id < 50)),
+        |sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(CASE WHEN len(toks) <= 3 THEN [array_to_string(toks, ' ')]
+        |      ELSE list_transform(range(0, len(toks) - 2),
+        |        i -> array_to_string(list_slice(toks, i + 1, i + 3), ' ')) END) AS shset
+        |  FROM (SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), x -> len(x) > 0) AS toks
+        |        FROM corpus)),
+        |tr AS (
+        |  SELECT p.id_a AS pa, p.id_b AS pb
+        |  FROM (SELECT doc_id - 10000 AS id_a, doc_id AS id_b
+        |        FROM corpus WHERE doc_id >= 10000) p
+        |  JOIN sh a ON a.doc_id = p.id_a
+        |  JOIN sh b ON b.doc_id = p.id_b
+        |  WHERE ROUND(CAST(len(list_intersect(a.shset, b.shset)) AS DOUBLE) /
+        |        len(list_distinct(list_concat(a.shset, b.shset))), 6) >= 0.5),
+        |pred_raw AS (
+        |  SELECT doc_id AS id_a, doc_id + 10000 AS id_b FROM documents WHERE doc_id < 40
+        |  UNION ALL SELECT doc_id + 10000, doc_id FROM documents WHERE doc_id < 10
+        |  UNION ALL SELECT doc_id, doc_id + 1 FROM documents WHERE doc_id < 10
+        |  UNION ALL SELECT doc_id, doc_id FROM documents WHERE doc_id = 7),
+        |pred AS (
+        |  SELECT DISTINCT least(id_a, id_b) AS pa, greatest(id_a, id_b) AS pb
+        |  FROM pred_raw WHERE id_a <> id_b),
+        |c AS (
+        |  SELECT (SELECT count(*) FROM tr) AS n_true,
+        |         (SELECT count(*) FROM pred) AS n_pred,
+        |         (SELECT count(*) FROM pred JOIN tr USING (pa, pb)) AS n_hit),
+        |pr AS (
+        |  SELECT n_true, n_pred, n_hit,
+        |    CASE WHEN n_pred = 0 THEN 0.0 ELSE CAST(n_hit AS DOUBLE) / n_pred END AS p,
+        |    CASE WHEN n_true = 0 THEN 0.0 ELSE CAST(n_hit AS DOUBLE) / n_true END AS r
+        |  FROM c)
+        |SELECT n_true, n_pred, n_hit,
+        |  ROUND(p, 6) AS precision, ROUND(r, 6) AS recall,
+        |  ROUND(CASE WHEN p + r = 0 THEN 0.0 ELSE 2.0 * p * r / (p + r) END, 6) AS f1
+        |FROM pr""".stripMargin,
 
     "x85_pmi_per_token" ->
       """WITH tok AS (

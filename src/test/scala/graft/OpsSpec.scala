@@ -103,6 +103,27 @@ class DedupSpec extends SparkSpec {
     assert(run(dig = true) == run(dig = false))
   }
 
+  test("pairMetrics: canonicalization collapse, counts, empty-input pins") {
+    import spark.implicits._
+    val truth = Seq((1L, 2L), (3L, 4L), (5L, 6L)).toDF("id_a", "id_b")
+    // (2,1) reversed + (1,2) duplicate collapse to ONE hit; (7,7) self
+    // pair drops; (8,9) is the lone false positive -> p = r = 2/3
+    val pred = Seq((2L, 1L), (1L, 2L), (3L, 4L), (7L, 7L), (8L, 9L))
+      .toDF("id_a", "id_b")
+    def m(p: org.apache.spark.sql.DataFrame, t: org.apache.spark.sql.DataFrame) =
+      Dedup.pairMetrics(p, t, "id_a", "id_b")
+        .as[(Long, Long, Long, Double, Double, Double)].head()
+    assert(m(pred, truth) == ((3L, 3L, 2L, 0.666667, 0.666667, 0.666667)))
+    // truth orientation must canonicalize too
+    val truthRev = truth.select($"id_b".as("id_a"), $"id_a".as("id_b"))
+    assert(m(pred, truthRev) == ((3L, 3L, 2L, 0.666667, 0.666667, 0.666667)))
+    // empty prediction / empty truth: metrics pinned 0.0, no NaN/divide
+    assert(m(pred.filter($"id_a" > 100), truth) ==
+      ((3L, 0L, 0L, 0.0, 0.0, 0.0)))
+    assert(m(pred, truth.filter($"id_a" > 100)) ==
+      ((0L, 3L, 0L, 0.0, 0.0, 0.0)))
+  }
+
   test("ngramContainment flags sub-document inclusion symmetric Jaccard misses") {
     val docs = Seq(
       (1L, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"), // 8 distinct 3-grams
