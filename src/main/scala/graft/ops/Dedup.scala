@@ -653,15 +653,27 @@ object Dedup {
     * shape) — no join, no window, no shuffle of any kind for the assign
     * stage; then one hash exchange on cluster_id for the self-join and
     * flag joins that carry only 8-byte ids. A skewed giant cluster is
-    * the operator's known hazard — mitigate upstream with more centroids
-    * (the [[cosinePairsLsh]] bucket cap is the same trade).
+    * the operator's known hazard — the within-cluster compare is
+    * quadratic in cluster size, so one cluster holding 10% of a 1B-vector
+    * corpus costs 5e15 pairs no partitioning can save. `maxClusterSize`
+    * (> 0 to enable) turns that silent wall into a loud one: one
+    * count-by-cluster aggregate over the already-persisted assignment
+    * (narrow (cluster_id, 1) rows, cost ~an ingest scan) and the call
+    * refuses with the mitigation named — re-train with more centroids
+    * (Abbas et al. run k in the tens of thousands at LAION scale) or
+    * shard the hot cluster upstream. Measured on the adversarial fixture
+    * ([[graft.tools.AnnScaleSmoke]], quiet host): 10k vectors collapsed
+    * into ONE cluster = 5.0e7 pairwise rows, 13.5s at 64 dims — DOUBLE
+    * the 6.7s for 100k well-spread vectors over 256 centroids (~2e7
+    * in-cluster pairs), i.e. 10x less data costing 2x more; the guard
+    * refuses the same input in 0.33s.
     *
     * Output: one row per input vector — (id, cluster_id, centroid_sim
     * rounded 6dp, is_dup = participates in any above-threshold pair,
     * kept = survives the drop rule). */
   def semanticDedup(emb: DataFrame, idCol: String, vecCol: String,
       centroids: DataFrame, cidCol: String, cvecCol: String,
-      threshold: Double): DataFrame = {
+      threshold: Double, maxClusterSize: Long = 0L): DataFrame = {
     val cents: Array[(Long, Array[Double])] = centroids
       .select(col(cidCol).cast("long"), col(cvecCol))
       .collect()
@@ -691,6 +703,15 @@ object Dedup {
         (-col("__best.ncid")).cast("long").as("cluster_id"),
         col("__best.csim").as("centroid_sim"))
       .persist()
+    if (maxClusterSize > 0) {
+      val top = assigned.groupBy(col("cluster_id"))
+        .agg(count(lit(1)).as("__n")).orderBy(col("__n").desc).head()
+      require(top.getLong(1) <= maxClusterSize,
+        s"semanticDedup: cluster ${top.getLong(0)} holds ${top.getLong(1)} " +
+        s"vectors (maxClusterSize=$maxClusterSize); the within-cluster " +
+        "compare is quadratic in cluster size — re-train with more " +
+        "centroids or shard the hot cluster upstream before dedup")
+    }
     val a = assigned.select(col(idCol).as("id_a"), col("cluster_id"),
       col(vecCol).as("__va"), col("centroid_sim").as("__ca"))
     val b = assigned.select(col(idCol).as("id_b"), col("cluster_id"),

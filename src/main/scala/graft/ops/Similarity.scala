@@ -77,6 +77,35 @@ object Similarity {
     topKPerQuery(scored, qidCol, idCol, k, queries)
   }
 
+  /** Hard-negative mining for embedding/retrieval training (the DPR /
+    * Contriever recipe): for each query, the top-k most-similar corpus
+    * vectors EXCLUDING its known positives — the near-misses that
+    * actually tighten a contrastive loss, where random negatives are
+    * trivially separable and teach nothing. Exclusion happens BEFORE
+    * k-selection (an anti-join on (query, id)), so the output is exactly
+    * the top-k of the positive-free candidate set — not "top-k minus
+    * positives", which silently under-fills k whenever a positive ranks
+    * high (i.e. always, for a trained model).
+    *
+    * Scale shape: identical to [[bruteForceKnnBatch]] — broadcast query
+    * frame, narrow (qid, id, score) triples into the bounded-heap
+    * k-selection — plus one broadcast left-anti join against the
+    * positives frame, which is (queries x positives-per-query)-bounded
+    * by contract. This is the exact baseline; when |corpus| x |queries|
+    * stops fitting, run the same anti-join + selection over
+    * [[lshKnnBatch]] / [[IVF.searchBatch]] candidates with a widened
+    * internal k. */
+  def hardNegatives(df: DataFrame, queries: DataFrame, positives: DataFrame,
+      idCol: String, vecCol: String, qidCol: String, k: Int): DataFrame = {
+    val scored = df.crossJoin(broadcast(queries))
+      .withColumn("cosine_sim", round(cosine(col(vecCol), col("qvec")), 6))
+      .select(col(qidCol), col(idCol), col("cosine_sim"))
+    val pruned = scored.join(
+      broadcast(positives.select(col(qidCol), col(idCol))),
+      Seq(qidCol, idCol), "left_anti")
+    topKPerQuery(pruned, qidCol, idCol, k, queries)
+  }
+
   /** Symmetric int8 scalar quantization of a vector column — the classic
     * vector-store memory/bandwidth recipe (FAISS SQ8): per-vector scale =
     * max|x| / 127, code_i = round(x_i · 127 / max|x|) ∈ [-127, 127].

@@ -455,6 +455,100 @@ object TextAnalysis {
       .withColumn("label", col("score") > 0.5)
   }
 
+  /** Trained hashed-logistic-regression model: `weights`/`bias` plug
+    * straight into [[hashedLinearScore]] (same md5 featurization), the
+    * per-epoch `trajectory` rows ((epoch, bucket, weight); bucket -1 =
+    * bias) and `losses` (mean log-loss BEFORE each epoch's update, so a
+    * learning run reads as a strictly decreasing sequence) are the
+    * training audit trail. */
+  final case class LogRegModel(weights: Array[Double], bias: Double,
+      trajectory: Seq[(Int, Int, Double)], losses: Seq[Double])
+
+  /** Distributed logistic-regression training for the hashed-feature
+    * quality gate — the pipeline that PRODUCES [[hashedLinearScore]]'s
+    * weights, closing the CCNet loop (train a filter on your own corpus,
+    * then gate with it). Full-batch gradient descent with a fixed epoch
+    * count: no row sampling, no rand(), so the whole trajectory is
+    * deterministic and engine-replayable.
+    *
+    * Scale shape: the MODEL is driver-small (buckets+1 doubles — the IVF
+    * centroid contract) and each epoch costs ONE corpus-sized aggregate:
+    * the per-row residual r = sigmoid(z) - y is computed map-side with
+    * the current weights as a broadcast array literal (exactly the
+    * [[hashedLinearScore]] scoring shape), then one explode + groupBy on
+    * bucket ids sums gradient contributions, with two sentinel buckets
+    * riding the same aggregate (-1: bias gradient = sum of r; -2: log-
+    * loss sum) so no second pass over the corpus exists. The featurized
+    * frame (label + bucket array, ints only — text dropped) is persisted
+    * across epochs. Weights round to 6dp after every update: epoch E+1
+    * starts from bit-identical weights in any engine, which is what lets
+    * DuckDB replay the full trajectory (x88) rather than just the final
+    * state.
+    *
+    * Loss is clamped (eps=1e-12) against log(0) for perfectly-separated
+    * rows; gradients need no clamp. */
+  def trainHashedLogReg(df: DataFrame, textCol: String, labelCol: String,
+      buckets: Int, epochs: Int, lr: Double,
+      useBigrams: Boolean = true): LogRegModel = {
+    require(buckets > 0 && epochs >= 1 && lr > 0)
+    val toks = tokens(lower(col(textCol)))
+    val nBg = greatest(size(toks) - 1, lit(0))
+    val featStrs =
+      if (useBigrams)
+        concat(toks, zip_with(
+          slice(toks, lit(1), nBg), slice(toks, lit(2), nBg),
+          (x, y) => concat(x, lit("_"), y)))
+      else toks
+    val bkts = transform(featStrs, f =>
+      pmod(conv(substring(md5(f.cast("binary")), 1, 8), 16, 10)
+        .cast("long"), lit(buckets.toLong)).cast("int"))
+    val feats = df.select(col(labelCol).cast("double").as("__y"),
+      bkts.as("__b")).persist()
+    val n = feats.count().toDouble
+    require(n > 0, "empty training frame")
+
+    val w = new Array[Double](buckets)
+    var bias = 0.0
+    def round6(v: Double): Double =
+      BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val trajectory = Seq.newBuilder[(Int, Int, Double)]
+    val losses = Seq.newBuilder[Double]
+
+    var epoch = 1
+    while (epoch <= epochs) {
+      val wLit = array(w.map(lit(_)): _*)
+      val z = aggregate(col("__b"), lit(bias),
+        (acc, j) => acc + element_at(wLit, j + 1))
+      val s = lit(1.0) / (lit(1.0) + exp(-z))
+      val r = s - col("__y")
+      val loss = -(col("__y") * log(greatest(s, lit(1e-12))) +
+        (lit(1.0) - col("__y")) * log(greatest(lit(1.0) - s, lit(1e-12))))
+      // ONE aggregate: every token bucket contributes r; sentinel -1
+      // carries the bias gradient, sentinel -2 the loss sum
+      val sums = feats
+        .select(col("__y"), r.as("__r"), loss.as("__l"), col("__b"))
+        .select(explode(transform(
+          concat(col("__b"), array(lit(-1), lit(-2))),
+          j => struct(j.as("bkt"),
+            when(j === -2, col("__l")).otherwise(col("__r")).as("v"))))
+          .as("e"))
+        .groupBy(col("e.bkt")).agg(sum(col("e.v")).as("gs"))
+        .collect().map(row => row.getInt(0) -> row.getDouble(1)).toMap
+      losses += sums.getOrElse(-2, 0.0) / n
+      var j = 0
+      while (j < buckets) {
+        w(j) = round6(w(j) - lr * sums.getOrElse(j, 0.0) / n)
+        trajectory += ((epoch, j, w(j)))
+        j += 1
+      }
+      bias = round6(bias - lr * sums.getOrElse(-1, 0.0) / n)
+      trajectory += ((epoch, -1, bias))
+      epoch += 1
+    }
+    feats.unpersist()
+    LogRegModel(w, bias, trajectory.result(), losses.result())
+  }
+
   /** Text normalization — the canonical pre-tokenization cleanup pass
     * (C4/CCNet-style): strip control characters (tabs/newlines kept for
     * structure until the whitespace collapse), strip zero-width

@@ -1421,9 +1421,141 @@ object ExtensionQueries {
         .unionByName(docs.filter(col("doc_id") === 7)
           .select(col("doc_id").as("id_a"), col("doc_id").as("id_b")))
       Dedup.pairMetrics(pred, truth, "id_a", "id_b")
+    }),
+
+    // Quality-gate TRAINING (CCNet loop, train-on-own-corpus): full-batch
+    // GD for the hashed logistic regression, 3 epochs on the planted
+    // separable fixture (even docs carry ' qpos qpos', odd ' qneg qneg').
+    // Output = full weight trajectory ((epoch, bucket, weight); -1=bias),
+    // replayed epoch-by-epoch in DuckDB thanks to 6dp weight rounding
+    // after every update.
+    "x88_logreg_train" -> ((s, dir) => {
+      import s.implicits._
+      val m = TextAnalysis.trainHashedLogReg(logRegFixture(t(s, dir,
+        "documents")), "text", "y", buckets = 64, epochs = 3, lr = 0.5,
+        useBigrams = false)
+      m.trajectory.toDF("epoch", "bucket", "weight")
+        .orderBy(col("epoch"), col("bucket"))
+    }),
+
+    // The CLOSED loop: train the gate (x88 config), then score the same
+    // corpus with hashedLinearScore using the trained weights — the
+    // train->infer->gate pipeline as one query.
+    "x90_logreg_gate" -> ((s, dir) => {
+      val fix = logRegFixture(t(s, dir, "documents"))
+      val m = TextAnalysis.trainHashedLogReg(fix, "text", "y",
+        buckets = 64, epochs = 3, lr = 0.5, useBigrams = false)
+      TextAnalysis.hashedLinearScore(fix.select(col("doc_id"), col("text")),
+          "doc_id", "text", m.weights, bias = m.bias, useBigrams = false)
+        .select(col("doc_id"), col("n_features"), col("score"), col("label"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Multimodal metadata/payload statistics — the ORACLE-CHECKED side of
+    // the x11 plumbing: payload byte counts and md5 digests (binary
+    // integrity through the media schema), declared resize dims, and the
+    // sampleFrames explode count under a synthetic per-row duration. The
+    // stubbed decode stays covered by x11 + specs; everything here is
+    // decode-independent and replays exactly in DuckDB.
+    "x89_media_stats" -> ((s, dir) => {
+      val media = Multimodal.fromDocuments(t(s, dir, "documents"))
+        .withColumn("meta", struct(col("meta.mediaType"), col("meta.width"),
+          col("meta.height"), (col("media_id") % 5 * 1000).as("durationMs")))
+      val resized = Multimodal.resize(media, 224, 224)
+      val frames = Multimodal.sampleFrames(resized, everyMs = 1000L)
+        .groupBy("media_id").agg(count(lit(1)).as("n_frames"))
+      resized.join(frames, Seq("media_id"))
+        .select(col("media_id"), col("meta.mediaType").as("media_type"),
+          length(col("payload")).as("n_bytes"),
+          md5(col("payload")).as("payload_md5"),
+          col("meta.width").as("target_w"), col("meta.height").as("target_h"),
+          col("n_frames"))
+        .orderBy(col("media_id"))
     }))
 
+  /** Planted separable classification fixture for x88/x90: each doc
+    * truncated to its first 12 tokens plus a 4x-repeated class marker.
+    * The truncation is what keeps full-batch GD well-conditioned at
+    * lr=0.5 — with raw ~100-token count features the curvature along a
+    * bucket direction scales with the squared per-bucket count and the
+    * same lr diverges (measured: loss 0.69 -> 11.8 by epoch 3 untruncated
+    * vs 0.69 -> 0.09 here); real corpora tune lr down or shorten/
+    * normalize text upstream, a planted oracle fixture just stays short. */
+  private def logRegFixture(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      concat(concat_ws(" ",
+          slice(TextAnalysis.tokens(col("text")), 1, 12)),
+        when(col("doc_id") % 2 === 0, lit(" qpos qpos qpos qpos"))
+          .otherwise(lit(" qneg qneg qneg qneg"))).as("text"),
+      (col("doc_id") % 2 === 0).cast("int").as("y"))
+
+  /** Shared DuckDB replay of x88/x90's logistic-regression training: 3
+    * unrolled full-batch GD epochs (the x73 unrolled-CTE convention),
+    * weights ROUND(…, 6) after every update exactly as
+    * [[graft.ops.TextAnalysis.trainHashedLogReg]] does — which is what
+    * pins the two engines' trajectories bit-identical despite their
+    * different float summation orders. */
+  private val logRegCtes: String =
+    """docs AS (
+      |  SELECT doc_id,
+      |    lower(array_to_string(list_slice(list_filter(string_split_regex(trim(text), '\s+'),
+      |      x -> len(x) > 0), 1, 12), ' '))
+      |    || CASE WHEN doc_id % 2 = 0 THEN ' qpos qpos qpos qpos' ELSE ' qneg qneg qneg qneg' END AS text,
+      |    CASE WHEN doc_id % 2 = 0 THEN 1.0 ELSE 0.0 END AS y
+      |  FROM documents),
+      |feats AS (
+      |  SELECT doc_id, y,
+      |    CAST(('0x' || substring(md5(f), 1, 8)) AS BIGINT) % 64 AS b
+      |  FROM (SELECT doc_id, y,
+      |          unnest(list_filter(string_split_regex(trim(text), '\s+'),
+      |            x -> len(x) > 0)) AS f
+      |        FROM docs)),
+      |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM docs),
+      |allb AS (SELECT unnest(range(0, 64)) AS b),
+      |g1 AS (SELECT b, sum(0.5 - y) AS gs FROM feats GROUP BY b),
+      |w1 AS (SELECT allb.b, ROUND(0.0 - 0.5 * coalesce(g1.gs, 0) / nn.n, 6) AS w
+      |       FROM allb LEFT JOIN g1 USING (b), nn),
+      |b1 AS (SELECT ROUND(0.0 - 0.5 * (SELECT sum(0.5 - y) FROM docs) / nn.n, 6) AS w FROM nn),
+      |z2 AS (SELECT f.doc_id, f.y, (SELECT w FROM b1) + sum(w1.w) AS z
+      |       FROM feats f JOIN w1 ON f.b = w1.b GROUP BY f.doc_id, f.y),
+      |r2 AS (SELECT doc_id, y, 1.0 / (1.0 + exp(-z)) - y AS r FROM z2),
+      |g2 AS (SELECT f.b, sum(r2.r) AS gs FROM feats f JOIN r2 ON f.doc_id = r2.doc_id GROUP BY f.b),
+      |w2 AS (SELECT w1.b, ROUND(w1.w - 0.5 * coalesce(g2.gs, 0) / nn.n, 6) AS w
+      |       FROM w1 LEFT JOIN g2 ON w1.b = g2.b, nn),
+      |b2 AS (SELECT ROUND((SELECT w FROM b1) - 0.5 * (SELECT sum(r) FROM r2) / nn.n, 6) AS w FROM nn),
+      |z3 AS (SELECT f.doc_id, f.y, (SELECT w FROM b2) + sum(w2.w) AS z
+      |       FROM feats f JOIN w2 ON f.b = w2.b GROUP BY f.doc_id, f.y),
+      |r3 AS (SELECT doc_id, y, 1.0 / (1.0 + exp(-z)) - y AS r FROM z3),
+      |g3 AS (SELECT f.b, sum(r3.r) AS gs FROM feats f JOIN r3 ON f.doc_id = r3.doc_id GROUP BY f.b),
+      |w3 AS (SELECT w2.b, ROUND(w2.w - 0.5 * coalesce(g3.gs, 0) / nn.n, 6) AS w
+      |       FROM w2 LEFT JOIN g3 ON w2.b = g3.b, nn),
+      |b3 AS (SELECT ROUND((SELECT w FROM b2) - 0.5 * (SELECT sum(r) FROM r3) / nn.n, 6) AS w FROM nn)""".stripMargin
+
   private val oracleBase: Map[String, String] = Map(
+
+    // NOTE: the shared CTEs are concatenated AFTER their own stripMargin —
+    // interpolating them under an outer stripMargin would re-strip any CTE
+    // line whose content begins with whitespace + '|' (the '||' concats)
+    "x88_logreg_train" ->
+      ("WITH " + logRegCtes + "\n" +
+        """SELECT epoch, bucket, weight FROM (
+          |  SELECT 1 AS epoch, CAST(b AS INT) AS bucket, w AS weight FROM w1
+          |  UNION ALL SELECT 1, -1, w FROM b1
+          |  UNION ALL SELECT 2, CAST(b AS INT), w FROM w2
+          |  UNION ALL SELECT 2, -1, w FROM b2
+          |  UNION ALL SELECT 3, CAST(b AS INT), w FROM w3
+          |  UNION ALL SELECT 3, -1, w FROM b3)
+          |ORDER BY epoch, bucket""".stripMargin),
+
+    "x90_logreg_gate" ->
+      ("WITH " + logRegCtes + ",\n" +
+        """zf AS (SELECT f.doc_id, (SELECT w FROM b3) + sum(w3.w) AS z,
+          |         count(*) AS nf
+          |       FROM feats f JOIN w3 ON f.b = w3.b GROUP BY f.doc_id)
+          |SELECT doc_id, CAST(nf AS INT) AS n_features,
+          |  ROUND(1.0 / (1.0 + exp(-z)), 6) AS score,
+          |  (ROUND(1.0 / (1.0 + exp(-z)), 6) > 0.5) AS label
+          |FROM zf ORDER BY doc_id""".stripMargin),
 
     "x01_dedup_exact" ->
       """WITH corpus AS (
@@ -2644,6 +2776,33 @@ object ExtensionQueries {
         |  FROM messy)
         |SELECT doc_id, repaired, (repaired <> text) AS changed
         |FROM r ORDER BY doc_id""".stripMargin,
+
+    // The stub decode is a byte histogram over the UTF-8 payload; the
+    // corpus is pure ASCII (verified: octet_length == length for every
+    // doc at every sf), so bytes == codepoints and ord() replays the
+    // histogram. The REAL casts reproduce the stub's float32 division
+    // bit-for-bit before the 6dp round — this oracle checks the actual
+    // mapPartitions feature path, not a parallel formulation.
+    "x11_multimodal" ->
+      """WITH b AS (
+        |  SELECT doc_id, octet_length(encode(text)) AS nb,
+        |    list_transform(range(1, length(text) + 1),
+        |      i -> ord(substring(text, i, 1)) % 16) AS m
+        |  FROM documents)
+        |SELECT doc_id AS media_id, CAST(nb AS INT) AS n_bytes,
+        |  ROUND(CAST(CAST(len(list_filter(m, x -> x = 0)) AS REAL)
+        |    / CAST(greatest(nb, 1) AS REAL) AS DOUBLE), 6) AS f0,
+        |  ROUND(CAST(CAST(len(list_filter(m, x -> x = 1)) AS REAL)
+        |    / CAST(greatest(nb, 1) AS REAL) AS DOUBLE), 6) AS f1
+        |FROM b ORDER BY media_id""".stripMargin,
+
+    "x89_media_stats" ->
+      """SELECT doc_id AS media_id, 'text/plain' AS media_type,
+        |  CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+        |  md5(text) AS payload_md5,
+        |  224 AS target_w, 224 AS target_h,
+        |  CAST(doc_id % 5 + 1 AS BIGINT) AS n_frames
+        |FROM documents ORDER BY media_id""".stripMargin,
 
     // f1 uses the UNROUNDED precision/recall (rounding lands only on the
     // output columns), mirroring Dedup.pairMetrics exactly

@@ -157,6 +157,28 @@ object AnnScaleSmoke {
           sdCents, "cid", "cv", 0.95)
         .agg(sum(when(col("kept"), 0).otherwise(1))).head().getLong(0))
     println(s"[ann-scale] semdedup removed=$sdRemoved of 100000")
+    // r9: the giant-cluster hazard, measured — 10k vectors forced into
+    // ONE cluster (a single centroid: the degenerate k that every
+    // under-clustered corpus approaches) = 5e7 pairwise cosines; the
+    // number this prints is what the maxClusterSize guard protects
+    // against, and the guard itself is exercised first (count-by-cluster
+    // aggregate only, fails fast)
+    val giant = sdCorpus.filter(col("vec_id") < 10000)
+    val farCents = spark.range(0, 1).select(col("id").as("cid"),
+      transform(sequence(lit(1), lit(64)), i => lit(1.0)).as("cv"))
+    val guardT0 = System.nanoTime()
+    try {
+      graft.ops.Dedup.semanticDedup(giant, "vec_id", "v", farCents,
+        "cid", "cv", 0.95, maxClusterSize = 5000L)
+      println("[ann-scale] ERROR: giant-cluster guard did not trip")
+    } catch { case e: IllegalArgumentException =>
+      println(f"[ann-scale] guard tripped in ${(System.nanoTime() - guardT0) / 1e9}%.2fs: ${e.getMessage.take(60)}...")
+    }
+    val giantRemoved = time("SemDeDup giant cluster (10k in ONE cluster)")(
+      graft.ops.Dedup.semanticDedup(giant, "vec_id", "v", farCents,
+          "cid", "cv", 0.95)
+        .agg(sum(when(col("kept"), 0).otherwise(1))).head().getLong(0))
+    println(s"[ann-scale] giant-cluster removed=$giantRemoved of 10000")
     spark.stop()
   }
 }

@@ -162,6 +162,21 @@ object TextScaleSmoke {
     time("Misra-Gries heavy hitters (cap-64 state)")(
       TextAnalysis.frequentTokens(corpus, "text", capacity = 64, k = 20)
         .count())
+    // r9: quality-gate TRAINING (x88) — 3 full-batch GD epochs over the
+    // corpus with planted class markers; each epoch is ONE corpus-sized
+    // explode+aggregate with the 1024-bucket model riding as a literal.
+    // Word-soup docs are ~40 tokens so per-bucket counts stay small and
+    // lr=0.5 is well-conditioned (the x88 fixture scaladoc's argument).
+    time("logreg training (3 epochs, 1024 buckets)") {
+      val labeled = corpus.select(col("doc_id"),
+        concat(col("text"), when(col("doc_id") % 2 === 0,
+          lit(" qpos qpos qpos qpos")).otherwise(lit(" qneg qneg qneg qneg")))
+          .as("text"),
+        (col("doc_id") % 2 === 0).cast("int").as("y"))
+      val m = TextAnalysis.trainHashedLogReg(labeled, "text", "y",
+        buckets = 1024, epochs = 3, lr = 0.5, useBigrams = false)
+      println(f"[text-scale]   losses=${m.losses.map(l => f"$l%.4f").mkString(" -> ")}")
+    }
     spark.stop()
   }
 }

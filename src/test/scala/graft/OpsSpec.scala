@@ -442,6 +442,31 @@ class DedupSpec extends SparkSpec {
     assert(out(5L) == ((0L, false, true)), out)  // unseen by design
   }
 
+  test("semanticDedup: maxClusterSize guard trips on a planted giant cluster") {
+    // 1000 vectors, 80% collapse into cluster 0 — the operator's known
+    // quadratic hazard; the guard must refuse loudly with the mitigation
+    // named, and the default (0 = disabled) must keep working
+    val emb = spark.range(0, 1000)
+      .select($"id".as("vec_id"),
+        when($"id" < 800, array(lit(1.0), lit(0.0)))
+          .otherwise(array(lit(0.0), lit(1.0))).as("v"))
+    val cents = Seq((0L, Seq(1.0, 0.0)), (1L, Seq(0.0, 1.0)))
+      .toDF("cid", "cv")
+    val err = intercept[IllegalArgumentException] {
+      Dedup.semanticDedup(emb, "vec_id", "v", cents, "cid", "cv", 0.99,
+        maxClusterSize = 500L)
+    }
+    assert(err.getMessage.contains("more") &&
+      err.getMessage.contains("centroids"), err.getMessage)
+    assert(err.getMessage.contains("800"), err.getMessage)
+    // a cap above the worst cluster passes through; identical vectors in
+    // the giant cluster collapse to one survivor
+    val out = Dedup.semanticDedup(emb, "vec_id", "v", cents, "cid", "cv",
+      0.99, maxClusterSize = 1000L)
+    assert(out.count() == 1000L)
+    assert(out.filter($"cluster_id" === 0 && $"kept").count() == 1L)
+  }
+
   test("rareNgramPairs: df cap drops boilerplate grams, minShared prunes weak links") {
     // d1/d2 are exact copies (share every trigram); d3 shares exactly ONE
     // trigram with them (below minShared=2); ten boilerplate docs share a
@@ -1709,6 +1734,40 @@ class TextAnalysisSpec extends SparkSpec {
     val b = graft.ops.Graph.pageRank(edges, "src", "dst", iters = 8,
       checkpointEvery = 100).as[(Long, Double)].collect().toMap
     assert(a == b)
+  }
+
+  test("trainHashedLogReg: loss strictly decreases, gate separates the planted classes") {
+    import spark.implicits._
+    // the x88 fixture shape: 12-token truncation keeps full-batch GD
+    // well-conditioned at lr=0.5 (see logRegFixture's scaladoc)
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"doc_id",
+        concat(concat_ws(" ", slice(TextAnalysis.tokens($"text"), 1, 12)),
+          when($"doc_id" % 2 === 0, lit(" qpos qpos qpos qpos"))
+            .otherwise(lit(" qneg qneg qneg qneg"))).as("text"),
+        ($"doc_id" % 2 === 0).cast("int").as("y"))
+    val m = TextAnalysis.trainHashedLogReg(docs, "text", "y",
+      buckets = 64, epochs = 5, lr = 0.5, useBigrams = false)
+    // full-batch GD on a separable fixture: every epoch must improve
+    assert(m.losses.size == 5)
+    m.losses.sliding(2).foreach { case Seq(a, b) => assert(b < a, m.losses) }
+    // trajectory covers every (epoch, bucket) incl the -1 bias rows
+    assert(m.trajectory.size == 5 * 65)
+    assert(m.weights.length == 64)
+    // the trained gate separates the classes it was trained on
+    val scored = TextAnalysis.hashedLinearScore(docs, "doc_id", "text",
+      m.weights, bias = m.bias, useBigrams = false)
+    val acc = scored.select(avg((col("label") === (col("y") === 1))
+      .cast("double"))).as[Double].head()
+    assert(acc > 0.95, s"accuracy $acc")
+    // bigram featurization trains and scores through the same contract
+    val mb = TextAnalysis.trainHashedLogReg(docs, "text", "y",
+      buckets = 128, epochs = 3, lr = 0.3)
+    val accB = TextAnalysis.hashedLinearScore(docs, "doc_id", "text",
+        mb.weights, bias = mb.bias)
+      .select(avg((col("label") === (col("y") === 1)).cast("double")))
+      .as[Double].head()
+    assert(accB > 0.9, s"bigram accuracy $accB")
   }
 
   test("bpeEncode: learn->encode round trip preserves content, merges only shrink") {
