@@ -802,6 +802,73 @@ object Dedup {
       .filter(col("n_shared") >= minShared)
   }
 
+  /** Cross-SOURCE corpus overlap — exact n-gram-set Jaccard between every
+    * pair of sources, the contamination/provenance audit run before
+    * mixing corpora (how much of source B is already in source A decides
+    * both mixture weights and whether a dedup pass must run across the
+    * seam). Output: one row per unordered source pair — (source_a,
+    * source_b, n_a, n_b, n_inter, jaccard 6dp), zero-intersection pairs
+    * included.
+    *
+    * Scale shape: grams are md5-digested to the [[rareNgramPairs]]
+    * 120-bit composite at the map side (document text never rides an
+    * exchange; the oracle replays raw grams, identical sets at any scale
+    * inside the documented 2^-120 envelope), then ONE (source, gram)
+    * distinct; per-source sizes are a source-keyed aggregate of that
+    * frame; the intersection self-join is gram-keyed with per-gram
+    * fanout bounded by the SOURCE count (tens, not documents), and the
+    * tiny size frames broadcast into the final pair join. For
+    * estimate-only monitoring at a fraction of the cost, the mergeable
+    * sketch variant is [[sourceOverlapMinhash]]. */
+  def sourceOverlap(df: DataFrame, srcCol: String, textCol: String,
+      n: Int = 3): DataFrame = {
+    val grams = df.select(col(srcCol).as("src"),
+        explode(array_distinct(transform(
+          transform(shingles(TextAnalysis.tokens(col(textCol)), n),
+            g => md5(g.cast("binary"))),
+          h => struct(
+            conv(substring(h, 1, 15), 16, 10).cast("long").as("h1"),
+            conv(substring(h, 16, 15), 16, 10).cast("long").as("h2")))))
+          .as("gk"))
+      .distinct()
+    val sizes = grams.groupBy(col("src")).agg(count(lit(1)).as("n"))
+    val inter = grams.as("a").join(grams.as("b"),
+        col("a.gk") === col("b.gk") && col("a.src") < col("b.src"))
+      .groupBy(col("a.src").as("source_a"), col("b.src").as("source_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    val pairs = sizes.select(col("src").as("source_a"), col("n").as("n_a"))
+      .join(sizes.select(col("src").as("source_b"), col("n").as("n_b")),
+        col("source_a") < col("source_b"))
+    broadcast(pairs).join(inter, Seq("source_a", "source_b"), "left")
+      .withColumn("n_inter", coalesce(col("n_inter"), lit(0L)))
+      .withColumn("jaccard", round(col("n_inter").cast("double") /
+        (col("n_a") + col("n_b") - col("n_inter")), 6))
+  }
+
+  /** MinHash-sketch estimate of [[sourceOverlap]] — per-source signatures
+    * built in ONE mergeable aggregate (min per hash function), pairwise
+    * Jaccard estimated as the fraction of agreeing signature slots
+    * (Broder '97: P[min_a == min_b] = J). The per-source state is k
+    * longs regardless of corpus size — the sketch merges across
+    * partitions, shards, and days, so a monitoring pipeline keeps
+    * signatures incrementally where the exact operator re-scans; k=128
+    * gives stderr ~ sqrt(J(1-J)/k) <= 0.045. Accuracy vs the exact
+    * operator is pinned by spec on a planted-overlap fixture. */
+  def sourceOverlapMinhash(df: DataFrame, srcCol: String, textCol: String,
+      n: Int = 3, k: Int = 128): DataFrame = {
+    val sig = df.select(col(srcCol).as("src"),
+        explode(array_distinct(shingles(TextAnalysis.tokens(col(textCol)), n)))
+          .as("g"))
+      .select(col("src"), explode(transform(sequence(lit(0), lit(k - 1)),
+        j => struct(j.as("j"), xxhash64(j, col("g")).as("h")))).as("jh"))
+      .groupBy(col("src"), col("jh.j")).agg(min(col("jh.h")).as("mh"))
+    sig.as("a").join(sig.as("b"),
+        col("a.j") === col("b.j") && col("a.src") < col("b.src"))
+      .groupBy(col("a.src").as("source_a"), col("b.src").as("source_b"))
+      .agg(round(avg((col("a.mh") === col("b.mh")).cast("double")), 6)
+        .as("jaccard_est"))
+  }
+
   /** Exact n-gram Jaccard similarity for explicit candidate pairs
     * (verification primitive used after any LSH stage). The docs side is
     * semi-join-pruned to ids that actually appear in a pair BEFORE

@@ -549,6 +549,87 @@ object TextAnalysis {
     LogRegModel(w, bias, trajectory.result(), losses.result())
   }
 
+  /** Fill-in-the-middle transformation (Bavarian et al. 2022) — the
+    * pretraining-data rewrite behind every infilling-capable code model:
+    * a document is split at two points into (prefix, middle, suffix) and
+    * re-serialized in PSM order `<fim_prefix> P <fim_suffix> S
+    * <fim_middle> M`, so an autoregressive model learns to generate the
+    * middle conditioned on both sides. A `fimRate` fraction of documents
+    * is transformed; the rest pass through (the paper's 50/50 mix).
+    *
+    * Deterministic by construction: the apply decision and both cut
+    * points derive from md5(id) fractions (the
+    * [[graft.ops.Sampling.contentHashSplit]] portability contract — no
+    * rand(), so reruns, retries, and the DuckDB oracle all produce the
+    * SAME corpus). Cuts land on token boundaries; empty segments are
+    * legal (the paper keeps them) and serialize as empty strings between
+    * sentinels. Map-only: tokenize, three slices, one concat — no
+    * shuffle, whole-stage-codegen'd.
+    *
+    * Output: every input row plus `fim_applied` and `text_fim`. */
+  def fimTransform(df: DataFrame, idCol: String, textCol: String,
+      fimRate: Double = 0.5,
+      preTok: String = "<fim_prefix>", sufTok: String = "<fim_suffix>",
+      midTok: String = "<fim_middle>"): DataFrame = {
+    require(fimRate >= 0 && fimRate <= 1)
+    // md5-derived uniform in [0,1): first 8 hex chars / 2^32
+    def u(salt: String): Column =
+      conv(substring(md5(concat(col(idCol).cast("string"), lit(salt))
+        .cast("binary")), 1, 8), 16, 10).cast("double") / 4294967296.0d
+    val toks = tokens(col(textCol))
+    val len = size(toks)
+    val c1 = least(u("_fim1"), u("_fim2"))
+    val c2 = greatest(u("_fim1"), u("_fim2"))
+    val i1 = floor(c1 * len).cast("int")
+    val i2 = floor(c2 * len).cast("int")
+    val joinSeg = (seg: Column) => array_join(seg, " ")
+    val fimText = concat(
+      lit(preTok), lit(" "), joinSeg(slice(toks, lit(1), i1)),
+      lit(" "), lit(sufTok), lit(" "),
+      joinSeg(slice(toks, i2 + 1, greatest(len - i2, lit(0)))),
+      lit(" "), lit(midTok), lit(" "),
+      joinSeg(slice(toks, i1 + 1, greatest(i2 - i1, lit(0)))))
+    val applied = (u("_fim0") < fimRate) && (len >= 1)
+    df.withColumn("fim_applied", applied)
+      .withColumn("text_fim",
+        when(applied, fimText).otherwise(col(textCol)))
+  }
+
+  /** Per-source n-gram diversity — the distinct-n readout (Zhu et al.'s
+    * Self-BLEU family): for each source and each n, the total n-gram
+    * count, the distinct count, and their ratio. A collapsing ratio at
+    * n=2/3 is the canonical symptom of template/boilerplate floods or
+    * model-generated spam inside a crawl slice — the signal that routes
+    * a source to the dedup/filter passes before it poisons a mixture.
+    *
+    * Scale shape: one tokenize + explode over (source, n, gram) with the
+    * gram windows built map-side; the exact distinct count is Spark's
+    * two-phase distinct aggregate behind ONE (source, n, gram)-keyed
+    * exchange of narrow rows. Sources x |ns| output rows. At open-crawl
+    * vocabulary scale swap the exact distinct for approx_count_distinct
+    * the way x17 argues; exact is kept here because the oracle replays
+    * it bit-for-bit. Docs shorter than n contribute nothing at that n
+    * (no whole-text fallback — a diversity metric must not fabricate
+    * grams). */
+  def ngramDiversity(df: DataFrame, srcCol: String, textCol: String,
+      ns: Seq[Int] = Seq(1, 2, 3)): DataFrame = {
+    require(ns.nonEmpty && ns.forall(_ >= 1))
+    val toks = tokens(lower(col(textCol)))
+    val len = size(toks)
+    val grams = flatten(array(ns.map { n =>
+      when(len >= n, transform(sequence(lit(0), len - n),
+        i => struct(lit(n).as("n"),
+          array_join(slice(toks, i + 1, lit(n)), " ").as("g"))))
+        .otherwise(array().cast("array<struct<n:int,g:string>>"))
+    }: _*))
+    df.select(col(srcCol).as("source"), explode(grams).as("ng"))
+      .groupBy(col("source"), col("ng.n"))
+      .agg(count(lit(1)).as("n_grams"),
+        count_distinct(col("ng.g")).as("n_distinct"))
+      .withColumn("distinct_ratio",
+        round(col("n_distinct").cast("double") / col("n_grams"), 6))
+  }
+
   /** Text normalization — the canonical pre-tokenization cleanup pass
     * (C4/CCNet-style): strip control characters (tabs/newlines kept for
     * structure until the whitespace collapse), strip zero-width

@@ -1471,6 +1471,54 @@ object ExtensionQueries {
           col("meta.width").as("target_w"), col("meta.height").as("target_h"),
           col("n_frames"))
         .orderBy(col("media_id"))
+    }),
+
+    // Hard-negative mining (DPR/Contriever): top-10 nearest excluding the
+    // labeled positives (each query's self-vector and its id+7 neighbor) —
+    // exclusion BEFORE k-selection, so every query still gets exactly 10
+    "x91_hard_negatives" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+      val pos = q.select(col("query_id"), col("query_id").as("vec_id"))
+        .unionByName(q.select(col("query_id"),
+          (col("query_id") + 7).as("vec_id")))
+      Similarity.hardNegatives(emb, q, pos, "vec_id", "embedding",
+          "query_id", k = 10)
+        .orderBy(col("query_id"), col("cosine_sim").desc, col("vec_id"))
+    }),
+
+    // Cross-source overlap audit: exact 3-gram-set Jaccard between every
+    // source pair, with a planted 'srcmirror' source re-publishing every
+    // 5th document so real overlap exists against all 20 originals
+    "x92_source_overlap" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val corpus = docs.select(col("source"), col("text"))
+        .unionByName(docs.filter(col("doc_id") % 5 === 0)
+          .select(lit("srcmirror").as("source"), col("text")))
+      Dedup.sourceOverlap(corpus, "source", "text", n = 3)
+        .orderBy(col("source_a"), col("source_b"))
+    }),
+
+    // Fill-in-the-middle rewrite (Bavarian et al.): PSM serialization on
+    // an md5-deterministic half of the corpus, cuts on token boundaries
+    "x93_fim_transform" -> ((s, dir) =>
+      TextAnalysis.fimTransform(t(s, dir, "documents"), "doc_id", "text",
+          fimRate = 0.5)
+        .select(col("doc_id"), col("fim_applied"), col("text_fim"))
+        .orderBy(col("doc_id"))),
+
+    // Per-source n-gram diversity (distinct-n): a planted boilerplate
+    // source (one template repeated) sits alongside the real sources, so
+    // the collapsing-ratio signal the metric exists for is visible
+    "x94_ngram_diversity" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val corpus = docs.select(col("source"), col("text"))
+        .unionByName(docs.filter(col("doc_id") < 40)
+          .select(lit("srcboiler").as("source"),
+            lit("click here to subscribe now and save big today").as("text")))
+      TextAnalysis.ngramDiversity(corpus, "source", "text")
+        .orderBy(col("source"), col("n"))
     }))
 
   /** Planted separable classification fixture for x88/x90: each doc
@@ -2776,6 +2824,100 @@ object ExtensionQueries {
         |  FROM messy)
         |SELECT doc_id, repaired, (repaired <> text) AS changed
         |FROM r ORDER BY doc_id""".stripMargin,
+
+    "x94_ngram_diversity" ->
+      """WITH corpus AS (
+        |  SELECT source, text FROM documents
+        |  UNION ALL
+        |  SELECT 'srcboiler', 'click here to subscribe now and save big today'
+        |  FROM documents WHERE doc_id < 40),
+        |tok AS (
+        |  SELECT source, list_filter(string_split_regex(trim(lower(text)), '\s+'),
+        |    x -> len(x) > 0) AS toks
+        |  FROM corpus),
+        |ng AS (
+        |  SELECT source, n,
+        |    array_to_string(list_slice(toks, i + 1, i + n), ' ') AS g
+        |  FROM tok, unnest([1, 2, 3]) AS nn(n),
+        |    unnest(range(0, greatest(len(toks) - n + 1, 0))) AS ii(i))
+        |SELECT source, CAST(n AS INT) AS n,
+        |  count(*) AS n_grams,
+        |  count(DISTINCT g) AS n_distinct,
+        |  ROUND(CAST(count(DISTINCT g) AS DOUBLE) / count(*), 6) AS distinct_ratio
+        |FROM ng GROUP BY 1, 2 ORDER BY source, n""".stripMargin,
+
+    "x91_hard_negatives" ->
+      """WITH q AS (
+        |  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qvec
+        |  FROM embeddings WHERE vec_id < 5),
+        |pos AS (
+        |  SELECT query_id, query_id AS vec_id FROM q
+        |  UNION ALL SELECT query_id, query_id + 7 FROM q),
+        |scored AS (
+        |  SELECT q.query_id, e.vec_id,
+        |    ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qvec), 6) AS cosine_sim
+        |  FROM embeddings e CROSS JOIN q),
+        |pruned AS (
+        |  SELECT s.* FROM scored s
+        |  WHERE NOT EXISTS (SELECT 1 FROM pos p
+        |    WHERE p.query_id = s.query_id AND p.vec_id = s.vec_id)),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY query_id ORDER BY cosine_sim DESC, vec_id) AS rn
+        |  FROM pruned)
+        |SELECT query_id, vec_id, cosine_sim FROM ranked WHERE rn <= 10
+        |ORDER BY query_id, cosine_sim DESC, vec_id""".stripMargin,
+
+    "x92_source_overlap" ->
+      """WITH corpus AS (
+        |  SELECT source, text FROM documents
+        |  UNION ALL
+        |  SELECT 'srcmirror', text FROM documents WHERE doc_id % 5 = 0),
+        |sh AS (
+        |  SELECT DISTINCT source AS src, g
+        |  FROM (SELECT source,
+        |      unnest(CASE WHEN len(toks) <= 3 THEN [array_to_string(toks, ' ')]
+        |        ELSE list_transform(range(0, len(toks) - 2),
+        |          i -> array_to_string(list_slice(toks, i + 1, i + 3), ' ')) END) AS g
+        |    FROM (SELECT source, list_filter(string_split_regex(trim(text), '\s+'),
+        |        x -> len(x) > 0) AS toks FROM corpus))),
+        |sizes AS (SELECT src, count(*) AS n FROM sh GROUP BY 1),
+        |inter AS (
+        |  SELECT a.src AS source_a, b.src AS source_b, count(*) AS n_inter
+        |  FROM sh a JOIN sh b ON a.g = b.g AND a.src < b.src
+        |  GROUP BY 1, 2)
+        |SELECT sa.src AS source_a, sb.src AS source_b,
+        |  sa.n AS n_a, sb.n AS n_b,
+        |  coalesce(i.n_inter, 0) AS n_inter,
+        |  ROUND(CAST(coalesce(i.n_inter, 0) AS DOUBLE) /
+        |        (sa.n + sb.n - coalesce(i.n_inter, 0)), 6) AS jaccard
+        |FROM sizes sa JOIN sizes sb ON sa.src < sb.src
+        |LEFT JOIN inter i ON i.source_a = sa.src AND i.source_b = sb.src
+        |ORDER BY source_a, source_b""".stripMargin,
+
+    "x93_fim_transform" ->
+      """WITH t AS (
+        |  SELECT doc_id, text,
+        |    list_filter(string_split_regex(trim(text), '\s+'),
+        |      x -> len(x) > 0) AS toks
+        |  FROM documents),
+        |u AS (
+        |  SELECT doc_id, text, toks, len(toks) AS n,
+        |    CAST(('0x' || substring(md5(doc_id || '_fim0'), 1, 8)) AS BIGINT) / 4294967296.0 AS u0,
+        |    CAST(('0x' || substring(md5(doc_id || '_fim1'), 1, 8)) AS BIGINT) / 4294967296.0 AS u1,
+        |    CAST(('0x' || substring(md5(doc_id || '_fim2'), 1, 8)) AS BIGINT) / 4294967296.0 AS u2
+        |  FROM t),
+        |i AS (
+        |  SELECT *, CAST(floor(least(u1, u2) * n) AS INT) AS i1,
+        |    CAST(floor(greatest(u1, u2) * n) AS INT) AS i2
+        |  FROM u)
+        |SELECT doc_id, (u0 < 0.5 AND n >= 1) AS fim_applied,
+        |  CASE WHEN u0 < 0.5 AND n >= 1 THEN
+        |    '<fim_prefix> ' || coalesce(array_to_string(list_slice(toks, 1, i1), ' '), '')
+        |    || ' <fim_suffix> ' || coalesce(array_to_string(list_slice(toks, i2 + 1, n), ' '), '')
+        |    || ' <fim_middle> ' || coalesce(array_to_string(list_slice(toks, i1 + 1, i2), ' '), '')
+        |  ELSE text END AS text_fim
+        |FROM i ORDER BY doc_id""".stripMargin,
 
     // The stub decode is a byte histogram over the UTF-8 payload; the
     // corpus is pure ASCII (verified: octet_length == length for every

@@ -162,6 +162,10 @@ object TextScaleSmoke {
     time("Misra-Gries heavy hitters (cap-64 state)")(
       TextAnalysis.frequentTokens(corpus, "text", capacity = 64, k = 20)
         .count())
+    // r9: distinct-n over 1M docs — worst case for the exact distinct
+    // (random text barely repeats its bigrams/trigrams)
+    time("n-gram diversity (exact distinct, n=1..3)")(
+      TextAnalysis.ngramDiversity(corpus, "lang", "text").count())
     // r9: quality-gate TRAINING (x88) — 3 full-batch GD epochs over the
     // corpus with planted class markers; each epoch is ONE corpus-sized
     // explode+aggregate with the 1024-bucket model riding as a literal.

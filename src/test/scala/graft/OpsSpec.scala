@@ -467,6 +467,31 @@ class DedupSpec extends SparkSpec {
     assert(out.filter($"cluster_id" === 0 && $"kept").count() == 1L)
   }
 
+  test("sourceOverlap: planted shared grams count exactly; minhash estimate tracks truth") {
+    // A and B share exactly half their grams; C is disjoint. Five-token
+    // docs of distinct words => 3 trigram shingles per doc
+    val docs = Seq(
+      ("A", "a1 a2 a3 a4 a5"), ("A", "s1 s2 s3 s4 s5"),
+      ("B", "b1 b2 b3 b4 b5"), ("B", "s1 s2 s3 s4 s5"),
+      ("C", "c1 c2 c3 c4 c5")
+    ).toDF("source", "text")
+    val out = Dedup.sourceOverlap(docs, "source", "text", n = 3)
+      .as[(String, String, Long, Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5, r._6))).toMap
+    // each source: 2 docs x 3 shingles = 6 grams (A/B), C: 3
+    assert(out(("A", "B")) == ((6L, 6L, 3L, 0.333333)), out)
+    assert(out(("A", "C")) == ((6L, 3L, 0L, 0.0)), out)
+    assert(out(("B", "C")) == ((6L, 3L, 0L, 0.0)), out)
+    // the sketch tracks exact truth within MinHash stderr (k=128 ->
+    // sigma ~0.04; 4 sigma bound keeps this deterministic-by-seed)
+    val est = Dedup.sourceOverlapMinhash(docs, "source", "text", n = 3,
+        k = 128)
+      .as[(String, String, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(math.abs(est(("A", "B")) - 0.333333) < 0.17, est)
+    assert(est(("A", "C")) < 0.17, est)
+  }
+
   test("rareNgramPairs: df cap drops boilerplate grams, minShared prunes weak links") {
     // d1/d2 are exact copies (share every trigram); d3 shares exactly ONE
     // trigram with them (below minShared=2); ten boilerplate docs share a
@@ -885,6 +910,34 @@ class SimilaritySpec extends SparkSpec {
         "vec_id", "embedding", "query_id", k = 3, nprobe = 8)
       .filter($"vec_id" === 10).count()
     assert(hits == 1L, "re-appended id must be live after compaction")
+  }
+
+  test("hardNegatives: positives never surface, k is filled, ranks match filter-then-rank") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = emb.filter($"vec_id" < 3)
+      .select($"vec_id".as("query_id"), $"embedding".as("qvec"))
+    val pos = q.select($"query_id", $"query_id".as("vec_id"))
+      .unionByName(q.select($"query_id", ($"query_id" + 7).as("vec_id")))
+    val out = graft.ops.Similarity.hardNegatives(emb, q, pos, "vec_id",
+      "embedding", "query_id", k = 10)
+    val rows = out.select("query_id", "vec_id", "cosine_sim")
+      .as[(Long, Long, Double)].collect()
+    assert(rows.length == 30)
+    // no positive leaks through (the self-vector is every query's top-1,
+    // so this is the hard case, not a vacuous one)
+    rows.foreach { case (qid, vid, _) =>
+      assert(vid != qid && vid != qid + 7, (qid, vid)) }
+    // per-query reference: rank AFTER removing that query's positives
+    (0L until 3L).foreach { qid =>
+      val ref = graft.ops.Similarity.bruteForceKnn(
+        emb.filter($"vec_id" =!= qid && $"vec_id" =!= qid + 7),
+        emb.filter($"vec_id" === qid).select($"embedding".as("qvec")),
+        "vec_id", "embedding", 10)
+        .as[(Long, Double)].collect().toSeq
+      val got = rows.filter(_._1 == qid).sortBy(r => (-r._3, r._2))
+        .map(r => (r._2, r._3)).toSeq
+      assert(got == ref, s"query $qid")
+    }
   }
 
   test("batched kNN equals N single-query calls (brute force, LSH, IVF)") {
@@ -1734,6 +1787,51 @@ class TextAnalysisSpec extends SparkSpec {
     val b = graft.ops.Graph.pageRank(edges, "src", "dst", iters = 8,
       checkpointEvery = 100).as[(Long, Double)].collect().toMap
     assert(a == b)
+  }
+
+  test("ngramDiversity: hand-counted ratios; short docs contribute nothing at large n") {
+    val docs = Seq(
+      ("X", "a b a b"),   // uni 4/2, bi [a b, b a, a b] 3/2, tri 2/2
+      ("Y", "z")          // uni 1/1; NO bi/tri rows (no fabricated grams)
+    ).toDF("source", "text")
+    val out = TextAnalysis.ngramDiversity(docs, "source", "text")
+      .as[(String, Int, Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5))).toMap
+    assert(out(("X", 1)) == ((4L, 2L, 0.5)), out)
+    assert(out(("X", 2)) == ((3L, 2L, 0.666667)), out)
+    assert(out(("X", 3)) == ((2L, 2L, 1.0)), out)
+    assert(out(("Y", 1)) == ((1L, 1L, 1.0)), out)
+    assert(!out.contains(("Y", 2)) && !out.contains(("Y", 3)), out)
+  }
+
+  test("fimTransform: PSM parses back to the original token stream; pass-through rows untouched") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val out = TextAnalysis.fimTransform(docs, "doc_id", "text", fimRate = 0.5)
+      .select($"doc_id", $"text", $"fim_applied", $"text_fim")
+      .as[(Long, String, Boolean, String)].collect()
+    assert(out.exists(_._3) && out.exists(!_._3), "both branches populated")
+    out.foreach { case (id, text, applied, fim) =>
+      if (!applied) assert(fim == text, id)
+      else {
+        // parse <fim_prefix> P <fim_suffix> S <fim_middle> M -> P+M+S
+        // must be EXACTLY the original token stream (lossless rewrite)
+        val sufAt = fim.indexOf(" <fim_suffix> ")
+        val midAt = fim.indexOf(" <fim_middle> ")
+        assert(fim.startsWith("<fim_prefix> ") && sufAt >= 0 &&
+          midAt > sufAt, id)
+        val p = fim.substring("<fim_prefix> ".length, sufAt)
+        val sEnd = fim.substring(sufAt + " <fim_suffix> ".length, midAt)
+        val m = fim.substring(midAt + " <fim_middle> ".length)
+        val rebuilt = s"$p $m $sEnd".trim.split("\\s+").filter(_.nonEmpty).toSeq
+        val orig = text.trim.split("\\s+").filter(_.nonEmpty).toSeq
+        assert(rebuilt == orig, id)
+      }
+    }
+    // md5-deterministic: a second run is bit-identical
+    val again = TextAnalysis.fimTransform(docs, "doc_id", "text", 0.5)
+      .select($"doc_id", $"text", $"fim_applied", $"text_fim")
+      .as[(Long, String, Boolean, String)].collect()
+    assert(out.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
   }
 
   test("trainHashedLogReg: loss strictly decreases, gate separates the planted classes") {
