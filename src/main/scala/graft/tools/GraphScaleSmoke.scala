@@ -26,6 +26,13 @@ object GraphScaleSmoke {
       graft.ops.Graph.pageRank(edges, "src", "dst", iters = 5)
         .agg(sum("rank").as("mass"), max("rank").as("max_rank")).head())
     println(s"[graph-scale] mass=${r.getDouble(0)} max=${r.getDouble(1)}")
+    // r9: the long-chain regime checkpointEvery exists for — 25 rounds
+    // with mid-loop lineage truncation every 10; without it the analyzer
+    // cost of the ~50-operator chain dwarfs the actual compute
+    val r25 = time(s"pageRank ($n nodes, 25 iters, checkpointEvery=10)")(
+      graft.ops.Graph.pageRank(edges, "src", "dst", iters = 25)
+        .agg(sum("rank").as("mass"), max("rank").as("max_rank")).head())
+    println(s"[graph-scale] 25-iter mass=${r25.getDouble(0)} max=${r25.getDouble(1)}")
     spark.stop()
   }
 }
