@@ -822,9 +822,17 @@ object Dedup {
     * sketch variant is [[sourceOverlapMinhash]]. */
   def sourceOverlap(df: DataFrame, srcCol: String, textCol: String,
       n: Int = 3): DataFrame = {
-    val grams = df.select(col(srcCol).as("src"),
+    // tokenize behind a projection boundary: shingles()' internal lambda
+    // slices its token argument per element, and higher-order lambdas
+    // re-inline expression arguments — passing tokens(...) directly
+    // re-tokenizes every doc once per shingle (measured 5.5s -> 2.6s at
+    // sf0.1 from this split alone)
+    val grams = df
+      .select(col(srcCol).as("src"),
+        TextAnalysis.tokens(col(textCol)).as("__toks"))
+      .select(col("src"),
         explode(array_distinct(transform(
-          transform(shingles(TextAnalysis.tokens(col(textCol)), n),
+          transform(shingles(col("__toks"), n),
             g => md5(g.cast("binary"))),
           h => struct(
             conv(substring(h, 1, 15), 16, 10).cast("long").as("h1"),
@@ -856,9 +864,11 @@ object Dedup {
     * operator is pinned by spec on a planted-overlap fixture. */
   def sourceOverlapMinhash(df: DataFrame, srcCol: String, textCol: String,
       n: Int = 3, k: Int = 128): DataFrame = {
-    val sig = df.select(col(srcCol).as("src"),
-        explode(array_distinct(shingles(TextAnalysis.tokens(col(textCol)), n)))
-          .as("g"))
+    val sig = df
+      .select(col(srcCol).as("src"),
+        TextAnalysis.tokens(col(textCol)).as("__toks"))
+      .select(col("src"),
+        explode(array_distinct(shingles(col("__toks"), n))).as("g"))
       .select(col("src"), explode(transform(sequence(lit(0), lit(k - 1)),
         j => struct(j.as("j"), xxhash64(j, col("g")).as("h")))).as("jh"))
       .groupBy(col("src"), col("jh.j")).agg(min(col("jh.h")).as("mh"))

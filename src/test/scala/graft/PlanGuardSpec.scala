@@ -325,4 +325,41 @@ class PlanGuardSpec extends SparkSpec {
     }
     assert(liveText == 1, s"expected 1 live text scan, got $liveText")
   }
+
+  test("x91: hard negatives broadcast queries AND positives; heap operator ranks") {
+    val plan = graft.queries.ExtensionQueries
+      .queries("x91_hard_negatives")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPerGroup"), "k-selection must use the heap operator")
+    // the positive-exclusion must be a broadcast anti-join on the narrow
+    // triple frame — a shuffled anti-join would re-exchange the corpus
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      s"positives must exclude via broadcast anti-join, plan:\n$plan")
+  }
+
+  test("x92: source-overlap exchanges carry gram digests, never text or gram strings") {
+    val q = graft.queries.ExtensionQueries
+      .queries("x92_source_overlap")(spark, dir)
+    val plan = q.queryExecution.executedPlan.toString
+    // every hashpartitioning clause must key on src/gk (digest struct) or
+    // the tiny source-pair columns — the raw text/gram string never rides
+    // an exchange (the 120-bit digest IS the shuffle key)
+    val clauses = "hashpartitioning\\([^)]*\\)".r.findAllIn(plan).toList
+    assert(clauses.nonEmpty)
+    clauses.foreach { c =>
+      // gk (the digest struct) is fine; a raw `g#NN` or `text#NN`
+      // attribute in a partitioning clause is the regression
+      val scrubbed = c.replace("gk#", "")
+      assert(!scrubbed.contains("text#") && !scrubbed.contains("g#"),
+        s"raw text/gram in exchange key: $c")
+    }
+  }
+
+  test("x93: FIM transform is map-only (zero exchanges beyond the scan)") {
+    val plan = graft.queries.ExtensionQueries
+      .queries("x93_fim_transform")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"FIM must not shuffle, plan:\n$plan")
+  }
 }
