@@ -154,6 +154,46 @@ object EventStreams {
       }
       .start()
 
+  /** Classifier-gated streaming sink — the trained quality gate
+    * ([[graft.ops.TextAnalysis.trainHashedLogReg]] ->
+    * [[graft.ops.TextAnalysis.hashedLinearScore]]) applied at INGEST:
+    * each micro-batch is scored map-only (the weights ride as broadcast
+    * array literals, no shuffle of any kind) and rows route to the
+    * accept/quarantine parquet sinks row-by-row — unlike
+    * [[qualityGatedParquetSink]]'s batch-level verdict, a classifier
+    * gates documents individually. Replay-idempotent the same way: a
+    * re-run batch appends the same rows to the same sides (deterministic
+    * scoring), and the checkpoint serializes batches. This closes the
+    * CCNet loop end-to-end: train on the historical corpus, then gate
+    * the live feed with the same weights. */
+  def classifierGatedSink(docs: DataFrame, idCol: String, textCol: String,
+      weights: Array[Double], bias: Double, threshold: Double,
+      goodPath: String, badPath: String, checkpoint: String,
+      useBigrams: Boolean = true)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (batch.isEmpty) ()
+        else {
+          // featurization MUST match training (a bigram-scored unigram
+          // model silently degrades) — callers pass the trained model's
+          // own useBigrams setting
+          val scored = graft.ops.TextAnalysis.hashedLinearScore(
+              batch, idCol, textCol, weights, bias, useBigrams)
+            .persist()
+          scored.filter(col("score") >= threshold)
+            .drop("n_features", "label")
+            .write.mode("append").parquet(goodPath)
+          scored.filter(col("score") < threshold)
+            .drop("n_features", "label")
+            .write.mode("append").parquet(badPath)
+          scored.unpersist()
+          ()
+        }
+      }
+      .start()
+
   /** Streaming CDC upsert: merge each micro-batch into a keyed parquet
     * target via [[graft.sinks.Sinks.upsert]] — the streaming persistence
     * half of the changelog story (q49 compacts a LOG to latest state;

@@ -89,6 +89,51 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("classifierGatedSink: TRAINED gate routes a stream identically to batch") {
+    // the full CCNet loop across the batch/stream seam: train on a
+    // historical corpus (batch), gate the live feed (stream) with the
+    // trained weights, and the routing must equal batch classification
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    val hist = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"doc_id",
+        concat(concat_ws(" ", slice(graft.ops.TextAnalysis.tokens($"text"),
+            1, 12)),
+          when($"doc_id" % 2 === 0, lit(" qpos qpos qpos qpos"))
+            .otherwise(lit(" qneg qneg qneg qneg"))).as("text"),
+        ($"doc_id" % 2 === 0).cast("int").as("y"))
+    val m = graft.ops.TextAnalysis.trainHashedLogReg(hist, "text", "y",
+      buckets = 64, epochs = 5, lr = 0.5, useBigrams = false)
+    // NOTE: inference runs with bigram features off to match training
+    val root = java.nio.file.Files.createTempDirectory("clf_sink").toString
+    val input = MemoryStream[(Long, String)]
+    val feed = hist.select($"doc_id", $"text")
+      .as[(Long, String)].collect().toSeq
+    val q = EventStreams.classifierGatedSink(
+      input.toDF().toDF("doc_id", "text"), "doc_id", "text",
+      m.weights, m.bias, threshold = 0.5,
+      s"$root/good", s"$root/bad", s"$root/ckpt", useBigrams = false)
+    try {
+      input.addData(feed.take(20): _*)
+      q.processAllAvailable()
+      input.addData(feed.drop(20): _*)
+      q.processAllAvailable()
+      def ids(p: String) = spark.read.parquet(p)
+        .select("doc_id").as[Long].collect().toSet
+      val batch = graft.ops.TextAnalysis.hashedLinearScore(
+          hist.select($"doc_id", $"text"), "doc_id", "text",
+          m.weights, bias = m.bias, useBigrams = false)
+      val batchGood = batch.filter($"score" >= 0.5)
+        .select("doc_id").as[Long].collect().toSet
+      val batchBad = batch.filter($"score" < 0.5)
+        .select("doc_id").as[Long].collect().toSet
+      assert(ids(s"$root/good") == batchGood)
+      assert(ids(s"$root/bad") == batchBad)
+      // the gate actually separates: planted classes land on opposite sides
+      assert(batchGood.forall(_ % 2 == 0) && batchBad.forall(_ % 2 == 1))
+    } finally q.stop()
+  }
+
   test("stream-stream interval join pairs purchases with same-user errors in the window") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Event]
