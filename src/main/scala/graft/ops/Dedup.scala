@@ -863,20 +863,88 @@ object Dedup {
     * gives stderr ~ sqrt(J(1-J)/k) <= 0.045. Accuracy vs the exact
     * operator is pinned by spec on a planted-overlap fixture. */
   def sourceOverlapMinhash(df: DataFrame, srcCol: String, textCol: String,
-      n: Int = 3, k: Int = 128): DataFrame = {
-    val sig = df
-      .select(col(srcCol).as("src"),
+      n: Int = 3, k: Int = 128): DataFrame =
+    estimateFromSignatures(srcSignatures(df, srcCol, textCol, n, k))
+
+  /** (src, j, mh) signature frame — the mergeable sketch state behind
+    * [[sourceOverlapMinhash]] and the persisted store. */
+  private def srcSignatures(df: DataFrame, srcCol: String, textCol: String,
+      n: Int, k: Int): DataFrame =
+    df.select(col(srcCol).as("src"),
         TextAnalysis.tokens(col(textCol)).as("__toks"))
       .select(col("src"),
         explode(array_distinct(shingles(col("__toks"), n))).as("g"))
       .select(col("src"), explode(transform(sequence(lit(0), lit(k - 1)),
         j => struct(j.as("j"), xxhash64(j, col("g")).as("h")))).as("jh"))
       .groupBy(col("src"), col("jh.j")).agg(min(col("jh.h")).as("mh"))
+
+  private def estimateFromSignatures(sig: DataFrame): DataFrame =
     sig.as("a").join(sig.as("b"),
         col("a.j") === col("b.j") && col("a.src") < col("b.src"))
       .groupBy(col("a.src").as("source_a"), col("b.src").as("source_b"))
       .agg(round(avg((col("a.mh") === col("b.mh")).cast("double")), 6)
         .as("jaccard_est"))
+
+  /** PERSISTED per-source signature store — the incremental path for
+    * overlap monitoring: daily shards merge into sources x k longs of
+    * state via the sketch's min-merge, so the overlap dashboard never
+    * re-scans history (the [[graft.ops.IncrementalDedup]] argument
+    * applied to corpus-level monitoring). Writes go through the repo's
+    * stage / retire / promote swap with leftover recovery at every
+    * entry point, so a crash at any step loses at most the in-flight
+    * shard — which replays idempotently (min-merge is idempotent and
+    * commutative: re-ingesting a shard, or ingesting shards in any
+    * order, lands on the same state, pinned by spec). */
+  def writeSourceSignatures(spark: org.apache.spark.sql.SparkSession,
+      root: String, df: DataFrame, srcCol: String, textCol: String,
+      n: Int = 3, k: Int = 128): Unit =
+    swapWrite(spark, s"$root/signatures",
+      srcSignatures(df, srcCol, textCol, n, k))
+
+  /** Merge one shard into the store (create-if-absent). */
+  def ingestSourceSignatures(spark: org.apache.spark.sql.SparkSession,
+      root: String, shard: DataFrame, srcCol: String, textCol: String,
+      n: Int = 3, k: Int = 128): Unit = {
+    val path = s"$root/signatures"
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    graft.streaming.EventStreams.recoverUpsertTarget(fs, path)
+    val shardSig = srcSignatures(shard, srcCol, textCol, n, k)
+    val merged =
+      if (fs.exists(new org.apache.hadoop.fs.Path(path)))
+        spark.read.parquet(path).unionByName(shardSig)
+          .groupBy(col("src"), col("j")).agg(min(col("mh")).as("mh"))
+      else shardSig
+    swapWrite(spark, path, merged)
+  }
+
+  /** Pairwise overlap estimate straight from the persisted store. */
+  def estimateSourceOverlap(spark: org.apache.spark.sql.SparkSession,
+      root: String): DataFrame = {
+    val path = s"$root/signatures"
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    graft.streaming.EventStreams.recoverUpsertTarget(fs, path)
+    estimateFromSignatures(spark.read.parquet(path))
+  }
+
+  /** Stage -> retire -> promote swap (the [[graft.streaming.EventStreams
+    * .recoverUpsertTarget]] layout): materialize the new generation
+    * FULLY in `__stage` (the plan may read the current target), retire
+    * the target to `__old`, promote the stage, drop the retiree. */
+  private def swapWrite(spark: org.apache.spark.sql.SparkSession,
+      path: String, df: DataFrame): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    graft.streaming.EventStreams.recoverUpsertTarget(fs, path)
+    val target = new org.apache.hadoop.fs.Path(path)
+    val stage = new org.apache.hadoop.fs.Path(path + "__stage")
+    val old = new org.apache.hadoop.fs.Path(path + "__old")
+    df.write.mode("overwrite").parquet(stage.toString)
+    if (fs.exists(target))
+      require(fs.rename(target, old), s"retire failed: $target")
+    require(fs.rename(stage, target), s"promote failed: $stage")
+    fs.delete(old, true)
   }
 
   /** Exact n-gram Jaccard similarity for explicit candidate pairs

@@ -595,6 +595,43 @@ object TextAnalysis {
         when(applied, fimText).otherwise(col(textCol)))
   }
 
+  /** Unicode-script profile — the pre-langid routing gate: per-document
+    * counts of Latin / Cyrillic / Han / Arabic letters, digits, and
+    * whitespace, plus the dominant script. N-gram language ID
+    * ([[languageId]]) is only meaningful WITHIN a script family; a crawl
+    * pipeline routes on script first (CCNet runs fastText lid which does
+    * exactly this internally) and quarantines mixed-script spam (the
+    * "Cyrillic a inside Latin words" obfuscation trick shows up as a
+    * nonzero minority-script count).
+    *
+    * Map-only regex-count chain, shuffle-free. Patterns are written in
+    * Java spelling (`\p{IsCyrillic}`) with the DuckDB oracle using RE2
+    * spelling (`\p{Cyrillic}`) — the repo's documented dialect-
+    * translation convention. Dominant script resolves ties by the fixed
+    * latin > cyrillic > han > arabic order (>= comparisons), 'none' when
+    * all four are zero. */
+  def scriptProfile(df: DataFrame, idCol: String, textCol: String)
+      : DataFrame = {
+    def cnt(pat: String): Column =
+      size(regexp_extract_all(col(textCol), lit(pat), lit(0)))
+    val latin = cnt("\\p{IsLatin}")
+    val cyr = cnt("\\p{IsCyrillic}")
+    val han = cnt("\\p{IsHan}")
+    val arab = cnt("\\p{IsArabic}")
+    val main = when(latin === 0 && cyr === 0 && han === 0 && arab === 0,
+        lit("none"))
+      .when(latin >= cyr && latin >= han && latin >= arab, lit("latin"))
+      .when(cyr >= han && cyr >= arab, lit("cyrillic"))
+      .when(han >= arab, lit("han"))
+      .otherwise(lit("arabic"))
+    df.select(col(idCol),
+      latin.as("n_latin"), cyr.as("n_cyrillic"), han.as("n_han"),
+      arab.as("n_arabic"),
+      cnt("[0-9]").as("n_digit"),
+      cnt("\\s").as("n_space"),
+      main.as("main_script"))
+  }
+
   /** Per-source n-gram diversity — the distinct-n readout (Zhu et al.'s
     * Self-BLEU family): for each source and each n, the total n-gram
     * count, the distinct count, and their ratio. A collapsing ratio at

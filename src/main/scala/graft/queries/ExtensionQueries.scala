@@ -1519,6 +1519,21 @@ object ExtensionQueries {
             lit("click here to subscribe now and save big today").as("text")))
       TextAnalysis.ngramDiversity(corpus, "source", "text")
         .orderBy(col("source"), col("n"))
+    }),
+
+    // Unicode-script routing profile: planted Cyrillic/Han/Arabic tails on
+    // a deterministic quarter of the (otherwise all-Latin) corpus each, so
+    // every script branch and the mixed-script case are exercised
+    "x95_script_profile" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val planted = docs.select(col("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 4 === 1, lit(" привет мир"))
+            .when(col("doc_id") % 4 === 2, lit(" 你好世界"))
+            .when(col("doc_id") % 4 === 3, lit(" مرحبا"))
+            .otherwise(lit(""))).as("text"))
+      TextAnalysis.scriptProfile(planted, "doc_id", "text")
+        .orderBy(col("doc_id"))
     }))
 
   /** Planted separable classification fixture for x88/x90: each doc
@@ -2824,6 +2839,36 @@ object ExtensionQueries {
         |  FROM messy)
         |SELECT doc_id, repaired, (repaired <> text) AS changed
         |FROM r ORDER BY doc_id""".stripMargin,
+
+    // RE2 script-class spelling (\p{Cyrillic}) vs Java's (\p{IsCyrillic})
+    // — the documented dialect-translation convention
+    "x95_script_profile" ->
+      """WITH planted AS (
+        |  SELECT doc_id, text ||
+        |    CASE WHEN doc_id % 4 = 1 THEN ' привет мир'
+        |         WHEN doc_id % 4 = 2 THEN ' 你好世界'
+        |         WHEN doc_id % 4 = 3 THEN ' مرحبا'
+        |         ELSE '' END AS text
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id,
+        |    len(regexp_extract_all(text, '\p{Latin}')) AS n_latin,
+        |    len(regexp_extract_all(text, '\p{Cyrillic}')) AS n_cyrillic,
+        |    len(regexp_extract_all(text, '\p{Han}')) AS n_han,
+        |    len(regexp_extract_all(text, '\p{Arabic}')) AS n_arabic,
+        |    len(regexp_extract_all(text, '[0-9]')) AS n_digit,
+        |    len(regexp_extract_all(text, '\s')) AS n_space
+        |  FROM planted)
+        |SELECT doc_id, CAST(n_latin AS INT) AS n_latin,
+        |  CAST(n_cyrillic AS INT) AS n_cyrillic, CAST(n_han AS INT) AS n_han,
+        |  CAST(n_arabic AS INT) AS n_arabic, CAST(n_digit AS INT) AS n_digit,
+        |  CAST(n_space AS INT) AS n_space,
+        |  CASE WHEN n_latin = 0 AND n_cyrillic = 0 AND n_han = 0 AND n_arabic = 0 THEN 'none'
+        |       WHEN n_latin >= n_cyrillic AND n_latin >= n_han AND n_latin >= n_arabic THEN 'latin'
+        |       WHEN n_cyrillic >= n_han AND n_cyrillic >= n_arabic THEN 'cyrillic'
+        |       WHEN n_han >= n_arabic THEN 'han'
+        |       ELSE 'arabic' END AS main_script
+        |FROM c ORDER BY doc_id""".stripMargin,
 
     "x94_ngram_diversity" ->
       """WITH corpus AS (

@@ -492,6 +492,42 @@ class DedupSpec extends SparkSpec {
     assert(est(("A", "C")) < 0.17, est)
   }
 
+  test("source-signature store: incremental ingest == batch; replay/order idempotent; crash-safe") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"source", $"text")
+    val s1 = docs.limit(200)
+    val s2 = docs.except(s1)
+    val root = java.nio.file.Files.createTempDirectory("sig_store").toString
+    def state = spark.read.parquet(s"$root/signatures")
+      .as[(String, Int, Long)].collect().toSet
+    // shard-by-shard ingest lands on the same state as one batch write
+    Dedup.ingestSourceSignatures(spark, root, s1, "source", "text")
+    Dedup.ingestSourceSignatures(spark, root, s2, "source", "text")
+    val incremental = state
+    val batchRoot = java.nio.file.Files.createTempDirectory("sig_batch").toString
+    Dedup.writeSourceSignatures(spark, batchRoot, docs, "source", "text")
+    val batch = spark.read.parquet(s"$batchRoot/signatures")
+      .as[(String, Int, Long)].collect().toSet
+    assert(incremental == batch)
+    // min-merge is idempotent: re-ingesting a shard changes nothing
+    Dedup.ingestSourceSignatures(spark, root, s1, "source", "text")
+    assert(state == batch)
+    // estimate from the store == direct sketch estimate on the union
+    val fromStore = Dedup.estimateSourceOverlap(spark, root)
+      .as[(String, String, Double)].collect().toSet
+    val direct = Dedup.sourceOverlapMinhash(docs, "source", "text")
+      .as[(String, String, Double)].collect().toSet
+    assert(fromStore == direct)
+    // crash between retire and promote: target gone, __old holds state
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(new org.apache.hadoop.fs.Path(s"$root/signatures"),
+      new org.apache.hadoop.fs.Path(s"$root/signatures__old")))
+    val recovered = Dedup.estimateSourceOverlap(spark, root)
+      .as[(String, String, Double)].collect().toSet
+    assert(recovered == direct, "reader must restore the retired generation")
+  }
+
   test("rareNgramPairs: df cap drops boilerplate grams, minShared prunes weak links") {
     // d1/d2 are exact copies (share every trigram); d3 shares exactly ONE
     // trigram with them (below minShared=2); ten boilerplate docs share a
@@ -1787,6 +1823,29 @@ class TextAnalysisSpec extends SparkSpec {
     val b = graft.ops.Graph.pageRank(edges, "src", "dst", iters = 8,
       checkpointEvery = 100).as[(Long, Double)].collect().toMap
     assert(a == b)
+  }
+
+  test("scriptProfile: per-script counts, tie order, and the mixed-script spam signal") {
+    val docs = Seq(
+      (1L, "hello world 42"), // latin 10, digit 2, space 2
+      (2L, "привет"),         // cyrillic 6
+      (3L, "你好"),            // han 2
+      (4L, "مرحبا"),          // arabic 5
+      (5L, "mixеd"),     // latin 4 + ONE Cyrillic 'е' — the
+                              // homoglyph-obfuscation case: latin wins,
+                              // minority count stays visible
+      (6L, "123 456"),        // digits only -> none
+      (7L, "")                // empty -> none
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.scriptProfile(docs, "doc_id", "text")
+      .as[(Long, Int, Int, Int, Int, Int, Int, String)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out(1L) == ((1L, 10, 0, 0, 0, 2, 2, "latin")), out(1L))
+    assert(out(2L) == ((2L, 0, 6, 0, 0, 0, 0, "cyrillic")), out(2L))
+    assert(out(3L) == ((3L, 0, 0, 2, 0, 0, 0, "han")), out(3L))
+    assert(out(4L) == ((4L, 0, 0, 0, 5, 0, 0, "arabic")), out(4L))
+    assert(out(5L) == ((5L, 4, 1, 0, 0, 0, 0, "latin")), out(5L))
+    assert(out(6L)._8 == "none" && out(7L)._8 == "none", (out(6L), out(7L)))
   }
 
   test("ngramDiversity: hand-counted ratios; short docs contribute nothing at large n") {
