@@ -1007,6 +1007,48 @@ object Dedup {
   def removeRepeatedSpans(df: DataFrame, idCol: String, textCol: String,
       n: Int = 5, minCount: Int = 2,
       digestKeys: Boolean = false): DataFrame = {
+    val (tok, covered) = coveredSpanPositions(df, idCol, textCol, n,
+      minCount, digestKeys)
+    tok.join(covered, Seq("id"), "left")
+      .select(col("id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        coalesce(size(col("__rm")), lit(0)).cast("long").as("n_removed"),
+        array_join(
+          filter(col("toks"), (_, i) =>
+            not(coalesce(array_contains(col("__rm"), i), lit(false)))),
+          " ").as("clean_text"))
+  }
+
+  /** Loss-MASK variant of [[removeRepeatedSpans]] — same frequent-span
+    * detection, but instead of deleting tokens it emits a per-token
+    * keep mask ('1' = train, '0' = span-covered), serialized as a 0/1
+    * string so it rides one narrow column. Deleting boilerplate changes
+    * the token stream a model sees (splicing unrelated neighbors
+    * together); modern pipelines often keep the text intact and ZERO THE
+    * LOSS on the repeated tokens instead — this emits exactly that mask,
+    * aligned to [[graft.ops.TextAnalysis.tokens]] positions. Same scale
+    * shape as the remove path (shared detection stages); the mask
+    * rebuild is one id-keyed join + a per-row transform. */
+  def repeatedSpanMask(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 5, minCount: Int = 2,
+      digestKeys: Boolean = false): DataFrame = {
+    val (tok, covered) = coveredSpanPositions(df, idCol, textCol, n,
+      minCount, digestKeys)
+    tok.join(covered, Seq("id"), "left")
+      .select(col("id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        coalesce(size(col("__rm")), lit(0)).cast("long").as("n_masked"),
+        concat_ws("", transform(col("toks"), (_, i) =>
+          when(coalesce(array_contains(col("__rm"), i), lit(false)),
+            lit("0")).otherwise(lit("1")))).as("mask"))
+  }
+
+  /** Shared detection stages of [[removeRepeatedSpans]] /
+    * [[repeatedSpanMask]]: returns (tok = (id, toks), covered = (id,
+    * __rm sorted positions of frequent-span tokens)). */
+  private def coveredSpanPositions(df: DataFrame, idCol: String,
+      textCol: String, n: Int, minCount: Int,
+      digestKeys: Boolean): (DataFrame, DataFrame) = {
     val tok = df.select(col(idCol).as("id"),
       TextAnalysis.tokens(col(textCol)).as("toks"))
     // (id, pos, gram) for every n-token window; docs under n tokens carry
@@ -1033,14 +1075,7 @@ object Dedup {
         explode(sequence(col("pos"), col("pos") + (n - 1))).as("rm"))
       .groupBy(col("id"))
       .agg(sort_array(collect_set(col("rm"))).as("__rm"))
-    tok.join(covered, Seq("id"), "left")
-      .select(col("id"),
-        size(col("toks")).cast("long").as("n_tokens"),
-        coalesce(size(col("__rm")), lit(0)).cast("long").as("n_removed"),
-        array_join(
-          filter(col("toks"), (_, i) =>
-            not(coalesce(array_contains(col("__rm"), i), lit(false)))),
-          " ").as("clean_text"))
+    (tok, covered)
   }
 
   /** Asymmetric n-gram containment for explicit pairs — the sub-document

@@ -1534,6 +1534,19 @@ object ExtensionQueries {
             .otherwise(lit(""))).as("text"))
       TextAnalysis.scriptProfile(planted, "doc_id", "text")
         .orderBy(col("doc_id"))
+    }),
+
+    // Loss-mask twin of x57: same planted boilerplate span, but the text
+    // stays intact and the per-token 0/1 keep mask is emitted instead
+    "x96_span_mask" -> ((s, dir) => {
+      val boiler = "graftspan0 graftspan1 graftspan2 graftspan3 graftspan4 graftspan5"
+      val docs = t(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 3 === 0, lit(" " + boiler))
+            .otherwise(lit(""))).as("text"))
+      Dedup.repeatedSpanMask(docs, "doc_id", "text", n = 5, minCount = 3)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("doc_id"))
     }))
 
   /** Planted separable classification fixture for x88/x90: each doc
@@ -2839,6 +2852,44 @@ object ExtensionQueries {
         |  FROM messy)
         |SELECT doc_id, repaired, (repaired <> text) AS changed
         |FROM r ORDER BY doc_id""".stripMargin,
+
+    "x96_span_mask" ->
+      """WITH docs AS (
+        |  SELECT doc_id, text || CASE WHEN doc_id % 3 = 0
+        |    THEN ' graftspan0 graftspan1 graftspan2 graftspan3 graftspan4 graftspan5'
+        |    ELSE '' END AS text
+        |  FROM documents),
+        |tok AS (
+        |  SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'),
+        |    x -> len(x) > 0) AS toks
+        |  FROM docs),
+        |spans AS (
+        |  SELECT doc_id, i AS pos,
+        |    array_to_string(list_slice(toks, i + 1, i + 5), ' ') AS gram
+        |  FROM tok, UNNEST(CASE WHEN len(toks) >= 5
+        |    THEN range(0, len(toks) - 4) ELSE [] END) AS u(i)),
+        |freq AS (SELECT gram FROM spans GROUP BY gram HAVING count(*) >= 3),
+        |hits AS (SELECT s.doc_id, s.pos FROM spans s JOIN freq USING (gram)),
+        |cov AS (
+        |  SELECT DISTINCT doc_id, pos + d AS rm
+        |  FROM hits, UNNEST(range(0, 5)) AS u(d)),
+        |tokpos AS (
+        |  SELECT doc_id, i AS pos
+        |  FROM tok, UNNEST(CASE WHEN len(toks) > 0
+        |    THEN range(0, len(toks)) ELSE [] END) AS u(i)),
+        |m AS (
+        |  SELECT tp.doc_id,
+        |    sum(CASE WHEN c.rm IS NOT NULL THEN 1 ELSE 0 END) AS n_masked,
+        |    coalesce(string_agg(CASE WHEN c.rm IS NULL THEN '1' ELSE '0' END,
+        |      '' ORDER BY tp.pos), '') AS mask
+        |  FROM tokpos tp
+        |  LEFT JOIN cov c ON tp.doc_id = c.doc_id AND tp.pos = c.rm
+        |  GROUP BY tp.doc_id)
+        |SELECT t.doc_id, CAST(len(t.toks) AS BIGINT) AS n_tokens,
+        |  CAST(coalesce(m.n_masked, 0) AS BIGINT) AS n_masked,
+        |  coalesce(m.mask, '') AS mask
+        |FROM tok t LEFT JOIN m USING (doc_id)
+        |ORDER BY t.doc_id""".stripMargin,
 
     // RE2 script-class spelling (\p{Cyrillic}) vs Java's (\p{IsCyrillic})
     // — the documented dialect-translation convention

@@ -124,6 +124,38 @@ class DedupSpec extends SparkSpec {
       ((0L, 3L, 0L, 0.0, 0.0, 0.0)))
   }
 
+  test("repeatedSpanMask: applying the mask reproduces the remove path; digest path identical") {
+    val planted = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"doc_id", concat($"text",
+        when($"doc_id" % 4 === 0, lit(" b0 b1 b2 b3 b4 b5 b6 b7"))
+          .otherwise(lit(""))).as("text"))
+    val rm = Dedup.removeRepeatedSpans(planted, "doc_id", "text",
+        n = 5, minCount = 3)
+      .as[(Long, Long, Long, String)].collect().map(r => r._1 -> r).toMap
+    val mask = Dedup.repeatedSpanMask(planted, "doc_id", "text",
+        n = 5, minCount = 3)
+      .as[(Long, Long, Long, String)].collect()
+    val toks = planted.select($"doc_id",
+        graft.ops.TextAnalysis.tokens($"text"))
+      .as[(Long, Seq[String])].collect().toMap
+    assert(mask.nonEmpty && mask.exists(_._3 > 0))
+    mask.foreach { case (id, nTok, nMasked, m) =>
+      val (_, rmTok, rmCnt, clean) = rm(id)
+      assert(nTok == rmTok && nMasked == rmCnt, id)
+      assert(m.length == nTok, id)
+      // keeping exactly the '1' positions reproduces the remove path
+      val kept = toks(id).zip(m).collect { case (t, '1') => t }
+        .mkString(" ")
+      assert(kept == clean, id)
+    }
+    // 8-byte xxhash64 keys produce the identical mask frame
+    val dig = Dedup.repeatedSpanMask(planted, "doc_id", "text",
+        n = 5, minCount = 3, digestKeys = true)
+      .as[(Long, Long, Long, String)].collect()
+    assert(dig.toSet == mask.toSet)
+  }
+
   test("ngramContainment flags sub-document inclusion symmetric Jaccard misses") {
     val docs = Seq(
       (1L, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"), // 8 distinct 3-grams
