@@ -80,4 +80,41 @@ object Packing {
       .withColumn("offset", (col("__base") + col("__local")).cast("long"))
       .drop("__local", "__base")
   }
+
+  /** Concat-and-chunk sequence map — the GPT pretraining loader's view:
+    * the flat token stream ([[globalTokenOffsets]] order) is cut every
+    * `seqLen` tokens, and each document maps to the training sequences
+    * it occupies. One output row per (document, sequence) incidence —
+    * a document spanning a cut emits one row per sequence it touches,
+    * with `doc_start` (doc-local index of the first token landing in
+    * that sequence), `start_in_seq` (where in the sequence the doc
+    * begins), and `n_toks` (how many of its tokens land there). This is
+    * the index a loader needs to reassemble attention-mask /
+    * loss-boundary metadata for packed sequences. Zero-token documents
+    * occupy no sequence and are dropped.
+    *
+    * Scale shape: the offsets are the two-level Blelloch scan; the
+    * chunk arithmetic after it is a map-only explode bounded by
+    * ceil(n_tokens/seqLen)+1 rows per doc. Integer `div` arithmetic
+    * throughout — no double rounding at 100 TB token-stream positions
+    * (the oracle replays with DuckDB's `//`). */
+  def sequenceAssignments(df: DataFrame, shardCol: String, idCol: String,
+      tokenCol: String, seqLen: Long): DataFrame = {
+    require(seqLen > 0)
+    val off = globalTokenOffsets(df, shardCol, idCol, tokenCol)
+      .filter(col(tokenCol) > 0)
+      .withColumn("__end", col("offset") + col(tokenCol) - 1)
+    off.select(col(shardCol), col(idCol), col(tokenCol).as("n_tokens"),
+        col("offset"),
+        explode(sequence(expr(s"offset div ${seqLen}L"),
+          expr(s"__end div ${seqLen}L"))).as("seq_id"))
+      .withColumn("__ss", col("seq_id") * seqLen)
+      .withColumn("doc_start", greatest(col("__ss") - col("offset"), lit(0L)))
+      .withColumn("start_in_seq",
+        greatest(col("offset") - col("__ss"), lit(0L)))
+      .withColumn("n_toks",
+        least(col("offset") + col("n_tokens"), col("__ss") + seqLen) -
+          greatest(col("offset"), col("__ss")))
+      .drop("__ss")
+  }
 }

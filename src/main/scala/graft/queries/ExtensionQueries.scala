@@ -1547,6 +1547,19 @@ object ExtensionQueries {
       Dedup.repeatedSpanMask(docs, "doc_id", "text", n = 5, minCount = 3)
         .withColumnRenamed("id", "doc_id")
         .orderBy(col("doc_id"))
+    }),
+
+    // Concat-and-chunk sequence map at seqLen=256: ~90-token docs pack
+    // ~3 per sequence with regular boundary spans — every branch of the
+    // incidence arithmetic fires on the real corpus
+    "x97_sequence_map" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("source"),
+        TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+      graft.ops.Packing.sequenceAssignments(docs, "source", "doc_id",
+          "n_tokens", seqLen = 256L)
+        .select(col("doc_id"), col("source"), col("n_tokens"), col("offset"),
+          col("seq_id"), col("doc_start"), col("start_in_seq"), col("n_toks"))
+        .orderBy(col("doc_id"), col("seq_id"))
     }))
 
   /** Planted separable classification fixture for x88/x90: each doc
@@ -2852,6 +2865,30 @@ object ExtensionQueries {
         |  FROM messy)
         |SELECT doc_id, repaired, (repaired <> text) AS changed
         |FROM r ORDER BY doc_id""".stripMargin,
+
+    "x97_sequence_map" ->
+      """WITH tok AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+        |      x -> len(x) > 0)) AS INTEGER) AS n_tokens
+        |  FROM documents),
+        |off AS (
+        |  SELECT doc_id, source, n_tokens,
+        |    CAST(coalesce(sum(n_tokens) OVER (
+        |      ORDER BY source, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |      AS "offset"
+        |  FROM tok WHERE n_tokens > 0),
+        |inc AS (
+        |  SELECT doc_id, source, n_tokens, "offset", s.seq_id
+        |  FROM off, UNNEST(range("offset" // 256,
+        |    ("offset" + n_tokens - 1) // 256 + 1)) AS s(seq_id))
+        |SELECT doc_id, source, n_tokens, "offset", seq_id,
+        |  greatest(seq_id * 256 - "offset", 0) AS doc_start,
+        |  greatest("offset" - seq_id * 256, 0) AS start_in_seq,
+        |  least("offset" + n_tokens, seq_id * 256 + 256)
+        |    - greatest("offset", seq_id * 256) AS n_toks
+        |FROM inc ORDER BY doc_id, seq_id""".stripMargin,
 
     "x96_span_mask" ->
       """WITH docs AS (

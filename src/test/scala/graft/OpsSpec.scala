@@ -2020,6 +2020,36 @@ class TextAnalysisSpec extends SparkSpec {
       ("c", 9L) -> 123L), out)
   }
 
+  test("sequenceAssignments: hand-traced incidences, conservation, full interior sequences") {
+    // L=4, one shard: d1 c=3 (o=0), d2 c=5 (o=3) -> d2 spans the seq0/seq1
+    // cut: 1 token in seq0 at position 3, 4 tokens fill seq1
+    val df = Seq((1L, "a", 3), (2L, "a", 5)).toDF("doc_id", "shard", "n")
+    val out = graft.ops.Packing.sequenceAssignments(df, "shard", "doc_id",
+        "n", seqLen = 4L)
+      .select("doc_id", "seq_id", "doc_start", "start_in_seq", "n_toks")
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(out == Set(
+      (1L, 0L, 0L, 0L, 3L),
+      (2L, 0L, 0L, 3L, 1L),
+      (2L, 1L, 1L, 0L, 4L)), out)
+    // invariants on the real corpus at L=64: every doc's tokens are fully
+    // assigned exactly once, and every interior sequence is exactly full
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"doc_id", $"source",
+        graft.ops.TextAnalysis.tokenCount($"text").as("n_tokens"))
+    val asg = graft.ops.Packing.sequenceAssignments(docs, "source",
+      "doc_id", "n_tokens", seqLen = 64L)
+    val perDoc = asg.groupBy("doc_id").agg(sum("n_toks").as("got"))
+      .join(docs.filter($"n_tokens" > 0), Seq("doc_id"))
+      .filter($"got" =!= $"n_tokens").count()
+    assert(perDoc == 0L, "token conservation per doc")
+    val maxSeq = asg.agg(max("seq_id")).as[Long].head()
+    val notFull = asg.filter($"seq_id" < maxSeq)
+      .groupBy("seq_id").agg(sum("n_toks").as("t"))
+      .filter($"t" =!= 64L).count()
+    assert(notFull == 0L, "interior sequences must be exactly full")
+  }
+
   test("hashedLinearScore: map-only plan, explode-formulation equality, zero-weight sigmoid") {
     val df = Seq((1L, "alpha beta gamma"), (2L, "alpha alpha"), (3L, ""))
       .toDF("doc_id", "text")
