@@ -1191,6 +1191,41 @@ object TextAnalysis {
           .as("chunk_text"))
   }
 
+  /** Contrastive training pairs from adjacent chunks — the SimCSE/
+    * Contriever-style self-supervision recipe: two neighboring spans of
+    * one document are a positive pair (same topic, different surface),
+    * and everything else in the training batch serves as in-batch
+    * negatives (a batching-time concern — this operator materializes
+    * the pairs). Chunks are non-overlapping `chunkTokens` windows; pair
+    * i = (chunk i, chunk i+1), so a doc with fewer than chunkTokens+1
+    * tokens emits nothing (a pair needs two non-empty spans — the
+    * second chunk may be short, never empty).
+    *
+    * Map-only: tokenize once behind a projection boundary, one explode
+    * over pair indices, two slices per row. No shuffle, no join — the
+    * downstream embedding trainer shuffles batches, not this. */
+  def contrastivePairs(df: DataFrame, idCol: String, textCol: String,
+      chunkTokens: Int): DataFrame = {
+    require(chunkTokens > 0)
+    val tokd = df.select(col(idCol), tokens(col(textCol)).as("__toks"))
+    val len = size(col("__toks"))
+    // number of chunks = ceil(len / chunkTokens); the true-division +
+    // truncating cast is exact here (per-doc token counts are ints,
+    // double holds them losslessly)
+    val nChunks = ((len + chunkTokens - 1) / chunkTokens).cast("int")
+    val pairIdx = when(nChunks >= 2,
+        sequence(lit(0), (nChunks - 2).cast("int")))
+      .otherwise(array().cast("array<int>"))
+    tokd.select(col(idCol), explode(pairIdx).as("pair_id"),
+        col("__toks"))
+      .select(col(idCol), col("pair_id"),
+        concat_ws(" ", slice(col("__toks"),
+          col("pair_id") * chunkTokens + 1, lit(chunkTokens))).as("anchor"),
+        concat_ws(" ", slice(col("__toks"),
+          (col("pair_id") + 1) * chunkTokens + 1, lit(chunkTokens)))
+          .as("positive"))
+  }
+
   /** TF-IDF top-`k` terms per document: term frequency per (doc, token),
     * document frequency per token, idf = ln(N/df), ranked per doc through
     * the bounded-heap [[graft.plans.TopK]] operator. Shape: ONE tokenize +

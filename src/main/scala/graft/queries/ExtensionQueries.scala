@@ -1560,7 +1560,15 @@ object ExtensionQueries {
         .select(col("doc_id"), col("source"), col("n_tokens"), col("offset"),
           col("seq_id"), col("doc_start"), col("start_in_seq"), col("n_toks"))
         .orderBy(col("doc_id"), col("seq_id"))
-    }))
+    }),
+
+    // Contrastive anchor/positive pairs from adjacent 32-token chunks:
+    // ~90-token docs emit 2 pairs, the final short chunk exercises the
+    // ragged tail
+    "x98_contrastive_pairs" -> ((s, dir) =>
+      TextAnalysis.contrastivePairs(t(s, dir, "documents"), "doc_id",
+          "text", chunkTokens = 32)
+        .orderBy(col("doc_id"), col("pair_id"))))
 
   /** Planted separable classification fixture for x88/x90: each doc
     * truncated to its first 12 tokens plus a 4x-repeated class marker.
@@ -2865,6 +2873,22 @@ object ExtensionQueries {
         |  FROM messy)
         |SELECT doc_id, repaired, (repaired <> text) AS changed
         |FROM r ORDER BY doc_id""".stripMargin,
+
+    "x98_contrastive_pairs" ->
+      """WITH tok AS (
+        |  SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'),
+        |    x -> len(x) > 0) AS toks
+        |  FROM documents),
+        |n AS (
+        |  SELECT doc_id, toks, (len(toks) + 31) // 32 AS nc FROM tok)
+        |SELECT doc_id, CAST(i AS INT) AS pair_id,
+        |  array_to_string(list_slice(toks, i * 32 + 1, i * 32 + 32), ' ')
+        |    AS anchor,
+        |  array_to_string(list_slice(toks, (i + 1) * 32 + 1, (i + 1) * 32 + 32), ' ')
+        |    AS positive
+        |FROM n, UNNEST(CASE WHEN nc >= 2 THEN range(0, nc - 1)
+        |  ELSE [] END) AS u(i)
+        |ORDER BY doc_id, pair_id""".stripMargin,
 
     "x97_sequence_map" ->
       """WITH tok AS (

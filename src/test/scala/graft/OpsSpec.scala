@@ -1857,6 +1857,24 @@ class TextAnalysisSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("contrastivePairs: adjacent-chunk pairs, ragged tail, sub-chunk docs emit none") {
+    val docs = Seq(
+      (1L, "t1 t2 t3 t4 t5"), // chunks [t1 t2][t3 t4][t5] -> 2 pairs
+      (2L, "a b"),            // one chunk -> nothing
+      (3L, "")                // empty -> nothing
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.contrastivePairs(docs, "doc_id", "text",
+        chunkTokens = 2)
+      .as[(Long, Int, String, String)].collect().toSet
+    assert(out == Set(
+      (1L, 0, "t1 t2", "t3 t4"),
+      (1L, 1, "t3 t4", "t5")), out)
+    // map-only: no exchange in the plan
+    val plan = TextAnalysis.contrastivePairs(docs, "doc_id", "text", 2)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+
   test("scriptProfile: per-script counts, tie order, and the mixed-script spam signal") {
     val docs = Seq(
       (1L, "hello world 42"), // latin 10, digit 2, space 2
