@@ -821,24 +821,31 @@ object Dedup {
     * estimate-only monitoring at a fraction of the cost, the mergeable
     * sketch variant is [[sourceOverlapMinhash]]. */
   def sourceOverlap(df: DataFrame, srcCol: String, textCol: String,
-      n: Int = 3): DataFrame = {
+      n: Int = 3, hashed: Boolean = false): DataFrame = {
     // tokenize behind a projection boundary: shingles()' internal lambda
     // slices its token argument per element, and higher-order lambdas
     // re-inline expression arguments — passing tokens(...) directly
     // re-tokenizes every doc once per shingle (measured 5.5s -> 2.6s at
-    // sf0.1 from this split alone)
-    val grams = df
-      .select(col(srcCol).as("src"),
-        TextAnalysis.tokens(col(textCol)).as("__toks"))
-      .select(col("src"),
+    // sf0.1 from this split alone). hashed=true swaps the md5 composite
+    // for the native 8-byte xxhash64 shingle expression (the
+    // [[graft.ops.TextAnalysis.contamination]] trade: no gram strings
+    // materialized at all, 2^-64-family collision envelope, counts
+    // pinned equal by spec; strings stay the default so the oracle
+    // replays keys).
+    val tokd = df.select(col(srcCol).as("src"),
+      TextAnalysis.tokens(col(textCol)).as("__toks"))
+    val gramKey: Column =
+      if (hashed)
+        explode(array_distinct(graft.functions.ShingleFunctions
+          .shingle_hashes(col("__toks"), n)))
+      else
         explode(array_distinct(transform(
           transform(shingles(col("__toks"), n),
             g => md5(g.cast("binary"))),
           h => struct(
             conv(substring(h, 1, 15), 16, 10).cast("long").as("h1"),
             conv(substring(h, 16, 15), 16, 10).cast("long").as("h2")))))
-          .as("gk"))
-      .distinct()
+    val grams = tokd.select(col("src"), gramKey.as("gk")).distinct()
     val sizes = grams.groupBy(col("src")).agg(count(lit(1)).as("n"))
     val inter = grams.as("a").join(grams.as("b"),
         col("a.gk") === col("b.gk") && col("a.src") < col("b.src"))

@@ -77,6 +77,35 @@ object Similarity {
     topKPerQuery(scored, qidCol, idCol, k, queries)
   }
 
+  /** Element-wise mean pooling of a vector column per group — the
+    * standard chunk-embeddings -> document-embedding (or token ->
+    * sentence) reduction in retrieval pipelines: embed bounded chunks,
+    * mean-pool to one vector per document. Emits narrow (group, pos,
+    * v) rows — the join-able long form; [[assemblePooled]] folds them
+    * back to arrays when a vector column is needed.
+    *
+    * Scale shape: ONE posexplode to (group, pos, value) narrow rows and
+    * ONE (group, pos)-keyed aggregate with map-side partial combine —
+    * the exchange carries (8+4+8)-byte rows bounded by groups x dim,
+    * never the raw vectors; no window, no collect. Values rounded 6dp
+    * (cross-engine float determinism). Ragged inputs are legal: each
+    * position averages over the vectors that HAVE it (pad upstream if
+    * strict-length semantics are needed). */
+  def meanPoolVectors(df: DataFrame, groupCol: String, vecCol: String)
+      : DataFrame =
+    df.select(col(groupCol).as("group_id"),
+        posexplode(col(vecCol)).as(Seq("pos", "__v")))
+      .groupBy(col("group_id"), col("pos"))
+      .agg(round(avg(col("__v").cast("double")), 6).as("v"))
+
+  /** (group, pos, v) long form -> (group, vector) — a dim-bounded
+    * collect_list per group. */
+  def assemblePooled(pooled: DataFrame): DataFrame =
+    pooled.groupBy(col("group_id"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("pos"), col("v")))),
+        s => s.getField("v")).as("pooled"))
+
   /** Hard-negative mining for embedding/retrieval training (the DPR /
     * Contriever recipe): for each query, the top-k most-similar corpus
     * vectors EXCLUDING its known positives — the near-misses that

@@ -1568,7 +1568,15 @@ object ExtensionQueries {
     "x98_contrastive_pairs" -> ((s, dir) =>
       TextAnalysis.contrastivePairs(t(s, dir, "documents"), "doc_id",
           "text", chunkTokens = 32)
-        .orderBy(col("doc_id"), col("pair_id"))))
+        .orderBy(col("doc_id"), col("pair_id"))),
+
+    // Mean-pooled class centroids over the embeddings table (label plays
+    // the document; vectors play its chunks) — long-form output so every
+    // pooled value is hash-compared
+    "x99_vector_pool" -> ((s, dir) =>
+      Similarity.meanPoolVectors(t(s, dir, "embeddings"), "label",
+          "embedding")
+        .orderBy(col("group_id"), col("pos"))))
 
   /** Planted separable classification fixture for x88/x90: each doc
     * truncated to its first 12 tokens plus a 4x-repeated class marker.
@@ -2873,6 +2881,12 @@ object ExtensionQueries {
         |  FROM messy)
         |SELECT doc_id, repaired, (repaired <> text) AS changed
         |FROM r ORDER BY doc_id""".stripMargin,
+
+    "x99_vector_pool" ->
+      """SELECT label AS group_id, CAST(i - 1 AS INT) AS pos,
+        |  ROUND(avg(CAST(embedding[i] AS DOUBLE)), 6) AS v
+        |FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS u(i)
+        |GROUP BY 1, 2 ORDER BY group_id, pos""".stripMargin,
 
     "x98_contrastive_pairs" ->
       """WITH tok AS (

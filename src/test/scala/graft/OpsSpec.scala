@@ -522,6 +522,12 @@ class DedupSpec extends SparkSpec {
       .map(r => (r._1, r._2) -> r._3).toMap
     assert(math.abs(est(("A", "B")) - 0.333333) < 0.17, est)
     assert(est(("A", "C")) < 0.17, est)
+    // the 8-byte xxhash64 fast path lands on the identical frame
+    val hashedOut = Dedup.sourceOverlap(docs, "source", "text", n = 3,
+        hashed = true)
+      .as[(String, String, Long, Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5, r._6))).toMap
+    assert(hashedOut == out, (hashedOut, out))
   }
 
   test("source-signature store: incremental ingest == batch; replay/order idempotent; crash-safe") {
@@ -978,6 +984,21 @@ class SimilaritySpec extends SparkSpec {
         "vec_id", "embedding", "query_id", k = 3, nprobe = 8)
       .filter($"vec_id" === 10).count()
     assert(hits == 1L, "re-appended id must be live after compaction")
+  }
+
+  test("meanPoolVectors: per-position means, ragged positions, assemble round trip") {
+    val df = Seq(
+      ("A", Seq(1.0f, 2.0f)), ("A", Seq(3.0f, 4.0f)),
+      ("B", Seq(1.0f)), ("B", Seq(3.0f, 5.0f))   // ragged: pos 1 has ONE vector
+    ).toDF("grp", "vec")
+    val pooled = graft.ops.Similarity.meanPoolVectors(df, "grp", "vec")
+    val rows = pooled.as[(String, Int, Double)].collect().toSet
+    assert(rows == Set(
+      ("A", 0, 2.0), ("A", 1, 3.0),
+      ("B", 0, 2.0), ("B", 1, 5.0)), rows)
+    val asm = graft.ops.Similarity.assemblePooled(pooled)
+      .as[(String, Seq[Double])].collect().toMap
+    assert(asm == Map("A" -> Seq(2.0, 3.0), "B" -> Seq(2.0, 5.0)), asm)
   }
 
   test("hardNegatives: positives never surface, k is filled, ranks match filter-then-rank") {
