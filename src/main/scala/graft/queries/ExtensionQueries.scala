@@ -1576,7 +1576,21 @@ object ExtensionQueries {
     "x99_vector_pool" -> ((s, dir) =>
       Similarity.meanPoolVectors(t(s, dir, "embeddings"), "label",
           "embedding")
-        .orderBy(col("group_id"), col("pos"))))
+        .orderBy(col("group_id"), col("pos"))),
+
+    // Per-source percentile calibration of the quality score — "drop
+    // every source's bottom 20%" instead of one global cutoff; ties on
+    // score share a percent_rank so the keep flag is deterministic
+    "x100_percentile_norm" -> ((s, dir) => {
+      val scored = TextAnalysis.qualityMetrics(
+        t(s, dir, "documents").select(col("doc_id"), col("source"),
+          col("text")))
+      graft.ops.Sampling.perSourcePercentile(scored, "source",
+          "quality_score")
+        .select(col("doc_id"), col("source"), col("quality_score"),
+          col("pct"), (col("pct") >= 0.2).as("keep"))
+        .orderBy(col("doc_id"))
+    }))
 
   /** Planted separable classification fixture for x88/x90: each doc
     * truncated to its first 12 tokens plus a 4x-repeated class marker.
@@ -3707,5 +3721,17 @@ object ExtensionQueries {
          |  ROUND(avg(r.repetition), 6) AS mean_repetition
          |FROM documents d JOIN q USING (doc_id) JOIN k USING (doc_id)
          |  JOIN r USING (doc_id)
-         |GROUP BY 1""".stripMargin)
+         |GROUP BY 1""".stripMargin) +
+    ("x100_percentile_norm" ->
+      s"""WITH q AS (${oracleBase("x03_text_quality")}),
+         |j AS (
+         |  SELECT d.doc_id, d.source, q.quality_score
+         |  FROM q JOIN documents d USING (doc_id)),
+         |p AS (
+         |  SELECT doc_id, source, quality_score,
+         |    ROUND(percent_rank() OVER (
+         |      PARTITION BY source ORDER BY quality_score), 6) AS pct
+         |  FROM j)
+         |SELECT doc_id, source, quality_score, pct, (pct >= 0.2) AS keep
+         |FROM p ORDER BY doc_id""".stripMargin)
 }

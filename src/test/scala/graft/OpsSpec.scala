@@ -1092,6 +1092,21 @@ class SamplingSpec extends SparkSpec {
   import spark.implicits._
   import org.apache.spark.sql.functions._
 
+  test("perSourcePercentile: per-source ranks, tie sharing, single-row source pins 0") {
+    val df = Seq(
+      ("A", 1L, 0.1), ("A", 2L, 0.5), ("A", 3L, 0.5), ("A", 4L, 0.9),
+      ("B", 5L, 0.99) // single-row source: percent_rank's degenerate 0.0
+    ).toDF("src", "id", "score")
+    val out = graft.ops.Sampling.perSourcePercentile(df, "src", "score")
+      .select("id", "pct").as[(Long, Double)].collect().toMap
+    assert(out == Map(1L -> 0.0, 2L -> 0.333333, 3L -> 0.333333,
+      4L -> 1.0, 5L -> 0.0), out)
+    // the window exchanges on the source key only — never a global sort
+    val plan = graft.ops.Sampling.perSourcePercentile(df, "src", "score")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("rangepartitioning"), plan)
+  }
+
   test("hash sampling is deterministic and rate-accurate; mod sampling is exact") {
     val df = (0L until 10000L).toDF("id")
     val half = graft.ops.Sampling
