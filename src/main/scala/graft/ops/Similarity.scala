@@ -77,6 +77,36 @@ object Similarity {
     topKPerQuery(scored, qidCol, idCol, k, queries)
   }
 
+  /** Embedding-table health check — the QA readout run before any
+    * vector index is built or refreshed: per-group (source, label,
+    * model version…) L2-norm mean/stddev, zero-vector and non-finite
+    * counts, and the dimension spread. What it catches: embedding
+    * COLLAPSE (norm stddev crashing toward 0 — every text mapping to
+    * one point), a half-failed encoder deploy (zero or NaN vectors from
+    * the broken replica), and silent dimension drift after a model swap
+    * (mixed dims in one table break every dot product downstream).
+    *
+    * Map-only per-row norm/dim expressions into ONE group-keyed
+    * aggregate — no explode, vectors never shuffle (the aggregate
+    * carries a handful of doubles per group). 6dp rounding; stddev is
+    * the sample form (stddev_samp), pinned by the oracle. */
+  def embeddingHealth(df: DataFrame, groupCol: String, vecCol: String)
+      : DataFrame = {
+    val norm = sqrt(aggregate(col(vecCol), lit(0.0d),
+      (acc, x) => acc + x.cast("double") * x.cast("double")))
+    val finite = forall(col(vecCol),
+      x => not(isnan(x.cast("double"))) && !x.cast("double").isNull)
+    df.select(col(groupCol).as("group_id"), norm.as("__n"),
+        size(col(vecCol)).as("__d"), finite.as("__f"))
+      .groupBy(col("group_id"))
+      .agg(count(lit(1)).as("n_vectors"),
+        round(avg(col("__n")), 6).as("norm_mean"),
+        round(stddev_samp(col("__n")), 6).as("norm_std"),
+        sum(when(col("__n") === 0, 1L).otherwise(0L)).as("n_zero"),
+        sum(when(!col("__f"), 1L).otherwise(0L)).as("n_nonfinite"),
+        min(col("__d")).as("dim_min"), max(col("__d")).as("dim_max"))
+  }
+
   /** Element-wise mean pooling of a vector column per group — the
     * standard chunk-embeddings -> document-embedding (or token ->
     * sentence) reduction in retrieval pipelines: embed bounded chunks,

@@ -1590,6 +1590,18 @@ object ExtensionQueries {
         .select(col("doc_id"), col("source"), col("quality_score"),
           col("pct"), (col("pct") >= 0.2).as("keep"))
         .orderBy(col("doc_id"))
+    }),
+
+    // Embedding-table health: per-label norm distribution + zero/
+    // non-finite counts + dim spread, with a planted zero vector (every
+    // 100th) so the broken-encoder branch is live
+    "x101_embedding_health" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings").select(col("label"),
+        when(col("vec_id") % 100 === 0,
+          transform(col("embedding"), _ => lit(0.0f)))
+          .otherwise(col("embedding")).as("embedding"))
+      Similarity.embeddingHealth(emb, "label", "embedding")
+        .orderBy(col("group_id"))
     }))
 
   /** Planted separable classification fixture for x88/x90: each doc
@@ -2895,6 +2907,29 @@ object ExtensionQueries {
         |  FROM messy)
         |SELECT doc_id, repaired, (repaired <> text) AS changed
         |FROM r ORDER BY doc_id""".stripMargin,
+
+    "x101_embedding_health" ->
+      """WITH emb AS (
+        |  SELECT label,
+        |    CASE WHEN vec_id % 100 = 0
+        |      THEN list_transform(embedding, x -> CAST(0.0 AS FLOAT))
+        |      ELSE embedding END AS embedding
+        |  FROM embeddings),
+        |n AS (
+        |  SELECT label,
+        |    sqrt(list_sum(list_transform(embedding,
+        |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm,
+        |    len(embedding) AS d,
+        |    len(list_filter(embedding, x -> isnan(CAST(x AS DOUBLE))
+        |      OR x IS NULL)) = 0 AS finite
+        |  FROM emb)
+        |SELECT label AS group_id, count(*) AS n_vectors,
+        |  ROUND(avg(nrm), 6) AS norm_mean,
+        |  ROUND(stddev_samp(nrm), 6) AS norm_std,
+        |  CAST(sum(CASE WHEN nrm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
+        |  CAST(sum(CASE WHEN NOT finite THEN 1 ELSE 0 END) AS BIGINT) AS n_nonfinite,
+        |  CAST(min(d) AS INT) AS dim_min, CAST(max(d) AS INT) AS dim_max
+        |FROM n GROUP BY 1 ORDER BY group_id""".stripMargin,
 
     "x99_vector_pool" ->
       """SELECT label AS group_id, CAST(i - 1 AS INT) AS pos,

@@ -118,4 +118,44 @@ class CorpusPropertiesSpec extends SparkSpec {
       assert(full.values.toSeq.sorted == mix.map(_.toLong).sorted, s"mix $mix counts")
     }
   }
+
+  test("property: pairMetrics equals a driver-side reference on adversarial pair grids") {
+    // deterministic LCG pair soup: duplicates, reversals, self-pairs,
+    // disjoint and overlapping predicted/truth — the reference computes
+    // canonicalized-set P/R/F1 independently of the operator's plan
+    def lcgPairs(seed: Long, count: Int, idSpace: Long): Seq[(Long, Long)] = {
+      var s = seed
+      def next(): Long = { s = s * 6364136223846793005L + 1442695040888963407L; s }
+      (0 until count).map { _ =>
+        (math.floorMod(next(), idSpace), math.floorMod(next(), idSpace))
+      }
+    }
+    val grids = Seq(
+      (lcgPairs(1, 0, 10), lcgPairs(2, 30, 10)),   // empty predicted
+      (lcgPairs(3, 30, 10), lcgPairs(4, 0, 10)),   // empty truth
+      (lcgPairs(5, 50, 8), lcgPairs(6, 50, 8)),    // dense overlap, many dups
+      (lcgPairs(7, 40, 1000), lcgPairs(8, 40, 1000)), // sparse, mostly disjoint
+      (lcgPairs(9, 200, 15), lcgPairs(10, 7, 15)))    // pred >> truth
+    grids.zipWithIndex.foreach { case ((p, t), g) =>
+      def canon(xs: Seq[(Long, Long)]) = xs
+        .map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+        .filter { case (a, b) => a != b }.toSet
+      val (cp, ct) = (canon(p), canon(t))
+      val hit = cp.intersect(ct).size
+      val prec = if (cp.isEmpty) 0.0 else hit.toDouble / cp.size
+      val rec = if (ct.isEmpty) 0.0 else hit.toDouble / ct.size
+      def r6(v: Double) =
+        BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val f1 = if (prec + rec == 0) 0.0 else 2 * prec * rec / (prec + rec)
+      val got = Dedup.pairMetrics(
+          if (p.isEmpty) Seq((0L, 0L)).toDF("id_a", "id_b").filter(lit(false))
+          else p.toDF("id_a", "id_b"),
+          if (t.isEmpty) Seq((0L, 0L)).toDF("id_a", "id_b").filter(lit(false))
+          else t.toDF("id_a", "id_b"),
+          "id_a", "id_b")
+        .as[(Long, Long, Long, Double, Double, Double)].head()
+      assert(got == ((ct.size.toLong, cp.size.toLong, hit.toLong,
+        r6(prec), r6(rec), r6(f1))), s"grid $g: $got")
+    }
+  }
 }

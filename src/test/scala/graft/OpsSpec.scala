@@ -986,6 +986,28 @@ class SimilaritySpec extends SparkSpec {
     assert(hits == 1L, "re-appended id must be live after compaction")
   }
 
+  test("embeddingHealth: collapse, broken-encoder, and dim-drift signals all fire") {
+    val nan = Float.NaN
+    val df = Seq(
+      ("ok", Seq(3.0f, 4.0f)), ("ok", Seq(0.6f, 0.8f)),     // norms 5, 1
+      ("bad", Seq(0.0f, 0.0f)),                             // zero vector
+      ("bad", Seq(nan, 1.0f)),                              // non-finite
+      ("drift", Seq(1.0f)), ("drift", Seq(1.0f, 0.0f, 0.0f)) // mixed dims
+    ).toDF("grp", "vec")
+    val out = graft.ops.Similarity.embeddingHealth(df, "grp", "vec")
+      .as[(String, Long, Double, Double, Long, Long, Int, Int)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(out("ok") == (("ok", 2L, 3.0, 2.828427, 0L, 0L, 2, 2)), out("ok"))
+    val bad = out("bad")
+    assert(bad._5 == 1L && bad._6 == 1L, bad)   // one zero, one non-finite
+    assert(out("drift")._7 == 1 && out("drift")._8 == 3, out("drift"))
+    // vectors never shuffle: the only exchange carries the group aggregate
+    val plan = graft.ops.Similarity.embeddingHealth(df, "grp", "vec")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("vec#") ||
+      !"Exchange[^\\n]*vec#".r.findFirstIn(plan).isDefined, plan)
+  }
+
   test("meanPoolVectors: per-position means, ragged positions, assemble round trip") {
     val df = Seq(
       ("A", Seq(1.0f, 2.0f)), ("A", Seq(3.0f, 4.0f)),
