@@ -179,6 +179,26 @@ object AnnScaleSmoke {
           "cid", "cv", 0.95)
         .agg(sum(when(col("kept"), 0).otherwise(1))).head().getLong(0))
     println(s"[ann-scale] giant-cluster removed=$giantRemoved of 10000")
+    // r9: the retrieval-training and QA additions at the full corpus
+    time(s"embedding health ($n vectors, 16 groups)")(
+      graft.ops.Similarity.embeddingHealth(
+          corpus.withColumn("grp", pmod(col("vec_id"), lit(16))),
+          "grp", "embedding")
+        .agg(sum("n_zero"), avg("norm_mean")).head())
+    time(s"mean-pool ($n vectors -> 16 centroids)")(
+      graft.ops.Similarity.meanPoolVectors(
+          corpus.withColumn("grp", pmod(col("vec_id"), lit(16))),
+          "grp", "embedding")
+        .agg(count(lit(1)), avg("v")).head())
+    time("hard negatives (20 queries, 2 positives each)")({
+      val hq = corpus.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+      val hp = hq.select(col("query_id"), col("query_id").as("vec_id"))
+        .unionByName(hq.select(col("query_id"),
+          (col("query_id") + 7).as("vec_id")))
+      graft.ops.Similarity.hardNegatives(corpus, hq, hp, "vec_id",
+        "embedding", "query_id", k = 10).count()
+    })
     spark.stop()
   }
 }

@@ -166,6 +166,39 @@ object TextScaleSmoke {
     // (random text barely repeats its bigrams/trigrams)
     time("n-gram diversity (exact distinct, n=1..3)")(
       TextAnalysis.ngramDiversity(corpus, "lang", "text").count())
+    // r9 batch 2: the map-only rewrites at 1M docs — FIM, contrastive
+    // pairs, script profile, and the span MASK twin of repeated-span
+    // removal (same detection stages, mask rebuild instead of splice)
+    time("FIM transform (map-only)")(
+      TextAnalysis.fimTransform(corpus, "doc_id", "text", fimRate = 0.5)
+        .agg(sum(when(col("fim_applied"), 1).otherwise(0)),
+          sum(length(col("text_fim")))).head())
+    time("contrastive pairs (16-token chunks)")(
+      TextAnalysis.contrastivePairs(corpus, "doc_id", "text",
+          chunkTokens = 16)
+        .agg(count(lit(1)), sum(length(col("anchor")))).head())
+    time("script profile (map-only)")(
+      TextAnalysis.scriptProfile(corpus, "doc_id", "text")
+        .groupBy(col("main_script")).count().count())
+    time("repeated-span MASK (digest-keyed)")(
+      graft.ops.Dedup.repeatedSpanMask(
+          corpus.select(col("doc_id"),
+            concat(col("text"),
+              when(col("doc_id") % 4 === 0,
+                lit(" b0 b1 b2 b3 b4 b5 b6 b7")).otherwise(lit("")))
+              .as("text")),
+          "doc_id", "text", n = 5, minCount = 100, digestKeys = true)
+        .agg(sum("n_masked"), sum(length(col("mask")))).head())
+    time("source overlap (hashed keys, 8 sources)")(
+      graft.ops.Dedup.sourceOverlap(corpus, "lang", "text", n = 3,
+          hashed = true)
+        .agg(sum("n_inter"), count(lit(1))).head())
+    time("per-source percentile (8 source windows)")(
+      graft.ops.Sampling.perSourcePercentile(
+          corpus.select(col("doc_id"), col("lang"),
+            (xxhash64(col("doc_id")) % 1000).cast("double").as("score")),
+          "lang", "score")
+        .agg(avg("pct")).head())
     // r9: quality-gate TRAINING (x88) — 3 full-batch GD epochs over the
     // corpus with planted class markers; each epoch is ONE corpus-sized
     // explode+aggregate with the 1024-bucket model riding as a literal.
