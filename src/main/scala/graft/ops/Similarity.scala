@@ -339,6 +339,37 @@ object Similarity {
     topKPerQuery(scored, qidCol, idCol, k, queries)
   }
 
+  /** The SCALE path [[hardNegatives]]' scaladoc promises: LSH-bucketed
+    * candidate generation ([[lshKnnBatch]]'s bucket-join shape — the
+    * corpus never cross-joins the queries) with the positive-exclusion
+    * anti-join applied to the FULL same-bucket candidate set BEFORE the
+    * k-selection, so a high-ranking positive can never consume a top
+    * slot or under-fill k (no pre-truncation exists for it to survive).
+    * Same recall dial as [[lshKnnBatch]] (planes/multiProbe); judge a
+    * configuration with [[recallAtK]] against the exact
+    * [[hardNegatives]] before committing it. */
+  def hardNegativesApprox(df: DataFrame, queries: DataFrame,
+      positives: DataFrame, idCol: String, vecCol: String, qidCol: String,
+      k: Int, planes: Int = 8,
+      multiProbe: Boolean = true): DataFrame = {
+    val bucketed = df.withColumn("bucket", srpSignature(col(vecCol), planes))
+    val flips: Seq[Long] = 0L +: (0 until planes).map(b => 1L << b)
+    val probeBuckets: Column => Column = qb =>
+      if (!multiProbe) array(qb)
+      else array_distinct(array(flips.map(f => qb.bitwiseXOR(lit(f))): _*))
+    val q = queries
+      .withColumn("qbucket", srpSignature(col("qvec"), planes))
+      .withColumn("bucket", explode(probeBuckets(col("qbucket"))))
+      .select(col(qidCol), col("qvec"), col("bucket"))
+    val scored = bucketed.join(q, Seq("bucket"))
+      .withColumn("cosine_sim", round(cosine(col(vecCol), col("qvec")), 6))
+      .select(col(qidCol), col(idCol), col("cosine_sim"))
+    val pruned = scored.join(
+      broadcast(positives.select(col(qidCol), col(idCol))),
+      Seq(qidCol, idCol), "left_anti")
+    topKPerQuery(pruned, qidCol, idCol, k, queries)
+  }
+
   /** Recall@k — the retrieval-quality yardstick every approximate path
     * here ([[lshKnn]], [[projectRandom]]-space search, the IVF probes,
     * int8 rerank) is ultimately judged by: per query, the fraction of

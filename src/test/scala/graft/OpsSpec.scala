@@ -1051,6 +1051,34 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("hardNegativesApprox: positives excluded pre-selection, equals lsh-filter-then-rank") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = emb.filter($"vec_id" < 3)
+      .select($"vec_id".as("query_id"), $"embedding".as("qvec"))
+    val pos = q.select($"query_id", $"query_id".as("vec_id"))
+      .unionByName(q.select($"query_id", ($"query_id" + 7).as("vec_id")))
+    val rows = graft.ops.Similarity.hardNegativesApprox(emb, q, pos,
+        "vec_id", "embedding", "query_id", k = 10, planes = 4)
+      .as[(Long, Long, Double)].collect()
+    // the self-vector shares its own bucket by construction — exclusion
+    // is exercised for real, and never leaks
+    rows.foreach { case (qid, vid, _) =>
+      assert(vid != qid && vid != qid + 7, (qid, vid)) }
+    // reference: same-bucket candidates ranked after a manual positive
+    // filter — per query, via the single-query lshKnn on a pre-filtered
+    // corpus (multi-probe widens both paths identically)
+    (0L until 3L).foreach { qid =>
+      val ref = graft.ops.Similarity.lshKnn(
+          emb.filter($"vec_id" =!= qid && $"vec_id" =!= qid + 7),
+          emb.filter($"vec_id" === qid).select($"embedding".as("qvec")),
+          "vec_id", "embedding", 10, planes = 4)
+        .as[(Long, Double)].collect().toSeq
+      val got = rows.filter(_._1 == qid).sortBy(r => (-r._3, r._2))
+        .map(r => (r._2, r._3)).toSeq
+      assert(got == ref, s"query $qid")
+    }
+  }
+
   test("batched kNN equals N single-query calls (brute force, LSH, IVF)") {
     // the batch searchers are the production retrieval surface; this pins
     // each one to the corresponding single-query baseline over real vectors
