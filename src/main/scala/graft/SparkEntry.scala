@@ -64,6 +64,20 @@ import graft.queries.{ExtensionQueries, ParityQueries}
   *    cluster-scoped semantic dedup, global token-stream offsets,
   *    rare-n-gram document linking, iterative BPE merge learning, IVF
   *    tombstone-delete lifecycle (mask/compact)
+  *  - x70-x86: BPE encode, JL random projection, version token drift,
+  *    damped PageRank, weighted sampling, PMI collocations (corpus +
+  *    per-token), bigram-LM NLL, text normalization, BM25 top-k, Zipf
+  *    profile, HTML extraction, vocab-OOV coverage, Misra-Gries heavy
+  *    hitters, RRF fusion, recall@k evaluation, mojibake repair
+  *  - x87-x101: detector P/R/F1 evaluation, hashed-logreg quality-gate
+  *    TRAINING + the closed train-infer-gate loop, oracle-checked
+  *    multimodal media stats, hard-negative mining (exact + LSH scale
+  *    path), cross-source overlap audit (exact + persisted minhash
+  *    sketch store), fill-in-the-middle rewrite, n-gram diversity,
+  *    Unicode-script profile, repeated-span loss masking,
+  *    concat-and-chunk sequence map, contrastive pair generation,
+  *    mean-pool vector aggregation, per-source percentile calibration,
+  *    embedding-table health check
   */
 object SparkEntry {
 
