@@ -462,6 +462,45 @@ object IVF {
     promoteStaged(fs, root, stageRoot)
   }
 
+  /** Index-health statistics over the appendable layout — the nprobe /
+    * rebalance tuning readout. IVF recall and latency are both
+    * functions of the LIST SIZE DISTRIBUTION: a hot list makes every
+    * probe that touches it slow, empty lists waste nprobe budget, and a
+    * growing imbalance factor (max/mean) is the signal to re-train with
+    * more centroids ([[writeIndexAppendable]]'s rebuild contract) or
+    * [[compactVectors]] when dead rows dominate. One row per centroid
+    * id 0..nc-1 (EMPTY LISTS INCLUDED — they are the finding, not
+    * noise): n_live (search-visible), n_dead (physically present but
+    * tombstone-masked), n_shards (partition-dir fragmentation — the
+    * compaction trigger).
+    *
+    * Cost: metadata-shaped — one scan of the narrow (id, centroid_id,
+    * ingest_shard) columns with an nc-bounded aggregate; vectors never
+    * deserialize (columnar projection drops the embedding column at the
+    * reader). */
+  def indexStats(spark: org.apache.spark.sql.SparkSession, root: String,
+      idCol: String): DataFrame = {
+    val model = readModel(spark, root) // heals a crashed swap first
+    val vectors = spark.read.parquet(s"$root/vectors")
+      .select(col(idCol), col("centroid_id"), col("ingest_shard"))
+    val flagged = tombstoneFrame(spark, root) match {
+      case Some(t) => vectors.join(broadcast(t.select(col("tomb_id"))),
+        vectors(idCol) === col("tomb_id"), "left")
+        .withColumn("__dead", col("tomb_id").isNotNull)
+      case None => vectors.withColumn("__dead", lit(false))
+    }
+    val counts = flagged.groupBy(col("centroid_id"))
+      .agg(sum(when(!col("__dead"), 1L).otherwise(0L)).as("n_live"),
+        sum(when(col("__dead"), 1L).otherwise(0L)).as("n_dead"),
+        countDistinct(col("ingest_shard")).as("n_shards"))
+    spark.range(model.nc).select(col("id").cast("int").as("centroid_id"))
+      .join(counts, Seq("centroid_id"), "left")
+      .select(col("centroid_id"),
+        coalesce(col("n_live"), lit(0L)).as("n_live"),
+        coalesce(col("n_dead"), lit(0L)).as("n_dead"),
+        coalesce(col("n_shards"), lit(0L)).as("n_shards"))
+  }
+
   /** Batched ANN over the appendable index ([[writeIndexAppendable]] +
     * [[appendVectors]] output): probe semantics identical to
     * [[searchBatch]] (pinned by spec/oracle), prune lands as

@@ -1592,6 +1592,47 @@ object ExtensionQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // IVF index-health statistics across the append/delete/compact
+    // lifecycle (x69's boolean-invariant oracle convention): per-centroid
+    // live/dead/shard accounting verified against direct recomputes at
+    // each lifecycle step, plus the aggregate counts DuckDB CAN replay
+    "x102_index_stats" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val base = emb.filter(col("vec_id") % 5 =!= 0)
+      val model = IVF.train(base, "vec_id", "embedding", nc = 16, iters = 3)
+      val idx = ParityQueries.tmpPath("graft_ivf_stats", dir)
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(idx))
+      IVF.writeIndexAppendable(IVF.assign(base, "embedding", model), idx,
+        model, "base")
+      val s0 = IVF.indexStats(s, idx, "vec_id")
+      val rowPerCentroid = s0.count() == 16 &&
+        s0.agg(min("centroid_id"), max("centroid_id")).head() ==
+          org.apache.spark.sql.Row(0, 15)
+      val direct = IVF.assign(base, "embedding", model)
+        .groupBy("centroid_id").agg(count(lit(1)).as("n_live"))
+      val liveMatchesDirect = s0.filter(col("n_live") > 0)
+        .select("centroid_id", "n_live")
+        .exceptAll(direct).isEmpty
+      IVF.appendVectors(s, idx, emb.filter(col("vec_id") % 5 === 0),
+        "vec_id", "embedding", "s1")
+      IVF.deleteVectors(s, idx, emb.filter(col("vec_id") % 10 === 0),
+        "vec_id", "d1")
+      val s1 = IVF.indexStats(s, idx, "vec_id")
+      val agg1 = s1.agg(sum("n_live"), sum("n_dead")).head()
+      IVF.compactVectors(s, idx, "vec_id", "c1")
+      val s2 = IVF.indexStats(s, idx, "vec_id")
+      val compacted = s2.agg(sum("n_dead")).head().getLong(0) == 0L &&
+        s2.filter(col("n_live") > 0 && col("n_shards") =!= 1).count() == 0L
+      emb.agg(count(lit(1)).as("n_vectors"),
+          sum(when(col("vec_id") % 10 === 0, 1).otherwise(0)).cast("long")
+            .as("n_deleted"))
+        .withColumn("n_live_after_delete", lit(agg1.getLong(0)))
+        .withColumn("n_dead_after_delete", lit(agg1.getLong(1)))
+        .withColumn("row_per_centroid", lit(rowPerCentroid))
+        .withColumn("live_matches_direct", lit(liveMatchesDirect))
+        .withColumn("compact_reclaims_and_collapses", lit(compacted))
+    }),
+
     // Embedding-table health: per-label norm distribution + zero/
     // non-finite counts + dim spread, with a planted zero vector (every
     // 100th) so the broken-encoder branch is live
@@ -2907,6 +2948,19 @@ object ExtensionQueries {
         |  FROM messy)
         |SELECT doc_id, repaired, (repaired <> text) AS changed
         |FROM r ORDER BY doc_id""".stripMargin,
+
+    "x102_index_stats" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_vectors,
+        |  CAST(sum(CASE WHEN vec_id % 10 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_deleted,
+        |  CAST(count(*) - sum(CASE WHEN vec_id % 10 = 0 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_live_after_delete,
+        |  CAST(sum(CASE WHEN vec_id % 10 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_dead_after_delete,
+        |  TRUE AS row_per_centroid,
+        |  TRUE AS live_matches_direct,
+        |  TRUE AS compact_reclaims_and_collapses
+        |FROM embeddings""".stripMargin,
 
     "x101_embedding_health" ->
       """WITH emb AS (

@@ -951,6 +951,42 @@ class SimilaritySpec extends SparkSpec {
     assert(viaIndex == ref2, "reader must restore the retired generation")
   }
 
+  test("indexStats: live/dead/shard accounting across the append-delete-compact lifecycle") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val model = graft.ops.IVF.train(emb, "vec_id", "embedding", nc = 8, iters = 2)
+    val root = java.nio.file.Files.createTempDirectory("ivf_stats")
+      .toString + "/idx"
+    val base = emb.filter($"vec_id" % 5 =!= 0)
+    graft.ops.IVF.writeIndexAppendable(
+      graft.ops.IVF.assign(base, "embedding", model), root, model, "base")
+    def stats = graft.ops.IVF.indexStats(spark, root, "vec_id")
+      .as[(Int, Long, Long, Long)].collect().sortBy(_._1)
+    // one row per centroid, totals match the ingested corpus, no dead rows
+    val s0 = stats
+    assert(s0.map(_._1).toSeq == (0 until 8), s0.toSeq)
+    assert(s0.map(_._2).sum == base.count() && s0.forall(_._3 == 0L))
+    // per-centroid live counts equal a direct recompute from assign()
+    val direct = graft.ops.IVF.assign(base, "embedding", model)
+      .groupBy("centroid_id").count()
+      .as[(Int, Long)].collect().toMap
+    s0.foreach { case (cid, live, _, _) =>
+      assert(live == direct.getOrElse(cid, 0L), cid) }
+    // append a shard -> shard counts rise; delete -> rows move live->dead
+    graft.ops.IVF.appendVectors(spark, root,
+      emb.filter($"vec_id" % 5 === 0), "vec_id", "embedding", "s1")
+    val doomed = emb.filter($"vec_id" % 10 === 0)
+    graft.ops.IVF.deleteVectors(spark, root, doomed, "vec_id", "d1")
+    val s1 = stats
+    assert(s1.map(_._2).sum == emb.count() - doomed.count(), s1.toSeq)
+    assert(s1.map(_._3).sum == doomed.count(), s1.toSeq)
+    // compaction reclaims the dead rows and collapses shard dirs
+    graft.ops.IVF.compactVectors(spark, root, "vec_id", "c1")
+    val s2 = stats
+    assert(s2.map(_._2).sum == emb.count() - doomed.count(), s2.toSeq)
+    assert(s2.forall(_._3 == 0L), s2.toSeq)
+    assert(s2.filter(_._2 > 0).forall(_._4 == 1L), s2.toSeq)
+  }
+
   test("appendVectors refuses tombstoned ids; compaction unblocks re-ingest") {
     // the mask is keyed on id alone, so a re-appended replacement for a
     // tombstoned id would be silently invisible to every search until
