@@ -2063,6 +2063,29 @@ class TextAnalysisSpec extends SparkSpec {
       .select($"doc_id", $"text", $"fim_applied", $"text_fim")
       .as[(Long, String, Boolean, String)].collect()
     assert(out.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
+    // short-doc grid (the corpus never exercises len 0..3): fimRate=1
+    // forces the transform; reconstruction must hold down to one token,
+    // and the empty doc must pass through untransformed
+    val shorts = Seq((1L, ""), (2L, "a"), (3L, "a b"), (4L, "a b c"))
+      .toDF("doc_id", "text")
+    val sOut = TextAnalysis.fimTransform(shorts, "doc_id", "text",
+        fimRate = 1.0)
+      .select($"doc_id", $"text", $"fim_applied", $"text_fim")
+      .as[(Long, String, Boolean, String)].collect()
+    sOut.foreach { case (id, text, applied, fim) =>
+      if (id == 1L) assert(!applied && fim == "", id)
+      else {
+        assert(applied, id)
+        val sufAt = fim.indexOf(" <fim_suffix> ")
+        val midAt = fim.indexOf(" <fim_middle> ")
+        val p = fim.substring("<fim_prefix> ".length, sufAt)
+        val sEnd = fim.substring(sufAt + " <fim_suffix> ".length, midAt)
+        val m = fim.substring(midAt + " <fim_middle> ".length)
+        val rebuilt = s"$p $m $sEnd".trim.split("\\s+")
+          .filter(_.nonEmpty).toSeq
+        assert(rebuilt == text.split(" ").toSeq, (id, fim))
+      }
+    }
   }
 
   test("trainHashedLogReg: loss strictly decreases, gate separates the planted classes") {
@@ -2162,8 +2185,11 @@ class TextAnalysisSpec extends SparkSpec {
 
   test("sequenceAssignments: hand-traced incidences, conservation, full interior sequences") {
     // L=4, one shard: d1 c=3 (o=0), d2 c=5 (o=3) -> d2 spans the seq0/seq1
-    // cut: 1 token in seq0 at position 3, 4 tokens fill seq1
-    val df = Seq((1L, "a", 3), (2L, "a", 5)).toDF("doc_id", "shard", "n")
+    // cut: 1 token in seq0 at position 3, 4 tokens fill seq1; the
+    // zero-token doc occupies no sequence and must not shift offsets
+    // (it contributes 0 to the prefix sum)
+    val df = Seq((1L, "a", 3), (2L, "a", 5), (0L, "a", 0))
+      .toDF("doc_id", "shard", "n")
     val out = graft.ops.Packing.sequenceAssignments(df, "shard", "doc_id",
         "n", seqLen = 4L)
       .select("doc_id", "seq_id", "doc_start", "start_in_seq", "n_toks")
