@@ -125,6 +125,37 @@ object Sampling {
         .otherwise("test"))
   }
 
+  /** Leakage-safe train/val/test split — near-duplicate CLUSTERS are
+    * the split unit, so two near-copies can never land on opposite
+    * sides of the train/eval boundary. Splitting on raw doc identity
+    * (or content hash) puts a document's near-duplicate in the training
+    * set while the document itself sits in eval — the held-out metric
+    * silently becomes a memorization probe (the split-leakage failure
+    * mode the dedup literature warns about; the reason dedup runs
+    * BEFORE splitting in every serious pipeline, and the safety net
+    * when some near-dups survive it).
+    *
+    * `labels` is an (id, cluster_id) frame from
+    * [[graft.ops.Dedup.resolveClusters]] — pair participants only;
+    * docs without a label are singletons keyed by their own id. The
+    * split decision is [[contentHashSplit]]'s md5 nibble over the
+    * CLUSTER key — deterministic, engine-portable, and identical for
+    * every member of a cluster by construction.
+    *
+    * Scale shape: one id-keyed left join of the (8+8)-byte label frame
+    * (pair-participant-sized — orders of magnitude below corpus) plus
+    * the map-only md5 bucket; no window, no second shuffle. */
+  def leakageSafeSplit(df: DataFrame, idCol: String, labels: DataFrame,
+      trainBuckets: Int = 14, valBuckets: Int = 1): DataFrame = {
+    val lab = labels.select(col("id").as(idCol), col("cluster_id"))
+    val keyed = df.join(lab, Seq(idCol), "left")
+      .withColumn("cluster_key",
+        coalesce(col("cluster_id"), col(idCol)).cast("string"))
+      .drop("cluster_id")
+    contentHashSplit(keyed.withColumn("__ck", col("cluster_key")),
+      "__ck", trainBuckets, valBuckets).drop("__ck")
+  }
+
   /** Quality-curriculum sampling: bucket rows by EXACT score quantiles —
     * cut points at i/n for n = `rates.length` — and keep each bucket at
     * its own rate (the data-mixing move when the training recipe wants

@@ -1592,6 +1592,22 @@ object ExtensionQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Leakage-safe split: near-dup clusters (x26's oracle-checked chain
+    // fixture — doc <-> +10000 <-> +20000 connected only transitively)
+    // are the split unit; every member of a 3-chain must land on ONE
+    // side, singletons split by their own id
+    "x103_leakage_safe_split" -> ((s, dir) => {
+      val (corpus, cand) = chainCorpusAndCands(t(s, dir, "documents"))
+      val pairs = Dedup.ngramJaccard(cand, corpus, "doc_id", "text", n = 3)
+        .filter(col("jaccard") >= 0.5)
+        .select(col("id_a"), col("id_b"))
+      val labels = Dedup.resolveClusters(pairs)
+      graft.ops.Sampling.leakageSafeSplit(corpus.select(col("doc_id")),
+          "doc_id", labels, trainBuckets = 12, valBuckets = 2)
+        .select(col("doc_id"), col("cluster_key"), col("split"))
+        .orderBy(col("doc_id"))
+    }),
+
     // IVF index-health statistics across the append/delete/compact
     // lifecycle (x69's boolean-invariant oracle convention): per-centroid
     // live/dead/shard accounting verified against direct recomputes at
@@ -1856,6 +1872,56 @@ object ExtensionQueries {
         |  UNION
         |  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id)
         |SELECT id, min(r) AS cluster_id FROM reach GROUP BY id""".stripMargin,
+
+    // x103: the x26 recursive-CTE oracle extended with the singleton
+    // coalesce + md5-nibble split tail (the x56 extension precedent)
+    "x103_leakage_safe_split" ->
+      """WITH RECURSIVE tok AS (
+        |  SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), x -> len(x) > 0) AS toks
+        |  FROM documents),
+        |corpus AS (
+        |  SELECT doc_id, toks FROM tok
+        |  UNION ALL
+        |  SELECT doc_id + 10000, list_slice(toks, 1, CAST(floor(len(toks) * 0.8) AS INT))
+        |  FROM tok WHERE doc_id < 50
+        |  UNION ALL
+        |  SELECT doc_id + 20000, list_slice(toks, 1, CAST(floor(len(toks) * 0.6) AS INT))
+        |  FROM tok WHERE doc_id < 50),
+        |sh AS (
+        |  SELECT doc_id, list_distinct(
+        |    CASE WHEN len(toks) <= 3 THEN [array_to_string(toks, ' ')]
+        |      ELSE list_transform(range(0, len(toks) - 2),
+        |        i -> array_to_string(list_slice(toks, i + 1, i + 3), ' ')) END) AS shset
+        |  FROM corpus),
+        |cand AS (
+        |  SELECT doc_id AS id_a, doc_id + 10000 AS id_b FROM documents WHERE doc_id < 50
+        |  UNION ALL
+        |  SELECT doc_id + 10000, doc_id + 20000 FROM documents WHERE doc_id < 50),
+        |pairs AS (
+        |  SELECT c.id_a, c.id_b
+        |  FROM cand c JOIN sh a ON a.doc_id = c.id_a JOIN sh b ON b.doc_id = c.id_b
+        |  WHERE ROUND(CAST(len(list_intersect(a.shset, b.shset)) AS DOUBLE) /
+        |          len(list_distinct(list_concat(a.shset, b.shset))), 6) >= 0.5),
+        |edges AS (
+        |  SELECT id_a AS src, id_b AS dst FROM pairs
+        |  UNION SELECT id_b, id_a FROM pairs),
+        |reach(id, r) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id),
+        |lab AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id),
+        |k AS (
+        |  SELECT c.doc_id,
+        |    CAST(coalesce(l.cluster_id, c.doc_id) AS VARCHAR) AS cluster_key
+        |  FROM corpus c LEFT JOIN lab l ON l.id = c.doc_id),
+        |b AS (
+        |  SELECT doc_id, cluster_key,
+        |    CAST(('0x' || substring(md5(cluster_key), 32, 1)) AS BIGINT) AS bkt
+        |  FROM k)
+        |SELECT doc_id, cluster_key,
+        |  CASE WHEN bkt < 12 THEN 'train' WHEN bkt < 14 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM b ORDER BY doc_id""".stripMargin,
 
     // x56: the x26 oracle extended with the corpus length join + per-
     // cluster aggregation (original rows use raw text length; the

@@ -1178,6 +1178,43 @@ class SamplingSpec extends SparkSpec {
   import spark.implicits._
   import org.apache.spark.sql.functions._
 
+  test("leakageSafeSplit: clusters never straddle splits; naive id-split provably leaks") {
+    import graft.ops.{Dedup, TextAnalysis}
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val toks = TextAnalysis.tokens(col("text"))
+    // the x26 3-chain fixture: doc <-> +10000 <-> +20000
+    val corpus = docs.select($"doc_id", $"text")
+      .unionByName(docs.filter($"doc_id" < 50).select(($"doc_id" + 10000).as("doc_id"),
+        concat_ws(" ", slice(toks, lit(1), (size(toks) * 0.8).cast("int"))).as("text")))
+      .unionByName(docs.filter($"doc_id" < 50).select(($"doc_id" + 20000).as("doc_id"),
+        concat_ws(" ", slice(toks, lit(1), (size(toks) * 0.6).cast("int"))).as("text")))
+    val cand = docs.filter($"doc_id" < 50)
+      .select($"doc_id".as("id_a"), ($"doc_id" + 10000).as("id_b"))
+      .unionByName(docs.filter($"doc_id" < 50)
+        .select(($"doc_id" + 10000).as("id_a"), ($"doc_id" + 20000).as("id_b")))
+    val labels = Dedup.resolveClusters(
+      Dedup.ngramJaccard(cand, corpus, "doc_id", "text", n = 3)
+        .filter($"jaccard" >= 0.5).select($"id_a", $"id_b"))
+    val out = graft.ops.Sampling.leakageSafeSplit(
+      corpus.select($"doc_id"), "doc_id", labels,
+      trainBuckets = 12, valBuckets = 2)
+    // THE invariant: no cluster contributes to two splits
+    val straddling = out.groupBy("cluster_key")
+      .agg(countDistinct("split").as("n")).filter($"n" > 1).count()
+    assert(straddling == 0L)
+    // all three splits are populated and singletons are present
+    assert(out.select("split").distinct().count() == 3)
+    assert(out.filter($"cluster_key" === $"doc_id".cast("string")).count() > 0)
+    // counterfactual: the naive content/id hash split DOES tear clusters
+    // apart — the leakage this operator exists to prevent is real on
+    // this very fixture, not hypothetical
+    val naive = graft.ops.Sampling.contentHashSplit(
+        out.withColumn("__k", $"doc_id".cast("string")), "__k", 12, 2)
+      .groupBy("cluster_key").agg(countDistinct("split").as("n"))
+      .filter($"n" > 1).count()
+    assert(naive > 0L, "fixture must demonstrate the naive-split leak")
+  }
+
   test("perSourcePercentile: per-source ranks, tie sharing, single-row source pins 0") {
     val df = Seq(
       ("A", 1L, 0.1), ("A", 2L, 0.5), ("A", 3L, 0.5), ("A", 4L, 0.9),
