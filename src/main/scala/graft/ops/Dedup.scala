@@ -704,13 +704,24 @@ object Dedup {
         col("__best.csim").as("centroid_sim"))
       .persist()
     if (maxClusterSize > 0) {
-      val top = assigned.groupBy(col("cluster_id"))
-        .agg(count(lit(1)).as("__n")).orderBy(col("__n").desc).head()
-      require(top.getLong(1) <= maxClusterSize,
-        s"semanticDedup: cluster ${top.getLong(0)} holds ${top.getLong(1)} " +
-        s"vectors (maxClusterSize=$maxClusterSize); the within-cluster " +
-        "compare is quadratic in cluster size — re-train with more " +
-        "centroids or shard the hot cluster upstream before dedup")
+      // headOption, not head(): an empty input frame has no top cluster
+      // and must pass through cleanly (empty output), not throw
+      // NoSuchElementException. When the guard DOES fire, unpersist the
+      // just-cached assignment first — the caller never receives the
+      // frame, so nothing else can release it.
+      assigned.groupBy(col("cluster_id"))
+        .agg(count(lit(1)).as("__n")).orderBy(col("__n").desc)
+        .limit(1).collect().headOption.foreach { top =>
+          if (top.getLong(1) > maxClusterSize) {
+            assigned.unpersist()
+            throw new IllegalArgumentException(
+              s"requirement failed: semanticDedup: cluster " +
+              s"${top.getLong(0)} holds ${top.getLong(1)} " +
+              s"vectors (maxClusterSize=$maxClusterSize); the within-cluster " +
+              "compare is quadratic in cluster size — re-train with more " +
+              "centroids or shard the hot cluster upstream before dedup")
+          }
+        }
     }
     val a = assigned.select(col(idCol).as("id_a"), col("cluster_id"),
       col(vecCol).as("__va"), col("centroid_sim").as("__ca"))

@@ -484,7 +484,15 @@ object IVF {
     val vectors = spark.read.parquet(s"$root/vectors")
       .select(col(idCol), col("centroid_id"), col("ingest_shard"))
     val flagged = tombstoneFrame(spark, root) match {
-      case Some(t) => vectors.join(broadcast(t.select(col("tomb_id"))),
+      // distinct BEFORE the left join: deleteVectors dedupes tomb_id only
+      // within one call, so an id tombstoned by two delete shards (e.g.
+      // overlapping GDPR batches) appears twice in the raw frame and a
+      // non-distinct left join would double-count it into n_dead — the
+      // silent-misreport mode this readout exists to catch. The search/
+      // append paths are anti/semi joins (multiplicity-immune) and stay
+      // un-distinct-ed.
+      case Some(t) => vectors.join(
+        broadcast(t.select(col("tomb_id")).distinct()),
         vectors(idCol) === col("tomb_id"), "left")
         .withColumn("__dead", col("tomb_id").isNotNull)
       case None => vectors.withColumn("__dead", lit(false))

@@ -52,30 +52,47 @@ object Packing {
     * scan). Level 1 computes each document's shard-local running offset
     * under `Window.partitionBy(shard)` — one hash exchange, shards scan
     * independently. Level 2 computes per-shard token totals (a
-    * shard-count-sized aggregate), turns them into shard base offsets
-    * with an unpartitioned window that is safe BECAUSE it runs over one
-    * row per shard (bounded by shard cardinality, not corpus size), and
-    * broadcasts the bases back. A corpus-wide `row_number`/running-sum
+    * shard-count-sized aggregate, bounded by shard cardinality rather
+    * than corpus size), collects them to the driver in shard order,
+    * prefix-sums the base offsets there, and broadcasts the bases
+    * back. A corpus-wide `row_number`/running-sum
     * window would serialize 100 TB through one partition; this shape
     * never moves more than (token_count) longs per doc plus a
     * shard-count-sized side table. */
   def globalTokenOffsets(df: DataFrame, shardCol: String, idCol: String,
       tokenCol: String): DataFrame = {
+    val spark = df.sparkSession
+    // Level 2 runs on the DRIVER: the per-shard totals frame is
+    // shard-count-sized by the same contract that makes `bases`
+    // broadcastable below, so we let Spark do the shard ORDER BY (shard
+    // ordering stays engine-exact — no driver-side re-sort that could
+    // disagree on e.g. UTF8 collation), collect the bounded rows, and
+    // prefix-sum the base offsets locally (the repo's IVF-centroid
+    // convention for bounded model state). A window with a literal
+    // partition key is NOT a substitute: Spark 4's optimizer eliminates
+    // foldable partition keys, so it executes as an unpartitioned
+    // WindowExec and warns (r9 verdict).
+    val totals = df.groupBy(col(shardCol))
+      .agg(sum(col(tokenCol)).cast("long").as("__shard_tokens"))
+      .orderBy(col(shardCol))
+      .collect()
+    var acc = 0L
+    val baseRows: Seq[org.apache.spark.sql.Row] = totals.toSeq.map { r =>
+      val row = org.apache.spark.sql.Row(r.get(0), acc)
+      if (!r.isNullAt(1)) acc += r.getLong(1)
+      row
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField(shardCol,
+        df.schema(shardCol).dataType),
+      org.apache.spark.sql.types.StructField("__base",
+        org.apache.spark.sql.types.LongType, nullable = false)))
+    val bases = spark.createDataFrame(
+      java.util.Arrays.asList(baseRows: _*), schema)
     val local = Window.partitionBy(col(shardCol)).orderBy(col(idCol))
       .rowsBetween(Window.unboundedPreceding, -1)
     val withLocal = df.withColumn("__local",
       coalesce(sum(col(tokenCol)).over(local), lit(0L)))
-    val bases = df.groupBy(col(shardCol))
-      .agg(sum(col(tokenCol)).as("__shard_tokens"))
-      .withColumn("__base",
-        // literal partition key: this frame holds ONE row per shard, so
-        // single-partition execution is the intended shape — the
-        // partitionBy(lit) silences the WindowExec "No Partition
-        // Defined" warning (r6 precedent)
-        coalesce(sum(col("__shard_tokens")).over(
-          Window.partitionBy(lit(0)).orderBy(col(shardCol)).rowsBetween(
-            Window.unboundedPreceding, -1)), lit(0L)))
-      .select(col(shardCol), col("__base"))
     withLocal.join(broadcast(bases), Seq(shardCol))
       .withColumn("offset", (col("__base") + col("__local")).cast("long"))
       .drop("__local", "__base")

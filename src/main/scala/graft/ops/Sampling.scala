@@ -156,6 +156,27 @@ object Sampling {
       "__ck", trainBuckets, valBuckets).drop("__ck")
   }
 
+  /** Per-source percentile normalization of a score column — the
+    * threshold-calibration step before cross-source filtering: a raw
+    * quality cutoff tuned on one source transfers wrongly to another
+    * (news scores cluster high, forum scores low — one global 0.6 keeps
+    * all of one and none of the other), so production filters threshold
+    * the per-source PERCENTILE instead ("drop every source's bottom
+    * 20%"). Adds `pct` = percent_rank within the source (0 = worst,
+    * 1 = best, ties share a rank), rounded 6dp.
+    *
+    * Scale shape: ONE source-partitioned window — the exchange is the
+    * source key, each source ranks independently in parallel (the
+    * quality-curriculum shape, NOT a global sort); no corpus-wide
+    * single partition anywhere. Sources with one row pin pct = 0.0
+    * (percent_rank's degenerate case — documented, the spec covers
+    * it). */
+  def perSourcePercentile(df: DataFrame, srcCol: String,
+      scoreCol: String): DataFrame =
+    df.withColumn("pct", round(percent_rank().over(
+      org.apache.spark.sql.expressions.Window.partitionBy(col(srcCol))
+        .orderBy(col(scoreCol))), 6))
+
   /** Quality-curriculum sampling: bucket rows by EXACT score quantiles —
     * cut points at i/n for n = `rates.length` — and keep each bucket at
     * its own rate (the data-mixing move when the training recipe wants
@@ -179,27 +200,6 @@ object Sampling {
     * (they are excluded from the quantile cuts too — `percentile`
     * ignores nulls); an all-null or empty score column yields all-NULL
     * buckets rather than an error. */
-  /** Per-source percentile normalization of a score column — the
-    * threshold-calibration step before cross-source filtering: a raw
-    * quality cutoff tuned on one source transfers wrongly to another
-    * (news scores cluster high, forum scores low — one global 0.6 keeps
-    * all of one and none of the other), so production filters threshold
-    * the per-source PERCENTILE instead ("drop every source's bottom
-    * 20%"). Adds `pct` = percent_rank within the source (0 = worst,
-    * 1 = best, ties share a rank), rounded 6dp.
-    *
-    * Scale shape: ONE source-partitioned window — the exchange is the
-    * source key, each source ranks independently in parallel (the
-    * quality-curriculum shape, NOT a global sort); no corpus-wide
-    * single partition anywhere. Sources with one row pin pct = 0.0
-    * (percent_rank's degenerate case — documented, the spec covers
-    * it). */
-  def perSourcePercentile(df: DataFrame, srcCol: String,
-      scoreCol: String): DataFrame =
-    df.withColumn("pct", round(percent_rank().over(
-      org.apache.spark.sql.expressions.Window.partitionBy(col(srcCol))
-        .orderBy(col(scoreCol))), 6))
-
   def quantileBucketSample(df: DataFrame, idCol: String, scoreCol: String,
       rates: Seq[Double], byHash: Boolean = false, den: Int = 100,
       salt: Long = 42L): DataFrame = {

@@ -89,20 +89,28 @@ object Similarity {
     * Map-only per-row norm/dim expressions into ONE group-keyed
     * aggregate — no explode, vectors never shuffle (the aggregate
     * carries a handful of doubles per group). 6dp rounding; stddev is
-    * the sample form (stddev_samp), pinned by the oracle. */
+    * the sample form (stddev_samp), pinned by the oracle. Non-finite =
+    * NaN, null, or ±Infinity elements (a real broken-encoder output
+    * emits Inf, not just NaN); such vectors are counted in
+    * `n_nonfinite` and EXCLUDED from the norm statistics — one Inf
+    * vector must show up in its own column, not silently turn
+    * norm_mean into Infinity and norm_std into NaN. */
   def embeddingHealth(df: DataFrame, groupCol: String, vecCol: String)
       : DataFrame = {
     val norm = sqrt(aggregate(col(vecCol), lit(0.0d),
       (acc, x) => acc + x.cast("double") * x.cast("double")))
-    val finite = forall(col(vecCol),
-      x => not(isnan(x.cast("double"))) && !x.cast("double").isNull)
+    val finite = forall(col(vecCol), { x =>
+      val d = x.cast("double")
+      not(isnan(d)) && !d.isNull && abs(d) =!= lit(Double.PositiveInfinity)
+    })
     df.select(col(groupCol).as("group_id"), norm.as("__n"),
         size(col(vecCol)).as("__d"), finite.as("__f"))
       .groupBy(col("group_id"))
       .agg(count(lit(1)).as("n_vectors"),
-        round(avg(col("__n")), 6).as("norm_mean"),
-        round(stddev_samp(col("__n")), 6).as("norm_std"),
-        sum(when(col("__n") === 0, 1L).otherwise(0L)).as("n_zero"),
+        round(avg(when(col("__f"), col("__n"))), 6).as("norm_mean"),
+        round(stddev_samp(when(col("__f"), col("__n"))), 6).as("norm_std"),
+        sum(when(col("__f") && col("__n") === 0, 1L).otherwise(0L))
+          .as("n_zero"),
         sum(when(!col("__f"), 1L).otherwise(0L)).as("n_nonfinite"),
         min(col("__d")).as("dim_min"), max(col("__d")).as("dim_max"))
   }

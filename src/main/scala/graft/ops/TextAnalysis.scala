@@ -1580,16 +1580,27 @@ object TextAnalysis {
     uni.count()
     val totals = uni.agg(sum(col("__cnt")).as("__t"),
       count(lit(1)).as("__nv"))
-    val head = uni.orderBy(col("__cnt").desc, col("w").asc).limit(topN)
-    // literal partition key: the frame under this window is <= topN rows
-    // by the limit above, so single-partition execution is the intended
-    // shape — the partitionBy(lit) silences the WindowExec "No Partition
-    // Defined" warning that otherwise drowns sweep tails (r6 precedent,
-    // see wrappedTwoParagraphCorpus)
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(lit(0)).orderBy(col("__cnt").desc, col("w").asc)
-    val fit = head
-      .withColumn("__rank", row_number().over(w))
+    // The top-N head is <= topN rows via TakeOrdered (already the plan
+    // shape) — collect it and assign ranks on the driver rather than
+    // running a global window over it: a literal partitionBy key is
+    // optimizer-eliminated in Spark 4, so the window would execute as an
+    // unpartitioned WindowExec and warn (r9 verdict). Collect order IS
+    // the rank order (TakeOrderedAndProject returns sorted rows), and
+    // the regression still runs as a Spark aggregate so the oracle
+    // replays the identical regr_slope arithmetic.
+    val spark = df.sparkSession
+    val headRows: Seq[org.apache.spark.sql.Row] =
+      uni.orderBy(col("__cnt").desc, col("w").asc).limit(topN).collect()
+        .toSeq.zipWithIndex.map { case (r, i) =>
+          org.apache.spark.sql.Row(r.getLong(1), (i + 1).toLong)
+        }
+    val headSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("__cnt",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("__rank",
+        org.apache.spark.sql.types.LongType, nullable = false)))
+    val fit = spark.createDataFrame(
+        java.util.Arrays.asList(headRows: _*), headSchema)
       .agg(expr("regr_slope(ln(__cnt), ln(__rank))").as("__slope"),
         sum(col("__cnt")).as("__headmass"))
     fit.crossJoin(broadcast(totals))

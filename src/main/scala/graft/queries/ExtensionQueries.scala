@@ -1651,11 +1651,15 @@ object ExtensionQueries {
 
     // Embedding-table health: per-label norm distribution + zero/
     // non-finite counts + dim spread, with a planted zero vector (every
-    // 100th) so the broken-encoder branch is live
+    // 100th) AND a planted all-Infinity vector (every 100th, offset 1)
+    // so BOTH broken-encoder branches are live — the Inf leg pins the
+    // exclude-non-finite-from-norm-stats contract cross-engine
     "x101_embedding_health" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings").select(col("label"),
         when(col("vec_id") % 100 === 0,
           transform(col("embedding"), _ => lit(0.0f)))
+          .when(col("vec_id") % 100 === 1,
+            transform(col("embedding"), _ => lit(Float.PositiveInfinity)))
           .otherwise(col("embedding")).as("embedding"))
       Similarity.embeddingHealth(emb, "label", "embedding")
         .orderBy(col("group_id"))
@@ -3033,7 +3037,9 @@ object ExtensionQueries {
         |  SELECT label,
         |    CASE WHEN vec_id % 100 = 0
         |      THEN list_transform(embedding, x -> CAST(0.0 AS FLOAT))
-        |      ELSE embedding END AS embedding
+        |    WHEN vec_id % 100 = 1
+        |      THEN list_transform(embedding, x -> CAST('inf' AS FLOAT))
+        |    ELSE embedding END AS embedding
         |  FROM embeddings),
         |n AS (
         |  SELECT label,
@@ -3041,12 +3047,13 @@ object ExtensionQueries {
         |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm,
         |    len(embedding) AS d,
         |    len(list_filter(embedding, x -> isnan(CAST(x AS DOUBLE))
-        |      OR x IS NULL)) = 0 AS finite
+        |      OR x IS NULL OR isinf(CAST(x AS DOUBLE)))) = 0 AS finite
         |  FROM emb)
         |SELECT label AS group_id, count(*) AS n_vectors,
-        |  ROUND(avg(nrm), 6) AS norm_mean,
-        |  ROUND(stddev_samp(nrm), 6) AS norm_std,
-        |  CAST(sum(CASE WHEN nrm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
+        |  ROUND(avg(CASE WHEN finite THEN nrm END), 6) AS norm_mean,
+        |  ROUND(stddev_samp(CASE WHEN finite THEN nrm END), 6) AS norm_std,
+        |  CAST(sum(CASE WHEN finite AND nrm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_zero,
         |  CAST(sum(CASE WHEN NOT finite THEN 1 ELSE 0 END) AS BIGINT) AS n_nonfinite,
         |  CAST(min(d) AS INT) AS dim_min, CAST(max(d) AS INT) AS dim_max
         |FROM n GROUP BY 1 ORDER BY group_id""".stripMargin,

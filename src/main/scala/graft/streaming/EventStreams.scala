@@ -161,11 +161,16 @@ object EventStreams {
     * array literals, no shuffle of any kind) and rows route to the
     * accept/quarantine parquet sinks row-by-row — unlike
     * [[qualityGatedParquetSink]]'s batch-level verdict, a classifier
-    * gates documents individually. Replay-idempotent the same way: a
-    * re-run batch appends the same rows to the same sides (deterministic
-    * scoring), and the checkpoint serializes batches. This closes the
-    * CCNet loop end-to-end: train on the historical corpus, then gate
-    * the live feed with the same weights. */
+    * gates documents individually. Delivery is AT-LEAST-ONCE, not
+    * idempotent: scoring is deterministic (a replayed batch routes every
+    * row to the same side), but the two appends are independent writes —
+    * a failure between them replays the whole batch and re-appends
+    * already-written rows to goodPath (the standard foreachBatch
+    * multi-sink caveat). Downstream exact-once consumers dedup on
+    * `idCol`, or swap the appends for batchId-keyed overwrite partitions
+    * (the [[ivfAppendSink]] shard-replay pattern). This closes the CCNet
+    * loop end-to-end: train on the historical corpus, then gate the live
+    * feed with the same weights. */
   def classifierGatedSink(docs: DataFrame, idCol: String, textCol: String,
       weights: Array[Double], bias: Double, threshold: Double,
       goodPath: String, badPath: String, checkpoint: String,

@@ -1030,18 +1030,77 @@ class SimilaritySpec extends SparkSpec {
       ("bad", Seq(nan, 1.0f)),                              // non-finite
       ("drift", Seq(1.0f)), ("drift", Seq(1.0f, 0.0f, 0.0f)) // mixed dims
     ).toDF("grp", "vec")
+    // norm stats are Option: a group with ONE finite vector has a NULL
+    // sample stddev (and the NaN vector no longer poisons the mean — it
+    // is excluded as non-finite, r9 advisory)
     val out = graft.ops.Similarity.embeddingHealth(df, "grp", "vec")
-      .as[(String, Long, Double, Double, Long, Long, Int, Int)]
+      .as[(String, Long, Option[Double], Option[Double], Long, Long, Int, Int)]
       .collect().map(r => r._1 -> r).toMap
-    assert(out("ok") == (("ok", 2L, 3.0, 2.828427, 0L, 0L, 2, 2)), out("ok"))
+    assert(out("ok") ==
+      (("ok", 2L, Some(3.0), Some(2.828427), 0L, 0L, 2, 2)), out("ok"))
     val bad = out("bad")
     assert(bad._5 == 1L && bad._6 == 1L, bad)   // one zero, one non-finite
+    assert(bad._3 == Some(0.0) && bad._4.isEmpty, bad) // NaN row excluded
     assert(out("drift")._7 == 1 && out("drift")._8 == 3, out("drift"))
     // vectors never shuffle: the only exchange carries the group aggregate
     val plan = graft.ops.Similarity.embeddingHealth(df, "grp", "vec")
       .queryExecution.executedPlan.toString
     assert(!plan.contains("vec#") ||
       !"Exchange[^\\n]*vec#".r.findFirstIn(plan).isDefined, plan)
+  }
+
+  test("embeddingHealth: ±Infinity vectors count as non-finite and stay out of the norm stats") {
+    // r9 advisory: the finite predicate only caught NaN/null, so an Inf
+    // vector (a real broken-encoder output) passed as "finite" and its
+    // Infinity norm silently destroyed norm_mean/norm_std. Now it must
+    // land in n_nonfinite and be EXCLUDED from the norm aggregate.
+    val df = Seq(
+      ("g", Seq(3.0f, 4.0f)),                           // norm 5
+      ("g", Seq(Float.PositiveInfinity, 1.0f)),         // +Inf element
+      ("g", Seq(Float.NegativeInfinity, 0.0f)),         // -Inf element
+      ("g", Seq(0.0f, 0.0f))                            // zero vector
+    ).toDF("grp", "vec")
+    val r = graft.ops.Similarity.embeddingHealth(df, "grp", "vec")
+      .as[(String, Long, Option[Double], Option[Double], Long, Long, Int, Int)]
+      .head()
+    assert(r._2 == 4L, r)                 // all rows counted
+    assert(r._6 == 2L, r)                 // both Inf vectors non-finite
+    assert(r._3 == Some(2.5), r)          // mean over {5, 0} only — finite
+    assert(r._5 == 1L, r)                 // the zero vector, once
+    assert(r._3.forall(v => !v.isInfinite) && r._4.forall(v => !v.isNaN), r)
+  }
+
+  test("semanticDedup: empty input with maxClusterSize set passes through, no crash") {
+    // r9 advisory: the guard called .head() on the count-by-cluster
+    // aggregate, so an EMPTY input threw NoSuchElementException instead
+    // of returning the empty frame
+    val emb = Seq.empty[(Long, Seq[Double])].toDF("vec_id", "v")
+    val cents = Seq((0L, Seq(1.0, 0.0))).toDF("cid", "cv")
+    val out = Dedup.semanticDedup(emb, "vec_id", "v", cents, "cid", "cv",
+      0.99, maxClusterSize = 10L)
+    assert(out.count() == 0L)
+  }
+
+  test("indexStats: an id tombstoned by two overlapping delete shards counts dead ONCE") {
+    // r9 advisory: deleteVectors dedupes tomb_id only within one call;
+    // overlapping GDPR batches leave the same id in two delete_shard
+    // partitions, and a non-distinct left join inflated n_dead (and the
+    // row totals) silently
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val model = graft.ops.IVF.train(emb, "vec_id", "embedding", nc = 4, iters = 2)
+    val root = java.nio.file.Files.createTempDirectory("ivf_twodel")
+      .toString + "/idx"
+    graft.ops.IVF.writeIndexAppendable(
+      graft.ops.IVF.assign(emb, "embedding", model), root, model, "base")
+    graft.ops.IVF.deleteVectors(spark, root,
+      emb.filter($"vec_id" % 10 === 0), "vec_id", "d1")
+    graft.ops.IVF.deleteVectors(spark, root,
+      emb.filter($"vec_id" % 20 === 0), "vec_id", "d2") // subset of d1
+    val s = graft.ops.IVF.indexStats(spark, root, "vec_id")
+      .as[(Int, Long, Long, Long)].collect()
+    val doomed = emb.filter($"vec_id" % 10 === 0).count()
+    assert(s.map(_._3).sum == doomed, s.toSeq)           // dead counted once
+    assert(s.map(_._2).sum == emb.count() - doomed, s.toSeq)
   }
 
   test("meanPoolVectors: per-position means, ragged positions, assemble round trip") {

@@ -362,4 +362,40 @@ class PlanGuardSpec extends SparkSpec {
     assert(!plan.contains("Exchange hashpartitioning"),
       s"FIM must not shuffle, plan:\n$plan")
   }
+
+  test("x66/x79/x97: zero unpartitioned WindowExec in the EXECUTED plans") {
+    // The r9 closure "WindowExec warnings silenced" was false: a
+    // partitionBy(lit(0)) key is foldable, Spark 4's optimizer eliminates
+    // it, and the window executed unpartitioned (and warned) anyway. The
+    // fix computes shard bases / head ranks on the driver from
+    // bounded-size collects, so NO window in these queries may execute
+    // with an empty partitionSpec. Asserted on the post-action executed
+    // plan — the observable the r9 claim skipped — descending through
+    // AQE wrappers so finalized stages are inspected, not guessed.
+    import org.apache.spark.sql.execution.SparkPlan
+    def walk(n: SparkPlan): Seq[SparkPlan] = {
+      val kids = n match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          Seq(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          Seq(q.plan)
+        case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
+          Seq(r.child)
+        case other => other.children
+      }
+      n +: kids.flatMap(walk)
+    }
+    Seq("x66_token_offsets", "x79_zipf_profile", "x97_sequence_map")
+      .foreach { q =>
+        val df = graft.queries.ExtensionQueries.queries(q)(spark, dir)
+        df.collect() // finalize AQE so executedPlan is the real one
+        val windows = walk(df.queryExecution.executedPlan).collect {
+          case w: org.apache.spark.sql.execution.window.WindowExec => w
+        }
+        windows.foreach { w =>
+          assert(w.partitionSpec.nonEmpty,
+            s"$q executes an UNPARTITIONED WindowExec:\n$w")
+        }
+      }
+  }
 }
