@@ -1663,6 +1663,65 @@ object ExtensionQueries {
           .otherwise(col("embedding")).as("embedding"))
       Similarity.embeddingHealth(emb, "label", "embedding")
         .orderBy(col("group_id"))
+    }),
+
+    // Sketch-vs-exact source overlap + persisted-store merge identity
+    // (x102's boolean-invariant oracle convention): the exact x92
+    // Jaccard replays in DuckDB; the xxhash64 MinHash sketch cannot, so
+    // its accuracy (|est - exact| inside the k=128 binomial envelope
+    // 3*sqrt(J(1-J)/k) + one-slot slack) and the
+    // ingest-in-two-shards == one-shot store identity ride as boolean
+    // invariant columns the oracle pins to TRUE
+    "x104_overlap_sketch" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val corpus = docs.select(col("source"), col("text"))
+        .unionByName(docs.filter(col("doc_id") % 5 === 0)
+          .select(lit("srcmirror").as("source"), col("text")))
+      val exact = Dedup.sourceOverlap(corpus, "source", "text", n = 3)
+      val est = Dedup.sourceOverlapMinhash(corpus, "source", "text",
+        n = 3, k = 128)
+      val root = ParityQueries.tmpPath("graft_sig_store", dir)
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+      // two-shard ingest through the persisted store: min-merge is
+      // commutative+idempotent, so the merged state must estimate
+      // identically to the one-shot sketch
+      val shard = pmod(xxhash64(col("text")), lit(2))
+      Dedup.ingestSourceSignatures(s, root,
+        corpus.filter(shard === 0), "source", "text", n = 3, k = 128)
+      Dedup.ingestSourceSignatures(s, root,
+        corpus.filter(shard === 1), "source", "text", n = 3, k = 128)
+      val store = Dedup.estimateSourceOverlap(s, root)
+      val storeMatches = store.exceptAll(est).isEmpty &&
+        est.exceptAll(store).isEmpty
+      exact.join(est, Seq("source_a", "source_b"))
+        .withColumn("est_within_bound",
+          abs(col("jaccard_est") - col("jaccard")) <=
+            lit(3.0) * sqrt(col("jaccard") * (lit(1.0) - col("jaccard")) /
+              lit(128.0)) + lit(1.0 / 128))
+        .withColumn("store_matches_oneshot", lit(storeMatches))
+        .select(col("source_a"), col("source_b"), col("n_a"), col("n_b"),
+          col("n_inter"), col("jaccard"), col("est_within_bound"),
+          col("store_matches_oneshot"))
+        .orderBy(col("source_a"), col("source_b"))
+    }),
+
+    // Multimodal -> retrieval seam: media payloads through the batched
+    // feature extractor (the x11 byte-histogram decode stub) straight
+    // into the exact-kNN operator — media features are a first-class
+    // citizen of the ANN stack, oracle-replaying the full decode ->
+    // featurize -> cosine top-20 chain the way x09 does for embeddings
+    "x105_media_knn" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      val media = {
+        import s.implicits._
+        Multimodal.fromDocuments(t(s, dir, "documents"))
+          .as[Multimodal.MediaRow]
+      }
+      val feats = Multimodal.extractFeatures(media, dim = 16).toDF()
+        .select(col("media_id"), col("feature"))
+      val q = feats.filter(col("media_id") === 0)
+        .select(col("feature").as("qvec"))
+      Similarity.bruteForceKnn(feats, q, "media_id", "feature", 20)
     }))
 
   /** Planted separable classification fixture for x88/x90: each doc
@@ -3057,6 +3116,56 @@ object ExtensionQueries {
         |  CAST(sum(CASE WHEN NOT finite THEN 1 ELSE 0 END) AS BIGINT) AS n_nonfinite,
         |  CAST(min(d) AS INT) AS dim_min, CAST(max(d) AS INT) AS dim_max
         |FROM n GROUP BY 1 ORDER BY group_id""".stripMargin,
+
+    // exact legs replay; the sketch-accuracy and store-merge invariants
+    // are Spark-verified booleans the oracle pins to TRUE (the x102
+    // lifecycle-oracle convention)
+    "x104_overlap_sketch" ->
+      """WITH corpus AS (
+        |  SELECT source, text FROM documents
+        |  UNION ALL
+        |  SELECT 'srcmirror', text FROM documents WHERE doc_id % 5 = 0),
+        |sh AS (
+        |  SELECT DISTINCT source AS src, g
+        |  FROM (SELECT source,
+        |      unnest(CASE WHEN len(toks) <= 3 THEN [array_to_string(toks, ' ')]
+        |        ELSE list_transform(range(0, len(toks) - 2),
+        |          i -> array_to_string(list_slice(toks, i + 1, i + 3), ' ')) END) AS g
+        |    FROM (SELECT source, list_filter(string_split_regex(trim(text), '\s+'),
+        |        x -> len(x) > 0) AS toks FROM corpus))),
+        |sizes AS (SELECT src, count(*) AS n FROM sh GROUP BY 1),
+        |inter AS (
+        |  SELECT a.src AS source_a, b.src AS source_b, count(*) AS n_inter
+        |  FROM sh a JOIN sh b ON a.g = b.g AND a.src < b.src
+        |  GROUP BY 1, 2)
+        |SELECT sa.src AS source_a, sb.src AS source_b,
+        |  sa.n AS n_a, sb.n AS n_b,
+        |  coalesce(i.n_inter, 0) AS n_inter,
+        |  ROUND(CAST(coalesce(i.n_inter, 0) AS DOUBLE) /
+        |        (sa.n + sb.n - coalesce(i.n_inter, 0)), 6) AS jaccard,
+        |  TRUE AS est_within_bound,
+        |  TRUE AS store_matches_oneshot
+        |FROM sizes sa JOIN sizes sb ON sa.src < sb.src
+        |LEFT JOIN inter i ON i.source_a = sa.src AND i.source_b = sb.src
+        |ORDER BY source_a, source_b""".stripMargin,
+
+    "x105_media_knn" ->
+      """WITH b AS (
+        |  SELECT doc_id AS media_id, octet_length(encode(text)) AS nb,
+        |    list_transform(range(1, length(text) + 1),
+        |      i -> ord(substring(text, i, 1)) % 16) AS m
+        |  FROM documents),
+        |f AS (
+        |  SELECT media_id,
+        |    list_transform(range(0, 16), d ->
+        |      CAST(CAST(len(list_filter(m, x -> x = d)) AS REAL)
+        |        / CAST(greatest(nb, 1) AS REAL) AS DOUBLE)) AS v
+        |  FROM b),
+        |q AS (SELECT v AS qv FROM f WHERE media_id = 0)
+        |SELECT f.media_id,
+        |  ROUND(list_cosine_similarity(f.v, q.qv), 6) AS cosine_sim
+        |FROM f CROSS JOIN q
+        |ORDER BY cosine_sim DESC, media_id LIMIT 20""".stripMargin,
 
     "x99_vector_pool" ->
       """SELECT label AS group_id, CAST(i - 1 AS INT) AS pos,
