@@ -53,15 +53,25 @@ object DetectorEval {
         f"precision=${r._4}%6.4f recall=${r._5}%6.4f f1=${r._6}%6.4f")
     }
 
-    report("minhash-lsh (x06 knobs)",
-      Dedup.minhashLshPairs(corpus, "doc_id", "text",
-        shingleW = 3, k = 32, bands = 8, threshold = 0.4))
-    report("simhash (x07 knobs)",
-      Dedup.simhashPairs(corpus, "doc_id", "text", maxHamming = 6))
-    report("rare-ngram (x67 knobs)",
-      Dedup.rareNgramPairs(corpus, "doc_id", "text",
-          n = 3, maxDf = 8, minShared = 2)
-        .select(col("id_a"), col("id_b")))
+    // The P/R FRONTIER the yardstick was built for: one knob axis per
+    // generator (bands at fixed k for minhash — more bands = smaller
+    // rows-per-band = looser match; hamming radius for simhash; df cap
+    // for rare-ngram), so a production run picks its operating point
+    // from a table instead of re-tuning blind. The x06/x07/x67
+    // production knob points are members of each grid.
+    for ((k, bands) <- Seq((32, 4), (32, 8), (32, 16), (64, 8), (64, 16)))
+      report(f"minhash-lsh k=$k%2d bands=$bands%-2d" +
+          (if (k == 32 && bands == 8) " (x06)" else ""),
+        Dedup.minhashLshPairs(corpus, "doc_id", "text",
+          shingleW = 3, k = k, bands = bands, threshold = 0.4))
+    for (h <- Seq(2, 4, 6))
+      report(s"simhash maxHamming=$h" + (if (h == 6) " (x07)" else ""),
+        Dedup.simhashPairs(corpus, "doc_id", "text", maxHamming = h))
+    for (df <- Seq(4, 8, 16))
+      report(s"rare-ngram maxDf=$df" + (if (df == 8) " (x67)" else ""),
+        Dedup.rareNgramPairs(corpus, "doc_id", "text",
+            n = 3, maxDf = df, minShared = 2)
+          .select(col("id_a"), col("id_b")))
     spark.stop()
   }
 }
