@@ -139,6 +139,104 @@ case class DotProduct(left: Expression, right: Expression)
       newRight: Expression): Expression = copy(left = newLeft, right = newRight)
 }
 
+/** Nearest-centroid assignment as ONE native expression: argmax of cosine
+  * over a centroid MATRIX that rides along as a reference object, with the
+  * [[graft.ops.IVF]] tie order (best cosine, then HIGHEST centroid id — the
+  * lexicographic `array_max(struct(cos, cid))` contract, reproduced
+  * bit-identically: same per-centroid accumulation order, same `>=` tie
+  * take on ascending-cid iteration).
+  *
+  * Why this exists: the unrolled literal formulation (one
+  * [[CosineSimilarity]] + struct per centroid inside `array_max`) grows
+  * linearly in generated code and blows Janino's 64 KB method limit at
+  * nc=256 (found by `tools/CorpusBuildSmoke`) — whole-stage codegen then
+  * aborts and EVERY row pays interpreted eval. A runtime loop is constant
+  * code size at any nc, keeps the assign stage map-only (no join, no
+  * shuffle), and codegens at the paper-scale tens-of-thousands of
+  * centroids where unrolling could never compile. Centroid norms are
+  * precomputed once per plan, not per row (identical arithmetic: the
+  * per-element accumulation order of the norm sum is unchanged). */
+case class NearestCentroidId(child: Expression,
+    centroids: Array[Array[Double]])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  require(centroids.nonEmpty, "need at least one centroid")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"requires array<float|double> input, got $other")
+  }
+
+  override def dataType: DataType = IntegerType
+
+  private def elemIsFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  // per-centroid squared norms, computed once per plan in the exact
+  // element order the inline formulation used
+  @transient private lazy val normsSq: Array[Double] = centroids.map { c =>
+    var nb = 0.0; var i = 0
+    while (i < c.length) { nb += c(i) * c(i); i += 1 }
+    nb
+  }
+
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val xf = elemIsFloat
+    var best = -1; var bestCos = 0.0
+    var c = 0
+    while (c < centroids.length) {
+      val cv = centroids(c)
+      val n = math.min(x.numElements(), cv.length)
+      var dot = 0.0; var na = 0.0; var i = 0
+      while (i < n) {
+        val xv = if (xf) x.getFloat(i).toDouble else x.getDouble(i)
+        dot += xv * cv(i); na += xv * xv
+        i += 1
+      }
+      val denom = math.sqrt(na) * math.sqrt(normsSq(c))
+      val cos = if (denom > 0) dot / denom else 0.0
+      if (best < 0 || cos >= bestCos) { best = c; bestCos = cos }
+      c += 1
+    }
+    best
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val xGet = if (elemIsFloat) "getFloat" else "getDouble"
+    val centRef = ctx.addReferenceObj("centroids", centroids, "double[][]")
+    val normRef = ctx.addReferenceObj("normsSq", normsSq, "double[]")
+    nullSafeCodeGen(ctx, ev, { x =>
+      val c = ctx.freshName("c"); val i = ctx.freshName("i")
+      val cv = ctx.freshName("cv"); val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot"); val na = ctx.freshName("na")
+      val xv = ctx.freshName("xv"); val denom = ctx.freshName("denom")
+      val cos = ctx.freshName("cos")
+      val best = ctx.freshName("best"); val bestCos = ctx.freshName("bestCos")
+      s"""
+         |int $best = -1; double $bestCos = 0.0;
+         |for (int $c = 0; $c < $centRef.length; $c++) {
+         |  double[] $cv = $centRef[$c];
+         |  int $n = java.lang.Math.min($x.numElements(), $cv.length);
+         |  double $dot = 0.0; double $na = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    double $xv = (double) $x.$xGet($i);
+         |    $dot += $xv * $cv[$i]; $na += $xv * $xv;
+         |  }
+         |  double $denom = java.lang.Math.sqrt($na) * java.lang.Math.sqrt($normRef[$c]);
+         |  double $cos = ($denom > 0) ? ($dot / $denom) : 0.0;
+         |  if ($best < 0 || $cos >= $bestCos) { $best = $c; $bestCos = $cos; }
+         |}
+         |${ev.value} = $best;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object VectorFunctions {
   import org.apache.spark.sql.graftbridge.Bridge
 
@@ -150,6 +248,9 @@ object VectorFunctions {
 
   def dot_product(a: Column, b: Column): Column =
     Bridge.column(DotProduct(Bridge.expression(a), Bridge.expression(b)))
+
+  def nearest_centroid_id(vec: Column, centroids: Array[Array[Double]]): Column =
+    Bridge.column(NearestCentroidId(Bridge.expression(vec), centroids))
 
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     Bridge.registerFunction(spark, "cosine_sim",

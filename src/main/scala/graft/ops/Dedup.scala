@@ -648,10 +648,19 @@ object Dedup {
     * (the paper runs k-means with k in the tens of thousands at
     * LAION scale), per-cluster work stays flat as the corpus grows. The
     * centroid table is driver-small by the same contract as
-    * [[IVF.Model]], so assignment collects it once and burns the argmax
-    * into ONE map-only literal expression ([[IVF]]'s train/assign
-    * shape) — no join, no window, no shuffle of any kind for the assign
-    * stage; then one hash exchange on cluster_id for the self-join and
+    * [[IVF.Model]]. Assignment picks its shape by centroid count: up to
+    * 64 centroids the argmax burns into ONE map-only literal expression
+    * ([[IVF]]'s train/assign shape — no join, no shuffle for the assign
+    * stage); above that the unrolled expression blows Janino's 64 KB
+    * method limit (measured at nc=256: whole-stage codegen aborts and
+    * every row pays interpreted eval), so the large-nc path — the only
+    * one possible at the paper's k-in-the-tens-of-thousands — scores
+    * via a broadcast join against the centroid frame and reduces with a
+    * partial-aggregating max over narrow (id, csim, ncid) rows: vectors
+    * stay map-side, the exchange carries one ~24-byte row per
+    * (partition, id) thanks to map-side combine, and the winner joins
+    * back to the input by id (both paths pinned result-identical by
+    * spec). Then one hash exchange on cluster_id for the self-join and
     * flag joins that carry only 8-byte ids. A skewed giant cluster is
     * the operator's known hazard — the within-cluster compare is
     * quadratic in cluster size, so one cluster holding 10% of a 1B-vector
@@ -683,25 +692,55 @@ object Dedup {
       "centroid id Long.MinValue unsupported (negated for tie-breaking)")
     // max over (csim, -cid) structs = best cosine, then SMALLEST cid —
     // the same deterministic tie order the DuckDB oracle replays
-    val scored = cents.map { case (cid, cv) =>
-      struct(
-        round(Similarity.cosine(col(vecCol), array(cv.map(lit(_)): _*)), 6)
-          .as("csim"),
-        lit(-cid).as("ncid"))
-    }
-    val assigned = emb
-      .withColumn("__best", array_max(array(scored: _*)))
-      // separate projection on purpose: CollapseProject keeps the
-      // non-cheap __best alias, so the argmax is computed once per row
-      // WITHIN a branch; the persist below keeps the |centroids|x dim
-      // literal dot-product chain from re-running for each of the three
-      // consumers (a/b self-join legs + the final projection) — the
+    val assigned = (if (cents.length <= 64) {
+      val scored = cents.map { case (cid, cv) =>
+        struct(
+          round(Similarity.cosine(col(vecCol), array(cv.map(lit(_)): _*)), 6)
+            .as("csim"),
+          lit(-cid).as("ncid"))
+      }
+      emb
+        .withColumn("__best", array_max(array(scored: _*)))
+        // separate projection on purpose: CollapseProject keeps the
+        // non-cheap __best alias, so the argmax is computed once per row
+        // WITHIN a branch
+        .select(col(idCol), col(vecCol),
+          (-col("__best.ncid")).cast("long").as("cluster_id"),
+          col("__best.csim").as("centroid_sim"))
+    } else {
+      // large-nc assignment (see scaladoc): broadcast the centroid
+      // frame, score map-side, reduce the NARROW (id, best-struct) rows
+      // with a partial-aggregating max, and join the winners back by id
+      // — vectors never ride the nc-times-expanded exchange
+      val spark = emb.sparkSession
+      val centSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("__cid",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("__cv",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.DoubleType))))
+      val centRows: Seq[org.apache.spark.sql.Row] = cents.toSeq.map {
+        case (cid, cv) => org.apache.spark.sql.Row(cid, cv.toSeq)
+      }
+      val centDf = spark.createDataFrame(
+        java.util.Arrays.asList(centRows: _*), centSchema)
+      val best = emb.select(col(idCol), col(vecCol))
+        .join(broadcast(centDf))
+        .select(col(idCol),
+          struct(round(Similarity.cosine(col(vecCol), col("__cv")), 6)
+            .as("csim"), (-col("__cid")).as("ncid")).as("__s"))
+        .groupBy(col(idCol)).agg(max(col("__s")).as("__best"))
+      emb.join(best, Seq(idCol))
+        .select(col(idCol), col(vecCol),
+          (-col("__best.ncid")).cast("long").as("cluster_id"),
+          col("__best.csim").as("centroid_sim"))
+    })
+      // the persist keeps the assignment (literal dot-product chain or
+      // scored join) from re-running for each of the three consumers
+      // (a/b self-join legs + the final projection) — the
       // bigramNll/bm25TopK multi-consumer persist convention. No
       // unpersist: the returned frame is lazy (matches repo practice
       // for lazily-returned multi-consumer frames).
-      .select(col(idCol), col(vecCol),
-        (-col("__best.ncid")).cast("long").as("cluster_id"),
-        col("__best.csim").as("centroid_sim"))
       .persist()
     if (maxClusterSize > 0) {
       // headOption, not head(): an empty input frame has no top cluster

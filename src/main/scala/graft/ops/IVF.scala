@@ -32,15 +32,16 @@ object IVF {
     graft.functions.VectorFunctions.cosine_sim(vec,
       array(c.map(lit): _*))
 
-  /** Nearest-centroid id for a vector column given literal centroids. */
-  private def assignExpr(vec: Column, centroids: Array[Array[Double]]): Column = {
-    val scored = centroids.zipWithIndex.map { case (c, i) =>
-      struct(cosineToLit(vec, c).as("cos"), lit(i).as("cid"))
-    }
-    // array_max on struct orders lexicographically: best cosine, then
-    // highest cid — deterministic tie-break
-    array_max(array(scored: _*)).getField("cid")
-  }
+  /** Nearest-centroid id for a vector column: best cosine, ties to the
+    * HIGHEST centroid id (the original `array_max(struct(cos, cid))`
+    * lexicographic contract). Runs as the native
+    * [[graft.functions.NearestCentroidId]] loop expression — the
+    * unrolled literal formulation blew Janino's 64 KB method limit at
+    * nc=256 and silently de-codegen'd the whole assign stage; the loop
+    * form is constant code size at any nc and bit-identical (pinned by
+    * spec against the unrolled formulation). */
+  private def assignExpr(vec: Column, centroids: Array[Array[Double]]): Column =
+    graft.functions.VectorFunctions.nearest_centroid_id(vec, centroids)
 
   /** Train `nc` centroids with `iters` Lloyd's iterations (cosine metric,
     * mean recombination). Collects only (nc x dim) doubles per iteration. */

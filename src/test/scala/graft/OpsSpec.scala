@@ -1070,6 +1070,30 @@ class SimilaritySpec extends SparkSpec {
     assert(r._3.forall(v => !v.isInfinite) && r._4.forall(v => !v.isNaN), r)
   }
 
+  test("semanticDedup: literal-argmax and large-nc join assignment paths agree") {
+    // nc <= 64 burns the argmax into one literal expression; above that
+    // the broadcast-join + partial-agg path runs (the literal form blows
+    // Janino's 64KB method limit at nc=256 — found by CorpusBuildSmoke).
+    // Same 5-vector fixture as the semantics test, once with 2 centroids
+    // (literal path) and once padded to 66 with never-winning decoys
+    // (join path): every output column must agree row for row.
+    val emb = Seq(
+      (1L, Seq(1.0, 0.01)), (2L, Seq(1.0, 0.02)), (3L, Seq(0.02, 1.0)),
+      (4L, Seq(0.7, 0.72)), (5L, Seq(0.72, 0.7))
+    ).toDF("vec_id", "v")
+    val real = Seq((0L, Seq(1.0, 0.0)), (1L, Seq(0.0, 1.0)))
+    val decoys = (2L until 66L).map(i => (i, Seq(-1.0, -1.0 - i * 0.01)))
+    def run(cs: Seq[(Long, Seq[Double])]) =
+      Dedup.semanticDedup(emb, "vec_id", "v",
+          cs.toDF("cid", "cv"), "cid", "cv", 0.99)
+        .select("vec_id", "cluster_id", "centroid_sim", "is_dup", "kept")
+        .as[(Long, Long, Double, Boolean, Boolean)].collect().sortBy(_._1)
+    val small = run(real)
+    val large = run(real ++ decoys)
+    assert(small.toSeq == large.toSeq,
+      s"paths diverged:\n small=${small.toSeq}\n large=${large.toSeq}")
+  }
+
   test("semanticDedup: empty input with maxClusterSize set passes through, no crash") {
     // r9 advisory: the guard called .head() on the count-by-cluster
     // aggregate, so an EMPTY input threw NoSuchElementException instead

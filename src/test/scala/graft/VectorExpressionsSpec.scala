@@ -59,4 +59,66 @@ class VectorExpressionsSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("array") || e.getMessage.contains("DATATYPE"))
   }
+
+  test("nearest_centroid_id matches the unrolled array_max formulation, incl. ties") {
+    // the contract the loop expression replaces: array_max over
+    // struct(cos, cid) literals — best cosine, ties to the HIGHEST cid.
+    // Fixture includes an exact tie (centroids 1 and 2 are identical, so
+    // doc vectors nearest them must pick cid 2), a zero vector (cosine
+    // 0.0 against everything -> ties across ALL centroids -> last cid),
+    // and float input (the cast path).
+    val cents: Array[Array[Double]] = Array(
+      Array(1.0, 0.0, 0.0), Array(0.0, 1.0, 0.0), Array(0.0, 1.0, 0.0),
+      Array(0.5, 0.5, 0.7))
+    def unrolled(vec: org.apache.spark.sql.Column) =
+      array_max(array(cents.zipWithIndex.map { case (c, i) =>
+        struct(VectorFunctions.cosine_sim(vec,
+          array(c.map(lit(_)): _*)).as("cos"), lit(i).as("cid"))
+      }: _*)).getField("cid")
+    val probes = Seq(
+      (0L, Seq(0.9f, 0.1f, 0.0f)), (1L, Seq(0.1f, 0.95f, 0.05f)),
+      (2L, Seq(0.0f, 0.0f, 0.0f)), (3L, Seq(0.5f, 0.5f, 0.69f)),
+      (4L, Seq(-1.0f, -1.0f, -1.0f))
+    ).toDF("id", "v")
+    val rows = probes.select($"id",
+        VectorFunctions.nearest_centroid_id($"v", cents).as("native"),
+        unrolled($"v").as("unrolled"),
+        VectorFunctions.nearest_centroid_id(
+          transform($"v", x => x.cast("double")), cents).as("native_d"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getInt(1) == r.getInt(2), s"float path diverged: $r")
+      assert(r.getInt(3) == r.getInt(2), s"double path diverged: $r")
+    }
+    assert(rows.find(_.getLong(0) == 1L).get.getInt(1) == 2, "tie must take highest cid")
+    assert(rows.find(_.getLong(0) == 2L).get.getInt(1) == 3, "all-tie zero vector -> last cid")
+  }
+
+  test("nearest_centroid_id stays whole-stage-codegen at nc=256 (the unrolled form cannot)") {
+    // 256 centroids x 16 dims: the unrolled formulation exceeds Janino's
+    // 64KB method limit here and de-codegens the whole stage (measured in
+    // CorpusBuildSmoke); the loop expression must keep the projection
+    // inside WholeStageCodegen with zero codegen fallbacks
+    val cents: Array[Array[Double]] = Array.tabulate(256) { c =>
+      Array.tabulate(16)(d => ((c * 31 + d * 7) % 101) / 101.0)
+    }
+    // plain array() of codegen-able elements on purpose: a higher-order
+    // transform() lambda here would itself block whole-stage codegen and
+    // mask what this test pins
+    val df = spark.range(0, 1000)
+      .select($"id", array((0 until 16).map(d =>
+        pmod(xxhash64($"id", lit(d)), lit(97)).cast("double") / 97.0): _*)
+        .as("v"))
+    val out = df.select($"id",
+      VectorFunctions.nearest_centroid_id($"v", cents).as("cid"))
+    // the `*(n)` prefix is how toString marks WholeStageCodegen membership
+    val plan = out.queryExecution.executedPlan.toString
+    assert("\\*\\(\\d+\\) Project \\[[^\\]]*nearestcentroidid".r
+      .findFirstIn(plan).isDefined,
+      s"assign projection left whole-stage codegen:\n${plan.take(500)}")
+    // executes without InternalCompilerException fallbacks and assigns
+    // the full centroid range deterministically
+    val cids = out.select(countDistinct($"cid")).as[Long].head()
+    assert(cids > 5, s"suspiciously few clusters used: $cids")
+  }
 }
