@@ -12,7 +12,7 @@ import graft.queries.{ExtensionQueries, ParityQueries}
   * SQL-expressible query (xxhash64-based ops are rows-only by design).
   * Full operator -> query -> check map: /root/repo/COVERAGE.md.
   *
-  * Inventory (148 oracle-checked, 8 rows-only):
+  * Inventory (150 oracle-checked, 8 rows-only):
   *  - q01-q16: scans, filters, CASE chains, datetime, windows (running/
   *    lag/30-day range), grouped stats + broadcast join, anti-join
   *    referential integrity, top-k, dup/null/range/quality checks, upsert,
@@ -69,7 +69,7 @@ import graft.queries.{ExtensionQueries, ParityQueries}
   *    per-token), bigram-LM NLL, text normalization, BM25 top-k, Zipf
   *    profile, HTML extraction, vocab-OOV coverage, Misra-Gries heavy
   *    hitters, RRF fusion, recall@k evaluation, mojibake repair
-  *  - x87-x105: detector P/R/F1 evaluation, hashed-logreg quality-gate
+  *  - x87-x107: detector P/R/F1 evaluation, hashed-logreg quality-gate
   *    TRAINING + the closed train-infer-gate loop, oracle-checked
   *    multimodal media stats, hard-negative mining (exact + LSH scale
   *    path), cross-source overlap audit (exact + persisted minhash
@@ -79,7 +79,9 @@ import graft.queries.{ExtensionQueries, ParityQueries}
   *    mean-pool vector aggregation, per-source percentile calibration,
   *    embedding-table health check, sketch-vs-exact overlap accuracy +
   *    two-shard store-merge identity, media-feature exact kNN (the
-  *    multimodal -> retrieval seam)
+  *    multimodal -> retrieval seam), chat-transcript turn extraction +
+  *    role loss masking, Bloom-filter decontamination screen (map-only,
+  *    one-sided error, per-document fpp sizing)
   */
 object SparkEntry {
 

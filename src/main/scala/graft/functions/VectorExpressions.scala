@@ -237,6 +237,121 @@ case class NearestCentroidId(child: Expression,
     copy(child = newChild)
 }
 
+/** Top-`nprobe` nearest centroid ids (cosine desc, centroid id asc on
+  * ties — the [[graft.ops.IVF]] probe order: `reverse(array_sort((cos,
+  * -cid)))` sliced to nprobe) as ONE native loop expression. Same
+  * motivation as [[NearestCentroidId]]: the unrolled literal struct
+  * array + full sort grows generated code linearly in nc (and sorts all
+  * nc scores to take the top handful); the loop keeps a bounded
+  * insertion list — O(nc·nprobe) worst case with nprobe tiny — at
+  * constant code size, so query-side probe selection codegens at any
+  * centroid count. Output length is min(nprobe, nc). */
+case class NearestCentroidIds(child: Expression,
+    centroids: Array[Array[Double]], nprobe: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  require(centroids.nonEmpty, "need at least one centroid")
+  require(nprobe >= 1, "need nprobe >= 1")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"requires array<float|double> input, got $other")
+  }
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  private def elemIsFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  @transient private lazy val normsSq: Array[Double] = centroids.map { c =>
+    var nb = 0.0; var i = 0
+    while (i < c.length) { nb += c(i) * c(i); i += 1 }
+    nb
+  }
+
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val xf = elemIsFloat
+    val k = math.min(nprobe, centroids.length)
+    val topCos = new Array[Double](k)
+    val topCid = new Array[Int](k)
+    var filled = 0
+    var c = 0
+    while (c < centroids.length) {
+      val cv = centroids(c)
+      val n = math.min(x.numElements(), cv.length)
+      var dot = 0.0; var na = 0.0; var i = 0
+      while (i < n) {
+        val xv = if (xf) x.getFloat(i).toDouble else x.getDouble(i)
+        dot += xv * cv(i); na += xv * xv
+        i += 1
+      }
+      val denom = math.sqrt(na) * math.sqrt(normsSq(c))
+      val cos = if (denom > 0) dot / denom else 0.0
+      // first j with cos STRICTLY greater -> equal-cos keeps earlier
+      // (smaller) cid first: the cid-asc tie order
+      var j = 0
+      while (j < filled && cos <= topCos(j)) j += 1
+      if (j < k) {
+        var m = math.min(filled, k - 1)
+        while (m > j) { topCos(m) = topCos(m - 1); topCid(m) = topCid(m - 1); m -= 1 }
+        topCos(j) = cos; topCid(j) = c
+        if (filled < k) filled += 1
+      }
+      c += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(topCid)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val xGet = if (elemIsFloat) "getFloat" else "getDouble"
+    val centRef = ctx.addReferenceObj("centroids", centroids, "double[][]")
+    val normRef = ctx.addReferenceObj("normsSq", normsSq, "double[]")
+    val k = math.min(nprobe, centroids.length)
+    nullSafeCodeGen(ctx, ev, { x =>
+      val c = ctx.freshName("c"); val i = ctx.freshName("i")
+      val cv = ctx.freshName("cv"); val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot"); val na = ctx.freshName("na")
+      val xv = ctx.freshName("xv"); val denom = ctx.freshName("denom")
+      val cos = ctx.freshName("cos"); val j = ctx.freshName("j")
+      val m = ctx.freshName("m"); val filled = ctx.freshName("filled")
+      val topCos = ctx.freshName("topCos"); val topCid = ctx.freshName("topCid")
+      s"""
+         |double[] $topCos = new double[$k];
+         |int[] $topCid = new int[$k];
+         |int $filled = 0;
+         |for (int $c = 0; $c < $centRef.length; $c++) {
+         |  double[] $cv = $centRef[$c];
+         |  int $n = java.lang.Math.min($x.numElements(), $cv.length);
+         |  double $dot = 0.0; double $na = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    double $xv = (double) $x.$xGet($i);
+         |    $dot += $xv * $cv[$i]; $na += $xv * $xv;
+         |  }
+         |  double $denom = java.lang.Math.sqrt($na) * java.lang.Math.sqrt($normRef[$c]);
+         |  double $cos = ($denom > 0) ? ($dot / $denom) : 0.0;
+         |  int $j = 0;
+         |  while ($j < $filled && $cos <= $topCos[$j]) $j++;
+         |  if ($j < $k) {
+         |    for (int $m = java.lang.Math.min($filled, $k - 1); $m > $j; $m--) {
+         |      $topCos[$m] = $topCos[$m - 1]; $topCid[$m] = $topCid[$m - 1];
+         |    }
+         |    $topCos[$j] = $cos; $topCid[$j] = $c;
+         |    if ($filled < $k) $filled++;
+         |  }
+         |}
+         |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+         |  .fromPrimitiveArray($topCid);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object VectorFunctions {
   import org.apache.spark.sql.graftbridge.Bridge
 
@@ -251,6 +366,10 @@ object VectorFunctions {
 
   def nearest_centroid_id(vec: Column, centroids: Array[Array[Double]]): Column =
     Bridge.column(NearestCentroidId(Bridge.expression(vec), centroids))
+
+  def nearest_centroid_ids(vec: Column, centroids: Array[Array[Double]],
+      nprobe: Int): Column =
+    Bridge.column(NearestCentroidIds(Bridge.expression(vec), centroids, nprobe))
 
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     Bridge.registerFunction(spark, "cosine_sim",

@@ -28,10 +28,6 @@ object IVF {
   private def toDouble(vec: Column): Column =
     transform(vec, x => x.cast("double"))
 
-  private def cosineToLit(vec: Column, c: Array[Double]): Column =
-    graft.functions.VectorFunctions.cosine_sim(vec,
-      array(c.map(lit): _*))
-
   /** Nearest-centroid id for a vector column: best cosine, ties to the
     * HIGHEST centroid id (the original `array_max(struct(cos, cid))`
     * lexicographic contract). Runs as the native
@@ -124,22 +120,22 @@ object IVF {
 
   /** (qid, qvec, centroid_id) probe rows: each query exploded to its
     * `nprobe` nearest lists, all inside the plan — per-query probe ids
-    * come from a literal-centroid expression, NOT a driver `head()` per
-    * query like [[search]]. */
+    * come from the native [[graft.functions.NearestCentroidIds]] loop
+    * expression (cosine desc, cid-asc ties — the same order
+    * sortBy(-cos) yields in [[search]], pinned by the
+    * searchBatch-equals-N-search spec), NOT a driver `head()` per query
+    * like [[search]]. The earlier unrolled struct array + full
+    * array_sort grew generated code linearly in nc (the
+    * [[NearestCentroidId]] Janino story on the query side) and sorted
+    * all nc scores to keep a handful; the loop expression codegens at
+    * any centroid count. */
   private def probeFrame(queries: DataFrame, qidCol: String, model: Model,
-      nprobe: Int): DataFrame = {
-    // (cos, -cid) sort key ascending, reversed -> cosine desc with cid-asc
-    // tie-break: the same order sortBy(-cos) yields in [[search]]
-    val scoredCentroids = array(model.centroids.zipWithIndex.map { case (c, i) =>
-      struct(cosineToLit(toDouble(col("qvec")), c).as("cos"),
-        lit(-i).as("negcid"))
-    }: _*)
-    val probes = slice(reverse(array_sort(scoredCentroids)), 1, nprobe)
+      nprobe: Int): DataFrame =
     queries
-      .withColumn("__probe", explode(probes)) // generators must be top-level
-      .withColumn("centroid_id", -col("__probe").getField("negcid"))
+      .withColumn("centroid_id",
+        explode(graft.functions.VectorFunctions.nearest_centroid_ids(
+          toDouble(col("qvec")), model.centroids, nprobe)))
       .select(col(qidCol), col("qvec"), col("centroid_id"))
-  }
 
   /** Persist an assigned corpus as a BUCKETED IVF index table: bucketed
     * (and sorted) by `centroid_id` — probing a list means opening only

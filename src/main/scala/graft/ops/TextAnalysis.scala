@@ -242,6 +242,49 @@ object TextAnalysis {
         round(col("n_hits").cast("double") / col("n_shingles"), 6))
   }
 
+  /** Bloom-filter contamination screen — [[contamination]]'s MAP-ONLY
+    * scale path: the benchmark's distinct shingle-hash set is folded
+    * into a driver-built Bloom filter that rides to executors as plan
+    * state, and each document answers "might any of my shingles be
+    * benchmark shingles?" with zero exchanges — where the exact
+    * screen's hit-join, broadcast or not, still moves every doc shingle
+    * through a join operator. The error is one-sided: false POSITIVES
+    * flag clean documents (route them to the exact [[contamination]]
+    * re-check, or accept the over-removal); false negatives cannot
+    * happen, so the screen never leaks a contaminated document (pinned
+    * by spec against the exact join).
+    *
+    * SIZE `fpp` FOR THE DOCUMENT, NOT THE QUERY: the filter's fpp is
+    * per MEMBERSHIP PROBE, and a k-shingle document compounds it to
+    * ~k·fpp doc-level false-positive odds — at fpp=0.01 a 100-shingle
+    * document is falsely flagged ~63% of the time (measured on the
+    * first x107 cut: the naive 1% default flagged most of the corpus).
+    * The default 1e-6 puts a ~100-shingle doc at ~1e-4 — and Bloom
+    * bits grow only LOGARITHMICALLY in 1/fpp (~2.9 bytes/item at 1e-6
+    * vs ~1.2 at 1e-2), so the stricter setting costs ~2.4x space, not
+    * 1e4x: ~2.9 MB per million benchmark shingles. Output: one row per
+    * doc — (id, n_shingles, maybe_contaminated). */
+  def contaminationBloom(docs: DataFrame, benchmark: DataFrame,
+      idCol: String, textCol: String, n: Int = 3,
+      fpp: Double = 1e-6): DataFrame = {
+    def shingleExpr(c: Column): Column = array_distinct(
+      graft.functions.ShingleFunctions.shingle_hashes(tokens(c), n))
+    val benchSh = benchmark
+      .select(explode(shingleExpr(col(textCol))).as("__sh")).distinct()
+    // benchmark-sized actions (eval suites are tiny): exact count sizes
+    // the filter, then one pass folds the hashes in
+    val m = math.max(benchSh.count(), 1L)
+    val bloom = benchSh.stat.bloomFilter("__sh", m, fpp)
+    docs
+      // projection boundary: shingles computed ONCE per row, consumed by
+      // both the size and the membership loop
+      .withColumn("__shs", shingleExpr(col(textCol)))
+      .withColumn("n_shingles", size(col("__shs")).cast("long"))
+      .withColumn("maybe_contaminated",
+        graft.functions.BloomFunctions.bloom_any_contain(col("__shs"), bloom))
+      .drop("__shs")
+  }
+
   /** Paragraph-level decontamination — the REMOVAL counterpart of
     * [[contamination]]'s detection: drop every paragraph that shares an
     * n-gram with the benchmark corpus and reassemble the survivors
@@ -1609,4 +1652,67 @@ object TextAnalysis {
         round(col("__headmass").cast("double") /
           col("__t").cast("double"), 6).as("top_coverage"))
   }
+
+  /** Chat-transcript turn extraction — the parse step every
+    * instruction/chat fine-tuning pipeline runs before loss masking and
+    * packing: a transcript serialized as `role: content` lines becomes
+    * one row per TURN (doc, turn_idx, role, content). A line whose
+    * prefix matches a known role (`system` / `user` / `assistant`,
+    * case-insensitive, optional surrounding spaces) STARTS a turn;
+    * non-header lines are continuations appended to the current turn
+    * (multi-line assistant answers are the norm). Content before any
+    * header lands in turn 0 with role `unknown` — surfaced, not
+    * dropped, so malformed transcripts are visible to QA. Empty
+    * continuation lines are preserved inside the turn (joined back
+    * with \n); the header prefix and the whitespace right after its
+    * colon are stripped from a turn's first line — bytes elsewhere
+    * survive untouched.
+    *
+    * Scale shape: one split + posexplode to line rows, ONE doc-keyed
+    * window (running count of header lines = segment id — transcripts
+    * are KB-sized, a doc partition is trivially bounded), one
+    * (doc, segment) aggregate folding continuations in line order.
+    * Two exchanges total, both on the doc id; content never rides a
+    * wider key. Engine-portable: the DuckDB oracle replays the same
+    * split/window/regroup. */
+  def chatTurns(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val headerRe = "^\\s*(?i)(system|user|assistant)\\s*:"
+    val lines = df.select(col(idCol),
+        posexplode(split(col(textCol), "\n")).as(Seq("__pos", "__line")))
+      .withColumn("__hdr",
+        regexp_extract(col("__line"), headerRe, 1) =!= "")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("__pos"))
+      .rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val seg = lines.withColumn("turn_idx",
+      sum(when(col("__hdr"), 1L).otherwise(0L)).over(w))
+    seg.groupBy(col(idCol), col("turn_idx"))
+      .agg(
+        // the segment's first line carries the role (or none: preamble)
+        min(when(col("__hdr"),
+          struct(col("__pos").as("p"), lower(trim(
+            regexp_extract(col("__line"), headerRe, 1))).as("r"))))
+          .as("__r"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("__pos"),
+            // strip the header prefix from the turn's first line only
+            when(col("__hdr"),
+              ltrim(regexp_replace(col("__line"), headerRe, "")))
+              .otherwise(col("__line")).as("__c")))),
+          s => s.getField("__c")), "\n").as("content"))
+      .select(col(idCol), col("turn_idx"),
+        coalesce(col("__r.r"), lit("unknown")).as("role"),
+        col("content"))
+  }
+
+  /** Role-based loss masking over [[chatTurns]] output — the SFT rule
+    * "train only on assistant tokens": adds `train_mask` (assistant
+    * turns) and the per-turn token count the packer bills against the
+    * sequence budget. Map-only on the turn rows. */
+  def chatLossMask(turns: DataFrame,
+      trainRoles: Seq[String] = Seq("assistant")): DataFrame =
+    turns.withColumn("n_tokens", tokenCount(col("content")).cast("long"))
+      .withColumn("train_mask", col("role").isin(trainRoles: _*))
 }

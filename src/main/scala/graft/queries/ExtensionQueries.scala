@@ -1705,6 +1705,56 @@ object ExtensionQueries {
         .orderBy(col("source_a"), col("source_b"))
     }),
 
+    // Chat-transcript turn extraction + role loss masking (the SFT prep
+    // step): role-headed lines with a multi-line assistant answer, a
+    // case/space-mangled header, and (every 5th doc) a role-less
+    // preamble the parser must surface as turn 0 / unknown
+    "x106_chat_turns" -> ((s, dir) => {
+      val toks = TextAnalysis.tokens(col("text"))
+      val chat = t(s, dir, "documents").select(col("doc_id"),
+        concat(
+          when(col("doc_id") % 5 === 0, lit("stray preamble\n"))
+            .otherwise(lit("")),
+          lit("system: be helpful\n"),
+          lit("user: "), concat_ws(" ", slice(toks, 1, 8)), lit("\n"),
+          lit("assistant: "), concat_ws(" ", slice(toks, 9, 8)), lit("\n"),
+          concat_ws(" ", slice(toks, 17, 8)), lit("\n"),
+          lit("USER : "), concat_ws(" ", slice(toks, 25, 6))).as("text"))
+      TextAnalysis.chatLossMask(
+          TextAnalysis.chatTurns(chat, "doc_id", "text"))
+        .orderBy(col("doc_id"), col("turn_idx"))
+    }),
+
+    // Bloom-filter decontamination screen vs the exact join (x102's
+    // boolean-invariant convention): benchmark = every 20th doc planted
+    // verbatim; the exact legs (string shingles) replay in DuckDB, the
+    // Bloom screen's one-sided-error contract rides as booleans —
+    // no_false_negative must hold PER DOC; fpp=1e-6 is sized for the
+    // DOCUMENT (per-probe fpp compounds ~k x over a k-shingle doc — the
+    // naive 0.01 flagged most of the corpus), so expected FP docs here
+    // is ~clean*k*1e-6 ~ 0.05 and the bound is the small-n floor of 5
+    "x107_bloom_decontamination" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val bench = docs.filter(col("doc_id") % 20 === 3).select(col("text"))
+      val exact = TextAnalysis.contamination(docs, bench, "doc_id", "text",
+        n = 3, hashed = false)
+      val screened = TextAnalysis.contaminationBloom(docs, bench, "doc_id",
+          "text", n = 3, fpp = 1e-6)
+        .select(col("doc_id"), col("maybe_contaminated"))
+      val joined = exact.join(screened, Seq("doc_id")).persist()
+      val fp = joined.filter(col("maybe_contaminated") &&
+        col("n_hits") === 0).count()
+      val clean = joined.filter(col("n_hits") === 0).count()
+      val fpOk = fp <= 5 && clean > 0
+      joined
+        .select(col("doc_id"), col("n_shingles"), col("n_hits"),
+          col("contamination"),
+          (col("maybe_contaminated") || col("n_hits") === 0)
+            .as("no_false_negative"))
+        .withColumn("fp_rate_bounded", lit(fpOk))
+        .orderBy(col("doc_id"))
+    }),
+
     // Multimodal -> retrieval seam: media payloads through the batched
     // feature extractor (the x11 byte-histogram decode stub) straight
     // into the exact-kNN operator — media features are a first-class
@@ -3148,6 +3198,73 @@ object ExtensionQueries {
         |FROM sizes sa JOIN sizes sb ON sa.src < sb.src
         |LEFT JOIN inter i ON i.source_a = sa.src AND i.source_b = sb.src
         |ORDER BY source_a, source_b""".stripMargin,
+
+    "x107_bloom_decontamination" ->
+      """WITH tok AS (
+        |  SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'),
+        |    x -> len(x) > 0) AS toks
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |    unnest(list_distinct(CASE WHEN len(toks) <= 3
+        |      THEN [array_to_string(toks, ' ')]
+        |      ELSE list_transform(range(0, len(toks) - 2),
+        |        i -> array_to_string(list_slice(toks, i + 1, i + 3), ' ')) END))
+        |      AS g
+        |  FROM tok),
+        |bench AS (SELECT DISTINCT g FROM sh WHERE doc_id % 20 = 3),
+        |j AS (
+        |  SELECT s.doc_id, count(*) AS n_shingles,
+        |    CAST(sum(CASE WHEN b.g IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_hits
+        |  FROM sh s LEFT JOIN bench b ON s.g = b.g GROUP BY 1)
+        |SELECT doc_id, CAST(n_shingles AS BIGINT) AS n_shingles, n_hits,
+        |  ROUND(CAST(n_hits AS DOUBLE) / n_shingles, 6) AS contamination,
+        |  TRUE AS no_false_negative, TRUE AS fp_rate_bounded
+        |FROM j ORDER BY doc_id""".stripMargin,
+
+    "x106_chat_turns" ->
+      """WITH tok AS (
+        |  SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'),
+        |    x -> len(x) > 0) AS toks
+        |  FROM documents),
+        |chat AS (
+        |  SELECT doc_id,
+        |    (CASE WHEN doc_id % 5 = 0 THEN 'stray preamble' || chr(10)
+        |      ELSE '' END)
+        |    || 'system: be helpful' || chr(10)
+        |    || 'user: ' || coalesce(array_to_string(list_slice(toks, 1, 8), ' '), '') || chr(10)
+        |    || 'assistant: ' || coalesce(array_to_string(list_slice(toks, 9, 16), ' '), '') || chr(10)
+        |    || coalesce(array_to_string(list_slice(toks, 17, 24), ' '), '') || chr(10)
+        |    || 'USER : ' || coalesce(array_to_string(list_slice(toks, 25, 30), ' '), '') AS text
+        |    -- coalesce: DuckDB's out-of-range list_slice is NULL (not []),
+        |    -- and || NULL would null the whole transcript for short docs
+        |  FROM tok),
+        |lines AS (
+        |  SELECT doc_id, CAST(i AS INT) AS pos, ls[i] AS line
+        |  FROM (SELECT doc_id, string_split(text, chr(10)) AS ls FROM chat),
+        |    UNNEST(range(1, len(ls) + 1)) AS u(i)),
+        |seg AS (
+        |  SELECT doc_id, pos,
+        |    CASE WHEN rolem <> '' THEN
+        |      ltrim(regexp_replace(line, '(?i)^\s*(system|user|assistant)\s*:', ''), ' ')
+        |    ELSE line END AS content_line,
+        |    CASE WHEN rolem <> '' THEN lower(trim(rolem)) END AS role_line,
+        |    sum(CASE WHEN rolem <> '' THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY doc_id ORDER BY pos) AS turn_idx
+        |  FROM (SELECT doc_id, pos, line,
+        |      regexp_extract(line, '(?i)^\s*(system|user|assistant)\s*:', 1) AS rolem
+        |    FROM lines)),
+        |t AS (
+        |  SELECT doc_id, CAST(turn_idx AS BIGINT) AS turn_idx,
+        |    coalesce(min(role_line), 'unknown') AS role,
+        |    string_agg(content_line, chr(10) ORDER BY pos) AS content
+        |  FROM seg GROUP BY 1, 2)
+        |SELECT doc_id, turn_idx, role, content,
+        |  CAST(len(list_filter(string_split_regex(trim(content), '\s+'),
+        |    x -> len(x) > 0)) AS BIGINT) AS n_tokens,
+        |  role = 'assistant' AS train_mask
+        |FROM t ORDER BY doc_id, turn_idx""".stripMargin,
 
     "x105_media_knn" ->
       """WITH b AS (

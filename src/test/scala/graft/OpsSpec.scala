@@ -2534,4 +2534,65 @@ class TextAnalysisSpec extends SparkSpec {
     assert(fp(1L) == fp(2L))
     assert(fp(1L) != fp(3L))
   }
+
+  test("contaminationBloom: never misses a contaminated doc; fpp sized per document") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"doc_id", $"text")
+    val bench = docs.filter($"doc_id" % 10 === 1).select($"text")
+    val exact = graft.ops.TextAnalysis.contamination(
+        docs, bench, "doc_id", "text", n = 3)
+      .select($"doc_id", ($"n_hits" > 0).as("hit"))
+    val bloom = graft.ops.TextAnalysis.contaminationBloom(
+        docs, bench, "doc_id", "text", n = 3)
+      .select($"doc_id", $"maybe_contaminated", $"n_shingles")
+    val j = exact.join(bloom, Seq("doc_id")).collect()
+      .map(r => (r.getBoolean(1), r.getBoolean(2))).toSeq
+    // one-sided error: every exact hit is flagged (NO false negatives)
+    assert(j.forall { case (hit, flag) => !hit || flag }, "missed contamination")
+    assert(j.count(_._1) > 0, "fixture must plant contamination")
+    // per-document fpp: at 1e-6 over ~100-shingle docs, false positives
+    // on a 500-doc corpus are ~0 (the 0.01 default would flag ~63%)
+    assert(j.count { case (hit, flag) => !hit && flag } <= 2, j.count {
+      case (hit, flag) => !hit && flag })
+    // empty text -> zero shingles -> never flagged, no crash
+    val empty = graft.ops.TextAnalysis.contaminationBloom(
+        Seq((1L, "")).toDF("doc_id", "text"), bench, "doc_id", "text")
+      .as[(Long, String, Long, Boolean)].collect()
+    assert(!empty.head._4)
+  }
+
+  test("chatTurns: preamble, continuations, mangled headers, empty content; mask by role") {
+    val transcript =
+      "stray preamble line\n" +           // role-less -> turn 0, unknown
+      "system: be helpful\n" +
+      "user: what is spark\n" +
+      "assistant: a distributed engine\n" +
+      "with lazy evaluation\n" +          // continuation of assistant
+      "\n" +                              // EMPTY continuation line, kept
+      "USER  :   thanks\n" +              // case + spaces around colon
+      "Assistant:"                        // empty content turn
+    val df = Seq((7L, transcript)).toDF("doc_id", "text")
+    val turns = graft.ops.TextAnalysis.chatLossMask(
+        graft.ops.TextAnalysis.chatTurns(df, "doc_id", "text"))
+      .orderBy($"turn_idx")
+      .as[(Long, Long, String, String, Long, Boolean)].collect()
+    assert(turns.map(t => (t._2, t._3, t._4)).toSeq == Seq(
+      (0L, "unknown", "stray preamble line"),
+      (1L, "system", "be helpful"),
+      (2L, "user", "what is spark"),
+      (3L, "assistant", "a distributed engine\nwith lazy evaluation\n"),
+      (4L, "user", "thanks"),
+      (5L, "assistant", "")), turns.toSeq)
+    // mask: only assistant turns train; token counts span continuation lines
+    assert(turns.map(t => (t._2, t._6)).toSeq ==
+      Seq((0L, false), (1L, false), (2L, false), (3L, true), (4L, false),
+        (5L, true)))
+    assert(turns.find(_._2 == 3L).get._5 == 6L) // 6 tokens across 3 lines
+    // a doc with no headers at all is one unknown turn, not dropped
+    val bare = graft.ops.TextAnalysis.chatTurns(
+        Seq((8L, "just plain text\ntwo lines")).toDF("doc_id", "text"),
+        "doc_id", "text")
+      .as[(Long, Long, String, String)].collect()
+    assert(bare.toSeq == Seq((8L, 0L, "unknown", "just plain text\ntwo lines")))
+  }
 }

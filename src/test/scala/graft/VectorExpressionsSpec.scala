@@ -94,6 +94,36 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(rows.find(_.getLong(0) == 2L).get.getInt(1) == 3, "all-tie zero vector -> last cid")
   }
 
+  test("nearest_centroid_ids matches reverse(array_sort((cos,-cid))) slice, incl. ties") {
+    // the probe-order contract: cosine desc, centroid id ASC on ties —
+    // exactly what IVF.probeFrame's old sort/reverse/slice formulation
+    // produced. Duplicate centroids (1 and 2) force an equal-cosine tie
+    // that must list cid 1 BEFORE cid 2; zero vector ties everything.
+    val cents: Array[Array[Double]] = Array(
+      Array(1.0, 0.0, 0.0), Array(0.0, 1.0, 0.0), Array(0.0, 1.0, 0.0),
+      Array(0.5, 0.5, 0.7), Array(-1.0, 0.0, 0.0))
+    def unrolled(vec: org.apache.spark.sql.Column, nprobe: Int) =
+      slice(reverse(array_sort(array(cents.zipWithIndex.map { case (c, i) =>
+        struct(VectorFunctions.cosine_sim(vec,
+          array(c.map(lit(_)): _*)).as("cos"), lit(-i).as("negcid"))
+      }: _*))), 1, nprobe)
+    val probes = Seq(
+      (0L, Seq(0.9, 0.1, 0.0)), (1L, Seq(0.1, 0.95, 0.05)),
+      (2L, Seq(0.0, 0.0, 0.0)), (3L, Seq(0.5, 0.5, 0.69)),
+      (4L, Seq(-1.0, -1.0, -1.0))
+    ).toDF("id", "v")
+    for (np <- Seq(1, 3, 7)) { // 7 > nc exercises the clamp
+      val rows = probes.select($"id",
+          VectorFunctions.nearest_centroid_ids($"v", cents, np).as("native"),
+          transform(unrolled($"v", np),
+            s => (-s.getField("negcid")).cast("int")).as("ref"))
+        .as[(Long, Seq[Int], Seq[Int])].collect()
+      rows.foreach { case (id, native, ref) =>
+        assert(native == ref, s"nprobe=$np id=$id: native=$native ref=$ref")
+      }
+    }
+  }
+
   test("nearest_centroid_id stays whole-stage-codegen at nc=256 (the unrolled form cannot)") {
     // 256 centroids x 16 dims: the unrolled formulation exceeds Janino's
     // 64KB method limit here and de-codegens the whole stage (measured in
