@@ -266,24 +266,36 @@ object TextAnalysis {
     * doc — (id, n_shingles, maybe_contaminated). */
   def contaminationBloom(docs: DataFrame, benchmark: DataFrame,
       idCol: String, textCol: String, n: Int = 3,
-      fpp: Double = 1e-6): DataFrame = {
-    def shingleExpr(c: Column): Column = array_distinct(
-      graft.functions.ShingleFunctions.shingle_hashes(tokens(c), n))
+      fpp: Double = 1e-6): DataFrame =
+    screenWithBloom(docs, textCol,
+      benchmarkBloom(benchmark, textCol, n, fpp), n)
+
+  /** Build the benchmark's Bloom filter once — the reusable training-side
+    * artifact ([[graft.streaming.EventStreams.bloomScreenSink]] carries it
+    * across the batch/stream seam the way the classifier gate carries its
+    * weights). Benchmark-sized actions only: an exact count sizes the
+    * filter, one pass folds the distinct shingle hashes in. */
+  def benchmarkBloom(benchmark: DataFrame, textCol: String, n: Int = 3,
+      fpp: Double = 1e-6): org.apache.spark.util.sketch.BloomFilter = {
     val benchSh = benchmark
-      .select(explode(shingleExpr(col(textCol))).as("__sh")).distinct()
-    // benchmark-sized actions (eval suites are tiny): exact count sizes
-    // the filter, then one pass folds the hashes in
+      .select(explode(array_distinct(graft.functions.ShingleFunctions
+        .shingle_hashes(tokens(col(textCol)), n))).as("__sh")).distinct()
     val m = math.max(benchSh.count(), 1L)
-    val bloom = benchSh.stat.bloomFilter("__sh", m, fpp)
+    benchSh.stat.bloomFilter("__sh", m, fpp)
+  }
+
+  /** Apply a prebuilt benchmark filter — the map-only screen itself. */
+  def screenWithBloom(docs: DataFrame, textCol: String,
+      bloom: org.apache.spark.util.sketch.BloomFilter, n: Int = 3): DataFrame =
     docs
       // projection boundary: shingles computed ONCE per row, consumed by
       // both the size and the membership loop
-      .withColumn("__shs", shingleExpr(col(textCol)))
+      .withColumn("__shs", array_distinct(graft.functions.ShingleFunctions
+        .shingle_hashes(tokens(col(textCol)), n)))
       .withColumn("n_shingles", size(col("__shs")).cast("long"))
       .withColumn("maybe_contaminated",
         graft.functions.BloomFunctions.bloom_any_contain(col("__shs"), bloom))
       .drop("__shs")
-  }
 
   /** Paragraph-level decontamination — the REMOVAL counterpart of
     * [[contamination]]'s detection: drop every paragraph that shares an

@@ -49,6 +49,23 @@ object ExtensionQueries {
 
   /** documents plus a mutated copy of docs 0..49 (id+10000, last ~20% of
     * words dropped) — the planted near-duplicate corpus. */
+  /** Shared x106/x108 chat-transcript fixture: role-headed serialization
+    * of each document with a multi-line assistant answer, a
+    * case/space-mangled header, and (every 5th doc) a role-less
+    * preamble. */
+  private def chatFixture(s: SparkSession, dir: String): DataFrame = {
+    val toks = TextAnalysis.tokens(col("text"))
+    t(s, dir, "documents").select(col("doc_id"),
+      concat(
+        when(col("doc_id") % 5 === 0, lit("stray preamble\n"))
+          .otherwise(lit("")),
+        lit("system: be helpful\n"),
+        lit("user: "), concat_ws(" ", slice(toks, 1, 8)), lit("\n"),
+        lit("assistant: "), concat_ws(" ", slice(toks, 9, 8)), lit("\n"),
+        concat_ws(" ", slice(toks, 17, 8)), lit("\n"),
+        lit("USER : "), concat_ws(" ", slice(toks, 25, 6))).as("text"))
+  }
+
   private def nearDupCorpus(docs: DataFrame): DataFrame = {
     val toks = TextAnalysis.tokens(col("text"))
     val mutated = docs.filter(col("doc_id") < 50)
@@ -1709,20 +1726,30 @@ object ExtensionQueries {
     // step): role-headed lines with a multi-line assistant answer, a
     // case/space-mangled header, and (every 5th doc) a role-less
     // preamble the parser must surface as turn 0 / unknown
-    "x106_chat_turns" -> ((s, dir) => {
-      val toks = TextAnalysis.tokens(col("text"))
-      val chat = t(s, dir, "documents").select(col("doc_id"),
-        concat(
-          when(col("doc_id") % 5 === 0, lit("stray preamble\n"))
-            .otherwise(lit("")),
-          lit("system: be helpful\n"),
-          lit("user: "), concat_ws(" ", slice(toks, 1, 8)), lit("\n"),
-          lit("assistant: "), concat_ws(" ", slice(toks, 9, 8)), lit("\n"),
-          concat_ws(" ", slice(toks, 17, 8)), lit("\n"),
-          lit("USER : "), concat_ws(" ", slice(toks, 25, 6))).as("text"))
+    "x106_chat_turns" -> ((s, dir) =>
       TextAnalysis.chatLossMask(
-          TextAnalysis.chatTurns(chat, "doc_id", "text"))
-        .orderBy(col("doc_id"), col("turn_idx"))
+          TextAnalysis.chatTurns(chatFixture(s, dir), "doc_id", "text"))
+        .orderBy(col("doc_id"), col("turn_idx"))),
+
+    // SFT packing composition — the seam x106 -> x97: loss-masked chat
+    // TURNS are the packing unit (unit_id = doc*100 + turn), sharded by
+    // doc hash, mapped into 128-token training sequences; role and
+    // train_mask ride along so a loader can rebuild per-sequence loss
+    // boundaries. Empty turns occupy no sequence (the x97 contract).
+    "x108_sft_packing" -> ((s, dir) => {
+      val turns = TextAnalysis.chatLossMask(
+          TextAnalysis.chatTurns(chatFixture(s, dir), "doc_id", "text"))
+        .withColumn("unit_id", col("doc_id") * 100 + col("turn_idx"))
+        .withColumn("shard", pmod(col("doc_id"), lit(8)).cast("int"))
+      val packed = graft.ops.Packing.sequenceAssignments(
+        turns.select(col("shard"), col("unit_id"), col("n_tokens")),
+        "shard", "unit_id", "n_tokens", seqLen = 128L)
+      packed.join(turns.select(col("unit_id"), col("role"),
+          col("train_mask")), Seq("unit_id"))
+        .select(col("unit_id"), col("shard"), col("role"),
+          col("train_mask"), col("n_tokens"), col("offset"), col("seq_id"),
+          col("doc_start"), col("start_in_seq"), col("n_toks"))
+        .orderBy(col("unit_id"), col("seq_id"))
     }),
 
     // Bloom-filter decontamination screen vs the exact join (x102's
@@ -3198,6 +3225,66 @@ object ExtensionQueries {
         |FROM sizes sa JOIN sizes sb ON sa.src < sb.src
         |LEFT JOIN inter i ON i.source_a = sa.src AND i.source_b = sb.src
         |ORDER BY source_a, source_b""".stripMargin,
+
+    "x108_sft_packing" ->
+      """WITH tok AS (
+        |  SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'),
+        |    x -> len(x) > 0) AS toks
+        |  FROM documents),
+        |chat AS (
+        |  SELECT doc_id,
+        |    (CASE WHEN doc_id % 5 = 0 THEN 'stray preamble' || chr(10)
+        |      ELSE '' END)
+        |    || 'system: be helpful' || chr(10)
+        |    || 'user: ' || coalesce(array_to_string(list_slice(toks, 1, 8), ' '), '') || chr(10)
+        |    || 'assistant: ' || coalesce(array_to_string(list_slice(toks, 9, 16), ' '), '') || chr(10)
+        |    || coalesce(array_to_string(list_slice(toks, 17, 24), ' '), '') || chr(10)
+        |    || 'USER : ' || coalesce(array_to_string(list_slice(toks, 25, 30), ' '), '') AS text
+        |  FROM tok),
+        |lines AS (
+        |  SELECT doc_id, CAST(i AS INT) AS pos, ls[i] AS line
+        |  FROM (SELECT doc_id, string_split(text, chr(10)) AS ls FROM chat),
+        |    UNNEST(range(1, len(ls) + 1)) AS u(i)),
+        |seg AS (
+        |  SELECT doc_id, pos,
+        |    CASE WHEN rolem <> '' THEN
+        |      ltrim(regexp_replace(line, '(?i)^\s*(system|user|assistant)\s*:', ''), ' ')
+        |    ELSE line END AS content_line,
+        |    CASE WHEN rolem <> '' THEN lower(trim(rolem)) END AS role_line,
+        |    sum(CASE WHEN rolem <> '' THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY doc_id ORDER BY pos) AS turn_idx
+        |  FROM (SELECT doc_id, pos, line,
+        |      regexp_extract(line, '(?i)^\s*(system|user|assistant)\s*:', 1) AS rolem
+        |    FROM lines)),
+        |turns AS (
+        |  SELECT doc_id, CAST(turn_idx AS BIGINT) AS turn_idx,
+        |    coalesce(min(role_line), 'unknown') AS role,
+        |    CAST(len(list_filter(string_split_regex(trim(
+        |      string_agg(content_line, chr(10) ORDER BY pos)), '\s+'),
+        |      x -> len(x) > 0)) AS BIGINT) AS n_tokens
+        |  FROM seg GROUP BY 1, 2),
+        |units AS (
+        |  SELECT doc_id * 100 + turn_idx AS unit_id,
+        |    CAST(doc_id % 8 AS INT) AS shard, role,
+        |    role = 'assistant' AS train_mask, n_tokens
+        |  FROM turns),
+        |off AS (
+        |  SELECT unit_id, shard, role, train_mask, n_tokens,
+        |    CAST(coalesce(sum(n_tokens) OVER (
+        |      ORDER BY shard, unit_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |      AS "offset"
+        |  FROM units WHERE n_tokens > 0),
+        |inc AS (
+        |  SELECT unit_id, shard, role, train_mask, n_tokens, "offset", s.seq_id
+        |  FROM off, UNNEST(range("offset" // 128,
+        |    ("offset" + n_tokens - 1) // 128 + 1)) AS s(seq_id))
+        |SELECT unit_id, shard, role, train_mask, n_tokens, "offset", seq_id,
+        |  greatest(seq_id * 128 - "offset", 0) AS doc_start,
+        |  greatest("offset" - seq_id * 128, 0) AS start_in_seq,
+        |  least("offset" + n_tokens, seq_id * 128 + 128)
+        |    - greatest("offset", seq_id * 128) AS n_toks
+        |FROM inc ORDER BY unit_id, seq_id""".stripMargin,
 
     "x107_bloom_decontamination" ->
       """WITH tok AS (

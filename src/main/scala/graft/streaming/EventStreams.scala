@@ -199,6 +199,40 @@ object EventStreams {
       }
       .start()
 
+  /** Bloom-decontamination streaming sink — [[classifierGatedSink]]'s
+    * decontamination twin: each micro-batch is screened MAP-ONLY against
+    * a driver-built benchmark Bloom filter
+    * ([[graft.ops.TextAnalysis.benchmarkBloom]] — the training-side
+    * artifact that rides into the stream as plan state, exactly how the
+    * classifier gate carries its weights; zero exchanges per batch) and
+    * rows route clean / quarantine. The filter's error is one-sided, so
+    * a contaminated document can never reach `cleanPath`; false
+    * positives over-quarantine (size fpp per DOCUMENT — see
+    * [[graft.ops.TextAnalysis.contaminationBloom]]). Delivery is the
+    * same at-least-once two-append contract as the classifier gate. */
+  def bloomScreenSink(docs: DataFrame, idCol: String, textCol: String,
+      bloom: org.apache.spark.util.sketch.BloomFilter, n: Int,
+      cleanPath: String, quarantinePath: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (batch.isEmpty) ()
+        else {
+          val screened = graft.ops.TextAnalysis
+            .screenWithBloom(batch, textCol, bloom, n).persist()
+          screened.filter(!col("maybe_contaminated"))
+            .drop("maybe_contaminated", "n_shingles")
+            .write.mode("append").parquet(cleanPath)
+          screened.filter(col("maybe_contaminated"))
+            .drop("maybe_contaminated", "n_shingles")
+            .write.mode("append").parquet(quarantinePath)
+          screened.unpersist()
+          ()
+        }
+      }
+      .start()
+
   /** Streaming CDC upsert: merge each micro-batch into a keyed parquet
     * target via [[graft.sinks.Sinks.upsert]] — the streaming persistence
     * half of the changelog story (q49 compacts a LOG to latest state;

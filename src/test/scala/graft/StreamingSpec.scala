@@ -154,6 +154,44 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("bloomScreenSink: streamed decontamination routes identically to batch, never leaks") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"doc_id", $"text")
+    val bench = docs.filter($"doc_id" % 10 === 1).select($"text")
+    val bloom = graft.ops.TextAnalysis.benchmarkBloom(bench, "text")
+    val root = java.nio.file.Files.createTempDirectory("bloom_sink").toString
+    val input = MemoryStream[(Long, String)]
+    val feed = docs.as[(Long, String)].collect().toSeq
+    val q = EventStreams.bloomScreenSink(
+      input.toDF().toDF("doc_id", "text"), "doc_id", "text", bloom, 3,
+      s"$root/clean", s"$root/quarantine", s"$root/ckpt")
+    try {
+      input.addData(feed.take(30): _*)
+      q.processAllAvailable()
+      input.addData(feed.drop(30): _*)
+      q.processAllAvailable()
+      def ids(p: String) = spark.read.parquet(p)
+        .select("doc_id").as[Long].collect().toSet
+      val batch = graft.ops.TextAnalysis.contaminationBloom(
+        docs, bench, "doc_id", "text")
+      val batchClean = batch.filter(!$"maybe_contaminated")
+        .select("doc_id").as[Long].collect().toSet
+      val batchQuar = batch.filter($"maybe_contaminated")
+        .select("doc_id").as[Long].collect().toSet
+      assert(ids(s"$root/clean") == batchClean)
+      assert(ids(s"$root/quarantine") == batchQuar)
+      // one-sided error across the seam: every EXACTLY-contaminated doc
+      // is quarantined — nothing contaminated ever lands in clean
+      val exactHit = graft.ops.TextAnalysis.contamination(
+          docs, bench, "doc_id", "text")
+        .filter($"n_hits" > 0).select("doc_id").as[Long].collect().toSet
+      assert((exactHit & ids(s"$root/clean")).isEmpty)
+      assert(exactHit.nonEmpty)
+    } finally q.stop()
+  }
+
   test("qualityGatedParquetSink routes passing batches to good, failing to quarantine") {
     import java.nio.file.Files
     implicit val sqlCtx = spark.sqlContext
