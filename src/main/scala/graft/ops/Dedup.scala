@@ -904,7 +904,11 @@ object Dedup {
     val pairs = sizes.select(col("src").as("source_a"), col("n").as("n_a"))
       .join(sizes.select(col("src").as("source_b"), col("n").as("n_b")),
         col("source_a") < col("source_b"))
-    broadcast(pairs).join(inter, Seq("source_a", "source_b"), "left")
+    // broadcast the RIGHT side: a left-outer join cannot build (broadcast)
+    // its left/preserved side — the old broadcast(pairs) hint was silently
+    // dropped (HintErrorLogger warned on every run) and the tiny join fell
+    // back to a shuffle; inter is just as small (<= source-pair count)
+    pairs.join(broadcast(inter), Seq("source_a", "source_b"), "left")
       .withColumn("n_inter", coalesce(col("n_inter"), lit(0L)))
       .withColumn("jaccard", round(col("n_inter").cast("double") /
         (col("n_a") + col("n_b") - col("n_inter")), 6))
@@ -924,16 +928,31 @@ object Dedup {
     estimateFromSignatures(srcSignatures(df, srcCol, textCol, n, k))
 
   /** (src, j, mh) signature frame — the mergeable sketch state behind
-    * [[sourceOverlapMinhash]] and the persisted store. */
+    * [[sourceOverlapMinhash]] and the persisted store.
+    *
+    * Shape (rewritten r10 after the first x104 bench read 70s at sf0.1):
+    * per-DOC k-min signatures via the native [[minhashSignatures]] pass
+    * (map-only, codegen'd), then ONE (src, j)-keyed element-wise min —
+    * docs x k narrow rows through the exchange. The original form
+    * exploded every (src, gram) into k interpreted-lambda struct rows
+    * (grams x k, with per-element xxhash64 over the gram STRING): ~50x
+    * more rows and the HOF dispatch on every one; measured 70.4s -> the
+    * rewrite's sub-second (same fixture, isolated). Element-wise min
+    * over doc signatures = min over the source's gram-hash set (min is
+    * idempotent under cross-doc duplicates), so the estimate stays the
+    * Broder '97 agreement probability. NOTE the hash family is part of
+    * the PERSISTED STORE format (ShingleHashes+MinHashSigs since r10;
+    * xxhash64-over-gram-strings before) — signatures from different
+    * families must not be min-merged; rebuild stores on upgrade. Docs
+    * shorter than the shingle window contribute nothing (NULL-signature
+    * drop), where the string-shingle form gave them a whole-doc gram —
+    * an sub-window-doc edge the spec documents. */
   private def srcSignatures(df: DataFrame, srcCol: String, textCol: String,
       n: Int, k: Int): DataFrame =
-    df.select(col(srcCol).as("src"),
-        TextAnalysis.tokens(col(textCol)).as("__toks"))
-      .select(col("src"),
-        explode(array_distinct(shingles(col("__toks"), n))).as("g"))
-      .select(col("src"), explode(transform(sequence(lit(0), lit(k - 1)),
-        j => struct(j.as("j"), xxhash64(j, col("g")).as("h")))).as("jh"))
-      .groupBy(col("src"), col("jh.j")).agg(min(col("jh.h")).as("mh"))
+    minhashSignatures(df.select(col(srcCol), col(textCol)),
+        srcCol, textCol, n, k)
+      .select(col("id").as("src"), posexplode(col("sig")).as(Seq("j", "mh")))
+      .groupBy(col("src"), col("j")).agg(min(col("mh")).as("mh"))
 
   private def estimateFromSignatures(sig: DataFrame): DataFrame =
     sig.as("a").join(sig.as("b"),

@@ -1695,8 +1695,11 @@ object ExtensionQueries {
         .unionByName(docs.filter(col("doc_id") % 5 === 0)
           .select(lit("srcmirror").as("source"), col("text")))
       val exact = Dedup.sourceOverlap(corpus, "source", "text", n = 3)
+      // persisted: est feeds both exceptAll legs AND the final join;
+      // store feeds both exceptAll legs (3/2 consumers re-running the
+      // sketch otherwise)
       val est = Dedup.sourceOverlapMinhash(corpus, "source", "text",
-        n = 3, k = 128)
+        n = 3, k = 128).persist()
       val root = ParityQueries.tmpPath("graft_sig_store", dir)
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
       // two-shard ingest through the persisted store: min-merge is
@@ -1707,9 +1710,10 @@ object ExtensionQueries {
         corpus.filter(shard === 0), "source", "text", n = 3, k = 128)
       Dedup.ingestSourceSignatures(s, root,
         corpus.filter(shard === 1), "source", "text", n = 3, k = 128)
-      val store = Dedup.estimateSourceOverlap(s, root)
+      val store = Dedup.estimateSourceOverlap(s, root).persist()
       val storeMatches = store.exceptAll(est).isEmpty &&
         est.exceptAll(store).isEmpty
+      store.unpersist()
       exact.join(est, Seq("source_a", "source_b"))
         .withColumn("est_within_bound",
           abs(col("jaccard_est") - col("jaccard")) <=
