@@ -150,18 +150,31 @@ object CorpusBuildSmoke {
     time("4g post-dedup corpus")(deduped.count())
     nearKept.unpersist(); semDropped.unpersist()
 
-    // 5. benchmark decontamination (500 verbatim corpus docs) ------------
+    // 5. benchmark decontamination (500 verbatim corpus docs): the
+    // production two-phase shape — map-only Bloom screen corpus-wide,
+    // exact paragraph decontamination ONLY on the flagged slice (one-
+    // sided error: the screen never misses, so the exact pass's input
+    // is flagged-sized, not corpus-sized)
     val bench = corpus.filter(col("doc_id") % 2000 === 17)
       .select(col("text")).limit(500)
-    val cleaned = time("5 decontaminate vs 500-doc benchmark") {
-      val d = TextAnalysis.decontaminateParagraphs(deduped, bench,
+    val flagged = time("5a bloom screen (map-only, corpus-wide)") {
+      val f = TextAnalysis.contaminationBloom(deduped, bench,
           "doc_id", "text")
-        .filter(col("n_removed") === 0)
+        .filter(col("maybe_contaminated")).select(col("doc_id")).persist()
+      val nf = f.count()
+      println(s"[corpus-build]   screen flagged $nf docs for the exact pass")
+      f
+    }
+    val cleaned = time("5b exact decontaminate (flagged slice only)") {
+      val flaggedDocs = deduped.join(flagged, Seq("doc_id"), "left_semi")
+      val dirty = TextAnalysis.decontaminateParagraphs(flaggedDocs, bench,
+          "doc_id", "text")
+        .filter(col("n_removed") > 0)
         .select(col("id").as("doc_id"))
-        .join(deduped, Seq("doc_id"), "left_semi")
-      val c = deduped.join(d, Seq("doc_id"), "left_semi").persist()
+      val c = deduped.join(dirty, Seq("doc_id"), "left_anti").persist()
       c.count(); c
     }
+    flagged.unpersist()
 
     // 6. leakage-safe split on the near-dup cluster labels ---------------
     val split = time("6 leakage-safe cluster-unit split") {
