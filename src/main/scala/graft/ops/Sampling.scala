@@ -156,6 +156,31 @@ object Sampling {
       "__ck", trainBuckets, valBuckets).drop("__ck")
   }
 
+  /** EXACT-count per-group sample — the mixture-recipe demand rate-based
+    * sampling cannot meet: "exactly k documents per source",
+    * reproducibly, engine-portably. Every row gets the deterministic
+    * ranking key md5(salt|id) (the [[contentHashSplit]] portability
+    * convention — NOT xxhash64, so the SELECTION itself replays in a SQL
+    * oracle) and the k smallest keys per group win — a uniform
+    * without-replacement sample because md5 order is independent of any
+    * data attribute. Groups smaller than k keep every member.
+    *
+    * Scale shape: k-selection on the bounded-heap
+    * [[graft.plans.TopK]] operator — ONE hash exchange on the group key,
+    * no per-group sort, O(groups x k) memory, with the operator's
+    * documented spillable-window fallback above its group-cardinality
+    * guard. `rank_key` rides along in the output (drop it for the pure
+    * sample; keep it to extend the sample later — the k+1..k+m smallest
+    * keys are the deterministic next picks). */
+  def exactKPerGroup(df: DataFrame, groupCol: String, idCol: String,
+      k: Int, salt: Long = 42L): DataFrame = {
+    require(k > 0, "need k >= 1")
+    val keyed = df.withColumn("rank_key",
+      md5(concat_ws("|", lit(salt), col(idCol).cast("string"))))
+    graft.plans.TopK.perGroup(keyed, Seq(groupCol),
+      Seq(("rank_key", true), (idCol, true)), k)
+  }
+
   /** Per-source percentile normalization of a score column — the
     * threshold-calibration step before cross-source filtering: a raw
     * quality cutoff tuned on one source transfers wrongly to another

@@ -1786,6 +1786,15 @@ object ExtensionQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Exact-k-per-group deterministic sample: exactly 7 docs per source
+    // (md5 ranking key -> the selection itself replays in DuckDB), on
+    // the bounded-heap TopKPerGroup operator
+    "x109_exact_k_sample" -> ((s, dir) =>
+      graft.ops.Sampling.exactKPerGroup(
+          t(s, dir, "documents").select(col("doc_id"), col("source")),
+          "source", "doc_id", k = 7)
+        .orderBy(col("source"), col("doc_id"))),
+
     // Multimodal -> retrieval seam: media payloads through the batched
     // feature extractor (the x11 byte-histogram decode stub) straight
     // into the exact-kNN operator — media features are a first-class
@@ -3229,6 +3238,16 @@ object ExtensionQueries {
         |FROM sizes sa JOIN sizes sb ON sa.src < sb.src
         |LEFT JOIN inter i ON i.source_a = sa.src AND i.source_b = sb.src
         |ORDER BY source_a, source_b""".stripMargin,
+
+    "x109_exact_k_sample" ->
+      """WITH r AS (
+        |  SELECT doc_id, source,
+        |    md5('42|' || CAST(doc_id AS VARCHAR)) AS rank_key,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY md5('42|' || CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        |  FROM documents)
+        |SELECT doc_id, source, rank_key FROM r WHERE rn <= 7
+        |ORDER BY source, doc_id""".stripMargin,
 
     "x108_sft_packing" ->
       """WITH tok AS (

@@ -1261,6 +1261,29 @@ class SamplingSpec extends SparkSpec {
   import spark.implicits._
   import org.apache.spark.sql.functions._
 
+  test("exactKPerGroup: exact counts, salt-keyed determinism, nested samples") {
+    val df = spark.range(0, 1000)
+      .select($"id".as("doc_id"),
+        concat(lit("s"), pmod($"id", lit(7)).cast("string")).as("src"))
+      // one tiny group (3 members) must survive whole
+      .unionByName(Seq((9001L, "tiny"), (9002L, "tiny"), (9003L, "tiny"))
+        .toDF("doc_id", "src"))
+    def ids(k: Int, salt: Long) = graft.ops.Sampling
+      .exactKPerGroup(df, "src", "doc_id", k, salt)
+      .select($"src", $"doc_id").as[(String, Long)].collect().toSet
+    val s5 = ids(5, 42L)
+    // exactly k per group; sub-k groups kept whole
+    val counts = s5.groupBy(_._1).view.mapValues(_.size).toMap
+    assert((0 until 7).forall(i => counts(s"s$i") == 5), counts)
+    assert(counts("tiny") == 3, counts)
+    // deterministic: same call -> same set; different salt -> different set
+    assert(ids(5, 42L) == s5)
+    assert(ids(5, 7L) != s5)
+    // nested: the k=5 sample is a subset of the k=9 sample (the ranking
+    // key is per-row, so growing k only extends the selection)
+    assert(s5.subsetOf(ids(9, 42L)))
+  }
+
   test("leakageSafeSplit: clusters never straddle splits; naive id-split provably leaks") {
     import graft.ops.{Dedup, TextAnalysis}
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")

@@ -363,6 +363,15 @@ class PlanGuardSpec extends SparkSpec {
       s"FIM must not shuffle, plan:\n$plan")
   }
 
+  test("x109: exact-k sample plans the bounded-heap operator, not a sort/window") {
+    val plan = graft.queries.ExtensionQueries
+      .queries("x109_exact_k_sample")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPerGroup"),
+      s"k-selection must use the custom operator:\n${plan.take(800)}")
+    assert(!plan.contains("Window "), "no rank window on the heap path")
+  }
+
   test("x66/x79/x97: zero unpartitioned WindowExec in the EXECUTED plans") {
     // The r9 closure "WindowExec warnings silenced" was false: a
     // partitionBy(lit(0)) key is foldable, Spark 4's optimizer eliminates
