@@ -158,4 +158,46 @@ class CorpusPropertiesSpec extends SparkSpec {
         r6(prec), r6(rec), r6(f1))), s"grid $g: $got")
     }
   }
+
+  test("property: chatTurns round-trips every serialized transcript exactly") {
+    // seeded generator over the parser's WHOLE input space (minus the
+    // documented ambiguity: a continuation line that itself looks like a
+    // `role:` header is indistinguishable from a header by construction,
+    // so generated content lines never start with a role word + colon):
+    // 0-3 preamble lines, 1-8 turns with cycling/random roles, 0-3
+    // continuation lines per turn, empty contents, random casing and
+    // spacing around the header colon
+    val rnd = new scala.util.Random(1234)
+    val roles = Seq("system", "user", "assistant")
+    def contentLine(): String =
+      (0 until rnd.nextInt(6)).map(_ => s"w${rnd.nextInt(50)}").mkString(" ")
+    val cases = (0 until 40).map { docId =>
+      val preamble = (0 until rnd.nextInt(3)).map(_ => "pre " + contentLine())
+      val turns = (0 until 1 + rnd.nextInt(8)).map { _ =>
+        val role = roles(rnd.nextInt(3))
+        val header = (if (rnd.nextBoolean()) role.toUpperCase else role) +
+          (" " * rnd.nextInt(2)) + ":" + (" " * rnd.nextInt(2))
+        val first = contentLine()
+        val cont = (0 until rnd.nextInt(3)).map(_ => contentLine())
+        (role, header, (first +: cont))
+      }
+      val text = (preamble ++ turns.flatMap { case (_, h, ls) =>
+        (h + ls.head) +: ls.tail }).mkString("\n")
+      val expected =
+        (if (preamble.nonEmpty)
+          Seq(("unknown", preamble.mkString("\n"))) else Nil) ++
+        turns.map { case (r, _, ls) => (r, ls.mkString("\n")) }
+      (docId.toLong, text, expected)
+    }.filter(_._2.nonEmpty)
+    val parsed = graft.ops.TextAnalysis.chatTurns(
+        cases.map(c => (c._1, c._2)).toDF("doc_id", "text"),
+        "doc_id", "text")
+      .select($"doc_id", $"turn_idx", $"role", $"content")
+      .as[(Long, Long, String, String)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(t => (t._3, t._4)).toSeq)
+      .toMap
+    cases.foreach { case (id, _, expected) =>
+      assert(parsed(id) == expected, s"doc $id:\n got ${parsed(id)}\n exp $expected")
+    }
+  }
 }
