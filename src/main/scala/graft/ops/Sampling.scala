@@ -181,6 +181,39 @@ object Sampling {
       Seq(("rank_key", true), (idCol, true)), k)
   }
 
+  /** EXACT token-budget prefix per group — [[mixtureByTokenBudget]]'s
+    * exact sibling: where the rate formulation hits the budget only in
+    * expectation, this walks each group's rows in md5(salt|id) order
+    * (the [[exactKPerGroup]] ranking — uniform, deterministic,
+    * SQL-replayable) and keeps every row whose running total STARTS
+    * under the budget — the [[graft.ops.Packing.packByBudget]] bin
+    * convention, so the first row crossing the budget is kept and each
+    * group lands within one document of its target. Budgets NEST: the
+    * budget-b sample is a prefix of every budget-b' ≥ b sample, so a
+    * recipe can grow a mixture without resampling what it already took.
+    * Adds `rank_key`, `cum_before` (tokens before this row in sample
+    * order) and `kept`; rows are all emitted (corpus accounting), filter
+    * on `kept` for the sample.
+    *
+    * Scale shape: one group-keyed window in rank order — the
+    * [[perSourcePercentile]] shape, groups scan independently in
+    * parallel, no global sort, no second pass (the rate formulation's
+    * totals aggregate isn't needed: the prefix decides locally). */
+  def budgetPrefixPerGroup(df: DataFrame, groupCol: String, idCol: String,
+      tokenCol: String, budget: Long, salt: Long = 42L): DataFrame = {
+    require(budget > 0, "need budget >= 1")
+    val keyed = df.withColumn("rank_key",
+      md5(concat_ws("|", lit(salt), col(idCol).cast("string"))))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(col("rank_key"), col(idCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        -1)
+    keyed
+      .withColumn("cum_before",
+        coalesce(sum(col(tokenCol)).over(w), lit(0L)).cast("long"))
+      .withColumn("kept", col("cum_before") < budget)
+  }
+
   /** Per-source percentile normalization of a score column — the
     * threshold-calibration step before cross-source filtering: a raw
     * quality cutoff tuned on one source transfers wrongly to another

@@ -1795,6 +1795,19 @@ object ExtensionQueries {
           "source", "doc_id", k = 7)
         .orderBy(col("source"), col("doc_id"))),
 
+    // Exact token-budget prefix per source (mixture sampling, exact
+    // form): 1000 tokens per source in md5 order, every row emitted
+    // with its keep decision — budgets nest, the md5 order replays
+    "x110_budget_prefix" -> ((s, dir) =>
+      graft.ops.Sampling.budgetPrefixPerGroup(
+          t(s, dir, "documents").select(col("doc_id"), col("source"),
+            TextAnalysis.tokenCount(col("text")).cast("long")
+              .as("token_cnt")),
+          "source", "doc_id", "token_cnt", budget = 1000L)
+        .select(col("doc_id"), col("source"), col("token_cnt"),
+          col("cum_before"), col("kept"))
+        .orderBy(col("doc_id"))),
+
     // Multimodal -> retrieval seam: media payloads through the batched
     // feature extractor (the x11 byte-histogram decode stub) straight
     // into the exact-kNN operator — media features are a first-class
@@ -3238,6 +3251,24 @@ object ExtensionQueries {
         |FROM sizes sa JOIN sizes sb ON sa.src < sb.src
         |LEFT JOIN inter i ON i.source_a = sa.src AND i.source_b = sb.src
         |ORDER BY source_a, source_b""".stripMargin,
+
+    "x110_budget_prefix" ->
+      """WITH tok AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+        |      x -> len(x) > 0)) AS BIGINT) AS token_cnt,
+        |    md5('42|' || CAST(doc_id AS VARCHAR)) AS rk
+        |  FROM documents)
+        |SELECT doc_id, source, token_cnt,
+        |  CAST(coalesce(sum(token_cnt) OVER (PARTITION BY source
+        |    ORDER BY rk, doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |    AS cum_before,
+        |  coalesce(sum(token_cnt) OVER (PARTITION BY source
+        |    ORDER BY rk, doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) < 1000
+        |    AS kept
+        |FROM tok ORDER BY doc_id""".stripMargin,
 
     "x109_exact_k_sample" ->
       """WITH r AS (

@@ -1284,6 +1284,37 @@ class SamplingSpec extends SparkSpec {
     assert(s5.subsetOf(ids(9, 42L)))
   }
 
+  test("budgetPrefixPerGroup: first-crossing kept, budgets nest, decisions deterministic") {
+    val df = spark.range(0, 300)
+      .select($"id".as("doc_id"),
+        concat(lit("s"), pmod($"id", lit(3)).cast("string")).as("src"),
+        (pmod($"id" * 37, lit(90)) + 10).as("tok"))  // 10..99 tokens
+    def run(b: Long) = graft.ops.Sampling
+      .budgetPrefixPerGroup(df, "src", "doc_id", "tok", b)
+      .select($"src", $"doc_id", $"tok", $"cum_before", $"kept")
+      .as[(String, Long, Long, Long, Boolean)].collect()
+    val r = run(500L)
+    // every row emitted; keep decision = prefix-start under budget
+    assert(r.length == 300)
+    r.foreach { case (_, _, _, cb, kept) => assert(kept == (cb < 500L)) }
+    // per group: kept mass covers the budget (first-crossing convention)
+    // but never exceeds it by a full doc
+    r.groupBy(_._1).foreach { case (g, rows) =>
+      val keptRows = rows.filter(_._5)
+      val total = keptRows.map(_._3).sum
+      assert(total >= 500L, s"$g undershoots: $total")
+      // within one document of the budget: only the first-crossing doc
+      // may stick out past it
+      assert(total < 500L + keptRows.map(_._3).max, s"$g overshoots: $total")
+    }
+    // budgets NEST: the 500-token sample is a prefix of the 900-token one
+    val kept500 = r.filter(_._5).map(_._2).toSet
+    val kept900 = run(900L).filter(_._5).map(_._2).toSet
+    assert(kept500.subsetOf(kept900))
+    // determinism
+    assert(run(500L).toSeq == r.toSeq)
+  }
+
   test("leakageSafeSplit: clusters never straddle splits; naive id-split provably leaks") {
     import graft.ops.{Dedup, TextAnalysis}
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
