@@ -214,6 +214,38 @@ object TextScaleSmoke {
         buckets = 1024, epochs = 3, lr = 0.5, useBigrams = false)
       println(f"[text-scale]   losses=${m.losses.map(l => f"$l%.4f").mkString(" -> ")}")
     }
+    // r10: chat-turn parse — each doc serialized as a 3-turn transcript
+    // (multi-line assistant answer), split + ONE doc-keyed window + one
+    // regroup over ~4M line rows
+    time("chat-turn parse (1M transcripts)")(
+      TextAnalysis.chatLossMask(TextAnalysis.chatTurns(
+          corpus.select(col("doc_id"), concat(
+            lit("user: "), col("text"), lit("\nassistant: "), col("text"),
+            lit("\ncontinued line"), lit("\nsystem: done")).as("text")),
+          "doc_id", "text"))
+        .agg(count(lit(1)), sum(when(col("train_mask"),
+          col("n_tokens")).otherwise(0L))).head())
+    // r10: Bloom decontamination screen — map-only membership of every
+    // doc's shingle hashes against a 500-doc benchmark filter
+    time("bloom screen (map-only, 500-doc benchmark)") {
+      val bloom = TextAnalysis.benchmarkBloom(
+        corpus.filter(col("doc_id") % 2000 === 17).select(col("text")),
+        "text")
+      TextAnalysis.screenWithBloom(corpus, "text", bloom)
+        .agg(sum(when(col("maybe_contaminated"), 1L).otherwise(0L))).head()
+    }
+    // r10: exact-k and exact-budget deterministic samples per shard
+    time("exact-k sample (10k per shard, heap operator)")(
+      graft.ops.Sampling.exactKPerGroup(
+          corpus.select(col("doc_id"), col("lang")),
+          "lang", "doc_id", k = 10000)
+        .groupBy(col("lang")).count().count())
+    time("budget-prefix sample (1M tokens per shard)")(
+      graft.ops.Sampling.budgetPrefixPerGroup(
+          corpus.select(col("doc_id"), col("lang"),
+            TextAnalysis.tokenCount(col("text")).cast("long").as("tok")),
+          "lang", "doc_id", "tok", budget = 1000000L)
+        .agg(sum(when(col("kept"), col("tok")).otherwise(0L))).head())
     spark.stop()
   }
 }
