@@ -1345,6 +1345,22 @@ object ExtensionQueries {
         .orderBy(col("vec_id"))
     }),
 
+    // SemDeDup at LARGE nc (80 centroids): exercises the broadcast-join
+    // + partial-agg assignment path (literal argmax stops at 64 — the
+    // r10 Janino finding), oracle-replayed like x65 so the join path's
+    // tie order and keep-the-outlier rule are pinned in a driver
+    // artifact, not just the decoy-padded spec
+    "x111_semantic_dedup_large" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val corpus = embDupCorpus(emb)
+      val cents = emb.filter(col("vec_id") < 80)
+        .select(col("vec_id").as("cid"),
+          transform(col("embedding"), x => x.cast("double")).as("cv"))
+      graft.ops.Dedup.semanticDedup(corpus, "vec_id", "v",
+          cents, "cid", "cv", 0.9)
+        .orderBy(col("vec_id"))
+    }),
+
     // Global token-stream offsets (Megatron .bin/.idx layout prep): the
     // two-level distributed prefix sum; the oracle replays it as one
     // global running sum over (source, doc_id) — same answer, the
@@ -3860,6 +3876,48 @@ object ExtensionQueries {
         |cent AS (
         |  SELECT vec_id AS cid, v AS cv FROM base
         |  WHERE vec_id IN (0, 1, 3, 7, 11, 19, 23, 29)),
+        |sims AS (
+        |  SELECT c.vec_id, c.v, ct.cid,
+        |    ROUND(list_cosine_similarity(c.v, ct.cv), 6) AS csim
+        |  FROM corpus c CROSS JOIN cent ct),
+        |assign AS (
+        |  SELECT vec_id, v, cid AS cluster_id, csim AS centroid_sim
+        |  FROM (SELECT *, row_number() OVER (
+        |          PARTITION BY vec_id ORDER BY csim DESC, cid) AS rn
+        |        FROM sims)
+        |  WHERE rn = 1),
+        |pairs AS (
+        |  SELECT * FROM (
+        |    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |      a.centroid_sim AS ca, b.centroid_sim AS cb,
+        |      ROUND(list_cosine_similarity(a.v, b.v), 6) AS ps
+        |    FROM assign a JOIN assign b
+        |      ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id)
+        |  WHERE ps >= 0.9),
+        |dup AS (SELECT DISTINCT unnest([id_a, id_b]) AS did FROM pairs),
+        |rem AS (
+        |  SELECT DISTINCT CASE WHEN ca > cb THEN id_a
+        |    WHEN cb > ca THEN id_b
+        |    ELSE greatest(id_a, id_b) END AS rid
+        |  FROM pairs)
+        |SELECT a.vec_id, a.cluster_id, a.centroid_sim,
+        |  (d.did IS NOT NULL) AS is_dup, (r.rid IS NULL) AS kept
+        |FROM assign a
+        |LEFT JOIN dup d ON a.vec_id = d.did
+        |LEFT JOIN rem r ON a.vec_id = r.rid
+        |ORDER BY a.vec_id""".stripMargin,
+
+    "x111_semantic_dedup_large" ->
+      """WITH base AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |corpus AS (
+        |  SELECT vec_id, v FROM base
+        |  UNION ALL
+        |  SELECT vec_id + 10000,
+        |    list_transform(range(0, len(v)), i -> v[i + 1] * (1.0 + 0.05 * ((i % 3) - 1)))
+        |  FROM base WHERE vec_id < 25),
+        |cent AS (
+        |  SELECT vec_id AS cid, v AS cv FROM base WHERE vec_id < 80),
         |sims AS (
         |  SELECT c.vec_id, c.v, ct.cid,
         |    ROUND(list_cosine_similarity(c.v, ct.cv), 6) AS csim
