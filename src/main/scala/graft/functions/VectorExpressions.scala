@@ -195,7 +195,17 @@ case class NearestCentroidId(child: Expression,
         dot += xv * cv(i); na += xv * xv
         i += 1
       }
-      val denom = math.sqrt(na) * math.sqrt(normsSq(c))
+      // ragged input: [[CosineSimilarity]] truncates BOTH norms to the
+      // common length, so the precomputed full-length centroid norm is
+      // only valid when the vector covers the centroid — recompute the
+      // truncated norm otherwise (bit-identity with the unrolled form,
+      // spec-pinned incl. the ragged case)
+      val nb = if (n == cv.length) normsSq(c) else {
+        var s = 0.0; var i2 = 0
+        while (i2 < n) { s += cv(i2) * cv(i2); i2 += 1 }
+        s
+      }
+      val denom = math.sqrt(na) * math.sqrt(nb)
       val cos = if (denom > 0) dot / denom else 0.0
       if (best < 0 || cos >= bestCos) { best = c; bestCos = cos }
       c += 1
@@ -211,6 +221,7 @@ case class NearestCentroidId(child: Expression,
       val c = ctx.freshName("c"); val i = ctx.freshName("i")
       val cv = ctx.freshName("cv"); val n = ctx.freshName("n")
       val dot = ctx.freshName("dot"); val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb"); val i2 = ctx.freshName("i2")
       val xv = ctx.freshName("xv"); val denom = ctx.freshName("denom")
       val cos = ctx.freshName("cos")
       val best = ctx.freshName("best"); val bestCos = ctx.freshName("bestCos")
@@ -224,7 +235,13 @@ case class NearestCentroidId(child: Expression,
          |    double $xv = (double) $x.$xGet($i);
          |    $dot += $xv * $cv[$i]; $na += $xv * $xv;
          |  }
-         |  double $denom = java.lang.Math.sqrt($na) * java.lang.Math.sqrt($normRef[$c]);
+         |  // ragged input: truncate BOTH norms (CosineSimilarity contract)
+         |  double $nb = $normRef[$c];
+         |  if ($n != $cv.length) {
+         |    $nb = 0.0;
+         |    for (int $i2 = 0; $i2 < $n; $i2++) { $nb += $cv[$i2] * $cv[$i2]; }
+         |  }
+         |  double $denom = java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb);
          |  double $cos = ($denom > 0) ? ($dot / $denom) : 0.0;
          |  if ($best < 0 || $cos >= $bestCos) { $best = $c; $bestCos = $cos; }
          |}
@@ -287,7 +304,14 @@ case class NearestCentroidIds(child: Expression,
         dot += xv * cv(i); na += xv * xv
         i += 1
       }
-      val denom = math.sqrt(na) * math.sqrt(normsSq(c))
+      // ragged input: truncate BOTH norms (CosineSimilarity contract;
+      // see NearestCentroidId)
+      val nb = if (n == cv.length) normsSq(c) else {
+        var s = 0.0; var i2 = 0
+        while (i2 < n) { s += cv(i2) * cv(i2); i2 += 1 }
+        s
+      }
+      val denom = math.sqrt(na) * math.sqrt(nb)
       val cos = if (denom > 0) dot / denom else 0.0
       // first j with cos STRICTLY greater -> equal-cos keeps earlier
       // (smaller) cid first: the cid-asc tie order
@@ -314,6 +338,7 @@ case class NearestCentroidIds(child: Expression,
       val c = ctx.freshName("c"); val i = ctx.freshName("i")
       val cv = ctx.freshName("cv"); val n = ctx.freshName("n")
       val dot = ctx.freshName("dot"); val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb"); val i2 = ctx.freshName("i2")
       val xv = ctx.freshName("xv"); val denom = ctx.freshName("denom")
       val cos = ctx.freshName("cos"); val j = ctx.freshName("j")
       val m = ctx.freshName("m"); val filled = ctx.freshName("filled")
@@ -330,7 +355,13 @@ case class NearestCentroidIds(child: Expression,
          |    double $xv = (double) $x.$xGet($i);
          |    $dot += $xv * $cv[$i]; $na += $xv * $xv;
          |  }
-         |  double $denom = java.lang.Math.sqrt($na) * java.lang.Math.sqrt($normRef[$c]);
+         |  // ragged input: truncate BOTH norms (CosineSimilarity contract)
+         |  double $nb = $normRef[$c];
+         |  if ($n != $cv.length) {
+         |    $nb = 0.0;
+         |    for (int $i2 = 0; $i2 < $n; $i2++) { $nb += $cv[$i2] * $cv[$i2]; }
+         |  }
+         |  double $denom = java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb);
          |  double $cos = ($denom > 0) ? ($dot / $denom) : 0.0;
          |  int $j = 0;
          |  while ($j < $filled && $cos <= $topCos[$j]) $j++;

@@ -157,9 +157,11 @@ object Dedup {
     * k-min-aggregate shape multiplied the corpus by ~tokens-per-doc rows
     * and paid a doc-id exchange just to regroup per-document state; it is
     * kept as [[minhashSignaturesAgg]] and pinned bit-identical by spec.
-    * Docs whose shingle set is empty (fewer tokens than the window) yield
-    * a NULL signature and are dropped — exactly the rows the aggregate
-    * formulation never produces. */
+    * NOTE [[graft.functions.ShingleHashes]] emits ONE whole-text shingle
+    * for docs at or below the window size (including empty docs), so the
+    * shingle array is never empty and no doc yields a NULL signature in
+    * practice — the isNotNull filter below is defensive only (it would
+    * matter for a shingle expression that CAN return empty). */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
       shingleW: Int, k: Int): DataFrame =
     df.select(col(idCol).as("id"),
@@ -941,18 +943,44 @@ object Dedup {
     * over doc signatures = min over the source's gram-hash set (min is
     * idempotent under cross-doc duplicates), so the estimate stays the
     * Broder '97 agreement probability. NOTE the hash family is part of
-    * the PERSISTED STORE format (ShingleHashes+MinHashSigs since r10;
-    * xxhash64-over-gram-strings before) — signatures from different
-    * families must not be min-merged; rebuild stores on upgrade. Docs
-    * shorter than the shingle window contribute nothing (NULL-signature
-    * drop), where the string-shingle form gave them a whole-doc gram —
-    * an sub-window-doc edge the spec documents. */
+    * the PERSISTED STORE format (ShingleHashes+MinHashSigs since r10,
+    * recorded in the store's `fam` column; xxhash64-over-gram-strings
+    * before, which had no such column) — signatures from different
+    * families must never be min-merged, and [[ingestSourceSignatures]]/
+    * [[estimateSourceOverlap]] refuse a family-less or foreign-family
+    * store loudly instead of silently corrupting estimates; rebuild on
+    * upgrade. Sub-window docs behave exactly as in the string-shingle
+    * form: ShingleHashes emits ONE whole-text shingle for n <= w
+    * (including empty docs, whose constant whole-text hash every source
+    * shares — the same cross-source agreement the "" string shingle
+    * produced; no doc is dropped). */
+  private[graft] val SigFamily = "shinglehash-minhashsigs-v2"
+
   private def srcSignatures(df: DataFrame, srcCol: String, textCol: String,
       n: Int, k: Int): DataFrame =
     minhashSignatures(df.select(col(srcCol), col(textCol)),
         srcCol, textCol, n, k)
       .select(col("id").as("src"), posexplode(col("sig")).as(Seq("j", "mh")))
       .groupBy(col("src"), col("j")).agg(min(col("mh")).as("mh"))
+      .withColumn("fam", lit(SigFamily))
+
+  /** Refuse to read signature state from a different (or unrecorded)
+    * hash family — min-merging across families silently collapses
+    * jaccard_est toward 0, the misreport class this store must never
+    * emit. */
+  private def requireSigFamily(df: DataFrame, path: String): DataFrame = {
+    require(df.columns.contains("fam"),
+      s"signature store at $path predates the recorded-family format " +
+      s"(expected fam='$SigFamily'); its hash family cannot be verified " +
+      "— rebuild the store with writeSourceSignatures")
+    val foreign = df.select(col("fam")).distinct().collect()
+      .map(_.getString(0)).filterNot(_ == SigFamily)
+    require(foreign.isEmpty,
+      s"signature store at $path holds family ${foreign.mkString(",")} " +
+      s"but this build produces '$SigFamily' — min-merging across " +
+      "families corrupts estimates; rebuild the store")
+    df
+  }
 
   private def estimateFromSignatures(sig: DataFrame): DataFrame =
     sig.as("a").join(sig.as("b"),
@@ -988,8 +1016,10 @@ object Dedup {
     val shardSig = srcSignatures(shard, srcCol, textCol, n, k)
     val merged =
       if (fs.exists(new org.apache.hadoop.fs.Path(path)))
-        spark.read.parquet(path).unionByName(shardSig)
+        requireSigFamily(spark.read.parquet(path), path)
+          .unionByName(shardSig)
           .groupBy(col("src"), col("j")).agg(min(col("mh")).as("mh"))
+          .withColumn("fam", lit(SigFamily))
       else shardSig
     swapWrite(spark, path, merged)
   }
@@ -1001,7 +1031,7 @@ object Dedup {
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     graft.streaming.EventStreams.recoverUpsertTarget(fs, path)
-    estimateFromSignatures(spark.read.parquet(path))
+    estimateFromSignatures(requireSigFamily(spark.read.parquet(path), path))
   }
 
   /** Stage -> retire -> promote swap (the [[graft.streaming.EventStreams

@@ -171,14 +171,24 @@ object Sampling {
     * documented spillable-window fallback above its group-cardinality
     * guard. `rank_key` rides along in the output (drop it for the pure
     * sample; keep it to extend the sample later — the k+1..k+m smallest
-    * keys are the deterministic next picks). */
+    * keys are the deterministic next picks).
+    *
+    * `maxGroups` defaults to unlimited — the group column is a
+    * source/shard key by this operator's contract (bounded cardinality),
+    * and the default skips TopK.perGroup's eager approx_count_distinct
+    * guard pass, which would otherwise cost a FULL extra input scan on
+    * every call. Pass a finite `maxGroups` when the group key's
+    * cardinality is NOT known-bounded: the guard pass re-enables and
+    * high-cardinality inputs route to the spillable window formulation
+    * instead of O(groups x k) heap memory. */
   def exactKPerGroup(df: DataFrame, groupCol: String, idCol: String,
-      k: Int, salt: Long = 42L): DataFrame = {
+      k: Int, salt: Long = 42L,
+      maxGroups: Long = Long.MaxValue): DataFrame = {
     require(k > 0, "need k >= 1")
     val keyed = df.withColumn("rank_key",
       md5(concat_ws("|", lit(salt), col(idCol).cast("string"))))
     graft.plans.TopK.perGroup(keyed, Seq(groupCol),
-      Seq(("rank_key", true), (idCol, true)), k)
+      Seq(("rank_key", true), (idCol, true)), k, maxGroups)
   }
 
   /** EXACT token-budget prefix per group — [[mixtureByTokenBudget]]'s

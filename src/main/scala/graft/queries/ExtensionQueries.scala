@@ -47,8 +47,6 @@ object ExtensionQueries {
       .select(col("doc_id"), concat_ws("\n\n", col("__own"), col("__next")).as("text"))
   }
 
-  /** documents plus a mutated copy of docs 0..49 (id+10000, last ~20% of
-    * words dropped) — the planted near-duplicate corpus. */
   /** Shared x106/x108 chat-transcript fixture: role-headed serialization
     * of each document with a multi-line assistant answer, a
     * case/space-mangled header, and (every 5th doc) a role-less
@@ -66,6 +64,8 @@ object ExtensionQueries {
         lit("USER : "), concat_ws(" ", slice(toks, 25, 6))).as("text"))
   }
 
+  /** documents plus a mutated copy of docs 0..49 (id+10000, last ~20% of
+    * words dropped) — the planted near-duplicate corpus. */
   private def nearDupCorpus(docs: DataFrame): DataFrame = {
     val toks = TextAnalysis.tokens(col("text"))
     val mutated = docs.filter(col("doc_id") < 50)

@@ -537,7 +537,7 @@ class DedupSpec extends SparkSpec {
     val s2 = docs.except(s1)
     val root = java.nio.file.Files.createTempDirectory("sig_store").toString
     def state = spark.read.parquet(s"$root/signatures")
-      .as[(String, Int, Long)].collect().toSet
+      .select("src", "j", "mh").as[(String, Int, Long)].collect().toSet
     // shard-by-shard ingest lands on the same state as one batch write
     Dedup.ingestSourceSignatures(spark, root, s1, "source", "text")
     Dedup.ingestSourceSignatures(spark, root, s2, "source", "text")
@@ -545,8 +545,26 @@ class DedupSpec extends SparkSpec {
     val batchRoot = java.nio.file.Files.createTempDirectory("sig_batch").toString
     Dedup.writeSourceSignatures(spark, batchRoot, docs, "source", "text")
     val batch = spark.read.parquet(s"$batchRoot/signatures")
-      .as[(String, Int, Long)].collect().toSet
+      .select("src", "j", "mh").as[(String, Int, Long)].collect().toSet
     assert(incremental == batch)
+    // the hash family is RECORDED state: every row carries it, and a
+    // store from a different (or unrecorded) family refuses to merge or
+    // estimate instead of silently corrupting jaccard_est
+    assert(spark.read.parquet(s"$root/signatures")
+      .select("fam").distinct().as[String].collect().toSeq ==
+      Seq(Dedup.SigFamily))
+    val legacyRoot = java.nio.file.Files.createTempDirectory("sig_legacy")
+      .toString
+    spark.read.parquet(s"$root/signatures").select("src", "j", "mh")
+      .write.parquet(s"$legacyRoot/signatures") // pre-r10 layout: no fam
+    val e1 = intercept[IllegalArgumentException] {
+      Dedup.estimateSourceOverlap(spark, legacyRoot)
+    }
+    assert(e1.getMessage.contains("rebuild"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      Dedup.ingestSourceSignatures(spark, legacyRoot, s1, "source", "text")
+    }
+    assert(e2.getMessage.contains("rebuild"), e2.getMessage)
     // min-merge is idempotent: re-ingesting a shard changes nothing
     Dedup.ingestSourceSignatures(spark, root, s1, "source", "text")
     assert(state == batch)

@@ -78,7 +78,9 @@ class VectorExpressionsSpec extends SparkSpec {
     val probes = Seq(
       (0L, Seq(0.9f, 0.1f, 0.0f)), (1L, Seq(0.1f, 0.95f, 0.05f)),
       (2L, Seq(0.0f, 0.0f, 0.0f)), (3L, Seq(0.5f, 0.5f, 0.69f)),
-      (4L, Seq(-1.0f, -1.0f, -1.0f))
+      (4L, Seq(-1.0f, -1.0f, -1.0f)),
+      (5L, Seq(0.9f, 0.1f)),          // RAGGED: shorter than the centroids
+      (6L, Seq(0.1f, 0.9f, 0.0f, 0.7f)) // RAGGED: longer than the centroids
     ).toDF("id", "v")
     val rows = probes.select($"id",
         VectorFunctions.nearest_centroid_id($"v", cents).as("native"),
@@ -110,7 +112,8 @@ class VectorExpressionsSpec extends SparkSpec {
     val probes = Seq(
       (0L, Seq(0.9, 0.1, 0.0)), (1L, Seq(0.1, 0.95, 0.05)),
       (2L, Seq(0.0, 0.0, 0.0)), (3L, Seq(0.5, 0.5, 0.69)),
-      (4L, Seq(-1.0, -1.0, -1.0))
+      (4L, Seq(-1.0, -1.0, -1.0)),
+      (5L, Seq(0.9, 0.1)) // ragged: both norms must truncate
     ).toDF("id", "v")
     for (np <- Seq(1, 3, 7)) { // 7 > nc exercises the clamp
       val rows = probes.select($"id",
