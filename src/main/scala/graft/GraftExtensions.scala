@@ -52,5 +52,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // TokenProfile is deliberately NOT SQL-registered: its stopword-list
     // parameter is builder-side configuration (Seq[Seq[String]]), not a
     // SQL literal — Column-API users get it via TokenProfileFunctions.
+    // Same call for the r10 expressions: NearestCentroidId/-Ids carry a
+    // centroid MATRIX and BloomAnyContainLong a built BloomFilter — model
+    // state that has no SQL-literal spelling. Column-API users get them
+    // via VectorFunctions.nearest_centroid_id(s) / BloomFunctions.
   }
 }
