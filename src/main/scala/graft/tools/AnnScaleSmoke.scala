@@ -199,6 +199,20 @@ object AnnScaleSmoke {
       graft.ops.Similarity.hardNegatives(corpus, hq, hp, "vec_id",
         "embedding", "query_id", k = 10).count()
     })
+    // r10: LARGE-nc phase — train/assign/search at nc=256, the scale the
+    // SemDeDup/IVF literature actually runs, only compilable since the
+    // NearestCentroidId(s) loop expressions (the unrolled literal argmax
+    // aborted Janino's 64KB method limit here and fell back interpreted)
+    val model256 = time("IVF train nc=256 (iters=2, 4% sample)")(
+      IVF.train(corpus.filter(col("vec_id") % 25 === 0), "vec_id",
+        "embedding", nc = 256, iters = 2))
+    val assigned256 = IVF.assign(corpus, "embedding", model256).persist()
+    time(s"IVF assign nc=256 (full $n corpus, loop expression)")(
+      assigned256.count())
+    time(s"IVF batch nc=256 ($nq queries, nprobe=8)")(
+      IVF.searchBatch(assigned256, queries, "vec_id", "embedding",
+        "query_id", model256, k = 10, nprobe = 8).count())
+    assigned256.unpersist()
     spark.stop()
   }
 }
