@@ -242,6 +242,48 @@ object TextAnalysis {
         round(col("n_hits").cast("double") / col("n_shingles"), 6))
   }
 
+  /** Blocklist (C4 "badwords") content filter — the wordlist stage C4
+    * runs alongside its structural rules ([[boilerplateFilters]] covers
+    * those): a document is dropped when it contains ANY term from a
+    * caller-supplied list. Single-word terms match whole lowercased
+    * TOKENS (no substring false positives — "class" never trips a
+    * hypothetical "ass" entry); multi-word terms match as phrases on the
+    * space-joined lowercased token stream (so irregular whitespace
+    * between the words still matches). Emits `n_blocked_tokens`
+    * (occurrence count, not distinct), `n_blocked_phrases` (one per
+    * matching phrase term), and the `blocked` flag — counts stay in the
+    * output so a curation report can rank offenders rather than just
+    * drop rows.
+    *
+    * Scale shape: map-only — the (small, config-sized) term list burns
+    * into the plan as literals; no join, no shuffle, engine-portable
+    * (the oracle replays token and phrase matching in SQL). The list is
+    * operator CONFIG like [[languageId]]'s profiles: ship your own
+    * (e.g. the LDNOOBW lists) — the library hardcodes no vocabulary. */
+  def blocklistFilter(df: DataFrame, textCol: String,
+      terms: Seq[String]): DataFrame = {
+    require(terms.nonEmpty, "need at least one blocklist term")
+    val norm = terms.map(_.trim.toLowerCase).filter(_.nonEmpty)
+    val single = norm.filter(!_.contains(" ")).distinct
+    val phrases = norm.filter(_.contains(" ")).distinct
+    val toksL = tokens(lower(col(textCol)))
+    val nTok: Column =
+      if (single.isEmpty) lit(0)
+      else size(filter(toksL, t =>
+        array_contains(array(single.map(lit(_)): _*), t)))
+    // padded so phrase matches respect TOKEN boundaries ("embad
+    // phraseology" must not trip "bad phrase")
+    val joined = concat(lit(" "), concat_ws(" ", toksL), lit(" "))
+    val nPhrase: Column =
+      if (phrases.isEmpty) lit(0)
+      else phrases.map(p =>
+        when(joined.contains(s" $p "), 1).otherwise(0)).reduce(_ + _)
+    df.withColumn("n_blocked_tokens", nTok.cast("long"))
+      .withColumn("n_blocked_phrases", nPhrase.cast("long"))
+      .withColumn("blocked",
+        col("n_blocked_tokens") > 0 || col("n_blocked_phrases") > 0)
+  }
+
   /** Bloom-filter contamination screen — [[contamination]]'s MAP-ONLY
     * scale path: the benchmark's distinct shingle-hash set is folded
     * into a driver-built Bloom filter that rides to executors as plan

@@ -1824,6 +1824,23 @@ object ExtensionQueries {
           col("cum_before"), col("kept"))
         .orderBy(col("doc_id"))),
 
+    // C4-style blocklist filter: planted neutral badterms (every 9th doc
+    // a token, every 15th a two-word phrase wedged mid-text) — token
+    // matches are whole-token, phrase matches token-boundary-safe
+    "x112_blocklist_filter" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 9 === 0, lit(" graftbad graftbad"))
+            .otherwise(lit("")),
+          when(col("doc_id") % 15 === 0, lit(" graft worst case"))
+            .otherwise(lit(""))).as("text"))
+      TextAnalysis.blocklistFilter(docs, "text",
+          Seq("graftbad", "graft worst", "absentterm", "absent pair"))
+        .select(col("doc_id"), col("n_blocked_tokens"),
+          col("n_blocked_phrases"), col("blocked"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Multimodal -> retrieval seam: media payloads through the batched
     // feature extractor (the x11 byte-histogram decode stub) straight
     // into the exact-kNN operator — media features are a first-class
@@ -3267,6 +3284,32 @@ object ExtensionQueries {
         |FROM sizes sa JOIN sizes sb ON sa.src < sb.src
         |LEFT JOIN inter i ON i.source_a = sa.src AND i.source_b = sb.src
         |ORDER BY source_a, source_b""".stripMargin,
+
+    "x112_blocklist_filter" ->
+      """WITH docs AS (
+        |  SELECT doc_id, text
+        |    || CASE WHEN doc_id % 9 = 0 THEN ' graftbad graftbad' ELSE '' END
+        |    || CASE WHEN doc_id % 15 = 0 THEN ' graft worst case' ELSE '' END
+        |    AS text
+        |  FROM documents),
+        |tok AS (
+        |  SELECT doc_id, list_filter(string_split_regex(trim(lower(text)), '\s+'),
+        |    x -> len(x) > 0) AS toks
+        |  FROM docs),
+        |m AS (
+        |  SELECT doc_id,
+        |    len(list_filter(toks, t -> t IN ('graftbad'))) AS n_blocked_tokens,
+        |    (CASE WHEN position(' graft worst ' IN
+        |        ' ' || array_to_string(toks, ' ') || ' ') > 0
+        |      THEN 1 ELSE 0 END)
+        |    + (CASE WHEN position(' absent pair ' IN
+        |        ' ' || array_to_string(toks, ' ') || ' ') > 0
+        |      THEN 1 ELSE 0 END) AS n_blocked_phrases
+        |  FROM tok)
+        |SELECT doc_id, CAST(n_blocked_tokens AS BIGINT) AS n_blocked_tokens,
+        |  CAST(n_blocked_phrases AS BIGINT) AS n_blocked_phrases,
+        |  n_blocked_tokens > 0 OR n_blocked_phrases > 0 AS blocked
+        |FROM m ORDER BY doc_id""".stripMargin,
 
     "x110_budget_prefix" ->
       """WITH tok AS (

@@ -2607,6 +2607,28 @@ class TextAnalysisSpec extends SparkSpec {
     assert(fp(1L) != fp(3L))
   }
 
+  test("blocklistFilter: whole-token and boundary-safe phrase matching, case-folded") {
+    val df = Seq(
+      (1L, "clean text only here"),
+      (2L, "has the BADWORD twice badword yes"),      // case-folded tokens
+      (3L, "classic harassment of substrings"),       // NO substring match
+      (4L, "two word phrase appears two word here"),  // phrase once
+      (5L, "embedtwo word phraseology"),              // boundary-crossing: no
+      (6L, "badword and two word both")
+    ).toDF("doc_id", "text")
+    val out = graft.ops.TextAnalysis.blocklistFilter(df, "text",
+        Seq("badword", "two word", "sword"))
+      .select($"doc_id", $"n_blocked_tokens", $"n_blocked_phrases", $"blocked")
+      .as[(Long, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out(1L) == ((0L, 0L, false)), out)
+    assert(out(2L) == ((2L, 0L, true)), out)   // occurrences, not distinct
+    assert(out(3L) == ((0L, 0L, false)), out)  // "sword" != substring of words
+    assert(out(4L) == ((0L, 1L, true)), out)   // phrase counted once per term
+    assert(out(5L) == ((0L, 0L, false)), out)  // "embedtwo word phraseology"
+    assert(out(6L) == ((1L, 1L, true)), out)
+  }
+
   test("contaminationBloom: never misses a contaminated doc; fpp sized per document") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .select($"doc_id", $"text")
