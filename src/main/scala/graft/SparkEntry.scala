@@ -12,7 +12,7 @@ import graft.queries.{ExtensionQueries, ParityQueries}
   * SQL-expressible query (xxhash64-based ops are rows-only by design).
   * Full operator -> query -> check map: /root/repo/COVERAGE.md.
   *
-  * Inventory (155 oracle-checked, 8 rows-only):
+  * Inventory (156 oracle-checked, 8 rows-only):
   *  - q01-q16: scans, filters, CASE chains, datetime, windows (running/
   *    lag/30-day range), grouped stats + broadcast join, anti-join
   *    referential integrity, top-k, dup/null/range/quality checks, upsert,
@@ -69,7 +69,7 @@ import graft.queries.{ExtensionQueries, ParityQueries}
   *    per-token), bigram-LM NLL, text normalization, BM25 top-k, Zipf
   *    profile, HTML extraction, vocab-OOV coverage, Misra-Gries heavy
   *    hitters, RRF fusion, recall@k evaluation, mojibake repair
-  *  - x87-x112: detector P/R/F1 evaluation, hashed-logreg quality-gate
+  *  - x87-x113: detector P/R/F1 evaluation, hashed-logreg quality-gate
   *    TRAINING + the closed train-infer-gate loop, oracle-checked
   *    multimodal media stats, hard-negative mining (exact + LSH scale
   *    path), cross-source overlap audit (exact + persisted minhash
@@ -88,7 +88,9 @@ import graft.queries.{ExtensionQueries, ParityQueries}
   *    (nesting mixture budgets), SemDeDup at 80 centroids (the
   *    large-nc broadcast-join assignment path, oracle-replayed),
   *    C4-style blocklist content filter (whole-token + boundary-safe
-  *    phrase matching; the list is caller config)
+  *    phrase matching; the list is caller config), Gopher quality-rule
+  *    bundle (mean word length, symbol ratio, bullet/ellipsis line
+  *    fractions, alpha-word fraction + combined pass)
   */
 object SparkEntry {
 

@@ -242,6 +242,65 @@ object TextAnalysis {
         round(col("n_hits").cast("double") / col("n_shingles"), 6))
   }
 
+  /** Gopher quality rules (Rae et al. 2021, Appendix A) — the rule
+    * bundle MassiveText filters with, distinct from C4's
+    * ([[boilerplateFilters]]) and from the ratio metrics
+    * [[qualityMetrics]] reports: mean word length in [3, 10], symbol-
+    * to-word ratio (# and ellipsis) ≤ 0.1, < 90% of lines starting
+    * with a bullet, < 30% ending with an ellipsis, ≥ 80% of words
+    * containing an alphabetic character, and the word-count window
+    * [minWords, maxWords]. Each rule lands as its own measured column
+    * (curation reports tune thresholds per corpus) plus the combined
+    * `gopher_pass` at the paper's defaults. The stopword rule is
+    * [[qualityMetrics]]' stopword_cnt (compose the two frames); the
+    * repetition rules are [[repetitionStats]].
+    *
+    * Map-only per-row string/array expressions — shuffle-free,
+    * embarrassingly parallel, SQL-replayable (ellipsis matched in both
+    * its Unicode and three-dot spellings; "bullet" = -, *, or the
+    * Unicode bullet, leading whitespace allowed). */
+  def gopherQualityRules(df: DataFrame, textCol: String = "text",
+      minWords: Int = 50, maxWords: Int = 100000): DataFrame = {
+    val t = col(textCol)
+    val toks = tokens(t)
+    val nW = size(toks)
+    val meanLen = when(nW > 0,
+      aggregate(toks, lit(0L), (acc, w) => acc + length(w)).cast("double")
+        / nW).otherwise(lit(0.0))
+    // symbol OCCURRENCES: each '#', each Unicode ellipsis, and each RUN
+    // of >= 3 dots counts once (a 5-dot run is one ellipsis, not two)
+    val nSym = size(split(t, "#", -1)) - 1 +
+      (size(split(t, "…", -1)) - 1) +
+      size(filter(split(t, "[^.]+"), s => length(s) >= 3))
+    val lines = filter(split(t, "\n"), l => length(trim(l)) > 0)
+    val nLines = size(lines)
+    val bulletFrac = when(nLines > 0,
+      size(filter(lines, l =>
+        trim(l).rlike("^[-*•]"))).cast("double") / nLines)
+      .otherwise(lit(0.0))
+    val ellipsisFrac = when(nLines > 0,
+      size(filter(lines, l =>
+        trim(l).rlike("(\\.\\.\\.|…)$"))).cast("double") / nLines)
+      .otherwise(lit(0.0))
+    val alphaFrac = when(nW > 0,
+      size(filter(toks, w => w.rlike("[a-zA-Z]"))).cast("double") / nW)
+      .otherwise(lit(0.0))
+    df.withColumn("n_words", nW.cast("long"))
+      .withColumn("mean_word_len", round(meanLen, 6))
+      .withColumn("symbol_ratio",
+        round(when(nW > 0, nSym.cast("double") / nW).otherwise(lit(0.0)), 6))
+      .withColumn("bullet_line_frac", round(bulletFrac, 6))
+      .withColumn("ellipsis_line_frac", round(ellipsisFrac, 6))
+      .withColumn("alpha_word_frac", round(alphaFrac, 6))
+      .withColumn("gopher_pass",
+        col("n_words") >= minWords && col("n_words") <= maxWords &&
+          col("mean_word_len") >= 3 && col("mean_word_len") <= 10 &&
+          col("symbol_ratio") <= 0.1 &&
+          col("bullet_line_frac") < 0.9 &&
+          col("ellipsis_line_frac") < 0.3 &&
+          col("alpha_word_frac") > 0.8)
+  }
+
   /** Blocklist (C4 "badwords") content filter — the wordlist stage C4
     * runs alongside its structural rules ([[boilerplateFilters]] covers
     * those): a document is dropped when it contains ANY term from a

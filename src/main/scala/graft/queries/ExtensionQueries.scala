@@ -1841,6 +1841,34 @@ object ExtensionQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Gopher quality-rule bundle (Rae et al. App. A): planted rule
+    // violators — bullet lists every 4th doc, ellipsis line endings
+    // every 6th, symbol floods every 10th, numeric-token tails every
+    // 7th — so every rule fires on a known subset
+    "x113_gopher_rules" -> ((s, dir) => {
+      val base = t(s, dir, "documents")
+      val toks = TextAnalysis.tokens(col("text"))
+      val docs = base.select(col("doc_id"),
+        when(col("doc_id") % 4 === 0,
+          concat_ws("\n",
+            concat(lit("- "), concat_ws(" ", slice(toks, 1, 6))),
+            concat(lit("- "), concat_ws(" ", slice(toks, 7, 6))),
+            concat(lit("- "), concat_ws(" ", slice(toks, 13, 6)))))
+        .when(col("doc_id") % 6 === 0,
+          concat(col("text"), lit("...\nand more...\nthe end")))
+        .when(col("doc_id") % 10 === 0,
+          concat(col("text"), lit(" ### ## # … ....")))
+        .when(col("doc_id") % 7 === 0,
+          concat(col("text"), lit(" 111 222 333 444 555 666 777 888")))
+        .otherwise(col("text")).as("text"))
+      TextAnalysis.gopherQualityRules(docs, "text", minWords = 20)
+        .select(col("doc_id"), col("n_words"), col("mean_word_len"),
+          col("symbol_ratio"), col("bullet_line_frac"),
+          col("ellipsis_line_frac"), col("alpha_word_frac"),
+          col("gopher_pass"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Multimodal -> retrieval seam: media payloads through the batched
     // feature extractor (the x11 byte-histogram decode stub) straight
     // into the exact-kNN operator — media features are a first-class
@@ -3284,6 +3312,65 @@ object ExtensionQueries {
         |FROM sizes sa JOIN sizes sb ON sa.src < sb.src
         |LEFT JOIN inter i ON i.source_a = sa.src AND i.source_b = sb.src
         |ORDER BY source_a, source_b""".stripMargin,
+
+    "x113_gopher_rules" ->
+      """WITH tok0 AS (
+        |  SELECT doc_id, text,
+        |    list_filter(string_split_regex(trim(text), '\s+'),
+        |      x -> len(x) > 0) AS toks
+        |  FROM documents),
+        |docs AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 4 = 0 THEN
+        |      concat_ws(chr(10),
+        |        '- ' || coalesce(array_to_string(list_slice(toks, 1, 6), ' '), ''),
+        |        '- ' || coalesce(array_to_string(list_slice(toks, 7, 12), ' '), ''),
+        |        '- ' || coalesce(array_to_string(list_slice(toks, 13, 18), ' '), ''))
+        |    WHEN doc_id % 6 = 0 THEN text || '...' || chr(10) || 'and more...' || chr(10) || 'the end'
+        |    WHEN doc_id % 10 = 0 THEN text || ' ### ## # … ....'
+        |    WHEN doc_id % 7 = 0 THEN text || ' 111 222 333 444 555 666 777 888'
+        |    ELSE text END AS text
+        |  FROM tok0),
+        |m AS (
+        |  SELECT doc_id, text,
+        |    list_filter(string_split_regex(trim(text), '\s+'),
+        |      x -> len(x) > 0) AS toks,
+        |    list_filter(string_split(text, chr(10)),
+        |      l -> len(trim(l)) > 0) AS lines
+        |  FROM docs),
+        |r AS (
+        |  SELECT doc_id, len(toks) AS n_words,
+        |    CASE WHEN len(toks) > 0 THEN
+        |      ROUND(CAST(list_sum(list_transform(toks, w -> len(w))) AS DOUBLE)
+        |        / len(toks), 6) ELSE 0.0 END AS mean_word_len,
+        |    CASE WHEN len(toks) > 0 THEN ROUND(CAST(
+        |      (len(text) - len(replace(text, '#', '')))
+        |      + (len(text) - len(replace(text, '…', '')))
+        |      + len(list_filter(string_split_regex(text, '[^.]+'),
+        |          s -> len(s) >= 3)) AS DOUBLE) / len(toks), 6)
+        |      ELSE 0.0 END AS symbol_ratio,
+        |    CASE WHEN len(lines) > 0 THEN
+        |      ROUND(CAST(len(list_filter(lines,
+        |        l -> regexp_matches(trim(l), '^[-*•]'))) AS DOUBLE)
+        |        / len(lines), 6) ELSE 0.0 END AS bullet_line_frac,
+        |    CASE WHEN len(lines) > 0 THEN
+        |      ROUND(CAST(len(list_filter(lines,
+        |        l -> regexp_matches(trim(l), '(\.\.\.|…)$'))) AS DOUBLE)
+        |        / len(lines), 6) ELSE 0.0 END AS ellipsis_line_frac,
+        |    CASE WHEN len(toks) > 0 THEN
+        |      ROUND(CAST(len(list_filter(toks,
+        |        w -> regexp_matches(w, '[a-zA-Z]'))) AS DOUBLE)
+        |        / len(toks), 6) ELSE 0.0 END AS alpha_word_frac
+        |  FROM m)
+        |SELECT doc_id, CAST(n_words AS BIGINT) AS n_words, mean_word_len,
+        |  symbol_ratio, bullet_line_frac, ellipsis_line_frac,
+        |  alpha_word_frac,
+        |  n_words >= 20 AND n_words <= 100000
+        |    AND mean_word_len >= 3 AND mean_word_len <= 10
+        |    AND symbol_ratio <= 0.1 AND bullet_line_frac < 0.9
+        |    AND ellipsis_line_frac < 0.3 AND alpha_word_frac > 0.8
+        |    AS gopher_pass
+        |FROM r ORDER BY doc_id""".stripMargin,
 
     "x112_blocklist_filter" ->
       """WITH docs AS (

@@ -2607,6 +2607,32 @@ class TextAnalysisSpec extends SparkSpec {
     assert(fp(1L) != fp(3L))
   }
 
+  test("gopherQualityRules: each rule fires on its planted violator only") {
+    val good = (1 to 30).map(i => s"word$i").mkString(" ")
+    val df = Seq(
+      (1L, good),                                        // passes all
+      (2L, "- a list\n- of bullets\n- only bullets"),    // bullet frac 1.0
+      (3L, good + "...\ntrailing thought…\nplain end"),  // ellipsis 2/3
+      (4L, good + " # # # # # # #"),                     // symbol flood
+      (5L, (1 to 30).map(_.toString).mkString(" ")),     // no alpha words
+      (6L, "tiny doc"),                                  // under min words
+      (7L, good + " superduperhyperlongword".repeat(40)) // mean len > 10
+    ).toDF("doc_id", "text")
+    val out = graft.ops.TextAnalysis.gopherQualityRules(df, "text",
+        minWords = 10)
+      .select($"doc_id", $"bullet_line_frac", $"ellipsis_line_frac",
+        $"symbol_ratio", $"alpha_word_frac", $"gopher_pass")
+      .as[(Long, Double, Double, Double, Double, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out(1L)._6, out(1L))
+    assert(out(2L)._2 == 1.0 && !out(2L)._6, out(2L))
+    assert(out(3L)._3 == 0.666667 && !out(3L)._6, out(3L))
+    assert(out(4L)._4 > 0.1 && !out(4L)._6, out(4L))
+    assert(out(5L)._5 == 0.0 && !out(5L)._6, out(5L))
+    assert(!out(6L)._6, out(6L))
+    assert(!out(7L)._6, out(7L))
+  }
+
   test("blocklistFilter: whole-token and boundary-safe phrase matching, case-folded") {
     val df = Seq(
       (1L, "clean text only here"),
