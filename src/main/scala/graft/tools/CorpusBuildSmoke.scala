@@ -72,6 +72,21 @@ object CorpusBuildSmoke {
       .persist()
     time("2 langid route")(routed.count())
 
+    // 2b. rule-based filters (Gopher bundle + blocklist), measurement
+    // pass — production runs rules BEFORE the learned gate; word-soup
+    // passes them by construction, so this stage prices the map-only
+    // scan and sanity-checks the pass rate rather than dropping rows
+    time("2b rule filters (Gopher + blocklist, map-only)") {
+      val ruled = TextAnalysis.blocklistFilter(
+        TextAnalysis.gopherQualityRules(routed, "text", minWords = 20),
+        "text", Seq("graftblockedterm", "graft blocked pair"))
+      val r = ruled.agg(
+        sum(when(col("gopher_pass"), 1L).otherwise(0L)).as("pass"),
+        sum(when(col("blocked"), 1L).otherwise(0L)).as("blocked")).head()
+      require(r.getLong(1) == 0L, "blocklist must not fire on this corpus")
+      println(s"[corpus-build]   gopher pass ${r.getLong(0)} of $n")
+    }
+
     // 3. trained quality gate (x88 train on a ~1% labeled sample, x90
     // gate the full corpus with the learned weights) ---------------------
     val model = time("3a train hashed logreg (1% sample)") {
