@@ -372,6 +372,48 @@ class PlanGuardSpec extends SparkSpec {
     assert(!plan.contains("Window "), "no rank window on the heap path")
   }
 
+  test("x112/x113: rule filters are map-only (zero exchanges beyond the scan)") {
+    Seq("x112_blocklist_filter", "x113_gopher_rules").foreach { q =>
+      // drop the output-formatting orderBy: the OPERATOR itself must not
+      // shuffle (the blocklist/rule columns are pure per-row expressions)
+      val plan = graft.queries.ExtensionQueries.queries(q)(spark, dir)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"$q must not hash-shuffle, plan:\n${plan.take(800)}")
+    }
+  }
+
+  test("x110: budget prefix plans ONE group-keyed window, no totals pre-pass") {
+    val df = graft.queries.ExtensionQueries
+      .queries("x110_budget_prefix")(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // every hash exchange keys on the GROUP column (the window's one
+    // shuffle; the tail rangepartitioning is the output orderBy) — a
+    // totals pre-pass or aggregate would add a differently-keyed one
+    val clauses = "hashpartitioning\\([^)#]*".r.findAllIn(plan).toList
+    assert(clauses.nonEmpty && clauses.forall(_.contains("source")),
+      s"non-group hash exchange present: $clauses")
+    // count real WindowExec nodes via a tree walk — the AQE toString
+    // renders stage bodies twice, so string-counting overcounts
+    import org.apache.spark.sql.execution.SparkPlan
+    def walk(nd: SparkPlan): Seq[SparkPlan] = {
+      val kids = nd match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          Seq(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          Seq(q.plan)
+        case other => other.children
+      }
+      nd +: kids.flatMap(walk)
+    }
+    val windows = walk(df.queryExecution.executedPlan).count {
+      case _: org.apache.spark.sql.execution.window.WindowExec => true
+      case _ => false
+    }
+    assert(windows == 1, s"one window only, got $windows")
+  }
+
   test("x66/x79/x97: zero unpartitioned WindowExec in the EXECUTED plans") {
     // The r9 closure "WindowExec warnings silenced" was false: a
     // partitionBy(lit(0)) key is foldable, Spark 4's optimizer eliminates
