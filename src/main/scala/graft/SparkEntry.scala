@@ -12,7 +12,7 @@ import graft.queries.{ExtensionQueries, ParityQueries}
   * SQL-expressible query (xxhash64-based ops are rows-only by design).
   * Full operator -> query -> check map: /root/repo/COVERAGE.md.
   *
-  * Inventory (156 oracle-checked, 8 rows-only):
+  * Inventory (157 oracle-checked, 8 rows-only):
   *  - q01-q16: scans, filters, CASE chains, datetime, windows (running/
   *    lag/30-day range), grouped stats + broadcast join, anti-join
   *    referential integrity, top-k, dup/null/range/quality checks, upsert,
@@ -69,7 +69,7 @@ import graft.queries.{ExtensionQueries, ParityQueries}
   *    per-token), bigram-LM NLL, text normalization, BM25 top-k, Zipf
   *    profile, HTML extraction, vocab-OOV coverage, Misra-Gries heavy
   *    hitters, RRF fusion, recall@k evaluation, mojibake repair
-  *  - x87-x113: detector P/R/F1 evaluation, hashed-logreg quality-gate
+  *  - x87-x114: detector P/R/F1 evaluation, hashed-logreg quality-gate
   *    TRAINING + the closed train-infer-gate loop, oracle-checked
   *    multimodal media stats, hard-negative mining (exact + LSH scale
   *    path), cross-source overlap audit (exact + persisted minhash
@@ -90,7 +90,9 @@ import graft.queries.{ExtensionQueries, ParityQueries}
   *    C4-style blocklist content filter (whole-token + boundary-safe
   *    phrase matching; the list is caller config), Gopher quality-rule
   *    bundle (mean word length, symbol ratio, bullet/ellipsis line
-  *    fractions, alpha-word fraction + combined pass)
+  *    fractions, alpha-word fraction + combined pass), chat
+  *    well-formedness validation (role alternation, empty training
+  *    targets, preamble surfacing)
   */
 object SparkEntry {
 

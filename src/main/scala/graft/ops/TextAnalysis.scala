@@ -1820,6 +1820,55 @@ object TextAnalysis {
         col("content"))
   }
 
+  /** Chat-transcript WELL-FORMEDNESS validation over [[chatTurns]]
+    * output — the curation gate an SFT dataset runs before masking and
+    * packing: per document, does the conversation (ignoring an optional
+    * leading `system` turn and surfacing any `unknown` preamble as a
+    * violation) start with `user`, strictly alternate user/assistant,
+    * and contain no empty `assistant` turn (an empty TRAINING target
+    * teaches the model to say nothing)? Emits one row per doc with each
+    * check and the combined `valid` — malformed docs are FINDINGS for a
+    * report, not silently dropped rows.
+    *
+    * Scale shape: ONE doc-keyed aggregate folding the (tiny, per-doc)
+    * turn list in turn order; the alternation test is a per-row array
+    * expression over that folded list. Engine-portable (the oracle
+    * replays the fold + checks in SQL). */
+  def chatValidate(turns: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    val folded = turns.groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_turns"),
+        sum(when(col("role") === "unknown", 1L).otherwise(0L))
+          .as("n_unknown"),
+        sum(when(col("role") === "assistant" &&
+          length(trim(col("content"))) === 0, 1L).otherwise(0L))
+          .as("n_empty_assistant"),
+        // roles in turn order, minus a single LEADING system turn
+        transform(array_sort(collect_list(struct(col("turn_idx"),
+            col("role").as("r")))), s => s.getField("r")).as("__roles"))
+      .withColumn("__conv",
+        when(element_at(col("__roles"), 1) === "system",
+          slice(col("__roles"), lit(2), size(col("__roles"))))
+          .otherwise(col("__roles")))
+    folded
+      .withColumn("starts_with_user",
+        size(col("__conv")) > 0 && element_at(col("__conv"), 1) === "user")
+      .withColumn("alternates",
+        // every turn differs from its successor AND only user/assistant
+        // appear in the conversation body
+        forall(col("__conv"), r => r.isin("user", "assistant")) &&
+          size(filter(zip_with(col("__conv"),
+            slice(col("__conv"), lit(2),
+              greatest(size(col("__conv")) - 1, lit(0))),
+            (a, b) => a === b), x => x)) === 0)
+      .withColumn("valid",
+        col("n_unknown") === 0 && col("n_empty_assistant") === 0 &&
+          col("starts_with_user") && col("alternates"))
+      .select(col(idCol), col("n_turns"), col("n_unknown"),
+        col("n_empty_assistant"), col("starts_with_user"),
+        col("alternates"), col("valid"))
+  }
+
   /** Role-based loss masking over [[chatTurns]] output — the SFT rule
     * "train only on assistant tokens": adds `train_mask` (assistant
     * turns) and the per-turn token count the packer bills against the

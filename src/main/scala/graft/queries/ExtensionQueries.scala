@@ -1869,6 +1869,15 @@ object ExtensionQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Chat well-formedness validation over the x106 fixture: every 5th
+    // doc's role-less preamble violates; short docs produce empty
+    // assistant targets; the rest alternate cleanly after the leading
+    // system turn
+    "x114_chat_validate" -> ((s, dir) =>
+      TextAnalysis.chatValidate(
+          TextAnalysis.chatTurns(chatFixture(s, dir), "doc_id", "text"))
+        .orderBy(col("doc_id"))),
+
     // Multimodal -> retrieval seam: media payloads through the batched
     // feature extractor (the x11 byte-histogram decode stub) straight
     // into the exact-kNN operator — media features are a first-class
@@ -3312,6 +3321,66 @@ object ExtensionQueries {
         |FROM sizes sa JOIN sizes sb ON sa.src < sb.src
         |LEFT JOIN inter i ON i.source_a = sa.src AND i.source_b = sb.src
         |ORDER BY source_a, source_b""".stripMargin,
+
+    "x114_chat_validate" ->
+      """WITH tok AS (
+        |  SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'),
+        |    x -> len(x) > 0) AS toks
+        |  FROM documents),
+        |chat AS (
+        |  SELECT doc_id,
+        |    (CASE WHEN doc_id % 5 = 0 THEN 'stray preamble' || chr(10)
+        |      ELSE '' END)
+        |    || 'system: be helpful' || chr(10)
+        |    || 'user: ' || coalesce(array_to_string(list_slice(toks, 1, 8), ' '), '') || chr(10)
+        |    || 'assistant: ' || coalesce(array_to_string(list_slice(toks, 9, 16), ' '), '') || chr(10)
+        |    || coalesce(array_to_string(list_slice(toks, 17, 24), ' '), '') || chr(10)
+        |    || 'USER : ' || coalesce(array_to_string(list_slice(toks, 25, 30), ' '), '') AS text
+        |  FROM tok),
+        |lines AS (
+        |  SELECT doc_id, CAST(i AS INT) AS pos, ls[i] AS line
+        |  FROM (SELECT doc_id, string_split(text, chr(10)) AS ls FROM chat),
+        |    UNNEST(range(1, len(ls) + 1)) AS u(i)),
+        |seg AS (
+        |  SELECT doc_id, pos,
+        |    CASE WHEN rolem <> '' THEN
+        |      ltrim(regexp_replace(line, '(?i)^\s*(system|user|assistant)\s*:', ''), ' ')
+        |    ELSE line END AS content_line,
+        |    CASE WHEN rolem <> '' THEN lower(trim(rolem)) END AS role_line,
+        |    sum(CASE WHEN rolem <> '' THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY doc_id ORDER BY pos) AS turn_idx
+        |  FROM (SELECT doc_id, pos, line,
+        |      regexp_extract(line, '(?i)^\s*(system|user|assistant)\s*:', 1) AS rolem
+        |    FROM lines)),
+        |t AS (
+        |  SELECT doc_id, CAST(turn_idx AS BIGINT) AS turn_idx,
+        |    coalesce(min(role_line), 'unknown') AS role,
+        |    string_agg(content_line, chr(10) ORDER BY pos) AS content
+        |  FROM seg GROUP BY 1, 2),
+        |f AS (
+        |  SELECT doc_id, count(*) AS n_turns,
+        |    CAST(sum(CASE WHEN role = 'unknown' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_unknown,
+        |    CAST(sum(CASE WHEN role = 'assistant' AND len(trim(content)) = 0
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_empty_assistant,
+        |    list(role ORDER BY turn_idx) AS roles
+        |  FROM t GROUP BY 1),
+        |c AS (
+        |  SELECT doc_id, n_turns, n_unknown, n_empty_assistant,
+        |    CASE WHEN roles[1] = 'system' THEN roles[2:] ELSE roles END AS conv
+        |  FROM f)
+        |SELECT doc_id, CAST(n_turns AS BIGINT) AS n_turns, n_unknown,
+        |  n_empty_assistant,
+        |  len(conv) > 0 AND conv[1] = 'user' AS starts_with_user,
+        |  len(list_filter(conv, r -> r NOT IN ('user', 'assistant'))) = 0
+        |    AND len(list_filter(range(1, len(conv)),
+        |      i -> conv[i] = conv[i + 1])) = 0 AS alternates,
+        |  n_unknown = 0 AND n_empty_assistant = 0
+        |    AND (len(conv) > 0 AND conv[1] = 'user')
+        |    AND (len(list_filter(conv, r -> r NOT IN ('user', 'assistant'))) = 0
+        |      AND len(list_filter(range(1, len(conv)),
+        |        i -> conv[i] = conv[i + 1])) = 0) AS valid
+        |FROM c ORDER BY doc_id""".stripMargin,
 
     "x113_gopher_rules" ->
       """WITH tok0 AS (

@@ -2607,6 +2607,29 @@ class TextAnalysisSpec extends SparkSpec {
     assert(fp(1L) != fp(3L))
   }
 
+  test("chatValidate: each malformation is caught; clean conversations pass") {
+    def doc(id: Long, text: String) = (id, text)
+    val df = Seq(
+      doc(1L, "system: s\nuser: hi\nassistant: hello\nuser: more\nassistant: sure"),
+      doc(2L, "preamble junk\nuser: hi\nassistant: yo"),       // unknown turn
+      doc(3L, "user: a\nuser: b\nassistant: c"),               // double user
+      doc(4L, "user: hi\nassistant:"),                         // empty target
+      doc(5L, "assistant: unprompted\nuser: hm"),              // starts wrong
+      doc(6L, "user: only\nassistant: fine")                   // no system: ok
+    ).toDF("doc_id", "text")
+    val out = graft.ops.TextAnalysis.chatValidate(
+        graft.ops.TextAnalysis.chatTurns(df, "doc_id", "text"))
+      .select($"doc_id", $"n_unknown", $"n_empty_assistant",
+        $"starts_with_user", $"alternates", $"valid")
+      .as[(Long, Long, Long, Boolean, Boolean, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out(1L)._6 && out(6L)._6, (out(1L), out(6L)))
+    assert(out(2L)._2 == 1L && !out(2L)._6, out(2L))
+    assert(!out(3L)._5 && !out(3L)._6, out(3L))
+    assert(out(4L)._3 == 1L && !out(4L)._6, out(4L))
+    assert(!out(5L)._4 && !out(5L)._6, out(5L))
+  }
+
   test("gopherQualityRules: each rule fires on its planted violator only") {
     val good = (1 to 30).map(i => s"word$i").mkString(" ")
     val df = Seq(
