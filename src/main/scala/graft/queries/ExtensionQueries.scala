@@ -1895,6 +1895,28 @@ object ExtensionQueries {
       val q = feats.filter(col("media_id") === 0)
         .select(col("feature").as("qvec"))
       Similarity.bruteForceKnn(feats, q, "media_id", "feature", 20)
+    }),
+
+    // Product-quantization ADC search: planted codebooks = the first 8
+    // embeddings sliced into 8 subspaces of 8 dims (the x65/x111
+    // planted-centroid convention, so the full encode -> LUT -> ADC
+    // chain replays in DuckDB). Corpus rows carry only the 8-int code;
+    // the query's m*ks lookup table rides the broadcast side
+    "x115_pq_adc" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val seed = emb.filter(col("vec_id") < 8).orderBy(col("vec_id"))
+        .select(transform(col("embedding"), x => x.cast("double")))
+        .collect().map(_.getSeq[Double](0).toArray)
+      val model = graft.ops.PQ.Model(
+        Array.tabulate(8)(sub => seed.map(_.slice(sub * 8, sub * 8 + 8))))
+      val codes = graft.ops.PQ
+        .encode(emb.select(col("vec_id"), col("embedding")), "embedding", model)
+        .select(col("vec_id"), col("pq_code"))
+      val q = emb.filter(col("vec_id") === 0)
+        .select(lit(0L).as("qid"), col("embedding").as("qvec"))
+      graft.ops.PQ.searchAdc(codes, q, "vec_id", "qid", model, 20)
+        .select(col("vec_id"), col("adc_dist"))
+        .orderBy(col("adc_dist"), col("vec_id"))
     }))
 
   /** Planted separable classification fixture for x88/x90: each doc
@@ -3621,6 +3643,35 @@ object ExtensionQueries {
         |    x -> len(x) > 0)) AS BIGINT) AS n_tokens,
         |  role = 'assistant' AS train_mask
         |FROM t ORDER BY doc_id, turn_idx""".stripMargin,
+
+    "x115_pq_adc" ->
+      """WITH emb AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |cents AS (SELECT vec_id AS code, v FROM emb WHERE vec_id < 8),
+        |subs AS (SELECT CAST(i AS INT) AS sub FROM UNNEST(range(0, 8)) AS t(i)),
+        |enc AS (
+        |  SELECT e.vec_id, s.sub, c.code,
+        |    list_sum(list_transform(range(1, 9), d ->
+        |      (e.v[s.sub * 8 + CAST(d AS INT)] - c.v[s.sub * 8 + CAST(d AS INT)])
+        |      * (e.v[s.sub * 8 + CAST(d AS INT)] - c.v[s.sub * 8 + CAST(d AS INT)])))
+        |      AS dist
+        |  FROM emb e CROSS JOIN subs s CROSS JOIN cents c),
+        |codes AS (
+        |  SELECT vec_id, sub, code FROM enc
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id, sub
+        |    ORDER BY dist, code) = 1),
+        |q AS (SELECT v AS qv FROM emb WHERE vec_id = 0),
+        |adc AS (
+        |  SELECT cd.vec_id,
+        |    SUM(list_sum(list_transform(range(1, 9), d ->
+        |      (q.qv[cd.sub * 8 + CAST(d AS INT)] - c.v[cd.sub * 8 + CAST(d AS INT)])
+        |      * (q.qv[cd.sub * 8 + CAST(d AS INT)] - c.v[cd.sub * 8 + CAST(d AS INT)]))))
+        |      AS dist
+        |  FROM codes cd JOIN cents c ON c.code = cd.code CROSS JOIN q
+        |  GROUP BY cd.vec_id)
+        |SELECT vec_id, ROUND(dist, 6) AS adc_dist
+        |FROM adc ORDER BY ROUND(dist, 6), vec_id LIMIT 20""".stripMargin,
 
     "x105_media_knn" ->
       """WITH b AS (

@@ -1,0 +1,145 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.functions.PqFunctions
+
+/** Product-quantization contracts: encode determinism (self-code on
+  * codewords, lowest-code ties), ADC ≡ the exact sum of subspace
+  * distances to the coded words, training distortion monotonicity,
+  * ragged input, and codegen survival at the paper's ks=256. */
+class PqSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def vecs(n: Int, dim: Int): Seq[(Long, Seq[Double])] =
+    (0 until n).map { i =>
+      val rnd = new scala.util.Random(7919L * (i + 1))
+      (i.toLong, Seq.fill(dim)(rnd.nextDouble() * 2 - 1))
+    }
+
+  private def plantedModel(rows: Seq[(Long, Seq[Double])], m: Int, ks: Int): PQ.Model = {
+    val dim = rows.head._2.length
+    val subDim = dim / m
+    PQ.Model(Array.tabulate(m)(s => rows.take(ks).map(_._2
+      .slice(s * subDim, (s + 1) * subDim).toArray).toArray))
+  }
+
+  test("encode maps each codeword-source vector to its own code in every subspace") {
+    val rows = vecs(40, 16)
+    val model = plantedModel(rows, m = 4, ks = 8)
+    val df = rows.toDF("id", "v")
+    val coded = PQ.encode(df, "v", model).filter(col("id") < 8)
+      .select(col("id"), col("pq_code")).collect()
+    coded.foreach { r =>
+      val id = r.getLong(0).toInt
+      assert(r.getSeq[Int](1) == Seq.fill(4)(id))
+    }
+  }
+
+  test("encode ties resolve to the lowest code id") {
+    // two identical codewords: code 1 duplicates code 0 -> argmin must pick 0
+    val cw = Array(0.5, -0.25)
+    val model = PQ.Model(Array(Array(cw, cw.clone(), Array(9.0, 9.0))))
+    val df = Seq((1L, Seq(0.5, -0.25))).toDF("id", "v")
+    val code = PQ.encode(df, "v", model).select(col("pq_code")).head().getSeq[Int](0)
+    assert(code == Seq(0))
+  }
+
+  test("ADC distance equals the sum of exact subspace distances to the coded words") {
+    val rows = vecs(60, 16)
+    val model = plantedModel(rows, m = 4, ks = 8)
+    val df = rows.toDF("id", "v")
+    val coded = PQ.encode(df, "v", model)
+    val q = rows(3)._2
+    val got = PQ.searchAdc(coded, Seq((0L, q)).toDF("qid", "qvec"),
+      "id", "qid", model, 60).collect()
+      .map(r => r.getLong(1) -> r.getDouble(2)).toMap
+
+    def sq(a: Seq[Double], b: Seq[Double]): Double =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    rows.foreach { case (id, v) =>
+      val codes = (0 until 4).map { s =>
+        val sv = v.slice(s * 4, s * 4 + 4)
+        model.codebooks(s).zipWithIndex.minBy { case (c, j) => (sq(sv, c.toSeq), j) }._2
+      }
+      val expected = (0 until 4).map(s =>
+        sq(q.slice(s * 4, s * 4 + 4), model.codebooks(s)(codes(s)).toSeq)).sum
+      assert(math.abs(got(id) - expected) < 1e-5, s"id=$id")
+    }
+  }
+
+  test("searchAdc orders ascending by distance with id tiebreak and respects k") {
+    val rows = vecs(50, 16)
+    val model = plantedModel(rows, m = 4, ks = 8)
+    val coded = PQ.encode(rows.toDF("id", "v"), "v", model)
+    val all = PQ.searchAdc(coded, Seq((7L, rows(5)._2)).toDF("qid", "qvec"),
+      "id", "qid", model, 50).collect()
+      .map(r => (r.getDouble(2), r.getLong(1))).sorted
+    val out = PQ.searchAdc(coded, Seq((7L, rows(5)._2)).toDF("qid", "qvec"),
+      "id", "qid", model, 10).collect()
+    assert(out.length == 10)
+    assert(out.forall(_.getLong(0) == 7L))
+    // the selected set IS the k smallest by (dist, id) — rows come off the
+    // bounded heap unordered; callers add the final orderBy (x115 does)
+    val got = out.map(r => (r.getDouble(2), r.getLong(1))).sorted
+    assert(got.toSeq == all.take(10).toSeq)
+  }
+
+  test("train distortion is non-increasing over Lloyd's iterations") {
+    val rows = vecs(120, 16)
+    val df = rows.toDF("id", "v")
+    def meanDistortion(iters: Int): Double = {
+      val model = PQ.train(df, "id", "v", m = 4, ks = 8, iters = iters)
+      df.select(avg(PQ.distortionExpr(col("v"), model))).head().getDouble(0)
+    }
+    val d0 = meanDistortion(0)
+    val d2 = meanDistortion(2)
+    val d5 = meanDistortion(5)
+    assert(d2 <= d0 + 1e-9)
+    assert(d5 <= d2 + 1e-9)
+  }
+
+  test("ragged input truncates subspace loops instead of failing") {
+    val model = PQ.Model(Array(
+      Array(Array(1.0, 1.0), Array(0.0, 0.0)),
+      Array(Array(2.0, 2.0), Array(5.0, 5.0))))
+    // 3 elements for subDim=2, m=2: second subspace sees only element 3
+    val df = Seq((1L, Seq(0.1, 0.1, 2.0))).toDF("id", "v")
+    val code = PQ.encode(df, "v", model).select(col("pq_code")).head().getSeq[Int](0)
+    assert(code == Seq(1, 0)) // sub0: nearer (0,0); sub1: |2-2| < |2-5|
+  }
+
+  test("float input columns encode identically to double") {
+    val rows = vecs(20, 16)
+    val model = plantedModel(rows, m = 4, ks = 8)
+    val d = PQ.encode(rows.toDF("id", "v"), "v", model)
+      .select(col("id"), col("pq_code"))
+    val f = PQ.encode(rows.map { case (i, v) => (i, v.map(_.toFloat)) }
+      .toDF("id", "v"), "v", model)
+      .select(col("id"), col("pq_code"))
+    assert(d.except(f).isEmpty && f.except(d).isEmpty)
+  }
+
+  test("whole-stage codegen survives ks=256 (the Janino 64KB regime)") {
+    val rows = vecs(300, 16)
+    val dim = 16; val m = 4; val ks = 256; val subDim = dim / m
+    val rnd = new scala.util.Random(42)
+    val model = PQ.Model(Array.fill(m)(Array.fill(ks)(
+      Array.fill(subDim)(rnd.nextDouble()))))
+    // repartition keeps the local relation from folding to a
+    // LocalTableScan; count() first so AQE finalizes the executed plan
+    val coded = PQ.encode(rows.toDF("id", "v").repartition(2), "v", model)
+      .withColumn("d", PqFunctions.pq_adc_dist(col("pq_code"),
+        PqFunctions.pq_lut(col("v"), model.flat, m, ks), ks))
+    val out = coded.collect() // force execution so AQE finalizes the plan
+    assert(out.length == 300)
+    // AQE's final-plan format prints codegen stages as `*(n)` prefixes
+    val plan = coded.queryExecution.executedPlan.toString
+    assert(plan.contains("WholeStageCodegen") ||
+      "\\*\\(\\d+\\) Project".r.findFirstIn(plan).isDefined,
+      s"no codegen span:\n$plan")
+    // every adc self-distance (= distortion) is finite and non-negative
+    val bad = coded.filter(col("d") < 0 || isnan(col("d"))).count()
+    assert(bad == 0)
+  }
+}
