@@ -647,17 +647,7 @@ object TextAnalysis {
       buckets: Int, epochs: Int, lr: Double,
       useBigrams: Boolean = true): LogRegModel = {
     require(buckets > 0 && epochs >= 1 && lr > 0)
-    val toks = tokens(lower(col(textCol)))
-    val nBg = greatest(size(toks) - 1, lit(0))
-    val featStrs =
-      if (useBigrams)
-        concat(toks, zip_with(
-          slice(toks, lit(1), nBg), slice(toks, lit(2), nBg),
-          (x, y) => concat(x, lit("_"), y)))
-      else toks
-    val bkts = transform(featStrs, f =>
-      pmod(conv(substring(md5(f.cast("binary")), 1, 8), 16, 10)
-        .cast("long"), lit(buckets.toLong)).cast("int"))
+    val bkts = hashedNgramBuckets(textCol, buckets, useBigrams)
     val feats = df.select(col(labelCol).cast("double").as("__y"),
       bkts.as("__b")).persist()
     val n = feats.count().toDouble
@@ -1877,4 +1867,80 @@ object TextAnalysis {
       trainRoles: Seq[String] = Seq("assistant")): DataFrame =
     turns.withColumn("n_tokens", tokenCount(col("content")).cast("long"))
       .withColumn("train_mask", col("role").isin(trainRoles: _*))
+
+  /** Shared hashed-n-gram featurization (lowercased unigrams + `_`-joined
+    * bigrams, md5 % buckets) — the [[hashedLinearScore]] /
+    * [[trainHashedLogReg]] contract, factored so DSIR hashes features
+    * IDENTICALLY to the quality classifier (one oracle formula:
+    * `CAST('0x'||substring(md5(f),1,8) AS BIGINT) % buckets`). */
+  private def hashedNgramBuckets(textCol: String, buckets: Int,
+      useBigrams: Boolean): Column = {
+    val toks = tokens(lower(col(textCol)))
+    val nBg = greatest(size(toks) - 1, lit(0))
+    val featStrs =
+      if (useBigrams)
+        concat(toks, zip_with(
+          slice(toks, lit(1), nBg), slice(toks, lit(2), nBg),
+          (x, y) => concat(x, lit("_"), y)))
+      else toks
+    transform(featStrs, f =>
+      pmod(conv(substring(md5(f.cast("binary")), 1, 8), 16, 10)
+        .cast("long"), lit(buckets.toLong)).cast("int"))
+  }
+
+  /** Smoothed hashed-n-gram log-probabilities of a corpus: the
+    * distribution side of [[dsirImportance]], exposed for reuse/audit.
+    * ONE explode + bucket-keyed aggregate over the corpus collapses to
+    * `buckets` driver doubles — bounded model state, the IVF-centroid
+    * convention. logp[b] = ln((count_b + alpha) / (total + alpha*B)),
+    * rounded 6dp so the downstream sums are over engine-portable values
+    * (the trainHashedLogReg rounding discipline). */
+  def dsirLogProbs(df: DataFrame, textCol: String, buckets: Int,
+      alpha: Double = 0.01, useBigrams: Boolean = true): Array[Double] = {
+    require(buckets > 0 && alpha > 0)
+    val counts = df
+      .select(explode(hashedNgramBuckets(textCol, buckets, useBigrams)).as("b"))
+      .groupBy(col("b")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val total = counts.values.sum.toDouble
+    def round6(v: Double): Double =
+      BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    Array.tabulate(buckets)(b => round6(math.log(
+      (counts.getOrElse(b, 0L) + alpha) / (total + alpha * buckets))))
+  }
+
+  /** DSIR importance weighting (Xie et al., "Data Selection for Language
+    * Models via Importance Resampling", NeurIPS 2023): score every raw
+    * document by how much more likely its hashed-n-gram features are
+    * under the TARGET distribution than under the RAW distribution —
+    * log w(doc) = sum over features of (log p_target(b) - log p_raw(b))
+    * — then keep the top of the ranking (selection is the caller's
+    * orderBy/limit or [[graft.ops.Sampling]] budget ops; this operator
+    * produces the ranking signal).
+    *
+    * Scale shape: both distributions reduce to `buckets` driver doubles
+    * ([[dsirLogProbs]] — two corpus-sized aggregates, run once), and
+    * scoring is MAP-ONLY: the 6dp-rounded log-ratio table rides the plan
+    * as one array literal and each row folds its own feature buckets
+    * through it — no join, no shuffle, nothing but the raw corpus scan.
+    * At 100 TB that is the only shape that survives: the alternative
+    * (explode grams + join a ratio table + re-aggregate per doc) shuffles
+    * a grams-sized frame for no reason.
+    *
+    * Output: every `raw` row plus `n_features` and `log_weight` (6dp).
+    * Empty docs score 0. */
+  def dsirImportance(raw: DataFrame, target: DataFrame, idCol: String,
+      textCol: String, buckets: Int = 1024, alpha: Double = 0.01,
+      useBigrams: Boolean = true): DataFrame = {
+    val logPT = dsirLogProbs(target, textCol, buckets, alpha, useBigrams)
+    val logPR = dsirLogProbs(raw, textCol, buckets, alpha, useBigrams)
+    def round6(v: Double): Double =
+      BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val ratio = Array.tabulate(buckets)(b => round6(logPT(b) - logPR(b)))
+    val ratioLit = array(ratio.map(lit(_)): _*)
+    val bkts = hashedNgramBuckets(textCol, buckets, useBigrams)
+    raw.withColumn("n_features", size(bkts))
+      .withColumn("log_weight", round(aggregate(bkts, lit(0.0),
+        (acc, b) => acc + element_at(ratioLit, b + 1)), 6))
+  }
 }

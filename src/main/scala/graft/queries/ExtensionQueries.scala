@@ -1917,6 +1917,25 @@ object ExtensionQueries {
       graft.ops.PQ.searchAdc(codes, q, "vec_id", "qid", model, 20)
         .select(col("vec_id"), col("adc_dist"))
         .orderBy(col("adc_dist"), col("vec_id"))
+    }),
+
+    // DSIR importance weighting (Xie et al. 2023): even docs carry the
+    // planted target markers, odd docs a disjoint tail; the target
+    // corpus = the even docs, so target-like docs must score higher.
+    // Both hashed-n-gram distributions reduce to 256 driver doubles and
+    // scoring is map-only — the oracle replays distributions AND the
+    // per-doc fold through the same md5 % 256 feature hash x88 pinned
+    "x116_dsir_selection" -> ((s, dir) => {
+      val raw = t(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 2 === 0, lit(" tgtmark alpha tgtmark"))
+            .otherwise(lit(" rawmark beta rawmark"))).as("text"))
+      val target = raw.filter(col("doc_id") % 2 === 0)
+      TextAnalysis.dsirImportance(raw, target, "doc_id", "text",
+          buckets = 256, alpha = 0.01, useBigrams = true)
+        .select(col("doc_id"), col("n_features").cast("long").as("n_features"),
+          col("log_weight"))
+        .orderBy(col("doc_id"))
     }))
 
   /** Planted separable classification fixture for x88/x90: each doc
@@ -3643,6 +3662,42 @@ object ExtensionQueries {
         |    x -> len(x) > 0)) AS BIGINT) AS n_tokens,
         |  role = 'assistant' AS train_mask
         |FROM t ORDER BY doc_id, turn_idx""".stripMargin,
+
+    "x116_dsir_selection" ->
+      """WITH raws AS (
+        |  SELECT doc_id,
+        |    lower(text || CASE WHEN doc_id % 2 = 0 THEN ' tgtmark alpha tgtmark'
+        |      ELSE ' rawmark beta rawmark' END) AS text
+        |  FROM documents),
+        |tok AS (
+        |  SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'),
+        |    x -> len(x) > 0) AS toks
+        |  FROM raws),
+        |featlist AS (
+        |  SELECT doc_id, toks ||
+        |    CASE WHEN len(toks) >= 2 THEN list_transform(range(1, len(toks)),
+        |      i -> toks[i] || '_' || toks[i + 1]) ELSE [] END AS fs
+        |  FROM tok),
+        |feats AS (
+        |  SELECT doc_id,
+        |    CAST(('0x' || substring(md5(f), 1, 8)) AS BIGINT) % 256 AS b
+        |  FROM (SELECT doc_id, unnest(fs) AS f FROM featlist)),
+        |tcnt AS (SELECT b, count(*) AS c FROM feats WHERE doc_id % 2 = 0 GROUP BY b),
+        |rcnt AS (SELECT b, count(*) AS c FROM feats GROUP BY b),
+        |tt AS (SELECT CAST(sum(c) AS DOUBLE) AS t FROM tcnt),
+        |tr AS (SELECT CAST(sum(c) AS DOUBLE) AS t FROM rcnt),
+        |allb AS (SELECT unnest(range(0, 256)) AS b),
+        |ratio AS (
+        |  SELECT allb.b,
+        |    ROUND(ROUND(ln((coalesce(tcnt.c, 0) + 0.01) / (tt.t + 0.01 * 256)), 6)
+        |        - ROUND(ln((coalesce(rcnt.c, 0) + 0.01) / (tr.t + 0.01 * 256)), 6), 6)
+        |      AS lr
+        |  FROM allb LEFT JOIN tcnt ON allb.b = tcnt.b
+        |    LEFT JOIN rcnt ON allb.b = rcnt.b, tt, tr)
+        |SELECT f.doc_id, CAST(count(*) AS BIGINT) AS n_features,
+        |  ROUND(SUM(r.lr), 6) AS log_weight
+        |FROM feats f JOIN ratio r ON f.b = r.b
+        |GROUP BY f.doc_id ORDER BY doc_id""".stripMargin,
 
     "x115_pq_adc" ->
       """WITH emb AS (

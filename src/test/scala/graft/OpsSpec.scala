@@ -2738,4 +2738,51 @@ class TextAnalysisSpec extends SparkSpec {
       .as[(Long, Long, String, String)].collect()
     assert(bare.toSeq == Seq((8L, 0L, "unknown", "just plain text\ntwo lines")))
   }
+
+  test("dsirImportance: target-marked docs outrank, empty doc scores zero, scoring is map-only") {
+    import spark.implicits._
+    val base = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    // plant a target signature: even docs carry the marker tokens the
+    // target corpus is made of; odd docs carry a different tail
+    val raw = base.select($"doc_id",
+      concat(concat_ws(" ", slice(TextAnalysis.tokens($"text"), 1, 12)),
+        when($"doc_id" % 2 === 0, lit(" tgtmark tgtmark tgtmark"))
+          .otherwise(lit(" rawonly rawonly rawonly"))).as("text"))
+    val target = raw.filter($"doc_id" % 2 === 0)
+    val scored = TextAnalysis.dsirImportance(raw, target, "doc_id", "text",
+      buckets = 128, alpha = 0.01, useBigrams = false)
+    val byParity = scored.groupBy(($"doc_id" % 2 === 0).as("isTgt"))
+      .agg(avg($"log_weight").as("w")).collect()
+      .map(r => r.getBoolean(0) -> r.getDouble(1)).toMap
+    assert(byParity(true) > byParity(false),
+      s"target-like docs must outrank: $byParity")
+    // deterministic across runs (md5 hashing, 6dp-rounded model state)
+    val again = TextAnalysis.dsirImportance(raw, target, "doc_id", "text",
+      buckets = 128, alpha = 0.01, useBigrams = false)
+    assert(scored.select("doc_id", "log_weight").except(
+      again.select("doc_id", "log_weight")).isEmpty)
+    // empty doc: no features, weight exactly 0
+    val empty = TextAnalysis.dsirImportance(
+      Seq((1L, "")).toDF("doc_id", "text"), target, "doc_id", "text",
+      buckets = 128, useBigrams = false)
+      .select($"n_features", $"log_weight").head()
+    assert(empty.getInt(0) == 0 && empty.getDouble(1) == 0.0)
+    // the scoring stage itself is map-only: no Exchange anywhere in its plan
+    val plan = scored.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"scoring must not shuffle:\n$plan")
+  }
+
+  test("dsirLogProbs: probabilities normalize and smoothing covers empty buckets") {
+    import spark.implicits._
+    val docs = Seq((1L, "alpha beta gamma"), (2L, "alpha beta"),
+      (3L, "alpha")).toDF("doc_id", "text")
+    val lp = TextAnalysis.dsirLogProbs(docs, "text", buckets = 32,
+      alpha = 0.5, useBigrams = false)
+    assert(lp.length == 32)
+    // sum of exp(logp) ~ 1 (6dp rounding tolerance)
+    val mass = lp.map(math.exp).sum
+    assert(math.abs(mass - 1.0) < 1e-3, s"mass $mass")
+    // every bucket has smoothed non-zero probability
+    assert(lp.forall(v => v > math.log(1e-6)))
+  }
 }
