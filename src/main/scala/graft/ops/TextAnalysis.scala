@@ -914,6 +914,91 @@ object TextAnalysis {
       .na.fill(0.0, Seq("bigram_nll"))
   }
 
+  /** Stupid-backoff trigram LM scoring (Brants et al., "Large Language
+    * Models in Machine Translation", EMNLP 2007) — the next step past
+    * [[bigramNll]] toward CCNet's KenLM perplexity filter: score `docs`
+    * under the `model` corpus's raw n-gram counts with the backoff
+    * cascade S(w3|w1w2) = c123/c12 if the trigram was seen, else
+    * lam * c23/c2 if the bigram was, else lam^2 * an add-k-smoothed
+    * unigram ((c3 + k)/(N + k*V) — the one deviation from the paper,
+    * which assumes a closed vocabulary; OOV tokens here get the
+    * smoothing floor instead of -ln(0)). The prefix property of raw
+    * counts guarantees c12 > 0 whenever c123 > 0 (and c2 > 0 whenever
+    * c23 > 0), so the cascade never divides by null.
+    *
+    * Model and scored corpus are SEPARATE inputs on purpose: scoring a
+    * corpus against itself never backs off (every trigram was seen) —
+    * the operator exists for held-out filtering.
+    *
+    * Scale shape: the model reduces to three count frames (uni/bi/tri
+    * types — bounded by distinct n-gram types, far below corpus size)
+    * built from ONE persisted tokenized frame (three consumers — the
+    * [[bigramNll]] `bg` convention); scoring explodes doc trigrams once
+    * and left-joins the three tables on their keys (equi-joins Spark
+    * hash-partitions; the honest cost of distributed LM scoring), with
+    * N and V riding a broadcast. Output: idCol, n_trigrams, sb_nll
+    * (mean -ln S, 6dp; docs with < 3 tokens emit 0, not dropped). */
+  def stupidBackoffNll(model: DataFrame, docs: DataFrame, idCol: String,
+      textCol: String, lam: Double = 0.4, k: Double = 0.5): DataFrame = {
+    require(lam > 0 && lam <= 1, "backoff factor in (0,1]")
+    require(k > 0, "add-k smoothing needs k > 0")
+    val toks = tokens(lower(col(textCol)))
+
+    val modelTok = model.select(toks.as("ts")).persist()
+    modelTok.count()
+    val uni = modelTok.select(explode(col("ts")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+    def grams(n: Int) = {
+      val len = greatest(size(col("ts")) - (n - 1), lit(0))
+      modelTok.select(explode(arrays_zip(
+        (0 until n).map(i => slice(col("ts"), lit(i + 1), len)): _*)).as("g"))
+    }
+    val bi = grams(2).select(col("g")("0").as("a"), col("g")("1").as("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("c"))
+    val tri = grams(3)
+      .select(col("g")("0").as("a"), col("g")("1").as("b"), col("g")("2").as("c3"))
+      .groupBy(col("a"), col("b"), col("c3")).agg(count(lit(1)).as("c"))
+    val totals = uni.agg(sum(col("c")).cast("double").as("__n"),
+      count(lit(1)).cast("double").as("__v"))
+
+    val dlen = greatest(size(toks) - 2, lit(0))
+    val docTri = docs.select(col(idCol), explode(arrays_zip(
+        slice(toks, lit(1), dlen), slice(toks, lit(2), dlen),
+        slice(toks, lit(3), dlen))).as("g"))
+      .select(col(idCol), col("g")("0").as("w1"), col("g")("1").as("w2"),
+        col("g")("2").as("w3"))
+
+    val scored = docTri
+      .join(tri.select(col("a").as("w1"), col("b").as("w2"),
+        col("c3").as("w3"), col("c").as("__c123")), Seq("w1", "w2", "w3"), "left")
+      .join(bi.select(col("a").as("w1"), col("b").as("w2"),
+        col("c").as("__c12")), Seq("w1", "w2"), "left")
+      .join(bi.select(col("a").as("w2"), col("b").as("w3"),
+        col("c").as("__c23")), Seq("w2", "w3"), "left")
+      .join(uni.select(col("w").as("w2"), col("c").as("__c2")), Seq("w2"), "left")
+      .join(uni.select(col("w").as("w3"), col("c").as("__c3")), Seq("w3"), "left")
+      .crossJoin(broadcast(totals))
+      .withColumn("__s",
+        when(col("__c123").isNotNull,
+          col("__c123").cast("double") / col("__c12").cast("double"))
+        .when(col("__c23").isNotNull,
+          lit(lam) * col("__c23").cast("double") / col("__c2").cast("double"))
+        .otherwise(lit(lam * lam) *
+          (coalesce(col("__c3"), lit(0L)).cast("double") + k) /
+          (col("__n") + lit(k) * col("__v"))))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_trigrams"),
+        round(avg(-log(col("__s"))), 6).as("sb_nll"))
+    // modelTok stays cached: the returned frame is LAZY and its three
+    // count tables all derive from it — an eager unpersist here would
+    // silently re-tokenize the model corpus once per consumer when the
+    // caller finally executes (the bigramNll `bg` convention)
+    docs.select(col(idCol)).distinct()
+      .join(scored, Seq(idCol), "left")
+      .na.fill(0L, Seq("n_trigrams"))
+      .na.fill(0.0, Seq("sb_nll"))
+  }
+
   /** PMI collocation mining — pointwise mutual information over adjacent
     * token pairs, the classic phrase-induction statistic (word2vec's
     * phrase pass, tokenizer multi-word-unit candidates):

@@ -1936,6 +1936,21 @@ object ExtensionQueries {
         .select(col("doc_id"), col("n_features").cast("long").as("n_features"),
           col("log_weight"))
         .orderBy(col("doc_id"))
+    }),
+
+    // Stupid-backoff trigram LM (Brants 2007): model = the corpus, scored
+    // docs = last-token-rotated copies (+ an unseen tail every 5th doc) so
+    // all three cascade tiers fire — seam trigrams back off to bigram/
+    // unigram tiers, the zzqx tail hits the OOV smoothing floor
+    "x117_stupid_backoff" -> ((s, dir) => {
+      val base = t(s, dir, "documents")
+      val toks = TextAnalysis.tokens(lower(col("text")))
+      val mutated = base.select(col("doc_id"),
+        concat_ws(" ", element_at(toks, -1), col("text"),
+          when(col("doc_id") % 5 === 0, lit("zzqx zzqy"))
+            .otherwise(lit(""))).as("text"))
+      TextAnalysis.stupidBackoffNll(base, mutated, "doc_id", "text")
+        .orderBy(col("doc_id"))
     }))
 
   /** Planted separable classification fixture for x88/x90: each doc
@@ -3662,6 +3677,60 @@ object ExtensionQueries {
         |    x -> len(x) > 0)) AS BIGINT) AS n_tokens,
         |  role = 'assistant' AS train_mask
         |FROM t ORDER BY doc_id, turn_idx""".stripMargin,
+
+    "x117_stupid_backoff" ->
+      """WITH mtok AS (
+        |  SELECT list_filter(string_split_regex(trim(lower(text)), '\s+'),
+        |    x -> len(x) > 0) AS ts
+        |  FROM documents),
+        |uni AS (SELECT w, count(*) AS c
+        |  FROM (SELECT unnest(ts) AS w FROM mtok) GROUP BY w),
+        |bi AS (SELECT a, b, count(*) AS c
+        |  FROM (SELECT ts[i] AS a, ts[i + 1] AS b
+        |        FROM mtok, UNNEST(range(1, len(ts))) AS u(i)) GROUP BY a, b),
+        |tri AS (SELECT a, b, c3, count(*) AS c
+        |  FROM (SELECT ts[i] AS a, ts[i + 1] AS b, ts[i + 2] AS c3
+        |        FROM mtok, UNNEST(range(1, len(ts) - 1)) AS u(i)) GROUP BY a, b, c3),
+        |tot AS (SELECT CAST(sum(c) AS DOUBLE) AS n,
+        |  CAST(count(*) AS DOUBLE) AS v FROM uni),
+        |dtok AS (
+        |  SELECT doc_id, text,
+        |    list_filter(string_split_regex(trim(lower(text)), '\s+'),
+        |      x -> len(x) > 0) AS ts0
+        |  FROM documents),
+        |mut AS (
+        |  SELECT doc_id,
+        |    concat_ws(' ', ts0[len(ts0)], text,
+        |      CASE WHEN doc_id % 5 = 0 THEN 'zzqx zzqy' ELSE '' END) AS text
+        |  FROM dtok),
+        |dts AS (
+        |  SELECT doc_id, list_filter(string_split_regex(trim(lower(text)), '\s+'),
+        |    x -> len(x) > 0) AS ts
+        |  FROM mut),
+        |dtri AS (
+        |  SELECT doc_id, ts[i] AS w1, ts[i + 1] AS w2, ts[i + 2] AS w3
+        |  FROM dts, UNNEST(range(1, len(ts) - 1)) AS u(i)),
+        |sc AS (
+        |  SELECT d.doc_id,
+        |    CASE
+        |      WHEN t.c IS NOT NULL THEN CAST(t.c AS DOUBLE) / CAST(b12.c AS DOUBLE)
+        |      WHEN b23.c IS NOT NULL THEN 0.4 * CAST(b23.c AS DOUBLE) / CAST(u2.c AS DOUBLE)
+        |      ELSE 0.4 * 0.4 * (coalesce(u3.c, 0) + 0.5) / (tot.n + 0.5 * tot.v)
+        |    END AS s
+        |  FROM dtri d
+        |  LEFT JOIN tri t ON t.a = d.w1 AND t.b = d.w2 AND t.c3 = d.w3
+        |  LEFT JOIN bi b12 ON b12.a = d.w1 AND b12.b = d.w2
+        |  LEFT JOIN bi b23 ON b23.a = d.w2 AND b23.b = d.w3
+        |  LEFT JOIN uni u2 ON u2.w = d.w2
+        |  LEFT JOIN uni u3 ON u3.w = d.w3, tot),
+        |agg AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_trigrams,
+        |    ROUND(avg(-ln(s)), 6) AS sb_nll
+        |  FROM sc GROUP BY doc_id)
+        |SELECT m.doc_id, coalesce(a.n_trigrams, 0) AS n_trigrams,
+        |  coalesce(a.sb_nll, 0.0) AS sb_nll
+        |FROM mut m LEFT JOIN agg a ON m.doc_id = a.doc_id
+        |ORDER BY m.doc_id""".stripMargin,
 
     "x116_dsir_selection" ->
       """WITH raws AS (
