@@ -999,6 +999,20 @@ object TextAnalysis {
       .na.fill(0.0, Seq("sb_nll"))
   }
 
+  /** Character-entropy profile — the cheap per-row gibberish signal the
+    * Gopher rules don't carry (they count token shapes; this measures
+    * character spread): `n_chars` (code points), `char_entropy` (bits
+    * per char, [[graft.functions.CharEntropy]] — 6dp), and
+    * `low_entropy` (< threshold — single-char floods, padding runs,
+    * trivially compressible spam). Map-only: one codegen'd loop per
+    * row, no explode, no shuffle. */
+  def charEntropyProfile(df: DataFrame, idCol: String, textCol: String,
+      threshold: Double = 2.0): DataFrame =
+    df.withColumn("n_chars", length(col(textCol)).cast("long"))
+      .withColumn("char_entropy",
+        round(graft.functions.CharEntropyFunctions.char_entropy(col(textCol)), 6))
+      .withColumn("low_entropy", col("char_entropy") < threshold)
+
   /** PMI collocation mining — pointwise mutual information over adjacent
     * token pairs, the classic phrase-induction statistic (word2vec's
     * phrase pass, tokenizer multi-word-unit candidates):

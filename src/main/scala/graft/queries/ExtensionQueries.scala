@@ -1951,6 +1951,20 @@ object ExtensionQueries {
             .otherwise(lit(""))).as("text"))
       TextAnalysis.stupidBackoffNll(base, mutated, "doc_id", "text")
         .orderBy(col("doc_id"))
+    }),
+
+    // Character-entropy gibberish filter: every 7th doc replaced with a
+    // single-character flood that must trip the low-entropy flag; the
+    // metric is one codegen'd per-row loop (no explode) — the oracle
+    // affords the explode+groupBy formulation
+    "x118_char_entropy" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"),
+        when(col("doc_id") % 7 === 0, concat(lit("spam "), repeat(lit("a"), 60)))
+          .otherwise(col("text")).as("text"))
+      TextAnalysis.charEntropyProfile(docs, "doc_id", "text")
+        .select(col("doc_id"), col("n_chars"), col("char_entropy"),
+          col("low_entropy"))
+        .orderBy(col("doc_id"))
     }))
 
   /** Planted separable classification fixture for x88/x90: each doc
@@ -3677,6 +3691,24 @@ object ExtensionQueries {
         |    x -> len(x) > 0)) AS BIGINT) AS n_tokens,
         |  role = 'assistant' AS train_mask
         |FROM t ORDER BY doc_id, turn_idx""".stripMargin,
+
+    "x118_char_entropy" ->
+      """WITH docs AS (
+        |  SELECT doc_id, CASE WHEN doc_id % 7 = 0 THEN 'spam ' || repeat('a', 60)
+        |    ELSE text END AS text
+        |  FROM documents),
+        |ch AS (SELECT doc_id, unnest(string_split(text, '')) AS c FROM docs),
+        |cnt AS (SELECT doc_id, c, count(*) AS k FROM ch GROUP BY doc_id, c),
+        |tot AS (SELECT doc_id, CAST(sum(k) AS DOUBLE) AS n FROM cnt GROUP BY doc_id),
+        |e AS (
+        |  SELECT cnt.doc_id,
+        |    ROUND(-sum((k / t.n) * (ln(k / t.n) / ln(2))), 6) AS char_entropy
+        |  FROM cnt JOIN tot t ON cnt.doc_id = t.doc_id GROUP BY cnt.doc_id)
+        |SELECT d.doc_id, CAST(length(d.text) AS BIGINT) AS n_chars,
+        |  coalesce(e.char_entropy, 0.0) AS char_entropy,
+        |  coalesce(e.char_entropy, 0.0) < 2.0 AS low_entropy
+        |FROM docs d LEFT JOIN e ON d.doc_id = e.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
 
     "x117_stupid_backoff" ->
       """WITH mtok AS (

@@ -2833,4 +2833,30 @@ class TextAnalysisSpec extends SparkSpec {
       .map(r => r.getBoolean(0) -> r.getDouble(1)).toMap
     assert(m(true) > m(false), s"unseen-tail docs must score higher: $m")
   }
+
+  test("charEntropyProfile: hand values, surrogate pairs count as one code point, map-only codegen") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "aaaa"),                  // one symbol: 0 bits
+      (2L, "ab"),                    // two equiprobable: 1 bit
+      (3L, "abcd"),                  // four equiprobable: 2 bits
+      (4L, ""),                      // empty: 0 by contract
+      (5L, "\ud834\udd1e\ud834\udd1eaa") // U+1D11E x2 + 'a' x2: 1 bit over CODE POINTS
+    ).toDF("doc_id", "text").repartition(2)
+    val out = TextAnalysis.charEntropyProfile(docs, "doc_id", "text")
+    val got = out.select($"doc_id", $"n_chars", $"char_entropy", $"low_entropy")
+      .as[(Long, Long, Double, Boolean)].collect().sortBy(_._1)
+    assert(got(0) == ((1L, 4L, 0.0, true)))
+    assert(got(1) == ((2L, 2L, 1.0, true)))
+    assert(got(2) == ((3L, 4L, 2.0, false)))
+    assert(got(3) == ((4L, 0L, 0.0, true)))
+    // a UTF-16-code-unit counter would read 1.584963 here
+    assert(got(4)._3 == 1.0, s"surrogate handling: ${got(4)}")
+    out.collect()
+    // only the test's own repartition may exchange; the profile adds none
+    val finalPlan = out.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert("Exchange".r.findAllIn(finalPlan).size <= 1,
+      s"profile must be map-only:\n$finalPlan")
+  }
 }
