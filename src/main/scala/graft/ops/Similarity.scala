@@ -445,4 +445,86 @@ object Similarity {
       .select(col(qidCol), col(idCol), col("fused_rank"),
         col("rrf_score"), col("n_lists"))
   }
+
+  /** Maximal-marginal-relevance selection (Carbonell & Goldstein 1998) —
+    * the diversity rerank between retrieval and a context window / few-shot
+    * set: greedily pick k candidates maximizing
+    * lambda * rel(d) - (1 - lambda) * max_{s in S} sim(d, s), so near-
+    * duplicate hits don't crowd out coverage.
+    *
+    * Scale shape: MMR is inherently sequential (each pick changes the
+    * next objective) and runs AFTER a top-N retrieval, so `candidates`
+    * is a BOUNDED frame (a [[bruteForceKnnBatch]]/[[IVF.searchBatch]]
+    * output joined back to its vectors) — the greedy loop runs on the
+    * collected candidate set, driver-bounded model state like the IVF
+    * centroids; `maxCandidates` fail-fasts if a caller points it at a
+    * corpus. The distributed work is the retrieval that FEEDS it.
+    *
+    * Determinism contract (engine-replayable): relevance and pairwise
+    * similarities round to 6dp BEFORE the greedy math, the objective is
+    * the literal `lambda*rel - (1-lambda)*maxSim` over those rounded
+    * inputs, ties break to the lowest id, scores round 6dp on output.
+    * With lambda = 0.5 (the default) the arithmetic is exact in binary,
+    * so a DuckDB unrolled-CTE replay matches bit-for-bit.
+    *
+    * Output: (idCol, mmr_rank 1..k, mmr_score) in selection order. */
+  def mmrSelect(candidates: DataFrame, idCol: String, relCol: String,
+      vecCol: String, k: Int, lambda: Double = 0.5,
+      maxCandidates: Int = 10000): DataFrame = {
+    require(k >= 1, "need k >= 1")
+    require(lambda >= 0 && lambda <= 1, "lambda in [0,1]")
+    val spark = candidates.sparkSession
+    val rows = candidates
+      .select(col(idCol).cast("long"), round(col(relCol), 6),
+        transform(col(vecCol), x => x.cast("double")))
+      .limit(maxCandidates + 1).collect()
+    require(rows.length <= maxCandidates,
+      s"mmrSelect got > $maxCandidates candidates — it reranks a bounded " +
+        "top-N retrieval, not a corpus; raise maxCandidates only with a bound in hand")
+    def round6(v: Double): Double =
+      BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val ids = rows.map(_.getLong(0))
+    val rel = rows.map(_.getDouble(1))
+    val vecs = rows.map(_.getSeq[Double](2).toArray)
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val n = math.min(a.length, b.length)
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < n) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      val denom = math.sqrt(na) * math.sqrt(nb)
+      if (denom > 0) dot / denom else 0.0
+    }
+    val n = rows.length
+    val selected = scala.collection.mutable.ArrayBuffer.empty[(Long, Int, Double)]
+    val picked = new Array[Boolean](n)
+    val maxSim = Array.fill(n)(0.0)
+    var rank = 1
+    while (rank <= math.min(k, n)) {
+      var best = -1; var bestScore = 0.0
+      var i = 0
+      while (i < n) {
+        if (!picked(i)) {
+          val ms = if (rank == 1) 0.0 else maxSim(i)
+          val score = lambda * rel(i) - (1 - lambda) * ms
+          if (best < 0 || score > bestScore ||
+            (score == bestScore && ids(i) < ids(best))) {
+            best = i; bestScore = score
+          }
+        }
+        i += 1
+      }
+      picked(best) = true
+      selected += ((ids(best), rank, round6(bestScore)))
+      var j = 0
+      while (j < n) {
+        if (!picked(j)) {
+          val s = round6(cos(vecs(j), vecs(best)))
+          if (s > maxSim(j)) maxSim(j) = s
+        }
+        j += 1
+      }
+      rank += 1
+    }
+    import spark.implicits._
+    selected.toSeq.toDF(idCol, "mmr_rank", "mmr_score")
+  }
 }

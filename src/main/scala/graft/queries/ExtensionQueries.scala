@@ -1965,6 +1965,24 @@ object ExtensionQueries {
         .select(col("doc_id"), col("n_chars"), col("char_entropy"),
           col("low_entropy"))
         .orderBy(col("doc_id"))
+    }),
+
+    // MMR diversity rerank: top-20 exact retrieval (query = vec 0,
+    // excluded from candidates) joined back to its vectors, then the
+    // greedy lambda=0.75 selection — dyadic lambda so the arithmetic is
+    // exact in binary and DuckDB's unrolled 5-stage CTE replays the
+    // greedy trace bit-for-bit
+    "x119_mmr_rerank" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") === 0)
+        .select(col("embedding").as("qvec"))
+      val knn = Similarity.bruteForceKnn(emb.filter(col("vec_id") =!= 0),
+        q, "vec_id", "embedding", 20)
+      val cands = knn.join(emb.select(col("vec_id"), col("embedding")),
+        Seq("vec_id"))
+      Similarity.mmrSelect(cands, "vec_id", "cosine_sim", "embedding",
+          k = 5, lambda = 0.75)
+        .orderBy(col("mmr_rank"))
     }))
 
   /** Planted separable classification fixture for x88/x90: each doc
@@ -3691,6 +3709,54 @@ object ExtensionQueries {
         |    x -> len(x) > 0)) AS BIGINT) AS n_tokens,
         |  role = 'assistant' AS train_mask
         |FROM t ORDER BY doc_id, turn_idx""".stripMargin,
+
+    "x119_mmr_rerank" ->
+      """WITH q AS (
+        |  SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+        |  FROM embeddings WHERE vec_id = 0),
+        |emb AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings WHERE vec_id <> 0),
+        |cand AS (
+        |  SELECT vec_id, v, ROUND(list_cosine_similarity(v, q.qv), 6) AS rel
+        |  FROM emb CROSS JOIN q
+        |  QUALIFY row_number() OVER (
+        |    ORDER BY ROUND(list_cosine_similarity(v, q.qv), 6) DESC, vec_id) <= 20),
+        |sim AS (
+        |  SELECT a.vec_id AS ia, b.vec_id AS ib,
+        |    ROUND(list_cosine_similarity(a.v, b.v), 6) AS s
+        |  FROM cand a JOIN cand b ON a.vec_id <> b.vec_id),
+        |p1 AS (SELECT vec_id, 0.75 * rel AS raw FROM cand
+        |  QUALIFY row_number() OVER (ORDER BY 0.75 * rel DESC, vec_id) = 1),
+        |m2 AS (SELECT c.vec_id, c.rel, max(s.s) AS ms FROM cand c
+        |  JOIN sim s ON s.ia = c.vec_id AND s.ib IN (SELECT vec_id FROM p1)
+        |  WHERE c.vec_id NOT IN (SELECT vec_id FROM p1) GROUP BY 1, 2),
+        |p2 AS (SELECT vec_id, 0.75 * rel - 0.25 * ms AS raw FROM m2
+        |  QUALIFY row_number() OVER (ORDER BY 0.75 * rel - 0.25 * ms DESC, vec_id) = 1),
+        |sel2 AS (SELECT vec_id FROM p1 UNION ALL SELECT vec_id FROM p2),
+        |m3 AS (SELECT c.vec_id, c.rel, max(s.s) AS ms FROM cand c
+        |  JOIN sim s ON s.ia = c.vec_id AND s.ib IN (SELECT vec_id FROM sel2)
+        |  WHERE c.vec_id NOT IN (SELECT vec_id FROM sel2) GROUP BY 1, 2),
+        |p3 AS (SELECT vec_id, 0.75 * rel - 0.25 * ms AS raw FROM m3
+        |  QUALIFY row_number() OVER (ORDER BY 0.75 * rel - 0.25 * ms DESC, vec_id) = 1),
+        |sel3 AS (SELECT vec_id FROM sel2 UNION ALL SELECT vec_id FROM p3),
+        |m4 AS (SELECT c.vec_id, c.rel, max(s.s) AS ms FROM cand c
+        |  JOIN sim s ON s.ia = c.vec_id AND s.ib IN (SELECT vec_id FROM sel3)
+        |  WHERE c.vec_id NOT IN (SELECT vec_id FROM sel3) GROUP BY 1, 2),
+        |p4 AS (SELECT vec_id, 0.75 * rel - 0.25 * ms AS raw FROM m4
+        |  QUALIFY row_number() OVER (ORDER BY 0.75 * rel - 0.25 * ms DESC, vec_id) = 1),
+        |sel4 AS (SELECT vec_id FROM sel3 UNION ALL SELECT vec_id FROM p4),
+        |m5 AS (SELECT c.vec_id, c.rel, max(s.s) AS ms FROM cand c
+        |  JOIN sim s ON s.ia = c.vec_id AND s.ib IN (SELECT vec_id FROM sel4)
+        |  WHERE c.vec_id NOT IN (SELECT vec_id FROM sel4) GROUP BY 1, 2),
+        |p5 AS (SELECT vec_id, 0.75 * rel - 0.25 * ms AS raw FROM m5
+        |  QUALIFY row_number() OVER (ORDER BY 0.75 * rel - 0.25 * ms DESC, vec_id) = 1)
+        |SELECT vec_id, CAST(1 AS INTEGER) AS mmr_rank, ROUND(raw, 6) AS mmr_score FROM p1
+        |UNION ALL SELECT vec_id, CAST(2 AS INTEGER), ROUND(raw, 6) FROM p2
+        |UNION ALL SELECT vec_id, CAST(3 AS INTEGER), ROUND(raw, 6) FROM p3
+        |UNION ALL SELECT vec_id, CAST(4 AS INTEGER), ROUND(raw, 6) FROM p4
+        |UNION ALL SELECT vec_id, CAST(5 AS INTEGER), ROUND(raw, 6) FROM p5
+        |ORDER BY mmr_rank""".stripMargin,
 
     "x118_char_entropy" ->
       """WITH docs AS (

@@ -1259,6 +1259,35 @@ class SimilaritySpec extends SparkSpec {
       planes = 4, multiProbe = true).select("vec_id").as[Long].collect().toSet
     assert(exact.subsetOf(probed))
   }
+
+  test("mmrSelect: relevance-first pick, diversity beats redundancy, ties and guards") {
+    // three near-identical high-rel vectors + one diverse mid-rel vector:
+    // pure relevance ranks the clones 1-2-3; MMR must interleave diversity
+    val cands = Seq(
+      (1L, 0.99, Seq(1.0, 0.0, 0.0)),
+      (2L, 0.98, Seq(0.999, 0.01, 0.0)),
+      (3L, 0.97, Seq(0.998, 0.02, 0.0)),
+      (4L, 0.60, Seq(0.0, 1.0, 0.0))
+    ).toDF("id", "rel", "v")
+    val out = Similarity.mmrSelect(cands, "id", "rel", "v", k = 3,
+      lambda = 0.5).as[(Long, Int, Double)].collect().sortBy(_._2)
+    assert(out(0)._1 == 1L)                       // argmax relevance first
+    assert(out(1)._1 == 4L, out.toSeq)            // diversity beats clone 2
+    assert(out.length == 3)
+    // k > n selects everything once
+    assert(Similarity.mmrSelect(cands, "id", "rel", "v", k = 10).count() == 4)
+    // exact ties break to the lowest id
+    val tied = Seq((7L, 0.5, Seq(1.0, 0.0)), (3L, 0.5, Seq(0.0, 1.0)))
+      .toDF("id", "rel", "v")
+    assert(Similarity.mmrSelect(tied, "id", "rel", "v", k = 1)
+      .as[(Long, Int, Double)].head()._1 == 3L)
+    // the corpus guard fail-fasts
+    val big = spark.range(0, 50).select($"id", lit(1.0).as("rel"),
+      array(lit(1.0), lit(0.0)).as("v"))
+    intercept[IllegalArgumentException] {
+      Similarity.mmrSelect(big, "id", "rel", "v", k = 2, maxCandidates = 10)
+    }
+  }
 }
 
 class SketchSpec extends SparkSpec {
