@@ -136,4 +136,36 @@ object PQ {
     Similarity.selectTopK(scored, qidCol,
       Seq(("adc_dist", true), (idCol, true)), k, queries.count())
   }
+
+  /** IVFADC — the composed FAISS-style architecture: the IVF coarse
+    * quantizer prunes WHICH lists are scanned ([[IVF.assign]]'s
+    * `centroid_id`, cosine metric, the repo's coarse contract) and PQ
+    * shrinks WHAT each scanned row costs (m code ints, ADC scoring).
+    * `codes` is the [[IVF.assign]] + [[encode]] output
+    * (idCol, centroid_id, pq_code); each query explodes to its `nprobe`
+    * nearest lists via the native [[graft.functions.NearestCentroidIds]]
+    * loop (cosine desc, cid-asc ties) and carries its LUT on the
+    * broadcast side of one centroid_id equi-join — with the codes frame
+    * partitioned/bucketed by `centroid_id` ([[IVF.writeIndexPartitioned]])
+    * the probe is file skipping, and unprobed lists are never read.
+    * Output: (qidCol, idCol, adc_dist 6dp), bounded-heap top-k per
+    * query, ascending distance, ties by id. */
+  def searchIvfAdc(codes: DataFrame, queries: DataFrame, idCol: String,
+      qidCol: String, coarse: IVF.Model, model: Model, k: Int,
+      nprobe: Int = 4): DataFrame = {
+    val q = queries
+      .withColumn("__lut",
+        PqFunctions.pq_lut(col("qvec"), model.flat, model.m, model.ks))
+      .withColumn("centroid_id",
+        explode(graft.functions.VectorFunctions.nearest_centroid_ids(
+          transform(col("qvec"), x => x.cast("double")),
+          coarse.centroids, nprobe)))
+      .select(col(qidCol), col("centroid_id"), col("__lut"))
+    val scored = codes.join(broadcast(q), Seq("centroid_id"))
+      .withColumn("adc_dist",
+        round(PqFunctions.pq_adc_dist(col("pq_code"), col("__lut"), model.ks), 6))
+      .select(col(qidCol), col(idCol), col("adc_dist"))
+    Similarity.selectTopK(scored, qidCol,
+      Seq(("adc_dist", true), (idCol, true)), k, queries.count())
+  }
 }

@@ -1983,6 +1983,32 @@ object ExtensionQueries {
       Similarity.mmrSelect(cands, "vec_id", "cosine_sim", "embedding",
           k = 5, lambda = 0.75)
         .orderBy(col("mmr_rank"))
+    }),
+
+    // IVFADC (the composed FAISS architecture): planted coarse centroids
+    // AND planted PQ codebooks (both = the first 8 embeddings, the x115
+    // convention), so coarse assignment (raw cosine, ties -> highest
+    // cid), probe selection (raw cosine, ties -> lowest cid), PQ encode,
+    // and ADC scoring ALL replay in DuckDB — the first oracle-checked
+    // IVF search path (x15/x27's trained centroids are rows-only)
+    "x120_ivfadc" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val seed = emb.filter(col("vec_id") < 8).orderBy(col("vec_id"))
+        .select(transform(col("embedding"), x => x.cast("double")))
+        .collect().map(_.getSeq[Double](0).toArray)
+      val pq = graft.ops.PQ.Model(
+        Array.tabulate(8)(sub => seed.map(_.slice(sub * 8, sub * 8 + 8))))
+      val coarse = IVF.Model(seed)
+      val codes = graft.ops.PQ.encode(
+          IVF.assign(emb.select(col("vec_id"), col("embedding")),
+            "embedding", coarse), "embedding", pq)
+        .select(col("vec_id"), col("centroid_id"), col("pq_code"))
+      val q = emb.filter(col("vec_id") === 42)
+        .select(lit(42L).as("qid"), col("embedding").as("qvec"))
+      graft.ops.PQ.searchIvfAdc(codes, q, "vec_id", "qid", coarse, pq,
+          k = 10, nprobe = 3)
+        .select(col("vec_id"), col("adc_dist"))
+        .orderBy(col("adc_dist"), col("vec_id"))
     }))
 
   /** Planted separable classification fixture for x88/x90: each doc
@@ -3709,6 +3735,45 @@ object ExtensionQueries {
         |    x -> len(x) > 0)) AS BIGINT) AS n_tokens,
         |  role = 'assistant' AS train_mask
         |FROM t ORDER BY doc_id, turn_idx""".stripMargin,
+
+    "x120_ivfadc" ->
+      """WITH emb AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |cents AS (SELECT vec_id AS cid, v FROM emb WHERE vec_id < 8),
+        |asg AS (
+        |  SELECT e.vec_id, c.cid FROM emb e CROSS JOIN cents c
+        |  QUALIFY row_number() OVER (PARTITION BY e.vec_id
+        |    ORDER BY list_cosine_similarity(e.v, c.v) DESC, c.cid DESC) = 1),
+        |subs AS (SELECT CAST(i AS INT) AS sub FROM UNNEST(range(0, 8)) AS t(i)),
+        |enc AS (
+        |  SELECT e.vec_id, s.sub, c.cid AS code,
+        |    list_sum(list_transform(range(1, 9), d ->
+        |      (e.v[s.sub * 8 + CAST(d AS INT)] - c.v[s.sub * 8 + CAST(d AS INT)])
+        |      * (e.v[s.sub * 8 + CAST(d AS INT)] - c.v[s.sub * 8 + CAST(d AS INT)])))
+        |      AS dist
+        |  FROM emb e CROSS JOIN subs s CROSS JOIN cents c),
+        |codes AS (
+        |  SELECT vec_id, sub, code FROM enc
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id, sub
+        |    ORDER BY dist, code) = 1),
+        |q AS (SELECT v AS qv FROM emb WHERE vec_id = 42),
+        |probes AS (
+        |  SELECT c.cid FROM cents c CROSS JOIN q
+        |  QUALIFY row_number() OVER (
+        |    ORDER BY list_cosine_similarity(c.v, q.qv) DESC, c.cid ASC) <= 3),
+        |adc AS (
+        |  SELECT cd.vec_id,
+        |    SUM(list_sum(list_transform(range(1, 9), d ->
+        |      (q.qv[cd.sub * 8 + CAST(d AS INT)] - c.v[cd.sub * 8 + CAST(d AS INT)])
+        |      * (q.qv[cd.sub * 8 + CAST(d AS INT)] - c.v[cd.sub * 8 + CAST(d AS INT)]))))
+        |      AS dist
+        |  FROM codes cd JOIN cents c ON c.cid = cd.code
+        |  JOIN asg a ON a.vec_id = cd.vec_id CROSS JOIN q
+        |  WHERE a.cid IN (SELECT cid FROM probes)
+        |  GROUP BY cd.vec_id)
+        |SELECT vec_id, ROUND(dist, 6) AS adc_dist
+        |FROM adc ORDER BY ROUND(dist, 6), vec_id LIMIT 10""".stripMargin,
 
     "x119_mmr_rerank" ->
       """WITH q AS (

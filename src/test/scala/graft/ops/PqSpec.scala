@@ -120,6 +120,31 @@ class PqSpec extends SparkSpec {
     assert(d.except(f).isEmpty && f.except(d).isEmpty)
   }
 
+  test("searchIvfAdc: probing every list equals plain ADC; nprobe=1 stays in the top list") {
+    val rows = vecs(80, 16)
+    val pq = plantedModel(rows, m = 4, ks = 8)
+    val coarse = IVF.Model(rows.take(4).map(_._2.toArray).toArray)
+    val df = rows.toDF("id", "v")
+    val codes = PQ.encode(IVF.assign(df, "v", coarse), "v", pq)
+      .select(col("id"), col("centroid_id"), col("pq_code"))
+    val q = Seq((0L, rows(9)._2)).toDF("qid", "qvec")
+    def key(r: org.apache.spark.sql.Row) = (r.getDouble(2), r.getLong(1))
+    val full = PQ.searchIvfAdc(codes, q, "id", "qid", coarse, pq,
+      k = 15, nprobe = 4).collect().map(key).sorted
+    val plain = PQ.searchAdc(codes.select(col("id"), col("pq_code")), q,
+      "id", "qid", pq, 15).collect().map(key).sorted
+    assert(full.toSeq == plain.toSeq)
+    // nprobe=1: every hit comes from the query's own nearest list
+    val assignedMap = codes.select(col("id"), col("centroid_id")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val topList = IVF.assign(q.select(col("qvec").as("v")), "v", coarse)
+      .select(col("centroid_id")).head().getInt(0)
+    val pruned = PQ.searchIvfAdc(codes, q, "id", "qid", coarse, pq,
+      k = 15, nprobe = 1).collect()
+    assert(pruned.nonEmpty)
+    pruned.foreach(r => assert(assignedMap(r.getLong(1)) == topList))
+  }
+
   test("whole-stage codegen survives ks=256 (the Janino 64KB regime)") {
     val rows = vecs(300, 16)
     val dim = 16; val m = 4; val ks = 256; val subDim = dim / m
