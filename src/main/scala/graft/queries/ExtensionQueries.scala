@@ -2009,7 +2009,28 @@ object ExtensionQueries {
           k = 10, nprobe = 3)
         .select(col("vec_id"), col("adc_dist"))
         .orderBy(col("adc_dist"), col("vec_id"))
-    }))
+    }),
+
+    // Tokenizer-fertility report: per language, subwords-per-word and
+    // bytes-per-subword — the budgeting readout for how a tokenizer's
+    // load varies across languages (fertility >> 1 languages dominate
+    // sequence budgets). One map-side projection into one group
+    // aggregate; subwordCount is the x14 RE2-compatible proxy
+    "x121_fertility" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("lang"),
+          octet_length(col("text")).cast("long").as("b"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("w"),
+          TextAnalysis.subwordCount(col("text")).cast("long").as("sw"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("b")).as("total_bytes"),
+          sum(col("w")).as("total_words"),
+          sum(col("sw")).as("total_subwords"),
+          round(sum(col("sw")).cast("double") / sum(col("w")), 6)
+            .as("fertility"),
+          round(sum(col("b")).cast("double") / sum(col("sw")), 6)
+            .as("bytes_per_subword"))
+        .orderBy(col("lang"))))
 
   /** Planted separable classification fixture for x88/x90: each doc
     * truncated to its first 12 tokens plus a 4x-repeated class marker.
@@ -3735,6 +3756,22 @@ object ExtensionQueries {
         |    x -> len(x) > 0)) AS BIGINT) AS n_tokens,
         |  role = 'assistant' AS train_mask
         |FROM t ORDER BY doc_id, turn_idx""".stripMargin,
+
+    "x121_fertility" ->
+      """WITH m AS (
+        |  SELECT lang, octet_length(encode(text)) AS b,
+        |    len(list_filter(string_split_regex(trim(text), '\s+'),
+        |      x -> len(x) > 0)) AS w,
+        |    len(regexp_extract_all(text,
+        |      '[^a-zA-Z0-9\s](?:[a-zA-Z]+|[0-9]+)?|[a-zA-Z]+|[0-9]+')) AS sw
+        |  FROM documents)
+        |SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(b) AS BIGINT) AS total_bytes,
+        |  CAST(sum(w) AS BIGINT) AS total_words,
+        |  CAST(sum(sw) AS BIGINT) AS total_subwords,
+        |  ROUND(CAST(sum(sw) AS DOUBLE) / sum(w), 6) AS fertility,
+        |  ROUND(CAST(sum(b) AS DOUBLE) / sum(sw), 6) AS bytes_per_subword
+        |FROM m GROUP BY lang ORDER BY lang""".stripMargin,
 
     "x120_ivfadc" ->
       """WITH emb AS (
