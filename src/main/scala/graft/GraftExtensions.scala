@@ -4,8 +4,8 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.{CosineSimilarity, DotProduct, MinHashSigs, MinMaxXor,
-  ShingleHashes, SimHash64, SrpSignature}
+import graft.functions.{CharEntropy, CosineSimilarity, DotProduct,
+  MinHashSigs, MinMaxXor, ShingleHashes, SimHash64, SrpSignature}
 
 /** Session-extensions entry point: registers graft's native expressions as
   * SQL functions at session build time, so a deployment can enable them
@@ -49,12 +49,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("min_max_xor"),
       new ExpressionInfo(classOf[MinMaxXor].getName, "min_max_xor"),
       exprs => MinMaxXor(exprs.head)))
+    e.injectFunction((
+      FunctionIdentifier("char_entropy"),
+      new ExpressionInfo(classOf[CharEntropy].getName, "char_entropy"),
+      exprs => CharEntropy(exprs.head)))
     // TokenProfile is deliberately NOT SQL-registered: its stopword-list
     // parameter is builder-side configuration (Seq[Seq[String]]), not a
     // SQL literal — Column-API users get it via TokenProfileFunctions.
     // Same call for the r10 expressions: NearestCentroidId/-Ids carry a
-    // centroid MATRIX and BloomAnyContainLong a built BloomFilter — model
-    // state that has no SQL-literal spelling. Column-API users get them
-    // via VectorFunctions.nearest_centroid_id(s) / BloomFunctions.
+    // centroid MATRIX, BloomAnyContainLong a built BloomFilter, and the
+    // PqEncode/PqLut/PqAdcDist family a codebook matrix — model state
+    // that has no SQL-literal spelling. Column-API users get them via
+    // VectorFunctions.nearest_centroid_id(s) / BloomFunctions /
+    // PqFunctions.
   }
 }

@@ -213,6 +213,33 @@ object AnnScaleSmoke {
       IVF.searchBatch(assigned256, queries, "vec_id", "embedding",
         "query_id", model256, k = 10, nprobe = 8).count())
     assigned256.unpersist()
+
+    // r10: PQ / IVFADC phase — codes are 8 ints per row (vs 32 floats),
+    // ADC scoring is m array reads inside codegen; train on the same 4%
+    // sample convention, encode the FULL corpus, then the composed
+    // IVFADC path over the nc=32 coarse model. Recall of ADC vs brute
+    // measured live on the 20-query subset (PQ is lossy by design — the
+    // number quantifies the compression trade at m=8, ks=64).
+    import graft.ops.PQ
+    val pqModel = time("PQ train (m=8, ks=64, iters=2, 4% sample)")(
+      PQ.train(corpus.filter(col("vec_id") % 25 === 0), "vec_id",
+        "embedding", m = 8, ks = 64, iters = 2))
+    val pqCodes = PQ.encode(assigned, "embedding", pqModel)
+      .select(col("vec_id"), col("centroid_id"), col("pq_code")).persist()
+    time(s"PQ encode (full $n corpus)")(pqCodes.count())
+    time(s"ADC batch ($nq queries, full scan)")(
+      PQ.searchAdc(pqCodes.select(col("vec_id"), col("pq_code")), queries,
+        "vec_id", "query_id", pqModel, k = 10).count())
+    time(s"IVFADC batch ($nq queries, nprobe=4)")(
+      PQ.searchIvfAdc(pqCodes, queries, "vec_id", "query_id", model,
+        pqModel, k = 10, nprobe = 4).count())
+    val adcSet = PQ.searchAdc(pqCodes.select(col("vec_id"), col("pq_code")),
+        qSmall, "vec_id", "query_id", pqModel, k = 10)
+      .select("query_id", "vec_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    println(s"[ann-scale] ADC recall@10 vs brute = " +
+      s"${adcSet.intersect(bruteSet).size}/${bruteSet.size}")
+    pqCodes.unpersist()
     spark.stop()
   }
 }

@@ -246,6 +246,24 @@ object TextScaleSmoke {
             TextAnalysis.tokenCount(col("text")).cast("long").as("tok")),
           "lang", "doc_id", "tok", budget = 1000000L)
         .agg(sum(when(col("kept"), col("tok")).otherwise(0L))).head())
+    // r10: char entropy is one codegen'd per-row loop; DSIR = two
+    // distribution aggregates then a MAP-ONLY scoring scan; stupid
+    // backoff joins doc trigrams against the model count tables (run at
+    // a 100k slice — the corpus is its own model here, which is the
+    // worst case: every trigram type survives into the join)
+    time("char entropy (map-only, full corpus)")(
+      TextAnalysis.charEntropyProfile(corpus, "doc_id", "text")
+        .agg(avg("char_entropy"), sum(when(col("low_entropy"), 1)
+          .otherwise(0))).head())
+    time("DSIR importance (1024 buckets, lang0 target)")(
+      TextAnalysis.dsirImportance(corpus,
+          corpus.filter(col("lang") === "lang0"), "doc_id", "text",
+          buckets = 1024)
+        .agg(avg("log_weight"), max("log_weight")).head())
+    val sb100k = corpus.filter(col("doc_id") < 100000)
+    time("stupid-backoff NLL (100k docs, self-model)")(
+      TextAnalysis.stupidBackoffNll(sb100k, sb100k, "doc_id", "text")
+        .agg(avg("sb_nll"), sum("n_trigrams")).head())
     spark.stop()
   }
 }

@@ -56,6 +56,8 @@ class ExtensionsSpec extends SparkSpec {
       assert(sqlRow.getSeq[Long](0) == apiRow.getSeq[Long](0))
       assert(sqlRow.getLong(1) == apiRow.getLong(1))
       assert(sqlRow.get(2) == apiRow.get(2))
+      // r10: char_entropy from pure SQL ('ab' = 1 bit)
+      assert(ext.sql("SELECT char_entropy('ab')").head().getDouble(0) == 1.0)
     } finally {
       SparkSession.setActiveSession(base)
       SparkSession.setDefaultSession(base)
