@@ -168,4 +168,30 @@ object PQ {
     Similarity.selectTopK(scored, qidCol,
       Seq(("adc_dist", true), (idCol, true)), k, queries.count())
   }
+
+  /** ADC shortlist + exact cosine re-rank — the two-stage recipe that
+    * recovers the recall PQ's compression gives up (the
+    * [[Similarity.knnQuantizedRerank]] pattern, with PQ codes as the
+    * cheap stage): the corpus-sized scan touches only the m-int codes,
+    * and full vectors enter through ONE candidate-sized join
+    * (|queries| * k * rerank rows) at the end. Equals brute force
+    * whenever the true top-k survive the ADC cut (pinned by spec at
+    * rerank = corpus size). Output: (qidCol, idCol, cosine_sim 6dp),
+    * descending similarity, ties by id. */
+  def searchAdcRerank(codes: DataFrame, vectors: DataFrame,
+      queries: DataFrame, idCol: String, qidCol: String, vecCol: String,
+      model: Model, k: Int, rerank: Int = 4): DataFrame = {
+    require(rerank >= 1, "rerank factor must be >= 1")
+    val nQ = queries.count() // one cheap job on the SMALL query frame
+    val shortlist = searchAdc(codes, queries, idCol, qidCol, model,
+      k * rerank).select(col(qidCol), col(idCol))
+    val exact = shortlist
+      .join(vectors.select(col(idCol), col(vecCol)), Seq(idCol))
+      .join(broadcast(queries.select(col(qidCol), col("qvec"))), Seq(qidCol))
+      .withColumn("cosine_sim",
+        round(Similarity.cosine(col(vecCol), col("qvec")), 6))
+      .select(col(qidCol), col(idCol), col("cosine_sim"))
+    Similarity.selectTopK(exact, qidCol,
+      Seq(("cosine_sim", false), (idCol, true)), k, nQ)
+  }
 }

@@ -2030,7 +2030,29 @@ object ExtensionQueries {
             .as("fertility"),
           round(sum(col("b")).cast("double") / sum(col("sw")), 6)
             .as("bytes_per_subword"))
-        .orderBy(col("lang"))))
+        .orderBy(col("lang"))),
+
+    // PQ two-stage retrieval: ADC shortlist (top-40 on codes only) then
+    // exact cosine re-rank to top-20 — the recipe that recovers the
+    // recall compression gives up; both stages replay in DuckDB over the
+    // x115 planted codebooks
+    "x122_pq_rerank" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val seed = emb.filter(col("vec_id") < 8).orderBy(col("vec_id"))
+        .select(transform(col("embedding"), x => x.cast("double")))
+        .collect().map(_.getSeq[Double](0).toArray)
+      val model = graft.ops.PQ.Model(
+        Array.tabulate(8)(sub => seed.map(_.slice(sub * 8, sub * 8 + 8))))
+      val vectors = emb.select(col("vec_id"), col("embedding"))
+      val codes = graft.ops.PQ.encode(vectors, "embedding", model)
+        .select(col("vec_id"), col("pq_code"))
+      val q = emb.filter(col("vec_id") === 7)
+        .select(lit(7L).as("qid"), col("embedding").as("qvec"))
+      graft.ops.PQ.searchAdcRerank(codes, vectors, q, "vec_id", "qid",
+          "embedding", model, k = 20, rerank = 2)
+        .select(col("vec_id"), col("cosine_sim"))
+        .orderBy(col("cosine_sim").desc, col("vec_id"))
+    }))
 
   /** Planted separable classification fixture for x88/x90: each doc
     * truncated to its first 12 tokens plus a 4x-repeated class marker.
@@ -3756,6 +3778,40 @@ object ExtensionQueries {
         |    x -> len(x) > 0)) AS BIGINT) AS n_tokens,
         |  role = 'assistant' AS train_mask
         |FROM t ORDER BY doc_id, turn_idx""".stripMargin,
+
+    "x122_pq_rerank" ->
+      """WITH emb AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |cents AS (SELECT vec_id AS code, v FROM emb WHERE vec_id < 8),
+        |subs AS (SELECT CAST(i AS INT) AS sub FROM UNNEST(range(0, 8)) AS t(i)),
+        |enc AS (
+        |  SELECT e.vec_id, s.sub, c.code,
+        |    list_sum(list_transform(range(1, 9), d ->
+        |      (e.v[s.sub * 8 + CAST(d AS INT)] - c.v[s.sub * 8 + CAST(d AS INT)])
+        |      * (e.v[s.sub * 8 + CAST(d AS INT)] - c.v[s.sub * 8 + CAST(d AS INT)])))
+        |      AS dist
+        |  FROM emb e CROSS JOIN subs s CROSS JOIN cents c),
+        |codes AS (
+        |  SELECT vec_id, sub, code FROM enc
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id, sub
+        |    ORDER BY dist, code) = 1),
+        |q AS (SELECT v AS qv FROM emb WHERE vec_id = 7),
+        |adc AS (
+        |  SELECT cd.vec_id,
+        |    ROUND(SUM(list_sum(list_transform(range(1, 9), d ->
+        |      (q.qv[cd.sub * 8 + CAST(d AS INT)] - c.v[cd.sub * 8 + CAST(d AS INT)])
+        |      * (q.qv[cd.sub * 8 + CAST(d AS INT)] - c.v[cd.sub * 8 + CAST(d AS INT)])))), 6)
+        |      AS dist
+        |  FROM codes cd JOIN cents c ON c.code = cd.code CROSS JOIN q
+        |  GROUP BY cd.vec_id),
+        |short AS (
+        |  SELECT vec_id FROM adc
+        |  QUALIFY row_number() OVER (ORDER BY dist, vec_id) <= 40)
+        |SELECT e.vec_id,
+        |  ROUND(list_cosine_similarity(e.v, q.qv), 6) AS cosine_sim
+        |FROM short s JOIN emb e ON e.vec_id = s.vec_id CROSS JOIN q
+        |ORDER BY cosine_sim DESC, e.vec_id LIMIT 20""".stripMargin,
 
     "x121_fertility" ->
       """WITH m AS (

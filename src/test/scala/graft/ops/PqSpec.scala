@@ -145,6 +145,25 @@ class PqSpec extends SparkSpec {
     pruned.foreach(r => assert(assignedMap(r.getLong(1)) == topList))
   }
 
+  test("searchAdcRerank at rerank=corpus-size equals exact brute force") {
+    val rows = vecs(60, 16)
+    val model = plantedModel(rows, m = 4, ks = 8)
+    val df = rows.toDF("id", "v")
+    val codes = PQ.encode(df, "v", model).select(col("id"), col("pq_code"))
+    val queries = Seq((1L, rows(3)._2), (2L, rows(17)._2)).toDF("qid", "qvec")
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getDouble(2))
+    val rr = PQ.searchAdcRerank(codes, df, queries, "id", "qid", "v",
+      model, k = 10, rerank = 6).collect().map(key).sorted
+    val brute = Similarity.bruteForceKnnBatch(df, queries, "id", "v",
+      "qid", 10).collect().map(key).sorted
+    assert(rr.toSeq == brute.toSeq)
+    // a tight shortlist is still a subset of what ADC admits
+    val tight = PQ.searchAdcRerank(codes, df, queries, "id", "qid", "v",
+      model, k = 5, rerank = 2).collect()
+    assert(tight.length == 10) // 5 per query
+  }
+
   test("whole-stage codegen survives ks=256 (the Janino 64KB regime)") {
     val rows = vecs(300, 16)
     val dim = 16; val m = 4; val ks = 256; val subDim = dim / m
