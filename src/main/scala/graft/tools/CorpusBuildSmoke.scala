@@ -86,6 +86,24 @@ object CorpusBuildSmoke {
       require(r.getLong(1) == 0L, "blocklist must not fire on this corpus")
       println(s"[corpus-build]   gopher pass ${r.getLong(0)} of $n")
     }
+    // 2c. entropy filter (r10 s2): one codegen'd per-row loop; word-soup
+    // has healthy entropy by construction, so this prices the scan and
+    // asserts the flag stays quiet rather than dropping rows
+    time("2c char-entropy filter (map-only)") {
+      val flagged = TextAnalysis.charEntropyProfile(routed, "doc_id", "text")
+        .agg(sum(when(col("low_entropy"), 1L).otherwise(0L))).head().getLong(0)
+      require(flagged == 0L, s"low-entropy flag fired $flagged times on word-soup")
+    }
+    // 2d. DSIR selection signal (r10 s2): target = route-0 docs; two
+    // distribution aggregates to driver state, then a map-only scoring
+    // scan — the ranking a target-domain selection would cut on
+    time("2d DSIR importance (map-only scoring)") {
+      val w = TextAnalysis.dsirImportance(routed,
+          routed.filter(col("route") === "lang0"), "doc_id", "text",
+          buckets = 1024)
+        .agg(avg(col("log_weight")), max(col("log_weight"))).head()
+      println(f"[corpus-build]   dsir mean=${w.getDouble(0)}%.4f max=${w.getDouble(1)}%.4f")
+    }
 
     // 3. trained quality gate (x88 train on a ~1% labeled sample, x90
     // gate the full corpus with the learned weights) ---------------------
