@@ -275,6 +275,204 @@ case class PqAdcDist(left: Expression, right: Expression, ks: Int)
     copy(left = newLeft, right = newRight)
 }
 
+/** Residual PQ encode — the textbook IVFADC fine quantizer (Jegou 2011
+  * §III): codes quantize the RESIDUAL v - coarse[cid] instead of the raw
+  * vector, so each list's codebook only has to cover the spread AROUND
+  * its centroid (markedly lower distortion at the same m*ks budget). The
+  * subtraction fuses INTO the distance loop — the residual vector is
+  * never materialized, no extra column, no extra pass. Binary children:
+  * (vector, coarse centroid id). */
+case class PqEncodeResidual(left: Expression, right: Expression,
+    coarse: Array[Array[Double]], codebooks: Array[Array[Double]],
+    m: Int, ks: Int)
+    extends BinaryExpression {
+
+  require(m >= 1 && ks >= 1 && codebooks.length == m * ks,
+    s"codebooks must be m*ks=${m * ks} rows, got ${codebooks.length}")
+  require(coarse.nonEmpty, "need coarse centroids")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType | DoubleType, _), IntegerType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"requires (array<float|double>, int), got ${left.dataType} / ${right.dataType}")
+    }
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  private def elemIsFloat: Boolean =
+    left.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  private def subDim: Int = codebooks.head.length
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val cid = b.asInstanceOf[Int]
+    val cv = coarse(cid)
+    val xf = elemIsFloat
+    val sd = subDim
+    val out = new Array[Int](m)
+    var sub = 0
+    while (sub < m) {
+      val base = sub * sd
+      var best = 0; var bestDist = Double.MaxValue
+      var j = 0
+      while (j < ks) {
+        val cw = codebooks(sub * ks + j)
+        val n = math.min(math.min(x.numElements(), cv.length) - base, sd)
+        var dist = 0.0; var d = 0
+        while (d < n) {
+          val xv = if (xf) x.getFloat(base + d).toDouble else x.getDouble(base + d)
+          val diff = (xv - cv(base + d)) - cw(d)
+          dist += diff * diff
+          d += 1
+        }
+        if (dist < bestDist) { best = j; bestDist = dist }
+        j += 1
+      }
+      out(sub) = best
+      sub += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val xGet = if (elemIsFloat) "getFloat" else "getDouble"
+    val cbRef = ctx.addReferenceObj("codebooks", codebooks, "double[][]")
+    val coRef = ctx.addReferenceObj("coarse", coarse, "double[][]")
+    val sd = subDim
+    nullSafeCodeGen(ctx, ev, { (x, cidv) =>
+      val out = ctx.freshName("out"); val sub = ctx.freshName("sub")
+      val base = ctx.freshName("base"); val best = ctx.freshName("best")
+      val bestDist = ctx.freshName("bestDist"); val j = ctx.freshName("j")
+      val cw = ctx.freshName("cw"); val n = ctx.freshName("n")
+      val dist = ctx.freshName("dist"); val d = ctx.freshName("d")
+      val diff = ctx.freshName("diff"); val cv = ctx.freshName("cv")
+      s"""
+         |double[] $cv = $coRef[$cidv];
+         |int[] $out = new int[$m];
+         |for (int $sub = 0; $sub < $m; $sub++) {
+         |  int $base = $sub * $sd;
+         |  int $best = 0; double $bestDist = Double.MAX_VALUE;
+         |  for (int $j = 0; $j < $ks; $j++) {
+         |    double[] $cw = $cbRef[$sub * $ks + $j];
+         |    int $n = java.lang.Math.min(
+         |      java.lang.Math.min($x.numElements(), $cv.length) - $base, $sd);
+         |    double $dist = 0.0;
+         |    for (int $d = 0; $d < $n; $d++) {
+         |      double $diff = ((double) $x.$xGet($base + $d) - $cv[$base + $d]) - $cw[$d];
+         |      $dist += $diff * $diff;
+         |    }
+         |    if ($dist < $bestDist) { $best = $j; $bestDist = $dist; }
+         |  }
+         |  $out[$sub] = $best;
+         |}
+         |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+         |  .fromPrimitiveArray($out);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Residual ADC lookup table: distances from (q - coarse[cid])'s
+  * subvectors to every codeword — one LUT per (query, probed list) pair,
+  * the residual sibling of [[PqLut]]. */
+case class PqLutResidual(left: Expression, right: Expression,
+    coarse: Array[Array[Double]], codebooks: Array[Array[Double]],
+    m: Int, ks: Int)
+    extends BinaryExpression {
+
+  require(m >= 1 && ks >= 1 && codebooks.length == m * ks,
+    s"codebooks must be m*ks=${m * ks} rows, got ${codebooks.length}")
+  require(coarse.nonEmpty, "need coarse centroids")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType | DoubleType, _), IntegerType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"requires (array<float|double>, int), got ${left.dataType} / ${right.dataType}")
+    }
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+  private def elemIsFloat: Boolean =
+    left.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  private def subDim: Int = codebooks.head.length
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val cv = coarse(b.asInstanceOf[Int])
+    val xf = elemIsFloat
+    val sd = subDim
+    val out = new Array[Double](m * ks)
+    var sub = 0
+    while (sub < m) {
+      val base = sub * sd
+      var j = 0
+      while (j < ks) {
+        val cw = codebooks(sub * ks + j)
+        val n = math.min(math.min(x.numElements(), cv.length) - base, sd)
+        var dist = 0.0; var d = 0
+        while (d < n) {
+          val xv = if (xf) x.getFloat(base + d).toDouble else x.getDouble(base + d)
+          val diff = (xv - cv(base + d)) - cw(d)
+          dist += diff * diff
+          d += 1
+        }
+        out(sub * ks + j) = dist
+        j += 1
+      }
+      sub += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val xGet = if (elemIsFloat) "getFloat" else "getDouble"
+    val cbRef = ctx.addReferenceObj("codebooks", codebooks, "double[][]")
+    val coRef = ctx.addReferenceObj("coarse", coarse, "double[][]")
+    val sd = subDim
+    nullSafeCodeGen(ctx, ev, { (x, cidv) =>
+      val out = ctx.freshName("out"); val sub = ctx.freshName("sub")
+      val base = ctx.freshName("base"); val j = ctx.freshName("j")
+      val cw = ctx.freshName("cw"); val n = ctx.freshName("n")
+      val dist = ctx.freshName("dist"); val d = ctx.freshName("d")
+      val diff = ctx.freshName("diff"); val cv = ctx.freshName("cv")
+      s"""
+         |double[] $cv = $coRef[$cidv];
+         |double[] $out = new double[${m * ks}];
+         |for (int $sub = 0; $sub < $m; $sub++) {
+         |  int $base = $sub * $sd;
+         |  for (int $j = 0; $j < $ks; $j++) {
+         |    double[] $cw = $cbRef[$sub * $ks + $j];
+         |    int $n = java.lang.Math.min(
+         |      java.lang.Math.min($x.numElements(), $cv.length) - $base, $sd);
+         |    double $dist = 0.0;
+         |    for (int $d = 0; $d < $n; $d++) {
+         |      double $diff = ((double) $x.$xGet($base + $d) - $cv[$base + $d]) - $cw[$d];
+         |      $dist += $diff * $diff;
+         |    }
+         |    $out[$sub * $ks + $j] = $dist;
+         |  }
+         |}
+         |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+         |  .fromPrimitiveArray($out);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object PqFunctions {
   import org.apache.spark.sql.graftbridge.Bridge
 
@@ -286,4 +484,14 @@ object PqFunctions {
 
   def pq_adc_dist(codes: Column, lut: Column, ks: Int): Column =
     Bridge.column(PqAdcDist(Bridge.expression(codes), Bridge.expression(lut), ks))
+
+  def pq_encode_residual(vec: Column, cid: Column, coarse: Array[Array[Double]],
+      codebooks: Array[Array[Double]], m: Int, ks: Int): Column =
+    Bridge.column(PqEncodeResidual(Bridge.expression(vec),
+      Bridge.expression(cid), coarse, codebooks, m, ks))
+
+  def pq_lut_residual(vec: Column, cid: Column, coarse: Array[Array[Double]],
+      codebooks: Array[Array[Double]], m: Int, ks: Int): Column =
+    Bridge.column(PqLutResidual(Bridge.expression(vec),
+      Bridge.expression(cid), coarse, codebooks, m, ks))
 }

@@ -169,6 +169,60 @@ object PQ {
       Seq(("adc_dist", true), (idCol, true)), k, queries.count())
   }
 
+  /** The residual v - coarse[centroid_id] as a column — for TRAINING the
+    * residual codebooks (sample-sized input by the [[train]] contract);
+    * the hot encode/search paths never materialize residuals (the
+    * subtraction fuses into [[graft.functions.PqEncodeResidual]] /
+    * [[graft.functions.PqLutResidual]]'s distance loops). */
+  def residualExpr(vec: Column, cid: Column, coarse: IVF.Model): Column = {
+    val cm = typedlit(coarse.centroids.map(_.toSeq).toSeq)
+    zip_with(toDouble(vec), element_at(cm, cid + 1), (a, b) => a - b)
+  }
+
+  /** Train residual codebooks: [[train]] over the residuals of an
+    * [[IVF.assign]]-ed (sample) frame. Standard IVFADC training order —
+    * coarse quantizer first, fine quantizer on what it leaves behind. */
+  def trainResidual(assigned: DataFrame, idCol: String, vecCol: String,
+      coarse: IVF.Model, m: Int = 8, ks: Int = 16, iters: Int = 5): Model =
+    train(assigned.select(col(idCol),
+      residualExpr(col(vecCol), col("centroid_id"), coarse).as("__res")),
+      idCol, "__res", m, ks, iters)
+
+  /** Residual PQ codes over an [[IVF.assign]]-ed frame — the textbook
+    * IVFADC fine quantizer: each list's codebook only covers the spread
+    * around its centroid, markedly lower distortion at the same m*ks
+    * budget than raw-vector codes. Map-only; the residual never
+    * materializes (fused into the codegen'd loop). */
+  def encodeResidual(assigned: DataFrame, vecCol: String, coarse: IVF.Model,
+      model: Model): DataFrame =
+    assigned.withColumn("pq_code",
+      PqFunctions.pq_encode_residual(col(vecCol), col("centroid_id"),
+        coarse.centroids, model.flat, model.m, model.ks))
+
+  /** Residual IVFADC search: like [[searchIvfAdc]] but each (query,
+    * probed list) pair carries its OWN lookup table — distances from the
+    * query's residual AGAINST THAT LIST's centroid to the codewords, the
+    * Jegou §III.B formulation. Still nprobe LUTs per query on the
+    * broadcast side; the corpus side is unchanged (codes only). */
+  def searchIvfAdcResidual(codes: DataFrame, queries: DataFrame,
+      idCol: String, qidCol: String, coarse: IVF.Model, model: Model,
+      k: Int, nprobe: Int = 4): DataFrame = {
+    val q = queries
+      .withColumn("centroid_id",
+        explode(graft.functions.VectorFunctions.nearest_centroid_ids(
+          toDouble(col("qvec")), coarse.centroids, nprobe)))
+      .withColumn("__lut",
+        PqFunctions.pq_lut_residual(col("qvec"), col("centroid_id"),
+          coarse.centroids, model.flat, model.m, model.ks))
+      .select(col(qidCol), col("centroid_id"), col("__lut"))
+    val scored = codes.join(broadcast(q), Seq("centroid_id"))
+      .withColumn("adc_dist",
+        round(PqFunctions.pq_adc_dist(col("pq_code"), col("__lut"), model.ks), 6))
+      .select(col(qidCol), col(idCol), col("adc_dist"))
+    Similarity.selectTopK(scored, qidCol,
+      Seq(("adc_dist", true), (idCol, true)), k, queries.count())
+  }
+
   /** ADC shortlist + exact cosine re-rank — the two-stage recipe that
     * recovers the recall PQ's compression gives up (the
     * [[Similarity.knnQuantizedRerank]] pattern, with PQ codes as the

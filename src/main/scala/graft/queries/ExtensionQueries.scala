@@ -2052,6 +2052,30 @@ object ExtensionQueries {
           "embedding", model, k = 20, rerank = 2)
         .select(col("vec_id"), col("cosine_sim"))
         .orderBy(col("cosine_sim").desc, col("vec_id"))
+    }),
+
+    // Residual IVFADC (Jegou §III.B — the textbook formulation): codes
+    // quantize v - coarse[assigned], each (query, probed list) pair gets
+    // its own LUT against that list's centroid; planted coarse centroids
+    // AND codebooks keep the whole chain DuckDB-replayable
+    "x123_ivfadc_residual" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val seed = emb.filter(col("vec_id") < 8).orderBy(col("vec_id"))
+        .select(transform(col("embedding"), x => x.cast("double")))
+        .collect().map(_.getSeq[Double](0).toArray)
+      val pq = graft.ops.PQ.Model(
+        Array.tabulate(8)(sub => seed.map(_.slice(sub * 8, sub * 8 + 8))))
+      val coarse = IVF.Model(seed)
+      val codes = graft.ops.PQ.encodeResidual(
+          IVF.assign(emb.select(col("vec_id"), col("embedding")),
+            "embedding", coarse), "embedding", coarse, pq)
+        .select(col("vec_id"), col("centroid_id"), col("pq_code"))
+      val q = emb.filter(col("vec_id") === 42)
+        .select(lit(42L).as("qid"), col("embedding").as("qvec"))
+      graft.ops.PQ.searchIvfAdcResidual(codes, q, "vec_id", "qid", coarse,
+          pq, k = 10, nprobe = 3)
+        .select(col("vec_id"), col("adc_dist"))
+        .orderBy(col("adc_dist"), col("vec_id"))
     }))
 
   /** Planted separable classification fixture for x88/x90: each doc
@@ -3778,6 +3802,50 @@ object ExtensionQueries {
         |    x -> len(x) > 0)) AS BIGINT) AS n_tokens,
         |  role = 'assistant' AS train_mask
         |FROM t ORDER BY doc_id, turn_idx""".stripMargin,
+
+    "x123_ivfadc_residual" ->
+      """WITH emb AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |cents AS (SELECT vec_id AS cid, v FROM emb WHERE vec_id < 8),
+        |asg AS (
+        |  SELECT e.vec_id, c.cid FROM emb e CROSS JOIN cents c
+        |  QUALIFY row_number() OVER (PARTITION BY e.vec_id
+        |    ORDER BY list_cosine_similarity(e.v, c.v) DESC, c.cid DESC) = 1),
+        |subs AS (SELECT CAST(i AS INT) AS sub FROM UNNEST(range(0, 8)) AS t(i)),
+        |enc AS (
+        |  SELECT e.vec_id, s.sub, cb.cid AS code,
+        |    list_sum(list_transform(range(1, 9), d ->
+        |      ((e.v[s.sub * 8 + CAST(d AS INT)] - co.v[s.sub * 8 + CAST(d AS INT)])
+        |        - cb.v[s.sub * 8 + CAST(d AS INT)])
+        |      * ((e.v[s.sub * 8 + CAST(d AS INT)] - co.v[s.sub * 8 + CAST(d AS INT)])
+        |        - cb.v[s.sub * 8 + CAST(d AS INT)]))) AS dist
+        |  FROM emb e JOIN asg a ON a.vec_id = e.vec_id
+        |  JOIN cents co ON co.cid = a.cid
+        |  CROSS JOIN subs s CROSS JOIN cents cb),
+        |codes AS (
+        |  SELECT vec_id, sub, code FROM enc
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id, sub
+        |    ORDER BY dist, code) = 1),
+        |q AS (SELECT v AS qv FROM emb WHERE vec_id = 42),
+        |probes AS (
+        |  SELECT c.cid FROM cents c CROSS JOIN q
+        |  QUALIFY row_number() OVER (
+        |    ORDER BY list_cosine_similarity(c.v, q.qv) DESC, c.cid ASC) <= 3),
+        |adc AS (
+        |  SELECT cd.vec_id,
+        |    SUM(list_sum(list_transform(range(1, 9), d ->
+        |      ((q.qv[cd.sub * 8 + CAST(d AS INT)] - co.v[cd.sub * 8 + CAST(d AS INT)])
+        |        - cb.v[cd.sub * 8 + CAST(d AS INT)])
+        |      * ((q.qv[cd.sub * 8 + CAST(d AS INT)] - co.v[cd.sub * 8 + CAST(d AS INT)])
+        |        - cb.v[cd.sub * 8 + CAST(d AS INT)])))) AS dist
+        |  FROM codes cd JOIN cents cb ON cb.cid = cd.code
+        |  JOIN asg a ON a.vec_id = cd.vec_id
+        |  JOIN cents co ON co.cid = a.cid CROSS JOIN q
+        |  WHERE a.cid IN (SELECT cid FROM probes)
+        |  GROUP BY cd.vec_id)
+        |SELECT vec_id, ROUND(dist, 6) AS adc_dist
+        |FROM adc ORDER BY ROUND(dist, 6), vec_id LIMIT 10""".stripMargin,
 
     "x122_pq_rerank" ->
       """WITH emb AS (

@@ -164,6 +164,65 @@ class PqSpec extends SparkSpec {
     assert(tight.length == 10) // 5 per query
   }
 
+  test("residual encode: centroid + codeword reconstructs to its own code; ADC matches hand math") {
+    val rnd = new scala.util.Random(101)
+    val m = 4; val sd = 4; val ks = 6; val dim = m * sd
+    val coarse = IVF.Model(Array.fill(2)(Array.fill(dim)(rnd.nextDouble() * 10)))
+    val cb = Array.fill(m)(Array.fill(ks)(Array.fill(sd)(rnd.nextDouble() - 0.5)))
+    val model = PQ.Model(cb)
+    // v = coarse[1] + (codeword 3 of every subspace) -> residual codes all 3
+    val v = (0 until dim).map(i => coarse.centroids(1)(i) + cb(i / sd)(3)(i % sd))
+    val df = Seq((1L, v)).toDF("id", "v")
+      .withColumn("centroid_id", lit(1))
+    val code = PQ.encodeResidual(df, "v", coarse, model)
+      .select(col("pq_code")).head().getSeq[Int](0)
+    assert(code == Seq.fill(m)(3), code)
+    // residual ADC distance against a random query matches hand math
+    val q = (0 until dim).map(_ => rnd.nextDouble() * 10)
+    val codes = PQ.encodeResidual(df, "v", coarse, model)
+      .select(col("id"), col("centroid_id"), col("pq_code"))
+    val got = PQ.searchIvfAdcResidual(codes,
+      Seq((0L, q)).toDF("qid", "qvec"), "id", "qid", coarse, model,
+      k = 1, nprobe = 2).head().getDouble(2)
+    val expected = (0 until m).map { s =>
+      (0 until sd).map { d =>
+        val r = (q(s * sd + d) - coarse.centroids(1)(s * sd + d)) - cb(s)(3)(d)
+        r * r
+      }.sum
+    }.sum
+    assert(math.abs(got - expected) < 1e-5, s"got $got expected $expected")
+  }
+
+  test("residual codebooks beat raw codebooks on clustered data at the same budget") {
+    val rnd = new scala.util.Random(31)
+    val dim = 16
+    val centers = Array.fill(4)(Array.fill(dim)(rnd.nextDouble() * 20 - 10))
+    val rows = (0 until 200).map { i =>
+      val c = centers(i % 4)
+      (i.toLong, c.indices.map(d => c(d) + (rnd.nextDouble() - 0.5) * 0.5).toSeq)
+    }
+    val df = rows.toDF("id", "v")
+    val coarse = IVF.Model(centers)
+    val assigned = IVF.assign(df, "v", coarse).persist()
+    val rawModel = PQ.train(df, "id", "v", m = 4, ks = 4, iters = 3)
+    val resModel = PQ.trainResidual(assigned, "id", "v", coarse,
+      m = 4, ks = 4, iters = 3)
+    val rawDist = df.select(avg(PQ.distortionExpr(col("v"), rawModel)))
+      .head().getDouble(0)
+    // residual distortion: ADC self-distance of the residual codes
+    // against each row's own residual LUT
+    import graft.functions.PqFunctions
+    val resDist = assigned.select(avg(PqFunctions.pq_adc_dist(
+        PqFunctions.pq_encode_residual(col("v"), col("centroid_id"),
+          coarse.centroids, resModel.flat, 4, 4),
+        PqFunctions.pq_lut_residual(col("v"), col("centroid_id"),
+          coarse.centroids, resModel.flat, 4, 4), 4)))
+      .head().getDouble(0)
+    assigned.unpersist()
+    assert(resDist < rawDist,
+      s"residual $resDist must beat raw $rawDist on clustered data")
+  }
+
   test("whole-stage codegen survives ks=256 (the Janino 64KB regime)") {
     val rows = vecs(300, 16)
     val dim = 16; val m = 4; val ks = 256; val subDim = dim / m
