@@ -1,0 +1,70 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Count-min sketch (Cormode & Muthukrishnan 2005) — point-frequency
+  * estimates over an open vocabulary in fixed memory, the complement of
+  * the Misra–Gries heavy-hitter state ([[graft.functions.FrequentItems]]
+  * answers "what are the top items", CMS answers "how often does THIS
+  * item occur" for any item, overcount-only error ≤ 2N/width with
+  * probability 1 - 2^-depth per query).
+  *
+  * Scale shape: the sketch is depth x width driver longs — bounded model
+  * state, the IVF-centroid convention — built by ONE pass over the token
+  * frame (each occurrence fans out to its `depth` (row, bucket) cells in
+  * a map-side posexplode, then one aggregate collapses to ≤ depth*width
+  * rows). Sketches MERGE by elementwise addition (shard-and-merge at any
+  * corpus scale), and estimation is MAP-ONLY: the flattened table rides
+  * the plan as one literal, each probe token hashes `depth` times and
+  * takes the min.
+  *
+  * Hashing is md5-derived (`cms<i>_<token>` -> first 8 hex chars ->
+  * % width) — the engine-portable contract shared with
+  * [[TextAnalysis.hashedLinearScore]], so a DuckDB oracle (or any
+  * external system) reproduces every cell and every estimate exactly. */
+object CountMin {
+
+  final case class Sketch(depth: Int, width: Int,
+      counts: Array[Array[Long]]) {
+    require(counts.length == depth && counts.forall(_.length == width))
+    /** Total occurrences — every row of the table sums to it. */
+    def total: Long = counts(0).sum
+    /** Elementwise merge: sketch(A ++ B) == sketch(A) merge sketch(B). */
+    def merge(other: Sketch): Sketch = {
+      require(other.depth == depth && other.width == width,
+        s"dimension mismatch: ${depth}x$width vs ${other.depth}x${other.width}")
+      Sketch(depth, width, Array.tabulate(depth)(i =>
+        Array.tabulate(width)(j => counts(i)(j) + other.counts(i)(j))))
+    }
+  }
+
+  private def bucketExpr(tok: Column, i: Int, width: Int): Column =
+    pmod(conv(substring(md5(concat(lit(s"cms${i}_"), tok).cast("binary")),
+      1, 8), 16, 10).cast("long"), lit(width.toLong)).cast("int")
+
+  /** Build a sketch from a token-occurrence frame (one row per
+    * occurrence — the caller's explode). One corpus pass, one aggregate,
+    * ≤ depth*width rows to the driver. */
+  def build(df: DataFrame, tokCol: String, depth: Int = 4,
+      width: Int = 1024): Sketch = {
+    require(depth >= 1 && width >= 1)
+    val cells = df
+      .select(posexplode(array((0 until depth).map(i =>
+        bucketExpr(col(tokCol), i, width)): _*)).as(Seq("i", "h")))
+      .groupBy(col("i"), col("h")).agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    Sketch(depth, width, Array.tabulate(depth)(i =>
+      Array.tabulate(width)(j => cells.getOrElse((i, j), 0L))))
+  }
+
+  /** Point estimate for a token column — min over the sketch's depth
+    * rows; map-only, the table is one array literal. Never undercounts;
+    * overcounts by hash collisions only. */
+  def estimateExpr(tok: Column, sk: Sketch): Column = {
+    val flat = typedlit(sk.counts.flatten.toSeq)
+    (0 until sk.depth).map(i =>
+      element_at(flat, bucketExpr(tok, i, sk.width) + lit(i * sk.width) + 1))
+      .reduce(least(_, _))
+  }
+}

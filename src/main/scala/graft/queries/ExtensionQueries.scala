@@ -2076,6 +2076,26 @@ object ExtensionQueries {
           pq, k = 10, nprobe = 3)
         .select(col("vec_id"), col("adc_dist"))
         .orderBy(col("adc_dist"), col("vec_id"))
+    }),
+
+    // Count-min sketch point-frequency estimates: sketch built in one
+    // corpus pass (4 x 1024 driver longs, md5-portable hashing), probe
+    // set = the distinct tokens of docs 0-2, exact counts joined
+    // alongside so the overcount-only property is VISIBLE in the output
+    // (est >= exact always; both engines compute identical cells)
+    "x124_count_min" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val toks = docs.select(explode(TextAnalysis.tokens(lower(col("text"))))
+        .as("tok"))
+      val sk = graft.ops.CountMin.build(toks, "tok", depth = 4, width = 1024)
+      val probe = docs.filter(col("doc_id") < 3)
+        .select(explode(TextAnalysis.tokens(lower(col("text")))).as("tok"))
+        .distinct()
+      val exact = toks.groupBy(col("tok")).agg(count(lit(1)).as("exact_cnt"))
+      probe.join(exact, Seq("tok"))
+        .withColumn("est_cnt", graft.ops.CountMin.estimateExpr(col("tok"), sk))
+        .select(col("tok"), col("exact_cnt"), col("est_cnt"))
+        .orderBy(col("tok"))
     }))
 
   /** Planted separable classification fixture for x88/x90: each doc
@@ -3802,6 +3822,36 @@ object ExtensionQueries {
         |    x -> len(x) > 0)) AS BIGINT) AS n_tokens,
         |  role = 'assistant' AS train_mask
         |FROM t ORDER BY doc_id, turn_idx""".stripMargin,
+
+    "x124_count_min" ->
+      """WITH tok AS (
+        |  SELECT unnest(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+        |    x -> len(x) > 0)) AS tok
+        |  FROM documents),
+        |h AS (
+        |  SELECT tok, CAST(i AS INT) AS i,
+        |    CAST(('0x' || substring(md5('cms' || CAST(i AS VARCHAR) || '_' || tok), 1, 8))
+        |      AS BIGINT) % 1024 AS hh
+        |  FROM tok, UNNEST(range(0, 4)) AS u(i)),
+        |cells AS (SELECT i, hh, count(*) AS c FROM h GROUP BY i, hh),
+        |probe AS (
+        |  SELECT DISTINCT unnest(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+        |    x -> len(x) > 0)) AS tok
+        |  FROM documents WHERE doc_id < 3),
+        |exact AS (SELECT tok, count(*) AS exact_cnt FROM tok GROUP BY tok),
+        |ph AS (
+        |  SELECT p.tok, CAST(i AS INT) AS i,
+        |    CAST(('0x' || substring(md5('cms' || CAST(i AS VARCHAR) || '_' || p.tok), 1, 8))
+        |      AS BIGINT) % 1024 AS hh
+        |  FROM probe p, UNNEST(range(0, 4)) AS u(i)),
+        |est AS (
+        |  SELECT ph.tok, min(coalesce(cells.c, 0)) AS est_cnt
+        |  FROM ph LEFT JOIN cells ON cells.i = ph.i AND cells.hh = ph.hh
+        |  GROUP BY ph.tok)
+        |SELECT p.tok, e.exact_cnt, CAST(est.est_cnt AS BIGINT) AS est_cnt
+        |FROM probe p JOIN exact e ON e.tok = p.tok
+        |JOIN est ON est.tok = p.tok
+        |ORDER BY p.tok""".stripMargin,
 
     "x123_ivfadc_residual" ->
       """WITH emb AS (

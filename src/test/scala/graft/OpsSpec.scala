@@ -1304,6 +1304,44 @@ class SketchSpec extends SparkSpec {
   }
 }
 
+class CountMinSpec extends SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+  import graft.ops.CountMin
+
+  private def toks(rows: Seq[String]) = rows.toDF("t")
+
+  test("count-min never undercounts; exact at collision-free width; unseen is 0") {
+    val occurrences = Seq.fill(5)("alpha") ++ Seq.fill(3)("beta") ++ Seq("gamma")
+    val sk = CountMin.build(toks(occurrences), "t", depth = 4, width = 4096)
+    assert(sk.total == 9L)
+    val probe = Seq("alpha", "beta", "gamma", "unseen").toDF("t")
+    val est = probe.select($"t", CountMin.estimateExpr($"t", sk).as("e"))
+      .as[(String, Long)].collect().toMap
+    assert(est("alpha") == 5L && est("beta") == 3L && est("gamma") == 1L)
+    assert(est("unseen") == 0L)
+    // a tiny width forces collisions: estimates may only go UP
+    val tiny = CountMin.build(toks(occurrences), "t", depth = 4, width = 2)
+    val estTiny = probe.select($"t", CountMin.estimateExpr($"t", tiny).as("e"))
+      .as[(String, Long)].collect().toMap
+    assert(estTiny("alpha") >= 5L && estTiny("beta") >= 3L && estTiny("gamma") >= 1L)
+  }
+
+  test("count-min sketches merge elementwise: sketch(A++B) == merge(sketch(A), sketch(B))") {
+    val a = Seq.fill(4)("x") ++ Seq("y")
+    val b = Seq.fill(2)("y") ++ Seq("z", "x")
+    val whole = CountMin.build(toks(a ++ b), "t", depth = 3, width = 64)
+    val merged = CountMin.build(toks(a), "t", depth = 3, width = 64)
+      .merge(CountMin.build(toks(b), "t", depth = 3, width = 64))
+    assert(whole.counts.map(_.toSeq).toSeq == merged.counts.map(_.toSeq).toSeq)
+    assert(merged.total == 9L)
+    // dimension mismatch refuses loudly
+    intercept[IllegalArgumentException] {
+      whole.merge(CountMin.build(toks(a), "t", depth = 3, width = 32))
+    }
+  }
+}
+
 class SamplingSpec extends SparkSpec {
   import spark.implicits._
   import org.apache.spark.sql.functions._
