@@ -1013,6 +1013,50 @@ object TextAnalysis {
         round(graft.functions.CharEntropyFunctions.char_entropy(col(textCol)), 6))
       .withColumn("low_entropy", col("char_entropy") < threshold)
 
+  /** Per-document n-gram novelty against a reference corpus — the
+    * memorization/quality readout for SYNTHETIC data (Brown et al.'s
+    * contamination methodology inverted: instead of dropping overlap,
+    * measure per doc how much of it is new): novelty = fraction of the
+    * doc's n-gram OCCURRENCES unseen in the reference. Near 0 = the
+    * generator parroted its sources; near 1 = nothing grounds it in the
+    * reference. Distinct from decontamination (x19/x55 REMOVE overlap)
+    * and containment (x58 scores pairwise) — this is corpus-vs-corpus,
+    * per doc.
+    *
+    * Scale shape: the reference collapses to its DISTINCT n-gram set
+    * (one aggregate); docs explode their grams once and LEFT-join that
+    * set on the gram key (broadcast when small, shuffle equi-join
+    * otherwise — Spark's call via AQE); one doc-keyed count-up. Docs
+    * shorter than n emit n_grams=0, novelty 0.0 — emitted, not dropped
+    * (the corpus-accounting convention). */
+  def ngramNovelty(docs: DataFrame, reference: DataFrame, idCol: String,
+      textCol: String, n: Int = 3): DataFrame = {
+    require(n >= 1, "need n >= 1")
+    def gramRows(df: DataFrame, cols: Column*): DataFrame = {
+      val toks = tokens(lower(col(textCol)))
+      val len = greatest(size(toks) - (n - 1), lit(0))
+      df.select(cols :+ explode(arrays_zip(
+        (0 until n).map(i => slice(toks, lit(i + 1), len)): _*)).as("g"): _*)
+        // space-joined is unambiguous: tokens cannot contain whitespace
+        .withColumn("gram", concat_ws(" ",
+          (0 until n).map(i => col("g")(i.toString)): _*))
+        .drop("g")
+    }
+    val refGrams = gramRows(reference).select(col("gram")).distinct()
+      .withColumn("__seen", lit(1))
+    val scored = gramRows(docs, col(idCol))
+      .join(refGrams, Seq("gram"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("__seen").isNull, 1L).otherwise(0L)).as("n_novel"))
+      .withColumn("novelty",
+        round(col("n_novel").cast("double") / col("n_grams"), 6))
+    docs.select(col(idCol)).distinct()
+      .join(scored, Seq(idCol), "left")
+      .na.fill(0L, Seq("n_grams", "n_novel"))
+      .na.fill(0.0, Seq("novelty"))
+  }
+
   /** PMI collocation mining — pointwise mutual information over adjacent
     * token pairs, the classic phrase-induction statistic (word2vec's
     * phrase pass, tokenizer multi-word-unit candidates):

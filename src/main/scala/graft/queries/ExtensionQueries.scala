@@ -2096,6 +2096,20 @@ object ExtensionQueries {
         .withColumn("est_cnt", graft.ops.CountMin.estimateExpr(col("tok"), sk))
         .select(col("tok"), col("exact_cnt"), col("est_cnt"))
         .orderBy(col("tok"))
+    }),
+
+    // N-gram novelty vs a reference corpus (synthetic-data QA): docs =
+    // the corpus with a planted novel tail every 4th doc; reference =
+    // the unmodified corpus — tailed docs must show nonzero novelty,
+    // untouched docs exactly 0
+    "x125_ngram_novelty" -> ((s, dir) => {
+      val ref = t(s, dir, "documents")
+      val docs = ref.select(col("doc_id"),
+        when(col("doc_id") % 4 === 0,
+          concat(col("text"), lit(" novelx novely novelz")))
+          .otherwise(col("text")).as("text"))
+      TextAnalysis.ngramNovelty(docs, ref, "doc_id", "text", n = 3)
+        .orderBy(col("doc_id"))
     }))
 
   /** Planted separable classification fixture for x88/x90: each doc
@@ -3822,6 +3836,38 @@ object ExtensionQueries {
         |    x -> len(x) > 0)) AS BIGINT) AS n_tokens,
         |  role = 'assistant' AS train_mask
         |FROM t ORDER BY doc_id, turn_idx""".stripMargin,
+
+    "x125_ngram_novelty" ->
+      """WITH rtok AS (
+        |  SELECT list_filter(string_split_regex(trim(lower(text)), '\s+'),
+        |    x -> len(x) > 0) AS ts
+        |  FROM documents),
+        |ref AS (
+        |  SELECT DISTINCT ts[i] || ' ' || ts[i + 1] || ' ' || ts[i + 2] AS gram
+        |  FROM rtok, UNNEST(range(1, len(ts) - 1)) AS u(i)),
+        |docs AS (
+        |  SELECT doc_id, CASE WHEN doc_id % 4 = 0
+        |    THEN text || ' novelx novely novelz' ELSE text END AS text
+        |  FROM documents),
+        |dtok AS (
+        |  SELECT doc_id, list_filter(string_split_regex(trim(lower(text)), '\s+'),
+        |    x -> len(x) > 0) AS ts
+        |  FROM docs),
+        |dgram AS (
+        |  SELECT doc_id, ts[i] || ' ' || ts[i + 1] || ' ' || ts[i + 2] AS gram
+        |  FROM dtok, UNNEST(range(1, len(ts) - 1)) AS u(i)),
+        |agg AS (
+        |  SELECT d.doc_id, count(*) AS n_grams,
+        |    CAST(sum(CASE WHEN r.gram IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_novel
+        |  FROM dgram d LEFT JOIN ref r ON r.gram = d.gram
+        |  GROUP BY d.doc_id)
+        |SELECT m.doc_id, coalesce(a.n_grams, 0) AS n_grams,
+        |  coalesce(a.n_novel, 0) AS n_novel,
+        |  coalesce(ROUND(CAST(a.n_novel AS DOUBLE) / a.n_grams, 6), 0.0)
+        |    AS novelty
+        |FROM docs m LEFT JOIN agg a ON m.doc_id = a.doc_id
+        |ORDER BY m.doc_id""".stripMargin,
 
     "x124_count_min" ->
       """WITH tok AS (

@@ -2926,4 +2926,25 @@ class TextAnalysisSpec extends SparkSpec {
     assert("Exchange".r.findAllIn(finalPlan).size <= 1,
       s"profile must be map-only:\n$finalPlan")
   }
+
+  test("ngramNovelty: hand-counted fractions, short docs emit zero") {
+    import spark.implicits._
+    val ref = Seq((100L, "a b c d e")).toDF("doc_id", "text")
+    val docs = Seq(
+      (1L, "a b c"),        // abc seen -> 0.0
+      (2L, "a b x"),        // abx novel -> 1.0
+      (3L, "a b c x y"),    // abc seen, bcx + cxy novel -> 2/3
+      (4L, "a b")           // too short -> 0 grams
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.ngramNovelty(docs, ref, "doc_id", "text", n = 3)
+      .orderBy($"doc_id").as[(Long, Long, Long, Double)].collect()
+    assert(out(0) == ((1L, 1L, 0L, 0.0)))
+    assert(out(1) == ((2L, 1L, 1L, 1.0)))
+    assert(out(2) == ((3L, 3L, 2L, 0.666667)))
+    assert(out(3) == ((4L, 0L, 0L, 0.0)))
+    // a doc scored against itself as reference is never novel
+    val self = TextAnalysis.ngramNovelty(ref, ref, "doc_id", "text", n = 3)
+      .select($"novelty").as[Double].head()
+    assert(self == 0.0)
+  }
 }
