@@ -2072,8 +2072,8 @@ object TextAnalysis {
     *
     * Output: every `raw` row plus `n_features` and `log_weight` (6dp).
     * Empty docs score 0. */
-  def dsirImportance(raw: DataFrame, target: DataFrame, idCol: String,
-      textCol: String, buckets: Int = 1024, alpha: Double = 0.01,
+  def dsirImportance(raw: DataFrame, target: DataFrame, textCol: String,
+      buckets: Int = 1024, alpha: Double = 0.01,
       useBigrams: Boolean = true): DataFrame = {
     val logPT = dsirLogProbs(target, textCol, buckets, alpha, useBigrams)
     val logPR = dsirLogProbs(raw, textCol, buckets, alpha, useBigrams)

@@ -1931,7 +1931,7 @@ object ExtensionQueries {
           when(col("doc_id") % 2 === 0, lit(" tgtmark alpha tgtmark"))
             .otherwise(lit(" rawmark beta rawmark"))).as("text"))
       val target = raw.filter(col("doc_id") % 2 === 0)
-      TextAnalysis.dsirImportance(raw, target, "doc_id", "text",
+      TextAnalysis.dsirImportance(raw, target, "text",
           buckets = 256, alpha = 0.01, useBigrams = true)
         .select(col("doc_id"), col("n_features").cast("long").as("n_features"),
           col("log_weight"))

@@ -99,7 +99,7 @@ object CorpusBuildSmoke {
     // scan — the ranking a target-domain selection would cut on
     time("2d DSIR importance (map-only scoring)") {
       val w = TextAnalysis.dsirImportance(routed,
-          routed.filter(col("route") === "lang0"), "doc_id", "text",
+          routed.filter(col("route") === "lang0"), "text",
           buckets = 1024)
         .agg(avg(col("log_weight")), max(col("log_weight"))).head()
       println(f"[corpus-build]   dsir mean=${w.getDouble(0)}%.4f max=${w.getDouble(1)}%.4f")

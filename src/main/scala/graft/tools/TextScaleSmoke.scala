@@ -257,7 +257,7 @@ object TextScaleSmoke {
           .otherwise(0))).head())
     time("DSIR importance (1024 buckets, lang0 target)")(
       TextAnalysis.dsirImportance(corpus,
-          corpus.filter(col("lang") === "lang0"), "doc_id", "text",
+          corpus.filter(col("lang") === "lang0"), "text",
           buckets = 1024)
         .agg(avg("log_weight"), max("log_weight")).head())
     val sb100k = corpus.filter(col("doc_id") < 100000)

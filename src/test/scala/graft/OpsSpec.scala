@@ -2816,7 +2816,7 @@ class TextAnalysisSpec extends SparkSpec {
         when($"doc_id" % 2 === 0, lit(" tgtmark tgtmark tgtmark"))
           .otherwise(lit(" rawonly rawonly rawonly"))).as("text"))
     val target = raw.filter($"doc_id" % 2 === 0)
-    val scored = TextAnalysis.dsirImportance(raw, target, "doc_id", "text",
+    val scored = TextAnalysis.dsirImportance(raw, target, "text",
       buckets = 128, alpha = 0.01, useBigrams = false)
     val byParity = scored.groupBy(($"doc_id" % 2 === 0).as("isTgt"))
       .agg(avg($"log_weight").as("w")).collect()
@@ -2824,13 +2824,13 @@ class TextAnalysisSpec extends SparkSpec {
     assert(byParity(true) > byParity(false),
       s"target-like docs must outrank: $byParity")
     // deterministic across runs (md5 hashing, 6dp-rounded model state)
-    val again = TextAnalysis.dsirImportance(raw, target, "doc_id", "text",
+    val again = TextAnalysis.dsirImportance(raw, target, "text",
       buckets = 128, alpha = 0.01, useBigrams = false)
     assert(scored.select("doc_id", "log_weight").except(
       again.select("doc_id", "log_weight")).isEmpty)
     // empty doc: no features, weight exactly 0
     val empty = TextAnalysis.dsirImportance(
-      Seq((1L, "")).toDF("doc_id", "text"), target, "doc_id", "text",
+      Seq((1L, "")).toDF("doc_id", "text"), target, "text",
       buckets = 128, useBigrams = false)
       .select($"n_features", $"log_weight").head()
     assert(empty.getInt(0) == 0 && empty.getDouble(1) == 0.0)
