@@ -15,7 +15,7 @@ import org.apache.spark.sql.types._
   * embedding table's scan side shrinks ~32x and the ADC scoring loop
   * reads only the per-query lookup table plus m small ints per row.
   *
-  * Layout convention shared by all three expressions: `codebooks` is the
+  * Layout convention shared by all expressions: `codebooks` is the
   * flattened (m*ks) x subDim matrix, entry `sub*ks + j` = centroid j of
   * subspace `sub`; input subvector `sub` = elements
   * [sub*subDim, (sub+1)*subDim). Metric is SQUARED L2 per subspace (the
@@ -27,7 +27,12 @@ import org.apache.spark.sql.types._
   * per row and the unrolled literal formulation hits Janino's 64 KB
   * method limit long before the paper's ks=256 (the r10 NearestCentroidId
   * finding); a constant-code-size runtime loop codegens at any (m, ks).
-  */
+  *
+  * The raw and residual forms share ONE loop kernel each
+  * ([[PqMath.encode]] / [[PqMath.lut]], the CharEntropy static-compute
+  * pattern): eval and generated code call the same static method, so the
+  * determinism-sensitive summation order is defined in exactly one place
+  * and eval can never drift from codegen. */
 object PqLayout {
   /** Validate and flatten a (m x ks x subDim) codebook into the shared
     * `sub*ks + j` layout. */
@@ -43,46 +48,32 @@ object PqLayout {
   }
 }
 
-/** PQ encode: vector -> array<int> of m code ids, code `sub` = argmin over
-  * the subspace's ks codewords of squared L2 distance, ties to the LOWEST
-  * code id (strict `<` improvement — the order a `ORDER BY dist, code
-  * LIMIT 1` oracle replays). */
-case class PqEncode(child: Expression, codebooks: Array[Array[Double]],
-    m: Int, ks: Int)
-    extends UnaryExpression {
+/** The shared per-row loop kernels — static entry points called by BOTH
+  * nullSafeEval and the generated Java (one definition of the
+  * accumulation order for all four expressions). `coarse == null` is the
+  * raw form; non-null subtracts `coarse(cid)` element-wise inside the
+  * loop (the residual form — the residual vector never materializes). */
+object PqMath {
 
-  require(m >= 1 && ks >= 1 && codebooks.length == m * ks,
-    s"codebooks must be m*ks=${m * ks} rows, got ${codebooks.length}")
-
-  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
-    case other => TypeCheckResult.TypeCheckFailure(
-      s"requires array<float|double> input, got $other")
-  }
-
-  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
-
-  private def elemIsFloat: Boolean =
-    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
-
-  private def subDim: Int = codebooks.head.length
-
-  override def nullSafeEval(a: Any): Any = {
-    val x = a.asInstanceOf[ArrayData]
-    val xf = elemIsFloat
-    val sd = subDim
+  def encode(x: ArrayData, xf: Boolean, codebooks: Array[Array[Double]],
+      m: Int, ks: Int, subDim: Int, coarse: Array[Array[Double]],
+      cid: Int): UnsafeArrayData = {
+    val cv: Array[Double] = if (coarse == null) null else coarse(cid)
+    val lim = if (cv == null) x.numElements()
+      else math.min(x.numElements(), cv.length)
     val out = new Array[Int](m)
     var sub = 0
     while (sub < m) {
-      val base = sub * sd
+      val base = sub * subDim
       var best = 0; var bestDist = Double.MaxValue
       var j = 0
       while (j < ks) {
         val cw = codebooks(sub * ks + j)
-        val n = math.min(x.numElements() - base, sd)
+        val n = math.min(lim - base, subDim)
         var dist = 0.0; var d = 0
         while (d < n) {
-          val xv = if (xf) x.getFloat(base + d).toDouble else x.getDouble(base + d)
+          var xv = if (xf) x.getFloat(base + d).toDouble else x.getDouble(base + d)
+          if (cv != null) xv -= cv(base + d)
           val diff = xv - cw(d)
           dist += diff * diff
           d += 1
@@ -96,37 +87,76 @@ case class PqEncode(child: Expression, codebooks: Array[Array[Double]],
     UnsafeArrayData.fromPrimitiveArray(out)
   }
 
+  def lut(x: ArrayData, xf: Boolean, codebooks: Array[Array[Double]],
+      m: Int, ks: Int, subDim: Int, coarse: Array[Array[Double]],
+      cid: Int): UnsafeArrayData = {
+    val cv: Array[Double] = if (coarse == null) null else coarse(cid)
+    val lim = if (cv == null) x.numElements()
+      else math.min(x.numElements(), cv.length)
+    val out = new Array[Double](m * ks)
+    var sub = 0
+    while (sub < m) {
+      val base = sub * subDim
+      var j = 0
+      while (j < ks) {
+        val cw = codebooks(sub * ks + j)
+        val n = math.min(lim - base, subDim)
+        var dist = 0.0; var d = 0
+        while (d < n) {
+          var xv = if (xf) x.getFloat(base + d).toDouble else x.getDouble(base + d)
+          if (cv != null) xv -= cv(base + d)
+          val diff = xv - cw(d)
+          dist += diff * diff
+          d += 1
+        }
+        out(sub * ks + j) = dist
+        j += 1
+      }
+      sub += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+}
+
+private[functions] trait PqVecInput { self: Expression =>
+  def vecChild: Expression
+
+  final def checkVecType(other: DataType): TypeCheckResult = other match {
+    case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case o => TypeCheckResult.TypeCheckFailure(
+      s"requires array<float|double> input, got $o")
+  }
+
+  final def elemIsFloat: Boolean =
+    vecChild.dataType.asInstanceOf[ArrayType].elementType == FloatType
+}
+
+/** PQ encode: vector -> array<int> of m code ids, code `sub` = argmin over
+  * the subspace's ks codewords of squared L2 distance, ties to the LOWEST
+  * code id (strict `<` improvement — the order a `ORDER BY dist, code
+  * LIMIT 1` oracle replays). */
+case class PqEncode(child: Expression, codebooks: Array[Array[Double]],
+    m: Int, ks: Int)
+    extends UnaryExpression with PqVecInput {
+
+  require(m >= 1 && ks >= 1 && codebooks.length == m * ks,
+    s"codebooks must be m*ks=${m * ks} rows, got ${codebooks.length}")
+
+  override def vecChild: Expression = child
+  override def checkInputDataTypes(): TypeCheckResult = checkVecType(child.dataType)
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  private def subDim: Int = codebooks.head.length
+
+  override def nullSafeEval(a: Any): Any =
+    PqMath.encode(a.asInstanceOf[ArrayData], elemIsFloat, codebooks, m, ks,
+      subDim, null, 0)
+
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val xGet = if (elemIsFloat) "getFloat" else "getDouble"
     val cbRef = ctx.addReferenceObj("codebooks", codebooks, "double[][]")
-    val sd = subDim
     nullSafeCodeGen(ctx, ev, { x =>
-      val out = ctx.freshName("out"); val sub = ctx.freshName("sub")
-      val base = ctx.freshName("base"); val best = ctx.freshName("best")
-      val bestDist = ctx.freshName("bestDist"); val j = ctx.freshName("j")
-      val cw = ctx.freshName("cw"); val n = ctx.freshName("n")
-      val dist = ctx.freshName("dist"); val d = ctx.freshName("d")
-      val diff = ctx.freshName("diff")
-      s"""
-         |int[] $out = new int[$m];
-         |for (int $sub = 0; $sub < $m; $sub++) {
-         |  int $base = $sub * $sd;
-         |  int $best = 0; double $bestDist = Double.MAX_VALUE;
-         |  for (int $j = 0; $j < $ks; $j++) {
-         |    double[] $cw = $cbRef[$sub * $ks + $j];
-         |    int $n = java.lang.Math.min($x.numElements() - $base, $sd);
-         |    double $dist = 0.0;
-         |    for (int $d = 0; $d < $n; $d++) {
-         |      double $diff = (double) $x.$xGet($base + $d) - $cw[$d];
-         |      $dist += $diff * $diff;
-         |    }
-         |    if ($dist < $bestDist) { $best = $j; $bestDist = $dist; }
-         |  }
-         |  $out[$sub] = $best;
-         |}
-         |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
-         |  .fromPrimitiveArray($out);
-       """.stripMargin
+      s"""${ev.value} = graft.functions.PqMath.encode($x, $elemIsFloat,
+         |  $cbRef, $m, $ks, $subDim, null, 0);""".stripMargin
     })
   }
 
@@ -142,79 +172,26 @@ case class PqEncode(child: Expression, codebooks: Array[Array[Double]],
   * not FLOP-bound. */
 case class PqLut(child: Expression, codebooks: Array[Array[Double]],
     m: Int, ks: Int)
-    extends UnaryExpression {
+    extends UnaryExpression with PqVecInput {
 
   require(m >= 1 && ks >= 1 && codebooks.length == m * ks,
     s"codebooks must be m*ks=${m * ks} rows, got ${codebooks.length}")
 
-  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
-    case other => TypeCheckResult.TypeCheckFailure(
-      s"requires array<float|double> input, got $other")
-  }
-
+  override def vecChild: Expression = child
+  override def checkInputDataTypes(): TypeCheckResult = checkVecType(child.dataType)
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
-
-  private def elemIsFloat: Boolean =
-    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
 
   private def subDim: Int = codebooks.head.length
 
-  override def nullSafeEval(a: Any): Any = {
-    val x = a.asInstanceOf[ArrayData]
-    val xf = elemIsFloat
-    val sd = subDim
-    val out = new Array[Double](m * ks)
-    var sub = 0
-    while (sub < m) {
-      val base = sub * sd
-      var j = 0
-      while (j < ks) {
-        val cw = codebooks(sub * ks + j)
-        val n = math.min(x.numElements() - base, sd)
-        var dist = 0.0; var d = 0
-        while (d < n) {
-          val xv = if (xf) x.getFloat(base + d).toDouble else x.getDouble(base + d)
-          val diff = xv - cw(d)
-          dist += diff * diff
-          d += 1
-        }
-        out(sub * ks + j) = dist
-        j += 1
-      }
-      sub += 1
-    }
-    UnsafeArrayData.fromPrimitiveArray(out)
-  }
+  override def nullSafeEval(a: Any): Any =
+    PqMath.lut(a.asInstanceOf[ArrayData], elemIsFloat, codebooks, m, ks,
+      subDim, null, 0)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val xGet = if (elemIsFloat) "getFloat" else "getDouble"
     val cbRef = ctx.addReferenceObj("codebooks", codebooks, "double[][]")
-    val sd = subDim
     nullSafeCodeGen(ctx, ev, { x =>
-      val out = ctx.freshName("out"); val sub = ctx.freshName("sub")
-      val base = ctx.freshName("base"); val j = ctx.freshName("j")
-      val cw = ctx.freshName("cw"); val n = ctx.freshName("n")
-      val dist = ctx.freshName("dist"); val d = ctx.freshName("d")
-      val diff = ctx.freshName("diff")
-      s"""
-         |double[] $out = new double[${m * ks}];
-         |for (int $sub = 0; $sub < $m; $sub++) {
-         |  int $base = $sub * $sd;
-         |  for (int $j = 0; $j < $ks; $j++) {
-         |    double[] $cw = $cbRef[$sub * $ks + $j];
-         |    int $n = java.lang.Math.min($x.numElements() - $base, $sd);
-         |    double $dist = 0.0;
-         |    for (int $d = 0; $d < $n; $d++) {
-         |      double $diff = (double) $x.$xGet($base + $d) - $cw[$d];
-         |      $dist += $diff * $diff;
-         |    }
-         |    $out[$sub * $ks + $j] = $dist;
-         |  }
-         |}
-         |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
-         |  .fromPrimitiveArray($out);
-       """.stripMargin
+      s"""${ev.value} = graft.functions.PqMath.lut($x, $elemIsFloat,
+         |  $cbRef, $m, $ks, $subDim, null, 0);""".stripMargin
     })
   }
 
@@ -279,98 +256,41 @@ case class PqAdcDist(left: Expression, right: Expression, ks: Int)
   * §III): codes quantize the RESIDUAL v - coarse[cid] instead of the raw
   * vector, so each list's codebook only has to cover the spread AROUND
   * its centroid (markedly lower distortion at the same m*ks budget). The
-  * subtraction fuses INTO the distance loop — the residual vector is
-  * never materialized, no extra column, no extra pass. Binary children:
-  * (vector, coarse centroid id). */
+  * subtraction fuses INTO [[PqMath.encode]]'s distance loop — the
+  * residual vector is never materialized. Binary children: (vector,
+  * coarse centroid id). */
 case class PqEncodeResidual(left: Expression, right: Expression,
     coarse: Array[Array[Double]], codebooks: Array[Array[Double]],
     m: Int, ks: Int)
-    extends BinaryExpression {
+    extends BinaryExpression with PqVecInput {
 
   require(m >= 1 && ks >= 1 && codebooks.length == m * ks,
     s"codebooks must be m*ks=${m * ks} rows, got ${codebooks.length}")
   require(coarse.nonEmpty, "need coarse centroids")
 
+  override def vecChild: Expression = left
   override def checkInputDataTypes(): TypeCheckResult =
-    (left.dataType, right.dataType) match {
-      case (ArrayType(FloatType | DoubleType, _), IntegerType) =>
+    (checkVecType(left.dataType), right.dataType) match {
+      case (TypeCheckResult.TypeCheckSuccess, IntegerType) =>
         TypeCheckResult.TypeCheckSuccess
-      case _ => TypeCheckResult.TypeCheckFailure(
-        s"requires (array<float|double>, int), got ${left.dataType} / ${right.dataType}")
+      case (TypeCheckResult.TypeCheckSuccess, o) =>
+        TypeCheckResult.TypeCheckFailure(s"centroid id must be int, got $o")
+      case (fail, _) => fail
     }
-
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
-
-  private def elemIsFloat: Boolean =
-    left.dataType.asInstanceOf[ArrayType].elementType == FloatType
 
   private def subDim: Int = codebooks.head.length
 
-  override def nullSafeEval(a: Any, b: Any): Any = {
-    val x = a.asInstanceOf[ArrayData]
-    val cid = b.asInstanceOf[Int]
-    val cv = coarse(cid)
-    val xf = elemIsFloat
-    val sd = subDim
-    val out = new Array[Int](m)
-    var sub = 0
-    while (sub < m) {
-      val base = sub * sd
-      var best = 0; var bestDist = Double.MaxValue
-      var j = 0
-      while (j < ks) {
-        val cw = codebooks(sub * ks + j)
-        val n = math.min(math.min(x.numElements(), cv.length) - base, sd)
-        var dist = 0.0; var d = 0
-        while (d < n) {
-          val xv = if (xf) x.getFloat(base + d).toDouble else x.getDouble(base + d)
-          val diff = (xv - cv(base + d)) - cw(d)
-          dist += diff * diff
-          d += 1
-        }
-        if (dist < bestDist) { best = j; bestDist = dist }
-        j += 1
-      }
-      out(sub) = best
-      sub += 1
-    }
-    UnsafeArrayData.fromPrimitiveArray(out)
-  }
+  override def nullSafeEval(a: Any, b: Any): Any =
+    PqMath.encode(a.asInstanceOf[ArrayData], elemIsFloat, codebooks, m, ks,
+      subDim, coarse, b.asInstanceOf[Int])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val xGet = if (elemIsFloat) "getFloat" else "getDouble"
     val cbRef = ctx.addReferenceObj("codebooks", codebooks, "double[][]")
     val coRef = ctx.addReferenceObj("coarse", coarse, "double[][]")
-    val sd = subDim
     nullSafeCodeGen(ctx, ev, { (x, cidv) =>
-      val out = ctx.freshName("out"); val sub = ctx.freshName("sub")
-      val base = ctx.freshName("base"); val best = ctx.freshName("best")
-      val bestDist = ctx.freshName("bestDist"); val j = ctx.freshName("j")
-      val cw = ctx.freshName("cw"); val n = ctx.freshName("n")
-      val dist = ctx.freshName("dist"); val d = ctx.freshName("d")
-      val diff = ctx.freshName("diff"); val cv = ctx.freshName("cv")
-      s"""
-         |double[] $cv = $coRef[$cidv];
-         |int[] $out = new int[$m];
-         |for (int $sub = 0; $sub < $m; $sub++) {
-         |  int $base = $sub * $sd;
-         |  int $best = 0; double $bestDist = Double.MAX_VALUE;
-         |  for (int $j = 0; $j < $ks; $j++) {
-         |    double[] $cw = $cbRef[$sub * $ks + $j];
-         |    int $n = java.lang.Math.min(
-         |      java.lang.Math.min($x.numElements(), $cv.length) - $base, $sd);
-         |    double $dist = 0.0;
-         |    for (int $d = 0; $d < $n; $d++) {
-         |      double $diff = ((double) $x.$xGet($base + $d) - $cv[$base + $d]) - $cw[$d];
-         |      $dist += $diff * $diff;
-         |    }
-         |    if ($dist < $bestDist) { $best = $j; $bestDist = $dist; }
-         |  }
-         |  $out[$sub] = $best;
-         |}
-         |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
-         |  .fromPrimitiveArray($out);
-       """.stripMargin
+      s"""${ev.value} = graft.functions.PqMath.encode($x, $elemIsFloat,
+         |  $cbRef, $m, $ks, $subDim, $coRef, $cidv);""".stripMargin
     })
   }
 
@@ -385,86 +305,35 @@ case class PqEncodeResidual(left: Expression, right: Expression,
 case class PqLutResidual(left: Expression, right: Expression,
     coarse: Array[Array[Double]], codebooks: Array[Array[Double]],
     m: Int, ks: Int)
-    extends BinaryExpression {
+    extends BinaryExpression with PqVecInput {
 
   require(m >= 1 && ks >= 1 && codebooks.length == m * ks,
     s"codebooks must be m*ks=${m * ks} rows, got ${codebooks.length}")
   require(coarse.nonEmpty, "need coarse centroids")
 
+  override def vecChild: Expression = left
   override def checkInputDataTypes(): TypeCheckResult =
-    (left.dataType, right.dataType) match {
-      case (ArrayType(FloatType | DoubleType, _), IntegerType) =>
+    (checkVecType(left.dataType), right.dataType) match {
+      case (TypeCheckResult.TypeCheckSuccess, IntegerType) =>
         TypeCheckResult.TypeCheckSuccess
-      case _ => TypeCheckResult.TypeCheckFailure(
-        s"requires (array<float|double>, int), got ${left.dataType} / ${right.dataType}")
+      case (TypeCheckResult.TypeCheckSuccess, o) =>
+        TypeCheckResult.TypeCheckFailure(s"centroid id must be int, got $o")
+      case (fail, _) => fail
     }
-
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
-
-  private def elemIsFloat: Boolean =
-    left.dataType.asInstanceOf[ArrayType].elementType == FloatType
 
   private def subDim: Int = codebooks.head.length
 
-  override def nullSafeEval(a: Any, b: Any): Any = {
-    val x = a.asInstanceOf[ArrayData]
-    val cv = coarse(b.asInstanceOf[Int])
-    val xf = elemIsFloat
-    val sd = subDim
-    val out = new Array[Double](m * ks)
-    var sub = 0
-    while (sub < m) {
-      val base = sub * sd
-      var j = 0
-      while (j < ks) {
-        val cw = codebooks(sub * ks + j)
-        val n = math.min(math.min(x.numElements(), cv.length) - base, sd)
-        var dist = 0.0; var d = 0
-        while (d < n) {
-          val xv = if (xf) x.getFloat(base + d).toDouble else x.getDouble(base + d)
-          val diff = (xv - cv(base + d)) - cw(d)
-          dist += diff * diff
-          d += 1
-        }
-        out(sub * ks + j) = dist
-        j += 1
-      }
-      sub += 1
-    }
-    UnsafeArrayData.fromPrimitiveArray(out)
-  }
+  override def nullSafeEval(a: Any, b: Any): Any =
+    PqMath.lut(a.asInstanceOf[ArrayData], elemIsFloat, codebooks, m, ks,
+      subDim, coarse, b.asInstanceOf[Int])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val xGet = if (elemIsFloat) "getFloat" else "getDouble"
     val cbRef = ctx.addReferenceObj("codebooks", codebooks, "double[][]")
     val coRef = ctx.addReferenceObj("coarse", coarse, "double[][]")
-    val sd = subDim
     nullSafeCodeGen(ctx, ev, { (x, cidv) =>
-      val out = ctx.freshName("out"); val sub = ctx.freshName("sub")
-      val base = ctx.freshName("base"); val j = ctx.freshName("j")
-      val cw = ctx.freshName("cw"); val n = ctx.freshName("n")
-      val dist = ctx.freshName("dist"); val d = ctx.freshName("d")
-      val diff = ctx.freshName("diff"); val cv = ctx.freshName("cv")
-      s"""
-         |double[] $cv = $coRef[$cidv];
-         |double[] $out = new double[${m * ks}];
-         |for (int $sub = 0; $sub < $m; $sub++) {
-         |  int $base = $sub * $sd;
-         |  for (int $j = 0; $j < $ks; $j++) {
-         |    double[] $cw = $cbRef[$sub * $ks + $j];
-         |    int $n = java.lang.Math.min(
-         |      java.lang.Math.min($x.numElements(), $cv.length) - $base, $sd);
-         |    double $dist = 0.0;
-         |    for (int $d = 0; $d < $n; $d++) {
-         |      double $diff = ((double) $x.$xGet($base + $d) - $cv[$base + $d]) - $cw[$d];
-         |      $dist += $diff * $diff;
-         |    }
-         |    $out[$sub * $ks + $j] = $dist;
-         |  }
-         |}
-         |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
-         |  .fromPrimitiveArray($out);
-       """.stripMargin
+      s"""${ev.value} = graft.functions.PqMath.lut($x, $elemIsFloat,
+         |  $cbRef, $m, $ks, $subDim, $coRef, $cidv);""".stripMargin
     })
   }
 

@@ -45,11 +45,13 @@ object CountMin {
 
   /** Build a sketch from a token-occurrence frame (one row per
     * occurrence — the caller's explode). One corpus pass, one aggregate,
-    * ≤ depth*width rows to the driver. */
+    * ≤ depth*width rows to the driver. NULL tokens are dropped (a null
+    * is not an item; without the filter the null bucket row would NPE
+    * the driver-side collect). */
   def build(df: DataFrame, tokCol: String, depth: Int = 4,
       width: Int = 1024): Sketch = {
     require(depth >= 1 && width >= 1)
-    val cells = df
+    val cells = df.filter(col(tokCol).isNotNull)
       .select(posexplode(array((0 until depth).map(i =>
         bucketExpr(col(tokCol), i, width)): _*)).as(Seq("i", "h")))
       .groupBy(col("i"), col("h")).agg(count(lit(1)).as("c"))

@@ -126,7 +126,15 @@ object PQ {
     * bounded-heap [[graft.plans.TopK]] operator (ascending distance, ties
     * by id). Output: (qidCol, idCol, adc_dist rounded 6dp). */
   def searchAdc(codes: DataFrame, queries: DataFrame, idCol: String,
-      qidCol: String, model: Model, k: Int): DataFrame = {
+      qidCol: String, model: Model, k: Int): DataFrame =
+    searchAdcCounted(codes, queries, idCol, qidCol, model, k, queries.count())
+
+  /** [[searchAdc]] with the query count already in hand — so callers
+    * that also need the count ([[searchAdcRerank]]) launch the cheap
+    * query-frame job exactly once. */
+  private def searchAdcCounted(codes: DataFrame, queries: DataFrame,
+      idCol: String, qidCol: String, model: Model, k: Int,
+      nQ: Long): DataFrame = {
     val q = queries.withColumn("__lut",
       PqFunctions.pq_lut(col("qvec"), model.flat, model.m, model.ks))
     val scored = codes.crossJoin(broadcast(q))
@@ -134,7 +142,7 @@ object PQ {
         round(PqFunctions.pq_adc_dist(col("pq_code"), col("__lut"), model.ks), 6))
       .select(col(qidCol), col(idCol), col("adc_dist"))
     Similarity.selectTopK(scored, qidCol,
-      Seq(("adc_dist", true), (idCol, true)), k, queries.count())
+      Seq(("adc_dist", true), (idCol, true)), k, nQ)
   }
 
   /** IVFADC — the composed FAISS-style architecture: the IVF coarse
@@ -237,8 +245,8 @@ object PQ {
       model: Model, k: Int, rerank: Int = 4): DataFrame = {
     require(rerank >= 1, "rerank factor must be >= 1")
     val nQ = queries.count() // one cheap job on the SMALL query frame
-    val shortlist = searchAdc(codes, queries, idCol, qidCol, model,
-      k * rerank).select(col(qidCol), col(idCol))
+    val shortlist = searchAdcCounted(codes, queries, idCol, qidCol, model,
+      k * rerank, nQ).select(col(qidCol), col(idCol))
     val exact = shortlist
       .join(vectors.select(col(idCol), col(vecCol)), Seq(idCol))
       .join(broadcast(queries.select(col(qidCol), col("qvec"))), Seq(qidCol))

@@ -481,8 +481,6 @@ object Similarity {
     require(rows.length <= maxCandidates,
       s"mmrSelect got > $maxCandidates candidates — it reranks a bounded " +
         "top-N retrieval, not a corpus; raise maxCandidates only with a bound in hand")
-    def round6(v: Double): Double =
-      BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
     val ids = rows.map(_.getLong(0))
     val rel = rows.map(_.getDouble(1))
     val vecs = rows.map(_.getSeq[Double](2).toArray)
@@ -513,11 +511,11 @@ object Similarity {
         i += 1
       }
       picked(best) = true
-      selected += ((ids(best), rank, round6(bestScore)))
+      selected += ((ids(best), rank, TextAnalysis.round6(bestScore)))
       var j = 0
       while (j < n) {
         if (!picked(j)) {
-          val s = round6(cos(vecs(j), vecs(best)))
+          val s = TextAnalysis.round6(cos(vecs(j), vecs(best)))
           if (s > maxSim(j)) maxSim(j) = s
         }
         j += 1

@@ -22,6 +22,13 @@ object TextAnalysis {
   /** Whitespace token count. */
   def tokenCount(text: Column): Column = size(tokens(text))
 
+  /** The engine-portability rounding rule shared by every driver-side
+    * model-state value (logreg weights, DSIR log-probs, MMR scores):
+    * 6dp HALF_UP, identical to SQL ROUND — one definition so the
+    * cross-engine oracle contract cannot silently diverge per operator. */
+  private[graft] def round6(v: Double): Double =
+    BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
   /** BPE-ish subword-count estimate: words plus intra-word transitions
     * (letter/digit boundaries, punctuation starts) — a cheap regex proxy
     * for tokenizer load, no vocab needed. MATCH-based and RE2-compatible
@@ -655,8 +662,6 @@ object TextAnalysis {
 
     val w = new Array[Double](buckets)
     var bias = 0.0
-    def round6(v: Double): Double =
-      BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
     val trajectory = Seq.newBuilder[(Int, Int, Double)]
     val losses = Seq.newBuilder[Double]
 
@@ -937,7 +942,13 @@ object TextAnalysis {
     * and left-joins the three tables on their keys (equi-joins Spark
     * hash-partitions; the honest cost of distributed LM scoring), with
     * N and V riding a broadcast. Output: idCol, n_trigrams, sb_nll
-    * (mean -ln S, 6dp; docs with < 3 tokens emit 0, not dropped). */
+    * (mean -ln S, 6dp; docs with < 3 tokens emit 0, not dropped).
+    *
+    * Cache lifetime: the persisted model frame lives for the session
+    * (the returned frame is lazy and derives from it — same as
+    * [[bigramNll]]'s `bg`). A driver scoring against MANY model corpora
+    * in one session should `spark.catalog.clearCache()` between models
+    * or the cached tokenized frames accumulate. */
   def stupidBackoffNll(model: DataFrame, docs: DataFrame, idCol: String,
       textCol: String, lam: Double = 0.4, k: Double = 0.5): DataFrame = {
     require(lam > 0 && lam <= 1, "backoff factor in (0,1]")
@@ -2046,8 +2057,6 @@ object TextAnalysis {
       .groupBy(col("b")).agg(count(lit(1)).as("n"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     val total = counts.values.sum.toDouble
-    def round6(v: Double): Double =
-      BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
     Array.tabulate(buckets)(b => round6(math.log(
       (counts.getOrElse(b, 0L) + alpha) / (total + alpha * buckets))))
   }
@@ -2077,8 +2086,6 @@ object TextAnalysis {
       useBigrams: Boolean = true): DataFrame = {
     val logPT = dsirLogProbs(target, textCol, buckets, alpha, useBigrams)
     val logPR = dsirLogProbs(raw, textCol, buckets, alpha, useBigrams)
-    def round6(v: Double): Double =
-      BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
     val ratio = Array.tabulate(buckets)(b => round6(logPT(b) - logPR(b)))
     val ratioLit = array(ratio.map(lit(_)): _*)
     val bkts = hashedNgramBuckets(textCol, buckets, useBigrams)
