@@ -207,6 +207,25 @@ object PQ {
       PqFunctions.pq_encode_residual(col(vecCol), col("centroid_id"),
         coarse.centroids, model.flat, model.m, model.ks))
 
+  /** IVFADC over a centroid_id-PARTITIONED code index
+    * ([[IVF.writeIndexPartitioned]] applied to the [[encodeResidual]] /
+    * [[encode]]+[[IVF.assign]] output — codes ride it as-is): the
+    * batch's distinct probed list ids are collected first (one job on
+    * the |queries| x nprobe probe rows, never the corpus — the
+    * [[IVF.probedLists]] contract) and pushed as an `isin` filter, so
+    * probe pruning lands as PartitionFilters DIRECTORY SKIPPING at the
+    * scan; unprobed lists are never opened, and the only bytes read per
+    * probed row are the m-int codes. Equals [[searchIvfAdc]] over the
+    * in-memory frame (pinned by spec). */
+  def searchIvfAdcPartitioned(spark: org.apache.spark.sql.SparkSession,
+      dir: String, queries: DataFrame, idCol: String, qidCol: String,
+      coarse: IVF.Model, model: Model, k: Int, nprobe: Int = 4): DataFrame = {
+    val probed = IVF.probedLists(queries, qidCol, coarse, nprobe)
+    val codes = spark.read.parquet(dir)
+      .filter(col("centroid_id").isin(probed.map(Int.box): _*))
+    searchIvfAdc(codes, queries, idCol, qidCol, coarse, model, k, nprobe)
+  }
+
   /** Residual IVFADC search: like [[searchIvfAdc]] but each (query,
     * probed list) pair carries its OWN lookup table — distances from the
     * query's residual AGAINST THAT LIST's centroid to the codewords, the

@@ -223,6 +223,36 @@ class PqSpec extends SparkSpec {
       s"residual $resDist must beat raw $rawDist on clustered data")
   }
 
+  test("partitioned PQ code index: search equals in-memory and prunes to the probed directories") {
+    val rows = vecs(120, 16)
+    val pq = plantedModel(rows, m = 4, ks = 8)
+    val coarse = IVF.Model(rows.take(6).map(_._2.toArray).toArray)
+    val df = rows.toDF("id", "v")
+    val codes = PQ.encode(IVF.assign(df, "v", coarse), "v", pq)
+      .select(col("id"), col("centroid_id"), col("pq_code"))
+    val dir = java.nio.file.Files.createTempDirectory("pq_part_idx").toString + "/idx"
+    IVF.writeIndexPartitioned(codes, dir)
+    val queries = Seq((0L, rows(9)._2), (1L, rows(44)._2)).toDF("qid", "qvec")
+    val part = PQ.searchIvfAdcPartitioned(spark, dir, queries, "id", "qid",
+      coarse, pq, k = 8, nprobe = 2)
+    val plain = PQ.searchIvfAdc(codes, queries, "id", "qid", coarse, pq,
+      k = 8, nprobe = 2)
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getDouble(2))
+    assert(part.collect().map(key).toSet == plain.collect().map(key).toSet)
+    // scale claims on the executed plan (final AQE section only — the
+    // Initial Plan echo would double-count): probe prune = directory
+    // skipping at the scan, query side broadcast, index side never
+    // shuffles beyond the one top-k exchange
+    val plan = part.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert("PartitionFilters: \\[[^\\]]*centroid_id".r.findFirstIn(plan).isDefined,
+      plan.take(800))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(800))
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1,
+      plan.take(800))
+  }
+
   test("whole-stage codegen survives ks=256 (the Janino 64KB regime)") {
     val rows = vecs(300, 16)
     val dim = 16; val m = 4; val ks = 256; val subDim = dim / m
