@@ -69,4 +69,43 @@ object CountMin {
       element_at(flat, bucketExpr(tok, i, sk.width) + lit(i * sk.width) + 1))
       .reduce(least(_, _))
   }
+
+  /** Persist a sketch as one (depth, width, i, h, c) parquet — the
+    * monitoring-state pattern of the x104 minhash signature store: a
+    * sketch built from today's shard [[Sketch.merge]]s into yesterday's
+    * persisted state without re-reading any history (CMS addition is
+    * commutative and associative), so corpus-frequency monitoring is
+    * ingest-incremental. Dimensions ride every row; [[read]] refuses a
+    * mixed-dimension file rather than merging tables that don't align. */
+  def write(spark: org.apache.spark.sql.SparkSession, sk: Sketch,
+      path: String): Unit = {
+    import spark.implicits._
+    (for { i <- 0 until sk.depth; j <- 0 until sk.width
+           if sk.counts(i)(j) != 0L }
+      yield (sk.depth, sk.width, i, j, sk.counts(i)(j)))
+      .toDF("depth", "width", "i", "h", "c")
+      .repartition(1).write.mode("overwrite").parquet(path)
+  }
+
+  def read(spark: org.apache.spark.sql.SparkSession, path: String): Sketch = {
+    val rows = spark.read.parquet(path)
+      .select(col("depth"), col("width"), col("i"), col("h"), col("c"))
+      .collect()
+    require(rows.nonEmpty, s"empty sketch store at $path")
+    val dims = rows.map(r => (r.getInt(0), r.getInt(1))).distinct
+    require(dims.length == 1, s"mixed sketch dimensions in $path: ${dims.toSeq}")
+    val (depth, width) = dims.head
+    val counts = Array.fill(depth)(new Array[Long](width))
+    rows.foreach(r => counts(r.getInt(2))(r.getInt(3)) = r.getLong(4))
+    Sketch(depth, width, counts)
+  }
+
+  /** Merge a shard's sketch into the persisted state (read → merge →
+    * overwrite; the swap is one tiny file). Returns the merged sketch. */
+  def ingest(spark: org.apache.spark.sql.SparkSession, path: String,
+      shard: Sketch): Sketch = {
+    val merged = read(spark, path).merge(shard)
+    write(spark, merged, path)
+    merged
+  }
 }

@@ -239,6 +239,16 @@ object AnnScaleSmoke {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     println(s"[ann-scale] ADC recall@10 vs brute = " +
       s"${adcSet.intersect(bruteSet).size}/${bruteSet.size}")
+    // partitioned code index: the clustered batch probes a few lists,
+    // so the scan opens only those directories of m-int codes — the
+    // cheapest retrieval shape in the whole portfolio
+    val pqIdx = System.getProperty("java.io.tmpdir") +
+      s"/graft_pq_idx_p${ProcessHandle.current().pid()}"
+    time("PQ writeIndexPartitioned (by centroid_id)")(
+      IVF.writeIndexPartitioned(pqCodes, pqIdx))
+    time(s"IVFADC over partitioned codes (clustered $nq, nprobe=4)")(
+      PQ.searchIvfAdcPartitioned(spark, pqIdx, clustered, "vec_id",
+        "query_id", model, pqModel, k = 10, nprobe = 4).count())
     pqCodes.unpersist()
     spark.stop()
   }

@@ -1340,6 +1340,25 @@ class CountMinSpec extends SparkSpec {
       whole.merge(CountMin.build(toks(a), "t", depth = 3, width = 32))
     }
   }
+
+  test("count-min persisted store: round-trip exact; two-shard ingest equals one-shot") {
+    val a = Seq.fill(6)("p") ++ Seq("q", "r")
+    val b = Seq.fill(3)("q") ++ Seq("p")
+    val dir = java.nio.file.Files.createTempDirectory("cms_store").toString + "/sk"
+    val skA = CountMin.build(toks(a), "t", depth = 3, width = 64)
+    CountMin.write(spark, skA, dir)
+    val back = CountMin.read(spark, dir)
+    assert(back.counts.map(_.toSeq).toSeq == skA.counts.map(_.toSeq).toSeq)
+    // ingest shard B: persisted state must equal the one-shot sketch of A++B
+    CountMin.ingest(spark, dir, CountMin.build(toks(b), "t", depth = 3, width = 64))
+    val merged = CountMin.read(spark, dir)
+    val oneShot = CountMin.build(toks(a ++ b), "t", depth = 3, width = 64)
+    assert(merged.counts.map(_.toSeq).toSeq == oneShot.counts.map(_.toSeq).toSeq)
+    // dimension-mismatch shard refuses at the merge
+    intercept[IllegalArgumentException] {
+      CountMin.ingest(spark, dir, CountMin.build(toks(b), "t", depth = 2, width = 64))
+    }
+  }
 }
 
 class SamplingSpec extends SparkSpec {
