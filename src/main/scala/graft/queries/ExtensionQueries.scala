@@ -2110,6 +2110,26 @@ object ExtensionQueries {
           .otherwise(col("text")).as("text"))
       TextAnalysis.ngramNovelty(docs, ref, "doc_id", "text", n = 3)
         .orderBy(col("doc_id"))
+    }),
+
+    // Langid confusion matrix — the detector-quality readout for the
+    // routing stage (x87's methodology applied to language ID): per
+    // (true, predicted) pair counts and the per-true-language fraction,
+    // so systematic confusions (and the unknown-rate per language) are
+    // one table, not a buried scalar accuracy
+    "x126_langid_confusion" -> ((s, dir) => {
+      val scored = TextAnalysis.languageId(t(s, dir, "documents"))
+        .select(col("lang").as("true_lang"),
+          col("predicted_lang").as("pred_lang"))
+      val cells = scored.groupBy(col("true_lang"), col("pred_lang"))
+        .agg(count(lit(1)).as("n_docs"))
+      val totals = cells.groupBy(col("true_lang"))
+        .agg(sum(col("n_docs")).as("__tot"))
+      cells.join(totals, Seq("true_lang"))
+        .withColumn("frac",
+          round(col("n_docs").cast("double") / col("__tot"), 6))
+        .select(col("true_lang"), col("pred_lang"), col("n_docs"), col("frac"))
+        .orderBy(col("true_lang"), col("pred_lang"))
     }))
 
   /** Planted separable classification fixture for x88/x90: each doc
@@ -5036,6 +5056,16 @@ object ExtensionQueries {
     * x23 repetition) as CTEs — the oracle mirrors the Spark composition
     * stage for stage without duplicating the metric SQL. */
   val oracle: Map[String, String] = oracleBase +
+    ("x126_langid_confusion" ->
+      s"""WITH l AS (${oracleBase("x04_langid")}),
+         |c AS (SELECT lang AS true_lang, predicted_lang AS pred_lang,
+         |    count(*) AS n_docs
+         |  FROM l GROUP BY 1, 2),
+         |t AS (SELECT true_lang, sum(n_docs) AS tot FROM c GROUP BY 1)
+         |SELECT c.true_lang, c.pred_lang, c.n_docs,
+         |  ROUND(CAST(c.n_docs AS DOUBLE) / t.tot, 6) AS frac
+         |FROM c JOIN t USING (true_lang)
+         |ORDER BY c.true_lang, c.pred_lang""".stripMargin) +
     ("x21_corpus_prep" ->
       s"""WITH q AS (${oracleBase("x03_text_quality")}),
          |l AS (${oracleBase("x04_langid")}),
