@@ -326,6 +326,41 @@ object EventStreams {
     * already-published cluster this batch changed.
     * The index must exist — [[graft.ops.IncrementalDedup.buildIndex]] on
     * the historical corpus, or on an empty frame to start cold. */
+  /** Streaming corpus-frequency monitoring: each micro-batch builds a
+    * shard count-min sketch over its (lowercased, whitespace) tokens and
+    * MERGES it into the persisted store ([[graft.ops.CountMin.ingest]] —
+    * CMS addition commutes, so monitoring state advances by one tiny
+    * read-merge-write per batch and history is never re-scanned; the
+    * incremental-dedup-index argument applied to frequencies). A first
+    * batch creates the store.
+    *
+    * Delivery is AT-LEAST-ONCE: a batch replayed after a crash between
+    * the store swap and the checkpoint commit double-counts its
+    * occurrences — CMS cannot subtract. Estimates therefore remain what
+    * they already were: UPPER bounds (the sketch's one-sided error
+    * direction), drifting high by at most the replayed batch. A pipeline
+    * needing exact replay idempotence keys batches through
+    * [[upsertParquetSink]]-style staging instead. */
+  def cmsMonitorSink(docs: DataFrame, textCol: String, storePath: String,
+      checkpoint: String, depth: Int = 4, width: Int = 1024)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val spark = batch.sparkSession
+          val toks = batch.select(explode(
+            graft.ops.TextAnalysis.tokens(lower(col(textCol)))).as("tok"))
+          val shard = graft.ops.CountMin.build(toks, "tok", depth, width)
+          val p = new org.apache.hadoop.fs.Path(storePath)
+          val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          if (fs.exists(p)) graft.ops.CountMin.ingest(spark, storePath, shard)
+          else graft.ops.CountMin.write(spark, shard, storePath)
+          ()
+        }
+      }
+      .start()
+
   def incrementalDedupSink(docs: DataFrame, idCol: String, textCol: String,
       indexRoot: String, reportPath: String, checkpoint: String,
       retractionPath: Option[String] = None)

@@ -554,4 +554,31 @@ class StreamingSpec extends SparkSpec {
       assert(dropped == fullDropped)
     } finally q.stop()
   }
+
+  test("cmsMonitorSink: streamed shard sketches converge to the one-shot batch sketch") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.ops.CountMin
+    val docs = (0 until 40).map(i => (i.toLong, s"tok${i % 5} tok${i % 3} common"))
+    val root = java.nio.file.Files.createTempDirectory("cms_sink").toString
+    val input = MemoryStream[(Long, String)]
+    val q = EventStreams.cmsMonitorSink(
+      input.toDF().toDF("doc_id", "text"), "text",
+      s"$root/store", s"$root/ckpt", depth = 3, width = 128)
+    try {
+      input.addData(docs.take(15): _*)
+      q.processAllAvailable()
+      input.addData(docs.drop(15): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = CountMin.read(spark, s"$root/store")
+    val batchToks = docs.toDF("doc_id", "text")
+      .select(org.apache.spark.sql.functions.explode(graft.ops.TextAnalysis
+        .tokens(org.apache.spark.sql.functions.lower($"text"))).as("tok"))
+    val oneShot = CountMin.build(batchToks, "tok", depth = 3, width = 128)
+    assert(streamed.counts.map(_.toSeq).toSeq == oneShot.counts.map(_.toSeq).toSeq)
+    // and the store answers point queries exactly at this width
+    val est = Seq("common").toDF("t")
+      .select(CountMin.estimateExpr($"t", streamed)).as[Long].head()
+    assert(est == 40L)
+  }
 }
