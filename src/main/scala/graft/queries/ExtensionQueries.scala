@@ -2130,6 +2130,37 @@ object ExtensionQueries {
           round(col("n_docs").cast("double") / col("__tot"), 6))
         .select(col("true_lang"), col("pred_lang"), col("n_docs"), col("frac"))
         .orderBy(col("true_lang"), col("pred_lang"))
+    }),
+
+    // PQ recall-recovery eval: recall@10 of plain ADC vs ADC + exact
+    // re-rank against the exact baseline, per query — the compression
+    // trade AND its two-stage recovery in one driver artifact (the x84
+    // recall-eval methodology applied to the PQ stack)
+    "x127_adc_recall" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val seed = emb.filter(col("vec_id") < 8).orderBy(col("vec_id"))
+        .select(transform(col("embedding"), x => x.cast("double")))
+        .collect().map(_.getSeq[Double](0).toArray)
+      val model = graft.ops.PQ.Model(
+        Array.tabulate(8)(sub => seed.map(_.slice(sub * 8, sub * 8 + 8))))
+      val vectors = emb.select(col("vec_id"), col("embedding"))
+      val codes = graft.ops.PQ.encode(vectors, "embedding", model)
+        .select(col("vec_id"), col("pq_code"))
+      val q = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+      val exact = Similarity.bruteForceKnnBatch(emb, q,
+        "vec_id", "embedding", "query_id", 10)
+      val adc = graft.ops.PQ.searchAdc(codes, q, "vec_id", "query_id",
+        model, 10)
+      val rr = graft.ops.PQ.searchAdcRerank(codes, vectors, q, "vec_id",
+        "query_id", "embedding", model, k = 10, rerank = 4)
+      Similarity.recallAtK(adc, exact, "query_id", "vec_id")
+        .withColumn("path", lit("adc"))
+        .unionByName(Similarity.recallAtK(rr, exact, "query_id", "vec_id")
+          .withColumn("path", lit("adc_rerank")))
+        .select(col("path"), col("query_id"), col("n_exact"),
+          col("n_hit"), col("recall"))
+        .orderBy(col("path"), col("query_id"))
     }))
 
   /** Planted separable classification fixture for x88/x90: each doc
@@ -3856,6 +3887,72 @@ object ExtensionQueries {
         |    x -> len(x) > 0)) AS BIGINT) AS n_tokens,
         |  role = 'assistant' AS train_mask
         |FROM t ORDER BY doc_id, turn_idx""".stripMargin,
+
+    "x127_adc_recall" ->
+      """WITH emb AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |cents AS (SELECT vec_id AS code, v FROM emb WHERE vec_id < 8),
+        |subs AS (SELECT CAST(i AS INT) AS sub FROM UNNEST(range(0, 8)) AS t(i)),
+        |enc AS (
+        |  SELECT e.vec_id, s.sub, c.code,
+        |    list_sum(list_transform(range(1, 9), d ->
+        |      (e.v[s.sub * 8 + CAST(d AS INT)] - c.v[s.sub * 8 + CAST(d AS INT)])
+        |      * (e.v[s.sub * 8 + CAST(d AS INT)] - c.v[s.sub * 8 + CAST(d AS INT)])))
+        |      AS dist
+        |  FROM emb e CROSS JOIN subs s CROSS JOIN cents c),
+        |codes AS (
+        |  SELECT vec_id, sub, code FROM enc
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id, sub
+        |    ORDER BY dist, code) = 1),
+        |q AS (SELECT vec_id AS query_id, v AS qv FROM emb WHERE vec_id < 5),
+        |exact AS (
+        |  SELECT q.query_id, e.vec_id
+        |  FROM emb e CROSS JOIN q
+        |  QUALIFY row_number() OVER (PARTITION BY q.query_id
+        |    ORDER BY ROUND(list_cosine_similarity(e.v, q.qv), 6) DESC,
+        |      e.vec_id) <= 10),
+        |adcd AS (
+        |  SELECT q.query_id, cd.vec_id,
+        |    ROUND(SUM(list_sum(list_transform(range(1, 9), d ->
+        |      (q.qv[cd.sub * 8 + CAST(d AS INT)] - c.v[cd.sub * 8 + CAST(d AS INT)])
+        |      * (q.qv[cd.sub * 8 + CAST(d AS INT)] - c.v[cd.sub * 8 + CAST(d AS INT)])))), 6)
+        |      AS dist
+        |  FROM codes cd JOIN cents c ON c.code = cd.code CROSS JOIN q
+        |  GROUP BY q.query_id, cd.vec_id),
+        |adc AS (SELECT query_id, vec_id FROM adcd
+        |  QUALIFY row_number() OVER (PARTITION BY query_id
+        |    ORDER BY dist, vec_id) <= 10),
+        |short AS (SELECT query_id, vec_id FROM adcd
+        |  QUALIFY row_number() OVER (PARTITION BY query_id
+        |    ORDER BY dist, vec_id) <= 40),
+        |rr AS (
+        |  SELECT s.query_id, e.vec_id
+        |  FROM short s JOIN emb e ON e.vec_id = s.vec_id
+        |  JOIN q ON q.query_id = s.query_id
+        |  QUALIFY row_number() OVER (PARTITION BY s.query_id
+        |    ORDER BY ROUND(list_cosine_similarity(e.v, q.qv), 6) DESC,
+        |      e.vec_id) <= 10),
+        |rec_adc AS (
+        |  SELECT e.query_id, CAST(count(*) AS BIGINT) AS n_exact,
+        |    CAST(sum(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_hit
+        |  FROM exact e LEFT JOIN adc a
+        |    ON a.query_id = e.query_id AND a.vec_id = e.vec_id
+        |  GROUP BY 1),
+        |rec_rr AS (
+        |  SELECT e.query_id, CAST(count(*) AS BIGINT) AS n_exact,
+        |    CAST(sum(CASE WHEN r.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_hit
+        |  FROM exact e LEFT JOIN rr r
+        |    ON r.query_id = e.query_id AND r.vec_id = e.vec_id
+        |  GROUP BY 1)
+        |SELECT 'adc' AS path, query_id, n_exact, n_hit,
+        |  ROUND(CAST(n_hit AS DOUBLE) / n_exact, 6) AS recall FROM rec_adc
+        |UNION ALL
+        |SELECT 'adc_rerank', query_id, n_exact, n_hit,
+        |  ROUND(CAST(n_hit AS DOUBLE) / n_exact, 6) FROM rec_rr
+        |ORDER BY path, query_id""".stripMargin,
 
     "x125_ngram_novelty" ->
       """WITH rtok AS (
