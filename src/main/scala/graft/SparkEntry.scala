@@ -12,7 +12,7 @@ import graft.queries.{ExtensionQueries, ParityQueries}
   * SQL-expressible query (xxhash64-based ops are rows-only by design).
   * Full operator -> query -> check map: /root/repo/COVERAGE.md.
   *
-  * Inventory (169 oracle-checked, 8 rows-only):
+  * Inventory (170 oracle-checked, 8 rows-only):
   *  - q01-q16: scans, filters, CASE chains, datetime, windows (running/
   *    lag/30-day range), grouped stats + broadcast join, anti-join
   *    referential integrity, top-k, dup/null/range/quality checks, upsert,
@@ -93,7 +93,7 @@ import graft.queries.{ExtensionQueries, ParityQueries}
   *    fractions, alpha-word fraction + combined pass), chat
   *    well-formedness validation (role alternation, empty training
   *    targets, preamble surfacing)
-  *  - x115-x126: product quantization (codegen'd encode/LUT/ADC
+  *  - x115-x127: product quantization (codegen'd encode/LUT/ADC
   *    expressions; planted-codebook oracle), DSIR importance weighting
   *    (map-only scoring over driver-state distributions), stupid-backoff
   *    trigram LM (three-tier cascade, all tiers oracle-fired),
@@ -105,7 +105,8 @@ import graft.queries.{ExtensionQueries, ParityQueries}
   *    IVFADC (fused v - centroid quantization, per-probed-list LUTs),
   *    count-min sketch point frequencies (mergeable, md5-portable),
   *    n-gram novelty vs a reference corpus (synthetic-data QA),
-  *    langid confusion matrix (detector-quality routing readout)
+  *    langid confusion matrix (detector-quality routing readout),
+  *    PQ recall-recovery evaluation (ADC vs two-stage re-rank)
   */
 object SparkEntry {
 
