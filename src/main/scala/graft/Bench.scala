@@ -112,11 +112,25 @@ object Bench {
     // per-query load max catches mid-sweep foreign bursts that the
     // start/end samples average away (the r5 q43/q44/q45 blind spot)
     val loadMax = (results.map(_.load) ++ Seq(loadStart, loadEnd)).max
-    val envSuspect = (loadMax >= 0 && loadMax > machineCpus) || repDrift > 1.25
+    // intra-rep spread: the r10 driver sweep shipped env_suspect=false
+    // while individual queries' three reps spanned 15x (x48 ran
+    // 11.58/36.59/176.29s) — SYMMETRIC mid-sweep contention that neither
+    // load>cpus (loadavg maxed at 8.34) nor monotone last/first drift
+    // (0.62 — the slow rep was the middle one) can see. On a quiet host
+    // reps of a >=0.5s query agree within ~1.3x, so a median max/min
+    // ratio above 2 across such queries means something other than our
+    // workload owned the cores mid-sweep. Sub-0.5s queries are excluded:
+    // their spreads are scheduler jitter even on an idle machine.
+    val spreads = results
+      .filter(r => r.runs.size >= 2 && r.runs.min >= 0.5)
+      .map(r => r.runs.max / r.runs.min)
+    val repSpread = if (spreads.isEmpty) 1.0 else r2(median(spreads))
+    val envSuspect = (loadMax >= 0 && loadMax > machineCpus) ||
+      repDrift > 1.25 || repSpread > 2.0
     System.err.println(f"[bench] env: loadavg $loadStart%.2f -> $loadEnd%.2f " +
       f"max=$loadMax%.2f (cpus=$machineCpus) gc=${gcMs}ms " +
-      f"rep_drift=$repDrift%.2f suspect=$envSuspect")
-    val envJson = s""""env":{"loadavg_start":$loadStart,"loadavg_end":$loadEnd,"loadavg_max":${r2(loadMax)},"machine_cpus":$machineCpus,"gc_ms":$gcMs,"rep_drift":$repDrift},"env_suspect":$envSuspect"""
+      f"rep_drift=$repDrift%.2f rep_spread=$repSpread%.2f suspect=$envSuspect")
+    val envJson = s""""env":{"loadavg_start":$loadStart,"loadavg_end":$loadEnd,"loadavg_max":${r2(loadMax)},"machine_cpus":$machineCpus,"gc_ms":$gcMs,"rep_drift":$repDrift,"rep_spread":$repSpread},"env_suspect":$envSuspect"""
     val qs = results.map(r => "\"" + r.name + "\":" + r2(r.med))
       .mkString("{", ",", "}")
     val failed = results.filterNot(_.ok).map("\"" + _.name + "\"")
