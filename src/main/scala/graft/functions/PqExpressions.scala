@@ -55,6 +55,17 @@ object PqLayout {
   * loop (the residual form — the residual vector never materializes). */
 object PqMath {
 
+  /** [[PqAdcDist]] shape guard, shared by eval and codegen: ks is a
+    * constructor argument with no way to derive it from the lut child,
+    * so a LUT built by a different model must fail loudly, not zero. */
+  def checkAdcShape(nCodes: Int, ks: Int, nLut: Int): Unit =
+    if (nCodes * ks != nLut) throw new IllegalArgumentException(
+      s"pq_adc_dist: lut length $nLut != codes($nCodes) * ks($ks) — LUT and ks come from different models")
+
+  def checkAdcCode(code: Int, ks: Int): Unit =
+    if (code < 0 || code >= ks) throw new IllegalArgumentException(
+      s"pq_adc_dist: code $code outside [0, $ks) — corrupt codes or wrong ks")
+
   def encode(x: ArrayData, xf: Boolean, codebooks: Array[Array[Double]],
       m: Int, ks: Int, subDim: Int, coarse: Array[Array[Double]],
       cid: Int): UnsafeArrayData = {
@@ -202,8 +213,12 @@ case class PqLut(child: Expression, codebooks: Array[Array[Double]],
 /** ADC distance: (codes array<int>, lut array<double>) -> double,
   * sum over subspaces of lut[sub*ks + codes[sub]] in subspace order
   * (left-to-right — the accumulation order the oracle's ordered SUM
-  * replays). Codes referencing entries outside the lut contribute 0
-  * (defensive; well-formed [[PqEncode]] output never does). */
+  * replays). The LUT length MUST equal codes.length * ks: `ks` is a
+  * constructor argument the expression cannot derive from the lut
+  * child, so a caller pairing a LUT from one model with the ks of
+  * another would otherwise silently index the wrong entries. Both the
+  * interpreted and codegen paths raise on the mismatch (and on a code
+  * outside [0, ks)) instead of contributing 0. */
 case class PqAdcDist(left: Expression, right: Expression, ks: Int)
     extends BinaryExpression {
 
@@ -222,11 +237,13 @@ case class PqAdcDist(left: Expression, right: Expression, ks: Int)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val codes = a.asInstanceOf[ArrayData]
     val lut = b.asInstanceOf[ArrayData]
+    PqMath.checkAdcShape(codes.numElements(), ks, lut.numElements())
     var sum = 0.0
     var sub = 0
     while (sub < codes.numElements()) {
-      val idx = sub * ks + codes.getInt(sub)
-      if (idx >= 0 && idx < lut.numElements()) sum += lut.getDouble(idx)
+      val code = codes.getInt(sub)
+      PqMath.checkAdcCode(code, ks)
+      sum += lut.getDouble(sub * ks + code)
       sub += 1
     }
     sum
@@ -235,12 +252,14 @@ case class PqAdcDist(left: Expression, right: Expression, ks: Int)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     nullSafeCodeGen(ctx, ev, { (codes, lut) =>
       val sum = ctx.freshName("sum"); val sub = ctx.freshName("sub")
-      val idx = ctx.freshName("idx")
+      val code = ctx.freshName("code")
       s"""
+         |graft.functions.PqMath.checkAdcShape($codes.numElements(), $ks, $lut.numElements());
          |double $sum = 0.0;
          |for (int $sub = 0; $sub < $codes.numElements(); $sub++) {
-         |  int $idx = $sub * $ks + $codes.getInt($sub);
-         |  if ($idx >= 0 && $idx < $lut.numElements()) $sum += $lut.getDouble($idx);
+         |  int $code = $codes.getInt($sub);
+         |  graft.functions.PqMath.checkAdcCode($code, $ks);
+         |  $sum += $lut.getDouble($sub * $ks + $code);
          |}
          |${ev.value} = $sum;
        """.stripMargin
@@ -351,6 +370,9 @@ object PqFunctions {
   def pq_lut(vec: Column, codebooks: Array[Array[Double]], m: Int, ks: Int): Column =
     Bridge.column(PqLut(Bridge.expression(vec), codebooks, m, ks))
 
+  /** `ks` MUST match the model that built `lut` (pq_lut / pq_lut_residual
+    * with the same codebooks); the expression raises at runtime when
+    * `lut.length != codes.length * ks` or a code falls outside [0, ks). */
   def pq_adc_dist(codes: Column, lut: Column, ks: Int): Column =
     Bridge.column(PqAdcDist(Bridge.expression(codes), Bridge.expression(lut), ks))
 

@@ -80,9 +80,14 @@ object CountMin {
   def write(spark: org.apache.spark.sql.SparkSession, sk: Sketch,
       path: String): Unit = {
     import spark.implicits._
-    (for { i <- 0 until sk.depth; j <- 0 until sk.width
-           if sk.counts(i)(j) != 0L }
-      yield (sk.depth, sk.width, i, j, sk.counts(i)(j)))
+    // A sentinel row (i = -1) always carries the dimensions: an all-zero
+    // sketch (e.g. the first micro-batch tokenized to nothing) would
+    // otherwise persist as an EMPTY parquet that read() rejects, wedging
+    // every later ingest() against the store until it's deleted.
+    (Seq((sk.depth, sk.width, -1, -1, 0L)) ++
+      (for { i <- 0 until sk.depth; j <- 0 until sk.width
+             if sk.counts(i)(j) != 0L }
+        yield (sk.depth, sk.width, i, j, sk.counts(i)(j))))
       .toDF("depth", "width", "i", "h", "c")
       .repartition(1).write.mode("overwrite").parquet(path)
   }
@@ -96,7 +101,10 @@ object CountMin {
     require(dims.length == 1, s"mixed sketch dimensions in $path: ${dims.toSeq}")
     val (depth, width) = dims.head
     val counts = Array.fill(depth)(new Array[Long](width))
-    rows.foreach(r => counts(r.getInt(2))(r.getInt(3)) = r.getLong(4))
+    // i = -1 is the dimension sentinel (pre-sentinel stores lack it and
+    // still read fine — they are by construction non-empty)
+    rows.filter(_.getInt(2) >= 0)
+      .foreach(r => counts(r.getInt(2))(r.getInt(3)) = r.getLong(4))
     Sketch(depth, width, counts)
   }
 

@@ -79,7 +79,15 @@ object PQ {
       m: Int = 8, ks: Int = 16, iters: Int = 5): Model = {
     require(m >= 1 && ks >= 1)
     val v = toDouble(col(vecCol))
-    val dim = emb.select(size(col(vecCol))).head().getInt(0)
+    // One aggregate instead of head(): rejects ragged input at training
+    // time. A short vector otherwise yields a (sub, code) mean with fewer
+    // than subDim positions, and the failure only surfaces later in
+    // Model.flat's flatten() — far from the cause.
+    val lens = emb.agg(min(size(col(vecCol))).as("lo"),
+      max(size(col(vecCol))).as("hi")).head()
+    val dim = lens.getInt(0)
+    require(dim == lens.getInt(1),
+      s"ragged $vecCol: lengths span $dim..${lens.getInt(1)}; PQ training requires uniform dimension")
     require(dim % m == 0, s"dim $dim not divisible by m=$m")
     val subDim = dim / m
 

@@ -1359,6 +1359,23 @@ class CountMinSpec extends SparkSpec {
       CountMin.ingest(spark, dir, CountMin.build(toks(b), "t", depth = 2, width = 64))
     }
   }
+
+  test("count-min store: an all-zero sketch round-trips and stays ingestable") {
+    // the first micro-batch of a stream can tokenize to zero tokens; the
+    // persisted all-zero sketch must carry its dimensions (not become an
+    // empty parquet that read() rejects, wedging every later ingest)
+    val dir = java.nio.file.Files.createTempDirectory("cms_zero").toString + "/sk"
+    val zero = CountMin.build(toks(Seq.empty[String]), "t", depth = 3, width = 64)
+    assert(zero.total == 0L)
+    CountMin.write(spark, zero, dir)
+    val back = CountMin.read(spark, dir)
+    assert(back.depth == 3 && back.width == 64 && back.total == 0L)
+    // ingest into the empty store works and equals the shard alone
+    val shard = CountMin.build(toks(Seq("a", "a", "b")), "t", depth = 3, width = 64)
+    CountMin.ingest(spark, dir, shard)
+    assert(CountMin.read(spark, dir).counts.map(_.toSeq).toSeq ==
+      shard.counts.map(_.toSeq).toSeq)
+  }
 }
 
 class SamplingSpec extends SparkSpec {

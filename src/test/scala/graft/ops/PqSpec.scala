@@ -109,6 +109,30 @@ class PqSpec extends SparkSpec {
     assert(code == Seq(1, 0)) // sub0: nearer (0,0); sub1: |2-2| < |2-5|
   }
 
+  test("train rejects ragged input at training time") {
+    // a short vector would otherwise yield a (sub, code) codeword with
+    // fewer than subDim positions and fail much later in Model.flat
+    val df = Seq((1L, Seq(0.1, 0.2, 0.3, 0.4)), (2L, Seq(0.5, 0.6))).toDF("id", "v")
+    val e = intercept[IllegalArgumentException] {
+      PQ.train(df, "id", "v", m = 2, ks = 1, iters = 1)
+    }
+    assert(e.getMessage.contains("ragged"))
+  }
+
+  test("pq_adc_dist raises on a lut/ks shape mismatch instead of zeroing") {
+    val codes = Seq((1L, Seq(0, 1))).toDF("id", "pq_code")
+    // lut of length 4 = 2 subs * ks=2 is fine; claiming ks=3 must raise
+    val lutOk = typedLit(Seq(1.0, 2.0, 3.0, 4.0))
+    assert(codes.select(graft.functions.PqFunctions
+      .pq_adc_dist(col("pq_code"), lutOk, 2).as("d")).head().getDouble(0) == 1.0 + 4.0)
+    val e = intercept[Exception] {
+      codes.select(graft.functions.PqFunctions
+        .pq_adc_dist(col("pq_code"), lutOk, 3).as("d")).head()
+    }
+    assert(e.getMessage.contains("pq_adc_dist") ||
+      Option(e.getCause).exists(_.getMessage.contains("pq_adc_dist")))
+  }
+
   test("float input columns encode identically to double") {
     val rows = vecs(20, 16)
     val model = plantedModel(rows, m = 4, ks = 8)
