@@ -1,0 +1,171 @@
+package graft.functions
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+
+import org.apache.spark.sql.graftbridge.Bridge
+
+/** The PORTABLE (md5) shingle/minhash hash family — the cross-engine
+  * twin of [[ShingleHashes]]/xxhash64 minhash, built so an external
+  * system (or the DuckDB oracle) replays every value from the formula
+  * alone, the same portability contract as the hashed-logreg features
+  * and DSIR buckets (md5, not xxhash64, because md5 is the one hash
+  * both engines spell identically).
+  *
+  * Value definition, replayable as SQL:
+  * {{{
+  *   h60(s)      = CAST('0x' || substring(md5(s), 1, 15) AS BIGINT)
+  *   shingle p   = space-joined tokens[p .. p+w-1]   (n <= w -> ONE
+  *                 whole-text shingle, including empty docs — the
+  *                 [[ShingleHashes]] window semantics)
+  *   sig[j]      = min over DISTINCT shingle hashes h of
+  *                 h60(j || ':' || CAST(h AS VARCHAR))      j in [0, k)
+  * }}}
+  * 15 hex digits = the md5 digest's first 60 bits: non-negative in a
+  * BIGINT on both engines (16 digits would overflow DuckDB's signed
+  * CAST on half of all hashes).
+  *
+  * Both expressions run ONE per-row primitive loop over a reused
+  * MessageDigest — the builtin-HOF spelling (transform + md5 + conv per
+  * element) pays interpreted lambda dispatch AND per-call digest
+  * allocation, measured unusable at bench scale for k=32. Production
+  * dedup stays on the xxhash64 family ([[ShingleHashes]] +
+  * [[MinHashSigs]]: no string materialization at all); this family is
+  * the ORACLE-CHECKABLE surface, and the two are pinned to recover the
+  * same planted near-duplicate pairs by spec. CodegenFallback for the
+  * same reason as [[ShingleHashes]]: per-row overhead once, the row's
+  * work is already a tight loop.
+  */
+private[graft] object Md5Family {
+
+  /** First 60 bits of md5(bytes) as a non-negative long. */
+  def h60(md: MessageDigest, bytes: Array[Byte]): Long = {
+    val d = md.digest(bytes)
+    // first 8 bytes big-endian, dropped low nibble = first 15 hex digits
+    var v = 0L
+    var i = 0
+    while (i < 8) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
+    v >>> 4
+  }
+
+  def utf8(s: String): Array[Byte] = s.getBytes("UTF-8")
+}
+
+/** `array<string> tokens -> array<long>`: md5-family hashed w-shingles,
+  * window semantics identical to [[ShingleHashes]] (n > w -> n-w+1
+  * windows; n <= w, including 0, -> 1 whole-text shingle). Null token
+  * slots join as the empty string. */
+case class Md5ShingleHashes(child: Expression, w: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  require(w > 0, "shingle width must be positive")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"requires array<string>, got $other")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(t: Any): Any = {
+    val arr = t.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val toks = new Array[String](n)
+    var i = 0
+    while (i < n) {
+      toks(i) = if (arr.isNullAt(i)) "" else arr.getUTF8String(i).toString
+      i += 1
+    }
+    val md = MessageDigest.getInstance("MD5")
+    val m = if (n > w) n - w + 1 else 1
+    val out = new Array[Long](m)
+    val sb = new java.lang.StringBuilder
+    var p = 0
+    while (p < m) {
+      sb.setLength(0)
+      var k = p
+      val end = math.min(p + w, n)
+      while (k < end) {
+        if (k > p) sb.append(' ')
+        sb.append(toks(k))
+        k += 1
+      }
+      out(p) = Md5Family.h60(md, Md5Family.utf8(sb.toString))
+      p += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `array<long> shingleHashes -> array<long>` of k md5-family minhash
+  * values: sig[j] = min over DISTINCT input hashes of
+  * h60(j + ":" + hash). Distinctness is applied internally (min is
+  * idempotent under duplicates, so this only saves work). Empty input
+  * arrays cannot occur from [[Md5ShingleHashes]] (it emits >= 1
+  * shingle); they yield null for safety. */
+case class Md5MinHashSigs(child: Expression, k: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  require(k > 0, "signature length must be positive")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"requires array<long>, got $other")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(t: Any): Any = {
+    val arr = t.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    if (n == 0) return null
+    val seen = new java.util.HashSet[Long](n * 2)
+    val hs = new Array[Long](n)
+    var nd = 0
+    var i = 0
+    while (i < n) {
+      val h = arr.getLong(i)
+      if (seen.add(h)) { hs(nd) = h; nd += 1 }
+      i += 1
+    }
+    val md = MessageDigest.getInstance("MD5")
+    val out = new Array[Long](k)
+    var j = 0
+    while (j < k) {
+      val prefix = j.toString + ":"
+      var best = Long.MaxValue
+      var d = 0
+      while (d < nd) {
+        val v = Md5Family.h60(md, Md5Family.utf8(prefix + hs(d).toString))
+        if (v < best) best = v
+        d += 1
+      }
+      out(j) = best
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object Md5ShingleFunctions {
+  def md5_shingle_hashes(tokens: Column, w: Int): Column =
+    Bridge.column(Md5ShingleHashes(Bridge.expression(tokens), w))
+
+  def md5_minhash_sigs(shingleHashes: Column, k: Int): Column =
+    Bridge.column(Md5MinHashSigs(Bridge.expression(shingleHashes), k))
+}

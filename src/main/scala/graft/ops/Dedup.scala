@@ -282,6 +282,51 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
+  /** [[minhashLshPairs]] on the PORTABLE md5 hash family
+    * ([[graft.functions.Md5ShingleHashes]] / [[Md5MinHashSigs]]): the
+    * same shingle -> k-minhash -> band-bucket -> candidate -> exact-
+    * Jaccard pipeline, with every hash value replayable from the formula
+    * alone (`h60(s) = CAST('0x'||substring(md5(s),1,15) AS BIGINT)`), so
+    * an external engine — the DuckDB oracle in particular — reproduces
+    * the full output including the candidate set. Band buckets need no
+    * hash at all here: the bucket KEY is the comma-joined signature
+    * slice (grouping on a string key is family-neutral and replayable;
+    * the xxhash64 family hashes the slice only to compress the shuffle
+    * key to 8 bytes). Same shuffle shape and skew guard as the xxhash64
+    * path; the md5 work is ~1+k short digests per shingle in one
+    * per-row primitive loop. Production dedup should prefer
+    * [[minhashLshPairs]] (faster hashing, no shingle strings); the two
+    * families are pinned to recover the same planted near-dup pairs by
+    * spec. */
+  def minhashLshPairsPortable(df: DataFrame, idCol: String, textCol: String,
+      shingleW: Int = 5, k: Int = 32, bands: Int = 8,
+      threshold: Double = 0.5, maxBucketSize: Int = 256): DataFrame = {
+    require(k % bands == 0, s"k=$k must divide into bands=$bands")
+    val r = k / bands
+    import graft.functions.Md5ShingleFunctions._
+    val sigs = df.select(col(idCol).as("id"),
+        md5_minhash_sigs(md5_shingle_hashes(
+          TextAnalysis.tokens(col(textCol)), shingleW), k).as("sig"))
+      .filter(col("sig").isNotNull)
+    val buckets = sigs
+      .withColumn("bb", explode(array((0 until bands).map(b =>
+        struct(lit(b).as("band"),
+          concat_ws(",", transform(slice(col("sig"), b * r + 1, r),
+            x => x.cast("string"))).as("bucket"))): _*)))
+      .select(col("id"), col("bb.band"), col("bb.bucket"))
+    val cand = bucketCandidates(buckets, maxBucketSize).persist()
+    cand.count()
+    val candIds = cand.select(col("id_a").as("jid"))
+      .unionByName(cand.select(col("id_b").as("jid"))).distinct()
+    val sh = df.join(candIds, col(idCol) === col("jid"), "left_semi")
+      .select(col(idCol).as("id"),
+        array_distinct(md5_shingle_hashes(
+          TextAnalysis.tokens(col(textCol)), shingleW)).as("sh"))
+    jaccardOnPairs(cand, sh)
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
   /** Exact shingle-set Jaccard for explicit candidate pairs given a per-id
     * shingle frame `(id, sh)`. Returns (id_a, id_b, jaccard) with jaccard
     * UNROUNDED so callers filter at full precision before display rounding.

@@ -9,12 +9,16 @@ import graft.ops.{Dedup, IncrementalDedup, IVF, Multimodal, Similarity, TextAnal
   * extension operators (dedup, similarity search, text analysis) over the
   * `documents` and `embeddings` tables.
   *
-  * Queries whose implementation depends on xxhash64 (MinHash, SimHash,
-  * fingerprints, SRP-LSH) have no DuckDB equivalent and are intentionally
-  * absent from `oracle` — the driver records a rows-only check for them.
-  * The near-dup queries synthesize their duplicates deterministically (a
-  * mutated copy of part of the corpus) so the detectors provably find
-  * planted pairs at every scale factor.
+  * Queries whose implementation hashes DATA with xxhash64 (MinHash, SimHash,
+  * fingerprints) have no DuckDB equivalent and are intentionally absent
+  * from `oracle` — the driver records a rows-only check for them. The
+  * SRP-LSH queries (x10/x19) are the exception since r11: their hyperplane
+  * signs are data-independent XXH64 chains over (plane, dim) indices, so
+  * the oracle embeds the DERIVED sign matrix as literals and replays the
+  * bucketing exactly (see `srpPlaneLit`). The near-dup queries synthesize
+  * their duplicates deterministically (a mutated copy of part of the
+  * corpus) so the detectors provably find planted pairs at every scale
+  * factor.
   */
 object ExtensionQueries {
 
@@ -152,9 +156,12 @@ object ExtensionQueries {
       TextAnalysis.fingerprint(t(s, dir, "documents"), "doc_id", "text")
         .select(col("doc_id"), col("fp_min"), col("fp_max"), col("fp_xor"))),
 
-    // MinHash+LSH near-dup pairs over planted corpus (rows-only check)
+    // MinHash+LSH near-dup pairs over planted corpus. Runs the PORTABLE
+    // md5 hash family (oracle-checked since r11: every minhash value and
+    // band bucket is DuckDB-replayable); the xxhash64 production family
+    // is pinned same-planted-pair-recovery by spec.
     "x06_minhash_pairs" -> ((s, dir) =>
-      Dedup.minhashLshPairs(nearDupCorpus(t(s, dir, "documents")),
+      Dedup.minhashLshPairsPortable(nearDupCorpus(t(s, dir, "documents")),
         "doc_id", "text", shingleW = 3, k = 32, bands = 8, threshold = 0.4)
         .orderBy(col("id_a"), col("id_b"))),
 
@@ -180,7 +187,8 @@ object ExtensionQueries {
       Similarity.bruteForceKnn(emb, q, "vec_id", "embedding", 20)
     }),
 
-    // SRP-LSH bucketed ANN (scale path; xxhash64 planes — rows-only check)
+    // SRP-LSH bucketed ANN (scale path; oracle-checked since r11 — the
+    // data-independent plane signs are embedded in the oracle as literals)
     "x10_knn_lsh" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qvec"))
@@ -289,8 +297,8 @@ object ExtensionQueries {
     }),
 
     // Embedding-cosine near-dup pairs via banded SRP-LSH (the scale path;
-    // xxhash64-derived hyperplanes -> rows-only check; recall asserted in
-    // spec against the exact baseline)
+    // oracle-checked since r11 via the derived-sign-matrix oracle; recall
+    // additionally asserted in spec against the exact baseline)
     "x19_embedding_dedup_lsh" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val corpus = embDupCorpus(emb)
@@ -2221,7 +2229,123 @@ object ExtensionQueries {
       |       FROM w2 LEFT JOIN g3 ON w2.b = g3.b, nn),
       |b3 AS (SELECT ROUND((SELECT w FROM b2) - 0.5 * (SELECT sum(r) FROM r3) / nn.n, 6) AS w FROM nn)""".stripMargin
 
+  // ---- SRP-LSH oracle support (r11) ---------------------------------------
+  // The SRP hyperplane signs are DATA-INDEPENDENT constants: component
+  // (j, d) is +-1 by the low bit of XXH64.hashLong(d, XXH64.hashLong(j, 42))
+  // (see graft.functions.SrpSignature). That makes the whole matrix
+  // derivable at oracle-build time — the x120 planted-codebook trick
+  // applied to SRP: the oracle SQL embeds the DERIVED +-1 literals, so
+  // DuckDB replays sign(<v, plane_j>) with no xxhash64 of DATA anywhere.
+  // Dimension is fixed at the embeddings table's 64 (the oracle only runs
+  // at the driver's sf, same contract as the other embedding oracles).
+
+  private def srpPlaneLit(j: Int, dim: Int): String =
+    (0 until dim).map { d =>
+      val h = org.apache.spark.sql.catalyst.expressions.XXH64
+        .hashLong(d.toLong, org.apache.spark.sql.catalyst.expressions.XXH64
+          .hashLong(j.toLong, 42L))
+      if ((h & 1L) == 1L) "1.0" else "-1.0"
+    }.mkString("[", ",", "]")
+
+  /** SQL expression for the packed `planes`-bit SRP signature of `vExpr`
+    * (a DOUBLE[] column) — bit j set when <v, plane_j> > 0, exactly
+    * [[graft.functions.SrpSignature]]'s packing. */
+  private def srpSigSql(vExpr: String, planes: Int, dim: Int): String =
+    (0 until planes).map { j =>
+      s"(CASE WHEN list_dot_product($vExpr, ${srpPlaneLit(j, dim)}) > 0 THEN ${1L << j} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+
+  /** The banded-bucket candidate legs of [[Dedup.bucketCandidates]] in SQL
+    * over a `bb(id, band, bucket)` CTE: size each (band, bucket), all-pairs
+    * inside buckets <= `maxBucketSize`, star pairs to bmin/bmax inside hot
+    * ones, distinct union — the exact operator shape, both legs. */
+  private val bucketCandidatesSql: String =
+    """sized AS (
+      |  SELECT band, bucket, count(*) AS bsz, min(id) AS bmin, max(id) AS bmax
+      |  FROM bb GROUP BY 1, 2),
+      |bj AS (SELECT bb.id, bb.band, bb.bucket, s.bsz, s.bmin, s.bmax
+      |  FROM bb JOIN sized s USING (band, bucket)),
+      |cand AS (
+      |  SELECT DISTINCT id_a, id_b FROM (
+      |    SELECT a.id AS id_a, b.id AS id_b
+      |    FROM bj a JOIN bj b ON a.band = b.band AND a.bucket = b.bucket
+      |      AND a.id < b.id
+      |    WHERE a.bsz <= 256
+      |    UNION ALL
+      |    SELECT bmin AS id_a, id AS id_b FROM bj WHERE bsz > 256 AND id <> bmin
+      |    UNION ALL
+      |    SELECT id AS id_a, bmax AS id_b FROM bj WHERE bsz > 256 AND id <> bmax))""".stripMargin
+
   private val oracleBase: Map[String, String] = Map(
+
+    "x06_minhash_pairs" ->
+      ("""WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 10000,
+        |    array_to_string(list_slice(toks, 1, CAST(floor(len(toks) * 0.8) AS INT)), ' ')
+        |  FROM (SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), x -> len(x) > 0) AS toks
+        |        FROM documents WHERE doc_id < 50)),
+        |tok AS (SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), x -> len(x) > 0) AS toks
+        |        FROM corpus),
+        |shs AS (SELECT doc_id,
+        |    CASE WHEN len(toks) <= 3 THEN [array_to_string(toks, ' ')]
+        |      ELSE list_transform(range(0, len(toks) - 2),
+        |        i -> array_to_string(list_slice(toks, i + 1, i + 3), ' ')) END AS shingles
+        |  FROM tok),
+        |sh AS (SELECT doc_id,
+        |    list_distinct(list_transform(shingles,
+        |      s -> CAST('0x' || substring(md5(s), 1, 15) AS BIGINT))) AS sh
+        |  FROM shs),
+        |sig AS (SELECT doc_id, list_transform(range(0, 32), j ->
+        |    list_min(list_transform(sh, h -> CAST('0x' || substring(
+        |      md5(CAST(j AS VARCHAR) || ':' || CAST(h AS VARCHAR)), 1, 15) AS BIGINT)))) AS sig
+        |  FROM sh),
+        |bb AS (SELECT doc_id AS id, CAST(b AS INT) AS band,
+        |    array_to_string(list_slice(sig, CAST(b AS INT) * 4 + 1, CAST(b AS INT) * 4 + 4), ',') AS bucket
+        |  FROM sig CROSS JOIN range(0, 8) r(b)),
+        |""".stripMargin + bucketCandidatesSql + """,
+        |jac AS (SELECT c.id_a, c.id_b,
+        |    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+        |      len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
+        |  FROM cand c JOIN sh a ON a.doc_id = c.id_a JOIN sh b ON b.doc_id = c.id_b)
+        |SELECT id_a, id_b, ROUND(jaccard, 6) AS jaccard
+        |FROM jac WHERE jaccard >= 0.4 ORDER BY id_a, id_b""".stripMargin),
+
+    "x10_knn_lsh" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |sig AS (SELECT vec_id, v, ${srpSigSql("v", 6, 64)} AS bucket FROM e),
+         |q AS (SELECT v AS qvec, bucket AS qb FROM sig WHERE vec_id = 0),
+         |probes AS (
+         |  SELECT DISTINCT xor(CAST(qb AS BIGINT), CAST(f AS BIGINT)) AS bucket, qvec
+         |  FROM q CROSS JOIN (VALUES (0),(1),(2),(4),(8),(16),(32)) t(f)),
+         |cand AS (
+         |  SELECT s.vec_id, s.v, p.qvec
+         |  FROM sig s JOIN probes p ON CAST(s.bucket AS BIGINT) = p.bucket)
+         |SELECT vec_id, ROUND(list_cosine_similarity(v, qvec), 6) AS cosine_sim
+         |FROM cand ORDER BY cosine_sim DESC, vec_id LIMIT 20""".stripMargin,
+
+    "x19_embedding_dedup_lsh" ->
+      (s"""WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |corpus AS (
+         |  SELECT vec_id, v FROM base
+         |  UNION ALL
+         |  SELECT vec_id + 10000,
+         |    list_transform(range(0, len(v)), i -> v[i + 1] * (1.0 + 0.05 * ((i % 3) - 1)))
+         |  FROM base WHERE vec_id < 25),
+         |sig AS (SELECT vec_id, v, ${srpSigSql("v", 32, 64)} AS sg FROM corpus),
+         |bb AS (
+         |  ${(0 until 4).map(b =>
+            s"SELECT vec_id AS id, $b AS band, (sg // ${1L << (b * 8)}) % 256 AS bucket FROM sig")
+            .mkString("\n  UNION ALL ")}),
+         |""".stripMargin + bucketCandidatesSql + """
+         |SELECT c.id_a, c.id_b,
+         |  ROUND(list_cosine_similarity(va.v, vb.v), 6) AS cosine_sim
+         |FROM cand c
+         |JOIN corpus va ON va.vec_id = c.id_a
+         |JOIN corpus vb ON vb.vec_id = c.id_b
+         |WHERE ROUND(list_cosine_similarity(va.v, vb.v), 6) >= 0.9
+         |ORDER BY c.id_a, c.id_b""".stripMargin),
 
     // NOTE: the shared CTEs are concatenated AFTER their own stripMargin —
     // interpolating them under an outer stripMargin would re-strip any CTE

@@ -261,6 +261,58 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("portable md5 family recovers the same duplicate pairs as xxhash64") {
+    // different hash family -> different buckets, but the planted
+    // duplicates must be recovered by BOTH (the exact-Jaccard verify is
+    // family-neutral, so agreeing pairs carry identical jaccard values)
+    def run(f: (org.apache.spark.sql.DataFrame, String, String, Int, Int, Int,
+        Double, Int) => org.apache.spark.sql.DataFrame) =
+      f(docs, "doc_id", "text", 2, 32, 16, 0.5, 256)
+        .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)]
+        .collect().toSet
+    val xx = run(Dedup.minhashLshPairs)
+    val md = run(Dedup.minhashLshPairsPortable)
+    assert(md.contains(xx.find(p => p._1 == 1L && p._2 == 2L).get))
+    assert(!md.exists(p => p._1 == 4L || p._2 == 4L))
+    // candidate sets may differ across families; verified pairs agree on
+    // the planted duplicates (jaccard is computed from the same shingle
+    // SETS modulo 60-vs-64-bit hash collisions)
+    assert(xx.map(p => (p._1, p._2)) == md.map(p => (p._1, p._2)))
+  }
+
+  test("md5 shingle hashes follow the documented portable formula") {
+    // h60(s) = first 15 hex digits of md5(s) — the exact value an
+    // external SQL engine derives from the formula in the scaladoc
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h60(s: String): Long =
+      java.lang.Long.parseLong(
+        md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+          .substring(0, 15), 16)
+    val out = Seq((1L, "alpha beta gamma delta"))
+      .toDF("doc_id", "text")
+      .select(graft.functions.Md5ShingleFunctions.md5_shingle_hashes(
+        graft.ops.TextAnalysis.tokens($"text"), 2).as("sh"))
+      .head().getSeq[Long](0)
+    assert(out == Seq(h60("alpha beta"), h60("beta gamma"), h60("gamma delta")))
+    // n <= w -> one whole-text shingle; empty text -> h60("")
+    val whole = Seq((1L, "alpha beta")).toDF("doc_id", "text")
+      .select(graft.functions.Md5ShingleFunctions.md5_shingle_hashes(
+        graft.ops.TextAnalysis.tokens($"text"), 3).as("sh"))
+      .head().getSeq[Long](0)
+    assert(whole == Seq(h60("alpha beta")))
+    val empty = Seq((1L, "  ")).toDF("doc_id", "text")
+      .select(graft.functions.Md5ShingleFunctions.md5_shingle_hashes(
+        graft.ops.TextAnalysis.tokens($"text"), 3).as("sh"))
+      .head().getSeq[Long](0)
+    assert(empty == Seq(h60("")))
+    // minhash: sig[j] = min over distinct hashes of h60(j + ":" + h)
+    val hs = Seq(h60("alpha beta"), h60("beta gamma"))
+    val sig = Seq(Tuple1(hs)).toDF("sh")
+      .select(graft.functions.Md5ShingleFunctions.md5_minhash_sigs($"sh", 3).as("sig"))
+      .head().getSeq[Long](0)
+    assert(sig == (0 until 3).map(j => hs.map(h => h60(s"$j:$h")).min))
+  }
+
   test("identical docs share identical minhash signatures -> jaccard 1.0") {
     val j = Dedup.minhashLshPairs(docs, "doc_id", "text",
       shingleW = 2, k = 16, bands = 8, threshold = 0.99)
