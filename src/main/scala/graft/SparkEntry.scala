@@ -9,10 +9,13 @@ import graft.queries.{ExtensionQueries, ParityQueries}
   * `queries` exposes every implemented operator (reference parity from
   * SURVEY.md §2 via [[ParityQueries]], training-data-pipeline extensions via
   * [[ExtensionQueries]]); `oracleSql` holds the DuckDB equivalent for every
-  * SQL-expressible query (xxhash64-based ops are rows-only by design).
+  * SQL-expressible query. Since r11 only x15/x27 are rows-only (trained
+  * k-means centroids, float-summation-order dependent — the irreducible
+  * core); the former xxhash64-keyed set runs portable md5 hash families
+  * or literal-matrix SRP oracles instead.
   * Full operator -> query -> check map: /root/repo/COVERAGE.md.
   *
-  * Inventory (170 oracle-checked, 8 rows-only):
+  * Inventory (176 oracle-checked, 2 rows-only):
   *  - q01-q16: scans, filters, CASE chains, datetime, windows (running/
   *    lag/30-day range), grouped stats + broadcast join, anti-join
   *    referential integrity, top-k, dup/null/range/quality checks, upsert,

@@ -162,7 +162,60 @@ case class Md5MinHashSigs(child: Expression, k: Int)
     copy(child = newChild)
 }
 
+/** `array<string> tokens -> long`: 60-bit md5-family SimHash — bit b of
+  * the output is set when sum over token OCCURRENCES (duplicates count,
+  * matching [[SimHash64]]/the explode+aggregate formulation) of
+  * (bit b of h60(token) ? +1 : -1) is positive. 60 bits (not 64) so the
+  * packed value and every per-token hash stay non-negative in a signed
+  * BIGINT on both engines — the same reason [[Md5Family.h60]] takes 15
+  * hex digits. Empty token arrays yield null (token-less docs emit no
+  * signature, mirroring [[SimHash64]]). */
+case class Md5SimHash60(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"requires array<string>, got $other")
+  }
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(t: Any): Any = {
+    val arr = t.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    if (n == 0) return null
+    val md = MessageDigest.getInstance("MD5")
+    val votes = new Array[Int](60)
+    var i = 0
+    while (i < n) {
+      val s = if (arr.isNullAt(i)) "" else arr.getUTF8String(i).toString
+      val h = Md5Family.h60(md, Md5Family.utf8(s))
+      var b = 0
+      while (b < 60) {
+        votes(b) += (if (((h >>> b) & 1L) == 1L) 1 else -1)
+        b += 1
+      }
+      i += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 60) {
+      if (votes(b) > 0) sig |= (1L << b)
+      b += 1
+    }
+    sig
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object Md5ShingleFunctions {
+  def md5_simhash60(tokens: Column): Column =
+    Bridge.column(Md5SimHash60(Bridge.expression(tokens)))
+
   def md5_shingle_hashes(tokens: Column, w: Int): Column =
     Bridge.column(Md5ShingleHashes(Bridge.expression(tokens), w))
 

@@ -379,11 +379,37 @@ object Dedup {
     * chunks (pigeonhole: hamming<=3 pairs share at least one exact chunk),
     * bucket-join, then exact hamming filter via bit_count(xor). */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3, maxBucketSize: Int = 256): DataFrame =
+    simhashPairsFromSigs(simhash(df, idCol, textCol), chunkBits = 16,
+      maxHamming = maxHamming, maxBucketSize = maxBucketSize)
+
+  /** [[simhashPairs]] on the PORTABLE md5 hash family: a 60-bit SimHash
+    * ([[graft.functions.Md5SimHash60]] — 60 bits so the signature and
+    * every per-token hash stay non-negative in a signed BIGINT on both
+    * engines) banded into four 15-bit chunks, same candidate/verify
+    * pipeline. Every value is replayable from the md5 formula alone, so
+    * the DuckDB oracle reproduces the full output. Production near-dup
+    * detection should prefer [[simhashPairs]] (xxhash64, no string
+    * digesting); this family is the oracle-checkable surface. */
+  def simhashPairsPortable(df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3, maxBucketSize: Int = 256): DataFrame = {
-    val sh = simhash(df, idCol, textCol)
+    val sh = df.select(col(idCol).as("id"),
+        graft.functions.Md5ShingleFunctions
+          .md5_simhash60(TextAnalysis.tokens(col(textCol))).as("simhash"))
+      .filter(col("simhash").isNotNull)
+    simhashPairsFromSigs(sh, chunkBits = 15,
+      maxHamming = maxHamming, maxBucketSize = maxBucketSize)
+  }
+
+  /** The shared band/bucket/star-anchor/hamming-verify pipeline behind
+    * both simhash families: `sh` is (id, simhash), `chunkBits` the band
+    * width (4 bands packed low-to-high). */
+  private def simhashPairsFromSigs(sh: DataFrame, chunkBits: Int,
+      maxHamming: Int, maxBucketSize: Int): DataFrame = {
+    val mask = (1L << chunkBits) - 1
     val banded = sh.withColumn("bb", explode(array((0 until 4).map(b =>
         struct(lit(b).as("band"),
-          shiftright(col("simhash"), b * 16).bitwiseAND(0xFFFFL).as("chunk"))): _*)))
+          shiftright(col("simhash"), b * chunkBits).bitwiseAND(mask).as("chunk"))): _*)))
       .select(col("id"), col("simhash"), col("bb.band"), col("bb.chunk"))
     // same dual-consumer materialization as [[bucketCandidates]]: the
     // 64-sum simhash aggregate must not run once per consumer

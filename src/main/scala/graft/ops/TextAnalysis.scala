@@ -1633,6 +1633,26 @@ object TextAnalysis {
       .drop("__fp")
   }
 
+  /** [[fingerprint]] on the PORTABLE md5 hash family
+    * ([[graft.functions.Md5ShingleHashes]]): identical min/max/xor
+    * reduction over w-token shingles whose hashes an external engine
+    * derives from `h60(s) = CAST('0x'||substring(md5(s),1,15) AS
+    * BIGINT)` — the oracle-checkable twin (same contract as the
+    * portable minhash/simhash families; production fingerprinting
+    * should prefer [[fingerprint]]'s xxhash64 rolling combine, which
+    * never materializes shingle strings). */
+  def fingerprintPortable(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", w: Int = 8): DataFrame = {
+    val fp = graft.functions.MinMaxXorFunctions.min_max_xor(
+      graft.functions.Md5ShingleFunctions.md5_shingle_hashes(
+        tokens(col(textCol)), w))
+    df.withColumn("__fp", fp)
+      .withColumn("fp_min", col("__fp.min"))
+      .withColumn("fp_max", col("__fp.max"))
+      .withColumn("fp_xor", col("__fp.xor"))
+      .drop("__fp")
+  }
+
   /** The explode + grouped min/max/bit_xor formulation — the cross-check
     * reference for [[fingerprint]] (same values, one extra exchange). */
   private[graft] def fingerprintAgg(df: DataFrame, idCol: String = "doc_id",

@@ -151,9 +151,12 @@ object ExtensionQueries {
         .select(col("doc_id"), col("lang"), col("predicted_lang"),
           (col("predicted_lang") === col("lang")).as("lang_match"))),
 
-    // Rolling-hash fingerprint (xxhash64 — rows-only check)
+    // Document fingerprint (min/max/xor over 8-token shingle hashes).
+    // Runs the PORTABLE md5 family (oracle-checked since r11); the
+    // xxhash64 rolling-combine production path keeps its bit-identity
+    // spec against the explode+aggregate formulation.
     "x05_fingerprint" -> ((s, dir) =>
-      TextAnalysis.fingerprint(t(s, dir, "documents"), "doc_id", "text")
+      TextAnalysis.fingerprintPortable(t(s, dir, "documents"), "doc_id", "text")
         .select(col("doc_id"), col("fp_min"), col("fp_max"), col("fp_xor"))),
 
     // MinHash+LSH near-dup pairs over planted corpus. Runs the PORTABLE
@@ -165,9 +168,11 @@ object ExtensionQueries {
         "doc_id", "text", shingleW = 3, k = 32, bands = 8, threshold = 0.4)
         .orderBy(col("id_a"), col("id_b"))),
 
-    // SimHash near-dup pairs over planted corpus (rows-only check)
+    // SimHash near-dup pairs over planted corpus. Runs the PORTABLE
+    // 60-bit md5 family (oracle-checked since r11); the 64-bit xxhash64
+    // production family keeps its own bit-identity + recovery specs.
     "x07_simhash_pairs" -> ((s, dir) =>
-      Dedup.simhashPairs(nearDupCorpus(t(s, dir, "documents")),
+      Dedup.simhashPairsPortable(nearDupCorpus(t(s, dir, "documents")),
         "doc_id", "text", maxHamming = 6)
         .orderBy(col("id_a"), col("id_b"))),
 
@@ -202,11 +207,14 @@ object ExtensionQueries {
         TextAnalysis.tokenCount(col("text")).cast("long").as("token_cnt"),
         TextAnalysis.subwordCount(col("text")).cast("long").as("subword_cnt"))),
 
-    // Duplicate-cluster resolution over LSH pairs (connected components;
-    // rows-only check)
+    // Duplicate-cluster resolution over LSH pairs (connected components).
+    // Pairs come from the portable md5 family, so the oracle replays the
+    // whole chain: pair generation (the x06 SQL) + a recursive-CTE
+    // transitive closure with min-label components (oracle-checked
+    // since r11).
     "x12_dedup_clusters" -> ((s, dir) => {
       val corpus = nearDupCorpus(t(s, dir, "documents"))
-      val pairs = Dedup.minhashLshPairs(corpus, "doc_id", "text",
+      val pairs = Dedup.minhashLshPairsPortable(corpus, "doc_id", "text",
         shingleW = 3, k = 32, bands = 8, threshold = 0.4)
       Dedup.resolveClusters(pairs).orderBy(col("id"))
     }),
@@ -2276,10 +2284,10 @@ object ExtensionQueries {
       |    UNION ALL
       |    SELECT id AS id_a, bmax AS id_b FROM bj WHERE bsz > 256 AND id <> bmax))""".stripMargin
 
-  private val oracleBase: Map[String, String] = Map(
-
-    "x06_minhash_pairs" ->
-      ("""WITH corpus AS (
+  /** The full x06 pair query — also the pair-generation CTE of x12's
+    * recursive-closure oracle. */
+  private val minhashPairsPortableSql: String =
+    ("""WITH corpus AS (
         |  SELECT doc_id, text FROM documents
         |  UNION ALL
         |  SELECT doc_id + 10000,
@@ -2310,7 +2318,70 @@ object ExtensionQueries {
         |      len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
         |  FROM cand c JOIN sh a ON a.doc_id = c.id_a JOIN sh b ON b.doc_id = c.id_b)
         |SELECT id_a, id_b, ROUND(jaccard, 6) AS jaccard
-        |FROM jac WHERE jaccard >= 0.4 ORDER BY id_a, id_b""".stripMargin),
+        |FROM jac WHERE jaccard >= 0.4 ORDER BY id_a, id_b""".stripMargin)
+
+  /** 60-bit md5-family SimHash of a `hs` (per-token 60-bit hash list)
+    * column — bit b set when the token occurrences' +-1 votes on bit b
+    * sum positive ([[graft.functions.Md5SimHash60]]'s packing). */
+  private val md5Simhash60Sql: String =
+    (0 until 60).map { b =>
+      s"(CASE WHEN list_sum(list_transform(hs, h -> CASE WHEN (h // ${1L << b}) % 2 = 1 THEN 1 ELSE -1 END)) > 0 THEN ${1L << b} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+
+  private val oracleBase: Map[String, String] = Map(
+
+    "x05_fingerprint" ->
+      """WITH tok AS (SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), x -> len(x) > 0) AS toks
+        |        FROM documents),
+        |shs AS (SELECT doc_id,
+        |    CASE WHEN len(toks) <= 8 THEN [array_to_string(toks, ' ')]
+        |      ELSE list_transform(range(0, len(toks) - 7),
+        |        i -> array_to_string(list_slice(toks, i + 1, i + 8), ' ')) END AS shingles
+        |  FROM tok),
+        |h AS (SELECT doc_id,
+        |    unnest(list_transform(shingles, s -> CAST('0x' || substring(md5(s), 1, 15) AS BIGINT))) AS h
+        |  FROM shs)
+        |SELECT doc_id, min(h) AS fp_min, max(h) AS fp_max, bit_xor(h) AS fp_xor
+        |FROM h GROUP BY doc_id""".stripMargin,
+
+    "x06_minhash_pairs" -> minhashPairsPortableSql,
+
+    "x07_simhash_pairs" ->
+      (s"""WITH corpus AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 10000,
+         |    array_to_string(list_slice(toks, 1, CAST(floor(len(toks) * 0.8) AS INT)), ' ')
+         |  FROM (SELECT doc_id, list_filter(string_split_regex(trim(text), '\\s+'), x -> len(x) > 0) AS toks
+         |        FROM documents WHERE doc_id < 50)),
+         |tok AS (SELECT doc_id, list_filter(string_split_regex(trim(text), '\\s+'), x -> len(x) > 0) AS toks
+         |        FROM corpus),
+         |tokh AS (SELECT doc_id,
+         |    list_transform(toks, t -> CAST('0x' || substring(md5(t), 1, 15) AS BIGINT)) AS hs
+         |  FROM tok WHERE len(toks) > 0),
+         |sim AS (SELECT doc_id, $md5Simhash60Sql AS simhash FROM tokh),
+         |bb AS (
+         |  ${(0 until 4).map(b =>
+              s"SELECT doc_id AS id, $b AS band, (simhash // ${1L << (b * 15)}) % 32768 AS bucket FROM sim")
+              .mkString("\n  UNION ALL ")}),
+         |""".stripMargin + bucketCandidatesSql + """
+         |SELECT c.id_a, c.id_b,
+         |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+         |FROM cand c JOIN sim a ON a.doc_id = c.id_a JOIN sim b ON b.doc_id = c.id_b
+         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
+         |ORDER BY c.id_a, c.id_b""".stripMargin),
+
+    "x12_dedup_clusters" ->
+      (s"""WITH RECURSIVE pairs AS (
+         |$minhashPairsPortableSql),
+         |und AS (SELECT id_a AS s, id_b AS d FROM pairs
+         |        UNION SELECT id_b, id_a FROM pairs),
+         |nodes AS (SELECT DISTINCT s AS id FROM und),
+         |reach AS (
+         |  SELECT id AS s, id AS d FROM nodes
+         |  UNION
+         |  SELECT r.s, u.d FROM reach r JOIN und u ON r.d = u.s)
+         |SELECT s AS id, min(d) AS cluster_id FROM reach GROUP BY s ORDER BY id""".stripMargin),
 
     "x10_knn_lsh" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

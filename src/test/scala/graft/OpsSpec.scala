@@ -313,6 +313,35 @@ class DedupSpec extends SparkSpec {
     assert(sig == (0 until 3).map(j => hs.map(h => h60(s"$j:$h")).min))
   }
 
+  test("portable simhash family recovers planted duplicates; 60-bit range; formula pin") {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h60(s: String): Long =
+      java.lang.Long.parseLong(
+        md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+          .substring(0, 15), 16)
+    // formula: bit b set when token-occurrence votes on bit b of h60 sum > 0
+    val sig = Seq((1L, "alpha beta alpha")).toDF("doc_id", "text")
+      .select(graft.functions.Md5ShingleFunctions.md5_simhash60(
+        graft.ops.TextAnalysis.tokens($"text")).as("s"))
+      .head().getLong(0)
+    val hs = Seq(h60("alpha"), h60("beta"), h60("alpha"))
+    val expect = (0 until 60).map { b =>
+      val v = hs.map(h => if (((h >>> b) & 1L) == 1L) 1 else -1).sum
+      if (v > 0) 1L << b else 0L
+    }.sum
+    assert(sig == expect)
+    assert(sig >= 0L && sig < (1L << 60))
+    // identical docs -> hamming 0 pairs; unrelated doc stays out
+    val pairs = Dedup.simhashPairsPortable(docs, "doc_id", "text", maxHamming = 6)
+      .select("id_a", "id_b", "hamming").as[(Long, Long, Int)].collect().toSet
+    assert(pairs.contains((1L, 2L, 0)))
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+    // token-less docs emit no signature (no sentinel bucket)
+    val withEmpty = docs.unionByName(Seq((99L, "   ")).toDF("doc_id", "text"))
+    assert(!Dedup.simhashPairsPortable(withEmpty, "doc_id", "text", maxHamming = 60)
+      .filter($"id_a" === 99L || $"id_b" === 99L).head(1).nonEmpty)
+  }
+
   test("identical docs share identical minhash signatures -> jaccard 1.0") {
     val j = Dedup.minhashLshPairs(docs, "doc_id", "text",
       shingleW = 2, k = 16, bands = 8, threshold = 0.99)
