@@ -14,20 +14,36 @@ import org.apache.spark.sql.SparkSession
   *    pass cores x executors x 2-3; never the 200 default).
   *  - UTC session timezone: deterministic calendar functions.
   *  - legacy nanos-as-long: tolerate TIMESTAMP(NANOS) parquet inputs.
+  *  - legacy time-parser policy + legacy parquet datetime rebase on write
+  *    (`spark_session.py:21-22` config parity): `to_timestamp` keeps the
+  *    reference's permissive SimpleDateFormat semantics — a matching
+  *    prefix parses despite trailing text, unpadded fields are accepted
+  *    (see SessionSpec) — and pre-1582 timestamps written to parquet use
+  *    the hybrid Julian calendar the reference's downstream readers
+  *    expect. Deployments reading modern-only data may flip these
+  *    back to CORRECTED; the recommended session matches the reference so
+  *    parse behavior doesn't silently change on migration.
   *  - native vector functions registered for SQL users.
   */
 object GraftSession {
 
+  /** The recommended runtime configuration as data — what [[builder]]
+    * applies, exposed so deployments (and the config-parity spec) can
+    * audit or selectively override it. */
+  def recommendedConfs(shufflePartitions: Int = 32): Map[String, String] = Map(
+    "spark.sql.adaptive.enabled" -> "true",
+    "spark.sql.adaptive.coalescePartitions.enabled" -> "true",
+    "spark.sql.adaptive.skewJoin.enabled" -> "true",
+    "spark.sql.shuffle.partitions" -> shufflePartitions.toString,
+    "spark.sql.session.timeZone" -> "UTC",
+    "spark.sql.legacy.parquet.nanosAsLong" -> "true",
+    "spark.sql.legacy.timeParserPolicy" -> "LEGACY",
+    "spark.sql.legacy.parquet.datetimeRebaseModeInWrite" -> "LEGACY")
+
   def builder(appName: String = "graft", master: Option[String] = None,
       shufflePartitions: Int = 32): SparkSession.Builder = {
-    var b = SparkSession.builder()
-      .appName(appName)
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-      .config("spark.sql.adaptive.skewJoin.enabled", "true")
-      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    var b = SparkSession.builder().appName(appName)
+    recommendedConfs(shufflePartitions).foreach { case (k, v) => b = b.config(k, v) }
     master.foreach(m => b = b.master(m))
     b
   }
