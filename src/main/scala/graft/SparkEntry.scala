@@ -110,6 +110,13 @@ import graft.queries.{ExtensionQueries, ParityQueries}
   *    n-gram novelty vs a reference corpus (synthetic-data QA),
   *    langid confusion matrix (detector-quality routing readout),
   *    PQ recall-recovery evaluation (ADC vs two-stage re-rank)
+  *  - x128-x129: the streaming seam driver-visible — documents ride a
+  *    file-source readStream in >=3 micro-batches through the
+  *    bloom-decontamination and count-min-monitor sinks, and the
+  *    PERSISTED sink outputs are oracle-checked (x129 value-for-value:
+  *    the streamed read-merge-write store must equal the one-shot
+  *    sketch; x128 exact hits + one-sided-error / exactly-once-routing
+  *    booleans)
   */
 object SparkEntry {
 

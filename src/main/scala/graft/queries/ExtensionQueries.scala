@@ -2177,6 +2177,79 @@ object ExtensionQueries {
         .select(col("path"), col("query_id"), col("n_exact"),
           col("n_hit"), col("recall"))
         .orderBy(col("path"), col("query_id"))
+    }),
+
+    // Streaming decontamination made driver-visible (the stream ≡ batch
+    // seam as a CORRECTNESS row, not only a spec): the documents table
+    // rides a file-based readStream (3 parquet files, maxFilesPerTrigger=1
+    // -> at least 3 micro-batches; no driver-side feed) through
+    // bloomScreenSink, then the persisted clean/quarantine outputs are
+    // read back and judged against the EXACT batch contamination. Row
+    // routing is map-only per row, so output is micro-batch-split
+    // invariant. The bloom's false-positive side isn't cross-engine
+    // replayable (xxhash64 bits) — the oracle-checked columns are the
+    // exact shingle hits plus the booleans the screen guarantees:
+    // one-sided error (contaminated docs never reach clean) and
+    // exactly-once routing across the two sinks.
+    "x128_stream_bloom_screen" -> ((s, dir) => {
+      val root = ParityQueries.tmpPath("graft_sbloom", dir)
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val bench = docs.filter(col("doc_id") % 20 === 3).select(col("text"))
+      val bloom = TextAnalysis.benchmarkBloom(bench, "text", n = 3, fpp = 1e-6)
+      docs.repartition(3).write.parquet(s"$root/in")
+      val feed = s.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$root/in")
+      val sq = graft.streaming.EventStreams.bloomScreenSink(feed, "doc_id",
+        "text", bloom, 3, s"$root/clean", s"$root/quarantine", s"$root/ckpt")
+      try sq.processAllAvailable() finally sq.stop()
+      def side(p: String, name: String): DataFrame =
+        s.read.parquet(p).select(col("doc_id"), lit(name).as("__side"))
+      val routed = side(s"$root/clean", "clean")
+        .unionByName(side(s"$root/quarantine", "quarantine"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("__n"),
+          max((col("__side") === "quarantine").cast("int")).as("__q"))
+      TextAnalysis.contamination(docs, bench, "doc_id", "text",
+          n = 3, hashed = false)
+        .join(routed, Seq("doc_id"))
+        .select(col("doc_id"), col("n_shingles").cast("long").as("n_shingles"),
+          col("n_hits").cast("long").as("n_hits"),
+          (col("__q") === 1 || col("n_hits") === 0).as("no_false_negative"),
+          (col("__n") === 1).as("routed_exactly_once"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Streaming corpus-frequency monitoring made driver-visible, with a
+    // FULL value-level oracle: the documents table streams through
+    // cmsMonitorSink in ≥3 micro-batches (file source, no driver feed),
+    // each batch merging its shard count-min sketch into the persisted
+    // store; the final store is then probed exactly like x124. CMS
+    // addition commutes cell-wise over integers, so the streamed
+    // read-merge-write store equals the one-shot batch sketch EXACTLY —
+    // the DuckDB oracle replays the md5 cell formula over the whole
+    // corpus and must match the streamed store value-for-value.
+    "x129_stream_cms_monitor" -> ((s, dir) => {
+      val root = ParityQueries.tmpPath("graft_scms", dir)
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      docs.repartition(3).write.parquet(s"$root/in")
+      val feed = s.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$root/in")
+      val sq = graft.streaming.EventStreams.cmsMonitorSink(feed, "text",
+        s"$root/store", s"$root/ckpt", depth = 4, width = 1024)
+      try sq.processAllAvailable() finally sq.stop()
+      val sk = graft.ops.CountMin.read(s, s"$root/store")
+      val toks = docs.select(explode(TextAnalysis.tokens(lower(col("text"))))
+        .as("tok"))
+      val probe = docs.filter(col("doc_id") < 3)
+        .select(explode(TextAnalysis.tokens(lower(col("text")))).as("tok"))
+        .distinct()
+      val exact = toks.groupBy(col("tok")).agg(count(lit(1)).as("exact_cnt"))
+      probe.join(exact, Seq("tok"))
+        .withColumn("est_cnt", graft.ops.CountMin.estimateExpr(col("tok"), sk))
+        .select(col("tok"), col("exact_cnt"), col("est_cnt"))
+        .orderBy(col("tok"))
     }))
 
   /** Planted separable classification fixture for x88/x90: each doc
@@ -4210,6 +4283,66 @@ object ExtensionQueries {
         |FROM probe p JOIN exact e ON e.tok = p.tok
         |JOIN est ON est.tok = p.tok
         |ORDER BY p.tok""".stripMargin,
+
+    // The streamed store equals the one-shot sketch exactly (cell-wise
+    // integer addition commutes), so the oracle is x124's full md5 cell
+    // replay over the whole corpus — a value-level check of the
+    // streaming merge path, not a property check.
+    "x129_stream_cms_monitor" ->
+      """WITH tok AS (
+        |  SELECT unnest(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+        |    x -> len(x) > 0)) AS tok
+        |  FROM documents),
+        |h AS (
+        |  SELECT tok, CAST(i AS INT) AS i,
+        |    CAST(('0x' || substring(md5('cms' || CAST(i AS VARCHAR) || '_' || tok), 1, 8))
+        |      AS BIGINT) % 1024 AS hh
+        |  FROM tok, UNNEST(range(0, 4)) AS u(i)),
+        |cells AS (SELECT i, hh, count(*) AS c FROM h GROUP BY i, hh),
+        |probe AS (
+        |  SELECT DISTINCT unnest(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+        |    x -> len(x) > 0)) AS tok
+        |  FROM documents WHERE doc_id < 3),
+        |exact AS (SELECT tok, count(*) AS exact_cnt FROM tok GROUP BY tok),
+        |ph AS (
+        |  SELECT p.tok, CAST(i AS INT) AS i,
+        |    CAST(('0x' || substring(md5('cms' || CAST(i AS VARCHAR) || '_' || p.tok), 1, 8))
+        |      AS BIGINT) % 1024 AS hh
+        |  FROM probe p, UNNEST(range(0, 4)) AS u(i)),
+        |est AS (
+        |  SELECT ph.tok, min(coalesce(cells.c, 0)) AS est_cnt
+        |  FROM ph LEFT JOIN cells ON cells.i = ph.i AND cells.hh = ph.hh
+        |  GROUP BY ph.tok)
+        |SELECT p.tok, e.exact_cnt, CAST(est.est_cnt AS BIGINT) AS est_cnt
+        |FROM probe p JOIN exact e ON e.tok = p.tok
+        |JOIN est ON est.tok = p.tok
+        |ORDER BY p.tok""".stripMargin,
+
+    // Exact shingle hits replayed; the screen's guarantees (one-sided
+    // error, exactly-once routing) are TRUE literals the Spark side must
+    // reproduce from the actually-persisted streaming sink outputs.
+    "x128_stream_bloom_screen" ->
+      """WITH tok AS (
+        |  SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'),
+        |    x -> len(x) > 0) AS toks
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |    unnest(list_distinct(CASE WHEN len(toks) <= 3
+        |      THEN [array_to_string(toks, ' ')]
+        |      ELSE list_transform(range(0, len(toks) - 2),
+        |        i -> array_to_string(list_slice(toks, i + 1, i + 3), ' ')) END))
+        |      AS g
+        |  FROM tok),
+        |bench AS (SELECT DISTINCT g FROM sh WHERE doc_id % 20 = 3),
+        |j AS (
+        |  SELECT s.doc_id, count(*) AS n_shingles,
+        |    CAST(sum(CASE WHEN b.g IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_hits
+        |  FROM sh s LEFT JOIN bench b ON s.g = b.g GROUP BY 1)
+        |SELECT doc_id, CAST(n_shingles AS BIGINT) AS n_shingles, n_hits,
+        |  TRUE AS no_false_negative, TRUE AS routed_exactly_once
+        |FROM j ORDER BY doc_id""".stripMargin,
 
     "x123_ivfadc_residual" ->
       """WITH emb AS (
