@@ -38,7 +38,10 @@ object GraftSession {
     "spark.sql.session.timeZone" -> "UTC",
     "spark.sql.legacy.parquet.nanosAsLong" -> "true",
     "spark.sql.legacy.timeParserPolicy" -> "LEGACY",
-    "spark.sql.legacy.parquet.datetimeRebaseModeInWrite" -> "LEGACY")
+    // the reference (Spark 3) spells this spark.sql.legacy.parquet.
+    // datetimeRebaseModeInWrite; Spark 4 REMOVED that alias and session
+    // construction fails on it — same semantics under the new key
+    "spark.sql.parquet.datetimeRebaseModeInWrite" -> "LEGACY")
 
   def builder(appName: String = "graft", master: Option[String] = None,
       shufflePartitions: Int = 32): SparkSession.Builder = {

@@ -11,8 +11,10 @@ class SessionSpec extends SparkSpec {
   test("recommendedConfs carries the reference's semantic knobs") {
     val c = GraftSession.recommendedConfs()
     // spark_session.py:21-22 — parse + parquet-write calendar semantics
+    // (the rebase knob under its Spark-4 key: the legacy.parquet.* alias
+    // the reference spells was REMOVED in 4.0 and fails session build)
     assert(c("spark.sql.legacy.timeParserPolicy") == "LEGACY")
-    assert(c("spark.sql.legacy.parquet.datetimeRebaseModeInWrite") == "LEGACY")
+    assert(c("spark.sql.parquet.datetimeRebaseModeInWrite") == "LEGACY")
     // spark_session.py:27-29 — AQE on, shuffle parallelism caller-sized
     assert(c("spark.sql.adaptive.enabled") == "true")
     assert(c("spark.sql.adaptive.coalescePartitions.enabled") == "true")
@@ -20,6 +22,22 @@ class SessionSpec extends SparkSpec {
     // engine additions documented in the scaladoc
     assert(c("spark.sql.session.timeZone") == "UTC")
     assert(c("spark.sql.legacy.parquet.nanosAsLong") == "true")
+  }
+
+  test("every recommended conf is APPLYABLE on a live Spark 4 session") {
+    // The map test above can't catch a conf Spark removed (the 10M-doc
+    // smoke found spark.sql.legacy.parquet.datetimeRebaseModeInWrite
+    // failing session CONSTRUCTION under Spark 4) — actually setting
+    // each key on a live session raises on removed/unknown SQL confs.
+    // Every entry is a runtime SQL conf, so set-and-restore is safe.
+    GraftSession.recommendedConfs().foreach { case (k, v) =>
+      val prev = spark.conf.getOption(k)
+      try spark.conf.set(k, v)
+      finally prev match {
+        case Some(p) => spark.conf.set(k, p)
+        case None => spark.conf.unset(k)
+      }
+    }
   }
 
   test("LEGACY time parser accepts the reference's permissive parses") {
