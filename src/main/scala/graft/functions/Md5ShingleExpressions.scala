@@ -212,9 +212,70 @@ case class Md5SimHash60(child: Expression)
     copy(child = newChild)
 }
 
+/** `array<string> tokens -> array<int>`: md5 hashed-n-gram feature
+  * buckets — bucket(f) for every unigram, then (when `bigrams`) every
+  * adjacent pair joined as `a_b`, in that order, with
+  * `bucket(f) = CAST('0x' || substring(md5(f), 1, 8) AS BIGINT) %
+  * buckets` (the first 32 md5 bits, non-negative, so `%` == pmod) —
+  * bit-identical to the builtin-HOF spelling
+  * `pmod(conv(substring(md5(f), 1, 8), 16, 10), buckets)` that the
+  * DuckDB oracles replay (pinned by spec). This is the featurizer under
+  * [[graft.ops.TextAnalysis.dsirImportance]] /
+  * `trainHashedLogReg` / `hashedLinearScore`; the builtin spelling
+  * evaluates an interpreted md5 -> 32-hex-char string -> substring ->
+  * conv(16,10) decimal parse PER FEATURE with a fresh MessageDigest per
+  * call — the 10M-doc corpus smoke measured that path 50-90x slower
+  * than this one primitive loop per row (BASELINE.md r11). Feature
+  * ORDER is preserved exactly (unigrams then bigrams) because callers
+  * fold float sums over the array in order. */
+case class Md5NgramBuckets(child: Expression, buckets: Int, bigrams: Boolean)
+    extends UnaryExpression with CodegenFallback {
+  require(buckets > 0, "buckets must be positive")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"requires array<string>, got $other")
+  }
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  override def nullSafeEval(t: Any): Any = {
+    val arr = t.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val md = MessageDigest.getInstance("MD5")
+    def bucket(bytes: Array[Byte]): Int = {
+      val d = md.digest(bytes)
+      // first 4 digest bytes big-endian = first 8 hex digits; unsigned
+      // 32-bit value, so % buckets is already the pmod
+      val v = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+        ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+      (v % buckets).toInt
+    }
+    def tok(i: Int): String =
+      if (arr.isNullAt(i)) "" else arr.getUTF8String(i).toString
+    val nBg = if (bigrams && n > 1) n - 1 else 0
+    val out = new Array[Int](n + nBg)
+    var i = 0
+    while (i < n) { out(i) = bucket(Md5Family.utf8(tok(i))); i += 1 }
+    i = 0
+    while (i < nBg) {
+      out(n + i) = bucket(Md5Family.utf8(tok(i) + "_" + tok(i + 1)))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object Md5ShingleFunctions {
   def md5_simhash60(tokens: Column): Column =
     Bridge.column(Md5SimHash60(Bridge.expression(tokens)))
+
+  def md5_ngram_buckets(tokens: Column, buckets: Int, bigrams: Boolean): Column =
+    Bridge.column(Md5NgramBuckets(Bridge.expression(tokens), buckets, bigrams))
 
   def md5_shingle_hashes(tokens: Column, w: Int): Column =
     Bridge.column(Md5ShingleHashes(Bridge.expression(tokens), w))

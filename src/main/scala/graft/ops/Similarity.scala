@@ -234,6 +234,76 @@ object Similarity {
       k, nQ)
   }
 
+  /** One-bit (sign) binary quantization of a vector column, packed into
+    * 63-bit words — the most aggressive vector-store compression tier
+    * below [[quantizeInt8]] (BQ in the FAISS/vector-DB sense): bit b of
+    * word w is set when v[w·63 + b] > 0 (strictly — zeros and negatives
+    * clear). A d-dim float vector (4d bytes) becomes ceil(d/63) longs
+    * (~d/8 bytes, 32× smaller), and distance becomes popcount(xor) —
+    * integer ops over one long per 63 dims. 63 bits per word (not 64)
+    * keeps every packed value non-negative in a signed BIGINT, the same
+    * portability convention as the 60-bit simhash family, so the DuckDB
+    * oracle replays codes with `1::BIGINT << b` arithmetic alone.
+    * Adds `bcode` (array<long>). Empty vectors pack to an empty code. */
+  def quantizeBinary(df: DataFrame, vecCol: String): DataFrame = {
+    val d = size(col(vecCol))
+    // (d + 62) / 63 words; sequence() infers a NEGATIVE step for
+    // stop < start, so the d = 0 case must short-circuit to an empty
+    // array rather than reach sequence(0, -1)
+    val words = ((d + lit(62)) / lit(63)).cast("int")
+    df.withColumn("bcode",
+      when(d === 0, array().cast("array<bigint>"))
+        .otherwise(transform(sequence(lit(0), words - 1), w =>
+          aggregate(
+            sequence(lit(0L), least(lit(62L),
+              d.cast("long") - w.cast("long") * 63L - 1L)),
+            lit(0L),
+            (acc, b) => acc + when(
+              element_at(col(vecCol),
+                (w.cast("long") * 63L + b + 1L).cast("int"))
+                .cast("double") > 0d,
+              // 2^b is a power of two — exact as a double for b <= 62,
+              // so the cast back to long is exact (shiftleft takes only
+              // a literal shift in the Column API)
+              pow(lit(2.0d), b.cast("double")).cast("long"))
+              .otherwise(lit(0L))))))
+  }
+
+  /** Binary-quantized retrieval with exact re-rank — [[knnQuantizedRerank]]
+    * one compression tier down: rank the whole corpus per query by
+    * Hamming distance between sign codes (popcount over xor'd longs —
+    * the cheapest possible scan: ~d/8 bytes per row, pure integer ops),
+    * keep the `rerank`·k closest, re-score only those with exact double
+    * cosine. Ties break (hamming ASC, id ASC), pinned for the oracle.
+    * Output carries the shortlist's `hamming` next to `cosine_sim`, so
+    * the approximate stage is itself oracle-visible, not just its
+    * survivors. Scale shape: the crossed stage carries only (id, bcode);
+    * both k-selections ride the bounded-heap TopKPerGroup operator; full
+    * vectors enter through one candidate-sized join. */
+  def knnBinaryRerank(df: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, qidCol: String, k: Int, rerank: Int = 4): DataFrame = {
+    require(rerank >= 1, "rerank factor must be >= 1")
+    val codes = quantizeBinary(df, vecCol).select(col(idCol), col("bcode"))
+    val qcodes = quantizeBinary(queries, "qvec")
+      .select(col(qidCol), col("bcode").as("__qbc"))
+    val approx = codes.crossJoin(broadcast(qcodes))
+      .withColumn("hamming",
+        aggregate(zip_with(col("bcode"), col("__qbc"),
+            (a, b) => bit_count(a.bitwiseXOR(b)).cast("long")),
+          lit(0L), (acc, v) => acc + v))
+      .select(col(qidCol), col(idCol), col("hamming"))
+    val nQ = queries.count() // one cheap job on the SMALL query frame
+    val cand = selectTopK(approx, qidCol,
+      Seq(("hamming", true), (idCol, true)), k * rerank, nQ)
+    val exact = cand
+      .join(df.select(col(idCol), col(vecCol)), Seq(idCol))
+      .join(broadcast(queries.select(col(qidCol), col("qvec"))), Seq(qidCol))
+      .withColumn("cosine_sim", round(cosine(col(vecCol), col("qvec")), 6))
+      .select(col(qidCol), col(idCol), col("hamming"), col("cosine_sim"))
+    selectTopK(exact, qidCol, Seq(("cosine_sim", false), (idCol, true)),
+      k, nQ)
+  }
+
   /** Per-query k-selection shared by the batch searchers: heap operator
     * when the batch is small (group cardinality == |queries|, counted on
     * the SMALL query frame — never an estimate pass over the huge scored

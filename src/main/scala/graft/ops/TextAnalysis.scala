@@ -595,25 +595,16 @@ object TextAnalysis {
       weights: Array[Double], bias: Double = 0.0,
       useBigrams: Boolean = true): DataFrame = {
     require(weights.nonEmpty, "need at least one weight bucket")
-    val b = weights.length
-    val toks = tokens(lower(col(textCol)))
-    val nBg = greatest(size(toks) - 1, lit(0))
-    val feats =
-      if (useBigrams)
-        concat(toks, zip_with(
-          slice(toks, lit(1), nBg), slice(toks, lit(2), nBg),
-          (x, y) => concat(x, lit("_"), y)))
-      else toks
-    // first 8 md5 hex chars -> 32-bit value -> mod buckets (same
-    // contract DuckDB replays as CAST('0x'||substring(md5(f),1,8) AS
-    // BIGINT) % b)
-    def bucket(f: Column): Column =
-      pmod(conv(substring(md5(f.cast("binary")), 1, 8), 16, 10)
-        .cast("long"), lit(b.toLong))
+    // bucket ids from the shared native featurizer (one primitive md5
+    // loop per row — same DuckDB-replayable values as the HOF spelling:
+    // CAST('0x'||substring(md5(f),1,8) AS BIGINT) % b); the remaining
+    // fold is a cheap int-indexed lookup per feature, in the same
+    // feature order, so the float sum is bit-identical
+    val bkts = hashedNgramBuckets(textCol, weights.length, useBigrams)
     val wLit = array(weights.map(lit(_)): _*)
-    val z = aggregate(feats, lit(bias),
-      (acc, f) => acc + element_at(wLit, bucket(f).cast("int") + 1))
-    df.withColumn("n_features", size(feats))
+    val z = aggregate(bkts, lit(bias),
+      (acc, bk) => acc + element_at(wLit, bk + 1))
+    df.withColumn("n_features", size(bkts))
       .withColumn("score", round(lit(1.0) / (lit(1.0) + exp(-z)), 6))
       .withColumn("label", col("score") > 0.5)
   }
@@ -2048,6 +2039,17 @@ object TextAnalysis {
     * IDENTICALLY to the quality classifier (one oracle formula:
     * `CAST('0x'||substring(md5(f),1,8) AS BIGINT) % buckets`). */
   private def hashedNgramBuckets(textCol: String, buckets: Int,
+      useBigrams: Boolean): Column =
+    graft.functions.Md5ShingleFunctions.md5_ngram_buckets(
+      tokens(lower(col(textCol))), buckets, useBigrams)
+
+  /** The builtin-HOF spelling of [[hashedNgramBuckets]] — the formula
+    * the DuckDB oracles replay, kept as the cross-check reference for
+    * the native [[graft.functions.Md5NgramBuckets]] loop (pinned
+    * bit-identical by spec). NOT the production path: interpreted
+    * md5-hex + conv(16,10) per feature measured 50-90x slower at the
+    * 10M-doc corpus smoke (BASELINE.md r11). */
+  private[graft] def hashedNgramBucketsHof(textCol: String, buckets: Int,
       useBigrams: Boolean): Column = {
     val toks = tokens(lower(col(textCol)))
     val nBg = greatest(size(toks) - 1, lit(0))

@@ -2179,6 +2179,22 @@ object ExtensionQueries {
         .orderBy(col("path"), col("query_id"))
     }),
 
+    // Binary (sign) quantization retrieval — the compression tier below
+    // x61's int8: 63-bit sign-packed codes, whole-corpus Hamming ranking
+    // (popcount over xor'd longs), exact cosine re-rank of the shortlist.
+    // No hash family anywhere, so the oracle replays EVERYTHING —
+    // packing (1::BIGINT << b), Hamming, tie-breaks, re-rank — from the
+    // embedding values alone; `hamming` rides the output so the
+    // approximate stage is itself checked, not just its survivors.
+    "x130_binary_quant_knn" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id").isin(0L, 7L, 13L))
+        .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+      Similarity.knnBinaryRerank(emb, queries, "vec_id", "embedding",
+          "query_id", k = 8, rerank = 4)
+        .orderBy(col("query_id"), col("vec_id"))
+    }),
+
     // Streaming decontamination made driver-visible (the stream ≡ batch
     // seam as a CORRECTNESS row, not only a spec): the documents table
     // rides a file-based readStream (3 parquet files, maxFilesPerTrigger=1
@@ -4317,6 +4333,42 @@ object ExtensionQueries {
         |FROM probe p JOIN exact e ON e.tok = p.tok
         |JOIN est ON est.tok = p.tok
         |ORDER BY p.tok""".stripMargin,
+
+    "x130_binary_quant_knn" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |codes AS (
+        |  SELECT vec_id, v,
+        |    list_transform(range(0, CAST(ceil(len(v) / 63.0) AS INT)), w ->
+        |      coalesce(list_sum(list_transform(range(0, 63), b ->
+        |        CASE WHEN w * 63 + b < len(v) AND v[w * 63 + b + 1] > 0
+        |          THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)), 0)) AS bc
+        |  FROM e),
+        |qs AS (
+        |  SELECT vec_id AS query_id, v AS qv, bc AS qbc
+        |  FROM codes WHERE vec_id IN (0, 7, 13)),
+        |approx AS (
+        |  SELECT qs.query_id, c.vec_id,
+        |    CAST(list_sum(list_transform(range(1, len(c.bc) + 1), i ->
+        |      bit_count(xor(c.bc[i], qs.qbc[i])))) AS BIGINT) AS hamming
+        |  FROM codes c CROSS JOIN qs),
+        |cand AS (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY query_id ORDER BY hamming, vec_id) AS rn
+        |  FROM approx),
+        |rer AS (
+        |  SELECT c.query_id, c.vec_id, c.hamming,
+        |    ROUND(list_cosine_similarity(e.v, q.qv), 6) AS cosine_sim
+        |  FROM cand c
+        |  JOIN e ON e.vec_id = c.vec_id
+        |  JOIN qs q ON q.query_id = c.query_id
+        |  WHERE c.rn <= 32),
+        |fin AS (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY query_id ORDER BY cosine_sim DESC, vec_id) AS rn
+        |  FROM rer)
+        |SELECT query_id, vec_id, hamming, cosine_sim FROM fin WHERE rn <= 8
+        |ORDER BY query_id, vec_id""".stripMargin,
 
     // Exact shingle hits replayed; the screen's guarantees (one-sided
     // error, exactly-once routing) are TRUE literals the Spark side must

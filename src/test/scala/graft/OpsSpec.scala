@@ -703,6 +703,53 @@ class SimilaritySpec extends SparkSpec {
     assert(q(2L)._2 == Seq(0L, 0L, 0L) && q(2L)._3 == 0.0)
   }
 
+  test("quantizeBinary: packing formula pinned; 63-bit words; empty/zero vectors") {
+    // 65 dims forces two words: bit b of word w set iff v[w*63+b] > 0
+    val v = Array.tabulate(65)(i => if (i % 3 == 0) 1.0f else if (i % 3 == 1) -1.0f else 0.0f)
+    val code = Similarity.quantizeBinary(
+        Seq((1L, v.toSeq)).toDF("vec_id", "embedding"), "embedding")
+      .select("bcode").as[Seq[Long]].head()
+    val expect = (0 until 2).map { w =>
+      (0 until 63).map { b =>
+        val i = w * 63 + b
+        if (i < 65 && v(i) > 0) 1L << b else 0L
+      }.sum
+    }
+    assert(code == expect)
+    assert(code.forall(_ >= 0L), "63-bit packing keeps words non-negative")
+    // zero vector packs to all-zero words (strict > 0); empty to empty
+    val z = Similarity.quantizeBinary(
+        Seq((1L, Seq(0.0f, 0.0f))).toDF("vec_id", "embedding"), "embedding")
+      .select("bcode").as[Seq[Long]].head()
+    assert(z == Seq(0L))
+    val e = Similarity.quantizeBinary(
+        Seq((1L, Seq.empty[Float])).toDF("vec_id", "embedding"), "embedding")
+      .select("bcode").as[Seq[Long]].head()
+    assert(e.isEmpty)
+  }
+
+  test("binary rerank equals brute force at full rerank; hamming zero for self") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = emb.filter(col("vec_id").isin(0L, 7L))
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val brute = Similarity.bruteForceKnnBatch(emb, queries,
+        "vec_id", "embedding", "query_id", 8)
+      .select("query_id", "vec_id", "cosine_sim")
+      .as[(Long, Long, Double)].collect().toSet
+    val n = emb.count().toInt
+    val full = Similarity.knnBinaryRerank(emb, queries,
+        "vec_id", "embedding", "query_id", 8, rerank = n / 8 + 1)
+      .select("query_id", "vec_id", "cosine_sim")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(full == brute)
+    // a query's own vector is hamming 0 from itself
+    val self = Similarity.knnBinaryRerank(emb, queries,
+        "vec_id", "embedding", "query_id", 8, rerank = 4)
+      .filter(col("query_id") === col("vec_id"))
+      .select("hamming").as[Long].collect()
+    assert(self.nonEmpty && self.forall(_ == 0L))
+  }
+
   test("quantized rerank equals brute force at full rerank; high recall at rerank=4") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val queries = emb.filter(col("vec_id").isin(0L, 7L))
@@ -2954,6 +3001,29 @@ class TextAnalysisSpec extends SparkSpec {
     // the scoring stage itself is map-only: no Exchange anywhere in its plan
     val plan = scored.queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"scoring must not shuffle:\n$plan")
+  }
+
+  test("native md5 n-gram buckets bit-identical to the builtin-HOF oracle spelling") {
+    import spark.implicits._
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    for (bigrams <- Seq(true, false)) {
+      val native = docs.select($"doc_id",
+          graft.functions.Md5ShingleFunctions.md5_ngram_buckets(
+            TextAnalysis.tokens(lower($"text")), 64, bigrams).as("b"))
+        .as[(Long, Seq[Int])].collect().toMap
+      val hof = docs.select($"doc_id",
+          TextAnalysis.hashedNgramBucketsHof("text", 64, bigrams).as("b"))
+        .as[(Long, Seq[Int])].collect().toMap
+      assert(native == hof, s"bigrams=$bigrams: native != HOF")
+      assert(native.values.exists(_.nonEmpty))
+    }
+    // single-token and empty docs: bigram leg contributes nothing
+    val one = Seq((1L, "solo"), (2L, "")).toDF("doc_id", "text")
+    val b = one.select($"doc_id",
+        graft.functions.Md5ShingleFunctions.md5_ngram_buckets(
+          TextAnalysis.tokens(lower($"text")), 64, true).as("b"))
+      .as[(Long, Seq[Int])].collect().toMap
+    assert(b(1L).size == 1 && b(2L).isEmpty)
   }
 
   test("dsirLogProbs: probabilities normalize and smoothing covers empty buckets") {
