@@ -24,6 +24,9 @@ import org.apache.spark.sql.SparkSession
   *    back to CORRECTED; the recommended session matches the reference so
   *    parse behavior doesn't silently change on migration.
   *  - native vector functions registered for SQL users.
+  *  - plan-string rendering bounded (1 MB): unbounded treeString output
+  *    is a driver OOM/latency hazard on deep cached-pipeline lineage —
+  *    see the conf comment below.
   */
 object GraftSession {
 
@@ -41,7 +44,21 @@ object GraftSession {
     // the reference (Spark 3) spells this spark.sql.legacy.parquet.
     // datetimeRebaseModeInWrite; Spark 4 REMOVED that alias and session
     // construction fails on it — same semantics under the new key
-    "spark.sql.parquet.datetimeRebaseModeInWrite" -> "LEGACY")
+    "spark.sql.parquet.datetimeRebaseModeInWrite" -> "LEGACY",
+    // Spark's default plan-string cap (~2^31 chars) exceeds what a Java
+    // String can HOLD (2^30): a long pipeline whose cached frames nest —
+    // every persist() renders the plan via treeString, and rendering
+    // expands the shared plan DAG into a tree, so join branches reusing
+    // an upstream cached frame multiply the rendered size per lineage
+    // level — dies with `OutOfMemoryError: UTF16 String size is ...`
+    // before truncation ever engages (the 10M-doc CorpusBuildSmoke hit
+    // exactly this at its 7th chained persist, BASELINE.md r11). Plan
+    // strings are diagnostics; 1M chars is plenty, and the cap also
+    // bounds the RENDER COST itself, which grows multiplicatively with
+    // pipeline depth while data scales — a 100 TB job with deep cached
+    // lineage would otherwise burn minutes per persist building
+    // gigabyte strings nobody reads.
+    "spark.sql.maxPlanStringLength" -> "1048576")
 
   def builder(appName: String = "graft", master: Option[String] = None,
       shufflePartitions: Int = 32): SparkSession.Builder = {

@@ -267,13 +267,34 @@ object TextAnalysis {
     * its Unicode and three-dot spellings; "bullet" = -, *, or the
     * Unicode bullet, leading whitespace allowed). */
   def gopherQualityRules(df: DataFrame, textCol: String = "text",
+      minWords: Int = 50, maxWords: Int = 100000): DataFrame =
+    gopherFinish(df.withColumn("__gp",
+        graft.functions.GopherFunctions.gopher_counts(col(textCol))),
+      col("__gp.n_words"),
+      col("__gp.word_len_sum"),
+      col("__gp.n_sym"),
+      col("__gp.n_lines"),
+      col("__gp.n_bullet"),
+      col("__gp.n_ellipsis"),
+      col("__gp.n_alpha"),
+      minWords, maxWords).drop("__gp")
+
+  /** The builtin-function spelling of [[gopherQualityRules]] — the
+    * cross-check reference, pinned value-identical by spec (same ratio
+    * layer, so the only difference under test is the count source:
+    * [[graft.functions.GopherCounts]] vs split/HOF/rlike subtrees). The
+    * native expression exists because projection collapse duplicates
+    * these interpreted subtrees into every derived column — the 10M-doc
+    * corpus smoke priced this spelling at 508s vs ~10s-class for one
+    * primitive pass (BASELINE.md r11). */
+  private[graft] def gopherQualityRulesHof(df: DataFrame,
+      textCol: String = "text",
       minWords: Int = 50, maxWords: Int = 100000): DataFrame = {
     val t = col(textCol)
     val toks = tokens(t)
     val nW = size(toks)
-    val meanLen = when(nW > 0,
-      aggregate(toks, lit(0L), (acc, w) => acc + length(w)).cast("double")
-        / nW).otherwise(lit(0.0))
+    val meanLenSum =
+      aggregate(toks, lit(0L), (acc, w) => acc + length(w))
     // symbol OCCURRENCES: each '#', each Unicode ellipsis, and each RUN
     // of >= 3 dots counts once (a 5-dot run is one ellipsis, not two)
     val nSym = size(split(t, "#", -1)) - 1 +
@@ -281,17 +302,30 @@ object TextAnalysis {
       size(filter(split(t, "[^.]+"), s => length(s) >= 3))
     val lines = filter(split(t, "\n"), l => length(trim(l)) > 0)
     val nLines = size(lines)
+    val nBullet = size(filter(lines, l => trim(l).rlike("^[-*•]")))
+    val nEllipsis = size(filter(lines, l =>
+      trim(l).rlike("(\\.\\.\\.|…)$")))
+    val nAlpha = size(filter(toks, w => w.rlike("[a-zA-Z]")))
+    gopherFinish(df, nW, meanLenSum, nSym, nLines, nBullet, nEllipsis,
+      nAlpha, minWords, maxWords)
+  }
+
+  /** Shared ratio/rounding layer for both Gopher formulations — one
+    * definition so the double math and null propagation (null text ->
+    * null counts -> `when` falls to its 0.0 otherwise-leg, null
+    * `n_words`, three-valued `gopher_pass`) cannot diverge between the
+    * native and builtin spellings. */
+  private def gopherFinish(df: DataFrame, nW: Column, wordLenSum: Column,
+      nSym: Column, nLines: Column, nBullet: Column, nEllipsis: Column,
+      nAlpha: Column, minWords: Int, maxWords: Int): DataFrame = {
+    val meanLen = when(nW > 0,
+      wordLenSum.cast("double") / nW).otherwise(lit(0.0))
     val bulletFrac = when(nLines > 0,
-      size(filter(lines, l =>
-        trim(l).rlike("^[-*•]"))).cast("double") / nLines)
-      .otherwise(lit(0.0))
+      nBullet.cast("double") / nLines).otherwise(lit(0.0))
     val ellipsisFrac = when(nLines > 0,
-      size(filter(lines, l =>
-        trim(l).rlike("(\\.\\.\\.|…)$"))).cast("double") / nLines)
-      .otherwise(lit(0.0))
+      nEllipsis.cast("double") / nLines).otherwise(lit(0.0))
     val alphaFrac = when(nW > 0,
-      size(filter(toks, w => w.rlike("[a-zA-Z]"))).cast("double") / nW)
-      .otherwise(lit(0.0))
+      nAlpha.cast("double") / nW).otherwise(lit(0.0))
     df.withColumn("n_words", nW.cast("long"))
       .withColumn("mean_word_len", round(meanLen, 6))
       .withColumn("symbol_ratio",

@@ -2887,6 +2887,45 @@ class TextAnalysisSpec extends SparkSpec {
     assert(!out(7L)._6, out(7L))
   }
 
+  test("native GopherCounts is value-identical to the builtin-HOF spelling") {
+    import spark.implicits._
+    val cols = Seq($"doc_id", $"n_words", $"mean_word_len", $"symbol_ratio",
+      $"bullet_line_frac", $"ellipsis_line_frac", $"alpha_word_frac",
+      $"gopher_pass")
+    def run(df: org.apache.spark.sql.DataFrame) = {
+      val native = graft.ops.TextAnalysis
+        .gopherQualityRules(df, "text", minWords = 5)
+        .select(cols: _*).orderBy($"doc_id").collect().toSeq
+      val hof = graft.ops.TextAnalysis
+        .gopherQualityRulesHof(df, "text", minWords = 5)
+        .select(cols: _*).orderBy($"doc_id").collect().toSeq
+      assert(native == hof,
+        s"native=$native\nhof=$hof")
+    }
+    // adversarial corner cases for every count the expression computes:
+    // whitespace flavors, dot-run boundaries, the regex-$ line-terminator
+    // grace, space-only trim semantics, surrogate-pair code points, nulls
+    val tricky: Seq[(Long, String)] = Seq(
+      1L -> "plain words only here now",
+      2L -> "",
+      3L -> null,
+      4L -> "   ",
+      5L -> "\t\n\f\r mixed \t ws",
+      6L -> "dots... mid..... and .. short . runs ......",
+      7L -> "# one ## two #…# mixed … ellipses …",
+      8L -> "- bullet\n  * spaced bullet\n\t- tab first\n• uni",
+      9L -> "ends dots...\ntrailing cr...\r\nuni end…\nno end",
+      10L -> "line end… grace\nx... \nx...y\r",
+      11L -> "emoji 💯word astral 😀 alone",
+      12L -> "   \n  \n\t\n- x ...\n...",
+      13L -> "...\n…\r\n.....\n....x",
+      14L -> ("a" * 3 + "." * 7 + " " + "." * 3),
+      15L -> "123 456 a1 1a _x x_ -dash *star")
+    run(tricky.toDF("doc_id", "text"))
+    run(spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"doc_id", $"text"))
+  }
+
   test("blocklistFilter: whole-token and boundary-safe phrase matching, case-folded") {
     val df = Seq(
       (1L, "clean text only here"),
