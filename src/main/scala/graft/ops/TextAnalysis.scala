@@ -1390,6 +1390,71 @@ object TextAnalysis {
         round(sum(p * log(p / q)), 6).as("kl"))
   }
 
+  /** DoReMi-style domain reweighting (Xie et al. '23, "DoReMi: Optimizing
+    * Data Mixtures Speeds Up Language Model Pretraining"): one
+    * multiplicative-weights step over per-domain EXCESS LOSS, adapted to
+    * the in-engine unigram proxy. DoReMi's excess loss is
+    * `proxy_loss - reference_loss` per domain; with unigram LMs as both
+    * models — proxy = the global corpus MLE, reference = each domain's own
+    * MLE (its irreducible unigram loss) — the excess collapses EXACTLY to
+    * `CE_d(global) - H_d(own) = KL(p_d || p_global)`, which is >= 0 by
+    * Gibbs' inequality, so DoReMi's clip-at-zero never has to fire except
+    * against 6dp rounding noise. The update is the paper's Algorithm 1
+    * step: `alpha_d ∝ share_d * exp(eta * excess_d)`, normalized, then
+    * mixed with the uniform distribution at rate `smoothing` (the paper's
+    * `c * u` term that keeps every domain sampled).
+    *
+    * Output per domain: `n_tokens`, `share` (baseline token share),
+    * `excess` (the KL excess loss), `weight` (the smoothed DoReMi
+    * weight), and `resample_factor = weight / share` — the up/down-
+    * sampling multiplier a mixture sampler
+    * ([[graft.ops.Sampling.mixtureByTokenBudget]]) applies per domain.
+    *
+    * Shape: ONE corpus tokenize pass into a (domain, token) count frame
+    * (persisted — three consumers: domain totals, global totals via
+    * re-aggregation, and the KL join); everything after is vocab- or
+    * domain-sized with the scalar totals on broadcast. The model state is
+    * D rows — at 100 TB the only corpus-scale cost is the one token
+    * aggregate every mixture diagnostic already pays. All emitted doubles
+    * round6 (the engine-portability rule on [[round6]]); `excess` is
+    * rounded BEFORE the exp so the oracle feeds libm the identical
+    * argument. */
+  def doremiWeights(df: DataFrame, domainCol: String, textCol: String,
+      eta: Double = 1.0, smoothing: Double = 0.01): DataFrame = {
+    require(eta > 0.0, "step size eta must be positive by contract")
+    require(smoothing >= 0.0 && smoothing < 1.0,
+      "uniform smoothing rate must sit in [0, 1)")
+    val stf = df.select(col(domainCol).as("domain"),
+        explode(tokens(lower(col(textCol)))).as("token"))
+      .groupBy(col("domain"), col("token"))
+      .agg(count(lit(1)).as("stf"))
+      .persist()
+    stf.count()
+    val stot = stf.groupBy(col("domain")).agg(sum(col("stf")).as("stot"))
+    val gtf = stf.groupBy(col("token")).agg(sum(col("stf")).as("gtf"))
+    val gtot = gtf.agg(sum(col("gtf")).as("gtot"))
+    val p = col("stf").cast("double") / col("stot")
+    val q = col("gtf").cast("double") / col("gtot")
+    // Per-domain excess loss: KL(p_d || p_global), round6'd, clipped at 0
+    // against rounding noise; share round6'd on the same rule.
+    val perDomain = stf.join(stot, "domain").join(gtf, "token")
+      .crossJoin(broadcast(gtot))
+      .groupBy(col("domain"))
+      .agg(max(col("stot")).cast("long").as("n_tokens"),
+        round(max(col("stot").cast("double") / col("gtot")), 6).as("share"),
+        greatest(lit(0.0), round(sum(p * log(p / q)), 6)).as("excess"))
+      .withColumn("__unnorm", col("share") * exp(lit(eta) * col("excess")))
+    val norm = perDomain.agg(sum(col("__unnorm")).as("__z"),
+      count(lit(1)).as("__d"))
+    perDomain.crossJoin(broadcast(norm))
+      .withColumn("weight", round(
+        lit(1.0 - smoothing) * col("__unnorm") / col("__z") +
+          lit(smoothing) / col("__d"), 6))
+      .withColumn("resample_factor", round(col("weight") / col("share"), 6))
+      .select(col("domain"), col("n_tokens"), col("share"), col("excess"),
+        col("weight"), col("resample_factor"))
+  }
+
   /** Distribution profile for corpus QA: per-stratum quantiles of document
     * length (chars) and token count — the histogram-shaped view a data-prep
     * report needs next to x33's means (a mean hides the short-doc spike and

@@ -2195,6 +2195,17 @@ object ExtensionQueries {
         .orderBy(col("query_id"), col("vec_id"))
     }),
 
+    // DoReMi domain reweighting (Xie et al. '23): excess loss under the
+    // unigram proxy collapses to KL(domain || corpus), so every term —
+    // token counts, KL, the exp-multiplicative update, uniform smoothing
+    // — replays in DuckDB. Domains = the source column; eta=2 spreads
+    // the planted per-source drift into visibly distinct weights, and
+    // the weights must sum to 1 across the 8 sources by construction.
+    "x131_doremi_weights" -> ((s, dir) =>
+      TextAnalysis.doremiWeights(t(s, dir, "documents"), "source", "text",
+          eta = 2.0, smoothing = 0.01)
+        .orderBy(col("domain"))),
+
     // Streaming decontamination made driver-visible (the stream ≡ batch
     // seam as a CORRECTNESS row, not only a spec): the documents table
     // rides a file-based readStream (3 parquet files, maxFilesPerTrigger=1
@@ -4369,6 +4380,34 @@ object ExtensionQueries {
         |  FROM rer)
         |SELECT query_id, vec_id, hamming, cosine_sim FROM fin WHERE rn <= 8
         |ORDER BY query_id, vec_id""".stripMargin,
+
+    // Full DoReMi replay: (domain, token) counts, KL excess (round6
+    // BEFORE the exp so both engines feed libm the identical argument),
+    // the share*exp(eta*excess) update, normalization, uniform smoothing.
+    "x131_doremi_weights" ->
+      """WITH tok AS (
+        |  SELECT source AS domain, unnest(list_filter(
+        |    string_split_regex(trim(lower(text)), '\s+'), x -> len(x) > 0)) AS token
+        |  FROM documents),
+        |stf AS (SELECT domain, token, count(*) AS stf FROM tok GROUP BY 1, 2),
+        |stot AS (SELECT domain, sum(stf) AS stot FROM stf GROUP BY 1),
+        |gtf AS (SELECT token, sum(stf) AS gtf FROM stf GROUP BY 1),
+        |gtot AS (SELECT sum(gtf) AS gtot FROM gtf),
+        |dom AS (
+        |  SELECT s.domain, CAST(max(t.stot) AS BIGINT) AS n_tokens,
+        |    ROUND(max(t.stot * 1.0 / gtot.gtot), 6) AS share,
+        |    greatest(0.0, ROUND(sum((s.stf * 1.0 / t.stot) *
+        |      ln((s.stf * 1.0 / t.stot) / (g.gtf * 1.0 / gtot.gtot))), 6))
+        |      AS excess
+        |  FROM stf s JOIN stot t USING (domain) JOIN gtf g USING (token)
+        |  CROSS JOIN gtot GROUP BY s.domain),
+        |upd AS (SELECT *, share * exp(2.0 * excess) AS unnorm FROM dom),
+        |z AS (SELECT sum(unnorm) AS z, count(*) AS d FROM upd)
+        |SELECT domain, n_tokens, share, excess,
+        |  ROUND(0.99 * unnorm / z.z + 0.01 / z.d, 6) AS weight,
+        |  ROUND(ROUND(0.99 * unnorm / z.z + 0.01 / z.d, 6) / share, 6)
+        |    AS resample_factor
+        |FROM upd CROSS JOIN z ORDER BY domain""".stripMargin,
 
     // Exact shingle hits replayed; the screen's guarantees (one-sided
     // error, exactly-once routing) are TRUE literals the Spark side must

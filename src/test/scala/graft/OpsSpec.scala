@@ -1929,6 +1929,42 @@ class TextAnalysisSpec extends SparkSpec {
     assert(klDrift("a") == r6(math.log(2)) && klDrift("b") == r6(math.log(2)))
   }
 
+  test("doremiWeights: uniform mix keeps shares, drift upweights, sums to 1") {
+    // identical token mixes -> zero excess everywhere -> weights == shares
+    // (modulo the uniform-smoothing term, disabled here)
+    val same = Seq((1L, "a", "x x y"), (2L, "b", "x x y"))
+      .toDF("doc_id", "src", "text")
+    val flat = TextAnalysis.doremiWeights(same, "src", "text",
+        eta = 1.0, smoothing = 0.0)
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))).toMap
+    assert(flat("a")._2 == 0.0 && flat("b")._2 == 0.0)
+    assert(flat("a")._3 == 0.5 && flat("b")._3 == 0.5)
+    assert(flat("a")._4 == 1.0 && flat("b")._4 == 1.0) // resample_factor
+    // one off-distribution source: positive excess, upweighted vs its
+    // share; weights still sum to 1 and every domain keeps >= the
+    // smoothing floor
+    val drift = Seq((1L, "a", "x x x x x x"), (2L, "a", "x x y"),
+      (3L, "b", "z z z")).toDF("doc_id", "src", "text")
+    val out = TextAnalysis.doremiWeights(drift, "src", "text",
+      eta = 2.0, smoothing = 0.01).collect()
+    val byDom = out.map(r => r.getString(0) ->
+      (r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))).toMap
+    // b's vocabulary is disjoint from the blend's mass -> bigger excess
+    assert(byDom("b")._2 > byDom("a")._2)
+    // the DoReMi update must upweight the high-excess domain
+    assert(byDom("b")._4 > 1.0 && byDom("a")._4 < 1.0)
+    assert(math.abs(out.map(_.getDouble(4)).sum - 1.0) < 1e-5)
+    assert(out.forall(_.getDouble(4) >= 0.01 / out.length))
+    // invalid knobs rejected up front
+    intercept[IllegalArgumentException] {
+      TextAnalysis.doremiWeights(same, "src", "text", eta = 0.0)
+    }
+    intercept[IllegalArgumentException] {
+      TextAnalysis.doremiWeights(same, "src", "text", smoothing = 1.0)
+    }
+  }
+
   test("unigramNll matches a hand-computed corpus distribution") {
     // corpus: tokens a a a b -> p(a)=3/4, p(b)=1/4
     val docs = Seq((1L, "a a a"), (2L, "b")).toDF("doc_id", "text")
