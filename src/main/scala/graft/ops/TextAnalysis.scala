@@ -1275,6 +1275,45 @@ object TextAnalysis {
       .withColumn("n_bpe_tokens", size(col("bpe_tokens")))
   }
 
+  /** Unigram-LM tokenizer inference (Kudo '18 — the SentencePiece
+    * unigram model's encode step, the tokenizer family BPE is not):
+    * every whitespace word in `textCol` is Viterbi-segmented against a
+    * GIVEN vocabulary of (piece, log-prob) pairs, maximizing the summed
+    * piece log-prob (ties: fewer pieces, then longest final piece —
+    * the [[graft.functions.UnigramViterbi]] contract). Unlike
+    * [[bpeEncode]]'s greedy merge replay, the DP picks globally-optimal
+    * splits — `window` segments as `wi+ndow` (2+4) when that beats the
+    * greedy-longest `win+dow` (3+3) on vocab scores.
+    *
+    * Emits per document: `n_tokens`, `n_oov` (words NO piece path
+    * covers — routed to a counter, never silently part-segmented),
+    * `n_pieces`, `logp` (summed piece log-prob of segmentable words,
+    * round6), and `segm` (pieces joined `+` within a word, words joined
+    * by spaces — the human-auditable trace).
+    *
+    * Shape: MAP-ONLY, fully codegen'd — ONE
+    * [[graft.functions.UnigramSegmentProfile]] pass per document (the
+    * vocab rides as a plan reference object; cost `len x maxPieceLen`
+    * hash probes per word) with NO `transform()` higher-order wrapper: a
+    * per-word HOF lambda would evaluate interpreted and block
+    * whole-stage codegen — the 8x cliff the 10M-doc smoke measured on
+    * the Gopher HOF tower (BASELINE.md r11). Nothing shuffles; at
+    * 100 TB tokenizer inference is exactly this embarrassingly-parallel
+    * projection. The per-doc `logp` accumulation is order-exact when
+    * vocab scores are dyadic (the oracle fixture's contract); arbitrary
+    * scores stay correct to the usual 6dp rule. */
+  def unigramSegment(df: DataFrame, idCol: String, textCol: String,
+      vocab: Seq[(String, Double)]): DataFrame = {
+    import graft.functions.UnigramViterbiFunctions.unigram_segment_profile
+    df.withColumn("__p", unigram_segment_profile(lower(col(textCol)), vocab))
+      .withColumn("n_tokens", col("__p.n_tokens"))
+      .withColumn("n_oov", col("__p.n_oov"))
+      .withColumn("n_pieces", col("__p.n_pieces"))
+      .withColumn("logp", round(col("__p.logp"), 6))
+      .withColumn("segm", col("__p.segm"))
+      .drop("__p")
+  }
+
   /** Left-to-right non-overlapping application of one merge rule. */
   private def mergePair(syms: Array[String], l: String,
       r: String): Array[String] = {

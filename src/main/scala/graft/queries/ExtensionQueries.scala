@@ -25,6 +25,92 @@ object ExtensionQueries {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** x132's planted unigram-LM vocabulary: all 26 single letters plus
+    * multi-character pieces targeting the corpus words. Scores are
+    * DYADIC by construction — `-(9 - len) - k/1024` with integer `len`
+    * and list-index `k` — so every DP sum is exact in binary64 on both
+    * engines and score ties are true ties, never 1-ulp engine
+    * divergences (the x119 dyadic-lambda convention). Longer pieces
+    * score better, but not so much that the greedy-longest split always
+    * wins: `window` must segment `wi+ndow` (2+4 beats greedy `win+dow`'s
+    * 3+3), which is exactly the case where Viterbi differs from BPE. */
+  private val uniVocabPieces: Seq[String] = {
+    val singles = ('a' to 'z').map(_.toString)
+    val multi = Seq(
+      "ba", "tch", "atch", "bat", "co", "lum", "umn", "col",
+      "cus", "tom", "er", "mer", "da", "ta", "at", "fa", "st", "ast",
+      "fil", "ter", "lter", "fi", "gro", "up", "oup", "ha", "sh", "ash",
+      "jo", "in", "oin", "ke", "ey", "li", "ne", "ine", "ge", "erge",
+      "or", "der", "rder", "pa", "rt", "art", "que", "ry", "uery",
+      "ro", "ow", "sc", "an", "can", "sl", "low", "sm", "all", "mall",
+      "so", "sp", "ark", "park", "re", "eam", "ream", "tab", "le",
+      "ble", "ab", "th", "he", "va", "lue", "alue", "ve", "ct", "ctor",
+      "tor", "wi", "nd", "dow", "ndow", "win", "gg", "ag", "agg", "du",
+      "bi", "ig", "val", "um", "us", "to", "om", "qu", "ue")
+    (singles ++ multi).distinct
+  }
+
+  private[queries] val uniVocab: Seq[(String, Double)] =
+    uniVocabPieces.zipWithIndex.map { case (p, k) =>
+      p -> (-(9.0 - math.min(p.length, 8)) - k / 1024.0)
+    }
+
+  /** Builder-authored x132 oracle: the Viterbi DP unrolled into chained
+    * CTEs `b1..b16` (position i picks its best predecessor among the
+    * last `maxPieceLen` positions via the same score DESC / n_pieces
+    * ASC / j ASC order the expression pins), then per-word results roll
+    * up per document. Generated from the SAME `uniVocab` value the
+    * Spark side plants, so vocab and SQL cannot drift apart. */
+  private def unigramOracleSql: String = {
+    val maxW = 16
+    val maxP = uniVocabPieces.map(_.length).max
+    val vals = uniVocab.map { case (p, sc) =>
+      s"('$p', ${BigDecimal(sc).bigDecimal.toPlainString})" }.mkString(", ")
+    val dp = (1 to maxW).map { i =>
+      val legs = (math.max(0, i - maxP) until i).map { j =>
+        s"SELECT b.word, b.wl, b.score + v.score AS score, b.np + 1 AS np, " +
+          s"CASE WHEN b.segm = '' THEN v.piece ELSE b.segm || '+' || v.piece END AS segm, " +
+          s"$j AS j FROM b$j b JOIN v ON b.wl >= $i " +
+          s"AND v.piece = substr(b.word, ${j + 1}, ${i - j})"
+      }.mkString(" UNION ALL ")
+      // MATERIALIZED: each b_i is referenced by up to maxP later stages;
+      // without it DuckDB inlines the chain into an exponentially-
+      // expanded tree (observed: "Too many open files" from the same
+      // parquet scan multiplied hundreds of times)
+      s"b$i AS MATERIALIZED (SELECT word, wl, score, np, segm FROM ($legs) " +
+        s"QUALIFY row_number() OVER (PARTITION BY word " +
+        s"ORDER BY score DESC, np ASC, j ASC) = 1)"
+    }.mkString(",\n")
+    val wseg = (1 to maxW).map(i => s"SELECT * FROM b$i WHERE wl = $i")
+      .mkString(" UNION ALL ")
+    s"""WITH v(piece, score) AS (VALUES $vals),
+       |doc AS (
+       |  SELECT doc_id, list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+       |    x -> len(x) > 0 AND len(x) <= $maxW) AS toks
+       |  FROM documents),
+       |tok AS (
+       |  SELECT doc_id, u.ord AS ord, u.word AS word FROM (
+       |    SELECT doc_id, unnest(list_transform(range(1, len(toks) + 1),
+       |      i -> {'ord': i, 'word': toks[i]})) AS u
+       |    FROM doc) q),
+       |words AS MATERIALIZED (SELECT DISTINCT word, len(word) AS wl FROM tok),
+       |b0 AS MATERIALIZED (
+       |  SELECT word, wl, 0.0 AS score, 0 AS np, '' AS segm FROM words),
+       |$dp,
+       |wseg AS ($wseg),
+       |agg AS (
+       |  SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       |    CAST(sum(w.np) AS BIGINT) AS n_pieces,
+       |    ROUND(sum(w.score), 6) AS logp,
+       |    string_agg(w.segm, ' ' ORDER BY t.ord) AS segm
+       |  FROM tok t JOIN wseg w USING (word) GROUP BY t.doc_id)
+       |SELECT d.doc_id, coalesce(a.n_tokens, 0) AS n_tokens,
+       |  CAST(0 AS BIGINT) AS n_oov, coalesce(a.n_pieces, 0) AS n_pieces,
+       |  coalesce(a.logp, 0.0) AS logp, coalesce(a.segm, '') AS segm
+       |FROM documents d LEFT JOIN agg a USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
   /** The x35/x40 paragraph-dedup fixture: doc i = own (newline-stripped)
     * text + successor's text joined by \n\n, wrapping the last doc around
     * to the first — every paragraph appears in exactly two documents.
@@ -2205,6 +2291,22 @@ object ExtensionQueries {
       TextAnalysis.doremiWeights(t(s, dir, "documents"), "source", "text",
           eta = 2.0, smoothing = 0.01)
         .orderBy(col("domain"))),
+
+    // Unigram-LM (SentencePiece) tokenizer inference: every corpus word
+    // Viterbi-segmented against the planted dyadic-score vocabulary —
+    // map-only codegen'd DP, vocab as plan state. The oracle unrolls the
+    // SAME DP into chained SQL CTEs from the SAME vocab value, so piece
+    // choices, tie-breaks, per-doc logp and the `+`-joined trace all
+    // replay exactly (dyadic scores: sums are order-exact in binary64).
+    "x132_unigram_segment" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"),
+        array_join(filter(TextAnalysis.tokens(lower(col("text"))),
+          w => length(w) <= 16), " ").as("text"))
+      TextAnalysis.unigramSegment(docs, "doc_id", "text", uniVocab)
+        .select(col("doc_id"), col("n_tokens"), col("n_oov"),
+          col("n_pieces"), col("logp"), col("segm"))
+        .orderBy(col("doc_id"))
+    }),
 
     // Streaming decontamination made driver-visible (the stream ≡ batch
     // seam as a CORRECTNESS row, not only a spec): the documents table
@@ -4408,6 +4510,8 @@ object ExtensionQueries {
         |  ROUND(ROUND(0.99 * unnorm / z.z + 0.01 / z.d, 6) / share, 6)
         |    AS resample_factor
         |FROM upd CROSS JOIN z ORDER BY domain""".stripMargin,
+
+    "x132_unigram_segment" -> unigramOracleSql,
 
     // Exact shingle hits replayed; the screen's guarantees (one-sided
     // error, exactly-once routing) are TRUE literals the Spark side must

@@ -1965,6 +1965,74 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("unigramViterbi: optimal over greedy, pinned tie-breaks, OOV null") {
+    import graft.functions.UnigramViterbiFunctions.unigram_viterbi
+    // non-greedy: win+dow (3+3: -6-6=-12) loses to wi+ndow (2+4: -7-5=-12)?
+    // make it unambiguous: 2+4 = -7-5 = -12 vs 3+3 = -6-6 = -12 would tie,
+    // so give dow a worse score — Viterbi must pick the 2+4 split
+    val vocab = Seq("w" -> -8.0, "i" -> -8.0, "n" -> -8.0, "d" -> -8.0,
+      "o" -> -8.0, "wi" -> -7.0, "win" -> -6.0, "dow" -> -6.5,
+      "ndow" -> -5.0)
+    def seg(w: String, v: Seq[(String, Double)] = vocab): Option[Seq[String]] = {
+      val r = Seq(w).toDF("w")
+        .select(unigram_viterbi(col("w"), v).as("s"))
+        .collect().head
+      if (r.isNullAt(0)) None else Some(r.getSeq[String](0))
+    }
+    assert(seg("window").contains(Seq("wi", "ndow")))
+    // score tie -> fewer pieces: ab as one piece beats a+b at equal total
+    val tied = Seq("a" -> -4.0, "b" -> -4.0, "ab" -> -8.0)
+    assert(seg("ab", tied).contains(Seq("ab")))
+    // full tie (score AND count) -> earliest predecessor = longest final
+    // piece: xy vs x+y impossible to tie on count; use 3 chars where
+    // (x)(yz) and (xy)(z) tie on both -> j ASC keeps the FIRST dp choice,
+    // which resolves to x+yz (predecessor j=1 for final piece yz)
+    val t3 = Seq("x" -> -4.0, "y" -> -4.0, "z" -> -4.0,
+      "xy" -> -8.0, "yz" -> -8.0)
+    assert(seg("xyz", t3).contains(Seq("x", "yz")))
+    // OOV character -> null, not a partial segmentation
+    assert(seg("window?").isEmpty)
+    // empty word -> empty pieces
+    assert(seg("").contains(Seq.empty))
+    // degenerate vocabs rejected at construction
+    intercept[IllegalArgumentException] { seg("w", Seq.empty) }
+    intercept[IllegalArgumentException] {
+      seg("w", Seq("a" -> -1.0, "a" -> -2.0))
+    }
+  }
+
+  test("unigramSegment: per-doc rollup, OOV counting, codegen membership") {
+    val vocab = Seq("a" -> -2.0, "b" -> -2.0, "ab" -> -1.0, "c" -> -2.0)
+    val docs = Seq(
+      (1L, "ab ab c"),     // 3 tokens -> ab, ab, c = 3 pieces, logp -4
+      (2L, "ab zq"),       // zq unsegmentable -> n_oov=1, only ab counted
+      (3L, "")             // empty -> all zeros
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.unigramSegment(docs, "doc_id", "text", vocab)
+      .select(col("doc_id"), col("n_tokens"), col("n_oov"), col("n_pieces"),
+        col("logp"), col("segm"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4),
+          r.getString(5))).toMap
+    assert(out(1L) == ((3L, 0L, 3L, -4.0, "ab ab c")))
+    assert(out(2L) == ((2L, 1L, 1L, -1.0, "ab")))
+    assert(out(3L) == ((0L, 0L, 0L, 0.0, "")))
+    // the segmentation projection must stay inside whole-stage codegen
+    // (map-only tokenizer inference is the operator's scale contract);
+    // the starred Project must carry the profile expression itself — a
+    // transform() HOF spelling would de-codegen exactly here. range()
+    // input: a local Seq would constant-fold into a LocalTableScan and
+    // hide the executed shape
+    val ranged = spark.range(0, 10).select($"id".as("doc_id"),
+      concat(lit("ab c ab"), when($"id" % 2 === 0, lit(" ab"))
+        .otherwise(lit(""))).as("text"))
+    val plan = TextAnalysis.unigramSegment(ranged, "doc_id", "text", vocab)
+      .queryExecution.executedPlan.toString
+    assert("\\*\\(\\d+\\) project \\[[^\\]]*unigramsegmentprofile".r
+      .findFirstIn(plan.toLowerCase).isDefined,
+      s"segment projection left whole-stage codegen:\n${plan.take(500)}")
+  }
+
   test("unigramNll matches a hand-computed corpus distribution") {
     // corpus: tokens a a a b -> p(a)=3/4, p(b)=1/4
     val docs = Seq((1L, "a a a"), (2L, "b")).toDF("doc_id", "text")
