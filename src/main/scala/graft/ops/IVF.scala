@@ -42,7 +42,29 @@ object IVF {
   /** Train `nc` centroids with `iters` Lloyd's iterations (cosine metric,
     * mean recombination). Collects only (nc x dim) doubles per iteration. */
   def train(emb: DataFrame, idCol: String, vecCol: String,
-      nc: Int = 16, iters: Int = 5): Model = {
+      nc: Int = 16, iters: Int = 5): Model =
+    trainImpl(emb, idCol, vecCol, nc, iters, portable = false)
+
+  /** [[train]] with ENGINE-PORTABLE arithmetic: the per-coordinate
+    * cluster mean is an exact DECIMAL(38,18) sum cast to double, divided,
+    * and rounded to 6dp after EVERY iteration — so the trained centroids
+    * are a pure function of (data, nc, iters), independent of partition
+    * count and aggregation order, and a SQL engine replaying the same
+    * fixed-point recurrence (exact decimal sums commute) lands on
+    * bit-identical centroids. `train`'s float `avg` is summation-order
+    * dependent: ~1e-13 drift per iteration that Lloyd's assignment step
+    * can amplify into a different clustering — the reason x15/x27 sat
+    * rows-only through r10. Production indexes can keep the plain
+    * trainer (the drift is semantically irrelevant there); use this one
+    * when reproducibility or cross-engine verification matters. Decimal
+    * aggregation costs ~2x the float path per iteration — train-time
+    * only, never query-time. */
+  def trainPortable(emb: DataFrame, idCol: String, vecCol: String,
+      nc: Int = 16, iters: Int = 5): Model =
+    trainImpl(emb, idCol, vecCol, nc, iters, portable = true)
+
+  private def trainImpl(emb: DataFrame, idCol: String, vecCol: String,
+      nc: Int, iters: Int, portable: Boolean): Model = {
     // one projected+persisted copy of the training vectors: every Lloyd's
     // iteration re-scans this narrow frame instead of re-reading (and
     // re-casting) the source — at corpus scale the input scan would
@@ -53,13 +75,18 @@ object IVF {
       .orderBy(col("__ivf_id")).limit(nc)
       .select(col("v")).collect()
       .map(_.getSeq[Double](0).toArray)
+    val meanExpr =
+      if (portable)
+        round(sum(col("x").cast(org.apache.spark.sql.types.DecimalType(38, 18)))
+          .cast("double") / count(lit(1)), 6)
+      else avg(col("x"))
     var it = 0
     while (it < iters) {
       val assigned = base.select(col("v"),
         assignExpr(col("v"), centroids).as("cid"))
       val means = assigned
         .select(col("cid"), posexplode(col("v")).as(Seq("pos", "x")))
-        .groupBy(col("cid"), col("pos")).agg(avg(col("x")).as("m"))
+        .groupBy(col("cid"), col("pos")).agg(meanExpr.as("m"))
         .groupBy(col("cid"))
         .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
           s => s.getField("m")).as("centroid"))

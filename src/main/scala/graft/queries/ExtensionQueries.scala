@@ -111,6 +111,44 @@ object ExtensionQueries {
        |ORDER BY d.doc_id""".stripMargin
   }
 
+  /** Builder-authored x15/x27 oracle prefix: IVF.trainPortable's three
+    * Lloyd iterations unrolled as chained MATERIALIZED CTEs. Iteration i
+    * = assignment `a_i` (best cosine, ties -> HIGHEST cid — the
+    * NearestCentroidId contract) + decimal-exact per-coordinate means
+    * `m_i` (SUM(DECIMAL(38,18)) cast double, /count, round6 — exactly
+    * the portable trainer's recurrence; exact sums commute, so engine
+    * aggregation order cannot matter) + recombination `c_i` (empty
+    * clusters keep their previous centroid). `af` is the final corpus
+    * assignment over `c_iters`. */
+  private def ivfPortableTrainSql(nc: Int, iters: Int, dim: Int): String = {
+    val cte = new StringBuilder
+    cte ++= "WITH emb AS (SELECT vec_id, " +
+      "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),\n"
+    cte ++= s"c0 AS MATERIALIZED (SELECT vec_id AS cid, v AS cv " +
+      s"FROM emb WHERE vec_id < $nc),\n"
+    for (i <- 1 to iters) {
+      cte ++= s"a$i AS MATERIALIZED (" +
+        s"SELECT e.vec_id, e.v, c.cid FROM emb e CROSS JOIN c${i - 1} c " +
+        s"QUALIFY row_number() OVER (PARTITION BY e.vec_id " +
+        s"ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cid DESC) = 1),\n"
+      cte ++= s"m$i AS MATERIALIZED (" +
+        s"SELECT cid, d.pos, " +
+        s"ROUND(CAST(SUM(CAST(v[d.pos + 1] AS DECIMAL(38,18))) AS DOUBLE) " +
+        s"/ COUNT(*), 6) AS m " +
+        s"FROM a$i CROSS JOIN (SELECT unnest(range(0, $dim)) AS pos) d " +
+        s"GROUP BY cid, d.pos),\n"
+      cte ++= s"c$i AS MATERIALIZED (" +
+        s"SELECT p.cid, coalesce(n.cv, p.cv) AS cv FROM c${i - 1} p " +
+        s"LEFT JOIN (SELECT cid, list(m ORDER BY pos) AS cv FROM m$i " +
+        s"GROUP BY cid) n USING (cid)),\n"
+    }
+    cte ++= s"af AS MATERIALIZED (" +
+      s"SELECT e.vec_id, e.v, c.cid FROM emb e CROSS JOIN c$iters c " +
+      s"QUALIFY row_number() OVER (PARTITION BY e.vec_id " +
+      s"ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cid DESC) = 1)"
+    cte.toString
+  }
+
   /** The x35/x40 paragraph-dedup fixture: doc i = own (newline-stripped)
     * text + successor's text joined by \n\n, wrapping the last doc around
     * to the first — every paragraph appears in exactly two documents.
@@ -364,10 +402,18 @@ object ExtensionQueries {
         .select(col("doc_id"), col("lang"))
     }),
 
-    // IVF ANN: k-means lists + nprobe search (rows-only check)
+    // IVF ANN: TRAINED k-means lists + nprobe search — oracle-checked
+    // since r11 via the PORTABLE trainer (decimal-exact means, round6
+    // per iteration): the centroids become a pure function of (data, nc,
+    // iters), so the oracle replays all three Lloyd iterations as
+    // unrolled CTEs (assign ties -> highest cid, probe ties -> lowest —
+    // the x120 conventions) and then the probe + re-rank. This was the
+    // "irreducible rows-only core" through r10; the float-avg production
+    // trainer stays available as IVF.train, pinned ≈-equal by spec.
     "x15_knn_ivf" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
-      val model = IVF.train(emb, "vec_id", "embedding", nc = 16, iters = 3)
+      val model = IVF.trainPortable(emb, "vec_id", "embedding",
+        nc = 16, iters = 3)
       val assigned = IVF.assign(emb, "embedding", model)
       val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qvec"))
       IVF.search(assigned, q, "vec_id", "embedding", model, k = 20, nprobe = 4)
@@ -636,13 +682,15 @@ object ExtensionQueries {
     // probe prune lands as PartitionFilters file skipping at the scan,
     // not a post-read filter. `partition_pruned` embeds the plan guard
     // into the benched output (the q42 zero_exchange pattern): true only
-    // if the executed plan prunes partitions on centroid_id. (xxhash-free
-    // but k-means lists depend on the deterministic trainer and results
-    // are list-pruned approximations -> rows-only; equality with the
-    // in-memory batch path and with N single searches pinned by spec)
+    // if the executed plan prunes partitions on centroid_id. Oracle-
+    // checked since r11 (x15's portable-trainer route): the unrolled
+    // Lloyd CTEs feed the per-query probe selection and the partitioned-
+    // index re-rank, all value-replayed; equality with the in-memory
+    // batch path and with N single searches stays pinned by spec.
     "x27_knn_ivf_batch" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
-      val model = IVF.train(emb, "vec_id", "embedding", nc = 16, iters = 3)
+      val model = IVF.trainPortable(emb, "vec_id", "embedding",
+        nc = 16, iters = 3)
       val assigned = IVF.assign(emb, "embedding", model)
       val idx = graft.queries.ParityQueries.tmpPath("graft_ivf_idx", dir)
       IVF.writeIndexPartitioned(assigned, idx)
@@ -4512,6 +4560,40 @@ object ExtensionQueries {
         |FROM upd CROSS JOIN z ORDER BY domain""".stripMargin,
 
     "x132_unigram_segment" -> unigramOracleSql,
+
+    // The former "irreducible rows-only core": with the portable trainer
+    // the k-means recurrence is engine-exact, so the whole train -> assign
+    // -> probe -> re-rank pipeline value-replays. Probe ties -> lowest
+    // cid (the stable driver sort / NearestCentroidIds contract).
+    "x15_knn_ivf" ->
+      (ivfPortableTrainSql(nc = 16, iters = 3, dim = 64) + """,
+        |q AS (SELECT v AS qv FROM emb WHERE vec_id = 0),
+        |probe AS (
+        |  SELECT cid FROM c3 CROSS JOIN q
+        |  QUALIFY row_number() OVER (
+        |    ORDER BY list_cosine_similarity(cv, qv) DESC, cid ASC) <= 4)
+        |SELECT a.vec_id,
+        |  ROUND(list_cosine_similarity(a.v, q.qv), 6) AS cosine_sim
+        |FROM af a JOIN probe USING (cid) CROSS JOIN q
+        |ORDER BY cosine_sim DESC, a.vec_id LIMIT 20""".stripMargin),
+
+    "x27_knn_ivf_batch" ->
+      (ivfPortableTrainSql(nc = 16, iters = 3, dim = 64) + """,
+        |qs AS (SELECT vec_id AS query_id, v AS qv FROM emb WHERE vec_id < 5),
+        |probes AS (
+        |  SELECT query_id, qv, cid FROM (
+        |    SELECT q.query_id, q.qv, c.cid, row_number() OVER (
+        |      PARTITION BY q.query_id
+        |      ORDER BY list_cosine_similarity(c.cv, q.qv) DESC, c.cid ASC) AS rn
+        |    FROM qs q CROSS JOIN c3 c) WHERE rn <= 4),
+        |sc AS (
+        |  SELECT p.query_id, a.vec_id,
+        |    ROUND(list_cosine_similarity(a.v, p.qv), 6) AS cosine_sim
+        |  FROM af a JOIN probes p USING (cid))
+        |SELECT query_id, vec_id, cosine_sim, TRUE AS partition_pruned FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY cosine_sim DESC, vec_id) AS rn FROM sc)
+        |WHERE rn <= 10 ORDER BY query_id, cosine_sim DESC, vec_id""".stripMargin),
 
     // Exact shingle hits replayed; the screen's guarantees (one-sided
     // error, exactly-once routing) are TRUE literals the Spark side must

@@ -853,6 +853,28 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.5, s"recall=$recall")
   }
 
+  test("IVF.trainPortable: partition-invariant bit-identical centroids, ≈ float trainer") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    // the property the float trainer CANNOT give: identical centroids
+    // regardless of how the input is partitioned (decimal sums commute)
+    val a = graft.ops.IVF.trainPortable(emb.repartition(1),
+      "vec_id", "embedding", nc = 8, iters = 3)
+    val b = graft.ops.IVF.trainPortable(emb.repartition(7),
+      "vec_id", "embedding", nc = 8, iters = 3)
+    assert(a.centroids.map(_.toSeq).toSeq == b.centroids.map(_.toSeq).toSeq)
+    // every coordinate sits on the 6dp grid (the round6 recurrence)
+    assert(a.centroids.flatten.forall(x =>
+      x == math.rint(x * 1e6) / 1e6))
+    // stays within a rounding step of the float trainer per coordinate:
+    // the portable recurrence changes arithmetic, not the algorithm
+    // (identical assignment trajectories on this fixture)
+    val f = graft.ops.IVF.train(emb, "vec_id", "embedding", nc = 8, iters = 3)
+    val av: Array[Double] = a.centroids.flatMap(_.toSeq)
+    val fv: Array[Double] = f.centroids.flatMap(_.toSeq)
+    val maxDiff = av.zip(fv).map { case (x, y) => math.abs(x - y) }.max
+    assert(maxDiff <= 2e-6, s"maxDiff=$maxDiff")
+  }
+
   test("IVF index partitioned by centroid_id prunes the scan to the probed lists") {
     // the at-scale claim on IVF.assign: persisting the assigned corpus
     // partitioned by centroid_id turns nprobe pruning into file skipping --
