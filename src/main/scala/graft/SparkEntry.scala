@@ -117,6 +117,15 @@ import graft.queries.{ExtensionQueries, ParityQueries}
   *    the streamed read-merge-write store must equal the one-shot
   *    sketch; x128 exact hits + one-sided-error / exactly-once-routing
   *    booleans)
+  *  - x131-x135: DoReMi domain reweighting (multiplicative-update
+  *    excess-loss loop over the unigram proxy), unigram-LM
+  *    (SentencePiece-style) Viterbi segmentation (native DP
+  *    expression), margin-based bitext mining (Artetxe-Schwenk ratio
+  *    margin + mutual best match over parity-split embedding sides),
+  *    cluster-balanced diversity sampling (portable-trainer k-means
+  *    strata x md5-ranked exact-k picks, fully value-replayed), and
+  *    calibration/reliability bins over the trained logreg gate
+  *    (per-bin confidence vs empirical rate, decimal-sum means)
   */
 object SparkEntry {
 

@@ -191,6 +191,41 @@ object Sampling {
       Seq(("rank_key", true), (idCol, true)), k, maxGroups)
   }
 
+  /** Cluster-balanced embedding sample — the diversity-preserving
+    * alternative to uniform subsampling when building eval sets or
+    * seed corpora from an embedded collection: k-means clusters stand
+    * in for semantic strata, and each cluster contributes AT MOST `k`
+    * members (small clusters keep everything), so rare semantic regions
+    * survive a downsample that uniform sampling would wash out
+    * (DeepCore / cluster-coverage coreset recipe). Within a cluster the
+    * pick is [[exactKPerGroup]]'s md5-ranked uniform — deterministic,
+    * engine-replayable, independent of any data attribute.
+    *
+    * Composes the engine's own pieces end to end: centroids from
+    * [[graft.ops.IVF.train]] (or [[graft.ops.IVF.trainPortable]] when
+    * the selection itself must replay in a SQL oracle), assignment as
+    * the native map-only loop expression, selection on the bounded-heap
+    * TopK operator behind ONE centroid-keyed exchange (cluster count is
+    * bounded by the model, so the heap path always applies).
+    * `cluster_size` rides along from the same assignment pass — the
+    * coverage audit (how much of each region the sample kept) comes
+    * free.
+    *
+    * Output: (centroid_id, idCol, rank_key, cluster_size), ≤ k rows per
+    * centroid. */
+  def clusterBalancedSample(emb: DataFrame, idCol: String, vecCol: String,
+      model: graft.ops.IVF.Model, k: Int, salt: Long = 42L): DataFrame = {
+    require(k >= 1, "need k >= 1")
+    val assigned = graft.ops.IVF.assign(emb, vecCol, model)
+      .select(col(idCol), col("centroid_id").cast("long").as("centroid_id"))
+    val sizes = assigned.groupBy(col("centroid_id"))
+      .agg(count(lit(1)).as("cluster_size"))
+    exactKPerGroup(assigned, "centroid_id", idCol, k, salt)
+      .join(sizes, Seq("centroid_id"))
+      .select(col("centroid_id"), col(idCol), col("rank_key"),
+        col("cluster_size"))
+  }
+
   /** EXACT token-budget prefix per group — [[mixtureByTokenBudget]]'s
     * exact sibling: where the rate formulation hits the budget only in
     * expectation, this walks each group's rows in md5(salt|id) order

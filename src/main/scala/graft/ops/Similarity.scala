@@ -595,4 +595,86 @@ object Similarity {
     import spark.implicits._
     selected.toSeq.toDF(idCol, "mmr_rank", "mmr_score")
   }
+
+  /** Margin-based bitext mining (Artetxe & Schwenk, ACL 2019 — the
+    * CCMatrix/LASER parallel-corpus recipe): given source-side and
+    * target-side sentence embeddings, score candidate pairs by the RATIO
+    * margin `cos(x,y) / ((favg(x) + bavg(y)) / 2)` — cosine normalized by
+    * the mean cosine of each side's own k nearest neighbors — and keep
+    * the pairs that are each other's best match by that margin. The
+    * normalization is what makes mined bitext usable: it cancels
+    * hubness (sentences that are near EVERYTHING score high raw cosine
+    * against everything; dividing by their neighborhood density demotes
+    * them), which raw-cosine thresholding cannot do.
+    *
+    * Algorithm (per the paper's `ratio` scoring + `max` retrieval):
+    *  1. candidates = forward top-k (per source, by cosine) UNION
+    *     backward top-k (per target) — margins are computed over this
+    *     bounded candidate set, never all pairs;
+    *  2. favg/bavg = per-id mean cosine of its OWN top-k
+    *     ([[TextAnalysis.mean6Exact]] — means of 6dp cosines over small
+    *     k land on round-boundary halves constantly, so the mean is
+    *     rounded half-up in integer micro-unit space, never via
+    *     round-on-double);
+    *  3. margin as above (round6; candidates where favg+bavg <= 0 are
+    *     dropped — a degenerate neighborhood has no meaningful ratio);
+    *  4. best match per source and per target by (margin desc, id asc);
+    *     a pair survives only if it wins BOTH directions (mutual best),
+    *     then `minMargin` thresholds the survivors.
+    *
+    * Scale shape: the exact baseline scores `src x broadcast(tgt)` — one
+    * broadcast nested loop, no corpus shuffle (the [[bruteForceKnnBatch]]
+    * cost model; when both sides stop fitting that product, swap stage 1
+    * for [[lshKnnBatch]] / [[IVF.searchBatch]] candidates — every later
+    * stage already operates on bounded top-k frames, so the swap is
+    * local). Both top-k selections ride [[graft.plans.TopK]] (bounded
+    * heap behind ONE hash exchange each — on src_id forward, tgt_id
+    * backward; the per-id means reuse the already-selected k-row
+    * frames). The margin joins are 8-byte-id equi-joins of
+    * O(k·(|S|+|T|))-row frames against side-sized avg frames — AQE picks
+    * broadcast vs shuffle by actual size; nothing here is ever
+    * |S|x|T|-sized past stage 1. The candidate frame is persisted for
+    * its two consumers (session-lifetime, the repo persist convention).
+    *
+    * Determinism contract: cosine round6 BEFORE selection; top-k ties
+    * break by partner id asc; means via [[TextAnalysis.mean6Exact]];
+    * margin = IEEE division of round6 inputs, round6'd —
+    * bit-replayable in SQL.
+    *
+    * Input frames carry (idCol, vecCol). Output: (src_id, tgt_id,
+    * cosine_sim, margin) for mutual best pairs with margin >= minMargin. */
+  def bitextMarginMine(src: DataFrame, tgt: DataFrame, idCol: String,
+      vecCol: String, k: Int = 4, minMargin: Double = 1.0): DataFrame = {
+    require(k >= 1, "need k >= 1")
+    val s = src.select(col(idCol).as("src_id"), col(vecCol).as("__sv"))
+    val t = tgt.select(col(idCol).as("tgt_id"), col(vecCol).as("__tv"))
+    val scored = s.crossJoin(broadcast(t))
+      .select(col("src_id"), col("tgt_id"),
+        round(cosine(col("__sv"), col("__tv")), 6).as("cosine_sim"))
+    val fwd = graft.plans.TopK.perGroup(scored, Seq("src_id"),
+      Seq(("cosine_sim", false), ("tgt_id", true)), k).persist()
+    val bwd = graft.plans.TopK.perGroup(scored, Seq("tgt_id"),
+      Seq(("cosine_sim", false), ("src_id", true)), k).persist()
+    val favg = fwd.groupBy(col("src_id"))
+      .agg(TextAnalysis.mean6Exact(col("cosine_sim")).as("__favg"))
+    val bavg = bwd.groupBy(col("tgt_id"))
+      .agg(TextAnalysis.mean6Exact(col("cosine_sim")).as("__bavg"))
+    val cand = fwd.select(col("src_id"), col("tgt_id"), col("cosine_sim"))
+      .union(bwd.select(col("src_id"), col("tgt_id"), col("cosine_sim")))
+      .distinct()
+    val margins = cand
+      .join(favg, Seq("src_id")).join(bavg, Seq("tgt_id"))
+      .filter(col("__favg") + col("__bavg") > 0)
+      .select(col("src_id"), col("tgt_id"), col("cosine_sim"),
+        round(col("cosine_sim") / ((col("__favg") + col("__bavg")) / 2), 6)
+          .as("margin"))
+    val bestPerSrc = graft.plans.TopK.perGroup(margins, Seq("src_id"),
+      Seq(("margin", false), ("tgt_id", true)), 1)
+    val bestPerTgt = graft.plans.TopK.perGroup(margins, Seq("tgt_id"),
+      Seq(("margin", false), ("src_id", true)), 1)
+    bestPerSrc.join(bestPerTgt.select(col("src_id"), col("tgt_id")),
+        Seq("src_id", "tgt_id"))
+      .filter(col("margin") >= minMargin)
+      .select(col("src_id"), col("tgt_id"), col("cosine_sim"), col("margin"))
+  }
 }

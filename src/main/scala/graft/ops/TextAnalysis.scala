@@ -29,6 +29,31 @@ object TextAnalysis {
   private[graft] def round6(v: Double): Double =
     BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
 
+  /** Exact HALF_UP mean (6dp) of a column whose values are ALREADY on
+    * the 6dp grid (round6 outputs, 0/1 labels): sums the values as
+    * exact micro-unit longs and rounds the mean half-up in INTEGER
+    * arithmetic — `sign * floor((2*|s| + n) / (2n))` micro-units. Why
+    * not `round(avg(c), 6)`: the mean of n 6dp values is a rational
+    * with denominator n·10⁶ that lands EXACTLY on the half grid
+    * constantly (any two values whose sum has an odd 7th digit), and
+    * there `round`-on-double diverges between engines — Spark rounds
+    * the shortest decimal repr of the quotient, other engines round
+    * the binary value, so (0.251630+0.251631)/2 rounds to .251631 in
+    * Spark and .251630 in DuckDB. Integer arithmetic has no such
+    * boundary: both engines compute the identical long. Order-
+    * independent (long sums commute); the final /10⁶ is one IEEE
+    * division of a small-integer double, bit-identical everywhere.
+    * Bounds: needs |Σ micro-units| < 2⁵² (values ≤ 1 ⇒ fine past 10⁹
+    * rows per group; a corpus-sized group of larger scores should
+    * pre-aggregate). Aggregate expression — use inside `agg`. */
+  private[graft] def mean6Exact(c: Column): Column = {
+    val s = sum(round(c * 1e6).cast("long"))
+    val n = count(lit(1))
+    val sgn = when(s < 0, lit(-1L)).otherwise(lit(1L))
+    val m = floor((sgn * s * 2 + n).cast("double") / (n * 2).cast("double"))
+    (sgn * m).cast("double") / lit(1e6)
+  }
+
   /** BPE-ish subword-count estimate: words plus intra-word transitions
     * (letter/digit boundaries, punctuation starts) — a cheap regex proxy
     * for tokenizer load, no vocab needed. MATCH-based and RE2-compatible
@@ -641,6 +666,47 @@ object TextAnalysis {
     df.withColumn("n_features", size(bkts))
       .withColumn("score", round(lit(1.0) / (lit(1.0) + exp(-z)), 6))
       .withColumn("label", col("score") > 0.5)
+  }
+
+  /** Reliability (calibration) bins for a probabilistic quality gate —
+    * the readout run before trusting a classifier's scores as keep
+    * probabilities: bucket predictions into `bins` equal-width
+    * confidence bins and compare each bin's mean predicted probability
+    * against its empirical positive rate. A well-calibrated gate has
+    * `conf_mean ≈ label_rate` per bin; `abs_gap` is each bin's
+    * contribution shape for ECE (expected calibration error =
+    * sum(n/total * abs_gap)). Why it matters for corpus filtering: a
+    * gate that is systematically overconfident in the 0.5–0.7 band
+    * silently biases mixture ratios when scores are used as sampling
+    * weights ([[graft.ops.Sampling.mixtureBySource]]-style recipes) —
+    * this table is how that bias is seen before a 100 TB run, not after.
+    *
+    * Scale shape: the binning is a map-only projection (`least(floor(
+    * p*bins), bins-1)` — scores land in [0,1] with p=1.0 folded into
+    * the top bin) into ONE bin-keyed hash aggregate collapsing to
+    * ≤`bins` rows — partial aggregation map-side, the exchange carries
+    * bins×partitions rows. Means use [[mean6Exact]] (integer-space
+    * half-up — means of 6dp scores sit on round-boundary halves
+    * constantly, where round-on-double diverges between engines), so
+    * `scoreCol` must carry 6dp-rounded values (every gate in this
+    * engine emits round6 scores); `labelCol` must be 0/1-valued
+    * (numeric or boolean-castable).
+    *
+    * Output: (bin, n, conf_mean, label_rate, abs_gap), one row per
+    * non-empty bin. */
+  def calibrationBins(df: DataFrame, scoreCol: String, labelCol: String,
+      bins: Int = 10): DataFrame = {
+    require(bins >= 2, "need bins >= 2")
+    df.select(
+        least(floor(col(scoreCol) * bins), lit(bins - 1)).cast("int")
+          .as("bin"),
+        col(scoreCol).as("__p"), col(labelCol).cast("double").as("__y"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"),
+        mean6Exact(col("__p")).as("conf_mean"),
+        mean6Exact(col("__y")).as("label_rate"))
+      .withColumn("abs_gap",
+        round(abs(col("conf_mean") - col("label_rate")), 6))
   }
 
   /** Trained hashed-logistic-regression model: `weights`/`bias` plug

@@ -2356,6 +2356,50 @@ object ExtensionQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Margin-based bitext mining (Artetxe & Schwenk ratio margin +
+    // mutual best match) — sides are the embedding table split by id
+    // parity. Fully value-replayed: cosine round6, top-4 neighborhood
+    // means exact in integer micro-unit space (mean6Exact — means of
+    // 6dp values sit on round-boundary halves), margin division over
+    // round6 inputs, mutual argmax ties to the lowest partner id.
+    "x133_bitext_margin" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.bitextMarginMine(
+          emb.filter(col("vec_id") % 2 === 0),
+          emb.filter(col("vec_id") % 2 === 1),
+          "vec_id", "embedding", k = 4, minMargin = 1.0)
+        .orderBy(col("src_id"))
+    }),
+
+    // Cluster-balanced diversity sample: portable-trainer k-means
+    // strata, ≤10 md5-ranked picks per cluster, cluster_size audit
+    // column. The selection itself is oracle-replayed (x15's Lloyd
+    // CTEs + the x109 md5 rank window).
+    "x134_cluster_sample" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val model = IVF.trainPortable(emb, "vec_id", "embedding",
+        nc = 8, iters = 2)
+      graft.ops.Sampling.clusterBalancedSample(emb, "vec_id", "embedding",
+          model, k = 10)
+        .orderBy(col("centroid_id"), col("vec_id"))
+    }),
+
+    // Reliability bins over the TRAINED hashed-logreg gate (the x88/x90
+    // loop closed into a calibration readout): 10 equal-width
+    // confidence bins, per-bin mean predicted probability vs empirical
+    // positive rate, integer-exact half-up means (mean6Exact).
+    "x135_calibration_bins" -> ((s, dir) => {
+      val fix = logRegFixture(t(s, dir, "documents"))
+      val m = TextAnalysis.trainHashedLogReg(fix, "text", "y",
+        buckets = 64, epochs = 3, lr = 0.5, useBigrams = false)
+      val scored = TextAnalysis.hashedLinearScore(
+          fix.select(col("doc_id"), col("text")),
+          "doc_id", "text", m.weights, bias = m.bias, useBigrams = false)
+        .join(fix.select(col("doc_id"), col("y")), Seq("doc_id"))
+      TextAnalysis.calibrationBins(scored, "score", "y", bins = 10)
+        .orderBy(col("bin"))
+    }),
+
     // Streaming decontamination made driver-visible (the stream ≡ batch
     // seam as a CORRECTNESS row, not only a spec): the documents table
     // rides a file-based readStream (3 parquet files, maxFilesPerTrigger=1
@@ -4594,6 +4638,95 @@ object ExtensionQueries {
         |  SELECT *, row_number() OVER (PARTITION BY query_id
         |    ORDER BY cosine_sim DESC, vec_id) AS rn FROM sc)
         |WHERE rn <= 10 ORDER BY query_id, cosine_sim DESC, vec_id""".stripMargin),
+
+    // Artetxe-Schwenk ratio margin over parity-split sides: candidates =
+    // fwd ∪ bwd top-4 by cosine, neighborhood means exact in integer
+    // micro-units (the mean6Exact formulation — sign * floor((2|s|+n)/2n)),
+    // margin = round6 division, mutual best (ties -> lowest id).
+    "x133_bitext_margin" ->
+      """WITH emb AS (SELECT vec_id,
+        |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |s AS (SELECT vec_id AS src_id, v FROM emb WHERE vec_id % 2 = 0),
+        |tt AS (SELECT vec_id AS tgt_id, v FROM emb WHERE vec_id % 2 = 1),
+        |sc AS (SELECT s.src_id, tt.tgt_id,
+        |    ROUND(list_cosine_similarity(s.v, tt.v), 6) AS cosine_sim
+        |  FROM s CROSS JOIN tt),
+        |ft AS (SELECT src_id, tgt_id, cosine_sim FROM sc
+        |  QUALIFY row_number() OVER (PARTITION BY src_id
+        |    ORDER BY cosine_sim DESC, tgt_id) <= 4),
+        |bt AS (SELECT src_id, tgt_id, cosine_sim FROM sc
+        |  QUALIFY row_number() OVER (PARTITION BY tgt_id
+        |    ORDER BY cosine_sim DESC, src_id) <= 4),
+        |fa AS (SELECT src_id,
+        |    (CASE WHEN s < 0 THEN -1 ELSE 1 END)
+        |      * CAST(FLOOR((2*ABS(s) + n) / (2.0*n)) AS BIGINT)
+        |      / 1000000.0 AS favg
+        |  FROM (SELECT src_id,
+        |      SUM(CAST(ROUND(cosine_sim * 1000000) AS BIGINT)) AS s,
+        |      COUNT(*) AS n FROM ft GROUP BY src_id)),
+        |ba AS (SELECT tgt_id,
+        |    (CASE WHEN s < 0 THEN -1 ELSE 1 END)
+        |      * CAST(FLOOR((2*ABS(s) + n) / (2.0*n)) AS BIGINT)
+        |      / 1000000.0 AS bavg
+        |  FROM (SELECT tgt_id,
+        |      SUM(CAST(ROUND(cosine_sim * 1000000) AS BIGINT)) AS s,
+        |      COUNT(*) AS n FROM bt GROUP BY tgt_id)),
+        |cand AS (SELECT DISTINCT src_id, tgt_id, cosine_sim FROM
+        |  (SELECT * FROM ft UNION ALL SELECT * FROM bt)),
+        |mg AS (SELECT c.src_id, c.tgt_id, c.cosine_sim,
+        |    ROUND(c.cosine_sim / ((fa.favg + ba.bavg) / 2), 6) AS margin
+        |  FROM cand c JOIN fa USING (src_id) JOIN ba USING (tgt_id)
+        |  WHERE fa.favg + ba.bavg > 0),
+        |bs AS (SELECT * FROM mg QUALIFY row_number() OVER (
+        |  PARTITION BY src_id ORDER BY margin DESC, tgt_id) = 1),
+        |btg AS (SELECT src_id, tgt_id FROM mg QUALIFY row_number() OVER (
+        |  PARTITION BY tgt_id ORDER BY margin DESC, src_id) = 1)
+        |SELECT b.src_id, b.tgt_id, b.cosine_sim, b.margin
+        |FROM bs b JOIN btg USING (src_id, tgt_id)
+        |WHERE b.margin >= 1.0
+        |ORDER BY src_id""".stripMargin,
+
+    // Cluster-balanced sample: the x15 portable Lloyd CTEs (nc=8,
+    // iters=2) feed the x109 md5 rank window per cluster.
+    "x134_cluster_sample" ->
+      (ivfPortableTrainSql(nc = 8, iters = 2, dim = 64) + """,
+        |sz AS (SELECT cid, COUNT(*) AS cluster_size FROM af GROUP BY cid),
+        |r AS (SELECT a.cid AS centroid_id, a.vec_id,
+        |    md5('42|' || CAST(a.vec_id AS VARCHAR)) AS rank_key,
+        |    row_number() OVER (PARTITION BY a.cid
+        |      ORDER BY md5('42|' || CAST(a.vec_id AS VARCHAR)), a.vec_id)
+        |      AS rn
+        |  FROM af a)
+        |SELECT r.centroid_id, r.vec_id, r.rank_key, sz.cluster_size
+        |FROM r JOIN sz ON r.centroid_id = sz.cid
+        |WHERE rn <= 10 ORDER BY centroid_id, vec_id""".stripMargin),
+
+    // Reliability bins over the replayed logreg training (x90's scoring
+    // leg re-joined to labels, binned 10-wide, integer-exact means —
+    // p,y >= 0 so the sign term drops).
+    "x135_calibration_bins" ->
+      ("WITH " + logRegCtes + ",\n" +
+        """zf AS (SELECT f.doc_id, (SELECT w FROM b3) + sum(w3.w) AS z
+          |  FROM feats f JOIN w3 ON f.b = w3.b GROUP BY f.doc_id),
+          |sc AS (SELECT zf.doc_id,
+          |    ROUND(1.0 / (1.0 + exp(-z)), 6) AS p, d.y
+          |  FROM zf JOIN docs d ON zf.doc_id = d.doc_id),
+          |bn AS (SELECT CAST(LEAST(FLOOR(p * 10), 9) AS INT) AS bin, p, y
+          |  FROM sc),
+          |ag AS (SELECT bin, COUNT(*) AS n,
+          |    SUM(CAST(ROUND(p * 1000000) AS BIGINT)) AS sp,
+          |    SUM(CAST(ROUND(y * 1000000) AS BIGINT)) AS sy
+          |  FROM bn GROUP BY bin),
+          |mn AS (SELECT bin, n,
+          |    CAST(FLOOR((2*sp + n) / (2.0*n)) AS BIGINT) / 1000000.0
+          |      AS conf_mean,
+          |    CAST(FLOOR((2*sy + n) / (2.0*n)) AS BIGINT) / 1000000.0
+          |      AS label_rate
+          |  FROM ag)
+          |SELECT bin, n, conf_mean, label_rate,
+          |  ROUND(ABS(conf_mean - label_rate), 6) AS abs_gap
+          |FROM mn ORDER BY bin""".stripMargin),
 
     // Exact shingle hits replayed; the screen's guarantees (one-sided
     // error, exactly-once routing) are TRUE literals the Spark side must

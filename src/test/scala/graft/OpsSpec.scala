@@ -875,6 +875,30 @@ class SimilaritySpec extends SparkSpec {
     assert(maxDiff <= 2e-6, s"maxDiff=$maxDiff")
   }
 
+  test("bitextMarginMine: planted identical-vector pairs, mutual uniqueness") {
+    import org.apache.spark.sql.functions.col
+    val src = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .filter(col("vec_id") < 30)
+    // target side = the same vectors under shifted ids: every source's
+    // true match is its copy (cosine exactly 1.0)
+    val tgt = src.select((col("vec_id") + 1000L).as("vec_id"),
+      col("embedding"))
+    val out = graft.ops.Similarity
+      .bitextMarginMine(src, tgt, "vec_id", "embedding", k = 4)
+      .collect()
+    assert(out.nonEmpty)
+    // mutual best-match ⇒ each side id appears at most once
+    assert(out.map(_.getLong(0)).distinct.length == out.length)
+    assert(out.map(_.getLong(1)).distinct.length == out.length)
+    // the survivors are the planted identity pairs: exact-match cosine
+    // 1.0 and a margin strictly above the neighborhood mean
+    out.foreach { r =>
+      assert(r.getLong(1) == r.getLong(0) + 1000L, r.toString)
+      assert(r.getDouble(2) == 1.0, r.toString)
+      assert(r.getDouble(3) > 1.0, r.toString)
+    }
+  }
+
   test("IVF index partitioned by centroid_id prunes the scan to the probed lists") {
     // the at-scale claim on IVF.assign: persisting the assigned corpus
     // partitioned by centroid_id turns nprobe pruning into file skipping --
@@ -1532,6 +1556,29 @@ class SamplingSpec extends SparkSpec {
   import spark.implicits._
   import org.apache.spark.sql.functions._
 
+  test("clusterBalancedSample: ≤k per cluster, small clusters whole, size audit") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val model = graft.ops.IVF.trainPortable(emb, "vec_id", "embedding",
+      nc = 8, iters = 2)
+    val out = graft.ops.Sampling
+      .clusterBalancedSample(emb, "vec_id", "embedding", model, k = 10)
+      .collect()
+    val byCluster = out.groupBy(_.getLong(0))
+    byCluster.foreach { case (cid, rows) =>
+      val size = rows.head.getLong(3)
+      assert(rows.forall(_.getLong(3) == size), s"cid=$cid size mismatch")
+      assert(rows.length == math.min(10L, size), s"cid=$cid picks")
+    }
+    // the size audit column conserves the corpus: sizes sum to |emb|
+    assert(byCluster.values.map(_.head.getLong(3)).sum == emb.count())
+    // selection is the md5 rank order: re-running with another salt moves it
+    val other = graft.ops.Sampling
+      .clusterBalancedSample(emb, "vec_id", "embedding", model, k = 10,
+        salt = 7L).collect()
+    assert(other.map(r => (r.getLong(0), r.getLong(1))).toSet !=
+      out.map(r => (r.getLong(0), r.getLong(1))).toSet)
+  }
+
   test("exactKPerGroup: exact counts, salt-keyed determinism, nested samples") {
     val df = spark.range(0, 1000)
       .select($"id".as("doc_id"),
@@ -1811,6 +1858,34 @@ class SamplingSpec extends SparkSpec {
 
 class TextAnalysisSpec extends SparkSpec {
   import spark.implicits._
+
+  test("mean6Exact: half-boundary means round half-up, negatives away from zero") {
+    // (0.251630 + 0.251631)/2 = 0.2516305 — EXACTLY on the half grid,
+    // where round(avg(x), 6) diverges between engines; the integer
+    // formulation must give the HALF_UP answer
+    val m = Seq(0.251630, 0.251631).toDF("x")
+      .agg(graft.ops.TextAnalysis.mean6Exact($"x")).head().getDouble(0)
+    assert(m == 0.251631)
+    // HALF_UP on negatives rounds away from zero: mean -0.0000015 -> -0.000002
+    val mn = Seq(-0.000001, -0.000002).toDF("x")
+      .agg(graft.ops.TextAnalysis.mean6Exact($"x")).head().getDouble(0)
+    assert(mn == -0.000002)
+  }
+
+  test("calibrationBins: bin edges, p=1.0 folds into top bin, exact means") {
+    val df = Seq((0.05, 0), (0.149999, 0), (1.0, 1), (0.95, 1),
+      (0.55, 0), (0.58, 1)).toDF("score", "y")
+    val out = graft.ops.TextAnalysis.calibrationBins(df, "score", "y")
+      .collect().map(r => r.getInt(0) -> r).toMap
+    // 0.05→0, 0.149999→1, {0.55,0.58}→5, {0.95,1.0}→9 (1.0 folded, not bin 10)
+    assert(out.keySet == Set(0, 1, 5, 9))
+    assert(out(9).getLong(1) == 2L)
+    assert(out(9).getDouble(2) == 0.975)  // conf_mean (1.0+0.95)/2 exact
+    assert(out(9).getDouble(3) == 1.0)    // label_rate
+    assert(out(9).getDouble(4) == 0.025)  // |0.975 - 1.0|
+    assert(out(5).getDouble(3) == 0.5)
+    assert(out(0).getDouble(4) == 0.05)
+  }
 
   test("canonicalizeUrl: fragment, case, default ports, utm chains, trailing slash") {
     val cases = Seq(
