@@ -651,10 +651,60 @@ object Similarity {
     val scored = s.crossJoin(broadcast(t))
       .select(col("src_id"), col("tgt_id"),
         round(cosine(col("__sv"), col("__tv")), 6).as("cosine_sim"))
-    val fwd = graft.plans.TopK.perGroup(scored, Seq("src_id"),
-      Seq(("cosine_sim", false), ("tgt_id", true)), k).persist()
-    val bwd = graft.plans.TopK.perGroup(scored, Seq("tgt_id"),
-      Seq(("cosine_sim", false), ("src_id", true)), k).persist()
+    // side cardinalities are KNOWN-small relative to the cross-score, so
+    // route the k-selection explicitly (two side-sized counts) instead of
+    // letting perGroup's cardinality guard re-execute the |S|x|T| scoring
+    // plan per selection
+    val nS = s.count(); val nT = t.count()
+    val fwd = selectTopK(scored, "src_id",
+      Seq(("cosine_sim", false), ("tgt_id", true)), k, nS)
+    val bwd = selectTopK(scored, "tgt_id",
+      Seq(("cosine_sim", false), ("src_id", true)), k, nT)
+    marginMutual(fwd, bwd, minMargin, nS, nT)
+  }
+
+  /** [[bitextMarginMine]]'s SCALE path: same margin scoring and mutual
+    * best-match, but the forward/backward top-k neighborhoods come from
+    * [[lshKnnBatch]]'s SRP bucket joins instead of the exact |S|×|T|
+    * cross-score — each side hash-partitions on its bucket signature and
+    * only same-bucket (±1-bit multi-probe) pairs are ever scored, so
+    * both sides can be corpus-sized. The margin normalization then uses
+    * the mean of the LSH top-k as the neighborhood density estimate —
+    * the standard mined-bitext approximation (CCMatrix runs FAISS
+    * candidates, not exact kNN, for exactly this reason). Identical
+    * vectors share their SRP signature by construction, so exact
+    * duplicates/translation-copies are ALWAYS candidates regardless of
+    * planes; near-pairs obey the SRP collision curve — tune `planes` /
+    * `multiProbe` against [[bitextMarginMine]] on a sample with
+    * [[recallAtK]] before committing a configuration. Downstream of the
+    * candidate stage the plan is byte-for-byte [[bitextMarginMine]]'s
+    * (shared [[marginMutual]]). */
+  def bitextMarginMineApprox(src: DataFrame, tgt: DataFrame, idCol: String,
+      vecCol: String, k: Int = 4, planes: Int = 8, minMargin: Double = 1.0,
+      multiProbe: Boolean = true): DataFrame = {
+    require(k >= 1, "need k >= 1")
+    val fwd = lshKnnBatch(
+      tgt.select(col(idCol).as("tgt_id"), col(vecCol).as("__v")),
+      src.select(col(idCol).as("src_id"), col(vecCol).as("qvec")),
+      "tgt_id", "__v", "src_id", k, planes, multiProbe)
+    val bwd = lshKnnBatch(
+      src.select(col(idCol).as("src_id"), col(vecCol).as("__v")),
+      tgt.select(col(idCol).as("tgt_id"), col(vecCol).as("qvec")),
+      "src_id", "__v", "tgt_id", k, planes, multiProbe)
+      .select(col("src_id"), col("tgt_id"), col("cosine_sim"))
+    marginMutual(fwd, bwd, minMargin, src.count(), tgt.count())
+  }
+
+  /** Shared margin + mutual-best stage behind both bitext miners: `fwd`
+    * = top-k per src_id, `bwd` = top-k per tgt_id, both as (src_id,
+    * tgt_id, cosine_sim). Persisted for their two consumers each (the
+    * per-id mean and the candidate union — session-lifetime, the repo
+    * persist convention); every frame past here is O(k·(|S|+|T|)) rows
+    * on 8-byte-id equi-joins. */
+  private def marginMutual(fwdIn: DataFrame, bwdIn: DataFrame,
+      minMargin: Double, nSrc: Long, nTgt: Long): DataFrame = {
+    val fwd = fwdIn.persist()
+    val bwd = bwdIn.persist()
     val favg = fwd.groupBy(col("src_id"))
       .agg(TextAnalysis.mean6Exact(col("cosine_sim")).as("__favg"))
     val bavg = bwd.groupBy(col("tgt_id"))
@@ -668,10 +718,10 @@ object Similarity {
       .select(col("src_id"), col("tgt_id"), col("cosine_sim"),
         round(col("cosine_sim") / ((col("__favg") + col("__bavg")) / 2), 6)
           .as("margin"))
-    val bestPerSrc = graft.plans.TopK.perGroup(margins, Seq("src_id"),
-      Seq(("margin", false), ("tgt_id", true)), 1)
-    val bestPerTgt = graft.plans.TopK.perGroup(margins, Seq("tgt_id"),
-      Seq(("margin", false), ("src_id", true)), 1)
+    val bestPerSrc = selectTopK(margins, "src_id",
+      Seq(("margin", false), ("tgt_id", true)), 1, nSrc)
+    val bestPerTgt = selectTopK(margins, "tgt_id",
+      Seq(("margin", false), ("src_id", true)), 1, nTgt)
     bestPerSrc.join(bestPerTgt.select(col("src_id"), col("tgt_id")),
         Seq("src_id", "tgt_id"))
       .filter(col("margin") >= minMargin)

@@ -250,6 +250,26 @@ object AnnScaleSmoke {
       PQ.searchIvfAdcPartitioned(spark, pqIdx, clustered, "vec_id",
         "query_id", model, pqModel, k = 10, nprobe = 4).count())
     pqCodes.unpersist()
+
+    // bitext margin mining at corpus-sized SIDES: both sides are n/10
+    // vectors, so the exact |S|x|T| cross-score would be (n/10)^2 pairs —
+    // the approx path's SRP bucket joins only score same-bucket
+    // candidates, the shape that keeps BOTH sides unbounded. The planted
+    // copies (tgt = src shifted) give a live correctness readout: every
+    // identical pair shares its bucket by construction, so recovery
+    // should be total.
+    val sideN = n / 10
+    val bsrc = corpus.filter(col("vec_id") < sideN)
+      .select(col("vec_id"), col("embedding"))
+    val btgt = bsrc.select((col("vec_id") + 10000000L).as("vec_id"),
+      col("embedding"))
+    val mined = Similarity.bitextMarginMineApprox(bsrc, btgt, "vec_id",
+      "embedding", k = 4, planes = 8)
+    val minedN = time(s"bitext approx ($sideN x $sideN sides, 8 planes)")(
+      mined.count())
+    val identity = mined
+      .filter(col("tgt_id") === col("src_id") + 10000000L).count()
+    println(s"[ann-scale] bitext mined=$minedN identity=$identity/$sideN")
     spark.stop()
   }
 }

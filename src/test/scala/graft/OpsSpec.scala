@@ -899,6 +899,26 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("bitextMarginMineApprox: LSH candidates recover the exact miner's pairs") {
+    import org.apache.spark.sql.functions.col
+    val src = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .filter(col("vec_id") < 30)
+    val tgt = src.select((col("vec_id") + 1000L).as("vec_id"),
+      col("embedding"))
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("src_id"), col("tgt_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(graft.ops.Similarity
+      .bitextMarginMine(src, tgt, "vec_id", "embedding", k = 4))
+    // identical vectors share their SRP signature by construction, so the
+    // planted copies are ALWAYS candidates; on this fixture the bucketed
+    // miner lands on the same mutual pairs as the exact one
+    val approx = pairs(graft.ops.Similarity
+      .bitextMarginMineApprox(src, tgt, "vec_id", "embedding",
+        k = 4, planes = 6))
+    assert(approx == exact)
+  }
+
   test("IVF index partitioned by centroid_id prunes the scan to the probed lists") {
     // the at-scale claim on IVF.assign: persisting the assigned corpus
     // partitioned by centroid_id turns nprobe pruning into file skipping --
