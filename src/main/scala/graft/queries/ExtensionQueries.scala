@@ -2471,6 +2471,60 @@ object ExtensionQueries {
         .withColumn("est_cnt", graft.ops.CountMin.estimateExpr(col("tok"), sk))
         .select(col("tok"), col("exact_cnt"), col("est_cnt"))
         .orderBy(col("tok"))
+    }),
+
+    // HyperLogLog distinct-token cardinality per source — the
+    // distinct-count member of the sketch family (CMS = frequency,
+    // Misra-Gries = heavy hitters), fully distributed: registers are a
+    // (source, bucket)-keyed max aggregate (≤ sources×1024 rows after
+    // map-side partials), estimation reads only those rows. The md5
+    // register contract makes every register and estimate replay
+    // bit-for-bit in DuckDB; exact distinct rides along as the accuracy
+    // readout (HLL stderr ~3.3% at p=10).
+    "x136_hll_cardinality" -> ((s, dir) => {
+      val toks = t(s, dir, "documents").select(col("source"),
+        explode(TextAnalysis.tokens(lower(col("text")))).as("tok"))
+      val est = graft.ops.Hll.estimate(
+        graft.ops.Hll.registers(toks, "tok", Seq("source")), Seq("source"))
+      val exact = toks.groupBy(col("source"))
+        .agg(countDistinct(col("tok")).as("exact_distinct"))
+      est.join(exact, Seq("source"))
+        .select(col("source"), col("n_registers"), col("est"),
+          col("exact_distinct"))
+        .orderBy(col("source"))
+    }),
+
+    // The HLL persisted-store seam, value-level: even docs build the
+    // store, odd docs ingest as a shard (read -> max-merge -> swap), and
+    // because register max-merge is exact the final store EQUALS the
+    // full-corpus registers — which is what the oracle replays (register
+    // checksum pins the state itself, not just the estimate). Max-merge
+    // is also idempotent, so the query re-ingests the odd shard a second
+    // time and asserts the store is unchanged (the re-delivery safety the
+    // additive CMS store does not have).
+    "x137_hll_store_ingest" -> ((s, dir) => {
+      import s.implicits._
+      val root = ParityQueries.tmpPath("graft_hll", dir)
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+      val docs = t(s, dir, "documents")
+      def toksOf(d: DataFrame): DataFrame =
+        d.select(explode(TextAnalysis.tokens(lower(col("text")))).as("tok"))
+      val even = graft.ops.Hll.build(
+        toksOf(docs.filter(col("doc_id") % 2 === 0)), "tok")
+      graft.ops.Hll.write(s, even, s"$root/store")
+      val odd = graft.ops.Hll.build(
+        toksOf(docs.filter(col("doc_id") % 2 === 1)), "tok")
+      val merged = graft.ops.Hll.ingest(s, s"$root/store", odd)
+      val replay = graft.ops.Hll.ingest(s, s"$root/store", odd)
+      val back = graft.ops.Hll.read(s, s"$root/store")
+      require(replay.regs.sameElements(merged.regs) &&
+        back.regs.sameElements(merged.regs), "re-ingest must be a no-op")
+      val exact = toksOf(docs)
+        .agg(countDistinct(col("tok"))).collect()(0).getLong(0)
+      val regSum = back.regs.zipWithIndex
+        .map { case (r, b) => (b.toLong + 1L) * r }.sum
+      Seq((back.regs.count(_ != 0).toLong, regSum, back.estimate, exact))
+        .toDF("n_registers", "reg_checksum", "est", "exact_distinct")
     }))
 
   /** Planted separable classification fixture for x88/x90: each doc
@@ -2548,6 +2602,57 @@ object ExtensionQueries {
           .hashLong(j.toLong, 42L))
       if ((h & 1L) == 1L) "1.0" else "-1.0"
     }.mkString("[", ",", "]")
+
+  /** SQL for [[graft.ops.Hll]]'s rho (1 + leading zeros of the low
+    * `32-p` bits of `hashExpr`) — the same exact comparison chain the
+    * Spark expression uses, so both engines compute identical registers
+    * with no floating log anywhere. */
+  private def hllRhoSql(hashExpr: String, p: Int): String = {
+    val w = 32 - p
+    val suffix = s"($hashExpr & ${(1L << w) - 1})"
+    "(CASE " +
+      (1 to w).map(r => s"WHEN $suffix >= ${1L << (w - r)} THEN $r")
+        .mkString(" ") +
+      s" ELSE ${w + 1} END)"
+  }
+
+  /** Shared CTE body replaying [[graft.ops.Hll]] registers + estimate
+    * over the whole documents token stream, grouped by `grpSql` (empty
+    * -> global). Emits reg(grp…, bucket, rho) and est(grp…, n_registers,
+    * est). The estimator's SQL mirrors the Spark float ops ONE FOR ONE
+    * (left-assoc alpha*m*m, exact dyadic 1/2^rho terms, the same
+    * small-range branch); the 32-bit large-range branch cannot fire at
+    * oracle scale on either side so the SQL omits it. */
+  private def hllCtesSql(grpCol: Option[String]): String = {
+    val grpSel = grpCol.map(g => s"$g, ").getOrElse("")
+    val grpBy1 = grpCol.map(_ => "GROUP BY 1, 2").getOrElse("GROUP BY 1")
+    val grpByE = grpCol.map(_ => "GROUP BY 1").getOrElse("")
+    val hv = "CAST(('0x' || substring(md5('hll_' || tok), 1, 8)) AS BIGINT)"
+    s"""tok AS (
+       |  SELECT ${grpSel}unnest(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+       |    x -> len(x) > 0)) AS tok
+       |  FROM documents),
+       |hr AS (
+       |  SELECT $grpSel($hv >> 22) AS bucket,
+       |    ${hllRhoSql(hv, 10)} AS rho
+       |  FROM tok),
+       |reg AS (SELECT ${grpSel}bucket, max(rho) AS rho FROM hr $grpBy1),
+       |ag AS (
+       |  SELECT ${grpSel}count(*) AS n_registers,
+       |    sum(CAST(1 AS DOUBLE) / (CAST(1 AS BIGINT) << rho)) AS pw
+       |  FROM reg $grpByE),
+       |est AS (
+       |  SELECT ${grpSel}n_registers,
+       |    ROUND(CASE
+       |      WHEN (CAST(0.7213 AS DOUBLE) / (CAST(1 AS DOUBLE) + CAST(1.079 AS DOUBLE) / 1024) * 1024 * 1024)
+       |             / ((CAST(1024 AS DOUBLE) - n_registers) + pw) <= 2560.0
+       |           AND (CAST(1024 AS DOUBLE) - n_registers) > 0
+       |        THEN CAST(1024 AS DOUBLE) * ln(CAST(1024 AS DOUBLE) / (CAST(1024 AS DOUBLE) - n_registers))
+       |      ELSE (CAST(0.7213 AS DOUBLE) / (CAST(1 AS DOUBLE) + CAST(1.079 AS DOUBLE) / 1024) * 1024 * 1024)
+       |             / ((CAST(1024 AS DOUBLE) - n_registers) + pw)
+       |      END, 6) AS est
+       |  FROM ag)""".stripMargin
+  }
 
   /** SQL expression for the packed `planes`-bit SRP signature of `vExpr`
     * (a DOUBLE[] column) — bit j set when <v, plane_j> > 0, exactly
@@ -5877,6 +5982,31 @@ object ExtensionQueries {
         |    PARTITION BY query_id ORDER BY cosine_sim DESC, vec_id) AS rn
         |  FROM scored)
         |SELECT query_id, vec_id, cosine_sim FROM ranked WHERE rn <= 10""".stripMargin,
+
+    // Full register replay per source: md5 -> bucket/rho -> max -> the
+    // identical float estimator (see hllCtesSql for the determinism
+    // argument: every 2^-rho term and their sum are exact dyadics).
+    "x136_hll_cardinality" ->
+      (s"""WITH ${hllCtesSql(Some("source"))},
+         |ex AS (SELECT source, count(DISTINCT tok) AS exact_distinct
+         |  FROM tok GROUP BY 1)
+         |SELECT e.source, CAST(e.n_registers AS BIGINT) AS n_registers,
+         |  e.est, CAST(x.exact_distinct AS BIGINT) AS exact_distinct
+         |FROM est e JOIN ex x USING (source) ORDER BY e.source""".stripMargin),
+
+    // The persisted store after even-build + odd-ingest equals the
+    // full-corpus registers (max-merge exactness), so the oracle replays
+    // the GLOBAL registers and pins the register state itself via the
+    // (bucket+1)*rho checksum, then the estimate and exact distinct.
+    "x137_hll_store_ingest" ->
+      (s"""WITH ${hllCtesSql(None)},
+         |ck AS (SELECT CAST(sum((bucket + 1) * rho) AS BIGINT) AS reg_checksum
+         |  FROM reg),
+         |ex AS (SELECT count(DISTINCT tok) AS exact_distinct FROM tok)
+         |SELECT CAST(e.n_registers AS BIGINT) AS n_registers,
+         |  ck.reg_checksum, e.est,
+         |  CAST(ex.exact_distinct AS BIGINT) AS exact_distinct
+         |FROM est e, ck, ex""".stripMargin),
 
     "x09_knn_bruteforce" ->
       """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qvec FROM embeddings WHERE vec_id = 0),
