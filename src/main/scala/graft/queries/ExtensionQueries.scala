@@ -2525,6 +2525,19 @@ object ExtensionQueries {
         .map { case (r, b) => (b.toLong + 1L) * r }.sum
       Seq((back.regs.count(_ != 0).toLong, regSum, back.estimate, exact))
         .toDF("n_registers", "reg_checksum", "est", "exact_distinct")
+    }),
+
+    // Per-source length percentiles from the mergeable quantile sketch —
+    // the distribution readout (pre-tokenization length audit) whose
+    // exact form is a per-group sort. Sources here are <= k rows, so no
+    // compaction fires and every quantile is the EXACT lower quantile
+    // (smallest value with cumulative weight >= ceil(p*n)) — the
+    // Misra-Gries exact-regime oracle discipline; the over-capacity
+    // error envelope is spec-pinned.
+    "x138_kll_quantiles" -> ((s, dir) => {
+      graft.ops.Kll.quantiles(t(s, dir, "documents"), "n_chars",
+          Seq("source"), probs = Seq(0.1, 0.5, 0.9, 0.99), k = 256)
+        .orderBy(col("source"), col("p"))
     }))
 
   /** Planted separable classification fixture for x88/x90: each doc
@@ -6007,6 +6020,27 @@ object ExtensionQueries {
          |  ck.reg_checksum, e.est,
          |  CAST(ex.exact_distinct AS BIGINT) AS exact_distinct
          |FROM est e, ck, ex""".stripMargin),
+
+    // Exact-regime replay: per-source group sizes (<= 250 at every SF)
+    // stay under k=256, so the sketch holds every value at weight 1 and
+    // each quantile is the value AT rank ceil(p*n) of the sorted group.
+    // Probs ride as DOUBLEs on both sides so ceil sees the identical
+    // IEEE product.
+    "x138_kll_quantiles" ->
+      """WITH v AS (
+        |  SELECT source, CAST(n_chars AS DOUBLE) AS v FROM documents),
+        |n AS (SELECT source, count(*) AS n FROM v GROUP BY 1),
+        |r AS (SELECT source, v,
+        |    row_number() OVER (PARTITION BY source ORDER BY v) AS rk
+        |  FROM v),
+        |p AS (SELECT unnest([CAST(0.1 AS DOUBLE), CAST(0.5 AS DOUBLE),
+        |    CAST(0.9 AS DOUBLE), CAST(0.99 AS DOUBLE)]) AS p),
+        |t AS (SELECT n.source, p.p,
+        |    GREATEST(1, CAST(ceil(p.p * n.n) AS BIGINT)) AS tgt, n.n
+        |  FROM n CROSS JOIN p)
+        |SELECT t.source, t.p, r.v AS q, t.n AS n_exact
+        |FROM t JOIN r ON r.source = t.source AND r.rk = t.tgt
+        |ORDER BY t.source, t.p""".stripMargin,
 
     "x09_knn_bruteforce" ->
       """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qvec FROM embeddings WHERE vec_id = 0),
