@@ -1380,6 +1380,25 @@ object TextAnalysis {
       .drop("__p")
   }
 
+  /** WordPiece (BERT) tokenizer inference over documents — greedy
+    * longest-match-first against a `##`-continuation vocabulary via the
+    * codegen'd [[graft.functions.WordPieceProfile]] expression; same
+    * MAP-ONLY shape and HOF-avoidance rationale as [[unigramSegment]]
+    * (one reference-object vocab, one primitive loop per document, zero
+    * exchanges). Emits n_tokens / n_unk / n_pieces / segm; an UNK word
+    * is the single `[UNK]` piece, exactly what a BERT-family model
+    * would see. */
+  def wordpieceSegment(df: DataFrame, idCol: String, textCol: String,
+      vocab: Seq[String]): DataFrame = {
+    import graft.functions.WordPieceFunctions.wordpiece_profile
+    df.withColumn("__p", wordpiece_profile(lower(col(textCol)), vocab))
+      .withColumn("n_tokens", col("__p.n_tokens"))
+      .withColumn("n_unk", col("__p.n_unk"))
+      .withColumn("n_pieces", col("__p.n_pieces"))
+      .withColumn("segm", col("__p.segm"))
+      .drop("__p")
+  }
+
   /** Left-to-right non-overlapping application of one merge rule. */
   private def mergePair(syms: Array[String], l: String,
       r: String): Array[String] = {

@@ -55,6 +55,81 @@ object ExtensionQueries {
       p -> (-(9.0 - math.min(p.length, 8)) - k / 1024.0)
     }
 
+  /** x139's planted WordPiece vocabulary: the x132 pieces in both bare
+    * (word-initial) and `##`-continuation form — EXCEPT `##z`, so any
+    * word with a `z` past position 0 hits the no-match path and becomes
+    * `[UNK]` (the planted exercise of WordPiece's whole-word-UNK rule;
+    * digits/punctuation inside words exercise it at position 0). */
+  private[queries] val wpVocab: Seq[String] =
+    (uniVocabPieces ++
+      uniVocabPieces.filterNot(_.contains("z")).map("##" + _)).distinct
+
+  /** Builder-authored x139 oracle: greedy longest-match-first unrolled
+    * into per-step CTE pairs (candidate pick `c_k` by length DESC, state
+    * advance `s_k`; finished and UNK states carry through), then per-word
+    * results roll up per document — generated from the SAME `wpVocab`
+    * the Spark side plants so vocab and SQL cannot drift. Each step
+    * consumes >= 1 character or finalizes [UNK], so maxW steps finish
+    * every word. */
+  private def wordpieceOracleSql: String = {
+    val maxW = 16
+    val vals = wpVocab.map { p =>
+      val cont = p.startsWith("##")
+      val form = if (cont) p.substring(2) else p
+      s"('$form', '$p', ${form.length}, $cont)"
+    }.mkString(", ")
+    val steps = (1 to maxW).map { k =>
+      s"""c$k AS (
+         |  SELECT st.word, st.pos, v.l, v.disp
+         |  FROM s${k - 1} st JOIN v
+         |    ON v.cont = (st.pos > 0)
+         |   AND v.l <= st.wl - st.pos
+         |   AND substr(st.word, st.pos + 1, v.l) = v.form
+         |  WHERE NOT st.unk AND st.pos < st.wl
+         |  QUALIFY row_number() OVER (PARTITION BY st.word
+         |    ORDER BY v.l DESC) = 1),
+         |s$k AS MATERIALIZED (
+         |  SELECT st.word, st.wl,
+         |    CASE WHEN c.word IS NULL THEN st.wl ELSE st.pos + c.l END AS pos,
+         |    CASE WHEN c.word IS NULL THEN 1 ELSE st.np + 1 END AS np,
+         |    CASE WHEN c.word IS NULL THEN '[UNK]'
+         |         WHEN st.segm = '' THEN c.disp
+         |         ELSE st.segm || '+' || c.disp END AS segm,
+         |    (c.word IS NULL) AS unk
+         |  FROM s${k - 1} st LEFT JOIN c$k c USING (word)
+         |  WHERE NOT st.unk AND st.pos < st.wl
+         |  UNION ALL
+         |  SELECT word, wl, pos, np, segm, unk FROM s${k - 1}
+         |  WHERE unk OR pos >= wl)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH v(form, disp, l, cont) AS (VALUES $vals),
+       |doc AS (
+       |  SELECT doc_id, list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+       |    x -> len(x) > 0 AND len(x) <= $maxW) AS toks
+       |  FROM documents),
+       |tok AS (
+       |  SELECT doc_id, u.ord AS ord, u.word AS word FROM (
+       |    SELECT doc_id, unnest(list_transform(range(1, len(toks) + 1),
+       |      i -> {'ord': i, 'word': toks[i]})) AS u
+       |    FROM doc) q),
+       |s0 AS MATERIALIZED (
+       |  SELECT DISTINCT word, len(word) AS wl, 0 AS pos, 0 AS np,
+       |    '' AS segm, FALSE AS unk
+       |  FROM tok),
+       |$steps,
+       |agg AS (
+       |  SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       |    CAST(sum(CASE WHEN w.unk THEN 1 ELSE 0 END) AS BIGINT) AS n_unk,
+       |    CAST(sum(w.np) AS BIGINT) AS n_pieces,
+       |    string_agg(w.segm, ' ' ORDER BY t.ord) AS segm
+       |  FROM tok t JOIN s$maxW w USING (word) GROUP BY t.doc_id)
+       |SELECT d.doc_id, coalesce(a.n_tokens, 0) AS n_tokens,
+       |  coalesce(a.n_unk, 0) AS n_unk, coalesce(a.n_pieces, 0) AS n_pieces,
+       |  coalesce(a.segm, '') AS segm
+       |FROM documents d LEFT JOIN agg a USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
   /** Builder-authored x132 oracle: the Viterbi DP unrolled into chained
     * CTEs `b1..b16` (position i picks its best predecessor among the
     * last `maxPieceLen` positions via the same score DESC / n_pieces
@@ -2538,6 +2613,21 @@ object ExtensionQueries {
       graft.ops.Kll.quantiles(t(s, dir, "documents"), "n_chars",
           Seq("source"), probs = Seq(0.1, 0.5, 0.9, 0.99), k = 256)
         .orderBy(col("source"), col("p"))
+    }),
+
+    // WordPiece (BERT) tokenizer inference — greedy longest-match-first
+    // with ##-continuations against the planted wpVocab (x132's pieces
+    // in both forms, minus ##z so the whole-word-[UNK] rule fires on
+    // real corpus words). Same map-only codegen'd-projection shape as
+    // x132; the oracle unrolls the greedy loop step for step.
+    "x139_wordpiece_segment" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"),
+        array_join(filter(TextAnalysis.tokens(lower(col("text"))),
+          w => length(w) <= 16), " ").as("text"))
+      TextAnalysis.wordpieceSegment(docs, "doc_id", "text", wpVocab)
+        .select(col("doc_id"), col("n_tokens"), col("n_unk"),
+          col("n_pieces"), col("segm"))
+        .orderBy(col("doc_id"))
     }))
 
   /** Planted separable classification fixture for x88/x90: each doc
@@ -4722,6 +4812,7 @@ object ExtensionQueries {
         |FROM upd CROSS JOIN z ORDER BY domain""".stripMargin,
 
     "x132_unigram_segment" -> unigramOracleSql,
+    "x139_wordpiece_segment" -> wordpieceOracleSql,
 
     // The former "irreducible rows-only core": with the portable trainer
     // the k-means recurrence is engine-exact, so the whole train -> assign

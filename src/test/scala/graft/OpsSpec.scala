@@ -2150,6 +2150,52 @@ class TextAnalysisSpec extends SparkSpec {
       s"segment projection left whole-stage codegen:\n${plan.take(500)}")
   }
 
+  test("wordpieceSegment: greedy longest-match, whole-word UNK, codegen") {
+    // BERT semantics: LONGEST match wins at each position even when a
+    // shorter split would cover the word — "windows": win + ##dow + ##s
+    // (greedy takes win over wi although wi+ndow also covers)
+    val vocab = Seq("win", "wi", "a", "b", "c", "s",
+      "##ndow", "##dow", "##s", "##b", "ab")
+    val docs = Seq(
+      (1L, "windows ab"),   // win+##dow+##s (3) + ab (1)
+      (2L, "abc ab"),       // abc: ab + ##c? no ##c -> whole word [UNK]
+      (3L, "")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.wordpieceSegment(docs, "doc_id", "text", vocab)
+      .select(col("doc_id"), col("n_tokens"), col("n_unk"), col("n_pieces"),
+        col("segm"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+    assert(out(1L) == ((2L, 0L, 4L, "win+##dow+##s ab")))
+    assert(out(2L) == ((2L, 1L, 2L, "[UNK] ab")))
+    assert(out(3L) == ((0L, 0L, 0L, "")))
+    // continuation matching: the ## prefix is matched structurally, not
+    // textually — a literal "##" in the text matches nothing and UNKs
+    val lit2 = Seq((1L, "##b b")).toDF("doc_id", "text")
+    val got = TextAnalysis.wordpieceSegment(lit2, "doc_id", "text",
+        Seq("b", "##b")).select(col("segm")).collect()(0).getString(0)
+    assert(got == "[UNK] b")
+    // degenerate vocabs rejected at construction
+    intercept[IllegalArgumentException] {
+      TextAnalysis.wordpieceSegment(docs, "doc_id", "text", Seq.empty)
+        .collect()
+    }
+    intercept[IllegalArgumentException] {
+      TextAnalysis.wordpieceSegment(docs, "doc_id", "text", Seq("a", "a"))
+        .collect()
+    }
+    // map-only tokenizer inference must stay inside whole-stage codegen
+    // (same contract and range()-input rationale as unigramSegment)
+    val ranged = spark.range(0, 10).select($"id".as("doc_id"),
+      concat(lit("windows ab"), when($"id" % 2 === 0, lit(" abc"))
+        .otherwise(lit(""))).as("text"))
+    val plan = TextAnalysis.wordpieceSegment(ranged, "doc_id", "text", vocab)
+      .queryExecution.executedPlan.toString
+    assert("\\*\\(\\d+\\) project \\[[^\\]]*wordpieceprofile".r
+      .findFirstIn(plan.toLowerCase).isDefined,
+      s"wordpiece projection left whole-stage codegen:\n${plan.take(500)}")
+  }
+
   test("unigramNll matches a hand-computed corpus distribution") {
     // corpus: tokens a a a b -> p(a)=3/4, p(b)=1/4
     val docs = Seq((1L, "a a a"), (2L, "b")).toDF("doc_id", "text")
