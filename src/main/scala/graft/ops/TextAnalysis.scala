@@ -409,6 +409,27 @@ object TextAnalysis {
         col("n_blocked_tokens") > 0 || col("n_blocked_phrases") > 0)
   }
 
+  /** [[blocklistFilter]]'s SCALE path: identical columns and match
+    * semantics (spec-pinned frame-equal), but ONE Aho–Corasick automaton
+    * scan per document instead of the per-phrase `contains` chain and
+    * per-token literal-array membership — O(len + matches) per document
+    * regardless of blocklist size, where the reference formulation is
+    * O(terms). Production blocklists (URL lists, safety term lists) run
+    * to tens of thousands of terms; at that size this is the difference
+    * between a map-only codegen'd projection and an unrunnable stage.
+    * The automaton rides the plan as a reference object (model state,
+    * the PQ-codebook convention). Keep [[blocklistFilter]] for small
+    * lists — it is the oracle-replayable reference formulation. */
+  def blocklistFilterScaled(df: DataFrame, textCol: String,
+      terms: Seq[String]): DataFrame = {
+    import graft.functions.MultiPatternFunctions.multi_pattern_stats
+    df.withColumn("__b", multi_pattern_stats(col(textCol), terms))
+      .withColumn("n_blocked_tokens", col("__b.n_blocked_tokens"))
+      .withColumn("n_blocked_phrases", col("__b.n_blocked_phrases"))
+      .withColumn("blocked", col("__b.blocked"))
+      .drop("__b")
+  }
+
   /** Bloom-filter contamination screen — [[contamination]]'s MAP-ONLY
     * scale path: the benchmark's distinct shingle-hash set is folded
     * into a driver-built Bloom filter that rides to executors as plan

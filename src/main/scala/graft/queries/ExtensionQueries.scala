@@ -2628,6 +2628,25 @@ object ExtensionQueries {
         .select(col("doc_id"), col("n_tokens"), col("n_unk"),
           col("n_pieces"), col("segm"))
         .orderBy(col("doc_id"))
+    }),
+
+    // Aho-Corasick blocklist scale path over x112's exact fixture — one
+    // automaton scan per document replaces the O(terms) contains-chain,
+    // match semantics pinned identical (the oracle IS x112's replay).
+    // The big-list advantage is spec- and smoke-measured; this row pins
+    // the semantics seam driver-visibly.
+    "x140_blocklist_scaled" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 9 === 0, lit(" graftbad graftbad"))
+            .otherwise(lit("")),
+          when(col("doc_id") % 15 === 0, lit(" graft worst case"))
+            .otherwise(lit(""))).as("text"))
+      TextAnalysis.blocklistFilterScaled(docs, "text",
+          Seq("graftbad", "graft worst", "absentterm", "absent pair"))
+        .select(col("doc_id"), col("n_blocked_tokens"),
+          col("n_blocked_phrases"), col("blocked"))
+        .orderBy(col("doc_id"))
     }))
 
   /** Planted separable classification fixture for x88/x90: each doc
@@ -6146,6 +6165,9 @@ object ExtensionQueries {
     * x23 repetition) as CTEs — the oracle mirrors the Spark composition
     * stage for stage without duplicating the metric SQL. */
   val oracle: Map[String, String] = oracleBase +
+    // x140 = x112 through the automaton: semantics pinned identical, so
+    // the oracle is literally the same replay
+    ("x140_blocklist_scaled" -> oracleBase("x112_blocklist_filter")) +
     ("x126_langid_confusion" ->
       s"""WITH l AS (${oracleBase("x04_langid")}),
          |c AS (SELECT lang AS true_lang, predicted_lang AS pred_lang,

@@ -3215,6 +3215,69 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(6L) == ((1L, 1L, true)), out)
   }
 
+  test("blocklistFilterScaled: frame-equal to blocklistFilter, incl. big lists") {
+    // the hand fixture above, through the automaton
+    val df = Seq(
+      (1L, "clean text only here"),
+      (2L, "has the BADWORD twice badword yes"),
+      (3L, "classic harassment of substrings"),
+      (4L, "two word phrase appears two word here"),
+      (5L, "embedtwo word phraseology"),
+      (6L, "badword and two word both"),
+      (7L, "a a a"),                 // overlapping boundary spaces
+      (8L, "x two word two word y")  // phrase twice -> still presence=1
+    ).toDF("doc_id", "text")
+    val terms = Seq("badword", "two word", "sword", "a")
+    def frame(f: (org.apache.spark.sql.DataFrame, String, Seq[String]) =>
+        org.apache.spark.sql.DataFrame, ts: Seq[String]) =
+      f(df, "text", ts)
+        .select($"doc_id", $"n_blocked_tokens", $"n_blocked_phrases",
+          $"blocked")
+        .as[(Long, Long, Long, Boolean)].collect().sortBy(_._1).toSeq
+    assert(frame(graft.ops.TextAnalysis.blocklistFilterScaled, terms) ==
+      frame(graft.ops.TextAnalysis.blocklistFilter, terms))
+    // a generated list at the top of what the contains-chain formulation
+    // SURVIVES — beyond ~2.5k terms blocklistFilter's per-term Column
+    // tree stack-overflows at plan conversion, which is the scale
+    // argument in one line (the automaton run below goes to 20k).
+    // Suffix-sharing phrases exercise the fail chain: " b c " is a
+    // suffix of " a b c " in padded space.
+    val big = (0 until 300).map(i => s"t$i") ++
+      Seq("a b c", "b c", "c d e", "d e") ++
+      (0 until 60).map(i => s"p$i q$i")
+    val soup = Seq(
+      (1L, "a b c d e"), (2L, "t7 t7 p3 q3"), (3L, "q3 p3"),
+      (4L, "t299 c d e x")).toDF("doc_id", "text")
+    def frames(f: (org.apache.spark.sql.DataFrame, String, Seq[String]) =>
+        org.apache.spark.sql.DataFrame) =
+      f(soup, "text", big)
+        .select($"doc_id", $"n_blocked_tokens", $"n_blocked_phrases",
+          $"blocked")
+        .as[(Long, Long, Long, Boolean)].collect().sortBy(_._1).toSeq
+    val acBig = frames(graft.ops.TextAnalysis.blocklistFilterScaled)
+    assert(acBig == frames(graft.ops.TextAnalysis.blocklistFilter))
+    // sanity of the suffix-chain row: "a b c d e" hits phrases
+    // a b c, b c, c d e, d e -> 4 distinct present
+    assert(acBig.find(_._1 == 1L).get._3 == 4L)
+    // the automaton alone at a size the contains chain cannot plan
+    val huge = (0 until 20000).map(i => s"h$i") ++ Seq("needle term")
+    val hugeGot = graft.ops.TextAnalysis.blocklistFilterScaled(
+        Seq((1L, "x h19999 needle term h0"), (2L, "clean here"))
+          .toDF("doc_id", "text"), "text", huge)
+      .select($"doc_id", $"n_blocked_tokens", $"n_blocked_phrases")
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(hugeGot == Seq((1L, 2L, 1L), (2L, 0L, 0L)))
+    // the projection stays inside whole-stage codegen
+    val ranged = spark.range(0, 8).select($"id".as("doc_id"),
+      concat(lit("a b c"), when($"id" % 2 === 0, lit(" badword"))
+        .otherwise(lit(""))).as("text"))
+    val plan = graft.ops.TextAnalysis.blocklistFilterScaled(
+        ranged, "text", terms)
+      .queryExecution.executedPlan.toString
+    assert("\\*\\(\\d+\\) project \\[[^\\]]*multipatternstats".r
+      .findFirstIn(plan.toLowerCase).isDefined, plan.take(500))
+  }
+
   test("contaminationBloom: never misses a contaminated doc; fpp sized per document") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .select($"doc_id", $"text")
