@@ -9,13 +9,13 @@ import graft.queries.{ExtensionQueries, ParityQueries}
   * `queries` exposes every implemented operator (reference parity from
   * SURVEY.md §2 via [[ParityQueries]], training-data-pipeline extensions via
   * [[ExtensionQueries]]); `oracleSql` holds the DuckDB equivalent for every
-  * SQL-expressible query. Since r11 only x15/x27 are rows-only (trained
-  * k-means centroids, float-summation-order dependent — the irreducible
-  * core); the former xxhash64-keyed set runs portable md5 hash families
-  * or literal-matrix SRP oracles instead.
+  * SQL-expressible query. Since r11 the rows-only set is EMPTY: the former
+  * xxhash64-keyed queries run portable md5 hash families or literal-matrix
+  * SRP oracles, and the trained-IVF pair (x15/x27) rides the decimal-sum
+  * portable trainer whose centroids replay value-exactly cross-engine.
   * Full operator -> query -> check map: /root/repo/COVERAGE.md.
   *
-  * Inventory (176 oracle-checked, 2 rows-only):
+  * Inventory (196 queries, all oracle-checked):
   *  - q01-q16: scans, filters, CASE chains, datetime, windows (running/
   *    lag/30-day range), grouped stats + broadcast join, anti-join
   *    referential integrity, top-k, dup/null/range/quality checks, upsert,
@@ -126,6 +126,24 @@ import graft.queries.{ExtensionQueries, ParityQueries}
   *    strata x md5-ranked exact-k picks, fully value-replayed), and
   *    calibration/reliability bins over the trained logreg gate
   *    (per-bin confidence vs empirical rate, decimal-sum means)
+  *  - x136-x140: HyperLogLog distinct cardinality + persisted max-merge
+  *    register store, mergeable KLL-style quantile sketch (exact-regime
+  *    oracle), WordPiece tokenizer inference (codegen'd greedy
+  *    longest-match projection), Aho-Corasick blocklist scale path
+  *    (frame-equal to the contains chain; 21x at 500 terms, runs 20k
+  *    terms where the O(terms) chain cannot compile)
+  *  - x141-x145: interpolated Kneser-Ney bigram LM (the KenLM smoothing;
+  *    continuation counts, discount mass, add-k OOV floor — all four
+  *    probability legs oracle-fired), FastSS edit-distance near-dup
+  *    pairs (deletion-neighborhood blocking, recall-complete for
+  *    ed<=maxDist, so the naive all-pairs levenshtein scan IS the
+  *    oracle), sentence-level BLEU (native clipped n-gram expression,
+  *    map-only; clipping + brevity legs fired), watermarked event-time
+  *    windowed aggregation (the Structured Streaming OPERATOR driver-
+  *    visible: chronological micro-batches + sentinel watermark pushes,
+  *    append-sink content ≡ batch GROUP BY value-for-value), and
+  *    distributed embedding moments (mean + sample covariance, the
+  *    whitening/PCA core — decimal-exact sums, every cell replayed)
   */
 object SparkEntry {
 

@@ -1307,6 +1307,7 @@ object Dedup {
     * recall-first CANDIDATE generator whose output feeds exact
     * verification, simhash trades both for a single 64-bit signature,
     * minhash with verification is the precision path. */
+
   def pairMetrics(predicted: DataFrame, truth: DataFrame,
       aCol: String, bCol: String): DataFrame = {
     def canon(df: DataFrame): DataFrame = df.select(
@@ -1332,6 +1333,60 @@ object Dedup {
         round(when(col("__p") + col("__r") === 0, lit(0.0))
           .otherwise(lit(2.0) * col("__p") * col("__r") /
             (col("__p") + col("__r"))), 6).as("f1"))
+  }
+
+  /** Edit-distance near-duplicate pairs (FastSS / SymSpell deletion
+    * neighborhoods — Bocek et al. '07): ALL pairs within Levenshtein
+    * distance `maxDist`, found WITHOUT an all-pairs scan. Each string
+    * emits its <= maxDist-deletion neighborhood (itself + every string
+    * reachable by deleting up to maxDist characters); if ed(a,b) <= k
+    * then deleting the differing positions from each side lands both on
+    * a COMMON variant, so candidates = variant-key equi-join — the
+    * pigeonhole is recall-COMPLETE, which is what lets an oracle check
+    * this against the naive all-pairs formulation value-for-value. The
+    * levenshtein verify then restores precision (sharing a variant only
+    * bounds ed <= 2k).
+    *
+    * INTENDED FOR SHORT KEYS — titles, names, URLs, product codes
+    * (the classic entity-resolution inputs): the neighborhood is
+    * O(len^maxDist) variants per string, so document BODIES should go
+    * through [[minhashLshPairs]] instead (token-level, length-
+    * invariant). The variant generator is a `transform()` HOF — an
+    * interpreted projection, acceptable here exactly because the
+    * contract bounds string length; a corpus of million-char strings
+    * would want the codegen'd-expression treatment first.
+    *
+    * Scale shape: candidates hash-partition on the variant STRING key
+    * (short by contract); same-variant groups self-join — hot variants
+    * (e.g. the empty string when maxDist >= len) are the skew to watch,
+    * same class as LSH hot buckets. Verify is levenshtein on candidate
+    * pairs only. Output: id_a < id_b, dist (<= maxDist). */
+  def editDistancePairs(df: DataFrame, idCol: String, strCol: String,
+      maxDist: Int = 1): DataFrame = {
+    require(maxDist >= 1 && maxDist <= 2,
+      "maxDist in {1, 2} (neighborhood size is len^maxDist)")
+    val s = col(strCol)
+    // all single-character deletions of c (empty input -> no variants)
+    def dels(c: Column): Column = transform(
+      sequence(lit(1), greatest(length(c), lit(0))),
+      i => concat(c.substr(lit(1), i - 1),
+        c.substr(i + 1, greatest(length(c) - i, lit(0)))))
+    val d1 = array_distinct(concat(array(s), dels(s)))
+    val variants =
+      if (maxDist == 1) d1
+      else array_distinct(concat(d1, flatten(transform(dels(s), v => dels(v)))))
+    val keyed = df.select(col(idCol).as("__eid"), s.as("__es"),
+        explode(variants).as("__v"))
+      .distinct()
+    val cands = keyed.as("a").join(keyed.as("b"),
+        col("a.__v") === col("b.__v") &&
+          col("a.__eid") < col("b.__eid"))
+      .select(col("a.__eid").as("id_a"), col("a.__es").as("sa"),
+        col("b.__eid").as("id_b"), col("b.__es").as("sb"))
+      .distinct()
+    cands.withColumn("dist", levenshtein(col("sa"), col("sb")))
+      .filter(col("dist") <= maxDist)
+      .select(col("id_a"), col("id_b"), col("dist").cast("int").as("dist"))
   }
 
   /** Minimal open-addressing long->long map for the driver union-find:

@@ -115,6 +115,62 @@ object Similarity {
         min(col("__d")).as("dim_min"), max(col("__d")).as("dim_max"))
   }
 
+  /** One-pass distributed embedding moments — the statistical core of
+    * whitening/PCA preprocessing for retrieval (compute mean vector +
+    * covariance HERE, distributed; the d×d Cholesky/eigendecomposition
+    * is driver-side by nature and the resulting whitening matrix applies
+    * via [[projectRandom]]'s map-only matrix-multiply shape): one row
+    * per dimension pair i ≤ j with n, the 6dp means m_i/m_j, the second
+    * moment exy = E[v_i·v_j], and the SAMPLE covariance
+    * (exy − m_i·m_j)·n/(n−1).
+    *
+    * Determinism contract: sums ride DECIMAL(38,18) (exact integer
+    * arithmetic — partition-count-invariant and engine-replayable, the
+    * [[graft.ops.IVF.trainPortable]] convention), means/moments round
+    * 6dp, covariance derives from the ROUNDED moments so every engine
+    * computes the identical double expression.
+    *
+    * Scale shape: the pair explode emits d(d+1)/2 narrow rows per
+    * vector into ONE (i,j)-keyed aggregate — map-side partials collapse
+    * each partition to ≤ d(d+1)/2 rows before the exchange, so the
+    * shuffle carries O(partitions·d²) bytes, never the corpus; means
+    * ride a second posexplode pass of the same shape (O(d) per row).
+    * The per-row pair generator is a nested `transform()` HOF
+    * (interpreted): acceptable because the explode's row fanout
+    * dominates the lambda cost at any d worth whitening; a corpus
+    * where THIS pass is hot wants the fused-expression treatment
+    * first. */
+  def embeddingMoments(df: DataFrame, vecCol: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 18)
+    val v = transform(col(vecCol), x => x.cast("double"))
+    val d = size(v)
+    val pairs = flatten(transform(sequence(lit(0), d - 1), i =>
+      transform(sequence(i, d - 1), j =>
+        struct(i.as("i"), j.as("j"),
+          (element_at(v, i + 1) * element_at(v, j + 1)).as("xy")))))
+    val second = df.select(explode(pairs).as("p"))
+      .select(col("p")("i").as("i"), col("p")("j").as("j"),
+        col("p")("xy").as("xy"))
+      .groupBy(col("i"), col("j"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("xy").cast(dec)).cast("double") / count(lit(1)), 6)
+          .as("exy"))
+    val means = df.select(posexplode(v).as(Seq("pos", "x")))
+      .groupBy(col("pos"))
+      .agg(round(sum(col("x").cast(dec)).cast("double") / count(lit(1)), 6)
+        .as("m"))
+    val nD = col("n").cast("double")
+    second
+      .join(broadcast(means.select(col("pos").as("i"), col("m").as("m_i"))),
+        Seq("i"))
+      .join(broadcast(means.select(col("pos").as("j"), col("m").as("m_j"))),
+        Seq("j"))
+      .select(col("i"), col("j"), col("n"), col("m_i"), col("m_j"),
+        col("exy"),
+        round((col("exy") - col("m_i") * col("m_j")) * nD / (nD - 1.0), 6)
+          .as("cov"))
+  }
+
   /** Element-wise mean pooling of a vector column per group — the
     * standard chunk-embeddings -> document-embedding (or token ->
     * sentence) reduction in retrieval pipelines: embed bounded chunks,

@@ -1122,6 +1122,133 @@ object TextAnalysis {
       .na.fill(0.0, Seq("sb_nll"))
   }
 
+  /** Interpolated Kneser–Ney bigram LM scoring (Kneser & Ney '95; the
+    * smoothing KenLM itself ships, completing the LM-filter ladder
+    * [[unigramNll]] → [[bigramNll]] (add-k) → [[stupidBackoffNll]]
+    * (score, not probability) → this, a PROPER smoothed probability):
+    * p(w2|w1) = max(c(w1,w2) − D, 0)/c•(w1) + λ(w1)·p_cont(w2), with
+    * absolute discount D, λ(w1) = D·N1+(w1,•)/c•(w1) (the discount
+    * mass redistributed over w1's DISTINCT followers), and the
+    * continuation probability p_cont(w2) = (N1+(•,w2) + k)/(T + k·V)
+    * — "how many contexts does w2 complete" (N1+(•,w2) = distinct left
+    * neighbors, T = distinct bigram types), NOT its raw frequency:
+    * the insight that keeps "Francisco" improbable outside "San".
+    * The add-k floor on p_cont is the one deviation from the
+    * closed-vocabulary paper (the [[stupidBackoffNll]] convention):
+    * OOV continuations get (0 + k)/(T + k·V) instead of −ln(0).
+    * Unseen CONTEXTS (w1 never starts a model bigram — OOV, or
+    * document-final-only tokens) back off to p_cont(w2) alone.
+    *
+    * Model and scored corpus are separate inputs on purpose (held-out
+    * filtering — the [[stupidBackoffNll]] contract). Scale shape: the
+    * model collapses to the pair-count frame `bg` (bounded by distinct
+    * bigram TYPES, orders below corpus size), persisted once with four
+    * type-bounded consumers (context counts + distinct followers in one
+    * regroup, distinct predecessors, the type/vocab scalars); scoring
+    * explodes doc bigrams once and left-joins the two w1/w2-keyed
+    * tables, scalars riding one broadcast. Output: idCol, n_bigrams,
+    * kn_nll (mean −ln p, 6dp; docs with <2 tokens emit 0, not
+    * dropped). */
+  def knBigramNll(model: DataFrame, docs: DataFrame, idCol: String,
+      textCol: String, discount: Double = 0.75,
+      k: Double = 0.5): DataFrame = {
+    require(discount > 0 && discount < 1, "absolute discount in (0,1)")
+    require(k > 0, "continuation floor needs k > 0")
+    val toks = tokens(lower(col(textCol)))
+    val mlen = greatest(size(toks) - 1, lit(0))
+    val bg = model.select(explode(arrays_zip(
+        slice(toks, lit(1), mlen), slice(toks, lit(2), mlen))).as("g"))
+      .select(col("g")("0").as("w1"), col("g")("1").as("w2"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("__c12"))
+      .persist()
+    bg.count()
+    // context count + distinct-follower count in ONE regroup (bg is
+    // already one row per distinct (w1,w2), so the follower count is a
+    // plain count, no count-distinct)
+    val ctx = bg.groupBy(col("w1")).agg(
+      sum(col("__c12")).as("__c1"), count(lit(1)).as("__n1f"))
+    val pred = bg.groupBy(col("w2")).agg(count(lit(1)).as("__n1p"))
+    val totals = bg.agg(count(lit(1)).cast("double").as("__t"))
+      .crossJoin(bg.select(col("w1").as("w"))
+        .union(bg.select(col("w2").as("w")))
+        .distinct().agg(count(lit(1)).cast("double").as("__v")))
+
+    val dlen = greatest(size(toks) - 1, lit(0))
+    val docBg = docs.select(col(idCol), explode(arrays_zip(
+        slice(toks, lit(1), dlen), slice(toks, lit(2), dlen))).as("g"))
+      .select(col(idCol), col("g")("0").as("w1"), col("g")("1").as("w2"))
+    val pcont = (coalesce(col("__n1p"), lit(0L)).cast("double") + k) /
+      (col("__t") + lit(k) * col("__v"))
+    val seen = greatest(coalesce(col("__c12"), lit(0L)).cast("double") -
+        discount, lit(0.0)) / col("__c1").cast("double") +
+      (lit(discount) * col("__n1f").cast("double") /
+        col("__c1").cast("double")) * pcont
+    val scored = docBg
+      .join(bg, Seq("w1", "w2"), "left")
+      .join(ctx, Seq("w1"), "left")
+      .join(pred, Seq("w2"), "left")
+      .crossJoin(broadcast(totals))
+      .withColumn("__p", when(col("__c1").isNotNull, seen).otherwise(pcont))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(avg(-log(col("__p"))), 6).as("kn_nll"))
+    // bg stays cached: the returned frame is lazy and every count table
+    // derives from it (the bigramNll/stupidBackoffNll convention)
+    docs.select(col(idCol)).distinct()
+      .join(scored, Seq(idCol), "left")
+      .na.fill(0L, Seq("n_bigrams"))
+      .na.fill(0.0, Seq("kn_nll"))
+  }
+
+  /** Sentence/document-level BLEU (Papineni et al. '02) of a candidate
+    * column against a reference column — the synthetic-data QA readout
+    * [[ngramNovelty]] can't give: HOW CLOSE is each generated text to
+    * its source/reference, not merely what fraction of it is new.
+    * Per row: modified n-gram precisions p_n = clipped/total for
+    * n = 1..maxN (clipped = Σ_g min(count_cand(g), count_ref(g)) — a
+    * candidate earns no credit for repeating a gram beyond the
+    * reference's count), brevity penalty exp(1 − r/c) when the
+    * candidate is shorter than the reference, and
+    * bleu = BP·exp(Σ ln p_n / maxN). Any zero p_n ⇒ bleu = 0 (the
+    * standard unsmoothed convention; filters treat "no 4-gram overlap"
+    * as 0, they don't need the smoothed tail).
+    *
+    * Scale shape: MAP-ONLY — both count vectors come from ONE native
+    * [[graft.functions.NgramClipStats]] pass over the row's two token
+    * arrays (the aggregate formulation would explode both sides per
+    * order: 2·maxN corpus-sized exchanges); everything downstream is
+    * column arithmetic on the struct. Output adds cand_len, ref_len,
+    * p1..p{maxN} (6dp), brevity (6dp), bleu (6dp). */
+  def bleuScore(df: DataFrame, candCol: String, refCol: String,
+      maxN: Int = 4): DataFrame = {
+    require(maxN >= 1 && maxN <= 8, "maxN in 1..8")
+    val withSt = df.withColumn("__b", graft.functions.BleuFunctions
+      .ngram_clip_stats(tokens(lower(col(candCol))),
+        tokens(lower(col(refCol))), maxN))
+    val candLen = col("__b")("cand_len")
+    val refLen = col("__b")("ref_len")
+    def p(n: Int): Column = {
+      val tot = element_at(col("__b")("total"), n)
+      when(tot > 0, element_at(col("__b")("clipped"), n).cast("double") /
+        tot.cast("double")).otherwise(lit(0.0))
+    }
+    val anyZero = (1 to maxN).map(n => p(n) === 0.0).reduce(_ || _)
+    val bp = when(candLen >= refLen, lit(1.0))
+      .otherwise(exp(lit(1.0) -
+        refLen.cast("double") / candLen.cast("double")))
+    val logSum = (1 to maxN).map(n => log(p(n))).reduce(_ + _)
+    val bleu = when(candLen === 0 || anyZero, lit(0.0))
+      .otherwise(bp * exp(logSum / lit(maxN.toDouble)))
+    (1 to maxN).foldLeft(
+        withSt.withColumn("cand_len", candLen)
+          .withColumn("ref_len", refLen)) { (d, n) =>
+        d.withColumn(s"p$n", round(p(n), 6))
+      }
+      .withColumn("brevity", round(bp, 6))
+      .withColumn("bleu", round(bleu, 6))
+      .drop("__b")
+  }
+
   /** Character-entropy profile — the cheap per-row gibberish signal the
     * Gopher rules don't carry (they count token shapes; this measures
     * character spread): `n_chars` (code points), `char_entropy` (bits

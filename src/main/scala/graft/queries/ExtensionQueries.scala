@@ -2647,6 +2647,146 @@ object ExtensionQueries {
         .select(col("doc_id"), col("n_blocked_tokens"),
           col("n_blocked_phrases"), col("blocked"))
         .orderBy(col("doc_id"))
+    }),
+
+    // Interpolated Kneser-Ney bigram LM (the smoothing KenLM ships) over
+    // the corpus's own counts: scored docs are last-token-rotated copies
+    // (+ an unseen zzqx tail every 5th doc) so all four probability legs
+    // fire — discounted seen bigrams, seen-context/unseen-continuation
+    // (the redistributed lambda mass), OOV continuations on the add-k
+    // floor, and OOV contexts backing off to pure continuation
+    // probability
+    "x141_kneser_ney" -> ((s, dir) => {
+      val base = t(s, dir, "documents")
+      val toks = TextAnalysis.tokens(lower(col("text")))
+      val mutated = base.select(col("doc_id"),
+        concat_ws(" ", element_at(toks, -1), col("text"),
+          when(col("doc_id") % 5 === 0, lit("zzqx zzqy"))
+            .otherwise(lit(""))).as("text"))
+      TextAnalysis.knBigramNll(base, mutated, "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
+    // Edit-distance near-dup pairs (FastSS deletion neighborhoods) over
+    // short keys — each doc's first-3-token title; every 4th doc adds a
+    // one-char-deleted copy at id+100000 so distance-1 pairs exist by
+    // construction, alongside the table's natural distance-0 title
+    // collisions. The deletion-neighborhood candidate stage is recall-
+    // COMPLETE for ed<=1 (pigeonhole), which is exactly why the naive
+    // all-pairs levenshtein scan is a valid value-for-value oracle for
+    // the blocked plan.
+    "x142_edit_distance" -> ((s, dir) => {
+      val titles = t(s, dir, "documents").select(col("doc_id").as("id"),
+        array_join(slice(TextAnalysis.tokens(col("text")), 1, 3), " ")
+          .as("title"))
+      val mutated = titles.filter(col("id") % 4 === 0)
+        .select((col("id") + 100000).as("id"),
+          concat(substring(col("title"), 1, 2),
+            substring(col("title"), 4, 100000)).as("title"))
+      Dedup.editDistancePairs(titles.union(mutated), "id", "title",
+          maxDist = 1)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // Sentence-level BLEU of candidate vs reference — the synthetic-data
+    // closeness readout: ref = first 24 tokens; cand = first 20 + first
+    // 6 again (repeated grams overrun the reference's counts, so the
+    // CLIP binds), every 3rd doc a 10-token candidate instead (brevity
+    // penalty < 1). The clipped counts come from one native map-only
+    // expression pass; the oracle explodes both sides per order.
+    "x143_bleu_score" -> ((s, dir) => {
+      val toks = TextAnalysis.tokens(lower(col("text")))
+      val docs = t(s, dir, "documents").select(col("doc_id"),
+        when(col("doc_id") % 3 === 0, array_join(slice(toks, 1, 10), " "))
+          .otherwise(concat_ws(" ", array_join(slice(toks, 1, 20), " "),
+            array_join(slice(toks, 1, 6), " "))).as("cand"),
+        array_join(slice(toks, 1, 24), " ").as("ref"))
+      TextAnalysis.bleuScore(docs, "cand", "ref")
+        .select(col("doc_id"), col("cand_len"), col("ref_len"),
+          col("p1"), col("p2"), col("p3"), col("p4"),
+          col("brevity"), col("bleu"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Watermarked event-time windowed aggregation — the Structured
+    // Streaming OPERATOR (not just a sink) made driver-visible: events
+    // stream through windowedCounts in chronological micro-batches
+    // (time-ordered file appends, so the advancing watermark never
+    // drops a late row and streamed ≡ batch exactly) into an
+    // APPEND-MODE parquet sink; two far-future sentinel batches push
+    // the watermark past every real window so ALL of them finalize and
+    // flush. The persisted sink content — each window emitted exactly
+    // once, by the append contract — is what the oracle replays as a
+    // plain batch GROUP BY. Value sums ride decimal(18,2) (the
+    // q18/q19 convention) so streamed state-merge order can't smear
+    // doubles.
+    "x144_stream_windowed" -> ((s, dir) => {
+      val root = ParityQueries.tmpPath("graft_swin", dir)
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+      // watermarks require TIMESTAMP (not NTZ); the UTC session makes
+      // the cast an identity on the wall-clock value, and the readback
+      // casts the window bounds back to NTZ for the naive-ts oracle
+      val ev = t(s, dir, "events").select(
+        col("ts").cast("timestamp").as("ts"), col("event_type"),
+        col("value").cast("decimal(18,2)").as("value"))
+      val b = ev.agg(min(col("ts")).as("mn"), max(col("ts")).as("mx")).head()
+      // the ts column may surface as java.sql.Timestamp, Instant, or
+      // LocalDateTime (TIMESTAMP_NTZ under the java8 datetime API) —
+      // build boundary/sentinel literals of the SAME runtime class so
+      // comparisons and the parquet schema stay homogeneous
+      def ms(a: Any): Long = a match {
+        case t: java.sql.Timestamp => t.getTime
+        case i: java.time.Instant => i.toEpochMilli
+        case l: java.time.LocalDateTime =>
+          l.toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+      }
+      def tsLit(m: Long): org.apache.spark.sql.Column = lit(b.get(0) match {
+        case _: java.time.LocalDateTime => java.time.LocalDateTime.ofInstant(
+          java.time.Instant.ofEpochMilli(m), java.time.ZoneOffset.UTC)
+        case _: java.time.Instant => java.time.Instant.ofEpochMilli(m)
+        case _ => new java.sql.Timestamp(m)
+      })
+      val mn = ms(b.get(0)); val mx = ms(b.get(1))
+      val (t1, t2) = (tsLit(mn + 10L * 86400 * 1000),
+        tsLit(mn + 20L * 86400 * 1000))
+      // chronological thirds appended sequentially: FileStreamSource
+      // orders by modification time, so batch order = event-time order
+      ev.filter(col("ts") < t1).coalesce(1)
+        .write.mode("append").parquet(s"$root/in")
+      ev.filter(col("ts") >= t1 && col("ts") < t2).coalesce(1)
+        .write.mode("append").parquet(s"$root/in")
+      ev.filter(col("ts") >= t2).coalesce(1)
+        .write.mode("append").parquet(s"$root/in")
+      def sentinel(hrs: Long) = ev.limit(1).select(
+        tsLit(mx + hrs * 3600 * 1000).as("ts"),
+        lit("zzzsentinel").as("event_type"), col("value"))
+      sentinel(1000).coalesce(1).write.mode("append").parquet(s"$root/in")
+      sentinel(2000).coalesce(1).write.mode("append").parquet(s"$root/in")
+      val feed = s.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$root/in")
+      val counts = graft.streaming.EventStreams.windowedCounts(feed,
+        watermark = "10 minutes", windowDur = "1 hour")
+      val sq = graft.streaming.EventStreams.startParquetSink(counts,
+        s"$root/out", s"$root/ckpt")
+      try sq.processAllAvailable() finally sq.stop()
+      s.read.parquet(s"$root/out")
+        .filter(col("event_type") =!= "zzzsentinel")
+        .select(col("window_start").cast("timestamp_ntz").as("window_start"),
+          col("window_end").cast("timestamp_ntz").as("window_end"),
+          col("event_type"), col("n_events"),
+          col("total_value").cast("double").as("total_value"))
+        .orderBy(col("window_start"), col("event_type"))
+    }),
+
+    // Distributed embedding moments (mean vector + sample covariance,
+    // the whitening/PCA statistical core) over the first 8 dimensions:
+    // decimal-exact sums, 6dp moments, covariance derived from the
+    // rounded moments — every cell value-replayed in DuckDB
+    "x145_embedding_moments" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+        .select(slice(col("embedding"), 1, 8).as("v"))
+      Similarity.embeddingMoments(emb, "v")
+        .orderBy(col("i"), col("j"))
     }))
 
   /** Planted separable classification fixture for x88/x90: each doc
@@ -6151,6 +6291,184 @@ object ExtensionQueries {
         |SELECT t.source, t.p, r.v AS q, t.n AS n_exact
         |FROM t JOIN r ON r.source = t.source AND r.rk = t.tgt
         |ORDER BY t.source, t.p""".stripMargin,
+
+    // Kneser-Ney replay: the model's four count tables from the SAME
+    // bigram-type frame, the scored side x117's rotated-copy mutation;
+    // the probability expression mirrors knBigramNll's operation order
+    // exactly ((d*n1f)/c1 then *pcont; +0.5 floors) so binary64 agrees
+    "x141_kneser_ney" ->
+      """WITH mtok AS (
+        |  SELECT list_filter(string_split_regex(trim(lower(text)), '\s+'),
+        |    x -> len(x) > 0) AS ts
+        |  FROM documents),
+        |bi AS (SELECT a, b, count(*) AS c
+        |  FROM (SELECT ts[i] AS a, ts[i + 1] AS b
+        |        FROM mtok, UNNEST(range(1, len(ts))) AS u(i)) GROUP BY a, b),
+        |ctx AS (SELECT a, CAST(sum(c) AS DOUBLE) AS c1,
+        |    CAST(count(*) AS DOUBLE) AS n1f
+        |  FROM bi GROUP BY a),
+        |pred AS (SELECT b, CAST(count(*) AS DOUBLE) AS n1p FROM bi GROUP BY b),
+        |tot AS (SELECT
+        |    (SELECT CAST(count(*) AS DOUBLE) FROM bi) AS t,
+        |    (SELECT CAST(count(*) AS DOUBLE) FROM
+        |      (SELECT a AS w FROM bi UNION SELECT b AS w FROM bi)) AS v),
+        |dtok AS (
+        |  SELECT doc_id, text,
+        |    list_filter(string_split_regex(trim(lower(text)), '\s+'),
+        |      x -> len(x) > 0) AS ts0
+        |  FROM documents),
+        |mut AS (
+        |  SELECT doc_id,
+        |    concat_ws(' ', ts0[len(ts0)], text,
+        |      CASE WHEN doc_id % 5 = 0 THEN 'zzqx zzqy' ELSE '' END) AS text
+        |  FROM dtok),
+        |dts AS (
+        |  SELECT doc_id, list_filter(string_split_regex(trim(lower(text)), '\s+'),
+        |    x -> len(x) > 0) AS ts
+        |  FROM mut),
+        |dbg AS (
+        |  SELECT doc_id, ts[i] AS w1, ts[i + 1] AS w2
+        |  FROM dts, UNNEST(range(1, len(ts))) AS u(i)),
+        |sc AS (
+        |  SELECT d.doc_id,
+        |    CASE WHEN ctx.c1 IS NOT NULL THEN
+        |      GREATEST(CAST(coalesce(b.c, 0) AS DOUBLE) - 0.75, 0.0) / ctx.c1
+        |        + (0.75 * ctx.n1f / ctx.c1) *
+        |          ((coalesce(pred.n1p, 0) + 0.5) / (tot.t + 0.5 * tot.v))
+        |    ELSE (coalesce(pred.n1p, 0) + 0.5) / (tot.t + 0.5 * tot.v)
+        |    END AS p
+        |  FROM dbg d
+        |  LEFT JOIN bi b ON b.a = d.w1 AND b.b = d.w2
+        |  LEFT JOIN ctx ON ctx.a = d.w1
+        |  LEFT JOIN pred ON pred.b = d.w2, tot),
+        |agg AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |    ROUND(avg(-ln(p)), 6) AS kn_nll
+        |  FROM sc GROUP BY doc_id)
+        |SELECT m.doc_id, coalesce(a.n_bigrams, 0) AS n_bigrams,
+        |  coalesce(a.kn_nll, 0.0) AS kn_nll
+        |FROM mut m LEFT JOIN agg a ON m.doc_id = a.doc_id
+        |ORDER BY m.doc_id""".stripMargin,
+
+    // The deletion-neighborhood plan is recall-complete for ed<=1, so
+    // the oracle is the formulation the blocking AVOIDS: all pairs,
+    // levenshtein-filtered
+    "x142_edit_distance" ->
+      """WITH titles AS (
+        |  SELECT doc_id AS id,
+        |    array_to_string(list_slice(list_filter(
+        |      string_split_regex(trim(text), '\s+'), x -> len(x) > 0),
+        |      1, 3), ' ') AS title
+        |  FROM documents),
+        |mut AS (
+        |  SELECT id + 100000 AS id,
+        |    substr(title, 1, 2) || substr(title, 4) AS title
+        |  FROM titles WHERE id % 4 = 0),
+        |allr AS (SELECT * FROM titles UNION ALL SELECT * FROM mut)
+        |SELECT a.id AS id_a, b.id AS id_b,
+        |  CAST(levenshtein(a.title, b.title) AS INT) AS dist
+        |FROM allr a JOIN allr b ON a.id < b.id
+        |WHERE levenshtein(a.title, b.title) <= 1
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    // BLEU replay: the clipped counts the native expression computes
+    // per row, re-derived by exploding candidate and reference grams per
+    // order and LEFT-joining on the gram key; probability arithmetic
+    // mirrors bleuScore's operation order
+    "x143_bleu_score" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(trim(lower(text)), '\s+'),
+        |      x -> len(x) > 0) AS ts
+        |  FROM documents),
+        |pair AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 3 = 0 THEN list_slice(ts, 1, 10)
+        |         ELSE list_concat(list_slice(ts, 1, 20), list_slice(ts, 1, 6))
+        |    END AS c,
+        |    list_slice(ts, 1, 24) AS r
+        |  FROM base),
+        |cg AS (
+        |  SELECT doc_id, n, array_to_string(list_slice(c, i, i + n - 1), ' ') AS g,
+        |    count(*) AS cc
+        |  FROM pair, UNNEST([1, 2, 3, 4]) AS tn(n),
+        |    UNNEST(range(1, len(c) - n + 2)) AS u(i)
+        |  GROUP BY 1, 2, 3),
+        |rg AS (
+        |  SELECT doc_id, n, array_to_string(list_slice(r, i, i + n - 1), ' ') AS g,
+        |    count(*) AS cc
+        |  FROM pair, UNNEST([1, 2, 3, 4]) AS tn(n),
+        |    UNNEST(range(1, len(r) - n + 2)) AS u(i)
+        |  GROUP BY 1, 2, 3),
+        |cl AS (
+        |  SELECT cg.doc_id, cg.n,
+        |    CAST(sum(least(cg.cc, coalesce(rg.cc, 0))) AS DOUBLE) AS clipped,
+        |    CAST(sum(cg.cc) AS DOUBLE) AS total
+        |  FROM cg LEFT JOIN rg
+        |    ON rg.doc_id = cg.doc_id AND rg.n = cg.n AND rg.g = cg.g
+        |  GROUP BY 1, 2),
+        |pn AS (
+        |  SELECT doc_id,
+        |    coalesce(max(CASE WHEN n = 1 THEN clipped / total END), 0.0) AS p1r,
+        |    coalesce(max(CASE WHEN n = 2 THEN clipped / total END), 0.0) AS p2r,
+        |    coalesce(max(CASE WHEN n = 3 THEN clipped / total END), 0.0) AS p3r,
+        |    coalesce(max(CASE WHEN n = 4 THEN clipped / total END), 0.0) AS p4r
+        |  FROM cl GROUP BY doc_id),
+        |fin AS (
+        |  SELECT p.doc_id, len(p.c) AS cl, len(p.r) AS rl,
+        |    coalesce(pn.p1r, 0.0) AS p1r, coalesce(pn.p2r, 0.0) AS p2r,
+        |    coalesce(pn.p3r, 0.0) AS p3r, coalesce(pn.p4r, 0.0) AS p4r,
+        |    CASE WHEN len(p.c) >= len(p.r) THEN 1.0
+        |         ELSE exp(1.0 - CAST(len(p.r) AS DOUBLE) / CAST(len(p.c) AS DOUBLE))
+        |    END AS bp
+        |  FROM pair p LEFT JOIN pn ON pn.doc_id = p.doc_id)
+        |SELECT doc_id, CAST(cl AS INT) AS cand_len, CAST(rl AS INT) AS ref_len,
+        |  ROUND(p1r, 6) AS p1, ROUND(p2r, 6) AS p2,
+        |  ROUND(p3r, 6) AS p3, ROUND(p4r, 6) AS p4,
+        |  ROUND(bp, 6) AS brevity,
+        |  ROUND(CASE WHEN cl = 0 OR p1r = 0 OR p2r = 0 OR p3r = 0 OR p4r = 0
+        |    THEN 0.0
+        |    ELSE bp * exp((ln(p1r) + ln(p2r) + ln(p3r) + ln(p4r)) / 4.0)
+        |  END, 6) AS bleu
+        |FROM fin
+        |ORDER BY doc_id""".stripMargin,
+
+    // Streamed windowed counts ≡ batch GROUP BY: chronological batches
+    // mean the watermark never drops a row, and append mode emits each
+    // finalized window exactly once — so the sink replays as the plain
+    // batch aggregation
+    "x144_stream_windowed" ->
+      """SELECT date_trunc('hour', ts) AS window_start,
+        |  date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,
+        |  event_type, count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events
+        |GROUP BY 1, 2, 3
+        |ORDER BY window_start, event_type""".stripMargin,
+
+    // Moments replay: identical decimal-exact sums and rounded-moment
+    // covariance expression, pair fanout via lateral ranges
+    "x145_embedding_moments" ->
+      """WITH v AS (
+        |  SELECT list_slice(CAST(embedding AS DOUBLE[]), 1, 8) AS v
+        |  FROM embeddings),
+        |m AS (
+        |  SELECT i,
+        |    ROUND(CAST(sum(CAST(v[i + 1] AS DECIMAL(38,18))) AS DOUBLE)
+        |      / count(*), 6) AS m
+        |  FROM v, UNNEST(range(0, 8)) AS u(i) GROUP BY i),
+        |e AS (
+        |  SELECT i, j, count(*) AS n,
+        |    ROUND(CAST(sum(CAST(v[i + 1] * v[j + 1] AS DECIMAL(38,18))) AS DOUBLE)
+        |      / count(*), 6) AS exy
+        |  FROM v, UNNEST(range(0, 8)) AS u(i), UNNEST(range(i, 8)) AS w(j)
+        |  GROUP BY i, j)
+        |SELECT CAST(e.j AS INT) AS j, CAST(e.i AS INT) AS i, e.n,
+        |  mi.m AS m_i, mj.m AS m_j, e.exy,
+        |  ROUND((e.exy - mi.m * mj.m) * CAST(e.n AS DOUBLE)
+        |    / (CAST(e.n AS DOUBLE) - 1.0), 6) AS cov
+        |FROM e JOIN m mi ON mi.i = e.i JOIN m mj ON mj.i = e.j
+        |ORDER BY i, j""".stripMargin,
 
     "x09_knn_bruteforce" ->
       """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qvec FROM embeddings WHERE vec_id = 0),

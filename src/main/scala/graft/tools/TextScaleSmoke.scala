@@ -264,6 +264,32 @@ object TextScaleSmoke {
     time("stupid-backoff NLL (100k docs, self-model)")(
       TextAnalysis.stupidBackoffNll(sb100k, sb100k, "doc_id", "text")
         .agg(avg("sb_nll"), sum("n_trigrams")).head())
+    // r11: blocklist reference chain vs the Aho-Corasick scale path.
+    // The reference formulation is O(terms) per doc AND O(terms) plan
+    // nodes — it stops COMPILING (Column-tree stack overflow) near 2.5k
+    // phrase terms, so it runs here at its workable size while the
+    // automaton runs at both that size and a production-shaped 20k-term
+    // list (where only O(len + matches) per doc remains). ~1 in 50 docs
+    // carries a planted hit so the match legs execute.
+    val blkCorpus = corpus.select(col("doc_id"),
+      concat(col("text"), when(col("doc_id") % 50 === 0,
+        lit(" bk17 tail")).otherwise(lit(""))).as("text"))
+    val terms500 = (0 until 250).map(i => s"bk$i") ++
+      (0 until 250).map(i => s"bk$i tail")
+    val terms20k = (0 until 10000).map(i => s"bk$i") ++
+      (0 until 10000).map(i => s"bk$i tail")
+    time("blocklist reference chain (500 terms)")(
+      TextAnalysis.blocklistFilter(blkCorpus, "text", terms500)
+        .agg(sum(when(col("blocked"), 1L).otherwise(0L)),
+          sum("n_blocked_tokens")).head())
+    time("blocklist Aho-Corasick (500 terms)")(
+      TextAnalysis.blocklistFilterScaled(blkCorpus, "text", terms500)
+        .agg(sum(when(col("blocked"), 1L).otherwise(0L)),
+          sum("n_blocked_tokens")).head())
+    time("blocklist Aho-Corasick (20k terms)")(
+      TextAnalysis.blocklistFilterScaled(blkCorpus, "text", terms20k)
+        .agg(sum(when(col("blocked"), 1L).otherwise(0L)),
+          sum("n_blocked_tokens")).head())
     spark.stop()
   }
 }

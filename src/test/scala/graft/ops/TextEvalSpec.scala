@@ -1,0 +1,143 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** r11 batch: Kneser-Ney bigram LM, FastSS edit-distance pairs, BLEU
+  * clipped-precision scoring, distributed embedding moments. */
+class TextEvalSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  // ---- Kneser-Ney ----
+
+  test("knBigramNll: hand-computed probabilities on a 4-bigram model") {
+    // model bigrams: (a,b) x2, (b,a) x1, (a,c) x1
+    val model = Seq("a b a c", "a b").toDF("text")
+      .withColumn("doc_id", lit(0L))
+    val docs = Seq(
+      (1L, "a b"),   // seen bigram: discount + lambda mass
+      (2L, "z b"),   // OOV context -> pure continuation
+      (3L, "a"),     // <2 tokens -> 0
+      (4L, "a zzq")  // seen context, OOV continuation -> floor via pcont
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.knBigramNll(model, docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+
+    // counts: c(a,b)=2, c(b,a)=1, c(a,c)=1; ctx a: c1=3, n1f=2; b: c1=1,
+    // n1f=1; T=3 types; V={a,b,c}=3; pcont(w)=(n1p+0.5)/(3+1.5)
+    val pcB = (1 + 0.5) / 4.5   // n1p(b)=1 (only a precedes b)
+    val pAB = math.max(2 - 0.75, 0) / 3.0 + (0.75 * 2 / 3.0) * pcB
+    val pcOov = 0.5 / 4.5
+    val pAZzq = 0.0 / 3.0 + (0.75 * 2 / 3.0) * pcOov
+    def nll(p: Double) = BigDecimal(-math.log(p))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out(0) === ((1L, 1L, nll(pAB))))
+    assert(out(1) === ((2L, 1L, nll(pcB))))
+    assert(out(2) === ((3L, 0L, 0.0)))
+    assert(out(3) === ((4L, 1L, nll(pAZzq))))
+  }
+
+  test("knBigramNll: probabilities stay in (0,1], nll >= 0") {
+    val model = (0 until 40)
+      .map(i => (i.toLong, s"w${i % 7} w${(i * 3) % 5} w${i % 7} end"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.knBigramNll(model, model, "doc_id", "text")
+    assert(out.filter(col("kn_nll") < 0).count() === 0)
+    assert(out.count() === 40)
+  }
+
+  // ---- FastSS edit-distance pairs ----
+
+  private def naivePairs(rows: Seq[(Long, String)], k: Int): Set[(Long, Long, Int)] = {
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0
+      }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    (for {
+      (ia, sa) <- rows; (ib, sb) <- rows
+      if ia < ib
+      dist = lev(sa, sb)
+      if dist <= k
+    } yield (ia, ib, dist)).toSet
+  }
+
+  test("editDistancePairs: equals the naive all-pairs scan (k=1)") {
+    val rows = Seq(1L -> "abc", 2L -> "abd", 3L -> "ab", 4L -> "abcd",
+      5L -> "xbc", 6L -> "zzz", 7L -> "abc")
+    val got = Dedup.editDistancePairs(rows.toDF("id", "s"), "id", "s", 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got === naivePairs(rows, 1))
+    assert(got.contains((1L, 7L, 0)))  // exact dup
+    assert(got.contains((1L, 2L, 1)))  // substitution
+    assert(got.contains((1L, 3L, 1)))  // deletion
+    assert(got.contains((1L, 4L, 1)))  // insertion
+    assert(!got.exists(p => p._1 == 6L || p._2 == 6L))
+  }
+
+  test("editDistancePairs: recall-complete vs naive on random strings (k=2)") {
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 60).map(i =>
+      i.toLong -> (0 until (3 + rnd.nextInt(5))).map(_ =>
+        ('a' + rnd.nextInt(3)).toChar).mkString)
+    val got = Dedup.editDistancePairs(rows.toDF("id", "s"), "id", "s", 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got === naivePairs(rows, 2))
+  }
+
+  // ---- BLEU ----
+
+  test("bleuScore: identical candidate scores 1, repetition clips, brevity fires") {
+    val df = Seq(
+      (1L, "the cat sat on the mat", "the cat sat on the mat"),
+      (2L, "the the the the", "the cat sat on the mat"),
+      (3L, "the cat sat on", "the cat sat on the mat")
+    ).toDF("doc_id", "cand", "ref")
+    val out = TextAnalysis.bleuScore(df, "cand", "ref")
+      .orderBy("doc_id")
+      .select("doc_id", "p1", "p2", "p3", "p4", "brevity", "bleu")
+      .collect()
+    // identical: all precisions 1, brevity 1, bleu 1
+    assert(out(0).getDouble(1) === 1.0 && out(0).getDouble(6) === 1.0)
+    // "the the the the" vs ref with 2 'the': p1 = min(4,2)/4 = 0.5,
+    // no bigram overlap -> p2 = 0 -> bleu = 0
+    assert(out(1).getDouble(1) === 0.5)
+    assert(out(1).getDouble(2) === 0.0)
+    assert(out(1).getDouble(6) === 0.0)
+    // 4-token prefix candidate: all precisions 1, brevity = exp(1 - 6/4)
+    assert(out(2).getDouble(1) === 1.0 && out(2).getDouble(4) === 1.0)
+    val bp = BigDecimal(math.exp(1.0 - 6.0 / 4.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out(2).getDouble(5) === bp)
+    assert(out(2).getDouble(6) === bp) // all p_n = 1 -> bleu = brevity
+  }
+
+  // ---- embedding moments ----
+
+  test("embeddingMoments: means and sample covariance of a 2-d fixture") {
+    val df = Seq(Array(1.0f, 2.0f), Array(3.0f, 4.0f), Array(5.0f, 6.0f))
+      .toDF("v")
+    val out = Similarity.embeddingMoments(df, "v")
+      .orderBy("i", "j").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5), r.getDouble(6)))
+    // vectors (1,2),(3,4),(5,6): m=(3,4); var = 4 each; cov(0,1) = 4
+    assert(out.length === 3)
+    assert(out.map(t => (t._1, t._2)).toSeq === Seq((0, 0), (0, 1), (1, 1)))
+    val byKey = out.map(t => (t._1, t._2) -> t).toMap
+    val p01 = byKey((0, 1))
+    assert(p01._3 === 3L)
+    assert(p01._4 === 3.0 && p01._5 === 4.0)
+    assert(math.abs(p01._6 - 44.0 / 3) < 1e-5)
+    assert(math.abs(byKey((0, 0))._7 - 4.0) < 1e-5)
+    assert(math.abs(byKey((1, 1))._7 - 4.0) < 1e-5)
+    assert(math.abs(p01._7 - 4.0) < 1e-5)
+  }
+}
