@@ -15,7 +15,7 @@ import graft.queries.{ExtensionQueries, ParityQueries}
   * portable trainer whose centroids replay value-exactly cross-engine.
   * Full operator -> query -> check map: /root/repo/COVERAGE.md.
   *
-  * Inventory (196 queries, all oracle-checked):
+  * Inventory (199 queries, all oracle-checked):
   *  - q01-q16: scans, filters, CASE chains, datetime, windows (running/
   *    lag/30-day range), grouped stats + broadcast join, anti-join
   *    referential integrity, top-k, dup/null/range/quality checks, upsert,
@@ -144,6 +144,14 @@ import graft.queries.{ExtensionQueries, ParityQueries}
   *    append-sink content ≡ batch GROUP BY value-for-value), and
   *    distributed embedding moments (mean + sample covariance, the
   *    whitening/PCA core — decimal-exact sums, every cell replayed)
+  *  - x146-x148: streamed sessionization (flatMapGroupsWithState +
+  *    event-time timeout, the custom-state operator — stream ≡ batch
+  *    gaps-and-islands value-for-value), streamed stream-stream
+  *    interval join (purchases x same-user prior-hour errors, both
+  *    sides watermarked, sink ≡ the batch self-join — completing the
+  *    stateful-operator triad with x144), and ColBERT late-interaction
+  *    MaxSim top-k (token-level broadcast scoring, per-query-token max
+  *    + decimal-exact per-doc sum)
   */
 object SparkEntry {
 

@@ -171,6 +171,42 @@ object Similarity {
           .as("cov"))
   }
 
+  /** ColBERT-style late-interaction MaxSim retrieval (Khattab & Zaharia
+    * '20): score(doc) = Σ_{query tokens} max_{doc tokens}
+    * cos(q_tok, d_tok) — token-level matching that single-vector
+    * retrieval collapses away (a doc matching ALL query terms somewhere
+    * beats one matching a blend of them). Inputs are TOKEN-level vector
+    * frames (the scalable representation — one narrow row per token,
+    * never a ragged matrix column): `docToks` = (idCol, vecCol) rows,
+    * `queryToks` = (qtokCol, vecCol) rows for ONE query.
+    *
+    * Scale shape: the query's token frame rides a BROADCAST nested loop
+    * over the corpus token scan (queries are tens of tokens; the corpus
+    * side is never shuffled for scoring), then two doc-keyed aggregates
+    * (per-(doc, q-token) max, per-doc sum) with map-side partials, then
+    * the bounded top-k. Cosines round 6dp and the per-doc sum rides
+    * DECIMAL(38,18) (exact, order-independent — the
+    * [[embeddingMoments]] convention), so scores replay cross-engine.
+    * The ANN composition at corpus scale is the standard ColBERT
+    * recipe: [[lshKnn]]/IVF shortlist on pooled vectors, MaxSim re-rank
+    * on the shortlist — this operator is the re-rank/exact leg. */
+  def maxSimTopK(docToks: DataFrame, queryToks: DataFrame, idCol: String,
+      qtokCol: String, vecCol: String, k: Int): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 18)
+    val q = broadcast(queryToks.select(col(qtokCol).as("__qt"),
+      col(vecCol).as("__qv")))
+    docToks.select(col(idCol), col(vecCol).as("__dv"))
+      .crossJoin(q)
+      .select(col(idCol), col("__qt"),
+        round(cosine(col("__dv"), col("__qv")), 6).as("__c"))
+      .groupBy(col(idCol), col("__qt"))
+      .agg(max(col("__c")).as("__mx"))
+      .groupBy(col(idCol))
+      .agg(round(sum(col("__mx").cast(dec)).cast("double"), 6).as("maxsim"))
+      .orderBy(col("maxsim").desc, col(idCol))
+      .limit(k)
+  }
+
   /** Element-wise mean pooling of a vector column per group — the
     * standard chunk-embeddings -> document-embedding (or token ->
     * sentence) reduction in retrieval pipelines: embed bounded chunks,

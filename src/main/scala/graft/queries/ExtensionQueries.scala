@@ -2787,6 +2787,139 @@ object ExtensionQueries {
         .select(slice(col("embedding"), 1, 8).as("v"))
       Similarity.embeddingMoments(emb, "v")
         .orderBy(col("i"), col("j"))
+    }),
+
+    // Streamed sessionization (flatMapGroupsWithState + event-time
+    // timeout — the CUSTOM-state stateful operator, where x144 covered
+    // the built-in windowed agg): events ride chronological micro-
+    // batches through sessionize; sentinel batches (user -1, filtered
+    // on readback) advance the watermark past every real session's
+    // timeout so open sessions flush through the hasTimedOut leg. The
+    // oracle is the batch gaps-and-islands formulation. The stream
+    // reconstructs session bounds at MILLISECOND precision (state holds
+    // epoch ms), so the oracle truncates ts to ms; total_value rounds
+    // to the 2dp grid its decimal-quantized inputs live on, which
+    // canonicalizes any 1-ulp summation-order noise.
+    "x146_stream_sessionize" -> ((s, dir) => {
+      val root = ParityQueries.tmpPath("graft_ssess", dir)
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+      val ev = t(s, dir, "events").select(col("event_id"),
+        col("ts").cast("timestamp").as("ts"), col("user_id"),
+        col("event_type"),
+        col("value").cast("decimal(18,2)").cast("double").as("value"))
+      val b = ev.agg(min(col("ts")).as("mn"), max(col("ts")).as("mx")).head()
+      def ms(a: Any): Long = a match {
+        case t: java.sql.Timestamp => t.getTime
+        case i: java.time.Instant => i.toEpochMilli
+        case l: java.time.LocalDateTime =>
+          l.toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+      }
+      def tsLit(m: Long): org.apache.spark.sql.Column = lit(b.get(0) match {
+        case _: java.time.LocalDateTime => java.time.LocalDateTime.ofInstant(
+          java.time.Instant.ofEpochMilli(m), java.time.ZoneOffset.UTC)
+        case _: java.time.Instant => java.time.Instant.ofEpochMilli(m)
+        case _ => new java.sql.Timestamp(m)
+      })
+      val mn = ms(b.get(0)); val mx = ms(b.get(1))
+      val (t1, t2) = (tsLit(mn + 10L * 86400 * 1000),
+        tsLit(mn + 20L * 86400 * 1000))
+      ev.filter(col("ts") < t1).coalesce(1)
+        .write.mode("append").parquet(s"$root/in")
+      ev.filter(col("ts") >= t1 && col("ts") < t2).coalesce(1)
+        .write.mode("append").parquet(s"$root/in")
+      ev.filter(col("ts") >= t2).coalesce(1)
+        .write.mode("append").parquet(s"$root/in")
+      def sentinel(hrs: Long) = ev.limit(1).select(lit(-1L).as("event_id"),
+        tsLit(mx + hrs * 3600 * 1000).as("ts"), lit(-1L).as("user_id"),
+        lit("zzzsentinel").as("event_type"), lit(0.0).as("value"))
+      sentinel(1000).coalesce(1).write.mode("append").parquet(s"$root/in")
+      sentinel(2000).coalesce(1).write.mode("append").parquet(s"$root/in")
+      import s.implicits._
+      val feed = s.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$root/in")
+        .as[graft.streaming.EventStreams.Event]
+      val sess = graft.streaming.EventStreams.sessionize(feed,
+        gapMs = 30 * 60 * 1000L)(s)
+      val sq = graft.streaming.EventStreams.startParquetSink(sess.toDF(),
+        s"$root/out", s"$root/ckpt")
+      try sq.processAllAvailable() finally sq.stop()
+      s.read.parquet(s"$root/out")
+        .filter(col("user_id") >= 0)
+        .select(col("user_id"),
+          col("session_start").cast("timestamp_ntz").as("session_start"),
+          col("session_end").cast("timestamp_ntz").as("session_end"),
+          col("n_events"),
+          round(col("total_value"), 2).as("total_value"))
+        .orderBy(col("user_id"), col("session_start"))
+    }),
+
+    // Streamed stream-stream interval join — the third stateful
+    // streaming operator class (x144 = built-in windowed agg, x146 =
+    // custom flatMapGroupsWithState): purchases join same-user errors
+    // from the preceding hour, both sides watermarked so join state
+    // expires. INNER time-bound joins emit each pair exactly once as
+    // soon as both sides arrive — no sentinel batches needed — and the
+    // chronological feed means state retention (derived by Spark from
+    // the time-range condition) never evicts a row that could still
+    // match. Timestamps pass through unmutated (microsecond precision
+    // preserved), so the oracle is the plain batch self-join.
+    "x147_stream_interval_join" -> ((s, dir) => {
+      val root = ParityQueries.tmpPath("graft_sjoin", dir)
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+      val ev = t(s, dir, "events").select(col("event_id"),
+        col("ts").cast("timestamp").as("ts"), col("user_id"),
+        col("event_type"))
+      val b = ev.agg(min(col("ts")).as("mn")).head()
+      def ms(a: Any): Long = a match {
+        case t: java.sql.Timestamp => t.getTime
+        case i: java.time.Instant => i.toEpochMilli
+        case l: java.time.LocalDateTime =>
+          l.toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+      }
+      def tsLit(m: Long): org.apache.spark.sql.Column = lit(b.get(0) match {
+        case _: java.time.LocalDateTime => java.time.LocalDateTime.ofInstant(
+          java.time.Instant.ofEpochMilli(m), java.time.ZoneOffset.UTC)
+        case _: java.time.Instant => java.time.Instant.ofEpochMilli(m)
+        case _ => new java.sql.Timestamp(m)
+      })
+      val mn = ms(b.get(0))
+      val (t1, t2) = (tsLit(mn + 10L * 86400 * 1000),
+        tsLit(mn + 20L * 86400 * 1000))
+      ev.filter(col("ts") < t1).coalesce(1)
+        .write.mode("append").parquet(s"$root/in")
+      ev.filter(col("ts") >= t1 && col("ts") < t2).coalesce(1)
+        .write.mode("append").parquet(s"$root/in")
+      ev.filter(col("ts") >= t2).coalesce(1)
+        .write.mode("append").parquet(s"$root/in")
+      val feed = s.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$root/in")
+      val joined = graft.streaming.EventStreams.purchaseErrorJoin(feed,
+        watermark = "10 minutes", windowSec = 3600L)
+      val sq = graft.streaming.EventStreams.startParquetSink(joined,
+        s"$root/out", s"$root/ckpt")
+      try sq.processAllAvailable() finally sq.stop()
+      s.read.parquet(s"$root/out")
+        .select(col("purchase_id"), col("user_id"),
+          col("purchase_ts").cast("timestamp_ntz").as("purchase_ts"),
+          col("error_id"),
+          col("error_ts").cast("timestamp_ntz").as("error_ts"))
+        .orderBy(col("purchase_id"), col("error_id"))
+    }),
+
+    // ColBERT late-interaction MaxSim top-20: each 64-dim embedding
+    // reshaped to 8 token-vectors x 8 dims (the token-level frame a
+    // real ColBERT index stores); query = vec 0's tokens on a broadcast,
+    // corpus tokens scanned once through two doc-keyed aggregates.
+    // Cosines 6dp, per-doc sum decimal-exact — fully value-replayed.
+    "x148_maxsim_rerank" -> ((s, dir) => {
+      val toks = t(s, dir, "embeddings").select(col("vec_id"),
+        posexplode(transform(sequence(lit(0), lit(7)), kk =>
+          slice(col("embedding"), kk * 8 + 1, lit(8))))
+          .as(Seq("tok_id", "tvec")))
+      val q = toks.filter(col("vec_id") === 0)
+        .select(col("tok_id").as("q_tok"), col("tvec"))
+      Similarity.maxSimTopK(toks.filter(col("vec_id") =!= 0), q,
+          "vec_id", "q_tok", "tvec", k = 20)
     }))
 
   /** Planted separable classification fixture for x88/x90: each doc
@@ -6469,6 +6602,62 @@ object ExtensionQueries {
         |    / (CAST(e.n AS DOUBLE) - 1.0), 6) AS cov
         |FROM e JOIN m mi ON mi.i = e.i JOIN m mj ON mj.i = e.j
         |ORDER BY i, j""".stripMargin,
+
+    // Streamed sessionization replay: gaps-and-islands over ms-truncated
+    // event times (the stream's state precision); a session continues
+    // iff the gap is <= 30 minutes, matching the operator's comparison
+    "x146_stream_sessionize" ->
+      """WITH e AS (
+        |  SELECT user_id, date_trunc('milliseconds', ts) AS ts,
+        |    CAST(CAST(value AS DECIMAL(18,2)) AS DOUBLE) AS value
+        |  FROM events),
+        |m AS (
+        |  SELECT user_id, ts, value,
+        |    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+        |           <= INTERVAL 30 MINUTE THEN 0 ELSE 1 END AS brk
+        |  FROM e),
+        |g AS (
+        |  SELECT user_id, ts, value,
+        |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM m)
+        |SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  ROUND(sum(value), 2) AS total_value
+        |FROM g GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin,
+
+    // Stream-stream interval join replay: the batch self-join — inner
+    // time-bound joins emit every pair exactly once
+    "x147_stream_interval_join" ->
+      """SELECT p.event_id AS purchase_id, p.user_id,
+        |  p.ts AS purchase_ts, e.event_id AS error_id, e.ts AS error_ts
+        |FROM events p JOIN events e
+        |  ON e.user_id = p.user_id
+        |  AND p.event_type = 'purchase' AND e.event_type = 'error'
+        |  AND e.ts >= p.ts - INTERVAL 3600 SECONDS AND e.ts <= p.ts
+        |ORDER BY purchase_id, error_id""".stripMargin,
+
+    // MaxSim replay: 8x8 reshape via lateral range, per-(doc, q-token)
+    // max of 6dp cosines, decimal-exact per-doc sum
+    "x148_maxsim_rerank" ->
+      """WITH tok AS (
+        |  SELECT vec_id, k AS tok_id,
+        |    list_slice(CAST(embedding AS DOUBLE[]), k * 8 + 1, k * 8 + 8) AS tvec
+        |  FROM embeddings, UNNEST(range(0, 8)) AS u(k)),
+        |q AS (SELECT tok_id, tvec AS qvec FROM tok WHERE vec_id = 0),
+        |sc AS (
+        |  SELECT t.vec_id, q.tok_id,
+        |    max(ROUND(list_cosine_similarity(t.tvec, q.qvec), 6)) AS mx
+        |  FROM tok t CROSS JOIN q
+        |  WHERE t.vec_id != 0
+        |  GROUP BY t.vec_id, q.tok_id),
+        |agg AS (
+        |  SELECT vec_id,
+        |    ROUND(CAST(sum(CAST(mx AS DECIMAL(38,18))) AS DOUBLE), 6) AS maxsim
+        |  FROM sc GROUP BY vec_id)
+        |SELECT vec_id, maxsim FROM agg
+        |ORDER BY maxsim DESC, vec_id LIMIT 20""".stripMargin,
 
     "x09_knn_bruteforce" ->
       """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qvec FROM embeddings WHERE vec_id = 0),

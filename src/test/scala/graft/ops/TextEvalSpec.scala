@@ -119,6 +119,24 @@ class TextEvalSpec extends SparkSpec {
     assert(out(2).getDouble(6) === bp) // all p_n = 1 -> bleu = brevity
   }
 
+  // ---- MaxSim late interaction ----
+
+  test("maxSimTopK: per-query-token max then sum, hand-computed") {
+    // doc 1 tokens: (1,0), (0,1); doc 2 tokens: (1,0), (1,0)
+    val docs = Seq(
+      (1L, Array(1.0f, 0.0f)), (1L, Array(0.0f, 1.0f)),
+      (2L, Array(1.0f, 0.0f)), (2L, Array(1.0f, 0.0f))
+    ).toDF("doc_id", "v")
+    // query tokens: (1,0) and (0,1)
+    val q = Seq((0, Array(1.0f, 0.0f)), (1, Array(0.0f, 1.0f)))
+      .toDF("q_tok", "v")
+    val out = Similarity.maxSimTopK(docs, q, "doc_id", "q_tok", "v", k = 2)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    // doc 1: qt0 max cos = 1 (token (1,0)), qt1 max cos = 1 -> 2.0
+    // doc 2: qt0 max = 1, qt1 max = 0 -> 1.0; ranked doc1 > doc2
+    assert(out.toSeq === Seq((1L, 2.0), (2L, 1.0)))
+  }
+
   // ---- embedding moments ----
 
   test("embeddingMoments: means and sample covariance of a 2-d fixture") {
