@@ -15,7 +15,7 @@ import graft.queries.{ExtensionQueries, ParityQueries}
   * portable trainer whose centroids replay value-exactly cross-engine.
   * Full operator -> query -> check map: /root/repo/COVERAGE.md.
   *
-  * Inventory (199 queries, all oracle-checked):
+  * Inventory (200 queries, all oracle-checked):
   *  - q01-q16: scans, filters, CASE chains, datetime, windows (running/
   *    lag/30-day range), grouped stats + broadcast join, anti-join
   *    referential integrity, top-k, dup/null/range/quality checks, upsert,
@@ -152,6 +152,10 @@ import graft.queries.{ExtensionQueries, ParityQueries}
   *    stateful-operator triad with x144), and ColBERT late-interaction
   *    MaxSim top-k (token-level broadcast scoring, per-query-token max
   *    + decimal-exact per-doc sum)
+  *  - x149: Z-order (Morton) data layout — the OPTIMIZE ZORDER
+  *    equivalent: integer shift/mask interleave key + range-partitioned
+  *    clustered write + the per-z-range min/max rectangle readout a
+  *    parquet reader prunes on, every cell bit-replayed
   */
 object SparkEntry {
 

@@ -2920,6 +2920,18 @@ object ExtensionQueries {
         .select(col("tok_id").as("q_tok"), col("tvec"))
       Similarity.maxSimTopK(toks.filter(col("vec_id") =!= 0), q,
           "vec_id", "q_tok", "tvec", k = 20)
+    }),
+
+    // Z-order (Morton) layout quality over (user_id, floor(value)):
+    // 64 contiguous z-range buckets — one per would-be output file —
+    // each reporting the per-dimension min/max a parquet reader prunes
+    // on. The interleave is pure integer shift/mask column arithmetic
+    // (min/max scalars on a broadcast), replayed bit-for-bit in SQL.
+    "x149_zorder_layout" -> ((s, dir) => {
+      val ev = t(s, dir, "events").select(col("user_id"),
+        floor(col("value")).cast("long").as("val_i"))
+      graft.ops.Layout.zBucketStats(ev, "user_id", "val_i", bucketBits = 6)
+        .orderBy(col("bucket"))
     }))
 
   /** Planted separable classification fixture for x88/x90: each doc
@@ -6658,6 +6670,36 @@ object ExtensionQueries {
         |  FROM sc GROUP BY vec_id)
         |SELECT vec_id, maxsim FROM agg
         |ORDER BY maxsim DESC, vec_id LIMIT 20""".stripMargin,
+
+    // Z-order replay: the magic-mask spread chain unrolled per
+    // dimension, exact integer normalization, bucket = top 6 bits
+    "x149_zorder_layout" ->
+      """WITH e AS (
+        |  SELECT CAST(user_id AS BIGINT) AS a,
+        |    CAST(floor(value) AS BIGINT) AS b
+        |  FROM events),
+        |bo AS (SELECT min(a) AS mna, max(a) AS mxa,
+        |    min(b) AS mnb, max(b) AS mxb FROM e),
+        |n0 AS (SELECT a, b,
+        |    (CASE WHEN mxa = mna THEN 0
+        |      ELSE (a - mna) * 65535 // (mxa - mna) END) & 65535 AS x1,
+        |    (CASE WHEN mxb = mnb THEN 0
+        |      ELSE (b - mnb) * 65535 // (mxb - mnb) END) & 65535 AS y1
+        |  FROM e, bo),
+        |s1 AS (SELECT a, b, (x1 | (x1 << 8)) & 16711935 AS x2,
+        |    (y1 | (y1 << 8)) & 16711935 AS y2 FROM n0),
+        |s2 AS (SELECT a, b, (x2 | (x2 << 4)) & 252645135 AS x3,
+        |    (y2 | (y2 << 4)) & 252645135 AS y3 FROM s1),
+        |s3 AS (SELECT a, b, (x3 | (x3 << 2)) & 858993459 AS x4,
+        |    (y3 | (y3 << 2)) & 858993459 AS y4 FROM s2),
+        |s4 AS (SELECT a, b, (x4 | (x4 << 1)) & 1431655765 AS x5,
+        |    (y4 | (y4 << 1)) & 1431655765 AS y5 FROM s3),
+        |z AS (SELECT a, b, (x5 | (y5 << 1)) >> 26 AS bucket FROM s4)
+        |SELECT bucket, CAST(count(*) AS BIGINT) AS n,
+        |  min(a) AS min_a, max(a) AS max_a,
+        |  min(b) AS min_b, max(b) AS max_b
+        |FROM z GROUP BY bucket
+        |ORDER BY bucket""".stripMargin,
 
     "x09_knn_bruteforce" ->
       """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qvec FROM embeddings WHERE vec_id = 0),

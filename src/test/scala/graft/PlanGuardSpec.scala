@@ -449,4 +449,46 @@ class PlanGuardSpec extends SparkSpec {
         }
       }
   }
+
+  test("bleuScore: scoring is map-only (one native pass, zero exchanges)") {
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text").as("cand"), col("text").as("ref"))
+    val plan = graft.ops.TextAnalysis.bleuScore(docs, "cand", "ref")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"BLEU must not shuffle (the per-order explode formulation would):\n${plan.take(800)}")
+  }
+
+  test("x148: MaxSim corpus side never shuffles for scoring (broadcast loop)") {
+    val df = graft.queries.ExtensionQueries
+      .queries("x148_maxsim_rerank")(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"query tokens must ride a broadcast nested loop:\n${plan.take(800)}")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"),
+      "scoring must not plan a corpus-side shuffle join")
+  }
+
+  test("x142: edit-distance candidates equi-join on the variant key (no cartesian)") {
+    val df = graft.queries.ExtensionQueries
+      .queries("x142_edit_distance")(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"deletion-neighborhood blocking must plan an equi-join:\n${plan.take(800)}")
+  }
+
+  test("x145: moment means ride broadcasts; no shuffle join on the cell frame") {
+    val df = graft.queries.ExtensionQueries
+      .queries("x145_embedding_moments")(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"mean frames must broadcast into the cell join:\n${plan.take(800)}")
+    assert(!plan.contains("SortMergeJoin"),
+      "d-sized mean frames must never shuffle-join")
+  }
 }
