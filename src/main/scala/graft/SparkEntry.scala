@@ -15,7 +15,7 @@ import graft.queries.{ExtensionQueries, ParityQueries}
   * portable trainer whose centroids replay value-exactly cross-engine.
   * Full operator -> query -> check map: /root/repo/COVERAGE.md.
   *
-  * Inventory (200 queries, all oracle-checked):
+  * Inventory (201 queries, all oracle-checked):
   *  - q01-q16: scans, filters, CASE chains, datetime, windows (running/
   *    lag/30-day range), grouped stats + broadcast join, anti-join
   *    referential integrity, top-k, dup/null/range/quality checks, upsert,
@@ -156,6 +156,9 @@ import graft.queries.{ExtensionQueries, ParityQueries}
   *    equivalent: integer shift/mask interleave key + range-partitioned
   *    clustered write + the per-z-range min/max rectangle readout a
   *    parquet reader prunes on, every cell bit-replayed
+  *  - x150: graded NDCG@10 + MRR retrieval-quality eval (truncated-
+  *    graded gains over the exact top-k pool; discount literals burned
+  *    identically into both plans, decimal-exact per-query sums)
   */
 object SparkEntry {
 

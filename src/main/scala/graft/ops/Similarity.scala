@@ -568,6 +568,71 @@ object Similarity {
         col("n_exact").cast("double"), 6))
   }
 
+  /** Graded NDCG@k + MRR of an approximate retrieval against an exact
+    * ranking — the rank-QUALITY readout [[recallAtK]] can't give:
+    * recall counts set overlap, NDCG weighs WHERE the good results
+    * landed (a hit at rank 1 vs rank 10 is the difference users and
+    * re-rankers feel). `rel` is the judged pool — the exact top-k with
+    * a graded relevance column (cosine here); approx results outside it
+    * gain 0 (the standard truncated-graded convention: only judged
+    * documents carry gain). Gains map relevance from [−1, 1] to [0, 1]
+    * via (r+1)/2; DCG = Σ gain/log2(rank+1) over the approx ranking,
+    * IDCG over the ideal (relevance-sorted) one, MRR = 1/first judged
+    * hit's rank.
+    *
+    * Determinism contract: per-rank terms round 6dp (discount literals
+    * are JVM doubles burned into BOTH plans — the oracle embeds the
+    * identical shortest-repr literals), per-query sums ride
+    * DECIMAL(38,18) (the [[embeddingMoments]] convention), ranks break
+    * ties on the id. Scale shape: both inputs are top-k-per-query
+    * frames (queries × k rows — tiny by construction, the [[recallAtK]]
+    * altitude); the ranking windows partition on the query id over
+    * k-bounded groups. */
+  def ndcgAtK(approx: DataFrame, rel: DataFrame, qidCol: String,
+      idCol: String, scoreCol: String, relCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dec = org.apache.spark.sql.types.DecimalType(38, 18)
+    val dArr = array(ndcgDiscounts(k).map(lit): _*)
+    val wA = Window.partitionBy(col(qidCol))
+      .orderBy(col("__s").desc, col(idCol))
+    val apRanked = approx
+      .select(col(qidCol), col(idCol), col(scoreCol).as("__s"))
+      .withColumn("__rn", row_number().over(wA))
+      .filter(col("__rn") <= k)
+    val gains = apRanked
+      .join(rel.select(col(qidCol), col(idCol), col(relCol).as("__r")),
+        Seq(qidCol, idCol), "left")
+      .withColumn("__g",
+        when(col("__r").isNotNull, (col("__r") + 1.0) / 2.0)
+          .otherwise(lit(0.0)))
+      .withColumn("__t",
+        round(col("__g") / element_at(dArr, col("__rn")), 6))
+    val dcgF = gains.groupBy(col(qidCol))
+      .agg(round(sum(col("__t").cast(dec)).cast("double"), 6).as("dcg"),
+        min(when(col("__r").isNotNull, col("__rn"))).as("__hit"))
+    val wI = Window.partitionBy(col(qidCol))
+      .orderBy(col("__r").desc, col(idCol))
+    val idcgF = rel
+      .select(col(qidCol), col(idCol), col(relCol).as("__r"))
+      .withColumn("__rn", row_number().over(wI))
+      .filter(col("__rn") <= k)
+      .withColumn("__t",
+        round(((col("__r") + 1.0) / 2.0) / element_at(dArr, col("__rn")), 6))
+      .groupBy(col(qidCol))
+      .agg(round(sum(col("__t").cast(dec)).cast("double"), 6).as("idcg"))
+    dcgF.join(idcgF, Seq(qidCol))
+      .select(col(qidCol), col("dcg"), col("idcg"),
+        round(when(col("idcg") === 0.0, 0.0)
+          .otherwise(col("dcg") / col("idcg")), 6).as("ndcg"),
+        round(when(col("__hit").isNull, 0.0)
+          .otherwise(lit(1.0) / col("__hit")), 6).as("mrr"))
+  }
+
+  /** log2(rank+1) discount ladder — exposed so oracle SQL can embed the
+    * IDENTICAL shortest-repr double literals the plan uses. */
+  def ndcgDiscounts(k: Int): Seq[Double] =
+    (1 to k).map(i => math.log(i + 1.0) / math.log(2.0))
+
   /** Reciprocal Rank Fusion — the standard hybrid-retrieval combiner
     * (Cormack et al., SIGIR'09; what "hybrid search" ships as): given
     * several per-query rankings of the same document space (BM25,

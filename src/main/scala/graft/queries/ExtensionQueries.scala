@@ -2932,6 +2932,27 @@ object ExtensionQueries {
         floor(col("value")).cast("long").as("val_i"))
       graft.ops.Layout.zBucketStats(ev, "user_id", "val_i", bucketBits = 6)
         .orderBy(col("bucket"))
+    }),
+
+    // Graded NDCG@10 + MRR of JL-projected retrieval vs the exact
+    // ranking — the rank-quality readout recall@k (x84) can't give:
+    // where the good results LANDED, not just whether they showed up.
+    // Judged pool = exact top-10 with cosine relevance; discounts are
+    // the identical JVM double literals in both plans.
+    "x150_ndcg_eval" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+      val exact = Similarity.bruteForceKnnBatch(emb, q,
+        "vec_id", "embedding", "query_id", 10)
+      val projCorpus = Similarity.projectRandom(emb, "embedding", 64, 16)
+      val projQ = Similarity.projectRandom(q, "qvec", 64, 16)
+        .select(col("query_id"), col("projected").as("qvec"))
+      val approx = Similarity.bruteForceKnnBatch(projCorpus, projQ,
+        "vec_id", "projected", "query_id", 10)
+      Similarity.ndcgAtK(approx, exact, "query_id", "vec_id",
+          "cosine_sim", "cosine_sim", 10)
+        .orderBy(col("query_id"))
     }))
 
   /** Planted separable classification fixture for x88/x90: each doc
@@ -6670,6 +6691,74 @@ object ExtensionQueries {
         |  FROM sc GROUP BY vec_id)
         |SELECT vec_id, maxsim FROM agg
         |ORDER BY maxsim DESC, vec_id LIMIT 20""".stripMargin,
+
+    // NDCG replay: x84's projection/ranking CTEs, truncated-graded
+    // gains, per-rank 6dp terms over the SAME discount literals the
+    // plan burns in, decimal-exact per-query sums
+    "x150_ndcg_eval" -> {
+      val discountCase = graft.ops.Similarity.ndcgDiscounts(10)
+        .zipWithIndex.map { case (d, i) => s"WHEN ${i + 1} THEN $d" }
+        .mkString("CASE rn ", " ", " END")
+      val discountCaseA = discountCase.replace("CASE rn", "CASE a.rn")
+      s"""WITH base AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, v AS qv FROM base
+        |  WHERE vec_id < 5),
+        |exact AS (
+        |  SELECT query_id, vec_id, cs AS rel, rn FROM (
+        |    SELECT q.query_id, e.vec_id,
+        |      ROUND(list_cosine_similarity(e.v, q.qv), 6) AS cs,
+        |      row_number() OVER (PARTITION BY q.query_id
+        |        ORDER BY ROUND(list_cosine_similarity(e.v, q.qv), 6)
+        |          DESC, e.vec_id) AS rn
+        |    FROM base e CROSS JOIN q)
+        |  WHERE rn <= 10),
+        |proj AS (
+        |  SELECT vec_id, list_transform(range(0, 16), d ->
+        |    ROUND(list_sum(list_transform(range(0, 64), i ->
+        |      v[i + 1] * (CASE WHEN CAST(('0x' || substring(
+        |          md5('rp_' || CAST(i AS VARCHAR) || '_'
+        |            || CAST(d AS VARCHAR)), 1, 1)) AS INTEGER) % 2 = 0
+        |        THEN 1.0 ELSE -1.0 END))) / sqrt(16.0), 6)) AS pv
+        |  FROM base),
+        |pq AS (
+        |  SELECT p.vec_id AS query_id, p.pv AS qpv
+        |  FROM proj p WHERE p.vec_id < 5),
+        |approx AS (
+        |  SELECT query_id, vec_id, rn FROM (
+        |    SELECT pq.query_id, p.vec_id, row_number() OVER (
+        |        PARTITION BY pq.query_id
+        |        ORDER BY ROUND(list_cosine_similarity(p.pv, pq.qpv), 6)
+        |          DESC, p.vec_id) AS rn
+        |    FROM proj p CROSS JOIN pq)
+        |  WHERE rn <= 10),
+        |ap AS (
+        |  SELECT a.query_id, a.rn, e.rel IS NOT NULL AS hit,
+        |    ROUND((CASE WHEN e.rel IS NOT NULL THEN (e.rel + 1.0) / 2.0
+        |      ELSE 0.0 END) / ($discountCaseA), 6) AS t
+        |  FROM approx a LEFT JOIN exact e
+        |    ON e.query_id = a.query_id AND e.vec_id = a.vec_id),
+        |dcg AS (
+        |  SELECT query_id,
+        |    ROUND(CAST(sum(CAST(t AS DECIMAL(38,18))) AS DOUBLE), 6) AS dcg,
+        |    min(CASE WHEN hit THEN rn END) AS hitrn
+        |  FROM ap GROUP BY 1),
+        |idt AS (
+        |  SELECT query_id,
+        |    ROUND(((rel + 1.0) / 2.0) / ($discountCase), 6) AS t
+        |  FROM exact),
+        |idcg AS (
+        |  SELECT query_id,
+        |    ROUND(CAST(sum(CAST(t AS DECIMAL(38,18))) AS DOUBLE), 6) AS idcg
+        |  FROM idt GROUP BY 1)
+        |SELECT d.query_id, d.dcg, i.idcg,
+        |  ROUND(CASE WHEN i.idcg = 0 THEN 0.0 ELSE d.dcg / i.idcg END, 6)
+        |    AS ndcg,
+        |  ROUND(CASE WHEN d.hitrn IS NULL THEN 0.0
+        |    ELSE 1.0 / d.hitrn END, 6) AS mrr
+        |FROM dcg d JOIN idcg i USING (query_id)
+        |ORDER BY query_id""".stripMargin
+    },
 
     // Z-order replay: the magic-mask spread chain unrolled per
     // dimension, exact integer normalization, bucket = top 6 bits

@@ -137,6 +137,23 @@ class TextEvalSpec extends SparkSpec {
     assert(out.toSeq === Seq((1L, 2.0), (2L, 1.0)))
   }
 
+  // ---- NDCG ----
+
+  test("ndcgAtK: perfect ranking scores 1; unjudged leader costs rank and MRR") {
+    val rel = Seq((1L, 10L, 1.0), (1L, 11L, 0.5)).toDF("qid", "id", "rel")
+    val perfect = Seq((1L, 10L, 0.9), (1L, 11L, 0.8)).toDF("qid", "id", "s")
+    val p = Similarity.ndcgAtK(perfect, rel, "qid", "id", "s", "rel", 2)
+      .collect().head
+    assert(p.getDouble(3) === 1.0) // ndcg
+    assert(p.getDouble(4) === 1.0) // mrr
+    // an unjudged doc wins rank 1, best judged doc lands rank 2
+    val degraded = Seq((1L, 99L, 0.95), (1L, 10L, 0.9)).toDF("qid", "id", "s")
+    val d = Similarity.ndcgAtK(degraded, rel, "qid", "id", "s", "rel", 2)
+      .collect().head
+    assert(d.getDouble(3) > 0 && d.getDouble(3) < 1.0)
+    assert(d.getDouble(4) === 0.5) // first judged hit at rank 2
+  }
+
   // ---- embedding moments ----
 
   test("embeddingMoments: means and sample covariance of a 2-d fixture") {
