@@ -15,7 +15,7 @@ import graft.queries.{ExtensionQueries, ParityQueries}
   * portable trainer whose centroids replay value-exactly cross-engine.
   * Full operator -> query -> check map: /root/repo/COVERAGE.md.
   *
-  * Inventory (201 queries, all oracle-checked):
+  * Inventory (202 queries, all oracle-checked):
   *  - q01-q16: scans, filters, CASE chains, datetime, windows (running/
   *    lag/30-day range), grouped stats + broadcast join, anti-join
   *    referential integrity, top-k, dup/null/range/quality checks, upsert,
@@ -159,6 +159,11 @@ import graft.queries.{ExtensionQueries, ParityQueries}
   *  - x150: graded NDCG@10 + MRR retrieval-quality eval (truncated-
   *    graded gains over the exact top-k pool; discount literals burned
   *    identically into both plans, decimal-exact per-query sums)
+  *  - x151: Fellegi-Sunter record linkage (exact blocking join +
+  *    per-field exact/edit-distance agreement + fixed-order weight sum
+  *    + match/possible/drop tiers — customer entity resolution, the
+  *    probe side explicitly block-partitioned because per-pair compute
+  *    dwarfs byte volume)
   */
 object SparkEntry {
 

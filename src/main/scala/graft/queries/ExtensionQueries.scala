@@ -2953,6 +2953,34 @@ object ExtensionQueries {
       Similarity.ndcgAtK(approx, exact, "query_id", "vec_id",
           "cosine_sim", "cosine_sim", 10)
         .orderBy(col("query_id"))
+    }),
+
+    // Fellegi-Sunter record linkage: customers vs a corrupted copy
+    // (every 3rd customer; one name char deleted, every 6th segment
+    // corrupted, every 9th nation shifted). Blocking on the name's last
+    // two chars keeps candidates block-sized; the weight sum lands
+    // exactly on the match boundary (4.0) for segment-corrupted pairs
+    // and in the review tier (3.5) for nation-shifted ones.
+    "x151_record_linkage" -> ((s, dir) => {
+      val cust = t(s, dir, "customer")
+      val aSide = cust.select(col("c_custkey").as("cid"),
+        substring(col("c_name"), -2, 2).as("blk"),
+        col("c_name"), col("c_nationkey"), col("c_mktsegment"))
+      val bSide = cust.filter(col("c_custkey") % 3 === 0).select(
+        (col("c_custkey") + 1000000L).as("cid"),
+        substring(col("c_name"), -2, 2).as("blk"),
+        concat(substring(col("c_name"), 1, 9),
+          substring(col("c_name"), 11, 100)).as("c_name"),
+        when(col("c_custkey") % 9 === 0, col("c_nationkey") + 1)
+          .otherwise(col("c_nationkey")).as("c_nationkey"),
+        when(col("c_custkey") % 6 === 0, lit("CORRUPTED"))
+          .otherwise(col("c_mktsegment")).as("c_mktsegment"))
+      Dedup.linkRecords(aSide, bSide, "cid", "blk",
+          Seq(Dedup.LinkField("c_name", 3.0, -2.0, maxDist = 1),
+            Dedup.LinkField("c_nationkey", 1.5, -1.0),
+            Dedup.LinkField("c_mktsegment", 1.5, -0.5)),
+          upper = 4.0, lower = 2.0)
+        .orderBy(col("id_a"), col("id_b"))
     }))
 
   /** Planted separable classification fixture for x88/x90: each doc
@@ -6759,6 +6787,40 @@ object ExtensionQueries {
         |FROM dcg d JOIN idcg i USING (query_id)
         |ORDER BY query_id""".stripMargin
     },
+
+    // Record-linkage replay: same blocking join, agreement predicates,
+    // and fixed-order weight sum
+    "x151_record_linkage" ->
+      """WITH a AS (
+        |  SELECT c_custkey AS id_a, substr(c_name, -2, 2) AS blk,
+        |    c_name AS name_a, c_nationkey AS nat_a, c_mktsegment AS seg_a
+        |  FROM customer),
+        |b AS (
+        |  SELECT c_custkey + 1000000 AS id_b, substr(c_name, -2, 2) AS blk,
+        |    substr(c_name, 1, 9) || substr(c_name, 11) AS name_b,
+        |    CASE WHEN c_custkey % 9 = 0 THEN c_nationkey + 1
+        |      ELSE c_nationkey END AS nat_b,
+        |    CASE WHEN c_custkey % 6 = 0 THEN 'CORRUPTED'
+        |      ELSE c_mktsegment END AS seg_b
+        |  FROM customer WHERE c_custkey % 3 = 0),
+        |p AS (
+        |  SELECT id_a, id_b,
+        |    levenshtein(name_a, name_b) <= 1 AS agree_c_name,
+        |    nat_a = nat_b AS agree_c_nationkey,
+        |    seg_a = seg_b AS agree_c_mktsegment
+        |  FROM a JOIN b USING (blk)),
+        |sc AS (
+        |  SELECT *, ROUND((CASE WHEN agree_c_name THEN 3.0 ELSE -2.0 END)
+        |    + (CASE WHEN agree_c_nationkey THEN 1.5 ELSE -1.0 END)
+        |    + (CASE WHEN agree_c_mktsegment THEN 1.5 ELSE -0.5 END), 6)
+        |    AS score
+        |  FROM p)
+        |SELECT id_a, id_b, agree_c_name, agree_c_nationkey,
+        |  agree_c_mktsegment, score,
+        |  CASE WHEN score >= 4.0 THEN 'match'
+        |    WHEN score >= 2.0 THEN 'possible' END AS tier
+        |FROM sc WHERE score >= 2.0
+        |ORDER BY id_a, id_b""".stripMargin,
 
     // Z-order replay: the magic-mask spread chain unrolled per
     // dimension, exact integer normalization, bucket = top 6 bits

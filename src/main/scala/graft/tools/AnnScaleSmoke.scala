@@ -270,6 +270,22 @@ object AnnScaleSmoke {
     val identity = mined
       .filter(col("tgt_id") === col("src_id") + 10000000L).count()
     println(s"[ann-scale] bitext mined=$minedN identity=$identity/$sideN")
+    // r11 s5: ColBERT MaxSim over token-level vectors — each corpus
+    // vector reshaped to 4 token-vectors x 8 dims (4n token rows), one
+    // 4-token query on a broadcast. The corpus token scan never
+    // shuffles for scoring; the doc-keyed aggregates are the only
+    // exchanges — the shape that holds when n is the whole lake.
+    val docToks = corpus.select(col("vec_id"),
+      explode(transform(sequence(lit(0), lit(3)),
+        kk => slice(col("embedding"), kk * 8 + 1, lit(8)))).as("tvec"))
+    val qToks = corpus.filter(col("vec_id") === 7)
+      .select(posexplode(transform(sequence(lit(0), lit(3)),
+        kk => slice(col("embedding"), kk * 8 + 1, lit(8))))
+        .as(Seq("q_tok", "tvec")))
+    val msN = time(s"MaxSim top-10 (${n * 4} token rows, 4-tok query)")(
+      Similarity.maxSimTopK(docToks, qToks, "vec_id", "q_tok", "tvec",
+        k = 10).count())
+    println(s"[ann-scale] maxsim rows=$msN")
     spark.stop()
   }
 }

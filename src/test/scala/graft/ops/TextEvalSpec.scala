@@ -82,6 +82,14 @@ class TextEvalSpec extends SparkSpec {
     assert(!got.exists(p => p._1 == 6L || p._2 == 6L))
   }
 
+  test("editDistancePairs: empty strings pair with each other and 1-char strings") {
+    val rows = Seq(1L -> "", 2L -> "", 3L -> "a", 4L -> "ab")
+    val got = Dedup.editDistancePairs(rows.toDF("id", "s"), "id", "s", 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got === naivePairs(rows, 1))
+    assert(got.contains((1L, 2L, 0)) && got.contains((1L, 3L, 1)))
+  }
+
   test("editDistancePairs: recall-complete vs naive on random strings (k=2)") {
     val rnd = new scala.util.Random(7)
     val rows = (0 until 60).map(i =>
@@ -135,6 +143,28 @@ class TextEvalSpec extends SparkSpec {
     // doc 1: qt0 max cos = 1 (token (1,0)), qt1 max cos = 1 -> 2.0
     // doc 2: qt0 max = 1, qt1 max = 0 -> 1.0; ranked doc1 > doc2
     assert(out.toSeq === Seq((1L, 2.0), (2L, 1.0)))
+  }
+
+  // ---- record linkage ----
+
+  test("linkRecords: fuzzy agreement, boundary match, review tier, drops") {
+    val a = Seq((1L, "b1", "alice", 7, "GOLD"),
+      (2L, "b1", "bob", 7, "SILVER")).toDF("id", "blk", "name", "nat", "seg")
+    val b = Seq(
+      (10L, "b1", "alicx", 7, "GOLD"),   // fuzzy name + all agree: 6.0
+      (11L, "b1", "alize", 7, "BRONZE"), // seg disagrees: exactly 4.0
+      (13L, "b1", "alice", 9, "GOLD"),   // nat disagrees: 3.5 possible
+      (12L, "b1", "carol", 7, "GOLD")    // name disagrees: 1.0 dropped
+    ).toDF("id", "blk", "name", "nat", "seg")
+    val got = Dedup.linkRecords(a, b, "id", "blk",
+        Seq(Dedup.LinkField("name", 3.0, -2.0, maxDist = 1),
+          Dedup.LinkField("nat", 1.5, -1.0),
+          Dedup.LinkField("seg", 1.5, -0.5)),
+        upper = 4.0, lower = 2.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getDouble(5), r.getString(6))).toSet
+    assert(got === Set((1L, 10L, 6.0, "match"), (1L, 11L, 4.0, "match"),
+      (1L, 13L, 3.5, "possible")))
   }
 
   // ---- NDCG ----
