@@ -15,7 +15,7 @@ import graft.queries.{ExtensionQueries, ParityQueries}
   * portable trainer whose centroids replay value-exactly cross-engine.
   * Full operator -> query -> check map: /root/repo/COVERAGE.md.
   *
-  * Inventory (202 queries, all oracle-checked):
+  * Inventory (204 queries, all oracle-checked):
   *  - q01-q16: scans, filters, CASE chains, datetime, windows (running/
   *    lag/30-day range), grouped stats + broadcast join, anti-join
   *    referential integrity, top-k, dup/null/range/quality checks, upsert,
@@ -164,6 +164,12 @@ import graft.queries.{ExtensionQueries, ParityQueries}
   *    + match/possible/drop tiers — customer entity resolution, the
   *    probe side explicitly block-partitioned because per-pair compute
   *    dwarfs byte volume)
+  *  - x152-x153: streamed exact dedup (dropDuplicatesWithinWatermark
+  *    over an at-least-once redelivery feed — the deduped sink equals
+  *    the original table exactly, completing the driver-visible
+  *    streaming family), and Benford's-law leading-digit profiling
+  *    (the fabricated-amounts forensic screen: decimal-string digit
+  *    extraction, JVM expectation literals, per-digit chi-square)
   */
 object SparkEntry {
 

@@ -1161,7 +1161,10 @@ object TextAnalysis {
       .select(col("g")("0").as("w1"), col("g")("1").as("w2"))
       .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("__c12"))
       .persist()
-    bg.count()
+    // a bigram-less model would put T = V = 0 and every continuation at
+    // k/0 = Infinity — fail at the cause, not with -Infinity NLLs
+    require(bg.count() > 0,
+      "model corpus contains no bigrams (every doc has < 2 tokens)")
     // context count + distinct-follower count in ONE regroup (bg is
     // already one row per distinct (w1,w2), so the follower count is a
     // plain count, no count-distinct)

@@ -171,4 +171,52 @@ object DataQuality {
           round(avg(col(c)), 6).as(s"${c}_avg")))
     df.agg(aggs.head, aggs.tail: _*)
   }
+
+  /** Benford's-law expected leading-digit probabilities log10(1 + 1/d),
+    * d = 1..9 — exposed as JVM doubles so oracle SQL embeds the
+    * IDENTICAL shortest-repr literals (the
+    * [[graft.ops.Similarity.ndcgDiscounts]] convention). */
+  def benfordExpected: Seq[Double] =
+    (1 to 9).map(d => math.log10(1.0 + 1.0 / d))
+
+  /** Benford's-law leading-digit profile of an amount column — the
+    * classic fabricated-numbers screen (naturally occurring amounts
+    * spanning magnitudes follow log10(1 + 1/d); invented or capped
+    * figures don't): per digit 1..9, the observed count/fraction, the
+    * Benford expectation, and the chi-square contribution
+    * (obs − n·p)²/(n·p) — rank digits by it to see WHERE a ledger
+    * deviates. Rows whose amount has no nonzero digit (exact zeros,
+    * nulls) are excluded from n, and all nine digit rows are always
+    * emitted (a digit NOBODY uses is the loudest signal).
+    *
+    * Determinism contract: the leading digit comes from the
+    * DECIMAL(18,2) string form (engine-stable formatting, unlike raw
+    * double repr), expectations are fixed JVM literals, and the
+    * chi-square arithmetic is a fixed-order double expression — every
+    * cell replays cross-engine. Scale shape: one map-only digit
+    * extraction into ONE 9-group aggregate (map-side partials), the
+    * scalar total on a broadcast. */
+  def benfordProfile(df: DataFrame, valueCol: String): DataFrame = {
+    val lead = regexp_extract(
+      col(valueCol).cast("decimal(18,2)").cast("string"), "[1-9]", 0)
+    val digits = df.select(lead.as("__ld"))
+      .filter(col("__ld") =!= "")
+      .select(col("__ld").cast("int").as("digit"))
+    val counts = digits.groupBy(col("digit")).agg(count(lit(1)).as("n_obs"))
+    val total = digits.agg(count(lit(1)).as("__n"))
+    val expected = df.sparkSession.range(1, 10)
+      .select(col("id").cast("int").as("digit"),
+        element_at(array(benfordExpected.map(lit): _*),
+          col("id").cast("int")).as("__p"))
+    val nD = col("__n").cast("double")
+    val obsD = col("n_obs").cast("double")
+    val e = nD * col("__p")
+    expected.join(counts, Seq("digit"), "left")
+      .na.fill(0L, Seq("n_obs"))
+      .crossJoin(broadcast(total))
+      .select(col("digit"), col("n_obs"),
+        round(obsD / nD, 6).as("obs_frac"),
+        round(col("__p"), 6).as("exp_frac"),
+        round((obsD - e) * (obsD - e) / e, 6).as("chi2_term"))
+  }
 }

@@ -2981,6 +2981,66 @@ object ExtensionQueries {
             Dedup.LinkField("c_mktsegment", 1.5, -0.5)),
           upper = 4.0, lower = 2.0)
         .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // Streamed exact dedup (dropDuplicatesWithinWatermark — the
+    // ingestion-side at-least-once guard): every 5th event is fed TWICE
+    // (same id and content, the redelivery shape); the streamed sink
+    // must equal the original table exactly — first occurrences emit
+    // immediately, state evicts behind the watermark. Completes the
+    // driver-visible streaming family: sinks (x128/x129), windowed agg
+    // (x144), custom state (x146), stream-stream join (x147), dedup.
+    "x152_stream_dedup" -> ((s, dir) => {
+      val root = ParityQueries.tmpPath("graft_sdedup", dir)
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+      val ev = t(s, dir, "events").select(col("event_id"),
+        col("ts").cast("timestamp").as("ts"), col("user_id"),
+        col("event_type"), col("value"))
+      val withDups = ev.union(ev.filter(col("event_id") % 5 === 0))
+      val b = ev.agg(min(col("ts")).as("mn")).head()
+      def ms(a: Any): Long = a match {
+        case t: java.sql.Timestamp => t.getTime
+        case i: java.time.Instant => i.toEpochMilli
+        case l: java.time.LocalDateTime =>
+          l.toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+      }
+      def tsLit(m: Long): org.apache.spark.sql.Column = lit(b.get(0) match {
+        case _: java.time.LocalDateTime => java.time.LocalDateTime.ofInstant(
+          java.time.Instant.ofEpochMilli(m), java.time.ZoneOffset.UTC)
+        case _: java.time.Instant => java.time.Instant.ofEpochMilli(m)
+        case _ => new java.sql.Timestamp(m)
+      })
+      val mn = ms(b.get(0))
+      val (t1, t2) = (tsLit(mn + 10L * 86400 * 1000),
+        tsLit(mn + 20L * 86400 * 1000))
+      withDups.filter(col("ts") < t1).coalesce(1)
+        .write.mode("append").parquet(s"$root/in")
+      withDups.filter(col("ts") >= t1 && col("ts") < t2).coalesce(1)
+        .write.mode("append").parquet(s"$root/in")
+      withDups.filter(col("ts") >= t2).coalesce(1)
+        .write.mode("append").parquet(s"$root/in")
+      import s.implicits._
+      val feed = s.readStream.schema(withDups.schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$root/in")
+        .as[graft.streaming.EventStreams.Event]
+      val deduped = graft.streaming.EventStreams.dedupStream(feed,
+        "10 minutes")(s)
+      val sq = graft.streaming.EventStreams.startParquetSink(deduped.toDF(),
+        s"$root/out", s"$root/ckpt")
+      try sq.processAllAvailable() finally sq.stop()
+      s.read.parquet(s"$root/out")
+        .select(col("event_id"), col("ts").cast("timestamp_ntz").as("ts"),
+          col("user_id"), col("event_type"), col("value"))
+        .orderBy(col("event_id"))
+    }),
+
+    // Benford's-law leading-digit profile of event amounts — the
+    // fabricated-numbers screen, banking's classic forensic QA; all
+    // nine digit rows emitted with observed vs expected fractions and
+    // per-digit chi-square contributions
+    "x153_benford_profile" -> ((s, dir) => {
+      graft.quality.DataQuality.benfordProfile(t(s, dir, "events"), "value")
+        .orderBy(col("digit"))
     }))
 
   /** Planted separable classification fixture for x88/x90: each doc
@@ -6786,6 +6846,41 @@ object ExtensionQueries {
         |    ELSE 1.0 / d.hitrn END, 6) AS mrr
         |FROM dcg d JOIN idcg i USING (query_id)
         |ORDER BY query_id""".stripMargin
+    },
+
+    // Streamed dedup replay: redelivered duplicates carry identical
+    // content, so the deduped stream IS the original table
+    "x152_stream_dedup" ->
+      """SELECT event_id, ts, user_id, event_type, value
+        |FROM events
+        |ORDER BY event_id""".stripMargin,
+
+    // Benford replay: decimal-string leading digit, JVM expectation
+    // literals, fixed-order chi-square arithmetic
+    "x153_benford_profile" -> {
+      val expCase = graft.quality.DataQuality.benfordExpected
+        .zipWithIndex.map { case (p, i) => s"WHEN ${i + 1} THEN $p" }
+        .mkString("CASE d.digit ", " ", " END")
+      s"""WITH lead AS (
+        |  SELECT CAST(regexp_extract(
+        |      CAST(CAST(value AS DECIMAL(18,2)) AS VARCHAR),
+        |      '[1-9]', 0) AS INT) AS digit
+        |  FROM events
+        |  WHERE regexp_extract(
+        |    CAST(CAST(value AS DECIMAL(18,2)) AS VARCHAR), '[1-9]', 0)
+        |    <> ''),
+        |c AS (SELECT digit, count(*) AS n_obs FROM lead GROUP BY digit),
+        |tot AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM lead),
+        |d AS (SELECT unnest(range(1, 10)) AS digit)
+        |SELECT CAST(d.digit AS INT) AS digit,
+        |  coalesce(c.n_obs, 0) AS n_obs,
+        |  ROUND(CAST(coalesce(c.n_obs, 0) AS DOUBLE) / tot.n, 6) AS obs_frac,
+        |  ROUND(($expCase), 6) AS exp_frac,
+        |  ROUND((CAST(coalesce(c.n_obs, 0) AS DOUBLE) - tot.n * ($expCase))
+        |    * (CAST(coalesce(c.n_obs, 0) AS DOUBLE) - tot.n * ($expCase))
+        |    / (tot.n * ($expCase)), 6) AS chi2_term
+        |FROM d LEFT JOIN c ON c.digit = d.digit, tot
+        |ORDER BY digit""".stripMargin
     },
 
     // Record-linkage replay: same blocking join, agreement predicates,

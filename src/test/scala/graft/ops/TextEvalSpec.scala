@@ -145,6 +145,23 @@ class TextEvalSpec extends SparkSpec {
     assert(out.toSeq === Seq((1L, 2.0), (2L, 1.0)))
   }
 
+  // ---- Benford profile ----
+
+  test("benfordProfile: nine rows always, zeros excluded, spike dominates chi2") {
+    val df = ((1 to 90).map(_ => 9.5) ++ (1 to 10).map(_ => 1.25) ++
+      Seq(0.0)).toDF("v")
+    val out = graft.quality.DataQuality.benfordProfile(df, "v")
+      .orderBy("digit").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getDouble(4)))
+    assert(out.length === 9)
+    val byDigit = out.map(t => t._1 -> t).toMap
+    assert(byDigit(1)._2 === 10L && byDigit(1)._3 === 0.1) // n=100: zero excluded
+    assert(byDigit(9)._2 === 90L && byDigit(9)._3 === 0.9)
+    (2 to 8).foreach(d => assert(byDigit(d)._2 === 0L))
+    assert(byDigit(9)._4 > byDigit(1)._4) // the spike digit dominates chi2
+    assert(byDigit(2)._4 > 0)             // an unused digit still contributes
+  }
+
   // ---- record linkage ----
 
   test("linkRecords: fuzzy agreement, boundary match, review tier, drops") {
