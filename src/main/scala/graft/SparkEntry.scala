@@ -15,7 +15,7 @@ import graft.queries.{ExtensionQueries, ParityQueries}
   * portable trainer whose centroids replay value-exactly cross-engine.
   * Full operator -> query -> check map: /root/repo/COVERAGE.md.
   *
-  * Inventory (204 queries, all oracle-checked):
+  * Inventory (206 queries, all oracle-checked):
   *  - q01-q16: scans, filters, CASE chains, datetime, windows (running/
   *    lag/30-day range), grouped stats + broadcast join, anti-join
   *    referential integrity, top-k, dup/null/range/quality checks, upsert,
@@ -170,6 +170,11 @@ import graft.queries.{ExtensionQueries, ParityQueries}
   *    streaming family), and Benford's-law leading-digit profiling
   *    (the fabricated-amounts forensic screen: decimal-string digit
   *    extraction, JVM expectation literals, per-digit chi-square)
+  *  - x154-x155: privacy tooling beside the PII scrubbers — k-anonymity
+  *    equivalence-class profiling (the linkage-attack readout driving
+  *    suppression before release) and seeded-Laplace differentially
+  *    private counts (md5-uniform inverse-CDF draw: reproducible
+  *    releases, engine-replayable)
   */
 object SparkEntry {
 

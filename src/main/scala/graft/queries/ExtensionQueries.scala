@@ -3041,6 +3041,29 @@ object ExtensionQueries {
     "x153_benford_profile" -> ((s, dir) => {
       graft.quality.DataQuality.benfordProfile(t(s, dir, "events"), "value")
         .orderBy(col("digit"))
+    }),
+
+    // k-anonymity over customer quasi-identifiers (nation, segment,
+    // balance sign): every equivalence class with its size and the
+    // risky flag for classes below k=5 — the linkage-attack readout
+    // that drives suppression/generalization before release
+    "x154_k_anonymity" -> ((s, dir) => {
+      val cust = t(s, dir, "customer").select(col("c_nationkey"),
+        col("c_mktsegment"), (col("c_acctbal") >= 0).as("acct_positive"))
+      graft.ops.Privacy.kAnonymity(cust,
+          Seq("c_nationkey", "c_mktsegment", "acct_positive"), k = 5)
+        .orderBy(col("c_nationkey"), col("c_mktsegment"),
+          col("acct_positive"))
+    }),
+
+    // Seeded-Laplace differentially private event-type counts
+    // (epsilon = 0.5): the md5-uniform inverse-CDF draw makes the
+    // release reproducible and engine-replayable; exact n stays in the
+    // fixture output only because the oracle checks it
+    "x155_dp_counts" -> ((s, dir) => {
+      graft.ops.Privacy.dpCounts(t(s, dir, "events"), "event_type",
+          epsilon = 0.5, seed = "graft11")
+        .orderBy(col("event_type"))
     }))
 
   /** Planted separable classification fixture for x88/x90: each doc
@@ -6882,6 +6905,35 @@ object ExtensionQueries {
         |FROM d LEFT JOIN c ON c.digit = d.digit, tot
         |ORDER BY digit""".stripMargin
     },
+
+    // k-anonymity replay: one grouped count, risky below k
+    "x154_k_anonymity" ->
+      """SELECT c_nationkey, c_mktsegment,
+        |  c_acctbal >= 0 AS acct_positive,
+        |  count(*) AS n, count(*) < 5 AS risky
+        |FROM customer
+        |GROUP BY 1, 2, 3
+        |ORDER BY c_nationkey, c_mktsegment, acct_positive""".stripMargin,
+
+    // DP-counts replay: identical md5-uniform, inverse-CDF Laplace with
+    // the same operation order
+    "x155_dp_counts" ->
+      """WITH c AS (
+        |  SELECT event_type, count(*) AS n FROM events GROUP BY 1),
+        |u AS (
+        |  SELECT event_type, n,
+        |    CAST(('0x' || substring(md5('graft11|' || event_type), 1, 13))
+        |      AS BIGINT) / 4503599627370496.0 AS u
+        |  FROM c),
+        |ns AS (
+        |  SELECT event_type, n,
+        |    ROUND((-1.0 / 0.5) * (CASE WHEN u - 0.5 > 0 THEN 1.0
+        |        WHEN u - 0.5 < 0 THEN -1.0 ELSE 0.0 END)
+        |      * ln(1.0 - 2.0 * abs(u - 0.5)), 6) AS noise
+        |  FROM u)
+        |SELECT event_type, n, noise, ROUND(n + noise, 6) AS noisy_n
+        |FROM ns
+        |ORDER BY event_type""".stripMargin,
 
     // Record-linkage replay: same blocking join, agreement predicates,
     // and fixed-order weight sum

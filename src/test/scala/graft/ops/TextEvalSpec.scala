@@ -145,6 +145,32 @@ class TextEvalSpec extends SparkSpec {
     assert(out.toSeq === Seq((1L, 2.0), (2L, 1.0)))
   }
 
+  // ---- privacy ----
+
+  test("kAnonymity: classes below k flag risky, counts conserve") {
+    val df = Seq(("a", 1), ("a", 1), ("a", 1), ("b", 2), ("b", 2),
+      ("c", 3)).toDF("q1", "q2")
+    val out = Privacy.kAnonymity(df, Seq("q1", "q2"), k = 3)
+      .collect().map(r => (r.getString(0), r.getLong(2), r.getBoolean(3)))
+      .toSet
+    assert(out === Set(("a", 3L, false), ("b", 2L, true), ("c", 1L, true)))
+  }
+
+  test("dpCounts: seeded noise is reproducible and scales exactly 1/epsilon") {
+    val df = (1 to 50).map(i => s"g${i % 3}").toDF("g")
+    def run(eps: Double) = Privacy.dpCounts(df, "g", eps, "seed7")
+      .orderBy("g").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    val a = run(0.5); val b = run(0.5); val c = run(2.0)
+    assert(a.toSeq === b.toSeq) // same seed -> identical release
+    // same uniform draw, scale 1/eps: noise(0.5) = 4 * noise(2.0) (6dp)
+    a.zip(c).foreach { case ((g1, n1, no1), (g2, n2, no2)) =>
+      assert(g1 === g2 && n1 === n2)
+      assert(math.abs(no1 - 4.0 * no2) < 5e-6)
+      assert(no1 !== 0.0) // the draw actually perturbs
+    }
+  }
+
   // ---- Benford profile ----
 
   test("benfordProfile: nine rows always, zeros excluded, spike dominates chi2") {
