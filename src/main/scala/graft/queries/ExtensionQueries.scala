@@ -3064,6 +3064,18 @@ object ExtensionQueries {
       graft.ops.Privacy.dpCounts(t(s, dir, "events"), "event_type",
           epsilon = 0.5, seed = "graft11")
         .orderBy(col("event_type"))
+    }),
+
+    // Grouped closed-form OLS: per event type, the value-vs-time trend
+    // (x in epoch days) — slope/intercept/r2 from one aggregate of
+    // decimal-exact sufficient statistics, the whole closed form
+    // replayed operation for operation
+    "x156_trend_regression" -> ((s, dir) => {
+      val ev = t(s, dir, "events").select(col("event_type"),
+        (col("ts").cast("timestamp").cast("double") / 86400.0).as("x"),
+        col("value").as("y"))
+      graft.ops.Stats.groupedOls(ev, "event_type", "x", "y")
+        .orderBy(col("event_type"))
     }))
 
   /** Planted separable classification fixture for x88/x90: each doc
@@ -6933,6 +6945,38 @@ object ExtensionQueries {
         |  FROM u)
         |SELECT event_type, n, noise, ROUND(n + noise, 6) AS noisy_n
         |FROM ns
+        |ORDER BY event_type""".stripMargin,
+
+    // OLS replay: decimal-exact sufficient statistics, identical
+    // closed-form operation order (epoch_us keeps microseconds where
+    // DuckDB's epoch() truncates to whole seconds)
+    "x156_trend_regression" ->
+      """WITH e AS (
+        |  SELECT event_type,
+        |    (epoch_us(ts) / 1000000.0) / 86400.0 AS x,
+        |    CAST(value AS DOUBLE) AS y
+        |  FROM events),
+        |a AS (
+        |  SELECT event_type, count(*) AS n,
+        |    CAST(sum(CAST(x AS DECIMAL(38,18))) AS DOUBLE) AS sx,
+        |    CAST(sum(CAST(y AS DECIMAL(38,18))) AS DOUBLE) AS sy,
+        |    CAST(sum(CAST(x * y AS DECIMAL(38,18))) AS DOUBLE) AS sxy,
+        |    CAST(sum(CAST(x * x AS DECIMAL(38,18))) AS DOUBLE) AS sxx,
+        |    CAST(sum(CAST(y * y AS DECIMAL(38,18))) AS DOUBLE) AS syy
+        |  FROM e GROUP BY 1),
+        |f AS (
+        |  SELECT event_type, n, sx, sy,
+        |    CAST(n AS DOUBLE) * sxx - sx * sx AS den,
+        |    CAST(n AS DOUBLE) * sxy - sx * sy AS num,
+        |    CAST(n AS DOUBLE) * syy - sy * sy AS deny
+        |  FROM a)
+        |SELECT event_type, n,
+        |  ROUND(CASE WHEN den = 0 THEN 0.0 ELSE num / den END, 6) AS slope,
+        |  ROUND((sy - (CASE WHEN den = 0 THEN 0.0 ELSE num / den END) * sx)
+        |    / CAST(n AS DOUBLE), 6) AS intercept,
+        |  ROUND(CASE WHEN den = 0 OR deny = 0 THEN 0.0
+        |    ELSE num * num / (den * deny) END, 6) AS r2
+        |FROM f
         |ORDER BY event_type""".stripMargin,
 
     // Record-linkage replay: same blocking join, agreement predicates,
