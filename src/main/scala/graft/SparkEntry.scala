@@ -15,7 +15,9 @@ import graft.queries.{ExtensionQueries, ParityQueries}
   * portable trainer whose centroids replay value-exactly cross-engine.
   * Full operator -> query -> check map: /root/repo/COVERAGE.md.
   *
-  * Inventory (206 queries, all oracle-checked):
+  * Inventory (207 queries, all oracle-checked — the count is the number
+  * of distinct `queries` keys and is asserted against `oracleSql` by
+  * `tools/selfcheck.py`, the single source of truth for it):
   *  - q01-q16: scans, filters, CASE chains, datetime, windows (running/
   *    lag/30-day range), grouped stats + broadcast join, anti-join
   *    referential integrity, top-k, dup/null/range/quality checks, upsert,

@@ -15,9 +15,10 @@ import org.apache.spark.sql.expressions.Aggregator
   *
   * Algorithm: the uniform-capacity compactor hierarchy (Manku–Rajagopalan
   * –Lindsay 1998, the structure KLL [Karnin–Lang–Liberty 2016] refines
-  * with geometric capacities): level i holds items of weight 2^i; when a
-  * level reaches `k` items it sorts and keeps alternate items, promoting
-  * them to level i+1. The kept-parity alternates DETERMINISTICALLY with
+  * with geometric capacities): level i holds up to `k` items of weight
+  * 2^i; when a level EXCEEDS `k` items it sorts and keeps alternate
+  * items, promoting them to level i+1 (strictly-greater trigger — the
+  * n == k group must stay uncompacted for the exact-regime contract). The kept-parity alternates DETERMINISTICALLY with
   * a compaction counter instead of the paper's coin flip — reruns over
   * the same partitioning are bit-identical, and the alternation keeps the
   * systematic rank bias centered the same way the expected coin does.
@@ -48,7 +49,11 @@ class KllQuantile(k: Int)
   def reduce(s: State, v: Double): State = {
     s.levels(0) += v
     s.n += 1
-    if (s.levels(0).length >= k) compactFrom(s, 0)
+    // strictly greater: a level HOLDS k items and compacts on overflow,
+    // which is what makes the documented "n <= k stays exact" contract
+    // true at the n == k boundary (r11 advice: >= here compacted the
+    // exactly-full group and silently broke exactness one row early)
+    if (s.levels(0).length > k) compactFrom(s, 0)
     s
   }
 
@@ -65,7 +70,7 @@ class KllQuantile(k: Int)
     big.gen += small.gen
     i = 0
     while (i < big.levels.length) {
-      if (big.levels(i).length >= k) compactFrom(big, i)
+      if (big.levels(i).length > k) compactFrom(big, i)
       i += 1
     }
     big
@@ -84,10 +89,10 @@ class KllQuantile(k: Int)
   }
 
   /** Compact level i (sort, keep alternate items, promote), cascading
-    * upward while the promotion fills the next level. */
+    * upward while the promotion overfills the next level. */
   private def compactFrom(s: State, from: Int): Unit = {
     var i = from
-    while (i < s.levels.length && s.levels(i).length >= k) {
+    while (i < s.levels.length && s.levels(i).length > k) {
       val buf = s.levels(i)
       val arr = buf.toArray
       java.util.Arrays.sort(arr)

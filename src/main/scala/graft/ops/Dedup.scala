@@ -705,6 +705,77 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("cosine_sim"))
   }
 
+  /** Collect a centroid frame to the driver-small array form the
+    * assignment paths consume — the [[IVF.Model]] size contract. */
+  private[graft] def collectCentroids(centroids: DataFrame, cidCol: String,
+      cvecCol: String): Array[(Long, Array[Double])] = {
+    val cents = centroids
+      .select(col(cidCol).cast("long"), col(cvecCol))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    require(cents.nonEmpty, "need at least one centroid")
+    require(cents.forall(_._1 != Long.MinValue),
+      "centroid id Long.MinValue unsupported (negated for tie-breaking)")
+    cents
+  }
+
+  /** Nearest-centroid assignment shared by [[semanticDedup]] and the
+    * persisted [[SemDedupStore]]: (id, vec, cluster_id, centroid_sim
+    * 6dp) with the deterministic best-cosine-then-SMALLEST-cid tie
+    * order the DuckDB oracles replay. Picks its shape by centroid
+    * count exactly as the [[semanticDedup]] scaladoc argues: ≤ 64 a
+    * map-only literal argmax, above that the broadcast-join +
+    * partial-agg max (both pinned result-identical by spec). Returned
+    * frame is lazy and unpersisted — multi-consumer callers persist. */
+  private[graft] def assignToCentroids(emb: DataFrame, idCol: String,
+      vecCol: String, cents: Array[(Long, Array[Double])]): DataFrame = {
+    // max over (csim, -cid) structs = best cosine, then SMALLEST cid —
+    // the same deterministic tie order the DuckDB oracle replays
+    if (cents.length <= 64) {
+      val scored = cents.map { case (cid, cv) =>
+        struct(
+          round(Similarity.cosine(col(vecCol), array(cv.map(lit(_)): _*)), 6)
+            .as("csim"),
+          lit(-cid).as("ncid"))
+      }
+      emb
+        .withColumn("__best", array_max(array(scored: _*)))
+        // separate projection on purpose: CollapseProject keeps the
+        // non-cheap __best alias, so the argmax is computed once per row
+        // WITHIN a branch
+        .select(col(idCol), col(vecCol),
+          (-col("__best.ncid")).cast("long").as("cluster_id"),
+          col("__best.csim").as("centroid_sim"))
+    } else {
+      // large-nc assignment (see scaladoc): broadcast the centroid
+      // frame, score map-side, reduce the NARROW (id, best-struct) rows
+      // with a partial-aggregating max, and join the winners back by id
+      // — vectors never ride the nc-times-expanded exchange
+      val spark = emb.sparkSession
+      val centSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("__cid",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("__cv",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.DoubleType))))
+      val centRows: Seq[org.apache.spark.sql.Row] = cents.toSeq.map {
+        case (cid, cv) => org.apache.spark.sql.Row(cid, cv.toSeq)
+      }
+      val centDf = spark.createDataFrame(
+        java.util.Arrays.asList(centRows: _*), centSchema)
+      val best = emb.select(col(idCol), col(vecCol))
+        .join(broadcast(centDf))
+        .select(col(idCol),
+          struct(round(Similarity.cosine(col(vecCol), col("__cv")), 6)
+            .as("csim"), (-col("__cid")).as("ncid")).as("__s"))
+        .groupBy(col(idCol)).agg(max(col("__s")).as("__best"))
+      emb.join(best, Seq(idCol))
+        .select(col(idCol), col(vecCol),
+          (-col("__best.ncid")).cast("long").as("cluster_id"),
+          col("__best.csim").as("centroid_sim"))
+    }
+  }
+
   /** SemDeDup (Abbas et al. 2023): semantic deduplication scoped to
     * embedding-space clusters. Vectors are assigned to their
     * nearest-by-cosine centroid (ties broken by smallest centroid id),
@@ -756,65 +827,14 @@ object Dedup {
   def semanticDedup(emb: DataFrame, idCol: String, vecCol: String,
       centroids: DataFrame, cidCol: String, cvecCol: String,
       threshold: Double, maxClusterSize: Long = 0L): DataFrame = {
-    val cents: Array[(Long, Array[Double])] = centroids
-      .select(col(cidCol).cast("long"), col(cvecCol))
-      .collect()
-      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
-    require(cents.nonEmpty, "need at least one centroid")
-    require(cents.forall(_._1 != Long.MinValue),
-      "centroid id Long.MinValue unsupported (negated for tie-breaking)")
-    // max over (csim, -cid) structs = best cosine, then SMALLEST cid —
-    // the same deterministic tie order the DuckDB oracle replays
-    val assigned = (if (cents.length <= 64) {
-      val scored = cents.map { case (cid, cv) =>
-        struct(
-          round(Similarity.cosine(col(vecCol), array(cv.map(lit(_)): _*)), 6)
-            .as("csim"),
-          lit(-cid).as("ncid"))
-      }
-      emb
-        .withColumn("__best", array_max(array(scored: _*)))
-        // separate projection on purpose: CollapseProject keeps the
-        // non-cheap __best alias, so the argmax is computed once per row
-        // WITHIN a branch
-        .select(col(idCol), col(vecCol),
-          (-col("__best.ncid")).cast("long").as("cluster_id"),
-          col("__best.csim").as("centroid_sim"))
-    } else {
-      // large-nc assignment (see scaladoc): broadcast the centroid
-      // frame, score map-side, reduce the NARROW (id, best-struct) rows
-      // with a partial-aggregating max, and join the winners back by id
-      // — vectors never ride the nc-times-expanded exchange
-      val spark = emb.sparkSession
-      val centSchema = org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("__cid",
-          org.apache.spark.sql.types.LongType, nullable = false),
-        org.apache.spark.sql.types.StructField("__cv",
-          org.apache.spark.sql.types.ArrayType(
-            org.apache.spark.sql.types.DoubleType))))
-      val centRows: Seq[org.apache.spark.sql.Row] = cents.toSeq.map {
-        case (cid, cv) => org.apache.spark.sql.Row(cid, cv.toSeq)
-      }
-      val centDf = spark.createDataFrame(
-        java.util.Arrays.asList(centRows: _*), centSchema)
-      val best = emb.select(col(idCol), col(vecCol))
-        .join(broadcast(centDf))
-        .select(col(idCol),
-          struct(round(Similarity.cosine(col(vecCol), col("__cv")), 6)
-            .as("csim"), (-col("__cid")).as("ncid")).as("__s"))
-        .groupBy(col(idCol)).agg(max(col("__s")).as("__best"))
-      emb.join(best, Seq(idCol))
-        .select(col(idCol), col(vecCol),
-          (-col("__best.ncid")).cast("long").as("cluster_id"),
-          col("__best.csim").as("centroid_sim"))
-    })
-      // the persist keeps the assignment (literal dot-product chain or
-      // scored join) from re-running for each of the three consumers
-      // (a/b self-join legs + the final projection) — the
-      // bigramNll/bm25TopK multi-consumer persist convention. No
-      // unpersist: the returned frame is lazy (matches repo practice
-      // for lazily-returned multi-consumer frames).
-      .persist()
+    val cents = collectCentroids(centroids, cidCol, cvecCol)
+    // the persist keeps the assignment (literal dot-product chain or
+    // scored join) from re-running for each of the three consumers
+    // (a/b self-join legs + the final projection) — the
+    // bigramNll/bm25TopK multi-consumer persist convention. No
+    // unpersist: the returned frame is lazy (matches repo practice
+    // for lazily-returned multi-consumer frames).
+    val assigned = assignToCentroids(emb, idCol, vecCol, cents).persist()
     if (maxClusterSize > 0) {
       // headOption, not head(): an empty input frame has no top cluster
       // and must pass through cleanly (empty output), not throw
@@ -1137,7 +1157,10 @@ object Dedup {
     val sh = docs.join(pairIds, col(idCol) === col("jid"), "left_semi")
       .select(col(idCol).as("jid"),
         array_distinct(shingles(TextAnalysis.tokens(col(textCol)), n)).as("jsh"))
-    pairs
+    // the per-pair shingle intersect/union is compute far heavier than
+    // the candidate frame's bytes — pin the verify leg's parallelism
+    // ([[Skew.repartitionForPairCompute]], the AQE-coalescing guard)
+    Skew.repartitionForPairCompute(pairs, col("id_a"))
       .join(sh.select(col("jid").as("id_a"), col("jsh").as("sh_a")), Seq("id_a"))
       .join(sh.select(col("jid").as("id_b"), col("jsh").as("sh_b")), Seq("id_b"))
       .withColumn("jaccard",
@@ -1273,7 +1296,10 @@ object Dedup {
     val sh = docs.join(pairIds, col(idCol) === col("jid"), "left_semi")
       .select(col(idCol).as("jid"),
         array_distinct(shingles(TextAnalysis.tokens(col(textCol)), n)).as("jsh"))
-    pairs
+    // the per-pair shingle intersect/union is compute far heavier than
+    // the candidate frame's bytes — pin the verify leg's parallelism
+    // ([[Skew.repartitionForPairCompute]], the AQE-coalescing guard)
+    Skew.repartitionForPairCompute(pairs, col("id_a"))
       .join(sh.select(col("jid").as("id_a"), col("jsh").as("sh_a")), Seq("id_a"))
       .join(sh.select(col("jid").as("id_b"), col("jsh").as("sh_b")), Seq("id_b"))
       .withColumn("__inter",
@@ -1380,7 +1406,12 @@ object Dedup {
     val keyed = df.select(col(idCol).as("__eid"), s.as("__es"),
         explode(variants).as("__v"))
       .distinct()
-    val cands = keyed.as("a").join(keyed.as("b"),
+    // the same-variant self-join is the compute-bound pair stage here
+    // (levenshtein on every candidate): pin its parallelism to the
+    // variant key so AQE's byte-based coalescing can't serialize it
+    val cands = Skew.repartitionForPairCompute(keyed.as("a"),
+        col("a.__v"))
+      .join(keyed.as("b"),
         col("a.__v") === col("b.__v") &&
           col("a.__eid") < col("b.__eid"))
       .select(col("a.__eid").as("id_a"), col("a.__es").as("sa"),
@@ -1424,18 +1455,11 @@ object Dedup {
     def side(df: DataFrame, tag: String, outId: String): DataFrame =
       df.select((col(idCol).as(outId) +: col(blockCol).as("__blk") +:
         fields.map(f => col(f.name).as(s"__${tag}_${f.name}"))): _*)
-    // hash-partition the probe side on the block key with an EXPLICIT
-    // partition count: the comparison work is per-PAIR (block sizes
-    // squared), so parallelism must follow blocks — not input file
-    // splits (a small single-split table runs every levenshtein on one
-    // task), and not AQE's byte-based coalescing either, which sees a
-    // few-hundred-KB shuffle and folds the bare repartition(col) back
-    // to ONE partition while the per-pair work is thousands of times
-    // the byte volume (measured: 4.5s single-task probe on the sf0.1
-    // fixture). At corpus scale this exchange is the one shuffle the
-    // scale contract already states.
-    val nPart = a.sparkSession.sessionState.conf.numShufflePartitions
-    val cand = side(a, "a", "id_a").repartition(nPart, col("__blk"))
+    // parallelism must follow BLOCKS, not bytes: the comparison work is
+    // per-pair (block sizes squared) — see
+    // [[Skew.repartitionForPairCompute]] for the AQE-coalescing story
+    val cand = Skew.repartitionForPairCompute(
+        side(a, "a", "id_a"), col("__blk"))
       .join(side(b, "b", "id_b"), "__blk")
     val withAgrees = fields.foldLeft(cand) { (d, f) =>
       val fa = col(s"__a_${f.name}"); val fb = col(s"__b_${f.name}")

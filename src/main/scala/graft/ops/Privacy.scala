@@ -51,9 +51,13 @@ object Privacy {
   def dpCounts(df: DataFrame, groupCol: String, epsilon: Double,
       seed: String): DataFrame = {
     require(epsilon > 0, "epsilon must be positive")
-    val u = conv(substring(md5(concat(lit(seed), lit("|"),
+    // (hash + 0.5) / 2^52 keeps u strictly inside (0, 1): a raw hash of
+    // exactly 0 would give |u − ½| = ½ and ln(1 − 2·|·|) = ln 0 = −∞ —
+    // a silently poisoned release cell at probability 2⁻⁵² per group.
+    // The half-step offset bounds 1 − 2|u−½| ≥ 2⁻⁵² with zero bias.
+    val u = (conv(substring(md5(concat(lit(seed), lit("|"),
         col(groupCol).cast("string")).cast("binary")), 1, 13), 16, 10)
-      .cast("double") / lit(4503599627370496.0) // 2^52
+      .cast("double") + lit(0.5)) / lit(4503599627370496.0) // 2^52
     val centered = u - 0.5
     val noise = (lit(-1.0) / epsilon) * signum(centered) *
       log(lit(1.0) - lit(2.0) * abs(centered))

@@ -47,6 +47,32 @@ object Skew {
     saltedFact.join(expandedDim, Seq(key, "__salt"), joinType).drop("__salt")
   }
 
+  /** Pin the parallelism of a COMPUTE-bound pair stage (blocked self-
+    * joins, candidate-verify legs: levenshtein, shingle intersection,
+    * per-pair scoring) with an explicit-count hash repartition on the
+    * block/candidate key.
+    *
+    * Why explicit: AQE's partition coalescing is BYTE-based. A candidate
+    * frame is often a few hundred KB on the wire while the per-pair work
+    * downstream is thousands of times the byte volume, so AQE folds a
+    * bare `repartition(col)` (or the join's own exchange) back to ONE
+    * task and the whole verify leg serializes — measured in r11 as a
+    * 4.5s single-task probe on the sf0.1 record-linkage fixture. An
+    * explicit partition count (`repartition(n, col)`) is exempt from
+    * AQE coalescing, which is exactly the behavior a compute-bound
+    * stage needs; the key keeps co-partitioning for the join so no
+    * second exchange appears.
+    *
+    * `numParts <= 0` (default) uses the session's shuffle parallelism —
+    * at cluster scale, set `spark.sql.shuffle.partitions` for the job
+    * and every pair stage follows. */
+  def repartitionForPairCompute(df: DataFrame,
+      key: org.apache.spark.sql.Column, numParts: Int = 0): DataFrame = {
+    val n = if (numParts > 0) numParts
+      else df.sparkSession.sessionState.conf.numShufflePartitions
+    df.repartition(n, key)
+  }
+
   /** Two-phase (salted) distinct-count for a heavily skewed group key:
     * partial distinct per (key, salt) then merge — bounds the width of any
     * single reducer's hash set. For algebraic aggregates (sum/count/avg)

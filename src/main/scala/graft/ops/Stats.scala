@@ -17,19 +17,33 @@ object Stats {
     * Scale shape: ONE group-keyed aggregate carrying the five
     * sufficient statistics (Σx, Σy, Σxy, Σx², Σy²) with map-side
     * partials — the exchange is groups-sized, the formula runs on the
-    * aggregate row. Determinism contract: sums ride DECIMAL(38,18)
-    * (exact, order-invariant — the [[Similarity.embeddingMoments]]
-    * convention; keep |x|,|y| ≲ 1e9 so products stay inside the 20
-    * integer digits), the closed-form arithmetic is fixed-order
-    * doubles, outputs round 6dp. The cancellation in n·Σx² − (Σx)² is
-    * the textbook one — centering x upstream buys precision when x
-    * spans are tiny relative to magnitude; determinism holds either
-    * way because both engines difference the identical doubles. */
+    * aggregate row. Determinism contract: each per-row term is snapped
+    * to the 6dp micro-unit grid BEFORE summation
+    * (`round(c·1e6).cast(long)`, the [[TextAnalysis.mean6Exact]]
+    * playbook) and the longs ride a DECIMAL(38,0) sum — exact integer
+    * arithmetic, order-invariant, and identical in any engine. A
+    * double→DECIMAL(38,18) cast of the raw product does NOT work here:
+    * Spark casts the shortest decimal repr (`BigDecimal.valueOf`) while
+    * DuckDB expands the exact binary value, and at x ≈ 2·10⁴ (epoch
+    * days) the x·y products carry >17 significant digits so the two
+    * expansions diverge and survive ROUND(…,6) — measured live in r11
+    * (x = 20623.123456789 → `…600000000000` vs `…647960297472`). The
+    * grid snap needs |term| ≲ 4.5·10¹⁵ so that every N.5 tie point is
+    * representable (double spacing < 0.5) and both engines' round-half
+    * agree; epoch-day products sit at ≤ ~4·10¹⁴. Per-row quantization
+    * at 1e-6 is far below the 6dp output rounding for trend-sized
+    * groups. The closed-form arithmetic downstream is fixed-order
+    * doubles seeded from identical integers. The cancellation in
+    * n·Σx² − (Σx)² is the textbook one — centering x upstream buys
+    * precision when x spans are tiny relative to magnitude;
+    * determinism holds either way because both engines difference the
+    * identical doubles. */
   def groupedOls(df: DataFrame, groupCol: String, xCol: String,
       yCol: String): DataFrame = {
-    val dec = org.apache.spark.sql.types.DecimalType(38, 18)
+    val decI = org.apache.spark.sql.types.DecimalType(38, 0)
     val x = col(xCol).cast("double"); val y = col(yCol).cast("double")
-    def s(c: org.apache.spark.sql.Column) = sum(c.cast(dec)).cast("double")
+    def s(c: org.apache.spark.sql.Column) =
+      sum(round(c * 1e6).cast("long").cast(decI)).cast("double") / 1e6
     val agg = df.groupBy(col(groupCol)).agg(
       count(lit(1)).as("n"), s(x).as("__sx"), s(y).as("__sy"),
       s(x * y).as("__sxy"), s(x * x).as("__sxx"), s(y * y).as("__syy"))

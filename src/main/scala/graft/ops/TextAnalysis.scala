@@ -1236,7 +1236,13 @@ object TextAnalysis {
         tot.cast("double")).otherwise(lit(0.0))
     }
     val anyZero = (1 to maxN).map(n => p(n) === 0.0).reduce(_ || _)
+    // candLen == 0 (with a non-empty reference) must fold to bp = 0.0
+    // explicitly: Spark's Divide yields NULL on /0 while a double
+    // division engine gives exp(-inf) = 0.0 — guard BOTH engines to the
+    // same literal rather than lean on either divide-by-zero semantic
+    // (the empty-empty pair stays bp = 1.0 via the >= branch)
     val bp = when(candLen >= refLen, lit(1.0))
+      .when(candLen === 0, lit(0.0))
       .otherwise(exp(lit(1.0) -
         refLen.cast("double") / candLen.cast("double")))
     val logSum = (1 to maxN).map(n => log(p(n))).reduce(_ + _)

@@ -3076,6 +3076,31 @@ object ExtensionQueries {
         col("value").as("y"))
       graft.ops.Stats.groupedOls(ev, "event_type", "x", "y")
         .orderBy(col("event_type"))
+    }),
+
+    // Incremental SemDeDup against a persisted store: originals ingested
+    // as shard s1, the planted near-duplicate copies as shard s2 — every
+    // near-dup pair is therefore a CROSS-shard pair, including the
+    // retraction case (an original kept after s1 is the pair loser when
+    // it sits closer to its centroid). currentState after both ingests
+    // must equal batch semanticDedup over the union (x65's oracle,
+    // re-aliased), which is the store's frozen-centroid equivalence
+    // contract made a driver artifact
+    "x157_semdedup_store" -> ((s, dir) => {
+      val root = ParityQueries.tmpPath("graft_semstore", dir)
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+      val emb = t(s, dir, "embeddings")
+      val corpus = embDupCorpus(emb)
+      val cents = emb
+        .filter(col("vec_id").isin(0L, 1L, 3L, 7L, 11L, 19L, 23L, 29L))
+        .select(col("vec_id").as("cid"),
+          transform(col("embedding"), x => x.cast("double")).as("cv"))
+      graft.ops.SemDedupStore.buildStore(
+        corpus.filter(col("vec_id") < 10000), "vec_id", "v",
+        cents, "cid", "cv", 0.9, root, "s1")
+      graft.ops.SemDedupStore.addShard(s, root,
+          corpus.filter(col("vec_id") >= 10000), "vec_id", "v", "s2")
+        .orderBy(col("id"))
     }))
 
   /** Planted separable classification fixture for x88/x90: each doc
@@ -6708,6 +6733,7 @@ object ExtensionQueries {
         |    coalesce(pn.p1r, 0.0) AS p1r, coalesce(pn.p2r, 0.0) AS p2r,
         |    coalesce(pn.p3r, 0.0) AS p3r, coalesce(pn.p4r, 0.0) AS p4r,
         |    CASE WHEN len(p.c) >= len(p.r) THEN 1.0
+        |         WHEN len(p.c) = 0 THEN 0.0
         |         ELSE exp(1.0 - CAST(len(p.r) AS DOUBLE) / CAST(len(p.c) AS DOUBLE))
         |    END AS bp
         |  FROM pair p LEFT JOIN pn ON pn.doc_id = p.doc_id)
@@ -6927,15 +6953,16 @@ object ExtensionQueries {
         |GROUP BY 1, 2, 3
         |ORDER BY c_nationkey, c_mktsegment, acct_positive""".stripMargin,
 
-    // DP-counts replay: identical md5-uniform, inverse-CDF Laplace with
-    // the same operation order
+    // DP-counts replay: identical md5-uniform (half-step offset keeps u
+    // strictly inside (0,1) — the ln(0) endpoint guard), inverse-CDF
+    // Laplace with the same operation order
     "x155_dp_counts" ->
       """WITH c AS (
         |  SELECT event_type, count(*) AS n FROM events GROUP BY 1),
         |u AS (
         |  SELECT event_type, n,
-        |    CAST(('0x' || substring(md5('graft11|' || event_type), 1, 13))
-        |      AS BIGINT) / 4503599627370496.0 AS u
+        |    (CAST(('0x' || substring(md5('graft11|' || event_type), 1, 13))
+        |      AS BIGINT) + 0.5) / 4503599627370496.0 AS u
         |  FROM c),
         |ns AS (
         |  SELECT event_type, n,
@@ -6947,9 +6974,12 @@ object ExtensionQueries {
         |FROM ns
         |ORDER BY event_type""".stripMargin,
 
-    // OLS replay: decimal-exact sufficient statistics, identical
-    // closed-form operation order (epoch_us keeps microseconds where
-    // DuckDB's epoch() truncates to whole seconds)
+    // OLS replay: per-row terms snapped to the 6dp micro-unit grid
+    // before integer-exact summation (the x135/mean6Exact convention —
+    // a raw double->DECIMAL cast diverges cross-engine at epoch-day
+    // product magnitudes), identical closed-form operation order
+    // (epoch_us keeps microseconds where DuckDB's epoch() truncates to
+    // whole seconds)
     "x156_trend_regression" ->
       """WITH e AS (
         |  SELECT event_type,
@@ -6958,11 +6988,16 @@ object ExtensionQueries {
         |  FROM events),
         |a AS (
         |  SELECT event_type, count(*) AS n,
-        |    CAST(sum(CAST(x AS DECIMAL(38,18))) AS DOUBLE) AS sx,
-        |    CAST(sum(CAST(y AS DECIMAL(38,18))) AS DOUBLE) AS sy,
-        |    CAST(sum(CAST(x * y AS DECIMAL(38,18))) AS DOUBLE) AS sxy,
-        |    CAST(sum(CAST(x * x AS DECIMAL(38,18))) AS DOUBLE) AS sxx,
-        |    CAST(sum(CAST(y * y AS DECIMAL(38,18))) AS DOUBLE) AS syy
+        |    CAST(SUM(CAST(ROUND(x * 1000000) AS HUGEINT)) AS DOUBLE)
+        |      / 1000000.0 AS sx,
+        |    CAST(SUM(CAST(ROUND(y * 1000000) AS HUGEINT)) AS DOUBLE)
+        |      / 1000000.0 AS sy,
+        |    CAST(SUM(CAST(ROUND(x * y * 1000000) AS HUGEINT)) AS DOUBLE)
+        |      / 1000000.0 AS sxy,
+        |    CAST(SUM(CAST(ROUND(x * x * 1000000) AS HUGEINT)) AS DOUBLE)
+        |      / 1000000.0 AS sxx,
+        |    CAST(SUM(CAST(ROUND(y * y * 1000000) AS HUGEINT)) AS DOUBLE)
+        |      / 1000000.0 AS syy
         |  FROM e GROUP BY 1),
         |f AS (
         |  SELECT event_type, n, sx, sy,
@@ -6978,6 +7013,54 @@ object ExtensionQueries {
         |    ELSE num * num / (den * deny) END, 6) AS r2
         |FROM f
         |ORDER BY event_type""".stripMargin,
+
+    // Store-incremental SemDeDup replay: the BATCH formulation over the
+    // union of both ingested shards (x65's oracle re-aliased to the
+    // store's output columns) — passing means the shard-by-shard store
+    // state equals full-corpus semanticDedup, the frozen-centroid
+    // equivalence contract
+    "x157_semdedup_store" ->
+      """WITH base AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |corpus AS (
+        |  SELECT vec_id, v FROM base
+        |  UNION ALL
+        |  SELECT vec_id + 10000,
+        |    list_transform(range(0, len(v)), i -> v[i + 1] * (1.0 + 0.05 * ((i % 3) - 1)))
+        |  FROM base WHERE vec_id < 25),
+        |cent AS (
+        |  SELECT vec_id AS cid, v AS cv FROM base
+        |  WHERE vec_id IN (0, 1, 3, 7, 11, 19, 23, 29)),
+        |sims AS (
+        |  SELECT c.vec_id, c.v, ct.cid,
+        |    ROUND(list_cosine_similarity(c.v, ct.cv), 6) AS csim
+        |  FROM corpus c CROSS JOIN cent ct),
+        |assign AS (
+        |  SELECT vec_id, v, cid AS cluster_id, csim AS centroid_sim
+        |  FROM (SELECT *, row_number() OVER (
+        |          PARTITION BY vec_id ORDER BY csim DESC, cid) AS rn
+        |        FROM sims)
+        |  WHERE rn = 1),
+        |pairs AS (
+        |  SELECT * FROM (
+        |    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |      a.centroid_sim AS ca, b.centroid_sim AS cb,
+        |      ROUND(list_cosine_similarity(a.v, b.v), 6) AS ps
+        |    FROM assign a JOIN assign b
+        |      ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id)
+        |  WHERE ps >= 0.9),
+        |dup AS (SELECT DISTINCT unnest([id_a, id_b]) AS did FROM pairs),
+        |rem AS (
+        |  SELECT DISTINCT CASE WHEN ca > cb THEN id_a
+        |    WHEN cb > ca THEN id_b
+        |    ELSE greatest(id_a, id_b) END AS rid
+        |  FROM pairs)
+        |SELECT a.vec_id AS id, a.cluster_id, a.centroid_sim,
+        |  (d.did IS NOT NULL) AS is_dup, (r.rid IS NULL) AS kept
+        |FROM assign a
+        |LEFT JOIN dup d ON a.vec_id = d.did
+        |LEFT JOIN rem r ON a.vec_id = r.rid
+        |ORDER BY a.vec_id""".stripMargin,
 
     // Record-linkage replay: same blocking join, agreement predicates,
     // and fixed-order weight sum

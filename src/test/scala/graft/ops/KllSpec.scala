@@ -44,6 +44,26 @@ class KllSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(re.toSeq.sorted == truth)
   }
 
+  test("exact regime boundary: a group of EXACTLY n == k values stays exact") {
+    // r11 advice: reduce() compacted at length == k, so the exactly-full
+    // group silently lost exactness one row early. The trigger is now
+    // strictly-greater: n == k must equal the full-sort truth.
+    val k = 64
+    val df = vals(k)
+    val sorted = df.select("v").as[Double].collect().sorted
+    val probs = Seq(0.01, 0.25, 0.5, 0.75, 0.99, 1.0)
+    val got = Kll.quantiles(df, "v", Nil, probs, k = k)
+      .orderBy("p").collect().map(r => (r.getDouble(0), r.getDouble(1)))
+    probs.sorted.zip(got).foreach { case (p, (gp, q)) =>
+      val tgt = math.max(1L, math.ceil(p * k).toLong).toInt
+      assert(gp === p && q === sorted(tgt - 1), s"p=$p")
+    }
+    // and partition invariance still holds right at the boundary
+    val re = Kll.quantiles(df.repartition(5), "v", Nil, probs, k = k)
+      .orderBy("p").collect().map(r => (r.getDouble(0), r.getDouble(1)))
+    assert(re.toSeq === got.toSeq)
+  }
+
   test("over-capacity: true rank of each estimate within the envelope") {
     val n = 40000
     val df = vals(n)

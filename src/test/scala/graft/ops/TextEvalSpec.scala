@@ -248,4 +248,67 @@ class TextEvalSpec extends SparkSpec {
     assert(math.abs(byKey((1, 1))._7 - 4.0) < 1e-5)
     assert(math.abs(p01._7 - 4.0) < 1e-5)
   }
+
+  // ---- r12 advice regression pins ----
+
+  test("bleuScore: empty candidate folds brevity to 0.0, never NULL (r11 advice)") {
+    // Spark's Divide gives NULL on refLen/0 while a double-division
+    // engine gives exp(-inf) = 0.0 — the guard pins both to literal 0.0.
+    // The empty-empty pair stays brevity 1 (0 >= 0 wins the first branch).
+    val df = Seq(
+      (1L, "", "the cat sat"), // empty cand, non-empty ref
+      (2L, "", ""),            // empty-empty
+      (3L, "the cat sat down", "the cat sat down")
+    ).toDF("doc_id", "cand", "ref")
+    val out = TextAnalysis.bleuScore(df, "cand", "ref")
+      .orderBy("doc_id").select("doc_id", "brevity", "bleu").collect()
+    assert(!out(0).isNullAt(1), "brevity must not be NULL on empty cand")
+    assert(out(0).getDouble(1) === 0.0 && out(0).getDouble(2) === 0.0)
+    assert(out(1).getDouble(1) === 1.0 && out(1).getDouble(2) === 0.0)
+    assert(out(2).getDouble(1) === 1.0 && out(2).getDouble(2) === 1.0)
+  }
+
+  test("dpCounts: noise is finite for every group (endpoint clamp, r11 advice)") {
+    // u = (hash + 0.5)/2^52 keeps 1 - 2|u - 1/2| >= 2^-52 > 0, so ln()
+    // can never hit -inf no matter which 52-bit draw a group lands on.
+    // Sweep a few thousand group keys as a sanity net over the clamp.
+    val df = (1 to 4000).map(i => s"grp$i").toDF("g")
+    val noises = Privacy.dpCounts(df, "g", epsilon = 0.5, seed = "s")
+      .select("noise").collect().map(_.getDouble(0))
+    assert(noises.length === 4000)
+    noises.foreach(n => assert(!n.isInfinite && !n.isNaN))
+    // |noise| stays below the clamp's hard ceiling (1/eps)*ln(2^52)
+    noises.foreach(n => assert(math.abs(n) <= 2.0 * 52 * math.log(2.0) + 1e-6))
+  }
+
+  // ---- grouped OLS ----
+
+  test("groupedOls: hand-computed fit, degenerate group, epoch-day magnitudes") {
+    // exact line y = 2x + 1 on the 6dp grid -> slope 2, intercept 1, r2 1
+    val line = Seq(("a", 1.0, 3.0), ("a", 2.0, 5.0), ("a", 3.0, 7.0),
+      // constant x -> den = 0 -> slope 0, intercept mean(y), r2 0
+      ("b", 5.0, 1.0), ("b", 5.0, 2.0), ("b", 5.0, 6.0))
+      .toDF("g", "x", "y")
+    val out = Stats.groupedOls(line, "g", "x", "y").orderBy("g").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4)))
+    assert(out(0) === (("a", 3L, 2.0, 1.0, 1.0)))
+    assert(out(1) === (("b", 3L, 0.0, 3.0, 0.0)))
+  }
+
+  test("groupedOls: partition-order invariant at epoch-day x (the x156 regime)") {
+    // x ~ 2e4 epoch days with fractional parts — the magnitude where the
+    // r11 double->DECIMAL(38,18) formulation diverged cross-engine; the
+    // micro-unit grid must make the sums order-invariant bit-for-bit
+    val df = spark.range(2000).select(
+      (col("id") % 4).cast("string").as("g"),
+      (lit(20600.0) + col("id").cast("double") / 81.0).as("x"),
+      (col("id").cast("double") * 1.37 - 700.0).as("y"))
+    def run(parts: Int) =
+      Stats.groupedOls(df.repartition(parts), "g", "x", "y")
+        .orderBy("g").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+          r.getDouble(3), r.getDouble(4))).toSeq
+    assert(run(1) === run(13))
+  }
 }
