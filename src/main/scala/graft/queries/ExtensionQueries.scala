@@ -2496,9 +2496,11 @@ object ExtensionQueries {
       docs.repartition(3).write.parquet(s"$root/in")
       val feed = s.readStream.schema(docs.schema)
         .option("maxFilesPerTrigger", "1").parquet(s"$root/in")
-      val sq = graft.streaming.EventStreams.bloomScreenSink(feed, "doc_id",
-        "text", bloom, 3, s"$root/clean", s"$root/quarantine", s"$root/ckpt")
-      try sq.processAllAvailable() finally sq.stop()
+      graft.streaming.EventStreams.withStatePartitions(s, 8) {
+        val sq = graft.streaming.EventStreams.bloomScreenSink(feed, "doc_id",
+          "text", bloom, 3, s"$root/clean", s"$root/quarantine", s"$root/ckpt")
+        try sq.processAllAvailable() finally sq.stop()
+      }
       def side(p: String, name: String): DataFrame =
         s.read.parquet(p).select(col("doc_id"), lit(name).as("__side"))
       val routed = side(s"$root/clean", "clean")
@@ -2532,9 +2534,11 @@ object ExtensionQueries {
       docs.repartition(3).write.parquet(s"$root/in")
       val feed = s.readStream.schema(docs.schema)
         .option("maxFilesPerTrigger", "1").parquet(s"$root/in")
-      val sq = graft.streaming.EventStreams.cmsMonitorSink(feed, "text",
-        s"$root/store", s"$root/ckpt", depth = 4, width = 1024)
-      try sq.processAllAvailable() finally sq.stop()
+      graft.streaming.EventStreams.withStatePartitions(s, 8) {
+        val sq = graft.streaming.EventStreams.cmsMonitorSink(feed, "text",
+          s"$root/store", s"$root/ckpt", depth = 4, width = 1024)
+        try sq.processAllAvailable() finally sq.stop()
+      }
       val sk = graft.ops.CountMin.read(s, s"$root/store")
       val toks = docs.select(explode(TextAnalysis.tokens(lower(col("text"))))
         .as("tok"))
@@ -2766,9 +2770,11 @@ object ExtensionQueries {
         .option("maxFilesPerTrigger", "1").parquet(s"$root/in")
       val counts = graft.streaming.EventStreams.windowedCounts(feed,
         watermark = "10 minutes", windowDur = "1 hour")
-      val sq = graft.streaming.EventStreams.startParquetSink(counts,
-        s"$root/out", s"$root/ckpt")
-      try sq.processAllAvailable() finally sq.stop()
+      graft.streaming.EventStreams.withStatePartitions(s, 8) {
+        val sq = graft.streaming.EventStreams.startParquetSink(counts,
+          s"$root/out", s"$root/ckpt")
+        try sq.processAllAvailable() finally sq.stop()
+      }
       s.read.parquet(s"$root/out")
         .filter(col("event_type") =!= "zzzsentinel")
         .select(col("window_start").cast("timestamp_ntz").as("window_start"),
@@ -2840,9 +2846,11 @@ object ExtensionQueries {
         .as[graft.streaming.EventStreams.Event]
       val sess = graft.streaming.EventStreams.sessionize(feed,
         gapMs = 30 * 60 * 1000L)(s)
-      val sq = graft.streaming.EventStreams.startParquetSink(sess.toDF(),
-        s"$root/out", s"$root/ckpt")
-      try sq.processAllAvailable() finally sq.stop()
+      graft.streaming.EventStreams.withStatePartitions(s, 8) {
+        val sq = graft.streaming.EventStreams.startParquetSink(sess.toDF(),
+          s"$root/out", s"$root/ckpt")
+        try sq.processAllAvailable() finally sq.stop()
+      }
       s.read.parquet(s"$root/out")
         .filter(col("user_id") >= 0)
         .select(col("user_id"),
@@ -2895,9 +2903,11 @@ object ExtensionQueries {
         .option("maxFilesPerTrigger", "1").parquet(s"$root/in")
       val joined = graft.streaming.EventStreams.purchaseErrorJoin(feed,
         watermark = "10 minutes", windowSec = 3600L)
-      val sq = graft.streaming.EventStreams.startParquetSink(joined,
-        s"$root/out", s"$root/ckpt")
-      try sq.processAllAvailable() finally sq.stop()
+      graft.streaming.EventStreams.withStatePartitions(s, 8) {
+        val sq = graft.streaming.EventStreams.startParquetSink(joined,
+          s"$root/out", s"$root/ckpt")
+        try sq.processAllAvailable() finally sq.stop()
+      }
       s.read.parquet(s"$root/out")
         .select(col("purchase_id"), col("user_id"),
           col("purchase_ts").cast("timestamp_ntz").as("purchase_ts"),
@@ -3025,9 +3035,11 @@ object ExtensionQueries {
         .as[graft.streaming.EventStreams.Event]
       val deduped = graft.streaming.EventStreams.dedupStream(feed,
         "10 minutes")(s)
-      val sq = graft.streaming.EventStreams.startParquetSink(deduped.toDF(),
-        s"$root/out", s"$root/ckpt")
-      try sq.processAllAvailable() finally sq.stop()
+      graft.streaming.EventStreams.withStatePartitions(s, 8) {
+        val sq = graft.streaming.EventStreams.startParquetSink(deduped.toDF(),
+          s"$root/out", s"$root/ckpt")
+        try sq.processAllAvailable() finally sq.stop()
+      }
       s.read.parquet(s"$root/out")
         .select(col("event_id"), col("ts").cast("timestamp_ntz").as("ts"),
           col("user_id"), col("event_type"), col("value"))

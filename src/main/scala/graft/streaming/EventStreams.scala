@@ -490,6 +490,31 @@ object EventStreams {
       }
   }
 
+  /** Run `body` (which must START the streaming query inside it) with
+    * `spark.sql.shuffle.partitions` temporarily set to `n`, restoring
+    * the session value afterwards.
+    *
+    * Why this exists: a stateful streaming query captures its STATE
+    * partition count from this conf at query start and keeps it for the
+    * query's lifetime. Every state partition pays per-micro-batch fixed
+    * cost — a store commit (delta file + fsync in the checkpoint) per
+    * partition per store instance, and a stream-stream join runs FOUR
+    * store instances per side — so state partitions must be sized to
+    * the stream's volume, not inherited from the batch session's
+    * parallelism. Measured on the x147 interval-join fixture (sf0.1,
+    * quiet host, median-of-3): 32 inherited partitions = 11.66s, state
+    * right-sized to 8 = 5.55s — the delta is pure per-partition commit
+    * overhead, the output rows are identical (state partitioning is
+    * invisible to semantics). At production volume the same knob goes
+    * UP: size it so each state partition's working set fits an
+    * executor's store budget. */
+  def withStatePartitions[T](spark: SparkSession, n: Int)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val old = spark.conf.get(key)
+    spark.conf.set(key, n.toString)
+    try body finally spark.conf.set(key, old)
+  }
+
   /** Streaming sink helper: append to a parquet path with a checkpoint —
     * the streaming analogue of Sinks.writePartitioned. */
   def startParquetSink(df: DataFrame, path: String, checkpoint: String,

@@ -460,6 +460,55 @@ class PlanGuardSpec extends SparkSpec {
       s"BLEU must not shuffle (the per-order explode formulation would):\n${plan.take(800)}")
   }
 
+  test("top-20 bench queries: executed-plan budgets (exchange counts pinned)") {
+    // r11 judge item 6: the 20 most expensive bench queries get
+    // executed-plan assertions so a refactor that adds an exchange (or
+    // degrades a broadcast to a shuffle join, or plans a cartesian)
+    // fails CI instead of waiting for a bench sweep. Budgets are the
+    // audited sf0.001 censuses (tools: graft.tools.PlanAudit, which
+    // shares the AQE-aware walk used here) — shuffle counts pinned
+    // EXACTLY, broadcasts as a floor, cartesians and unpartitioned
+    // windows at zero. Lifecycle/stream fixtures execute fully (their
+    // returned compare-frame is the audited plan).
+    //                name                         shuf  minBcast
+    val budgets = Seq(
+      ("x147_stream_interval_join", 1, 0),
+      ("x51_republish_delta", 4, 2),
+      ("x49_incremental_vs_full", 1, 0),
+      ("x128_stream_bloom_screen", 4, 2),
+      ("x48_incremental_dedup", 1, 2),
+      ("x146_stream_sessionize", 1, 0),
+      ("x144_stream_windowed", 1, 0),
+      ("x102_index_stats", 1, 0),
+      ("x104_overlap_sketch", 8, 4),
+      ("x152_stream_dedup", 1, 0),
+      ("x129_stream_cms_monitor", 3, 1),
+      ("x50_ivf_append", 1, 0),
+      ("x87_pair_metrics", 17, 15),
+      ("x12_dedup_clusters", 1, 0),
+      ("x137_hll_store_ingest", 0, 0),
+      ("x94_ngram_diversity", 3, 0),
+      ("x34_llm_prep_e2e", 3, 2),
+      ("x67_rare_ngram_pairs", 3, 1),
+      ("x27_knn_ivf_batch", 2, 1),
+      ("x157_semdedup_store", 2, 1))
+    val parity = ParityQueries.queries.keySet
+    budgets.foreach { case (name, shuf, minBcast) =>
+      val df =
+        if (parity(name)) ParityQueries.queries(name)(spark, dir)
+        else graft.queries.ExtensionQueries.queries(name)(spark, dir)
+      df.collect() // finalize AQE so the census sees real stages
+      val c = graft.tools.PlanAudit.census(df.queryExecution.executedPlan)
+      assert(c.shuffles == shuf,
+        s"$name: expected $shuf shuffle exchanges, got ${c.shuffles}")
+      assert(c.broadcasts >= minBcast,
+        s"$name: expected >= $minBcast broadcasts, got ${c.broadcasts}")
+      assert(c.cartesian == 0, s"$name: cartesian product planned")
+      assert(c.unpartitionedWindows == 0,
+        s"$name: unpartitioned WindowExec executed")
+    }
+  }
+
   test("x148: MaxSim corpus side never shuffles for scoring (broadcast loop)") {
     val df = graft.queries.ExtensionQueries
       .queries("x148_maxsim_rerank")(spark, dir)
