@@ -15,7 +15,7 @@ import graft.queries.{ExtensionQueries, ParityQueries}
   * portable trainer whose centroids replay value-exactly cross-engine.
   * Full operator -> query -> check map: /root/repo/COVERAGE.md.
   *
-  * Inventory (207 queries, all oracle-checked — the count is the number
+  * Inventory (211 queries, all oracle-checked — the count is the number
   * of distinct `queries` keys and is asserted against `oracleSql` by
   * `tools/selfcheck.py`, the single source of truth for it):
   *  - q01-q16: scans, filters, CASE chains, datetime, windows (running/
@@ -175,8 +175,23 @@ import graft.queries.{ExtensionQueries, ParityQueries}
   *  - x154-x155: privacy tooling beside the PII scrubbers — k-anonymity
   *    equivalence-class profiling (the linkage-attack readout driving
   *    suppression before release) and seeded-Laplace differentially
-  *    private counts (md5-uniform inverse-CDF draw: reproducible
-  *    releases, engine-replayable)
+  *    private counts (md5-uniform inverse-CDF draw with the half-step
+  *    endpoint clamp: reproducible releases, engine-replayable)
+  *  - x156: grouped closed-form OLS trend fit (five sufficient
+  *    statistics on the 6dp micro-unit integer grid — exact,
+  *    order-invariant, engine-identical sums)
+  *  - x157: shard-incremental SemDeDup against a persisted store
+  *    (frozen centroids, append-only monotone flag-delta log;
+  *    currentState ≡ batch semanticDedup over the union, including
+  *    cross-shard retraction of previously-kept vectors)
+  *  - x158: prototypicality pruning (Sorscher SSL-prototypes / D4:
+  *    per-cluster rank by centroid cosine, floor-cut keep rule)
+  *  - x159: prefix-filter exact Jaccard join (AllPairs: rarest-first
+  *    prefix candidates + length filter + exact verify; the naive
+  *    all-pairs formulation IS the oracle, proving recall-completeness)
+  *  - x160: streamed SemDeDup ingest (semDedupSink micro-batches into a
+  *    cold persisted store; currentState ≡ batch semanticDedup over the
+  *    union — the store's decomposition invariance driver-checked)
   */
 object SparkEntry {
 

@@ -1422,6 +1422,80 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("dist").cast("int").as("dist"))
   }
 
+  /** EXACT all-pairs token-set Jaccard join via prefix filtering
+    * (Bayardo et al. 2007 "Scaling Up All Pairs Similarity Search";
+    * the prefix principle PPJoin [Xiao et al. 2008] builds on): every
+    * pair with Jaccard ≥ `threshold`, found WITHOUT an all-pairs scan
+    * and WITHOUT the probabilistic misses of MinHash-LSH — the exact
+    * complement of [[minhashLshPairs]] for workloads where a contract
+    * forbids false negatives (compliance dedup, legal holds).
+    *
+    * The prefix principle: order each document's distinct tokens by
+    * ascending global document frequency (rarest first, ties by token
+    * string); if J(x,y) ≥ t then the overlap |x∩y| ≥ ⌈t·|x∪y|⌉ ≥
+    * ⌈t·max(|x|,|y|)⌉ forces the two prefixes of length
+    * |x| − ⌈t·|x|⌉ + 1 to share at least one token — so candidates =
+    * one equi-join on prefix tokens, recall-COMPLETE by the theorem
+    * (which is what lets the oracle be the naive all-pairs
+    * formulation, the x142 discipline: equality proves both precision
+    * and recall). The rarest-first ordering is what makes prefixes
+    * selective — frequent boilerplate tokens land OUTSIDE prefixes and
+    * never generate candidates. A length filter (t·max ≤ min) prunes
+    * size-incompatible pairs inside the join. The exact Jaccard verify
+    * then restores precision.
+    *
+    * Scale shape: token df is ONE (token)-keyed count; positions are a
+    * doc-keyed window over narrow (id, token, df) rows (linear per
+    * doc); the candidate join keys on prefix TOKENS — hot tokens are
+    * the skew to watch, but the rarest-first prefix rule is itself the
+    * mitigation (a token enters prefixes only when few documents carry
+    * it in prefix position); the verify leg is per-pair compute behind
+    * [[Skew.repartitionForPairCompute]]. Document text never rides a
+    * shuffle — token strings do (bounded by the tokenizer), the
+    * [[sourceOverlap]] digest swap being the upgrade path at crawl
+    * scale. Output: id_a < id_b, jaccard (6dp) ≥ threshold. */
+  def prefixFilterJaccardPairs(docs: DataFrame, idCol: String,
+      textCol: String, threshold: Double): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold in (0, 1]: $threshold")
+    val sets = docs.select(col(idCol).as("__pid"),
+        array_distinct(TextAnalysis.tokens(col(textCol))).as("__set"))
+      .filter(size(col("__set")) > 0)
+      .withColumn("__n", size(col("__set")))
+    val ex = sets.select(col("__pid"), col("__n"),
+      explode(col("__set")).as("__tok"))
+    val freq = ex.groupBy(col("__tok")).agg(count(lit(1)).as("__df"))
+    // epsilon-guarded ceil: t·n landing a hair ABOVE an exact integer
+    // in binary must not lengthen the required overlap (a too-short
+    // prefix breaks recall; the guard errs toward longer prefixes)
+    val prefixLen = (col("__n") -
+      ceil(lit(threshold) * col("__n") - lit(1e-9)) + 1).cast("int")
+    val byRarity = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__pid")).orderBy(col("__df"), col("__tok"))
+    val prefixes = ex.join(freq, Seq("__tok"))
+      .withColumn("__pos", row_number().over(byRarity))
+      .filter(col("__pos") <= prefixLen)
+      .select(col("__pid"), col("__n"), col("__tok"))
+    val candPairs = prefixes.select(col("__pid").as("id_a"),
+        col("__n").as("__na"), col("__tok"))
+      .join(prefixes.select(col("__pid").as("id_b"),
+          col("__n").as("__nb"), col("__tok")), Seq("__tok"))
+      .filter(col("id_a") < col("id_b") &&
+        least(col("__na"), col("__nb")).cast("double") >=
+          lit(threshold) * greatest(col("__na"), col("__nb")))
+      .select(col("id_a"), col("id_b")).distinct()
+    val verify = Skew.repartitionForPairCompute(candPairs, col("id_a"))
+      .join(sets.select(col("__pid").as("id_a"), col("__set").as("__sa")),
+        Seq("id_a"))
+      .join(sets.select(col("__pid").as("id_b"), col("__set").as("__sb")),
+        Seq("id_b"))
+      .withColumn("jaccard",
+        round(size(array_intersect(col("__sa"), col("__sb"))).cast("double") /
+          size(array_union(col("__sa"), col("__sb"))), 6))
+      .filter(col("jaccard") >= threshold)
+    verify.select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
   /** One comparison field for [[linkRecords]]: agreement contributes
     * `agreeW` to the match score, disagreement `disagreeW` (the
     * Fellegi–Sunter log-likelihood-ratio weights — callers estimate them

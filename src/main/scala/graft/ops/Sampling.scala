@@ -417,4 +417,51 @@ object Sampling {
       .withColumn("pos", (row_number().over(w) - 1).cast("long"))
       .drop("__skey")
   }
+
+  /** Prototypicality pruning (Sorscher et al. 2022, "Beyond neural
+    * scaling laws" — the SSL-prototypes metric; composed with SemDeDup
+    * in Abbas et al.'s D4 pipeline): within each embedding cluster,
+    * rank vectors by cosine similarity to their centroid and PRUNE the
+    * most prototypical (easiest) fraction — with abundant data, the
+    * paper's result is that keeping the HARD examples (far from their
+    * prototype) beats random pruning, while tiny datasets prune the
+    * opposite end. This operator is the abundant-data direction; for
+    * the keep-easy direction filter on the emitted rank yourself.
+    *
+    * Per cluster of size n, exactly `floor(pruneFraction * n)` rows are
+    * pruned — the `proto_rank <= cut` rows, rank 1 = highest
+    * centroid_sim, ties broken by SMALLEST id (the deterministic
+    * [[graft.ops.Dedup.semanticDedup]] tie discipline, SQL-replayable).
+    * Emits every input row (corpus accounting): (id, cluster_id,
+    * centroid_sim 6dp, proto_rank, cluster_size, kept) — filter on
+    * `kept` for the survivors.
+    *
+    * Scale shape: assignment is [[graft.ops.Dedup.assignToCentroids]]
+    * (map-only literal argmax ≤ 64 centroids, broadcast-join +
+    * partial-agg max above); then ONE cluster-keyed exchange carrying
+    * narrow (id, cluster_id, sim) rows feeds both windows (rank +
+    * size share the partitioning, so Spark plans a single shuffle).
+    * Unlike SemDeDup's quadratic within-cluster compare, the window is
+    * LINEAR in cluster size — a skewed giant cluster costs one slow
+    * sort partition, not n² cosines, so no size guard is needed. */
+  def prototypicalityPrune(emb: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame, cidCol: String, cvecCol: String,
+      pruneFraction: Double): DataFrame = {
+    require(pruneFraction >= 0.0 && pruneFraction < 1.0,
+      s"pruneFraction in [0, 1): $pruneFraction")
+    val cents = graft.ops.Dedup.collectCentroids(centroids, cidCol, cvecCol)
+    val assigned = graft.ops.Dedup
+      .assignToCentroids(emb, idCol, vecCol, cents)
+      .select(col(idCol), col("cluster_id"), col("centroid_sim"))
+    val byProto = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cluster_id"))
+      .orderBy(col("centroid_sim").desc, col(idCol))
+    val bySize = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cluster_id"))
+    assigned
+      .withColumn("proto_rank", row_number().over(byProto).cast("long"))
+      .withColumn("cluster_size", count(lit(1)).over(bySize))
+      .withColumn("kept", col("proto_rank") >
+        floor(lit(pruneFraction) * col("cluster_size")))
+  }
 }

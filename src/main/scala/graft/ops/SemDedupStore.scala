@@ -180,15 +180,34 @@ object SemDedupStore {
       .partitionBy("ingest_shard")
       .parquet(path)
 
+  /** Read a shard-partitioned store table, or an EMPTY frame when the
+    * path has no `ingest_shard=` partition dirs yet.
+    *
+    * The no-partition-dirs case MUST short-circuit and must not fall
+    * through to `spark.read.parquet`: an empty-but-existing dir (what a
+    * zero-row partitioned write leaves behind — the cold-start build)
+    * would resolve with an EMPTY partition schema, and if that relation
+    * is persisted, the SAME ingest's later write triggers the cache
+    * manager's recache-by-path, whose file-index refresh picks up the
+    * freshly written `ingest_shard=` files under a reader built for
+    * zero partition columns — `ParquetFileFormat`'s partitionValues
+    * assert kills the job (measured live in r12 on the cold-start
+    * streamed ingest; the mechanism needs persist + an overlapping
+    * write, which is exactly ingest's shape). */
+  private def readShardTable(spark: SparkSession, path: String,
+      schema: StructType): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val hasParts = fs.exists(p) && fs.listStatus(p).exists(st =>
+      st.isDirectory && st.getPath.getName.startsWith("ingest_shard="))
+    if (hasParts) spark.read.schema(schema).parquet(path)
+    else spark.createDataFrame(
+      java.util.Collections.emptyList[org.apache.spark.sql.Row](), schema)
+  }
+
   private def readAssign(spark: SparkSession, root: String,
       excludeShard: Option[String]): DataFrame = {
-    val p = new org.apache.hadoop.fs.Path(assignPath(root))
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val base =
-      if (fs.exists(p)) spark.read.schema(assignSchema).parquet(p.toString)
-      else spark.createDataFrame(
-        java.util.Collections.emptyList[org.apache.spark.sql.Row](),
-        assignSchema)
+    val base = readShardTable(spark, assignPath(root), assignSchema)
     excludeShard.fold(base)(s => base.filter(col("ingest_shard") =!= lit(s)))
   }
 
@@ -197,13 +216,7 @@ object SemDedupStore {
     * over the union of every ingested shard with the store's centroids
     * and threshold (minus the vector column). */
   def currentState(spark: SparkSession, root: String): DataFrame = {
-    val fp = new org.apache.hadoop.fs.Path(flagsPath(root))
-    val fs = fp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val flags =
-      (if (fs.exists(fp)) spark.read.schema(flagsSchema).parquet(fp.toString)
-       else spark.createDataFrame(
-         java.util.Collections.emptyList[org.apache.spark.sql.Row](),
-         flagsSchema))
+    val flags = readShardTable(spark, flagsPath(root), flagsSchema)
         .groupBy(col("id"))
         .agg(max(col("dup")).as("__dup"), max(col("removed")).as("__rem"))
     readAssign(spark, root, excludeShard = None)

@@ -3113,6 +3113,72 @@ object ExtensionQueries {
       graft.ops.SemDedupStore.addShard(s, root,
           corpus.filter(col("vec_id") >= 10000), "vec_id", "v", "s2")
         .orderBy(col("id"))
+    }),
+
+    // Prototypicality pruning (Sorscher et al. '22 SSL-prototypes, the
+    // D4 companion of SemDeDup): per cluster, rank by centroid cosine
+    // and prune the most prototypical 30% — rank, size, and the keep
+    // decision all replayed over the x65 corpus/centroid fixture
+    "x158_prototype_prune" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val corpus = embDupCorpus(emb)
+      val cents = emb
+        .filter(col("vec_id").isin(0L, 1L, 3L, 7L, 11L, 19L, 23L, 29L))
+        .select(col("vec_id").as("cid"),
+          transform(col("embedding"), x => x.cast("double")).as("cv"))
+      graft.ops.Sampling.prototypicalityPrune(corpus, "vec_id", "v",
+          cents, "cid", "cv", 0.3)
+        .orderBy(col("vec_id"))
+    }),
+
+    // Exact all-pairs Jaccard via prefix filtering (AllPairs, Bayardo
+    // et al. '07) — the x142 discipline: the operator runs the prefix-
+    // filtered path, the oracle the naive all-pairs formulation, and
+    // equality proves the prefix principle's recall-completeness AND
+    // the verify leg's precision on this corpus. Planted near-dups:
+    // copies of docs < 40 with two novel tokens appended (J = n/(n+2))
+    "x159_prefix_jaccard" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").filter(col("doc_id") < 200)
+        .select(col("doc_id"), col("text"))
+      val mutated = docs.filter(col("doc_id") < 40)
+        .select((col("doc_id") + 10000).as("doc_id"),
+          concat(col("text"), lit(" zq1 zq2")).as("text"))
+      graft.ops.Dedup.prefixFilterJaccardPairs(docs.unionByName(mutated),
+          "doc_id", "text", 0.8)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // Streamed SemDeDup ingest: a COLD store (centroids + threshold
+    // only), then the originals and the planted near-dup copies arrive
+    // as two real micro-batches through semDedupSink — currentState
+    // after the stream must equal batch semanticDedup over the union
+    // (the x157 oracle verbatim), which pins the store's any-batch-
+    // decomposition equivalence in a driver artifact: cross-BATCH pairs
+    // are all the planted near-dups, including retractions
+    "x160_stream_semdedup" -> ((s, dir) => {
+      val root = ParityQueries.tmpPath("graft_semstream", dir)
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+      val emb = t(s, dir, "embeddings")
+      val corpus = embDupCorpus(emb)
+      val cents = emb
+        .filter(col("vec_id").isin(0L, 1L, 3L, 7L, 11L, 19L, 23L, 29L))
+        .select(col("vec_id").as("cid"),
+          transform(col("embedding"), x => x.cast("double")).as("cv"))
+      graft.ops.SemDedupStore.buildStore(corpus.filter(lit(false)),
+        "vec_id", "v", cents, "cid", "cv", 0.9, s"$root/store", "s0")
+      corpus.filter(col("vec_id") < 10000).coalesce(1)
+        .write.mode("append").parquet(s"$root/in")
+      corpus.filter(col("vec_id") >= 10000).coalesce(1)
+        .write.mode("append").parquet(s"$root/in")
+      val feed = s.readStream.schema(corpus.schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$root/in")
+      graft.streaming.EventStreams.withStatePartitions(s, 8) {
+        val sq = graft.streaming.EventStreams.semDedupSink(feed,
+          "vec_id", "v", s"$root/store", s"$root/ckpt")
+        try sq.processAllAvailable() finally sq.stop()
+      }
+      graft.ops.SemDedupStore.currentState(s, s"$root/store")
+        .orderBy(col("id"))
     }))
 
   /** Planted separable classification fixture for x88/x90: each doc
@@ -7073,6 +7139,113 @@ object ExtensionQueries {
         |LEFT JOIN dup d ON a.vec_id = d.did
         |LEFT JOIN rem r ON a.vec_id = r.rid
         |ORDER BY a.vec_id""".stripMargin,
+
+    // Prototypicality-pruning replay: the x65 corpus/centroid/assign
+    // CTEs, then rank/size windows and the floor-cut keep rule
+    "x158_prototype_prune" ->
+      """WITH base AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |corpus AS (
+        |  SELECT vec_id, v FROM base
+        |  UNION ALL
+        |  SELECT vec_id + 10000,
+        |    list_transform(range(0, len(v)), i -> v[i + 1] * (1.0 + 0.05 * ((i % 3) - 1)))
+        |  FROM base WHERE vec_id < 25),
+        |cent AS (
+        |  SELECT vec_id AS cid, v AS cv FROM base
+        |  WHERE vec_id IN (0, 1, 3, 7, 11, 19, 23, 29)),
+        |sims AS (
+        |  SELECT c.vec_id, c.v, ct.cid,
+        |    ROUND(list_cosine_similarity(c.v, ct.cv), 6) AS csim
+        |  FROM corpus c CROSS JOIN cent ct),
+        |assign AS (
+        |  SELECT vec_id, cid AS cluster_id, csim AS centroid_sim
+        |  FROM (SELECT *, row_number() OVER (
+        |          PARTITION BY vec_id ORDER BY csim DESC, cid) AS rn
+        |        FROM sims)
+        |  WHERE rn = 1),
+        |ranked AS (
+        |  SELECT vec_id, cluster_id, centroid_sim,
+        |    row_number() OVER (PARTITION BY cluster_id
+        |      ORDER BY centroid_sim DESC, vec_id) AS proto_rank,
+        |    count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+        |  FROM assign)
+        |SELECT vec_id, cluster_id, centroid_sim, proto_rank, cluster_size,
+        |  proto_rank > FLOOR(0.3 * cluster_size) AS kept
+        |FROM ranked
+        |ORDER BY vec_id""".stripMargin,
+
+    // Streamed-SemDeDup replay: identical to x157 — the store contract
+    // is decomposition-invariant, so the stream's two micro-batches
+    // must land on the same batch-union answer
+"x160_stream_semdedup" ->
+      """WITH base AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |corpus AS (
+        |  SELECT vec_id, v FROM base
+        |  UNION ALL
+        |  SELECT vec_id + 10000,
+        |    list_transform(range(0, len(v)), i -> v[i + 1] * (1.0 + 0.05 * ((i % 3) - 1)))
+        |  FROM base WHERE vec_id < 25),
+        |cent AS (
+        |  SELECT vec_id AS cid, v AS cv FROM base
+        |  WHERE vec_id IN (0, 1, 3, 7, 11, 19, 23, 29)),
+        |sims AS (
+        |  SELECT c.vec_id, c.v, ct.cid,
+        |    ROUND(list_cosine_similarity(c.v, ct.cv), 6) AS csim
+        |  FROM corpus c CROSS JOIN cent ct),
+        |assign AS (
+        |  SELECT vec_id, v, cid AS cluster_id, csim AS centroid_sim
+        |  FROM (SELECT *, row_number() OVER (
+        |          PARTITION BY vec_id ORDER BY csim DESC, cid) AS rn
+        |        FROM sims)
+        |  WHERE rn = 1),
+        |pairs AS (
+        |  SELECT * FROM (
+        |    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |      a.centroid_sim AS ca, b.centroid_sim AS cb,
+        |      ROUND(list_cosine_similarity(a.v, b.v), 6) AS ps
+        |    FROM assign a JOIN assign b
+        |      ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id)
+        |  WHERE ps >= 0.9),
+        |dup AS (SELECT DISTINCT unnest([id_a, id_b]) AS did FROM pairs),
+        |rem AS (
+        |  SELECT DISTINCT CASE WHEN ca > cb THEN id_a
+        |    WHEN cb > ca THEN id_b
+        |    ELSE greatest(id_a, id_b) END AS rid
+        |  FROM pairs)
+        |SELECT a.vec_id AS id, a.cluster_id, a.centroid_sim,
+        |  (d.did IS NOT NULL) AS is_dup, (r.rid IS NULL) AS kept
+        |FROM assign a
+        |LEFT JOIN dup d ON a.vec_id = d.did
+        |LEFT JOIN rem r ON a.vec_id = r.rid
+        |ORDER BY a.vec_id""".stripMargin,
+
+    // Prefix-filter Jaccard replay: the NAIVE all-pairs formulation —
+    // bounded fixture, so the quadratic truth is cheap here while the
+    // operator's prefix path is the one that scales
+    "x159_prefix_jaccard" ->
+      """WITH d AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id < 200
+        |  UNION ALL
+        |  SELECT doc_id + 10000, text || ' zq1 zq2'
+        |  FROM documents WHERE doc_id < 40),
+        |s AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_filter(string_split_regex(trim(text), '\s+'),
+        |      x -> len(x) > 0)) AS toks
+        |  FROM d
+        |  WHERE len(list_filter(string_split_regex(trim(text), '\s+'),
+        |    x -> len(x) > 0)) > 0),
+        |p AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    ROUND(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
+        |      (len(a.toks) + len(b.toks)
+        |        - len(list_intersect(a.toks, b.toks))), 6) AS jaccard
+        |  FROM s a JOIN s b ON a.doc_id < b.doc_id)
+        |SELECT id_a, id_b, jaccard FROM p
+        |WHERE jaccard >= 0.8
+        |ORDER BY id_a, id_b""".stripMargin,
 
     // Record-linkage replay: same blocking join, agreement predicates,
     // and fixed-order weight sum

@@ -397,6 +397,36 @@ object EventStreams {
       }
       .start()
 
+  /** Stream embedding shards into a persisted SemDeDup store
+    * ([[graft.ops.SemDedupStore]]) — the semantic-dedup member of the
+    * streaming-ingest family ([[incrementalDedupSink]] = MinHash text
+    * dedup, [[ivfAppendSink]] = retrieval index, this = embedding
+    * near-dup state): each micro-batch ingests as one store shard named
+    * by batchId, so foreachBatch's at-least-once redelivery replays
+    * into the SAME assignment/flag partitions (idempotent dynamic
+    * overwrite) and store state stays exactly-once. The micro-batch
+    * loop serializes writers — the store's single-writer contract falls
+    * out for free. The store must exist ([[graft.ops.SemDedupStore
+    * .buildStore]] on the historical corpus, or an empty frame to start
+    * cold); centroids stay FROZEN across the stream, which is exactly
+    * the store's equivalence contract: after any prefix of batches the
+    * state equals batch semanticDedup over everything ingested so far —
+    * including cross-batch retractions of previously-kept vectors,
+    * which arrive as flag deltas in the newest batch's partition. */
+  def semDedupSink(vectors: DataFrame, idCol: String, vecCol: String,
+      storeRoot: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    vectors.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          graft.ops.SemDedupStore.addShard(batch.sparkSession, storeRoot,
+            batch, idCol, vecCol, s"stream_$batchId")
+        }
+        ()
+      }
+      .start()
+
   /** Stream vector embeddings into an appendable IVF index
     * ([[graft.ops.IVF.writeIndexAppendable]] root) — the retrieval-side
     * twin of [[incrementalDedupSink]]: each micro-batch becomes one

@@ -87,6 +87,29 @@ class SemDedupStoreSpec extends SparkSpec {
     assert(state(root).map(_._1).toSeq === Seq(1L, 2L))
   }
 
+  test("cold start: empty build, then shard ingests equal the batch answer") {
+    // the r12 streamed-ingest failure mode: an empty build leaves
+    // assign/ as an EMPTY DIR; the next ingest's prior read must not
+    // resolve it with an empty partition schema (persist + the same
+    // ingest's write then recaches a file index whose new files carry
+    // a partition column the reader didn't plan for — the
+    // ParquetFileFormat partitionValues assert)
+    val root = freshRoot("cold")
+    val empty = Seq.empty[(Long, Seq[Double])].toDF("vec_id", "v")
+    SemDedupStore.buildStore(empty, "vec_id", "v", cents, "cid", "cv",
+      0.95, root, "s0")
+    assert(state(root).isEmpty)
+    val s1 = vecs((1L, Seq(1.0, 0.0)), (2L, Seq(1.0, 0.02)))
+    val s2 = vecs((3L, Seq(1.0, 0.01)), (11L, Seq(0.0, 1.0)))
+    SemDedupStore.addShard(spark, root, s1, "vec_id", "v", "b0")
+    SemDedupStore.addShard(spark, root, s2, "vec_id", "v", "b1")
+    val batch = Dedup.semanticDedup(s1.unionByName(s2), "vec_id", "v",
+        cents, "cid", "cv", 0.95)
+      .orderBy("vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(3), r.getBoolean(4)))
+    assert(state(root).toSeq === batch.toSeq)
+  }
+
   test("threshold round-trips through meta; mismatched centroids stay frozen") {
     val root = freshRoot("meta")
     val s1 = vecs((1L, Seq(1.0, 0.0)))
