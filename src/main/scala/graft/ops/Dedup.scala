@@ -1446,16 +1446,29 @@ object Dedup {
     *
     * Scale shape: token df is ONE (token)-keyed count; positions are a
     * doc-keyed window over narrow (id, token, df) rows (linear per
-    * doc); the candidate join keys on prefix TOKENS — hot tokens are
-    * the skew to watch, but the rarest-first prefix rule is itself the
-    * mitigation (a token enters prefixes only when few documents carry
-    * it in prefix position); the verify leg is per-pair compute behind
+    * doc); the candidate join keys on prefix TOKENS — hot PREFIX
+    * tokens are the skew to watch (same class as LSH hot buckets), and
+    * the rarest-first prefix rule is the structural mitigation: a
+    * token enters prefixes only when its carriers have nothing rarer.
+    * That mitigation REQUIRES an open vocabulary (real text's long
+    * tail; shingles even more so). A closed small vocabulary — every
+    * token's df ≫ 1 — has no rarity signal, prefixes can't prune, and
+    * the per-token candidate join goes quadratic: measured live in the
+    * r12 [[graft.tools.DedupScaleSmoke]] phase, a 5k-word vocab over
+    * 200k docs ran 15+ minutes where the 1M-word Zipf corpus of the
+    * same size completes in seconds. `maxPrefixBucket` (> 0 to enable)
+    * turns that silent wall into a loud one exactly like
+    * [[semanticDedup]]'s `maxClusterSize`: one aggregate over the
+    * narrow prefix rows, and the call REFUSES (naming the mitigation)
+    * when any prefix token's membership exceeds the cap — exactness is
+    * never silently traded. The verify leg is per-pair compute behind
     * [[Skew.repartitionForPairCompute]]. Document text never rides a
     * shuffle — token strings do (bounded by the tokenizer), the
     * [[sourceOverlap]] digest swap being the upgrade path at crawl
     * scale. Output: id_a < id_b, jaccard (6dp) ≥ threshold. */
   def prefixFilterJaccardPairs(docs: DataFrame, idCol: String,
-      textCol: String, threshold: Double): DataFrame = {
+      textCol: String, threshold: Double,
+      maxPrefixBucket: Long = 0L): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0,
       s"threshold in (0, 1]: $threshold")
     val sets = docs.select(col(idCol).as("__pid"),
@@ -1476,6 +1489,22 @@ object Dedup {
       .withColumn("__pos", row_number().over(byRarity))
       .filter(col("__pos") <= prefixLen)
       .select(col("__pid"), col("__n"), col("__tok"))
+    if (maxPrefixBucket > 0) {
+      prefixes.groupBy(col("__tok")).agg(count(lit(1)).as("__c"))
+        .orderBy(col("__c").desc).limit(1).collect().headOption
+        .foreach { top =>
+          if (top.getLong(1) > maxPrefixBucket) {
+            throw new IllegalArgumentException(
+              s"requirement failed: prefixFilterJaccardPairs: prefix token " +
+              s"'${top.getString(0)}' appears in ${top.getLong(1)} prefixes " +
+              s"(maxPrefixBucket=$maxPrefixBucket); the candidate join is " +
+              "quadratic per prefix token — this corpus has no rarity " +
+              "signal (closed/small vocabulary). Raise the threshold, " +
+              "shingle the text (opens the vocabulary), or use the " +
+              "probabilistic minhashLshPairs path instead")
+          }
+        }
+    }
     val candPairs = prefixes.select(col("__pid").as("id_a"),
         col("__n").as("__na"), col("__tok"))
       .join(prefixes.select(col("__pid").as("id_b"),

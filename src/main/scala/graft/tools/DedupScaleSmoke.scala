@@ -149,6 +149,50 @@ object DedupScaleSmoke {
       graft.ops.IncrementalDedup.retractionsForShard(spark, root10, "s1")
         .count())
     println(s"[dedup-scale] retraction rows: base=$retrBase x10=$retr10")
+
+    // r12: prefix-filter EXACT Jaccard at scale. The uniform word-soup
+    // corpus above is the operator's documented worst case — a CLOSED
+    // small vocabulary (5k words across 200k docs) has no genuinely
+    // rare tokens, so prefixes cannot prune and candidates blow up
+    // quadratically per token (measured: the phase ran past 15 min at
+    // 200k before being cut; the scaladoc's hot-token hazard, live).
+    // The operator's operating regime — and the published algorithm's —
+    // is an OPEN vocabulary where documents carry tokens rarer than the
+    // corpus size (real text's long tail; shingles even more so): a
+    // 1M-word Zipf-ish vocab (w = h mod (h2 mod 999983 + 1)) puts
+    // several near-unique tokens in every doc, prefixes become
+    // near-unique, and candidates collapse to near-dups plus noise.
+    // Planted near-dups mutate the last 8 of 40 positions
+    // (set-Jaccard ≈ 0.67 > the 0.6 threshold).
+    def zipfText(idCol: org.apache.spark.sql.Column, mutateTail: Boolean) =
+      concat_ws(" ", (0 until 40).map { p =>
+        val h = xxhash64(lit(if (mutateTail && p >= 32) 13 else 12),
+          idCol, lit(p))
+        val h2 = xxhash64(lit(99), idCol, lit(p))
+        concat(lit("z"),
+          pmod(h, pmod(h2, lit(999983)) + 1).cast("string"))
+      }: _*)
+    val zbase = spark.range(0, n, 1, 32)
+      .select(col("id").as("doc_id"), zipfText(col("id"), mutateTail = false).as("text"))
+    val zdups = spark.range(0, 5000, 1, 8)
+      .select((col("id") + 10000000L).as("doc_id"),
+        zipfText(col("id"), mutateTail = true).as("text"))
+    val zPath = System.getProperty("java.io.tmpdir") +
+      s"/graft_dedup_smoke_zipf_p${ProcessHandle.current().pid()}"
+    zbase.unionByName(zdups).write.mode("overwrite").parquet(zPath)
+    val zCorpus = spark.read.parquet(zPath)
+    time(s"zipf corpus count (${n + 5000})")(zCorpus.count())
+    // count INSIDE the timed block — the operator is fully lazy, so an
+    // outside count would charge the whole run to the readout line (the
+    // minhashLshPairs eager-constructor note above, mirrored)
+    val (pj, nPj) = time("prefix-filter jaccard (t=0.6)") {
+      val d = graft.ops.Dedup.prefixFilterJaccardPairs(zCorpus, "doc_id",
+        "text", 0.6).persist()
+      (d, d.count())
+    }
+    val pjPlanted = pj.filter(col("id_b") === col("id_a") + 10000000L).count()
+    println(s"[dedup-scale] prefix-jaccard pairs=$nPj planted=$pjPlanted/5000")
+
     graft.bench.StageTimers.drain().toSeq.sortBy(-_._2).foreach { case (k, v) =>
       println(f"[dedup-scale]   stage $k%-32s $v%8.2fs")
     }

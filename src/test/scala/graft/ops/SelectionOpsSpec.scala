@@ -99,6 +99,24 @@ class SelectionOpsSpec extends SparkSpec {
     assert(got === Seq((1L, 2L), (1L, 4L), (2L, 4L)))
   }
 
+  test("prefixFilterJaccardPairs: maxPrefixBucket refuses a closed vocabulary") {
+    // every doc built from the same 4 tokens — zero rarity signal, the
+    // quadratic-candidate regime the r12 smoke measured; the guard must
+    // refuse loudly instead of silently going quadratic
+    val rows = (0L until 50L).map(i => (i, "a b c d"))
+    val df = rows.toDF("id", "text")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.prefixFilterJaccardPairs(df, "id", "text", 0.6,
+        maxPrefixBucket = 10L)
+    }
+    assert(e.getMessage.contains("no rarity signal"), e.getMessage)
+    // generous cap: same corpus passes and stays exact
+    val got = Dedup.prefixFilterJaccardPairs(df, "id", "text", 0.6,
+        maxPrefixBucket = 1000L)
+      .count()
+    assert(got === 50L * 49 / 2) // identical sets: every pair at J=1
+  }
+
   test("prefixFilterJaccardPairs: guards bad thresholds") {
     val df = Seq((1L, "a b")).toDF("id", "text")
     intercept[IllegalArgumentException](
