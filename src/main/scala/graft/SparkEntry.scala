@@ -15,7 +15,7 @@ import graft.queries.{ExtensionQueries, ParityQueries}
   * portable trainer whose centroids replay value-exactly cross-engine.
   * Full operator -> query -> check map: /root/repo/COVERAGE.md.
   *
-  * Inventory (211 queries, all oracle-checked — the count is the number
+  * Inventory (212 queries, all oracle-checked — the count is the number
   * of distinct `queries` keys and is asserted against `oracleSql` by
   * `tools/selfcheck.py`, the single source of truth for it):
   *  - q01-q16: scans, filters, CASE chains, datetime, windows (running/
@@ -192,6 +192,9 @@ import graft.queries.{ExtensionQueries, ParityQueries}
   *  - x160: streamed SemDeDup ingest (semDedupSink micro-batches into a
   *    cold persisted store; currentState ≡ batch semanticDedup over the
   *    union — the store's decomposition invariance driver-checked)
+  *  - x161: winnowing fingerprint overlap (MOSS: rightmost-min k-gram
+  *    selection, df-capped fingerprint join, containment overlap —
+  *    position-shifted partial copies recovered)
   */
 object SparkEntry {
 

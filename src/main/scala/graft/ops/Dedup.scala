@@ -1525,6 +1525,110 @@ object Dedup {
     verify.select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Winnowing document fingerprints (Schleimer, Wilkerson & Aiken '03
+    * — the MOSS scheme; reference has no fingerprint/clone-detection
+    * surface, extension op): hash every character k-gram, slide a
+    * window over w consecutive gram hashes, keep each window's
+    * RIGHTMOST MINIMUM. Guarantees: any exact match of length >=
+    * k + w - 1 shares at least one fingerprint, and selections sit at
+    * most w grams apart (expected density 2/(w+1)). Position-robust by
+    * construction — a copied span keeps its fingerprints wherever it
+    * lands in the copy, which is what "every i-th gram" sampling and
+    * whole-doc digests both lose.
+    *
+    * PRODUCTION path: ONE map-only pass of the native
+    * [[graft.functions.WinnowFingerprints]] expression (xxhash64,
+    * per-row primitive loop) + explode — fingerprinting never
+    * shuffles; downstream overlap detection shuffles only the narrow
+    * (id, pos, fp) rows, never text. Output: id, pos, fp. */
+  def winnowFingerprints(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 16, w: Int = 4): DataFrame =
+    docs.select(col(idCol).as("id"),
+        explode(graft.functions.WinnowFunctions
+          .winnow_fingerprints(col(textCol), k, w)).as("__s"))
+      .select(col("id"), col("__s.pos").as("pos"), col("__s.fp").as("fp"))
+
+  /** [[winnowFingerprints]] on the PORTABLE md5 family — the
+    * oracle-checkable surface (the [[minhashLshPairsPortable]]
+    * convention: md5 because it is the one hash both engines spell
+    * identically). Same selection rule via different machinery: grams
+    * explode to narrow (id, pos, h60) rows, rightmost-min is
+    * `min(struct(h, 1048575 - pos))` over ONE doc-keyed window of the
+    * next w rows (struct ordering: h ascending, then LARGEST pos —
+    * rightmost — on hash ties), window starts filtered to the
+    * canonical range (pos <= m - w; short docs keep only the one
+    * truncated pos-0 window). The DuckDB oracle replays the identical
+    * selection with list_min over a HUGEINT encoding h*2^20 +
+    * (2^20-1-pos) — same total order, engine-native spelling.
+    * Positions must stay below 2^20 for that encoding; fixture-scale
+    * by design (production = [[winnowFingerprints]]). The two paths
+    * are pinned by spec to detect the same planted copied spans. */
+  def winnowFingerprintsPortable(docs: DataFrame, idCol: String,
+      textCol: String, k: Int = 16, w: Int = 4): DataFrame = {
+    require(k > 0, "gram size k must be positive")
+    require(w > 0, "window size w must be positive")
+    val grams = docs.select(col(idCol).as("id"),
+        greatest(length(col(textCol)) - (k - 1), lit(1)).as("__m"),
+        col(textCol).as("__t"))
+      .select(col("id"), col("__m"),
+        explode(sequence(lit(0), col("__m") - 1)).as("pos"), col("__t"))
+      .withColumn("h", conv(substring(md5(
+          col("__t").substr(col("pos") + 1, lit(k)).cast("binary")),
+        1, 15), 16, 10).cast("long"))
+      .select(col("id"), col("__m"), col("pos"), col("h"))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id")).orderBy(col("pos")).rowsBetween(0, w - 1)
+    grams
+      .withColumn("__sel",
+        min(struct(col("h"), (lit(1048575) - col("pos")).as("rp"))).over(win))
+      .filter(col("pos") <= greatest(col("__m") - w, lit(0)))
+      .select(col("id"), (lit(1048575) - col("__sel.rp")).as("pos"),
+        col("__sel.h").as("fp"))
+      .distinct()
+  }
+
+  /** Fingerprint-overlap pairs from a winnow frame (id, pos, fp):
+    * documents sharing `minShared`+ distinct fingerprints, scored by
+    * overlap = shared / min(|fps_a|, |fps_b|) (containment-style, so a
+    * short doc copied into a long one still scores high). `maxDf`
+    * drops fingerprints carried by more than maxDf documents BEFORE
+    * the self-join — simultaneously the hot-key guard (a fingerprint
+    * every doc carries would join quadratically, the LSH hot-bucket
+    * class) and a precision rule: an over-common fingerprint is
+    * boilerplate, not copying signal (MOSS drops them for the same
+    * reason). Scale shape: one distinct aggregate, one fp-keyed count,
+    * one fp-keyed self-join on narrow rows, one pair-keyed count —
+    * text never rides any shuffle. Output: id_a < id_b, shared,
+    * overlap (6dp). */
+  def winnowOverlapPairs(fps: DataFrame, maxDf: Int = 64,
+      minShared: Int = 3): DataFrame = {
+    require(maxDf > 0, "maxDf must be positive")
+    require(minShared > 0, "minShared must be positive")
+    // dual-consumer materialization (the bucketCandidates convention):
+    // the distinct frame feeds the df counts, both join sides, and the
+    // per-doc sizes — without it the explode+distinct upstream re-runs
+    // once per consumer
+    val distinctFps = fps.select(col("id"), col("fp")).distinct().persist()
+    distinctFps.count()
+    val rare = distinctFps.join(
+      distinctFps.groupBy(col("fp")).agg(count(lit(1)).as("__df"))
+        .filter(col("__df") <= maxDf).select(col("fp")),
+      Seq("fp"))
+    val perDoc = distinctFps.groupBy(col("id")).agg(count(lit(1)).as("__n"))
+    rare.select(col("fp"), col("id").as("id_a"))
+      .join(rare.select(col("fp"), col("id").as("id_b")), Seq("fp"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+      .join(perDoc.select(col("id").as("id_a"), col("__n").as("__na")),
+        Seq("id_a"))
+      .join(perDoc.select(col("id").as("id_b"), col("__n").as("__nb")),
+        Seq("id_b"))
+      .withColumn("overlap", round(col("shared").cast("double") /
+        least(col("__na"), col("__nb")), 6))
+      .select(col("id_a"), col("id_b"), col("shared"), col("overlap"))
+  }
+
   /** One comparison field for [[linkRecords]]: agreement contributes
     * `agreeW` to the match score, disagreement `disagreeW` (the
     * Fellegi–Sunter log-likelihood-ratio weights — callers estimate them

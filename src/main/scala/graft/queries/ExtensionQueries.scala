@@ -3179,6 +3179,25 @@ object ExtensionQueries {
       }
       graft.ops.SemDedupStore.currentState(s, s"$root/store")
         .orderBy(col("id"))
+    }),
+
+    // Winnowing fingerprint overlap (MOSS): originals plus partial
+    // copies that prepend per-doc junk and keep a 160-char mid-slice —
+    // the position-shifted-copy case whole-doc digests and stride
+    // sampling both miss. The portable md5 path is the oracle surface;
+    // expected hits = all 40 planted slices (overlap ~1 on the short
+    // side) plus the fixture's own planted duplicate docs
+    "x161_winnow_overlap" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val planted = docs.filter(col("doc_id") < 40)
+        .select((col("doc_id") + 10000).as("doc_id"),
+          concat(lit("zq"), col("doc_id").cast("string"), lit("qz "),
+            substring(col("text"), 30, 160)).as("text"))
+      val fps = graft.ops.Dedup.winnowFingerprintsPortable(
+        docs.unionByName(planted), "doc_id", "text", k = 16, w = 4)
+      graft.ops.Dedup.winnowOverlapPairs(fps, maxDf = 64, minShared = 3)
+        .filter(col("overlap") >= 0.5)
+        .orderBy(col("id_a"), col("id_b"))
     }))
 
   /** Planted separable classification fixture for x88/x90: each doc
@@ -7220,6 +7239,50 @@ object ExtensionQueries {
         |LEFT JOIN dup d ON a.vec_id = d.did
         |LEFT JOIN rem r ON a.vec_id = r.rid
         |ORDER BY a.vec_id""".stripMargin,
+
+    // Winnowing replay: identical md5-h60 gram hashes, the SAME
+    // rightmost-min selection via list_min over a HUGEINT encoding
+    // h*2^20 + (2^20-1-pos) (minimizing the encoding = h ascending,
+    // then pos DESCENDING — the operator's min(struct(h, 1048575-pos))
+    // total order, engine-native spelling), then the df-capped
+    // fingerprint self-join and containment-style overlap
+    "x161_winnow_overlap" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 10000,
+        |    'zq' || CAST(doc_id AS VARCHAR) || 'qz ' || substring(text, 30, 160)
+        |  FROM documents WHERE doc_id < 40),
+        |g AS (
+        |  SELECT doc_id, greatest(len(text) - 15, 1) AS m,
+        |    list_transform(range(0, greatest(len(text) - 15, 1)),
+        |      i -> CAST(CAST('0x' || substring(md5(substring(text, CAST(i + 1 AS INT), 16)), 1, 15) AS BIGINT) AS HUGEINT) * 1048576
+        |        + (1048575 - i)) AS encs
+        |  FROM corpus),
+        |sel AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(range(0, greatest(m - 4, 0) + 1),
+        |      s -> list_min(list_slice(encs, CAST(s + 1 AS INT), CAST(s + 4 AS INT))))) AS sels
+        |  FROM g),
+        |fp AS (
+        |  SELECT DISTINCT doc_id AS id, CAST(e // 1048576 AS BIGINT) AS fp
+        |  FROM sel, UNNEST(sels) AS t(e)),
+        |rare AS (
+        |  SELECT id, fp FROM fp
+        |  WHERE fp IN (SELECT fp FROM fp GROUP BY fp HAVING count(*) <= 64)),
+        |perdoc AS (SELECT id, count(*) AS n FROM fp GROUP BY id),
+        |pairs AS (
+        |  SELECT a.id AS id_a, b.id AS id_b, count(*) AS shared
+        |  FROM rare a JOIN rare b ON a.fp = b.fp AND a.id < b.id
+        |  GROUP BY 1, 2)
+        |SELECT p.id_a, p.id_b, p.shared,
+        |  ROUND(CAST(p.shared AS DOUBLE) / least(na.n, nb.n), 6) AS overlap
+        |FROM pairs p
+        |JOIN perdoc na ON na.id = p.id_a
+        |JOIN perdoc nb ON nb.id = p.id_b
+        |WHERE p.shared >= 3
+        |  AND ROUND(CAST(p.shared AS DOUBLE) / least(na.n, nb.n), 6) >= 0.5
+        |ORDER BY p.id_a, p.id_b""".stripMargin,
 
     // Prefix-filter Jaccard replay: the NAIVE all-pairs formulation —
     // bounded fixture, so the quadratic truth is cheap here while the

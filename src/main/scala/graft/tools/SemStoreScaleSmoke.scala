@@ -57,21 +57,22 @@ object SemStoreScaleSmoke {
     val shard = fresh.unionByName(planted).persist()
     shard.count()
 
-    val st = time(s"addShard (${n / 50 + 1000} rows)")(
+    // force INSIDE every timed block — addShard writes eagerly but the
+    // returned state frame (and batch semanticDedup below) is lazy; an
+    // outside agg would charge the whole computation to the readout line
+    val storeDups = time(s"addShard (${n / 50 + 1000} rows)")(
       graft.ops.SemDedupStore.addShard(spark, root, shard,
-        "vec_id", "v", "s1").persist())
-    val storeDups = st.agg(
-      sum(when(col("is_dup"), 1).otherwise(0)),
-      sum(when(col("kept"), 0).otherwise(1))).head()
+        "vec_id", "v", "s1").agg(
+        sum(when(col("is_dup"), 1).otherwise(0)),
+        sum(when(col("kept"), 0).otherwise(1))).head())
     println(s"[semstore-scale] store: is_dup=${storeDups.getLong(0)} " +
       s"removed=${storeDups.getLong(1)}")
 
-    val batch = time("vs full batch semanticDedup (union)")(
+    val batchDups = time("vs full batch semanticDedup (union)")(
       graft.ops.Dedup.semanticDedup(corpus.unionByName(shard),
-        "vec_id", "v", cents, "cid", "cv", 0.95).persist())
-    val batchDups = batch.agg(
-      sum(when(col("is_dup"), 1).otherwise(0)),
-      sum(when(col("kept"), 0).otherwise(1))).head()
+        "vec_id", "v", cents, "cid", "cv", 0.95).agg(
+        sum(when(col("is_dup"), 1).otherwise(0)),
+        sum(when(col("kept"), 0).otherwise(1))).head())
     println(s"[semstore-scale] batch: is_dup=${batchDups.getLong(0)} " +
       s"removed=${batchDups.getLong(1)}")
     println(s"[semstore-scale] store==batch flag totals: " +

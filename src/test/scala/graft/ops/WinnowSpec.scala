@@ -1,0 +1,122 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Winnowing fingerprints (Schleimer et al. '03): the native xxhash64
+  * path, the portable md5 path, their shared selection guarantees, and
+  * the overlap join. */
+class WinnowSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("winnowFingerprints: every doc yields >= 1 fp; short docs one whole-text gram") {
+    val df = Seq((1L, ""), (2L, "abc"), (3L, "a" * 100)).toDF("id", "text")
+    val fps = Dedup.winnowFingerprints(df, "id", "text", k = 8, w = 4)
+    val byId = fps.groupBy("id").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byId.keySet === Set(1L, 2L, 3L)) // even the empty doc
+    assert(byId(1L) === 1L && byId(2L) === 1L)
+    // constant text: every gram identical -> one distinct (hash) but
+    // rightmost-min re-selects a NEW position each window (ties break
+    // right), so selections advance one per window
+    assert(byId(3L) === (100 - 8 + 1 - 4 + 1).toLong)
+  }
+
+  test("winnowFingerprints: selection density and spacing obey the w-gap guarantee") {
+    val text = (1 to 400).map(i => ('a' + (i * 7) % 26).toChar).mkString
+    val fps = Dedup.winnowFingerprints(Seq((1L, text)).toDF("id", "text"),
+        "id", "text", k = 8, w = 4)
+      .orderBy("pos").collect().map(_.getInt(1))
+    // strictly increasing positions, no gap wider than w
+    fps.sliding(2).foreach { case Array(a, b) =>
+      assert(b > a && b - a <= 4, s"gap $a -> $b")
+    }
+  }
+
+  test("winnowing guarantee: a copied span of >= k+w-1 chars shares a fingerprint (both families)") {
+    // 40-char shared span embedded at different offsets in junk that
+    // shares no 16-gram with anything
+    val span = "the quick brown fox jumps over the lazy"
+    val a = "A" * 37 + span + "B" * 23
+    val b = "x1y2z3 " + span + " 9q8w7e"
+    val df = Seq((1L, a), (2L, b)).toDF("id", "text")
+    for (fps <- Seq(
+        Dedup.winnowFingerprints(df, "id", "text", k = 16, w = 4),
+        Dedup.winnowFingerprintsPortable(df, "id", "text", k = 16, w = 4))) {
+      val shared = fps.filter(col("id") === 1L).select("fp")
+        .intersect(fps.filter(col("id") === 2L).select("fp")).count()
+      assert(shared >= 1L)
+    }
+  }
+
+  test("portable and native paths recover the same planted copy pairs") {
+    // per-(doc, pos) avalanche-mixed chars — docs share no 16-gram by
+    // accident. A linear-congruence or multiply-shift fixture FAILS
+    // here in two distinct ways (both hit while writing this spec):
+    // mod-26 congruences make every doc a rotation of one cycle, and a
+    // multiply-shift is a near-periodic Weyl sequence whose drift
+    // still aligns 16-gram runs between docs. fmix64 avalanches.
+    def fmix(v: Long): Long = {
+      var x = v
+      x ^= x >>> 33; x *= 0xff51afd7ed558ccdL
+      x ^= x >>> 33; x *= 0xc4ceb9fe1a85ec53L
+      x ^ (x >>> 33)
+    }
+    val docs = (0L until 30L).map { i =>
+      val txt = (1 to 200).map { p =>
+        ('a' + math.floorMod(fmix(i * 1000003L + p), 26L).toInt).toChar
+      }.mkString
+      (i, txt)
+    }
+    val copies = docs.take(8).map { case (i, txt) =>
+      (i + 1000L, s"junk${i}junk " + txt.substring(40, 160))
+    }
+    val df = (docs ++ copies).toDF("id", "text")
+    // threshold 0.25: selection luck at span EDGES varies by hash
+    // family, so per-pair overlap lands anywhere above ~0.3 for a
+    // 120/200-char copy; unrelated docs share ZERO grams (mixed chars),
+    // so the set is exact at any positive threshold
+    def pairs(fps: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      Dedup.winnowOverlapPairs(fps, maxDf = 4, minShared = 3)
+        .filter(col("overlap") >= 0.25)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val native = pairs(Dedup.winnowFingerprints(df, "id", "text", 16, 4))
+    val portable = pairs(Dedup.winnowFingerprintsPortable(df, "id", "text", 16, 4))
+    val want = (0L until 8L).map(i => (i, i + 1000L)).toSet
+    assert(native === want)
+    assert(portable === want)
+  }
+
+  test("winnowFingerprintsPortable: rightmost-min tie rule and window truncation") {
+    // identical chars -> every gram hash equal -> each window's min is
+    // its RIGHTMOST gram; doc shorter than w grams keeps only the
+    // pos-0 truncated window
+    val df = Seq((1L, "aaaaaaaaaaaa"), (2L, "ab")).toDF("id", "text")
+    val fps = Dedup.winnowFingerprintsPortable(df, "id", "text", k = 8, w = 4)
+      .orderBy("id", "pos").collect()
+    val d1 = fps.filter(_.getLong(0) == 1L).map(r => r.getInt(1))
+    // 12 chars, k=8 -> 5 grams, windows start at 0..1, rightmost of
+    // [0..3] is 3, of [1..4] is 4
+    assert(d1.toSeq === Seq(3, 4))
+    val d2 = fps.filter(_.getLong(0) == 2L).map(r => r.getInt(1))
+    assert(d2.toSeq === Seq(0)) // one whole-text gram, one window
+  }
+
+  test("winnowOverlapPairs: maxDf drops boilerplate, overlap is containment-style") {
+    // fp 100 in every doc (boilerplate); docs 1,2 share rare fps 7,8;
+    // doc 3 shares nothing rare
+    val fps = Seq(
+      (1L, 0, 100L), (2L, 0, 100L), (3L, 0, 100L),
+      (1L, 5, 7L), (2L, 9, 7L),
+      (1L, 8, 8L), (2L, 14, 8L),
+      (3L, 4, 9L)
+    ).toDF("id", "pos", "fp")
+    val got = Dedup.winnowOverlapPairs(fps, maxDf = 2, minShared = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3)))
+    // doc1 has 3 fps, doc2 has 3 -> overlap = 2/3
+    assert(got.toSeq === Seq((1L, 2L, 2L, 0.666667)))
+  }
+}
