@@ -402,9 +402,10 @@ object Dedup {
   }
 
   /** The shared band/bucket/star-anchor/hamming-verify pipeline behind
-    * both simhash families: `sh` is (id, simhash), `chunkBits` the band
-    * width (4 bands packed low-to-high). */
-  private def simhashPairsFromSigs(sh: DataFrame, chunkBits: Int,
+    * both simhash families AND [[Multimodal.perceptualNearDupPairs]]'s
+    * dHash: `sh` is (id, simhash), `chunkBits` the band width (4 bands
+    * packed low-to-high). */
+  private[graft] def simhashPairsFromSigs(sh: DataFrame, chunkBits: Int,
       maxHamming: Int, maxBucketSize: Int): DataFrame = {
     val mask = (1L << chunkBits) - 1
     val banded = sh.withColumn("bb", explode(array((0 until 4).map(b =>

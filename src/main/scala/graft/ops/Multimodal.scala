@@ -74,4 +74,31 @@ object Multimodal {
     media.select(col("media_id"),
       explode(sequence(lit(0L), greatest(col("meta.durationMs"), lit(0L)),
         lit(everyMs))).as("frame_ts_ms"))
+
+  /** 56-bit perceptual difference hash per media row: ONE map-only pass
+    * of the native [[graft.functions.DHash56]] expression (decode stub
+    * + 8x8 gradient grid, see its scaladoc). Output: media_id, dhash. */
+  def dHash(media: DataFrame): DataFrame =
+    media.select(col("media_id"),
+      graft.functions.DHashFunctions.dhash56(col("payload")).as("dhash"))
+
+  /** Perceptual near-duplicate pairs over media payloads: [[dHash]]
+    * fingerprints through the banded-hamming candidate/verify pipeline
+    * shared with SimHash ([[Dedup.simhashPairsFromSigs]] — 4 bands of
+    * 14 bits; pigeonhole makes recall COMPLETE for hamming <= 3 while
+    * only same-band-bucket rows ever meet, never all pairs). The
+    * re-encoded-image / appended-watermark / small-local-edit class of
+    * duplicate that content digests miss and text dedup cannot see.
+    * Scale shape: one map-only hash pass, then joins on narrow
+    * (id, long) rows — payloads never ride a shuffle; `maxBucketSize`
+    * is the hot-bucket (uniform-background) guard with the star-anchor
+    * recall caveat documented on the shared pipeline. Output: id_a <
+    * id_b, hamming. */
+  def perceptualNearDupPairs(media: DataFrame, maxHamming: Int = 3,
+      maxBucketSize: Int = 256): DataFrame =
+    Dedup.simhashPairsFromSigs(
+      dHash(media).select(col("media_id").as("id"),
+        col("dhash").as("simhash")),
+      chunkBits = 14, maxHamming = maxHamming,
+      maxBucketSize = maxBucketSize)
 }

@@ -3198,6 +3198,26 @@ object ExtensionQueries {
       graft.ops.Dedup.winnowOverlapPairs(fps, maxDf = 64, minShared = 3)
         .filter(col("overlap") >= 0.5)
         .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // Perceptual (dHash) near-dup over media payloads: originals plus
+    // one-byte-appended copies — the watermark/re-encode class a
+    // content digest misses (payloads differ) and text dedup can't see
+    // (opaque binary). One appended byte moves ONE grid cell => at
+    // most 2 gradient bits, inside the hamming<=3 recall-complete
+    // envelope of the 4x14-bit banding; the naive all-pairs hamming
+    // scan is the oracle (bounded fixture, the x142/x159 convention)
+    "x162_dhash_near_dup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val media = graft.ops.Multimodal.fromDocuments(docs)
+      val perturbed = graft.ops.Multimodal.fromDocuments(
+        docs.filter(col("doc_id") < 40)
+          .select((col("doc_id") + 10000).as("doc_id"),
+            concat(col("text"), lit("!")).as("text")))
+      graft.ops.Multimodal.perceptualNearDupPairs(
+          media.unionByName(perturbed), maxHamming = 3,
+          maxBucketSize = 1024)
+        .orderBy(col("id_a"), col("id_b"))
     }))
 
   /** Planted separable classification fixture for x88/x90: each doc
@@ -7283,6 +7303,36 @@ object ExtensionQueries {
         |WHERE p.shared >= 3
         |  AND ROUND(CAST(p.shared AS DOUBLE) / least(na.n, nb.n), 6) >= 0.5
         |ORDER BY p.id_a, p.id_b""".stripMargin,
+
+    // dHash replay: the same 8x8 luma grid (byte i -> cell i mod 64;
+    // ASCII fixture, so ord(char) == payload byte), the same 56
+    // gradient bits (HUGEINT term sums — a double list_sum would lose
+    // bits above 2^53), then the NAIVE all-pairs hamming scan as the
+    // value oracle for the banded join
+    "x162_dhash_near_dup" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 10000, text || '!' FROM documents WHERE doc_id < 40),
+        |lum AS (
+        |  SELECT doc_id,
+        |    list_transform(range(0, 64), c ->
+        |      CAST(coalesce(list_sum(list_transform(range(CAST(c AS INT), len(text), 64),
+        |        i -> ord(substring(text, CAST(i + 1 AS INT), 1)))), 0) AS BIGINT)) AS lum
+        |  FROM corpus),
+        |h AS (
+        |  SELECT doc_id,
+        |    CAST(coalesce(list_sum(list_transform(range(0, 56), b ->
+        |      CASE WHEN lum[CAST((b // 7) * 8 + (b % 7) + 2 AS INT)]
+        |             > lum[CAST((b // 7) * 8 + (b % 7) + 1 AS INT)]
+        |        THEN CAST(CAST(1 AS BIGINT) << CAST(b AS INT) AS HUGEINT)
+        |        ELSE CAST(0 AS HUGEINT) END)), 0) AS BIGINT) AS dh
+        |  FROM lum)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(bit_count(xor(a.dh, b.dh)) AS INT) AS hamming
+        |FROM h a JOIN h b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.dh, b.dh)) <= 3
+        |ORDER BY id_a, id_b""".stripMargin,
 
     // Prefix-filter Jaccard replay: the NAIVE all-pairs formulation —
     // bounded fixture, so the quadratic truth is cheap here while the

@@ -46,4 +46,47 @@ class MultimodalSpec extends SparkSpec {
       .filter($"media_id" === 1).select("frame_ts_ms").as[Long].collect().toSeq
     assert(frames == Seq(0L, 1000L, 2000L, 3000L))
   }
+
+  test("dHash56: hand-computed grid, empty payload, single-byte-edit locality") {
+    // payload of 130 'a' bytes: cells 0,1 get 3 bytes (97*3), cells
+    // 2..63 get 2 — the only gradient is cell 1 -> 2 DOWN (not set) and
+    // any equal-comparison stays 0 (strict >); cell 0 -> 1 equal -> 0
+    val df = Seq(
+      (1L, "a" * 130), (2L, ""), (3L, "a" * 130 + "zz")
+    ).toDF("media_id", "text")
+      .select($"media_id", encode($"text", "UTF-8").as("payload"))
+    val got = Multimodal.dHash(df).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(2L) === 0L) // empty -> all-zero grid -> no strict gradient
+    // doc 3 appends two bytes at positions 130, 131 -> cells 2 and 3
+    // move; every affected gradient sits in row 0 (bits 0..6), so the
+    // rest of the hash is untouched
+    val diff = got(1L) ^ got(3L)
+    assert(diff != 0L && (diff & ~0x7fL) == 0L, diff.toString)
+    // hand check doc 1: luma = [291,291,194,194,...]; gradients all
+    // "not strictly greater" except none -> hash 0
+    assert(got(1L) === 0L)
+  }
+
+  test("perceptualNearDupPairs: appended byte found at hamming <= 3, unrelated apart") {
+    def fmix(v: Long): Long = {
+      var x = v
+      x ^= x >>> 33; x *= 0xff51afd7ed558ccdL
+      x ^= x >>> 33; x *= 0xc4ceb9fe1a85ec53L
+      x ^ (x >>> 33)
+    }
+    val texts = (0L until 20L).map { i =>
+      i -> (1 to 300).map(p =>
+        ('a' + math.floorMod(fmix(i * 7919L + p), 26L).toInt).toChar).mkString
+    }
+    val rows = texts.map { case (i, t) => (i, t) } ++
+      texts.take(6).map { case (i, t) => (i + 100L, t + "!") }
+    val media = rows.toDF("media_id", "text")
+      .select($"media_id", encode($"text", "UTF-8").as("payload"))
+    val pairs = Multimodal.perceptualNearDupPairs(media, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert((0L until 6L).map(i => (i, i + 100L)).toSet.subsetOf(pairs))
+    // unrelated mixed-char docs sit ~28 bits apart — none pass
+    assert(pairs.forall { case (a, b) => b - a == 100L })
+  }
 }
