@@ -1258,6 +1258,45 @@ object TextAnalysis {
       .drop("__b")
   }
 
+  /** Sentence/document-level ROUGE-L (Lin '04) of a candidate column
+    * against a reference column — the subsequence-order complement of
+    * [[bleuScore]]'s n-gram precision: LCS credits tokens that appear
+    * IN ORDER but not necessarily contiguously, so a faithful
+    * paraphrase with insertions still scores where 4-gram BLEU
+    * collapses. Per row: lcs (token LCS length), precision = lcs/|cand|,
+    * recall = lcs/|ref|, and the β=1 F-measure 2PR/(P+R) (Lin's
+    * recall-weighted β reduces to this at 1; callers wanting
+    * recall-only read rouge_r). Empty candidate or reference ⇒ the
+    * affected ratios fold to 0.0 explicitly — never NULL (the
+    * [[bleuScore]] divide-by-zero guard convention, both engines).
+    *
+    * Scale shape: MAP-ONLY — the O(n·m) DP runs inside ONE native
+    * [[graft.functions.TokenLcs]] pass per row (LCS has no
+    * shuffle-based formulation; a HOF spelling would pay interpreted
+    * dispatch per DP cell); everything downstream is column
+    * arithmetic. Output adds lcs, cand_len, ref_len, rouge_p, rouge_r,
+    * rouge_f (6dp). */
+  def rougeL(df: DataFrame, candCol: String, refCol: String): DataFrame = {
+    val withSt = df.withColumn("__l", graft.functions.LcsFunctions
+      .token_lcs(tokens(lower(col(candCol))), tokens(lower(col(refCol)))))
+    val lcs = col("__l")("lcs")
+    val candLen = col("__l")("cand_len")
+    val refLen = col("__l")("ref_len")
+    val p = when(candLen === 0, lit(0.0))
+      .otherwise(lcs.cast("double") / candLen.cast("double"))
+    val r = when(refLen === 0, lit(0.0))
+      .otherwise(lcs.cast("double") / refLen.cast("double"))
+    val f = when(lcs === 0, lit(0.0))
+      .otherwise(lit(2.0) * p * r / (p + r))
+    withSt.withColumn("lcs", lcs)
+      .withColumn("cand_len", candLen)
+      .withColumn("ref_len", refLen)
+      .withColumn("rouge_p", round(p, 6))
+      .withColumn("rouge_r", round(r, 6))
+      .withColumn("rouge_f", round(f, 6))
+      .drop("__l")
+  }
+
   /** Character-entropy profile — the cheap per-row gibberish signal the
     * Gopher rules don't carry (they count token shapes; this measures
     * character spread): `n_chars` (code points), `char_entropy` (bits

@@ -3218,6 +3218,24 @@ object ExtensionQueries {
           media.unionByName(perturbed), maxHamming = 3,
           maxBucketSize = 1024)
         .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // ROUGE-L: candidate = first 30 tokens, reference = the first 16
+    // tokens with SWAPPED HALVES (tokens 9-16 then 1-8) — in-order
+    // subsequence credit where BLEU's contiguous n-grams collapse; the
+    // word-soup vocabulary repeats tokens, so the LCS routinely beats
+    // the 8-token half and the DP's cross/skip cases all fire. Short
+    // docs exercise the truncated-slice and empty-reference guards
+    "x163_rouge_l" -> ((s, dir) => {
+      val toks = TextAnalysis.tokens(lower(col("text")))
+      val fixture = t(s, dir, "documents").select(col("doc_id"),
+        concat_ws(" ", slice(toks, 1, 30)).as("cand"),
+        concat_ws(" ",
+          concat(slice(toks, 9, 8), slice(toks, 1, 8))).as("ref"))
+      graft.ops.TextAnalysis.rougeL(fixture, "cand", "ref")
+        .select(col("doc_id"), col("lcs"), col("cand_len"),
+          col("ref_len"), col("rouge_p"), col("rouge_r"), col("rouge_f"))
+        .orderBy(col("doc_id"))
     }))
 
   /** Planted separable classification fixture for x88/x90: each doc
@@ -7436,7 +7454,61 @@ object ExtensionQueries {
   /** x21/x33 compose the single-metric oracles (x03 quality, x04 langid,
     * x23 repetition) as CTEs — the oracle mirrors the Spark composition
     * stage for stage without duplicating the metric SQL. */
+  /** Builder-authored DuckDB replay of x163's token LCS (the x132
+    * chained-CTE convention): the classic DP unrolled over the
+    * reference's <= 16 positions, one prefix-max window per step.
+    * Recurrence: dp_t[j] = max(dp_{t-1}[j], max_{i<=j, cand[i]=ref[t]}
+    * (dp_{t-1}[i-1] + 1)) — ref token t is either unmatched or matched
+    * to some candidate position i <= j, which removes the within-row
+    * dp_t[j-1] dependency a direct 2-D unroll would need (a window
+    * can't consume its own output); steps past a short reference leave
+    * dp unchanged (no position matches), so the fixed 16-step unroll
+    * is exact for every ref length. Verified cell-for-cell against an
+    * independent full-matrix LCS while authoring. */
+  private val rougeLOracle: String = {
+    val base =
+      """WITH tk AS (
+        |  SELECT doc_id,
+        |    list_slice(toks, 1, 30) AS cand,
+        |    list_concat(list_slice(toks, 9, 16), list_slice(toks, 1, 8)) AS ref
+        |  FROM (SELECT doc_id,
+        |          list_filter(string_split_regex(trim(lower(text)), '\s+'),
+        |            x -> len(x) > 0) AS toks
+        |        FROM documents)),
+        |r0 AS (
+        |  SELECT doc_id, CAST(j AS INT) AS j, 0 AS dp
+        |  FROM tk, UNNEST(range(0, len(cand) + 1)) AS u(j))""".stripMargin
+    val steps = (1 to 16).map { t =>
+      s"""r$t AS (
+         |  SELECT doc_id, j, greatest(dp, coalesce(
+         |    max(CASE WHEN mtch THEN dpm1 + 1 END) OVER (
+         |      PARTITION BY doc_id ORDER BY j ROWS UNBOUNDED PRECEDING), 0)) AS dp
+         |  FROM (
+         |    SELECT r.doc_id AS doc_id, r.j AS j, r.dp AS dp,
+         |      lag(r.dp) OVER (PARTITION BY r.doc_id ORDER BY r.j) AS dpm1,
+         |      (r.j >= 1 AND len(t.ref) >= $t AND t.cand[r.j] = t.ref[$t]) AS mtch
+         |    FROM r${t - 1} r JOIN tk t ON r.doc_id = t.doc_id) q)""".stripMargin
+    }
+    val fin =
+      """lcst AS (
+        |  SELECT doc_id, max_by(dp, j) AS lcs FROM r16 GROUP BY doc_id)
+        |SELECT t.doc_id, CAST(l.lcs AS INT) AS lcs,
+        |  CAST(len(t.cand) AS INT) AS cand_len,
+        |  CAST(len(t.ref) AS INT) AS ref_len,
+        |  ROUND(CASE WHEN len(t.cand) = 0 THEN 0.0
+        |    ELSE CAST(l.lcs AS DOUBLE) / len(t.cand) END, 6) AS rouge_p,
+        |  ROUND(CASE WHEN len(t.ref) = 0 THEN 0.0
+        |    ELSE CAST(l.lcs AS DOUBLE) / len(t.ref) END, 6) AS rouge_r,
+        |  ROUND(CASE WHEN l.lcs = 0 THEN 0.0 ELSE
+        |    2.0 * (CAST(l.lcs AS DOUBLE) / len(t.cand)) * (CAST(l.lcs AS DOUBLE) / len(t.ref))
+        |      / ((CAST(l.lcs AS DOUBLE) / len(t.cand)) + (CAST(l.lcs AS DOUBLE) / len(t.ref))) END, 6) AS rouge_f
+        |FROM tk t JOIN lcst l ON t.doc_id = l.doc_id
+        |ORDER BY t.doc_id""".stripMargin
+    (base +: steps :+ fin).mkString(",\n")
+  }
+
   val oracle: Map[String, String] = oracleBase +
+    ("x163_rouge_l" -> rougeLOracle) +
     // x140 = x112 through the automaton: semantics pinned identical, so
     // the oracle is literally the same replay
     ("x140_blocklist_scaled" -> oracleBase("x112_blocklist_filter")) +

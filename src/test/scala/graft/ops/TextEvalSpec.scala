@@ -311,4 +311,40 @@ class TextEvalSpec extends SparkSpec {
           r.getDouble(3), r.getDouble(4))).toSeq
     assert(run(1) === run(13))
   }
+
+  // ---- ROUGE-L ----
+
+  test("rougeL: hand-computed LCS incl. non-contiguous and repeated tokens") {
+    val df = Seq(
+      // LCS("a b c d e", "a x c y e") = a c e = 3
+      (1L, "a b c d e", "a x c y e"),
+      // identical -> lcs = len, P = R = F = 1
+      (2L, "p q r", "p q r"),
+      // swapped halves: LCS("a b c d", "c d a b") = 2 (either half)
+      (3L, "a b c d", "c d a b"),
+      // repeats: LCS("t u t u t", "t t t") = 3 (subsequence, not n-gram)
+      (4L, "t u t u t", "t t t"),
+      // disjoint -> 0; empty ref -> all ratios 0, never NULL
+      (5L, "a b", "x y"),
+      (6L, "a b", " ")
+    ).toDF("id", "cand", "ref")
+    val got = TextAnalysis.rougeL(df, "cand", "ref")
+      .select("id", "lcs", "cand_len", "ref_len", "rouge_p", "rouge_r",
+        "rouge_f")
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getInt(2), r.getInt(3), r.getDouble(4),
+          r.getDouble(5), r.getDouble(6))).toMap
+    assert(got(1L) === ((3, 5, 5, 0.6, 0.6, 0.6)))
+    assert(got(2L) === ((3, 3, 3, 1.0, 1.0, 1.0)))
+    assert(got(3L)._1 === 2)
+    assert(got(4L) === ((3, 5, 3, 0.6, 1.0, 0.75)))
+    assert(got(5L) === ((0, 2, 2, 0.0, 0.0, 0.0)))
+    assert(got(6L) === ((0, 2, 0, 0.0, 0.0, 0.0)))
+  }
+
+  test("rougeL: case folding and order sensitivity (reversal collapses to 1)") {
+    val df = Seq((1L, "Alpha Beta Gamma", "gamma beta alpha")).toDF("id", "cand", "ref")
+    val r = TextAnalysis.rougeL(df, "cand", "ref").select("lcs").head().getInt(0)
+    assert(r === 1) // any single token; reversal kills subsequence order
+  }
 }
