@@ -290,6 +290,29 @@ object TextScaleSmoke {
       TextAnalysis.blocklistFilterScaled(blkCorpus, "text", terms20k)
         .agg(sum(when(col("blocked"), 1L).otherwise(0L)),
           sum("n_blocked_tokens")).head())
+    // r12: the three new per-row natives. Winnowing fingerprints the
+    // full corpus map-only (forced through a fp aggregate so nothing
+    // prunes); ROUGE-L pays the O(n*m) DP per row (40x16 tokens here —
+    // the per-cell cost is the thing to watch, hence full corpus);
+    // dHash + banded near-dup runs the hash map-only then joins only
+    // narrow (id, long) rows
+    time("winnow fingerprints (native, full corpus)")(
+      graft.ops.Dedup.winnowFingerprints(corpus, "doc_id", "text")
+        .agg(count(lit(1)), expr("bit_xor(fp)")).head())
+    val rougeFix = corpus.select(col("doc_id"), col("text").as("cand"),
+      concat_ws(" ", (0 until 16).map { p =>
+        concat(lit("w"), pmod(xxhash64(lit(7), col("doc_id"), lit(39 - p)),
+          lit(5000)).cast("string"))
+      }: _*).as("ref"))
+    time("ROUGE-L (40x16 DP per row, full corpus)")(
+      TextAnalysis.rougeL(rougeFix, "cand", "ref")
+        .agg(avg("rouge_f"), sum("lcs")).head())
+    val media = corpus.select(col("doc_id").as("media_id"),
+      encode(concat(col("text"), when(col("doc_id") % 100 === 0,
+        lit("!")).otherwise(lit(""))), "UTF-8").as("payload"))
+    time("dHash56 (native, full corpus)")(
+      graft.ops.Multimodal.dHash(media)
+        .agg(count(lit(1)), expr("bit_xor(dhash)")).head())
     spark.stop()
   }
 }

@@ -460,6 +460,28 @@ class PlanGuardSpec extends SparkSpec {
       s"BLEU must not shuffle (the per-order explode formulation would):\n${plan.take(800)}")
   }
 
+  test("r12 natives: winnow fingerprinting, ROUGE-L, dHash are map-only") {
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    // production fingerprinting: native expression + explode, no shuffle
+    val winnow = graft.ops.Dedup
+      .winnowFingerprints(docs, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!winnow.contains("Exchange hashpartitioning"),
+      s"winnow fingerprints must not shuffle:\n${winnow.take(800)}")
+    val rouge = graft.ops.TextAnalysis.rougeL(
+        docs.select(col("doc_id"), col("text").as("cand"),
+          col("text").as("ref")), "cand", "ref")
+      .queryExecution.executedPlan.toString
+    assert(!rouge.contains("Exchange hashpartitioning"),
+      s"ROUGE-L must not shuffle (the DP is one per-row pass):\n${rouge.take(800)}")
+    val dhash = graft.ops.Multimodal.dHash(
+        graft.ops.Multimodal.fromDocuments(docs))
+      .queryExecution.executedPlan.toString
+    assert(!dhash.contains("Exchange hashpartitioning"),
+      s"dHash must not shuffle:\n${dhash.take(800)}")
+  }
+
   test("top-20 bench queries: executed-plan budgets (exchange counts pinned)") {
     // r11 judge item 6: the 20 most expensive bench queries get
     // executed-plan assertions so a refactor that adds an exchange (or
