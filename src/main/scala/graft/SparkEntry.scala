@@ -15,7 +15,7 @@ import graft.queries.{ExtensionQueries, ParityQueries}
   * portable trainer whose centroids replay value-exactly cross-engine.
   * Full operator -> query -> check map: /root/repo/COVERAGE.md.
   *
-  * Inventory (214 queries, all oracle-checked — the count is the number
+  * Inventory (216 queries, all oracle-checked — the count is the number
   * of distinct `queries` keys and is asserted against `oracleSql` by
   * `tools/selfcheck.py`, the single source of truth for it):
   *  - q01-q16: scans, filters, CASE chains, datetime, windows (running/
@@ -199,6 +199,8 @@ import graft.queries.{ExtensionQueries, ParityQueries}
   *    grid expression, banded-hamming join — recall-complete <= 3)
   *  - x163: ROUGE-L (native token-LCS DP expression; oracle = the DP
   *    unrolled into 16 chained prefix-max-window CTEs)
+  *  - x164-x165: temporal media segmentation (frame energies -> VAD
+  *    gaps-and-islands; per-frame dHash -> shot boundaries)
   */
 object SparkEntry {
 

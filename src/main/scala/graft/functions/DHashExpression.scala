@@ -42,12 +42,24 @@ case class DHash56(child: Expression)
 
   override def dataType: DataType = LongType
 
-  override def nullSafeEval(t: Any): Any = {
-    val bytes = t.asInstanceOf[Array[Byte]]
+  override def nullSafeEval(t: Any): Any =
+    DHashCore.hash(t.asInstanceOf[Array[Byte]], 0,
+      t.asInstanceOf[Array[Byte]].length)
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** The shared grid/gradient core behind [[DHash56]] (whole payload) and
+  * [[FrameDHashes]] (per-frame slices): byte i of [from, until) lands in
+  * cell (i - from) mod 64, bits are strict row-major horizontal
+  * gradients. */
+private[functions] object DHashCore {
+  def hash(bytes: Array[Byte], from: Int, until: Int): Long = {
     val luma = new Array[Long](64)
-    var i = 0
-    while (i < bytes.length) {
-      luma(i % 64) += bytes(i) & 0xffL
+    var i = from
+    while (i < until) {
+      luma((i - from) % 64) += bytes(i) & 0xffL
       i += 1
     }
     var hash = 0L
@@ -64,9 +76,6 @@ case class DHash56(child: Expression)
     }
     hash
   }
-
-  override protected def withNewChildInternal(newChild: Expression): Expression =
-    copy(child = newChild)
 }
 
 object DHashFunctions {

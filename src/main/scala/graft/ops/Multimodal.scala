@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Multimodal-column plumbing for training-data pipelines: image/audio/video
@@ -101,4 +102,68 @@ object Multimodal {
         col("dhash").as("simhash")),
       chunkBits = 14, maxHamming = maxHamming,
       maxBucketSize = maxBucketSize)
+
+  /** Energy-threshold segmentation of a temporal payload (the
+    * voice-activity-detection shape: split long audio into voiced
+    * chunks before per-chunk transcription/feature work). One native
+    * [[graft.functions.FrameEnergies]] pass frames the payload
+    * map-only; active frames (energy >= threshold) resolve into
+    * maximal contiguous runs by the gaps-and-islands rule (frame −
+    * row_number is constant within a run). Scale shape: the payload is
+    * read ONCE and never shuffles — only narrow (id, frame, energy)
+    * rows ride the single media-keyed exchange feeding the window and
+    * the segment aggregate (which share partitioning). Output:
+    * media_id, seg_start, seg_end (inclusive frame indices), n_frames,
+    * energy_sum. Media with no active frame emit nothing. */
+  def energySegments(media: DataFrame, frameBytes: Int,
+      threshold: Long): DataFrame = {
+    val fr = media.select(col("media_id"),
+      posexplode(graft.functions.FrameFunctions
+        .frame_energies(col("payload"), frameBytes))
+        .as(Seq("frame", "energy")))
+    val w = Window.partitionBy(col("media_id")).orderBy(col("frame"))
+    fr.filter(col("energy") >= threshold)
+      .withColumn("__grp", col("frame") - row_number().over(w))
+      .groupBy(col("media_id"), col("__grp"))
+      .agg(min(col("frame")).as("seg_start"),
+        max(col("frame")).as("seg_end"),
+        count(lit(1)).cast("int").as("n_frames"),
+        sum(col("energy")).as("energy_sum"))
+      .select(col("media_id"), col("seg_start"), col("seg_end"),
+        col("n_frames"), col("energy_sum"))
+  }
+
+  /** Shot-boundary segmentation of a temporal payload (the video
+    * analogue of [[energySegments]]): per-frame
+    * [[graft.functions.FrameDHashes]] perceptual hashes, a boundary
+    * wherever consecutive frames sit more than `maxHamming` bits
+    * apart, shots = running count of boundaries. Within-shot frames
+    * hash close (dHash gradients survive small frame-to-frame drift);
+    * a cut jumps. Same scale shape as [[energySegments]]: payload read
+    * once map-only, narrow (id, frame, hash) rows through ONE
+    * media-keyed exchange whose sort both windows and the final
+    * aggregate share. Output: media_id, shot (0-based), start_frame,
+    * end_frame, n_frames. */
+  def shotSegments(media: DataFrame, frameBytes: Int,
+      maxHamming: Int = 3): DataFrame = {
+    val fr = media.select(col("media_id"),
+      posexplode(graft.functions.FrameFunctions
+        .frame_dhashes(col("payload"), frameBytes))
+        .as(Seq("frame", "dh")))
+    val w = Window.partitionBy(col("media_id")).orderBy(col("frame"))
+    fr.withColumn("__b",
+        when(lag(col("dh"), 1).over(w).isNull, 0)
+          .when(bit_count(col("dh")
+            .bitwiseXOR(lag(col("dh"), 1).over(w))) > maxHamming, 1)
+          .otherwise(0))
+      .withColumn("shot", sum(col("__b"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("int"))
+      .groupBy(col("media_id"), col("shot"))
+      .agg(min(col("frame")).as("start_frame"),
+        max(col("frame")).as("end_frame"),
+        count(lit(1)).cast("int").as("n_frames"))
+      .select(col("media_id"), col("shot"), col("start_frame"),
+        col("end_frame"), col("n_frames"))
+  }
 }

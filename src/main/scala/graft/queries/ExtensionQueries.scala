@@ -3236,6 +3236,40 @@ object ExtensionQueries {
         .select(col("doc_id"), col("lcs"), col("cand_len"),
           col("ref_len"), col("rouge_p"), col("rouge_r"), col("rouge_f"))
         .orderBy(col("doc_id"))
+    }),
+
+    // Energy-threshold segmentation (the VAD shape): every 3rd payload
+    // gets a 64-space quiet gap spliced in after byte 100 — frames
+    // inside the gap fall under the threshold and the active runs
+    // split; partial final frames exercise the truncated-frame energy
+    "x164_energy_segments" -> ((s, dir) => {
+      val media = t(s, dir, "documents").select(
+        col("doc_id").as("media_id"),
+        encode(when(col("doc_id") % 3 === 0,
+            concat(substring(col("text"), 1, 100), lit(" " * 64),
+              substring(col("text"), 101, 1000000)))
+          .otherwise(col("text")), "UTF-8").as("payload"))
+      graft.ops.Multimodal.energySegments(media, frameBytes = 32,
+          threshold = 2000L)
+        .orderBy(col("media_id"), col("seg_start"))
+    }),
+
+    // Shot-boundary segmentation: each payload is a synthetic 15-frame
+    // "video" of three 5-frame scenes (32-byte frames repeated from
+    // three text slices) — within-scene hamming is 0, scene cuts jump,
+    // so the running boundary count yields three 5-frame shots (fewer
+    // when a doc's slices coincide — deterministic either way)
+    "x165_shot_segments" -> ((s, dir) => {
+      val padded = concat(col("text"), lit("x" * 96))
+      val media = t(s, dir, "documents").select(
+        col("doc_id").as("media_id"),
+        encode(concat(
+          repeat(substring(padded, 1, 32), 5),
+          repeat(substring(padded, 33, 32), 5),
+          repeat(substring(padded, 65, 32), 5)), "UTF-8").as("payload"))
+      graft.ops.Multimodal.shotSegments(media, frameBytes = 32,
+          maxHamming = 3)
+        .orderBy(col("media_id"), col("shot"))
     }))
 
   /** Planted separable classification fixture for x88/x90: each doc
@@ -7351,6 +7385,85 @@ object ExtensionQueries {
         |FROM h a JOIN h b ON a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.dh, b.dh)) <= 3
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // Energy-segmentation replay: identical framing (ceil(len/32)
+    // frames, truncated tail), per-frame byte sums, then the same
+    // gaps-and-islands rule (frame - row_number constant within a run)
+    "x164_energy_segments" ->
+      """WITH corpus AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 3 = 0
+        |      THEN substring(text, 1, 100) || repeat(' ', 64) || substring(text, 101)
+        |      ELSE text END AS payload
+        |  FROM documents),
+        |f AS (
+        |  SELECT doc_id,
+        |    list_transform(range(0, CAST(ceil(len(payload) / 32.0) AS INT)), fr ->
+        |      CAST(coalesce(list_sum(list_transform(
+        |        range(CAST(fr * 32 AS INT), CAST(least((fr + 1) * 32, len(payload)) AS INT)),
+        |        i -> ord(substring(payload, CAST(i + 1 AS INT), 1)))), 0) AS BIGINT)) AS energies
+        |  FROM corpus),
+        |fr AS (
+        |  SELECT doc_id, CAST(u.fi AS INT) AS frame,
+        |    f.energies[CAST(u.fi + 1 AS INT)] AS energy
+        |  FROM f, UNNEST(range(0, len(f.energies))) AS u(fi)),
+        |act AS (
+        |  SELECT doc_id, frame, energy,
+        |    frame - CAST(row_number() OVER (
+        |      PARTITION BY doc_id ORDER BY frame) AS INT) AS grp
+        |  FROM fr WHERE energy >= 2000)
+        |SELECT doc_id AS media_id, min(frame) AS seg_start,
+        |  max(frame) AS seg_end, CAST(count(*) AS INT) AS n_frames,
+        |  CAST(sum(energy) AS BIGINT) AS energy_sum
+        |FROM act GROUP BY doc_id, grp
+        |ORDER BY media_id, seg_start""".stripMargin,
+
+    // Shot-segmentation replay: per-frame dHash via the x162 grid
+    // formula over each 32-byte frame slice, lag-hamming boundaries,
+    // running boundary count as the shot id
+    "x165_shot_segments" ->
+      """WITH corpus AS (
+        |  SELECT doc_id,
+        |    repeat(substring(text || repeat('x', 96), 1, 32), 5)
+        |    || repeat(substring(text || repeat('x', 96), 33, 32), 5)
+        |    || repeat(substring(text || repeat('x', 96), 65, 32), 5) AS payload
+        |  FROM documents),
+        |fr AS (
+        |  SELECT doc_id, CAST(u.fi AS INT) AS frame,
+        |    substring(payload, CAST(u.fi * 32 + 1 AS INT), 32) AS s
+        |  FROM corpus, UNNEST(range(0, CAST(ceil(len(payload) / 32.0) AS INT))) AS u(fi)),
+        |lum AS (
+        |  SELECT doc_id, frame,
+        |    list_transform(range(0, 64), c ->
+        |      CAST(coalesce(list_sum(list_transform(range(CAST(c AS INT), len(s), 64),
+        |        i -> ord(substring(s, CAST(i + 1 AS INT), 1)))), 0) AS BIGINT)) AS lum
+        |  FROM fr),
+        |h AS (
+        |  SELECT doc_id, frame,
+        |    CAST(coalesce(list_sum(list_transform(range(0, 56), b ->
+        |      CASE WHEN lum[CAST((b // 7) * 8 + (b % 7) + 2 AS INT)]
+        |             > lum[CAST((b // 7) * 8 + (b % 7) + 1 AS INT)]
+        |        THEN CAST(CAST(1 AS BIGINT) << CAST(b AS INT) AS HUGEINT)
+        |        ELSE CAST(0 AS HUGEINT) END)), 0) AS BIGINT) AS dh
+        |  FROM lum),
+        |tr AS (
+        |  SELECT doc_id, frame, dh,
+        |    lag(dh) OVER (PARTITION BY doc_id ORDER BY frame) AS prev
+        |  FROM h),
+        |bd AS (
+        |  SELECT doc_id, frame,
+        |    CASE WHEN prev IS NULL THEN 0
+        |      WHEN bit_count(xor(dh, prev)) > 3 THEN 1 ELSE 0 END AS isb
+        |  FROM tr),
+        |sh AS (
+        |  SELECT doc_id, frame,
+        |    CAST(sum(isb) OVER (PARTITION BY doc_id ORDER BY frame
+        |      ROWS UNBOUNDED PRECEDING) AS INT) AS shot
+        |  FROM bd)
+        |SELECT doc_id AS media_id, shot, min(frame) AS start_frame,
+        |  max(frame) AS end_frame, CAST(count(*) AS INT) AS n_frames
+        |FROM sh GROUP BY doc_id, shot
+        |ORDER BY media_id, shot""".stripMargin,
 
     // Prefix-filter Jaccard replay: the NAIVE all-pairs formulation —
     // bounded fixture, so the quadratic truth is cheap here while the

@@ -89,4 +89,39 @@ class MultimodalSpec extends SparkSpec {
     // unrelated mixed-char docs sit ~28 bits apart — none pass
     assert(pairs.forall { case (a, b) => b - a == 100L })
   }
+
+  test("frameEnergies: framing, truncated tail, empty payload") {
+    val df = Seq((1L, "aaaabb"), (2L, "")).toDF("media_id", "text")
+      .select($"media_id", encode($"text", "UTF-8").as("payload"))
+    val got = df.select($"media_id", graft.functions.FrameFunctions
+        .frame_energies($"payload", 4).as("e"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    // frame 0 = 'aaaa' = 4*97; frame 1 (partial) = 'bb' = 2*98
+    assert(got(1L) === Seq(388L, 196L))
+    assert(got(2L) === Seq.empty)
+  }
+
+  test("energySegments: gaps-and-islands over active frames") {
+    // frames of 2 bytes: 'aa'(194) ' .'(78) 'aa'(194) -> threshold 100
+    // keeps frames 0 and 2 as two one-frame segments; doc 2 is all
+    // quiet and emits nothing
+    val df = Seq((1L, "aa .aa"), (2L, "      ")).toDF("media_id", "text")
+      .select($"media_id", encode($"text", "UTF-8").as("payload"))
+    val got = Multimodal.energySegments(df, frameBytes = 2, threshold = 100L)
+      .orderBy("media_id", "seg_start").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3),
+        r.getLong(4)))
+    assert(got.toSeq === Seq((1L, 0, 0, 1, 194L), (1L, 2, 2, 1, 194L)))
+  }
+
+  test("shotSegments: identical frames fuse, scene cuts split") {
+    val sceneA = "abcdefghijklmnopqrstuvwxyzabcdef" // rising bytes
+    val sceneB = "zyxwvutsrqponmlkjihgfedcbazyxwvu" // falling bytes
+    val df = Seq((1L, sceneA * 3 + sceneB * 2)).toDF("media_id", "text")
+      .select($"media_id", encode($"text", "UTF-8").as("payload"))
+    val got = Multimodal.shotSegments(df, frameBytes = 32, maxHamming = 3)
+      .orderBy("shot").collect()
+      .map(r => (r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4)))
+    assert(got.toSeq === Seq((0, 0, 2, 3), (1, 3, 4, 2)))
+  }
 }
