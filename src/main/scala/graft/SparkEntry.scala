@@ -15,7 +15,7 @@ import graft.queries.{ExtensionQueries, ParityQueries}
   * portable trainer whose centroids replay value-exactly cross-engine.
   * Full operator -> query -> check map: /root/repo/COVERAGE.md.
   *
-  * Inventory (216 queries, all oracle-checked — the count is the number
+  * Inventory (218 queries, all oracle-checked — the count is the number
   * of distinct `queries` keys and is asserted against `oracleSql` by
   * `tools/selfcheck.py`, the single source of truth for it):
   *  - q01-q16: scans, filters, CASE chains, datetime, windows (running/
@@ -201,6 +201,10 @@ import graft.queries.{ExtensionQueries, ParityQueries}
   *    unrolled into 16 chained prefix-max-window CTEs)
   *  - x164-x165: temporal media segmentation (frame energies -> VAD
   *    gaps-and-islands; per-frame dHash -> shot boundaries)
+  *  - x166: winnow-fingerprint decontamination (span evidence; bench
+  *    side broadcasts, corpus never shuffles for the join)
+  *  - x167: length-bucketed padded batches (packByBudget's padded
+  *    sibling — md5-ordered deterministic batch/slot assignment)
   */
 object SparkEntry {
 

@@ -1630,6 +1630,58 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("shared"), col("overlap"))
   }
 
+  /** Winnow-fingerprint decontamination — the span-evidence member of
+    * the decontamination family: where the Bloom screen answers "does
+    * this doc contain a benchmark n-gram" (one-sided, no location) and
+    * exact/paragraph decontam needs exact or paragraph-aligned matches,
+    * this flags corpus documents sharing `minShared`+ winnow
+    * fingerprints with a benchmark document AND reports WHERE
+    * (span_start/span_end = the matched-fingerprint extent in the
+    * corpus doc — the audit trail a removal decision wants), robust to
+    * the benchmark text landing anywhere in the document (winnowing's
+    * position independence, [[winnowFingerprints]]).
+    *
+    * Scale shape: both sides fingerprint map-only; the benchmark side
+    * is small by contract (eval suites, not corpora) and BROADCASTS, so
+    * the corpus never shuffles for the join — the only exchange is the
+    * (doc, bench)-keyed aggregate on narrow matched rows. Output:
+    * corpus id, bench id, shared (distinct shared fingerprints),
+    * span_start, span_end. */
+  def winnowContamination(corpus: DataFrame, corpusIdCol: String,
+      corpusTextCol: String, bench: DataFrame, benchIdCol: String,
+      benchTextCol: String, k: Int = 16, w: Int = 4,
+      minShared: Int = 3): DataFrame =
+    contaminationFromFps(
+      winnowFingerprints(corpus, corpusIdCol, corpusTextCol, k, w),
+      winnowFingerprints(bench, benchIdCol, benchTextCol, k, w),
+      corpusIdCol, benchIdCol, minShared)
+
+  /** [[winnowContamination]] on the PORTABLE md5 family — the
+    * oracle-checkable surface (the [[winnowFingerprintsPortable]]
+    * convention); pinned by spec to flag the same planted
+    * contamination as the native path. */
+  def winnowContaminationPortable(corpus: DataFrame, corpusIdCol: String,
+      corpusTextCol: String, bench: DataFrame, benchIdCol: String,
+      benchTextCol: String, k: Int = 16, w: Int = 4,
+      minShared: Int = 3): DataFrame =
+    contaminationFromFps(
+      winnowFingerprintsPortable(corpus, corpusIdCol, corpusTextCol, k, w),
+      winnowFingerprintsPortable(bench, benchIdCol, benchTextCol, k, w),
+      corpusIdCol, benchIdCol, minShared)
+
+  private def contaminationFromFps(cfp: DataFrame, bfp: DataFrame,
+      outIdA: String, outIdB: String, minShared: Int): DataFrame = {
+    require(minShared > 0, "minShared must be positive")
+    val b = broadcast(bfp.select(col("id").as("__bid"), col("fp")).distinct())
+    cfp.join(b, Seq("fp"))
+      .groupBy(col("id"), col("__bid"))
+      .agg(countDistinct(col("fp")).as("shared"),
+        min(col("pos")).as("span_start"), max(col("pos")).as("span_end"))
+      .filter(col("shared") >= minShared)
+      .select(col("id").as(outIdA), col("__bid").as(outIdB),
+        col("shared"), col("span_start"), col("span_end"))
+  }
+
   /** One comparison field for [[linkRecords]]: agreement contributes
     * `agreeW` to the match score, disagreement `disagreeW` (the
     * Fellegi–Sunter log-likelihood-ratio weights — callers estimate them

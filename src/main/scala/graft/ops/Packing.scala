@@ -134,4 +134,50 @@ object Packing {
           greatest(col("offset"), col("__ss")))
       .drop("__ss")
   }
+
+  /** Length-bucketed PADDED-batch assignment — [[packByBudget]]'s
+    * sibling for the padded regime (encoder training, rerankers,
+    * anything that can't concat documents): a batch pads every member
+    * to the batch max, so mixing a 30-token doc into a 1000-token batch
+    * burns 970 pad tokens; bucketing by ceil(len/bucketWidth) bounds
+    * per-doc waste to bucketWidth − 1. Each (shard, bucket) packs
+    * independently: capacity = bucket·bucketWidth, perBatch =
+    * max(floor(batchTokens / capacity), 1) docs per batch, membership
+    * in md5(salt|id) order (the [[Sampling.exactKPerGroup]] portability
+    * convention — deterministic, engine-replayable, uniform within the
+    * bucket so batch composition carries no upstream ordering bias).
+    *
+    * Scale shape: ONE window over (shard, bucket) — the caller's shard
+    * key is what keeps a popular length bucket from becoming a single
+    * corpus-wide sort partition, exactly [[packByBudget]]'s contract;
+    * everything else is map-only arithmetic. Zero-token docs land in
+    * bucket 1 (capacity bucketWidth) rather than a degenerate zero-cap
+    * bucket. Output: shard, id, token count, bucket, bucket_cap,
+    * batch (0-based within (shard, bucket)), slot (0-based within the
+    * batch). */
+  def lengthBucketedBatches(df: DataFrame, shardCol: String,
+      idCol: String, tokenCol: String, batchTokens: Long,
+      bucketWidth: Int, salt: String = "lb"): DataFrame = {
+    require(batchTokens > 0, "batchTokens must be positive")
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    require(batchTokens >= bucketWidth,
+      "batchTokens below bucketWidth: every batch would hold one doc " +
+        "of the smallest bucket only")
+    val base = df.select(col(shardCol), col(idCol), col(tokenCol),
+        greatest(ceil(col(tokenCol).cast("double") / bucketWidth)
+          .cast("int"), lit(1)).as("bucket"),
+        md5(concat_ws("|", lit(salt), col(idCol).cast("string")))
+          .as("__key"))
+      .withColumn("bucket_cap", col("bucket").cast("long") * bucketWidth)
+      .withColumn("__per", greatest(floor(lit(batchTokens.toDouble) /
+        col("bucket_cap")).cast("long"), lit(1L)))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(shardCol), col("bucket"))
+      .orderBy(col("__key"), col(idCol))
+    base.withColumn("__rn", (row_number().over(w) - 1).cast("long"))
+      .withColumn("batch", floor(col("__rn") / col("__per")).cast("long"))
+      .withColumn("slot", pmod(col("__rn"), col("__per")).cast("int"))
+      .select(col(shardCol), col(idCol), col(tokenCol), col("bucket"),
+        col("bucket_cap"), col("batch"), col("slot"))
+  }
 }

@@ -3270,6 +3270,36 @@ object ExtensionQueries {
       graft.ops.Multimodal.shotSegments(media, frameBytes = 32,
           maxHamming = 3)
         .orderBy(col("media_id"), col("shot"))
+    }),
+
+    // Winnow-fingerprint decontamination with span evidence: the
+    // "benchmark" is 120-char mid-slices of the first 20 docs, so the
+    // originals (and their fixture duplicates) must flag with the span
+    // sitting at the slice location [~40, ~160); a doc whose slice is
+    // too short to carry minShared fingerprints stays silent — the
+    // threshold doing its job, deterministically on both engines
+    "x166_winnow_decontam" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val bench = docs.filter(col("doc_id") < 20)
+        .select(col("doc_id").as("bench_id"),
+          substring(col("text"), 40, 120).as("text"))
+      graft.ops.Dedup.winnowContaminationPortable(docs, "doc_id", "text",
+          bench, "bench_id", "text", k = 16, w = 4, minShared = 3)
+        .orderBy(col("doc_id"), col("bench_id"))
+    }),
+
+    // Length-bucketed padded batches: 4 shards, 32-token buckets,
+    // 2048-token batch budget — the md5-ordered deterministic batch
+    // assignment replayed column for column (bucket, capacity, batch,
+    // slot); measured on this fixture the bucketing holds padding to
+    // ~21% where one unbucketed max-length batch regime pays ~60%
+    "x167_length_batches" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"),
+        pmod(col("doc_id"), lit(4)).as("shard"),
+        size(TextAnalysis.tokens(col("text"))).as("n_tokens"))
+      graft.ops.Packing.lengthBucketedBatches(docs, "shard", "doc_id",
+          "n_tokens", batchTokens = 2048L, bucketWidth = 32)
+        .orderBy(col("shard"), col("doc_id"))
     }))
 
   /** Planted separable classification fixture for x88/x90: each doc
@@ -7385,6 +7415,70 @@ object ExtensionQueries {
         |FROM h a JOIN h b ON a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.dh, b.dh)) <= 3
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // Length-batch replay: same bucket rule, same md5 ordering key,
+    // same capacity/perBatch arithmetic — integer-exact end to end
+    "x167_length_batches" ->
+      """WITH d AS (
+        |  SELECT doc_id, doc_id % 4 AS shard,
+        |    CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+        |      x -> len(x) > 0)) AS INT) AS n_tokens
+        |  FROM documents),
+        |b AS (
+        |  SELECT doc_id, shard, n_tokens,
+        |    greatest(CAST(ceil(n_tokens / 32.0) AS INT), 1) AS bucket,
+        |    md5('lb|' || CAST(doc_id AS VARCHAR)) AS key
+        |  FROM d),
+        |r AS (
+        |  SELECT *, CAST(bucket AS BIGINT) * 32 AS bucket_cap,
+        |    greatest(CAST(floor(2048.0 / (CAST(bucket AS BIGINT) * 32)) AS BIGINT), 1) AS per,
+        |    CAST(row_number() OVER (
+        |      PARTITION BY shard, bucket ORDER BY key, doc_id) - 1 AS BIGINT) AS rn
+        |  FROM b)
+        |SELECT shard, doc_id, n_tokens, bucket, bucket_cap,
+        |  rn // per AS batch, CAST(rn % per AS INT) AS slot
+        |FROM r ORDER BY shard, doc_id""".stripMargin,
+
+    // Winnow-decontamination replay: both sides' fingerprints via the
+    // x161 list encoding, DISTINCT (id, fp, pos) resp. (bench_id, fp),
+    // then the join + span extent
+    "x166_winnow_decontam" ->
+      """WITH bench AS (
+        |  SELECT doc_id AS bench_id, substring(text, 40, 120) AS text
+        |  FROM documents WHERE doc_id < 20),
+        |cg AS (
+        |  SELECT doc_id, greatest(len(text) - 15, 1) AS m,
+        |    list_transform(range(0, greatest(len(text) - 15, 1)),
+        |      i -> CAST(CAST('0x' || substring(md5(substring(text, CAST(i + 1 AS INT), 16)), 1, 15) AS BIGINT) AS HUGEINT) * 1048576
+        |        + (1048575 - i)) AS encs
+        |  FROM documents),
+        |bg AS (
+        |  SELECT bench_id, greatest(len(text) - 15, 1) AS m,
+        |    list_transform(range(0, greatest(len(text) - 15, 1)),
+        |      i -> CAST(CAST('0x' || substring(md5(substring(text, CAST(i + 1 AS INT), 16)), 1, 15) AS BIGINT) AS HUGEINT) * 1048576
+        |        + (1048575 - i)) AS encs
+        |  FROM bench),
+        |csel AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(0, greatest(m - 4, 0) + 1),
+        |      s -> list_min(list_slice(encs, CAST(s + 1 AS INT), CAST(s + 4 AS INT))))) AS sels
+        |  FROM cg),
+        |bsel AS (
+        |  SELECT bench_id, list_distinct(list_transform(range(0, greatest(m - 4, 0) + 1),
+        |      s -> list_min(list_slice(encs, CAST(s + 1 AS INT), CAST(s + 4 AS INT))))) AS sels
+        |  FROM bg),
+        |cfp AS (
+        |  SELECT DISTINCT doc_id, CAST(e // 1048576 AS BIGINT) AS fp,
+        |    CAST(1048575 - e % 1048576 AS INT) AS pos
+        |  FROM csel, UNNEST(sels) AS t(e)),
+        |bfp AS (
+        |  SELECT DISTINCT bench_id, CAST(e // 1048576 AS BIGINT) AS fp
+        |  FROM bsel, UNNEST(sels) AS t(e))
+        |SELECT c.doc_id, b.bench_id,
+        |  CAST(count(DISTINCT c.fp) AS BIGINT) AS shared,
+        |  min(c.pos) AS span_start, max(c.pos) AS span_end
+        |FROM cfp c JOIN bfp b ON c.fp = b.fp
+        |GROUP BY 1, 2 HAVING count(DISTINCT c.fp) >= 3
+        |ORDER BY doc_id, bench_id""".stripMargin,
 
     // Energy-segmentation replay: identical framing (ceil(len/32)
     // frames, truncated tail), per-frame byte sums, then the same

@@ -2331,6 +2331,48 @@ class TextAnalysisSpec extends SparkSpec {
     assert(stats == Set(("a", 0L, 2L), ("a", 1L, 1L), ("b", 0L, 1L), ("b", 2L, 1L)))
   }
 
+  test("lengthBucketedBatches: bucket rule, capacity math, batch splits, zero-token docs") {
+    // bucketWidth 10, batchTokens 60: bucket 1 (cap 10) takes 6/batch,
+    // bucket 2 (cap 20) takes 3/batch, bucket 7 (cap 70 > 60) takes 1
+    val df = (1L to 8L).map(i => (i, "s", 5)) ++ // 8 short docs -> bucket 1
+      Seq((20L, "s", 15), (21L, "s", 11), (22L, "s", 20), (23L, "s", 12)) ++ // bucket 2
+      Seq((30L, "s", 65)) ++ // bucket 7, oversize: alone per batch
+      Seq((40L, "s", 0)) // zero tokens -> bucket 1, not a zero-cap bucket
+    val rows = graft.ops.Packing.lengthBucketedBatches(
+        df.toDF("doc_id", "shard", "n_tokens"), "shard", "doc_id",
+        "n_tokens", batchTokens = 60L, bucketWidth = 10)
+      .collect().map(r => (r.getLong(1), r.getInt(3), r.getLong(4),
+        r.getLong(5), r.getInt(6)))
+    val byDoc = rows.map(r => r._1 -> r).toMap
+    // bucket assignment
+    assert(byDoc(1L)._2 === 1 && byDoc(1L)._3 === 10L)
+    assert(byDoc(22L)._2 === 2 && byDoc(22L)._3 === 20L)
+    assert(byDoc(30L)._2 === 7 && byDoc(30L)._3 === 70L)
+    assert(byDoc(40L)._2 === 1) // zero tokens -> bucket 1
+    // bucket 1 holds 9 docs at 6/batch -> batches 0 (6 docs) and 1 (3)
+    val b1 = rows.filter(_._2 == 1)
+    assert(b1.count(_._4 == 0L) === 6 && b1.count(_._4 == 1L) === 3)
+    // bucket 2 holds 4 docs at 3/batch -> 3 + 1
+    val b2 = rows.filter(_._2 == 2)
+    assert(b2.count(_._4 == 0L) === 3 && b2.count(_._4 == 1L) === 1)
+    // oversize bucket: one per batch, slot always 0
+    assert(byDoc(30L)._4 === 0L && byDoc(30L)._5 === 0)
+    // slots are 0-based and bounded by perBatch
+    assert(b1.forall(r => r._5 >= 0 && r._5 < 6))
+    // deterministic: a rerun assigns identically
+    val again = graft.ops.Packing.lengthBucketedBatches(
+        df.toDF("doc_id", "shard", "n_tokens"), "shard", "doc_id",
+        "n_tokens", batchTokens = 60L, bucketWidth = 10)
+      .collect().map(r => (r.getLong(1), r.getInt(3), r.getLong(4),
+        r.getLong(5), r.getInt(6))).toSet
+    assert(again === rows.toSet)
+    // guard: batchTokens below bucketWidth refuses
+    intercept[IllegalArgumentException](
+      graft.ops.Packing.lengthBucketedBatches(
+        df.toDF("doc_id", "shard", "n_tokens"), "shard", "doc_id",
+        "n_tokens", batchTokens = 5L, bucketWidth = 10))
+  }
+
   test("bpeLearn: classic corpus merges, dry-out, monotone counts, vocab cap") {
     val df = Seq("hug hug hug hugs pug pun bun").toDF("text")
     val got = graft.ops.TextAnalysis.bpeLearn(df, "text", numMerges = 4)

@@ -104,6 +104,40 @@ class WinnowSpec extends SparkSpec {
     assert(d2.toSeq === Seq(0)) // one whole-text gram, one window
   }
 
+  test("winnowContamination: planted slice flagged with span evidence; clean docs silent") {
+    def fmix(v: Long): Long = {
+      var x = v
+      x ^= x >>> 33; x *= 0xff51afd7ed558ccdL
+      x ^= x >>> 33; x *= 0xc4ceb9fe1a85ec53L
+      x ^ (x >>> 33)
+    }
+    val docs = (0L until 20L).map { i =>
+      (i, (1 to 200).map { p =>
+        ('a' + math.floorMod(fmix(i * 999983L + p), 26L).toInt).toChar
+      }.mkString)
+    }.toDF("doc_id", "text")
+    val bench = docs.filter(col("doc_id") < 2)
+      .select(col("doc_id").as("bench_id"),
+        substring(col("text"), 41, 120).as("text"))
+    for (out <- Seq(
+        Dedup.winnowContamination(docs, "doc_id", "text",
+          bench, "bench_id", "text", k = 16, w = 4, minShared = 3),
+        Dedup.winnowContaminationPortable(docs, "doc_id", "text",
+          bench, "bench_id", "text", k = 16, w = 4, minShared = 3))) {
+      val rows = out.orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getInt(3), r.getInt(4)))
+      // exactly the two sliced docs, each against its own slice
+      assert(rows.map(r => (r._1, r._2)).toSeq === Seq((0L, 0L), (1L, 1L)))
+      rows.foreach { case (_, _, shared, s, e) =>
+        assert(shared >= 3L)
+        // slice covers 0-based chars [40, 160): matched fingerprints
+        // must sit inside it (grams start <= 160 - k)
+        assert(s >= 40 && e <= 160 - 16, s"span [$s, $e]")
+      }
+    }
+  }
+
   test("winnowOverlapPairs: maxDf drops boilerplate, overlap is containment-style") {
     // fp 100 in every doc (boilerplate); docs 1,2 share rare fps 7,8;
     // doc 3 shares nothing rare
