@@ -15,7 +15,7 @@ import graft.queries.{ExtensionQueries, ParityQueries}
   * portable trainer whose centroids replay value-exactly cross-engine.
   * Full operator -> query -> check map: /root/repo/COVERAGE.md.
   *
-  * Inventory (218 queries, all oracle-checked — the count is the number
+  * Inventory (219 queries, all oracle-checked — the count is the number
   * of distinct `queries` keys and is asserted against `oracleSql` by
   * `tools/selfcheck.py`, the single source of truth for it):
   *  - q01-q16: scans, filters, CASE chains, datetime, windows (running/
@@ -205,6 +205,8 @@ import graft.queries.{ExtensionQueries, ParityQueries}
   *    side broadcasts, corpus never shuffles for the join)
   *  - x167: length-bucketed padded batches (packByBudget's padded
   *    sibling — md5-ordered deterministic batch/slot assignment)
+  *  - x168: ICWS weighted-minhash dedup (Ioffe '10 — bag-semantics
+  *    Jaccard; full draw + exact verify replayed in the oracle)
   */
 object SparkEntry {
 

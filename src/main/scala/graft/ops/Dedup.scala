@@ -1630,6 +1630,107 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("shared"), col("overlap"))
   }
 
+  /** ICWS weighted-minhash buckets (Ioffe '10, Consistent Weighted
+    * Sampling): per document and sample index j, draw one (dimension,
+    * tier) key such that two documents pick the SAME key with
+    * probability exactly their WEIGHTED Jaccard Σ min(w_a, w_b) /
+    * Σ max(w_a, w_b) — the TF-aware similarity that unweighted
+    * minhash (set semantics) cannot see: a doc that repeats one token
+    * 50× is very different from one mentioning it once, and identical
+    * bags under reordering are identical exactly.
+    *
+    * Per (dimension d, sample j): r, c ~ Gamma(2,1) (= −ln(u·u')),
+    * β ~ U(0,1), all seeded from (d, j) ONLY — sharing a dimension
+    * means sharing its draws, which is what makes collisions measure
+    * similarity; then t = ⌊ln(w)/r + β⌋, ln a = ln c − r(t − β) − r,
+    * and the document's j-th key is the (d, t) minimizing ln a.
+    * Determinism: ln a and the t argument are 6dp-rounded before the
+    * floor/argmin (the x131 round-before-transcendental-consumer
+    * playbook) and the argmin tie-breaks (ln a, d, t), so the whole
+    * draw replays cross-engine from the md5 formulas alone
+    * (`hashed = false`, the oracle surface). `hashed = true` swaps the
+    * five md5 uniforms for xxhash64 ones — no hex-string digesting,
+    * the production family, same recovery contract by spec.
+    *
+    * Scale shape: the k sample argmins are k map-side-partial
+    * aggregates over the (id, d, w) rows — ONE id-keyed exchange, no
+    * per-sample pass; output is k narrow bucket rows per document.
+    * Input rows with non-positive weight are refused (ln). Output:
+    * (id, band = j, bucket = "d:t"). */
+  def icwsBuckets(weighted: DataFrame, idCol: String, dimCol: String,
+      weightCol: String, k: Int = 8, hashed: Boolean = false): DataFrame = {
+    require(k >= 1 && k <= 64, "k in 1..64")
+    val d = col(dimCol).cast("string")
+    val w = col(weightCol).cast("double")
+    def uMd5(j: Int, i: Int): Column =
+      (conv(substring(md5(concat(lit("icws|"), d, lit(s"|$j|$i"))
+        .cast("binary")), 1, 13), 16, 10).cast("double") + lit(0.5)) /
+        lit(4503599627370496.0) // 2^52, half-step clamp: u in (0, 1)
+    def uXx(j: Int, i: Int): Column =
+      (pmod(xxhash64(lit("icws"), d, lit(j), lit(i)),
+        lit(4503599627370496L)).cast("double") + lit(0.5)) /
+        lit(4503599627370496.0)
+    def u(j: Int, i: Int): Column = if (hashed) uXx(j, i) else uMd5(j, i)
+    val samples = (0 until k).map { j =>
+      val r = -(log(u(j, 1)) + log(u(j, 2)))
+      val c = -(log(u(j, 3)) + log(u(j, 4)))
+      val beta = u(j, 5)
+      val t = floor(round(log(w) / r + beta, 6))
+      val lnA = round(log(c) - r * (t - beta) - r, 6)
+      min(struct(lnA.as("a"), d.as("d"),
+        t.cast("long").as("t"))).as(s"__s$j")
+    }
+    weighted.filter(w > 0.0)
+      .groupBy(col(idCol).as("id"))
+      .agg(samples.head, samples.tail: _*)
+      .select(col("id"), explode(array((0 until k).map(j =>
+        struct(lit(j).as("band"),
+          concat(col(s"__s$j.d"), lit(":"),
+            col(s"__s$j.t").cast("string")).as("bucket"))): _*)).as("bb"))
+      .select(col("id"), col("bb.band"), col("bb.bucket"))
+  }
+
+  /** Weighted-Jaccard near-duplicate pairs: [[icwsBuckets]] collisions
+    * as candidates (any of the k samples agreeing — the LSH leg:
+    * recall is probabilistic at 1 − (1 − J_w)^k, precision restored by
+    * the exact verify), then the EXACT weighted Jaccard on candidate
+    * pairs via a full-outer per-dimension join (integer min/max sums —
+    * engine-exact, 6dp output). The minhashLshPairs structure with
+    * bag semantics. Scale shape: candidates through the shared
+    * [[bucketCandidates]] (hot-bucket star-anchor guard, narrow rows);
+    * verify joins only candidate-pair dimension rows behind
+    * [[Skew.repartitionForPairCompute]]. Output: id_a < id_b,
+    * wjaccard >= threshold. */
+  def weightedJaccardPairs(weighted: DataFrame, idCol: String,
+      dimCol: String, weightCol: String, k: Int = 8,
+      threshold: Double = 0.5, maxBucketSize: Int = 256,
+      hashed: Boolean = false): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold in (0, 1]: $threshold")
+    val buckets = icwsBuckets(weighted, idCol, dimCol, weightCol, k, hashed)
+    // candidate-pair persist: the frame feeds both verify join legs
+    // (the minhashLshPairs materialization note)
+    val cand = bucketCandidates(buckets, maxBucketSize).persist()
+    cand.count()
+    val tf = weighted.select(col(idCol).as("__tid"),
+      col(dimCol).cast("string").as("__d"),
+      col(weightCol).cast("long").as("__w"))
+    val pairs = Skew.repartitionForPairCompute(cand, col("id_a"))
+    val wa = pairs.join(tf.select(col("__tid").as("id_a"), col("__d"),
+      col("__w").as("__wa")), Seq("id_a"))
+    val wb = pairs.join(tf.select(col("__tid").as("id_b"), col("__d"),
+      col("__w").as("__wb")), Seq("id_b"))
+    wa.join(wb, Seq("id_a", "id_b", "__d"), "full")
+      .na.fill(0L, Seq("__wa", "__wb"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(sum(least(col("__wa"), col("__wb"))).as("__mn"),
+        sum(greatest(col("__wa"), col("__wb"))).as("__mx"))
+      .withColumn("wjaccard",
+        round(col("__mn").cast("double") / col("__mx"), 6))
+      .filter(col("wjaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("wjaccard"))
+  }
+
   /** Winnow-fingerprint decontamination — the span-evidence member of
     * the decontamination family: where the Bloom screen answers "does
     * this doc contain a benchmark n-gram" (one-sided, no location) and

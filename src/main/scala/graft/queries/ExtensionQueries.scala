@@ -3300,6 +3300,34 @@ object ExtensionQueries {
       graft.ops.Packing.lengthBucketedBatches(docs, "shard", "doc_id",
           "n_tokens", batchTokens = 2048L, bucketWidth = 32)
         .orderBy(col("shard"), col("doc_id"))
+    }),
+
+    // ICWS weighted-Jaccard near-dup: two planted classes set-minhash
+    // cannot tell apart — token-REVERSED copies (same bag, J_w = 1)
+    // and TF-SPIKED copies (first token appended 5x: set-Jaccard = 1
+    // but J_w = n/(n+5), the frequency difference only bag semantics
+    // sees). Fixture bounded to 200 base docs (the x159 discipline)
+    // so every bucket stays under the cap and the star-anchor path —
+    // which the oracle deliberately does not replay — never fires
+    "x168_weighted_jaccard" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .filter(col("doc_id") < 200).select(col("doc_id"), col("text"))
+      val toks = TextAnalysis.tokens(col("text"))
+      val corpus = docs
+        .unionByName(docs.filter(col("doc_id") < 30)
+          .select((col("doc_id") + 10000).as("doc_id"),
+            concat_ws(" ", reverse(toks)).as("text")))
+        .unionByName(docs.filter(col("doc_id") < 30)
+          .select((col("doc_id") + 20000).as("doc_id"),
+            concat_ws(" ", concat(toks,
+              array((0 until 5).map(_ => element_at(toks, 1)): _*)))
+              .as("text")))
+      val tf = corpus.select(col("doc_id"),
+          explode(TextAnalysis.tokens(col("text"))).as("tok"))
+        .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("w"))
+      graft.ops.Dedup.weightedJaccardPairs(tf, "doc_id", "tok", "w",
+          k = 8, threshold = 0.6, maxBucketSize = 1024)
+        .orderBy(col("id_a"), col("id_b"))
     }))
 
   /** Planted separable classification fixture for x88/x90: each doc
@@ -7414,6 +7442,74 @@ object ExtensionQueries {
         |  CAST(bit_count(xor(a.dh, b.dh)) AS INT) AS hamming
         |FROM h a JOIN h b ON a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.dh, b.dh)) <= 3
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    // ICWS replay: the full Ioffe '10 draw — five md5 uniforms per
+    // (dimension, sample), Gamma(2,1) via -(ln u + ln u'), the
+    // 6dp-rounded tier floor and ln a (the x131 round-before-consumer
+    // playbook so both engines' argmins see identical grids), argmin
+    // tie-broken (ln a, d, t), bucket collisions, then the EXACT
+    // weighted Jaccard (integer min/max sums) on candidate pairs
+    "x168_weighted_jaccard" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id < 200
+        |  UNION ALL
+        |  SELECT doc_id + 10000,
+        |    array_to_string(list_reverse(list_filter(string_split_regex(trim(text), '\s+'), x -> len(x) > 0)), ' ')
+        |  FROM documents WHERE doc_id < 30
+        |  UNION ALL
+        |  SELECT doc_id + 20000,
+        |    text || ' ' || array_to_string(list_transform(range(0, 5),
+        |      i -> list_filter(string_split_regex(trim(text), '\s+'), x -> len(x) > 0)[1]), ' ')
+        |  FROM documents WHERE doc_id < 30),
+        |tf AS (
+        |  SELECT doc_id, d, CAST(count(*) AS BIGINT) AS w
+        |  FROM (SELECT doc_id, unnest(list_filter(string_split_regex(trim(text), '\s+'),
+        |          x -> len(x) > 0)) AS d FROM corpus)
+        |  GROUP BY 1, 2),
+        |spl AS (
+        |  SELECT doc_id, d, w, CAST(u.j AS INT) AS j,
+        |    (CAST(('0x' || substring(md5('icws|' || d || '|' || u.j || '|1'), 1, 13)) AS BIGINT) + 0.5) / 4503599627370496.0 AS u1,
+        |    (CAST(('0x' || substring(md5('icws|' || d || '|' || u.j || '|2'), 1, 13)) AS BIGINT) + 0.5) / 4503599627370496.0 AS u2,
+        |    (CAST(('0x' || substring(md5('icws|' || d || '|' || u.j || '|3'), 1, 13)) AS BIGINT) + 0.5) / 4503599627370496.0 AS u3,
+        |    (CAST(('0x' || substring(md5('icws|' || d || '|' || u.j || '|4'), 1, 13)) AS BIGINT) + 0.5) / 4503599627370496.0 AS u4,
+        |    (CAST(('0x' || substring(md5('icws|' || d || '|' || u.j || '|5'), 1, 13)) AS BIGINT) + 0.5) / 4503599627370496.0 AS u5
+        |  FROM tf, UNNEST(range(0, 8)) AS u(j)),
+        |g AS (
+        |  SELECT doc_id, d, w, j,
+        |    -(ln(u1) + ln(u2)) AS r, -(ln(u3) + ln(u4)) AS c, u5 AS beta
+        |  FROM spl),
+        |tv AS (
+        |  SELECT doc_id, d, w, j, r, c, beta,
+        |    floor(round(ln(CAST(w AS DOUBLE)) / r + beta, 6)) AS t
+        |  FROM g),
+        |sc AS (
+        |  SELECT doc_id, d, j, t,
+        |    round(ln(c) - r * (t - beta) - r, 6) AS lna
+        |  FROM tv),
+        |bk AS (
+        |  SELECT doc_id, j, d || ':' || CAST(CAST(t AS BIGINT) AS VARCHAR) AS bucket
+        |  FROM (SELECT *, row_number() OVER (
+        |          PARTITION BY doc_id, j ORDER BY lna, d, t) AS rn FROM sc)
+        |  WHERE rn = 1),
+        |pj AS (
+        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM bk a JOIN bk b ON a.j = b.j AND a.bucket = b.bucket
+        |    AND a.doc_id < b.doc_id),
+        |dimset AS (
+        |  SELECT p.id_a, p.id_b, t.d FROM pj p JOIN tf t ON t.doc_id = p.id_a
+        |  UNION
+        |  SELECT p.id_a, p.id_b, t.d FROM pj p JOIN tf t ON t.doc_id = p.id_b),
+        |v AS (
+        |  SELECT ds.id_a, ds.id_b,
+        |    sum(least(coalesce(a.w, 0), coalesce(b.w, 0))) AS mn,
+        |    sum(greatest(coalesce(a.w, 0), coalesce(b.w, 0))) AS mx
+        |  FROM dimset ds
+        |  LEFT JOIN tf a ON a.doc_id = ds.id_a AND a.d = ds.d
+        |  LEFT JOIN tf b ON b.doc_id = ds.id_b AND b.d = ds.d
+        |  GROUP BY 1, 2)
+        |SELECT id_a, id_b, ROUND(CAST(mn AS DOUBLE) / mx, 6) AS wjaccard
+        |FROM v WHERE ROUND(CAST(mn AS DOUBLE) / mx, 6) >= 0.6
         |ORDER BY id_a, id_b""".stripMargin,
 
     // Length-batch replay: same bucket rule, same md5 ordering key,

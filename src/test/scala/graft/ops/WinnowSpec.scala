@@ -138,6 +138,47 @@ class WinnowSpec extends SparkSpec {
     }
   }
 
+  test("icwsBuckets: identical bags share every sample; both hash families") {
+    val tf = Seq((1L, "a", 2L), (1L, "b", 1L), (2L, "a", 2L), (2L, "b", 1L),
+      (3L, "zq", 7L)).toDF("id", "tok", "w")
+    for (hashed <- Seq(false, true)) {
+      val bk = Dedup.icwsBuckets(tf, "id", "tok", "w", k = 8, hashed = hashed)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+      assert(bk.count(_._1 == 1L) === 8)
+      val m1 = bk.filter(_._1 == 1L).map(r => r._2 -> r._3).toMap
+      val m2 = bk.filter(_._1 == 2L).map(r => r._2 -> r._3).toMap
+      assert(m1 === m2) // same bag -> same draw, all 8 samples
+      // single-dimension doc always samples its only dimension
+      assert(bk.filter(_._1 == 3L).forall(_._3.startsWith("zq:")))
+    }
+  }
+
+  test("weightedJaccardPairs: TF-aware where set minhash is blind; exact verify values") {
+    // doc 2 = doc 1's bag doubled: SET jaccard 1, weighted 3/6 = 0.5;
+    // doc 3 = identical bag to doc 1 -> 1.0; doc 4 disjoint
+    val tf = Seq(
+      (1L, "a", 2L), (1L, "b", 1L),
+      (2L, "a", 4L), (2L, "b", 2L),
+      (3L, "a", 2L), (3L, "b", 1L),
+      (4L, "x", 3L), (4L, "y", 1L)
+    ).toDF("id", "tok", "w")
+    for (hashed <- Seq(false, true)) {
+      val got = Dedup.weightedJaccardPairs(tf, "id", "tok", "w", k = 8,
+          threshold = 0.4, hashed = hashed)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .toSet
+      assert(got.contains((1L, 3L, 1.0)))
+      // candidate recall for J_w=0.5 at k=8 is 1-(1/2)^8 per the draw;
+      // whatever the draw does, a FOUND pair must verify to exactly 0.5
+      got.filter(p => Set(p._1, p._2) == Set(1L, 2L))
+        .foreach(p => assert(p._3 === 0.5))
+      got.filter(p => Set(p._1, p._2) == Set(2L, 3L))
+        .foreach(p => assert(p._3 === 0.5))
+      // disjoint doc 4 never pairs (no shared dimension, no collision)
+      assert(!got.exists(p => p._1 == 4L || p._2 == 4L))
+    }
+  }
+
   test("winnowOverlapPairs: maxDf drops boilerplate, overlap is containment-style") {
     // fp 100 in every doc (boilerplate); docs 1,2 share rare fps 7,8;
     // doc 3 shares nothing rare
