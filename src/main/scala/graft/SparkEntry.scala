@@ -15,7 +15,7 @@ import graft.queries.{ExtensionQueries, ParityQueries}
   * portable trainer whose centroids replay value-exactly cross-engine.
   * Full operator -> query -> check map: /root/repo/COVERAGE.md.
   *
-  * Inventory (219 queries, all oracle-checked — the count is the number
+  * Inventory (220 queries, all oracle-checked — the count is the number
   * of distinct `queries` keys and is asserted against `oracleSql` by
   * `tools/selfcheck.py`, the single source of truth for it):
   *  - q01-q16: scans, filters, CASE chains, datetime, windows (running/
@@ -207,6 +207,8 @@ import graft.queries.{ExtensionQueries, ParityQueries}
   *    sibling — md5-ordered deterministic batch/slot assignment)
   *  - x168: ICWS weighted-minhash dedup (Ioffe '10 — bag-semantics
   *    Jaccard; full draw + exact verify replayed in the oracle)
+  *  - x169: streaming winnow-decontamination screen (stateless, so the
+  *    flagged readback hash-matches x166's batch oracle verbatim)
   */
 object SparkEntry {
 

@@ -1770,7 +1770,7 @@ object Dedup {
       winnowFingerprintsPortable(bench, benchIdCol, benchTextCol, k, w),
       corpusIdCol, benchIdCol, minShared)
 
-  private def contaminationFromFps(cfp: DataFrame, bfp: DataFrame,
+  private[graft] def contaminationFromFps(cfp: DataFrame, bfp: DataFrame,
       outIdA: String, outIdB: String, minShared: Int): DataFrame = {
     require(minShared > 0, "minShared must be positive")
     val b = broadcast(bfp.select(col("id").as("__bid"), col("fp")).distinct())

@@ -3328,6 +3328,32 @@ object ExtensionQueries {
       graft.ops.Dedup.weightedJaccardPairs(tf, "doc_id", "tok", "w",
           k = 8, threshold = 0.6, maxBucketSize = 1024)
         .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // Streaming winnow-decontamination: the x166 fixture through the
+    // winnowScreenSink in 3 real micro-batches (file source). Screening
+    // is per-doc stateless, so the flagged-side readback must equal the
+    // batch x166 answer verbatim (the oracle IS x166's replay);
+    // clean-side routing and exactly-once are pinned by spec
+    "x169_stream_winnow_screen" -> ((s, dir) => {
+      val root = ParityQueries.tmpPath("graft_swinnow", dir)
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val bench = docs.filter(col("doc_id") < 20)
+        .select(col("doc_id").as("bench_id"),
+          substring(col("text"), 40, 120).as("text"))
+      val benchFps = graft.ops.Dedup.winnowFingerprintsPortable(
+        bench, "bench_id", "text", k = 16, w = 4).persist()
+      benchFps.count()
+      docs.repartition(3).write.parquet(s"$root/in")
+      val feed = s.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$root/in")
+      val sq = graft.streaming.EventStreams.winnowScreenSink(feed,
+        "doc_id", "text", benchFps, k = 16, w = 4, minShared = 3,
+        portable = true, s"$root/clean", s"$root/flagged", s"$root/ckpt")
+      try sq.processAllAvailable() finally sq.stop()
+      s.read.parquet(s"$root/flagged")
+        .orderBy(col("doc_id"), col("bench_id"))
     }))
 
   /** Planted separable classification fixture for x88/x90: each doc
@@ -7812,6 +7838,9 @@ object ExtensionQueries {
 
   val oracle: Map[String, String] = oracleBase +
     ("x163_rouge_l" -> rougeLOracle) +
+    // stream == batch for the stateless winnow screen: the flagged-side
+    // readback must hash-match x166's replay verbatim
+    ("x169_stream_winnow_screen" -> oracleBase("x166_winnow_decontam")) +
     // x140 = x112 through the automaton: semantics pinned identical, so
     // the oracle is literally the same replay
     ("x140_blocklist_scaled" -> oracleBase("x112_blocklist_filter")) +

@@ -427,6 +427,46 @@ object EventStreams {
       }
       .start()
 
+  /** Streaming winnow-decontamination screen — the span-evidence
+    * member of the streaming screen family ([[bloomScreenSink]] routes
+    * on a yes/no membership answer; this routes on shared winnow
+    * fingerprints and APPENDS THE EVIDENCE): each micro-batch
+    * fingerprints map-only, joins the broadcast pre-computed benchmark
+    * fingerprint frame ([[graft.ops.Dedup.winnowFingerprints]] /
+    * `...Portable` output — compute it ONCE outside the stream; the
+    * bench side is small by contract), and routes flagged docs' match
+    * rows (bench id, shared count, span extent) to `flaggedPath` and
+    * everything else to `cleanPath`. Screening is per-doc stateless,
+    * so stream output ≡ the batch [[graft.ops.Dedup.winnowContamination]]
+    * over the union of batches — the oracle contract. `portable`
+    * selects the md5 fingerprint family (oracle surface) over the
+    * xxhash64 production family. */
+  def winnowScreenSink(docs: DataFrame, idCol: String, textCol: String,
+      benchFps: DataFrame, k: Int, w: Int, minShared: Int,
+      portable: Boolean, cleanPath: String, flaggedPath: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val cfp =
+            if (portable) graft.ops.Dedup.winnowFingerprintsPortable(
+              batch, idCol, textCol, k, w)
+            else graft.ops.Dedup.winnowFingerprints(
+              batch, idCol, textCol, k, w)
+          val hits = graft.ops.Dedup.contaminationFromFps(
+            cfp, benchFps, idCol, "bench_id", minShared).persist()
+          hits.write.mode("append").parquet(flaggedPath)
+          batch.select(col(idCol))
+            .join(hits.select(col(idCol)).distinct(), Seq(idCol),
+              "left_anti")
+            .write.mode("append").parquet(cleanPath)
+          hits.unpersist()
+        }
+        ()
+      }
+      .start()
+
   /** Stream vector embeddings into an appendable IVF index
     * ([[graft.ops.IVF.writeIndexAppendable]] root) — the retrieval-side
     * twin of [[incrementalDedupSink]]: each micro-batch becomes one

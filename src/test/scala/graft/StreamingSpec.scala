@@ -192,6 +192,47 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("winnowScreenSink: streamed span screening equals batch, routes disjoint") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"doc_id", $"text")
+    val bench = docs.filter($"doc_id" < 10)
+      .select($"doc_id".as("bench_id"), substring($"text", 40, 120).as("text"))
+    val benchFps = graft.ops.Dedup.winnowFingerprintsPortable(
+      bench, "bench_id", "text", k = 16, w = 4).persist()
+    benchFps.count()
+    val root = java.nio.file.Files.createTempDirectory("winnow_sink").toString
+    val input = MemoryStream[(Long, String)]
+    val feed = docs.as[(Long, String)].collect().toSeq
+    val q = EventStreams.winnowScreenSink(
+      input.toDF().toDF("doc_id", "text"), "doc_id", "text", benchFps,
+      k = 16, w = 4, minShared = 3, portable = true,
+      s"$root/clean", s"$root/flagged", s"$root/ckpt")
+    try {
+      input.addData(feed.take(40): _*)
+      q.processAllAvailable()
+      input.addData(feed.drop(40): _*)
+      q.processAllAvailable()
+      val streamed = spark.read.parquet(s"$root/flagged")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getInt(3), r.getInt(4))).toSet
+      val batch = graft.ops.Dedup.winnowContaminationPortable(
+          docs, "doc_id", "text", bench, "bench_id", "text",
+          k = 16, w = 4, minShared = 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getInt(3), r.getInt(4))).toSet
+      assert(streamed === batch) // stateless screen: stream == batch
+      assert(streamed.nonEmpty)
+      // routing partitions the corpus: clean ∪ flagged-ids = all, disjoint
+      val cleanIds = spark.read.parquet(s"$root/clean")
+        .select("doc_id").as[Long].collect().toSet
+      val flaggedIds = streamed.map(_._1)
+      assert((cleanIds & flaggedIds).isEmpty)
+      assert((cleanIds | flaggedIds) === feed.map(_._1).toSet)
+    } finally { q.stop(); benchFps.unpersist() }
+  }
+
   test("qualityGatedParquetSink routes passing batches to good, failing to quarantine") {
     import java.nio.file.Files
     implicit val sqlCtx = spark.sqlContext
