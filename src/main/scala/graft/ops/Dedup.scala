@@ -1652,42 +1652,81 @@ object Dedup {
     * five md5 uniforms for xxhash64 ones — no hex-string digesting,
     * the production family, same recovery contract by spec.
     *
-    * Scale shape: the k sample argmins are k map-side-partial
-    * aggregates over the (id, d, w) rows — ONE id-keyed exchange, no
-    * per-sample pass; output is k narrow bucket rows per document.
-    * Input rows with non-positive weight are refused (ln). Output:
-    * (id, band = j, bucket = "d:t"). */
+    * Scale shape: one exploded (rows × k) PROJECTION computes every
+    * uniform/Gamma/tier value exactly once as a named column, then ONE
+    * (id, j)-keyed min aggregate over a single DECIMAL(38,0) ENCODING
+    * of the argmin key: enc = (round(ln a · 10⁶) + 10⁹) · 10¹⁸ +
+    * h60(d) — minimizing enc minimizes (ln a on the 6dp grid, then
+    * dimension hash). Two spellings were measured SLOWER at a 205k-doc
+    * smoke before this one: the whole draw inside k min-STRUCT
+    * aggregate columns (360s), and the exploded projection feeding
+    * min(struct(ln a, d, t)) (387s) — min over a struct plans
+    * SortAggregate, i.e. a full sort of the exploded rows; the decimal
+    * min hash-aggregates in whole-stage codegen with map-side partials
+    * (9s — 40× on identical semantics). The encoding is also the
+    * BUCKET: equal enc ⟺ same 6dp ln a and same dimension hash ⟺ the
+    * same (d, t) draw (ln a is strictly decreasing in t for one d).
+    * |ln a| < 1000 holds for any weight below e⁸⁵⁰ — the 10⁹ offset
+    * never saturates. Input rows with non-positive weight are refused
+    * (ln).
+    *
+    * `rowsPerBand` > 1 ANDs r consecutive samples into one band bucket
+    * (collision probability J_w^r per band — the classic LSH
+    * amplification): at a 205k-doc smoke, single-sample collisions on
+    * a Zipf corpus flooded the verify leg with 6.5M candidates for
+    * 5k true pairs (popular low-weight tokens win argmins across
+    * unrelated docs at rate ≈ J_w ~ 1/|doc|, and the verify is the
+    * whole cost at 147s); r = 2 squares the noise rate while planted
+    * near-dups at J_w ≥ 0.6 stay near-certain across k/r bands. r = 1
+    * (default) keeps one-sample buckets — the oracle surface. Output:
+    * (id, band, bucket). */
   def icwsBuckets(weighted: DataFrame, idCol: String, dimCol: String,
-      weightCol: String, k: Int = 8, hashed: Boolean = false): DataFrame = {
+      weightCol: String, k: Int = 8, hashed: Boolean = false,
+      rowsPerBand: Int = 1): DataFrame = {
     require(k >= 1 && k <= 64, "k in 1..64")
-    val d = col(dimCol).cast("string")
-    val w = col(weightCol).cast("double")
-    def uMd5(j: Int, i: Int): Column =
-      (conv(substring(md5(concat(lit("icws|"), d, lit(s"|$j|$i"))
-        .cast("binary")), 1, 13), 16, 10).cast("double") + lit(0.5)) /
-        lit(4503599627370496.0) // 2^52, half-step clamp: u in (0, 1)
-    def uXx(j: Int, i: Int): Column =
-      (pmod(xxhash64(lit("icws"), d, lit(j), lit(i)),
+    require(rowsPerBand >= 1 && k % rowsPerBand == 0,
+      "rowsPerBand must divide k")
+    def u(i: Int): Column = if (hashed)
+      (pmod(xxhash64(lit("icws"), col("__d"), col("j"), lit(i)),
         lit(4503599627370496L)).cast("double") + lit(0.5)) /
-        lit(4503599627370496.0)
-    def u(j: Int, i: Int): Column = if (hashed) uXx(j, i) else uMd5(j, i)
-    val samples = (0 until k).map { j =>
-      val r = -(log(u(j, 1)) + log(u(j, 2)))
-      val c = -(log(u(j, 3)) + log(u(j, 4)))
-      val beta = u(j, 5)
-      val t = floor(round(log(w) / r + beta, 6))
-      val lnA = round(log(c) - r * (t - beta) - r, 6)
-      min(struct(lnA.as("a"), d.as("d"),
-        t.cast("long").as("t"))).as(s"__s$j")
-    }
-    weighted.filter(w > 0.0)
-      .groupBy(col(idCol).as("id"))
-      .agg(samples.head, samples.tail: _*)
-      .select(col("id"), explode(array((0 until k).map(j =>
-        struct(lit(j).as("band"),
-          concat(col(s"__s$j.d"), lit(":"),
-            col(s"__s$j.t").cast("string")).as("bucket"))): _*)).as("bb"))
-      .select(col("id"), col("bb.band"), col("bb.bucket"))
+        lit(4503599627370496.0) // 2^52, half-step clamp: u in (0, 1)
+    else
+      (conv(substring(md5(concat(lit("icws|"), col("__d"), lit("|"),
+        col("j").cast("string"), lit(s"|$i")).cast("binary")), 1, 13),
+        16, 10).cast("double") + lit(0.5)) / lit(4503599627370496.0)
+    val hd: Column = if (hashed)
+      pmod(xxhash64(lit("icwsd"), col("__d")),
+        lit(1152921504606846976L)) // 2^60: non-negative, < the 1e18 slot
+    else
+      conv(substring(md5(col("__d").cast("binary")), 1, 15), 16, 10)
+        .cast("long") // the h60 convention
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val drawn = weighted
+      .filter(col(weightCol).cast("double") > 0.0)
+      .select(col(idCol).as("id"), col(dimCol).cast("string").as("__d"),
+        col(weightCol).cast("double").as("__w"))
+      .withColumn("j", explode(array((0 until k).map(i => lit(i)): _*)))
+      .withColumn("__r", -(log(u(1)) + log(u(2))))
+      .withColumn("__c", -(log(u(3)) + log(u(4))))
+      .withColumn("__beta", u(5))
+      .withColumn("__t",
+        floor(round(log(col("__w")) / col("__r") + col("__beta"), 6)))
+      .withColumn("__enc",
+        (round((log(col("__c")) - col("__r") * (col("__t") - col("__beta"))
+          - col("__r")) * 1e6).cast("long") + lit(1000000000L)).cast(dec) *
+          lit(1000000000000000000L) + hd.cast(dec))
+    val perSample = drawn.groupBy(col("id"), col("j"))
+      .agg(min(col("__enc")).as("__m"))
+    if (rowsPerBand == 1)
+      perSample.select(col("id"), col("j").as("band"),
+        col("__m").cast("string").as("bucket"))
+    else
+      perSample
+        .groupBy(col("id"), (col("j") / rowsPerBand).cast("int").as("band"))
+        .agg(concat_ws("|", transform(
+          sort_array(collect_list(struct(col("j"),
+            col("__m").cast("string").as("e")))),
+          x => x.getField("e"))).as("bucket"))
   }
 
   /** Weighted-Jaccard near-duplicate pairs: [[icwsBuckets]] collisions
@@ -1704,14 +1743,23 @@ object Dedup {
   def weightedJaccardPairs(weighted: DataFrame, idCol: String,
       dimCol: String, weightCol: String, k: Int = 8,
       threshold: Double = 0.5, maxBucketSize: Int = 256,
-      hashed: Boolean = false): DataFrame = {
+      hashed: Boolean = false, rowsPerBand: Int = 1): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0,
       s"threshold in (0, 1]: $threshold")
-    val buckets = icwsBuckets(weighted, idCol, dimCol, weightCol, k, hashed)
+    // buckets persist: [[bucketCandidates]]' deliberate no-persist note
+    // is calibrated for the CHEAP minhash subtree — it references the
+    // frame from ~8 branches (sizing join, both pair sides, both star
+    // legs), and re-running the ICWS draw (5 uniforms + 4 ln per
+    // exploded row) per branch measured 414s at a 205k-doc smoke vs 9s
+    // materialized once
+    val buckets = icwsBuckets(weighted, idCol, dimCol, weightCol, k,
+      hashed, rowsPerBand).persist()
+    buckets.count()
     // candidate-pair persist: the frame feeds both verify join legs
     // (the minhashLshPairs materialization note)
     val cand = bucketCandidates(buckets, maxBucketSize).persist()
     cand.count()
+    buckets.unpersist()
     val tf = weighted.select(col(idCol).as("__tid"),
       col(dimCol).cast("string").as("__d"),
       col(weightCol).cast("long").as("__w"))

@@ -7472,9 +7472,11 @@ object ExtensionQueries {
 
     // ICWS replay: the full Ioffe '10 draw — five md5 uniforms per
     // (dimension, sample), Gamma(2,1) via -(ln u + ln u'), the
-    // 6dp-rounded tier floor and ln a (the x131 round-before-consumer
-    // playbook so both engines' argmins see identical grids), argmin
-    // tie-broken (ln a, d, t), bucket collisions, then the EXACT
+    // 6dp-rounded tier floor and ln a grid (the x131 round-before-
+    // consumer playbook so both engines' argmins see identical grids),
+    // the argmin as a min over the single DECIMAL encoding
+    // (lna6 + 1e9)*1e18 + h60(d) — ties break by dimension hash on
+    // both engines — bucket collisions, then the EXACT
     // weighted Jaccard (integer min/max sums) on candidate pairs
     "x168_weighted_jaccard" ->
       """WITH corpus AS (
@@ -7510,14 +7512,13 @@ object ExtensionQueries {
         |    floor(round(ln(CAST(w AS DOUBLE)) / r + beta, 6)) AS t
         |  FROM g),
         |sc AS (
-        |  SELECT doc_id, d, j, t,
-        |    round(ln(c) - r * (t - beta) - r, 6) AS lna
+        |  SELECT doc_id, d, j,
+        |    CAST(CAST(round((ln(c) - r * (t - beta) - r) * 1000000) AS BIGINT)
+        |        + 1000000000 AS HUGEINT) * 1000000000000000000
+        |      + CAST(('0x' || substring(md5(d), 1, 15)) AS BIGINT) AS enc
         |  FROM tv),
         |bk AS (
-        |  SELECT doc_id, j, d || ':' || CAST(CAST(t AS BIGINT) AS VARCHAR) AS bucket
-        |  FROM (SELECT *, row_number() OVER (
-        |          PARTITION BY doc_id, j ORDER BY lna, d, t) AS rn FROM sc)
-        |  WHERE rn = 1),
+        |  SELECT doc_id, j, min(enc) AS bucket FROM sc GROUP BY 1, 2),
         |pj AS (
         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
         |  FROM bk a JOIN bk b ON a.j = b.j AND a.bucket = b.bucket

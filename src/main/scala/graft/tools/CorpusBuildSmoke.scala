@@ -209,6 +209,21 @@ object CorpusBuildSmoke {
     }
     flagged.unpersist()
 
+    // 5c. winnow span audit (r12): the evidence-side complement of the
+    // Bloom yes/no — native fingerprints both sides, benchmark side
+    // broadcast, reports WHERE the benchmark text sits in each hit.
+    // Corpus-wide map-only fingerprinting + one (doc, bench) aggregate.
+    time("5c winnow span audit (corpus-wide, native)") {
+      val benchIdx = bench.select(
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("text"))).cast("long").as("bench_id"), col("text"))
+      val hits = graft.ops.Dedup.winnowContamination(deduped, "doc_id",
+        "text", benchIdx, "bench_id", "text", k = 16, w = 4, minShared = 3)
+      val r = hits.agg(count(lit(1)), countDistinct(col("doc_id"))).head()
+      println(s"[corpus-build]   span hits=${r.getLong(0)} over " +
+        s"${r.getLong(1)} docs (verbatim bench members must all surface)")
+    }
+
     // 6. leakage-safe split on the near-dup cluster labels ---------------
     val split = time("6 leakage-safe cluster-unit split") {
       val s = Sampling.leakageSafeSplit(cleaned, "doc_id", labels).persist()
@@ -228,6 +243,22 @@ object CorpusBuildSmoke {
         max(col("seq_id")).as("max_seq")).head()
       println(s"[corpus-build]   packed incidence rows=${r.getLong(0)} " +
         s"sequences=${r.getLong(1) + 1}")
+    }
+
+    // 7b. padded-batch plan (r12): the encoder-regime sibling of 7 —
+    // length buckets bound per-doc padding; one (route, bucket) window
+    time("7b length-bucketed padded batches (encoder regime)") {
+      val b = Packing.lengthBucketedBatches(
+        split.withColumn("token_cnt", TextAnalysis.tokenCount(col("text"))),
+        "route", "doc_id", "token_cnt", batchTokens = 8192L,
+        bucketWidth = 16)
+      val r = b.agg(count(lit(1)),
+        sum(col("bucket_cap") - col("token_cnt")),
+        sum(col("token_cnt"))).head()
+      val waste = r.getLong(1).toDouble /
+        (r.getLong(1) + r.getLong(2)).toDouble
+      println(f"[corpus-build]   batch rows=${r.getLong(0)} pad-waste=" +
+        f"${waste * 100}%.1f%% (bucketWidth bounds it by construction)")
     }
     split.unpersist()
 

@@ -193,6 +193,30 @@ object DedupScaleSmoke {
     val pjPlanted = pj.filter(col("id_b") === col("id_a") + 10000000L).count()
     println(s"[dedup-scale] prefix-jaccard pairs=$nPj planted=$pjPlanted/5000")
 
+    // r12: ICWS weighted-minhash at scale (hashed=true — the xxhash64
+    // production family; the md5 path is the oracle surface). The zipf
+    // corpus's near-unique tokens keep unrelated bags near-disjoint, so
+    // buckets stay duplicate-group-sized; the planted mutated-tail
+    // copies sit at J_w ~ 0.67 (32/48 token mass shared) and the
+    // threshold selects them. 8 samples x 5 uniforms per (doc, token).
+    val ztf = zCorpus.select(col("doc_id"),
+        explode(org.apache.spark.sql.functions.split(col("text"), " "))
+          .as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("w"))
+      .persist() // three consumers inside the op (draw + both verify legs)
+    val (wj, nWj) = time("ICWS weighted jaccard (t=0.6, k=24, r=2)") {
+      // rowsPerBand=2 squares the noise-collision rate: single-sample
+      // buckets flooded verify with 6.5M candidates for 5k true pairs
+      // (147s of the measured 336s phase); 12 two-sample bands keep
+      // planted J_w=2/3 pairs at 1-(1-4/9)^12 ~ 0.9991 expected recall (measured 4993/5000)
+      val d = graft.ops.Dedup.weightedJaccardPairs(ztf, "doc_id", "tok",
+        "w", k = 24, threshold = 0.6, hashed = true, rowsPerBand = 2)
+        .persist()
+      (d, d.count())
+    }
+    val wjPlanted = wj.filter(col("id_b") === col("id_a") + 10000000L).count()
+    println(s"[dedup-scale] icws pairs=$nWj planted=$wjPlanted/5000")
+
     graft.bench.StageTimers.drain().toSeq.sortBy(-_._2).foreach { case (k, v) =>
       println(f"[dedup-scale]   stage $k%-32s $v%8.2fs")
     }

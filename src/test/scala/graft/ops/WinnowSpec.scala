@@ -148,8 +148,12 @@ class WinnowSpec extends SparkSpec {
       val m1 = bk.filter(_._1 == 1L).map(r => r._2 -> r._3).toMap
       val m2 = bk.filter(_._1 == 2L).map(r => r._2 -> r._3).toMap
       assert(m1 === m2) // same bag -> same draw, all 8 samples
-      // single-dimension doc always samples its only dimension
-      assert(bk.filter(_._1 == 3L).forall(_._3.startsWith("zq:")))
+      // single-dimension doc: its encoded bucket always carries the
+      // dimension hash of its only token in the low 10^18 slot
+      val d3 = bk.filter(_._1 == 3L).map(_._3)
+      assert(d3.length === 8)
+      val lowSlots = d3.map(b => BigInt(b) mod BigInt("1000000000000000000"))
+      assert(lowSlots.distinct.length === 1) // same d -> same h60 slot
     }
   }
 
