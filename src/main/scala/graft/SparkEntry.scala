@@ -15,7 +15,7 @@ import graft.queries.{ExtensionQueries, ParityQueries}
   * portable trainer whose centroids replay value-exactly cross-engine.
   * Full operator -> query -> check map: /root/repo/COVERAGE.md.
   *
-  * Inventory (220 queries, all oracle-checked — the count is the number
+  * Inventory (222 queries, all oracle-checked — the count is the number
   * of distinct `queries` keys and is asserted against `oracleSql` by
   * `tools/selfcheck.py`, the single source of truth for it):
   *  - q01-q16: scans, filters, CASE chains, datetime, windows (running/
@@ -209,6 +209,8 @@ import graft.queries.{ExtensionQueries, ParityQueries}
   *    Jaccard; full draw + exact verify replayed in the oracle)
   *  - x169: streaming winnow-decontamination screen (stateless, so the
   *    flagged readback hash-matches x166's batch oracle verbatim)
+  *  - x170-x171: corpus power-law statistics (vocab growth + Heaps fit
+  *    via the x156 micro-grid OLS; frequency spectrum + Turing r*)
   */
 object SparkEntry {
 

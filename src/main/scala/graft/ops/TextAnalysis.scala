@@ -2340,6 +2340,127 @@ object TextAnalysis {
           col("__t").cast("double"), 6).as("top_coverage"))
   }
 
+  /** Vocabulary-growth curve + Heaps-law fit (Heaps '78: V(N) ≈ K·N^β,
+    * the other corpus power law next to [[zipfProfile]]'s rank/frequency
+    * fit) — the budgeting readout behind "how much NEW vocabulary does
+    * the next crawl shard buy": per shard (in `shardCol` order),
+    * shard token occurrences, NEW types (tokens whose FIRST shard this
+    * is), the cumulative totals, and the fitted Heaps exponent β =
+    * slope of ln V on ln N over the per-shard cumulative points
+    * ([[Stats.groupedOls]] — the 6dp micro-grid makes the fit
+    * engine-exact) stamped on every row with its r².
+    *
+    * Scale shape: ONE token-keyed aggregate (first shard + occurrence
+    * count per type — map-side partials), ONE shard-keyed rollup
+    * (shard-count-sized), cumulative sums on the DRIVER over the
+    * shard-count-sized rows (the [[Packing.globalTokenOffsets]]
+    * two-level discipline — no corpus-wide window, no unpartitioned
+    * WindowExec), and the OLS on the same driver-small frame. Shards
+    * order by their natural value; empty docs contribute nothing.
+    * `gramW` > 1 counts w-GRAM types instead of unigrams (the
+    * [[Dedup.shingles]] window semantics, whole-text gram for short
+    * docs) — the open-vocabulary view a bounded-vocab corpus needs for
+    * the power law to be visible at all. Gram STRINGS ride the type
+    * aggregate here (oracle-friendly); at crawl scale swap the type
+    * key to hashed grams ([[graft.functions.ShingleFunctions
+    * .shingle_hashes]] — no gram materialization, the
+    * interpreted-HOF cliff documented on [[Dedup.minhashSignatures]]
+    * avoided), identical counts up to negligible 64-bit collisions. */
+  def vocabGrowth(df: DataFrame, shardCol: String,
+      textCol: String = "text", gramW: Int = 1): DataFrame = {
+    require(gramW >= 1, "gramW must be positive")
+    val spark = df.sparkSession
+    val types =
+      if (gramW == 1) tokens(lower(col(textCol)))
+      else Dedup.shingles(tokens(lower(col(textCol))), gramW)
+    val tok = df.select(col(shardCol).as("__s"),
+      explode(types).as("__w"))
+    // per type: first shard + per (shard, type) occurrences in one
+    // narrow aggregate, then the two shard-keyed rollups
+    val perShardType = tok.groupBy(col("__s"), col("__w"))
+      .agg(count(lit(1)).as("__c")).persist()
+    perShardType.count()
+    val occ = perShardType.groupBy(col("__s"))
+      .agg(sum(col("__c")).as("__occ"))
+    val firstShard = perShardType.groupBy(col("__w"))
+      .agg(min(col("__s")).as("__fs"))
+      .groupBy(col("__fs")).agg(count(lit(1)).as("__new"))
+    val rows = occ.join(firstShard, occ("__s") === firstShard("__fs"),
+        "left")
+      .select(col("__s"), col("__occ"),
+        coalesce(col("__new"), lit(0L)).as("__new"))
+      .orderBy(col("__s")).collect()
+    perShardType.unpersist()
+    var cumT = 0L; var cumV = 0L
+    val out: Seq[org.apache.spark.sql.Row] = rows.toSeq.map { r =>
+      cumT += r.getLong(1); cumV += r.getLong(2)
+      org.apache.spark.sql.Row(r.get(0), r.getLong(1), r.getLong(2),
+        cumT, cumV)
+    }
+    // explicit schema: the shard column keeps the CALLER's type (a
+    // tuple encoder would see Any and fail)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField(shardCol,
+        df.schema(shardCol).dataType),
+      org.apache.spark.sql.types.StructField("shard_tokens",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("new_types",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("cum_tokens",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("cum_vocab",
+        org.apache.spark.sql.types.LongType, nullable = false)))
+    val growth = spark.createDataFrame(
+      java.util.Arrays.asList(out: _*), schema)
+    val fit = Stats.groupedOls(
+      growth.select(lit(1).as("__g"), log(col("cum_tokens")).as("__x"),
+        log(col("cum_vocab")).as("__y")), "__g", "__x", "__y")
+      .select(col("slope").as("heaps_beta"), col("r2").as("heaps_r2"))
+    growth.crossJoin(broadcast(fit))
+  }
+
+  /** Token frequency spectrum + Turing estimates (Good '53) — the
+    * count-of-counts table every Good–Turing-smoothed LM starts from:
+    * for each observed frequency r ≤ maxR, the number of types n_r
+    * seen exactly r times, the adjusted count r* = (r+1)·n_{r+1}/n_r
+    * (0 when n_{r+1} is unobserved — the raw estimator's known tail
+    * hole; smoothed variants regress the spectrum first), and the
+    * Good–Turing unseen mass p0 = n_1/N stamped on every row.
+    *
+    * Scale shape: ONE token-keyed count, ONE count-keyed count (the
+    * spectrum — at most maxR + tail rows survive the filter), the
+    * n_{r+1} lookup as a self-join on r + 1 = r' (no window: the
+    * spectrum frame is tiny but a windowed spelling would be an
+    * unpartitioned WindowExec), totals broadcast. */
+  def frequencySpectrum(df: DataFrame, textCol: String = "text",
+      maxR: Int = 20, gramW: Int = 1): DataFrame = {
+    require(maxR >= 1, "maxR must be positive")
+    require(gramW >= 1, "gramW must be positive")
+    val types =
+      if (gramW == 1) tokens(lower(col(textCol)))
+      else Dedup.shingles(tokens(lower(col(textCol))), gramW)
+    val counts = df.select(explode(types).as("__w"))
+      .groupBy(col("__w")).agg(count(lit(1)).as("__c")).persist()
+    counts.count()
+    val spectrum = counts.groupBy(col("__c").as("r"))
+      .agg(count(lit(1)).as("n_r")).persist()
+    spectrum.count()
+    val totals = counts.agg(sum(col("__c")).as("__n"),
+      sum(when(col("__c") === 1, 1L).otherwise(0L)).as("__n1"))
+    val next = spectrum.select((col("r") - 1).as("r"),
+      col("n_r").as("__nr1"))
+    val out = spectrum.filter(col("r") <= maxR)
+      .join(next, Seq("r"), "left")
+      .crossJoin(broadcast(totals))
+      .select(col("r"), col("n_r"),
+        round(when(col("__nr1").isNull, lit(0.0))
+          .otherwise((col("r") + 1).cast("double") * col("__nr1") /
+            col("n_r")), 6).as("r_star"),
+        round(col("__n1").cast("double") / col("__n"), 6).as("p_unseen"))
+    counts.unpersist()
+    out
+  }
+
   /** Chat-transcript turn extraction — the parse step every
     * instruction/chat fine-tuning pipeline runs before loss masking and
     * packing: a transcript serialized as `role: content` lines becomes

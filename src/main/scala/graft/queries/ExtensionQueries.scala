@@ -3354,6 +3354,28 @@ object ExtensionQueries {
       try sq.processAllAvailable() finally sq.stop()
       s.read.parquet(s"$root/flagged")
         .orderBy(col("doc_id"), col("bench_id"))
+    }),
+
+    // Vocabulary-growth curve over 5 shards + the Heaps-law exponent
+    // fitted through groupedOls (the x156 micro-grid OLS composed onto
+    // log-log points): 4-gram types open the bounded word-soup
+    // vocabulary so the power law is visible (unigram types saturate at
+    // shard 0 — the degenerate case the gramW knob exists for)
+    "x170_vocab_growth" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").filter(col("doc_id") < 1000)
+        .select(pmod(col("doc_id"), lit(5)).as("shard"), col("text"))
+      graft.ops.TextAnalysis.vocabGrowth(docs, "shard", "text", gramW = 4)
+        .orderBy(col("shard"))
+    }),
+
+    // Token frequency spectrum + Turing adjusted counts and the
+    // Good-Turing unseen mass — the count-of-counts table LM smoothing
+    // starts from; 4-gram types for the same open-vocabulary reason
+    "x171_frequency_spectrum" -> ((s, dir) => {
+      graft.ops.TextAnalysis.frequencySpectrum(
+          t(s, dir, "documents").filter(col("doc_id") < 1000),
+          "text", maxR = 20, gramW = 4)
+        .orderBy(col("r"))
     }))
 
   /** Planted separable classification fixture for x88/x90: each doc
@@ -7469,6 +7491,75 @@ object ExtensionQueries {
         |FROM h a JOIN h b ON a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.dh, b.dh)) <= 3
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // Vocab-growth replay: per-(shard, 4-gram-type) counts, first-shard
+    // new-type attribution, window cumsums on the 5-row rollup, and the
+    // x156 micro-grid OLS on the ln-ln points
+    "x170_vocab_growth" ->
+      """WITH td AS (
+        |  SELECT doc_id % 5 AS s,
+        |    list_filter(string_split_regex(trim(lower(text)), '\s+'),
+        |      x -> len(x) > 0) AS toks
+        |  FROM documents WHERE doc_id < 1000),
+        |tok AS (
+        |  SELECT s, unnest(CASE WHEN len(toks) <= 4 THEN [array_to_string(toks, ' ')]
+        |    ELSE list_transform(range(0, len(toks) - 3),
+        |      i -> array_to_string(list_slice(toks, i + 1, i + 4), ' ')) END) AS w
+        |  FROM td),
+        |pst AS (SELECT s, w, count(*) AS c FROM tok GROUP BY 1, 2),
+        |occ AS (SELECT s, CAST(sum(c) AS BIGINT) AS occ FROM pst GROUP BY 1),
+        |fs AS (SELECT w, min(s) AS fs FROM pst GROUP BY 1),
+        |nw AS (SELECT fs AS s, CAST(count(*) AS BIGINT) AS newt FROM fs GROUP BY 1),
+        |g AS (
+        |  SELECT o.s, o.occ, coalesce(nw.newt, 0) AS newt,
+        |    CAST(sum(o.occ) OVER (ORDER BY o.s) AS BIGINT) AS cum_tokens,
+        |    CAST(sum(coalesce(nw.newt, 0)) OVER (ORDER BY o.s) AS BIGINT) AS cum_vocab
+        |  FROM occ o LEFT JOIN nw ON nw.s = o.s),
+        |pts AS (SELECT ln(CAST(cum_tokens AS DOUBLE)) AS x,
+        |          ln(CAST(cum_vocab AS DOUBLE)) AS y FROM g),
+        |a AS (
+        |  SELECT count(*) AS n,
+        |    CAST(SUM(CAST(ROUND(x * 1000000) AS HUGEINT)) AS DOUBLE) / 1000000.0 AS sx,
+        |    CAST(SUM(CAST(ROUND(y * 1000000) AS HUGEINT)) AS DOUBLE) / 1000000.0 AS sy,
+        |    CAST(SUM(CAST(ROUND(x * y * 1000000) AS HUGEINT)) AS DOUBLE) / 1000000.0 AS sxy,
+        |    CAST(SUM(CAST(ROUND(x * x * 1000000) AS HUGEINT)) AS DOUBLE) / 1000000.0 AS sxx,
+        |    CAST(SUM(CAST(ROUND(y * y * 1000000) AS HUGEINT)) AS DOUBLE) / 1000000.0 AS syy
+        |  FROM pts),
+        |f AS (
+        |  SELECT CAST(n AS DOUBLE) * sxx - sx * sx AS den,
+        |    CAST(n AS DOUBLE) * sxy - sx * sy AS num,
+        |    CAST(n AS DOUBLE) * syy - sy * sy AS deny
+        |  FROM a)
+        |SELECT g.s AS shard, g.occ AS shard_tokens, g.newt AS new_types,
+        |  g.cum_tokens, g.cum_vocab,
+        |  ROUND(CASE WHEN f.den = 0 THEN 0.0 ELSE f.num / f.den END, 6) AS heaps_beta,
+        |  ROUND(CASE WHEN f.den = 0 OR f.deny = 0 THEN 0.0
+        |    ELSE f.num * f.num / (f.den * f.deny) END, 6) AS heaps_r2
+        |FROM g, f ORDER BY shard""".stripMargin,
+
+    // Frequency-spectrum replay: count-of-counts, the n_{r+1} lookup as
+    // a self-join on r+1 (the op's window-free spelling), Turing r* and
+    // the n1/N unseen mass
+    "x171_frequency_spectrum" ->
+      """WITH td AS (
+        |  SELECT list_filter(string_split_regex(trim(lower(text)), '\s+'),
+        |    x -> len(x) > 0) AS toks
+        |  FROM documents WHERE doc_id < 1000),
+        |counts AS (
+        |  SELECT w, count(*) AS c FROM (
+        |    SELECT unnest(CASE WHEN len(toks) <= 4 THEN [array_to_string(toks, ' ')]
+        |      ELSE list_transform(range(0, len(toks) - 3),
+        |        i -> array_to_string(list_slice(toks, i + 1, i + 4), ' ')) END) AS w
+        |    FROM td) GROUP BY 1),
+        |spectrum AS (SELECT c AS r, CAST(count(*) AS BIGINT) AS n_r FROM counts GROUP BY 1),
+        |tot AS (SELECT CAST(sum(c) AS BIGINT) AS n,
+        |  CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1 FROM counts)
+        |SELECT s.r, s.n_r,
+        |  ROUND(CASE WHEN nx.n_r IS NULL THEN 0.0
+        |    ELSE (s.r + 1) * CAST(nx.n_r AS DOUBLE) / s.n_r END, 6) AS r_star,
+        |  ROUND(CAST(t.n1 AS DOUBLE) / t.n, 6) AS p_unseen
+        |FROM spectrum s LEFT JOIN spectrum nx ON nx.r = s.r + 1, tot t
+        |WHERE s.r <= 20 ORDER BY s.r""".stripMargin,
 
     // ICWS replay: the full Ioffe '10 draw — five md5 uniforms per
     // (dimension, sample), Gamma(2,1) via -(ln u + ln u'), the

@@ -342,6 +342,45 @@ class TextEvalSpec extends SparkSpec {
     assert(got(6L) === ((0, 2, 0, 0.0, 0.0, 0.0)))
   }
 
+  test("vocabGrowth: cum accounting; all-unique tokens fit Heaps beta = 1 exactly") {
+    // every token globally unique -> V(N) = N -> ln V = ln N on every
+    // point -> slope 1, r2 1; new_types == shard_tokens per shard
+    val docs = Seq(
+      (0L, "a1 a2 a3"), (0L, "a4 a5"),
+      (1L, "b1 b2 b3 b4"),
+      (2L, "c1 c2")
+    ).toDF("shard", "text")
+    val got = TextAnalysis.vocabGrowth(docs, "shard", "text")
+      .orderBy("shard").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5), r.getDouble(6)))
+    assert(got.toSeq === Seq(
+      (0L, 5L, 5L, 5L, 5L, 1.0, 1.0),
+      (1L, 4L, 4L, 9L, 9L, 1.0, 1.0),
+      (2L, 2L, 2L, 11L, 11L, 1.0, 1.0)))
+    // repeated vocabulary: a later shard re-using shard 0's tokens adds
+    // occurrences but no new types
+    val rep = Seq((0L, "x y"), (1L, "x y"), (1L, "z"))
+      .toDF("shard", "text")
+    val g2 = TextAnalysis.vocabGrowth(rep, "shard", "text")
+      .orderBy("shard").collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(4)))
+    assert(g2.toSeq === Seq((0L, 2L, 2L), (1L, 1L, 3L)))
+  }
+
+  test("frequencySpectrum: hand spectrum, Turing r*, unseen mass, tail hole") {
+    val docs = Seq("a a a b b c").toDF("text")
+    val got = TextAnalysis.frequencySpectrum(docs, "text", maxR = 20)
+      .orderBy("r").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    // counts a:3 b:2 c:1 -> n_1=n_2=n_3=1; r*(1)=2*1/1, r*(2)=3*1/1,
+    // r*(3)=0 (n_4 unobserved); p0 = n_1/N = 1/6
+    assert(got.toSeq === Seq(
+      (1L, 1L, 2.0, 0.166667),
+      (2L, 1L, 3.0, 0.166667),
+      (3L, 1L, 0.0, 0.166667)))
+  }
+
   test("rougeL: case folding and order sensitivity (reversal collapses to 1)") {
     val df = Seq((1L, "Alpha Beta Gamma", "gamma beta alpha")).toDF("id", "cand", "ref")
     val r = TextAnalysis.rougeL(df, "cand", "ref").select("lcs").head().getInt(0)
