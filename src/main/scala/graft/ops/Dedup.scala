@@ -1656,8 +1656,9 @@ object Dedup {
     * uniform/Gamma/tier value exactly once as a named column, then ONE
     * (id, j)-keyed min aggregate over a single DECIMAL(38,0) ENCODING
     * of the argmin key: enc = (round(ln a · 10⁶) + 10⁹) · 10¹⁸ +
-    * h60(d) — minimizing enc minimizes (ln a on the 6dp grid, then
-    * dimension hash). Two spellings were measured SLOWER at a 205k-doc
+    * (h60(d) mod 10¹⁸) — minimizing enc minimizes (ln a on the 6dp
+    * grid, then reduced dimension hash); the mod keeps the hash inside
+    * its slot so the order is genuinely lexicographic. Two spellings were measured SLOWER at a 205k-doc
     * smoke before this one: the whole draw inside k min-STRUCT
     * aggregate columns (360s), and the exploded projection feeding
     * min(struct(ln a, d, t)) (387s) — min over a struct plans
@@ -1694,12 +1695,17 @@ object Dedup {
       (conv(substring(md5(concat(lit("icws|"), col("__d"), lit("|"),
         col("j").cast("string"), lit(s"|$i")).cast("binary")), 1, 13),
         16, 10).cast("double") + lit(0.5)) / lit(4503599627370496.0)
+    // the dimension hash must fit the 1e18 decimal slot EXACTLY or
+    // large hashes bleed into the adjacent ln-a grid slot (2^60 =
+    // 1.15e18 > 1e18 — ~13% of raw h60 values would), breaking the
+    // documented lexicographic (ln a, d) argmin order — so both
+    // families reduce mod 1e18 (the oracle replays the same mod)
     val hd: Column = if (hashed)
       pmod(xxhash64(lit("icwsd"), col("__d")),
-        lit(1152921504606846976L)) // 2^60: non-negative, < the 1e18 slot
+        lit(1000000000000000000L)) // uniform in [0, 1e18)
     else
-      conv(substring(md5(col("__d").cast("binary")), 1, 15), 16, 10)
-        .cast("long") // the h60 convention
+      pmod(conv(substring(md5(col("__d").cast("binary")), 1, 15), 16, 10)
+        .cast("long"), lit(1000000000000000000L)) // h60 mod 1e18
     val dec = org.apache.spark.sql.types.DecimalType(38, 0)
     val drawn = weighted
       .filter(col(weightCol).cast("double") > 0.0)
@@ -1739,7 +1745,18 @@ object Dedup {
     * [[bucketCandidates]] (hot-bucket star-anchor guard, narrow rows);
     * verify joins only candidate-pair dimension rows behind
     * [[Skew.repartitionForPairCompute]]. Output: id_a < id_b,
-    * wjaccard >= threshold. */
+    * wjaccard >= threshold.
+    *
+    * Weight contract: weights must be INTEGER-VALUED (term
+    * frequencies — the bag-semantics use case). The exact verify sums
+    * long min/max per dimension; a fractional weight would truncate
+    * there (a TF-IDF weight < 1 → 0, an all-sub-1 pair silently
+    * dropped) while [[icwsBuckets]] draws on the true double — so
+    * non-integer weights are REFUSED per-row with `raise_error` rather
+    * than silently disagreeing between candidate and verify legs.
+    * Fractional-weight callers should pre-scale to a fixed-point
+    * integer grid (e.g. round(w·10⁶)): weighted Jaccard is
+    * scale-invariant, so any uniform grid preserves the answer. */
   def weightedJaccardPairs(weighted: DataFrame, idCol: String,
       dimCol: String, weightCol: String, k: Int = 8,
       threshold: Double = 0.5, maxBucketSize: Int = 256,
@@ -1760,9 +1777,15 @@ object Dedup {
     val cand = bucketCandidates(buckets, maxBucketSize).persist()
     cand.count()
     buckets.unpersist()
+    val wD = col(weightCol).cast("double")
     val tf = weighted.select(col(idCol).as("__tid"),
       col(dimCol).cast("string").as("__d"),
-      col(weightCol).cast("long").as("__w"))
+      // integer-weight contract (scaladoc): the long verify grid would
+      // silently truncate fractional weights the bucketing leg saw in
+      // full — refuse loudly instead
+      when(wD === floor(wD), wD.cast("long")).otherwise(raise_error(
+        concat(lit("weightedJaccardPairs: non-integer weight (pre-scale "
+          + "to a fixed-point grid): "), wD.cast("string")))).as("__w"))
     val pairs = Skew.repartitionForPairCompute(cand, col("id_a"))
     val wa = pairs.join(tf.select(col("__tid").as("id_a"), col("__d"),
       col("__w").as("__wa")), Seq("id_a"))

@@ -28,9 +28,18 @@ object Stats {
     * days) the x·y products carry >17 significant digits so the two
     * expansions diverge and survive ROUND(…,6) — measured live in r11
     * (x = 20623.123456789 → `…600000000000` vs `…647960297472`). The
-    * grid snap needs |term| ≲ 4.5·10¹⁵ so that every N.5 tie point is
-    * representable (double spacing < 0.5) and both engines' round-half
-    * agree; epoch-day products sit at ≤ ~4·10¹⁴. Per-row quantization
+    * grid snap's hard bound is the LONG cast: |term·1e6| must stay
+    * below 2⁶³ or Spark's double→long saturates SILENTLY at
+    * Long.MaxValue (DuckDB's HUGEINT does not — the engines diverge
+    * exactly where the sums go wrong), so every per-row term (x, y,
+    * x·y, x², y²) must satisfy |term| ≤ 9·10¹² — enforced with a
+    * per-row `raise_error` guard, loud failure over silent saturation.
+    * Within that range both engines see the identical double: below
+    * |term·1e6| < 2⁵² every N.5 tie point is representable and
+    * round-half agrees; above it double spacing ≥ 1 means the product
+    * is already integral and rounding is the identity on both sides.
+    * Epoch-day products sit at ≤ ~4·10¹⁴ in micro-units — comfortably
+    * inside. Per-row quantization
     * at 1e-6 is far below the 6dp output rounding for trend-sized
     * groups. The closed-form arithmetic downstream is fixed-order
     * doubles seeded from identical integers. The cancellation in
@@ -42,8 +51,15 @@ object Stats {
       yCol: String): DataFrame = {
     val decI = org.apache.spark.sql.types.DecimalType(38, 0)
     val x = col(xCol).cast("double"); val y = col(yCol).cast("double")
-    def s(c: org.apache.spark.sql.Column) =
-      sum(round(c * 1e6).cast("long").cast(decI)).cast("double") / 1e6
+    def s(c: org.apache.spark.sql.Column) = {
+      // long-saturation guard: |term| > 9e12 would silently clamp at
+      // Long.MaxValue after the 1e6 grid snap — fail loudly instead
+      val g = when(c.isNull || abs(c) <= lit(9.0e12), c).otherwise(raise_error(
+        concat(lit("groupedOls: |term| exceeds the 9e12 exact-grid "
+          + "bound (long saturation at 9.2e12 micro-units): "),
+          c.cast("string"))))
+      sum(round(g * 1e6).cast("long").cast(decI)).cast("double") / 1e6
+    }
     val agg = df.groupBy(col(groupCol)).agg(
       count(lit(1)).as("n"), s(x).as("__sx"), s(y).as("__sy"),
       s(x * y).as("__sxy"), s(x * x).as("__sxx"), s(y * y).as("__syy"))

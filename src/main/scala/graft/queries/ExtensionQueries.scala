@@ -3334,7 +3334,10 @@ object ExtensionQueries {
     // winnowScreenSink in 3 real micro-batches (file source). Screening
     // is per-doc stateless, so the flagged-side readback must equal the
     // batch x166 answer verbatim (the oracle IS x166's replay);
-    // clean-side routing and exactly-once are pinned by spec
+    // clean-side routing is pinned by spec, and exactly-once holds by
+    // construction: both routes are batch_id-partitioned dynamic
+    // overwrites, so at-least-once redelivery rewrites its own
+    // partition (the readback drops the batch_id plumbing column)
     "x169_stream_winnow_screen" -> ((s, dir) => {
       val root = ParityQueries.tmpPath("graft_swinnow", dir)
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
@@ -3353,6 +3356,8 @@ object ExtensionQueries {
         portable = true, s"$root/clean", s"$root/flagged", s"$root/ckpt")
       try sq.processAllAvailable() finally sq.stop()
       s.read.parquet(s"$root/flagged")
+        .select(col("doc_id"), col("bench_id"), col("shared"),
+          col("span_start"), col("span_end"))
         .orderBy(col("doc_id"), col("bench_id"))
     }),
 
@@ -7566,8 +7571,8 @@ object ExtensionQueries {
     // 6dp-rounded tier floor and ln a grid (the x131 round-before-
     // consumer playbook so both engines' argmins see identical grids),
     // the argmin as a min over the single DECIMAL encoding
-    // (lna6 + 1e9)*1e18 + h60(d) — ties break by dimension hash on
-    // both engines — bucket collisions, then the EXACT
+    // (lna6 + 1e9)*1e18 + h60(d) % 1e18 — ties break by reduced
+    // dimension hash on both engines — bucket collisions, then the EXACT
     // weighted Jaccard (integer min/max sums) on candidate pairs
     "x168_weighted_jaccard" ->
       """WITH corpus AS (
@@ -7606,7 +7611,8 @@ object ExtensionQueries {
         |  SELECT doc_id, d, j,
         |    CAST(CAST(round((ln(c) - r * (t - beta) - r) * 1000000) AS BIGINT)
         |        + 1000000000 AS HUGEINT) * 1000000000000000000
-        |      + CAST(('0x' || substring(md5(d), 1, 15)) AS BIGINT) AS enc
+        |      + (CAST(('0x' || substring(md5(d), 1, 15)) AS BIGINT)
+        |         % 1000000000000000000) AS enc
         |  FROM tv),
         |bk AS (
         |  SELECT doc_id, j, min(enc) AS bucket FROM sc GROUP BY 1, 2),

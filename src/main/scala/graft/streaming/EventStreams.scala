@@ -440,14 +440,20 @@ object EventStreams {
     * so stream output ≡ the batch [[graft.ops.Dedup.winnowContamination]]
     * over the union of batches — the oracle contract. `portable`
     * selects the md5 fingerprint family (oracle surface) over the
-    * xxhash64 production family. */
+    * xxhash64 production family. Exactly-once: both routes write
+    * `batch_id`-partitioned with dynamic partition overwrite (the
+    * [[incrementalDedupSink]]/[[ivfAppendSink]] convention), so
+    * foreachBatch's at-least-once redelivery regenerates the SAME
+    * partition idempotently — a replayed batch overwrites its own
+    * earlier rows instead of duplicating them on either path. Readers
+    * drop the `batch_id` partition column for the logical answer. */
   def winnowScreenSink(docs: DataFrame, idCol: String, textCol: String,
       benchFps: DataFrame, k: Int, w: Int, minShared: Int,
       portable: Boolean, cleanPath: String, flaggedPath: String,
       checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
           val cfp =
             if (portable) graft.ops.Dedup.winnowFingerprintsPortable(
@@ -456,11 +462,19 @@ object EventStreams {
               batch, idCol, textCol, k, w)
           val hits = graft.ops.Dedup.contaminationFromFps(
             cfp, benchFps, idCol, "bench_id", minShared).persist()
-          hits.write.mode("append").parquet(flaggedPath)
+          hits.withColumn("batch_id", lit(batchId))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(flaggedPath)
           batch.select(col(idCol))
             .join(hits.select(col(idCol)).distinct(), Seq(idCol),
               "left_anti")
-            .write.mode("append").parquet(cleanPath)
+            .withColumn("batch_id", lit(batchId))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(cleanPath)
           hits.unpersist()
         }
         ()

@@ -215,6 +215,7 @@ class StreamingSpec extends SparkSpec {
       input.addData(feed.drop(40): _*)
       q.processAllAvailable()
       val streamed = spark.read.parquet(s"$root/flagged")
+        .select("doc_id", "bench_id", "shared", "span_start", "span_end")
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
           r.getInt(3), r.getInt(4))).toSet
       val batch = graft.ops.Dedup.winnowContaminationPortable(

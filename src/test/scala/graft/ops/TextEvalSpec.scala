@@ -312,6 +312,19 @@ class TextEvalSpec extends SparkSpec {
     assert(run(1) === run(13))
   }
 
+  test("groupedOls: refuses terms past the 9e12 long-saturation bound") {
+    // x = y = 1e10 -> x*y = 1e20, whose micro-unit snap would silently
+    // saturate the long cast; the guard must fail loudly instead
+    val df = Seq(("a", 1.0e10, 1.0e10), ("a", 2.0e10, 2.0e10))
+      .toDF("g", "x", "y")
+    val ex = intercept[Throwable] {
+      Stats.groupedOls(df, "g", "x", "y").collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(ex).exists(_.contains("groupedOls")), msgs(ex).mkString("; "))
+  }
+
   // ---- ROUGE-L ----
 
   test("rougeL: hand-computed LCS incl. non-contiguous and repeated tokens") {

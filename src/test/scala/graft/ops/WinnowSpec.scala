@@ -183,6 +183,21 @@ class WinnowSpec extends SparkSpec {
     }
   }
 
+  test("weightedJaccardPairs: refuses fractional weights loudly") {
+    // identical single-token bags always collide -> the verify leg is
+    // guaranteed to evaluate the weight rows and hit the guard; the
+    // old long cast would have truncated 0.5 -> 0 silently
+    val tf = Seq((1L, "a", 0.5), (2L, "a", 0.5)).toDF("id", "tok", "w")
+    val ex = intercept[Throwable] {
+      Dedup.weightedJaccardPairs(tf, "id", "tok", "w", k = 2,
+        threshold = 0.1).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(ex).exists(_.contains("non-integer weight")),
+      msgs(ex).mkString("; "))
+  }
+
   test("winnowOverlapPairs: maxDf drops boilerplate, overlap is containment-style") {
     // fp 100 in every doc (boilerplate); docs 1,2 share rare fps 7,8;
     // doc 3 shares nothing rare
