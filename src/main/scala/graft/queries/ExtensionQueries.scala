@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Dedup, IncrementalDedup, IVF, Multimodal, Similarity, TextAnalysis}
+import graft.ops.{CrossModal, Dedup, IncrementalDedup, IVF, Multimodal, Similarity, TextAnalysis}
 
 /** Oracle-checked / rows-checked query surface for the training-data-pipeline
   * extension operators (dedup, similarity search, text analysis) over the
@@ -3381,7 +3381,49 @@ object ExtensionQueries {
           t(s, dir, "documents").filter(col("doc_id") < 1000),
           "text", maxR = 20, gramW = 4)
         .orderBy(col("r"))
+    }),
+
+    // Cross-modal alignment gate (CLIP-score family): paired
+    // (text-embedding, media-embedding) rows built from the embeddings
+    // table — pair i carries vector i on both sides (perfectly aligned,
+    // cosine 1.0) except the PLANTED mismatches (vec_id % 10 == 7),
+    // whose media side is vector i+1 (random high-dim vectors: cosine
+    // near 0). The 0.99 gate must flag exactly the planted rows.
+    "x172_alignment_gate" -> ((s, dir) => {
+      CrossModal.alignmentGate(crossModalPairs(t(s, dir, "embeddings")),
+          "pair_id", "text_vec", "media_vec", minScore = 0.99)
+        .select(col("pair_id"), col("align_score"), col("aligned"))
+        .orderBy(col("pair_id"))
+    }),
+
+    // Mismatched-pair mining over the same planted fixture: for each
+    // flagged pair, the top-3 media from the full embeddings corpus
+    // aligning strictly better than its own media. Pair i's true
+    // partner (vector i, cosine 1.0) must surface at rank 1 with
+    // margin = 1 - align_score — the swapped-pairing diagnosis.
+    "x173_mismatch_mining" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      CrossModal.mismatchMining(crossModalPairs(emb),
+          "pair_id", "text_vec", "media_vec",
+          emb, "vec_id", "embedding", k = 3, minScore = 0.99)
+        .orderBy(col("pair_id"), col("cand_score").desc,
+          col("cand_media_id"))
     }))
+
+  /** Paired cross-modal fixture for x172/x173: the embeddings table as
+    * both modalities — pair i = (text vec i, media vec i), except
+    * vec_id % 10 == 7 rows whose media side is SWAPPED to vector i+1
+    * (the planted mismatch; i+1 always exists because the table is
+    * id-dense and the max id is % 10 == 9). */
+  private def crossModalPairs(emb: DataFrame): DataFrame = {
+    val base = emb.select(col("vec_id").as("pair_id"),
+      col("embedding").as("text_vec"),
+      when(pmod(col("vec_id"), lit(10)) === 7, col("vec_id") + 1)
+        .otherwise(col("vec_id")).as("__msrc"))
+    base.join(emb.select(col("vec_id").as("__msrc"),
+        col("embedding").as("media_vec")), Seq("__msrc"))
+      .select(col("pair_id"), col("text_vec"), col("media_vec"))
+  }
 
   /** Planted separable classification fixture for x88/x90: each doc
     * truncated to its first 12 tokens plus a 4x-repeated class marker.
@@ -7565,6 +7607,48 @@ object ExtensionQueries {
         |  ROUND(CAST(t.n1 AS DOUBLE) / t.n, 6) AS p_unseen
         |FROM spectrum s LEFT JOIN spectrum nx ON nx.r = s.r + 1, tot t
         |WHERE s.r <= 20 ORDER BY s.r""".stripMargin,
+
+    // Cross-modal alignment replay: the same swapped pairing, 6dp
+    // cosine, threshold boolean
+    "x172_alignment_gate" ->
+      """WITH emb AS (SELECT vec_id,
+        |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |p AS (SELECT b.vec_id AS pair_id, b.v AS tv, m.v AS mv
+        |  FROM emb b JOIN emb m
+        |    ON m.vec_id = CASE WHEN b.vec_id % 10 = 7
+        |                       THEN b.vec_id + 1 ELSE b.vec_id END),
+        |sc AS (SELECT pair_id,
+        |    ROUND(list_cosine_similarity(tv, mv), 6) AS align_score
+        |  FROM p)
+        |SELECT pair_id, align_score, align_score >= 0.99 AS aligned
+        |FROM sc ORDER BY pair_id""".stripMargin,
+
+    // Mining replay: flagged pairs cross the full corpus, 6dp candidate
+    // cosines, strictly-better filter BEFORE the per-pair top-3 window
+    // (cand_score desc, media id asc — the engine's tie-break), margin
+    // as IEEE subtraction of the round6 inputs, round6'd
+    "x173_mismatch_mining" ->
+      """WITH emb AS (SELECT vec_id,
+        |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |p AS (SELECT b.vec_id AS pair_id, b.v AS tv, m.v AS mv
+        |  FROM emb b JOIN emb m
+        |    ON m.vec_id = CASE WHEN b.vec_id % 10 = 7
+        |                       THEN b.vec_id + 1 ELSE b.vec_id END),
+        |sc AS (SELECT pair_id, tv,
+        |    ROUND(list_cosine_similarity(tv, mv), 6) AS align_score
+        |  FROM p),
+        |fl AS (SELECT * FROM sc WHERE align_score < 0.99),
+        |cand AS (SELECT f.pair_id, f.align_score, e.vec_id AS cand_media_id,
+        |    ROUND(list_cosine_similarity(f.tv, e.v), 6) AS cand_score
+        |  FROM fl f CROSS JOIN emb e),
+        |top AS (SELECT * FROM cand WHERE cand_score > align_score
+        |  QUALIFY row_number() OVER (PARTITION BY pair_id
+        |    ORDER BY cand_score DESC, cand_media_id) <= 3)
+        |SELECT pair_id, align_score, cand_media_id, cand_score,
+        |  ROUND(cand_score - align_score, 6) AS margin
+        |FROM top ORDER BY pair_id, cand_score DESC, cand_media_id""".stripMargin,
 
     // ICWS replay: the full Ioffe '10 draw — five md5 uniforms per
     // (dimension, sample), Gamma(2,1) via -(ln u + ln u'), the
