@@ -1462,14 +1462,28 @@ object Dedup {
     * [[semanticDedup]]'s `maxClusterSize`: one aggregate over the
     * narrow prefix rows, and the call REFUSES (naming the mitigation)
     * when any prefix token's membership exceeds the cap — exactness is
-    * never silently traded. The verify leg is per-pair compute behind
-    * [[Skew.repartitionForPairCompute]]. Document text never rides a
-    * shuffle — token strings do (bounded by the tokenizer), the
-    * [[sourceOverlap]] digest swap being the upgrade path at crawl
-    * scale. Output: id_a < id_b, jaccard (6dp) ≥ threshold. */
+    * never silently traded.
+    *
+    * `maxCandidates` (> 0 to enable) guards the SECOND failure axis the
+    * r13 1M smoke exposed: no single bucket hot (max 50), but the
+    * AGGREGATE candidate volume Σ c·(c−1)/2 over prefix buckets grew
+    * ~N² on a word-level corpus (15M pairs at 250k docs → 239M at 1M —
+    * token df grows WITH the corpus at fixed vocabulary shape, so the
+    * regime quietly leaves "rarer than the corpus size" as N grows)
+    * and the verify join, which attaches both token arrays per
+    * candidate, died in spill. The estimate costs one aggregate over
+    * the bucket-count frame — the exact candidate count BEFORE any
+    * join — and the refusal names the fix: shingle the text (w-gram
+    * tokens keep df ~flat in N — the in-regime spelling at corpus
+    * scale) or route to [[minhashLshPairs]]. The verify leg is
+    * per-pair compute behind [[Skew.repartitionForPairCompute]].
+    * Document text never rides a shuffle — token strings do (bounded
+    * by the tokenizer), the [[sourceOverlap]] digest swap being the
+    * upgrade path at crawl scale. Output: id_a < id_b, jaccard (6dp)
+    * ≥ threshold. */
   def prefixFilterJaccardPairs(docs: DataFrame, idCol: String,
       textCol: String, threshold: Double,
-      maxPrefixBucket: Long = 0L): DataFrame = {
+      maxPrefixBucket: Long = 0L, maxCandidates: Long = 0L): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0,
       s"threshold in (0, 1]: $threshold")
     val sets = docs.select(col(idCol).as("__pid"),
@@ -1490,11 +1504,18 @@ object Dedup {
       .withColumn("__pos", row_number().over(byRarity))
       .filter(col("__pos") <= prefixLen)
       .select(col("__pid"), col("__n"), col("__tok"))
-    if (maxPrefixBucket > 0) {
+    if (maxPrefixBucket > 0 || maxCandidates > 0) {
+      // one aggregate over the bucket-count frame gives BOTH guards:
+      // the hottest bucket and the exact candidate count the join
+      // would produce (Σ c·(c−1) summed exactly, halved on the driver)
       prefixes.groupBy(col("__tok")).agg(count(lit(1)).as("__c"))
-        .orderBy(col("__c").desc).limit(1).collect().headOption
-        .foreach { top =>
-          if (top.getLong(1) > maxPrefixBucket) {
+        .agg(max_by(struct(col("__tok"), col("__c")), col("__c"))
+            .as("__top"),
+          sum(col("__c") * (col("__c") - lit(1L))).as("__cand2"))
+        .collect().headOption.filter(!_.isNullAt(0)).foreach { r =>
+          val top = r.getStruct(0)
+          val cand = r.getLong(1) / 2
+          if (maxPrefixBucket > 0 && top.getLong(1) > maxPrefixBucket) {
             throw new IllegalArgumentException(
               s"requirement failed: prefixFilterJaccardPairs: prefix token " +
               s"'${top.getString(0)}' appears in ${top.getLong(1)} prefixes " +
@@ -1503,6 +1524,16 @@ object Dedup {
               "signal (closed/small vocabulary). Raise the threshold, " +
               "shingle the text (opens the vocabulary), or use the " +
               "probabilistic minhashLshPairs path instead")
+          }
+          if (maxCandidates > 0 && cand > maxCandidates) {
+            throw new IllegalArgumentException(
+              s"requirement failed: prefixFilterJaccardPairs: the prefix " +
+              s"join would generate $cand candidate pairs " +
+              s"(maxCandidates=$maxCandidates) with no single hot bucket " +
+              s"(max ${top.getLong(1)}) — token df is growing with the " +
+              "corpus, so the open-vocabulary regime no longer holds at " +
+              "this size. Shingle the text (w-gram tokens keep df flat " +
+              "in N) or use the probabilistic minhashLshPairs path")
           }
         }
     }
@@ -1597,27 +1628,42 @@ object Dedup {
     * every doc carries would join quadratically, the LSH hot-bucket
     * class) and a precision rule: an over-common fingerprint is
     * boilerplate, not copying signal (MOSS drops them for the same
-    * reason). Scale shape: one distinct aggregate, one fp-keyed count,
-    * one fp-keyed self-join on narrow rows, one pair-keyed count —
-    * text never rides any shuffle. Output: id_a < id_b, shared,
-    * overlap (6dp). */
+    * reason).
+    *
+    * Scale shape: one distinct aggregate, then ONE fp-keyed
+    * shuffle+sort (a count window attaches df in place — no join of
+    * the full fingerprint frame against the rare-fp set) whose
+    * partitioning the per-fp grouping REUSES: surviving ids collect
+    * into a ≤ maxDf array (the buffer is bounded BECAUSE the hot-fp
+    * rows were dropped before the aggregate — a groupBy-then-filter
+    * spelling would buffer a boilerplate fingerprint's entire
+    * document list) and pairs explode inline, ≤ maxDf² per
+    * fingerprint. The previous self-join spelling (df-count join +
+    * fp self-join) moved the corpus-sized fingerprint frame through
+    * THREE sorted exchanges and went super-linear under spill at a
+    * 1M-doc smoke (65s at 250k → 387s at 1M, 5.9× for 4×); this one
+    * exchanges it once (measured 43s at 250k → 181s at 1M, 4.2× —
+    * linear; BASELINE.md r13). Text never rides any shuffle. Output:
+    * id_a < id_b, shared, overlap (6dp). */
   def winnowOverlapPairs(fps: DataFrame, maxDf: Int = 64,
       minShared: Int = 3): DataFrame = {
     require(maxDf > 0, "maxDf must be positive")
     require(minShared > 0, "minShared must be positive")
     // dual-consumer materialization (the bucketCandidates convention):
-    // the distinct frame feeds the df counts, both join sides, and the
-    // per-doc sizes — without it the explode+distinct upstream re-runs
-    // once per consumer
+    // the distinct frame feeds the bucketing and the per-doc sizes —
+    // without it the explode+distinct upstream re-runs per consumer
     val distinctFps = fps.select(col("id"), col("fp")).distinct().persist()
     distinctFps.count()
-    val rare = distinctFps.join(
-      distinctFps.groupBy(col("fp")).agg(count(lit(1)).as("__df"))
-        .filter(col("__df") <= maxDf).select(col("fp")),
-      Seq("fp"))
+    val win = org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))
+    val rare = distinctFps
+      .withColumn("__df", count(lit(1)).over(win))
+      .filter(col("__df") <= maxDf)
     val perDoc = distinctFps.groupBy(col("id")).agg(count(lit(1)).as("__n"))
-    rare.select(col("fp"), col("id").as("id_a"))
-      .join(rare.select(col("fp"), col("id").as("id_b")), Seq("fp"))
+    rare.groupBy(col("fp"))
+      .agg(collect_list(col("id")).as("__ids"))
+      .filter(size(col("__ids")) >= 2)
+      .select(explode(col("__ids")).as("id_a"), col("__ids"))
+      .select(col("id_a"), explode(col("__ids")).as("id_b"))
       .filter(col("id_a") < col("id_b"))
       .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("shared"))
       .filter(col("shared") >= minShared)

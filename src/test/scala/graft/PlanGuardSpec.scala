@@ -523,7 +523,9 @@ class PlanGuardSpec extends SparkSpec {
       // join to broadcast that PlanAudit's 8-cpu session leaves shuffled
       ("q38_pipeline_e2e", 0, 0),
       ("q51_compaction", 1, 0),
-      ("x161_winnow_overlap", 3, 5),
+      ("x161_winnow_overlap", 3, 2), // r13 rewrite: window-df +
+      // in-place pair explode — the two corpus-sized joins are gone,
+      // the remaining broadcasts are the small per-doc size frame
       ("x160_stream_semdedup", 2, 1),
       ("x168_weighted_jaccard", 8, 2),
       ("x92_source_overlap", 8, 3),

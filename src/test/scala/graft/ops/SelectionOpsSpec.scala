@@ -117,6 +117,29 @@ class SelectionOpsSpec extends SparkSpec {
     assert(got === 50L * 49 / 2) // identical sets: every pair at J=1
   }
 
+  test("prefixFilterJaccardPairs: maxCandidates refuses aggregate blowup") {
+    // MANY lukewarm buckets, none individually hot — the r13 1M-smoke
+    // regime (239M candidates, max bucket 50): per-bucket caps can't
+    // see it, the aggregate Σ c·(c−1)/2 estimate must
+    val rows = (0L until 60L).map(i => (i, s"t${i % 12} u${i % 12} v${i % 12} w${i % 12}"))
+    val df = rows.toDF("id", "text")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.prefixFilterJaccardPairs(df, "id", "text", 0.6,
+        maxCandidates = 20L)
+    }
+    assert(e.getMessage.contains("candidate pairs") &&
+      e.getMessage.contains("minhashLshPairs"), e.getMessage)
+    // the per-bucket guard alone passes the same corpus (max bucket 5
+    // with 12 variants x 5 docs) — the two guards see different axes
+    val viaBucket = Dedup.prefixFilterJaccardPairs(df, "id", "text", 0.6,
+      maxPrefixBucket = 10L).count()
+    // generous aggregate cap: passes and stays exact
+    val viaCand = Dedup.prefixFilterJaccardPairs(df, "id", "text", 0.6,
+      maxCandidates = 100000L).count()
+    assert(viaBucket == viaCand)
+    assert(viaCand == 12L * (5 * 4 / 2)) // 12 identical-set groups of 5
+  }
+
   test("prefixFilterJaccardPairs: guards bad thresholds") {
     val df = Seq((1L, "a b")).toDF("id", "text")
     intercept[IllegalArgumentException](
