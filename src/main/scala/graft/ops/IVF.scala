@@ -274,15 +274,20 @@ object IVF {
           org.apache.spark.sql.types.DoubleType, false), false)))
     spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
       .coalesce(1).write.mode("overwrite").parquet(s"$stageRoot/centroids")
-    // pending tombstones ride into the staged generation: deleted ids
+    // pending ID tombstones ride into the staged generation: deleted ids
     // must STAY deleted across a rebuild (the erasure contract says
     // nothing about re-training), and the retire/delete of the old root
     // would otherwise silently resurface them. Read happens here — before
     // the promote touches the live root. compactVectors remains the only
-    // operation that clears tombstones, by applying them.
-    tombstoneFrame(assigned.sparkSession, root).foreach(_.write
-      .mode("overwrite").partitionBy("delete_shard")
-      .parquet(s"$stageRoot/tombstones"))
+    // operation that clears tombstones, by applying them. LIST tombstones
+    // ([[splitList]]) do NOT carry: a rebuild's re-train re-numbers the
+    // cid space, so an old list id would mask an arbitrary new list —
+    // and the split's masked rows are absent from any rebuild input read
+    // through the masked view, so there is nothing left to mask.
+    tombstoneFrame(assigned.sparkSession, root).map(idTombstones)
+      .filter(!_.isEmpty).foreach(_.write
+        .mode("overwrite").partitionBy("delete_shard")
+        .parquet(s"$stageRoot/tombstones"))
     promoteStaged(fs, root, stageRoot)
   }
 
@@ -373,16 +378,47 @@ object IVF {
       .parquet(s"$root/vectors")
 
   /** The frozen centroids an appendable index was built with. Heals a
-    * crashed rebuild swap first, so every read path (and [[appendVectors]],
-    * which must assign with these exact centroids) sees a consistent
-    * generation. */
+    * crashed rebuild swap first (and a crashed [[splitList]] centroid
+    * swap — see [[promoteCentroidsStage]]), so every read path (and
+    * [[appendVectors]], which must assign with these exact centroids)
+    * sees a consistent generation. */
   def readModel(spark: org.apache.spark.sql.SparkSession,
       root: String): Model = {
-    healRoot(new org.apache.hadoop.fs.Path(root)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration), root)
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    healRoot(fs, root)
+    promoteCentroidsStage(fs, root)
     Model(spark.read.parquet(s"$root/centroids")
       .orderBy(col("cid")).collect()
       .map(_.getSeq[Double](1).toArray))
+  }
+
+  /** Centroid-file swap for [[splitList]] — the list-scoped sibling of
+    * the root-level stage/retire/promote. The split cannot afford the
+    * rebuild's whole-root staging (it must not rewrite the untouched
+    * 99% of a 100 TB index to split one list), so only the tiny
+    * centroids file swaps: the new generation is fully written to
+    * `centroids__split` first (parquet commits `_SUCCESS` last, so its
+    * presence certifies a complete stage), then the live dir is
+    * deleted and the stage renamed in. Every crash state heals here,
+    * on the next [[readModel]]: a torn stage (no `_SUCCESS`) is debris
+    * — deleted, live generation intact; a complete stage supersedes
+    * whatever live state remains (the split's vector copies were fully
+    * written BEFORE the stage — ordering contract in [[splitList]]),
+    * so it promotes. Single-writer contract as everywhere in this
+    * lifecycle; a concurrent reader can catch the delete-rename gap,
+    * which is why readers heal rather than require. */
+  private def promoteCentroidsStage(fs: org.apache.hadoop.fs.FileSystem,
+      root: String): Unit = {
+    val stage = new org.apache.hadoop.fs.Path(s"$root/centroids__split")
+    if (fs.exists(stage)) {
+      val live = new org.apache.hadoop.fs.Path(s"$root/centroids")
+      if (fs.exists(new org.apache.hadoop.fs.Path(stage, "_SUCCESS"))) {
+        fs.delete(live, true)
+        require(fs.rename(stage, live),
+          s"centroid stage promote failed: $stage")
+      } else fs.delete(stage, true)
+    }
   }
 
   /** Ingest a new embedding shard: assign against the PERSISTED centroids
@@ -402,7 +438,7 @@ object IVF {
       emb: DataFrame, idCol: String, vecCol: String,
       shardId: String): Unit = {
     val model = readModel(spark, root)
-    tombstoneFrame(spark, root).foreach { t =>
+    tombstoneFrame(spark, root).map(idTombstones).foreach { t =>
       val clash = emb.join(broadcast(t.select(col("tomb_id"))),
         emb(idCol) === col("tomb_id"), "left_semi")
       require(clash.isEmpty,
@@ -433,6 +469,10 @@ object IVF {
       ids: DataFrame, idCol: String, shardId: String): Unit = {
     readModel(spark, root) // heal a crashed rebuild swap before writing
     ids.select(col(idCol).as("tomb_id")).distinct()
+      // tomb_cid is the LIST-tombstone leg ([[splitList]] retiring a
+      // whole centroid list); id-tombstones carry it null so every
+      // shard shares one schema and the merged read needs no inference
+      .withColumn("tomb_cid", lit(null).cast("int"))
       .withColumn("delete_shard", lit(shardId))
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
@@ -450,10 +490,32 @@ object IVF {
     val p = new org.apache.hadoop.fs.Path(s"$root/tombstones")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(p) && fs.listStatus(p).exists(
-        _.getPath.getName.startsWith("delete_shard=")))
-      Some(spark.read.parquet(p.toString))
-    else None
+        _.getPath.getName.startsWith("delete_shard="))) {
+      // mergeSchema: shards written before the tomb_cid column existed
+      // (id-only deletes) coexist with [[splitList]]'s list tombstones;
+      // an index that has never seen either schema leg still gets both
+      // columns normalized in
+      val raw = spark.read.option("mergeSchema", "true").parquet(p.toString)
+      val withCid =
+        if (raw.columns.contains("tomb_cid")) raw
+        else raw.withColumn("tomb_cid", lit(null).cast("int"))
+      Some(withCid)
+    } else None
   }
+
+  /** The cids of whole lists retired by [[splitList]] — bounded by the
+    * number of splits since the last rebuild (driver-sized by the same
+    * contract as the centroid array itself), so they prune as LITERALS
+    * at the scan: a retired list's directory is never opened. */
+  private def retiredLists(tombs: Option[DataFrame]): Array[Int] =
+    tombs.map(_.filter(col("tomb_cid").isNotNull)
+      .select(col("tomb_cid")).distinct().collect()
+      .map(_.getInt(0)).sorted).getOrElse(Array.empty)
+
+  /** Id-tombstone rows only (null tomb_cid) — the per-id delete leg the
+    * search mask anti-joins and [[appendVectors]] clash-guards on. */
+  private def idTombstones(tombs: DataFrame): DataFrame =
+    tombs.filter(col("tomb_id").isNotNull)
 
   /** Apply accumulated tombstones physically and collapse the per-shard
     * partition dirs (the small-files problem — the same maintenance role
@@ -471,11 +533,17 @@ object IVF {
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     graft.streaming.EventStreams.recoverUpsertTarget(fs, root)
     val vectors = spark.read.parquet(s"$root/vectors")
-    val live = tombstoneFrame(spark, root) match {
-      case Some(t) => vectors.join(
+    val tombs = tombstoneFrame(spark, root)
+    val retired = retiredLists(tombs)
+    val unretired =
+      if (retired.isEmpty) vectors
+      else vectors.filter(
+        !col("centroid_id").isin(retired.map(Int.box): _*))
+    val live = tombs.map(idTombstones).filter(!_.isEmpty) match {
+      case Some(t) => unretired.join(
         broadcast(t.select(col("tomb_id"))),
-        vectors(idCol) === col("tomb_id"), "left_anti")
-      case None => vectors
+        unretired(idCol) === col("tomb_id"), "left_anti")
+      case None => unretired
     }
     val stageRoot = root + "__stage"
     // stage FIRST — the rewrite reads the live generation
@@ -507,19 +575,26 @@ object IVF {
     val model = readModel(spark, root) // heals a crashed swap first
     val vectors = spark.read.parquet(s"$root/vectors")
       .select(col(idCol), col("centroid_id"), col("ingest_shard"))
-    val flagged = tombstoneFrame(spark, root) match {
+    val tombs = tombstoneFrame(spark, root)
+    val retired = retiredLists(tombs)
+    val flagged = tombs.map(idTombstones) match {
       // distinct BEFORE the left join: deleteVectors dedupes tomb_id only
       // within one call, so an id tombstoned by two delete shards (e.g.
       // overlapping GDPR batches) appears twice in the raw frame and a
       // non-distinct left join would double-count it into n_dead — the
       // silent-misreport mode this readout exists to catch. The search/
       // append paths are anti/semi joins (multiplicity-immune) and stay
-      // un-distinct-ed.
+      // un-distinct-ed. Rows of a [[splitList]]-retired list are dead
+      // wholesale (physically present, scan-pruned from every search).
       case Some(t) => vectors.join(
         broadcast(t.select(col("tomb_id")).distinct()),
         vectors(idCol) === col("tomb_id"), "left")
-        .withColumn("__dead", col("tomb_id").isNotNull)
-      case None => vectors.withColumn("__dead", lit(false))
+        .withColumn("__dead", col("tomb_id").isNotNull ||
+          (if (retired.isEmpty) lit(false)
+           else col("centroid_id").isin(retired.map(Int.box): _*)))
+      case None => vectors.withColumn("__dead",
+        if (retired.isEmpty) lit(false)
+        else col("centroid_id").isin(retired.map(Int.box): _*))
     }
     val counts = flagged.groupBy(col("centroid_id"))
       .agg(sum(when(!col("__dead"), 1L).otherwise(0L)).as("n_live"),
@@ -531,6 +606,134 @@ object IVF {
         coalesce(col("n_live"), lit(0L)).as("n_live"),
         coalesce(col("n_dead"), lit(0L)).as("n_dead"),
         coalesce(col("n_shards"), lit(0L)).as("n_shards"))
+  }
+
+  /** Split a HOT list of an appendable index in place — the action arm
+    * of the [[indexStats]] readout (a list whose n_live dominates makes
+    * every probe that touches it scan-bound; the fix short of a full
+    * re-train is to subdivide just that list). The list's live vectors
+    * are re-clustered over `kSplit` sub-centroids trained PORTABLY
+    * (deterministic — the replay contract below depends on it), the
+    * sub-centroids are appended at fresh cids nc..nc+kSplit-1, the
+    * vectors are re-written under their new lists as ingest shard
+    * `shardId`, and the old list is retired WHOLESALE by a list
+    * tombstone (tomb_cid) that every read path prunes as a literal
+    * PartitionFilter — its directory is never opened again, and
+    * [[compactVectors]] eventually drops the dead rows physically.
+    * Cost is LIST-SIZED: the untouched rest of the index is neither
+    * read nor written (a 100 TB index splits one hot list for the
+    * price of that list), which is why this does NOT reuse the
+    * rebuild's whole-root stage/retire/promote.
+    *
+    * The retired SLOT cannot leave the model (cids are positional in
+    * the centroid array) and cannot keep its centroid (new appends
+    * would keep routing there — into a scan-pruned list, i.e. silent
+    * data loss). It is overwritten with an exact copy of the FIRST
+    * sub-centroid: assignment ties break to the HIGHEST cid (the
+    * [[NearestCentroidId]] contract), so the retired lower slot can
+    * never win an assignment again. The trade: probe selection
+    * (cid-ASC ties) can spend one of its nprobe slots on the retired
+    * duplicate for queries in the split region — a metadata-only empty
+    * read, but a probe slot the query doesn't get back. A split is a
+    * stopgap between re-trains; the next rebuild re-densifies the slot
+    * space.
+    *
+    * Write ordering and crash states (single writer, readers heal):
+    * (1) vector copies land under the new cids — invisible to the old
+    * model, which never probes cids ≥ nc; (2) the centroid swap stages
+    * to `centroids__split` and promotes via [[promoteCentroidsStage]]
+    * (readers heal a crash inside the swap); (3) the list tombstone
+    * arms the prune. A crash before (3) leaves a window where the new
+    * model sees the old list unpruned next to the copies — a query
+    * probing both the retired slot and a sub-list can see a vector id
+    * TWICE (same vector, same score) until the tombstone lands; the
+    * replay below closes it. This is the same documented
+    * at-least-once window class as [[appendVectors]]' torn shard.
+    * Replaying a crashed split with the SAME shardId converges: the
+    * tombstone (written last) short-circuits a completed split; an
+    * incomplete one re-derives identical sub-centroids from the
+    * unchanged live list (portable trainer), re-writes the copies
+    * idempotently (dynamic overwrite of its own shard), and detects an
+    * already-swapped centroid file by value (the model tail equals the
+    * recomputed sub-centroids and the split slot equals the first one)
+    * rather than extending twice. Returns the post-split model. */
+  def splitList(spark: org.apache.spark.sql.SparkSession, root: String,
+      listId: Int, kSplit: Int, idCol: String, vecCol: String,
+      shardId: String, iters: Int = 5): Model = {
+    require(kSplit >= 2, "a split needs at least 2 sub-lists")
+    val model = readModel(spark, root)
+    require(listId >= 0 && listId < model.nc,
+      s"listId $listId out of range 0..${model.nc - 1}")
+    val tombs = tombstoneFrame(spark, root)
+    if (retiredLists(tombs).contains(listId))
+      return model // replay of a COMPLETED split — the tombstone is last
+    val listRows = spark.read.parquet(s"$root/vectors")
+      .filter(col("centroid_id") === listId)
+    val idType = listRows.schema(idCol).dataType
+    val liveRows = (tombs.map(idTombstones).filter(!_.isEmpty) match {
+      case Some(t) => listRows.join(broadcast(t.select(col("tomb_id"))),
+        listRows(idCol) === col("tomb_id"), "left_anti")
+      case None => listRows
+    }).drop("centroid_id", "ingest_shard").persist()
+    try {
+      val n = liveRows.count()
+      require(n >= kSplit,
+        s"list $listId has $n live vectors — cannot split into $kSplit")
+      val subs = trainPortable(liveRows, idCol, vecCol, kSplit, iters)
+      val alreadySwapped = model.nc > kSplit &&
+        model.centroids.takeRight(kSplit).zip(subs.centroids)
+          .forall { case (a, b) => a.sameElements(b) } &&
+        model.centroids(listId).sameElements(subs.centroids(0))
+      val baseCid = if (alreadySwapped) model.nc - kSplit else model.nc
+      val newModel =
+        if (alreadySwapped) model
+        else Model(model.centroids.updated(listId, subs.centroids(0)) ++
+          subs.centroids)
+      // (1) copies: assign against the FULL post-split model (true IVF
+      // semantics — a boundary vector may be nearer a neighboring
+      // list's centroid than any sub-centroid, and belongs there).
+      // Retired slots (this one and any prior split's) tie-lose to
+      // their higher duplicates, so no copy can land in a pruned list.
+      writeVectorShard(assign(liveRows, vecCol, newModel), root, shardId)
+      // (2) centroid swap, staged then promoted
+      if (!alreadySwapped) {
+        val rows = newModel.centroids.zipWithIndex.map { case (c, i) =>
+          org.apache.spark.sql.Row(i, c.toSeq)
+        }
+        val schema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("cid",
+            org.apache.spark.sql.types.IntegerType, false),
+          org.apache.spark.sql.types.StructField("centroid",
+            org.apache.spark.sql.types.ArrayType(
+              org.apache.spark.sql.types.DoubleType, false), false)))
+        spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+          .coalesce(1).write.mode("overwrite")
+          .parquet(s"$root/centroids__split")
+        promoteCentroidsStage(new org.apache.hadoop.fs.Path(root)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration), root)
+      }
+      // (3) the list tombstone arms the prune — written LAST so every
+      // earlier crash state still reads consistently under whichever
+      // model generation is live
+      import scala.jdk.CollectionConverters._
+      // tomb_id carries the INDEX's id type: a list tombstone's null
+      // must merge-read against id-delete shards written with the real
+      // id column, whatever type the caller keys vectors on
+      val tombSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("tomb_id", idType, true),
+        org.apache.spark.sql.types.StructField("tomb_cid",
+          org.apache.spark.sql.types.IntegerType, true),
+        org.apache.spark.sql.types.StructField("delete_shard",
+          org.apache.spark.sql.types.StringType, false)))
+      spark.createDataFrame(
+          Seq(org.apache.spark.sql.Row(null, Int.box(listId),
+            s"split_$shardId")).asJava, tombSchema)
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("delete_shard")
+        .parquet(s"$root/tombstones")
+      newModel
+    } finally liveRows.unpersist()
   }
 
   /** Batched ANN over the appendable index ([[writeIndexAppendable]] +
@@ -559,10 +762,18 @@ object IVF {
     val idx =
       if (excludeShards.isEmpty) raw
       else raw.filter(!col("ingest_shard").isin(excludeShards: _*))
-    val masked = tombstoneFrame(spark, root) match {
-      case Some(t) => idx.join(broadcast(t.select(col("tomb_id"))),
-        idx(idCol) === col("tomb_id"), "left_anti")
-      case None => idx
+    val tombs = tombstoneFrame(spark, root)
+    // retired lists ([[splitList]]) prune as literal PartitionFilters —
+    // the old list's directories are never opened, same metadata-only
+    // skip as the probe prune itself
+    val retired = retiredLists(tombs)
+    val live =
+      if (retired.isEmpty) idx
+      else idx.filter(!col("centroid_id").isin(retired.map(Int.box): _*))
+    val masked = tombs.map(idTombstones).filter(!_.isEmpty) match {
+      case Some(t) => live.join(broadcast(t.select(col("tomb_id"))),
+        live(idCol) === col("tomb_id"), "left_anti")
+      case None => live
     }
     searchBatchPruned(spark, masked, queries,
       idCol, vecCol, qidCol, model, k, nprobe)

@@ -101,6 +101,79 @@ object Sampling {
         col("target_tokens"), col("rate"))
   }
 
+  /** UniMax epoch-capped mixture (Chung et al. '23, "UniMax: Fairer and
+    * More Effective Language Sampling for Large-Scale Multilingual
+    * Pretraining") — the budget allocator that replaced temperature
+    * flattening in PaLM-2-class mixtures: instead of boosting the tail
+    * by a power law (which still over-repeats tiny sources), distribute
+    * the token budget as UNIFORMLY as possible subject to a per-source
+    * repetition cap — no source is seen for more than `epochCap`
+    * epochs. This is exactly water-filling with capacities
+    * cᵢ = epochCap·nᵢ: sources too small to absorb a uniform share get
+    * their full cap (epochs = epochCap); the surplus redistributes
+    * uniformly over the rest, so every uncapped source receives the
+    * SAME token count u (not the same epoch count — that is the
+    * fairness inversion UniMax fixes).
+    *
+    * Determinism contract: capacities snap to the integer micro-unit
+    * grid (round(n·cap·10⁶) — the mean6Exact playbook), prefix sums
+    * and the capped/uncapped BOUNDARY are exact integer comparisons
+    * (cᵢ·(m−i+1) ≤ B_µ − P_{i−1}, arbitrary precision — no FP
+    * comparison can flip a boundary source between engines), and only
+    * the final uniform level u is a double: ONE division of an exact
+    * integer numerator, identical in any engine. Cappedness is
+    * downward-closed in ascending (capacity, source) order — proved by
+    * the prefix inequality folding one step left — so the boundary is
+    * a single scan. Outputs round via Spark `round` (the established
+    * DuckDB ROUND parity surface).
+    *
+    * Scale shape: ONE source-keyed aggregate (map-side combined)
+    * collapses the corpus to |sources| rows — bounded model state, the
+    * x170 globalTokenOffsets discipline — and the water-filling scan
+    * is |sources|-sized driver work (an unpartitioned window over even
+    * a small frame is banned by the repo's plan budgets). Output:
+    * (source, n_tokens, target_tokens, epochs ≤ epochCap, capped),
+    * ready to feed [[mixtureByTokenBudget]]'s samplers. */
+  def unimaxMixture(df: DataFrame, sourceCol: String, textCol: String,
+      budget: Long, epochCap: Double): DataFrame = {
+    require(budget > 0 && budget <= 9000000000000L,
+      "budget in (0, 9e12] (micro-unit long arithmetic)")
+    require(epochCap > 0.0, "epoch cap must be positive")
+    val spark = df.sparkSession
+    val counts = df
+      .groupBy(col(sourceCol).cast("string").as("source"))
+      .agg(sum(size(TextAnalysis.tokens(col(textCol)))).as("n_tokens"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    // ascending (capacity, source) — the water-filling scan order
+    val sorted = counts.map { case (s, n) =>
+      (s, n, math.floor(n.toDouble * epochCap * 1e6 + 0.5).toLong)
+    }.sortBy { case (s, _, capM) => (capM, s) }
+    val m = sorted.length
+    val budgetM = BigInt(budget) * 1000000
+    // exact boundary scan: source i (1-based) is capped iff
+    // cap_i * (m - i + 1) <= budgetM - P_{i-1}
+    var p = BigInt(0); var kStar = 0; var scanning = true
+    sorted.zipWithIndex.foreach { case ((_, _, capM), i) =>
+      if (scanning &&
+          BigInt(capM) * (m - i) <= budgetM - p) {
+        p += capM; kStar = i + 1
+      } else scanning = false
+    }
+    val uFinal =
+      if (kStar >= m) 0.0 else (budgetM - p).toDouble / (m - kStar)
+    val rows = sorted.zipWithIndex.map { case ((s, n, capM), i) =>
+      (s, n, if (i < kStar) capM.toDouble else uFinal, i < kStar)
+    }
+    import spark.implicits._
+    spark.createDataset(rows.toSeq)
+      .toDF("source", "n_tokens", "__alloc_micro", "capped")
+      .select(col("source"), col("n_tokens"),
+        round(col("__alloc_micro") / 1e6).cast("long").as("target_tokens"),
+        round(col("__alloc_micro") / (col("n_tokens") * lit(1e6)), 6)
+          .as("epochs"),
+        col("capped"))
+  }
+
   /** Deterministic train/val/test assignment keyed on a CONTENT hash (md5
     * of the content column), not the row id: the same document re-ingested
     * under a different id lands in the same split, which is what

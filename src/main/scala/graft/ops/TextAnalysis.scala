@@ -1203,6 +1203,61 @@ object TextAnalysis {
       .na.fill(0.0, Seq("kn_nll"))
   }
 
+  /** Per-PARAGRAPH perplexity filtering — CCNet's actual operating unit
+    * (Wenzek et al. '20 §4.3: the LM filter scores and drops
+    * paragraphs, not documents, because boilerplate rides inside
+    * otherwise-good pages): split each document on `sep`, score every
+    * paragraph with the interpolated Kneser–Ney bigram LM
+    * ([[knBigramNll]], trained on `model` — held-out by the same
+    * contract), DROP paragraphs whose mean NLL exceeds `maxNll`, and
+    * reassemble the survivors in original position order. The document
+    * LM ladder (unigram → add-k bigram → stupid backoff → KN) ranks
+    * whole documents; this is the surgical arm that rescues a good
+    * page from its bad paragraphs.
+    *
+    * Semantics pinned for replay: the kept/dropped decision compares
+    * the 6dp-ROUNDED paragraph NLL (the [[knBigramNll]] output
+    * contract — the established DuckDB ROUND parity surface), so the
+    * boundary replays exactly cross-engine. Paragraphs with < 2 tokens
+    * score 0 (the knBigramNll convention) and are therefore always
+    * kept — an empty-ish paragraph carries no LM evidence either way.
+    * A document whose every paragraph drops VANISHES (the
+    * [[graft.ops.Dedup.reassembleKept]] convention: its text would be
+    * empty and a downstream length gate would cut it anyway).
+    *
+    * Scale shape: one posexplode, then exactly [[knBigramNll]]'s
+    * type-bounded scoring joins keyed on the composite (id, pos)
+    * struct, then ONE id-keyed regroup to reassemble — paragraph text
+    * rides the explode and the reassembly, never a scoring shuffle
+    * key. Output: (idCol, text, n_paras, n_kept). */
+  def paragraphPerplexityFilter(model: DataFrame, docs: DataFrame,
+      idCol: String, textCol: String, maxNll: Double,
+      sep: String = "\n\n", discount: Double = 0.75,
+      k: Double = 0.5): DataFrame = {
+    val paras = docs.select(col(idCol),
+        posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep)))
+          .as(Seq("pos", "para")))
+      .withColumn("__pk", struct(col(idCol), col("pos")))
+    // knBigramNll reads ONE text column name across both frames; the
+    // model trains on whole documents (CCNet trains on the reference
+    // corpus, scores paragraphs)
+    val scored = knBigramNll(model.select(col(textCol).as("para")),
+      paras, "__pk", "para", discount, k)
+    val counts = paras.groupBy(col(idCol)).agg(count(lit(1)).as("n_paras"))
+    paras.join(scored, Seq("__pk"))
+      .filter(col("kn_nll") <= maxNll)
+      .groupBy(col(idCol))
+      .agg(
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("pos"), col("para")))),
+            s => s.getField("para")),
+          sep).as("text"),
+        count(lit(1)).as("n_kept"))
+      .join(counts, Seq(idCol))
+      .select(col(idCol), col("text"), col("n_paras"), col("n_kept"))
+  }
+
   /** Sentence/document-level BLEU (Papineni et al. '02) of a candidate
     * column against a reference column — the synthetic-data QA readout
     * [[ngramNovelty]] can't give: HOW CLOSE is each generated text to

@@ -3396,6 +3396,112 @@ object ExtensionQueries {
         .orderBy(col("pair_id"))
     }),
 
+    // UniMax epoch-capped mixture over skewed synthetic sources
+    // (8:4:2:1:1 doc-count ratio via pmod buckets — the real documents
+    // sources are near-uniform, which would put every source on one
+    // side of the cap): at budget 40k tokens with a 2-epoch cap the two
+    // smallest sources cap exactly and the surplus water-fills the rest
+    "x174_unimax_mixture" -> ((s, dir) => {
+      val g = pmod(col("doc_id"), lit(16))
+      val docs = t(s, dir, "documents").select(
+        when(g < 8, "a").when(g < 12, "b").when(g < 14, "c")
+          .when(g === 14, "d").otherwise("e").as("src"),
+        col("text"))
+      graft.ops.Sampling.unimaxMixture(docs, "src", "text",
+          budget = 40000L, epochCap = 2.0)
+        .orderBy(col("source"))
+    }),
+
+    // IVF list SPLIT lifecycle (x175) — the action arm of the x102
+    // stats readout: the hottest list is re-clustered over 4 fresh
+    // sub-lists (portable trainer), the old list retired by a
+    // list-scoped tombstone that prunes as a PartitionFilter, and
+    // search must equal brute probe semantics over the index's ACTUAL
+    // post-split placement (old assignment outside the split list,
+    // post-split assignment for its rows — the same frozen-model
+    // discipline as x50's reference). Replay of the completed split is
+    // a no-op (tombstone short-circuit); compaction drops the dead
+    // list physically and changes no answer. The frame-equality-
+    // boolean family of x50/x69.
+    "x175_ivf_split" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val model = IVF.train(emb, "vec_id", "embedding", nc = 8, iters = 3)
+      val idx = ParityQueries.tmpPath("graft_ivf_split", dir)
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(idx))
+      IVF.writeIndexAppendable(IVF.assign(emb, "embedding", model), idx,
+        model, "base")
+      val hot = IVF.indexStats(s, idx, "vec_id")
+        .orderBy(col("n_live").desc, col("centroid_id")).head.getInt(0)
+      val oldCount = s.read.parquet(s"$idx/vectors")
+        .filter(col("centroid_id") === hot).count()
+      val post = IVF.splitList(s, idx, hot, kSplit = 4, "vec_id",
+        "embedding", "sp1")
+      val q = emb.filter(col("vec_id") % 10 === 3).limit(5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+      val viaIndex = IVF.searchBatchAppendable(s, idx, q, "vec_id",
+        "embedding", "query_id", k = 10, nprobe = 4)
+      val prunedOk = "PartitionFilters: \\[[^\\]]*centroid_id".r
+        .findFirstIn(viaIndex.queryExecution.executedPlan.toString)
+        .isDefined
+      // reference placement: rows outside the split list keep their
+      // frozen base-model assignment; the split list's rows re-assign
+      // under the post-split model — exactly what splitList stored
+      val oldAssigned = IVF.assign(emb, "embedding", model)
+      val refAssigned = oldAssigned.filter(col("centroid_id") =!= hot)
+        .unionByName(IVF.assign(
+          oldAssigned.filter(col("centroid_id") === hot)
+            .drop("centroid_id"), "embedding", post))
+      val ref = IVF.searchBatch(refAssigned, q, "vec_id", "embedding",
+        "query_id", post, k = 10, nprobe = 4)
+      val matches = viaIndex.exceptAll(ref)
+        .unionByName(ref.exceptAll(viaIndex)).isEmpty
+      val stats = IVF.indexStats(s, idx, "vec_id").collect()
+        .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+      val oldRetired = stats(hot) == ((0L, oldCount))
+      // conservation is per SHARD, not per sub-list: a boundary vector
+      // whose old centroid vanished may re-assign to a neighboring
+      // ORIGINAL list — still live, still counted once
+      val subsHoldLive = s.read.parquet(s"$idx/vectors")
+        .filter(col("ingest_shard") === "sp1").count() == oldCount
+      val replayNoop = IVF.splitList(s, idx, hot, kSplit = 4, "vec_id",
+        "embedding", "sp1").nc == post.nc
+      IVF.compactVectors(s, idx, "vec_id", "c1")
+      val afterCompact = IVF.searchBatchAppendable(s, idx, q, "vec_id",
+        "embedding", "query_id", k = 10, nprobe = 4)
+      val compactMatches = afterCompact.exceptAll(ref)
+        .unionByName(ref.exceptAll(afterCompact)).isEmpty
+      val oldGone = s.read.parquet(s"$idx/vectors")
+        .filter(col("centroid_id") === hot).isEmpty
+      emb.agg(count(lit(1)).as("n_vectors"))
+        .withColumn("n_lists_before", lit(8))
+        .withColumn("n_lists_after", lit(post.nc))
+        .withColumn("split_matches_ref", lit(matches))
+        .withColumn("old_list_retired", lit(oldRetired))
+        .withColumn("sub_lists_hold_live", lit(subsHoldLive))
+        .withColumn("replay_noop", lit(replayNoop))
+        .withColumn("compact_preserves_answers", lit(compactMatches))
+        .withColumn("old_list_removed", lit(oldGone))
+        .withColumn("partition_pruned", lit(prunedOk))
+    }),
+
+    // CCNet per-PARAGRAPH perplexity filter (x176): every 3rd doc gains
+    // a planted OOV-bigram paragraph whose every bigram scores the
+    // continuation floor k/(T+kV) — far above the threshold — while the
+    // original paragraphs are IN the KN model corpus and score low. The
+    // oracle replays the whole pipeline value-for-value (x141's KN CTEs
+    // at paragraph grain + threshold + ordered reassembly), so the
+    // kept/dropped boundary and the rebuilt text both hash-match.
+    "x176_paragraph_ppl_filter" -> ((s, dir) => {
+      val base = t(s, dir, "documents")
+      val docs = base.select(col("doc_id"),
+        when(col("doc_id") % 3 === 0,
+          concat(col("text"), lit("\n\nzzqa zzqb zzqc zzqd zzqe")))
+        .otherwise(col("text")).as("text"))
+      TextAnalysis.paragraphPerplexityFilter(base, docs, "doc_id", "text",
+          maxNll = 9.0)
+        .orderBy(col("doc_id"))
+    }),
+
     // Mismatched-pair mining over the same planted fixture: for each
     // flagged pair, the top-3 media from the full embeddings corpus
     // aligning strictly better than its own media. Pair i's true
@@ -7623,6 +7729,136 @@ object ExtensionQueries {
         |  FROM p)
         |SELECT pair_id, align_score, align_score >= 0.99 AS aligned
         |FROM sc ORDER BY pair_id""".stripMargin,
+
+    // UniMax replay: integer micro-unit capacities, exact HUGEINT
+    // prefix sums and boundary comparisons (cappedness is downward-
+    // closed in ascending (capacity, source) order, so per-row
+    // conditions equal the engine's scan), ONE double division for the
+    // uniform level
+    "x174_unimax_mixture" ->
+      """WITH d AS (
+        |  SELECT CASE WHEN doc_id % 16 < 8 THEN 'a'
+        |              WHEN doc_id % 16 < 12 THEN 'b'
+        |              WHEN doc_id % 16 < 14 THEN 'c'
+        |              WHEN doc_id % 16 = 14 THEN 'd' ELSE 'e' END AS source,
+        |    len(list_filter(string_split_regex(trim(text), '\s+'),
+        |      x -> len(x) > 0)) AS tl
+        |  FROM documents),
+        |c AS (SELECT source, CAST(sum(tl) AS BIGINT) AS n_tokens
+        |  FROM d GROUP BY 1),
+        |o AS (SELECT source, n_tokens,
+        |    CAST(round(CAST(n_tokens AS DOUBLE) * 2.0 * 1000000) AS BIGINT)
+        |      AS capm
+        |  FROM c),
+        |r AS (SELECT *, row_number() OVER (ORDER BY capm, source) AS rn,
+        |    COALESCE(sum(capm) OVER (ORDER BY capm, source
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS p,
+        |    (SELECT count(*) FROM o) AS m
+        |  FROM o),
+        |f AS (SELECT *,
+        |    CAST(capm AS HUGEINT) * (m - rn + 1)
+        |      <= CAST(40000 AS HUGEINT) * 1000000 - p AS capped
+        |  FROM r),
+        |k AS (SELECT CAST(sum(CASE WHEN capped THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS kstar,
+        |    CAST(sum(CASE WHEN capped THEN capm ELSE 0 END) AS HUGEINT) AS pk,
+        |    max(m) AS mm FROM f),
+        |u AS (SELECT CASE WHEN kstar >= mm THEN 0.0
+        |    ELSE CAST(CAST(40000 AS HUGEINT) * 1000000 - pk AS DOUBLE)
+        |      / (mm - kstar) END AS ufinal FROM k)
+        |SELECT f.source, f.n_tokens,
+        |  CAST(round((CASE WHEN f.capped THEN CAST(f.capm AS DOUBLE)
+        |    ELSE u.ufinal END) / 1000000.0) AS BIGINT) AS target_tokens,
+        |  ROUND((CASE WHEN f.capped THEN CAST(f.capm AS DOUBLE)
+        |    ELSE u.ufinal END) / (f.n_tokens * 1000000.0), 6) AS epochs,
+        |  f.capped
+        |FROM f, u ORDER BY f.source""".stripMargin,
+
+    // x175: the split lifecycle's invariants are frame-equality and
+    // stats-conservation booleans computed engine-side (kmeans + the
+    // index layout have no SQL replay); the oracle pins the fixture
+    // count, the deterministic list arithmetic (8 lists + 4 sub-lists),
+    // and every boolean at TRUE — the x50/x69 convention.
+    "x175_ivf_split" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_vectors,
+        |  CAST(8 AS INTEGER) AS n_lists_before,
+        |  CAST(12 AS INTEGER) AS n_lists_after,
+        |  TRUE AS split_matches_ref,
+        |  TRUE AS old_list_retired,
+        |  TRUE AS sub_lists_hold_live,
+        |  TRUE AS replay_noop,
+        |  TRUE AS compact_preserves_answers,
+        |  TRUE AS old_list_removed,
+        |  TRUE AS partition_pruned
+        |FROM embeddings""".stripMargin,
+
+    // x176: x141's KN replay at PARAGRAPH grain — same model CTEs, the
+    // doc side splits on the separator first, paragraph NLLs round to
+    // 6dp before the threshold (the engine's pinned decision surface),
+    // short paragraphs coalesce to 0 (always kept), survivors
+    // reassemble in position order, all-dropped docs vanish
+    "x176_paragraph_ppl_filter" ->
+      """WITH mtok AS (
+        |  SELECT list_filter(string_split_regex(trim(lower(text)), '\s+'),
+        |    x -> len(x) > 0) AS ts
+        |  FROM documents),
+        |bi AS (SELECT a, b, count(*) AS c
+        |  FROM (SELECT ts[i] AS a, ts[i + 1] AS b
+        |        FROM mtok, UNNEST(range(1, len(ts))) AS u(i)) GROUP BY a, b),
+        |ctx AS (SELECT a, CAST(sum(c) AS DOUBLE) AS c1,
+        |    CAST(count(*) AS DOUBLE) AS n1f
+        |  FROM bi GROUP BY a),
+        |pred AS (SELECT b, CAST(count(*) AS DOUBLE) AS n1p FROM bi GROUP BY b),
+        |tot AS (SELECT
+        |    (SELECT CAST(count(*) AS DOUBLE) FROM bi) AS t,
+        |    (SELECT CAST(count(*) AS DOUBLE) FROM
+        |      (SELECT a AS w FROM bi UNION SELECT b AS w FROM bi)) AS v),
+        |mut AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 3 = 0
+        |      THEN text || e'\n\n' || 'zzqa zzqb zzqc zzqd zzqe'
+        |      ELSE text END AS text
+        |  FROM documents),
+        |spl AS (SELECT doc_id, string_split(text, e'\n\n') AS ls FROM mut),
+        |par AS (
+        |  SELECT doc_id, i AS pos, ls[i] AS para
+        |  FROM spl, UNNEST(range(1, len(ls) + 1)) AS u(i)),
+        |pts AS (
+        |  SELECT doc_id, pos,
+        |    list_filter(string_split_regex(trim(lower(para)), '\s+'),
+        |      x -> len(x) > 0) AS ts
+        |  FROM par),
+        |dbg AS (
+        |  SELECT doc_id, pos, ts[i] AS w1, ts[i + 1] AS w2
+        |  FROM pts, UNNEST(range(1, len(ts))) AS u(i)),
+        |sc AS (
+        |  SELECT d.doc_id, d.pos,
+        |    CASE WHEN ctx.c1 IS NOT NULL THEN
+        |      GREATEST(CAST(coalesce(b.c, 0) AS DOUBLE) - 0.75, 0.0) / ctx.c1
+        |        + (0.75 * ctx.n1f / ctx.c1) *
+        |          ((coalesce(pred.n1p, 0) + 0.5) / (tot.t + 0.5 * tot.v))
+        |    ELSE (coalesce(pred.n1p, 0) + 0.5) / (tot.t + 0.5 * tot.v)
+        |    END AS p
+        |  FROM dbg d
+        |  LEFT JOIN bi b ON b.a = d.w1 AND b.b = d.w2
+        |  LEFT JOIN ctx ON ctx.a = d.w1
+        |  LEFT JOIN pred ON pred.b = d.w2, tot),
+        |pagg AS (
+        |  SELECT doc_id, pos, ROUND(avg(-ln(p)), 6) AS kn_nll
+        |  FROM sc GROUP BY doc_id, pos),
+        |kept AS (
+        |  SELECT p.doc_id, p.pos, p.para
+        |  FROM par p LEFT JOIN pagg a
+        |    ON p.doc_id = a.doc_id AND p.pos = a.pos
+        |  WHERE coalesce(a.kn_nll, 0.0) <= 9.0),
+        |cnt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_paras
+        |  FROM par GROUP BY doc_id)
+        |SELECT k.doc_id,
+        |  string_agg(k.para, e'\n\n' ORDER BY k.pos) AS text,
+        |  max(c.n_paras) AS n_paras,
+        |  CAST(count(*) AS BIGINT) AS n_kept
+        |FROM kept k JOIN cnt c ON k.doc_id = c.doc_id
+        |GROUP BY k.doc_id ORDER BY k.doc_id""".stripMargin,
 
     // Mining replay: flagged pairs cross the full corpus, 6dp candidate
     // cosines, strictly-better filter BEFORE the per-pair top-3 window

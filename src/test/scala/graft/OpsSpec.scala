@@ -1199,6 +1199,143 @@ class SimilaritySpec extends SparkSpec {
     assert(s2.filter(_._2 > 0).forall(_._4 == 1L), s2.toSeq)
   }
 
+  test("splitList: hot list re-clusters, retired slot never re-assigned, search exact") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val base = emb.filter($"vec_id" % 7 =!= 0)
+    val model = graft.ops.IVF.train(base, "vec_id", "embedding", nc = 4, iters = 2)
+    val root = java.nio.file.Files.createTempDirectory("ivf_split")
+      .toString + "/idx"
+    graft.ops.IVF.writeIndexAppendable(
+      graft.ops.IVF.assign(base, "embedding", model), root, model, "base")
+    // id-deletes BEFORE the split: tombstoned rows of the hot list must
+    // not ride into the copies (the split re-clusters LIVE rows only)
+    val doomed = base.filter($"vec_id" % 10 === 4)
+    graft.ops.IVF.deleteVectors(spark, root, doomed, "vec_id", "d1")
+    val hot = graft.ops.IVF.indexStats(spark, root, "vec_id")
+      .orderBy($"n_live".desc, $"centroid_id").head.getInt(0)
+    val hotLive = graft.ops.IVF.indexStats(spark, root, "vec_id")
+      .filter($"centroid_id" === hot).head.getLong(1)
+    val post = graft.ops.IVF.splitList(spark, root, hot, kSplit = 3,
+      "vec_id", "embedding", "sp1")
+    // model shape: 3 sub-centroids appended, retired slot duplicates the
+    // first one (assignment ties to the HIGHEST cid -> never wins again)
+    assert(post.nc == model.nc + 3)
+    assert(post.centroids(hot).sameElements(post.centroids(model.nc)))
+    // the persisted model is the returned one
+    assert(graft.ops.IVF.readModel(spark, root).centroids.map(_.toSeq).toSeq ==
+      post.centroids.map(_.toSeq).toSeq)
+    // stats: retired list fully dead, live rows conserved across sub-lists
+    val st = graft.ops.IVF.indexStats(spark, root, "vec_id")
+      .as[(Int, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(st(hot)._2 == 0L && st(hot)._3 >= hotLive, st(hot))
+    // conservation is per SHARD: a boundary vector whose old centroid
+    // vanished may re-assign to a neighboring ORIGINAL list — the copy
+    // shard as a whole carries exactly the live rows, none at the
+    // retired slot
+    val copies = spark.read.parquet(s"$root/vectors")
+      .filter($"ingest_shard" === "sp1")
+    assert(copies.count() == hotLive)
+    assert(copies.filter($"centroid_id" === hot).isEmpty)
+    // search equals probe semantics over the index's ACTUAL placement:
+    // frozen base assignment outside the split list, post-split
+    // assignment for its live rows; id-tombstones masked everywhere
+    val queries = emb.filter($"vec_id".isin(2L, 9L))
+      .select($"vec_id".as("query_id"), $"embedding".as("qvec"))
+    def viaIndex = graft.ops.IVF.searchBatchAppendable(spark, root, queries,
+      "vec_id", "embedding", "query_id", k = 8, nprobe = 3)
+      .as[(Long, Long, Double)].collect().toSet
+    val live = base.join(doomed.select($"vec_id".as("__d")),
+      $"vec_id" === $"__d", "left_anti")
+    val oldAssigned = graft.ops.IVF.assign(live, "embedding", model)
+    val refAssigned = oldAssigned.filter($"centroid_id" =!= hot)
+      .unionByName(graft.ops.IVF.assign(
+        oldAssigned.filter($"centroid_id" === hot).drop("centroid_id"),
+        "embedding", post))
+    val ref = graft.ops.IVF.searchBatch(refAssigned, queries,
+      "vec_id", "embedding", "query_id", post, k = 8, nprobe = 3)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(viaIndex == ref, "post-split search must match the placement")
+    // the retired list prunes at the scan; its rows are still on disk
+    val planStr = graft.ops.IVF.searchBatchAppendable(spark, root, queries,
+      "vec_id", "embedding", "query_id", k = 8, nprobe = 3)
+      .queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*centroid_id".r
+      .findFirstIn(planStr).isDefined, planStr.take(600))
+    assert(spark.read.parquet(s"$root/vectors")
+      .filter($"centroid_id" === hot).count() > 0)
+    // appends after the split assign with the post-split model and can
+    // never route into the retired slot
+    graft.ops.IVF.appendVectors(spark, root,
+      emb.filter($"vec_id" % 7 === 0), "vec_id", "embedding", "s1")
+    assert(spark.read.parquet(s"$root/vectors")
+      .filter($"ingest_shard" === "s1" && $"centroid_id" === hot).isEmpty,
+      "retired slot must tie-lose every assignment")
+    // compaction drops the dead list physically and changes no answer
+    val preCompact = viaIndex
+    graft.ops.IVF.compactVectors(spark, root, "vec_id", "c1")
+    assert(spark.read.parquet(s"$root/vectors")
+      .filter($"centroid_id" === hot).isEmpty)
+    assert(viaIndex == preCompact, "compaction must not change answers")
+  }
+
+  test("splitList: replay converges from every crash state; guards hold") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val model = graft.ops.IVF.train(emb, "vec_id", "embedding", nc = 4, iters = 2)
+    val root = java.nio.file.Files.createTempDirectory("ivf_split_replay")
+      .toString + "/idx"
+    graft.ops.IVF.writeIndexAppendable(
+      graft.ops.IVF.assign(emb, "embedding", model), root, model, "base")
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // torn centroid stage (no _SUCCESS) is debris: readModel deletes it
+    // and keeps the live generation
+    val stage = new org.apache.hadoop.fs.Path(s"$root/centroids__split")
+    fs.mkdirs(stage)
+    assert(graft.ops.IVF.readModel(spark, root).nc == model.nc)
+    assert(!fs.exists(stage), "torn stage must be swept")
+    val hot = graft.ops.IVF.indexStats(spark, root, "vec_id")
+      .orderBy($"n_live".desc, $"centroid_id").head.getInt(0)
+    val queries = emb.filter($"vec_id".isin(1L, 5L))
+      .select($"vec_id".as("query_id"), $"embedding".as("qvec"))
+    def viaIndex = graft.ops.IVF.searchBatchAppendable(spark, root, queries,
+      "vec_id", "embedding", "query_id", k = 8, nprobe = 3)
+      .as[(Long, Long, Double)].collect().toSet
+    val post = graft.ops.IVF.splitList(spark, root, hot, kSplit = 3,
+      "vec_id", "embedding", "sp1")
+    val answer = viaIndex
+    // crash BEFORE the tombstone (steps 1+2 done, 3 lost): the replay
+    // must detect the already-swapped centroids BY VALUE and not extend
+    // the model a second time
+    val tombLeaf = new org.apache.hadoop.fs.Path(
+      s"$root/tombstones/delete_shard=split_sp1")
+    require(fs.exists(tombLeaf)); fs.delete(tombLeaf, true)
+    val replay1 = graft.ops.IVF.splitList(spark, root, hot, kSplit = 3,
+      "vec_id", "embedding", "sp1")
+    assert(replay1.nc == post.nc, "replay must not double-extend")
+    assert(viaIndex == answer)
+    // replay of the COMPLETED split short-circuits on the tombstone
+    val replay2 = graft.ops.IVF.splitList(spark, root, hot, kSplit = 3,
+      "vec_id", "embedding", "sp1")
+    assert(replay2.nc == post.nc && viaIndex == answer)
+    // guards: out-of-range list, sub-list count above the live rows
+    intercept[IllegalArgumentException] {
+      graft.ops.IVF.splitList(spark, root, post.nc + 5, 2, "vec_id",
+        "embedding", "g1")
+    }
+    // replaying the retired list with a DIFFERENT kSplit still
+    // short-circuits (tombstone wins before any guard)
+    assert(graft.ops.IVF.splitList(spark, root, hot, 2, "vec_id",
+      "embedding", "g2").nc == post.nc)
+    // a list with fewer live rows than kSplit refuses loudly
+    val small = graft.ops.IVF.indexStats(spark, root, "vec_id")
+      .filter($"n_live" > 0).orderBy($"n_live", $"centroid_id")
+      .head()
+    intercept[IllegalArgumentException] {
+      graft.ops.IVF.splitList(spark, root, small.getInt(0),
+        (small.getLong(1) + 1).toInt.max(2), "vec_id", "embedding", "g3")
+    }
+  }
+
   test("appendVectors refuses tombstoned ids; compaction unblocks re-ingest") {
     // the mask is keyed on id alone, so a re-appended replacement for a
     // tombstoned id would be silently invisible to every search until
@@ -1845,6 +1982,36 @@ class SamplingSpec extends SparkSpec {
       .as[(String, Long, Double, Long, Double)].collect()
       .map(r => r._1 -> r._3).toMap
     assert(natural == Map("a" -> 0.9, "b" -> 0.1))
+  }
+
+  test("unimaxMixture: water-filling caps, uniform surplus, boundary edges") {
+    // n = 10/100/1000 tokens; cap 2 -> capacities 20/200/2000
+    val df = Seq(("s1", Seq.fill(10)("t").mkString(" ")),
+      ("s2", Seq.fill(100)("u").mkString(" ")),
+      ("s3", Seq.fill(1000)("v").mkString(" "))).toDF("source", "text")
+    def run(budget: Long, cap: Double = 2.0) = graft.ops.Sampling
+      .unimaxMixture(df, "source", "text", budget, cap)
+      .as[(String, Long, Long, Double, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    // budget 1000: s1 caps (20), s2 caps (200), surplus 780 to s3
+    val mid = run(1000L)
+    assert(mid("s1") == (("s1", 10L, 20L, 2.0, true)))
+    assert(mid("s2") == (("s2", 100L, 200L, 2.0, true)))
+    assert(mid("s3") == (("s3", 1000L, 780L, 0.78, false)))
+    // budget >= total capacity: everyone at exactly the epoch cap, the
+    // leftover budget deliberately unallocated (UniMax semantics)
+    val big = run(10000L)
+    assert(big.values.forall(_._4 == 2.0) && big.values.forall(_._5))
+    assert(big("s3")._3 == 2000L)
+    // budget below m * min-capacity: nobody caps, equal token shares
+    val tiny = run(15L)
+    assert(tiny.values.forall(!_._5))
+    assert(tiny.values.map(_._3).toSeq.sorted == Seq(5L, 5L, 5L))
+    assert(tiny("s1")._4 == 0.5 && tiny("s2")._4 == 0.05 &&
+      tiny("s3")._4 == 0.005)
+    // uncapped sources share TOKENS uniformly, never epochs — the
+    // UniMax fairness inversion vs temperature sampling
+    assert(mid("s3")._3 > mid("s2")._3 && mid("s3")._4 < mid("s2")._4)
   }
 
   test("deterministicShuffle is a reproducible permutation into balanced shards") {

@@ -40,6 +40,39 @@ class TextEvalSpec extends SparkSpec {
     assert(out(3) === ((4L, 1L, nll(pAZzq))))
   }
 
+  test("paragraphPerplexityFilter: drops bad paragraphs, rebuilds text, edge docs") {
+    val model = Seq("the cat sat on the mat", "the dog sat on the rug",
+      "a cat and a dog").toDF("text").withColumn("doc_id", lit(0L))
+    val good1 = "the cat sat on the mat"
+    val good2 = "a cat and a dog"
+    val bad = "zzq1 zzq2 zzq3 zzq4" // all-OOV bigrams -> continuation floor
+    // derive the threshold from the scores themselves (no hand tuning):
+    // halfway between the worst good paragraph and the OOV floor
+    val sc = TextAnalysis.knBigramNll(model,
+        Seq((1L, good1), (2L, good2), (3L, bad)).toDF("doc_id", "text"),
+        "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(math.max(sc(1L), sc(2L)) < sc(3L),
+      s"fixture must separate: $sc")
+    val thr = (math.max(sc(1L), sc(2L)) + sc(3L)) / 2
+    val docs = Seq(
+      (1L, s"$good1\n\n$bad\n\n$good2"), // middle drops, seam rejoins
+      (2L, good2),                       // single paragraph, kept as-is
+      (3L, s"$bad\n\n$bad"),             // every paragraph bad -> vanishes
+      (4L, "tok")                        // <2 tokens -> NLL 0 -> kept
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.paragraphPerplexityFilter(model, docs,
+        "doc_id", "text", maxNll = thr)
+      .as[(Long, String, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out.keySet == Set(1L, 2L, 4L), "all-bad doc must vanish")
+    assert(out(1L) == ((1L, s"$good1\n\n$good2", 3L, 2L)),
+      "survivors rejoin in original order across the dropped seam")
+    assert(out(2L) == ((2L, good2, 1L, 1L)))
+    assert(out(4L) == ((4L, "tok", 1L, 1L)),
+      "a sub-bigram paragraph carries no LM evidence and stays")
+  }
+
   test("knBigramNll: probabilities stay in (0,1], nll >= 0") {
     val model = (0 until 40)
       .map(i => (i.toLong, s"w${i % 7} w${(i * 3) % 5} w${i % 7} end"))
