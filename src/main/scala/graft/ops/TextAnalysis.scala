@@ -1258,6 +1258,50 @@ object TextAnalysis {
       .select(col(idCol), col("text"), col("n_paras"), col("n_kept"))
   }
 
+  /** CCNet head/middle/tail perplexity bucketing (Wenzek et al. '20
+    * §4.3's other half: after LM scoring, CCNet does not hard-drop —
+    * it SORTS each language's documents by perplexity and cuts the
+    * distribution into thirds, publishing head/middle/tail as separate
+    * corpora so downstream consumers pick their quality/volume
+    * trade-off). Scores every document with the interpolated
+    * Kneser–Ney bigram LM ([[knBigramNll]]) and assigns each to a
+    * bucket by its PERCENTILE within its group (language, source —
+    * whatever `groupCol` partitions): percent_rank < headFrac → head,
+    * < headFrac + midFrac → middle, else tail. Rank-based, so the cut
+    * adapts to each group's own distribution — the reason CCNet
+    * buckets per language instead of using one global threshold
+    * (languages with thin LMs score systematically higher NLL).
+    *
+    * Determinism: percent_rank orders by the 6dp-ROUNDED NLL then
+    * `idCol` — tied scores still rank deterministically, and because
+    * percent_rank assigns EQUAL ranks only to fully-tied (nll, id)
+    * keys (ids are unique), the rank — hence the bucket — replays
+    * exactly in any engine. A single-document group ranks 0.0 → head.
+    *
+    * Scale shape: [[knBigramNll]]'s type-bounded scoring joins, then
+    * ONE group-keyed window over the narrow (id, group, nll) rows —
+    * partitioned by the group column, never an unpartitioned corpus
+    * window. Output: idCol, groupCol, n_bigrams, kn_nll, bucket. */
+  def perplexityBuckets(model: DataFrame, docs: DataFrame, idCol: String,
+      textCol: String, groupCol: String, headFrac: Double = 1.0 / 3,
+      midFrac: Double = 1.0 / 3, discount: Double = 0.75,
+      k: Double = 0.5): DataFrame = {
+    require(headFrac > 0 && midFrac >= 0 && headFrac + midFrac < 1,
+      "need 0 < headFrac, 0 <= midFrac, headFrac + midFrac < 1")
+    val scored = knBigramNll(model, docs, idCol, textCol, discount, k)
+      .join(docs.select(col(idCol), col(groupCol)), Seq(idCol))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(col("kn_nll"), col(idCol))
+    scored
+      .withColumn("__pr", percent_rank().over(w))
+      .withColumn("bucket",
+        when(col("__pr") < headFrac, "head")
+          .when(col("__pr") < headFrac + midFrac, "middle")
+          .otherwise("tail"))
+      .select(col(idCol), col(groupCol), col("n_bigrams"), col("kn_nll"),
+        col("bucket"))
+  }
+
   /** Sentence/document-level BLEU (Papineni et al. '02) of a candidate
     * column against a reference column — the synthetic-data QA readout
     * [[ngramNovelty]] can't give: HOW CLOSE is each generated text to

@@ -3502,6 +3502,21 @@ object ExtensionQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // CCNet head/middle/tail bucketing (x177): rank-based thirds WITHIN
+    // each language group (skewed en:fr:de = 2:1:1 via pmod), so the cut
+    // adapts to each group's own NLL distribution; ties rank by doc_id
+    // — deterministic in both engines
+    "x177_perplexity_buckets" -> ((s, dir) => {
+      val base = t(s, dir, "documents")
+      val docs = base.select(col("doc_id"),
+        when(pmod(col("doc_id"), lit(4)) <= 1, "en")
+          .when(pmod(col("doc_id"), lit(4)) === 2, "fr")
+          .otherwise("de").as("lang"),
+        col("text"))
+      TextAnalysis.perplexityBuckets(base, docs, "doc_id", "text", "lang")
+        .orderBy(col("doc_id"))
+    }),
+
     // Mismatched-pair mining over the same planted fixture: for each
     // flagged pair, the top-3 media from the full embeddings corpus
     // aligning strictly better than its own media. Pair i's true
@@ -7859,6 +7874,64 @@ object ExtensionQueries {
         |  CAST(count(*) AS BIGINT) AS n_kept
         |FROM kept k JOIN cnt c ON k.doc_id = c.doc_id
         |GROUP BY k.doc_id ORDER BY k.doc_id""".stripMargin,
+
+    // x177: the x141 KN replay + a per-group percent_rank window; the
+    // bucket fractions are written as the SAME float expressions the
+    // engine evaluates (1.0/3 and 1.0/3 + 1.0/3 — never 2.0/3, which
+    // could round to a different double than the engine's sum)
+    "x177_perplexity_buckets" ->
+      """WITH mtok AS (
+        |  SELECT list_filter(string_split_regex(trim(lower(text)), '\s+'),
+        |    x -> len(x) > 0) AS ts
+        |  FROM documents),
+        |bi AS (SELECT a, b, count(*) AS c
+        |  FROM (SELECT ts[i] AS a, ts[i + 1] AS b
+        |        FROM mtok, UNNEST(range(1, len(ts))) AS u(i)) GROUP BY a, b),
+        |ctx AS (SELECT a, CAST(sum(c) AS DOUBLE) AS c1,
+        |    CAST(count(*) AS DOUBLE) AS n1f
+        |  FROM bi GROUP BY a),
+        |pred AS (SELECT b, CAST(count(*) AS DOUBLE) AS n1p FROM bi GROUP BY b),
+        |tot AS (SELECT
+        |    (SELECT CAST(count(*) AS DOUBLE) FROM bi) AS t,
+        |    (SELECT CAST(count(*) AS DOUBLE) FROM
+        |      (SELECT a AS w FROM bi UNION SELECT b AS w FROM bi)) AS v),
+        |d AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 4 <= 1 THEN 'en'
+        |         WHEN doc_id % 4 = 2 THEN 'fr' ELSE 'de' END AS lang,
+        |    list_filter(string_split_regex(trim(lower(text)), '\s+'),
+        |      x -> len(x) > 0) AS ts
+        |  FROM documents),
+        |dbg AS (
+        |  SELECT doc_id, ts[i] AS w1, ts[i + 1] AS w2
+        |  FROM d, UNNEST(range(1, len(ts))) AS u(i)),
+        |sc AS (
+        |  SELECT g.doc_id,
+        |    CASE WHEN ctx.c1 IS NOT NULL THEN
+        |      GREATEST(CAST(coalesce(b.c, 0) AS DOUBLE) - 0.75, 0.0) / ctx.c1
+        |        + (0.75 * ctx.n1f / ctx.c1) *
+        |          ((coalesce(pred.n1p, 0) + 0.5) / (tot.t + 0.5 * tot.v))
+        |    ELSE (coalesce(pred.n1p, 0) + 0.5) / (tot.t + 0.5 * tot.v)
+        |    END AS p
+        |  FROM dbg g
+        |  LEFT JOIN bi b ON b.a = g.w1 AND b.b = g.w2
+        |  LEFT JOIN ctx ON ctx.a = g.w1
+        |  LEFT JOIN pred ON pred.b = g.w2, tot),
+        |agg AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |    ROUND(avg(-ln(p)), 6) AS kn_nll
+        |  FROM sc GROUP BY doc_id),
+        |f AS (
+        |  SELECT d.doc_id, d.lang, coalesce(a.n_bigrams, 0) AS n_bigrams,
+        |    coalesce(a.kn_nll, 0.0) AS kn_nll
+        |  FROM d LEFT JOIN agg a ON d.doc_id = a.doc_id),
+        |r AS (SELECT *, percent_rank() OVER (
+        |    PARTITION BY lang ORDER BY kn_nll, doc_id) AS pr FROM f)
+        |SELECT doc_id, lang, n_bigrams, kn_nll,
+        |  CASE WHEN pr < 1.0/3 THEN 'head'
+        |       WHEN pr < 1.0/3 + 1.0/3 THEN 'middle'
+        |       ELSE 'tail' END AS bucket
+        |FROM r ORDER BY doc_id""".stripMargin,
 
     // Mining replay: flagged pairs cross the full corpus, 6dp candidate
     // cosines, strictly-better filter BEFORE the per-pair top-3 window

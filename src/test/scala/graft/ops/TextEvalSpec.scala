@@ -73,6 +73,43 @@ class TextEvalSpec extends SparkSpec {
       "a sub-bigram paragraph carries no LM evidence and stays")
   }
 
+  test("perplexityBuckets: per-group thirds, tie discipline, single-doc group") {
+    val model = Seq("the cat sat on the mat", "the dog sat on the rug",
+      "a cat and a dog").toDF("text").withColumn("doc_id", lit(0L))
+    // group 'a': six docs from clean (in-model) to OOV-garbage; group
+    // 'b': one doc (percent_rank 0 -> head); group 'c': three IDENTICAL
+    // docs (fully tied NLL -> buckets split deterministically by id)
+    val docs = Seq(
+      (1L, "a", "the cat sat on the mat"),
+      (2L, "a", "the dog sat on the rug"),
+      (3L, "a", "a cat and a dog"),
+      (4L, "a", "the cat zzq1 on the mat"),
+      (5L, "a", "zzq1 zzq2 the cat"),
+      (6L, "a", "zzq1 zzq2 zzq3 zzq4"),
+      (7L, "b", "the cat sat on the mat"),
+      (8L, "c", "the dog sat"),
+      (9L, "c", "the dog sat"),
+      (10L, "c", "the dog sat")
+    ).toDF("doc_id", "lang", "text")
+    val out = TextAnalysis.perplexityBuckets(model, docs, "doc_id",
+        "text", "lang")
+      .as[(Long, String, Long, Double, String)].collect()
+      .map(r => r._1 -> r).toMap
+    // group a: ranks follow NLL; 6 docs cut 2/2/2
+    val aBuckets = (1L to 6L).map(out(_)._5)
+    assert(aBuckets.count(_ == "head") == 2 &&
+      aBuckets.count(_ == "middle") == 2 &&
+      aBuckets.count(_ == "tail") == 2, aBuckets)
+    // the OOV-heavy docs rank worst
+    assert(out(6L)._5 == "tail" && out(5L)._5 == "tail")
+    // single-doc group: percent_rank 0 -> head
+    assert(out(7L)._5 == "head")
+    // fully tied group: identical NLLs split by doc_id order
+    assert(out(8L)._4 == out(9L)._4 && out(9L)._4 == out(10L)._4)
+    assert(out(8L)._5 == "head" && out(9L)._5 == "middle" &&
+      out(10L)._5 == "tail")
+  }
+
   test("knBigramNll: probabilities stay in (0,1], nll >= 0") {
     val model = (0 until 40)
       .map(i => (i.toLong, s"w${i % 7} w${(i * 3) % 5} w${i % 7} end"))
