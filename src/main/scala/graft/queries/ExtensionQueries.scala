@@ -3435,14 +3435,20 @@ object ExtensionQueries {
       val oldCount = s.read.parquet(s"$idx/vectors")
         .filter(col("centroid_id") === hot).count()
       val post = IVF.splitList(s, idx, hot, kSplit = 4, "vec_id",
-        "embedding", "sp1")
+        "embedding", "sp1", iters = 3)
       val q = emb.filter(col("vec_id") % 10 === 3).limit(5)
         .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
-      val viaIndex = IVF.searchBatchAppendable(s, idx, q, "vec_id",
+      val viaIndexDf = IVF.searchBatchAppendable(s, idx, q, "vec_id",
         "embedding", "query_id", k = 10, nprobe = 4)
       val prunedOk = "PartitionFilters: \\[[^\\]]*centroid_id".r
-        .findFirstIn(viaIndex.queryExecution.executedPlan.toString)
+        .findFirstIn(viaIndexDf.queryExecution.executedPlan.toString)
         .isDefined
+      // top-k frames are |queries|·k rows — compare as collected SETS
+      // (one job per side) instead of exceptAll legs that re-evaluate
+      // the brute reference four times
+      def keyed(df: DataFrame): Set[(Long, Long, Double)] = df.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val viaIndex = keyed(viaIndexDf)
       // reference placement: rows outside the split list keep their
       // frozen base-model assignment; the split list's rows re-assign
       // under the post-split model — exactly what splitList stored
@@ -3451,10 +3457,9 @@ object ExtensionQueries {
         .unionByName(IVF.assign(
           oldAssigned.filter(col("centroid_id") === hot)
             .drop("centroid_id"), "embedding", post))
-      val ref = IVF.searchBatch(refAssigned, q, "vec_id", "embedding",
-        "query_id", post, k = 10, nprobe = 4)
-      val matches = viaIndex.exceptAll(ref)
-        .unionByName(ref.exceptAll(viaIndex)).isEmpty
+      val ref = keyed(IVF.searchBatch(refAssigned, q, "vec_id",
+        "embedding", "query_id", post, k = 10, nprobe = 4))
+      val matches = viaIndex == ref
       val stats = IVF.indexStats(s, idx, "vec_id").collect()
         .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
       val oldRetired = stats(hot) == ((0L, oldCount))
@@ -3464,12 +3469,10 @@ object ExtensionQueries {
       val subsHoldLive = s.read.parquet(s"$idx/vectors")
         .filter(col("ingest_shard") === "sp1").count() == oldCount
       val replayNoop = IVF.splitList(s, idx, hot, kSplit = 4, "vec_id",
-        "embedding", "sp1").nc == post.nc
+        "embedding", "sp1", iters = 3).nc == post.nc
       IVF.compactVectors(s, idx, "vec_id", "c1")
-      val afterCompact = IVF.searchBatchAppendable(s, idx, q, "vec_id",
-        "embedding", "query_id", k = 10, nprobe = 4)
-      val compactMatches = afterCompact.exceptAll(ref)
-        .unionByName(ref.exceptAll(afterCompact)).isEmpty
+      val compactMatches = keyed(IVF.searchBatchAppendable(s, idx, q,
+        "vec_id", "embedding", "query_id", k = 10, nprobe = 4)) == ref
       val oldGone = s.read.parquet(s"$idx/vectors")
         .filter(col("centroid_id") === hot).isEmpty
       emb.agg(count(lit(1)).as("n_vectors"))

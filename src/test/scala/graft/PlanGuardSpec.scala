@@ -532,7 +532,12 @@ class PlanGuardSpec extends SparkSpec {
       ("x170_vocab_growth", 2, 1),
       ("x171_frequency_spectrum", 3, 2),
       ("x172_alignment_gate", 1, 1),
-      ("x173_mismatch_mining", 2, 2))
+      ("x173_mismatch_mining", 2, 2),
+      // r13 additions in the >= 2s tier (x175 is an index lifecycle
+      // fixture like x48/x51 — the census covers its returned compare
+      // frame; lifecycle jobs execute as their own actions)
+      ("x175_ivf_split", 1, 0),
+      ("x176_paragraph_ppl_filter", 10, 8))
     val parity = ParityQueries.queries.keySet
     budgets.foreach { case (name, shuf, minBcast) =>
       val df =
