@@ -1151,13 +1151,35 @@ object TextAnalysis {
     * dropped). */
   def knBigramNll(model: DataFrame, docs: DataFrame, idCol: String,
       textCol: String, discount: Double = 0.75,
-      k: Double = 0.5): DataFrame = {
+      k: Double = 0.5): DataFrame =
+    knScore(knTrain(model, textCol, discount, k), docs, idCol, textCol)
+
+  /** A trained Kneser–Ney bigram model: the four type-bounded count
+    * frames [[knBigramNll]] scores against, held separately so the
+    * expensive model pass runs ONCE and the (cheap, per-batch) scoring
+    * reuses it — the contract [[graft.streaming.EventStreams
+    * .perplexityScreenSink]] needs: a stream must not rebuild the
+    * model's count tables every micro-batch, exactly like the winnow
+    * screen's pre-computed benchmark fingerprints. `bg` is persisted
+    * (all other frames derive from it); call [[KnModel.unpersist]]
+    * when the model retires. */
+  final case class KnModel(bg: DataFrame, ctx: DataFrame, pred: DataFrame,
+      totals: DataFrame, discount: Double, k: Double) {
+    def unpersist(): Unit = { bg.unpersist(); () }
+  }
+
+  /** Build a [[KnModel]] from a model corpus — [[knBigramNll]]'s
+    * training half. One explode + one (w1,w2)-keyed count collapse the
+    * corpus to distinct bigram TYPES; everything else regroups that
+    * type-bounded frame. */
+  def knTrain(model: DataFrame, textCol: String, discount: Double = 0.75,
+      k: Double = 0.5): KnModel = {
     require(discount > 0 && discount < 1, "absolute discount in (0,1)")
     require(k > 0, "continuation floor needs k > 0")
-    val toks = tokens(lower(col(textCol)))
-    val mlen = greatest(size(toks) - 1, lit(0))
+    val mtoks = tokens(lower(col(textCol)))
+    val mlen = greatest(size(mtoks) - 1, lit(0))
     val bg = model.select(explode(arrays_zip(
-        slice(toks, lit(1), mlen), slice(toks, lit(2), mlen))).as("g"))
+        slice(mtoks, lit(1), mlen), slice(mtoks, lit(2), mlen))).as("g"))
       .select(col("g")("0").as("w1"), col("g")("1").as("w2"))
       .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("__c12"))
       .persist()
@@ -1175,7 +1197,16 @@ object TextAnalysis {
       .crossJoin(bg.select(col("w1").as("w"))
         .union(bg.select(col("w2").as("w")))
         .distinct().agg(count(lit(1)).cast("double").as("__v")))
+    KnModel(bg, ctx, pred, totals, discount, k)
+  }
 
+  /** Score a corpus against a trained [[KnModel]] — [[knBigramNll]]'s
+    * scoring half, reusable across stream micro-batches. */
+  def knScore(m: KnModel, docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val bg = m.bg; val ctx = m.ctx; val pred = m.pred; val totals = m.totals
+    val discount = m.discount; val k = m.k
+    val toks = tokens(lower(col(textCol)))
     val dlen = greatest(size(toks) - 1, lit(0))
     val docBg = docs.select(col(idCol), explode(arrays_zip(
         slice(toks, lit(1), dlen), slice(toks, lit(2), dlen))).as("g"))

@@ -3501,7 +3501,37 @@ object ExtensionQueries {
           concat(col("text"), lit("\n\nzzqa zzqb zzqc zzqd zzqe")))
         .otherwise(col("text")).as("text"))
       TextAnalysis.paragraphPerplexityFilter(base, docs, "doc_id", "text",
-          maxNll = 9.0)
+          maxNll = 5.0)
+        .orderBy(col("doc_id"))
+    }),
+
+    // Streaming KN-perplexity screen (x178): the CCNet LM gate at the
+    // stream seam — the x176/x177 fixture's model trained ONCE on the
+    // original corpus, the mutated feed (every 7th doc replaced by
+    // OOV garbage at the continuation floor) screened in 3 real
+    // micro-batches. Scoring is per-doc stateless, so the flagged
+    // readback equals the batch knBigramNll + threshold replay; clean
+    // routing and exactly-once are pinned by spec (the x169
+    // convention)
+    "x178_stream_perplexity_screen" -> ((s, dir) => {
+      val root = ParityQueries.tmpPath("graft_sppl", dir)
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+      val base = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val docs = base.select(col("doc_id"),
+        when(col("doc_id") % 7 === 0,
+          lit("zzqa zzqb zzqc zzqd zzqe zzqf"))
+        .otherwise(col("text")).as("text"))
+      val model = TextAnalysis.knTrain(base, "text")
+      docs.repartition(3).write.parquet(s"$root/in")
+      val feed = s.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$root/in")
+      val sq = graft.streaming.EventStreams.perplexityScreenSink(feed,
+        "doc_id", "text", model, maxNll = 5.0,
+        s"$root/clean", s"$root/flagged", s"$root/ckpt")
+      try sq.processAllAvailable() finally sq.stop()
+      model.unpersist()
+      s.read.parquet(s"$root/flagged")
+        .select(col("doc_id"), col("n_bigrams"), col("kn_nll"))
         .orderBy(col("doc_id"))
     }),
 
@@ -7868,7 +7898,7 @@ object ExtensionQueries {
         |  SELECT p.doc_id, p.pos, p.para
         |  FROM par p LEFT JOIN pagg a
         |    ON p.doc_id = a.doc_id AND p.pos = a.pos
-        |  WHERE coalesce(a.kn_nll, 0.0) <= 9.0),
+        |  WHERE coalesce(a.kn_nll, 0.0) <= 5.0),
         |cnt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_paras
         |  FROM par GROUP BY doc_id)
         |SELECT k.doc_id,
@@ -7877,6 +7907,60 @@ object ExtensionQueries {
         |  CAST(count(*) AS BIGINT) AS n_kept
         |FROM kept k JOIN cnt c ON k.doc_id = c.doc_id
         |GROUP BY k.doc_id ORDER BY k.doc_id""".stripMargin,
+
+    // x178: the x141 KN replay over the mutated feed + the threshold —
+    // the streamed flagged side must hash-match this batch answer
+    // because screening is per-doc stateless
+    "x178_stream_perplexity_screen" ->
+      """WITH mtok AS (
+        |  SELECT list_filter(string_split_regex(trim(lower(text)), '\s+'),
+        |    x -> len(x) > 0) AS ts
+        |  FROM documents),
+        |bi AS (SELECT a, b, count(*) AS c
+        |  FROM (SELECT ts[i] AS a, ts[i + 1] AS b
+        |        FROM mtok, UNNEST(range(1, len(ts))) AS u(i)) GROUP BY a, b),
+        |ctx AS (SELECT a, CAST(sum(c) AS DOUBLE) AS c1,
+        |    CAST(count(*) AS DOUBLE) AS n1f
+        |  FROM bi GROUP BY a),
+        |pred AS (SELECT b, CAST(count(*) AS DOUBLE) AS n1p FROM bi GROUP BY b),
+        |tot AS (SELECT
+        |    (SELECT CAST(count(*) AS DOUBLE) FROM bi) AS t,
+        |    (SELECT CAST(count(*) AS DOUBLE) FROM
+        |      (SELECT a AS w FROM bi UNION SELECT b AS w FROM bi)) AS v),
+        |mut AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 7 = 0 THEN 'zzqa zzqb zzqc zzqd zzqe zzqf'
+        |         ELSE text END AS text
+        |  FROM documents),
+        |dts AS (
+        |  SELECT doc_id, list_filter(string_split_regex(trim(lower(text)),
+        |    '\s+'), x -> len(x) > 0) AS ts
+        |  FROM mut),
+        |dbg AS (
+        |  SELECT doc_id, ts[i] AS w1, ts[i + 1] AS w2
+        |  FROM dts, UNNEST(range(1, len(ts))) AS u(i)),
+        |sc AS (
+        |  SELECT g.doc_id,
+        |    CASE WHEN ctx.c1 IS NOT NULL THEN
+        |      GREATEST(CAST(coalesce(b.c, 0) AS DOUBLE) - 0.75, 0.0) / ctx.c1
+        |        + (0.75 * ctx.n1f / ctx.c1) *
+        |          ((coalesce(pred.n1p, 0) + 0.5) / (tot.t + 0.5 * tot.v))
+        |    ELSE (coalesce(pred.n1p, 0) + 0.5) / (tot.t + 0.5 * tot.v)
+        |    END AS p
+        |  FROM dbg g
+        |  LEFT JOIN bi b ON b.a = g.w1 AND b.b = g.w2
+        |  LEFT JOIN ctx ON ctx.a = g.w1
+        |  LEFT JOIN pred ON pred.b = g.w2, tot),
+        |agg AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |    ROUND(avg(-ln(p)), 6) AS kn_nll
+        |  FROM sc GROUP BY doc_id),
+        |f AS (
+        |  SELECT m.doc_id, coalesce(a.n_bigrams, 0) AS n_bigrams,
+        |    coalesce(a.kn_nll, 0.0) AS kn_nll
+        |  FROM mut m LEFT JOIN agg a ON m.doc_id = a.doc_id)
+        |SELECT doc_id, n_bigrams, kn_nll FROM f
+        |WHERE kn_nll > 5.0 ORDER BY doc_id""".stripMargin,
 
     // x177: the x141 KN replay + a per-group percent_rank window; the
     // bucket fractions are written as the SAME float expressions the

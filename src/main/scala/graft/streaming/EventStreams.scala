@@ -447,6 +447,53 @@ object EventStreams {
     * partition idempotently — a replayed batch overwrites its own
     * earlier rows instead of duplicating them on either path. Readers
     * drop the `batch_id` partition column for the logical answer. */
+  /** Streaming KN-perplexity screen — the LM-quality member of the
+    * streaming screen family ([[bloomScreenSink]] routes on benchmark
+    * membership, [[winnowScreenSink]] on shared fingerprints,
+    * [[classifierGatedSink]] on a linear classifier; this routes on
+    * language-model surprise — the CCNet gate at the stream seam).
+    * Each micro-batch scores against a PRE-TRAINED
+    * [[graft.ops.TextAnalysis.KnModel]] ([[graft.ops.TextAnalysis
+    * .knTrain]] — build it ONCE outside the stream; its count tables
+    * are type-bounded and persist across batches, the winnow screen's
+    * precomputed-benchFps convention) and routes docs whose
+    * 6dp-rounded mean NLL exceeds `maxNll` to `flaggedPath` (with
+    * n_bigrams and the score as evidence), the rest to `cleanPath`.
+    * Scoring is per-doc stateless, so stream output ≡ batch
+    * [[graft.ops.TextAnalysis.knBigramNll]] + threshold over the union
+    * of batches — the oracle contract. Exactly-once: both routes write
+    * `batch_id`-partitioned with dynamic partition overwrite (the
+    * family convention), so at-least-once redelivery rewrites its own
+    * partition instead of duplicating rows. */
+  def perplexityScreenSink(docs: DataFrame, idCol: String,
+      textCol: String, model: graft.ops.TextAnalysis.KnModel,
+      maxNll: Double, cleanPath: String, flaggedPath: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val routed = batch.join(
+            graft.ops.TextAnalysis.knScore(model, batch, idCol, textCol),
+            Seq(idCol)).persist()
+          routed.filter(col("kn_nll") > maxNll)
+            .withColumn("batch_id", lit(batchId))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(flaggedPath)
+          routed.filter(col("kn_nll") <= maxNll)
+            .withColumn("batch_id", lit(batchId))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(cleanPath)
+          routed.unpersist()
+        }
+        ()
+      }
+      .start()
+
   def winnowScreenSink(docs: DataFrame, idCol: String, textCol: String,
       benchFps: DataFrame, k: Int, w: Int, minShared: Int,
       portable: Boolean, cleanPath: String, flaggedPath: String,

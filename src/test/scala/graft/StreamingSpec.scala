@@ -234,6 +234,53 @@ class StreamingSpec extends SparkSpec {
     } finally { q.stop(); benchFps.unpersist() }
   }
 
+  test("perplexityScreenSink: streamed LM screening equals batch, routes disjoint") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    val base = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"doc_id", $"text")
+    // every 7th doc replaced by OOV garbage at the continuation floor
+    val docs = base.select($"doc_id",
+      when($"doc_id" % 7 === 0, lit("zzqa zzqb zzqc zzqd zzqe zzqf"))
+        .otherwise($"text").as("text"))
+    val model = graft.ops.TextAnalysis.knTrain(base, "text")
+    val root = java.nio.file.Files.createTempDirectory("ppl_sink").toString
+    val input = MemoryStream[(Long, String)]
+    val feed = docs.as[(Long, String)].collect().toSeq
+    val q = EventStreams.perplexityScreenSink(
+      input.toDF().toDF("doc_id", "text"), "doc_id", "text", model,
+      maxNll = 5.0, s"$root/clean", s"$root/flagged", s"$root/ckpt")
+    try {
+      input.addData(feed.take(200): _*)
+      q.processAllAvailable()
+      input.addData(feed.drop(200): _*)
+      q.processAllAvailable()
+      val streamed = spark.read.parquet(s"$root/flagged")
+        .select("doc_id", "n_bigrams", "kn_nll")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .toSet
+      val batch = graft.ops.TextAnalysis
+        .knBigramNll(base, docs, "doc_id", "text")
+        .filter($"kn_nll" > 5.0)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .toSet
+      assert(streamed === batch) // stateless screen: stream == batch
+      // every planted garbage doc is flagged
+      val planted = feed.map(_._1).filter(_ % 7 == 0).toSet
+      assert(planted.subsetOf(streamed.map(_._1)))
+      // routing partitions the corpus: clean ∪ flagged = all, disjoint
+      val cleanIds = spark.read.parquet(s"$root/clean")
+        .select("doc_id").as[Long].collect().toSet
+      val flaggedIds = streamed.map(_._1)
+      assert((cleanIds & flaggedIds).isEmpty)
+      assert((cleanIds | flaggedIds) === feed.map(_._1).toSet)
+      // the clean side carries the scores too (evidence columns on both
+      // routes, the screen family convention)
+      assert(spark.read.parquet(s"$root/clean").columns.toSet
+        .contains("kn_nll"))
+    } finally { q.stop(); model.unpersist() }
+  }
+
   test("qualityGatedParquetSink routes passing batches to good, failing to quarantine") {
     import java.nio.file.Files
     implicit val sqlCtx = spark.sqlContext
