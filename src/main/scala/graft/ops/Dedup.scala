@@ -1441,9 +1441,12 @@ object Dedup {
     * formulation, the x142 discipline: equality proves both precision
     * and recall). The rarest-first ordering is what makes prefixes
     * selective — frequent boilerplate tokens land OUTSIDE prefixes and
-    * never generate candidates. A length filter (t·max ≤ min) prunes
-    * size-incompatible pairs inside the join. The exact Jaccard verify
-    * then restores precision.
+    * never generate candidates. A length filter (t·max ≤ min) and the
+    * PPJoin POSITIONAL filter (overlap ≤ 1 + min remaining suffix at
+    * the generating occurrence — the inline theorem note) prune
+    * size- and position-incompatible pairs inside the join, both
+    * recall-complete. The exact Jaccard verify then restores
+    * precision.
     *
     * Scale shape: token df is ONE (token)-keyed count; positions are a
     * doc-keyed window over narrow (id, token, df) rows (linear per
@@ -1503,7 +1506,7 @@ object Dedup {
     val prefixes = ex.join(freq, Seq("__tok"))
       .withColumn("__pos", row_number().over(byRarity))
       .filter(col("__pos") <= prefixLen)
-      .select(col("__pid"), col("__n"), col("__tok"))
+      .select(col("__pid"), col("__n"), col("__tok"), col("__pos"))
     if (maxPrefixBucket > 0 || maxCandidates > 0) {
       // one aggregate over the bucket-count frame gives BOTH guards:
       // the hottest bucket and the exact candidate count the join
@@ -1537,13 +1540,30 @@ object Dedup {
           }
         }
     }
+    // PPJoin positional filter (Xiao et al. '08): at the pair's FIRST
+    // common token in the canonical (df, token) order — positions
+    // (i, j) — every earlier token of either side is absent from the
+    // other, so overlap ≤ 1 + min(|x|−i, |y|−j); J ≥ t needs overlap
+    // ≥ ⌈t/(1+t)·(|x|+|y|)⌉, so an occurrence-pair whose bound falls
+    // short cannot be that first witness. Recall-complete: for a truly
+    // similar pair the first-common-token occurrence always passes, and
+    // keeping a pair on ANY passing occurrence therefore keeps every
+    // true pair — while boilerplate-ish tokens sitting LATE in both
+    // prefixes stop generating candidates (the measured cut that makes
+    // the verify join's input smaller; same epsilon-guarded ceil
+    // discipline as the prefix length)
+    val alpha = ceil(lit(threshold / (1.0 + threshold)) *
+      (col("__na") + col("__nb")) - lit(1e-9))
     val candPairs = prefixes.select(col("__pid").as("id_a"),
-        col("__n").as("__na"), col("__tok"))
+        col("__n").as("__na"), col("__tok"), col("__pos").as("__pa"))
       .join(prefixes.select(col("__pid").as("id_b"),
-          col("__n").as("__nb"), col("__tok")), Seq("__tok"))
+          col("__n").as("__nb"), col("__tok"), col("__pos").as("__pb")),
+        Seq("__tok"))
       .filter(col("id_a") < col("id_b") &&
         least(col("__na"), col("__nb")).cast("double") >=
-          lit(threshold) * greatest(col("__na"), col("__nb")))
+          lit(threshold) * greatest(col("__na"), col("__nb")) &&
+        (lit(1) + least(col("__na") - col("__pa"),
+          col("__nb") - col("__pb"))) >= alpha)
       .select(col("id_a"), col("id_b")).distinct()
     val verify = Skew.repartitionForPairCompute(candPairs, col("id_a"))
       .join(sets.select(col("__pid").as("id_a"), col("__set").as("__sa")),
