@@ -537,7 +537,11 @@ class PlanGuardSpec extends SparkSpec {
       // fixture like x48/x51 — the census covers its returned compare
       // frame; lifecycle jobs execute as their own actions)
       ("x175_ivf_split", 1, 0),
-      ("x176_paragraph_ppl_filter", 10, 8))
+      ("x176_paragraph_ppl_filter", 10, 8),
+      ("x177_perplexity_buckets", 9, 7),
+      // stream lifecycle fixture (x169 class): the readback frame is
+      // the audited plan; per-batch scoring runs as its own actions
+      ("x178_stream_perplexity_screen", 1, 0))
     val parity = ParityQueries.queries.keySet
     budgets.foreach { case (name, shuf, minBcast) =>
       val df =
