@@ -2014,6 +2014,45 @@ class SamplingSpec extends SparkSpec {
     assert(mid("s3")._3 > mid("s2")._3 && mid("s3")._4 < mid("s2")._4)
   }
 
+  test("property: unimaxMixture water-filling invariants over a budget grid") {
+    // the offline classpath has no scalatest/scalacheck bridge, so the
+    // properties run over an explicit grid (the QualityPropertiesSpec
+    // convention): skewed sources 10/40/160/640 tokens, caps 0.5/2/3,
+    // budgets from starvation to beyond total capacity
+    val df = Seq(("s1", 10), ("s2", 40), ("s3", 160), ("s4", 640))
+      .flatMap { case (s, n) => Seq((s, Seq.fill(n)("t").mkString(" "))) }
+      .toDF("source", "text")
+    for (cap <- Seq(0.5, 2.0, 3.0);
+         budget <- Seq(4L, 17L, 100L, 333L, 850L, 1700L, 10000L)) {
+      val rows = graft.ops.Sampling
+        .unimaxMixture(df, "source", "text", budget, cap)
+        .as[(String, Long, Long, Double, Boolean)].collect()
+      val label = s"cap=$cap budget=$budget"
+      // nobody exceeds the epoch cap (6dp-rounded output grid)
+      assert(rows.forall(_._4 <= cap + 1e-6), label)
+      // capped sources sit exactly AT the cap
+      rows.filter(_._5).foreach(r => assert(math.abs(r._4 - cap) < 1e-6,
+        s"$label $r"))
+      // total allocation never exceeds the budget beyond per-source
+      // rounding, and is exactly min(budget, total capacity) pre-round
+      val total = rows.map(_._3).sum
+      val capacity = rows.map(r => r._2 * cap).sum
+      assert(total <= budget + rows.length, label)
+      assert(math.abs(total - math.min(budget.toDouble, capacity)) <=
+        rows.length.toDouble, label)
+      // uncapped sources share TOKENS equally (one uniform level)
+      val un = rows.filter(!_._5).map(_._3)
+      if (un.nonEmpty) assert(un.max - un.min <= 1, label)
+      // downward-closedness: every capped source's capacity is <= the
+      // uniform share any uncapped source received
+      if (un.nonEmpty) {
+        val maxCappedCapacity = rows.filter(_._5)
+          .map(r => r._2 * cap).foldLeft(0.0)(math.max)
+        assert(maxCappedCapacity <= un.max + 1, label)
+      }
+    }
+  }
+
   test("deterministicShuffle is a reproducible permutation into balanced shards") {
     val df = (0L until 4000L).toDF("id")
     val s1 = graft.ops.Sampling.deterministicShuffle(df, "id", numShards = 8)
