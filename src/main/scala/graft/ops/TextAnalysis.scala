@@ -551,6 +551,154 @@ object TextAnalysis {
             col("n_ngrams"), 6)).otherwise(lit(0.0)))
   }
 
+  /** Gopher REPETITION rules (Rae et al. '21 Appendix A1's second
+    * table — the 13 repetition thresholds, distinct from the
+    * style/lexical bundle in [[gopherQualityRules]] and from
+    * [[repetitionStats]]' single generic fraction): per document,
+    *  - duplicate line / paragraph FRACTION (duplicate occurrences
+    *    over total units) with thresholds 0.30 / 0.30,
+    *  - duplicate line / paragraph CHARACTER fraction (characters in
+    *    occurrences beyond each unit's first, over text length) with
+    *    thresholds 0.20 / 0.20,
+    *  - top 2/3/4-gram character fraction (the most frequent n-gram's
+    *    occurrences × its joined length over normalized text length)
+    *    with thresholds 0.20 / 0.18 / 0.16,
+    *  - duplicated 5..10-gram character fraction with thresholds
+    *    0.15 / 0.14 / 0.13 / 0.12 / 0.11 / 0.10,
+    * plus the combined `repetition_pass`.
+    *
+    * Pinned semantics (the paper does not publish exact accounting;
+    * every choice below is deterministic and replayed by the oracle):
+    * duplicate-char fractions count (count − 1) × unit length per
+    * distinct unit — occurrences beyond the first; n-gram character
+    * length is the single-space-joined gram's length and the
+    * denominator is the single-space-joined token stream's length, so
+    * overlapping occurrences can double-count characters and the
+    * duplicated-gram fractions are therefore CAPPED at 1.0 (position-
+    * coverage accounting — marking each character once — is a per-row
+    * DP; the cap keeps this a relational aggregate, and the threshold
+    * comparisons live far below the cap); the top n-gram breaks count
+    * ties by the LARGEST (count, gram) pair so the winner replays
+    * cross-engine, and a top gram occurring only ONCE scores 0 — a
+    * single occurrence is not repetition, and without the exemption
+    * every short document fails on its own longest phrase; documents
+    * with fewer than n tokens contribute no n-grams and score 0 on
+    * that rule (no evidence ⇒ pass, the [[gopherQualityRules]]
+    * convention).
+    *
+    * Scale shape: three explode legs (lines, paragraphs, tagged
+    * n-grams for n = 2..10) each collapse through a (doc, unit)-keyed
+    * count with map-side partials and a doc-keyed rollup — narrow
+    * rows, text never rides a shuffle key wider than the unit being
+    * counted; the final assembly is doc-keyed joins of doc-sized
+    * frames. Output: idCol, the 13 fractions (6dp), repetition_pass. */
+  def gopherRepetitionRules(df: DataFrame, idCol: String,
+      textCol: String = "text"): DataFrame = {
+    val toks = tokens(lower(col(textCol)))
+    val base = df.select(col(idCol), col(textCol)).persist()
+    // unit leg: (id, unit) counts -> per-doc totals + duplicate shares
+    def unitLeg(sep: String, pfx: String) = {
+      val units = base.select(col(idCol),
+          explode(split(col(textCol), java.util.regex.Pattern.quote(sep)))
+            .as("__u"))
+        .filter(length(trim(col("__u"))) > 0)
+      units.groupBy(col(idCol), col("__u"))
+        .agg(count(lit(1)).as("__c"))
+        .groupBy(col(idCol))
+        .agg(sum(col("__c")).as(s"__${pfx}_total"),
+          sum(col("__c") - 1).as(s"__${pfx}_dup"),
+          sum(col("__c") * length(col("__u"))).as(s"__${pfx}_chars"),
+          sum((col("__c") - 1) * length(col("__u")))
+            .as(s"__${pfx}_dup_chars"))
+    }
+    val lines = unitLeg("\n", "ln")
+    val paras = unitLeg("\n\n", "pr")
+    // gram leg: one tagged explode for all n in 2..10
+    val grams = base.select(col(idCol), toks.as("__t"))
+      .select(col(idCol), size(col("__t")).as("__nt"),
+        length(concat_ws(" ", col("__t"))).as("__tchars"), col("__t"))
+      .select(col(idCol), col("__nt"), col("__tchars"),
+        explode(
+          filter(
+            transform(sequence(lit(2), lit(10)), n =>
+              struct(
+                n.as("n"),
+                when(size(col("__t")) >= n,
+                  transform(sequence(lit(0), size(col("__t")) - n),
+                    i => concat_ws(" ", slice(col("__t"), i + 1, n))))
+                  .otherwise(array().cast("array<string>")).as("gs"))),
+            s => size(s.getField("gs")) > 0)).as("__ng"))
+      .select(col(idCol), col("__tchars"),
+        col("__ng")("n").as("__n"), explode(col("__ng")("gs")).as("__g"))
+    val gramCounts = grams
+      .groupBy(col(idCol), col("__n"), col("__tchars"), col("__g"))
+      .agg(count(lit(1)).as("__c"))
+    val gramStats = gramCounts.groupBy(col(idCol), col("__n"))
+      .agg(
+        // top gram by (count, gram) — deterministic tie-break
+        max(struct(col("__c"), col("__g"))).as("__top"),
+        sum(when(col("__c") > 1, col("__c") * length(col("__g")))
+          .otherwise(lit(0L))).as("__dup_chars"),
+        first(col("__tchars")).as("__tchars"))
+      .select(col(idCol), col("__n"),
+        // a top gram occurring ONCE is not repetition — without this
+        // exemption every short document fails on its own longest
+        // phrase (no-evidence ⇒ 0, the convention above)
+        when(col("__top")("__c") > 1,
+          round(least(lit(1.0),
+            (col("__top")("__c") * length(col("__top")("__g")))
+              .cast("double") /
+              greatest(col("__tchars"), lit(1)).cast("double")), 6))
+          .otherwise(lit(0.0)).as("__topfrac"),
+        round(least(lit(1.0), col("__dup_chars").cast("double") /
+          greatest(col("__tchars"), lit(1)).cast("double")), 6)
+          .as("__dupfrac"))
+    val pivoted = gramStats.groupBy(col(idCol))
+      .agg(
+        map_from_entries(collect_list(
+          struct(col("__n"), struct(col("__topfrac"), col("__dupfrac")))))
+          .as("__m"))
+    def topF(n: Int) = coalesce(
+      element_at(col("__m"), n)("__topfrac"), lit(0.0))
+    def dupF(n: Int) = coalesce(
+      element_at(col("__m"), n)("__dupfrac"), lit(0.0))
+    def fr(num: Column, den: Column) = round(
+      coalesce(num.cast("double") /
+        when(den > 0, den.cast("double")), lit(0.0)), 6)
+    val out = base.select(col(idCol), length(col(textCol)).as("__len"))
+      .join(lines, Seq(idCol), "left")
+      .join(paras, Seq(idCol), "left")
+      .join(pivoted, Seq(idCol), "left")
+      .select(col(idCol),
+        fr(col("__ln_dup"), col("__ln_total")).as("dup_line_frac"),
+        fr(col("__pr_dup"), col("__pr_total")).as("dup_para_frac"),
+        fr(col("__ln_dup_chars"), col("__len")).as("dup_line_char_frac"),
+        fr(col("__pr_dup_chars"), col("__len")).as("dup_para_char_frac"),
+        topF(2).as("top_2gram_char_frac"),
+        topF(3).as("top_3gram_char_frac"),
+        topF(4).as("top_4gram_char_frac"),
+        dupF(5).as("dup_5gram_char_frac"),
+        dupF(6).as("dup_6gram_char_frac"),
+        dupF(7).as("dup_7gram_char_frac"),
+        dupF(8).as("dup_8gram_char_frac"),
+        dupF(9).as("dup_9gram_char_frac"),
+        dupF(10).as("dup_10gram_char_frac"))
+      .withColumn("repetition_pass",
+        col("dup_line_frac") <= 0.30 && col("dup_para_frac") <= 0.30 &&
+        col("dup_line_char_frac") <= 0.20 &&
+        col("dup_para_char_frac") <= 0.20 &&
+        col("top_2gram_char_frac") <= 0.20 &&
+        col("top_3gram_char_frac") <= 0.18 &&
+        col("top_4gram_char_frac") <= 0.16 &&
+        col("dup_5gram_char_frac") <= 0.15 &&
+        col("dup_6gram_char_frac") <= 0.14 &&
+        col("dup_7gram_char_frac") <= 0.13 &&
+        col("dup_8gram_char_frac") <= 0.12 &&
+        col("dup_9gram_char_frac") <= 0.11 &&
+        col("dup_10gram_char_frac") <= 0.10)
+    out
+  }
+
   /** Per-shard vocabulary top-k: lowercase token frequencies per
     * (shard, token), then the k most frequent tokens per shard through the
     * bounded-heap [[graft.plans.TopK]] operator — the corpus-statistics

@@ -3535,6 +3535,36 @@ object ExtensionQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Gopher repetition-rule bundle (x179): planted violators per rule
+    // family — every 5th doc gains a triplicated line, every 7th a
+    // duplicated paragraph, every 11th a badger-flood (top-2-gram),
+    // every 13th four copies of a 10-token sentence (duplicated
+    // 5..10-grams, saturating the 1.0 cap). Full value-level replay:
+    // line/para legs case-sensitive on raw text, gram legs lowercased,
+    // top gram tie-broken by (count, gram) descending
+    "x179_gopher_repetition" -> ((s, dir) => {
+      val sentence = (0 until 10).map(i => s"s$i").mkString(" ")
+      // token appends FIRST, unit mutations after — a trailing token
+      // append would otherwise fuse onto the last duplicated line/
+      // paragraph and silently un-duplicate it for combined violators
+      val docs = t(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 11 === 0,
+            lit(" badger" * 40))
+            .otherwise(lit("")),
+          when(col("doc_id") % 13 === 0,
+            lit(" " + Seq.fill(4)(sentence).mkString(" ")))
+            .otherwise(lit("")),
+          when(col("doc_id") % 5 === 0,
+            lit("\nrepeat line" * 8))
+            .otherwise(lit("")),
+          when(col("doc_id") % 7 === 0,
+            lit("\n\nsame para\n\nsame para")).otherwise(lit("")))
+          .as("text"))
+      TextAnalysis.gopherRepetitionRules(docs, "doc_id")
+        .orderBy(col("doc_id"))
+    }),
+
     // CCNet head/middle/tail bucketing (x177): rank-based thirds WITHIN
     // each language group (skewed en:fr:de = 2:1:1 via pmod), so the cut
     // adapts to each group's own NLL distribution; ties rank by doc_id
@@ -7961,6 +7991,114 @@ object ExtensionQueries {
         |  FROM mut m LEFT JOIN agg a ON m.doc_id = a.doc_id)
         |SELECT doc_id, n_bigrams, kn_nll FROM f
         |WHERE kn_nll > 5.0 ORDER BY doc_id""".stripMargin,
+
+    // x179: the three legs replayed — case-sensitive unit counts on
+    // raw text, lowercased tagged grams for n = 2..10 with the
+    // (count, gram)-descending top pick, the 1.0 caps, and every
+    // fraction rounded 6dp BEFORE the threshold compares
+    "x179_gopher_repetition" ->
+      """WITH d AS (
+        |  SELECT doc_id, text ||
+        |    CASE WHEN doc_id % 11 = 0 THEN repeat(' badger', 40)
+        |      ELSE '' END ||
+        |    CASE WHEN doc_id % 13 = 0 THEN
+        |      ' s0 s1 s2 s3 s4 s5 s6 s7 s8 s9 s0 s1 s2 s3 s4 s5 s6 s7 s8 s9 s0 s1 s2 s3 s4 s5 s6 s7 s8 s9 s0 s1 s2 s3 s4 s5 s6 s7 s8 s9'
+        |      ELSE '' END ||
+        |    CASE WHEN doc_id % 5 = 0
+        |      THEN repeat(chr(10) || 'repeat line', 8)
+        |      ELSE '' END ||
+        |    CASE WHEN doc_id % 7 = 0 THEN chr(10) || chr(10) ||
+        |      'same para' || chr(10) || chr(10) || 'same para'
+        |      ELSE '' END AS text
+        |  FROM documents),
+        |ln AS (
+        |  SELECT doc_id, u FROM (
+        |    SELECT doc_id, UNNEST(string_split(text, chr(10))) AS u FROM d)
+        |  WHERE len(trim(u)) > 0),
+        |lnc AS (SELECT doc_id, u, count(*) AS c FROM ln GROUP BY 1, 2),
+        |lns AS (SELECT doc_id, sum(c) AS total, sum(c - 1) AS dup,
+        |    sum((c - 1) * len(u)) AS dupch
+        |  FROM lnc GROUP BY 1),
+        |pr AS (
+        |  SELECT doc_id, u FROM (
+        |    SELECT doc_id,
+        |      UNNEST(string_split(text, chr(10) || chr(10))) AS u FROM d)
+        |  WHERE len(trim(u)) > 0),
+        |prc AS (SELECT doc_id, u, count(*) AS c FROM pr GROUP BY 1, 2),
+        |prs AS (SELECT doc_id, sum(c) AS total, sum(c - 1) AS dup,
+        |    sum((c - 1) * len(u)) AS dupch
+        |  FROM prc GROUP BY 1),
+        |tk AS (SELECT doc_id,
+        |    list_filter(string_split_regex(trim(lower(text)), '\s+'),
+        |      x -> len(x) > 0) AS ts
+        |  FROM d),
+        |tc AS (SELECT doc_id, len(array_to_string(ts, ' ')) AS tchars, ts
+        |  FROM tk),
+        |g AS (
+        |  SELECT doc_id, tchars, n,
+        |    array_to_string(list_slice(ts, i, i + n - 1), ' ') AS gm
+        |  FROM tc, UNNEST(range(2, 11)) AS nn(n),
+        |    UNNEST(range(1, len(ts) - n + 2)) AS ii(i)
+        |  WHERE len(ts) >= n),
+        |gc AS (SELECT doc_id, tchars, n, gm, count(*) AS c
+        |  FROM g GROUP BY 1, 2, 3, 4),
+        |topg AS (
+        |  SELECT doc_id, n, c AS topc, c * len(gm) AS topch FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY doc_id, n
+        |      ORDER BY c DESC, gm DESC) AS rn FROM gc) WHERE rn = 1),
+        |gs AS (
+        |  SELECT gc.doc_id, gc.n,
+        |    CASE WHEN max(t.topc) > 1 THEN
+        |      ROUND(LEAST(1.0, CAST(max(t.topch) AS DOUBLE) /
+        |        GREATEST(max(gc.tchars), 1)), 6) ELSE 0.0 END AS topfrac,
+        |    ROUND(LEAST(1.0, CAST(coalesce(sum(CASE WHEN gc.c > 1
+        |        THEN gc.c * len(gc.gm) END), 0) AS DOUBLE) /
+        |      GREATEST(max(gc.tchars), 1)), 6) AS dupfrac
+        |  FROM gc JOIN topg t ON gc.doc_id = t.doc_id AND gc.n = t.n
+        |  GROUP BY 1, 2),
+        |piv AS (
+        |  SELECT doc_id,
+        |    coalesce(max(CASE WHEN n = 2 THEN topfrac END), 0.0) AS t2,
+        |    coalesce(max(CASE WHEN n = 3 THEN topfrac END), 0.0) AS t3,
+        |    coalesce(max(CASE WHEN n = 4 THEN topfrac END), 0.0) AS t4,
+        |    coalesce(max(CASE WHEN n = 5 THEN dupfrac END), 0.0) AS d5,
+        |    coalesce(max(CASE WHEN n = 6 THEN dupfrac END), 0.0) AS d6,
+        |    coalesce(max(CASE WHEN n = 7 THEN dupfrac END), 0.0) AS d7,
+        |    coalesce(max(CASE WHEN n = 8 THEN dupfrac END), 0.0) AS d8,
+        |    coalesce(max(CASE WHEN n = 9 THEN dupfrac END), 0.0) AS d9,
+        |    coalesce(max(CASE WHEN n = 10 THEN dupfrac END), 0.0) AS d10
+        |  FROM gs GROUP BY 1),
+        |f AS (
+        |  SELECT d.doc_id,
+        |    ROUND(coalesce(CAST(l.dup AS DOUBLE) /
+        |      nullif(l.total, 0), 0.0), 6) AS dup_line_frac,
+        |    ROUND(coalesce(CAST(p.dup AS DOUBLE) /
+        |      nullif(p.total, 0), 0.0), 6) AS dup_para_frac,
+        |    ROUND(coalesce(CAST(l.dupch AS DOUBLE) /
+        |      nullif(len(d.text), 0), 0.0), 6) AS dup_line_char_frac,
+        |    ROUND(coalesce(CAST(p.dupch AS DOUBLE) /
+        |      nullif(len(d.text), 0), 0.0), 6) AS dup_para_char_frac,
+        |    coalesce(v.t2, 0.0) AS top_2gram_char_frac,
+        |    coalesce(v.t3, 0.0) AS top_3gram_char_frac,
+        |    coalesce(v.t4, 0.0) AS top_4gram_char_frac,
+        |    coalesce(v.d5, 0.0) AS dup_5gram_char_frac,
+        |    coalesce(v.d6, 0.0) AS dup_6gram_char_frac,
+        |    coalesce(v.d7, 0.0) AS dup_7gram_char_frac,
+        |    coalesce(v.d8, 0.0) AS dup_8gram_char_frac,
+        |    coalesce(v.d9, 0.0) AS dup_9gram_char_frac,
+        |    coalesce(v.d10, 0.0) AS dup_10gram_char_frac
+        |  FROM d LEFT JOIN lns l ON d.doc_id = l.doc_id
+        |  LEFT JOIN prs p ON d.doc_id = p.doc_id
+        |  LEFT JOIN piv v ON d.doc_id = v.doc_id)
+        |SELECT *,
+        |  dup_line_frac <= 0.30 AND dup_para_frac <= 0.30 AND
+        |  dup_line_char_frac <= 0.20 AND dup_para_char_frac <= 0.20 AND
+        |  top_2gram_char_frac <= 0.20 AND top_3gram_char_frac <= 0.18 AND
+        |  top_4gram_char_frac <= 0.16 AND dup_5gram_char_frac <= 0.15 AND
+        |  dup_6gram_char_frac <= 0.14 AND dup_7gram_char_frac <= 0.13 AND
+        |  dup_8gram_char_frac <= 0.12 AND dup_9gram_char_frac <= 0.11 AND
+        |  dup_10gram_char_frac <= 0.10 AS repetition_pass
+        |FROM f ORDER BY doc_id""".stripMargin,
 
     // x177: the x141 KN replay + a per-group percent_rank window; the
     // bucket fractions are written as the SAME float expressions the

@@ -110,6 +110,47 @@ class TextEvalSpec extends SparkSpec {
       out(10L)._5 == "tail")
   }
 
+  test("gopherRepetitionRules: hand-computed fractions, caps, no-evidence pass") {
+    val docs = Seq(
+      (1L, "a b\na b\nc d"),                       // duplicated line
+      (2L, (0 until 40).map(i => s"w$i").mkString(" ")), // clean
+      (3L, Seq.fill(4)((0 until 10).map(i => s"t$i").mkString(" "))
+        .mkString(" ")),                           // 10-gram flood
+      (4L, "x"),                                   // no grams, one line
+      (5L, "p q\n\np q")                           // duplicated paragraph
+    ).toDF("doc_id", "text")
+    val out = graft.ops.TextAnalysis
+      .gopherRepetitionRules(docs, "doc_id")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    def f(id: Long, c: String) = out(id).getAs[Double](c)
+    // doc 1: lines "a b","a b","c d" -> 1/3 dup; dup chars 3/11; top
+    // 2-gram ("a b", 2 occurrences) -> 6/11
+    assert(f(1, "dup_line_frac") == 0.333333)
+    assert(f(1, "dup_line_char_frac") == 0.272727)
+    assert(f(1, "top_2gram_char_frac") == 0.545455)
+    assert(f(1, "dup_5gram_char_frac") == 0.0)
+    assert(!out(1L).getAs[Boolean]("repetition_pass"))
+    // doc 2: all-distinct tokens, single line -> passes every rule
+    assert(out(2L).getAs[Boolean]("repetition_pass"))
+    assert(f(2, "dup_line_frac") == 0.0 && f(2, "dup_10gram_char_frac") == 0.0)
+    // doc 3: every 10-gram repeats across the 4 copies -> the
+    // duplicated-gram accounting saturates at the 1.0 cap and fails
+    assert(f(3, "dup_10gram_char_frac") == 1.0)
+    assert(f(3, "dup_5gram_char_frac") == 1.0)
+    assert(!out(3L).getAs[Boolean]("repetition_pass"))
+    // doc 4: one token, one line — no n-gram or duplicate evidence
+    // anywhere => every fraction 0, pass (the no-evidence convention)
+    assert(out(4L).getAs[Boolean]("repetition_pass"))
+    (2 to 10).foreach { n =>
+      val c = if (n <= 4) s"top_${n}gram_char_frac"
+              else s"dup_${n}gram_char_frac"
+      assert(f(4, c) == 0.0, c)
+    }
+    // doc 5: "p q" twice as paragraphs AND as (empty-filtered) lines
+    assert(f(5, "dup_para_frac") == 0.5 && f(5, "dup_line_frac") == 0.5)
+    assert(!out(5L).getAs[Boolean]("repetition_pass"))
+  }
+
   test("knBigramNll: probabilities stay in (0,1], nll >= 0") {
     val model = (0 until 40)
       .map(i => (i.toLong, s"w${i % 7} w${(i * 3) % 5} w${i % 7} end"))
