@@ -541,7 +541,12 @@ class PlanGuardSpec extends SparkSpec {
       ("x177_perplexity_buckets", 9, 7),
       // stream lifecycle fixture (x169 class): the readback frame is
       // the audited plan; per-batch scoring runs as its own actions
-      ("x178_stream_perplexity_screen", 1, 0))
+      ("x178_stream_perplexity_screen", 1, 0),
+      // three narrow unit/gram legs + doc-keyed assembly; the cost is
+      // one map-CPU-bound gram job (4M interpreted-HOF gram strings at
+      // sf0.1 — embarrassingly parallel; a native gram expression is
+      // the upgrade path, the minhashSignatures precedent)
+      ("x179_gopher_repetition", 8, 3))
     val parity = ParityQueries.queries.keySet
     budgets.foreach { case (name, shuf, minBcast) =>
       val df =
