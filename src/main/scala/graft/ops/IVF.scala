@@ -282,8 +282,10 @@ object IVF {
     // operation that clears tombstones, by applying them. LIST tombstones
     // ([[splitList]]) do NOT carry: a rebuild's re-train re-numbers the
     // cid space, so an old list id would mask an arbitrary new list —
-    // and the split's masked rows are absent from any rebuild input read
-    // through the masked view, so there is nothing left to mask.
+    // and the split's masked rows are absent from a rebuild input read
+    // through [[liveVectors]] (the documented rebuild input; a raw
+    // read of `<root>/vectors` would double-count every split's rows),
+    // so there is nothing left to mask.
     tombstoneFrame(assigned.sparkSession, root).map(idTombstones)
       .filter(!_.isEmpty).foreach(_.write
         .mode("overwrite").partitionBy("delete_shard")
@@ -406,19 +408,58 @@ object IVF {
     * whatever live state remains (the split's vector copies were fully
     * written BEFORE the stage — ordering contract in [[splitList]]),
     * so it promotes. Single-writer contract as everywhere in this
-    * lifecycle; a concurrent reader can catch the delete-rename gap,
-    * which is why readers heal rather than require. */
+    * lifecycle — but this promote runs on the READ path (every
+    * [[readModel]]), and concurrent READERS are explicitly allowed, so
+    * it must mirror [[healRoot]]'s tolerance rather than the writer's
+    * strictness: the live dir is never deleted before the swap can
+    * succeed (it is RETIRED via rename and cleaned only after a live
+    * generation provably exists), losing any rename race to another
+    * reader is fine as long as someone won, and a stage WITHOUT
+    * `_SUCCESS` is left strictly alone — a reader cannot tell a
+    * crashed split's torn stage from a CONCURRENT [[splitList]]'s
+    * in-flight one, and deleting the latter would destroy a live
+    * writer's work mid-flight. The single writer cleans torn stages
+    * implicitly: [[splitList]] writes `centroids__split` with
+    * mode=overwrite, so its next run replaces any debris. */
   private def promoteCentroidsStage(fs: org.apache.hadoop.fs.FileSystem,
       root: String): Unit = {
     val stage = new org.apache.hadoop.fs.Path(s"$root/centroids__split")
-    if (fs.exists(stage)) {
-      val live = new org.apache.hadoop.fs.Path(s"$root/centroids")
-      if (fs.exists(new org.apache.hadoop.fs.Path(stage, "_SUCCESS"))) {
-        fs.delete(live, true)
-        require(fs.rename(stage, live),
-          s"centroid stage promote failed: $stage")
-      } else fs.delete(stage, true)
+    val live = new org.apache.hadoop.fs.Path(s"$root/centroids")
+    val retired = new org.apache.hadoop.fs.Path(s"$root/centroids__retired")
+    if (!fs.exists(new org.apache.hadoop.fs.Path(stage, "_SUCCESS"))) {
+      // no promotable stage. The only work left here is clearing a
+      // retiree orphaned by a crash between a promote and its cleanup
+      // (live=new generation, retired=old, stage consumed) — and, purely
+      // defensively, restoring a retiree if live is somehow missing
+      // (unreachable by this protocol's own states, but never leave the
+      // index headless when a copy of it exists).
+      if (fs.exists(retired)) {
+        if (fs.exists(live)) fs.delete(retired, true)
+        else if (!fs.rename(retired, live))
+          require(fs.exists(live), s"centroid restore failed: $retired")
+      }
+      return
     }
+    // retire-then-promote; every step may race other readers
+    if (fs.exists(live) && !fs.rename(live, retired)) {
+      // lost the retire race — another reader moved it (or already
+      // promoted a fresh generation here); the promote below settles it
+    }
+    if (!fs.rename(stage, live)) {
+      // lost the promote race: the stage was consumed by the winner. If
+      // we (or a crashed predecessor) retired live and nobody has
+      // promoted yet, restore the retiree rather than leaving the index
+      // headless on a spurious rename failure.
+      if (!fs.exists(live) && fs.exists(retired)) fs.rename(retired, live)
+      require(fs.exists(live), s"centroid stage promote failed: $stage")
+    }
+    // a LOSING rename can "succeed" by nesting its source inside the
+    // winner's target (the same filesystem quirk [[healRoot]] handles)
+    val nested = new org.apache.hadoop.fs.Path(live, stage.getName)
+    if (fs.exists(nested)) fs.delete(nested, true)
+    // the retired old generation is superseded by the promoted stage —
+    // clean it only once a live generation provably exists
+    if (fs.exists(live) && fs.exists(retired)) fs.delete(retired, true)
   }
 
   /** Ingest a new embedding shard: assign against the PERSISTED centroids
@@ -516,6 +557,37 @@ object IVF {
     * search mask anti-joins and [[appendVectors]] clash-guards on. */
   private def idTombstones(tombs: DataFrame): DataFrame =
     tombs.filter(col("tomb_id").isNotNull)
+
+  /** The index's LIVE vectors, read through the full tombstone mask —
+    * THE documented input for a rebuild
+    * ([[writeIndexAppendable]] over a re-train): [[splitList]]-retired
+    * lists are pruned as literal PartitionFilters (their directories
+    * never open) and id-tombstoned rows are anti-joined out, exactly
+    * the visibility [[searchBatchAppendable]] gives a query. Reading
+    * `<root>/vectors` raw instead double-counts every split: the
+    * retired list's rows AND their sub-list copies are both physically
+    * present until [[compactVectors]], so a rebuild trained/loaded from
+    * the raw tree would carry duplicate ids into the new generation
+    * (the same vector returned twice by every search that probes its
+    * list). Columns: the caller's original vector schema — the
+    * assignment/bookkeeping columns (`centroid_id`, `ingest_shard`) are
+    * dropped because a rebuild re-derives both. */
+  def liveVectors(spark: org.apache.spark.sql.SparkSession,
+      root: String, idCol: String): DataFrame = {
+    readModel(spark, root) // heal a crashed swap before reading
+    val vectors = spark.read.parquet(s"$root/vectors")
+    val tombs = tombstoneFrame(spark, root)
+    val retired = retiredLists(tombs)
+    val pruned =
+      if (retired.isEmpty) vectors
+      else vectors.filter(!col("centroid_id").isin(retired.map(Int.box): _*))
+    val masked = tombs.map(idTombstones).filter(!_.isEmpty) match {
+      case Some(t) => pruned.join(broadcast(t.select(col("tomb_id"))),
+        pruned(idCol) === col("tomb_id"), "left_anti")
+      case None => pruned
+    }
+    masked.drop("centroid_id", "ingest_shard")
+  }
 
   /** Apply accumulated tombstones physically and collapse the per-shard
     * partition dirs (the small-files problem — the same maintenance role

@@ -169,7 +169,11 @@ object Sampling {
       .toDF("source", "n_tokens", "__alloc_micro", "capped")
       .select(col("source"), col("n_tokens"),
         round(col("__alloc_micro") / 1e6).cast("long").as("target_tokens"),
-        round(col("__alloc_micro") / (col("n_tokens") * lit(1e6)), 6)
+        // greatest(n_tokens, 1): a source whose texts tokenize to zero
+        // tokens allocates 0 (its capacity is 0) — its epochs must read
+        // 0.0, not the NULL a 0/0 division would emit (advisor r13)
+        round(col("__alloc_micro") /
+            (greatest(col("n_tokens"), lit(1L)) * lit(1e6)), 6)
           .as("epochs"),
         col("capped"))
   }

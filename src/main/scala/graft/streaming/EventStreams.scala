@@ -427,26 +427,6 @@ object EventStreams {
       }
       .start()
 
-  /** Streaming winnow-decontamination screen — the span-evidence
-    * member of the streaming screen family ([[bloomScreenSink]] routes
-    * on a yes/no membership answer; this routes on shared winnow
-    * fingerprints and APPENDS THE EVIDENCE): each micro-batch
-    * fingerprints map-only, joins the broadcast pre-computed benchmark
-    * fingerprint frame ([[graft.ops.Dedup.winnowFingerprints]] /
-    * `...Portable` output — compute it ONCE outside the stream; the
-    * bench side is small by contract), and routes flagged docs' match
-    * rows (bench id, shared count, span extent) to `flaggedPath` and
-    * everything else to `cleanPath`. Screening is per-doc stateless,
-    * so stream output ≡ the batch [[graft.ops.Dedup.winnowContamination]]
-    * over the union of batches — the oracle contract. `portable`
-    * selects the md5 fingerprint family (oracle surface) over the
-    * xxhash64 production family. Exactly-once: both routes write
-    * `batch_id`-partitioned with dynamic partition overwrite (the
-    * [[incrementalDedupSink]]/[[ivfAppendSink]] convention), so
-    * foreachBatch's at-least-once redelivery regenerates the SAME
-    * partition idempotently — a replayed batch overwrites its own
-    * earlier rows instead of duplicating them on either path. Readers
-    * drop the `batch_id` partition column for the logical answer. */
   /** Streaming KN-perplexity screen — the LM-quality member of the
     * streaming screen family ([[bloomScreenSink]] routes on benchmark
     * membership, [[winnowScreenSink]] on shared fingerprints,
@@ -494,6 +474,26 @@ object EventStreams {
       }
       .start()
 
+  /** Streaming winnow-decontamination screen — the span-evidence
+    * member of the streaming screen family ([[bloomScreenSink]] routes
+    * on a yes/no membership answer; this routes on shared winnow
+    * fingerprints and APPENDS THE EVIDENCE): each micro-batch
+    * fingerprints map-only, joins the broadcast pre-computed benchmark
+    * fingerprint frame ([[graft.ops.Dedup.winnowFingerprints]] /
+    * `...Portable` output — compute it ONCE outside the stream; the
+    * bench side is small by contract), and routes flagged docs' match
+    * rows (bench id, shared count, span extent) to `flaggedPath` and
+    * everything else to `cleanPath`. Screening is per-doc stateless,
+    * so stream output ≡ the batch [[graft.ops.Dedup.winnowContamination]]
+    * over the union of batches — the oracle contract. `portable`
+    * selects the md5 fingerprint family (oracle surface) over the
+    * xxhash64 production family. Exactly-once: both routes write
+    * `batch_id`-partitioned with dynamic partition overwrite (the
+    * [[incrementalDedupSink]]/[[ivfAppendSink]] convention), so
+    * foreachBatch's at-least-once redelivery regenerates the SAME
+    * partition idempotently — a replayed batch overwrites its own
+    * earlier rows instead of duplicating them on either path. Readers
+    * drop the `batch_id` partition column for the logical answer. */
   def winnowScreenSink(docs: DataFrame, idCol: String, textCol: String,
       benchFps: DataFrame, k: Int, w: Int, minShared: Int,
       portable: Boolean, cleanPath: String, flaggedPath: String,

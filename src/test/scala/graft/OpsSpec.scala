@@ -1287,12 +1287,17 @@ class SimilaritySpec extends SparkSpec {
       graft.ops.IVF.assign(emb, "embedding", model), root, model, "base")
     val fs = new org.apache.hadoop.fs.Path(root)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // torn centroid stage (no _SUCCESS) is debris: readModel deletes it
-    // and keeps the live generation
+    // torn centroid stage (no _SUCCESS): the READ path leaves it
+    // strictly alone — a reader cannot tell a crashed split's debris
+    // from a CONCURRENT splitList's in-flight stage, and deleting the
+    // latter would destroy a live writer's work (advisor r13). The
+    // single writer overwrites the debris at its next run (asserted
+    // below: the real splitList call succeeds over this junk stage).
     val stage = new org.apache.hadoop.fs.Path(s"$root/centroids__split")
     fs.mkdirs(stage)
     assert(graft.ops.IVF.readModel(spark, root).nc == model.nc)
-    assert(!fs.exists(stage), "torn stage must be swept")
+    assert(fs.exists(stage),
+      "a no-_SUCCESS stage must survive the read path untouched")
     val hot = graft.ops.IVF.indexStats(spark, root, "vec_id")
       .orderBy($"n_live".desc, $"centroid_id").head.getInt(0)
     val queries = emb.filter($"vec_id".isin(1L, 5L))
@@ -1334,6 +1339,59 @@ class SimilaritySpec extends SparkSpec {
       graft.ops.IVF.splitList(spark, root, small.getInt(0),
         (small.getLong(1) + 1).toInt.max(2), "vec_id", "embedding", "g3")
     }
+  }
+
+  test("centroid swap heals from every retire/promote crash state; liveVectors masks splits") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val model = graft.ops.IVF.train(emb, "vec_id", "embedding", nc = 4, iters = 2)
+    val root = java.nio.file.Files.createTempDirectory("ivf_swap_states")
+      .toString + "/idx"
+    graft.ops.IVF.writeIndexAppendable(
+      graft.ops.IVF.assign(emb, "embedding", model), root, model, "base")
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val live = new org.apache.hadoop.fs.Path(s"$root/centroids")
+    val retired = new org.apache.hadoop.fs.Path(s"$root/centroids__retired")
+    val stage = new org.apache.hadoop.fs.Path(s"$root/centroids__split")
+    def centroidsDf = spark.read.parquet(live.toString)
+    // state A — crash between promote and retiree cleanup (live=new,
+    // retired=old, stage consumed): the read path clears the orphan
+    centroidsDf.write.parquet(retired.toString)
+    assert(graft.ops.IVF.readModel(spark, root).nc == model.nc)
+    assert(!fs.exists(retired), "orphaned retiree must be cleaned")
+    // state B — crash between retire and promote (stage complete with
+    // _SUCCESS, live missing, retiree holding the old generation): the
+    // read path promotes the stage and clears the retiree
+    centroidsDf.write.parquet(stage.toString)
+    assert(fs.rename(live, retired))
+    assert(graft.ops.IVF.readModel(spark, root).nc == model.nc)
+    assert(fs.exists(live) && !fs.exists(stage) && !fs.exists(retired))
+    // state C — defensive: retiree present, live and stage both gone
+    // (unreachable by the protocol's own states): restore, never leave
+    // the index headless
+    assert(fs.rename(live, retired))
+    assert(graft.ops.IVF.readModel(spark, root).nc == model.nc)
+    assert(fs.exists(live) && !fs.exists(retired))
+    // liveVectors: after a split, the raw vectors tree physically holds
+    // the retired list's rows AND their sub-list copies — the masked
+    // reader (the documented rebuild input) must see every id exactly
+    // once, and must drop id-tombstoned rows too
+    val hot = graft.ops.IVF.indexStats(spark, root, "vec_id")
+      .orderBy($"n_live".desc, $"centroid_id").head.getInt(0)
+    graft.ops.IVF.splitList(spark, root, hot, kSplit = 2,
+      "vec_id", "embedding", "sp1")
+    val deadId = emb.select($"vec_id").orderBy($"vec_id").head.getLong(0)
+    graft.ops.IVF.deleteVectors(spark, root,
+      Seq(deadId).toDF("vec_id"), "vec_id", "del1")
+    val total = emb.count()
+    val raw = spark.read.parquet(s"$root/vectors")
+    assert(raw.count() > total, "split copies must be physically present")
+    val lv = graft.ops.IVF.liveVectors(spark, root, "vec_id")
+    assert(lv.count() == total - 1, "masked reader: each live id once")
+    assert(lv.select($"vec_id").distinct().count() == total - 1)
+    assert(lv.filter($"vec_id" === deadId).isEmpty)
+    assert(!lv.columns.contains("centroid_id") &&
+      !lv.columns.contains("ingest_shard"))
   }
 
   test("appendVectors refuses tombstoned ids; compaction unblocks re-ingest") {
@@ -2012,6 +2070,16 @@ class SamplingSpec extends SparkSpec {
     // uncapped sources share TOKENS uniformly, never epochs — the
     // UniMax fairness inversion vs temperature sampling
     assert(mid("s3")._3 > mid("s2")._3 && mid("s3")._4 < mid("s2")._4)
+    // a source whose texts tokenize to ZERO tokens: capacity 0, target
+    // 0 — and epochs must read 0.0, not the NULL of a 0/0 division
+    // (advisor r13; greatest(n_tokens,1) in the denominator)
+    val withEmpty = df.union(Seq(("s0", "")).toDF("source", "text"))
+    val z = graft.ops.Sampling
+      .unimaxMixture(withEmpty, "source", "text", 1000L, 2.0)
+      .as[(String, Long, Long, Double, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(z("s0") == (("s0", 0L, 0L, 0.0, true)))
+    assert(z("s3")._3 == mid("s3")._3, "zero-token source must not shift the fill level")
   }
 
   test("property: unimaxMixture water-filling invariants over a budget grid") {
