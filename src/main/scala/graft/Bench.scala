@@ -72,6 +72,31 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSeq)
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.exists(n.startsWith)) }
+    // ---- per-query band sentinel ----------------------------------------
+    // rep_drift/rep_spread are INTRA-sweep checks: contention that inflates
+    // ALL reps of a query symmetrically (the r10/r12/r13 driver-sweep
+    // signature — x166 4.2s quiet vs 24.0s loaded with three agreeing reps)
+    // is invisible to both BY CONSTRUCTION. The committed bench_out.json is
+    // the quiet closing sweep at the same code, so every query carries its
+    // own band: a >=2s query whose fresh median moved >=2x OFF its band
+    // value is either host contention or a real regression — both need
+    // adjudication, so the sweep is marked env_suspect and the movers are
+    // named in the artifact (band_movers). Fast movers (<=0.5x of a >=2s
+    // band) are listed for information only: a legitimate optimization
+    // lands exactly there and must not poison a clean sweep's flag.
+    // SPARK_GRAFT_BAND overrides the band file; a missing/unparsable band
+    // degrades to the old intra-sweep-only behavior.
+    val bandPath = sys.env.getOrElse("SPARK_GRAFT_BAND", "bench_out.json")
+    val band: Map[String, Double] =
+      try {
+        val txt = java.nio.file.Files.readString(java.nio.file.Paths.get(bandPath))
+        // scope the scan to the per-query "detail" object of our own
+        // format: {"name":{"med":N,...},...}
+        val d = txt.indexOf("\"detail\":")
+        """"([A-Za-z0-9_]+)":\{"med":([0-9.]+)""".r
+          .findAllMatchIn(if (d >= 0) txt.substring(d) else txt)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      } catch { case _: Throwable => Map.empty }
     case class Res(name: String, best: Double, med: Double, runs: Seq[Double],
         ok: Boolean, stages: Map[String, Double], load: Double)
     val results = selected.map { case (name, fn) =>
@@ -125,12 +150,26 @@ object Bench {
       .filter(r => r.runs.size >= 2 && r.runs.min >= 0.5)
       .map(r => r.runs.max / r.runs.min)
     val repSpread = if (spreads.isEmpty) 1.0 else r2(median(spreads))
+    // per-query band check (see the sentinel comment above `band`)
+    val bandChecked = results.flatMap(r => band.get(r.name).map(b => (r, b)))
+    val slowMovers = bandChecked
+      .filter { case (r, b) => r.med >= 2.0 && r.med >= 2.0 * b }
+    val fastMovers = bandChecked
+      .filter { case (r, b) => b >= 2.0 && r.med <= 0.5 * b }
+    for ((r, b) <- slowMovers ++ fastMovers)
+      System.err.println(f"[bench] BAND MOVER ${r.name}%-28s band=$b%7.2fs " +
+        f"med=${r.med}%7.2fs (${r.med / b}%.2fx)")
     val envSuspect = (loadMax >= 0 && loadMax > machineCpus) ||
-      repDrift > 1.25 || repSpread > 2.0
+      repDrift > 1.25 || repSpread > 2.0 || slowMovers.nonEmpty
     System.err.println(f"[bench] env: loadavg $loadStart%.2f -> $loadEnd%.2f " +
       f"max=$loadMax%.2f (cpus=$machineCpus) gc=${gcMs}ms " +
-      f"rep_drift=$repDrift%.2f rep_spread=$repSpread%.2f suspect=$envSuspect")
-    val envJson = s""""env":{"loadavg_start":$loadStart,"loadavg_end":$loadEnd,"loadavg_max":${r2(loadMax)},"machine_cpus":$machineCpus,"gc_ms":$gcMs,"rep_drift":$repDrift,"rep_spread":$repSpread},"env_suspect":$envSuspect"""
+      f"rep_drift=$repDrift%.2f rep_spread=$repSpread%.2f " +
+      f"band_n=${bandChecked.size} movers=${slowMovers.size}+${fastMovers.size} " +
+      f"suspect=$envSuspect")
+    def moverJson(ms: Seq[(Res, Double)]) = ms.map { case (r, b) =>
+      s"""{"q":"${r.name}","band":$b,"med":${r2(r.med)}}"""
+    }.mkString("[", ",", "]")
+    val envJson = s""""env":{"loadavg_start":$loadStart,"loadavg_end":$loadEnd,"loadavg_max":${r2(loadMax)},"machine_cpus":$machineCpus,"gc_ms":$gcMs,"rep_drift":$repDrift,"rep_spread":$repSpread,"band_n":${bandChecked.size},"band_movers":${moverJson(slowMovers)},"band_movers_fast":${moverJson(fastMovers)}},"env_suspect":$envSuspect"""
     val qs = results.map(r => "\"" + r.name + "\":" + r2(r.med))
       .mkString("{", ",", "}")
     val failed = results.filterNot(_.ok).map("\"" + _.name + "\"")
@@ -156,7 +195,11 @@ object Bench {
     // (detail_path), which the judge reads. The same line is also written
     // to bench_last.json so a driver that can't strip sbt's "[info] "
     // stdout prefix still has a clean file to parse.
-    val json = s"""{"metric":"total","unit":"sec","value":$medTotal,"best_total":$bestTotal,"all_ok":$allOk,"n_queries":${results.size},"failed":$failed,"detail_path":"bench_out.json"}"""
+    // partial (SPARK_GRAFT_ONLY) runs must not clobber the full-sweep
+    // detail file: bench_out.json doubles as the band sentinel's baseline,
+    // and a 2-query bisect overwriting it would erase the other 228 bands
+    val detailPath = if (only.isDefined) "bench_only_out.json" else "bench_out.json"
+    val json = s"""{"metric":"total","unit":"sec","value":$medTotal,"best_total":$bestTotal,"all_ok":$allOk,"n_queries":${results.size},"failed":$failed,"detail_path":"$detailPath"}"""
     val detail = results.map { r =>
       "\"" + r.name + "\":{\"med\":" + r2(r.med) + ",\"best\":" + r2(r.best) +
         ",\"runs\":[" + r.runs.map(r2).mkString(",") + "],\"load\":" + r2(r.load) +
@@ -166,7 +209,7 @@ object Bench {
         else "") + "}"
     }.mkString("{", ",", "}")
     val fullJson = s"""{"metric":"total","unit":"sec","sf":"$sfDir","reps":$reps,"queries":$qs,"stages":$stageJson,"detail":$detail,"failed":$failed,$envJson,"best_total":$bestTotal,"all_ok":$allOk,"value":$medTotal}"""
-    try java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_out.json"), fullJson + "\n")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(detailPath), fullJson + "\n")
     catch { case _: Throwable => }
     try java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_last.json"), json + "\n")
     catch { case _: Throwable => }
