@@ -261,10 +261,9 @@ object Dedup {
     // verify join): persist + eager count so the signature/bucket pipeline
     // runs exactly ONCE — without it the two consumers race to recompute the
     // whole subtree (measured 2.6x slower at sf0.1). The frame is tiny
-    // (pairs only), so memory cost is negligible at any scale; the cached
-    // blocks are released by Spark's ContextCleaner once the returned
-    // frame is garbage-collected.
-    val cand = bucketCandidates(buckets, maxBucketSize).persist()
+    // (pairs only), so memory cost is negligible at any scale; release
+    // follows the [[Caching]] contract (scoped registry + ContextCleaner).
+    val cand = Caching.scoped(bucketCandidates(buckets, maxBucketSize))
     cand.count()
     // verify-side shingles are recomputed only for ids that survived into a
     // candidate pair (semi-join prune on the narrow id column) — the wide
@@ -314,7 +313,7 @@ object Dedup {
           concat_ws(",", transform(slice(col("sig"), b * r + 1, r),
             x => x.cast("string"))).as("bucket"))): _*)))
       .select(col("id"), col("bb.band"), col("bb.bucket"))
-    val cand = bucketCandidates(buckets, maxBucketSize).persist()
+    val cand = Caching.scoped(bucketCandidates(buckets, maxBucketSize))
     cand.count()
     val candIds = cand.select(col("id_a").as("jid"))
       .unionByName(cand.select(col("id_b").as("jid"))).distinct()
@@ -414,7 +413,7 @@ object Dedup {
       .select(col("id"), col("simhash"), col("bb.band"), col("bb.chunk"))
     // same dual-consumer materialization as [[bucketCandidates]]: the
     // 64-sum simhash aggregate must not run once per consumer
-    val bandedP = banded.persist()
+    val bandedP = Caching.scoped(banded)
     bandedP.count()
     // hot-bucket guard (see [[bucketCandidates]] for rationale AND the
     // documented recall bound -- the same multi-group-bucket caveat applies
@@ -832,10 +831,10 @@ object Dedup {
     // the persist keeps the assignment (literal dot-product chain or
     // scored join) from re-running for each of the three consumers
     // (a/b self-join legs + the final projection) — the
-    // bigramNll/bm25TopK multi-consumer persist convention. No
-    // unpersist: the returned frame is lazy (matches repo practice
-    // for lazily-returned multi-consumer frames).
-    val assigned = assignToCentroids(emb, idCol, vecCol, cents).persist()
+    // bigramNll/bm25TopK multi-consumer persist convention, registered
+    // under the [[Caching]] contract (the returned frame is lazy;
+    // Caching.releaseAll reclaims the subtree in long-lived sessions).
+    val assigned = Caching.scoped(assignToCentroids(emb, idCol, vecCol, cents))
     if (maxClusterSize > 0) {
       // headOption, not head(): an empty input frame has no top cluster
       // and must pass through cleanly (empty output), not throw
@@ -1256,10 +1255,7 @@ object Dedup {
     // no spans (deliberately NO whole-text fallback — a short doc's full
     // text is exact-dedup territory, not a span)
     val spans = tok.select(col("id"), posexplode(
-        when(size(col("toks")) >= n,
-          transform(sequence(lit(0), size(col("toks")) - n),
-            i => array_join(slice(col("toks"), i + 1, lit(n)), " ")))
-          .otherwise(array().cast("array<string>")))
+        graft.functions.WordGramFunctions.word_grams(col("toks"), n))
         .as(Seq("pos", "gram")))
       // the key projection lands BEFORE either shuffle consumer, so in
       // digest mode the gram strings exist only inside map-side codegen
@@ -1277,6 +1273,129 @@ object Dedup {
       .groupBy(col("id"))
       .agg(sort_array(collect_set(col("rm"))).as("__rm"))
     (tok, covered)
+  }
+
+  /** Variable-length exact-substring deduplication — the ExactSubstr
+    * flavor of Lee et al. '22 ("Deduplicating Training Data Makes
+    * Language Models Better"): any token span of length >= `minLen`
+    * occurring more than once corpus-wide keeps exactly ONE canonical
+    * occurrence; every other occurrence's tokens are removed and the
+    * survivors spliced. Output contract matches [[removeRepeatedSpans]]
+    * (id, n_tokens, n_removed, clean_text) — but the SEMANTICS differ
+    * on purpose: [[removeRepeatedSpans]] is the fixed-n REMOVE-ALL
+    * flavor (planted boilerplate dies everywhere), this is the KEEP-ONE
+    * flavor for organic clones — press-release bodies, licence blocks,
+    * syndicated articles — where one copy must survive training.
+    *
+    * Detection is anchor-window based, NEVER a suffix array on the
+    * driver: a repeated span of length M >= minLen contains all of its
+    * M - minLen + 1 length-minLen windows as repeated windows, and the
+    * per-doc union of their position coverage reconstructs the maximal
+    * span — so fixed-length windows + coverage merging finds repeated
+    * spans of ANY length >= minLen (Lee et al.'s suffix-grouping
+    * observation re-expressed relationally).
+    *
+    * Canonical protection (pinned, replayed by the oracle): for each
+    * duplicated window the single smallest (id, pos) occurrence is
+    * canonical; a position is removed iff some duplicated window covers
+    * it AND no canonical window covers it. For a clean k-copy clone the
+    * smallest-id copy survives whole and the other k-1 lose the full
+    * span; partial/interleaved overlaps degrade safely — canonical-
+    * protected positions always survive, so the corpus can never lose
+    * ALL copies of a span (the failure mode of pointing
+    * [[removeRepeatedSpans]] at organic duplication). Requires an id
+    * with a total order (the min(struct(id, pos)) aggregate and the
+    * oracle's ORDER BY must agree).
+    *
+    * Scale shape: windows explode to (id, pos, key) with the key
+    * DIGESTED map-side under `digestKeys` (gram strings never ride a
+    * shuffle — the [[removeRepeatedSpans]] convention); ONE key-keyed
+    * aggregate yields count + canonical; duplicated occurrences return
+    * via a left-semi join; coverage is two narrow (id, p) distincts and
+    * one anti-join; the rebuild is the [[removeRepeatedSpans]] splice.
+    * Constant shuffle count independent of corpus size. */
+  def exactSubstrDedup(df: DataFrame, idCol: String, textCol: String,
+      minLen: Int = 50, digestKeys: Boolean = false): DataFrame = {
+    val (tok, cov) = exactSubstrCoverage(df, idCol, textCol, minLen,
+      digestKeys)
+    val rm = cov.filter(!col("protected"))
+      .groupBy(col("id"))
+      .agg(sort_array(collect_set(col("p"))).as("__rm"))
+    tok.join(rm, Seq("id"), "left")
+      .select(col("id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        coalesce(size(col("__rm")), lit(0)).cast("long").as("n_removed"),
+        array_join(
+          filter(col("toks"), (_, i) =>
+            not(coalesce(array_contains(col("__rm"), i), lit(false)))),
+          " ").as("clean_text"))
+  }
+
+  /** Span-evidence readout of [[exactSubstrDedup]]: every MAXIMAL run
+    * of duplicated-window coverage per document — the variable-length
+    * repeated spans themselves — with the verdict the dedup applies.
+    * Columns: id, span_start (token position, 0-based), span_len
+    * (>= minLen by construction — coverage is a union of length-minLen
+    * windows), kept (true iff every position is canonical-protected,
+    * i.e. this is the surviving copy), span_text. Spans are found by
+    * gaps-and-islands over the per-doc covered positions (one id-keyed
+    * window over narrow (id, p, protected) rows); span_text rebuilds
+    * through a doc-keyed join against the token frame — document text
+    * is never a shuffle key. */
+  def exactSubstrSpans(df: DataFrame, idCol: String, textCol: String,
+      minLen: Int = 50, digestKeys: Boolean = false): DataFrame = {
+    val (tok, cov) = exactSubstrCoverage(df, idCol, textCol, minLen,
+      digestKeys)
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id")).orderBy(col("p"))
+    val islands = cov
+      .withColumn("__isl", col("p") - row_number().over(win))
+      .groupBy(col("id"), col("__isl"))
+      .agg(min(col("p")).cast("long").as("span_start"),
+        count(lit(1)).as("span_len"),
+        (min(when(col("protected"), lit(1)).otherwise(lit(0))) === 1)
+          .as("kept"))
+    islands.join(tok, Seq("id"))
+      .select(col("id"), col("span_start"), col("span_len"), col("kept"),
+        array_join(slice(col("toks"), col("span_start").cast("int") + 1,
+          col("span_len").cast("int")), " ").as("span_text"))
+  }
+
+  /** Shared detection of [[exactSubstrDedup]] / [[exactSubstrSpans]]:
+    * (tok = (id, toks), cov = (id, p, protected)) — every position
+    * covered by a duplicated length-minLen window, with `protected`
+    * marking canonical-window coverage. */
+  private def exactSubstrCoverage(df: DataFrame, idCol: String,
+      textCol: String, minLen: Int, digestKeys: Boolean)
+      : (DataFrame, DataFrame) = {
+    require(minLen >= 2, "need minLen >= 2")
+    val tok = df.select(col(idCol).as("id"),
+      TextAnalysis.tokens(col(textCol)).as("toks"))
+    val spans = tok.select(col("id"), posexplode(
+        graft.functions.WordGramFunctions.word_grams(col("toks"), minLen))
+        .as(Seq("pos", "gram")))
+      // key projection lands BEFORE both shuffle consumers, so in digest
+      // mode the gram strings exist only inside map-side codegen
+      .select(col("id"), col("pos"),
+        (if (digestKeys) xxhash64(col("gram")) else col("gram"))
+          .as("__gk"))
+    val dup = spans.groupBy(col("__gk"))
+      .agg(count(lit(1)).as("__c"),
+        min(struct(col("id"), col("pos"))).as("__canon"))
+      .filter(col("__c") >= 2)
+    val hits = spans.join(dup.select(col("__gk")), Seq("__gk"), "left_semi")
+    val covDup = hits.select(col("id"),
+        explode(sequence(col("pos"), col("pos") + (minLen - 1))).as("p"))
+      .distinct()
+    val covCanon = dup.select(col("__canon.id").as("id"),
+        explode(sequence(col("__canon.pos"),
+          col("__canon.pos") + (minLen - 1))).as("p"))
+      .distinct()
+      .withColumn("__prot", lit(true))
+    val cov = covDup.join(covCanon, Seq("id", "p"), "left")
+      .select(col("id"), col("p"),
+        coalesce(col("__prot"), lit(false)).as("protected"))
+    (tok, cov)
   }
 
   /** Asymmetric n-gram containment for explicit pairs — the sub-document
@@ -1672,7 +1791,8 @@ object Dedup {
     // dual-consumer materialization (the bucketCandidates convention):
     // the distinct frame feeds the bucketing and the per-doc sizes —
     // without it the explode+distinct upstream re-runs per consumer
-    val distinctFps = fps.select(col("id"), col("fp")).distinct().persist()
+    val distinctFps = Caching.scoped(
+      fps.select(col("id"), col("fp")).distinct())
     distinctFps.count()
     val win = org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))
     val rare = distinctFps
@@ -1840,7 +1960,7 @@ object Dedup {
     buckets.count()
     // candidate-pair persist: the frame feeds both verify join legs
     // (the minhashLshPairs materialization note)
-    val cand = bucketCandidates(buckets, maxBucketSize).persist()
+    val cand = Caching.scoped(bucketCandidates(buckets, maxBucketSize))
     cand.count()
     buckets.unpersist()
     val wD = col(weightCol).cast("double")

@@ -855,13 +855,13 @@ object Similarity {
   /** Shared margin + mutual-best stage behind both bitext miners: `fwd`
     * = top-k per src_id, `bwd` = top-k per tgt_id, both as (src_id,
     * tgt_id, cosine_sim). Persisted for their two consumers each (the
-    * per-id mean and the candidate union — session-lifetime, the repo
-    * persist convention); every frame past here is O(k·(|S|+|T|)) rows
+    * per-id mean and the candidate union) under the [[graft.ops.Caching]]
+    * contract; every frame past here is O(k·(|S|+|T|)) rows
     * on 8-byte-id equi-joins. */
   private def marginMutual(fwdIn: DataFrame, bwdIn: DataFrame,
       minMargin: Double, nSrc: Long, nTgt: Long): DataFrame = {
-    val fwd = fwdIn.persist()
-    val bwd = bwdIn.persist()
+    val fwd = Caching.scoped(fwdIn)
+    val bwd = Caching.scoped(bwdIn)
     val favg = fwd.groupBy(col("src_id"))
       .agg(TextAnalysis.mean6Exact(col("cosine_sim")).as("__favg"))
     val bavg = bwd.groupBy(col("tgt_id"))

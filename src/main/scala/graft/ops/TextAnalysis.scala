@@ -586,16 +586,36 @@ object TextAnalysis {
     * that rule (no evidence ⇒ pass, the [[gopherQualityRules]]
     * convention).
     *
-    * Scale shape: three explode legs (lines, paragraphs, tagged
-    * n-grams for n = 2..10) each collapse through a (doc, unit)-keyed
-    * count with map-side partials and a doc-keyed rollup — narrow
-    * rows, text never rides a shuffle key wider than the unit being
-    * counted; the final assembly is doc-keyed joins of doc-sized
-    * frames. Output: idCol, the 13 fractions (6dp), repetition_pass. */
+    * Scale shape: the gram statistics are DOC-LOCAL (every n-gram
+    * belongs to exactly one document), so they run as ONE native
+    * per-row pass ([[graft.functions.GopherGramStats]]) — no explode,
+    * no shuffle, no interpreted gram strings. The relational spelling
+    * this replaced spent 7.3s of x179's 8.7s building ~4M gram strings
+    * through interpreted HOFs and shuffled them twice (r13 JobProfile);
+    * it survives as [[gopherRepetitionRulesHof]], pinned value-identical
+    * by spec (the GopherCounts convention). The two unit legs (lines,
+    * paragraphs) explode and collapse through a (doc, unit)-keyed count
+    * with map-side partials and a doc-keyed rollup — narrow rows, text
+    * never rides a shuffle key wider than the unit being counted; the
+    * final assembly is doc-keyed joins of doc-sized frames. Output:
+    * idCol, the 13 fractions (6dp), repetition_pass. */
   def gopherRepetitionRules(df: DataFrame, idCol: String,
-      textCol: String = "text"): DataFrame = {
+      textCol: String = "text"): DataFrame =
+    repetitionRulesImpl(df, idCol, textCol, nativeGrams = true)
+
+  /** The builtin-function spelling of [[gopherRepetitionRules]]'s gram
+    * leg (tagged explode -> (id, n, gram) count -> per-doc pivot) —
+    * kept as the spec twin that pins the native expression's exact
+    * accounting, exactly as `gopherQualityRulesHof` pins
+    * [[graft.functions.GopherCounts]]. Not a production path. */
+  private[graft] def gopherRepetitionRulesHof(df: DataFrame, idCol: String,
+      textCol: String = "text"): DataFrame =
+    repetitionRulesImpl(df, idCol, textCol, nativeGrams = false)
+
+  private def repetitionRulesImpl(df: DataFrame, idCol: String,
+      textCol: String, nativeGrams: Boolean): DataFrame = {
     val toks = tokens(lower(col(textCol)))
-    val base = df.select(col(idCol), col(textCol)).persist()
+    val base = Caching.scoped(df.select(col(idCol), col(textCol)))
     // unit leg: (id, unit) counts -> per-doc totals + duplicate shares
     def unitLeg(sep: String, pfx: String) = {
       val units = base.select(col(idCol),
@@ -613,7 +633,18 @@ object TextAnalysis {
     }
     val lines = unitLeg("\n", "ln")
     val paras = unitLeg("\n\n", "pr")
-    // gram leg: one tagged explode for all n in 2..10
+    if (nativeGrams) {
+      // gram leg, native: doc-local statistics in one per-row pass —
+      // no explode, no gram shuffle (scaladoc on the public def)
+      val start = base.select(col(idCol), length(col(textCol)).as("__len"),
+        graft.functions.WordGramFunctions.gopher_gram_stats(toks).as("__gs"))
+      def topF(n: Int) =
+        coalesce(round(col("__gs")(s"top$n"), 6), lit(0.0))
+      def dupF(n: Int) =
+        coalesce(round(col("__gs")(s"dup$n"), 6), lit(0.0))
+      return assembleRepetition(start, lines, paras, idCol, topF, dupF)
+    }
+    // gram leg, HOF spec twin: one tagged explode for all n in 2..10
     val grams = base.select(col(idCol), toks.as("__t"))
       .select(col(idCol), size(col("__t")).as("__nt"),
         length(concat_ws(" ", col("__t"))).as("__tchars"), col("__t"))
@@ -658,17 +689,27 @@ object TextAnalysis {
         map_from_entries(collect_list(
           struct(col("__n"), struct(col("__topfrac"), col("__dupfrac")))))
           .as("__m"))
+    val start = base.select(col(idCol), length(col(textCol)).as("__len"))
+      .join(pivoted, Seq(idCol), "left")
     def topF(n: Int) = coalesce(
       element_at(col("__m"), n)("__topfrac"), lit(0.0))
     def dupF(n: Int) = coalesce(
       element_at(col("__m"), n)("__dupfrac"), lit(0.0))
+    assembleRepetition(start, lines, paras, idCol, topF, dupF)
+  }
+
+  /** Shared assembly of the [[gopherRepetitionRules]] spellings: join
+    * the unit legs onto the per-doc gram-statistic frame (`start` also
+    * carries `__len`) and emit the 13 fractions + `repetition_pass`. */
+  private def assembleRepetition(start: DataFrame, lines: DataFrame,
+      paras: DataFrame, idCol: String,
+      topF: Int => Column, dupF: Int => Column): DataFrame = {
     def fr(num: Column, den: Column) = round(
       coalesce(num.cast("double") /
         when(den > 0, den.cast("double")), lit(0.0)), 6)
-    val out = base.select(col(idCol), length(col(textCol)).as("__len"))
+    val out = start
       .join(lines, Seq(idCol), "left")
       .join(paras, Seq(idCol), "left")
-      .join(pivoted, Seq(idCol), "left")
       .select(col(idCol),
         fr(col("__ln_dup"), col("__ln_total")).as("dup_line_frac"),
         fr(col("__pr_dup"), col("__pr_total")).as("dup_para_frac"),
@@ -1073,14 +1114,9 @@ object TextAnalysis {
     // once per gram (the documented seconds-to-CPU-hours pitfall)
     val tokd = df.select(col(srcCol).as("source"),
       tokens(lower(col(textCol))).as("__toks"))
-    val len = size(col("__toks"))
-    val grams = flatten(array(ns.map { n =>
-      when(len >= n, transform(sequence(lit(0), len - n),
-        i => struct(lit(n).as("n"),
-          array_join(slice(col("__toks"), i + 1, lit(n)), " ").as("g"))))
-        .otherwise(array().cast("array<struct<n:int,g:string>>"))
-    }: _*))
-    tokd.select(col("source"), explode(grams).as("ng"))
+    tokd.select(col("source"), explode(
+        graft.functions.WordGramFunctions.word_grams_tagged(col("__toks"), ns))
+        .as("ng"))
       .groupBy(col("source"), col("ng.n"), col("ng.g"))
       .agg(count(lit(1)).as("__cnt"))
       .groupBy(col("source"), col("n"))
@@ -1155,9 +1191,8 @@ object TextAnalysis {
     val docBg = df.select(col(idCol), explode(arrays_zip(
         slice(toks, lit(1), len), slice(toks, lit(2), len))).as("bg"))
       .select(col(idCol), col("bg")("0").as("w1"), col("bg")("1").as("w2"))
-    val bg = docBg.groupBy(col("w1"), col("w2"))
-      .agg(count(lit(1)).as("__c12"))
-      .persist()
+    val bg = Caching.scoped(docBg.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("__c12")))
     bg.count()
     val ctx = bg.groupBy(col("w1")).agg(sum(col("__c12")).as("__cstart"))
     val vocab = bg.select(col("w1").as("w"))
@@ -1215,7 +1250,7 @@ object TextAnalysis {
     require(k > 0, "add-k smoothing needs k > 0")
     val toks = tokens(lower(col(textCol)))
 
-    val modelTok = model.select(toks.as("ts")).persist()
+    val modelTok = Caching.scoped(model.select(toks.as("ts")))
     modelTok.count()
     val uni = modelTok.select(explode(col("ts")).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("c"))
@@ -1610,13 +1645,9 @@ object TextAnalysis {
     require(n >= 1, "need n >= 1")
     def gramRows(df: DataFrame, cols: Column*): DataFrame = {
       val toks = tokens(lower(col(textCol)))
-      val len = greatest(size(toks) - (n - 1), lit(0))
-      df.select(cols :+ explode(arrays_zip(
-        (0 until n).map(i => slice(toks, lit(i + 1), len)): _*)).as("g"): _*)
-        // space-joined is unambiguous: tokens cannot contain whitespace
-        .withColumn("gram", concat_ws(" ",
-          (0 until n).map(i => col("g")(i.toString)): _*))
-        .drop("g")
+      // space-joined is unambiguous: tokens cannot contain whitespace
+      df.select(cols :+ explode(
+        graft.functions.WordGramFunctions.word_grams(toks, n)).as("gram"): _*)
     }
     val refGrams = gramRows(reference).select(col("gram")).distinct()
       .withColumn("__seen", lit(1))
@@ -1974,7 +2005,7 @@ object TextAnalysis {
         explode(tokens(lower(col(textCol)))).as("token"))
       .groupBy(col("src"), col("token"))
       .agg(count(lit(1)).as("stf"))
-      .persist()
+      .transform(Caching.scoped)
     stf.count()
     val stot = stf.groupBy(col("src")).agg(sum(col("stf")).as("stot"))
     val gtf = stf.groupBy(col("token")).agg(sum(col("stf")).as("gtf"))
@@ -2026,7 +2057,7 @@ object TextAnalysis {
         explode(tokens(lower(col(textCol)))).as("token"))
       .groupBy(col("domain"), col("token"))
       .agg(count(lit(1)).as("stf"))
-      .persist()
+      .transform(Caching.scoped)
     stf.count()
     val stot = stf.groupBy(col("domain")).agg(sum(col("stf")).as("stot"))
     val gtf = stf.groupBy(col("token")).agg(sum(col("stf")).as("gtf"))
@@ -2537,7 +2568,7 @@ object TextAnalysis {
       .join(broadcast(qvocab), Seq("term"))
       .groupBy(col(idCol), col("term"))
       .agg(count(lit(1)).as("__tf"), max(col("__dl")).as("__dl"))
-      .persist()
+      .transform(Caching.scoped)
     posting.count()
     val dfreq = posting.groupBy(col("term"))
       .agg(count(lit(1)).cast("double").as("__df"))
@@ -2582,9 +2613,9 @@ object TextAnalysis {
   def zipfProfile(df: DataFrame, textCol: String = "text",
       topN: Int = 100): DataFrame = {
     require(topN >= 2, "need at least 2 ranks to fit a slope")
-    val uni = df.select(explode(tokens(lower(col(textCol)))).as("w"))
-      .groupBy(col("w")).agg(count(lit(1)).as("__cnt"))
-      .persist()
+    val uni = Caching.scoped(
+      df.select(explode(tokens(lower(col(textCol)))).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("__cnt")))
     uni.count()
     val totals = uni.agg(sum(col("__cnt")).as("__t"),
       count(lit(1)).as("__nv"))
@@ -2720,8 +2751,8 @@ object TextAnalysis {
     val counts = df.select(explode(types).as("__w"))
       .groupBy(col("__w")).agg(count(lit(1)).as("__c")).persist()
     counts.count()
-    val spectrum = counts.groupBy(col("__c").as("r"))
-      .agg(count(lit(1)).as("n_r")).persist()
+    val spectrum = Caching.scoped(counts.groupBy(col("__c").as("r"))
+      .agg(count(lit(1)).as("n_r")))
     spectrum.count()
     val totals = counts.agg(sum(col("__c")).as("__n"),
       sum(when(col("__c") === 1, 1L).otherwise(0L)).as("__n1"))

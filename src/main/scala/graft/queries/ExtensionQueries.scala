@@ -3565,6 +3565,32 @@ object ExtensionQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Variable-length exact-substring dedup (x180, Lee et al. '22
+    // ExactSubstr, keep-one): docs < 40 gain a clone (id + 40000)
+    // carrying their first 20 + id%35 tokens — verbatim repeated spans
+    // of 20..54 tokens, variable per doc. The original (smallest id) is
+    // the canonical copy and survives whole; the clone's copy is
+    // removed in full; clones whose source was shorter than minLen stay
+    // untouched (no window). The oracle replays windows, canonical
+    // selection, coverage, and the splice end to end.
+    "x180_exact_substr" -> ((s, dir) => {
+      Dedup.exactSubstrDedup(exactSubstrCorpus(t(s, dir, "documents")),
+          "doc_id", "text", minLen = 20)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("doc_id"))
+    }),
+
+    // Span-evidence twin (x181): the maximal variable-length repeated
+    // spans themselves — each planted clone span appears once with
+    // kept=true (the source copy) and once with kept=false (the clone),
+    // with identical span_text on both rows
+    "x181_exact_substr_spans" -> ((s, dir) => {
+      Dedup.exactSubstrSpans(exactSubstrCorpus(t(s, dir, "documents")),
+          "doc_id", "text", minLen = 20)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("doc_id"), col("span_start"))
+    }),
+
     // CCNet head/middle/tail bucketing (x177): rank-based thirds WITHIN
     // each language group (skewed en:fr:de = 2:1:1 via pmod), so the cut
     // adapts to each group's own NLL distribution; ties rank by doc_id
@@ -3593,6 +3619,20 @@ object ExtensionQueries {
         .orderBy(col("pair_id"), col("cand_score").desc,
           col("cand_media_id"))
     }))
+
+  /** Clone fixture for x180/x181: documents plus, for doc_id < 40, a
+    * clone (doc_id + 40000) carrying the source's first 20 + doc_id%35
+    * tokens — variable-length verbatim spans (20..54 tokens; sources
+    * shorter than 20 tokens yield sub-threshold clones that must pass
+    * through untouched). */
+  private def exactSubstrCorpus(base: DataFrame): DataFrame = {
+    val toks = TextAnalysis.tokens(col("text"))
+    val clones = base.filter(col("doc_id") < 40)
+      .select((col("doc_id") + 40000).as("doc_id"),
+        concat_ws(" ", slice(toks, lit(1),
+          (lit(20) + pmod(col("doc_id"), lit(35))).cast("int"))).as("text"))
+    base.select(col("doc_id"), col("text")).unionByName(clones)
+  }
 
   /** Paired cross-modal fixture for x172/x173: the embeddings table as
     * both modalities — pair i = (text vec i, media vec i), except
@@ -8099,6 +8139,114 @@ object ExtensionQueries {
         |  dup_8gram_char_frac <= 0.12 AND dup_9gram_char_frac <= 0.11 AND
         |  dup_10gram_char_frac <= 0.10 AS repetition_pass
         |FROM f ORDER BY doc_id""".stripMargin,
+
+    // x180: the full ExactSubstr replay — clone fixture, length-20
+    // anchor windows, duplicated-window set, canonical min (id, pos)
+    // per window, coverage union, canonical protection, splice
+    "x180_exact_substr" ->
+      """WITH tokb AS (
+        |  SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'),
+        |    x -> len(x) > 0) AS toks
+        |  FROM documents),
+        |corpus AS (
+        |  SELECT doc_id, toks FROM tokb
+        |  UNION ALL
+        |  SELECT doc_id + 40000 AS doc_id,
+        |    list_slice(toks, 1, CAST(20 + doc_id % 35 AS INT)) AS toks
+        |  FROM tokb WHERE doc_id < 40),
+        |spans AS (
+        |  SELECT doc_id, i AS pos,
+        |    array_to_string(list_slice(toks, i + 1, i + 20), ' ') AS gram
+        |  FROM corpus, UNNEST(CASE WHEN len(toks) >= 20
+        |    THEN range(0, len(toks) - 19) ELSE [] END) AS u(i)),
+        |dupg AS (SELECT gram FROM spans GROUP BY gram HAVING count(*) >= 2),
+        |dspans AS (SELECT s.doc_id, s.pos, s.gram
+        |  FROM spans s JOIN dupg USING (gram)),
+        |canon AS (
+        |  SELECT doc_id, pos FROM (
+        |    SELECT doc_id, pos, row_number() OVER (PARTITION BY gram
+        |      ORDER BY doc_id, pos) AS rn
+        |    FROM dspans) WHERE rn = 1),
+        |covdup AS (
+        |  SELECT DISTINCT doc_id, pos + d AS p
+        |  FROM dspans, UNNEST(range(0, 20)) AS u(d)),
+        |covcanon AS (
+        |  SELECT DISTINCT doc_id, pos + d AS p
+        |  FROM canon, UNNEST(range(0, 20)) AS u(d)),
+        |removed AS (
+        |  SELECT cd.doc_id, cd.p
+        |  FROM covdup cd LEFT JOIN covcanon cc
+        |    ON cd.doc_id = cc.doc_id AND cd.p = cc.p
+        |  WHERE cc.p IS NULL),
+        |tokpos AS (
+        |  SELECT doc_id, i AS pos, toks[CAST(i + 1 AS INT)] AS tok
+        |  FROM corpus, UNNEST(CASE WHEN len(toks) > 0
+        |    THEN range(0, len(toks)) ELSE [] END) AS u(i)),
+        |clean AS (
+        |  SELECT tp.doc_id,
+        |    sum(CASE WHEN r.p IS NOT NULL THEN 1 ELSE 0 END) AS n_removed,
+        |    coalesce(string_agg(CASE WHEN r.p IS NULL THEN tp.tok END,
+        |      ' ' ORDER BY tp.pos), '') AS clean_text
+        |  FROM tokpos tp
+        |  LEFT JOIN removed r ON tp.doc_id = r.doc_id AND tp.pos = r.p
+        |  GROUP BY tp.doc_id)
+        |SELECT c.doc_id, CAST(len(c.toks) AS BIGINT) AS n_tokens,
+        |  CAST(coalesce(cl.n_removed, 0) AS BIGINT) AS n_removed,
+        |  coalesce(cl.clean_text, '') AS clean_text
+        |FROM corpus c LEFT JOIN clean cl USING (doc_id)
+        |ORDER BY c.doc_id""".stripMargin,
+
+    // x181: same detection CTEs, then gaps-and-islands over the per-doc
+    // covered positions; kept = every position canonical-protected
+    "x181_exact_substr_spans" ->
+      """WITH tokb AS (
+        |  SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'),
+        |    x -> len(x) > 0) AS toks
+        |  FROM documents),
+        |corpus AS (
+        |  SELECT doc_id, toks FROM tokb
+        |  UNION ALL
+        |  SELECT doc_id + 40000 AS doc_id,
+        |    list_slice(toks, 1, CAST(20 + doc_id % 35 AS INT)) AS toks
+        |  FROM tokb WHERE doc_id < 40),
+        |spans AS (
+        |  SELECT doc_id, i AS pos,
+        |    array_to_string(list_slice(toks, i + 1, i + 20), ' ') AS gram
+        |  FROM corpus, UNNEST(CASE WHEN len(toks) >= 20
+        |    THEN range(0, len(toks) - 19) ELSE [] END) AS u(i)),
+        |dupg AS (SELECT gram FROM spans GROUP BY gram HAVING count(*) >= 2),
+        |dspans AS (SELECT s.doc_id, s.pos, s.gram
+        |  FROM spans s JOIN dupg USING (gram)),
+        |canon AS (
+        |  SELECT doc_id, pos FROM (
+        |    SELECT doc_id, pos, row_number() OVER (PARTITION BY gram
+        |      ORDER BY doc_id, pos) AS rn
+        |    FROM dspans) WHERE rn = 1),
+        |covdup AS (
+        |  SELECT DISTINCT doc_id, pos + d AS p
+        |  FROM dspans, UNNEST(range(0, 20)) AS u(d)),
+        |covcanon AS (
+        |  SELECT DISTINCT doc_id, pos + d AS p
+        |  FROM canon, UNNEST(range(0, 20)) AS u(d)),
+        |cov AS (
+        |  SELECT cd.doc_id, cd.p, cc.p IS NOT NULL AS prot
+        |  FROM covdup cd LEFT JOIN covcanon cc
+        |    ON cd.doc_id = cc.doc_id AND cd.p = cc.p),
+        |isl AS (
+        |  SELECT doc_id, p, prot,
+        |    p - row_number() OVER (PARTITION BY doc_id ORDER BY p) AS grp
+        |  FROM cov),
+        |sp AS (
+        |  SELECT doc_id, min(p) AS span_start, count(*) AS span_len,
+        |    min(CASE WHEN prot THEN 1 ELSE 0 END) = 1 AS kept
+        |  FROM isl GROUP BY doc_id, grp)
+        |SELECT s.doc_id, CAST(s.span_start AS BIGINT) AS span_start,
+        |  CAST(s.span_len AS BIGINT) AS span_len, s.kept,
+        |  array_to_string(list_slice(c.toks,
+        |    CAST(s.span_start + 1 AS INT),
+        |    CAST(s.span_start + s.span_len AS INT)), ' ') AS span_text
+        |FROM sp s JOIN corpus c USING (doc_id)
+        |ORDER BY s.doc_id, s.span_start""".stripMargin,
 
     // x177: the x141 KN replay + a per-group percent_rank window; the
     // bucket fractions are written as the SAME float expressions the

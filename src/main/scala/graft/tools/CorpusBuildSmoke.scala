@@ -42,16 +42,31 @@ object CorpusBuildSmoke {
     val ck = when(col("id") % 50 === 1, col("id") - 1)
       .when(col("id") % 50 === 2, col("id") - 2)
       .otherwise(col("id"))
-    val toks = transform(sequence(lit(0), lit(39)), p =>
-      concat(lit("w"), pmod(xxhash64(lit(7), ck, p), lit(5000))))
+    def toksOf(idc: org.apache.spark.sql.Column) =
+      transform(sequence(lit(0), lit(39)), p =>
+        concat(lit("w"), pmod(xxhash64(lit(7), idc, p), lit(5000))))
+    val toks = toksOf(ck)
     val body = when(col("id") % 50 === 2,
         concat_ws(" ", slice(toks, 1, 32)))          // 80% prefix near-dup
+      // r14: 20-token verbatim prefix of doc id-3 + own 20-token tail —
+      // 3-shingle Jaccard ~0.31, BELOW the LSH threshold (survives 4e),
+      // exactly the organic-clone shape ExactSubstr keep-one (4h) is for
+      .when(col("id") % 50 === 3,
+        concat_ws(" ", concat(slice(toksOf(col("id") - 3), 1, 20),
+          slice(toks, 21, 20))))
       .otherwise(concat_ws(" ", toks))
     val corpus = spark.range(0, n, 1, 32)
       .select(col("id").as("doc_id"),
-        when(col("id") % 7 === 0,
-          concat(body, lit(" zz9 zz9 zz9 zz9")))      // spam marker class
-          .otherwise(body).as("text"),
+        concat(
+          when(col("id") % 7 === 0,
+            concat(body, lit(" zz9 zz9 zz9 zz9")))    // spam marker class
+            .otherwise(body),
+          // r14: planted OOV paragraph (every 11th doc) — the CCNet
+          // paragraph-perplexity filter (3c) must drop it and keep the
+          // natural body paragraph
+          when(col("id") % 11 === 0,
+            lit("\n\nzq1 zq2 zq3 zq1 zq2 zq3 zq1 zq2"))
+            .otherwise(lit(""))).as("text"),
         concat(lit("lang"), pmod(col("id"), lit(8)).cast("string"))
           .as("lang"))
 
@@ -125,15 +140,90 @@ object CorpusBuildSmoke {
     require(keepFrac > 0.70 && keepFrac < 0.95,
       s"gate kept fraction $keepFrac outside sanity range — training drifted")
 
+    // 3c. CCNet paragraph-perplexity filter (r14, x176 integration):
+    // a KN bigram LM trained on a clean ~1% sample scores every
+    // paragraph; the planted OOV paragraph (every 11th doc) must drop
+    // while the natural body paragraphs survive. The threshold is
+    // derived from the two populations on a probe slice — natural
+    // paragraphs share the model's vocabulary, the plant is fully OOV,
+    // so the NLL gap is structural, not tuned.
+    val lmSample = gated.filter(col("doc_id") % 97 === 0 &&
+        col("doc_id") % 11 =!= 0 && col("doc_id") % 7 =!= 0)
+      .select(col("text"))
+    val pplFiltered = time("3c paragraph-perplexity filter (KN, corpus-wide)") {
+      val probeParas = gated.filter(col("doc_id") % 101 === 0)
+        .select(col("doc_id"),
+          posexplode(org.apache.spark.sql.functions
+            .split(col("text"), "\n\n")).as(Seq("pos", "ptext")))
+        .select(concat(col("doc_id"), lit("_"), col("pos")).as("pid"),
+          col("ptext").as("text"),
+          col("ptext").startsWith("zq1").as("planted"))
+        .persist()
+      val probeScored = TextAnalysis.knBigramNll(lmSample,
+          probeParas, "pid", "text")
+        .join(probeParas.select(col("pid"), col("planted")), Seq("pid"))
+      val sep = probeScored.agg(
+        max(when(!col("planted"), col("kn_nll"))).as("nat_max"),
+        min(when(col("planted"), col("kn_nll"))).as("plant_min")).head()
+      val (natMax, plantMin) = (sep.getDouble(0), sep.getDouble(1))
+      probeParas.unpersist()
+      require(natMax < plantMin,
+        s"probe populations overlap: natural max $natMax vs plant min $plantMin")
+      val maxNll = (natMax + plantMin) / 2
+      println(f"[corpus-build]   threshold $maxNll%.3f (natural <= $natMax%.3f, plant >= $plantMin%.3f)")
+      // stage-boundary lineage truncation (the r11 plan-render lesson's
+      // analysis-cost sibling): the filter's lazy plan carries the whole
+      // KN scoring tower plus the trained gate's 2048 literal weights,
+      // and every downstream dedup action re-ANALYZES that tree per
+      // reference — measured 10x+ inflation on stages 4c-4f at 100k
+      // docs with a plain persist. A production run materializes the
+      // filtered corpus at this boundary (write + read back);
+      // localCheckpoint is the local-mode spelling of the same cut.
+      val f = TextAnalysis.paragraphPerplexityFilter(lmSample, gated,
+          "doc_id", "text", maxNll)
+        .join(gated.select(col("doc_id"), col("route")), Seq("doc_id"))
+        .localCheckpoint()
+      val r = f.agg(count(lit(1)),
+        sum(col("n_paras") - col("n_kept")),
+        sum(when(col("n_paras") > col("n_kept") &&
+          pmod(col("doc_id"), lit(11)) =!= 0, 1L).otherwise(0L))).head()
+      println(s"[corpus-build]   ${r.getLong(1)} paragraphs dropped over ${r.getLong(0)} docs")
+      require(r.getLong(0) == nGated,
+        "no document may vanish: every doc keeps its natural paragraph")
+      require(r.getLong(2) == 0,
+        "only the planted OOV paragraphs may drop")
+      f
+    }
+
+    // 3d. CCNet head/middle/tail bucketing (r14, x177 integration):
+    // rank-based thirds WITHIN each route — the cut adapts to each
+    // route's own NLL distribution, so bucket sizes are exact thirds
+    // (+-1 on ties) per route by construction
+    time("3d CCNet perplexity buckets (per route)") {
+      val b = TextAnalysis.perplexityBuckets(lmSample, pplFiltered,
+          "doc_id", "text", "route")
+        .groupBy(col("route"), col("bucket")).count()
+        .groupBy(col("route"))
+        .agg(max(col("count")).as("mx"), min(col("count")).as("mn"),
+          count(lit(1)).as("nb"))
+        .agg(sum(when(col("nb") === 3 &&
+          (col("mx") - col("mn")) < col("mx") * 0.02, 0L)
+          .otherwise(1L))).head().getLong(0)
+      require(b == 0L, s"$b routes bucket unevenly — the per-group rank cut drifted")
+    }
+    gated.unpersist()
+
     // 4. dedup stack -----------------------------------------------------
     val exactIds = time("4a exact dedup (8-byte digest key)") {
-      val s = Dedup.exactByDigest(gated, "text", "doc_id").persist()
+      val s = Dedup.exactByDigest(pplFiltered, "text", "doc_id").persist()
       s.count(); s
     }
-    val exactKept = gated.join(exactIds.select(col("doc_id")), Seq("doc_id"),
+    val exactKept = pplFiltered
+      .select(col("doc_id"), col("text"), col("route"))
+      .join(exactIds.select(col("doc_id")), Seq("doc_id"),
       "left_semi").persist()
     time("4b exact survivors (semi-join)")(exactKept.count())
-    gated.unpersist(); exactIds.unpersist()
+    pplFiltered.unpersist(); exactIds.unpersist()
     val pairs = time("4c minhash/LSH near-dup pairs") {
       val p = Dedup.minhashLshPairs(exactKept, "doc_id", "text",
         shingleW = 3, k = 32, bands = 8, threshold = 0.5).persist()
@@ -178,10 +268,52 @@ object CorpusBuildSmoke {
       vecs.unpersist()
       dropped
     }
-    val deduped = nearKept.join(semDropped, Seq("doc_id"), "left_anti")
+    val dedupedMinhash = nearKept.join(semDropped, Seq("doc_id"), "left_anti")
       .persist()
-    time("4g post-dedup corpus")(deduped.count())
+    time("4g post-dedup corpus")(dedupedMinhash.count())
     nearKept.unpersist(); semDropped.unpersist()
+
+    // 4h. variable-length exact-substring keep-one (r14, x180
+    // integration — Lee et al. ExactSubstr): the planted %50==3 prefix
+    // clones share a 20-token span with their source but sit BELOW the
+    // LSH Jaccard threshold, so they survive 4e by design; this stage
+    // must trim exactly those 20 shared tokens from the clone while the
+    // canonical (smaller-id) copy keeps its text
+    val deduped = time("4h exact-substring keep-one (variable length)") {
+      val es = Dedup.exactSubstrDedup(dedupedMinhash, "doc_id", "text",
+        minLen = 20, digestKeys = true).persist()
+      val r = es.agg(
+        sum(when(col("n_removed") > 0, 1L).otherwise(0L)),
+        sum(col("n_removed")),
+        // trims may land ONLY on the planted duplication families:
+        // %50==3 prefix clones (the designed catch) plus the ~2%
+        // LSH-band-miss leak of the %50==1/2 dup plants — exactly the
+        // backstop role ExactSubstr plays behind MinHash in production.
+        // The %50==0 sources are canonical (smallest id) and must
+        // never lose a token.
+        sum(when(col("n_removed") > 0 &&
+          !pmod(col("id"), lit(50)).isin(1, 2, 3), 1L)
+          .otherwise(0L)),
+        sum(when(col("n_removed") > 0 && pmod(col("id"), lit(50)) === 3, 1L)
+          .otherwise(0L))).head()
+      println(s"[corpus-build]   substr trimmed ${r.getLong(0)} docs / " +
+        s"${r.getLong(1)} tokens (${r.getLong(3)} planted clones + " +
+        s"${r.getLong(0) - r.getLong(3)} LSH-leak backstops)")
+      require(r.getLong(2) == 0L,
+        "keep-one trimmed outside the planted duplication families")
+      require(r.getLong(3) > 0L, "planted prefix clones must be found")
+      // same stage-boundary cut as 3c: the splice sits on top of the
+      // whole dedup stack's lineage, and stages 5-7 reference it many
+      // times over
+      val out = es
+        .select(col("id").as("doc_id"), col("clean_text").as("text"))
+        .join(dedupedMinhash.select(col("doc_id"), col("route")),
+          Seq("doc_id"))
+        .localCheckpoint()
+      es.unpersist()
+      out
+    }
+    dedupedMinhash.unpersist()
 
     // 5. benchmark decontamination (500 verbatim corpus docs): the
     // production two-phase shape — map-only Bloom screen corpus-wide,
@@ -233,6 +365,28 @@ object CorpusBuildSmoke {
       s
     }
     cleaned.unpersist(); labels.unpersist(); pairs.unpersist()
+
+    // 6b. UniMax epoch-capped allocation across routes (r14, x174
+    // integration): budget = 60% of the surviving train-split tokens at
+    // a 2-epoch cap — the per-route targets a mixture-weighted training
+    // run would sample to. Route token masses are near-uniform here, so
+    // nothing caps and the budget splits evenly; the water-filling
+    // invariants (sum == budget, epochs <= cap) are asserted, not eyed.
+    time("6b UniMax allocation (route-keyed aggregate)") {
+      val train = split.filter(col("split") === "train")
+      val total = train
+        .agg(sum(TextAnalysis.tokenCount(col("text")))).head().getLong(0)
+      val budget = (total * 6) / 10
+      val alloc = Sampling.unimaxMixture(train, "route", "text",
+        budget, epochCap = 2.0)
+      val rows = alloc.orderBy(col("source")).collect()
+      rows.foreach(r => println(s"[corpus-build]   unimax $r"))
+      val tgt = rows.map(_.getLong(2)).sum
+      require(math.abs(tgt - budget) <= rows.length,
+        s"allocated $tgt vs budget $budget — water filling drifted")
+      require(rows.forall(_.getDouble(3) <= 2.0 + 1e-9),
+        "epoch cap violated")
+    }
 
     // 7. sequence pack (x97 concat-and-chunk over route shards) ----------
     time("7 sequence map (2048-token chunks)") {

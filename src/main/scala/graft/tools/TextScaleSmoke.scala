@@ -103,6 +103,20 @@ object TextScaleSmoke {
               .as("text")),
           "doc_id", "text", n = 5, minCount = 100, digestKeys = true)
         .agg(sum("n_removed"), sum(length(col("clean_text")))).head())
+    // r14: variable-length keep-one dedup — 1% of docs are verbatim
+    // clones of their predecessor (the organic-clone shape), so the
+    // canonical-protection path sees ~10k clone pairs; digest keys keep
+    // the 20-token gram strings off the shuffle
+    time("exact-substring dedup (keep-one, digest-keyed)")({
+      val src = corpus.filter(col("doc_id") % 100 === 0)
+        .select((col("doc_id") + 1).as("doc_id"), col("text").as("__ctext"))
+      val cloned = corpus.join(src, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("__ctext"), col("text")).as("text"))
+      graft.ops.Dedup.exactSubstrDedup(cloned, "doc_id", "text",
+          minLen = 20, digestKeys = true)
+        .agg(sum("n_removed"), sum(length(col("clean_text")))).head()
+    })
     time("intra-doc line dedup (map-only)")(
       TextAnalysis.dedupLinesWithin(
           corpus.select(col("doc_id"),
@@ -166,6 +180,17 @@ object TextScaleSmoke {
     // (random text barely repeats its bigrams/trigrams)
     time("n-gram diversity (exact distinct, n=1..3)")(
       TextAnalysis.ngramDiversity(corpus, "lang", "text").count())
+    // r14: the native GopherGramStats pass at 1M docs — all nine gram
+    // widths (top 2..4 + dup 5..10) in one shuffle-free per-row loop;
+    // a duplicated-line plant keeps both unit legs non-trivial
+    time("Gopher repetition rules (native gram pass)")(
+      TextAnalysis.gopherRepetitionRules(
+          corpus.select(col("doc_id"),
+            concat_ws("\n", col("text"), col("text"),
+              concat(lit("u"), col("doc_id").cast("string"))).as("text")),
+          "doc_id", "text")
+        .agg(sum(when(col("repetition_pass"), 1).otherwise(0)),
+          avg("dup_line_frac"), avg("dup_10gram_char_frac")).head())
     // r9 batch 2: the map-only rewrites at 1M docs — FIM, contrastive
     // pairs, script profile, and the span MASK twin of repeated-span
     // removal (same detection stages, mask rebuild instead of splice)

@@ -103,6 +103,75 @@ class DedupSpec extends SparkSpec {
     assert(run(dig = true) == run(dig = false))
   }
 
+  test("exactSubstrDedup: variable-length clones keep exactly one canonical copy") {
+    val corpus = Seq(
+      // docs 1/2 share a 5-token span (> minLen): doc 1 is canonical
+      // (smallest id) and keeps it whole; doc 2 loses all 5 tokens
+      (1L, "a1 a2 a3 a4 a5 u1 u2"),
+      (2L, "v1 a1 a2 a3 a4 a5"),
+      // docs 3/4 share exactly minLen tokens
+      (3L, "b1 b2 b3 z1"),
+      (4L, "z2 z3 b1 b2 b3"),
+      (5L, "c1 c2 c3 c4"),      // shares nothing — untouched
+      (6L, "a1 a2")             // < minLen tokens: cannot anchor
+    ).toDF("doc_id", "text")
+    val out = Dedup.exactSubstrDedup(corpus, "doc_id", "text", minLen = 3)
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    assert(out(1L) == ((7L, 0L, "a1 a2 a3 a4 a5 u1 u2")))
+    assert(out(2L) == ((6L, 5L, "v1")))
+    assert(out(3L) == ((4L, 0L, "b1 b2 b3 z1")))
+    assert(out(4L) == ((5L, 3L, "z2 z3")))
+    assert(out(5L) == ((4L, 0L, "c1 c2 c3 c4")))
+    assert(out(6L) == ((2L, 0L, "a1 a2")))
+  }
+
+  test("exactSubstrDedup: interleaved partial overlaps never destroy all copies") {
+    // A carries spans x+y, B carries y+z, C carries z: canonical
+    // protection must resolve PER POSITION — y survives in A, z in B,
+    // and no span loses every copy (the removeRepeatedSpans failure
+    // mode this operator exists to avoid)
+    val corpus = Seq(
+      (1L, "x1 x2 x3 y1 y2 y3"),
+      (2L, "y1 y2 y3 z1 z2 z3"),
+      (3L, "z1 z2 z3 w1")
+    ).toDF("doc_id", "text")
+    val out = Dedup.exactSubstrDedup(corpus, "doc_id", "text", minLen = 3)
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    assert(out(1L) == ((6L, 0L, "x1 x2 x3 y1 y2 y3")))
+    assert(out(2L) == ((6L, 3L, "z1 z2 z3")))
+    assert(out(3L) == ((4L, 3L, "w1")))
+  }
+
+  test("exactSubstrSpans: maximal spans carry kept verdicts; digest paths identical") {
+    val corpus = Seq(
+      (1L, "a1 a2 a3 a4 a5 u1 u2"),
+      (2L, "v1 a1 a2 a3 a4 a5"),
+      (3L, "b1 b2 b3 z1"),
+      (4L, "z2 z3 b1 b2 b3"),
+      (5L, "c1 c2 c3 c4")
+    ).toDF("doc_id", "text")
+    val spans = Dedup.exactSubstrSpans(corpus, "doc_id", "text", minLen = 3)
+      .as[(Long, Long, Long, Boolean, String)].collect().toSet
+    // every clone span appears twice with identical text: once kept
+    // (the canonical copy), once not
+    assert(spans == Set(
+      (1L, 0L, 5L, true, "a1 a2 a3 a4 a5"),
+      (2L, 1L, 5L, false, "a1 a2 a3 a4 a5"),
+      (3L, 0L, 3L, true, "b1 b2 b3"),
+      (4L, 2L, 3L, false, "b1 b2 b3")))
+    // the 100 TB key shape (8-byte digests on the shuffle) is pinned
+    // result-identical to the oracle-checked string path
+    assert(Dedup.exactSubstrSpans(corpus, "doc_id", "text", minLen = 3,
+      digestKeys = true).as[(Long, Long, Long, Boolean, String)]
+      .collect().toSet == spans)
+    def dedup(dig: Boolean) = Dedup.exactSubstrDedup(corpus, "doc_id",
+        "text", minLen = 3, digestKeys = dig)
+      .as[(Long, Long, Long, String)].collect().toSet
+    assert(dedup(dig = true) == dedup(dig = false))
+  }
+
   test("pairMetrics: canonicalization collapse, counts, empty-input pins") {
     import spark.implicits._
     val truth = Seq((1L, 2L), (3L, 4L), (5L, 6L)).toDF("id_a", "id_b")
@@ -2152,6 +2221,17 @@ class SamplingSpec extends SparkSpec {
 
 class TextAnalysisSpec extends SparkSpec {
   import spark.implicits._
+
+  test("Caching.releaseAll reclaims scoped subtrees; released frames still compute") {
+    // the r14 convention for operators whose returned lazy frame pins
+    // an internal persist: registered via Caching.scoped, reclaimable
+    // session-wide, and a released frame RECOMPUTES identically
+    val docs = Seq((1L, "a b a c"), (2L, "b b c d")).toDF("doc_id", "text")
+    val out = graft.ops.TextAnalysis.zipfProfile(docs, "text", topN = 2)
+    val before = out.collect()
+    assert(graft.ops.Caching.releaseAll() >= 1)
+    assert(out.collect().sameElements(before))
+  }
 
   test("mean6Exact: half-boundary means round half-up, negatives away from zero") {
     // (0.251630 + 0.251631)/2 = 0.2516305 — EXACTLY on the half grid,

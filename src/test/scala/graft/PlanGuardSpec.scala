@@ -542,11 +542,11 @@ class PlanGuardSpec extends SparkSpec {
       // stream lifecycle fixture (x169 class): the readback frame is
       // the audited plan; per-batch scoring runs as its own actions
       ("x178_stream_perplexity_screen", 1, 0),
-      // three narrow unit/gram legs + doc-keyed assembly; the cost is
-      // one map-CPU-bound gram job (4M interpreted-HOF gram strings at
-      // sf0.1 — embarrassingly parallel; a native gram expression is
-      // the upgrade path, the minhashSignatures precedent)
-      ("x179_gopher_repetition", 8, 3))
+      // r14: the gram leg is one native per-row pass (GopherGramStats) —
+      // the tagged explode, both (id, n, gram) exchanges, and the pivot
+      // are gone (8.72s -> 1.72s at sf0.1); the remaining five exchanges
+      // are the two unit legs' count/rollup pairs + the doc-keyed joins
+      ("x179_gopher_repetition", 5, 2))
     val parity = ParityQueries.queries.keySet
     budgets.foreach { case (name, shuf, minBcast) =>
       val df =

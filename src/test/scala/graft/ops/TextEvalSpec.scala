@@ -151,6 +151,57 @@ class TextEvalSpec extends SparkSpec {
     assert(!out(5L).getAs[Boolean]("repetition_pass"))
   }
 
+  test("gopherRepetitionRules: native gram leg == HOF spec twin, incl. tie/unicode/cap edges") {
+    // the GopherCounts convention: the relational spelling pins the
+    // native expression's exact accounting. Rows chosen to force every
+    // divergence channel: count ties (binary-order gram tie-break),
+    // multi-byte code-point lengths, the 1.0 cap, no-gram docs, empty
+    // text, and a doc whose top gram occurs once (the exemption)
+    val docs = Seq(
+      (1L, "a b\na b\nc d"),
+      (2L, (0 until 40).map(i => s"w$i").mkString(" ")),
+      (3L, Seq.fill(4)((0 until 10).map(i => s"t$i").mkString(" "))
+        .mkString(" ")),
+      (4L, "x"),
+      (5L, "p q\n\np q"),
+      // bigrams "b c" x3 and "c b" x3 tie on count — the winner must be
+      // the LARGEST (count, gram) pair under binary string order
+      (6L, "b c b c c b c b"),
+      (7L, "héllo wörld héllo wörld héllo"),
+      (8L, ""),
+      (9L, "привет мир привет мир привет"),
+      (10L, "one two three four five six seven eight nine ten eleven")
+    ).toDF("doc_id", "text")
+    val native = graft.ops.TextAnalysis
+      .gopherRepetitionRules(docs, "doc_id")
+    val hof = graft.ops.TextAnalysis
+      .gopherRepetitionRulesHof(docs, "doc_id")
+    assert(native.columns.sameElements(hof.columns))
+    assert(native.exceptAll(hof).isEmpty && hof.exceptAll(native).isEmpty,
+      s"native:\n${native.orderBy("doc_id").collect().mkString("\n")}\n" +
+        s"hof:\n${hof.orderBy("doc_id").collect().mkString("\n")}")
+  }
+
+  test("word_grams / word_grams_tagged: windows, short-doc emptiness, null slots") {
+    import graft.functions.WordGramFunctions._
+    val toks = Seq(Tuple1(Seq("a", "bb", "c", "dd"))).toDF("t")
+    assert(toks.select(word_grams(col("t"), 2)).head.getSeq[String](0) ==
+      Seq("a bb", "bb c", "c dd"))
+    assert(toks.select(word_grams(col("t"), 4)).head.getSeq[String](0) ==
+      Seq("a bb c dd"))
+    // len < n -> EMPTY (no whole-text fallback: span/novelty consumers
+    // must not fabricate grams)
+    assert(toks.select(word_grams(col("t"), 5)).head.getSeq[String](0).isEmpty)
+    val tagged = toks.select(explode(word_grams_tagged(col("t"), Seq(1, 3))).as("ng"))
+      .select(col("ng.n"), col("ng.g")).as[(Int, String)].collect().toSeq
+    assert(tagged == Seq((1, "a"), (1, "bb"), (1, "c"), (1, "dd"),
+      (3, "a bb c"), (3, "bb c dd")))
+    // a hostile null slot reads as empty string, never NPEs
+    val withNull = spark.sql("select array('a', cast(null as string), 'b') t")
+    assert(withNull.select(word_grams(col("t"), 3)).head.getSeq[String](0) ==
+      Seq("a  b"))
+  }
+
   test("knBigramNll: probabilities stay in (0,1], nll >= 0") {
     val model = (0 until 40)
       .map(i => (i.toLong, s"w${i % 7} w${(i * 3) % 5} w${i % 7} end"))
