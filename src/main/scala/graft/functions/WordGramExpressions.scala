@@ -53,13 +53,18 @@ private[functions] object WordGramUtil {
 }
 
 /** `array<string> tokens -> array<string>` positional word n-grams:
-  * element p is the space-joined window of `n` tokens starting at p;
-  * `len < n` yields an EMPTY array (deliberately no whole-text
-  * fallback — the span/novelty consumers must not fabricate grams;
-  * [[ShingleHashes]] has the opposite contract for dedup recall).
+  * element p is the space-joined window of `n` tokens starting at p.
+  * Two fallback contracts, selected by `wholeTextFallback`:
+  *  - false (default): `len < n` yields an EMPTY array — the
+  *    span/novelty consumers must not fabricate grams;
+  *  - true: `len <= n` yields ONE whole-text shingle (the
+  *    [[graft.ops.Dedup.shingles]] dedup-recall contract, same as
+  *    [[ShingleHashes]]; an empty token array yields `[""]` exactly as
+  *    `array(concat_ws(" ", tokens))` did).
   * Output order is position order, so `posexplode` recovers (pos,
   * gram) exactly as the lambda spelling did. */
-case class WordGramStrings(child: Expression, n: Int)
+case class WordGramStrings(child: Expression, n: Int,
+    wholeTextFallback: Boolean = false)
     extends UnaryExpression with CodegenFallback {
 
   require(n >= 1, "gram width must be positive")
@@ -75,6 +80,10 @@ case class WordGramStrings(child: Expression, n: Int)
   override def nullSafeEval(t: Any): Any = {
     val arr = t.asInstanceOf[ArrayData]
     val len = arr.numElements()
+    if (wholeTextFallback && len <= n)
+      return new GenericArrayData(
+        Array[AnyRef](if (len == 0) UTF8String.EMPTY_UTF8
+        else WordGramUtil.gram(arr, 0, len)))
     val m = math.max(0, len - n + 1)
     val out = new Array[AnyRef](m)
     var p = 0
@@ -235,6 +244,12 @@ object WordGramFunctions {
     * the document is shorter than `n`). */
   def word_grams(tokens: Column, n: Int): Column =
     Bridge.column(WordGramStrings(Bridge.expression(tokens), n))
+
+  /** Word n-grams with the whole-text fallback ([[graft.ops.Dedup
+    * .shingles]] contract: `len <= n` -> one whole-text shingle). */
+  def word_grams_whole(tokens: Column, n: Int): Column =
+    Bridge.column(WordGramStrings(Bridge.expression(tokens), n,
+      wholeTextFallback = true))
 
   /** (n, gram) tagged grams for every width in `ns`. */
   def word_grams_tagged(tokens: Column, ns: Seq[Int]): Column =

@@ -129,10 +129,11 @@ object Dedup {
   /** w-token shingles of a token array: ["a","b","c"], w=2 -> ["a b","b c"].
     * Fewer than w tokens -> single shingle of the whole text. */
   def shingles(tokens: Column, w: Int): Column =
-    when(size(tokens) <= w, array(concat_ws(" ", tokens)))
-      .otherwise(transform(
-        sequence(lit(0), size(tokens) - w),
-        i => concat_ws(" ", slice(tokens, i + 1, lit(w)))))
+    // one native per-row loop (r14) — the interpreted
+    // transform/sequence/slice spelling this replaces built every
+    // shingle through per-element lambda dispatch; fallback contract
+    // unchanged (len <= w -> ONE whole-text shingle, dedup recall)
+    graft.functions.WordGramFunctions.word_grams_whole(tokens, w)
 
   /** MinHash signature as a single-pass fold over the shingle array:
     * min(xxhash64(j, shingle)) for j in [0, k). Returns array<long> of
@@ -909,10 +910,7 @@ object Dedup {
       n: Int = 3, maxDf: Int = 8, minShared: Int = 2): DataFrame = {
     require(n >= 1 && maxDf >= 2 && minShared >= 1)
     val toks = TextAnalysis.tokens(col(textCol))
-    val grams = when(size(toks) >= n,
-        transform(sequence(lit(0), size(toks) - n),
-          i => array_join(slice(toks, i + 1, lit(n)), " ")))
-      .otherwise(array().cast("array<string>"))
+    val grams = graft.functions.WordGramFunctions.word_grams(toks, n)
     // per-doc dedup happens MAP-SIDE (array_distinct before the explode),
     // so (id, gk) rows are already unique and the corpus-sized global
     // distinct shuffle the naive formulation starts with never exists

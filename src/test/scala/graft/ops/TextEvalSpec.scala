@@ -200,6 +200,18 @@ class TextEvalSpec extends SparkSpec {
     val withNull = spark.sql("select array('a', cast(null as string), 'b') t")
     assert(withNull.select(word_grams(col("t"), 3)).head.getSeq[String](0) ==
       Seq("a  b"))
+    // whole-text fallback (the Dedup.shingles contract): len <= n ->
+    // ONE whole-text shingle, empty array -> [""] — exactly what
+    // array(concat_ws(" ", tokens)) produced
+    assert(toks.select(word_grams_whole(col("t"), 5)).head.getSeq[String](0)
+      == Seq("a bb c dd"))
+    assert(toks.select(word_grams_whole(col("t"), 4)).head.getSeq[String](0)
+      == Seq("a bb c dd"))
+    assert(toks.select(word_grams_whole(col("t"), 2)).head.getSeq[String](0)
+      == Seq("a bb", "bb c", "c dd"))
+    val empty = spark.sql("select cast(array() as array<string>) t")
+    assert(empty.select(word_grams_whole(col("t"), 3)).head.getSeq[String](0)
+      == Seq(""))
   }
 
   test("knBigramNll: probabilities stay in (0,1], nll >= 0") {
