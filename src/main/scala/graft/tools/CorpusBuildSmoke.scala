@@ -32,6 +32,14 @@ object CorpusBuildSmoke {
     val n = args.headOption.map(_.toLong).getOrElse(1000000L)
     val spark = graft.GraftSession.local(cores = 8)
     import spark.implicits._
+    // disk-backed stage-boundary checkpoints (3c/4h): the literal
+    // write-and-read-back a production corpus boundary is. The
+    // localCheckpoint spelling pinned multi-GB partition blocks in the
+    // 8g driver heap and OOM'd the 10M run at stage 4h; reliable
+    // checkpoints stream to disk instead.
+    val ckptDir = java.nio.file.Files
+      .createTempDirectory("corpus_build_ckpt").toString
+    spark.sparkContext.setCheckpointDir(ckptDir)
 
     def time[T](label: String)(f: => T): T = {
       val t0 = System.nanoTime(); val r = f
@@ -147,7 +155,15 @@ object CorpusBuildSmoke {
     // derived from the two populations on a probe slice — natural
     // paragraphs share the model's vocabulary, the plant is fully OOV,
     // so the NLL gap is structural, not tuned.
-    val lmSample = gated.filter(col("doc_id") % 97 === 0 &&
+    // FIXED-SIZE reference sample (~10k clean docs at any corpus
+    // size) — the CCNet shape: the reference LM (Wikipedia-sized) does
+    // not grow with the crawl. The first 10M run used a fixed FRACTION
+    // (%97), so the KN model's bigram table grew 10x with the corpus
+    // and both scoring stages went super-linear (3c 27.6s@1M ->
+    // 493s@10M, 3d 19.4 -> 283): the scoring join's BUILD side must be
+    // scale-invariant for the stage to stay shuffle-linear.
+    val lmStride = math.max(97L, n / 10000L)
+    val lmSample = gated.filter(col("doc_id") % lmStride === 0 &&
         col("doc_id") % 11 =!= 0 && col("doc_id") % 7 =!= 0)
       .select(col("text"))
     val pplFiltered = time("3c paragraph-perplexity filter (KN, corpus-wide)") {
@@ -182,7 +198,7 @@ object CorpusBuildSmoke {
       val f = TextAnalysis.paragraphPerplexityFilter(lmSample, gated,
           "doc_id", "text", maxNll)
         .join(gated.select(col("doc_id"), col("route")), Seq("doc_id"))
-        .localCheckpoint()
+        .checkpoint()
       val r = f.agg(count(lit(1)),
         sum(col("n_paras") - col("n_kept")),
         sum(when(col("n_paras") > col("n_kept") &&
@@ -309,7 +325,7 @@ object CorpusBuildSmoke {
         .select(col("id").as("doc_id"), col("clean_text").as("text"))
         .join(dedupedMinhash.select(col("doc_id"), col("route")),
           Seq("doc_id"))
-        .localCheckpoint()
+        .checkpoint()
       es.unpersist()
       out
     }
