@@ -1377,15 +1377,26 @@ object Dedup {
       .select(col("id"), col("pos"),
         (if (digestKeys) xxhash64(col("gram")) else col("gram"))
           .as("__gk"))
-    val dup = spans.groupBy(col("__gk"))
-      .agg(count(lit(1)).as("__c"),
-        min(struct(col("id"), col("pos"))).as("__canon"))
+    // canonical selection is deliberately TWO aggregates: the count
+    // aggregate runs over EVERY window (~180M rows at a 10M-doc
+    // corpus) but carries only an 8-byte count — the standard
+    // spillable hash-agg shape; the min(struct(id, pos)) argmin (the
+    // r12 ICWS lesson's SortAggregate/agg-buffer trap) runs AFTER the
+    // duplicate filter, over duplicated occurrences only —
+    // corpus-small by definition. The single fused count+min spelling
+    // carried the struct buffer for every unique gram and OOM'd the
+    // aggregate at the 10M smoke point.
+    val dupKeys = spans.groupBy(col("__gk"))
+      .agg(count(lit(1)).as("__c"))
       .filter(col("__c") >= 2)
-    val hits = spans.join(dup.select(col("__gk")), Seq("__gk"), "left_semi")
+      .select(col("__gk"))
+    val hits = spans.join(dupKeys, Seq("__gk"), "left_semi")
+    val canon = hits.groupBy(col("__gk"))
+      .agg(min(struct(col("id"), col("pos"))).as("__canon"))
     val covDup = hits.select(col("id"),
         explode(sequence(col("pos"), col("pos") + (minLen - 1))).as("p"))
       .distinct()
-    val covCanon = dup.select(col("__canon.id").as("id"),
+    val covCanon = canon.select(col("__canon.id").as("id"),
         explode(sequence(col("__canon.pos"),
           col("__canon.pos") + (minLen - 1))).as("p"))
       .distinct()

@@ -40,6 +40,13 @@ object CorpusBuildSmoke {
     val ckptDir = java.nio.file.Files
       .createTempDirectory("corpus_build_ckpt").toString
     spark.sparkContext.setCheckpointDir(ckptDir)
+    // shuffle parallelism scales with the corpus — the production rule
+    // this smoke exists to rehearse: partitions sized so per-task
+    // aggregate state fits the heap. At 10M docs the window aggregates
+    // carry ~180M keys; 8 partitions put ~22M keys in ONE task's hash
+    // map and OOM an 8g heap. AQE coalesces the excess at small n.
+    spark.conf.set("spark.sql.shuffle.partitions",
+      math.max(8L, n / 250000L).toString)
 
     def time[T](label: String)(f: => T): T = {
       val t0 = System.nanoTime(); val r = f

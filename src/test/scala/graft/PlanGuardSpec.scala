@@ -547,13 +547,14 @@ class PlanGuardSpec extends SparkSpec {
       // are gone (8.72s -> 1.72s at sf0.1); the remaining five exchanges
       // are the two unit legs' count/rollup pairs + the doc-keyed joins
       ("x179_gopher_repetition", 5, 2),
-      // r14 additions in the >= 2s tier: ExactSubstr — six narrow
-      // exchanges (window agg, semi-join, two coverage distincts,
-      // anti/left join, doc rollup), id-keyed broadcasts, zero
-      // cartesians; the spans twin adds its one id-PARTITIONED
-      // gaps-and-islands window
-      ("x180_exact_substr", 6, 3),
-      ("x181_exact_substr_spans", 6, 3))
+      // r14 additions in the >= 2s tier: ExactSubstr — seven narrow
+      // exchanges (the two-aggregate canonical selection: spillable
+      // count over every window, argmin over duplicated occurrences
+      // only, plus semi-join, two coverage distincts, anti/left join,
+      // doc rollup), id-keyed broadcasts, zero cartesians; the spans
+      // twin adds its one id-PARTITIONED gaps-and-islands window
+      ("x180_exact_substr", 7, 4),
+      ("x181_exact_substr_spans", 7, 4))
     val parity = ParityQueries.queries.keySet
     budgets.foreach { case (name, shuf, minBcast) =>
       val df =
