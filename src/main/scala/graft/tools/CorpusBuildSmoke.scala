@@ -291,10 +291,20 @@ object CorpusBuildSmoke {
       vecs.unpersist()
       dropped
     }
-    val dedupedMinhash = nearKept.join(semDropped, Seq("doc_id"), "left_anti")
-      .persist()
-    time("4g post-dedup corpus")(dedupedMinhash.count())
-    nearKept.unpersist(); semDropped.unpersist()
+    val dedupedMinhash = time("4g post-dedup corpus (checkpoint boundary)") {
+      // third stage-boundary cut: this frame feeds 4h twice (dedup
+      // input + route join) and the heap at 10M cannot also hold an
+      // 8.4M-doc deserialized persist next to 4h's aggregates
+      val d = nearKept.join(semDropped, Seq("doc_id"), "left_anti")
+        .checkpoint()
+      nearKept.unpersist(); semDropped.unpersist()
+      // phase boundary: release every operator-scoped cached subtree
+      // accumulated by the LM/dedup stages (KN count tables, candidate
+      // frames) — the Caching.releaseAll contract's designed call site
+      val released = graft.ops.Caching.releaseAll()
+      println(s"[corpus-build]   released $released scoped cache subtrees")
+      d
+    }
 
     // 4h. variable-length exact-substring keep-one (r14, x180
     // integration — Lee et al. ExactSubstr): the planted %50==3 prefix
