@@ -90,12 +90,31 @@ object Bench {
     val band: Map[String, Double] =
       try {
         val txt = java.nio.file.Files.readString(java.nio.file.Paths.get(bandPath))
-        // scope the scan to the per-query "detail" object of our own
-        // format: {"name":{"med":N,...},...}
-        val d = txt.indexOf("\"detail\":")
-        """"([A-Za-z0-9_]+)":\{"med":([0-9.]+)""".r
-          .findAllMatchIn(if (d >= 0) txt.substring(d) else txt)
-          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+        // a band recorded at a different scale factor (or on a machine
+        // with a different core count) is not a baseline for this run:
+        // comparing an sf0.01 sweep against an sf0.1 band would flag
+        // nearly every query as a fast mover — or, inverted, mask real
+        // regressions. Degrade to band_n=0 (intra-sweep sentinel only)
+        // rather than compare across configs.
+        val bandSf = """"sf":"([^"]+)"""".r.findFirstMatchIn(txt).map(_.group(1))
+        val bandCpus = """"machine_cpus":(\d+)""".r.findFirstMatchIn(txt)
+          .map(_.group(1).toInt)
+        if (bandSf.exists(_ != sfDir)) {
+          System.err.println(s"[bench] band file $bandPath was recorded at " +
+            s"sf=${bandSf.get}, this run is $sfDir — ignoring band (band_n=0)")
+          Map.empty[String, Double]
+        } else if (bandCpus.exists(_ != machineCpus)) {
+          System.err.println(s"[bench] band file $bandPath was recorded on " +
+            s"${bandCpus.get} cpus, this machine has $machineCpus — ignoring band (band_n=0)")
+          Map.empty[String, Double]
+        } else {
+          // scope the scan to the per-query "detail" object of our own
+          // format: {"name":{"med":N,...},...}
+          val d = txt.indexOf("\"detail\":")
+          """"([A-Za-z0-9_]+)":\{"med":([0-9.]+)""".r
+            .findAllMatchIn(if (d >= 0) txt.substring(d) else txt)
+            .map(m => m.group(1) -> m.group(2).toDouble).toMap
+        }
       } catch { case _: Throwable => Map.empty }
     case class Res(name: String, best: Double, med: Double, runs: Seq[Double],
         ok: Boolean, stages: Map[String, Double], load: Double)
@@ -197,8 +216,23 @@ object Bench {
     // stdout prefix still has a clean file to parse.
     // partial (SPARK_GRAFT_ONLY) runs must not clobber the full-sweep
     // detail file: bench_out.json doubles as the band sentinel's baseline,
-    // and a 2-query bisect overwriting it would erase the other 228 bands
-    val detailPath = if (only.isDefined) "bench_only_out.json" else "bench_out.json"
+    // and a 2-query bisect overwriting it would erase the other 228 bands.
+    // Likewise a SUSPECT sweep must not overwrite the band: in r13 and
+    // r14 the driver's loaded sweep clobbered the committed quiet band
+    // file, so the next round's sentinel would have compared against
+    // polluted numbers. A sweep flagged env_suspect (host contention or
+    // unadjudicated band movers) writes its detail to
+    // bench_suspect_out.json and leaves bench_out.json byte-identical.
+    // SPARK_GRAFT_BAND_WRITE=force overrides — for refreshing the band
+    // ON PURPOSE after movers have been adjudicated as real code change.
+    val forceBand = sys.env.get("SPARK_GRAFT_BAND_WRITE").contains("force")
+    val detailPath =
+      if (only.isDefined) "bench_only_out.json"
+      else if (envSuspect && !forceBand) {
+        System.err.println("[bench] env_suspect: writing detail to " +
+          "bench_suspect_out.json; bench_out.json (the band) is untouched")
+        "bench_suspect_out.json"
+      } else "bench_out.json"
     val json = s"""{"metric":"total","unit":"sec","value":$medTotal,"best_total":$bestTotal,"all_ok":$allOk,"n_queries":${results.size},"failed":$failed,"detail_path":"$detailPath"}"""
     val detail = results.map { r =>
       "\"" + r.name + "\":{\"med\":" + r2(r.med) + ",\"best\":" + r2(r.best) +

@@ -27,9 +27,14 @@ import org.apache.spark.sql.graftbridge.Bridge
   * measured as Spark does — binary UTF-8 byte order for comparisons
   * (`UTF8String.compareTo`, = DuckDB's binary collation = code-point
   * order) and `numChars` code points for lengths (= builtin `length`).
-  * Null token slots are treated as empty strings; the [[graft.ops
-  * .TextAnalysis.tokens]] tokenizer cannot emit nulls (split + non-empty
-  * filter), the branch exists only so a hostile array cannot NPE. */
+  * Null token slots are SKIPPED exactly as `concat_ws(" ", ...)` — the
+  * spelling these expressions replaced — skips them: ["a", null, "b"]
+  * grams to "a b", never the double-space "a  b", so gram identity (and
+  * thus MinHash signatures downstream of [[graft.ops.Dedup.shingles]])
+  * is stable across the rewrite even for null-bearing inputs. The
+  * [[graft.ops.TextAnalysis.tokens]] tokenizer cannot emit nulls
+  * (split + non-empty filter); the branch exists because `shingles` is
+  * public over arbitrary `array<string>` columns. */
 private[functions] object WordGramUtil {
   val space: UTF8String = UTF8String.fromString(" ")
 
@@ -38,17 +43,27 @@ private[functions] object WordGramUtil {
     if (t == null) UTF8String.EMPTY_UTF8 else t
   }
 
-  /** Space-joined gram of the `n` tokens starting at `p`. */
+  /** Space-joined gram of the `n` tokens starting at `p`. Null slots
+    * are skipped with no separator (the concat_ws contract — see the
+    * object scaladoc); an all-null window yields the empty string,
+    * matching `concat_ws(" ")` over zero surviving args. */
   def gram(arr: ArrayData, p: Int, n: Int): UTF8String = {
     if (n == 1) return token(arr, p)
     val parts = new Array[UTF8String](2 * n - 1)
+    var m = 0
     var k = 0
     while (k < n) {
-      parts(2 * k) = token(arr, p + k)
-      if (k < n - 1) parts(2 * k + 1) = space
+      val t = if (arr.isNullAt(p + k)) null else arr.getUTF8String(p + k)
+      if (t != null) {
+        if (m > 0) { parts(m) = space; m += 1 }
+        parts(m) = t
+        m += 1
+      }
       k += 1
     }
-    UTF8String.concat(parts: _*)
+    if (m == 0) UTF8String.EMPTY_UTF8
+    else if (m == parts.length) UTF8String.concat(parts: _*) // hot path: no nulls, no copy
+    else UTF8String.concat(java.util.Arrays.copyOf(parts, m): _*)
   }
 }
 

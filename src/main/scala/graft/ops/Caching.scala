@@ -33,7 +33,12 @@ import org.apache.spark.sql.DataFrame
   * the short-lived Dataset wrapper while the cached blocks lived on,
   * leaving nothing to release them with. */
 object Caching {
-  private val registry = new ConcurrentLinkedQueue[DataFrame]()
+  // release thunks, not frames: the registered action is "unpersist
+  // this frame", and a thunk generalizes to non-DataFrame state
+  // (broadcast handles, model stores) without widening the queue type.
+  // The closure pins the DataFrame strongly — see the retention note in
+  // the object scaladoc for why strong is correct here.
+  private val registry = new ConcurrentLinkedQueue[() => Unit]()
 
   /** Persist `df`, registered for [[releaseAll]]: the scoped spelling
     * of the multi-consumer persist. Callers still `.count()` where
@@ -41,21 +46,37 @@ object Caching {
     * bucketCandidates convention). */
   private[graft] def scoped(df: DataFrame): DataFrame = {
     df.persist()
-    registry.add(df)
+    registry.add(() => { df.unpersist(); () })
     df
   }
+
+  /** Register an arbitrary release action for the next [[releaseAll]]
+    * drain — for scoped state that is not a single persisted frame. */
+  private[graft] def scopedRelease(release: () => Unit): Unit =
+    registry.add(release)
 
   /** Unpersist every scoped frame registered since the last drain;
     * returns how many were released. Safe at any point (consumers of a
     * released frame recompute instead of reading cache); intended
-    * between pipeline phases of a long-lived session. */
+    * between pipeline phases of a long-lived session.
+    *
+    * The registry is JVM-global: with TWO pipelines sharing one driver,
+    * either one's phase-boundary drain evicts the other's live scoped
+    * caches mid-run — recompute-safe, but a silent multi-x perf cliff.
+    * The convention assumes ONE pipeline per JVM (the harness and every
+    * tool in `graft.tools` satisfy it); co-tenanted drivers should call
+    * releaseAll only at a point that is a phase boundary for ALL
+    * tenants.
+    *
+    * Each unpersist is individually guarded: one stale frame (e.g. from
+    * an already-stopped SparkSession) throwing must not abort the drain
+    * and strand the rest of the registry's cached blocks. */
   def releaseAll(): Int = {
     var n = 0
-    var df = registry.poll()
-    while (df != null) {
-      df.unpersist()
-      n += 1
-      df = registry.poll()
+    var release = registry.poll()
+    while (release != null) {
+      if (scala.util.Try(release()).isSuccess) n += 1
+      release = registry.poll()
     }
     n
   }

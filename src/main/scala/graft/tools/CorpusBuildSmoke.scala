@@ -188,6 +188,13 @@ object CorpusBuildSmoke {
       val sep = probeScored.agg(
         max(when(!col("planted"), col("kn_nll"))).as("nat_max"),
         min(when(col("planted"), col("kn_nll"))).as("plant_min")).head()
+      // the %101 probe slice must contain BOTH populations — a corpus
+      // size whose doc_id grid misses every planted (%11) doc in the
+      // slice would otherwise surface as an opaque NPE from getDouble
+      require(!sep.isNullAt(0) && !sep.isNullAt(1),
+        s"probe slice missed a population (natural present=${!sep.isNullAt(0)}, " +
+          s"planted present=${!sep.isNullAt(1)}) — widen the %101 probe or " +
+          "adjust the plant grid for this corpus size")
       val (natMax, plantMin) = (sep.getDouble(0), sep.getDouble(1))
       probeParas.unpersist()
       require(natMax < plantMin,

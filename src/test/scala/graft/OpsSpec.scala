@@ -2233,6 +2233,20 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out.collect().sameElements(before))
   }
 
+  test("Caching.releaseAll survives a release that throws") {
+    // one stale registration (e.g. a frame from a stopped session) must
+    // not abort the drain and strand the rest of the registry
+    graft.ops.Caching.releaseAll() // start from an empty registry
+    var released = false
+    graft.ops.Caching.scopedRelease(
+      () => throw new IllegalStateException("stale session"))
+    graft.ops.Caching.scopedRelease(() => released = true)
+    // poison throws (not counted), the survivor drains (counted)
+    assert(graft.ops.Caching.releaseAll() == 1)
+    assert(released)
+    assert(graft.ops.Caching.releaseAll() == 0)
+  }
+
   test("mean6Exact: half-boundary means round half-up, negatives away from zero") {
     // (0.251630 + 0.251631)/2 = 0.2516305 — EXACTLY on the half grid,
     // where round(avg(x), 6) diverges between engines; the integer

@@ -196,10 +196,17 @@ class TextEvalSpec extends SparkSpec {
       .select(col("ng.n"), col("ng.g")).as[(Int, String)].collect().toSeq
     assert(tagged == Seq((1, "a"), (1, "bb"), (1, "c"), (1, "dd"),
       (3, "a bb c"), (3, "bb c dd")))
-    // a hostile null slot reads as empty string, never NPEs
+    // a hostile null slot is SKIPPED with no separator — the
+    // concat_ws(" ", ...) contract of the lambda spelling these
+    // expressions replaced, so gram identity (and MinHash signatures
+    // downstream) is stable across the rewrite; never NPEs
     val withNull = spark.sql("select array('a', cast(null as string), 'b') t")
     assert(withNull.select(word_grams(col("t"), 3)).head.getSeq[String](0) ==
-      Seq("a  b"))
+      Seq("a b"))
+    val allNull = spark.sql(
+      "select array(cast(null as string), cast(null as string)) t")
+    assert(allNull.select(word_grams(col("t"), 2)).head.getSeq[String](0) ==
+      Seq(""))
     // whole-text fallback (the Dedup.shingles contract): len <= n ->
     // ONE whole-text shingle, empty array -> [""] — exactly what
     // array(concat_ws(" ", tokens)) produced
