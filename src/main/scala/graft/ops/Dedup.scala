@@ -1211,10 +1211,10 @@ object Dedup {
       .select(col("id"),
         size(col("toks")).cast("long").as("n_tokens"),
         coalesce(size(col("__rm")), lit(0)).cast("long").as("n_removed"),
-        array_join(
-          filter(col("toks"), (_, i) =>
-            not(coalesce(array_contains(col("__rm"), i), lit(false)))),
-          " ").as("clean_text"))
+        // native merge-walk splice (O(n + |rm|) per row); __rm is sorted
+        // by construction — the TokenSplice precondition
+        graft.functions.SpliceFunctions
+          .token_splice(col("toks"), col("__rm")).as("clean_text"))
   }
 
   /** Loss-MASK variant of [[removeRepeatedSpans]] — same frequent-span
@@ -1323,10 +1323,10 @@ object Dedup {
       .select(col("id"),
         size(col("toks")).cast("long").as("n_tokens"),
         coalesce(size(col("__rm")), lit(0)).cast("long").as("n_removed"),
-        array_join(
-          filter(col("toks"), (_, i) =>
-            not(coalesce(array_contains(col("__rm"), i), lit(false)))),
-          " ").as("clean_text"))
+        // native merge-walk splice (O(n + |rm|) per row); __rm is sorted
+        // by construction — the TokenSplice precondition
+        graft.functions.SpliceFunctions
+          .token_splice(col("toks"), col("__rm")).as("clean_text"))
   }
 
   /** Span-evidence readout of [[exactSubstrDedup]]: every MAXIMAL run

@@ -23,9 +23,16 @@ object TextScaleSmoke {
         }: _*).as("text"),
         concat(lit("lang"), pmod(col("id"), lit(8)).cast("string")).as("lang"))
 
-    def time[T](label: String)(f: => T): T = {
+    // optional 2nd arg: substring filter on stage labels, for standalone
+    // scale points (e.g. `TextScaleSmoke 10000000 exact-substring` runs
+    // only the ExactSubstr stage at 10M without paying the ~25 other
+    // stages at that size). The corpus-materialize reference always runs.
+    val only = args.lift(1)
+    def time[T](label: String)(f: => T): Unit = {
+      if (only.exists(o => !label.contains(o) && !label.startsWith("corpus")))
+        return
       val t0 = System.nanoTime(); val r = f
-      println(f"[text-scale] $label%-34s ${(System.nanoTime() - t0) / 1e9}%8.2fs"); r
+      println(f"[text-scale] $label%-34s ${(System.nanoTime() - t0) / 1e9}%8.2fs")
     }
 
     time(s"corpus materialize ($n docs)")(corpus.count())
@@ -100,6 +107,21 @@ object TextScaleSmoke {
             concat(col("text"),
               when(col("doc_id") % 4 === 0,
                 lit(" b0 b1 b2 b3 b4 b5 b6 b7")).otherwise(lit("")))
+              .as("text")),
+          "doc_id", "text", n = 5, minCount = 100, digestKeys = true)
+        .agg(sum("n_removed"), sum(length(col("clean_text")))).head())
+    // r15: DENSE-removal shape — every doc carries a 40-token shared
+    // boilerplate tail, so ~44 of ~80 positions are removed from EVERY
+    // row. This is the shape where the rebuild's splice leg dominates:
+    // the old filter-HOF spelling paid O(tokens x |rm|) array_contains
+    // per row (~3.5k comparisons/doc here); the native TokenSplice
+    // merge-walk pays O(tokens + |rm|). Sparse fixtures (above) cannot
+    // see the difference — a boilerplate-heavy crawl at 100 TB can.
+    time("repeated-span removal (dense boilerplate)")(
+      graft.ops.Dedup.removeRepeatedSpans(
+          corpus.select(col("doc_id"),
+            concat(col("text"), lit(" "),
+              concat_ws(" ", (0 until 40).map(i => lit(s"b$i")): _*))
               .as("text")),
           "doc_id", "text", n = 5, minCount = 100, digestKeys = true)
         .agg(sum("n_removed"), sum(length(col("clean_text")))).head())

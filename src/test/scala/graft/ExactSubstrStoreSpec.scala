@@ -1,0 +1,160 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Dedup, ExactSubstrStore}
+
+/** Incremental ExactSubstr against the persisted window index: every
+  * readout must equal the BATCH operator over the union corpus — the
+  * store's windows/ partitions are by construction the batch span
+  * frame, so equality is checked end to end on the rebuilt text.
+  *
+  * Fixture geometry: doc i's tokens are `d{i}w0..w{L-1}` — disjoint
+  * across docs, so the only repeated spans are the prefix clones a
+  * test plants, and minLen = 5 makes span extents exact. */
+class ExactSubstrStoreSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmpRoot(tag: String): String = {
+    val d = System.getProperty("java.io.tmpdir") +
+      s"/graft_exsub_store_spec_${tag}_p" + ProcessHandle.current().pid()
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(d))
+    d
+  }
+
+  /** `n` docs of 12 disjoint tokens each, ids starting at `idBase`. */
+  private def docs(idBase: Long, n: Int): DataFrame =
+    (0 until n).map { i =>
+      (idBase + i, (0 until 12).map(t => s"d${idBase + i}w$t").mkString(" "))
+    }.toDF("doc_id", "text")
+
+  /** A clone of doc `src`'s first `keep` tokens under a new id. */
+  private def clone(of: DataFrame, src: Long, newId: Long,
+      keep: Int): DataFrame = {
+    val toks = graft.ops.TextAnalysis.tokens(col("text"))
+    of.filter(col("doc_id") === src)
+      .select(lit(newId).as("doc_id"),
+        concat_ws(" ", slice(toks, 1, keep)).as("text"))
+  }
+
+  private def collectReport(df: DataFrame): Seq[(Long, Long, Long, String)] =
+    df.select(col("id"), col("n_tokens"), col("n_removed"), col("clean_text"))
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1).toSeq
+
+  private def batch(union: DataFrame, minLen: Int,
+      digest: Boolean): Seq[(Long, Long, Long, String)] =
+    collectReport(Dedup.exactSubstrDedup(union, "doc_id", "text",
+      minLen = minLen, digestKeys = digest))
+
+  private val params = ExactSubstrStore.Params(minLen = 5)
+
+  test("shard ingest: as-of reports and final readout equal batch over the union (both key modes)") {
+    for (digest <- Seq(false, true)) {
+      val root = tmpRoot(s"eq_$digest")
+      val p = params.copy(digestKeys = digest)
+      val base = docs(0, 6)
+      // shard1: one whole-doc clone of doc 2 (union-duplicated 12-token
+      // span; canonical = (2, 0) survives whole, clone loses all)
+      val shard1 = docs(100, 3).unionByName(clone(base, 2L, 150L, 12))
+      // shard2: a 7-token prefix clone of shard1's doc 100 AND a clone
+      // of base doc 3 — cross-shard duplication in both directions
+      val shard2 = clone(shard1, 100L, 200L, 7)
+        .unionByName(clone(base, 3L, 201L, 9))
+      ExactSubstrStore.buildIndex(base, "doc_id", "text", root, p)
+      val rep1 = collectReport(ExactSubstrStore.addShard(spark, root,
+        shard1, "doc_id", "text", "s1"))
+      val union1 = base.unionByName(shard1)
+      assert(rep1 == batch(union1, p.minLen, digest)
+        .filter(r => r._1 >= 100L))
+      val rep2 = collectReport(ExactSubstrStore.addShard(spark, root,
+        shard2, "doc_id", "text", "s2"))
+      val union2 = union1.unionByName(shard2)
+      assert(rep2 == batch(union2, p.minLen, digest)
+        .filter(r => r._1 >= 200L))
+      // final store readout over the full union == one batch run
+      val fin = collectReport(ExactSubstrStore.dedupWithIndex(spark, root,
+        union2, "doc_id", "text"))
+      assert(fin == batch(union2, p.minLen, digest))
+      // sanity on the fixture: the shard-1 clone really lost its copy
+      assert(rep1.find(_._1 == 150L).get._3 == 12L)
+      // and string vs digest keys are result-identical by construction
+      // (same assertions against the same batch targets)
+    }
+  }
+
+  test("failed-shard replay is idempotent: re-adding a shard leaves state and report unchanged") {
+    val root = tmpRoot("replay")
+    val base = docs(0, 4)
+    val shard = docs(50, 2).unionByName(clone(base, 1L, 60L, 8))
+    ExactSubstrStore.buildIndex(base, "doc_id", "text", root, params)
+    val rep1 = collectReport(ExactSubstrStore.addShard(spark, root,
+      shard, "doc_id", "text", "s1"))
+    // simulate the crash-replay: the same shard ingests again under the
+    // same shard id (dynamic overwrite replaces exactly its partition)
+    val rep2 = collectReport(ExactSubstrStore.addShard(spark, root,
+      shard, "doc_id", "text", "s1"))
+    assert(rep1 == rep2)
+    val union = base.unionByName(shard)
+    assert(collectReport(ExactSubstrStore.dedupWithIndex(spark, root,
+      union, "doc_id", "text")) == batch(union, params.minLen, digest = false))
+  }
+
+  test("canonical never lost: k cross-shard copies keep exactly the smallest id whole") {
+    val root = tmpRoot("canon")
+    val base = docs(0, 3)
+    ExactSubstrStore.buildIndex(base, "doc_id", "text", root, params)
+    // three more verbatim copies of doc 1 across two shards
+    ExactSubstrStore.addShard(spark, root,
+      clone(base, 1L, 30L, 12).unionByName(clone(base, 1L, 31L, 12)),
+      "doc_id", "text", "s1")
+    ExactSubstrStore.addShard(spark, root, clone(base, 1L, 32L, 12),
+      "doc_id", "text", "s2")
+    val union = base.unionByName(clone(base, 1L, 30L, 12))
+      .unionByName(clone(base, 1L, 31L, 12))
+      .unionByName(clone(base, 1L, 32L, 12))
+    val fin = collectReport(ExactSubstrStore.dedupWithIndex(spark, root,
+      union, "doc_id", "text"))
+    val copies = fin.filter(r => Seq(1L, 30L, 31L, 32L).contains(r._1))
+    assert(copies.count(_._3 == 0L) == 1 && copies.head._1 == 1L &&
+      copies.head._3 == 0L, s"copies=$copies")
+    assert(copies.filter(_._1 != 1L).forall(_._3 == 12L))
+  }
+
+  test("retractionsForShard: a smaller-id shard copy displaces the published canonical; a larger-id copy retracts nothing") {
+    val root = tmpRoot("retract")
+    val base = docs(10, 3) // ids 10..12
+    ExactSubstrStore.buildIndex(base, "doc_id", "text", root, params)
+    // larger-id clone: existing occurrence stays canonical -> no feed
+    ExactSubstrStore.addShard(spark, root, clone(base, 11L, 40L, 12),
+      "doc_id", "text", "s1")
+    assert(ExactSubstrStore.retractionsForShard(spark, root, "s1").count() == 0)
+    // smaller-id clone of doc 12: the shard copy (id 5) steals canonical
+    // for every one of doc 12's windows — the feed names doc 12's
+    // displaced window positions (12 tokens, minLen 5 -> pos 0..7)
+    ExactSubstrStore.addShard(spark, root, clone(base, 12L, 5L, 12),
+      "doc_id", "text", "s2")
+    val feed = ExactSubstrStore.retractionsForShard(spark, root, "s2")
+      .as[(Long, Int)].collect().sortBy(_._2).toSeq
+    assert(feed == (0 until 8).map(p => (12L, p)))
+    // and the union readout agrees with batch: doc 5 (smallest id) is
+    // now the surviving copy, doc 12 loses its span
+    val union = base.unionByName(clone(base, 11L, 40L, 12))
+      .unionByName(clone(base, 12L, 5L, 12))
+    val fin = collectReport(ExactSubstrStore.dedupWithIndex(spark, root,
+      union, "doc_id", "text"))
+    assert(fin == batch(union, params.minLen, digest = false))
+    assert(fin.find(_._1 == 5L).get._3 == 0L &&
+      fin.find(_._1 == 12L).get._3 == 12L)
+  }
+
+  test("empty base corpus: the valid streaming start — first shard behaves like batch on itself") {
+    val root = tmpRoot("empty")
+    ExactSubstrStore.buildIndex(docs(0, 0), "doc_id", "text", root, params)
+    val shard = docs(70, 2).unionByName(clone(docs(70, 2), 70L, 90L, 6))
+    val rep = collectReport(ExactSubstrStore.addShard(spark, root,
+      shard, "doc_id", "text", "s1"))
+    assert(rep == batch(shard, params.minLen, digest = false))
+    assert(rep.find(_._1 == 90L).get._3 == 6L)
+  }
+}

@@ -580,4 +580,39 @@ class TextEvalSpec extends SparkSpec {
     val r = TextAnalysis.rougeL(df, "cand", "ref").select("lcs").head().getInt(0)
     assert(r === 1) // any single token; reversal kills subsequence order
   }
+
+  test("token_splice: value-identical to the array_join/filter HOF spelling") {
+    import graft.functions.SpliceFunctions.token_splice
+    // every divergence channel: middle/edge removals, empty removals,
+    // NULL removals (the left-join miss), full removal, empty tokens,
+    // out-of-range and never-matching entries, null token slots
+    val rows = spark.sql("""
+      select * from values
+        (1, array('a','b','c','d'), array(1, 2)),
+        (2, array('a','b','c'),     array(0)),
+        (3, array('a','b','c'),     array(2)),
+        (4, array('a','b','c'),     cast(array() as array<int>)),
+        (5, array('a','b','c'),     cast(null as array<int>)),
+        (6, array('a','b','c'),     array(0, 1, 2)),
+        (7, cast(array() as array<string>), array(0)),
+        (8, array('a', cast(null as string), 'b'), array(0)),
+        (9, array('a','b'),         array(-3, 5, 17)),
+        (10, cast(null as array<string>), array(0))
+        as t(id, toks, rm)""")
+    val native = rows.select(col("id"),
+      token_splice(col("toks"), col("rm")).as("s"))
+    val hof = rows.select(col("id"),
+      array_join(filter(col("toks"), (_, i) =>
+        not(coalesce(array_contains(col("rm"), i), lit(false)))),
+        " ").as("s"))
+    assert(native.exceptAll(hof).isEmpty && hof.exceptAll(native).isEmpty,
+      s"native:\n${native.orderBy("id").collect().mkString("\n")}\n" +
+        s"hof:\n${hof.orderBy("id").collect().mkString("\n")}")
+    // pinned literals for the load-bearing edges
+    val got = native.orderBy("id").collect()
+      .map(r => r.getInt(0) -> (if (r.isNullAt(1)) null else r.getString(1)))
+      .toMap
+    assert(got(1) == "a d" && got(5) == "a b c" && got(6) == "" &&
+      got(7) == "" && got(8) == "b" && got(9) == "a b" && got(10) == null)
+  }
 }
