@@ -172,8 +172,10 @@ object ExactSubstrStore {
       .agg(count(lit(1)).as("__c"),
         min(struct(col("id"), col("pos"))).as("__canon"))
       .filter(col("__c") >= 2)
+    val shardHits = w.join(dupState.select(col("__gk")), Seq("__gk"),
+      "left_semi")
     val report = spliceReport(tok,
-      coverage(w, dupState,
+      coverage(shardHits, dupState,
         broadcast(tok.select(col("id")).distinct()), p.minLen))
     // materialize the report BEFORE the index write: its lazy plan
     // scans windows/, and writing this shard's partition first would
@@ -255,10 +257,12 @@ object ExactSubstrStore {
     * coverage stage bit for bit. `ids` arrives pre-wrapped by the
     * caller: [[addShard]] passes `broadcast(ids)` (shard-bounded);
     * [[dedupWithIndex]] passes it plain (a full-union readout's id set
-    * is not broadcastable — AQE picks the join strategy). */
-  private def coverage(w: DataFrame, dupState: DataFrame,
+    * is not broadcastable — AQE picks the join strategy). `hits` must
+    * already be filtered to duplicated-key windows — hoisted to the
+    * callers because [[dedupWithIndex]] arrives pre-filtered and a
+    * second gk semi-join here would be two wasted exchanges. */
+  private def coverage(hits: DataFrame, dupState: DataFrame,
       ids: DataFrame, minLen: Int): DataFrame = {
-    val hits = w.join(dupState.select(col("__gk")), Seq("__gk"), "left_semi")
     val covDup = hits.select(col("id"),
         explode(sequence(col("pos"), col("pos") + (minLen - 1))).as("p"))
       .distinct()

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ops.{CrossModal, Dedup, IncrementalDedup, IVF, Multimodal, Similarity, TextAnalysis}
+import graft.ops.{CrossModal, Dedup, ExactSubstrStore, IncrementalDedup, IVF, Multimodal, Similarity, TextAnalysis}
 
 /** Oracle-checked / rows-checked query surface for the training-data-pipeline
   * extension operators (dedup, similarity search, text analysis) over the
@@ -3576,6 +3576,36 @@ object ExtensionQueries {
     "x180_exact_substr" -> ((s, dir) => {
       Dedup.exactSubstrDedup(exactSubstrCorpus(t(s, dir, "documents")),
           "doc_id", "text", minLen = 20)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("doc_id"))
+    }),
+
+    // Incremental ExactSubstr (x182): originals build the persisted
+    // window index, the clones arrive as a shard — addShard's as-of
+    // report (clone ids) unioned with the store readout of the base
+    // (dedupWithIndex) must equal ONE batch run over the union, so the
+    // oracle is x180's full SQL replay verbatim. This is the strongest
+    // form of the x49 ingest≡batch equivalence: per-doc rebuilt text,
+    // not agreement booleans. Bounded to docs<500 for the same reason
+    // x49 is bounded to 300: the check intentionally pays index build +
+    // ingest + a full store readout + the replay, and the bound keeps
+    // the benched cost flat across scale factors — the equivalence
+    // claim itself is structural (the store's windows ARE the batch
+    // span frame), not size-dependent; the scale curve lives in
+    // DedupScaleSmoke.
+    "x182_exact_substr_store" -> ((s, dir) => {
+      val root = ParityQueries.tmpPath("graft_exsubstore", dir)
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+      val base = t(s, dir, "documents").filter(col("doc_id") < 500)
+        .select(col("doc_id"), col("text"))
+      val clones = exactSubstrCorpus(base).filter(col("doc_id") >= 40000)
+      ExactSubstrStore.buildIndex(base, "doc_id", "text", root,
+        ExactSubstrStore.Params(minLen = 20))
+      val cloneRep = ExactSubstrStore.addShard(s, root, clones,
+        "doc_id", "text", "clones")
+      val baseRep = ExactSubstrStore.dedupWithIndex(s, root, base,
+        "doc_id", "text")
+      baseRep.unionByName(cloneRep)
         .withColumnRenamed("id", "doc_id")
         .orderBy(col("doc_id"))
     }),
@@ -8148,6 +8178,63 @@ object ExtensionQueries {
         |  SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'),
         |    x -> len(x) > 0) AS toks
         |  FROM documents),
+        |corpus AS (
+        |  SELECT doc_id, toks FROM tokb
+        |  UNION ALL
+        |  SELECT doc_id + 40000 AS doc_id,
+        |    list_slice(toks, 1, CAST(20 + doc_id % 35 AS INT)) AS toks
+        |  FROM tokb WHERE doc_id < 40),
+        |spans AS (
+        |  SELECT doc_id, i AS pos,
+        |    array_to_string(list_slice(toks, i + 1, i + 20), ' ') AS gram
+        |  FROM corpus, UNNEST(CASE WHEN len(toks) >= 20
+        |    THEN range(0, len(toks) - 19) ELSE [] END) AS u(i)),
+        |dupg AS (SELECT gram FROM spans GROUP BY gram HAVING count(*) >= 2),
+        |dspans AS (SELECT s.doc_id, s.pos, s.gram
+        |  FROM spans s JOIN dupg USING (gram)),
+        |canon AS (
+        |  SELECT doc_id, pos FROM (
+        |    SELECT doc_id, pos, row_number() OVER (PARTITION BY gram
+        |      ORDER BY doc_id, pos) AS rn
+        |    FROM dspans) WHERE rn = 1),
+        |covdup AS (
+        |  SELECT DISTINCT doc_id, pos + d AS p
+        |  FROM dspans, UNNEST(range(0, 20)) AS u(d)),
+        |covcanon AS (
+        |  SELECT DISTINCT doc_id, pos + d AS p
+        |  FROM canon, UNNEST(range(0, 20)) AS u(d)),
+        |removed AS (
+        |  SELECT cd.doc_id, cd.p
+        |  FROM covdup cd LEFT JOIN covcanon cc
+        |    ON cd.doc_id = cc.doc_id AND cd.p = cc.p
+        |  WHERE cc.p IS NULL),
+        |tokpos AS (
+        |  SELECT doc_id, i AS pos, toks[CAST(i + 1 AS INT)] AS tok
+        |  FROM corpus, UNNEST(CASE WHEN len(toks) > 0
+        |    THEN range(0, len(toks)) ELSE [] END) AS u(i)),
+        |clean AS (
+        |  SELECT tp.doc_id,
+        |    sum(CASE WHEN r.p IS NOT NULL THEN 1 ELSE 0 END) AS n_removed,
+        |    coalesce(string_agg(CASE WHEN r.p IS NULL THEN tp.tok END,
+        |      ' ' ORDER BY tp.pos), '') AS clean_text
+        |  FROM tokpos tp
+        |  LEFT JOIN removed r ON tp.doc_id = r.doc_id AND tp.pos = r.p
+        |  GROUP BY tp.doc_id)
+        |SELECT c.doc_id, CAST(len(c.toks) AS BIGINT) AS n_tokens,
+        |  CAST(coalesce(cl.n_removed, 0) AS BIGINT) AS n_removed,
+        |  coalesce(cl.clean_text, '') AS clean_text
+        |FROM corpus c LEFT JOIN clean cl USING (doc_id)
+        |ORDER BY c.doc_id""".stripMargin,
+
+    // x182: the store path is pinned to the SAME batch replay as x180 —
+    // the whole point of the equivalence contract (ingest ≡ batch over
+    // the union) is that DuckDB cannot tell which engine path produced
+    // the frame
+    "x182_exact_substr_store" ->
+      """WITH tokb AS (
+        |  SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'),
+        |    x -> len(x) > 0) AS toks
+        |  FROM documents WHERE doc_id < 500),
         |corpus AS (
         |  SELECT doc_id, toks FROM tokb
         |  UNION ALL

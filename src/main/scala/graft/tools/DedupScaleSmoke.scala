@@ -150,6 +150,37 @@ object DedupScaleSmoke {
         .count())
     println(s"[dedup-scale] retraction rows: base=$retrBase x10=$retr10")
 
+    // r15: ExactSubstr store — the touched-sized-vs-corpus-sized point
+    // for the LAST dedup family to get an ingest twin. The shard's dup
+    // half shares a 32-token prefix with indexed docs (salt 7, ids
+    // 5000..), so with minLen=20 every shard dup carries 13 duplicated
+    // windows whose canonical (smaller id) lives in the index. The
+    // claim under test: ingest re-reads NO corpus text — its one
+    // index-sized input is the narrow windows/ scan under a broadcast
+    // key semi-join — where the batch alternative re-pays the full
+    // corpus-wide window aggregate per arrival.
+    val esRoot = root + "_exsub"
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(esRoot))
+    val esP = graft.ops.ExactSubstrStore.Params(minLen = 20,
+      digestKeys = true)
+    time("exsub index build (once)")(
+      graft.ops.ExactSubstrStore.buildIndex(corpusPq, "doc_id", "text",
+        esRoot, esP))
+    val esRep = time(s"exsub shard ingest (${2 * shardN})")(
+      graft.ops.ExactSubstrStore.addShard(spark, esRoot, shard,
+        "doc_id", "text", "s1"))
+    val esTrimmed = esRep.filter(col("n_removed") > 0).count()
+    println(s"[dedup-scale] exsub shard docs trimmed=$esTrimmed (planted $shardN)")
+    require(esTrimmed == shardN,
+      s"expected exactly the $shardN planted prefix dups trimmed, got $esTrimmed")
+    val esFull = time("vs full exsub batch (the alternative)") {
+      Dedup.exactSubstrDedup(corpusPq.unionByName(shard), "doc_id", "text",
+          minLen = 20, digestKeys = true)
+        .agg(sum(when(col("n_removed") > 0, 1).otherwise(0))).head().getLong(0)
+    }
+    println(s"[dedup-scale] full exsub batch trimmed=$esFull")
+    graft.bench.StageTimers.drain()
+
     // r12: prefix-filter EXACT Jaccard at scale. The uniform word-soup
     // corpus above is the operator's documented worst case — a CLOSED
     // small vocabulary (5k words across 200k docs) has no genuinely

@@ -554,7 +554,18 @@ class PlanGuardSpec extends SparkSpec {
       // doc rollup), id-keyed broadcasts, zero cartesians; the spans
       // twin adds its one id-PARTITIONED gaps-and-islands window
       ("x180_exact_substr", 7, 4),
-      ("x181_exact_substr_spans", 7, 4))
+      ("x181_exact_substr_spans", 7, 4),
+      // r15: the store-ingest equivalence fixture — the audited plan is
+      // the RETURNED frame: the dedupWithIndex readout (count pass over
+      // stored windows, argmin over duplicates, semi-joins, coverage
+      // distincts, doc rollup) unioned with the already-materialized
+      // (localCheckpoint-truncated) addShard report. Nine exchanges:
+      // window count agg, the dup semi-join's scan side, the id
+      // semi-join pair (full-union readout ids are not broadcastable
+      // by design), two coverage distincts, removal rollup, token-frame
+      // join, union alignment — canon argmin and the coverage join
+      // reuse the gk / (id, p) partitioning of their inputs
+      ("x182_exact_substr_store", 9, 0))
     val parity = ParityQueries.queries.keySet
     budgets.foreach { case (name, shuf, minBcast) =>
       val df =
