@@ -46,6 +46,30 @@ object DedupScaleSmoke {
     val corpusPq = spark.read.parquet(corpusPath)
 
     time(s"corpus count (${n + 5000})")(corpusPq.count())
+
+    // shard fixture (used by both the MinHash-incremental and the
+    // ExactSubstr-store phases): 2% of corpus size — half fresh docs,
+    // half near-dups of indexed docs (same salt-7 prefix, re-rolled tail)
+    val shardN = math.max(n / 100, 1000L)
+    val shardFresh = spark.range(0, shardN, 1, 4)
+      .select((col("id") + 20000000L).as("doc_id"),
+        text(col("id"), 11, mutateTail = false).as("text"))
+    val shardDups = spark.range(5000, 5000 + shardN, 1, 4)
+      .select((col("id") + 30000000L).as("doc_id"),
+        text(col("id"), 7, mutateTail = true).as("text"))
+    val shardPath = corpusPath + "_shard"
+    shardFresh.unionByName(shardDups).write.mode("overwrite").parquet(shardPath)
+    val shard = spark.read.parquet(shardPath)
+    val root = System.getProperty("java.io.tmpdir") +
+      s"/graft_incdedup_smoke_p${ProcessHandle.current().pid()}"
+
+    // optional 2nd arg "exsub" runs ONLY the ExactSubstr-store phases —
+    // the TextScaleSmoke stage-filter convention, for standalone scale
+    // points at sizes where the MinHash/ICWS phases would dominate the
+    // wall-clock without adding evidence
+    val exsubOnly = args.lift(1).contains("exsub")
+
+    if (!exsubOnly) {
     // NOTE: minhashLshPairs materializes its candidate pairs EAGERLY in the
     // constructor — construct INSIDE the timed block or the heavy half of
     // the work escapes the timer (it did, in earlier rounds of this smoke)
@@ -69,24 +93,12 @@ object DedupScaleSmoke {
     // candidate-pruned shingle rows), where the alternative a production
     // pipeline avoids (re-running full dedup on corpus+shard at every
     // arrival) pays the corpus-sized LSH pass above every time.
-    val root = System.getProperty("java.io.tmpdir") +
-      s"/graft_incdedup_smoke_p${ProcessHandle.current().pid()}"
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
     val p = graft.ops.IncrementalDedup.Params(shingleW = 3, k = 32,
       bands = 8, threshold = 0.5, maxBucket = 256)
     time("index build (once)")(
       graft.ops.IncrementalDedup.buildIndex(corpusPq, "doc_id", "text",
         root, p, "init").count())
-    val shardN = math.max(n / 100, 1000L)
-    val shardFresh = spark.range(0, shardN, 1, 4)
-      .select((col("id") + 20000000L).as("doc_id"),
-        text(col("id"), 11, mutateTail = false).as("text"))
-    val shardDups = spark.range(5000, 5000 + shardN, 1, 4)
-      .select((col("id") + 30000000L).as("doc_id"),
-        text(col("id"), 7, mutateTail = true).as("text"))
-    val shardPath = corpusPath + "_shard"
-    shardFresh.unionByName(shardDups).write.mode("overwrite").parquet(shardPath)
-    val shard = spark.read.parquet(shardPath)
     val rep = time(s"shard ingest (${2 * shardN})")(
       graft.ops.IncrementalDedup.addShard(spark, root, shard,
         "doc_id", "text", "s1"))
@@ -149,6 +161,7 @@ object DedupScaleSmoke {
       graft.ops.IncrementalDedup.retractionsForShard(spark, root10, "s1")
         .count())
     println(s"[dedup-scale] retraction rows: base=$retrBase x10=$retr10")
+    } // !exsubOnly
 
     // r15: ExactSubstr store — the touched-sized-vs-corpus-sized point
     // for the LAST dedup family to get an ingest twin. The shard's dup
@@ -181,6 +194,7 @@ object DedupScaleSmoke {
     println(s"[dedup-scale] full exsub batch trimmed=$esFull")
     graft.bench.StageTimers.drain()
 
+    if (!exsubOnly) {
     // r12: prefix-filter EXACT Jaccard at scale. The uniform word-soup
     // corpus above is the operator's documented worst case — a CLOSED
     // small vocabulary (5k words across 200k docs) has no genuinely
@@ -247,6 +261,7 @@ object DedupScaleSmoke {
     }
     val wjPlanted = wj.filter(col("id_b") === col("id_a") + 10000000L).count()
     println(s"[dedup-scale] icws pairs=$nWj planted=$wjPlanted/5000")
+    } // !exsubOnly
 
     graft.bench.StageTimers.drain().toSeq.sortBy(-_._2).foreach { case (k, v) =>
       println(f"[dedup-scale]   stage $k%-32s $v%8.2fs")
