@@ -248,6 +248,61 @@ object ExactSubstrStore {
       .distinct()
   }
 
+  /** Consolidate the accumulated per-shard partitions of `windows/`
+    * into one — the file-count hygiene a continuously-ingesting store
+    * needs (daily shards for a year = 365 partition dirs whose listing
+    * and footer reads tax every probe). The [[IncrementalDedup
+    * .compactShards]] protocol: write the consolidated rows to a
+    * SIBLING staging dir, rename it in as a fresh deterministic
+    * partition, then delete the sources — every crash point is
+    * duplicate-or-nothing. One store-specific sharpening: unlike
+    * MinHash buckets/labels (where duplicate rows are harmless),
+    * duplicated window rows INFLATE counts — a unique span would read
+    * as duplicated — so (a) the consolidation dedups on the full
+    * (gk, id, pos) row, making a re-run after any crash absorb and
+    * repair leftovers, and (b) the crash window between rename and
+    * source deletion is a documented read hazard: complete (or re-run)
+    * a crashed compaction before trusting the next probe. Single
+    * writer, same as ingest.
+    *
+    * Compaction ENDS THE REPLAY WINDOW for the absorbed shards: their
+    * rows now live under the compacted partition, so a later
+    * [[addShard]] under an absorbed shard id would no longer exclude
+    * them (the in-flight filter prunes by partition name) and its
+    * windows would count twice. Only compact shards whose ingest has
+    * COMPLETED — the same upstream serialization the single-writer
+    * contract already requires. (A post-compaction
+    * [[retractionsForShard]] for an absorbed id likewise reads an
+    * empty shard partition and returns an empty feed.)
+    * Returns (partitions before, after). */
+  def compactShards(spark: SparkSession, root: String): (Int, Int) = {
+    val p = readMeta(spark, root)
+    val path = windowsPath(root)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dir = new org.apache.hadoop.fs.Path(path)
+    if (!fs.exists(dir)) return (0, 0)
+    val shardDirs = fs.listStatus(dir).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("ingest_shard="))
+      .map(_.getPath.getName.stripPrefix("ingest_shard="))
+    if (shardDirs.size <= 1) return (shardDirs.size, shardDirs.size)
+    val newId = "compacted_" + java.lang.Long.toHexString(
+      shardDirs.sorted.map(s => s.hashCode.toLong).sum & Long.MaxValue)
+    val stage = new org.apache.hadoop.fs.Path(path + "__compact_stage")
+    fs.delete(stage, true) // leftover from a crashed attempt
+    spark.read.schema(windowsSchema(p)).parquet(path)
+      .drop("ingest_shard")
+      .dropDuplicates("__gk", "id", "pos")
+      .write.mode("overwrite").parquet(stage.toString)
+    require(fs.rename(stage,
+      new org.apache.hadoop.fs.Path(dir, s"ingest_shard=$newId")),
+      s"compact promote failed: $stage")
+    shardDirs.foreach { s =>
+      fs.delete(new org.apache.hadoop.fs.Path(dir, s"ingest_shard=$s"), true)
+    }
+    (shardDirs.size, 1)
+  }
+
   /** The batch operator's coverage stage over an externally supplied
     * window/dup-state pair: (id, p, protected) for every position of
     * an `ids` doc covered by a duplicated window, protection = covered

@@ -3610,6 +3610,31 @@ object ExtensionQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Retraction feed (x183): the clones arrive with SMALLER ids than
+    // their sources (id - 40000), so every duplicated window's canonical
+    // MOVES to the shard copy and the already-published source doc's
+    // span becomes removable — retractionsForShard must name exactly
+    // the displaced (source id, window pos) occurrences. The oracle
+    // replays old-canonical (prior windows of shard-touched grams) vs
+    // new-canonical (prior ∪ shard) selection. Bounded like x182.
+    "x183_exact_substr_retractions" -> ((s, dir) => {
+      val root = ParityQueries.tmpPath("graft_exsubretr", dir)
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+      val base = t(s, dir, "documents").filter(col("doc_id") < 500)
+        .select(col("doc_id"), col("text"))
+      val toks = TextAnalysis.tokens(col("text"))
+      val clones = base.filter(col("doc_id") >= 40 && col("doc_id") < 80)
+        .select((col("doc_id") - 40000).as("doc_id"),
+          concat_ws(" ", slice(toks, lit(1),
+            (lit(20) + pmod(col("doc_id"), lit(35))).cast("int"))).as("text"))
+      ExactSubstrStore.buildIndex(base, "doc_id", "text", root,
+        ExactSubstrStore.Params(minLen = 20))
+      ExactSubstrStore.addShard(s, root, clones, "doc_id", "text", "steal")
+      ExactSubstrStore.retractionsForShard(s, root, "steal")
+        .select(col("id").as("doc_id"), col("pos").cast("long").as("pos"))
+        .orderBy(col("doc_id"), col("pos"))
+    }),
+
     // Span-evidence twin (x181): the maximal variable-length repeated
     // spans themselves — each planted clone span appears once with
     // kept=true (the source copy) and once with kept=false (the clone),
@@ -8282,6 +8307,46 @@ object ExtensionQueries {
         |  coalesce(cl.clean_text, '') AS clean_text
         |FROM corpus c LEFT JOIN clean cl USING (doc_id)
         |ORDER BY c.doc_id""".stripMargin,
+
+    // x183: old-canonical (prior windows of shard-touched grams) vs
+    // new-canonical (prior ∪ shard) selection, emitting the displaced
+    // prior occurrences — the retraction feed replayed
+    "x183_exact_substr_retractions" ->
+      """WITH tokb AS (
+        |  SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'),
+        |    x -> len(x) > 0) AS toks
+        |  FROM documents WHERE doc_id < 500),
+        |clones AS (
+        |  SELECT doc_id - 40000 AS doc_id,
+        |    list_slice(toks, 1, CAST(20 + doc_id % 35 AS INT)) AS toks
+        |  FROM tokb WHERE doc_id >= 40 AND doc_id < 80),
+        |spans_base AS (
+        |  SELECT doc_id, i AS pos,
+        |    array_to_string(list_slice(toks, i + 1, i + 20), ' ') AS gram
+        |  FROM tokb, UNNEST(CASE WHEN len(toks) >= 20
+        |    THEN range(0, len(toks) - 19) ELSE [] END) AS u(i)),
+        |spans_clone AS (
+        |  SELECT doc_id, i AS pos,
+        |    array_to_string(list_slice(toks, i + 1, i + 20), ' ') AS gram
+        |  FROM clones, UNNEST(CASE WHEN len(toks) >= 20
+        |    THEN range(0, len(toks) - 19) ELSE [] END) AS u(i)),
+        |touched AS (SELECT b.* FROM spans_base b
+        |  WHERE b.gram IN (SELECT gram FROM spans_clone)),
+        |oldc AS (
+        |  SELECT gram, doc_id, pos FROM (
+        |    SELECT gram, doc_id, pos,
+        |      row_number() OVER (PARTITION BY gram ORDER BY doc_id, pos) AS rn
+        |    FROM touched) WHERE rn = 1),
+        |newc AS (
+        |  SELECT gram, doc_id, pos FROM (
+        |    SELECT gram, doc_id, pos,
+        |      row_number() OVER (PARTITION BY gram ORDER BY doc_id, pos) AS rn
+        |    FROM (SELECT * FROM touched
+        |          UNION ALL SELECT * FROM spans_clone)) WHERE rn = 1)
+        |SELECT DISTINCT o.doc_id, CAST(o.pos AS BIGINT) AS pos
+        |FROM oldc o JOIN newc n USING (gram)
+        |WHERE o.doc_id <> n.doc_id OR o.pos <> n.pos
+        |ORDER BY o.doc_id, pos""".stripMargin,
 
     // x181: same detection CTEs, then gaps-and-islands over the per-doc
     // covered positions; kept = every position canonical-protected

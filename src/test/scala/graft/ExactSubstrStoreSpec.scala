@@ -148,6 +148,39 @@ class ExactSubstrStoreSpec extends SparkSpec {
       fin.find(_._1 == 12L).get._3 == 12L)
   }
 
+  test("compactShards: one partition, identical readout; crash leftovers absorbed and repaired") {
+    val root = tmpRoot("compact")
+    val base = docs(0, 4)
+    ExactSubstrStore.buildIndex(base, "doc_id", "text", root, params)
+    ExactSubstrStore.addShard(spark, root, clone(base, 1L, 20L, 12),
+      "doc_id", "text", "s1")
+    ExactSubstrStore.addShard(spark, root, clone(base, 2L, 21L, 9),
+      "doc_id", "text", "s2")
+    val union = base.unionByName(clone(base, 1L, 20L, 12))
+      .unionByName(clone(base, 2L, 21L, 9))
+    val before = collectReport(ExactSubstrStore.dedupWithIndex(spark, root,
+      union, "doc_id", "text"))
+    assert(ExactSubstrStore.compactShards(spark, root) == ((3, 1)))
+    assert(collectReport(ExactSubstrStore.dedupWithIndex(spark, root,
+      union, "doc_id", "text")) == before)
+    // idempotent: a single partition is left alone
+    assert(ExactSubstrStore.compactShards(spark, root) == ((1, 1)))
+    // simulate the documented crash window (rename done, sources not yet
+    // deleted): a leftover partition duplicating every row — a re-run
+    // must absorb it and DEDUP, not double the counts
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val wdir = new org.apache.hadoop.fs.Path(s"$root/windows")
+    val parts = fs.listStatus(wdir)
+      .filter(_.getPath.getName.startsWith("ingest_shard=")).map(_.getPath)
+    org.apache.hadoop.fs.FileUtil.copy(fs, parts.head, fs,
+      new org.apache.hadoop.fs.Path(wdir, "ingest_shard=leftover"),
+      false, spark.sparkContext.hadoopConfiguration)
+    assert(ExactSubstrStore.compactShards(spark, root) == ((2, 1)))
+    assert(collectReport(ExactSubstrStore.dedupWithIndex(spark, root,
+      union, "doc_id", "text")) == before)
+  }
+
   test("empty base corpus: the valid streaming start — first shard behaves like batch on itself") {
     val root = tmpRoot("empty")
     ExactSubstrStore.buildIndex(docs(0, 0), "doc_id", "text", root, params)

@@ -565,7 +565,13 @@ class PlanGuardSpec extends SparkSpec {
       // by design), two coverage distincts, removal rollup, token-frame
       // join, union alignment — canon argmin and the coverage join
       // reuse the gk / (id, p) partitioning of their inputs
-      ("x182_exact_substr_store", 9, 0))
+      ("x182_exact_substr_store", 9, 0),
+      // r15: the retraction feed — six exchanges: the old-canonical and
+      // new-canonical argmin aggregates over the shard-touched slice
+      // (each pays a gk exchange on its input side; the union leg
+      // re-aligns), the gk-keyed join of the two canonicals, and the
+      // distinct of the displaced rows; the key semi-join broadcasts
+      ("x183_exact_substr_retractions", 6, 1))
     val parity = ParityQueries.queries.keySet
     budgets.foreach { case (name, shuf, minBcast) =>
       val df =
