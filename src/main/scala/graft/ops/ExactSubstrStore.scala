@@ -154,17 +154,29 @@ object ExactSubstrStore {
     * Returns the shard's as-of report (id, n_tokens, n_removed,
     * clean_text) — pinned equal to `Dedup.exactSubstrDedup(union so
     * far).filter(id in shard)`. */
+  /** Broadcast gate for the key semi-join: a shard's distinct window
+    * keys are ~its token count, and broadcasting is only sane while
+    * that fits comfortably on the driver/executors (8 B longs in
+    * digest mode → the default ~32 MB). A jumbo shard falls back to a
+    * shuffle semi-join — the INDEX side then rides one gk exchange,
+    * which is exactly the price batch would pay anyway at that shard
+    * size, so the fallback degrades gracefully instead of OOMing the
+    * driver with a hinted broadcast Spark cannot refuse. */
+  val MaxBroadcastKeys: Long = 4000000L
+
   def addShard(spark: SparkSession, root: String, shard: DataFrame,
-      idCol: String, textCol: String, shardId: String): DataFrame = {
+      idCol: String, textCol: String, shardId: String,
+      maxBroadcastKeys: Long = MaxBroadcastKeys): DataFrame = {
     val p = readMeta(spark, root)
     val tok = shard.select(col(idCol).as("id"),
       TextAnalysis.tokens(col(textCol)).as("toks"))
     val w = windowFrame(shard, idCol, textCol, p)
     val shardKeys = w.select(col("__gk")).distinct()
     // the ONE index-sized operation: narrow scan, no exchange of index
-    // rows — the broadcast side is shard-token-bounded
+    // rows while the broadcast gate holds (see MaxBroadcastKeys)
     val touched = readWindows(spark, root, p, excludeShard = Some(shardId))
-      .join(broadcast(shardKeys), Seq("__gk"), "left_semi")
+      .join(gateBroadcast(shardKeys, maxBroadcastKeys), Seq("__gk"),
+        "left_semi")
     val unioned = w.unionByName(touched)
     // union-state per key: groups = shard keys only, so the fused
     // count+argmin is touched-sized by construction
@@ -229,7 +241,8 @@ object ExactSubstrStore {
     * window that stayed canonical). Empty when every shard occurrence
     * lost to existing canonicals — the common append-mostly case. */
   def retractionsForShard(spark: SparkSession, root: String,
-      shardId: String): DataFrame = {
+      shardId: String,
+      maxBroadcastKeys: Long = MaxBroadcastKeys): DataFrame = {
     val p = readMeta(spark, root)
     val all = spark.read.schema(windowsSchema(p)).parquet(windowsPath(root))
     val wS = all.filter(col("ingest_shard") === lit(shardId))
@@ -237,7 +250,8 @@ object ExactSubstrStore {
     val prior = all.filter(col("ingest_shard") =!= lit(shardId))
       .select(col("__gk"), col("id"), col("pos"))
     val shardKeys = wS.select(col("__gk")).distinct()
-    val touched = prior.join(broadcast(shardKeys), Seq("__gk"), "left_semi")
+    val touched = prior.join(gateBroadcast(shardKeys, maxBroadcastKeys),
+      Seq("__gk"), "left_semi")
     val oldCanon = touched.groupBy(col("__gk"))
       .agg(min(struct(col("id"), col("pos"))).as("__old"))
     val newCanon = touched.unionByName(wS).groupBy(col("__gk"))
@@ -332,6 +346,15 @@ object ExactSubstrStore {
       .select(col("id"), col("p"),
         coalesce(col("__prot"), lit(false)).as("protected"))
   }
+
+  /** Apply the [[MaxBroadcastKeys]] gate: hint broadcast while the key
+    * frame is provably small, else return it unhinted (the semi-join
+    * then plans as a shuffle join — index rows pay one gk exchange,
+    * the batch-equivalent price at jumbo shard sizes). The count is
+    * one job over the shard-sized key frame — noise next to the probe
+    * it sizes. */
+  private def gateBroadcast(keys: DataFrame, maxKeys: Long): DataFrame =
+    if (keys.count() <= maxKeys) broadcast(keys) else keys
 
   /** Rebuild leg shared by [[addShard]] / [[dedupWithIndex]]: the
     * batch operator's splice over (id, toks) x (id, p, protected). */

@@ -181,6 +181,26 @@ class ExactSubstrStoreSpec extends SparkSpec {
       union, "doc_id", "text")) == before)
   }
 
+  test("jumbo-shard broadcast fallback (maxBroadcastKeys = 0) is result-identical") {
+    // forces the shuffle semi-join path of the key probe — the gate's
+    // graceful degradation for shards too big to broadcast
+    val rootA = tmpRoot("gate_a")
+    val rootB = tmpRoot("gate_b")
+    val base = docs(0, 5)
+    val shard = docs(60, 2).unionByName(clone(base, 3L, 70L, 10))
+    for (root <- Seq(rootA, rootB))
+      ExactSubstrStore.buildIndex(base, "doc_id", "text", root, params)
+    val repBcast = collectReport(ExactSubstrStore.addShard(spark, rootA,
+      shard, "doc_id", "text", "s1"))
+    val repShuffle = collectReport(ExactSubstrStore.addShard(spark, rootB,
+      shard, "doc_id", "text", "s1", maxBroadcastKeys = 0L))
+    assert(repBcast == repShuffle)
+    assert(repShuffle.find(_._1 == 70L).get._3 == 10L)
+    assert(ExactSubstrStore.retractionsForShard(spark, rootB, "s1",
+      maxBroadcastKeys = 0L).count() ==
+      ExactSubstrStore.retractionsForShard(spark, rootA, "s1").count())
+  }
+
   test("empty base corpus: the valid streaming start — first shard behaves like batch on itself") {
     val root = tmpRoot("empty")
     ExactSubstrStore.buildIndex(docs(0, 0), "doc_id", "text", root, params)
