@@ -3610,6 +3610,39 @@ object ExtensionQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Streaming ExactSubstr ingestion (x184): cold-start window index,
+    // originals and clones arrive as separate micro-batches through
+    // exactSubstrIngestSink (file source, one file per trigger), and
+    // the FINAL store readout must equal one batch run over everything
+    // streamed — canonical selection is arrival-order-invariant, so the
+    // oracle is the same x180 batch replay bounded to the fixture.
+    // Bounded to docs<200: the benched cost is stream start/stop +
+    // two shard ingests, the x178 lifecycle class.
+    "x184_stream_exact_substr" -> ((s, dir) => {
+      val root = ParityQueries.tmpPath("graft_sexsub", dir)
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+      val base = t(s, dir, "documents").filter(col("doc_id") < 200)
+        .select(col("doc_id"), col("text"))
+      val toks = TextAnalysis.tokens(col("text"))
+      val clones = base.filter(col("doc_id") < 40)
+        .select((col("doc_id") + 40000).as("doc_id"),
+          concat_ws(" ", slice(toks, lit(1),
+            (lit(20) + pmod(col("doc_id"), lit(35))).cast("int"))).as("text"))
+      ExactSubstrStore.buildIndex(base.filter(lit(false)), "doc_id", "text",
+        s"$root/idx", ExactSubstrStore.Params(minLen = 20))
+      base.repartition(1).write.parquet(s"$root/in")
+      clones.repartition(1).write.mode("append").parquet(s"$root/in")
+      val feed = s.readStream.schema(base.schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$root/in")
+      val sq = graft.streaming.EventStreams.exactSubstrIngestSink(feed,
+        "doc_id", "text", s"$root/idx", s"$root/reports", s"$root/ckpt")
+      try sq.processAllAvailable() finally sq.stop()
+      ExactSubstrStore.dedupWithIndex(s, s"$root/idx",
+          base.unionByName(clones), "doc_id", "text")
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("doc_id"))
+    }),
+
     // Retraction feed (x183): the clones arrive with SMALLER ids than
     // their sources (id - 40000), so every duplicated window's canonical
     // MOVES to the shard copy and the already-published source doc's
@@ -8347,6 +8380,62 @@ object ExtensionQueries {
         |FROM oldc o JOIN newc n USING (gram)
         |WHERE o.doc_id <> n.doc_id OR o.pos <> n.pos
         |ORDER BY o.doc_id, pos""".stripMargin,
+
+    // x184: the streamed store's final state is pinned to the SAME
+    // batch replay (arrival-order-invariant canonical selection),
+    // bounded to the docs<200 fixture
+    "x184_stream_exact_substr" ->
+      """WITH tokb AS (
+        |  SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'),
+        |    x -> len(x) > 0) AS toks
+        |  FROM documents WHERE doc_id < 200),
+        |corpus AS (
+        |  SELECT doc_id, toks FROM tokb
+        |  UNION ALL
+        |  SELECT doc_id + 40000 AS doc_id,
+        |    list_slice(toks, 1, CAST(20 + doc_id % 35 AS INT)) AS toks
+        |  FROM tokb WHERE doc_id < 40),
+        |spans AS (
+        |  SELECT doc_id, i AS pos,
+        |    array_to_string(list_slice(toks, i + 1, i + 20), ' ') AS gram
+        |  FROM corpus, UNNEST(CASE WHEN len(toks) >= 20
+        |    THEN range(0, len(toks) - 19) ELSE [] END) AS u(i)),
+        |dupg AS (SELECT gram FROM spans GROUP BY gram HAVING count(*) >= 2),
+        |dspans AS (SELECT s.doc_id, s.pos, s.gram
+        |  FROM spans s JOIN dupg USING (gram)),
+        |canon AS (
+        |  SELECT doc_id, pos FROM (
+        |    SELECT doc_id, pos, row_number() OVER (PARTITION BY gram
+        |      ORDER BY doc_id, pos) AS rn
+        |    FROM dspans) WHERE rn = 1),
+        |covdup AS (
+        |  SELECT DISTINCT doc_id, pos + d AS p
+        |  FROM dspans, UNNEST(range(0, 20)) AS u(d)),
+        |covcanon AS (
+        |  SELECT DISTINCT doc_id, pos + d AS p
+        |  FROM canon, UNNEST(range(0, 20)) AS u(d)),
+        |removed AS (
+        |  SELECT cd.doc_id, cd.p
+        |  FROM covdup cd LEFT JOIN covcanon cc
+        |    ON cd.doc_id = cc.doc_id AND cd.p = cc.p
+        |  WHERE cc.p IS NULL),
+        |tokpos AS (
+        |  SELECT doc_id, i AS pos, toks[CAST(i + 1 AS INT)] AS tok
+        |  FROM corpus, UNNEST(CASE WHEN len(toks) > 0
+        |    THEN range(0, len(toks)) ELSE [] END) AS u(i)),
+        |clean AS (
+        |  SELECT tp.doc_id,
+        |    sum(CASE WHEN r.p IS NOT NULL THEN 1 ELSE 0 END) AS n_removed,
+        |    coalesce(string_agg(CASE WHEN r.p IS NULL THEN tp.tok END,
+        |      ' ' ORDER BY tp.pos), '') AS clean_text
+        |  FROM tokpos tp
+        |  LEFT JOIN removed r ON tp.doc_id = r.doc_id AND tp.pos = r.p
+        |  GROUP BY tp.doc_id)
+        |SELECT c.doc_id, CAST(len(c.toks) AS BIGINT) AS n_tokens,
+        |  CAST(coalesce(cl.n_removed, 0) AS BIGINT) AS n_removed,
+        |  coalesce(cl.clean_text, '') AS clean_text
+        |FROM corpus c LEFT JOIN clean cl USING (doc_id)
+        |ORDER BY c.doc_id""".stripMargin,
 
     // x181: same detection CTEs, then gaps-and-islands over the per-doc
     // covered positions; kept = every position canonical-protected

@@ -397,6 +397,53 @@ object EventStreams {
       }
       .start()
 
+  /** Streaming corpus ingestion with incremental EXACT-SUBSTRING dedup
+    * (the Lee et al. '22 keep-one member of the store-sink family,
+    * completing it: [[incrementalDedupSink]] covers near-dup MinHash,
+    * [[semDedupSink]] covers embedding SemDeDup): every micro-batch
+    * ingests against the persisted window index
+    * ([[graft.ops.ExactSubstrStore.addShard]]), lands its as-of dedup
+    * report (id, n_tokens, n_removed, clean_text) under `reportPath`
+    * partitioned by batch_id, and — when `retractionPath` is set —
+    * publishes the displaced-canonical feed
+    * ([[graft.ops.ExactSubstrStore.retractionsForShard]]) for spans
+    * earlier batches already published whose canonical this batch
+    * stole. Crash replay is exactly-once on index state for the same
+    * reason as [[incrementalDedupSink]]: the batch id IS the shard id,
+    * addShard's dynamic partition overwrite replaces exactly that
+    * partition, and the probe excludes the in-flight shard. The index
+    * must exist — [[graft.ops.ExactSubstrStore.buildIndex]] on the
+    * historical corpus, or on an empty frame to start cold. */
+  def exactSubstrIngestSink(docs: DataFrame, idCol: String, textCol: String,
+      indexRoot: String, reportPath: String, checkpoint: String,
+      retractionPath: Option[String] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val spark = batch.sparkSession
+          graft.ops.ExactSubstrStore.addShard(spark, indexRoot,
+              batch, idCol, textCol, s"stream_$batchId")
+            .withColumn("batch_id", lit(batchId))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(reportPath)
+          retractionPath.foreach { rp =>
+            graft.ops.ExactSubstrStore.retractionsForShard(spark, indexRoot,
+                s"stream_$batchId")
+              .withColumn("batch_id", lit(batchId))
+              .write.mode("overwrite")
+              .option("partitionOverwriteMode", "dynamic")
+              .partitionBy("batch_id")
+              .parquet(rp)
+          }
+        }
+        ()
+      }
+      .start()
+
   /** Stream embedding shards into a persisted SemDeDup store
     * ([[graft.ops.SemDedupStore]]) — the semantic-dedup member of the
     * streaming-ingest family ([[incrementalDedupSink]] = MinHash text

@@ -571,7 +571,12 @@ class PlanGuardSpec extends SparkSpec {
       // (each pays a gk exchange on its input side; the union leg
       // re-aligns), the gk-keyed join of the two canonicals, and the
       // distinct of the displaced rows; the key semi-join broadcasts
-      ("x183_exact_substr_retractions", 6, 1))
+      ("x183_exact_substr_retractions", 6, 1),
+      // r15: the streamed-store fixture (x178 lifecycle class) — the
+      // audited plan is the final dedupWithIndex readout (the same nine
+      // exchanges as x182's readout leg); the two micro-batch ingests
+      // ran as their own actions inside the sink
+      ("x184_stream_exact_substr", 9, 0))
     val parity = ParityQueries.queries.keySet
     budgets.foreach { case (name, shuf, minBcast) =>
       val df =

@@ -550,6 +550,61 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("exactSubstrIngestSink: streamed batches equal batch dedup over the union; retraction feed on canonical steal") {
+    import java.nio.file.Files
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("graft_exsubsink").toString
+    val p = graft.ops.ExactSubstrStore.Params(minLen = 5)
+    // cold start: window index over an EMPTY corpus
+    graft.ops.ExactSubstrStore.buildIndex(
+      Seq.empty[(Long, String)].toDF("doc_id", "text"),
+      "doc_id", "text", s"$dir/idx", p)
+    def doc(i: Long): String = (0 until 12).map(t => s"d${i}w$t").mkString(" ")
+    def prefix(i: Long, keep: Int): String =
+      doc(i).split(" ").take(keep).mkString(" ")
+    val input = MemoryStream[(Long, String)]
+    val q = EventStreams.exactSubstrIngestSink(
+      input.toDF().toDF("doc_id", "text"), "doc_id", "text",
+      s"$dir/idx", s"$dir/reports", s"$dir/ckpt",
+      retractionPath = Some(s"$dir/retractions"))
+    try {
+      // batch 1: two originals + a larger-id 8-token clone of doc 10
+      // (loses its copy at ingest; no retraction — canonical stays)
+      input.addData((10L, doc(10)), (11L, doc(11)), (100L, prefix(10, 8)))
+      q.processAllAvailable()
+      // batch 2: a SMALLER-id verbatim clone of doc 11 — steals the
+      // canonical, so batch 2's report keeps id 5 whole and the
+      // retraction feed names doc 11's displaced window positions
+      input.addData((5L, doc(11)))
+      q.processAllAvailable()
+      val reports = spark.read.parquet(s"$dir/reports")
+      assert(reports.select("batch_id").distinct().count() == 2)
+      assert(reports.filter($"id" === 100L).head().getAs[Long]("n_removed") == 8L)
+      assert(reports.filter($"id" === 5L).head().getAs[Long]("n_removed") == 0L)
+      // retractions: batch 1 none; batch 2 names (11, pos 0..7)
+      val retr = spark.read.parquet(s"$dir/retractions")
+      assert(retr.filter($"batch_id" === 0L).count() == 0)
+      assert(retr.filter($"batch_id" === 1L).select("id", "pos")
+        .as[(Long, Int)].collect().sortBy(_._2).toSeq ==
+        (0 until 8).map(pp => (11L, pp)))
+      // final store state ≡ one batch run over everything streamed
+      val union = Seq((10L, doc(10)), (11L, doc(11)), (100L, prefix(10, 8)),
+        (5L, doc(11))).toDF("doc_id", "text")
+      val fromStore = graft.ops.ExactSubstrStore.dedupWithIndex(spark,
+          s"$dir/idx", union, "doc_id", "text")
+        .select($"id", $"n_removed", $"clean_text")
+        .as[(Long, Long, String)].collect().sortBy(_._1).toSeq
+      val fromBatch = graft.ops.Dedup.exactSubstrDedup(union,
+          "doc_id", "text", minLen = 5)
+        .select($"id", $"n_removed", $"clean_text")
+        .as[(Long, Long, String)].collect().sortBy(_._1).toSeq
+      assert(fromStore == fromBatch)
+      // keep-one across the stream: doc 11 lost its span to the batch-2
+      // steal, id 5 holds the canonical copy
+      assert(fromStore.find(_._1 == 11L).get._2 == 12L)
+    } finally q.stop()
+  }
+
   test("incrementalDedupSink publishes per-batch retraction feeds for merged clusters") {
     // batch 1 publishes cluster {10, 11} rooted at 10; batch 2 brings the
     // SMALLER id 5 into the same exact-copy cluster, so the root drops and
