@@ -186,6 +186,24 @@ object DedupScaleSmoke {
     println(s"[dedup-scale] exsub shard docs trimmed=$esTrimmed (planted $shardN)")
     require(esTrimmed == shardN,
       s"expected exactly the $shardN planted prefix dups trimmed, got $esTrimmed")
+    // fixed-size second ingest: the SAME 4k-doc shard shape at every
+    // corpus size, so runs at different n isolate the ingest cost's
+    // index-size dependence (the only index-sized leg is the narrow
+    // windows/ scan — wall should grow far slower than corpus size)
+    val fixedShard = spark.range(0, 2000, 1, 4)
+      .select((col("id") + 40000000L).as("doc_id"),
+        text(col("id"), 17, mutateTail = false).as("text"))
+      .unionByName(spark.range(100000, 102000, 1, 4)
+        .select((col("id") + 50000000L).as("doc_id"),
+          text(col("id"), 7, mutateTail = true).as("text")))
+    val fixedPath = corpusPath + "_fixed_shard"
+    fixedShard.write.mode("overwrite").parquet(fixedPath)
+    val esRepF = time("exsub fixed-4k-shard ingest")(
+      graft.ops.ExactSubstrStore.addShard(spark, esRoot,
+        spark.read.parquet(fixedPath), "doc_id", "text", "s_fixed"))
+    println(s"[dedup-scale] exsub fixed-shard trimmed=" +
+      esRepF.filter(col("n_removed") > 0).count() +
+      s" (planted 2000 iff corpus >= 102k docs)")
     val esFull = time("vs full exsub batch (the alternative)") {
       Dedup.exactSubstrDedup(corpusPq.unionByName(shard), "doc_id", "text",
           minLen = 20, digestKeys = true)
