@@ -75,7 +75,13 @@ object Caching {
     var n = 0
     var release = registry.poll()
     while (release != null) {
-      if (scala.util.Try(release()).isSuccess) n += 1
+      scala.util.Try(release()) match {
+        case scala.util.Success(_) => n += 1
+        case scala.util.Failure(e) =>
+          // surface it: a silently-failed unpersist strands cached
+          // blocks with nothing to diagnose but a lower return count
+          System.err.println(s"[caching] releaseAll: unpersist failed: $e")
+      }
       release = registry.poll()
     }
     n

@@ -12,25 +12,38 @@ import org.apache.spark.sql.types._
   * full corpus-wide window aggregate (~one window per token — ~180M
   * windows at the 10M-doc smoke point) on EVERY shard arrival.
   *
-  * Index layout under one root path:
+  * Index layout (v2 — key-bucketed) under one root path:
   *   - `windows/` — RAW anchor-window occurrences (gk, id, pos), one
   *     row per length-minLen token window, partitioned by
-  *     `ingest_shard`. Narrow rows (~20 B/window where the text is
-  *     ~6 B/token): ingest scans THIS, never the corpus text.
+  *     `ingest_shard` and then `__bkt = pmod(xxhash64(gk), nBuckets)`.
+  *     Narrow rows (~20 B/window where the text is ~6 B/token): ingest
+  *     scans THIS, never the corpus text.
   *     DELIBERATELY unaggregated — storing per-key (count, canonical)
   *     would require a corpus-wide min(struct(id, pos)) aggregate at
   *     build time, carrying a struct buffer for every mostly-unique
   *     gram key: EXACTLY the fused-aggregate shape that OOM'd the 10M
   *     batch run and forced [[Dedup.exactSubstrDedup]]'s two-aggregate
   *     spelling. Raw rows make the build a pure map+write with NO
-  *     aggregate at all; count and canonical are computed at PROBE
+  *     aggregate (and no exchange — the bucket is a map-side column,
+  *     never a repartition); count and canonical are computed at PROBE
   *     time, after the semi-join prune, where every group is
-  *     shard-touched by construction — the struct-buffer aggregate
-  *     only ever runs over touched-sized input.
-  *   - `meta/` — one row pinning (min_len, digest_keys): probes MUST
-  *     window and key exactly like the build did, so [[addShard]]
-  *     reads its parameters from the index instead of trusting the
-  *     caller to repeat them.
+  *     shard-touched by construction.
+  *     The `__bkt` subdirectories exist for ONE reason: a shard too big
+  *     for the broadcast gate probes bucket by bucket (see
+  *     [[MaxBroadcastKeys]]), and partition pruning confines each leg
+  *     to its bucket's files — index rows never ride an exchange at ANY
+  *     shard size. Size `nBuckets` so a worst-case shard's distinct
+  *     keys divided by `nBuckets` stays under the gate
+  *     (keys_jumbo / (MaxBroadcastKeys / 2) is a safe rule); the
+  *     default 16 covers shards up to ~32M distinct keys.
+  *   - `meta/` — one row pinning (min_len, digest_keys, n_buckets):
+  *     probes MUST window, key, and bucket exactly like the build did,
+  *     so [[addShard]] reads its parameters from the index instead of
+  *     trusting the caller to repeat them. A v1 (pre-bucket) index is
+  *     refused with a clear error — rebuild via [[buildIndex]].
+  *   - `reports/` — the per-shard as-of dedup reports [[addShard]]
+  *     write-throughs (callers may redirect via `reportDir`, e.g. the
+  *     streaming sink's batch-partitioned layout).
   *
   * STATE EQUALITY (the contract every spec pins): the union of
   * `windows/` partitions IS the batch operator's span frame over the
@@ -38,15 +51,19 @@ import org.apache.spark.sql.types._
   * summary — so any batch readout replayed over the store
   * ([[dedupWithIndex]]) equals [[Dedup.exactSubstrDedup]] over the
   * full union, and [[addShard]]'s as-of report equals the batch run
-  * over the union-so-far restricted to the shard's ids.
+  * over the union-so-far restricted to the shard's ids. The bucket
+  * column is derived (a pure function of gk) and invisible to state:
+  * dropping it recovers the v1 frame row for row.
   *
   * SCALE CONTRACT: per-shard ingest cost is bounded by shard size +
   * touched-occurrence count (prior occurrences of the shard's keys),
   * NOT by the accumulated corpus: the one index-sized operation is a
-  * NARROW columnar scan of `windows/` under a broadcast semi-join on
-  * the shard's distinct keys (shard-token-bounded, a few MB of longs
-  * in digest mode) — index rows never ride an exchange, and the
-  * corpus text is never re-read or re-tokenized.
+  * NARROW columnar scan of `windows/`, either under one broadcast
+  * semi-join on the shard's distinct keys (shard-token-bounded, a few
+  * MB of longs in digest mode) or — past the gate — under per-bucket
+  * broadcast legs that scan only their bucket's files. Index rows
+  * never ride an exchange; the corpus text is never re-read or
+  * re-tokenized.
   *
   * APPEND-ONLY CAVEAT (inherent to incremental publishing, the
   * [[IncrementalDedup]] precedent): a shard can duplicate a span that
@@ -67,34 +84,64 @@ import org.apache.spark.sql.types._
   * [[Dedup.exactSubstrDedup]]'s anchor-window observation. */
 object ExactSubstrStore {
 
-  /** Index parameters, persisted in `meta/` and read back by probes. */
-  final case class Params(minLen: Int = 50, digestKeys: Boolean = false)
+  /** Index parameters, persisted in `meta/` and read back by probes.
+    * `nBuckets` fixes the physical key-bucket fanout at build time —
+    * see the layout scaladoc for the sizing rule. */
+  final case class Params(minLen: Int = 50, digestKeys: Boolean = false,
+      nBuckets: Int = 16)
 
   private def windowsPath(root: String) = s"$root/windows"
   private def metaPath(root: String) = s"$root/meta"
+  private def reportsPath(root: String) = s"$root/reports"
+
+  private def gkType(p: Params): DataType =
+    if (p.digestKeys) LongType else StringType
 
   private def windowsSchema(p: Params) = StructType(Seq(
-    StructField("__gk", if (p.digestKeys) LongType else StringType),
+    StructField("__gk", gkType(p)),
     StructField("id", LongType), StructField("pos", IntegerType),
-    StructField("ingest_shard", StringType)))
+    StructField("ingest_shard", StringType),
+    StructField("__bkt", IntegerType)))
+
+  private val reportSchema = StructType(Seq(
+    StructField("id", LongType), StructField("n_tokens", LongType),
+    StructField("n_removed", LongType),
+    StructField("clean_text", StringType)))
+
+  private def bucketOf(p: Params) =
+    pmod(xxhash64(col("__gk")), lit(p.nBuckets)).cast("int")
 
   private def writeMeta(spark: SparkSession, root: String, p: Params): Unit =
     spark.range(1).select(
-      lit(p.minLen).as("min_len"), lit(p.digestKeys).as("digest_keys"))
+      lit(p.minLen).as("min_len"), lit(p.digestKeys).as("digest_keys"),
+      lit(p.nBuckets).as("n_buckets"))
       .write.mode("overwrite").parquet(metaPath(root))
 
-  /** The parameters this index was built with (probes must match them). */
+  /** The parameters this index was built with (probes must match them).
+    * Refuses a v1 (pre-bucket) index: its `windows/` has no `__bkt`
+    * subdirectories, so every v2 read would silently see null buckets. */
   def readMeta(spark: SparkSession, root: String): Params = {
-    val r = spark.read.parquet(metaPath(root)).head()
-    Params(r.getAs[Int]("min_len"), r.getAs[Boolean]("digest_keys"))
+    val df = spark.read.parquet(metaPath(root))
+    require(df.columns.contains("n_buckets"),
+      s"$root is a v1 (pre-key-bucketing) ExactSubstr index; rebuild it " +
+        "with buildIndex — the v2 probe prunes by __bkt subdirectory")
+    val r = df.head()
+    Params(r.getAs[Int]("min_len"), r.getAs[Boolean]("digest_keys"),
+      r.getAs[Int]("n_buckets"))
   }
 
+  /** Land `df` (__gk, id, pos) as the named shard's partition,
+    * bucketed map-side — the bucket column is computed per row, never
+    * repartitioned, so the build/ingest write stays exchange-free
+    * (Spark's planned V1 write sorts within tasks by partition cols,
+    * so each task streams its buckets one open file at a time). */
   private def writeShardPartition(df: DataFrame, path: String,
-      shardId: String): Unit =
+      shardId: String, p: Params): Unit =
     df.withColumn("ingest_shard", lit(shardId))
+      .withColumn("__bkt", bucketOf(p))
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("ingest_shard")
+      .partitionBy("ingest_shard", "__bkt")
       .parquet(path)
 
   /** (id, pos, __gk) anchor windows of `docs` — the batch operator's
@@ -114,69 +161,152 @@ object ExactSubstrStore {
           .as("__gk"),
         col("id"), col("pos"))
 
+  /** All stored occurrences WITH partition columns (for per-shard and
+    * per-bucket pruning). Explicit schema: an index built from an empty
+    * corpus has partition dirs with no data files, where inference
+    * would fail. */
+  private def windowsRaw(spark: SparkSession, root: String,
+      p: Params): DataFrame =
+    spark.read.schema(windowsSchema(p)).parquet(windowsPath(root))
+
   /** All stored window occurrences, optionally excluding one in-flight
     * shard (crash replay: a half-written previous attempt of the same
-    * shard is invisible via partition pruning). Explicit schema: an
-    * index built from an empty corpus has partition dirs with no data
-    * files, where inference would fail. */
+    * shard is invisible via partition pruning). */
   private def readWindows(spark: SparkSession, root: String, p: Params,
       excludeShard: Option[String]): DataFrame = {
-    val all = spark.read.schema(windowsSchema(p)).parquet(windowsPath(root))
+    val all = windowsRaw(spark, root, p)
     excludeShard.fold(all)(s => all.filter(col("ingest_shard") =!= lit(s)))
       .select(col("__gk"), col("id"), col("pos"))
   }
 
   /** Build the index from an initial corpus: window + write — a pure
-    * map-side pass, no aggregate (see the layout scaladoc for why that
-    * is load-bearing at scale). No report is computed here; the
-    * initial corpus's own dedup verdicts come from
+    * map-side pass, no aggregate, no exchange (see the layout scaladoc
+    * for why that is load-bearing at scale). No report is computed
+    * here; the initial corpus's own dedup verdicts come from
     * [[Dedup.exactSubstrDedup]] (batch) or [[dedupWithIndex]]. */
   def buildIndex(docs: DataFrame, idCol: String, textCol: String,
       root: String, p: Params = Params(),
       shardId: String = "base"): Unit = {
     require(p.minLen >= 2, "need minLen >= 2")
+    require(p.nBuckets >= 1, "need nBuckets >= 1")
     val spark = docs.sparkSession
     writeShardPartition(windowFrame(docs, idCol, textCol, p),
-      windowsPath(root), shardId)
+      windowsPath(root), shardId, p)
     writeMeta(spark, root, p)
   }
 
-  /** Ingest one shard WITHOUT re-scanning the corpus: the shard's
-    * windows join the narrow index under a broadcast semi-join on the
-    * shard's distinct keys; count + canonical aggregate over
-    * shard ∪ touched occurrences only (touched-sized groups, so the
-    * min(struct) buffer is safe — see the layout scaladoc); coverage /
-    * canonical protection / splice replay the batch operator's exact
-    * stages over the shard's docs. Appends the shard's raw windows as
-    * its partition (dynamic overwrite — failed-shard replay recomputes
-    * an identical delta from identical pre-shard state).
+  /** Broadcast gate for the key semi-join: a shard's distinct window
+    * keys are ~its token count, and broadcasting is only sane while
+    * that fits comfortably on the driver/executors (8 B longs in
+    * digest mode → the default ~32 MB). A bigger shard probes BUCKET BY
+    * BUCKET instead (see [[addShard]]): each leg broadcasts only its
+    * bucket's keys against only its bucket's files, so index rows still
+    * never ride an exchange — the v1 layout's whole-index shuffle
+    * fallback (219s vs 10s at the 10M 2%-shard smoke point) is gone.
+    * Only a single BUCKET whose keys alone exceed the gate degrades to
+    * a shuffle semi-join, and then only over that bucket's 1/nBuckets
+    * slice of the index. */
+  val MaxBroadcastKeys: Long = 4000000L
+
+  /** Prior occurrences (all shards except `shardId`) of the named
+    * shard's keys — the probe core shared by [[addShard]] and
+    * [[retractionsForShard]]. Keys come from the shard's OWN stored
+    * partition (narrow pruned scan), never from re-tokenizing text.
+    *
+    * Under the gate: one broadcast semi-join, lazily composed (no
+    * materialization). Past it: sequential per-bucket legs, each
+    * confined by partition pruning to one `__bkt` subdirectory on both
+    * sides, each broadcasting at most [[MaxBroadcastKeys]] keys —
+    * memory is strictly leg-bounded (never all buckets' broadcasts at
+    * once, which is why the legs are a driver loop and not one unioned
+    * plan), and each leg appends its touched rows to a temp dir under
+    * the root that the CALLER deletes once its consumer has
+    * materialized. The per-bucket key counts ride one collect of at
+    * most nBuckets metadata rows — never data. */
+  private def touchedPrior(spark: SparkSession, root: String, p: Params,
+      shardId: String, maxBroadcastKeys: Long,
+      tmpName: String): (DataFrame, Option[String]) = {
+    val all = windowsRaw(spark, root, p)
+    val shardW = all.filter(col("ingest_shard") === lit(shardId))
+    val prior = all.filter(col("ingest_shard") =!= lit(shardId))
+    val bucketCounts = shardW.select(col("__bkt"), col("__gk")).distinct()
+      .groupBy(col("__bkt")).agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq.sortBy(_._1)
+    val totalKeys = bucketCounts.map(_._2).sum
+    if (totalKeys <= maxBroadcastKeys) {
+      val keys = shardW.select(col("__gk")).distinct()
+      (prior.select(col("__gk"), col("id"), col("pos"))
+        .join(broadcast(keys), Seq("__gk"), "left_semi"), None)
+    } else {
+      val tmp = s"$root/$tmpName"
+      val fs = new org.apache.hadoop.fs.Path(tmp)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+      // seed the dir so an all-empty probe still reads as empty-frame
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(windowsSchema(p).take(3)))
+        .write.mode("overwrite").parquet(tmp)
+      graft.bench.StageTimers.time("exsubstore.probe_legs") {
+        bucketCounts.foreach { case (b, nKeys) =>
+          val keysB = shardW.filter(col("__bkt") === lit(b))
+            .select(col("__gk")).distinct()
+          val gated = if (nKeys <= maxBroadcastKeys) broadcast(keysB)
+            else keysB // single over-gate bucket: shuffle of 1/nBuckets
+          prior.filter(col("__bkt") === lit(b))
+            .select(col("__gk"), col("id"), col("pos"))
+            .join(gated, Seq("__gk"), "left_semi")
+            .write.mode("append").parquet(tmp)
+        }
+      }
+      (spark.read.schema(StructType(windowsSchema(p).take(3))).parquet(tmp),
+        Some(tmp))
+    }
+  }
+
+  /** Ingest one shard WITHOUT re-scanning the corpus. Order of
+    * operations (each step idempotent under crash replay):
+    *
+    *  1. The shard's raw windows land as its `windows/` partition
+    *     (dynamic overwrite — a replay rewrites identical rows over any
+    *     half-written attempt). Writing FIRST lets every probe read the
+    *     shard's keys back as a narrow pruned columnar scan instead of
+    *     re-running tokenize+window once per plan reference (the v1
+    *     shape paid that lineage three times), and removes the
+    *     write-after-lazy-read ordering hazard outright: all probe
+    *     plans resolve against the post-write directory state.
+    *  2. The probe ([[touchedPrior]]) joins prior occurrences to the
+    *     shard's keys; count + canonical aggregate over shard ∪ touched
+    *     only (touched-sized groups, so the min(struct) buffer is safe
+    *     — see the layout scaladoc); coverage / canonical protection /
+    *     splice replay the batch operator's exact stages. The in-flight
+    *     shard is excluded from `prior` by partition pruning, so a
+    *     replay probes identical pre-shard state.
+    *  3. The report WRITES THROUGH to `reportDir` (default
+    *     `root/reports/<shardId>`, overwrite = replay-idempotent) and
+    *     the returned frame is a plain scan of it — zero
+    *     executor-pinned blocks, where the v1 `localCheckpoint(true)`
+    *     pinned a jumbo shard's full clean_text in executor memory
+    *     (the r14 corpus smoke's 4g OOM shape). The streaming sink
+    *     passes its batch partition dir here, making this the ONLY
+    *     report write.
     *
     * Returns the shard's as-of report (id, n_tokens, n_removed,
     * clean_text) — pinned equal to `Dedup.exactSubstrDedup(union so
     * far).filter(id in shard)`. */
-  /** Broadcast gate for the key semi-join: a shard's distinct window
-    * keys are ~its token count, and broadcasting is only sane while
-    * that fits comfortably on the driver/executors (8 B longs in
-    * digest mode → the default ~32 MB). A jumbo shard falls back to a
-    * shuffle semi-join — the INDEX side then rides one gk exchange,
-    * which is exactly the price batch would pay anyway at that shard
-    * size, so the fallback degrades gracefully instead of OOMing the
-    * driver with a hinted broadcast Spark cannot refuse. */
-  val MaxBroadcastKeys: Long = 4000000L
-
   def addShard(spark: SparkSession, root: String, shard: DataFrame,
       idCol: String, textCol: String, shardId: String,
-      maxBroadcastKeys: Long = MaxBroadcastKeys): DataFrame = {
+      maxBroadcastKeys: Long = MaxBroadcastKeys,
+      reportDir: Option[String] = None): DataFrame = {
     val p = readMeta(spark, root)
-    val tok = shard.select(col(idCol).as("id"),
-      TextAnalysis.tokens(col(textCol)).as("toks"))
-    val w = windowFrame(shard, idCol, textCol, p)
-    val shardKeys = w.select(col("__gk")).distinct()
-    // the ONE index-sized operation: narrow scan, no exchange of index
-    // rows while the broadcast gate holds (see MaxBroadcastKeys)
-    val touched = readWindows(spark, root, p, excludeShard = Some(shardId))
-      .join(gateBroadcast(shardKeys, maxBroadcastKeys), Seq("__gk"),
-        "left_semi")
+    graft.bench.StageTimers.time("exsubstore.shard_write") {
+      writeShardPartition(windowFrame(shard, idCol, textCol, p),
+        windowsPath(root), shardId, p)
+    }
+    val w = windowsRaw(spark, root, p)
+      .filter(col("ingest_shard") === lit(shardId))
+      .select(col("__gk"), col("id"), col("pos"))
+    val (touched, probeTmp) = touchedPrior(spark, root, p, shardId,
+      maxBroadcastKeys, tmpName = "__probe_ingest")
     val unioned = w.unionByName(touched)
     // union-state per key: groups = shard keys only, so the fused
     // count+argmin is touched-sized by construction
@@ -186,18 +316,22 @@ object ExactSubstrStore {
       .filter(col("__c") >= 2)
     val shardHits = w.join(dupState.select(col("__gk")), Seq("__gk"),
       "left_semi")
+    val tok = shard.select(col(idCol).as("id"),
+      TextAnalysis.tokens(col(textCol)).as("toks"))
     val report = spliceReport(tok,
       coverage(shardHits, dupState,
         broadcast(tok.select(col("id")).distinct()), p.minLen))
-    // materialize the report BEFORE the index write: its lazy plan
-    // scans windows/, and writing this shard's partition first would
-    // re-trigger that lineage against a directory whose layout just
-    // changed (the IncrementalDedup lineage-cut lesson)
-    val out = report.localCheckpoint(true)
-    graft.bench.StageTimers.time("exsubstore.shard_write") {
-      writeShardPartition(w, windowsPath(root), shardId)
+    val dir = reportDir.getOrElse(s"${reportsPath(root)}/$shardId")
+    graft.bench.StageTimers.time("exsubstore.report_write") {
+      report.write.mode("overwrite").parquet(dir)
     }
-    out
+    // the report is on disk; the jumbo probe's temp has no consumer left
+    probeTmp.foreach { t =>
+      new org.apache.hadoop.fs.Path(t)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(new org.apache.hadoop.fs.Path(t), true)
+    }
+    spark.read.schema(reportSchema).parquet(dir)
   }
 
   /** Batch-equal dedup readout from the store: verdicts for `docs`
@@ -239,19 +373,21 @@ object ExactSubstrStore {
     * [[dedupWithIndex]] over the named ids for exact rebuilt text
     * (a displaced position can still be protected by an overlapping
     * window that stayed canonical). Empty when every shard occurrence
-    * lost to existing canonicals — the common append-mostly case. */
+    * lost to existing canonicals — the common append-mostly case.
+    *
+    * Past the broadcast gate the probe materializes under
+    * `root/__probe_retract`, which the RETURNED frame reads — consume
+    * (or discard) the feed before the next retraction call on this
+    * root overwrites it; the streaming sink writes it out immediately. */
   def retractionsForShard(spark: SparkSession, root: String,
       shardId: String,
       maxBroadcastKeys: Long = MaxBroadcastKeys): DataFrame = {
     val p = readMeta(spark, root)
-    val all = spark.read.schema(windowsSchema(p)).parquet(windowsPath(root))
-    val wS = all.filter(col("ingest_shard") === lit(shardId))
+    val wS = windowsRaw(spark, root, p)
+      .filter(col("ingest_shard") === lit(shardId))
       .select(col("__gk"), col("id"), col("pos"))
-    val prior = all.filter(col("ingest_shard") =!= lit(shardId))
-      .select(col("__gk"), col("id"), col("pos"))
-    val shardKeys = wS.select(col("__gk")).distinct()
-    val touched = prior.join(gateBroadcast(shardKeys, maxBroadcastKeys),
-      Seq("__gk"), "left_semi")
+    val (touched, _) = touchedPrior(spark, root, p, shardId,
+      maxBroadcastKeys, tmpName = "__probe_retract")
     val oldCanon = touched.groupBy(col("__gk"))
       .agg(min(struct(col("id"), col("pos"))).as("__old"))
     val newCanon = touched.unionByName(wS).groupBy(col("__gk"))
@@ -262,59 +398,77 @@ object ExactSubstrStore {
       .distinct()
   }
 
-  /** Consolidate the accumulated per-shard partitions of `windows/`
-    * into one — the file-count hygiene a continuously-ingesting store
-    * needs (daily shards for a year = 365 partition dirs whose listing
-    * and footer reads tax every probe). The [[IncrementalDedup
-    * .compactShards]] protocol: write the consolidated rows to a
-    * SIBLING staging dir, rename it in as a fresh deterministic
-    * partition, then delete the sources — every crash point is
-    * duplicate-or-nothing. One store-specific sharpening: unlike
-    * MinHash buckets/labels (where duplicate rows are harmless),
-    * duplicated window rows INFLATE counts — a unique span would read
-    * as duplicated — so (a) the consolidation dedups on the full
-    * (gk, id, pos) row, making a re-run after any crash absorb and
-    * repair leftovers, and (b) the crash window between rename and
-    * source deletion is a documented read hazard: complete (or re-run)
-    * a crashed compaction before trusting the next probe. Single
-    * writer, same as ingest.
+  /** Consolidate accumulated per-shard partitions of `windows/` — the
+    * file-count hygiene a continuously-ingesting store needs (daily
+    * shards for a year = 365 partition dirs whose listing and footer
+    * reads tax every probe), now SIZE-TIERED: only shards whose
+    * partition is at most `tierMaxBytes` are absorbed, so a mature
+    * store compacts its tail of small daily shards into a tier WITHOUT
+    * rewriting the accumulated base every time (the default ∞ keeps
+    * the original compact-everything behavior). The [[IncrementalDedup
+    * .compactShards]] protocol, sharpened twice for this store:
     *
-    * Compaction ENDS THE REPLAY WINDOW for the absorbed shards: their
-    * rows now live under the compacted partition, so a later
-    * [[addShard]] under an absorbed shard id would no longer exclude
-    * them (the in-flight filter prunes by partition name) and its
-    * windows would count twice. Only compact shards whose ingest has
-    * COMPLETED — the same upstream serialization the single-writer
-    * contract already requires. (A post-compaction
-    * [[retractionsForShard]] for an absorbed id likewise reads an
-    * empty shard partition and returns an empty feed.)
-    * Returns (partitions before, after). */
-  def compactShards(spark: SparkSession, root: String): (Int, Int) = {
+    *  - duplicated window rows INFLATE counts (a unique span would read
+    *    as duplicated), so the consolidation dedups on the full
+    *    (gk, id, pos) row — a compact-everything re-run after any crash
+    *    absorbs and repairs leftovers;
+    *  - the consolidated partition's name is DETERMINISTIC on the
+    *    absorbed source set, so a re-run after the crash window
+    *    (rename done, source deletion incomplete) DETECTS the completed
+    *    rename — target partition already present — and just finishes
+    *    deleting the sources instead of double-counting them. This is
+    *    what makes the tiered mode crash-safe: the leftover sources and
+    *    the new tier never need to be re-read together.
+    *
+    * Cross-tier duplicate rows (possible only through interference no
+    * single-writer history produces) are repaired by a compact-
+    * everything run, not a tiered one — tiered legs read only their
+    * sources. Only compact shards whose ingest has COMPLETED: the
+    * consolidated partition no longer matches their shard id, so a
+    * later [[addShard]] replay under an absorbed id would count its
+    * windows twice (and a post-compaction [[retractionsForShard]] for
+    * an absorbed id reads an empty partition — same contract as v1).
+    * Single writer, same as ingest. The bucket subdirectories are
+    * preserved (`__bkt` rides the read and the staged write), so
+    * probe pruning is unaffected. Returns (partitions before,
+    * partitions after). */
+  def compactShards(spark: SparkSession, root: String,
+      tierMaxBytes: Long = Long.MaxValue): (Int, Int) = {
     val p = readMeta(spark, root)
     val path = windowsPath(root)
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val dir = new org.apache.hadoop.fs.Path(path)
     if (!fs.exists(dir)) return (0, 0)
-    val shardDirs = fs.listStatus(dir).toSeq
+    def listShards(): Seq[String] = fs.listStatus(dir).toSeq
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("ingest_shard="))
       .map(_.getPath.getName.stripPrefix("ingest_shard="))
-    if (shardDirs.size <= 1) return (shardDirs.size, shardDirs.size)
+    val before = listShards()
+    val sources = before.filter { s =>
+      fs.getContentSummary(
+        new org.apache.hadoop.fs.Path(dir, s"ingest_shard=$s")).getLength <=
+        tierMaxBytes
+    }
+    if (sources.size <= 1) return (before.size, before.size)
     val newId = "compacted_" + java.lang.Long.toHexString(
-      shardDirs.sorted.map(s => s.hashCode.toLong).sum & Long.MaxValue)
-    val stage = new org.apache.hadoop.fs.Path(path + "__compact_stage")
-    fs.delete(stage, true) // leftover from a crashed attempt
-    spark.read.schema(windowsSchema(p)).parquet(path)
-      .drop("ingest_shard")
-      .dropDuplicates("__gk", "id", "pos")
-      .write.mode("overwrite").parquet(stage.toString)
-    require(fs.rename(stage,
-      new org.apache.hadoop.fs.Path(dir, s"ingest_shard=$newId")),
-      s"compact promote failed: $stage")
-    shardDirs.foreach { s =>
+      sources.sorted.map(s => s.hashCode.toLong).sum & Long.MaxValue)
+    val target = new org.apache.hadoop.fs.Path(dir, s"ingest_shard=$newId")
+    if (!fs.exists(target)) {
+      val stage = new org.apache.hadoop.fs.Path(path + "__compact_stage")
+      fs.delete(stage, true) // leftover from a crashed attempt
+      windowsRaw(spark, root, p)
+        .filter(col("ingest_shard").isin(sources: _*))
+        .drop("ingest_shard")
+        .dropDuplicates("__gk", "id", "pos")
+        .write.mode("overwrite").partitionBy("__bkt").parquet(stage.toString)
+      require(fs.rename(stage, target), s"compact promote failed: $stage")
+    } // else: a prior run crashed between rename and source deletion —
+      // the deterministic name proves the target holds exactly these
+      // sources' rows; just finish the deletion
+    sources.foreach { s =>
       fs.delete(new org.apache.hadoop.fs.Path(dir, s"ingest_shard=$s"), true)
     }
-    (shardDirs.size, 1)
+    (before.size, listShards().size)
   }
 
   /** The batch operator's coverage stage over an externally supplied
@@ -346,15 +500,6 @@ object ExactSubstrStore {
       .select(col("id"), col("p"),
         coalesce(col("__prot"), lit(false)).as("protected"))
   }
-
-  /** Apply the [[MaxBroadcastKeys]] gate: hint broadcast while the key
-    * frame is provably small, else return it unhinted (the semi-join
-    * then plans as a shuffle join — index rows pay one gk exchange,
-    * the batch-equivalent price at jumbo shard sizes). The count is
-    * one job over the shard-sized key frame — noise next to the probe
-    * it sizes. */
-  private def gateBroadcast(keys: DataFrame, maxKeys: Long): DataFrame =
-    if (keys.count() <= maxKeys) broadcast(keys) else keys
 
   /** Rebuild leg shared by [[addShard]] / [[dedupWithIndex]]: the
     * batch operator's splice over (id, toks) x (id, p, protected). */

@@ -413,7 +413,20 @@ object EventStreams {
     * addShard's dynamic partition overwrite replaces exactly that
     * partition, and the probe excludes the in-flight shard. The index
     * must exist — [[graft.ops.ExactSubstrStore.buildIndex]] on the
-    * historical corpus, or on an empty frame to start cold. */
+    * historical corpus, or on an empty frame to start cold.
+    *
+    * COMPACTION PRECONDITION: only run [[graft.ops.ExactSubstrStore
+    * .compactShards]] on `indexRoot` while this query is STOPPED and
+    * its checkpoint has committed the last batch — compaction ends the
+    * absorbed shards' replay window (their rows move out of the
+    * per-batch partitions the replay overwrite targets), so compacting
+    * a batch that is index-written but not yet checkpoint-committed
+    * would double-count its windows on restart.
+    *
+    * The per-batch report is written ONCE, by addShard's write-through
+    * into this sink's `reportPath/batch_id=N` partition dir — the
+    * overwrite of exactly that dir is the same replay-idempotent
+    * dynamic-partition semantics the explicit partitionBy write had. */
   def exactSubstrIngestSink(docs: DataFrame, idCol: String, textCol: String,
       indexRoot: String, reportPath: String, checkpoint: String,
       retractionPath: Option[String] = None)
@@ -424,12 +437,8 @@ object EventStreams {
         if (!batch.isEmpty) {
           val spark = batch.sparkSession
           graft.ops.ExactSubstrStore.addShard(spark, indexRoot,
-              batch, idCol, textCol, s"stream_$batchId")
-            .withColumn("batch_id", lit(batchId))
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("batch_id")
-            .parquet(reportPath)
+            batch, idCol, textCol, s"stream_$batchId",
+            reportDir = Some(s"$reportPath/batch_id=$batchId"))
           retractionPath.foreach { rp =>
             graft.ops.ExactSubstrStore.retractionsForShard(spark, indexRoot,
                 s"stream_$batchId")

@@ -204,13 +204,32 @@ object DedupScaleSmoke {
     println(s"[dedup-scale] exsub fixed-shard trimmed=" +
       esRepF.filter(col("n_removed") > 0).count() +
       s" (planted 2000 iff corpus >= 102k docs)")
+    // the store's remaining legs, measured at the same points (VERDICT
+    // r15 item 4): the retraction feed for the 2% shard — touched-sized,
+    // so it must track the shard ingest's curve, not the corpus's —
+    // and compaction, which rewrites whatever it absorbs (global here:
+    // the size-tiered mode's whole point is that production never pays
+    // this number on the accumulated base, only on the small-shard tail)
+    val esRetr = time(s"exsub retraction feed (${2 * shardN} shard)")(
+      graft.ops.ExactSubstrStore.retractionsForShard(spark, esRoot, "s1")
+        .count())
+    println(s"[dedup-scale] exsub retraction rows=$esRetr")
     val esFull = time("vs full exsub batch (the alternative)") {
       Dedup.exactSubstrDedup(corpusPq.unionByName(shard), "doc_id", "text",
           minLen = 20, digestKeys = true)
         .agg(sum(when(col("n_removed") > 0, 1).otherwise(0))).head().getLong(0)
     }
     println(s"[dedup-scale] full exsub batch trimmed=$esFull")
-    graft.bench.StageTimers.drain()
+    val esCompact = time("exsub compactShards (global)")(
+      graft.ops.ExactSubstrStore.compactShards(spark, esRoot))
+    println(s"[dedup-scale] exsub compacted partitions " +
+      s"${esCompact._1} -> ${esCompact._2}")
+    // print (not discard) the stage table accumulated across the exsub
+    // phase — exsubstore.shard_write / probe_legs / report_write land
+    // here; probe_legs present means the bucketed jumbo path ran
+    graft.bench.StageTimers.drain().toSeq.sortBy(-_._2).foreach { case (k, v) =>
+      println(f"[dedup-scale]   stage $k%-32s $v%8.2fs")
+    }
 
     if (!exsubOnly) {
     // r12: prefix-filter EXACT Jaccard at scale. The uniform word-soup

@@ -181,9 +181,9 @@ class ExactSubstrStoreSpec extends SparkSpec {
       union, "doc_id", "text")) == before)
   }
 
-  test("jumbo-shard broadcast fallback (maxBroadcastKeys = 0) is result-identical") {
-    // forces the shuffle semi-join path of the key probe — the gate's
-    // graceful degradation for shards too big to broadcast
+  test("jumbo-shard bucketed probe (maxBroadcastKeys = 0, every leg unhinted) is result-identical") {
+    // forces the sequential per-bucket legs with every leg OVER its own
+    // gate — the doubly-degraded path (bucketed + per-bucket shuffle)
     val rootA = tmpRoot("gate_a")
     val rootB = tmpRoot("gate_b")
     val base = docs(0, 5)
@@ -199,6 +199,96 @@ class ExactSubstrStoreSpec extends SparkSpec {
     assert(ExactSubstrStore.retractionsForShard(spark, rootB, "s1",
       maxBroadcastKeys = 0L).count() ==
       ExactSubstrStore.retractionsForShard(spark, rootA, "s1").count())
+  }
+
+  test("jumbo-shard bucketed probe with per-bucket broadcasts is result-identical; probe temp cleaned up") {
+    // total keys above the gate, every bucket's keys below it — the
+    // production jumbo-shard shape: sequential bucket legs, each a
+    // broadcast semi-join pruned to its __bkt subdirectory
+    val rootA = tmpRoot("legs_a")
+    val rootB = tmpRoot("legs_b")
+    val p4 = params.copy(nBuckets = 4)
+    val base = docs(0, 6)
+    val shard = docs(300, 8).unionByName(clone(base, 2L, 350L, 10))
+    for (root <- Seq(rootA, rootB))
+      ExactSubstrStore.buildIndex(base, "doc_id", "text", root, p4)
+    val repBcast = collectReport(ExactSubstrStore.addShard(spark, rootA,
+      shard, "doc_id", "text", "s1"))
+    // shard carries ~70 distinct keys over 4 buckets (~18/bucket): 20
+    // gates the TOTAL out but lets (most) per-bucket legs broadcast
+    val repLegs = collectReport(ExactSubstrStore.addShard(spark, rootB,
+      shard, "doc_id", "text", "s1", maxBroadcastKeys = 20L))
+    assert(repBcast == repLegs)
+    val union = base.unionByName(shard)
+    assert(repLegs == batch(union, p4.minLen, digest = false)
+      .filter(_._1 >= 300L))
+    // the ingest probe's temp dir is deleted once the report is on disk
+    assert(!new java.io.File(s"$rootB/__probe_ingest").exists())
+    // the full-union readout over the bucketed-leg-built store agrees
+    assert(collectReport(ExactSubstrStore.dedupWithIndex(spark, rootB,
+      union, "doc_id", "text")) == batch(union, p4.minLen, digest = false))
+    // retraction feed through the bucketed legs agrees with broadcast
+    assert(ExactSubstrStore.retractionsForShard(spark, rootB, "s1",
+      maxBroadcastKeys = 20L).count() ==
+      ExactSubstrStore.retractionsForShard(spark, rootA, "s1").count())
+  }
+
+  test("tiered compaction absorbs only small shards; the rename-done crash is detected by the deterministic name and finished") {
+    val root = tmpRoot("tier")
+    // sized so parquet DATA dominates footers (the size comparisons
+    // below are meaningless at footer scale), few buckets for the same
+    // reason: base ~2.5x each small shard, merged tier ~2x each
+    val p4 = params.copy(nBuckets = 4)
+    val base = docs(0, 500) // the big partition a tier must NOT rewrite
+    ExactSubstrStore.buildIndex(base, "doc_id", "text", root, p4)
+    ExactSubstrStore.addShard(spark, root, docs(1000, 200),
+      "doc_id", "text", "s1")
+    ExactSubstrStore.addShard(spark, root,
+      docs(2000, 200).unionByName(clone(base, 1L, 2500L, 12)),
+      "doc_id", "text", "s2")
+    val union = base.unionByName(docs(1000, 200)).unionByName(docs(2000, 200))
+      .unionByName(clone(base, 1L, 2500L, 12))
+    val before = collectReport(ExactSubstrStore.dedupWithIndex(spark, root,
+      union, "doc_id", "text"))
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val wdir = new org.apache.hadoop.fs.Path(s"$root/windows")
+    def sizeOf(s: String): Long = fs.getContentSummary(
+      new org.apache.hadoop.fs.Path(wdir, s"ingest_shard=$s")).getLength
+    def shards(): Set[String] = fs.listStatus(wdir)
+      .filter(_.getPath.getName.startsWith("ingest_shard="))
+      .map(_.getPath.getName.stripPrefix("ingest_shard=")).toSet
+    val tier = math.max(sizeOf("s1"), sizeOf("s2"))
+    require(sizeOf("base") > tier, "fixture: base must sit above the tier")
+    // snapshot the small shards so the crash window can be recreated
+    val snap = new org.apache.hadoop.fs.Path(root + "_snap")
+    for (s <- Seq("s1", "s2"))
+      org.apache.hadoop.fs.FileUtil.copy(fs,
+        new org.apache.hadoop.fs.Path(wdir, s"ingest_shard=$s"), fs,
+        new org.apache.hadoop.fs.Path(snap, s"ingest_shard=$s"),
+        false, spark.sparkContext.hadoopConfiguration)
+    // tiered compact: s1 + s2 merge, base untouched
+    assert(ExactSubstrStore.compactShards(spark, root, tier) == ((3, 2)))
+    val tierName = (shards() - "base").head
+    assert(tierName.startsWith("compacted_"))
+    assert(collectReport(ExactSubstrStore.dedupWithIndex(spark, root,
+      union, "doc_id", "text")) == before)
+    // recreate the documented crash window: rename completed (the tier
+    // partition exists) but source deletion never ran
+    for (s <- Seq("s1", "s2"))
+      org.apache.hadoop.fs.FileUtil.copy(fs,
+        new org.apache.hadoop.fs.Path(snap, s"ingest_shard=$s"), fs,
+        new org.apache.hadoop.fs.Path(wdir, s"ingest_shard=$s"),
+        false, spark.sparkContext.hadoopConfiguration)
+    require(sizeOf(tierName) > tier,
+      "fixture: the merged tier must sit above the threshold so the " +
+        "re-run selects exactly the crashed run's source set")
+    // the re-run's source set hashes to the EXISTING tier partition:
+    // detection branch — finish the deletion, write nothing
+    assert(ExactSubstrStore.compactShards(spark, root, tier) == ((4, 2)))
+    assert(shards() == Set("base", tierName))
+    assert(collectReport(ExactSubstrStore.dedupWithIndex(spark, root,
+      union, "doc_id", "text")) == before)
   }
 
   test("empty base corpus: the valid streaming start — first shard behaves like batch on itself") {
