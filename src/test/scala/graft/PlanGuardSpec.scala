@@ -555,11 +555,13 @@ class PlanGuardSpec extends SparkSpec {
       // twin adds its one id-PARTITIONED gaps-and-islands window
       ("x180_exact_substr", 7, 4),
       ("x181_exact_substr_spans", 7, 4),
-      // r15: the store-ingest equivalence fixture — the audited plan is
-      // the RETURNED frame: the dedupWithIndex readout (count pass over
-      // stored windows, argmin over duplicates, semi-joins, coverage
-      // distincts, doc rollup) unioned with the already-materialized
-      // (localCheckpoint-truncated) addShard report. Nine exchanges:
+      // r15 (re-pinned r16): the store-ingest equivalence fixture — the
+      // audited plan is the RETURNED frame: the dedupWithIndex readout
+      // (count pass over stored windows, argmin over duplicates,
+      // semi-joins, coverage distincts, doc rollup) unioned with the
+      // addShard report, which since the r16 write-through is a plain
+      // parquet scan of reports/<shard> (same leaf shape as the old
+      // localCheckpoint scan, so the budget is unchanged). Nine exchanges:
       // window count agg, the dup semi-join's scan side, the id
       // semi-join pair (full-union readout ids are not broadcastable
       // by design), two coverage distincts, removal rollup, token-frame
