@@ -242,10 +242,10 @@ object ExactSubstrStore {
       val fs = new org.apache.hadoop.fs.Path(tmp)
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
       fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
-      // seed the dir so an all-empty probe still reads as empty-frame
-      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        StructType(windowsSchema(p).take(3)))
-        .write.mode("overwrite").parquet(tmp)
+      // no seed write: the first leg's append creates the dir (at least
+      // one bucket exists whenever this branch runs — totalKeys > gate),
+      // and the explicit-schema read below is empty-safe even if every
+      // leg appended zero rows
       graft.bench.StageTimers.time("exsubstore.probe_legs") {
         bucketCounts.foreach { case (b, nKeys) =>
           val keysB = shardW.filter(col("__bkt") === lit(b))

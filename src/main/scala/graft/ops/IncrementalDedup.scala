@@ -694,9 +694,23 @@ object IncrementalDedup {
     * Re-running compactShards after a crash converges (the
     * consolidated id is derived from the surviving source dirs, and a
     * leftover consolidated dir from the crashed attempt is itself a
-    * source). Returns (shard dirs before, after) per table
+    * source).
+    *
+    * SIZE-TIERED since r16 (`tierMaxBytes`, default ∞ = the original
+    * compact-everything): only shards at or under the tier merge, so a
+    * mature store consolidates its small-shard tail without rewriting
+    * the accumulated base every time. Each table's consolidation rule
+    * is associative (exact-row dedup; min-fold for labels), so folding
+    * a tier early leaves every read's outer fold exact. Tiering changes
+    * the crash story in ONE case: a leftover consolidated dir ABOVE the
+    * tier is no longer a source, so absorb-by-rederivation cannot fire
+    * — instead the deterministic name DETECTS the completed rename
+    * (target partition already present) and the re-run just finishes
+    * deleting the sources, never re-reading them next to their absorbed
+    * copy. Returns (shard dirs before, after) per table
     * (buckets, shingles, labels), for monitoring. */
-  def compactShards(spark: SparkSession, root: String)
+  def compactShards(spark: SparkSession, root: String,
+      tierMaxBytes: Long = Long.MaxValue)
       : ((Int, Int), (Int, Int), (Int, Int)) = {
     def compactOne(path: String, schema: StructType,
         consolidate: DataFrame => DataFrame): (Int, Int) = {
@@ -704,34 +718,46 @@ object IncrementalDedup {
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
       val dir = new org.apache.hadoop.fs.Path(path)
       if (!fs.exists(dir)) return (0, 0)
-      val shardDirs = fs.listStatus(dir).toSeq
+      def listShards(): Seq[String] = fs.listStatus(dir).toSeq
         .filter(s => s.isDirectory && s.getPath.getName.startsWith("ingest_shard="))
         .map(_.getPath.getName.stripPrefix("ingest_shard="))
-      if (shardDirs.size <= 1) return (shardDirs.size, shardDirs.size)
+      val before = listShards()
+      val sources = before.filter { s =>
+        fs.getContentSummary(new org.apache.hadoop.fs.Path(dir,
+          s"ingest_shard=$s")).getLength <= tierMaxBytes
+      }
+      if (sources.size <= 1) return (before.size, before.size)
       // deterministic fresh id from the source set: re-running after a
       // crash (old dirs partially deleted, previous consolidated dir now a
-      // source) derives a NEW id, so every leftover is absorbed
+      // source) derives a NEW id, so every leftover is absorbed — and in
+      // tiered mode, where an above-tier leftover CAN'T be a source, the
+      // unchanged source set re-derives the SAME id, which is the crash
+      // detector (see below)
       val newId = "compacted_" + java.lang.Long.toHexString(
-        shardDirs.sorted.map(s => s.hashCode.toLong).sum & Long.MaxValue)
-      // stage as a SIBLING dir (a stray subdir under the partitioned root
-      // would break partition discovery), then rename in as the new
-      // partition directory — Spark refuses to overwrite a path it is
-      // reading, and the rename keeps every crash point duplicate-or-
-      // nothing. Data files carry no ingest_shard column; the partition
-      // value comes from the directory name, exactly as the normal writes
-      val stage = new org.apache.hadoop.fs.Path(path + "__compact_stage")
-      fs.delete(stage, true) // leftover from a crashed attempt
-      consolidate(spark.read.schema(schema).parquet(path)
-          .drop("ingest_shard"))
-        .write.mode("overwrite").parquet(stage.toString)
-      require(fs.rename(stage,
-        new org.apache.hadoop.fs.Path(dir, s"ingest_shard=$newId")),
-        s"compact promote failed: $stage")
-      shardDirs.foreach { s =>
+        sources.sorted.map(s => s.hashCode.toLong).sum & Long.MaxValue)
+      val target = new org.apache.hadoop.fs.Path(dir, s"ingest_shard=$newId")
+      if (!fs.exists(target)) {
+        // stage as a SIBLING dir (a stray subdir under the partitioned root
+        // would break partition discovery), then rename in as the new
+        // partition directory — Spark refuses to overwrite a path it is
+        // reading, and the rename keeps every crash point duplicate-or-
+        // nothing. Data files carry no ingest_shard column; the partition
+        // value comes from the directory name, exactly as the normal writes
+        val stage = new org.apache.hadoop.fs.Path(path + "__compact_stage")
+        fs.delete(stage, true) // leftover from a crashed attempt
+        consolidate(spark.read.schema(schema).parquet(path)
+            .filter(col("ingest_shard").isin(sources: _*))
+            .drop("ingest_shard"))
+          .write.mode("overwrite").parquet(stage.toString)
+        require(fs.rename(stage, target), s"compact promote failed: $stage")
+      } // else: a prior run crashed between rename and source deletion —
+        // the deterministic name proves the target already holds exactly
+        // these sources' rows; just finish the deletion
+      sources.foreach { s =>
         fs.delete(new org.apache.hadoop.fs.Path(dir,
           s"ingest_shard=$s"), true)
       }
-      (shardDirs.size, 1)
+      (before.size, listShards().size)
     }
     (compactOne(bucketsPath(root), bucketsSchema,
         _.dropDuplicates("id", "band", "bucket")),

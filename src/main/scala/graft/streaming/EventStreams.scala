@@ -468,7 +468,11 @@ object EventStreams {
     * the store's equivalence contract: after any prefix of batches the
     * state equals batch semanticDedup over everything ingested so far —
     * including cross-batch retractions of previously-kept vectors,
-    * which arrive as flag deltas in the newest batch's partition. */
+    * which arrive as flag deltas in the newest batch's partition.
+    * Run [[graft.ops.SemDedupStore.compactShards]] only while this
+    * query is stopped with its checkpoint committed — compaction ends
+    * the absorbed batches' replay window (the exactSubstrIngestSink
+    * precondition, same mechanism). */
   def semDedupSink(vectors: DataFrame, idCol: String, vecCol: String,
       storeRoot: String,
       checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =

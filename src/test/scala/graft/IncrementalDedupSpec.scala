@@ -445,6 +445,44 @@ class IncrementalDedupSpec extends SparkSpec {
     IncrementalDedup.republishDelta(spark, root, Seq(liveShard)).count()
   }
 
+  test("tiered compactShards merges only the small-shard tail; the base partition is untouched") {
+    val root = tmpRoot("tiered")
+    val docs = baseDocs
+    IncrementalDedup.buildIndex(docs, "doc_id", "text", root, p, "big")
+    IncrementalDedup.addShard(spark, root,
+      prefixCopy(docs, 0L until 5L, 1000, 0.9), "doc_id", "text", "d1")
+    IncrementalDedup.addShard(spark, root,
+      prefixCopy(docs, 5L until 10L, 2000, 0.9), "doc_id", "text", "d2")
+    val droppedBefore = IncrementalDedup.droppedIds(spark, root)
+      .collect().map(_.getLong(0)).toSet
+    val fs = org.apache.hadoop.fs.FileSystem
+      .get(spark.sparkContext.hadoopConfiguration)
+    val bucketsDir = new org.apache.hadoop.fs.Path(s"$root/buckets")
+    def sizeOf(s: String): Long = fs.getContentSummary(
+      new org.apache.hadoop.fs.Path(bucketsDir, s"ingest_shard=$s"))
+      .getLength
+    val tier = math.max(sizeOf("d1"), sizeOf("d2"))
+    require(sizeOf("big") > tier,
+      "fixture: the base build must sit above the tier")
+    val ((bB, bA), _, _) = IncrementalDedup.compactShards(spark, root, tier)
+    assert(bB === 3 && bA === 2, s"buckets $bB -> $bA")
+    val names = fs.listStatus(bucketsDir)
+      .map(_.getPath.getName).filter(_.startsWith("ingest_shard="))
+      .map(_.stripPrefix("ingest_shard=")).toSet
+    assert(names.contains("big") && names.exists(_.startsWith("compacted_")),
+      names.toString)
+    assert(IncrementalDedup.droppedIds(spark, root)
+      .collect().map(_.getLong(0)).toSet === droppedBefore)
+    // the untouched base still probes: a later ingest equals full-union
+    val b4 = prefixCopy(docs, 10L until 15L, 3000, 0.9)
+    IncrementalDedup.addShard(spark, root, b4, "doc_id", "text", "d3")
+    val union = docs.unionByName(prefixCopy(docs, 0L until 5L, 1000, 0.9))
+      .unionByName(prefixCopy(docs, 5L until 10L, 2000, 0.9))
+      .unionByName(b4)
+    assert(IncrementalDedup.droppedIds(spark, root)
+      .collect().map(_.getLong(0)).toSet === fullDroppedSet(union))
+  }
+
   test("hot index bucket star-links the cross probe instead of exploding candidates") {
     // 300 identical docs: every band's bucket holds all 300 (> maxBucket
     // 256). A probing shard doc with the same text must pair with only the
