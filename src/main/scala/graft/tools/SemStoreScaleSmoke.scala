@@ -77,6 +77,20 @@ object SemStoreScaleSmoke {
       s"removed=${batchDups.getLong(1)}")
     println(s"[semstore-scale] store==batch flag totals: " +
       s"${storeDups == batchDups}")
+
+    // r16: the compaction leg — global mode rewrites base+shard (the
+    // cost tiering avoids on the accumulated base) and the state must
+    // read back identical
+    val compacted = time("compactShards (global)")(
+      graft.ops.SemDedupStore.compactShards(spark, root))
+    println(s"[semstore-scale] compacted assign ${compacted._1._1} -> " +
+      s"${compacted._1._2}, flags ${compacted._2._1} -> ${compacted._2._2}")
+    val postDups = graft.ops.SemDedupStore.currentState(spark, root).agg(
+      sum(when(col("is_dup"), 1).otherwise(0)),
+      sum(when(col("kept"), 0).otherwise(1))).head()
+    require(postDups == storeDups,
+      s"post-compaction state drifted: $postDups vs $storeDups")
+    println("[semstore-scale] post-compaction state identical")
     spark.stop()
   }
 }
