@@ -214,12 +214,29 @@ object DedupScaleSmoke {
       graft.ops.ExactSubstrStore.retractionsForShard(spark, esRoot, "s1")
         .count())
     println(s"[dedup-scale] exsub retraction rows=$esRetr")
-    val esFull = time("vs full exsub batch (the alternative)") {
-      Dedup.exactSubstrDedup(corpusPq.unionByName(shard), "doc_id", "text",
-          minLen = 20, digestKeys = true)
-        .agg(sum(when(col("n_removed") > 0, 1).otherwise(0))).head().getLong(0)
-    }
-    println(s"[dedup-scale] full exsub batch trimmed=$esFull")
+    // "nobatch" (3rd arg) skips the full-batch comparison leg — for
+    // re-measuring the store legs at 10M without re-paying the ~16-min
+    // batch run that exists only as the already-recorded contrast row
+    if (!args.contains("nobatch")) {
+      val esFull = time("vs full exsub batch (the alternative)") {
+        Dedup.exactSubstrDedup(corpusPq.unionByName(shard), "doc_id", "text",
+            minLen = 20, digestKeys = true)
+          .agg(sum(when(col("n_removed") > 0, 1).otherwise(0))).head().getLong(0)
+      }
+      println(s"[dedup-scale] full exsub batch trimmed=$esFull")
+    } else println("[dedup-scale] batch comparison SKIPPED (nobatch)")
+    // tiered FIRST (absorb only the two shards, base untouched — the
+    // production posture), then global (the full-rewrite cost tiering
+    // exists to avoid paying on the accumulated base)
+    val esFs = new org.apache.hadoop.fs.Path(esRoot)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val esTier = Seq("s1", "s_fixed").map(s => esFs.getContentSummary(
+      new org.apache.hadoop.fs.Path(s"$esRoot/windows/ingest_shard=$s"))
+      .getLength).max
+    val esTiered = time("exsub compactShards (tiered: shard tail only)")(
+      graft.ops.ExactSubstrStore.compactShards(spark, esRoot, esTier))
+    println(s"[dedup-scale] exsub tiered compaction partitions " +
+      s"${esTiered._1} -> ${esTiered._2} (base untouched)")
     val esCompact = time("exsub compactShards (global)")(
       graft.ops.ExactSubstrStore.compactShards(spark, esRoot))
     println(s"[dedup-scale] exsub compacted partitions " +
