@@ -202,7 +202,8 @@ object ExactSubstrStore {
     * BUCKET instead (see [[addShard]]): each leg broadcasts only its
     * bucket's keys against only its bucket's files, so index rows still
     * never ride an exchange — the v1 layout's whole-index shuffle
-    * fallback (219s vs 10s at the 10M 2%-shard smoke point) is gone.
+    * fallback (219s at the 10M 2%-shard smoke point; the bucketed legs
+    * read 33.6–40.4s there, BASELINE.md r16) is gone.
     * Only a single BUCKET whose keys alone exceed the gate degrades to
     * a shuffle semi-join, and then only over that bucket's 1/nBuckets
     * slice of the index. */
