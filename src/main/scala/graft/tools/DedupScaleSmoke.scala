@@ -241,6 +241,18 @@ object DedupScaleSmoke {
       graft.ops.ExactSubstrStore.compactShards(spark, esRoot))
     println(s"[dedup-scale] exsub compacted partitions " +
       s"${esCompact._1} -> ${esCompact._2}")
+    // the last store leg: a FULL-union republish readout — inherently
+    // corpus-sized (it rebuilds every doc's text), run from the stored
+    // windows instead of re-windowing; the store's savings live on the
+    // ingest path, this prices the occasional full republish
+    val esReadout = time("exsub store full-union readout (republish)")(
+      graft.ops.ExactSubstrStore.dedupWithIndex(spark, esRoot,
+          corpusPq.unionByName(shard)
+            .unionByName(spark.read.parquet(fixedPath)),
+          "doc_id", "text")
+        .agg(sum(when(col("n_removed") > 0, 1).otherwise(0)))
+        .head().getLong(0))
+    println(s"[dedup-scale] exsub readout trimmed=$esReadout")
     // print (not discard) the stage table accumulated across the exsub
     // phase — exsubstore.shard_write / probe_legs / report_write land
     // here; probe_legs present means the bucketed jumbo path ran
