@@ -15,7 +15,7 @@ import graft.queries.{ExtensionQueries, ParityQueries}
   * portable trainer whose centroids replay value-exactly cross-engine.
   * Full operator -> query -> check map: /root/repo/COVERAGE.md.
   *
-  * Inventory (222 queries, all oracle-checked — the count is the number
+  * Inventory (237 queries, all oracle-checked — the count is the number
   * of distinct `queries` keys and is asserted against `oracleSql` by
   * `tools/selfcheck.py`, the single source of truth for it):
   *  - q01-q16: scans, filters, CASE chains, datetime, windows (running/
@@ -211,6 +211,24 @@ import graft.queries.{ExtensionQueries, ParityQueries}
   *    flagged readback hash-matches x166's batch oracle verbatim)
   *  - x170-x171: corpus power-law statistics (vocab growth + Heaps fit
   *    via the x156 micro-grid OLS; frequency spectrum + Turing r*)
+  *  - x172-x174: cross-modal alignment gate (CLIP-score family over
+  *    shared-space embedding pairs) + mismatched-pair mining, and the
+  *    UniMax epoch-capped mixture allocator (water-filling budget)
+  *  - x175: IVF hot-list split/rebalance (the x102 stats readout's
+  *    action arm; search-identity and stats-shape driver-checked)
+  *  - x176-x178: the CCNet perplexity ladder — KN paragraph filter,
+  *    per-language head/middle/tail buckets, and the streaming
+  *    KN-perplexity screen (stream ≡ batch on the flagged side)
+  *  - x179: Gopher repetition rules (native gram-stats pass)
+  *  - x180-x184: exact-substring dedup (Lee et al. keep-one; window
+  *    index, span evidence) + its incremental store (shard ingest ≡
+  *    batch replay, displaced-canonical retraction feed) + the
+  *    streaming ingestion sink (arrival-order invariance at the oracle)
+  *  - x185-x186: content-defined chunking (gear/FastCDC production
+  *    pass + md5-h60 portable family; boundary walk replayed as a
+  *    recursive CTE) and the cross-version chunk-reuse delta readout
+  *    (re-crawl ingestion: unchanged docs 1.0, head-edited docs
+  *    resync, fresh docs ~0)
   */
 object SparkEntry {
 

@@ -1,0 +1,129 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Content-defined chunking and cross-version chunk reuse.
+  *
+  * The fixed-width chunkers ([[TextAnalysis]] token windows,
+  * [[Packing.sequenceAssignments]]) index a document by OFFSET, so one
+  * character inserted at the head relabels every downstream chunk — a
+  * re-crawled corpus where 1% of each page changed reads as 100% new
+  * at chunk granularity. CDC (LBFS, Muthitacharoen et al. SOSP '01;
+  * FastCDC, Xia et al. USENIX ATC '16) cuts where a rolling hash of
+  * the last few dozen characters hits a mask: boundaries are functions
+  * of LOCAL CONTENT, so the chunk walk re-synchronizes right after an
+  * edit and every later chunk hashes identically to the previous
+  * version's. That turns cross-version dedup ([[chunkReuse]]) into a
+  * digest semi-join — the storage/delta readout behind incremental
+  * re-crawl ingestion, revision-history dedup, and edit-stable RAG
+  * chunk caches. Reference has no chunking surface; extension op.
+  *
+  * Scale shape: chunking is MAP-ONLY on both paths (one per-row pass —
+  * a native gear-hash expression in production, engine-native md5 over
+  * per-row position arrays on the portable path), so it never shuffles
+  * and never carries text across an exchange; downstream joins move
+  * only narrow (id, digest, len) rows. At 100 TB the chunker runs at
+  * scan speed and the reuse join shuffles digests, ~2% of corpus bytes
+  * at the default ~48-char expected chunk.
+  *
+  * Hash families (the [[Dedup.winnowFingerprints]] convention):
+  * [[chunks]] = production gear/xxhash64; [[chunksPortable]] = md5-h60
+  * candidates, the oracle-checkable surface DuckDB replays exactly
+  * (candidate predicate as a `list_filter` over md5 grams, the
+  * boundary walk as a recursive CTE). Both share the acceptance
+  * semantics of [[graft.functions.CdcBoundaryWalk]]; they are pinned
+  * by spec to the same contract (bounds, concatenation identity,
+  * post-edit resync), not to identical cut positions. */
+object Cdc {
+
+  /** md5-h60 of the k-gram ENDING at 1-based position `p` — the
+    * portable candidate hash, spelled identically in DuckDB
+    * (`CAST('0x' || substring(md5(...), 1, 15) AS BIGINT)`). */
+  private def h60(t: Column, p: Column, k: Int): Column =
+    conv(substring(md5(t.substr(p - (k - 1), lit(k)).cast("binary")),
+      1, 15), 16, 10).cast("long")
+
+  /** Portable content-defined chunks: candidate cut at every position
+    * whose trailing k-gram's md5-h60 is ≡ 0 (mod `divisor`), accepted
+    * under min/max bounds by the shared boundary walk. Expected chunk
+    * length ≈ minLen + divisor. Map-only: candidates come from a
+    * per-row higher-order `transform`/`filter` over the position
+    * array — no explode, no shuffle, text never leaves its row.
+    * Output: (id, idx, start, len, digest) with digest = md5 hex of
+    * the chunk text (engine-portable); offsets/lengths in characters,
+    * hashing over UTF-8 bytes. Empty/null text → no rows. Fixture-
+    * scale by design (one md5 per character); production =
+    * [[chunks]]. */
+  def chunksPortable(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 16, divisor: Int = 16, minLen: Int = 24,
+      maxLen: Int = 96): DataFrame = {
+    require(k >= 1, "gram size k must be >= 1")
+    require(divisor >= 1, "divisor must be >= 1")
+    val t = col("__t")
+    val cands = when(length(t) >= k,
+        filter(
+          transform(sequence(lit(k), length(t)),
+            p => when(pmod(h60(t, p, k), lit(divisor)) === 0, p)
+              .otherwise(lit(-1))),
+          x => x =!= -1))
+      .otherwise(array().cast("array<int>"))
+    explodeChunks(
+      docs.select(col(idCol).as("id"), col(textCol).as("__t"))
+        .withColumn("__chunks",
+          graft.functions.CdcFunctions.cdc_walk(cands, length(t), minLen,
+            maxLen)),
+      md5(t.substr(col("__c.start") + 1, col("__c.len")).cast("binary")))
+  }
+
+  /** Production content-defined chunks: one native gear-hash pass per
+    * row ([[graft.functions.GearCdcChunks]] — shift+add per char, the
+    * hash's memory is the last 64 chars by construction). Expected
+    * chunk length ≈ minLen + 2^maskBits. Output shape mirrors
+    * [[chunksPortable]] with digest = xxhash64 of the chunk text
+    * (bigint — the narrow join key for [[chunkReuse]] at scale). */
+  def chunks(docs: DataFrame, idCol: String, textCol: String,
+      maskBits: Int = 6, minLen: Int = 64, maxLen: Int = 512): DataFrame = {
+    val t = col("__t")
+    explodeChunks(
+      docs.select(col(idCol).as("id"), col(textCol).as("__t"))
+        .withColumn("__chunks",
+          graft.functions.CdcFunctions.gear_cdc_chunks(t, maskBits, minLen,
+            maxLen)),
+      xxhash64(t.substr(col("__c.start") + 1, col("__c.len"))))
+  }
+
+  private def explodeChunks(withChunks: DataFrame, digest: Column)
+      : DataFrame =
+    withChunks
+      .select(col("id"), col("__t"),
+        posexplode(col("__chunks")).as(Seq("idx", "__c")))
+      .select(col("id"), col("idx"), col("__c.start").as("start"),
+        col("__c.len").as("len"), digest.as("digest"))
+
+  /** Cross-version chunk reuse: for every document of the NEW version,
+    * how many of its chunks (and what fraction of its characters)
+    * already exist anywhere in the OLD version's chunk set. Both
+    * inputs are chunk frames from the same chunker/parameters. The old
+    * side reduces to DISTINCT digests before the join — set semantics,
+    * and the hot-digest guard: a boilerplate chunk repeated across the
+    * old corpus contributes ONE join row, so no digest key explodes.
+    * Only narrow (id, digest, len) rows shuffle; text never does.
+    * Output: (id, n_chunks, n_reused, total_len, reused_len,
+    * reused_frac) — reused_frac 6dp, the portable-rounding house
+    * convention. */
+  def chunkReuse(oldChunks: DataFrame, newChunks: DataFrame): DataFrame = {
+    val oldDigests = oldChunks.select(col("digest")).distinct()
+      .withColumn("__hit", lit(1))
+    newChunks.select(col("id"), col("digest"), col("len"))
+      .join(oldDigests, Seq("digest"), "left")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(coalesce(col("__hit"), lit(0))).cast("long").as("n_reused"),
+        sum(col("len")).cast("long").as("total_len"),
+        sum(when(col("__hit").isNotNull, col("len")).otherwise(lit(0)))
+          .cast("long").as("reused_len"))
+      .withColumn("reused_frac",
+        round(col("n_reused").cast("double") / col("n_chunks"), 6))
+  }
+}

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ops.{CrossModal, Dedup, ExactSubstrStore, IncrementalDedup, IVF, Multimodal, Similarity, TextAnalysis}
+import graft.ops.{Cdc, CrossModal, Dedup, ExactSubstrStore, IncrementalDedup, IVF, Multimodal, Similarity, TextAnalysis}
 
 /** Oracle-checked / rows-checked query surface for the training-data-pipeline
   * extension operators (dedup, similarity search, text analysis) over the
@@ -3706,6 +3706,54 @@ object ExtensionQueries {
           emb, "vec_id", "embedding", k = 3, minScore = 0.99)
         .orderBy(col("pair_id"), col("cand_score").desc,
           col("cand_media_id"))
+    }),
+
+    // Content-defined chunking (x185): md5-h60 candidate cuts + the
+    // min/max boundary walk over documents plus 40 head-edited copies
+    // (an 11-char insertion) — the copies' chunk digests re-align with
+    // their sources' after the first content-determined cut, the
+    // resync property the operator exists for (visible in the shared
+    // digests; pinned by CdcSpec). The oracle replays the candidate
+    // predicate as a list_filter over md5 grams and the walk as a
+    // recursive CTE (next = coalesce(min(cand in window),
+    // least(prev+maxLen, len))).
+    "x185_cdc_chunks" -> ((s, dir) => {
+      val base = t(s, dir, "documents").filter(col("doc_id") < 300)
+        .select(col("doc_id"), col("text"))
+      val shifted = base.filter(col("doc_id") < 40)
+        .select((col("doc_id") + 20000).as("doc_id"),
+          concat(lit("zq-inserted "), col("text")).as("text"))
+      Cdc.chunksPortable(base.unionByName(shifted), "doc_id", "text",
+          k = 16, divisor = 16, minLen = 24, maxLen = 96)
+        .select(col("id").as("doc_id"), col("idx").cast("long").as("idx"),
+          col("start").cast("long").as("start"),
+          col("len").cast("long").as("len"), col("digest"))
+        .orderBy(col("doc_id"), col("start"))
+    }),
+
+    // Cross-version chunk reuse (x186): corpus v2 = v1 with every third
+    // doc head-edited plus 40 fresh docs; the per-doc digest semi-join
+    // readout must show unchanged docs at frac 1.0, edited docs
+    // re-synced high, fresh docs near 0 — the re-crawl delta-ingest
+    // readout fixed-width chunking cannot produce (one head edit
+    // shifts every fixed window). Oracle: both versions through the
+    // same recursive-CTE walk, then the reuse join on digests.
+    "x186_cdc_delta" -> ((s, dir) => {
+      val v1 = t(s, dir, "documents").filter(col("doc_id") < 300)
+        .select(col("doc_id"), col("text"))
+      val v2 = v1.select(col("doc_id"),
+          when(pmod(col("doc_id"), lit(3)) === 0,
+            concat(lit("rev2 edit: "), col("text")))
+            .otherwise(col("text")).as("text"))
+        .unionByName(t(s, dir, "documents")
+          .filter(col("doc_id") >= 300 && col("doc_id") < 340)
+          .select((col("doc_id") + 20000).as("doc_id"), col("text")))
+      val p = (d: org.apache.spark.sql.DataFrame) =>
+        Cdc.chunksPortable(d, "doc_id", "text", k = 16, divisor = 16,
+          minLen = 24, maxLen = 96)
+      Cdc.chunkReuse(p(v1), p(v2))
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("doc_id"))
     }))
 
   /** Clone fixture for x180/x181: documents plus, for doc_id < 40, a
@@ -8340,6 +8388,97 @@ object ExtensionQueries {
         |  coalesce(cl.clean_text, '') AS clean_text
         |FROM corpus c LEFT JOIN clean cl USING (doc_id)
         |ORDER BY c.doc_id""".stripMargin,
+
+    // x185: the CDC boundary walk replayed — candidate cuts where the
+    // trailing md5-h60 16-gram ≡ 0 (mod 16), then the sequential
+    // min/max acceptance as a recursive CTE: next boundary =
+    // coalesce(min(candidate in (prev+24 .. prev+96]),
+    // least(prev+96, len)). Chunk digests are md5 of the chunk text —
+    // the one hash both engines spell identically
+    "x185_cdc_chunks" ->
+      """WITH RECURSIVE corpus AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id < 300
+        |  UNION ALL
+        |  SELECT doc_id + 20000, 'zq-inserted ' || text
+        |  FROM documents WHERE doc_id < 40),
+        |lens AS (SELECT doc_id, len(text) AS len FROM corpus),
+        |cand AS (
+        |  SELECT doc_id, CAST(p AS BIGINT) AS p FROM (
+        |    SELECT doc_id, unnest(list_filter(range(16, len(text) + 1),
+        |      p -> CAST('0x' || substring(md5(substring(text, CAST(p - 15 AS INT), 16)), 1, 15) AS BIGINT) % 16 = 0)) AS p
+        |    FROM corpus)),
+        |walk(doc_id, pos) AS (
+        |  SELECT doc_id, CAST(0 AS BIGINT) FROM lens WHERE len > 0
+        |  UNION ALL
+        |  SELECT w.doc_id,
+        |    coalesce((SELECT min(c.p) FROM cand c WHERE c.doc_id = w.doc_id
+        |              AND c.p >= w.pos + 24 AND c.p <= w.pos + 96),
+        |             least(w.pos + 96, l.len))
+        |  FROM walk w JOIN lens l USING (doc_id)
+        |  WHERE w.pos < l.len),
+        |ch AS (
+        |  SELECT doc_id, pos,
+        |    lead(pos) OVER (PARTITION BY doc_id ORDER BY pos) - pos AS clen
+        |  FROM walk QUALIFY clen IS NOT NULL)
+        |SELECT c.doc_id,
+        |  CAST(row_number() OVER (PARTITION BY c.doc_id ORDER BY c.pos) - 1
+        |    AS BIGINT) AS idx,
+        |  c.pos AS "start", c.clen AS "len",
+        |  md5(substring(co.text, CAST(c.pos + 1 AS INT), CAST(c.clen AS INT))) AS digest
+        |FROM ch c JOIN corpus co USING (doc_id)
+        |ORDER BY c.doc_id, c.pos""".stripMargin,
+
+    // x186: both corpus versions through the same recursive-CTE walk
+    // (keyed by uid = ver·1000000 + doc_id), then the per-new-doc reuse
+    // readout as a left join against the DISTINCT old digest set
+    "x186_cdc_delta" ->
+      """WITH RECURSIVE v2 AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 3 = 0 THEN 'rev2 edit: ' || text
+        |         ELSE text END AS text
+        |  FROM documents WHERE doc_id < 300
+        |  UNION ALL
+        |  SELECT doc_id + 20000, text
+        |  FROM documents WHERE doc_id >= 300 AND doc_id < 340),
+        |corpus AS (
+        |  SELECT doc_id AS uid, doc_id, text, 1 AS ver
+        |  FROM documents WHERE doc_id < 300
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, doc_id, text, 2 FROM v2),
+        |lens AS (SELECT uid, len(text) AS len FROM corpus),
+        |cand AS (
+        |  SELECT uid, CAST(p AS BIGINT) AS p FROM (
+        |    SELECT uid, unnest(list_filter(range(16, len(text) + 1),
+        |      p -> CAST('0x' || substring(md5(substring(text, CAST(p - 15 AS INT), 16)), 1, 15) AS BIGINT) % 16 = 0)) AS p
+        |    FROM corpus)),
+        |walk(uid, pos) AS (
+        |  SELECT uid, CAST(0 AS BIGINT) FROM lens WHERE len > 0
+        |  UNION ALL
+        |  SELECT w.uid,
+        |    coalesce((SELECT min(c.p) FROM cand c WHERE c.uid = w.uid
+        |              AND c.p >= w.pos + 24 AND c.p <= w.pos + 96),
+        |             least(w.pos + 96, l.len))
+        |  FROM walk w JOIN lens l USING (uid)
+        |  WHERE w.pos < l.len),
+        |ch AS (
+        |  SELECT uid, pos,
+        |    lead(pos) OVER (PARTITION BY uid ORDER BY pos) - pos AS clen
+        |  FROM walk QUALIFY clen IS NOT NULL),
+        |dig AS (
+        |  SELECT c.uid, co.doc_id, co.ver, c.clen,
+        |    md5(substring(co.text, CAST(c.pos + 1 AS INT), CAST(c.clen AS INT))) AS digest
+        |  FROM ch c JOIN corpus co USING (uid)),
+        |oldd AS (SELECT DISTINCT digest FROM dig WHERE ver = 1),
+        |newd AS (SELECT doc_id, digest, clen FROM dig WHERE ver = 2)
+        |SELECT n.doc_id, count(*) AS n_chunks,
+        |  CAST(sum(CASE WHEN o.digest IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_reused,
+        |  CAST(sum(n.clen) AS BIGINT) AS total_len,
+        |  CAST(sum(CASE WHEN o.digest IS NOT NULL THEN n.clen ELSE 0 END) AS BIGINT) AS reused_len,
+        |  ROUND(CAST(sum(CASE WHEN o.digest IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / count(*), 6) AS reused_frac
+        |FROM newd n LEFT JOIN oldd o USING (digest)
+        |GROUP BY n.doc_id
+        |ORDER BY n.doc_id""".stripMargin,
 
     // x183: old-canonical (prior windows of shard-touched grams) vs
     // new-canonical (prior ∪ shard) selection, emitting the displaced

@@ -45,6 +45,31 @@ object TextScaleSmoke {
     time("chunking (per-row windows)")(
       TextAnalysis.chunkByTokens(corpus, "doc_id", "text", 32, 8)
         .agg(count(lit(1)), sum("n_chunk_tokens")).head())
+    // CDC: gear chunking is one native per-row pass (map-only); the
+    // re-crawl delta joins narrow (id, digest, len) rows only. v2 =
+    // same corpus with every third doc head-edited — reuse must read
+    // ~2/3 exact-1.0 plus resynced tails, the edit-stability contract
+    // at corpus scale
+    time("CDC gear chunking (map-only)")(
+      graft.ops.Cdc.chunks(corpus, "doc_id", "text",
+          maskBits = 5, minLen = 32, maxLen = 256)
+        .agg(count(lit(1)), sum("len")).head())
+    time("CDC re-crawl delta (digest join)") {
+      val v2 = corpus.select(col("doc_id"),
+        when(pmod(col("doc_id"), lit(3)) === 0,
+          concat(lit("recrawl-edit "), col("text")))
+          .otherwise(col("text")).as("text"))
+      val chunk = (d: org.apache.spark.sql.DataFrame) =>
+        graft.ops.Cdc.chunks(d, "doc_id", "text",
+          maskBits = 5, minLen = 32, maxLen = 256)
+      val r = graft.ops.Cdc.chunkReuse(chunk(corpus), chunk(v2))
+        .agg(sum(when(col("reused_frac") === 1.0, 1).otherwise(0)),
+          avg("reused_frac"), count(lit(1))).head()
+      println(s"[text-scale]   cdc delta: full-reuse=${r.getLong(0)} " +
+        f"avg_frac=${r.getDouble(1)}%.4f docs=${r.getLong(2)}")
+      require(r.getLong(0) >= (n * 2) / 3 - n / 100,
+        "unedited docs must reuse every chunk")
+    }
     time("sequence packing (8 shard windows)")(
       Packing.packByBudget(
           corpus.select(col("doc_id"), col("lang"),

@@ -578,7 +578,15 @@ class PlanGuardSpec extends SparkSpec {
       // audited plan is the final dedupWithIndex readout (the same nine
       // exchanges as x182's readout leg); the two micro-batch ingests
       // ran as their own actions inside the sink
-      ("x184_stream_exact_substr", 9, 0))
+      ("x184_stream_exact_substr", 9, 0),
+      // r16: CDC — chunking is MAP-ONLY (per-row HOF candidates + the
+      // walk expression; no explode-shuffle, text never rides an
+      // exchange), so x185's one exchange is the presentation sort.
+      // x186: old-side distinct digest agg + the digest join's
+      // exchanges + per-doc rollup + presentation sort; the distinct
+      // old digest frame broadcasts under AQE
+      ("x185_cdc_chunks", 1, 0),
+      ("x186_cdc_delta", 3, 1))
     val parity = ParityQueries.queries.keySet
     budgets.foreach { case (name, shuf, minBcast) =>
       val df =
