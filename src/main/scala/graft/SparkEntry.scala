@@ -15,7 +15,7 @@ import graft.queries.{ExtensionQueries, ParityQueries}
   * portable trainer whose centroids replay value-exactly cross-engine.
   * Full operator -> query -> check map: /root/repo/COVERAGE.md.
   *
-  * Inventory (237 queries, all oracle-checked — the count is the number
+  * Inventory (239 queries, all oracle-checked — the count is the number
   * of distinct `queries` keys and is asserted against `oracleSql` by
   * `tools/selfcheck.py`, the single source of truth for it):
   *  - q01-q16: scans, filters, CASE chains, datetime, windows (running/
@@ -229,6 +229,11 @@ import graft.queries.{ExtensionQueries, ParityQueries}
   *    recursive CTE) and the cross-version chunk-reuse delta readout
   *    (re-crawl ingestion: unchanged docs 1.0, head-edited docs
   *    resync, fresh docs ~0)
+  *  - x187-x188: the persisted chunk-digest store (chunkReuse's
+  *    incremental twin: shard reuse reports against ALL prior
+  *    versions without re-chunking them; digest sets accumulate
+  *    across shards) and its streaming ingestion sink (per-batch
+  *    reports against the growing store, batch id = shard id)
   */
 object SparkEntry {
 

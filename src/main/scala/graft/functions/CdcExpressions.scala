@@ -2,9 +2,9 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, GenericInternalRow, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
-import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -80,58 +80,71 @@ case class GearCdcChunks(child: Expression, maskBits: Int, minLen: Int,
     copy(child = newChild)
 }
 
-/** The boundary-acceptance walk shared by every CDC hash family: given
-  * the sorted candidate cut positions (each the END of a window whose
-  * hash hit the mask) and the document length, accept the earliest
-  * candidate at least `minLen` past the previous boundary, force a cut
-  * at `maxLen` when no candidate lands in (prev+minLen .. prev+maxLen],
-  * and close the final (possibly short) tail chunk at the document end.
-  * A candidate coinciding with the forced position is indistinguishable
-  * from the forced cut, so the walk is total and deterministic.
-  * `(array<int> candidates, int len) -> array<struct<start:int,len:int>>`.
-  * The DuckDB oracle replays exactly this recurrence as a recursive CTE
-  * (next = coalesce(min(candidate in window), least(prev+maxLen, len))).
-  * CodegenFallback: one per-row primitive loop, the [[WinnowFingerprints]]
-  * rationale. */
-case class CdcBoundaryWalk(left: Expression, right: Expression,
+/** The md5-h60 portable CDC family as ONE native per-row pass — the
+  * oracle-checkable surface ([[graft.ops.Cdc.chunksPortable]]).
+  * Candidate cut at every 1-based position p >= k whose trailing
+  * k-char gram's md5-h60 (top 60 bits of the digest — the value DuckDB
+  * spells `CAST('0x' || substring(md5(...), 1, 15) AS BIGINT)`, pinned
+  * bit-equal by spec) is ≡ 0 (mod divisor); acceptance under min/max
+  * bounds by the shared [[CdcFunctions.walkChunks]] recurrence, which
+  * the DuckDB oracle replays as a recursive CTE (next =
+  * coalesce(min(candidate in window), least(prev+maxLen, len))).
+  *
+  * Native rather than a higher-order `transform`/`filter` over the
+  * position array for the same reason [[WinnowFingerprints]] is:
+  * HOF lambdas evaluate INTERPRETED per element, and the interpreted
+  * md5(substr(cast)) chain measured ~10 ms per 300-char document —
+  * ~3 s per evaluation of a 300-doc fixture frame, paid again by every
+  * plan that consumed the lineage. This JVM loop runs the same 85k
+  * digests in tens of milliseconds. Hashing is over the UTF-8 bytes of
+  * the k-CHAR substring (DuckDB `substring` + `md5` semantics).
+  * CodegenFallback: one per-row primitive loop. */
+case class Md5CdcChunks(child: Expression, k: Int, divisor: Int,
     minLen: Int, maxLen: Int)
-    extends BinaryExpression with CodegenFallback {
+    extends UnaryExpression with CodegenFallback {
 
+  require(k >= 1, "gram size k must be >= 1")
+  require(divisor >= 1, "divisor must be >= 1")
   require(minLen >= 1, "minLen must be >= 1")
   require(maxLen >= minLen, "maxLen must be >= minLen")
 
-  override def checkInputDataTypes(): TypeCheckResult =
-    (left.dataType, right.dataType) match {
-      case (ArrayType(IntegerType, _), IntegerType) =>
-        TypeCheckResult.TypeCheckSuccess
-      case other => TypeCheckResult.TypeCheckFailure(
-        s"requires (array<int>, int), got $other")
-    }
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"requires string, got $other")
+  }
 
   override def dataType: DataType = CdcFunctions.chunkArrayType
 
-  override def nullSafeEval(candsAny: Any, lenAny: Any): Any = {
-    val cands = candsAny.asInstanceOf[ArrayData].toIntArray()
-    val len = lenAny.asInstanceOf[Int]
-    if (len <= 0) return new GenericArrayData(Array.empty[Any])
-    val out = new scala.collection.mutable.ArrayBuffer[Any]
-    var b = 0
-    var ci = 0
-    while (b < len) {
-      val lo = b + minLen
-      val hi = b + maxLen
-      while (ci < cands.length && cands(ci) < lo) ci += 1
-      val nb =
-        if (ci < cands.length && cands(ci) <= hi) cands(ci)
-        else math.min(hi, len)
-      out += new GenericInternalRow(Array[Any](b, nb - b))
-      b = nb
-    }
-    new GenericArrayData(out.toArray)
+  override def nullSafeEval(t: Any): Any = {
+    val s = t.asInstanceOf[UTF8String].toString
+    val len = s.length
+    if (len == 0) return new GenericArrayData(Array.empty[Any])
+    val cands =
+      if (len < k) Array.empty[Int]
+      else {
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val out = new scala.collection.mutable.ArrayBuffer[Int]
+        var p = k
+        while (p <= len) {
+          md.reset()
+          val d = md.digest(s.substring(p - k, p).getBytes(
+            java.nio.charset.StandardCharsets.UTF_8))
+          // top 60 bits: first 8 bytes big-endian, then drop the low
+          // nibble — equals the 15-hex-char prefix both engines read
+          var h = 0L
+          var i = 0
+          while (i < 8) { h = (h << 8) | (d(i) & 0xFFL); i += 1 }
+          if ((h >>> 4) % divisor == 0L) out += p
+          p += 1
+        }
+        out.toArray
+      }
+    CdcFunctions.walkChunks(cands, len, minLen, maxLen)
   }
 
-  override protected def withNewChildrenInternal(newLeft: Expression,
-      newRight: Expression): Expression = copy(left = newLeft, right = newRight)
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
 }
 
 object CdcFunctions {
@@ -148,6 +161,32 @@ object CdcFunctions {
   private[functions] val gear: Array[Long] =
     Array.tabulate(256)(i => XXH64.hashLong(i.toLong, 2654435761L))
 
+  /** The boundary-acceptance walk shared by every CDC hash family:
+    * accept the earliest candidate at least `minLen` past the previous
+    * boundary, force a cut at `maxLen` when no candidate lands in
+    * (prev+minLen .. prev+maxLen], close the (possibly short) tail at
+    * the document end. A candidate coinciding with the forced position
+    * is indistinguishable from the forced cut, so the walk is total
+    * and deterministic. `cands` = sorted 1-based candidate cut
+    * positions. */
+  private[functions] def walkChunks(cands: Array[Int], len: Int,
+      minLen: Int, maxLen: Int): GenericArrayData = {
+    val out = new scala.collection.mutable.ArrayBuffer[Any]
+    var b = 0
+    var ci = 0
+    while (b < len) {
+      val lo = b + minLen
+      val hi = b + maxLen
+      while (ci < cands.length && cands(ci) < lo) ci += 1
+      val nb =
+        if (ci < cands.length && cands(ci) <= hi) cands(ci)
+        else math.min(hi, len)
+      out += new GenericInternalRow(Array[Any](b, nb - b))
+      b = nb
+    }
+    new GenericArrayData(out.toArray)
+  }
+
   /** Production CDC: gear rolling hash, min/max-bounded cuts, one
     * per-row pass. `string -> array<struct<start:int,len:int>>`. */
   def gear_cdc_chunks(text: Column, maskBits: Int, minLen: Int,
@@ -155,9 +194,10 @@ object CdcFunctions {
     Bridge.column(GearCdcChunks(Bridge.expression(text), maskBits, minLen,
       maxLen))
 
-  /** Boundary walk over pre-computed candidate cut positions (any hash
-    * family): `(array<int>, int) -> array<struct<start:int,len:int>>`. */
-  def cdc_walk(cands: Column, len: Column, minLen: Int, maxLen: Int): Column =
-    Bridge.column(CdcBoundaryWalk(Bridge.expression(cands),
-      Bridge.expression(len), minLen, maxLen))
+  /** Portable md5-h60 CDC (the oracle family): one native per-row
+    * pass. `string -> array<struct<start:int,len:int>>`. */
+  def md5_cdc_chunks(text: Column, k: Int, divisor: Int, minLen: Int,
+      maxLen: Int): Column =
+    Bridge.column(Md5CdcChunks(Bridge.expression(text), k, divisor, minLen,
+      maxLen))
 }

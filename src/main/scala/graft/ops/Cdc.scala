@@ -37,42 +37,29 @@ import org.apache.spark.sql.functions._
   * post-edit resync), not to identical cut positions. */
 object Cdc {
 
-  /** md5-h60 of the k-gram ENDING at 1-based position `p` — the
-    * portable candidate hash, spelled identically in DuckDB
-    * (`CAST('0x' || substring(md5(...), 1, 15) AS BIGINT)`). */
-  private def h60(t: Column, p: Column, k: Int): Column =
-    conv(substring(md5(t.substr(p - (k - 1), lit(k)).cast("binary")),
-      1, 15), 16, 10).cast("long")
-
   /** Portable content-defined chunks: candidate cut at every position
-    * whose trailing k-gram's md5-h60 is ≡ 0 (mod `divisor`), accepted
-    * under min/max bounds by the shared boundary walk. Expected chunk
-    * length ≈ minLen + divisor. Map-only: candidates come from a
-    * per-row higher-order `transform`/`filter` over the position
-    * array — no explode, no shuffle, text never leaves its row.
-    * Output: (id, idx, start, len, digest) with digest = md5 hex of
-    * the chunk text (engine-portable); offsets/lengths in characters,
-    * hashing over UTF-8 bytes. Empty/null text → no rows. Fixture-
-    * scale by design (one md5 per character); production =
-    * [[chunks]]. */
+    * whose trailing k-gram's md5-h60 (top 60 digest bits — the value
+    * DuckDB spells `CAST('0x' || substring(md5(...), 1, 15) AS
+    * BIGINT)`, pinned bit-equal by spec) is ≡ 0 (mod `divisor`),
+    * accepted under min/max bounds by the shared boundary walk.
+    * Expected chunk length ≈ minLen + divisor. Map-only: ONE native
+    * per-row pass ([[graft.functions.Md5CdcChunks]] — a higher-order
+    * transform/filter spelling evaluated its md5 chain interpreted
+    * per position, ~60× slower) — no explode, no shuffle, text never
+    * leaves its row. Output: (id, idx, start, len, digest) with
+    * digest = md5 hex of the chunk text (engine-portable);
+    * offsets/lengths in characters, hashing over UTF-8 bytes.
+    * Empty/null text → no rows. One md5 per character, so ~4× the
+    * gear path's cost per byte; production = [[chunks]]. */
   def chunksPortable(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 16, divisor: Int = 16, minLen: Int = 24,
       maxLen: Int = 96): DataFrame = {
-    require(k >= 1, "gram size k must be >= 1")
-    require(divisor >= 1, "divisor must be >= 1")
     val t = col("__t")
-    val cands = when(length(t) >= k,
-        filter(
-          transform(sequence(lit(k), length(t)),
-            p => when(pmod(h60(t, p, k), lit(divisor)) === 0, p)
-              .otherwise(lit(-1))),
-          x => x =!= -1))
-      .otherwise(array().cast("array<int>"))
     explodeChunks(
       docs.select(col(idCol).as("id"), col(textCol).as("__t"))
         .withColumn("__chunks",
-          graft.functions.CdcFunctions.cdc_walk(cands, length(t), minLen,
-            maxLen)),
+          graft.functions.CdcFunctions.md5_cdc_chunks(t, k, divisor,
+            minLen, maxLen)),
       md5(t.substr(col("__c.start") + 1, col("__c.len")).cast("binary")))
   }
 

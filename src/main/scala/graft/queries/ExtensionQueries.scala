@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Cdc, CrossModal, Dedup, ExactSubstrStore, IncrementalDedup, IVF, Multimodal, Similarity, TextAnalysis}
+import graft.ops.{Cdc, CdcStore, CrossModal, Dedup, ExactSubstrStore, IncrementalDedup, IVF, Multimodal, Similarity, TextAnalysis}
 
 /** Oracle-checked / rows-checked query surface for the training-data-pipeline
   * extension operators (dedup, similarity search, text analysis) over the
@@ -3754,6 +3754,70 @@ object ExtensionQueries {
       Cdc.chunkReuse(p(v1), p(v2))
         .withColumnRenamed("id", "doc_id")
         .orderBy(col("doc_id"))
+    }),
+
+    // Chunk-digest store (x187): build on v1, ingest a fresh shard A
+    // then an edited-copies shard B — B's report must read reuse
+    // against v1 UNION A (the store accumulates across shards without
+    // re-chunking prior versions; pinned as chunkReuse's incremental
+    // twin by CdcStoreSpec). The oracle replays both digest sets and
+    // both reuse joins.
+    "x187_cdc_store" -> ((s, dir) => {
+      val root = ParityQueries.tmpPath("graft_cdcstore", dir)
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+      val v1 = t(s, dir, "documents").filter(col("doc_id") < 300)
+        .select(col("doc_id"), col("text"))
+      val shardA = t(s, dir, "documents")
+        .filter(col("doc_id") >= 300 && col("doc_id") < 340)
+        .select((col("doc_id") + 20000).as("doc_id"), col("text"))
+      val shardB = v1.filter(pmod(col("doc_id"), lit(3)) === 0)
+        .select((col("doc_id") + 40000).as("doc_id"),
+          concat(lit("rev2 edit: "), col("text")).as("text"))
+      CdcStore.build(v1, "doc_id", "text", root,
+        CdcStore.Params(family = "md5", k = 16, divisor = 16,
+          minLen = 24, maxLen = 96, nBuckets = 2))
+      val repA = CdcStore.addShard(s, root, shardA, "doc_id", "text", "a")
+      val repB = CdcStore.addShard(s, root, shardB, "doc_id", "text", "b")
+      repA.withColumn("shard", lit("a"))
+        .unionByName(repB.withColumn("shard", lit("b")))
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("doc_id"))
+    }),
+
+    // Streaming re-crawl ingestion (x188): store built on a base
+    // corpus, two micro-batches through cdcIngestSink (file source,
+    // one file per trigger) — batch 0 = head-edited copies of base
+    // docs, batch 1 = verbatim copies of BATCH 0's edited docs plus
+    // fresh docs. Batch 1's full-reuse rows are attributable to batch
+    // 0's digests, not the base — the cross-batch accumulation the
+    // sink exists for. The oracle replays both batches' reuse joins
+    // against the growing digest set.
+    "x188_stream_cdc_ingest" -> ((s, dir) => {
+      val root = ParityQueries.tmpPath("graft_scdc", dir)
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+      val base = t(s, dir, "documents").filter(col("doc_id") < 150)
+        .select(col("doc_id"), col("text"))
+      val b0 = base.filter(col("doc_id") < 40)
+        .select((col("doc_id") + 40000).as("doc_id"),
+          concat(lit("rev2 edit: "), col("text")).as("text"))
+      val b1 = b0.select((col("doc_id") + 40000).as("doc_id"), col("text"))
+        .unionByName(t(s, dir, "documents")
+          .filter(col("doc_id") >= 150 && col("doc_id") < 170)
+          .select((col("doc_id") + 20000).as("doc_id"), col("text")))
+      CdcStore.build(base, "doc_id", "text", s"$root/store",
+        CdcStore.Params(family = "md5", k = 16, divisor = 16,
+          minLen = 24, maxLen = 96, nBuckets = 2))
+      b0.repartition(1).write.parquet(s"$root/in")
+      b1.repartition(1).write.mode("append").parquet(s"$root/in")
+      val feed = s.readStream.schema(b0.schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$root/in")
+      val sq = graft.streaming.EventStreams.cdcIngestSink(feed,
+        "doc_id", "text", s"$root/store", s"$root/reports", s"$root/ckpt")
+      try sq.processAllAvailable() finally sq.stop()
+      s.read.parquet(s"$root/reports")
+        .withColumnRenamed("id", "doc_id")
+        .withColumn("batch_id", col("batch_id").cast("long"))
+        .orderBy(col("batch_id"), col("doc_id"))
     }))
 
   /** Clone fixture for x180/x181: documents plus, for doc_id < 40, a
@@ -8479,6 +8543,132 @@ object ExtensionQueries {
         |FROM newd n LEFT JOIN oldd o USING (digest)
         |GROUP BY n.doc_id
         |ORDER BY n.doc_id""".stripMargin,
+
+    // x187: the chunk-digest store replayed — three corpus versions
+    // through the same walk CTE; shard A's reuse joins v1's digest
+    // set, shard B's joins v1 ∪ A (the store's cross-shard
+    // accumulation, replayed as growing DISTINCT sets)
+    "x187_cdc_store" ->
+      """WITH RECURSIVE sa AS (
+        |  SELECT doc_id + 20000 AS doc_id, text FROM documents
+        |  WHERE doc_id >= 300 AND doc_id < 340),
+        |sb AS (
+        |  SELECT doc_id + 40000 AS doc_id, 'rev2 edit: ' || text AS text
+        |  FROM documents WHERE doc_id < 300 AND doc_id % 3 = 0),
+        |corpus AS (
+        |  SELECT doc_id AS uid, doc_id, text, 1 AS ver
+        |  FROM documents WHERE doc_id < 300
+        |  UNION ALL SELECT doc_id + 1000000, doc_id, text, 2 FROM sa
+        |  UNION ALL SELECT doc_id + 2000000, doc_id, text, 3 FROM sb),
+        |lens AS (SELECT uid, len(text) AS len FROM corpus),
+        |cand AS (
+        |  SELECT uid, CAST(p AS BIGINT) AS p FROM (
+        |    SELECT uid, unnest(list_filter(range(16, len(text) + 1),
+        |      p -> CAST('0x' || substring(md5(substring(text, CAST(p - 15 AS INT), 16)), 1, 15) AS BIGINT) % 16 = 0)) AS p
+        |    FROM corpus)),
+        |walk(uid, pos) AS (
+        |  SELECT uid, CAST(0 AS BIGINT) FROM lens WHERE len > 0
+        |  UNION ALL
+        |  SELECT w.uid,
+        |    coalesce((SELECT min(c.p) FROM cand c WHERE c.uid = w.uid
+        |              AND c.p >= w.pos + 24 AND c.p <= w.pos + 96),
+        |             least(w.pos + 96, l.len))
+        |  FROM walk w JOIN lens l USING (uid)
+        |  WHERE w.pos < l.len),
+        |ch AS (
+        |  SELECT uid, pos,
+        |    lead(pos) OVER (PARTITION BY uid ORDER BY pos) - pos AS clen
+        |  FROM walk QUALIFY clen IS NOT NULL),
+        |dig AS (
+        |  SELECT c.uid, co.doc_id, co.ver, c.clen,
+        |    md5(substring(co.text, CAST(c.pos + 1 AS INT), CAST(c.clen AS INT))) AS digest
+        |  FROM ch c JOIN corpus co USING (uid)),
+        |d1 AS (SELECT DISTINCT digest FROM dig WHERE ver = 1),
+        |d12 AS (SELECT DISTINCT digest FROM dig WHERE ver IN (1, 2)),
+        |ra AS (
+        |  SELECT n.doc_id, count(*) AS n_chunks,
+        |    CAST(sum(CASE WHEN o.digest IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_reused,
+        |    CAST(sum(n.clen) AS BIGINT) AS total_len,
+        |    CAST(sum(CASE WHEN o.digest IS NOT NULL THEN n.clen ELSE 0 END) AS BIGINT) AS reused_len,
+        |    ROUND(CAST(sum(CASE WHEN o.digest IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+        |      / count(*), 6) AS reused_frac, 'a' AS shard
+        |  FROM (SELECT doc_id, digest, clen FROM dig WHERE ver = 2) n
+        |  LEFT JOIN d1 o USING (digest) GROUP BY n.doc_id),
+        |rb AS (
+        |  SELECT n.doc_id, count(*) AS n_chunks,
+        |    CAST(sum(CASE WHEN o.digest IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_reused,
+        |    CAST(sum(n.clen) AS BIGINT) AS total_len,
+        |    CAST(sum(CASE WHEN o.digest IS NOT NULL THEN n.clen ELSE 0 END) AS BIGINT) AS reused_len,
+        |    ROUND(CAST(sum(CASE WHEN o.digest IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+        |      / count(*), 6) AS reused_frac, 'b' AS shard
+        |  FROM (SELECT doc_id, digest, clen FROM dig WHERE ver = 3) n
+        |  LEFT JOIN d12 o USING (digest) GROUP BY n.doc_id)
+        |SELECT * FROM ra UNION ALL SELECT * FROM rb
+        |ORDER BY doc_id""".stripMargin,
+
+    // x188: the streamed store's two batch reports replayed — batch 0
+    // joins the base digest set, batch 1 joins base ∪ batch 0 (the
+    // deterministic one-file-per-trigger split makes the replay exact)
+    "x188_stream_cdc_ingest" ->
+      """WITH RECURSIVE b0 AS (
+        |  SELECT doc_id + 40000 AS doc_id, 'rev2 edit: ' || text AS text
+        |  FROM documents WHERE doc_id < 40),
+        |b1 AS (
+        |  SELECT doc_id + 80000 AS doc_id, 'rev2 edit: ' || text AS text
+        |  FROM documents WHERE doc_id < 40
+        |  UNION ALL
+        |  SELECT doc_id + 20000, text FROM documents
+        |  WHERE doc_id >= 150 AND doc_id < 170),
+        |corpus AS (
+        |  SELECT doc_id AS uid, doc_id, text, 1 AS ver
+        |  FROM documents WHERE doc_id < 150
+        |  UNION ALL SELECT doc_id + 1000000, doc_id, text, 2 FROM b0
+        |  UNION ALL SELECT doc_id + 2000000, doc_id, text, 3 FROM b1),
+        |lens AS (SELECT uid, len(text) AS len FROM corpus),
+        |cand AS (
+        |  SELECT uid, CAST(p AS BIGINT) AS p FROM (
+        |    SELECT uid, unnest(list_filter(range(16, len(text) + 1),
+        |      p -> CAST('0x' || substring(md5(substring(text, CAST(p - 15 AS INT), 16)), 1, 15) AS BIGINT) % 16 = 0)) AS p
+        |    FROM corpus)),
+        |walk(uid, pos) AS (
+        |  SELECT uid, CAST(0 AS BIGINT) FROM lens WHERE len > 0
+        |  UNION ALL
+        |  SELECT w.uid,
+        |    coalesce((SELECT min(c.p) FROM cand c WHERE c.uid = w.uid
+        |              AND c.p >= w.pos + 24 AND c.p <= w.pos + 96),
+        |             least(w.pos + 96, l.len))
+        |  FROM walk w JOIN lens l USING (uid)
+        |  WHERE w.pos < l.len),
+        |ch AS (
+        |  SELECT uid, pos,
+        |    lead(pos) OVER (PARTITION BY uid ORDER BY pos) - pos AS clen
+        |  FROM walk QUALIFY clen IS NOT NULL),
+        |dig AS (
+        |  SELECT c.uid, co.doc_id, co.ver, c.clen,
+        |    md5(substring(co.text, CAST(c.pos + 1 AS INT), CAST(c.clen AS INT))) AS digest
+        |  FROM ch c JOIN corpus co USING (uid)),
+        |d1 AS (SELECT DISTINCT digest FROM dig WHERE ver = 1),
+        |d12 AS (SELECT DISTINCT digest FROM dig WHERE ver IN (1, 2)),
+        |r0 AS (
+        |  SELECT n.doc_id, count(*) AS n_chunks,
+        |    CAST(sum(CASE WHEN o.digest IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_reused,
+        |    CAST(sum(n.clen) AS BIGINT) AS total_len,
+        |    CAST(sum(CASE WHEN o.digest IS NOT NULL THEN n.clen ELSE 0 END) AS BIGINT) AS reused_len,
+        |    ROUND(CAST(sum(CASE WHEN o.digest IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+        |      / count(*), 6) AS reused_frac, CAST(0 AS BIGINT) AS batch_id
+        |  FROM (SELECT doc_id, digest, clen FROM dig WHERE ver = 2) n
+        |  LEFT JOIN d1 o USING (digest) GROUP BY n.doc_id),
+        |r1 AS (
+        |  SELECT n.doc_id, count(*) AS n_chunks,
+        |    CAST(sum(CASE WHEN o.digest IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_reused,
+        |    CAST(sum(n.clen) AS BIGINT) AS total_len,
+        |    CAST(sum(CASE WHEN o.digest IS NOT NULL THEN n.clen ELSE 0 END) AS BIGINT) AS reused_len,
+        |    ROUND(CAST(sum(CASE WHEN o.digest IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+        |      / count(*), 6) AS reused_frac, CAST(1 AS BIGINT) AS batch_id
+        |  FROM (SELECT doc_id, digest, clen FROM dig WHERE ver = 3) n
+        |  LEFT JOIN d12 o USING (digest) GROUP BY n.doc_id)
+        |SELECT * FROM r0 UNION ALL SELECT * FROM r1
+        |ORDER BY batch_id, doc_id""".stripMargin,
 
     // x183: old-canonical (prior windows of shard-touched grams) vs
     // new-canonical (prior ∪ shard) selection, emitting the displaced

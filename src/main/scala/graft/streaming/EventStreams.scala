@@ -453,6 +453,50 @@ object EventStreams {
       }
       .start()
 
+  /** Streaming re-crawl ingestion with incremental CHUNK-level reuse
+    * detection — the content-defined-chunking member of the store-sink
+    * family ([[incrementalDedupSink]] = MinHash near-dup,
+    * [[exactSubstrIngestSink]] = verbatim-span keep-one,
+    * [[semDedupSink]] = embedding near-dup; this answers "which chunks
+    * of the arriving crawl did ANY prior version already carry"):
+    * every micro-batch chunks with the store's own parameters
+    * ([[graft.ops.CdcStore.readMeta]] — the store owns its keying),
+    * lands its as-of reuse report (id, n_chunks, n_reused, total_len,
+    * reused_len, reused_frac — reuse vs PRIOR batches only) under
+    * `reportPath` partitioned by batch_id, and folds its digests into
+    * store state. Crash replay is exactly-once on store state for the
+    * family's reason: the batch id IS the shard id, the shard's
+    * digest partition overwrites dynamically, and the probe excludes
+    * the in-flight shard by partition pruning. The store must exist —
+    * [[graft.ops.CdcStore.build]] on the historical corpus, or on an
+    * empty frame to start cold. The per-batch report is written ONCE,
+    * by addShard's write-through into this sink's `batch_id=N`
+    * partition dir.
+    *
+    * COMPACTION PRECONDITION: only run [[graft.ops.CdcStore
+    * .compactShards]] on `storeRoot` while this query is STOPPED and
+    * its checkpoint has committed the last batch — compaction moves
+    * absorbed batches' digests out of the per-batch partitions the
+    * replay overwrite targets (the [[exactSubstrIngestSink]]
+    * precondition, same mechanism; here a violating replay would
+    * re-add a duplicate digest partition rather than double-count —
+    * membership semantics absorb it — but the replayed batch's REPORT
+    * would see its own prior digests as "reused"). */
+  def cdcIngestSink(docs: DataFrame, idCol: String, textCol: String,
+      storeRoot: String, reportPath: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          graft.ops.CdcStore.addShard(batch.sparkSession, storeRoot,
+            batch, idCol, textCol, s"stream_$batchId",
+            reportDir = Some(s"$reportPath/batch_id=$batchId"))
+        }
+        ()
+      }
+      .start()
+
   /** Stream embedding shards into a persisted SemDeDup store
     * ([[graft.ops.SemDedupStore]]) — the semantic-dedup member of the
     * streaming-ingest family ([[incrementalDedupSink]] = MinHash text

@@ -70,6 +70,34 @@ object TextScaleSmoke {
       require(r.getLong(0) >= (n * 2) / 3 - n / 100,
         "unedited docs must reuse every chunk")
     }
+    // the store contrast: the delta stage above re-chunks BOTH corpus
+    // versions (corpus-sized); the persisted digest store chunks the
+    // DAILY SHARD only and probes narrow digest rows — the arrival
+    // cost a re-crawl pipeline actually pays
+    val cdcRoot = System.getProperty("java.io.tmpdir") +
+      "/graft_textscale_cdcstore_p" + ProcessHandle.current().pid()
+    val cdcParams = graft.ops.CdcStore.Params(family = "gear",
+      maskBits = 5, minLen = 32, maxLen = 256)
+    time("CDC store build (corpus-sized, once)")(
+      graft.ops.CdcStore.build(corpus, "doc_id", "text", cdcRoot, cdcParams))
+    time("CDC store daily-shard ingest (1%)") {
+      val m = math.max(n / 100, 1000L)
+      // half fresh docs, half verbatim copies of indexed docs — the
+      // copies must read fully reused, the fresh ones (near) nothing
+      val shard = spark.range(0, m / 2, 1, 8)
+        .select((col("id") + 10 * n).as("doc_id"),
+          concat_ws(" ", (0 until 40).map { p =>
+            concat(lit("f"), pmod(xxhash64(lit(13), col("id"), lit(p)),
+              lit(5000)).cast("string"))
+          }: _*).as("text"))
+        .unionByName(corpus.filter(col("doc_id") < m / 2)
+          .select((col("doc_id") + 20 * n).as("doc_id"), col("text")))
+      val rep = graft.ops.CdcStore.addShard(spark, cdcRoot, shard,
+        "doc_id", "text", "day1")
+      val full = rep.filter(col("reused_frac") === 1.0).count()
+      println(s"[text-scale]   cdc store ingest: shard=${m} full-reuse=$full")
+      require(full >= m / 2, "every verbatim copy must read fully reused")
+    }
     time("sequence packing (8 shard windows)")(
       Packing.packByBudget(
           corpus.select(col("doc_id"), col("lang"),

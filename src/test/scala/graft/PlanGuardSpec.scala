@@ -586,7 +586,13 @@ class PlanGuardSpec extends SparkSpec {
       // exchanges + per-doc rollup + presentation sort; the distinct
       // old digest frame broadcasts under AQE
       ("x185_cdc_chunks", 1, 0),
-      ("x186_cdc_delta", 3, 1))
+      ("x186_cdc_delta", 3, 1),
+      // r16: the chunk-digest store fixtures — the audited plan is the
+      // RETURNED frame: plain scans of the written-through reports
+      // (union + presentation sort = the one exchange); every ingest
+      // probe ran as its own actions inside addShard / the sink
+      ("x187_cdc_store", 1, 0),
+      ("x188_stream_cdc_ingest", 1, 0))
     val parity = ParityQueries.queries.keySet
     budgets.foreach { case (name, shuf, minBcast) =>
       val df =
