@@ -96,21 +96,47 @@ object Cdc {
     * and the hot-digest guard: a boilerplate chunk repeated across the
     * old corpus contributes ONE join row, so no digest key explodes.
     * Only narrow (id, digest, len) rows shuffle; text never does.
+    *
+    * `minReuseLen` (production: the chunker's own minLen) excludes
+    * sub-minimum chunks from matching on BOTH sides. The walk emits
+    * such chunks only as forced TAILS, and a tail shorter than the
+    * hash window is not a content-defined unit at all — measured live:
+    * a 2-char tail ("59") matched 2-char tails across hundreds of
+    * unrelated documents, exactly the junk-hit class that would make
+    * every document in a billion-doc store read "partially reused".
+    * Sub-min chunks still count in n_chunks/total_len (tiling truth)
+    * but neither enter the old digest set nor the reuse DENOMINATOR:
+    * an unedited re-crawl still reads exactly 1.0, a document whose
+    * only chunk is sub-min reads null (no reusable chunks — both
+    * engines spell 0/0 as NULL). Default 0 = every chunk matchable.
+    *
     * Output: (id, n_chunks, n_reused, total_len, reused_len,
-    * reused_frac) — reused_frac 6dp, the portable-rounding house
-    * convention. */
-  def chunkReuse(oldChunks: DataFrame, newChunks: DataFrame): DataFrame = {
-    val oldDigests = oldChunks.select(col("digest")).distinct()
+    * reused_frac) — reused_frac 6dp over REUSABLE chunks, the
+    * portable-rounding house convention. */
+  def chunkReuse(oldChunks: DataFrame, newChunks: DataFrame,
+      minReuseLen: Int = 0): DataFrame = {
+    val oldDigests = oldChunks.filter(col("len") >= minReuseLen)
+      .select(col("digest")).distinct()
       .withColumn("__hit", lit(1))
     newChunks.select(col("id"), col("digest"), col("len"))
       .join(oldDigests, Seq("digest"), "left")
+      .withColumn("__use",
+        (col("len") >= minReuseLen).cast("int"))
+      .withColumn("__r",
+        when(col("__hit").isNotNull && col("__use") === 1, 1).otherwise(0))
       .groupBy(col("id"))
       .agg(count(lit(1)).as("n_chunks"),
-        sum(coalesce(col("__hit"), lit(0))).cast("long").as("n_reused"),
+        sum(col("__r")).cast("long").as("n_reused"),
         sum(col("len")).cast("long").as("total_len"),
-        sum(when(col("__hit").isNotNull, col("len")).otherwise(lit(0)))
-          .cast("long").as("reused_len"))
+        sum(when(col("__r") === 1, col("len")).otherwise(lit(0)))
+          .cast("long").as("reused_len"),
+        sum(col("__use")).cast("long").as("__reusable"))
       .withColumn("reused_frac",
-        round(col("n_reused").cast("double") / col("n_chunks"), 6))
+        // explicit NULL for the no-reusable-chunks case: double 0/0 is
+        // NaN in Spark but NULL in DuckDB — spell the agreement out
+        when(col("__reusable") === 0, lit(null).cast("double"))
+          .otherwise(round(
+            col("n_reused").cast("double") / col("__reusable"), 6)))
+      .drop("__reusable")
   }
 }

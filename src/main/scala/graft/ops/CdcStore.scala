@@ -18,9 +18,12 @@ import org.apache.spark.sql.types._
   * ~8–40 B where the chunk text is hundreds.
   *
   * Layout under one root (the [[ExactSubstrStore]] v2 conventions):
-  *   - `digests/` — one row per distinct digest PER SHARD, partitioned
-  *     by `ingest_shard` and then `__bkt = pmod(xxhash64(digest),
-  *     nBuckets)`. Bucket is a map-side column (never a repartition);
+  *   - `digests/` — one row per distinct REUSABLE digest (chunks of
+  *     length >= minLen; sub-min forced tails are not content-defined
+  *     units and would junk-match across unrelated docs) PER SHARD,
+  *     partitioned by `ingest_shard` and then `__bkt =
+  *     pmod(xxhash64(digest), nBuckets)`. Bucket is a map-side column
+  *     (never a repartition);
   *     the one exchange a shard write pays is its own shard-sized
   *     DISTINCT. Cross-shard duplicate digests are allowed —
   *     membership semantics absorb them and [[compactShards]] folds
@@ -111,13 +114,19 @@ object CdcStore {
       Cdc.chunksPortable(docs, idCol, textCol, p.k, p.divisor, p.minLen,
         p.maxLen)
 
-  /** Land one shard's DISTINCT digests as its partition (dynamic
-    * overwrite — a crash replay rewrites identical rows over any
-    * half-written attempt). The distinct is the shard-sized exchange;
-    * the bucket column is map-side. */
+  /** Land one shard's DISTINCT REUSABLE digests as its partition
+    * (dynamic overwrite — a crash replay rewrites identical rows over
+    * any half-written attempt). Only chunks of length >= minLen enter
+    * the set: the walk emits shorter chunks only as forced tails, and
+    * a tail shorter than the hash window is not a content-defined
+    * unit — tiny tails digest-match across UNRELATED documents
+    * (measured: a 2-char tail matched hundreds of docs), the junk-hit
+    * class that would make every doc in a large store read "partially
+    * reused" (see [[Cdc.chunkReuse]]'s minReuseLen). The distinct is
+    * the shard-sized exchange; the bucket column is map-side. */
   private def writeShardDigests(chunks: DataFrame, path: String,
       shardId: String, p: Params): Unit =
-    chunks.select(col("digest")).distinct()
+    chunks.filter(col("len") >= p.minLen).select(col("digest")).distinct()
       .withColumn("ingest_shard", lit(shardId))
       .withColumn("__bkt", bucketOf(p))
       .write.mode("overwrite")
@@ -224,16 +233,27 @@ object CdcStore {
       }
     val hit = matched.withColumn("__hit", lit(1))
     val gatedHit = if (totalKeys <= maxBroadcastKeys) broadcast(hit) else hit
+    // the [[Cdc.chunkReuse]] minReuseLen semantics with minReuseLen =
+    // p.minLen: sub-min tails count in n_chunks/total_len but neither
+    // match (their digests were never stored) nor dilute the
+    // denominator — pinned ≡ chunkReuse(prior, shard, p.minLen) by spec
     val report = chunks
       .join(gatedHit, Seq("digest"), "left")
+      .withColumn("__use", (col("len") >= p.minLen).cast("int"))
+      .withColumn("__r",
+        when(col("__hit").isNotNull && col("__use") === 1, 1).otherwise(0))
       .groupBy(col("id"))
       .agg(count(lit(1)).as("n_chunks"),
-        sum(coalesce(col("__hit"), lit(0))).cast("long").as("n_reused"),
+        sum(col("__r")).cast("long").as("n_reused"),
         sum(col("len")).cast("long").as("total_len"),
-        sum(when(col("__hit").isNotNull, col("len")).otherwise(lit(0)))
-          .cast("long").as("reused_len"))
+        sum(when(col("__r") === 1, col("len")).otherwise(lit(0)))
+          .cast("long").as("reused_len"),
+        sum(col("__use")).cast("long").as("__reusable"))
       .withColumn("reused_frac",
-        round(col("n_reused").cast("double") / col("n_chunks"), 6))
+        when(col("__reusable") === 0, lit(null).cast("double"))
+          .otherwise(round(
+            col("n_reused").cast("double") / col("__reusable"), 6)))
+      .drop("__reusable")
     val dir = reportDir.getOrElse(s"${reportsPath(root)}/$shardId")
     graft.bench.StageTimers.time("cdcstore.report_write") {
       report.write.mode("overwrite").parquet(dir)

@@ -3751,7 +3751,7 @@ object ExtensionQueries {
       val p = (d: org.apache.spark.sql.DataFrame) =>
         Cdc.chunksPortable(d, "doc_id", "text", k = 16, divisor = 16,
           minLen = 24, maxLen = 96)
-      Cdc.chunkReuse(p(v1), p(v2))
+      Cdc.chunkReuse(p(v1), p(v2), minReuseLen = 24)
         .withColumnRenamed("id", "doc_id")
         .orderBy(col("doc_id"))
     }),
@@ -8532,14 +8532,15 @@ object ExtensionQueries {
         |  SELECT c.uid, co.doc_id, co.ver, c.clen,
         |    md5(substring(co.text, CAST(c.pos + 1 AS INT), CAST(c.clen AS INT))) AS digest
         |  FROM ch c JOIN corpus co USING (uid)),
-        |oldd AS (SELECT DISTINCT digest FROM dig WHERE ver = 1),
+        |oldd AS (SELECT DISTINCT digest FROM dig WHERE ver = 1 AND clen >= 24),
         |newd AS (SELECT doc_id, digest, clen FROM dig WHERE ver = 2)
         |SELECT n.doc_id, count(*) AS n_chunks,
-        |  CAST(sum(CASE WHEN o.digest IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_reused,
+        |  CAST(sum(CASE WHEN o.digest IS NOT NULL AND n.clen >= 24 THEN 1 ELSE 0 END) AS BIGINT) AS n_reused,
         |  CAST(sum(n.clen) AS BIGINT) AS total_len,
-        |  CAST(sum(CASE WHEN o.digest IS NOT NULL THEN n.clen ELSE 0 END) AS BIGINT) AS reused_len,
-        |  ROUND(CAST(sum(CASE WHEN o.digest IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
-        |    / count(*), 6) AS reused_frac
+        |  CAST(sum(CASE WHEN o.digest IS NOT NULL AND n.clen >= 24 THEN n.clen ELSE 0 END) AS BIGINT) AS reused_len,
+        |  CASE WHEN sum(CASE WHEN n.clen >= 24 THEN 1 ELSE 0 END) = 0 THEN NULL
+        |    ELSE ROUND(CAST(sum(CASE WHEN o.digest IS NOT NULL AND n.clen >= 24 THEN 1 ELSE 0 END) AS DOUBLE)
+        |      / sum(CASE WHEN n.clen >= 24 THEN 1 ELSE 0 END), 6) END AS reused_frac
         |FROM newd n LEFT JOIN oldd o USING (digest)
         |GROUP BY n.doc_id
         |ORDER BY n.doc_id""".stripMargin,
@@ -8583,24 +8584,26 @@ object ExtensionQueries {
         |  SELECT c.uid, co.doc_id, co.ver, c.clen,
         |    md5(substring(co.text, CAST(c.pos + 1 AS INT), CAST(c.clen AS INT))) AS digest
         |  FROM ch c JOIN corpus co USING (uid)),
-        |d1 AS (SELECT DISTINCT digest FROM dig WHERE ver = 1),
-        |d12 AS (SELECT DISTINCT digest FROM dig WHERE ver IN (1, 2)),
+        |d1 AS (SELECT DISTINCT digest FROM dig WHERE ver = 1 AND clen >= 24),
+        |d12 AS (SELECT DISTINCT digest FROM dig WHERE ver IN (1, 2) AND clen >= 24),
         |ra AS (
         |  SELECT n.doc_id, count(*) AS n_chunks,
-        |    CAST(sum(CASE WHEN o.digest IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_reused,
+        |    CAST(sum(CASE WHEN o.digest IS NOT NULL AND n.clen >= 24 THEN 1 ELSE 0 END) AS BIGINT) AS n_reused,
         |    CAST(sum(n.clen) AS BIGINT) AS total_len,
-        |    CAST(sum(CASE WHEN o.digest IS NOT NULL THEN n.clen ELSE 0 END) AS BIGINT) AS reused_len,
-        |    ROUND(CAST(sum(CASE WHEN o.digest IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
-        |      / count(*), 6) AS reused_frac, 'a' AS shard
+        |    CAST(sum(CASE WHEN o.digest IS NOT NULL AND n.clen >= 24 THEN n.clen ELSE 0 END) AS BIGINT) AS reused_len,
+        |    CASE WHEN sum(CASE WHEN n.clen >= 24 THEN 1 ELSE 0 END) = 0 THEN NULL
+        |      ELSE ROUND(CAST(sum(CASE WHEN o.digest IS NOT NULL AND n.clen >= 24 THEN 1 ELSE 0 END) AS DOUBLE)
+        |        / sum(CASE WHEN n.clen >= 24 THEN 1 ELSE 0 END), 6) END AS reused_frac, 'a' AS shard
         |  FROM (SELECT doc_id, digest, clen FROM dig WHERE ver = 2) n
         |  LEFT JOIN d1 o USING (digest) GROUP BY n.doc_id),
         |rb AS (
         |  SELECT n.doc_id, count(*) AS n_chunks,
-        |    CAST(sum(CASE WHEN o.digest IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_reused,
+        |    CAST(sum(CASE WHEN o.digest IS NOT NULL AND n.clen >= 24 THEN 1 ELSE 0 END) AS BIGINT) AS n_reused,
         |    CAST(sum(n.clen) AS BIGINT) AS total_len,
-        |    CAST(sum(CASE WHEN o.digest IS NOT NULL THEN n.clen ELSE 0 END) AS BIGINT) AS reused_len,
-        |    ROUND(CAST(sum(CASE WHEN o.digest IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
-        |      / count(*), 6) AS reused_frac, 'b' AS shard
+        |    CAST(sum(CASE WHEN o.digest IS NOT NULL AND n.clen >= 24 THEN n.clen ELSE 0 END) AS BIGINT) AS reused_len,
+        |    CASE WHEN sum(CASE WHEN n.clen >= 24 THEN 1 ELSE 0 END) = 0 THEN NULL
+        |      ELSE ROUND(CAST(sum(CASE WHEN o.digest IS NOT NULL AND n.clen >= 24 THEN 1 ELSE 0 END) AS DOUBLE)
+        |        / sum(CASE WHEN n.clen >= 24 THEN 1 ELSE 0 END), 6) END AS reused_frac, 'b' AS shard
         |  FROM (SELECT doc_id, digest, clen FROM dig WHERE ver = 3) n
         |  LEFT JOIN d12 o USING (digest) GROUP BY n.doc_id)
         |SELECT * FROM ra UNION ALL SELECT * FROM rb
@@ -8647,24 +8650,26 @@ object ExtensionQueries {
         |  SELECT c.uid, co.doc_id, co.ver, c.clen,
         |    md5(substring(co.text, CAST(c.pos + 1 AS INT), CAST(c.clen AS INT))) AS digest
         |  FROM ch c JOIN corpus co USING (uid)),
-        |d1 AS (SELECT DISTINCT digest FROM dig WHERE ver = 1),
-        |d12 AS (SELECT DISTINCT digest FROM dig WHERE ver IN (1, 2)),
+        |d1 AS (SELECT DISTINCT digest FROM dig WHERE ver = 1 AND clen >= 24),
+        |d12 AS (SELECT DISTINCT digest FROM dig WHERE ver IN (1, 2) AND clen >= 24),
         |r0 AS (
         |  SELECT n.doc_id, count(*) AS n_chunks,
-        |    CAST(sum(CASE WHEN o.digest IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_reused,
+        |    CAST(sum(CASE WHEN o.digest IS NOT NULL AND n.clen >= 24 THEN 1 ELSE 0 END) AS BIGINT) AS n_reused,
         |    CAST(sum(n.clen) AS BIGINT) AS total_len,
-        |    CAST(sum(CASE WHEN o.digest IS NOT NULL THEN n.clen ELSE 0 END) AS BIGINT) AS reused_len,
-        |    ROUND(CAST(sum(CASE WHEN o.digest IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
-        |      / count(*), 6) AS reused_frac, CAST(0 AS BIGINT) AS batch_id
+        |    CAST(sum(CASE WHEN o.digest IS NOT NULL AND n.clen >= 24 THEN n.clen ELSE 0 END) AS BIGINT) AS reused_len,
+        |    CASE WHEN sum(CASE WHEN n.clen >= 24 THEN 1 ELSE 0 END) = 0 THEN NULL
+        |      ELSE ROUND(CAST(sum(CASE WHEN o.digest IS NOT NULL AND n.clen >= 24 THEN 1 ELSE 0 END) AS DOUBLE)
+        |        / sum(CASE WHEN n.clen >= 24 THEN 1 ELSE 0 END), 6) END AS reused_frac, CAST(0 AS BIGINT) AS batch_id
         |  FROM (SELECT doc_id, digest, clen FROM dig WHERE ver = 2) n
         |  LEFT JOIN d1 o USING (digest) GROUP BY n.doc_id),
         |r1 AS (
         |  SELECT n.doc_id, count(*) AS n_chunks,
-        |    CAST(sum(CASE WHEN o.digest IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_reused,
+        |    CAST(sum(CASE WHEN o.digest IS NOT NULL AND n.clen >= 24 THEN 1 ELSE 0 END) AS BIGINT) AS n_reused,
         |    CAST(sum(n.clen) AS BIGINT) AS total_len,
-        |    CAST(sum(CASE WHEN o.digest IS NOT NULL THEN n.clen ELSE 0 END) AS BIGINT) AS reused_len,
-        |    ROUND(CAST(sum(CASE WHEN o.digest IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
-        |      / count(*), 6) AS reused_frac, CAST(1 AS BIGINT) AS batch_id
+        |    CAST(sum(CASE WHEN o.digest IS NOT NULL AND n.clen >= 24 THEN n.clen ELSE 0 END) AS BIGINT) AS reused_len,
+        |    CASE WHEN sum(CASE WHEN n.clen >= 24 THEN 1 ELSE 0 END) = 0 THEN NULL
+        |      ELSE ROUND(CAST(sum(CASE WHEN o.digest IS NOT NULL AND n.clen >= 24 THEN 1 ELSE 0 END) AS DOUBLE)
+        |        / sum(CASE WHEN n.clen >= 24 THEN 1 ELSE 0 END), 6) END AS reused_frac, CAST(1 AS BIGINT) AS batch_id
         |  FROM (SELECT doc_id, digest, clen FROM dig WHERE ver = 3) n
         |  LEFT JOIN d12 o USING (digest) GROUP BY n.doc_id)
         |SELECT * FROM r0 UNION ALL SELECT * FROM r1

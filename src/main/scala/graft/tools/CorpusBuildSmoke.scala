@@ -427,6 +427,76 @@ object CorpusBuildSmoke {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(shardPath))
     }
 
+    // 4j. CDC re-crawl rehearsal: the chunk-digest store as the
+    // arrival-time twin of cross-version chunk dedup. Build the store
+    // over the post-dedup corpus once, then ingest one re-crawl day:
+    // verbatim re-crawled pages (must read reused_frac 1.0 — the store
+    // sees every chunk), head-edited pages (the CDC resync contract:
+    // most chunks survive one edit), and fresh pages (token vocabulary
+    // disjoint from the corpus, so reuse must be exactly 0). At <=1M
+    // the report is checked verbatim against Cdc.chunkReuse over the
+    // explicit union (the 4i convention: above that, the corpus-sized
+    // re-chunk is the cost the store avoids — logged skip).
+    {
+      val cdcRoot = System.getProperty("java.io.tmpdir") +
+        s"/graft_corpus_cdc_p${ProcessHandle.current().pid()}"
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(cdcRoot))
+      val cdcParams = graft.ops.CdcStore.Params(family = "gear",
+        maskBits = 5, minLen = 32, maxLen = 256)
+      time("4j cdc-store build (once, amortized)") {
+        graft.ops.CdcStore.build(deduped.select(col("doc_id"), col("text")),
+          "doc_id", "text", cdcRoot, cdcParams)
+      }
+      val srcMod = math.max(n / 2000L, 1L)
+      val recrawlSame = deduped.filter(pmod(col("doc_id"), lit(srcMod)) === 3)
+        .select((col("doc_id") + 85000000L).as("doc_id"), col("text"))
+      val recrawlEdit = deduped.filter(pmod(col("doc_id"), lit(srcMod)) === 4)
+        .select((col("doc_id") + 86000000L).as("doc_id"),
+          concat(lit("recrawl-edit "), col("text")).as("text"))
+      val recrawlFresh = spark.range(0, 1000, 1, 4)
+        .select((col("id") + 87000000L).as("doc_id"),
+          concat_ws(" ", transform(sequence(lit(0), lit(59)),
+            j => concat(lit("cf"), col("id"), lit("t"), j))).as("text"))
+      val cdcShardPath = cdcRoot + "_shard"
+      recrawlSame.unionByName(recrawlEdit).unionByName(recrawlFresh)
+        .write.mode("overwrite").parquet(cdcShardPath)
+      val cdcShard = spark.read.parquet(cdcShardPath)
+      val shardN = cdcShard.count()
+      val cdcRep = time(s"4j cdc-store re-crawl ingest ($shardN)") {
+        graft.ops.CdcStore.addShard(spark, cdcRoot, cdcShard,
+          "doc_id", "text", "day1")
+      }
+      require(cdcRep.filter(col("id") >= 85000000L && col("id") < 86000000L &&
+        col("reused_frac") =!= 1.0).count() == 0L,
+        "every verbatim re-crawled page must read fully reused")
+      require(cdcRep.filter(col("id") >= 87000000L &&
+        col("n_reused") =!= 0L).count() == 0L,
+        "fresh pages (disjoint vocabulary) must reuse nothing")
+      val editStats = cdcRep.filter(col("id") >= 86000000L &&
+          col("id") < 87000000L && col("n_chunks") >= 3)
+        .agg(avg(col("reused_frac")), count(lit(1))).head()
+      require(editStats.getLong(1) == 0L || editStats.getDouble(0) >= 0.5,
+        s"head-edited pages must resync: avg frac ${editStats.getDouble(0)}")
+      println(f"[corpus-build]   4j edited-page resync avg " +
+        f"${editStats.getDouble(0)}%.3f over ${editStats.getLong(1)} docs")
+      if (n <= 1000000L) {
+        val chunk = (d: org.apache.spark.sql.DataFrame) =>
+          graft.ops.Cdc.chunks(d, "doc_id", "text", cdcParams.maskBits,
+            cdcParams.minLen, cdcParams.maxLen)
+        val batchRep = graft.ops.Cdc.chunkReuse(
+          chunk(deduped.select(col("doc_id"), col("text"))), chunk(cdcShard),
+          minReuseLen = cdcParams.minLen)
+        require(batchRep.exceptAll(cdcRep).count() == 0L &&
+          cdcRep.exceptAll(batchRep).count() == 0L,
+          "store re-crawl report must equal chunkReuse over the union")
+        println("[corpus-build]   4j store report == chunkReuse batch report")
+      } else println("[corpus-build]   4j chunkReuse equality SKIPPED at " +
+        s"n=$n (the corpus-sized re-chunk the store avoids); planted " +
+        "requires checked")
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(cdcRoot))
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(cdcShardPath))
+    }
+
     // 5. benchmark decontamination (500 verbatim corpus docs): the
     // production two-phase shape — map-only Bloom screen corpus-wide,
     // exact paragraph decontamination ONLY on the flagged slice (one-

@@ -172,6 +172,32 @@ class CdcSpec extends SparkSpec {
     assert(rDup == r, "old-side digests are a SET")
   }
 
+  test("minReuseLen: tails excluded from set AND denominator; all-sub-min doc reads null") {
+    // doc 1 has a sub-min forced tail (its last chunk < minLen); an
+    // identical re-crawl must STILL read exactly 1.0 — the tail is out
+    // of the denominator, not counted as a miss. Doc 3's junk tail
+    // matching doc 1's tail must NOT read as reuse. Doc 4 is shorter
+    // than minLen entirely: no reusable chunks -> frac null.
+    val t1 = text(100, 31)
+    val v1 = docs(1L -> t1)
+    val tail2 = t1.takeRight(2)
+    val v2 = docs(10L -> t1,                    // identical re-crawl
+      11L -> (text(100, 32) + " q" + tail2),    // unrelated + same 2-char tail
+      12L -> "tiny")                            // all-sub-min doc
+    val c = (d: DataFrame) => Cdc.chunksPortable(d, "doc_id", "text",
+      k = 16, divisor = 16, minLen = 24, maxLen = 96)
+    val r = Cdc.chunkReuse(c(v1), c(v2), minReuseLen = 24).collect()
+      .map(x => x.getAs[Long]("id") -> x).toMap
+    assert(r(10L).getAs[Double]("reused_frac") == 1.0,
+      "identical doc reads 1.0 even with a sub-min tail")
+    assert(r(11L).getAs[Long]("n_reused") == 0L,
+      "a junk tail match never counts as reuse")
+    assert(r(12L).isNullAt(r(12L).fieldIndex("reused_frac")),
+      "no reusable chunks -> null frac")
+    assert(r(12L).getAs[Long]("n_chunks") == 1L,
+      "sub-min chunks still count in the tiling columns")
+  }
+
   test("portable candidates match the oracle hash spelling") {
     // h60(p) for the k-gram ending at p, spelled exactly as the DuckDB
     // oracle spells it — pin one literal so a refactor of h60 cannot

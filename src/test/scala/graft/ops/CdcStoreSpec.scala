@@ -55,10 +55,12 @@ class CdcStoreSpec extends SparkSpec {
       CdcStore.build(v1, "doc_id", "text", root, p)
       val repA = CdcStore.addShard(spark, root, shardA, "doc_id", "text", "a")
       assert(rep(repA) == rep(Cdc.chunkReuse(chunksOf(v1, p),
-        chunksOf(shardA, p))), s"${p.family}: shard A report = chunkReuse twin")
+        chunksOf(shardA, p), minReuseLen = p.minLen)),
+        s"${p.family}: shard A report = chunkReuse twin")
       val repB = CdcStore.addShard(spark, root, shardB, "doc_id", "text", "b")
       assert(rep(repB) == rep(Cdc.chunkReuse(
-        chunksOf(v1.unionByName(shardA), p), chunksOf(shardB, p))),
+        chunksOf(v1.unionByName(shardA), p), chunksOf(shardB, p),
+        minReuseLen = p.minLen)),
         s"${p.family}: shard B reuse is vs v1 UNION shard A")
       // the planted structure: 11 reuses everything from 2; 20 resyncs
       // against A's 10; 21 is fresh
@@ -66,11 +68,13 @@ class CdcStoreSpec extends SparkSpec {
         rep(repA).map(r => r._1 -> r._6).toMap
       assert(m(11L) == 1.0, s"${p.family}: verbatim copy fully reused")
       assert(m(20L) >= 0.5, s"${p.family}: head-edited doc resyncs")
-      // state = distinct digests of everything ingested
+      // state = distinct REUSABLE digests of everything ingested
+      // (sub-minLen forced tails never enter the set)
       val expect = chunksOf(v1.unionByName(shardA).unionByName(shardB), p)
+        .filter(col("len") >= p.minLen)
         .select("digest").distinct().collect().toSet
       assert(CdcStore.currentDigests(spark, root).collect().toSet == expect,
-        s"${p.family}: state is the distinct union digest set")
+        s"${p.family}: state is the distinct reusable union digest set")
     }
   }
 
