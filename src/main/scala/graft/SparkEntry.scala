@@ -15,7 +15,7 @@ import graft.queries.{ExtensionQueries, ParityQueries}
   * portable trainer whose centroids replay value-exactly cross-engine.
   * Full operator -> query -> check map: /root/repo/COVERAGE.md.
   *
-  * Inventory (239 queries, all oracle-checked — the count is the number
+  * Inventory (242 queries, all oracle-checked — the count is the number
   * of distinct `queries` keys and is asserted against `oracleSql` by
   * `tools/selfcheck.py`, the single source of truth for it):
   *  - q01-q16: scans, filters, CASE chains, datetime, windows (running/
@@ -234,6 +234,12 @@ import graft.queries.{ExtensionQueries, ParityQueries}
   *    versions without re-chunking them; digest sets accumulate
   *    across shards) and its streaming ingestion sink (per-batch
   *    reports against the growing store, batch id = shard id)
+  *  - x189-x191: the persisted BM25 inverted-index store (bm25TopK's
+  *    incremental twin: tokenize once at ingest, retrieve against
+  *    term-bucketed posting state with no corpus re-scan; oracle =
+  *    batch BM25 over the union), its per-shard vocabulary-growth
+  *    ingest reports (new terms vs the accumulated prior state), and
+  *    its streaming ingestion sink (final readout ≡ batch replay)
   */
 object SparkEntry {
 

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Cdc, CdcStore, CrossModal, Dedup, ExactSubstrStore, IncrementalDedup, IVF, Multimodal, Similarity, TextAnalysis}
+import graft.ops.{Bm25Store, Cdc, CdcStore, CrossModal, Dedup, ExactSubstrStore, IncrementalDedup, IVF, Multimodal, Similarity, TextAnalysis}
 
 /** Oracle-checked / rows-checked query surface for the training-data-pipeline
   * extension operators (dedup, similarity search, text analysis) over the
@@ -3818,6 +3818,93 @@ object ExtensionQueries {
         .withColumnRenamed("id", "doc_id")
         .withColumn("batch_id", col("batch_id").cast("long"))
         .orderBy(col("batch_id"), col("doc_id"))
+    }),
+
+    // Incremental BM25 store (x189): inverted index built on a base
+    // corpus, two shards ingested — with a global compaction between
+    // them, so the probe's layout-invariance is inside the oracle
+    // check — then top-10 retrieval for the x78 query set against
+    // store state. The oracle replays batch BM25 over the union: the
+    // store's whole contract is state-backed retrieval ≡ full
+    // re-tokenization, at bucket-pruned cost.
+    "x189_bm25_store" -> ((s, dir) => {
+      import s.implicits._
+      val root = ParityQueries.tmpPath("graft_bm25store", dir)
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+      val docs = t(s, dir, "documents")
+      Bm25Store.build(docs.filter(col("doc_id") < 300)
+          .select(col("doc_id"), col("text")),
+        "doc_id", "text", root, Bm25Store.Params(nBuckets = 4))
+      Bm25Store.addShard(s, root,
+        docs.filter(col("doc_id") >= 300 && col("doc_id") < 400)
+          .select(col("doc_id"), col("text")),
+        "doc_id", "text", "a")
+      Bm25Store.compactShards(s, root)
+      Bm25Store.addShard(s, root,
+        docs.filter(col("doc_id") >= 400 && col("doc_id") < 460)
+          .select(col("doc_id"), col("text")),
+        "doc_id", "text", "b")
+      val qs = Seq((1L, "spark window agg"), (2L, "slow query scan"),
+        (3L, "customer table join fast")).toDF("query_id", "qtext")
+      Bm25Store.topK(s, root, qs, "query_id", "qtext", k = 10)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // Ingest vocabulary-growth reports (x190): what each crawl shard
+    // bought — docs, token mass, postings, distinct terms, and NEW
+    // terms vs all prior state. Shard B's "prior" is base ∪ A — the
+    // cross-shard accumulation the report probe exists for. The
+    // oracle replays the distinct-term anti-joins over the same
+    // splits.
+    "x190_bm25_store_report" -> ((s, dir) => {
+      val root = ParityQueries.tmpPath("graft_bm25rep", dir)
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+      val docs = t(s, dir, "documents")
+      Bm25Store.build(docs.filter(col("doc_id") < 300)
+          .select(col("doc_id"), col("text")),
+        "doc_id", "text", root, Bm25Store.Params(nBuckets = 4))
+      val repA = Bm25Store.addShard(s, root,
+        docs.filter(col("doc_id") >= 300 && col("doc_id") < 400)
+          .select(col("doc_id"), col("text")),
+        "doc_id", "text", "a")
+      val repB = Bm25Store.addShard(s, root,
+        docs.filter(col("doc_id") >= 400 && col("doc_id") < 460)
+          .select(col("doc_id"), col("text")),
+        "doc_id", "text", "b")
+      repA.unionByName(repB).orderBy(col("ingest_shard"))
+    }),
+
+    // Streaming BM25 ingestion (x191): store built on a base corpus,
+    // two micro-batches through bm25IngestSink (file source, one file
+    // per trigger), then the top-10 readout against FINAL state. The
+    // oracle replays batch BM25 over everything ever ingested —
+    // arrival-order invariance proved at the oracle, the x184
+    // discipline for the retrieval index.
+    "x191_stream_bm25_ingest" -> ((s, dir) => {
+      import s.implicits._
+      val root = ParityQueries.tmpPath("graft_sbm25", dir)
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+      val docs = t(s, dir, "documents")
+      Bm25Store.build(docs.filter(col("doc_id") < 200)
+          .select(col("doc_id"), col("text")),
+        "doc_id", "text", s"$root/store", Bm25Store.Params(nBuckets = 4))
+      val b0 = docs.filter(col("doc_id") >= 200 && col("doc_id") < 260)
+        .select(col("doc_id"), col("text"))
+      val b1 = docs.filter(col("doc_id") >= 260 && col("doc_id") < 300)
+        .select(col("doc_id"), col("text"))
+      b0.repartition(1).write.parquet(s"$root/in")
+      b1.repartition(1).write.mode("append").parquet(s"$root/in")
+      val feed = s.readStream.schema(b0.schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$root/in")
+      val sq = graft.streaming.EventStreams.bm25IngestSink(feed,
+        "doc_id", "text", s"$root/store", s"$root/reports", s"$root/ckpt")
+      try sq.processAllAvailable() finally sq.stop()
+      val qs = Seq((1L, "spark window agg"), (2L, "slow query scan"),
+        (3L, "customer table join fast")).toDF("query_id", "qtext")
+      Bm25Store.topK(s, s"$root/store", qs, "query_id", "qtext", k = 10)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("query_id"), col("rank"))
     }))
 
   /** Clone fixture for x180/x181: documents plus, for doc_id < 40, a
@@ -8674,6 +8761,149 @@ object ExtensionQueries {
         |  LEFT JOIN d12 o USING (digest) GROUP BY n.doc_id)
         |SELECT * FROM r0 UNION ALL SELECT * FROM r1
         |ORDER BY batch_id, doc_id""".stripMargin,
+
+    // x189: the store's whole contract at the oracle — batch BM25
+    // (the x78 replay) over the union of everything ingested must
+    // equal the store's state-backed, bucket-pruned retrieval
+    "x189_bm25_store" ->
+      """WITH q(query_id, qtext) AS (VALUES
+        |  (CAST(1 AS BIGINT), 'spark window agg'),
+        |  (CAST(2 AS BIGINT), 'slow query scan'),
+        |  (CAST(3 AS BIGINT), 'customer table join fast')),
+        |tok AS (
+        |  SELECT doc_id, list_filter(
+        |    string_split_regex(trim(lower(text)), '\s+'),
+        |    x -> len(x) > 0) AS t
+        |  FROM documents WHERE doc_id < 460),
+        |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+        |  avg(len(t)) AS avgdl FROM tok),
+        |qterm AS (
+        |  SELECT query_id, unnest(list_distinct(list_filter(
+        |    string_split_regex(trim(lower(qtext)), '\s+'),
+        |    x -> len(x) > 0))) AS term
+        |  FROM q),
+        |post AS (
+        |  SELECT doc_id, term, count(*) AS tf, max(dl) AS dl FROM (
+        |    SELECT doc_id, len(t) AS dl, unnest(t) AS term FROM tok)
+        |  WHERE term IN (SELECT term FROM qterm)
+        |  GROUP BY 1, 2),
+        |dfreq AS (
+        |  SELECT term, CAST(count(*) AS DOUBLE) AS df
+        |  FROM post GROUP BY 1),
+        |scored AS (
+        |  SELECT qt.query_id, p.doc_id,
+        |    ROUND(sum(ln((s.n - d.df + 0.5) / (d.df + 0.5) + 1.0)
+        |      * p.tf / (p.tf + 1.2 * (1.0 - 0.75 + 0.75 * p.dl / s.avgdl))
+        |    ), 6) AS score,
+        |    count(*) AS n_terms
+        |  FROM post p
+        |  JOIN dfreq d USING (term)
+        |  JOIN qterm qt USING (term)
+        |  CROSS JOIN stats s
+        |  GROUP BY 1, 2),
+        |r AS (
+        |  SELECT query_id, doc_id, row_number() OVER (
+        |      PARTITION BY query_id ORDER BY score DESC, doc_id
+        |    ) AS rank, score, n_terms
+        |  FROM scored)
+        |SELECT query_id, doc_id, rank, score, n_terms
+        |FROM r WHERE rank <= 10
+        |ORDER BY query_id, rank""".stripMargin,
+
+    // x190: the vocabulary-growth report replayed — per-shard doc /
+    // token-mass / posting / distinct-term counts, and new terms via
+    // anti-join against the growing prior union (shard B's prior is
+    // base ∪ A)
+    "x190_bm25_store_report" ->
+      """WITH tok AS (
+        |  SELECT doc_id, list_filter(
+        |    string_split_regex(trim(lower(text)), '\s+'),
+        |    x -> len(x) > 0) AS t
+        |  FROM documents WHERE doc_id < 460),
+        |post AS (
+        |  SELECT doc_id, term, count(*) AS tf FROM (
+        |    SELECT doc_id, unnest(t) AS term FROM tok)
+        |  GROUP BY 1, 2),
+        |ra AS (
+        |  SELECT 'a' AS ingest_shard,
+        |    (SELECT count(*) FROM tok
+        |       WHERE doc_id >= 300 AND doc_id < 400) AS n_docs,
+        |    (SELECT CAST(coalesce(sum(len(t)), 0) AS BIGINT) FROM tok
+        |       WHERE doc_id >= 300 AND doc_id < 400) AS sum_dl,
+        |    (SELECT count(*) FROM post
+        |       WHERE doc_id >= 300 AND doc_id < 400) AS n_postings,
+        |    (SELECT count(DISTINCT term) FROM post
+        |       WHERE doc_id >= 300 AND doc_id < 400) AS n_terms,
+        |    (SELECT count(*) FROM (
+        |       SELECT DISTINCT term FROM post
+        |         WHERE doc_id >= 300 AND doc_id < 400) s
+        |       WHERE s.term NOT IN (
+        |         SELECT term FROM post WHERE doc_id < 300)) AS n_new_terms),
+        |rb AS (
+        |  SELECT 'b' AS ingest_shard,
+        |    (SELECT count(*) FROM tok
+        |       WHERE doc_id >= 400 AND doc_id < 460) AS n_docs,
+        |    (SELECT CAST(coalesce(sum(len(t)), 0) AS BIGINT) FROM tok
+        |       WHERE doc_id >= 400 AND doc_id < 460) AS sum_dl,
+        |    (SELECT count(*) FROM post
+        |       WHERE doc_id >= 400 AND doc_id < 460) AS n_postings,
+        |    (SELECT count(DISTINCT term) FROM post
+        |       WHERE doc_id >= 400 AND doc_id < 460) AS n_terms,
+        |    (SELECT count(*) FROM (
+        |       SELECT DISTINCT term FROM post
+        |         WHERE doc_id >= 400 AND doc_id < 460) s
+        |       WHERE s.term NOT IN (
+        |         SELECT term FROM post WHERE doc_id < 400)) AS n_new_terms)
+        |SELECT * FROM ra UNION ALL SELECT * FROM rb
+        |ORDER BY ingest_shard""".stripMargin,
+
+    // x191: the streamed store's final readout ≡ the same batch BM25
+    // replay over base ∪ batch 0 ∪ batch 1 — arrival-order invariance
+    // at the oracle
+    "x191_stream_bm25_ingest" ->
+      """WITH q(query_id, qtext) AS (VALUES
+        |  (CAST(1 AS BIGINT), 'spark window agg'),
+        |  (CAST(2 AS BIGINT), 'slow query scan'),
+        |  (CAST(3 AS BIGINT), 'customer table join fast')),
+        |tok AS (
+        |  SELECT doc_id, list_filter(
+        |    string_split_regex(trim(lower(text)), '\s+'),
+        |    x -> len(x) > 0) AS t
+        |  FROM documents WHERE doc_id < 300),
+        |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+        |  avg(len(t)) AS avgdl FROM tok),
+        |qterm AS (
+        |  SELECT query_id, unnest(list_distinct(list_filter(
+        |    string_split_regex(trim(lower(qtext)), '\s+'),
+        |    x -> len(x) > 0))) AS term
+        |  FROM q),
+        |post AS (
+        |  SELECT doc_id, term, count(*) AS tf, max(dl) AS dl FROM (
+        |    SELECT doc_id, len(t) AS dl, unnest(t) AS term FROM tok)
+        |  WHERE term IN (SELECT term FROM qterm)
+        |  GROUP BY 1, 2),
+        |dfreq AS (
+        |  SELECT term, CAST(count(*) AS DOUBLE) AS df
+        |  FROM post GROUP BY 1),
+        |scored AS (
+        |  SELECT qt.query_id, p.doc_id,
+        |    ROUND(sum(ln((s.n - d.df + 0.5) / (d.df + 0.5) + 1.0)
+        |      * p.tf / (p.tf + 1.2 * (1.0 - 0.75 + 0.75 * p.dl / s.avgdl))
+        |    ), 6) AS score,
+        |    count(*) AS n_terms
+        |  FROM post p
+        |  JOIN dfreq d USING (term)
+        |  JOIN qterm qt USING (term)
+        |  CROSS JOIN stats s
+        |  GROUP BY 1, 2),
+        |r AS (
+        |  SELECT query_id, doc_id, row_number() OVER (
+        |      PARTITION BY query_id ORDER BY score DESC, doc_id
+        |    ) AS rank, score, n_terms
+        |  FROM scored)
+        |SELECT query_id, doc_id, rank, score, n_terms
+        |FROM r WHERE rank <= 10
+        |ORDER BY query_id, rank""".stripMargin,
 
     // x183: old-canonical (prior windows of shard-touched grams) vs
     // new-canonical (prior ∪ shard) selection, emitting the displaced

@@ -497,6 +497,45 @@ object EventStreams {
       }
       .start()
 
+  /** Stream corpus shards into a persisted BM25 inverted-index store
+    * ([[graft.ops.Bm25Store]]) — the retrieval member of the
+    * store-sink family ([[incrementalDedupSink]] = MinHash dedup,
+    * [[ivfAppendSink]] = vector index, [[cdcIngestSink]] = chunk
+    * reuse; this keeps the lexical retrieval index current as the
+    * corpus grows, so decontamination probes never re-tokenize the
+    * corpus): every micro-batch lands as one store shard named by
+    * batchId — postings + scalar partitions overwrite dynamically, so
+    * foreachBatch's at-least-once redelivery replays into the SAME
+    * partitions and store state stays exactly-once — and its one-row
+    * vocabulary-growth report (reuse vs PRIOR batches only; the probe
+    * excludes the in-flight shard by partition pruning) lands under
+    * `reportPath` partitioned by batch_id, written ONCE via addShard's
+    * write-through. The store must exist ([[graft.ops.Bm25Store
+    * .build]] on the historical corpus, or on an empty frame to start
+    * cold).
+    *
+    * COMPACTION PRECONDITION: only run [[graft.ops.Bm25Store
+    * .compactShards]] on `storeRoot` while this query is STOPPED and
+    * its checkpoint has committed the last batch — compaction moves
+    * absorbed batches' postings out of the per-batch partitions the
+    * replay overwrite targets, and unlike the digest stores a
+    * violating replay here would land a DUPLICATE posting partition
+    * next to the tier (double-counted df), not an absorbed no-op. */
+  def bm25IngestSink(docs: DataFrame, idCol: String, textCol: String,
+      storeRoot: String, reportPath: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          graft.ops.Bm25Store.addShard(batch.sparkSession, storeRoot,
+            batch, idCol, textCol, s"stream_$batchId",
+            reportDir = Some(s"$reportPath/batch_id=$batchId"))
+        }
+        ()
+      }
+      .start()
+
   /** Stream embedding shards into a persisted SemDeDup store
     * ([[graft.ops.SemDedupStore]]) — the semantic-dedup member of the
     * streaming-ingest family ([[incrementalDedupSink]] = MinHash text

@@ -98,6 +98,57 @@ object TextScaleSmoke {
       println(s"[text-scale]   cdc store ingest: shard=${m} full-reuse=$full")
       require(full >= m / 2, "every verbatim copy must read fully reused")
     }
+    // BM25: the batch stage re-tokenizes the WHOLE corpus per retrieval
+    // batch; the store tokenizes once at build and each probe reads
+    // only the query vocabulary's term buckets — columnar, no text.
+    // The in-run require pins batch ≡ store on identical results.
+    locally {
+      import spark.implicits._
+      val bmQs = Seq((1L, "w17 w2345 w999"), (2L, "w4999 w0"),
+        (3L, "w123 w456 w789")).toDF("qid", "qtext")
+      def hitSet(df: org.apache.spark.sql.DataFrame) =
+        df.select(col("qid"), col("id").cast("long"), col("rank"),
+            col("score")).as[(Long, Long, Int, Double)].collect().toSet
+      var batchHits: Set[(Long, Long, Int, Double)] = Set.empty
+      time("BM25 batch retrieval (corpus re-scan)") {
+        batchHits = hitSet(TextAnalysis.bm25TopK(corpus, "doc_id", "text",
+          bmQs, "qid", "qtext", k = 10).withColumnRenamed("doc_id", "id"))
+        println(s"[text-scale]   bm25 batch hits=${batchHits.size}")
+      }
+      val bmRoot = System.getProperty("java.io.tmpdir") +
+        "/graft_textscale_bm25store_p" + ProcessHandle.current().pid()
+      time("BM25 store build (corpus-sized, once)")(
+        graft.ops.Bm25Store.build(corpus, "doc_id", "text", bmRoot,
+          graft.ops.Bm25Store.Params(nBuckets = 64)))
+      time("BM25 store probe (bucket-pruned, no text)") {
+        val got = hitSet(graft.ops.Bm25Store.topK(spark, bmRoot, bmQs,
+          "qid", "qtext", k = 10))
+        require(batchHits.isEmpty || got == batchHits,
+          "store probe must equal the batch re-scan result")
+        println(s"[text-scale]   bm25 store hits=${got.size}")
+      }
+      time("BM25 store daily-shard ingest (1%)") {
+        val m = math.max(n / 100, 1000L)
+        val shard = spark.range(0, m / 2, 1, 8)
+          .select((col("id") + 10 * n).as("doc_id"),
+            concat_ws(" ", (0 until 40).map { p =>
+              concat(lit("f"), pmod(xxhash64(lit(13), col("id"), lit(p)),
+                lit(5000)).cast("string"))
+            }: _*).as("text"))
+          .unionByName(corpus.filter(col("doc_id") < m / 2)
+            .select((col("doc_id") + 20 * n).as("doc_id"), col("text")))
+        val r = graft.ops.Bm25Store.addShard(spark, bmRoot, shard,
+          "doc_id", "text", "day1").head()
+        println(s"[text-scale]   bm25 ingest: docs=${r.getAs[Long]("n_docs")} " +
+          s"postings=${r.getAs[Long]("n_postings")} " +
+          s"new_terms=${r.getAs[Long]("n_new_terms")}")
+        // the fresh half draws from 5000 f-prefixed values unseen by the
+        // index; the copied half must bring ZERO new vocabulary
+        require(r.getAs[Long]("n_new_terms") >= 4500 &&
+          r.getAs[Long]("n_new_terms") <= 5000,
+          "new vocabulary = the fresh half's f-terms only")
+      }
+    }
     time("sequence packing (8 shard windows)")(
       Packing.packByBudget(
           corpus.select(col("doc_id"), col("lang"),

@@ -592,7 +592,23 @@ class PlanGuardSpec extends SparkSpec {
       // (union + presentation sort = the one exchange); every ingest
       // probe ran as its own actions inside addShard / the sink
       ("x187_cdc_store", 1, 0),
-      ("x188_stream_cdc_ingest", 1, 0))
+      ("x188_stream_cdc_ingest", 1, 0),
+      // r16: the BM25 store fixtures — the audited plan is the topK
+      // probe (x189/x191): postings ride a bucket-pruned columnar scan
+      // into BROADCAST joins (query vocab, df, query terms, scalars —
+      // index rows never shuffle before the touched-sized aggregates).
+      // Three exchanges carry real rows: the (query, doc) score
+      // aggregate, the per-query ranking window (WindowGroupLimit
+      // bounds it), the presentation sort; the other four are
+      // query-vocab- or scalar-sized: the df aggregate, the #shards
+      // stats aggregate, and the query-vocab distinct twice (the
+      // broadcast subtree is instantiated per join leg, not reused —
+      // a handful of rows each). Every ingest ran as its own actions
+      // inside addShard / the sink. x190 returns the written-through
+      // reports: two plain scans + union + presentation sort = 1
+      ("x189_bm25_store", 7, 3),
+      ("x190_bm25_store_report", 1, 0),
+      ("x191_stream_bm25_ingest", 7, 3))
     val parity = ParityQueries.queries.keySet
     budgets.foreach { case (name, shuf, minBcast) =>
       val df =
