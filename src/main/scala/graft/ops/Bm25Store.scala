@@ -28,6 +28,15 @@ import org.apache.spark.sql.types._
   *     #shards-sized scan instead of a corpus-sized one. Zero-token
   *     docs carry no postings but DO count here — N and avgdl match
   *     batch `bm25TopK` over the union exactly.
+  *   - `terms/` — the DISTINCT terms of each shard, partitioned like
+  *     `postings/`: the ingest report's vocabulary probe is a
+  *     vocab-sized question, and answering it from the posting rows
+  *     would scan one row per (doc, term) — measured 104.7s for a 1%
+  *     shard against a 10M-doc / 400M-posting index, with the narrow
+  *     full-index term scan dominating. Against this ~40×-smaller
+  *     sidecar the same probe is vocab-sized on BOTH sides. Membership
+  *     semantics (cross-shard duplicate terms are expected and folded
+  *     by compaction) — the [[CdcStore]] digest-set design.
   *   - `meta/` — the tokenizer spelling + bucket fanout: the store
   *     OWNS its keying, so probes tokenize queries bit-identically to
   *     the build.
@@ -78,6 +87,7 @@ object Bm25Store {
   val MaxBroadcastKeys: Long = 4000000L
 
   private def postingsPath(root: String) = s"$root/postings"
+  private def termsPath(root: String) = s"$root/terms"
   private def statsPath(root: String) = s"$root/stats"
   private def metaPath(root: String) = s"$root/meta"
   private def reportsPath(root: String) = s"$root/reports"
@@ -85,6 +95,11 @@ object Bm25Store {
   private def postingsSchema = StructType(Seq(
     StructField("term", StringType), StructField("id", LongType),
     StructField("tf", LongType), StructField("dl", LongType),
+    StructField("ingest_shard", StringType),
+    StructField("__bkt", IntegerType)))
+
+  private def termsSchema = StructType(Seq(
+    StructField("term", StringType),
     StructField("ingest_shard", StringType),
     StructField("__bkt", IntegerType)))
 
@@ -119,6 +134,9 @@ object Bm25Store {
   private def postingsRaw(spark: SparkSession, root: String): DataFrame =
     spark.read.schema(postingsSchema).parquet(postingsPath(root))
 
+  private def termsRaw(spark: SparkSession, root: String): DataFrame =
+    spark.read.schema(termsSchema).parquet(termsPath(root))
+
   private def statsRaw(spark: SparkSession, root: String): DataFrame =
     spark.read.schema(statsSchema).parquet(statsPath(root))
 
@@ -143,6 +161,13 @@ object Bm25Store {
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("ingest_shard", "__bkt")
         .parquet(postingsPath(root))
+      td.select(explode(col("__t")).as("term")).distinct()
+        .withColumn("ingest_shard", lit(shardId))
+        .withColumn("__bkt", bucketOf(p.nBuckets))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("ingest_shard", "__bkt")
+        .parquet(termsPath(root))
       td.agg(count(lit(1)).as("n_docs"),
           coalesce(sum(size(col("__t")).cast("long")), lit(0L))
             .as("sum_dl"))
@@ -181,12 +206,13 @@ object Bm25Store {
     *     partitions (dynamic overwrite). The in-flight shard is then
     *     excluded from the probe by partition pruning, so a replay
     *     probes identical pre-shard state.
-    *  2. Vocabulary probe: seen = prior ∩ shard terms. Within the
-    *     gate the shard's distinct terms broadcast into a semi-join
-    *     over the pruned prior scan; past it, sequential per-bucket
-    *     broadcast legs, both sides partition-pruned, appended to a
-    *     probe temp. Either way the only index-sized op is a narrow
-    *     columnar scan — prior postings never ride an exchange.
+    *  2. Vocabulary probe: seen = prior ∩ shard terms, answered
+    *     entirely from the `terms/` sidecar — vocab-sized on BOTH
+    *     sides; posting rows are never read. Within the gate the
+    *     shard's distinct terms broadcast into a semi-join over the
+    *     prior-terms scan; past it, sequential per-bucket broadcast
+    *     legs, both sides partition-pruned, appended to a probe temp.
+    *     Either way store rows never ride an exchange.
     *  3. The report (ingest_shard, n_docs, sum_dl, n_postings,
     *     n_terms, n_new_terms) WRITES THROUGH to `reportDir` (default
     *     `reports/<shardId>`) — the returned frame is a plain scan,
@@ -199,13 +225,13 @@ object Bm25Store {
     graft.bench.StageTimers.time("bm25store.shard_write") {
       writeShard(shard, root, idCol, textCol, shardId, p)
     }
-    val all = postingsRaw(spark, root)
-    val shardTerms = all
+    val allTerms = termsRaw(spark, root)
+    val shardTerms = allTerms
       .filter(col("ingest_shard") === lit(shardId))
-      .select(col("term"), col("__bkt")).distinct()
+      .select(col("term"), col("__bkt"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val prior = all.filter(col("ingest_shard") =!= lit(shardId))
+      val prior = allTerms.filter(col("ingest_shard") =!= lit(shardId))
         .select(col("term"), col("__bkt"))
       val bucketCounts = shardTerms.groupBy(col("__bkt"))
         .agg(count(lit(1)).as("n"))
@@ -233,10 +259,11 @@ object Bm25Store {
                 .write.mode("append").parquet(tmp)
             }
           }
-          (spark.read.schema(StructType(postingsSchema.take(1)))
+          (spark.read.schema(StructType(termsSchema.take(1)))
             .parquet(tmp).distinct().count(), Some(tmp))
         }
-      val nPostings = all.filter(col("ingest_shard") === lit(shardId))
+      val nPostings = postingsRaw(spark, root)
+        .filter(col("ingest_shard") === lit(shardId))
         .count()
       val report = statsRaw(spark, root)
         .filter(col("ingest_shard") === lit(shardId))
@@ -363,6 +390,28 @@ object Bm25Store {
     } // else: a prior run crashed between rename and source deletion —
       // the deterministic name proves the target holds exactly these
       // sources' postings; just finish the deletion
+    // the terms/ sidecar folds under the SAME tier id; its rows are a
+    // membership set (cross-shard duplicates expected), so the crash
+    // windows are the CdcStore digest semantics — a leftover source
+    // next to the tier only duplicates rows the probes distinct away
+    val tdirPath = termsPath(root)
+    val tdir = new org.apache.hadoop.fs.Path(tdirPath)
+    val tTarget = new org.apache.hadoop.fs.Path(tdir, s"ingest_shard=$newId")
+    val tSources = sources.filter(s =>
+      fs.exists(new org.apache.hadoop.fs.Path(tdir, s"ingest_shard=$s")))
+    if (!fs.exists(tTarget) && tSources.nonEmpty) {
+      val stage = new org.apache.hadoop.fs.Path(tdirPath + "__compact_stage")
+      fs.delete(stage, true)
+      termsRaw(spark, root)
+        .filter(col("ingest_shard").isin(tSources: _*))
+        .drop("ingest_shard")
+        .dropDuplicates("term")
+        .write.mode("overwrite").partitionBy("__bkt").parquet(stage.toString)
+      require(fs.rename(stage, tTarget), s"compact promote failed: $stage")
+    }
+    tSources.foreach { s =>
+      fs.delete(new org.apache.hadoop.fs.Path(tdir, s"ingest_shard=$s"), true)
+    }
     sources.foreach { s =>
       fs.delete(new org.apache.hadoop.fs.Path(dir, s"ingest_shard=$s"), true)
     }

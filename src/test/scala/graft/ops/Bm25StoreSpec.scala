@@ -174,6 +174,15 @@ class Bm25StoreSpec extends SparkSpec {
       == before, "duplicate leftover postings deduped — df not inflated")
     assert(Bm25Store.currentStats(spark, root).as[(Long, Long)].head()
       == statsBefore, "scalar rows are never compacted, so never wrong")
+    // the terms sidecar survived both folds: a follow-up ingest's
+    // vocabulary report still sees the full accumulated vocabulary —
+    // doc 90000 repeats base doc 3's text (same generator seed), so
+    // only the two planted uniq_* tokens read as new
+    val rep = repRow(Bm25Store.addShard(spark, root,
+      docs(90000L -> text(12, 3), 90001L -> "uniq_a uniq_b"),
+      "doc_id", "text", "s3"))
+    assert(rep.head._6 == 2L,
+      "post-compaction vocabulary probe sees every absorbed shard's terms")
   }
 
   test("meta round-trips and probes refuse a missing store") {
