@@ -538,6 +538,48 @@ object CorpusBuildSmoke {
         s"${r.getLong(1)} docs (verbatim bench members must all surface)")
     }
 
+    // 5d. BM25 retrieval review (r16): the RANKED complement of 5a's
+    // yes/no screen and 5c's span evidence — a contamination reviewer
+    // asks "which corpus docs are lexically closest to this benchmark
+    // item", and at production scale that question arrives continuously
+    // while the corpus grows, which is exactly the Bm25Store shape:
+    // build the index once over the post-dedup corpus (amortized across
+    // every probe batch ever), answer each probe from term-bucketed
+    // postings without re-reading any text. Planted structure: a
+    // benchmark item that survives in the corpus verbatim must retrieve
+    // ITSELF at rank 1 (the query is the doc's full token multiset —
+    // nothing else can outscore it).
+    locally {
+      val bmRoot = System.getProperty("java.io.tmpdir") +
+        s"/graft_corpus_bm25_p${ProcessHandle.current().pid()}"
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(bmRoot))
+      time("5d bm25-store build (once, amortized)") {
+        graft.ops.Bm25Store.build(deduped.select(col("doc_id"), col("text")),
+          "doc_id", "text", bmRoot, graft.ops.Bm25Store.Params(nBuckets = 32))
+      }
+      val qframe = bench.limit(60).select(
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("text"))).cast("long").as("qid"),
+        col("text").as("qtext"))
+      time("5d bm25-store benchmark probe (60 queries)") {
+        val survivors = qframe.join(
+          deduped.select(col("text").as("qtext")), Seq("qtext"), "left_semi")
+          .count()
+        val top1 = graft.ops.Bm25Store.topK(spark, bmRoot, qframe,
+            "qid", "qtext", k = 3)
+          .filter(col("rank") === 1)
+        val selfHits = top1
+          .join(deduped.select(col("doc_id").as("id"), col("text")), Seq("id"))
+          .join(qframe, Seq("qid"))
+          .filter(col("text") === col("qtext")).count()
+        println(s"[corpus-build]   bm25 probe: $selfHits/$survivors " +
+          "surviving benchmark items retrieved themselves at rank 1")
+        require(selfHits == survivors,
+          "every surviving verbatim benchmark item must self-retrieve at rank 1")
+      }
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(bmRoot))
+    }
+
     // 6. leakage-safe split on the near-dup cluster labels ---------------
     val split = time("6 leakage-safe cluster-unit split") {
       val s = Sampling.leakageSafeSplit(cleaned, "doc_id", labels).persist()
