@@ -127,6 +127,23 @@ object TextScaleSmoke {
           "store probe must equal the batch re-scan result")
         println(s"[text-scale]   bm25 store hits=${got.size}")
       }
+      // decontam-batch probe, WORST-CASE by construction: 200 whole-doc
+      // queries over the word-soup's dense 5000-term vocab touch every
+      // term bucket, and the scoring join's input is Σ_(q,t) df(t) ≈
+      // 200×40×(N/125) rows — the probe's cost ceiling, independent of
+      // corpus TEXT (real corpora have power-law vocab and benchmark
+      // queries touch rare terms, landing far below this bound; the
+      // 3-query stage above shows the pruned typical case)
+      time("BM25 store probe (200-doc decontam batch)") {
+        val dq = corpus.filter(col("doc_id") % 5000 === 7).limit(200)
+          .select(col("doc_id").as("qid"), col("text").as("qtext"))
+        val n1 = graft.ops.Bm25Store.topK(spark, bmRoot, dq,
+            "qid", "qtext", k = 10)
+          .filter(col("rank") === 1 && col("id") === col("qid")).count()
+        println(s"[text-scale]   bm25 decontam batch: self-top1=$n1/200")
+        require(n1 >= 195,
+          "verbatim corpus members must retrieve themselves at rank 1")
+      }
       time("BM25 store daily-shard ingest (1%)") {
         val m = math.max(n / 100, 1000L)
         val shard = spark.range(0, m / 2, 1, 8)

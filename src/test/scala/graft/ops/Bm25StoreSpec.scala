@@ -185,6 +185,52 @@ class Bm25StoreSpec extends SparkSpec {
       "post-compaction vocabulary probe sees every absorbed shard's terms")
   }
 
+  test("property: store topK = batch bm25TopK across a corpus/split/query grid") {
+    // explicit-grid style (CorpusPropertiesSpec — no scalacheck bridge
+    // offline): corpora straddling the degenerate shapes — tiny vocab
+    // (every df large, heavy score ties exercising the (score, id)
+    // tie-break), empty docs, empty SHARDS, single-doc corpora, a
+    // base-only store with no ingest — probed with multi-term,
+    // repeated-token, absent-term, and empty-string queries
+    val grid = Seq(
+      // (tag, vocabSize, docLens per shard)
+      ("tiny_vocab", 3, Seq(Seq(12, 7, 0, 9), Seq(5, 5))),
+      ("empty_shard", 11, Seq(Seq(8, 8, 8), Seq(), Seq(4, 0))),
+      ("single_doc", 7, Seq(Seq(30))),
+      ("base_only", 17, Seq(Seq(6, 9, 12, 3, 0, 21))))
+    val gq = Seq((1L, "v1 v2 v0"), (2L, "v2 v2 v2"), (3L, "zzz_missing"),
+      (4L, ""), (5L, "v0 zzz_missing v3")).toDF("qid", "qtext")
+    def gHits(df: DataFrame): Set[(Long, Long, Int, Double, Long)] =
+      df.select(col("qid"), col("id").cast("long"), col("rank"),
+          col("score"), col("n_terms"))
+        .as[(Long, Long, Int, Double, Long)].collect().toSet
+    for ((tag, vocab, shards) <- grid) {
+      val root = tmpRoot(s"prop_$tag")
+      val rnd = new scala.util.Random(tag.hashCode)
+      var nextId = 0L
+      val frames = shards.map { lens =>
+        docs(lens.map { len =>
+          nextId += 1
+          nextId -> (0 until len).map(_ => s"v${rnd.nextInt(vocab)}")
+            .mkString(" ")
+        }: _*)
+      }
+      Bm25Store.build(frames.head, "doc_id", "text", root,
+        Bm25Store.Params(nBuckets = 3))
+      frames.tail.zipWithIndex.foreach { case (f, i) =>
+        Bm25Store.addShard(spark, root, f, "doc_id", "text", s"s$i")
+      }
+      val union = frames.reduce(_ unionByName _)
+      val expect = gHits(TextAnalysis.bm25TopK(union, "doc_id", "text",
+        gq, "qid", "qtext", k = 3).withColumnRenamed("doc_id", "id"))
+      assert(gHits(Bm25Store.topK(spark, root, gq, "qid", "qtext", k = 3))
+        == expect, s"$tag: store ≡ batch before compaction")
+      Bm25Store.compactShards(spark, root)
+      assert(gHits(Bm25Store.topK(spark, root, gq, "qid", "qtext", k = 3))
+        == expect, s"$tag: store ≡ batch after global compaction")
+    }
+  }
+
   test("meta round-trips and probes refuse a missing store") {
     val p = Bm25Store.Params(nBuckets = 8)
     val root = tmpRoot("meta")
