@@ -292,16 +292,29 @@ object Bm25Store {
     * bucket list is the one driver-side collect), broadcast semi-join
     * on term, then df / scoring aggregates over the touched-sized
     * posting slice. No document text is read; the scalars ride the
-    * #shards-sized `stats/` scan. */
+    * #shards-sized `stats/` scan. The query side broadcasts under
+    * `maxBroadcastKeys` ((query, term) rows — review batches by far);
+    * a jumbo probe frame falls back to shuffle equi-joins, the ingest
+    * report's gate discipline, result-identical by spec. */
   def topK(spark: SparkSession, root: String, queries: DataFrame,
       qidCol: String, qtextCol: String, k: Int,
-      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+      k1: Double = 1.2, b: Double = 0.75,
+      maxBroadcastKeys: Long = MaxBroadcastKeys): DataFrame = {
     require(k >= 1, "need k >= 1 results per query")
     require(k1 >= 0 && b >= 0 && b <= 1, "k1 >= 0, 0 <= b <= 1")
     val p = readMeta(spark, root)
     val qterms = queries.select(col(qidCol),
       explode(array_distinct(TextAnalysis.tokens(lower(col(qtextCol)))))
         .as("term"))
+    // a review batch's (query, term) frame broadcasts; a JUMBO probe
+    // frame (millions of decontamination queries) crosses the same
+    // un-refusable-broadcast line as the ingest report's shard vocab,
+    // so past the gate the query side rides plain equi-joins and the
+    // posting slice shuffles on term — the honest jumbo shape (both
+    // sides are probe-batch-scaled there; bucket pruning still holds)
+    val nQTerms = qterms.count()
+    def gate(df: DataFrame): DataFrame =
+      if (nQTerms <= maxBroadcastKeys) broadcast(df) else df
     val qvocab = qterms.select(col("term")).distinct()
     val buckets = qvocab.select(bucketOf(p.nBuckets)).distinct()
       .collect().map(_.getInt(0)).toSeq
@@ -315,7 +328,7 @@ object Bm25Store {
           StructField("n_terms", LongType))))
     val posting = postingsRaw(spark, root)
       .filter(col("__bkt").isin(buckets.map(Integer.valueOf): _*))
-      .join(broadcast(qvocab), Seq("term"))
+      .join(gate(qvocab), Seq("term"), "left_semi")
       .select(col("term"), col("id"), col("tf"), col("dl"))
     val dfreq = posting.groupBy(col("term"))
       .agg(count(lit(1)).cast("double").as("__df"))
@@ -326,7 +339,7 @@ object Bm25Store {
           .as("__avgdl"))
     val scored = posting
       .join(broadcast(dfreq), Seq("term"))
-      .join(broadcast(qterms), Seq("term"))
+      .join(gate(qterms), Seq("term"))
       .crossJoin(broadcast(stats))
       .withColumn("__idf",
         log((col("__n") - col("__df") + 0.5) / (col("__df") + 0.5) + 1.0))

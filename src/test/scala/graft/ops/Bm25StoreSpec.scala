@@ -124,6 +124,12 @@ class Bm25StoreSpec extends SparkSpec {
       hits(Bm25Store.topK(spark, rootB, qs, "qid", "qtext", k = 5)))
     assert(!new java.io.File(s"$rootB/__probe_ingest").exists(),
       "probe temp cleaned up")
+    // jumbo PROBE batch: past the gate the query side rides shuffle
+    // equi-joins instead of broadcasts — result-identical
+    assert(hits(Bm25Store.topK(spark, rootA, qs, "qid", "qtext", k = 5,
+        maxBroadcastKeys = 0L)) ==
+      hits(Bm25Store.topK(spark, rootA, qs, "qid", "qtext", k = 5)),
+      "gated topK = broadcast topK")
   }
 
   test("tiered compaction folds the shard tail; crash-leftover duplicates repaired; stats untouched") {
