@@ -1744,28 +1744,26 @@ object Dedup {
     * by design (production = [[winnowFingerprints]]). The two paths
     * are pinned by spec to detect the same planted copied spans. */
   def winnowFingerprintsPortable(docs: DataFrame, idCol: String,
-      textCol: String, k: Int = 16, w: Int = 4): DataFrame = {
-    require(k > 0, "gram size k must be positive")
-    require(w > 0, "window size w must be positive")
-    val grams = docs.select(col(idCol).as("id"),
-        greatest(length(col(textCol)) - (k - 1), lit(1)).as("__m"),
-        col(textCol).as("__t"))
-      .select(col("id"), col("__m"),
-        explode(sequence(lit(0), col("__m") - 1)).as("pos"), col("__t"))
-      .withColumn("h", conv(substring(md5(
-          col("__t").substr(col("pos") + 1, lit(k)).cast("binary")),
-        1, 15), 16, 10).cast("long"))
-      .select(col("id"), col("__m"), col("pos"), col("h"))
-    val win = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("id")).orderBy(col("pos")).rowsBetween(0, w - 1)
-    grams
-      .withColumn("__sel",
-        min(struct(col("h"), (lit(1048575) - col("pos")).as("rp"))).over(win))
-      .filter(col("pos") <= greatest(col("__m") - w, lit(0)))
-      .select(col("id"), (lit(1048575) - col("__sel.rp")).as("pos"),
-        col("__sel.h").as("fp"))
-      .distinct()
-  }
+      textCol: String, k: Int = 16, w: Int = 4): DataFrame =
+    // One native per-row pass ([[graft.functions.Md5WinnowFingerprints]])
+    // — map-only like the production path, no shuffle. The replaced
+    // column spelling exploded one row per gram (a ~(len-k)x frame
+    // inflation), paid an interpreted md5(substr(cast))+conv chain per
+    // gram, a doc-keyed Exchange+Sort for the rowsBetween(0, w-1)
+    // window, and a distinct() aggregate pair; the native selection is
+    // pinned bit-equal to it by WinnowSpec (grams, window range,
+    // rightmost-min tie rule, consecutive-dup suppression ==
+    // distinct()), and the DuckDB oracles for x161/x166/x169 replay the
+    // same md5-h60 selection unchanged. Measured r16 (sf0.1, vs the
+    // certified round-open band): x166 (two fingerprint sides)
+    // 4.22 -> 0.84s, x169 (per-micro-batch fingerprinting via
+    // winnowScreenSink) 8.20 -> ~5s, x161 unchanged (overlap join
+    // dominates it); plan: the Exchange+Sort+Window+distinct chain per
+    // fingerprint side collapses to a map-only Project+Generate.
+    docs.select(col(idCol).as("id"),
+        explode(graft.functions.WinnowFunctions
+          .md5_winnow_fingerprints(col(textCol), k, w)).as("__s"))
+      .select(col("id"), col("__s.pos").as("pos"), col("__s.fp").as("fp"))
 
   /** Fingerprint-overlap pairs from a winnow frame (id, pos, fp):
     * documents sharing `minShared`+ distinct fingerprints, scored by

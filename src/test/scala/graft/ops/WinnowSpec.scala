@@ -104,6 +104,54 @@ class WinnowSpec extends SparkSpec {
     assert(d2.toSeq === Seq(0)) // one whole-text gram, one window
   }
 
+  test("winnowFingerprintsPortable: native pass equals the replaced column spelling bit-for-bit") {
+    // The r16 rewrite replaced the explode-per-gram + doc-keyed-window +
+    // distinct() column spelling with one native per-row pass
+    // (Md5WinnowFingerprints). This pins the two bit-equal on the edge
+    // battery: empty text, len < k, len == k, exactly one full window
+    // (len == k+w-1), all-identical chars (every window a w-way hash
+    // tie), multi-byte UTF-8 (gram offsets are CHAR offsets, md5 runs
+    // over UTF-8 bytes), and a long mixed doc. Null text is excluded:
+    // the native expression returns NULL (doc absent after explode)
+    // where the old spelling emitted an (id, pos, fp=NULL) row — no
+    // declared table carries null text (checked across all SFs) and no
+    // winnow frame is ever persisted, so the contract change is
+    // unreachable; documented here rather than replicated.
+    val docs = Seq(
+      (1L, ""), (2L, "short"), (3L, "exactly-16-chars"),
+      (4L, "exactly one full 19"), (5L, "z" * 64),
+      (6L, "héllo wörld ünïcode — ΑΒΓΔ καὶ 中文字符串 🙂 end of doc"),
+      (7L, (1 to 500).map(i => ('a' + (i * 31 % 26)).toChar).mkString))
+      .toDF("id", "text")
+    for ((k, w) <- Seq((16, 4), (8, 4), (4, 7), (1, 1))) {
+      val native = Dedup.winnowFingerprintsPortable(docs, "id", "text", k, w)
+      val old = {
+        val grams = docs.select(col("id").as("id"),
+            greatest(length(col("text")) - (k - 1), lit(1)).as("__m"),
+            col("text").as("__t"))
+          .select(col("id"), col("__m"),
+            explode(sequence(lit(0), col("__m") - 1)).as("pos"), col("__t"))
+          .withColumn("h", conv(substring(md5(
+              col("__t").substr(col("pos") + 1, lit(k)).cast("binary")),
+            1, 15), 16, 10).cast("long"))
+          .select(col("id"), col("__m"), col("pos"), col("h"))
+        val win = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("id")).orderBy(col("pos")).rowsBetween(0, w - 1)
+        grams
+          .withColumn("__sel", min(struct(col("h"),
+            (lit(1048575) - col("pos")).as("rp"))).over(win))
+          .filter(col("pos") <= greatest(col("__m") - w, lit(0)))
+          .select(col("id"), (lit(1048575) - col("__sel.rp")).as("pos"),
+            col("__sel.h").as("fp"))
+          .distinct()
+      }
+      val onlyNative = native.exceptAll(old).count()
+      val onlyOld = old.exceptAll(native).count()
+      assert(onlyNative === 0L && onlyOld === 0L,
+        s"k=$k w=$w: native-only=$onlyNative old-only=$onlyOld")
+    }
+  }
+
   test("winnowContamination: planted slice flagged with span evidence; clean docs silent") {
     def fmix(v: Long): Long = {
       var x = v
