@@ -1343,12 +1343,22 @@ object TextAnalysis {
     * reuses it — the contract [[graft.streaming.EventStreams
     * .perplexityScreenSink]] needs: a stream must not rebuild the
     * model's count tables every micro-batch, exactly like the winnow
-    * screen's pre-computed benchmark fingerprints. `bg` is persisted
-    * (all other frames derive from it); call [[KnModel.unpersist]]
-    * when the model retires. */
+    * screen's pre-computed benchmark fingerprints. ALL FOUR frames are
+    * persisted (r16: ctx/pred/totals were lazy derivations of the
+    * cached bg, so every micro-batch re-paid their regroup exchanges —
+    * one scored batch re-shuffled the model three times; now the first
+    * consumer materializes each table once and later batches join
+    * against cached, already-hash-partitioned rows, whose preserved
+    * outputPartitioning also lets the w1/w2 joins skip re-exchanging
+    * the model side). The frames are model-vocabulary-sized — the same
+    * bound that justified caching bg. Call [[KnModel.unpersist]] when
+    * the model retires. */
   final case class KnModel(bg: DataFrame, ctx: DataFrame, pred: DataFrame,
       totals: DataFrame, discount: Double, k: Double) {
-    def unpersist(): Unit = { bg.unpersist(); () }
+    def unpersist(): Unit = {
+      bg.unpersist(); ctx.unpersist(); pred.unpersist(); totals.unpersist()
+      ()
+    }
   }
 
   /** Build a [[KnModel]] from a model corpus — [[knBigramNll]]'s
@@ -1374,12 +1384,13 @@ object TextAnalysis {
     // already one row per distinct (w1,w2), so the follower count is a
     // plain count, no count-distinct)
     val ctx = bg.groupBy(col("w1")).agg(
-      sum(col("__c12")).as("__c1"), count(lit(1)).as("__n1f"))
-    val pred = bg.groupBy(col("w2")).agg(count(lit(1)).as("__n1p"))
+      sum(col("__c12")).as("__c1"), count(lit(1)).as("__n1f")).persist()
+    val pred = bg.groupBy(col("w2")).agg(count(lit(1)).as("__n1p")).persist()
     val totals = bg.agg(count(lit(1)).cast("double").as("__t"))
       .crossJoin(bg.select(col("w1").as("w"))
         .union(bg.select(col("w2").as("w")))
         .distinct().agg(count(lit(1)).cast("double").as("__v")))
+      .persist()
     KnModel(bg, ctx, pred, totals, discount, k)
   }
 

@@ -519,13 +519,22 @@ class PlanGuardSpec extends SparkSpec {
       // plus the new cross-modal pair, audited 2026-08-15
       ("x169_stream_winnow_screen", 1, 0),
       ("x69_ivf_delete", 1, 0),
-      ("x166_winnow_decontam", 2, 1), // spec session: AQE converts one
-      // join to broadcast that PlanAudit's 8-cpu session leaves shuffled
+      ("x166_winnow_decontam", 4, 1), // r16 native-winnow rewrite: the
+      // old per-side Exchange+Sort+Window on the GRAM-EXPLODED frame is
+      // gone (fingerprinting is map-only now); its id-partitioning had
+      // been reused by the downstream aggregates, which now pay their
+      // own two exchanges — but those carry SELECTED fingerprints, not
+      // one row per character gram (4.22 -> 0.84s at sf0.1). AQE still
+      // converts one join to broadcast vs PlanAudit's 8-cpu session.
       ("q38_pipeline_e2e", 0, 0),
       ("q51_compaction", 1, 0),
-      ("x161_winnow_overlap", 3, 2), // r13 rewrite: window-df +
+      ("x161_winnow_overlap", 5, 2), // r13 rewrite: window-df +
       // in-place pair explode — the two corpus-sized joins are gone,
-      // the remaining broadcasts are the small per-doc size frame
+      // the remaining broadcasts are the small per-doc size frame.
+      // r16 native-winnow rewrite: +2 — the fingerprint side's
+      // Exchange+Sort+Window on the gram-exploded frame is gone and
+      // the distinct/df aggregates that had reused its id-partitioning
+      // now exchange the (far smaller) selected-fingerprint frame
       ("x160_stream_semdedup", 2, 1),
       ("x168_weighted_jaccard", 8, 2),
       ("x92_source_overlap", 8, 3),
@@ -537,8 +546,13 @@ class PlanGuardSpec extends SparkSpec {
       // fixture like x48/x51 — the census covers its returned compare
       // frame; lifecycle jobs execute as their own actions)
       ("x175_ivf_split", 1, 0),
-      ("x176_paragraph_ppl_filter", 10, 8),
-      ("x177_perplexity_buckets", 9, 7),
+      // r16 KnModel rework: ctx/pred/totals persist at train time, so
+      // the scoring plan reads InMemoryTableScans instead of re-paying
+      // the model regroup exchanges per consumer — x176 10 -> 5,
+      // x177 9 -> 4 (the remaining shuffles are the per-paragraph
+      // scoring aggregates, not model rebuilds)
+      ("x176_paragraph_ppl_filter", 5, 3),
+      ("x177_perplexity_buckets", 4, 2),
       // stream lifecycle fixture (x169 class): the readback frame is
       // the audited plan; per-batch scoring runs as its own actions
       ("x178_stream_perplexity_screen", 1, 0),
