@@ -1880,40 +1880,58 @@ object Dedup {
     require(k >= 1 && k <= 64, "k in 1..64")
     require(rowsPerBand >= 1 && k % rowsPerBand == 0,
       "rowsPerBand must divide k")
-    def u(i: Int): Column = if (hashed)
+    def u(i: Int): Column =
       (pmod(xxhash64(lit("icws"), col("__d"), col("j"), lit(i)),
         lit(4503599627370496L)).cast("double") + lit(0.5)) /
         lit(4503599627370496.0) // 2^52, half-step clamp: u in (0, 1)
-    else
-      (conv(substring(md5(concat(lit("icws|"), col("__d"), lit("|"),
-        col("j").cast("string"), lit(s"|$i")).cast("binary")), 1, 13),
-        16, 10).cast("double") + lit(0.5)) / lit(4503599627370496.0)
     // the dimension hash must fit the 1e18 decimal slot EXACTLY or
     // large hashes bleed into the adjacent ln-a grid slot (2^60 =
     // 1.15e18 > 1e18 — ~13% of raw h60 values would), breaking the
     // documented lexicographic (ln a, d) argmin order — so both
     // families reduce mod 1e18 (the oracle replays the same mod)
-    val hd: Column = if (hashed)
-      pmod(xxhash64(lit("icwsd"), col("__d")),
-        lit(1000000000000000000L)) // uniform in [0, 1e18)
-    else
-      pmod(conv(substring(md5(col("__d").cast("binary")), 1, 15), 16, 10)
-        .cast("long"), lit(1000000000000000000L)) // h60 mod 1e18
     val dec = org.apache.spark.sql.types.DecimalType(38, 0)
-    val drawn = weighted
+    val base = weighted
       .filter(col(weightCol).cast("double") > 0.0)
       .select(col(idCol).as("id"), col(dimCol).cast("string").as("__d"),
         col(weightCol).cast("double").as("__w"))
-      .withColumn("j", explode(array((0 until k).map(i => lit(i)): _*)))
-      .withColumn("__r", -(log(u(1)) + log(u(2))))
-      .withColumn("__c", -(log(u(3)) + log(u(4))))
-      .withColumn("__beta", u(5))
+    // per-family (id, __w, j, __r, __c, __beta, __hd) draw frame. The
+    // xxhash64 production family stays a pure codegen'd column chain;
+    // the md5 oracle family rides graft.functions.Md5IcwsDraws — one
+    // native pass per input row for the dimension hash and all k x 5
+    // uniforms (the replaced conv(substring(md5(..)))-per-(row, j, i)
+    // chain was six interpreted hex-string digest parses per exploded
+    // row; bit-equal by the expression's contract, pinned by
+    // IcwsSpec). The Gamma assembly, 6dp rounds, floor, and the
+    // decimal argmin encoding are SHARED columns below — the replay
+    // semantics the oracle pins live there, untouched by the family
+    // split.
+    val withDraws =
+      if (hashed)
+        base
+          .withColumn("j", explode(array((0 until k).map(i => lit(i)): _*)))
+          .withColumn("__r", -(log(u(1)) + log(u(2))))
+          .withColumn("__c", -(log(u(3)) + log(u(4))))
+          .withColumn("__beta", u(5))
+          .withColumn("__hd", pmod(xxhash64(lit("icwsd"), col("__d")),
+            lit(1000000000000000000L))) // uniform in [0, 1e18)
+      else
+        base
+          .withColumn("__dr",
+            graft.functions.IcwsFunctions.md5_icws_draws(col("__d"), k))
+          .select(col("id"), col("__w"), col("__dr")("hd").as("__hd"),
+            posexplode(col("__dr")("us")).as(Seq("j", "__u")))
+          .withColumn("__r",
+            -(log(col("__u")("u1")) + log(col("__u")("u2"))))
+          .withColumn("__c",
+            -(log(col("__u")("u3")) + log(col("__u")("u4"))))
+          .withColumn("__beta", col("__u")("u5"))
+    val drawn = withDraws
       .withColumn("__t",
         floor(round(log(col("__w")) / col("__r") + col("__beta"), 6)))
       .withColumn("__enc",
         (round((log(col("__c")) - col("__r") * (col("__t") - col("__beta"))
           - col("__r")) * 1e6).cast("long") + lit(1000000000L)).cast(dec) *
-          lit(1000000000000000000L) + hd.cast(dec))
+          lit(1000000000000000000L) + col("__hd").cast(dec))
     val perSample = drawn.groupBy(col("id"), col("j"))
       .agg(min(col("__enc")).as("__m"))
     if (rowsPerBand == 1)

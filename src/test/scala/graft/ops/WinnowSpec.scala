@@ -205,6 +205,63 @@ class WinnowSpec extends SparkSpec {
     }
   }
 
+  test("icwsBuckets md5 family: native draws equal the replaced column spelling bit-for-bit") {
+    // r16 rewrite: the six interpreted conv(substring(md5(...)))
+    // chains per exploded (row, sample) became one native pass
+    // (Md5IcwsDraws). This reconstructs the replaced spelling column
+    // for column and pins the bucket frames frame-equal, unicode
+    // dimensions included (draw strings concatenate the raw dimension).
+    val tf = Seq(
+      (1L, "alpha", 3L), (1L, "beta", 1L), (1L, "中文", 7L),
+      (2L, "alpha", 2L), (2L, "gamma", 5L), (2L, "🙂", 1L),
+      (3L, "x", 1000000L), (3L, "beta", 1L))
+      .toDF("id", "tok", "w")
+    for ((kk, rpb) <- Seq((8, 1), (8, 2), (4, 4))) {
+      val got = Dedup.icwsBuckets(tf, "id", "tok", "w", k = kk,
+        hashed = false, rowsPerBand = rpb)
+      val old = {
+        def u(i: Int) =
+          (conv(substring(md5(concat(lit("icws|"), col("__d"), lit("|"),
+            col("j").cast("string"), lit(s"|$i")).cast("binary")), 1, 13),
+            16, 10).cast("double") + lit(0.5)) / lit(4503599627370496.0)
+        val hd = pmod(conv(substring(md5(col("__d").cast("binary")),
+          1, 15), 16, 10).cast("long"), lit(1000000000000000000L))
+        val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+        val drawn = tf
+          .filter(col("w").cast("double") > 0.0)
+          .select(col("id"), col("tok").cast("string").as("__d"),
+            col("w").cast("double").as("__w"))
+          .withColumn("j",
+            explode(array((0 until kk).map(i => lit(i)): _*)))
+          .withColumn("__r", -(log(u(1)) + log(u(2))))
+          .withColumn("__c", -(log(u(3)) + log(u(4))))
+          .withColumn("__beta", u(5))
+          .withColumn("__t",
+            floor(round(log(col("__w")) / col("__r") + col("__beta"), 6)))
+          .withColumn("__enc", (round((log(col("__c")) -
+            col("__r") * (col("__t") - col("__beta")) - col("__r")) * 1e6)
+            .cast("long") + lit(1000000000L)).cast(dec) *
+            lit(1000000000000000000L) + hd.cast(dec))
+        val perSample = drawn.groupBy(col("id"), col("j"))
+          .agg(min(col("__enc")).as("__m"))
+        if (rpb == 1)
+          perSample.select(col("id"), col("j").as("band"),
+            col("__m").cast("string").as("bucket"))
+        else
+          perSample.groupBy(col("id"),
+              (col("j") / rpb).cast("int").as("band"))
+            .agg(concat_ws("|", transform(
+              sort_array(collect_list(struct(col("j"),
+                col("__m").cast("string").as("e")))),
+              x => x.getField("e"))).as("bucket"))
+      }
+      assert(got.exceptAll(old).count() === 0L,
+        s"k=$kk rpb=$rpb: native-only rows")
+      assert(old.exceptAll(got).count() === 0L,
+        s"k=$kk rpb=$rpb: old-only rows")
+    }
+  }
+
   test("weightedJaccardPairs: TF-aware where set minhash is blind; exact verify values") {
     // doc 2 = doc 1's bag doubled: SET jaccard 1, weighted 3/6 = 0.5;
     // doc 3 = identical bag to doc 1 -> 1.0; doc 4 disjoint
