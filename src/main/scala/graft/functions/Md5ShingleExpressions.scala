@@ -4,7 +4,7 @@ import java.security.MessageDigest
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
@@ -270,9 +270,73 @@ case class Md5NgramBuckets(child: Expression, buckets: Int, bigrams: Boolean)
     copy(child = newChild)
 }
 
+/** `array<string> grams -> array<struct<h1:bigint, h2:bigint>>`: the
+  * md5-family 120-bit composite gram key, DISTINCT within the row —
+  * the native spelling of
+  * `array_distinct(transform(transform(G, md5), struct(conv(
+  * substring(h, 1, 15)), conv(substring(h, 16, 15)))))` that
+  * [[graft.ops.Dedup.sourceOverlap]] / [[graft.ops.Dedup
+  * .rareNgramPairs]] exploded per gram through TWO interpreted
+  * higher-order lambdas (md5 to a 32-char hex string, two substring +
+  * base-16 string parses, per element — the [[Md5IcwsDraws]] cliff).
+  * h1 = the digest's first 15 hex digits (top 60 bits), h2 = hex
+  * digits 16..30 (the next 60) — both non-negative in a signed BIGINT
+  * on both engines. First-occurrence order, exact `array_distinct`
+  * set semantics; gram arrays are containsNull=false by their native
+  * producers ([[WordGramExpressions]]), so the null-element leg of
+  * the replaced lambda chain is unreachable and not replicated.
+  * CodegenFallback: per-row overhead once, the row's work is a tight
+  * loop. */
+case class Md5PairKeys(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"requires array<string>, got $other")
+  }
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("h1", LongType, nullable = false),
+    StructField("h2", LongType, nullable = false))), containsNull = false)
+
+  override def nullSafeEval(t: Any): Any = {
+    val arr = t.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val md = MessageDigest.getInstance("MD5")
+    val seen = new scala.collection.mutable.HashSet[(Long, Long)]()
+    val out = new scala.collection.mutable.ArrayBuffer[Any](n)
+    var i = 0
+    while (i < n) {
+      val s = if (arr.isNullAt(i)) "" else arr.getUTF8String(i).toString
+      val d = md.digest(Md5Family.utf8(s))
+      var h1 = 0L
+      var b = 0
+      while (b < 8) { h1 = (h1 << 8) | (d(b) & 0xffL); b += 1 }
+      h1 = h1 >>> 4
+      // h2 = hex digits 16..30: the low nibble of byte 7, then bytes
+      // 8..14 — 60 bits, disjoint from h1's prefix
+      var h2 = (d(7) & 0xfL)
+      b = 8
+      while (b < 15) { h2 = (h2 << 8) | (d(b) & 0xffL); b += 1 }
+      if (seen.add((h1, h2)))
+        out += new GenericInternalRow(Array[Any](h1, h2))
+      md.reset()
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object Md5ShingleFunctions {
   def md5_simhash60(tokens: Column): Column =
     Bridge.column(Md5SimHash60(Bridge.expression(tokens)))
+
+  def md5_pair_keys(grams: Column): Column =
+    Bridge.column(Md5PairKeys(Bridge.expression(grams)))
 
   def md5_ngram_buckets(tokens: Column, buckets: Int, bigrams: Boolean): Column =
     Bridge.column(Md5NgramBuckets(Bridge.expression(tokens), buckets, bigrams))

@@ -914,13 +914,12 @@ object Dedup {
     // per-doc dedup happens MAP-SIDE (array_distinct before the explode),
     // so (id, gk) rows are already unique and the corpus-sized global
     // distinct shuffle the naive formulation starts with never exists
+    // one native pass per row (r16: Md5PairKeys — the replaced
+    // double-transform lambda chain digested to hex and string-parsed
+    // base-16 twice per gram, interpreted per element)
     val keyed = df
       .select(col(idCol).as("id"),
-        explode(array_distinct(transform(
-          transform(grams, g => md5(g.cast("binary"))),
-          h => struct(
-            conv(substring(h, 1, 15), 16, 10).cast("long").as("h1"),
-            conv(substring(h, 16, 15), 16, 10).cast("long").as("h2")))))
+        explode(graft.functions.Md5ShingleFunctions.md5_pair_keys(grams))
           .as("gk"))
     val counts = keyed.groupBy(col("gk"))
       .agg(count(lit(1)).as("__df"))
@@ -980,12 +979,9 @@ object Dedup {
         explode(array_distinct(graft.functions.ShingleFunctions
           .shingle_hashes(col("__toks"), n)))
       else
-        explode(array_distinct(transform(
-          transform(shingles(col("__toks"), n),
-            g => md5(g.cast("binary"))),
-          h => struct(
-            conv(substring(h, 1, 15), 16, 10).cast("long").as("h1"),
-            conv(substring(h, 16, 15), 16, 10).cast("long").as("h2")))))
+        // one native pass per row (r16: Md5PairKeys — see rareNgramPairs)
+        explode(graft.functions.Md5ShingleFunctions
+          .md5_pair_keys(shingles(col("__toks"), n)))
     val grams = tokd.select(col("src"), gramKey.as("gk")).distinct()
     val sizes = grams.groupBy(col("src")).agg(count(lit(1)).as("n"))
     val inter = grams.as("a").join(grams.as("b"),

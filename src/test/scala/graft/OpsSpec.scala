@@ -649,6 +649,31 @@ class DedupSpec extends SparkSpec {
     assert(out.filter($"cluster_id" === 0 && $"kept").count() == 1L)
   }
 
+  test("Md5PairKeys: native 120-bit gram keys equal the replaced column spelling bit-for-bit") {
+    // r16 rewrite: sourceOverlap/rareNgramPairs' per-gram
+    // md5-to-hex + double conv(substring) lambda chain became one
+    // native pass. Pins h1/h2 extraction and array_distinct set
+    // semantics against the replaced spelling on unicode, duplicate,
+    // empty-string, and empty-array inputs.
+    val docs = Seq(
+      (1L, Seq("a b c", "d e f", "a b c", "中文 字 符", "🙂 x y")),
+      (2L, Seq("")), (3L, Seq[String]()),
+      (4L, (1 to 200).map(i => s"tok$i tok${i + 1} tok${i % 7}")))
+      .toDF("id", "grams")
+    val native = docs.select($"id",
+      explode(graft.functions.Md5ShingleFunctions.md5_pair_keys($"grams"))
+        .as("gk"))
+    val old = docs.select($"id",
+      explode(array_distinct(transform(
+        transform($"grams", g => md5(g.cast("binary"))),
+        h => struct(
+          conv(substring(h, 1, 15), 16, 10).cast("long").as("h1"),
+          conv(substring(h, 16, 15), 16, 10).cast("long").as("h2")))))
+        .as("gk"))
+    assert(native.exceptAll(old).count() === 0L)
+    assert(old.exceptAll(native).count() === 0L)
+  }
+
   test("sourceOverlap: planted shared grams count exactly; minhash estimate tracks truth") {
     // A and B share exactly half their grams; C is disjoint. Five-token
     // docs of distinct words => 3 trigram shingles per doc
