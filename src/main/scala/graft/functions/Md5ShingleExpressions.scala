@@ -331,12 +331,60 @@ case class Md5PairKeys(child: Expression)
     copy(child = newChild)
 }
 
+/** `string token -> array<int>` of the count-min sketch's `depth`
+  * bucket indices — the native spelling of
+  * `pmod(conv(substring(md5(concat("cms<i>_", tok))), 1, 8), 16, 10),
+  * width)` per row, which [[graft.ops.CountMin]] evaluated as `depth`
+  * interpreted digest-to-hex-to-parse chains per token occurrence
+  * (build) and per probe (estimate). Bucket i = (top 32 bits of
+  * md5(utf8("cms<i>_" + tok)), i.e. the first-8-hex-digit prefix) mod
+  * width. CodegenFallback: per-row overhead once, the row's work is a
+  * tight loop. */
+case class Md5CmsBuckets(child: Expression, depth: Int, width: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  require(depth >= 1 && width >= 1)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"requires string, got $other")
+  }
+
+  override def dataType: DataType =
+    ArrayType(IntegerType, containsNull = false)
+
+  override def nullSafeEval(t: Any): Any = {
+    val tok = t.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+      .toString
+    val md = MessageDigest.getInstance("MD5")
+    val out = new Array[Any](depth)
+    var i = 0
+    while (i < depth) {
+      md.reset()
+      val d = md.digest(Md5Family.utf8("cms" + i + "_" + tok))
+      // first 8 hex digits = top 32 bits, non-negative in a long
+      val v = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+        ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+      out(i) = (v % width).toInt
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object Md5ShingleFunctions {
   def md5_simhash60(tokens: Column): Column =
     Bridge.column(Md5SimHash60(Bridge.expression(tokens)))
 
   def md5_pair_keys(grams: Column): Column =
     Bridge.column(Md5PairKeys(Bridge.expression(grams)))
+
+  def md5_cms_buckets(tok: Column, depth: Int, width: Int): Column =
+    Bridge.column(Md5CmsBuckets(Bridge.expression(tok), depth, width))
 
   def md5_ngram_buckets(tokens: Column, buckets: Int, bigrams: Boolean): Column =
     Bridge.column(Md5NgramBuckets(Bridge.expression(tokens), buckets, bigrams))

@@ -39,9 +39,12 @@ object CountMin {
     }
   }
 
-  private def bucketExpr(tok: Column, i: Int, width: Int): Column =
-    pmod(conv(substring(md5(concat(lit(s"cms${i}_"), tok).cast("binary")),
-      1, 8), 16, 10).cast("long"), lit(width.toLong)).cast("int")
+  // the depth bucket indices in ONE native pass per row (r16:
+  // Md5CmsBuckets — the replaced per-i
+  // pmod(conv(substring(md5(concat(...)))) chain digested to hex and
+  // string-parsed base-16 once per (occurrence, i), interpreted)
+  private def bucketsExpr(tok: Column, depth: Int, width: Int): Column =
+    graft.functions.Md5ShingleFunctions.md5_cms_buckets(tok, depth, width)
 
   /** Build a sketch from a token-occurrence frame (one row per
     * occurrence — the caller's explode). One corpus pass, one aggregate,
@@ -52,8 +55,8 @@ object CountMin {
       width: Int = 1024): Sketch = {
     require(depth >= 1 && width >= 1)
     val cells = df.filter(col(tokCol).isNotNull)
-      .select(posexplode(array((0 until depth).map(i =>
-        bucketExpr(col(tokCol), i, width)): _*)).as(Seq("i", "h")))
+      .select(posexplode(bucketsExpr(col(tokCol), depth, width))
+        .as(Seq("i", "h")))
       .groupBy(col("i"), col("h")).agg(count(lit(1)).as("c"))
       .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
     Sketch(depth, width, Array.tabulate(depth)(i =>
@@ -62,12 +65,17 @@ object CountMin {
 
   /** Point estimate for a token column — min over the sketch's depth
     * rows; map-only, the table is one array literal. Never undercounts;
-    * overcounts by hash collisions only. */
+    * overcounts by hash collisions only. The depth hashes ride one
+    * native array; the per-cell lookup lambda is cheap arithmetic over
+    * a literal, so the zip_with stays, with array_min ≡ the replaced
+    * least(...) fold (no element is ever null: buckets are non-null and
+    * the table is a dense literal). */
   def estimateExpr(tok: Column, sk: Sketch): Column = {
     val flat = typedlit(sk.counts.flatten.toSeq)
-    (0 until sk.depth).map(i =>
-      element_at(flat, bucketExpr(tok, i, sk.width) + lit(i * sk.width) + 1))
-      .reduce(least(_, _))
+    array_min(zip_with(
+      bucketsExpr(tok, sk.depth, sk.width),
+      typedlit((0 until sk.depth).map(_ * sk.width)),
+      (b, off) => element_at(flat, b + off + 1)))
   }
 
   /** Persist a sketch as one (depth, width, i, h, c) parquet — the

@@ -1794,6 +1794,24 @@ class CountMinSpec extends SparkSpec {
 
   private def toks(rows: Seq[String]) = rows.toDF("t")
 
+  test("Md5CmsBuckets: native bucket indices equal the replaced column spelling") {
+    // r16 rewrite pin: bucket i = top-32-bits(md5("cms<i>_" + tok)) mod
+    // width, previously spelled pmod(conv(substring(md5(concat(...)),
+    // 1, 8), 16, 10), width) per i, interpreted.
+    val toks = Seq("alpha", "beta", "", "中文", "🙂x", "tok123").toDF("t")
+    for ((depth, width) <- Seq((4, 1024), (5, 7), (1, 2))) {
+      val native = toks.select($"t",
+        graft.functions.Md5ShingleFunctions
+          .md5_cms_buckets($"t", depth, width).as("b"))
+      val old = toks.select($"t", array((0 until depth).map(i =>
+        pmod(conv(substring(md5(concat(lit(s"cms${i}_"), $"t")
+          .cast("binary")), 1, 8), 16, 10).cast("long"),
+          lit(width.toLong)).cast("int")): _*).as("b"))
+      assert(native.exceptAll(old).count() === 0L)
+      assert(old.exceptAll(native).count() === 0L)
+    }
+  }
+
   test("count-min never undercounts; exact at collision-free width; unseen is 0") {
     val occurrences = Seq.fill(5)("alpha") ++ Seq.fill(3)("beta") ++ Seq("gamma")
     val sk = CountMin.build(toks(occurrences), "t", depth = 4, width = 4096)
