@@ -376,9 +376,60 @@ case class Md5CmsBuckets(child: Expression, depth: Int, width: Int)
     copy(child = newChild)
 }
 
+/** `string token -> struct<bucket:int, rho:int>`: the HyperLogLog
+  * register coordinate of one token under the md5-portable 32-bit hash
+  * — the native spelling of [[graft.ops.Hll.bucketExpr]] +
+  * [[graft.ops.Hll.rhoExpr]], which evaluated the
+  * conv(substring(md5(concat("hll_", tok))), 1, 8) hex-parse chain
+  * once per leg plus a w-deep when-comparison ladder per token
+  * occurrence. hash32 = the digest's first 8 hex digits (top 32
+  * bits); bucket = its top p bits; rho = 1-based position of the
+  * first 1-bit in the low w = 32-p bits (w+1 when all zero) —
+  * computed with numberOfLeadingZeros instead of the ladder, same
+  * exact integer semantics. The column spellings stay as the
+  * oracle/spec reference (the hashedNgramBucketsHof convention).
+  * CodegenFallback: per-row overhead once. */
+case class Md5HllRegister(child: Expression, p: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  require(p >= 7 && p <= 16, s"p must be in [7,16], got $p")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"requires string, got $other")
+  }
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("bucket", IntegerType, nullable = false),
+    StructField("rho", IntegerType, nullable = false)))
+
+  override def nullSafeEval(t: Any): Any = {
+    val tok = t.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+      .toString
+    val md = MessageDigest.getInstance("MD5")
+    val d = md.digest(Md5Family.utf8("hll_" + tok))
+    val v = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+      ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+    val w = 32 - p
+    val bucket = (v >>> w).toInt
+    val suffix = v & ((1L << w) - 1L)
+    val rho =
+      if (suffix == 0L) w + 1
+      else w - (63 - java.lang.Long.numberOfLeadingZeros(suffix))
+    new GenericInternalRow(Array[Any](bucket, rho))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object Md5ShingleFunctions {
   def md5_simhash60(tokens: Column): Column =
     Bridge.column(Md5SimHash60(Bridge.expression(tokens)))
+
+  def md5_hll_register(tok: Column, p: Int): Column =
+    Bridge.column(Md5HllRegister(Bridge.expression(tok), p))
 
   def md5_pair_keys(grams: Column): Column =
     Bridge.column(Md5PairKeys(Bridge.expression(grams)))

@@ -83,9 +83,16 @@ object Hll {
     * ≤ groups×m rows before the single exchange. */
   def registers(df: DataFrame, tokCol: String, groupCols: Seq[String] = Nil,
       p: Int = DefaultP): DataFrame = {
+    // one native digest per occurrence (r16: Md5HllRegister) — the
+    // bucketExpr/rhoExpr column spellings stay above as the oracle/spec
+    // reference; they paid the md5-hex conv parse per leg plus a w-deep
+    // comparison ladder per token
+    val reg = graft.functions.Md5ShingleFunctions
+      .md5_hll_register(col(tokCol), p)
     val keyed = df.filter(col(tokCol).isNotNull)
-      .select((groupCols.map(col) :+ bucketExpr(col(tokCol), p).as("bucket")
-        :+ rhoExpr(col(tokCol), p).as("rho")): _*)
+      .select((groupCols.map(col) :+ reg.as("__reg")): _*)
+      .select((groupCols.map(col) :+ col("__reg")("bucket").as("bucket")
+        :+ col("__reg")("rho").as("rho")): _*)
     keyed.groupBy((groupCols :+ "bucket").map(col): _*)
       .agg(max(col("rho")).as("rho"))
   }

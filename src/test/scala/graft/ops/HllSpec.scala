@@ -21,6 +21,26 @@ class HllSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     spark.range(n.toLong).select(concat(lit(s"${tag}_"), col("id"))
       .as("tok"))
 
+  test("Md5HllRegister: native (bucket, rho) equals the column spelling bit-for-bit") {
+    // r16 rewrite pin: registers() now computes both coordinates from
+    // one native digest; bucketExpr/rhoExpr stay as the oracle/spec
+    // reference. Pinned across precisions on unicode/empty/dense
+    // tokens (dense enough that some suffixes start with 1-bits at
+    // several depths).
+    import org.apache.spark.sql.functions._
+    val toks = (Seq("", "中文", "🙂x") ++ (1 to 500).map(i => s"tok$i"))
+      .toDF("t")
+    for (p <- Seq(7, 12, 16)) {
+      val native = toks.select($"t", graft.functions.Md5ShingleFunctions
+        .md5_hll_register($"t", p).as("r"))
+        .select($"t", $"r.bucket".as("b"), $"r.rho".as("rho"))
+      val old = toks.select($"t", graft.ops.Hll.bucketExpr($"t", p).as("b"),
+        graft.ops.Hll.rhoExpr($"t", p).as("rho"))
+      assert(native.exceptAll(old).count() === 0L)
+      assert(old.exceptAll(native).count() === 0L)
+    }
+  }
+
   test("registers are partition-invariant and <= m rows") {
     val df = tokFrame(5000)
     val a = Hll.registers(df, "tok").orderBy("bucket").collect().toSeq
