@@ -117,17 +117,46 @@ case class Md5CdcChunks(child: Expression, k: Int, divisor: Int,
   override def dataType: DataType = CdcFunctions.chunkArrayType
 
   override def nullSafeEval(t: Any): Any = {
-    val s = t.asInstanceOf[UTF8String].toString
+    val u = t.asInstanceOf[UTF8String]
+    val bytes = u.getBytes
+    // ASCII fast path: char offsets == byte offsets, so each trailing
+    // k-gram slices straight out of the byte array with zero per-gram
+    // String/encode allocations (the Md5WinnowFingerprints discipline);
+    // non-ASCII docs keep the original UTF-16 substring spelling
+    var ascii = true
+    var bi = 0
+    while (ascii && bi < bytes.length) {
+      if (bytes(bi) < 0) ascii = false
+      bi += 1
+    }
+    if (ascii) {
+      val len = bytes.length
+      if (len == 0) return new GenericArrayData(Array.empty[Any])
+      val cands =
+        if (len < k) Array.empty[Int]
+        else {
+          val md = Md5Family.md5()
+          val out = new scala.collection.mutable.ArrayBuffer[Int]
+          var p = k
+          while (p <= len) {
+            md.update(bytes, p - k, k)
+            if (Md5Family.h60Digest(md.digest()) % divisor == 0L) out += p
+            p += 1
+          }
+          out.toArray
+        }
+      return CdcFunctions.walkChunks(cands, len, minLen, maxLen)
+    }
+    val s = u.toString
     val len = s.length
     if (len == 0) return new GenericArrayData(Array.empty[Any])
     val cands =
       if (len < k) Array.empty[Int]
       else {
-        val md = java.security.MessageDigest.getInstance("MD5")
+        val md = Md5Family.md5()
         val out = new scala.collection.mutable.ArrayBuffer[Int]
         var p = k
         while (p <= len) {
-          md.reset()
           val d = md.digest(s.substring(p - k, p).getBytes(
             java.nio.charset.StandardCharsets.UTF_8))
           // top 60 bits: first 8 bytes big-endian, then drop the low

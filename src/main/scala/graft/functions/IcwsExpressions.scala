@@ -57,20 +57,28 @@ case class Md5IcwsDraws(child: Expression, k: Int)
       StructField(s"u$i", DoubleType, nullable = false))),
       containsNull = false), nullable = false)))
 
+  // the "<j>|<i>" draw suffixes are row-independent: one ASCII byte
+  // table per (deserialized) expression instance instead of a fresh
+  // String + encode per (row, sample, uniform) digest
+  @transient private lazy val suffixBytes: Array[Array[Byte]] =
+    Array.tabulate(k * 5)(n => Md5Family.utf8((n / 5).toString + "|" + (n % 5 + 1)))
+
   override def nullSafeEval(t: Any): Any = {
-    val d = t.asInstanceOf[UTF8String].toString
-    val md = MessageDigest.getInstance("MD5")
-    val hd = Md5Family.h60(md, Md5Family.utf8(d)) % 1000000000000000000L
-    val prefix = Md5Family.utf8("icws|" + d + "|")
+    // raw UTF-8 bytes of the dimension — the same bytes the replaced
+    // spelling's string->binary cast hashed, no String round trip
+    val dBytes = t.asInstanceOf[UTF8String].getBytes
+    val md = Md5Family.md5()
+    val hd = Md5Family.h60(md, dBytes) % 1000000000000000000L
     val us = new Array[Any](k)
     var j = 0
     while (j < k) {
       val vals = new Array[Any](5)
       var i = 1
       while (i <= 5) {
-        md.reset()
-        md.update(prefix)
-        md.update(Md5Family.utf8(j.toString + "|" + i))
+        md.update(Md5IcwsDraws.prefixBytes) // "icws|"
+        md.update(dBytes)
+        md.update('|'.toByte)
+        md.update(suffixBytes(j * 5 + i - 1))
         val dg = md.digest()
         // top 52 bits = the first-13-hex-digit prefix: first 7 bytes
         // big-endian (56 bits), dropped low nibble
@@ -88,6 +96,10 @@ case class Md5IcwsDraws(child: Expression, k: Int)
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
+}
+
+object Md5IcwsDraws {
+  private val prefixBytes: Array[Byte] = Md5Family.utf8("icws|")
 }
 
 object IcwsFunctions {

@@ -44,9 +44,22 @@ import org.apache.spark.sql.graftbridge.Bridge
   */
 private[graft] object Md5Family {
 
+  // One digest instance per executor thread, reused across rows —
+  // getInstance("MD5") per row was measured as a visible constant
+  // factor on the expression-heavy stages (provider lookup + object
+  // allocation per row). digest() leaves the instance reset, so a
+  // thread-local handle is safe without explicit reset() between rows.
+  private val tlMd5 = new ThreadLocal[MessageDigest] {
+    override def initialValue(): MessageDigest =
+      MessageDigest.getInstance("MD5")
+  }
+  def md5(): MessageDigest = tlMd5.get()
+
   /** First 60 bits of md5(bytes) as a non-negative long. */
-  def h60(md: MessageDigest, bytes: Array[Byte]): Long = {
-    val d = md.digest(bytes)
+  def h60(md: MessageDigest, bytes: Array[Byte]): Long = h60Digest(md.digest(bytes))
+
+  /** First 60 bits of an already-computed 16-byte md5 digest. */
+  def h60Digest(d: Array[Byte]): Long = {
     // first 8 bytes big-endian, dropped low nibble = first 15 hex digits
     var v = 0L
     var i = 0
@@ -55,6 +68,32 @@ private[graft] object Md5Family {
   }
 
   def utf8(s: String): Array[Byte] = s.getBytes("UTF-8")
+
+  /** UTF-8 bytes of array element i ("" for null slots) with no
+    * UTF8String -> String -> re-encode round trip. The raw UTF8String
+    * bytes are exactly what the replaced column spellings hashed
+    * (string -> binary casts use the backing bytes). */
+  def elemBytes(arr: ArrayData, i: Int): Array[Byte] =
+    if (arr.isNullAt(i)) Array.emptyByteArray else arr.getUTF8String(i).getBytes
+
+  /** Appends the decimal ASCII digits of a long to buf at `off` (same
+    * bytes as Long.toString); returns the new offset. Replaces
+    * Long.toString + getBytes in digest inner loops. Buffer must have
+    * >= 20 bytes free. */
+  def appendDigits(buf: Array[Byte], off: Int, value: Long): Int = {
+    if (value == 0L) { buf(off) = '0'; return off + 1 }
+    var start = off
+    // negate into negative space: -Long.MinValue overflows, Long.MinValue doesn't
+    var v = if (value > 0L) -value else value
+    if (value < 0L) { buf(start) = '-'; start += 1 }
+    var n = 0
+    var t = v
+    while (t < 0L) { n += 1; t /= 10L }
+    val end = start + n
+    var p = end - 1
+    while (v < 0L) { buf(p) = ('0' - (v % 10L).toInt).toByte; v /= 10L; p -= 1 }
+    end
+  }
 }
 
 /** `array<string> tokens -> array<long>`: md5-family hashed w-shingles,
@@ -77,27 +116,26 @@ case class Md5ShingleHashes(child: Expression, w: Int)
   override def nullSafeEval(t: Any): Any = {
     val arr = t.asInstanceOf[ArrayData]
     val n = arr.numElements()
-    val toks = new Array[String](n)
+    // raw UTF-8 token bytes once per row; shingles feed the digest
+    // token-by-token with a space byte between — byte-identical to the
+    // space-joined string the replaced spelling hashed, with no
+    // per-shingle String/StringBuilder materialization
+    val toks = new Array[Array[Byte]](n)
     var i = 0
-    while (i < n) {
-      toks(i) = if (arr.isNullAt(i)) "" else arr.getUTF8String(i).toString
-      i += 1
-    }
-    val md = MessageDigest.getInstance("MD5")
+    while (i < n) { toks(i) = Md5Family.elemBytes(arr, i); i += 1 }
+    val md = Md5Family.md5()
     val m = if (n > w) n - w + 1 else 1
     val out = new Array[Long](m)
-    val sb = new java.lang.StringBuilder
     var p = 0
     while (p < m) {
-      sb.setLength(0)
       var k = p
       val end = math.min(p + w, n)
       while (k < end) {
-        if (k > p) sb.append(' ')
-        sb.append(toks(k))
+        if (k > p) md.update(' '.toByte)
+        md.update(toks(k))
         k += 1
       }
-      out(p) = Md5Family.h60(md, Md5Family.utf8(sb.toString))
+      out(p) = Md5Family.h60Digest(md.digest())
       p += 1
     }
     new GenericArrayData(out)
@@ -140,15 +178,24 @@ case class Md5MinHashSigs(child: Expression, k: Int)
       if (seen.add(h)) { hs(nd) = h; nd += 1 }
       i += 1
     }
-    val md = MessageDigest.getInstance("MD5")
+    val md = Md5Family.md5()
     val out = new Array[Long](k)
+    // "j:" + decimal digits of the hash, written straight into one
+    // reused ASCII buffer (max prefix "63:" + max 19 digits) — the
+    // string-concat spelling allocated two Strings + an encode per
+    // (j, distinct-hash) digest in this n*k inner loop
+    val buf = new Array[Byte](24)
     var j = 0
     while (j < k) {
-      val prefix = j.toString + ":"
+      val pEnd0 = Md5Family.appendDigits(buf, 0, j.toLong)
+      buf(pEnd0) = ':'
+      val pEnd = pEnd0 + 1
       var best = Long.MaxValue
       var d = 0
       while (d < nd) {
-        val v = Md5Family.h60(md, Md5Family.utf8(prefix + hs(d).toString))
+        val end = Md5Family.appendDigits(buf, pEnd, hs(d))
+        md.update(buf, 0, end)
+        val v = Md5Family.h60Digest(md.digest())
         if (v < best) best = v
         d += 1
       }
@@ -186,12 +233,11 @@ case class Md5SimHash60(child: Expression)
     val arr = t.asInstanceOf[ArrayData]
     val n = arr.numElements()
     if (n == 0) return null
-    val md = MessageDigest.getInstance("MD5")
+    val md = Md5Family.md5()
     val votes = new Array[Int](60)
     var i = 0
     while (i < n) {
-      val s = if (arr.isNullAt(i)) "" else arr.getUTF8String(i).toString
-      val h = Md5Family.h60(md, Md5Family.utf8(s))
+      val h = Md5Family.h60(md, Md5Family.elemBytes(arr, i))
       var b = 0
       while (b < 60) {
         votes(b) += (if (((h >>> b) & 1L) == 1L) 1 else -1)
@@ -243,24 +289,28 @@ case class Md5NgramBuckets(child: Expression, buckets: Int, bigrams: Boolean)
   override def nullSafeEval(t: Any): Any = {
     val arr = t.asInstanceOf[ArrayData]
     val n = arr.numElements()
-    val md = MessageDigest.getInstance("MD5")
-    def bucket(bytes: Array[Byte]): Int = {
-      val d = md.digest(bytes)
+    val md = Md5Family.md5()
+    def bucket(): Int = {
+      val d = md.digest()
       // first 4 digest bytes big-endian = first 8 hex digits; unsigned
       // 32-bit value, so % buckets is already the pmod
       val v = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
         ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
       (v % buckets).toInt
     }
-    def tok(i: Int): String =
-      if (arr.isNullAt(i)) "" else arr.getUTF8String(i).toString
+    // raw token bytes once; bigram "a_b" feeds the digest as
+    // a-bytes, '_', b-bytes — same byte stream, no concat allocation
+    val toks = new Array[Array[Byte]](n)
+    var i = 0
+    while (i < n) { toks(i) = Md5Family.elemBytes(arr, i); i += 1 }
     val nBg = if (bigrams && n > 1) n - 1 else 0
     val out = new Array[Int](n + nBg)
-    var i = 0
-    while (i < n) { out(i) = bucket(Md5Family.utf8(tok(i))); i += 1 }
+    i = 0
+    while (i < n) { md.update(toks(i)); out(i) = bucket(); i += 1 }
     i = 0
     while (i < nBg) {
-      out(n + i) = bucket(Md5Family.utf8(tok(i) + "_" + tok(i + 1)))
+      md.update(toks(i)); md.update('_'.toByte); md.update(toks(i + 1))
+      out(n + i) = bucket()
       i += 1
     }
     new GenericArrayData(out)
@@ -303,13 +353,12 @@ case class Md5PairKeys(child: Expression)
   override def nullSafeEval(t: Any): Any = {
     val arr = t.asInstanceOf[ArrayData]
     val n = arr.numElements()
-    val md = MessageDigest.getInstance("MD5")
+    val md = Md5Family.md5()
     val seen = new scala.collection.mutable.HashSet[(Long, Long)]()
     val out = new scala.collection.mutable.ArrayBuffer[Any](n)
     var i = 0
     while (i < n) {
-      val s = if (arr.isNullAt(i)) "" else arr.getUTF8String(i).toString
-      val d = md.digest(Md5Family.utf8(s))
+      val d = md.digest(Md5Family.elemBytes(arr, i))
       var h1 = 0L
       var b = 0
       while (b < 8) { h1 = (h1 << 8) | (d(b) & 0xffL); b += 1 }
@@ -321,7 +370,6 @@ case class Md5PairKeys(child: Expression)
       while (b < 15) { h2 = (h2 << 8) | (d(b) & 0xffL); b += 1 }
       if (seen.add((h1, h2)))
         out += new GenericInternalRow(Array[Any](h1, h2))
-      md.reset()
       i += 1
     }
     new GenericArrayData(out.toArray)
@@ -354,15 +402,22 @@ case class Md5CmsBuckets(child: Expression, depth: Int, width: Int)
   override def dataType: DataType =
     ArrayType(IntegerType, containsNull = false)
 
+  // "cms<i>_" prefixes are row-independent: one byte table per
+  // (deserialized) expression instance, fed to the digest ahead of the
+  // raw token bytes instead of a per-(row, depth) string concat+encode
+  @transient private lazy val prefixBytes: Array[Array[Byte]] =
+    Array.tabulate(depth)(i => Md5Family.utf8("cms" + i + "_"))
+
   override def nullSafeEval(t: Any): Any = {
     val tok = t.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
-      .toString
-    val md = MessageDigest.getInstance("MD5")
+      .getBytes
+    val md = Md5Family.md5()
     val out = new Array[Any](depth)
     var i = 0
     while (i < depth) {
-      md.reset()
-      val d = md.digest(Md5Family.utf8("cms" + i + "_" + tok))
+      md.update(prefixBytes(i))
+      md.update(tok)
+      val d = md.digest()
       // first 8 hex digits = top 32 bits, non-negative in a long
       val v = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
         ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
@@ -406,9 +461,11 @@ case class Md5HllRegister(child: Expression, p: Int)
 
   override def nullSafeEval(t: Any): Any = {
     val tok = t.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
-      .toString
-    val md = MessageDigest.getInstance("MD5")
-    val d = md.digest(Md5Family.utf8("hll_" + tok))
+      .getBytes
+    val md = Md5Family.md5()
+    md.update(Md5HllRegister.prefixBytes)
+    md.update(tok)
+    val d = md.digest()
     val v = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
       ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
     val w = 32 - p
@@ -422,6 +479,10 @@ case class Md5HllRegister(child: Expression, p: Int)
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
+}
+
+object Md5HllRegister {
+  private val prefixBytes: Array[Byte] = Md5Family.utf8("hll_")
 }
 
 object Md5ShingleFunctions {

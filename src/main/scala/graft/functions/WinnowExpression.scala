@@ -137,7 +137,7 @@ case class Md5WinnowFingerprints(child: Expression, k: Int, w: Int)
     }
     off(len) = bytes.length
     val m = if (len > k) len - k + 1 else 1
-    val md = java.security.MessageDigest.getInstance("MD5")
+    val md = Md5Family.md5()
     val hs = new Array[Long](m)
     var i = 0
     while (i < m) {

@@ -120,16 +120,21 @@ object Bm25Store {
     TextAnalysis.tokens(lower(col(textCol)))
 
   private def writeMeta(spark: SparkSession, root: String,
-      p: Params): Unit =
+      p: Params): Unit = {
     spark.range(1).select(lit(p.tokenizer).as("tokenizer"),
       lit(p.nBuckets).as("n_buckets"))
       .write.mode("overwrite").parquet(metaPath(root))
-
-  /** The parameters this store was built with. */
-  def readMeta(spark: SparkSession, root: String): Params = {
-    val r = spark.read.parquet(metaPath(root)).head()
-    Params(r.getAs[String]("tokenizer"), r.getAs[Int]("n_buckets"))
+    StoreMeta.put("bm25", root, p)
   }
+
+  /** The parameters this store was built with (memoized per root —
+    * [[StoreMeta]]: params are immutable between builds, so the
+    * per-call parquet read was one pure-overhead Spark execution). */
+  def readMeta(spark: SparkSession, root: String): Params =
+    StoreMeta.cached("bm25", root) {
+      val r = spark.read.parquet(metaPath(root)).head()
+      Params(r.getAs[String]("tokenizer"), r.getAs[Int]("n_buckets"))
+    }
 
   private def postingsRaw(spark: SparkSession, root: String): DataFrame =
     spark.read.schema(postingsSchema).parquet(postingsPath(root))
@@ -144,26 +149,47 @@ object Bm25Store {
     * (dynamic overwrite — a crash replay rewrites identical rows over
     * any half-written attempt). The tokenized narrow projection
     * persists spillable across its two consumers (postings aggregate
-    * + scalar aggregate) so each document is tokenized exactly once. */
+    * + scalar aggregate) so each document is tokenized exactly once.
+    *
+    * The terms sidecar derives from the JUST-WRITTEN postings
+    * partition: posting keys are exactly the shard's distinct
+    * (id, term) pairs, so `distinct(term)` over the readback equals
+    * the occurrence-explode + distinct it replaces while reading
+    * posting-sized input instead of occurrence-sized at any scale (the
+    * r16 experiment derived it from a PERSISTED posting aggregate and
+    * measured worse — cache materialization cost; the readback variant
+    * pays nothing, the files were being written anyway). `__bkt` rides
+    * the partition directory straight through.
+    *
+    * Returns (posting rows, distinct terms), observed on the write
+    * actions themselves (CollectMetrics accumulators on result-stage
+    * tasks — exactly-once under retry), so [[addShard]]'s report needs
+    * no separate count jobs over data it just wrote. */
   private def writeShard(docs: DataFrame, root: String, idCol: String,
-      textCol: String, shardId: String, p: Params): Unit = {
+      textCol: String, shardId: String, p: Params): (Long, Long) = {
+    val spark = docs.sparkSession
     val td = docs
       .select(col(idCol).cast("long").as("id"), toks(textCol).as("__t"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
+      val obsPost = new org.apache.spark.sql.Observation()
       td.select(col("id"), size(col("__t")).cast("long").as("__dl"),
           explode(col("__t")).as("term"))
         .groupBy(col("id"), col("term"))
         .agg(count(lit(1)).as("tf"), max(col("__dl")).as("dl"))
+        .observe(obsPost, count(lit(1)).as("n"))
         .withColumn("ingest_shard", lit(shardId))
         .withColumn("__bkt", bucketOf(p.nBuckets))
         .write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("ingest_shard", "__bkt")
         .parquet(postingsPath(root))
-      td.select(explode(col("__t")).as("term")).distinct()
+      val obsTerms = new org.apache.spark.sql.Observation()
+      postingsRaw(spark, root)
+        .filter(col("ingest_shard") === lit(shardId))
+        .select(col("term"), col("__bkt")).distinct()
+        .observe(obsTerms, count(lit(1)).as("n"))
         .withColumn("ingest_shard", lit(shardId))
-        .withColumn("__bkt", bucketOf(p.nBuckets))
         .write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("ingest_shard", "__bkt")
@@ -176,6 +202,8 @@ object Bm25Store {
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("ingest_shard")
         .parquet(statsPath(root))
+      (obsPost.get("n").asInstanceOf[Long],
+        obsTerms.get("n").asInstanceOf[Long])
     } finally td.unpersist(false)
   }
 
@@ -186,6 +214,7 @@ object Bm25Store {
     val spark = docs.sparkSession
     writeMeta(spark, root, params)
     writeShard(docs, root, idCol, textCol, "base", params)
+    ()
   }
 
   /** The store's corpus scalars (one row: n_docs, sum_dl) — a
@@ -222,35 +251,44 @@ object Bm25Store {
       maxBroadcastKeys: Long = MaxBroadcastKeys,
       reportDir: Option[String] = None): DataFrame = {
     val p = readMeta(spark, root)
-    graft.bench.StageTimers.time("bm25store.shard_write") {
-      writeShard(shard, root, idCol, textCol, shardId, p)
-    }
+    // shard-write observations replace the post-hoc nPostings count job
+    // and (within the gate) the bucket-count collect — two fewer Spark
+    // executions per ingest over data the write actions already touch
+    val (nPostings, totalTerms) =
+      graft.bench.StageTimers.time("bm25store.shard_write") {
+        writeShard(shard, root, idCol, textCol, shardId, p)
+      }
     val allTerms = termsRaw(spark, root)
     val shardTerms = allTerms
       .filter(col("ingest_shard") === lit(shardId))
       .select(col("term"), col("__bkt"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      val prior = allTerms.filter(col("ingest_shard") =!= lit(shardId))
-        .select(col("term"), col("__bkt"))
-      val bucketCounts = shardTerms.groupBy(col("__bkt"))
-        .agg(count(lit(1)).as("n"))
-        .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq.sortBy(_._1)
-      val totalTerms = bucketCounts.map(_._2).sum
-      val (seenCount, probeTmp) =
-        if (totalTerms <= maxBroadcastKeys) {
-          (prior.select(col("term"))
-            .join(broadcast(shardTerms.select(col("term"))), Seq("term"),
-              "left_semi")
-            .distinct().count(), None)
-        } else {
+    val prior = allTerms.filter(col("ingest_shard") =!= lit(shardId))
+      .select(col("term"), col("__bkt"))
+    val (seenCount, probeTmp) =
+      if (totalTerms <= maxBroadcastKeys) {
+        // gate path: the shard vocabulary broadcasts whole, straight off
+        // the terms sidecar scan — no persist (single consumer), no
+        // per-bucket counts needed
+        (prior.select(col("term"))
+          .join(broadcast(shardTerms.select(col("term"))), Seq("term"),
+            "left_semi")
+          .distinct().count(), None)
+      } else {
+        // jumbo path: per-bucket legs need the per-bucket key counts and
+        // scan the shard vocabulary once per bucket — worth one persist
+        val st = shardTerms
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          val bucketCounts = st.groupBy(col("__bkt"))
+            .agg(count(lit(1)).as("n"))
+            .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq.sortBy(_._1)
           val tmp = s"$root/__probe_ingest"
           val fs = new org.apache.hadoop.fs.Path(tmp)
             .getFileSystem(spark.sparkContext.hadoopConfiguration)
           fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
           graft.bench.StageTimers.time("bm25store.probe_legs") {
             bucketCounts.foreach { case (b, nKeys) =>
-              val keysB = shardTerms.filter(col("__bkt") === lit(b))
+              val keysB = st.filter(col("__bkt") === lit(b))
                 .select(col("term"))
               val gated = if (nKeys <= maxBroadcastKeys) broadcast(keysB)
                 else keysB // single over-gate bucket: 1/nBuckets shuffle
@@ -261,27 +299,24 @@ object Bm25Store {
           }
           (spark.read.schema(StructType(termsSchema.take(1)))
             .parquet(tmp).distinct().count(), Some(tmp))
-        }
-      val nPostings = postingsRaw(spark, root)
-        .filter(col("ingest_shard") === lit(shardId))
-        .count()
-      val report = statsRaw(spark, root)
-        .filter(col("ingest_shard") === lit(shardId))
-        .select(col("ingest_shard"), col("n_docs"), col("sum_dl"),
-          lit(nPostings).as("n_postings"),
-          lit(totalTerms).as("n_terms"),
-          lit(totalTerms - seenCount).as("n_new_terms"))
-      val dir = reportDir.getOrElse(s"${reportsPath(root)}/$shardId")
-      graft.bench.StageTimers.time("bm25store.report_write") {
-        report.write.mode("overwrite").parquet(dir)
+        } finally st.unpersist(false)
       }
-      probeTmp.foreach { t =>
-        new org.apache.hadoop.fs.Path(t)
-          .getFileSystem(spark.sparkContext.hadoopConfiguration)
-          .delete(new org.apache.hadoop.fs.Path(t), true)
-      }
-      spark.read.schema(reportSchema).parquet(dir)
-    } finally shardTerms.unpersist(false)
+    val report = statsRaw(spark, root)
+      .filter(col("ingest_shard") === lit(shardId))
+      .select(col("ingest_shard"), col("n_docs"), col("sum_dl"),
+        lit(nPostings).as("n_postings"),
+        lit(totalTerms).as("n_terms"),
+        lit(totalTerms - seenCount).as("n_new_terms"))
+    val dir = reportDir.getOrElse(s"${reportsPath(root)}/$shardId")
+    graft.bench.StageTimers.time("bm25store.report_write") {
+      report.write.mode("overwrite").parquet(dir)
+    }
+    probeTmp.foreach { t =>
+      new org.apache.hadoop.fs.Path(t)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(new org.apache.hadoop.fs.Path(t), true)
+    }
+    spark.read.schema(reportSchema).parquet(dir)
   }
 
   /** BM25 top-k retrieval against CURRENT store state — pinned by spec

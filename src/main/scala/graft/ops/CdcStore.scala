@@ -90,20 +90,25 @@ object CdcStore {
   private def bucketOf(p: Params) =
     pmod(xxhash64(col("digest")), lit(p.nBuckets)).cast("int")
 
-  private def writeMeta(spark: SparkSession, root: String, p: Params): Unit =
+  private def writeMeta(spark: SparkSession, root: String, p: Params): Unit = {
     spark.range(1).select(lit(p.family).as("family"),
       lit(p.maskBits).as("mask_bits"), lit(p.k).as("k"),
       lit(p.divisor).as("divisor"), lit(p.minLen).as("min_len"),
       lit(p.maxLen).as("max_len"), lit(p.nBuckets).as("n_buckets"))
       .write.mode("overwrite").parquet(metaPath(root))
-
-  /** The parameters this store was built with. */
-  def readMeta(spark: SparkSession, root: String): Params = {
-    val r = spark.read.parquet(metaPath(root)).head()
-    Params(r.getAs[String]("family"), r.getAs[Int]("mask_bits"),
-      r.getAs[Int]("k"), r.getAs[Int]("divisor"), r.getAs[Int]("min_len"),
-      r.getAs[Int]("max_len"), r.getAs[Int]("n_buckets"))
+    StoreMeta.put("cdc", root, p)
   }
+
+  /** The parameters this store was built with (memoized per root —
+    * [[StoreMeta]]: params are immutable between builds, so the
+    * per-call parquet read was one pure-overhead Spark execution). */
+  def readMeta(spark: SparkSession, root: String): Params =
+    StoreMeta.cached("cdc", root) {
+      val r = spark.read.parquet(metaPath(root)).head()
+      Params(r.getAs[String]("family"), r.getAs[Int]("mask_bits"),
+        r.getAs[Int]("k"), r.getAs[Int]("divisor"), r.getAs[Int]("min_len"),
+        r.getAs[Int]("max_len"), r.getAs[Int]("n_buckets"))
+    }
 
   /** The store's keying: chunk exactly as the build did. */
   private def chunkFrame(docs: DataFrame, idCol: String, textCol: String,

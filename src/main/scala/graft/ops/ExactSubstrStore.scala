@@ -111,16 +111,22 @@ object ExactSubstrStore {
   private def bucketOf(p: Params) =
     pmod(xxhash64(col("__gk")), lit(p.nBuckets)).cast("int")
 
-  private def writeMeta(spark: SparkSession, root: String, p: Params): Unit =
+  private def writeMeta(spark: SparkSession, root: String, p: Params): Unit = {
     spark.range(1).select(
       lit(p.minLen).as("min_len"), lit(p.digestKeys).as("digest_keys"),
       lit(p.nBuckets).as("n_buckets"))
       .write.mode("overwrite").parquet(metaPath(root))
+    StoreMeta.put("exsub", root, p)
+  }
 
-  /** The parameters this index was built with (probes must match them).
+  /** The parameters this index was built with (probes must match them;
+    * memoized per root — [[StoreMeta]]: params are immutable between
+    * builds, so the per-call parquet read was one pure-overhead Spark
+    * execution per probe/ingest).
     * Refuses a v1 (pre-bucket) index: its `windows/` has no `__bkt`
     * subdirectories, so every v2 read would silently see null buckets. */
-  def readMeta(spark: SparkSession, root: String): Params = {
+  def readMeta(spark: SparkSession, root: String): Params =
+    StoreMeta.cached("exsub", root) {
     val df = spark.read.parquet(metaPath(root))
     require(df.columns.contains("n_buckets"),
       s"$root is a v1 (pre-key-bucketing) ExactSubstr index; rebuild it " +

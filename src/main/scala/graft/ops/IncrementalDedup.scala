@@ -157,20 +157,26 @@ object IncrementalDedup {
       .partitionBy("ingest_shard")
       .parquet(path)
 
-  private def writeMeta(spark: SparkSession, root: String, p: Params): Unit =
+  private def writeMeta(spark: SparkSession, root: String, p: Params): Unit = {
     spark.range(1).select(
       lit(p.shingleW).as("shingle_w"), lit(p.k).as("k"),
       lit(p.bands).as("bands"), lit(p.threshold).as("threshold"),
       lit(p.maxBucket).as("max_bucket"))
       .write.mode("overwrite").parquet(metaPath(root))
-
-  /** The parameters this index was built with (probes must match them). */
-  def readMeta(spark: SparkSession, root: String): Params = {
-    val r = spark.read.parquet(metaPath(root)).head()
-    Params(r.getAs[Int]("shingle_w"), r.getAs[Int]("k"),
-      r.getAs[Int]("bands"), r.getAs[Double]("threshold"),
-      r.getAs[Int]("max_bucket"))
+    StoreMeta.put("incdedup", root, p)
   }
+
+  /** The parameters this index was built with (probes must match them;
+    * memoized per root — [[StoreMeta]]: params are immutable between
+    * builds, so the per-call parquet read was one pure-overhead Spark
+    * execution per ingest). */
+  def readMeta(spark: SparkSession, root: String): Params =
+    StoreMeta.cached("incdedup", root) {
+      val r = spark.read.parquet(metaPath(root)).head()
+      Params(r.getAs[Int]("shingle_w"), r.getAs[Int]("k"),
+        r.getAs[Int]("bands"), r.getAs[Double]("threshold"),
+        r.getAs[Int]("max_bucket"))
+    }
 
   /** Data files sitting DIRECTLY under labels/ (no ingest_shard= dirs)
     * mean the index predates the delta log (the r6 swap-write layout).

@@ -84,23 +84,34 @@ object SemDedupStore {
       .coalesce(1).write.mode("overwrite").parquet(centroidsPath(root))
     spark.range(1).select(lit(threshold).as("threshold"))
       .write.mode("overwrite").parquet(metaPath(root))
+    StoreMeta.put("semdedup.meta", root, threshold)
+    StoreMeta.put("semdedup.cents", root, cents)
     ingest(spark, root, emb, idCol, vecCol, shardId, cents, threshold,
       maxClusterSize)
   }
 
-  /** The threshold this store was built with. */
+  /** The threshold this store was built with (memoized per root —
+    * [[StoreMeta]]: immutable between builds). */
   def readMeta(spark: SparkSession, root: String): Double =
-    spark.read.parquet(metaPath(root)).head().getAs[Double]("threshold")
+    StoreMeta.cached("semdedup.meta", root) {
+      spark.read.parquet(metaPath(root)).head().getAs[Double]("threshold")
+    }
 
   /** Ingest one corpus shard against the persisted state. Idempotent
     * per `shardId` (dynamic partition overwrite). Returns
-    * [[currentState]] AFTER the ingest. */
+    * [[currentState]] AFTER the ingest. Centroids are FROZEN by the
+    * store contract, so the collected array memoizes per root alongside
+    * the threshold ([[StoreMeta]]) — re-reading + re-collecting them
+    * was two pure-overhead Spark executions per micro-batch in
+    * [[graft.streaming.EventStreams.semDedupSink]]. */
   def addShard(spark: SparkSession, root: String, shard: DataFrame,
       idCol: String, vecCol: String, shardId: String,
       maxClusterSize: Long = 0L): DataFrame = {
     val threshold = readMeta(spark, root)
-    val cents = Dedup.collectCentroids(
-      spark.read.parquet(centroidsPath(root)), "cid", "cv")
+    val cents = StoreMeta.cached("semdedup.cents", root) {
+      Dedup.collectCentroids(
+        spark.read.parquet(centroidsPath(root)), "cid", "cv")
+    }
     ingest(spark, root, shard, idCol, vecCol, shardId, cents, threshold,
       maxClusterSize)
   }

@@ -217,19 +217,21 @@ object EventStreams {
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        if (batch.isEmpty) ()
-        else {
-          val screened = graft.ops.TextAnalysis
-            .screenWithBloom(batch, textCol, bloom, n).persist()
-          screened.filter(!col("maybe_contaminated"))
-            .drop("maybe_contaminated", "n_shingles")
-            .write.mode("append").parquet(cleanPath)
-          screened.filter(col("maybe_contaminated"))
-            .drop("maybe_contaminated", "n_shingles")
-            .write.mode("append").parquet(quarantinePath)
-          screened.unpersist()
-          ()
-        }
+        // no standalone empty-batch probe (the winnowScreenSink
+        // rationale): a 0-row append writes no data file — and a
+        // non-empty batch whose filter leaves one route empty already
+        // produced exactly that shape — so the isEmpty guard job was
+        // one pure-overhead Spark execution per micro-batch
+        val screened = graft.ops.TextAnalysis
+          .screenWithBloom(batch, textCol, bloom, n).persist()
+        screened.filter(!col("maybe_contaminated"))
+          .drop("maybe_contaminated", "n_shingles")
+          .write.mode("append").parquet(cleanPath)
+        screened.filter(col("maybe_contaminated"))
+          .drop("maybe_contaminated", "n_shingles")
+          .write.mode("append").parquet(quarantinePath)
+        screened.unpersist()
+        ()
       }
       .start()
 
@@ -347,17 +349,27 @@ object EventStreams {
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (!batch.isEmpty) {
-          val spark = batch.sparkSession
-          val toks = batch.select(explode(
+        val spark = batch.sparkSession
+        // the empty-batch gate rides the sketch build's own job as an
+        // observed metric instead of a standalone isEmpty probe (one
+        // Spark execution per micro-batch saved): the CollectMetrics
+        // node counts batch rows while the same action aggregates the
+        // sketch cells. Semantics preserved exactly — a non-empty batch
+        // that tokenizes to nothing still writes/creates the all-zero
+        // store (the sentinel-row case CountMin.write documents), an
+        // empty batch still touches nothing.
+        val obs = new org.apache.spark.sql.Observation()
+        val toks = batch.observe(obs, count(lit(1)).as("n"))
+          .select(explode(
             graft.ops.TextAnalysis.tokens(lower(col(textCol)))).as("tok"))
-          val shard = graft.ops.CountMin.build(toks, "tok", depth, width)
+        val shard = graft.ops.CountMin.build(toks, "tok", depth, width)
+        if (obs.get("n").asInstanceOf[Long] > 0L) {
           val p = new org.apache.hadoop.fs.Path(storePath)
           val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
           if (fs.exists(p)) graft.ops.CountMin.ingest(spark, storePath, shard)
           else graft.ops.CountMin.write(spark, shard, storePath)
-          ()
         }
+        ()
       }
       .start()
 
@@ -595,24 +607,27 @@ object EventStreams {
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        if (!batch.isEmpty) {
-          val routed = batch.join(
-            graft.ops.TextAnalysis.knScore(model, batch, idCol, textCol),
-            Seq(idCol)).persist()
-          routed.filter(col("kn_nll") > maxNll)
-            .withColumn("batch_id", lit(batchId))
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("batch_id")
-            .parquet(flaggedPath)
-          routed.filter(col("kn_nll") <= maxNll)
-            .withColumn("batch_id", lit(batchId))
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("batch_id")
-            .parquet(cleanPath)
-          routed.unpersist()
-        }
+        // no standalone empty-batch probe (the winnowScreenSink
+        // rationale): a 0-row frame under dynamic partition overwrite
+        // writes no partition directory and no data file, so the
+        // isEmpty guard job bought nothing the writes don't already
+        // guarantee — dropping it removes one Spark execution per batch
+        val routed = batch.join(
+          graft.ops.TextAnalysis.knScore(model, batch, idCol, textCol),
+          Seq(idCol)).persist()
+        routed.filter(col("kn_nll") > maxNll)
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id")
+          .parquet(flaggedPath)
+        routed.filter(col("kn_nll") <= maxNll)
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id")
+          .parquet(cleanPath)
+        routed.unpersist()
         ()
       }
       .start()
@@ -644,29 +659,34 @@ object EventStreams {
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        if (!batch.isEmpty) {
-          val cfp =
-            if (portable) graft.ops.Dedup.winnowFingerprintsPortable(
-              batch, idCol, textCol, k, w)
-            else graft.ops.Dedup.winnowFingerprints(
-              batch, idCol, textCol, k, w)
-          val hits = graft.ops.Dedup.contaminationFromFps(
-            cfp, benchFps, idCol, "bench_id", minShared).persist()
-          hits.withColumn("batch_id", lit(batchId))
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("batch_id")
-            .parquet(flaggedPath)
-          batch.select(col(idCol))
-            .join(hits.select(col(idCol)).distinct(), Seq(idCol),
-              "left_anti")
-            .withColumn("batch_id", lit(batchId))
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("batch_id")
-            .parquet(cleanPath)
-          hits.unpersist()
-        }
+        // no standalone empty-batch probe: isEmpty was one extra Spark
+        // job per micro-batch (take-1 over the batch scan + a full
+        // driver execution round-trip), paid on EVERY batch to guard a
+        // case these writes already handle — a 0-row frame under
+        // dynamic partition overwrite writes no partition directory and
+        // no data file, so an empty batch leaves both routes' logical
+        // state untouched (the empty-batch contract), for free
+        val cfp =
+          if (portable) graft.ops.Dedup.winnowFingerprintsPortable(
+            batch, idCol, textCol, k, w)
+          else graft.ops.Dedup.winnowFingerprints(
+            batch, idCol, textCol, k, w)
+        val hits = graft.ops.Dedup.contaminationFromFps(
+          cfp, benchFps, idCol, "bench_id", minShared).persist()
+        hits.withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id")
+          .parquet(flaggedPath)
+        batch.select(col(idCol))
+          .join(hits.select(col(idCol)).distinct(), Seq(idCol),
+            "left_anti")
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id")
+          .parquet(cleanPath)
+        hits.unpersist()
         ()
       }
       .start()
