@@ -27,7 +27,7 @@ import org.apache.spark.sql.graftbridge.Bridge
   * CodegenFallback per the [[TokenProfile]] convention: a per-row tight
   * loop, kept out of the interpreted-lambda (HOF) path. */
 case class NgramClipStats(left: Expression, right: Expression, maxN: Int)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression with NativeLoopCodegenBinary {
   require(maxN >= 1 && maxN <= 8, "maxN in 1..8")
 
   override def checkInputDataTypes(): TypeCheckResult =

@@ -37,7 +37,7 @@ import org.apache.spark.sql.graftbridge.Bridge
   * identical cut positions (the hash families differ, the
   * [[Md5Family]] precedent). */
 case class GearCdcChunks(child: Expression, maskBits: Int, minLen: Int,
-    maxLen: Int) extends UnaryExpression with CodegenFallback {
+    maxLen: Int) extends UnaryExpression with NativeLoopCodegen {
 
   require(maskBits > 0 && maskBits < 48, "maskBits must be in 1..47")
   require(minLen >= 1, "minLen must be >= 1")
@@ -101,7 +101,7 @@ case class GearCdcChunks(child: Expression, maskBits: Int, minLen: Int,
   * CodegenFallback: one per-row primitive loop. */
 case class Md5CdcChunks(child: Expression, k: Int, divisor: Int,
     minLen: Int, maxLen: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with NativeLoopCodegen {
 
   require(k >= 1, "gram size k must be >= 1")
   require(divisor >= 1, "divisor must be >= 1")

@@ -32,7 +32,7 @@ import org.apache.spark.sql.graftbridge.Bridge
   * cells: strict > yields no bits). CodegenFallback: per-row primitive
   * loop, interpreted overhead paid once per row. */
 case class DHash56(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with NativeLoopCodegen {
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case BinaryType => TypeCheckResult.TypeCheckSuccess

@@ -36,7 +36,7 @@ private[functions] trait FrameBased { self: UnaryExpression =>
   * decoded samples). Feeds [[graft.ops.Multimodal.energySegments]]'
   * voice-activity-style threshold segmentation. */
 case class FrameEnergies(child: Expression, frameBytes: Int)
-    extends UnaryExpression with FrameBased with CodegenFallback {
+    extends UnaryExpression with FrameBased with NativeLoopCodegen {
 
   override def nullSafeEval(t: Any): Any = {
     val bytes = t.asInstanceOf[Array[Byte]]
@@ -65,7 +65,7 @@ case class FrameEnergies(child: Expression, frameBytes: Int)
   * between frames shows as a large hamming jump, a within-shot frame
   * pair stays close. */
 case class FrameDHashes(child: Expression, frameBytes: Int)
-    extends UnaryExpression with FrameBased with CodegenFallback {
+    extends UnaryExpression with FrameBased with NativeLoopCodegen {
 
   override def nullSafeEval(t: Any): Any = {
     val bytes = t.asInstanceOf[Array[Byte]]

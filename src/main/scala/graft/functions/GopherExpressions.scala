@@ -45,7 +45,7 @@ import org.apache.spark.sql.graftbridge.Bridge
   *    the split), so "end...\r" matches exactly as `rlike` says
   *  - alpha word = token containing any ASCII letter */
 case class GopherCounts(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with NativeLoopCodegen {
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case StringType => TypeCheckResult.TypeCheckSuccess

@@ -41,7 +41,7 @@ import org.apache.spark.sql.graftbridge.Bridge
   * [[Md5ShingleHashes]] reason: interpreted overhead once per row, the
   * row's work is already a tight loop. */
 case class Md5IcwsDraws(child: Expression, k: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with NativeLoopCodegen {
 
   require(k >= 1 && k <= 64, "k in 1..64")
 

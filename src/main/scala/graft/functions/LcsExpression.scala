@@ -24,7 +24,7 @@ import org.apache.spark.sql.graftbridge.Bridge
   * CodegenFallback per the [[NgramClipStats]] convention: a per-row
   * tight loop, interpreted overhead paid once per row. */
 case class TokenLcs(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression with NativeLoopCodegenBinary {
 
   override def checkInputDataTypes(): TypeCheckResult =
     (left.dataType, right.dataType) match {

@@ -101,7 +101,7 @@ private[graft] object Md5Family {
   * windows; n <= w, including 0, -> 1 whole-text shingle). Null token
   * slots join as the empty string. */
 case class Md5ShingleHashes(child: Expression, w: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with NativeLoopCodegen {
 
   require(w > 0, "shingle width must be positive")
 
@@ -152,7 +152,7 @@ case class Md5ShingleHashes(child: Expression, w: Int)
   * arrays cannot occur from [[Md5ShingleHashes]] (it emits >= 1
   * shingle); they yield null for safety. */
 case class Md5MinHashSigs(child: Expression, k: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with NativeLoopCodegen {
 
   require(k > 0, "signature length must be positive")
 
@@ -218,7 +218,7 @@ case class Md5MinHashSigs(child: Expression, k: Int)
   * hex digits. Empty token arrays yield null (token-less docs emit no
   * signature, mirroring [[SimHash64]]). */
 case class Md5SimHash60(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with NativeLoopCodegen {
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
@@ -275,7 +275,7 @@ case class Md5SimHash60(child: Expression)
   * ORDER is preserved exactly (unigrams then bigrams) because callers
   * fold float sums over the array in order. */
 case class Md5NgramBuckets(child: Expression, buckets: Int, bigrams: Boolean)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with NativeLoopCodegen {
   require(buckets > 0, "buckets must be positive")
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
@@ -338,7 +338,7 @@ case class Md5NgramBuckets(child: Expression, buckets: Int, bigrams: Boolean)
   * CodegenFallback: per-row overhead once, the row's work is a tight
   * loop. */
 case class Md5PairKeys(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with NativeLoopCodegen {
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
@@ -388,8 +388,11 @@ case class Md5PairKeys(child: Expression)
   * md5(utf8("cms<i>_" + tok)), i.e. the first-8-hex-digit prefix) mod
   * width. CodegenFallback: per-row overhead once, the row's work is a
   * tight loop. */
+// NativeLoopCodegen (r17): keeps the hosting projection inside its
+// whole-stage span (see the trait scaladoc); the CodegenFallback
+// span-break rationale above is superseded by the measured A/B.
 case class Md5CmsBuckets(child: Expression, depth: Int, width: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with NativeLoopCodegen {
 
   require(depth >= 1 && width >= 1)
 
@@ -445,7 +448,7 @@ case class Md5CmsBuckets(child: Expression, depth: Int, width: Int)
   * oracle/spec reference (the hashedNgramBucketsHof convention).
   * CodegenFallback: per-row overhead once. */
 case class Md5HllRegister(child: Expression, p: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with NativeLoopCodegen {
 
   require(p >= 7 && p <= 16, s"p must be in [7,16], got $p")
 
@@ -485,9 +488,60 @@ object Md5HllRegister {
   private val prefixBytes: Array[Byte] = Md5Family.utf8("hll_")
 }
 
+/** `string -> array<double>` of salted md5 uniforms in [0,1): element i
+  * = (first 32 bits of md5(utf8(s) ++ utf8(salts(i)))) / 2^32 — the
+  * native spelling of the per-salt
+  * `conv(substring(md5(concat(s, salt).cast(binary)), 1, 8), 16, 10)
+  * .cast(double) / 4294967296.0` chain ([[graft.ops.TextAnalysis
+  * .fimTransform]]'s cut/apply draws, replayed verbatim by the DuckDB
+  * oracle). One thread-local digest per row computes every salt's
+  * uniform; a 32-bit unsigned integer is exact in a double, so the
+  * value is bit-identical to the replaced conv-parse. */
+case class Md5SaltedUniforms(child: Expression, salts: Seq[String])
+    extends UnaryExpression with NativeLoopCodegen {
+
+  require(salts.nonEmpty, "need at least one salt")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"requires string, got $other")
+  }
+
+  override def dataType: DataType =
+    ArrayType(DoubleType, containsNull = false)
+
+  @transient private lazy val saltBytes: Array[Array[Byte]] =
+    salts.map(Md5Family.utf8).toArray
+
+  override def nullSafeEval(t: Any): Any = {
+    val idB = t.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+      .getBytes
+    val md = Md5Family.md5()
+    val out = new Array[Double](saltBytes.length)
+    var i = 0
+    while (i < out.length) {
+      md.update(idB)
+      md.update(saltBytes(i))
+      val d = md.digest()
+      val v = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+        ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+      out(i) = v.toDouble / 4294967296.0
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object Md5ShingleFunctions {
   def md5_simhash60(tokens: Column): Column =
     Bridge.column(Md5SimHash60(Bridge.expression(tokens)))
+
+  def md5_salted_uniforms(s: Column, salts: Seq[String]): Column =
+    Bridge.column(Md5SaltedUniforms(Bridge.expression(s), salts))
 
   def md5_hll_register(tok: Column, p: Int): Column =
     Bridge.column(Md5HllRegister(Bridge.expression(tok), p))

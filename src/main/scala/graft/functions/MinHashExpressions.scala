@@ -34,7 +34,7 @@ import org.apache.spark.sql.graftbridge.Bridge
   * row's work is already a tight loop.
   */
 case class MinHashSigs(child: Expression, k: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with NativeLoopCodegen {
 
   require(k > 0, "signature length must be positive")
 

@@ -21,7 +21,7 @@ import org.apache.spark.sql.graftbridge.Bridge
   * NULL for empty arrays (the aggregate form emits no row — callers
   * align); null elements are skipped. */
 case class MinMaxXor(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with NativeLoopCodegen {
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess

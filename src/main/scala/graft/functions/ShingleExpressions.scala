@@ -27,7 +27,7 @@ import org.apache.spark.sql.graftbridge.Bridge
   * the row's work is already a tight loop.
   */
 case class ShingleHashes(child: Expression, w: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with NativeLoopCodegen {
 
   require(w > 0, "shingle width must be positive")
 

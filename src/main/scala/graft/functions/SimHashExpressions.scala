@@ -26,7 +26,7 @@ import org.apache.spark.sql.graftbridge.Bridge
   * slots hash as the seed, matching [[ShingleHashes]]. CodegenFallback is
   * fine: interpreted overhead is per ROW. */
 case class SimHash64(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with NativeLoopCodegen {
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess

@@ -46,11 +46,15 @@ import org.apache.spark.sql.graftbridge.Bridge
   * precondition is a real contract, kept cheap by construction at the
   * call sites rather than re-verified per row.
   *
-  * CodegenFallback per the [[TokenProfile]]/[[WordGramStrings]]
-  * convention: a per-row primitive loop dominated by UTF8String
-  * concat, measured fast enough that codegen is not the bottleneck. */
+  * Custom doGenCode (r17, the [[NativeLoopCodegen]] move): the null
+  * contract is asymmetric (null removals != null result), so the
+  * generated code inlines that handling around one static call to
+  * [[TokenSplice.splice]] — the hosting projection keeps its
+  * whole-stage span instead of CodegenFallback's operator-wide break
+  * (the rebuild legs of exactSubstrDedup run this over every token of
+  * every document). */
 case class TokenSplice(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult =
     (left.dataType, right.dataType) match {
@@ -69,11 +73,47 @@ case class TokenSplice(left: Expression, right: Expression)
   override def eval(input: InternalRow): Any = {
     val toksV = left.eval(input)
     if (toksV == null) return null
-    val toks = toksV.asInstanceOf[ArrayData]
+    val rmV = right.eval(input)
+    TokenSplice.splice(toksV.asInstanceOf[ArrayData],
+      if (rmV == null) null else rmV.asInstanceOf[ArrayData])
+  }
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    val l = left.genCode(ctx)
+    val r = right.genCode(ctx)
+    val ad = "org.apache.spark.sql.catalyst.util.ArrayData"
+    val u8 = "org.apache.spark.unsafe.types.UTF8String"
+    val call = s"graft.functions.TokenSplice.splice(($ad) ${l.value}, " +
+      s"${r.isNull} ? null : ($ad) ${r.value})"
+    if (nullable) {
+      ev.copy(code = code"""
+        ${l.code}
+        ${r.code}
+        boolean ${ev.isNull} = ${l.isNull};
+        $u8 ${ev.value} = null;
+        if (!${ev.isNull}) { ${ev.value} = $call; }""")
+    } else {
+      ev.copy(code = code"""
+        ${l.code}
+        ${r.code}
+        $u8 ${ev.value} = $call;""")
+    }
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): TokenSplice = copy(left = newLeft, right = newRight)
+}
+
+object TokenSplice {
+  /** The merge-walk shared by eval and generated code. `toks` non-null;
+    * `rm` nullable ("remove nothing"). */
+  def splice(toks: ArrayData, rm: ArrayData): UTF8String = {
     val nt = toks.numElements()
     if (nt == 0) return UTF8String.EMPTY_UTF8
-    val rmV = right.eval(input)
-    val rm = if (rmV == null) null else rmV.asInstanceOf[ArrayData]
     val nr = if (rm == null) 0 else rm.numElements()
     val parts = new Array[UTF8String](2 * nt - 1)
     var m = 0
@@ -98,9 +138,6 @@ case class TokenSplice(left: Expression, right: Expression)
     else if (m == parts.length) UTF8String.concat(parts: _*)
     else UTF8String.concat(java.util.Arrays.copyOf(parts, m): _*)
   }
-
-  override protected def withNewChildrenInternal(newLeft: Expression,
-      newRight: Expression): TokenSplice = copy(left = newLeft, right = newRight)
 }
 
 object SpliceFunctions {

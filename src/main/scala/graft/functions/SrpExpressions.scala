@@ -18,7 +18,7 @@ import org.apache.spark.sql.graftbridge.Bridge
   * needs. Used by SRP-LSH bucketing ([[graft.ops.Similarity.lshKnn]]).
   */
 case class SrpSignature(child: Expression, planes: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with NativeLoopCodegen {
 
   require(planes > 0 && planes <= 63, "planes must be in [1, 63]")
 

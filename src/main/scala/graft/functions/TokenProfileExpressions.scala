@@ -26,7 +26,7 @@ import org.apache.spark.sql.graftbridge.Bridge
   * kept as `TextAnalysis.qualityMetricsAgg` / `languageIdAgg` and pinned
   * value-identical by spec. CodegenFallback is fine: per-row tight loop. */
 case class TokenProfile(child: Expression, lists: Seq[Seq[String]])
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with NativeLoopCodegen {
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess

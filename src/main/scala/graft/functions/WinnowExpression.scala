@@ -40,7 +40,7 @@ import org.apache.spark.sql.graftbridge.Bridge
   * interpreted overhead is once per row, the row's work is already a
   * tight loop. */
 case class WinnowFingerprints(child: Expression, k: Int, w: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with NativeLoopCodegen {
 
   require(k > 0, "gram size k must be positive")
   require(w > 0, "window size w must be positive")
@@ -101,8 +101,11 @@ case class WinnowFingerprints(child: Expression, k: Int, w: Int)
   * replay keeps its own bound; fixture-scale by design).
   * CodegenFallback for the [[WinnowFingerprints]] reason: interpreted
   * overhead is once per row, the row's work is already a tight loop. */
+// NativeLoopCodegen (r17): the generated code calls nullSafeEval through a
+// reference object, so the hosting projection/generator keeps its
+// whole-stage span instead of CodegenFallback's operator-wide span break.
 case class Md5WinnowFingerprints(child: Expression, k: Int, w: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with NativeLoopCodegen {
 
   require(k > 0, "gram size k must be positive")
   require(w > 0, "window size w must be positive")

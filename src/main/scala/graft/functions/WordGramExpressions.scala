@@ -80,7 +80,7 @@ private[functions] object WordGramUtil {
   * gram) exactly as the lambda spelling did. */
 case class WordGramStrings(child: Expression, n: Int,
     wholeTextFallback: Boolean = false)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with NativeLoopCodegen {
 
   require(n >= 1, "gram width must be positive")
 
@@ -121,7 +121,7 @@ case class WordGramStrings(child: Expression, n: Int,
   * `flatten(array(ns.map(transform(...))))` interpreted tower with one
   * per-row primitive loop. */
 case class WordGramsTagged(child: Expression, ns: Seq[Int])
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with NativeLoopCodegen {
 
   require(ns.nonEmpty && ns.forall(_ >= 1), "need widths >= 1")
 
@@ -186,7 +186,7 @@ case class WordGramsTagged(child: Expression, ns: Seq[Int])
   * Rounding to 6dp stays in the Column layer (`round(..., 6)`), where
   * the relational spelling applies it. */
 case class GopherGramStats(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with NativeLoopCodegen {
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess

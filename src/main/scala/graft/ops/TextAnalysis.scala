@@ -1024,14 +1024,24 @@ object TextAnalysis {
       preTok: String = "<fim_prefix>", sufTok: String = "<fim_suffix>",
       midTok: String = "<fim_middle>"): DataFrame = {
     require(fimRate >= 0 && fimRate <= 1)
-    // md5-derived uniform in [0,1): first 8 hex chars / 2^32
-    def u(salt: String): Column =
-      conv(substring(md5(concat(col(idCol).cast("string"), lit(salt))
-        .cast("binary")), 1, 8), 16, 10).cast("double") / 4294967296.0d
-    val toks = tokens(col(textCol))
+    // md5-derived uniforms in [0,1): first 8 hex chars / 2^32. One
+    // native pass computes all three salted draws (r17,
+    // [[graft.functions.Md5SaltedUniforms]] — bit-identical to the
+    // replaced per-salt conv(substring(md5(concat(id, salt)))) chains
+    // the DuckDB oracle replays); codegen subexpression elimination
+    // collapses the repeated references to one evaluation per row.
+    val us = graft.functions.Md5ShingleFunctions.md5_salted_uniforms(
+      col(idCol).cast("string"), Seq("_fim0", "_fim1", "_fim2"))
+    def u(i: Int): Column = element_at(col("__fim_us"), i + 1)
+    // tokens() is an interpreted filter(split(...)) HOF chain and the
+    // uniforms feed ~10 expression sites: projected ONCE into temp
+    // columns so the plan can never re-spell (and re-evaluate) the
+    // tokenize per consuming site — the replaced spelling inlined both
+    // per site (r17; the before-plan shows 10 copies of each chain)
+    val toks = col("__fim_toks")
     val len = size(toks)
-    val c1 = least(u("_fim1"), u("_fim2"))
-    val c2 = greatest(u("_fim1"), u("_fim2"))
+    val c1 = least(u(1), u(2))
+    val c2 = greatest(u(1), u(2))
     val i1 = floor(c1 * len).cast("int")
     val i2 = floor(c2 * len).cast("int")
     val joinSeg = (seg: Column) => array_join(seg, " ")
@@ -1041,10 +1051,13 @@ object TextAnalysis {
       joinSeg(slice(toks, i2 + 1, greatest(len - i2, lit(0)))),
       lit(" "), lit(midTok), lit(" "),
       joinSeg(slice(toks, i1 + 1, greatest(i2 - i1, lit(0)))))
-    val applied = (u("_fim0") < fimRate) && (len >= 1)
-    df.withColumn("fim_applied", applied)
+    val applied = (u(0) < fimRate) && (len >= 1)
+    df.withColumn("__fim_toks", tokens(col(textCol)))
+      .withColumn("__fim_us", us)
+      .withColumn("fim_applied", applied)
       .withColumn("text_fim",
         when(applied, fimText).otherwise(col(textCol)))
+      .drop("__fim_toks", "__fim_us")
   }
 
   /** Unicode-script profile — the pre-langid routing gate: per-document

@@ -12,7 +12,12 @@ import graft.ops.Dedup
 object DedupScaleSmoke {
   def main(args: Array[String]): Unit = {
     val n = args.headOption.map(_.toLong).getOrElse(200000L)
-    val spark = graft.GraftSession.local(cores = 4)
+    // SPARK_GRAFT_CPUS overrides the historical 4-core default so the
+    // same smoke measures CORE SCALING (stage-time ratio at 8 vs 32
+    // cores) — the sf0.1 sweep is scheduling-bound and flat across core
+    // counts, so operator parallelism evidence has to come from here
+    val cores = sys.env.get("SPARK_GRAFT_CPUS").map(_.toInt).getOrElse(4)
+    val spark = graft.GraftSession.local(cores = cores)
 
     // deterministic word-soup: 40 words per doc drawn from a 5k-word vocab
     // by hashing (docid, position); near-dups: docs 0..4999 cloned with the
