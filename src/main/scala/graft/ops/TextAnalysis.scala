@@ -1367,12 +1367,24 @@ object TextAnalysis {
     * bound that justified caching bg. Call [[KnModel.unpersist]] when
     * the model retires. */
   final case class KnModel(bg: DataFrame, ctx: DataFrame, pred: DataFrame,
-      totals: DataFrame, discount: Double, k: Double) {
+      totals: DataFrame, discount: Double, k: Double,
+      nBigramTypes: Long = Long.MaxValue) {
     def unpersist(): Unit = {
       bg.unpersist(); ctx.unpersist(); pred.unpersist(); totals.unpersist()
       ()
     }
   }
+
+  /** Broadcast gate for [[knScore]]'s model-table joins: a model with
+    * at most this many distinct bigram TYPES (measured at train time —
+    * [[knTrain]]'s existing bg.count) broadcasts its count tables into
+    * the scoring joins, so the scored side never shuffles (a streaming
+    * micro-batch scores MAP-ONLY plus its one per-doc aggregate).
+    * Bigger models fall back to the shuffle joins against the cached,
+    * hash-partitioned tables — the r16 shape. ~1M (w1, w2, counts)
+    * rows is a few tens of MB built per action: comfortably inside
+    * executor memory, far under the 8 GB broadcast cap. */
+  val KnBroadcastMaxTypes: Long = 1000000L
 
   /** Build a [[KnModel]] from a model corpus — [[knBigramNll]]'s
     * training half. One explode + one (w1,w2)-keyed count collapse the
@@ -1390,8 +1402,11 @@ object TextAnalysis {
       .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("__c12"))
       .persist()
     // a bigram-less model would put T = V = 0 and every continuation at
-    // k/0 = Infinity — fail at the cause, not with -Infinity NLLs
-    require(bg.count() > 0,
+    // k/0 = Infinity — fail at the cause, not with -Infinity NLLs.
+    // The count doubles as the broadcast-gate measurement (r17): the
+    // model's type count decides whether knScore broadcasts the tables.
+    val nBigramTypes = bg.count()
+    require(nBigramTypes > 0,
       "model corpus contains no bigrams (every doc has < 2 tokens)")
     // context count + distinct-follower count in ONE regroup (bg is
     // already one row per distinct (w1,w2), so the follower count is a
@@ -1404,7 +1419,7 @@ object TextAnalysis {
         .union(bg.select(col("w2").as("w")))
         .distinct().agg(count(lit(1)).cast("double").as("__v")))
       .persist()
-    KnModel(bg, ctx, pred, totals, discount, k)
+    KnModel(bg, ctx, pred, totals, discount, k, nBigramTypes)
   }
 
   /** Score a corpus against a trained [[KnModel]] — [[knBigramNll]]'s
@@ -1424,10 +1439,22 @@ object TextAnalysis {
         discount, lit(0.0)) / col("__c1").cast("double") +
       (lit(discount) * col("__n1f").cast("double") /
         col("__c1").cast("double")) * pcont
+    // scale-adaptive join strategy (guide §3.1): under the measured
+    // type-count gate the model tables broadcast (ctx/pred are ≤ bg's
+    // row count by construction), so the scored side crosses NO
+    // exchange before its per-doc aggregate. At fixture scale this is
+    // plan-identical to before (the cached tables' accurate size stats
+    // already sat under the 10 MB auto-broadcast estimate — PlanAudit
+    // census unchanged); the gate's point is the 10 MB..~1M-types band
+    // at corpus scale, where the estimate would silently flip every
+    // micro-batch to shuffle joins. Past the gate: the r16 shape
+    // (shuffle joins against the cached, hash-partitioned tables).
+    val side: DataFrame => DataFrame =
+      if (m.nBigramTypes <= KnBroadcastMaxTypes) broadcast else identity
     val scored = docBg
-      .join(bg, Seq("w1", "w2"), "left")
-      .join(ctx, Seq("w1"), "left")
-      .join(pred, Seq("w2"), "left")
+      .join(side(bg), Seq("w1", "w2"), "left")
+      .join(side(ctx), Seq("w1"), "left")
+      .join(side(pred), Seq("w2"), "left")
       .crossJoin(broadcast(totals))
       .withColumn("__p", when(col("__c1").isNotNull, seen).otherwise(pcont))
       .groupBy(col(idCol))
