@@ -16,9 +16,18 @@ object ExplainPlans {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    names.foreach { n =>
+    val executed = names.contains("--executed")
+    names.filterNot(_ == "--executed").foreach { n =>
       println(s"\n========== $n ==========")
-      SparkEntry.queries(n)(spark, dir).explain("formatted")
+      val df = SparkEntry.queries(n)(spark, dir)
+      if (executed) {
+        // run the query so AQE finalizes, then print the EXECUTED plan —
+        // the `*(n)` markers show whole-stage-codegen span membership,
+        // which the pre-execution formatted dump of an AdaptiveSparkPlan
+        // cannot (evidence surface for codegen-span claims)
+        df.collect()
+        println(df.queryExecution.executedPlan.toString)
+      } else df.explain("formatted")
     }
     spark.stop()
   }
